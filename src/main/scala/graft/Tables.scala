@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Central fixture loader for the driver parquet tables (TESTDATA.md).
+  *
+  * `events.ts` is written as parquet TIMESTAMP(NANOS) which Spark rejects by
+  * default (PARQUET_TYPE_ILLEGAL). We flip the documented escape hatch
+  * `spark.sql.legacy.parquet.nanosAsLong` (dynamic SQLConf) and convert the
+  * resulting nanosecond longs back to a proper TimestampType with exact
+  * integer math (`div 1000` → microseconds — no double rounding; nanos since
+  * epoch exceed 2^53 so a double roundtrip would corrupt timestamps).
+  */
+object Tables {
+
+  /** Columns that arrive as nanosecond longs under the legacy flag. */
+  private val NanosCols = Set("ts")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) {
+      case (acc, f) if NanosCols.contains(f.name) && f.dataType == LongType =>
+        acc.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000")))
+      case (acc, _) => acc
+    }
+  }
+}
