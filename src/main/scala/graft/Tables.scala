@@ -19,12 +19,21 @@ object Tables {
   private val NanosCols = Set("ts")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.foldLeft(df) {
-      case (acc, f) if NanosCols.contains(f.name) && f.dataType == LongType =>
-        acc.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000")))
-      case (acc, _) => acc
+    // Scope the legacy flag to this read: it changes how EVERY parquet scan
+    // in the session decodes TIMESTAMP(NANOS), so restore the caller's value.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema.fields.foldLeft(df) {
+        case (acc, f) if NanosCols.contains(f.name) && f.dataType == LongType =>
+          acc.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000")))
+        case (acc, _) => acc
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
     }
   }
 }

@@ -102,6 +102,12 @@ object GraftConfig {
         section = l.substring(1, l.length - 1)
         out.getOrElseUpdate(section, scala.collection.mutable.LinkedHashMap.empty)
       case l if l.contains("=") =>
+        // ConfigParser (the reference's reader) raises MissingSectionHeaderError
+        // for keys before any [section]; fail fast the same way rather than
+        // silently filing them under "".
+        if (section.isEmpty)
+          throw new IllegalArgumentException(
+            s"key/value before any [section] header: '$l'")
         val i = l.indexOf('=')
         out.getOrElseUpdate(section, scala.collection.mutable.LinkedHashMap.empty)
           .put(l.substring(0, i).trim, l.substring(i + 1).trim)
@@ -143,22 +149,22 @@ object GraftConfig {
     )
   }
 
-  /** Parse a flat JSON object of string→string into ordered pairs without a
-    * JSON library dependency (the maps are config-author-written; values are
-    * plain identifiers / SQL type names). */
+  /** Parse a flat JSON object of string→string into ordered pairs with a real
+    * JSON parser (Jackson ships on Spark's classpath) — values containing
+    * `,`/`:` such as `DECIMAL(10,2)` or quoted punctuation parse correctly. */
   def parseFlatJsonPairs(json: String): Seq[(String, String)] = {
-    val body = json.trim.stripPrefix("{").stripSuffix("}").trim
-    if (body.isEmpty) Seq.empty
-    else body.split(",").toIndexedSeq.map { pair =>
-      pair.split(":") match {
-        case Array(k, v) => unquote(k) -> unquote(v)
-        case _ => throw new IllegalArgumentException(s"bad json pair: '$pair'")
-      }
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    require(node != null && node.isObject, s"expected a JSON object, got: $json")
+    val it = node.fields()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) {
+      val e = it.next()
+      require(e.getValue.isTextual,
+        s"expected string value for key '${e.getKey}', got ${e.getValue}")
+      buf += e.getKey -> e.getValue.asText()
     }
+    buf.toSeq
   }
-
-  private def unquote(s: String): String =
-    s.trim.stripPrefix("\"").stripSuffix("\"")
 
   /** Compile a `{column -> sqlType}` schema (A3 `sqlite_schema` analog) to a
     * StructType. The reference stores everything stringly and lets SQLite

@@ -26,16 +26,22 @@ import graft.config.BucketType
 object Bucketize {
 
   /** The reference's strict ISO format (`audit_utils/audit_utils/utils.py:247`):
-    * `%Y-%m-%dT%H:%M:%S.%fZ` — microsecond fraction, literal Z. */
-  val IsoFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+    * `%Y-%m-%dT%H:%M:%S.%fZ` — microsecond fraction, trailing Z. The reference
+    * parses the string as a NAIVE datetime and subtracts the epoch origin,
+    * i.e. it treats the wall clock as UTC; `XXX` parses the literal `Z` as the
+    * +00:00 offset, pinning the same interpretation regardless of
+    * `spark.sql.session.timeZone`. */
+  val IsoFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
   /** Epoch-seconds column for a bucket field of the given wire type. */
   def toEpochSeconds(field: Column, bucketType: BucketType): Column =
     bucketType match {
       // JSON numbers may arrive as strings post-projection; cast is exact for
-      // integral epochs. floor() handles fractional-second epochs like the
-      // reference's integer division on Python floats.
-      case BucketType.Epoch     => floor(field.cast("double")).cast("long")
+      // integral epochs. Fractional epochs truncate TOWARD ZERO, mirroring the
+      // reference's Python long(epoch) (`TS_LEGEND`, utils.py:16) — floor()
+      // would diverge for negative pre-1970 fractions (-0.5 → bucket
+      // (-interval,0) under floor vs (0,interval) under long()).
+      case BucketType.Epoch     => field.cast("double").cast("long")
       case BucketType.Iso       => unix_timestamp(to_timestamp(field, IsoFormat))
       case BucketType.Timestamp => unix_timestamp(field)
     }

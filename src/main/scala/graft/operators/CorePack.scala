@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import graft.QueryPack
-import graft.config.BucketType
+import graft.config.{BucketType, MsgSettings}
 
 /** The reference's ingest-path semantics as batch-checkable queries over the
   * `events` fixture (the Kafka-message analog, FIXTURES.md §B):
@@ -12,13 +12,21 @@ import graft.config.BucketType
   *   - q_bucket_counts — P3-P7 + A1: tumbling event-time buckets + count-by-key
   *     (`spark-streaming-kafka-bucket-counter.py:125-126`,
   *     `audit_utils/audit_utils/utils.py:62-97,216-238`)
+  *   - q_bucket_counts_epoch / q_bucket_counts_iso — the same counts driven
+  *     through the `epoch` / `iso` wire-format branches of `TS_LEGEND`
+  *     (`audit_utils/audit_utils/utils.py:14-21,240-250`), so P4's Epoch path
+  *     and P6's ISO parse are driver-verified, not just compiled
   *   - q_count_by_key — bare A1 without bucketing
   *   - q_rename_project — P2 `json_dict_parse` rename-projection over the
   *     `props` JSON column (`audit_utils/audit_utils/utils.py:23-60`)
+  *   - q_decode_bucket — the FULL decode pipeline P1+P2+P3 ([[Decode.decode]]):
+  *     raw JSON value → strict projection → epoch bucketing, end to end
   *   - q_bucket_counts_fine — the reference's default 20 s bucket
   *     (`bucket_interval = 20`, `README.md:75`) — high-cardinality group-by
-  *   - q_append_count_json — P10 `combine_count_json` restated structurally
-  *     (`spark-streaming-kafka-bucket-counter.py:175-187`)
+  *   - q_append_count_json — P10 `combine_count_json`
+  *     (`spark-streaming-kafka-bucket-counter.py:175-187`) restated as a
+  *     structural `to_json(struct(...))` — proper JSON escaping instead of the
+  *     reference's string splicing
   */
 object CorePack extends QueryPack {
 
@@ -39,9 +47,33 @@ object CorePack extends QueryPack {
        |  count(*) AS count
        |FROM events GROUP BY 1, 2, 3""".stripMargin
 
+  /** Wire-format view of `events` for the decode-path queries: the whole
+    * message as one JSON string, as it would arrive in a Kafka value. */
+  private def asWireJson(events: DataFrame): DataFrame =
+    events.select(to_json(struct(
+      col("event_type"), col("user_id"),
+      // epoch seconds as a JSON number — the A1 fixture shape
+      // (`README.md:110-117`: {"origin_server":…, "timestamp": 1440179085})
+      unix_timestamp(col("ts")).as("timestamp"))).as("value"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bucket_counts" -> ((s, dir) => bucketCountsQuery(s, dir, 3600L)),
     "q_bucket_counts_fine" -> ((s, dir) => bucketCountsQuery(s, dir, 20L)),
+    "q_bucket_counts_epoch" -> { (s, dir) =>
+      // P4 Epoch branch: the bucket field arrives as a numeric epoch.
+      val ev = table(s, dir, "events")
+        .withColumn("epoch_s", col("ts").cast("double"))
+      BucketCounts.bucketCounts(ev, "epoch_s", 3600L, Seq("event_type"),
+        BucketType.Epoch)
+    },
+    "q_bucket_counts_iso" -> { (s, dir) =>
+      // P6 Iso branch: the bucket field arrives as a strict ISO-8601 string.
+      // date_format in a UTC session emits the reference's `%Y-%m-%dT%H:%M:%S.%fZ`.
+      val ev = table(s, dir, "events")
+        .withColumn("iso", date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
+      BucketCounts.bucketCounts(ev, "iso", 3600L, Seq("event_type"),
+        BucketType.Iso)
+    },
     "q_count_by_key" -> ((s, dir) =>
       BucketCounts.countByKey(table(s, dir, "events"), Seq("event_type"))),
     "q_rename_project" -> { (s, dir) =>
@@ -53,28 +85,46 @@ object CorePack extends QueryPack {
         col("event_type").as("etype"),
         col("_parsed").getField("k").as("k_val"))
     },
+    "q_decode_bucket" -> { (s, dir) =>
+      // Full P1→P2→P3 pipeline over a reconstructed wire value.
+      val msg = MsgSettings(
+        bucketInterval = 3600, bucketField = "timestamp",
+        bucketType = BucketType.Epoch,
+        msgMapSchema = Seq("etype" -> "event_type", "uid" -> "user_id"))
+      Decode.decode(asWireJson(table(s, dir, "events")), "value", msg)
+    },
     "q_append_count_json" -> { (s, dir) =>
-      // P10: emit the (key, count) rows as JSON strings — structural to_json
-      // instead of the reference's string splicing.
+      // P10 combine_count_json, structural: to_json escapes correctly where
+      // the reference's splice would emit invalid JSON for quote/backslash.
       val counts = BucketCounts.countByKey(table(s, dir, "events"), Seq("event_type"))
       counts.select(col("event_type"),
-        concat(lit("{\"event_type\": \""), col("event_type"),
-               lit("\", \"count\": "), col("count"), lit("}")).as("json_msg"))
+        to_json(struct(col("event_type"), col("count"))).as("json_msg"))
     }
   )
 
   override def oracles: Map[String, String] = Map(
     "q_bucket_counts" -> bucketCountsOracle(3600L),
     "q_bucket_counts_fine" -> bucketCountsOracle(20L),
+    // Positive epochs: truncate-toward-zero == floor, and 3600 | 86400 keeps
+    // second-truncation inside the same bucket.
+    "q_bucket_counts_epoch" -> bucketCountsOracle(3600L),
+    "q_bucket_counts_iso" -> bucketCountsOracle(3600L),
     "q_count_by_key" ->
       "SELECT event_type, count(*) AS count FROM events GROUP BY 1",
     "q_rename_project" ->
       """SELECT event_id, event_type AS etype,
         |  json_extract_string(props, '$.k') AS k_val
         |FROM events""".stripMargin,
+    "q_decode_bucket" ->
+      """SELECT event_type AS etype, CAST(user_id AS VARCHAR) AS uid,
+        |  CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_start,
+        |  CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) + 3600 AS bucket_end
+        |FROM events""".stripMargin,
+    // to_json emits compact {"event_type":"x","count":N} — replicated by
+    // concatenation (fixture values contain no JSON-special characters).
     "q_append_count_json" ->
       """SELECT event_type,
-        |  '{"event_type": "' || event_type || '", "count": ' || count(*) || '}' AS json_msg
+        |  '{"event_type":"' || event_type || '","count":' || count(*) || '}' AS json_msg
         |FROM events GROUP BY event_type""".stripMargin
   )
 }

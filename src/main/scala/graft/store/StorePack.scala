@@ -1,0 +1,117 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.QueryPack
+import graft.operators.BucketCounts
+import graft.serve.Comparators
+
+/** The serving store + query surface as driver-checkable queries
+  * (A3–A5, K2–K4, K7, Q1–Q2, Q5–Q12 of SURVEY.md §2).
+  *
+  * Each query rebuilds a deterministic store from the `events` fixture:
+  * events are split into SIX 5-day generation batches (the micro-batch
+  * analog), each batch is bucket-counted (1 h buckets) and appended — so
+  * `rst_id = day_index div 5 + 1` (1-based, counter-after semantics of
+  * `sudobulk_insert`, `audit_utils/audit_utils/models.py:584-629`), and the
+  * post-append counter is 7. Because a 1 h bucket never straddles a day
+  * boundary, the DuckDB oracle can derive the same rst_id directly from
+  * `bucket_start`.
+  */
+object StorePack extends QueryPack {
+
+  /** Epoch day of 2024-01-01, the fixture's first event day (TESTDATA.md). */
+  private val Day0 = 19723L
+  private val BatchDays = 5L
+  private val Interval = 3600L
+
+  private val storeSchema = StructType(Seq(
+    StructField("event_type", StringType),
+    StructField("bucket_start", LongType),
+    StructField("bucket_end", LongType),
+    StructField("count", LongType)))
+
+  /** Build the 6-generation store. Counter ends at 7. */
+  def buildStore(spark: SparkSession, dir: String): RecentStore = {
+    val events = table(spark, dir, "events")
+      .withColumn("_batch",
+        expr(s"(CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT) - $Day0) div $BatchDays"))
+    val store = new RecentStore(spark, storeSchema, tableName = "recent_counts",
+      cleanInterval = 100, cleanFreq = 1000)
+    (0L until 6L).foreach { b =>
+      store.append(BucketCounts.bucketCounts(
+        events.filter(col("_batch") === b), "ts", Interval, Seq("event_type")))
+    }
+    store
+  }
+
+  /** Shared oracle CTE: the store contents with derived rst_id. */
+  private val StoreCte =
+    s"""WITH store AS (
+       |  SELECT event_type,
+       |    CAST(floor(epoch(ts)/$Interval)*$Interval AS BIGINT) AS bucket_start,
+       |    CAST(floor(epoch(ts)/$Interval)*$Interval AS BIGINT) + $Interval AS bucket_end,
+       |    count(*) AS count,
+       |    ((CAST(floor(epoch(ts)/86400) AS BIGINT) - $Day0) // $BatchDays) + 1 AS rst_id
+       |  FROM events GROUP BY 1, 2, 3, 5
+       |)""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1 select-all over the stamped store (also A5 rst_id stamping, K2/K3).
+    "q_store_select_all" -> ((s, dir) => buildStore(s, dir).selectAll),
+    // K4 retention: clean(2) keeps rst_id >= counter(7) - 2 = 5.
+    "q_store_retention" -> ((s, dir) => buildStore(s, dir).clean(2L).selectAll),
+    // Q11 recent-N: last 3 generations → rst_id >= 4.
+    "q_store_recent_n" -> ((s, dir) => buildStore(s, dir).recent(3L)),
+    // Q12 direct generation fetch.
+    "q_store_direct" -> ((s, dir) => buildStore(s, dir).directFetch(3L)),
+    // A4 MAX(rst_id).
+    "q_store_max_rstid" -> ((s, dir) => buildStore(s, dir).selectMax("rst_id")),
+    // Q2 arbitrary-SQL passthrough over the registered view.
+    "q_store_sql" -> { (s, dir) =>
+      buildStore(s, dir).sql(
+        """SELECT event_type, CAST(sum(count) AS BIGINT) AS total_count,
+          |  count(*) AS n_rows
+          |FROM recent_counts GROUP BY event_type""".stripMargin)
+    },
+    // Q9 range select, inclusive bounds.
+    "q_store_range" -> { (s, dir) =>
+      Comparators.selectRange(buildStore(s, dir).selectAll, "bucket_start",
+        Some(1704412800L), Some(1704672000L))
+    },
+    // Q7/Q8 per-column comparator DSL — note the reference's REVERSED
+    // argument order: gt(4) → 4 > count, gte(X) → X >= bucket_start.
+    "q_store_comparators" -> { (s, dir) =>
+      Comparators.cGeneralSelect(buildStore(s, dir).selectAll, Map(
+        "event_type" -> ("eq", "click"),
+        "count" -> ("gt", 4),
+        "bucket_start" -> ("gte", 1704672000L)))
+    },
+    // Q10 typed sugar: select_gte (reversed: 5 >= count).
+    "q_store_select_gte" -> { (s, dir) =>
+      Comparators.selectGte(buildStore(s, dir).selectAll, Map("count" -> 5))
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_store_select_all" -> s"$StoreCte SELECT * FROM store",
+    "q_store_retention" -> s"$StoreCte SELECT * FROM store WHERE rst_id >= 5",
+    "q_store_recent_n" -> s"$StoreCte SELECT * FROM store WHERE rst_id >= 4",
+    "q_store_direct" -> s"$StoreCte SELECT * FROM store WHERE rst_id = 3",
+    "q_store_max_rstid" ->
+      s"$StoreCte SELECT max(rst_id) AS max_rst_id FROM store",
+    "q_store_sql" ->
+      s"""$StoreCte SELECT event_type, CAST(sum(count) AS BIGINT) AS total_count,
+         |  count(*) AS n_rows
+         |FROM store GROUP BY event_type""".stripMargin,
+    "q_store_range" ->
+      s"""$StoreCte SELECT * FROM store
+         |WHERE 1704412800 <= bucket_start AND 1704672000 >= bucket_start""".stripMargin,
+    "q_store_comparators" ->
+      s"""$StoreCte SELECT * FROM store
+         |WHERE event_type = 'click' AND 4 > count AND 1704672000 >= bucket_start""".stripMargin,
+    "q_store_select_gte" ->
+      s"$StoreCte SELECT * FROM store WHERE 5 >= count"
+  )
+}
