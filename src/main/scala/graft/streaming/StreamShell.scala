@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import graft.config.{GraftConfig, KafkaSettings, MsgSettings}
+import graft.operators.{BucketCounts, Decode, Project}
+import graft.store.RecentStore
+
+/** The streaming shell — the reference's DStream job
+  * (`ss_kafka_bucket_counter`, `spark-streaming-kafka-bucket-counter.py:91-173`)
+  * restated as Structured Streaming:
+  *
+  *   source → dropKey (P1) → decode/project/bucketize (P2–P7) →
+  *   per-batch count-by-key (A1) → foreachBatch append to [[RecentStore]]
+  *   (A3/K1 — batch isolation is native, so the reference's double-buffered
+  *   accumulator pair + multiprocessing queue collapse into one call)
+  *
+  * Semantics pinned (SURVEY.md §2.7):
+  *   - counts are PER MICRO-BATCH — no watermark, no cross-batch state. A
+  *     bucket straddling two batches (or late data) yields another row for
+  *     the same (key, bucket) under a new rst_id, exactly like the
+  *     reference's blind per-batch append
+  *     (`spark-streaming-kafka-bucket-counter.py:125-126` +
+  *     `audit_utils/audit_utils/models.py:584-629`). Consumers SUM(count)
+  *     via the Q2 SQL surface for totals.
+  *   - the only cross-batch state is the store's rst_id counter + retention.
+  *   - default trigger = `bucket_interval + 5` seconds
+  *     (`spark-streaming-kafka-bucket-counter.py:111`).
+  *
+  * Scale: each micro-batch plans the same partial+final hash aggregate as
+  * the batch path — shuffle volume per batch is bounded by key cardinality.
+  * Checkpointing (pass `checkpoint`) upgrades the reference's
+  * at-most-once receiver to Structured Streaming's exactly-once source
+  * tracking; the store append itself stays idempotent per rst_id.
+  */
+object StreamShell {
+
+  /** The reference's micro-batch period: `bucket_interval + 5` s. */
+  def defaultTrigger(msg: MsgSettings): Trigger =
+    Trigger.ProcessingTime((msg.bucketInterval + 5) * 1000L)
+
+  /** The per-batch transform: Kafka-shaped frame (key, value) → counted
+    * (projected cols…, bucket_start, bucket_end, count). Exposed separately
+    * so tests and the batch path share it. `valueDecoder` is the S3 Avro
+    * hook (`spark-streaming-kafka-bucket-counter.py:104,116`): a
+    * DataFrame→DataFrame step that rewrites `value` from bytes to JSON. */
+  def batchCounts(batch: DataFrame, msg: MsgSettings,
+                  valueDecoder: Option[DataFrame => DataFrame] = None): DataFrame = {
+    val values = Project.dropKey(batch)
+    val decoded = valueDecoder.map(_(values)).getOrElse(values)
+    BucketCounts.countByKey(
+      Decode.decode(decoded, "value", msg),
+      msg.msgMapSchema.map(_._1) :+ "bucket_start" :+ "bucket_end")
+  }
+
+  /** Attach the counting pipeline to a streaming frame and start it.
+    * Every micro-batch appends one generation to the store. */
+  def attach(stream: DataFrame, msg: MsgSettings, store: RecentStore,
+             trigger: Option[Trigger] = None,
+             checkpoint: Option[String] = None,
+             valueDecoder: Option[DataFrame => DataFrame] = None): StreamingQuery = {
+    var writer: DataStreamWriter[org.apache.spark.sql.Row] = stream.writeStream
+      .trigger(trigger.getOrElse(defaultTrigger(msg)))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // rst_id comes from the store's own restored counter, not batchId:
+        // the reference's generation id survives restarts via MAX(RST_ID)
+        // (`models.py:533-536`), whereas batchId restarts with the checkpoint.
+        store.append(batchCounts(batch, msg, valueDecoder))
+        ()
+      }
+    checkpoint.foreach(dir => writer = writer.option("checkpointLocation", dir))
+    writer.start()
+  }
+
+  /** S1/S2 Kafka source (`spark-streaming-kafka-bucket-counter.py:113-121`).
+    * Structured Streaming is always broker-direct, subsuming both the
+    * receiver and direct variants (the reference's S2 is dead code — unbound
+    * `timeinterval` NameError at `:152`). Requires the spark-sql-kafka
+    * connector jar at deploy time (not shipped in this sandbox — the format
+    * string resolves at runtime). */
+  def kafkaSource(spark: SparkSession, kafka: KafkaSettings): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", kafka.broker)
+      .option("subscribe", kafka.topic)
+      .load()
+
+  /** End-to-end assembly from config — the `kafka_http_sqlite` analog
+    * (`spark-streaming-kafka-bucket-counter.py:243-288`): one JVM, one
+    * session; the Flask sibling process is replaced by the store's temp view
+    * + `spark.sql` (Q2). */
+  def run(spark: SparkSession, cfg: GraftConfig,
+          checkpoint: Option[String] = None): (RecentStore, StreamingQuery) = {
+    val store = new RecentStore(spark,
+      GraftConfig.schemaToStructType(cfg.store.schema),
+      tableName = cfg.store.tableName,
+      cleanInterval = cfg.store.cleanInterval.toLong,
+      cleanFreq = cfg.store.cleanFreq.toLong,
+      materializeEvery = 8)
+    val query = attach(kafkaSource(spark, cfg.kafka), cfg.msg, store,
+      checkpoint = checkpoint)
+    (store, query)
+  }
+}
