@@ -10,7 +10,8 @@ object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
     operators.CorePack,
-    store.StorePack
+    store.StorePack,
+    functions.TextPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale corpus pipelines (the
+  * BASELINE north-star operators): tokenization, token/char statistics,
+  * n-gram extraction, marker-based language scoring, and fingerprinting.
+  *
+  * Everything here is built-in Catalyst expressions — whole-stage codegen,
+  * no UDFs — and every function is a narrow per-row projection (no shuffle),
+  * so cost per row is constant from 1 MB to 100 TB. Deliberately
+  * deterministic and SQL-replicable so the driver's DuckDB oracle can verify
+  * results value-for-value.
+  */
+object TextFunctions {
+
+  /** Canonical form: lowercase, whitespace collapsed, trimmed. */
+  def normalize(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Whitespace tokens of the trimmed text. */
+  def words(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(words(c))
+
+  /** BPE-ish lexer classes: alphabetic runs, digit runs, single other
+    * non-space symbols. (ASCII classes — identical semantics in Java regex
+    * and RE2, so oracle-replicable.) */
+  val AlphaToken = "[A-Za-z]+"
+  val NumToken = "[0-9]+"
+  val PunctToken = "[^A-Za-z0-9\\s]"
+  val AnyToken = s"$AlphaToken|$NumToken|$PunctToken"
+
+  /** Count of regex-lexer tokens of the given class. */
+  def regexTokenCount(c: Column, pattern: String): Column =
+    regexp_count(c, lit(pattern))
+
+  /** Occurrences of `marker` in ` text ` (space-padded so word boundaries
+    * match) — counted by length difference, exact integer arithmetic. */
+  def markerHits(c: Column, marker: String): Column = {
+    val padded = concat(lit(" "), normalize(c), lit(" "))
+    ((length(padded) - length(regexp_replace(padded,
+      java.util.regex.Pattern.quote(marker), ""))) / marker.length).cast("long")
+  }
+
+  /** Marker lists for the n-gram/stopword language-ID heuristic. Scores are
+    * comparable because each language contributes 3 single-word markers. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "es" -> Seq(" el ", " que ", " los "),
+    "fr" -> Seq(" le ", " et ", " les "))
+
+  /** Total marker hits for one language. */
+  def langScore(c: Column, markers: Seq[String]): Column =
+    markers.map(markerHits(c, _)).reduce(_ + _)
+
+  /** Argmax language with first-listed tie-break; 'und' when every score is
+    * zero. Pure CASE cascade — deterministic and SQL-replicable. */
+  def langPredict(c: Column): Column = {
+    val scores = LangMarkers.map { case (l, ms) => l -> langScore(c, ms) }
+    val cascade = scores.zipWithIndex.foldRight(lit("und")) {
+      case (((lang, s), i), elseExpr) =>
+        val laterBeats = scores.drop(i + 1).map { case (_, s2) => s >= s2 }
+        val cond = (laterBeats :+ (s > 0)).reduce(_ && _)
+        when(cond, lit(lang)).otherwise(elseExpr)
+    }
+    cascade
+  }
+
+  /** Word n-grams (n >= 2) of column `colName`, as space-joined strings;
+    * documents shorter than n yield an empty array. Takes a column NAME (not
+    * a Column): the index-aware `transform` lambda is only reachable through
+    * `expr()` SQL, where the token array is spliced textually. */
+  def wordNgrams(colName: String, n: Int): Column = {
+    require(n >= 2, s"use words() for unigrams, got n=$n")
+    val w = s"split(trim(`$colName`), '\\\\s+')"
+    val joined = (1 until n).foldLeft("x")((acc, k) => s"concat($acc, ' ', $w[i + $k])")
+    expr(s"transform(slice($w, 1, greatest(size($w) - ${n - 1}, 0)), (x, i) -> $joined)")
+  }
+
+  /** Content fingerprint — md5 of the normalized text (the deterministic
+    * document-identity hash used by exact dedup; `md5` is identical across
+    * engines, so oracle-replicable, unlike xxhash64/murmur). */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+}

@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+import TextFunctions._
+
+/** Text-analysis queries over the `documents` fixture — the
+  * training-data-pipeline operator family (language-ID, quality scoring,
+  * token counting, n-grams, fingerprinting). Every output column is either
+  * exact-integer, exact-string, or a SINGLE division of exact integers, so
+  * the DuckDB oracle compares value-for-value with no float-accumulation
+  * ambiguity.
+  *
+  * Scale notes: q_text_stats / q_ngram_counts are one-shuffle partial+final
+  * hash aggregates (shuffle bounded by group cardinality — (lang × source)
+  * resp. distinct n-grams — not corpus size); everything else is a narrow
+  * projection.
+  */
+object TextPack extends QueryPack {
+
+  /** Per-language marker-hit scores as named columns. */
+  private def scoreCols = LangMarkers.map { case (l, ms) =>
+    langScore(col("text"), ms).as(s"score_$l")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Corpus stats by (lang, source): counts + char/token sums (ints) + one
+    // derived mean (single division).
+    "q_text_stats" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("n_tokens", tokenCount(col("text")))
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"),
+          sum("n_tokens").as("total_tokens"))
+        .withColumn("avg_tokens",
+          col("total_tokens").cast("double") / col("n_docs"))
+    },
+    // Per-document lexer-class token counts (regexp_count, ASCII classes).
+    "q_token_counts" -> { (s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_ws_tokens"),
+        regexTokenCount(col("text"), AnyToken).as("n_rx_tokens"),
+        regexTokenCount(col("text"), AlphaToken).as("n_alpha"),
+        regexTokenCount(col("text"), NumToken).as("n_num"),
+        regexTokenCount(col("text"), PunctToken).as("n_punct"))
+    },
+    // Marker-based language ID; scores exposed so the heuristic itself is
+    // oracle-checked, not just the argmax.
+    "q_lang_id" -> { (s, dir) =>
+      table(s, dir, "documents").select(
+        Seq(col("doc_id"), col("lang"),
+          langPredict(col("text")).as("pred_lang")) ++ scoreCols: _*)
+    },
+    // Quality components: exact ints + two single-division ratios.
+    "q_quality_score" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text")).as("len"),
+          tokenCount(col("text")).as("n_tokens"),
+          regexTokenCount(col("text"), PunctToken).as("n_punct"),
+          length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("n_alpha_chars"),
+          langScore(col("text"), LangMarkers.toMap.apply("en")).as("stop_hits"))
+        .withColumn("alpha_ratio", col("n_alpha_chars").cast("double") / col("len"))
+        .withColumn("tokens_per_char", col("n_tokens").cast("double") / col("len"))
+        .withColumn("looks_clean",
+          col("n_tokens") >= 5 && col("n_punct") <= col("n_tokens"))
+    },
+    // Corpus-wide word-bigram counts above a support threshold.
+    "q_ngram_counts" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(explode(wordNgrams("text", 2)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("count"))
+        .filter(col("count") >= 20)
+    },
+    // Document fingerprint (md5 of normalized text) — the dedup identity.
+    "q_fingerprint" -> { (s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"), fingerprint(col("text")).as("fp"))
+    }
+  )
+
+  /** DuckDB-side replicas. Marker hits: length-difference over the
+    * space-padded normalized text, exactly as the Spark side. */
+  private def oracleMarkerHits(marker: String): String =
+    s"(length(' ' || norm || ' ') - length(replace(' ' || norm || ' ', '$marker', ''))) // ${marker.length}"
+
+  private def oracleScore(lang: String): String =
+    LangMarkers.toMap.apply(lang).map(oracleMarkerHits).mkString("(", " + ", ")")
+
+  private val NormCte =
+    "SELECT *, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm FROM documents"
+
+  override def oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      """WITH t AS (SELECT lang, source, n_chars,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
+        |FROM t GROUP BY 1, 2""".stripMargin,
+    "q_token_counts" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_rx_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha,
+        |  len(regexp_extract_all(text, '[0-9]+')) AS n_num,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+        |FROM documents""".stripMargin,
+    "q_lang_id" -> {
+      val scores = LangMarkers.map { case (l, _) =>
+        s"${oracleScore(l)} AS score_$l"
+      }.mkString(",\n  ")
+      val langs = LangMarkers.map(_._1)
+      val cascade = langs.zipWithIndex.foldRight("'und'") { case ((l, i), els) =>
+        val later = langs.drop(i + 1).map(l2 => s"score_$l >= score_$l2")
+        val cond = (later :+ s"score_$l > 0").mkString(" AND ")
+        s"CASE WHEN $cond THEN '$l' ELSE $els END"
+      }
+      s"""WITH n AS ($NormCte), sc AS (SELECT doc_id, lang, $scores FROM n)
+         |SELECT doc_id, lang, $cascade AS pred_lang,
+         |  score_en, score_de, score_es, score_fr
+         |FROM sc""".stripMargin
+    },
+    "q_quality_score" ->
+      s"""WITH n AS ($NormCte)
+         |SELECT doc_id, length(text) AS len,
+         |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha_chars,
+         |  ${oracleScore("en")} AS stop_hits,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / length(text) AS tokens_per_char,
+         |  (len(string_split_regex(trim(text), '\\s+')) >= 5 AND
+         |   len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) <= len(string_split_regex(trim(text), '\\s+'))) AS looks_clean
+         |FROM n""".stripMargin,
+    "q_ngram_counts" ->
+      """WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |g AS (SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS ngram FROM w)
+        |SELECT ngram, count(*) AS count FROM g GROUP BY 1 HAVING count(*) >= 20""".stripMargin,
+    "q_fingerprint" ->
+      s"WITH n AS ($NormCte) SELECT doc_id, md5(norm) AS fp FROM n"
+  )
+}
