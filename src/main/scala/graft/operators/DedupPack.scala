@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.QueryPack
+
+/** Dedup queries over `documents`, DuckDB-oracle-verified end to end —
+  * including the LSH banding itself (see [[Dedup]]'s determinism contract). */
+object DedupPack extends QueryPack {
+
+  private val Threshold = 0.2
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, dir) => Dedup.exact(table(s, dir, "documents"))),
+    "q_dedup_near" -> ((s, dir) =>
+      Dedup.nearDuplicates(table(s, dir, "documents"), Threshold)),
+    "q_simhash" -> ((s, dir) => Dedup.simhash(table(s, dir, "documents")))
+  )
+
+  /** DuckDB replicas. Shared hash: `('0x'||substr(md5(s),1,8))::BIGINT` ==
+    * Spark `conv(substr(md5(s),1,8),16,10)`. */
+  private val AsList = Dedup.As.mkString("[", ",", "]")
+  private val BsList = Dedup.Bs.mkString("[", ",", "]")
+  private val P = Dedup.P
+
+  override def oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_dedup_near" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') ws FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(
+         |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) sh FROM w),
+         |h AS (SELECT doc_id, list_distinct(
+         |  [('0x' || substr(md5(s), 1, 8))::BIGINT for s in sh]) hs FROM sh),
+         |sig AS (SELECT doc_id, hs,
+         |  [list_min([($AsList[j] * (x % $P) + $BsList[j]) % $P for x in hs])
+         |   for j in range(1, ${Dedup.NumHashes + 1})] AS sig FROM h),
+         |bands AS (SELECT doc_id, hs, unnest(
+         |  [CAST(j AS VARCHAR) || ':' || sig[4*j-3] || '_' || sig[4*j-2] || '_'
+         |    || sig[4*j-1] || '_' || sig[4*j] for j in range(1, ${Dedup.Bands + 1})]) AS band
+         |  FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
+         |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) AS jaccard
+         |FROM cand c
+         |JOIN h ha ON ha.doc_id = c.doc_a
+         |JOIN h hb ON hb.doc_id = c.doc_b
+         |WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
+         |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) >= $Threshold""".stripMargin,
+    "q_simhash" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_distinct(string_split_regex(trim(text), '\s+')) ws FROM documents),
+        |h AS (SELECT doc_id, list_distinct(
+        |  [('0x' || substr(md5(s), 1, 8))::BIGINT for s in ws]) hs FROM w)
+        |SELECT doc_id,
+        |  list_sum([CASE WHEN list_sum([2 * ((x >> k) & 1) - 1 for x in hs]) > 0
+        |    THEN (1::BIGINT << k) ELSE 0 END for k in range(0, 32)]) AS simhash,
+        |  list_sum([CASE WHEN list_sum([2 * ((x >> k) & 1) - 1 for x in hs]) > 0
+        |    THEN (1::BIGINT << k) ELSE 0 END for k in range(0, 32)]) >> 16 AS bucket
+        |FROM h""".stripMargin
+  )
+}
