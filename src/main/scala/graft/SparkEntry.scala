@@ -12,7 +12,8 @@ object SparkEntry {
     operators.CorePack,
     store.StorePack,
     functions.TextPack,
-    operators.DedupPack
+    operators.DedupPack,
+    operators.SimilarityPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,105 @@
+package graft.operators
+
+import scala.collection.mutable
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`): brute-force
+  * cosine top-k with a per-partition partial-top-k stage, and blocked
+  * pairwise near-duplicate detection.
+  *
+  * Numeric determinism: every element is cast to double BEFORE any
+  * arithmetic, dot products are sequential left-to-right folds, and emitted
+  * similarities are rounded to 6 dp — so the DuckDB oracle (same formula,
+  * same rounding) compares clean, and ranking ties are broken by vector id.
+  *
+  * Scale shape (the 100 TB story):
+  *   - top-k: the query set is BROADCAST (small side), so scoring is a
+  *     narrow map over the big side — no shuffle of the corpus. The naive
+  *     plan then shuffles |corpus| × |queries| scored rows into a window;
+  *     [[Similarity.partialTopK]] cuts that to (partitions × queries × k)
+  *     rows before the shuffle — the same partial/final shape Catalyst
+  *     plans for aggregates, hand-built because top-k-per-group has no
+  *     partial-aggregate form in the DataFrame API. This is the one
+  *     deliberate mapPartitions in the engine (SURVEY.md §7.3: justified
+  *     when built-ins can't express the partial step).
+  *   - near-dup: equi-join on a blocking key (here `label`; in production a
+  *     coarse quantization bucket), pairwise verify only inside blocks —
+  *     the same no-cross-join discipline as [[Dedup]].
+  */
+object Similarity {
+
+  /** Sequential double-precision dot product of two array columns (SQL
+    * splice so the fold order is explicit and engine-replicable). */
+  def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
+      "cast(0 as double), (acc, v) -> acc + v)")
+
+  /** Cosine similarity, rounded to 6 dp (dot/(‖a‖·‖b‖), each norm its own
+    * sqrt — mirrored exactly in the oracle). */
+  def cosine(a: String, b: String): Column =
+    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+
+  /** Per-partition partial top-k: keep at most k rows per query id inside
+    * each partition, ordered by (score DESC, tie ASC). Output rows are a
+    * superset of the global top-k — feed them to the final window. */
+  def partialTopK(scored: DataFrame, qCol: String, tieCol: String,
+                  scoreCol: String, k: Int): DataFrame = {
+    val schema = scored.schema
+    val qi = schema.fieldIndex(qCol)
+    val ti = schema.fieldIndex(tieCol)
+    val si = schema.fieldIndex(scoreCol)
+    // (score desc, tie asc): `better` = ordering by which we keep rows.
+    def better(x: Row, y: Row): Boolean = {
+      val sx = x.getDouble(si); val sy = y.getDouble(si)
+      if (sx != sy) sx > sy else x.getLong(ti) < y.getLong(ti)
+    }
+    scored.mapPartitions { it =>
+      // Worst-kept row at the head of each heap → O(log k) eviction.
+      val heaps = mutable.Map.empty[Any, mutable.PriorityQueue[Row]]
+      val worstFirst = new Ordering[Row] {
+        def compare(x: Row, y: Row): Int = if (better(x, y)) 1 else if (better(y, x)) -1 else 0
+      }
+      it.foreach { row =>
+        val h = heaps.getOrElseUpdate(row.get(qi),
+          mutable.PriorityQueue.empty[Row](worstFirst.reverse))
+        if (h.size < k) h.enqueue(row)
+        else if (better(row, h.head)) { h.dequeue(); h.enqueue(row) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }(Encoders.row(schema))
+  }
+
+  /** Top-k cosine neighbors for each query vector. `queries` must be small
+    * enough to broadcast (it is hash-hinted); self-pairs are excluded.
+    * Output: (q_id, vec_id, rank, sim). */
+  def knn(corpus: DataFrame, queries: DataFrame, k: Int,
+          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(q)
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol),
+        cosine("q_vec", vecCol).as("sim"))
+    val partial = partialTopK(scored, "q_id", idCol, "sim", k)
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(idCol).asc)
+    partial.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", idCol, "rank", "sim")
+  }
+
+  /** Blocked pairwise near-duplicates: intra-block pairs (blockCol equality,
+    * id_a < id_b) with cosine >= threshold. Output (id_a, id_b, sim). */
+  def blockedNearDup(corpus: DataFrame, blockCol: String, threshold: Double,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val slim = corpus.select(col(idCol), col(blockCol), col(vecCol))
+    val a = slim.as("a")
+    val b = slim.as("b")
+    a.join(b, col(s"a.$blockCol") === col(s"b.$blockCol") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        cosine(s"a.$vecCol", s"b.$vecCol").as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+
+/** Similarity-search queries over `embeddings` (dim-64 float vectors).
+  * Query set = every 50th vector; k = 10. Oracle cosine uses the identical
+  * formula (sequential double dot, separate sqrts, round 6) so values
+  * compare exactly. */
+object SimilarityPack extends QueryPack {
+
+  private val K = 10
+  private val NearDupThreshold = 0.3
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_topk" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      Similarity.knn(emb, emb.filter(col("vec_id") % 50 === 0), K)
+    },
+    "q_embed_neardup" -> { (s, dir) =>
+      Similarity.blockedNearDup(table(s, dir, "embeddings"), "label", NearDupThreshold)
+    }
+  )
+
+  private val Cos = "round(list_dot_product(%s, %s) / " +
+    "(sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s))), 6)"
+
+  override def oracles: Map[String, String] = Map(
+    "q_knn_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    round(list_dot_product(qv, v) /
+         |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS sim
+         |  FROM q, e WHERE e.vec_id != q.q_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
+         |SELECT q_id, vec_id, rank, sim FROM ranked WHERE rank <= $K""".stripMargin,
+    "q_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_dot_product(a.v, b.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.v, b.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+         |  >= $NearDupThreshold""".stripMargin
+  )
+}
