@@ -13,7 +13,9 @@ object SparkEntry {
     store.StorePack,
     functions.TextPack,
     operators.DedupPack,
-    operators.SimilarityPack
+    operators.SimilarityPack,
+    sources.AvroPack,
+    multimodal.MediaPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

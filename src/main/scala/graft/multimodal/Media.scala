@@ -1,0 +1,76 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing for training-data pipelines: image/audio/video
+  * carried as opaque `binary` columns beside typed metadata, with
+  * decode/feature steps running per partition.
+  *
+  * ⚠ STUB BOUNDARY: this container ships no image/audio codecs, so
+  * [[Media.decodeHeader]] parses a deterministic FAKE 12-byte header
+  * (3 big-endian ints: width, height, sampleRate) standing in for a real
+  * JPEG/WAV probe — swap `parseHeader` for the codec call at deploy time.
+  * Everything AROUND the stub is the real Spark-side contract: binary-column
+  * schema, per-partition batching, metadata struct shape, and the
+  * narrow-projection plan (no shuffle, no driver collect).
+  */
+object Media {
+
+  /** Canonical media frame schema: id + kind + payload + typed metadata. */
+  val MediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType),
+    StructField("bytes", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType))))))
+
+  /** Deterministic fake header codec — the stubbed decode step. */
+  def parseHeader(bytes: Array[Byte]): (Int, Int, Int) = {
+    def be(i: Int): Int =
+      ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+        ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+    if (bytes == null || bytes.length < 12) (0, 0, 0)
+    else (be(0), be(4), be(8))
+  }
+
+  def packHeader(width: Int, height: Int, sampleRate: Int,
+                 payload: Array[Byte]): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(12 + payload.length)
+    buf.putInt(width).putInt(height).putInt(sampleRate).put(payload)
+    buf.array()
+  }
+
+  /** Decode step: fill `meta` from the payload header, per partition (codec
+    * state would be amortized here exactly like [[graft.sources.AvroCodec]]). */
+  def decodeHeader(df: DataFrame): DataFrame = {
+    val schema = df.schema
+    val bi = schema.fieldIndex("bytes")
+    val mi = schema.fieldIndex("meta")
+    df.mapPartitions { it =>
+      it.map { row =>
+        val (w, h, sr) = parseHeader(row.getAs[Array[Byte]](bi))
+        Row.fromSeq(row.toSeq.updated(mi, Row(w, h, sr)))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Frame/chunk sampling: every `stride`-th `chunk`-byte slice of the
+    * payload column (the frame-sample analog), as an array of binary chunks.
+    * Pure built-in expressions — `substring` on binary is codegen'd. */
+  def sampleChunks(payloadCol: String, chunk: Int, stride: Int): Column = {
+    require(chunk > 0 && stride > 0)
+    val step = chunk * stride
+    expr(s"transform(sequence(0, greatest(cast((octet_length(`$payloadCol`) - 1) div $step as int), 0)), " +
+      s"i -> substring(`$payloadCol`, i * $step + 1, $chunk))")
+  }
+
+  /** Cheap content features over the opaque payload: size + md5 — the
+    * shuffle-free fingerprint used for exact media dedup. */
+  def features(df: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    df.withColumn("n_bytes", octet_length(col(bytesCol)))
+      .withColumn("content_hash", md5(col(bytesCol)))
+}
