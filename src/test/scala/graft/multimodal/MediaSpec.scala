@@ -1,0 +1,45 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Row
+import graft.SparkSpec
+
+/** Multimodal plumbing: fake-header decode (stub boundary), chunk sampling,
+  * features — exercising the binary-column schema end to end. */
+class MediaSpec extends SparkSpec {
+
+  test("header pack/parse round-trips through the DataFrame decode step") {
+    val payload = Array.tabulate[Byte](100)(_.toByte)
+    val bytes = Media.packHeader(640, 480, 44100, payload)
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(1L, "image", bytes, null)), Media.MediaSchema)
+    val meta = Media.decodeHeader(df).select("meta.*").head()
+    assert((meta.getInt(0), meta.getInt(1), meta.getInt(2)) === ((640, 480, 44100)))
+  }
+
+  test("short payloads decode to zero meta instead of failing") {
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(1L, "image", Array[Byte](1, 2), null)), Media.MediaSchema)
+    val meta = Media.decodeHeader(df).select("meta.*").head()
+    assert((meta.getInt(0), meta.getInt(1), meta.getInt(2)) === ((0, 0, 0)))
+  }
+
+  test("chunk sampling slices every stride-th chunk") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val df = Seq("abcdefghijklmnopqrstuvwxyz").toDF("s")
+      .selectExpr("encode(s, 'UTF-8') AS bytes")
+    val chunks = df.select(Media.sampleChunks("bytes", 4, 2).as("c"))
+      .head().getSeq[Array[Byte]](0)
+    // stride 2 × chunk 4 ⇒ slices at offsets 0, 8, 16, 24.
+    assert(chunks.map(new String(_, "UTF-8")) === Seq("abcd", "ijkl", "qrst", "yz"))
+  }
+
+  test("features: byte length + content hash") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val df = Seq("hello").toDF("s").selectExpr("encode(s, 'UTF-8') AS bytes")
+    val r = Media.features(df).select("n_bytes", "content_hash").head()
+    assert(r.getInt(0) === 5)
+    assert(r.getString(1) === "5d41402abc4b2a76b9719d911017c592")
+  }
+}

@@ -1,0 +1,43 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Avro doctest ports (`utils.py:318-328,351-364`): null-filled unions,
+  * None-safe decode, and the DataFrame-level transforms. */
+class AvroCodecSpec extends SparkSpec {
+
+  private val UserSchema =
+    """{"namespace": "example.avro", "type": "record", "name": "User",
+      | "fields": [{"name": "name", "type": "string"},
+      |            {"name": "favorite_number", "type": ["int", "null"]},
+      |            {"name": "favorite_color", "type": ["string", "null"]}]}""".stripMargin
+
+  test("encode→decode round-trip null-fills unset union fields (doctest utils.py:318-328)") {
+    val encode = AvroCodec.encoderFor(UserSchema)
+    val decode = AvroCodec.decoderFor(UserSchema)
+    val bytes = encode(Map("name" -> "Alyssa", "favorite_number" -> 256))
+    // Schema field order; favorite_color was never set → JSON null.
+    assert(decode(bytes) ===
+      """{"name":"Alyssa","favorite_number":256,"favorite_color":null}""")
+  }
+
+  test("decoder is None-safe (reference `avro_msg_raw and …` guard)") {
+    val decode = AvroCodec.decoderFor(UserSchema)
+    assert(decode(null) === null)
+    assert(decode(Array.empty[Byte]) === null)
+  }
+
+  test("DataFrame encode/decode transforms round-trip with nulls") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val df = Seq(("Alyssa", 256), ("Ben", 7)).toDF("name", "favorite_number")
+      .selectExpr("name", "cast(favorite_number as int) as favorite_number")
+    val enc = AvroCodec.encodeColumns(df, Seq("name", "favorite_number"), UserSchema)
+    val dec = AvroCodec.decodeValues(
+      enc.selectExpr("avro_value as value"), "value", UserSchema)
+    val strs = dec.collect().map(_.getString(0)).toSeq
+    assert(strs === Seq(
+      """{"name":"Alyssa","favorite_number":256,"favorite_color":null}""",
+      """{"name":"Ben","favorite_number":7,"favorite_color":null}"""))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+/** K5/K6 sink tests: upsert mini-codegen golden (doctest
+  * `spark-streaming-kafka-bucket-counter.py:433-451`) + kafka payload shape. */
+class SinksSpec extends SparkSpec {
+
+  private val schema = Sinks.UpsertSchema(
+    tableName = "tablename",
+    columns = Seq(
+      "mysql_column" -> "corresponding_dict_field",
+      "mysql_column1" -> "corresponding_dict_field1"),
+    dupKeyUpdate = Seq(
+      "column_val = column_val + {0}" -> "column_name",
+      "column_val1 = column_val1 * {0}" -> "column_name1"))
+
+  private val row = Map[String, Any](
+    "column_name" -> 1, "column_name1" -> 2,
+    "corresponding_dict_field" -> 3, "corresponding_dict_field1" -> 4)
+
+  test("upsert statement matches the doctest contract (declaration order)") {
+    // The reference iterates a Python-2 dict (arbitrary order); we pin
+    // declaration order — same statement semantics, stable text.
+    assert(Sinks.upsertStatement(schema, row) ===
+      "INSERT INTO tablename (mysql_column,mysql_column1) VALUES (3,4) " +
+        "ON DUPLICATE KEY UPDATE column_val = column_val + 1,column_val1 = column_val1 * 2;")
+  }
+
+  test("distributed statement generation emits one statement per row") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val df = Seq((1, 2, 3, 4), (10, 20, 30, 40)).toDF(
+      "column_name", "column_name1",
+      "corresponding_dict_field", "corresponding_dict_field1")
+    val got = Sinks.upsertStatements(df, schema).collect().toSet
+    assert(got === Set(
+      "INSERT INTO tablename (mysql_column,mysql_column1) VALUES (3,4) " +
+        "ON DUPLICATE KEY UPDATE column_val = column_val + 1,column_val1 = column_val1 * 2;",
+      "INSERT INTO tablename (mysql_column,mysql_column1) VALUES (30,40) " +
+        "ON DUPLICATE KEY UPDATE column_val = column_val + 10,column_val1 = column_val1 * 20;"))
+  }
+
+  test("kafka payload is structural JSON with correct escaping (P10 fix)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val counts = Seq(("""quo"te""", 3L)).toDF("event_type", "count")
+    val payload = Sinks.kafkaPayload(counts).head().getString(0)
+    // The reference's string splice would emit invalid JSON here.
+    assert(payload === """{"event_type":"quo\"te","count":3}""")
+  }
+}
