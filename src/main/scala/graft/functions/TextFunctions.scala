@@ -70,15 +70,16 @@ object TextFunctions {
     cascade
   }
 
-  /** Word n-grams (n >= 2) of column `colName`, as space-joined strings;
-    * documents shorter than n yield an empty array. Takes a column NAME (not
-    * a Column): the index-aware `transform` lambda is only reachable through
-    * `expr()` SQL, where the token array is spliced textually. */
-  def wordNgrams(colName: String, n: Int): Column = {
+  /** Word n-grams (n >= 2) as space-joined strings; documents shorter than n
+    * yield an empty array. The token array is let-bound so the split runs
+    * exactly once per row (see [[SqlLet]]) even though the sliding lookup
+    * references it n times. */
+  def wordNgrams(c: Column, n: Int): Column = {
     require(n >= 2, s"use words() for unigrams, got n=$n")
-    val w = s"split(trim(`$colName`), '\\\\s+')"
-    val joined = (1 until n).foldLeft("x")((acc, k) => s"concat($acc, ' ', $w[i + $k])")
-    expr(s"transform(slice($w, 1, greatest(size($w) - ${n - 1}, 0)), (x, i) -> $joined)")
+    SqlLet.let(words(c), w =>
+      transform(slice(w, lit(1), greatest(size(w) - (n - 1), lit(0))), (x, i) =>
+        (1 until n).foldLeft(x)((acc, k) =>
+          concat(acc, lit(" "), element_at(w, i + k + 1)))))
   }
 
   /** Content fingerprint — md5 of the normalized text (the deterministic

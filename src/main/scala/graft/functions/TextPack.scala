@@ -75,7 +75,7 @@ object TextPack extends QueryPack {
     // Corpus-wide word-bigram counts above a support threshold.
     "q_ngram_counts" -> { (s, dir) =>
       table(s, dir, "documents")
-        .select(explode(wordNgrams("text", 2)).as("ngram"))
+        .select(explode(wordNgrams(col("text"), 2)).as("ngram"))
         .groupBy("ngram").agg(count(lit(1)).as("count"))
         .filter(col("count") >= 20)
     },

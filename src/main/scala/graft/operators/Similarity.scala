@@ -73,15 +73,23 @@ object Similarity {
 
   /** Top-k cosine neighbors for each query vector. `queries` must be small
     * enough to broadcast (it is hash-hinted); self-pairs are excluded.
-    * Output: (q_id, vec_id, rank, sim). */
+    * Output: (q_id, vec_id, rank, sim).
+    *
+    * Norms are precomputed BELOW the join on each side — the join is an
+    * evaluation barrier, so each ‖v‖² is one fold per row instead of one per
+    * pair (3× fewer flops; same float semantics as the oracle, which also
+    * sqrt-s a full-precision dot). */
   def knn(corpus: DataFrame, queries: DataFrame, k: Int,
           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
-    val scored = corpus.select(col(idCol), col(vecCol))
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      dot(vecCol, vecCol).as("n2_q")))
+    val scored = corpus
+      .select(col(idCol), col(vecCol), dot(vecCol, vecCol).as("n2_c"))
       .crossJoin(q)
       .filter(col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol),
-        cosine("q_vec", vecCol).as("sim"))
+        round(dot("q_vec", vecCol) / (sqrt(col("n2_q")) * sqrt(col("n2_c"))), 6)
+          .as("sim"))
     val partial = partialTopK(scored, "q_id", idCol, "sim", k)
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(idCol).asc)
     partial.withColumn("rank", row_number().over(w))
@@ -90,16 +98,19 @@ object Similarity {
   }
 
   /** Blocked pairwise near-duplicates: intra-block pairs (blockCol equality,
-    * id_a < id_b) with cosine >= threshold. Output (id_a, id_b, sim). */
+    * id_a < id_b) with cosine >= threshold. Output (id_a, id_b, sim).
+    * Norms precomputed below the join, as in [[knn]]. */
   def blockedNearDup(corpus: DataFrame, blockCol: String, threshold: Double,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val slim = corpus.select(col(idCol), col(blockCol), col(vecCol))
+    val slim = corpus.select(col(idCol), col(blockCol), col(vecCol),
+      dot(vecCol, vecCol).as("n2"))
     val a = slim.as("a")
     val b = slim.as("b")
     a.join(b, col(s"a.$blockCol") === col(s"b.$blockCol") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        cosine(s"a.$vecCol", s"b.$vecCol").as("sim"))
+        round(dot(s"a.$vecCol", s"b.$vecCol") /
+          (sqrt(col("a.n2")) * sqrt(col("b.n2"))), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }
