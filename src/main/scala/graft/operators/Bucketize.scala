@@ -60,6 +60,14 @@ object Bucketize {
       .withColumn("bucket_end", start + intervalSec)
   }
 
+  /** P9 now-bucket (`bucket_now_epoch`, `audit_utils/audit_utils/utils.py:168-182`):
+    * the bucket containing the current UTC time. `current_timestamp()` is a
+    * per-query constant, so this is a pair of literal-foldable expressions. */
+  def nowBucket(intervalSec: Long = 20L): (Column, Column) = {
+    val start = bucketStart(unix_timestamp(current_timestamp()), intervalSec)
+    (start, start + intervalSec)
+  }
+
   /** Streaming-native variant: Spark's `window()` produces the identical
     * tumbling buckets (1970-epoch-aligned) as TimestampType bounds; used on
     * the structured-streaming path where a time column is needed for

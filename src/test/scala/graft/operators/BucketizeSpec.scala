@@ -68,6 +68,16 @@ class BucketizeSpec extends SparkSpec {
     }
   }
 
+  test("nowBucket contains the current time (P9, utils.py:168-182)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val (s, e) = Bucketize.nowBucket(20L)
+    val row = Seq(1).toDF("x").select(s.as("s"), e.as("e")).head()
+    val now = System.currentTimeMillis() / 1000
+    assert(row.getLong(0) <= now && now <= row.getLong(1)) // <= : clock moved within the second
+    assert(row.getLong(1) - row.getLong(0) === 20L)
+  }
+
   test("bucketizeWindow agrees with bucketize on the timestamp branch") {
     val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events").limit(200)
     val a = Bucketize.bucketize(events, "ts", 3600L, BucketType.Timestamp)

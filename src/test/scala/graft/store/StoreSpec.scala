@@ -83,6 +83,29 @@ class StoreSpec extends SparkSpec {
     assert(s.selectAll.select("num").head().getLong(0) === 7L)
   }
 
+  test("Q3: sqlAvro encodes result rows to decodable avro datums") {
+    val s = new RecentStore(spark, schema, "t_avro", cleanFreq = 1000L)
+    s.append(row(41, "alpha")).append(row(42, "beta"))
+    val avsc =
+      """{"type": "record", "name": "R", "fields": [
+        |  {"name": "name", "type": ["string", "null"]},
+        |  {"name": "num", "type": ["long", "null"]}]}""".stripMargin
+    val encoded = s.sqlAvro("SELECT name, num FROM t_avro WHERE num = 42", avsc)
+    val bytes = encoded.head().getAs[Array[Byte]](0)
+    assert(graft.sources.AvroCodec.decoderFor(avsc)(bytes) ===
+      """{"name":"beta","num":42}""")
+  }
+
+  test("ring semantics (K7): at most cleanInterval generations survive") {
+    // RecentArrayDumpTable keeps a capacity-bounded ring of batch tables
+    // (models.py:971-1031); here the bound is generation-based retention.
+    val s = new RecentStore(spark, schema, "t_ring",
+      cleanInterval = 2L, cleanFreq = 1L) // clean after every append
+    (1L to 5L).foreach(i => s.append(row(i, s"g$i")))
+    val gens = s.selectAll.select("rst_id").collect().map(_.getLong(0)).toSet
+    assert(gens.size <= 2 && gens.max === 5L)
+  }
+
   test("missing store column fails fast") {
     val sparkSession = spark
     import sparkSession.implicits._
