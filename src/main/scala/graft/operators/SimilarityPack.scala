@@ -15,10 +15,17 @@ object SimilarityPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_topk" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
       val emb = table(s, dir, "embeddings")
       Similarity.knn(emb, emb.filter(col("vec_id") % 50 === 0), K)
     },
+    "q_knn_bucketed" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val emb = table(s, dir, "embeddings")
+      Similarity.knnBucketed(emb, emb.filter(col("vec_id") % 50 === 0), K, bits = 4)
+    },
     "q_embed_neardup" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
       Similarity.blockedNearDup(table(s, dir, "embeddings"), "label", NearDupThreshold)
     }
   )
@@ -26,7 +33,24 @@ object SimilarityPack extends QueryPack {
   private val Cos = "round(list_dot_product(%s, %s) / " +
     "(sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s))), 6)"
 
+  /** 4-bit sign bucket of the first dims, exact float compare both sides. */
+  private def bucketSql(v: String): String =
+    (0 until 4).map(d => s"(CASE WHEN $v[${d + 1}] > 0 THEN ${1 << d} ELSE 0 END)")
+      .mkString(" + ")
+
   override def oracles: Map[String, String] = Map(
+    "q_knn_bucketed" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
+         |    ${bucketSql("embedding")} AS bkt FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv, bkt AS q_bkt FROM e WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    round(list_dot_product(qv, v) /
+         |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS sim
+         |  FROM q JOIN e ON e.bkt = q.q_bkt AND e.vec_id != q.q_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
+         |SELECT q_id, vec_id, rank, sim FROM ranked WHERE rank <= $K""".stripMargin,
     "q_knn_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),

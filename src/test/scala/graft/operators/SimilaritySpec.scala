@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.plans.GraftExtensions
+
+/** Similarity numerics: the codegen'd VecDot must be bit-identical to the
+  * built-ins-only fold, and the bucketed ANN must agree with brute force on
+  * the pairs it surfaces. */
+class SimilaritySpec extends SparkSpec {
+
+  private def emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("vec_dot (codegen) is bit-identical to the declarative fold") {
+    GraftExtensions.register(spark)
+    val df = emb.limit(100).select(
+      Similarity.dot("embedding", "embedding").as("fast"),
+      Similarity.dotFold("embedding", "embedding").as("ref"))
+    assert(df.filter(col("fast") =!= col("ref")).count() === 0L)
+    // And on distinct vectors via a self-pair:
+    val a = emb.filter(col("vec_id") === 0).select(col("embedding").as("va"))
+    val b = emb.filter(col("vec_id") === 1).select(col("embedding").as("vb"))
+    val pair = a.crossJoin(b).select(
+      Similarity.dot("va", "vb").as("fast"),
+      Similarity.dotFold("va", "vb").as("ref")).head()
+    assert(pair.getDouble(0) === pair.getDouble(1))
+  }
+
+  test("vec_dot nulls on length mismatch like zip_with padding") {
+    GraftExtensions.register(spark)
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val df = Seq((Seq(1f, 2f), Seq(1f, 2f, 3f))).toDF("a", "b")
+      .select(Similarity.dot("a", "b").as("d"))
+    assert(df.head().isNullAt(0))
+  }
+
+  test("bucketed ANN ranks candidates identically to brute force within cells") {
+    GraftExtensions.register(spark)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val brute = Similarity.knn(emb, queries, k = 500)
+      .select(col("q_id"), col("vec_id"), col("sim"))
+    val bucketed = Similarity.knnBucketed(emb, queries, k = 10, bits = 4)
+    // Every bucketed (pair, sim) must appear in brute force with equal sim.
+    val joined = bucketed.as("x").join(brute.as("y"),
+      col("x.q_id") === col("y.q_id") && col("x.vec_id") === col("y.vec_id"))
+    assert(joined.count() === bucketed.count())
+    assert(joined.filter(col("x.sim") =!= col("y.sim")).count() === 0L)
+  }
+}
