@@ -48,9 +48,14 @@ object Dedup {
   val Bands = 4
   val RowsPerBand = 4
 
-  /** 32-bit integer hash of a string: first 8 hex chars of md5. Exactly
-    * `('0x' || substr(md5(s),1,8))::BIGINT` on the DuckDB side. */
-  def md5Hash32(s: Column): Column =
+  /** 32-bit integer hash of a string: first 4 md5 bytes as an unsigned int —
+    * exactly `('0x' || substr(md5(s),1,8))::BIGINT` on the DuckDB side.
+    * Codegen'd [[graft.plans.Md5Hash32Expr]] (no hex round-trip, thread-local
+    * digest); [[md5Hash32Fold]] is the built-ins-only equivalent. */
+  def md5Hash32(s: Column): Column = call_function("md5_hash32", s)
+
+  /** Built-ins composition with identical semantics. */
+  def md5Hash32Fold(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
   /** Word n-shingles of a bound token-array value. */
@@ -83,22 +88,19 @@ object Dedup {
     * each `sig(j)` appears exactly once in the band-key expression tree, so
     * nothing is recomputed. */
   private def bandStructs(text: Column): Column =
-    SqlLet.let(shingleHashes(text), hs => {
-      val sig = (0 until NumHashes).map { j =>
-        aggregate(hs, lit(P), (acc, x) =>
-          least(acc, (lit(As(j)) * (x % P) + Bs(j)) % P))
-      }
-      val bandCols = (0 until Bands).map { b =>
-        val parts = (0 until RowsPerBand).flatMap { r =>
-          val sep = if (r == 0) Seq(lit(s"${b + 1}:")) else Seq(lit("_"))
-          sep :+ sig(b * RowsPerBand + r).cast("string")
+    SqlLet.let(shingleHashes(text), hs =>
+      SqlLet.let(call_function("minhash_sig", hs), sigv => {
+        val bandCols = (0 until Bands).map { b =>
+          val parts = (0 until RowsPerBand).flatMap { r =>
+            val sep = if (r == 0) Seq(lit(s"${b + 1}:")) else Seq(lit("_"))
+            sep :+ element_at(sigv, b * RowsPerBand + r + 1).cast("string")
+          }
+          // concat (null-propagating) matches DuckDB ||; concat_ws would
+          // silently skip a null minhash.
+          struct(concat(parts: _*).as("band"), hs.as("hs"))
         }
-        // concat (null-propagating) matches DuckDB ||; concat_ws would
-        // silently skip a null minhash.
-        struct(concat(parts: _*).as("band"), hs.as("hs"))
-      }
-      array(bandCols: _*)
-    })
+        array(bandCols: _*)
+      }))
 
   /** Per-document banded LSH keys, exploded to `Bands` rows per document:
     * (idCol, band, hs). */

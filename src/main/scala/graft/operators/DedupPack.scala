@@ -11,9 +11,14 @@ object DedupPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(table(s, dir, "documents"))),
-    "q_dedup_near" -> ((s, dir) =>
-      Dedup.nearDuplicates(table(s, dir, "documents"), Threshold)),
-    "q_simhash" -> ((s, dir) => Dedup.simhash(table(s, dir, "documents")))
+    "q_dedup_near" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Dedup.nearDuplicates(table(s, dir, "documents"), Threshold)
+    },
+    "q_simhash" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Dedup.simhash(table(s, dir, "documents"))
+    }
   )
 
   /** DuckDB replicas. Shared hash: `('0x'||substr(md5(s),1,8))::BIGINT` ==

@@ -13,23 +13,33 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * session works regardless of how it was constructed.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.vecDot)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
 
-  private val vecDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("vec_dot"),
-    new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+  private type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def fn(name: String, clazz: Class[_], arity: Int,
+                 builder: Seq[Expression] => Expression): FunctionDescription = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getName, name),
     (children: Seq[Expression]) => {
-      require(children.size == 2, "vec_dot(a, b) takes two array arguments")
-      VecDot(children.head, children(1))
+      require(children.size == arity, s"$name takes $arity argument(s)")
+      builder(children)
     })
+
+  private val functions: Seq[FunctionDescription] = Seq(
+    fn("vec_dot", classOf[VecDot], 2, c => VecDot(c.head, c(1))),
+    fn("md5_hash32", classOf[Md5Hash32Expr], 1, c => Md5Hash32Expr(c.head)),
+    fn("minhash_sig", classOf[MinhashSigExpr], 1, c => MinhashSigExpr(c.head)))
 
   /** Idempotent post-hoc registration on a live session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      vecDot._1.funcName, vecDot._3, "internal")
+    functions.foreach { case (ident, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        ident.funcName, builder, "internal")
+    }
 }
