@@ -15,7 +15,8 @@ object Bench {
     "q_count_by_key", "q_bucket_counts", "q_bucket_counts_fine",
     "q_rename_project", "q_append_count_json",
     "q_decode_bucket", "q_store_select_all", "q_store_sql",
-    "q_text_stats", "q_ngram_counts", "q_dedup_near", "q_knn_topk"
+    "q_text_stats", "q_ngram_counts", "q_dedup_near", "q_knn_topk",
+    "q_knn_bucketed", "q_sql_join_agg"
   )
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =

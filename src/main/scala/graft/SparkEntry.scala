@@ -15,7 +15,8 @@ object SparkEntry {
     operators.DedupPack,
     operators.SimilarityPack,
     sources.AvroPack,
-    multimodal.MediaPack
+    multimodal.MediaPack,
+    serve.ServePack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

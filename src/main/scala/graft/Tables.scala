@@ -15,10 +15,14 @@ import org.apache.spark.sql.types.LongType
   */
 object Tables {
 
-  /** Columns that arrive as nanosecond longs under the legacy flag. */
-  private val NanosCols = Set("ts")
+  /** Columns that arrive as nanosecond longs under the legacy flag, per
+    * table (only `events.ts` in the driver fixtures — TESTDATA.md; callers
+    * with other nanos tables pass their own map to [[load]]). */
+  val DefaultNanosCols: Map[String, Set[String]] = Map("events" -> Set("ts"))
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def load(spark: SparkSession, dir: String, name: String,
+           nanosCols: Map[String, Set[String]] = DefaultNanosCols): DataFrame = {
+    val tableNanos = nanosCols.getOrElse(name, Set.empty)
     // Scope the legacy flag to this read: it changes how EVERY parquet scan
     // in the session decodes TIMESTAMP(NANOS), so restore the caller's value.
     val key = "spark.sql.legacy.parquet.nanosAsLong"
@@ -27,7 +31,7 @@ object Tables {
     try {
       val df = spark.read.parquet(s"$dir/$name.parquet")
       df.schema.fields.foldLeft(df) {
-        case (acc, f) if NanosCols.contains(f.name) && f.dataType == LongType =>
+        case (acc, f) if tableNanos.contains(f.name) && f.dataType == LongType =>
           acc.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000")))
         case (acc, _) => acc
       }

@@ -32,16 +32,23 @@ object StorePack extends QueryPack {
     StructField("bucket_end", LongType),
     StructField("count", LongType)))
 
-  /** Build the 6-generation store. Counter ends at 7. */
+  /** Build the 6-generation store. Counter ends at 7.
+    *
+    * Single-scan build: the per-batch counts are one grouped aggregate over
+    * events WITH the batch id as a grouping key, cached once (output
+    * cardinality = keys × buckets, tiny), and each generation append is a
+    * filter over that cached aggregate — 1 parquet scan instead of 6. The
+    * append-per-generation store semantics are unchanged. */
   def buildStore(spark: SparkSession, dir: String): RecentStore = {
     val events = table(spark, dir, "events")
       .withColumn("_batch",
         expr(s"(CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT) - $Day0) div $BatchDays"))
+    val counts = BucketCounts.bucketCounts(
+      events, "ts", Interval, Seq("event_type", "_batch")).cache()
     val store = new RecentStore(spark, storeSchema, tableName = "recent_counts",
       cleanInterval = 100, cleanFreq = 1000)
     (0L until 6L).foreach { b =>
-      store.append(BucketCounts.bucketCounts(
-        events.filter(col("_batch") === b), "ts", Interval, Seq("event_type")))
+      store.append(counts.filter(col("_batch") === b).drop("_batch"))
     }
     store
   }
