@@ -134,6 +134,22 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** SimHash near-dup pairs: candidates share the 16-bit prefix bucket
+    * (blocking — same discipline as the minhash bands), verified by hamming
+    * distance over the full 32-bit signature. Output
+    * (doc_a, doc_b, hamming), doc_a < doc_b. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sigs = simhash(docs, textCol, idCol)
+    val a = sigs.as("a")
+    val b = sigs.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** 32-bit SimHash of the distinct word set + a 16-bit prefix bucket (the
     * blocking key for hamming-distance candidate search). The word-hash set
     * is let-bound, so the 32 per-bit votes fold over a computed VALUE

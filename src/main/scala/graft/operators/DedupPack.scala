@@ -18,6 +18,10 @@ object DedupPack extends QueryPack {
     "q_simhash" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       Dedup.simhash(table(s, dir, "documents"))
+    },
+    "q_simhash_pairs" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Dedup.simhashPairs(table(s, dir, "documents"), maxHamming = 8)
     }
   )
 
@@ -55,6 +59,20 @@ object DedupPack extends QueryPack {
          |JOIN h hb ON hb.doc_id = c.doc_b
          |WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
          |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) >= $Threshold""".stripMargin,
+    "q_simhash_pairs" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_distinct(string_split_regex(trim(text), '\s+')) ws FROM documents),
+        |h AS (SELECT doc_id, list_distinct(
+        |  [('0x' || substr(md5(s), 1, 8))::BIGINT for s in ws]) hs FROM w),
+        |sg AS (SELECT doc_id,
+        |  list_sum([CASE WHEN list_sum([2 * ((x >> k) & 1) - 1 for x in hs]) > 0
+        |    THEN (1::BIGINT << k) ELSE 0 END for k in range(0, 32)]) AS simhash
+        |  FROM h)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sg a JOIN sg b
+        |  ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin,
     "q_simhash" ->
       """WITH w AS (SELECT doc_id,
         |  list_distinct(string_split_regex(trim(text), '\s+')) ws FROM documents),

@@ -47,10 +47,13 @@ object StreamShell {
     * DataFrame→DataFrame step that rewrites `value` from bytes to JSON. */
   def batchCounts(batch: DataFrame, msg: MsgSettings,
                   valueDecoder: Option[DataFrame => DataFrame] = None): DataFrame = {
-    val values = Project.dropKey(batch)
+    // Key dropped first, value kept in its RAW type (binary for Avro) —
+    // the decoder runs before the to-string normalization, like the
+    // reference's valueDecoder on raw Kafka bytes (`:104,116`).
+    val values = batch.select(org.apache.spark.sql.functions.col("value"))
     val decoded = valueDecoder.map(_(values)).getOrElse(values)
     BucketCounts.countByKey(
-      Decode.decode(decoded, "value", msg),
+      Decode.decode(Project.dropKey(decoded), "value", msg),
       msg.msgMapSchema.map(_._1) :+ "bucket_start" :+ "bucket_end")
   }
 

@@ -112,6 +112,33 @@ class StreamShellSpec extends SparkSpec {
     assert(store.maxRstId === None)
   }
 
+  test("S3 valueDecoder hook: binary Avro values decode before projection") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.sources.AvroCodec
+
+    val avsc =
+      """{"type": "record", "name": "Ev", "fields": [
+        |  {"name": "event_type", "type": "string"},
+        |  {"name": "timestamp", "type": "long"}]}""".stripMargin
+    val enc = AvroCodec.encoderFor(avsc)
+    def avroEv(t: Long): (String, Array[Byte]) =
+      ("k", enc(Map("event_type" -> "click", "timestamp" -> t)))
+
+    val stream = MemoryStream[(String, Array[Byte])]
+    val store = newStore("avro_stream_store")
+    val query = StreamShell.attach(
+      stream.toDF().toDF("key", "value"), msg, store,
+      trigger = Some(Trigger.ProcessingTime(0L)),
+      valueDecoder = Some(df => AvroCodec.decodeValues(df, "value", avsc)))
+    stream.addData(avroEv(1), avroEv(9))
+    query.processAllAvailable()
+    query.stop()
+    val row = store.selectAll.select("etype", "bucket_start", "count").head()
+    assert((row.getString(0), row.getLong(1), row.getLong(2)) === (("click", 0L, 2L)))
+  }
+
   test("auto-clean fires when the counter hits a cleanFreq multiple") {
     val sparkSession = spark
     import sparkSession.implicits._
