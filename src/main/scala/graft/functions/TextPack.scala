@@ -83,6 +83,17 @@ object TextPack extends QueryPack {
     "q_fingerprint" -> { (s, dir) =>
       table(s, dir, "documents").select(
         col("doc_id"), fingerprint(col("text")).as("fp"))
+    },
+    // Top-5 words per language — windowed analytics over the corpus
+    // (explode → one grouped agg → rank; WindowGroupLimit prunes pre-shuffle).
+    "q_top_words_per_lang" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = table(s, dir, "documents")
+        .select(col("lang"), explode(words(col("text"))).as("word"))
+        .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("word").asc)
+      counts.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
     }
   )
 
@@ -147,6 +158,13 @@ object TextPack extends QueryPack {
         |g AS (SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS ngram FROM w)
         |SELECT ngram, count(*) AS count FROM g GROUP BY 1 HAVING count(*) >= 20""".stripMargin,
     "q_fingerprint" ->
-      s"WITH n AS ($NormCte) SELECT doc_id, md5(norm) AS fp FROM n"
+      s"WITH n AS ($NormCte) SELECT doc_id, md5(norm) AS fp FROM n",
+    "q_top_words_per_lang" ->
+      """WITH w AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS word
+        |  FROM documents),
+        |c AS (SELECT lang, word, count(*) AS n FROM w GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER
+        |  (PARTITION BY lang ORDER BY n DESC, word ASC) AS rank FROM c)
+        |SELECT lang, word, n, rank FROM r WHERE rank <= 5""".stripMargin
   )
 }
