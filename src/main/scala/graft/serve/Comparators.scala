@@ -89,6 +89,39 @@ object Comparators {
     df.filter(pred)
   }
 
+  /** Parse the Q7 endpoint's JSON parameter shape
+    * (`/c/<json>/EOE`, `http_endpoint.py:202-212`):
+    * `{"col": ["cmp", arg], "col2": ["range", lo, hi]}` — two args after the
+    * comparator name become the (lo, hi) pair; JSON null = open bound. */
+  def parseJsonParams(json: String): Map[String, (String, Any)] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(json)
+    require(node != null && node.isObject, s"expected a JSON object, got: $json")
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, (String, Any)]
+    node.fields().forEachRemaining { e =>
+      val arr = e.getValue
+      require(arr.isArray && arr.size() >= 2,
+        s"bad c_dict_params for '${e.getKey}': $arr")
+      val cmp = arr.get(0).asText()
+      def v(i: Int): Option[Any] = arr.get(i) match {
+        case n if n.isNull    => None
+        case n if n.isIntegralNumber => Some(n.asLong())
+        case n if n.isNumber  => Some(n.asDouble())
+        case n if n.isBoolean => Some(n.asBoolean())
+        case n                => Some(n.asText())
+      }
+      val args: Any =
+        if (arr.size() == 2) v(1).orNull
+        else (v(1), v(2))
+      out += e.getKey -> ((cmp, args))
+    }
+    out.toMap
+  }
+
+  /** Q7 end to end: JSON params → compiled predicates → filtered frame. */
+  def cGeneralSelectJson(df: DataFrame, json: String): DataFrame =
+    cGeneralSelect(df, parseJsonParams(json))
+
   // ---- Q10 typed select sugar (`models.py:930-952`) ----
 
   /** `select` — eq on every param. */

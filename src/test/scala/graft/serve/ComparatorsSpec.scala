@@ -45,6 +45,16 @@ class ComparatorsSpec extends SparkSpec {
     assert(Comparators.select(dt, Map("nope" -> 1)).count() === 0L)
   }
 
+  test("Q7 JSON endpoint shape parses and filters (/c/<json>/EOE)") {
+    val got = Comparators.cGeneralSelectJson(dt,
+      """{"count": ["range", 2, null], "name": ["eq", "ex3"]}""")
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("ex3")) // count in [2, ∞) AND name = ex3
+    val lt = Comparators.cGeneralSelectJson(dt, """{"count": ["gt", 2]}""")
+      .collect().map(_.getString(0)).toSeq
+    assert(lt === Seq("ex1")) // reversed order: 2 > count
+  }
+
   test("custom: eval comparator is NOT supported (deliberate, models.py:1104-1106)") {
     intercept[IllegalArgumentException] {
       Comparators.compile("custom:a == b", 1)

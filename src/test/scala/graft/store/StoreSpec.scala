@@ -106,6 +106,17 @@ class StoreSpec extends SparkSpec {
     assert(gens.size <= 2 && gens.max === 5L)
   }
 
+  test("materializeEvery truncates lineage without changing contents") {
+    val s = new RecentStore(spark, schema, "t_mat", cleanFreq = 1000L,
+      materializeEvery = 1)
+    s.append(row(1, "a")).append(row(2, "b")).append(row(3, "c"))
+    val got = s.selectAll.select("num", "rst_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 1L), (2L, 2L), (3L, 3L)))
+    // Lineage is a checkpoint scan, not a 3-deep union of source plans.
+    assert(s.selectAll.queryExecution.optimizedPlan.collectLeaves().size === 1)
+  }
+
   test("missing store column fails fast") {
     val sparkSession = spark
     import sparkSession.implicits._
