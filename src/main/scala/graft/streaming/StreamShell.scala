@@ -69,7 +69,50 @@ object StreamShell {
         // rst_id comes from the store's own restored counter, not batchId:
         // the reference's generation id survives restarts via MAX(RST_ID)
         // (`models.py:533-536`), whereas batchId restarts with the checkpoint.
-        store.append(batchCounts(batch, msg, valueDecoder))
+        // The generation is MATERIALIZED here (localCheckpoint): appending a
+        // lazy plan over the ephemeral micro-batch would re-read retired
+        // source offsets on later store queries, and stateful operators
+        // would never commit their state stores.
+        store.append(batchCounts(batch, msg, valueDecoder).localCheckpoint(true))
+        ()
+      }
+    checkpoint.foreach(dir => writer = writer.option("checkpointLocation", dir))
+    writer.start()
+  }
+
+  /** The UPGRADE-PATH mode (SURVEY.md §2.7): watermarked cross-batch
+    * aggregation instead of the reference's per-batch counts. One row per
+    * (key, bucket) is maintained by Spark's state store; each trigger emits
+    * the UPDATED rows (output mode update) which are appended under a new
+    * generation — so consumers read the LATEST rst_id per (key, bucket)
+    * instead of SUMming per-batch fragments, and late data within
+    * `lateness` folds into the same bucket. This mode trades the
+    * reference's semantics for exact event-time totals; it is opt-in and
+    * separate from [[attach]] for that reason.
+    *
+    * Scale: streaming state is bounded by (active buckets × keys) and
+    * watermark-expired state is dropped by Spark; shuffle per trigger is the
+    * same partial+final agg as the batch path. */
+  def attachWatermarked(stream: DataFrame, msg: MsgSettings, store: RecentStore,
+                        lateness: String = "0 seconds",
+                        trigger: Option[Trigger] = None,
+                        checkpoint: Option[String] = None,
+                        valueDecoder: Option[DataFrame => DataFrame] = None): StreamingQuery = {
+    val values = stream.select(col("value"))
+    val decoded = valueDecoder.map(_(values)).getOrElse(values)
+    val parsed = Decode.decode(Project.dropKey(decoded), "value", msg)
+    val keyCols = msg.msgMapSchema.map(_._1)
+    val counts = parsed
+      .withColumn("_ets", timestamp_seconds(col("bucket_start")))
+      .withWatermark("_ets", lateness)
+      .groupBy(col("_ets") +: (keyCols :+ "bucket_start" :+ "bucket_end").map(col): _*)
+      .count()
+      .drop("_ets")
+    var writer: DataStreamWriter[org.apache.spark.sql.Row] = counts.writeStream
+      .outputMode("update")
+      .trigger(trigger.getOrElse(defaultTrigger(msg)))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.append(batch.localCheckpoint(true)) // materialize: see attach()
         ()
       }
     checkpoint.foreach(dir => writer = writer.option("checkpointLocation", dir))

@@ -112,6 +112,33 @@ class StreamShellSpec extends SparkSpec {
     assert(store.maxRstId === None)
   }
 
+  test("watermarked upgrade mode MERGES late data into the bucket (one row, latest rst)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val stream = MemoryStream[(String, String)]
+    val store = newStore("wm_store")
+    val query = StreamShell.attachWatermarked(
+      stream.toDF().toDF("key", "value"), msg, store,
+      lateness = "1 hour", trigger = Some(Trigger.ProcessingTime(0L)))
+    // Modern epoch base: event-time 0 sits exactly on Spark's initial
+    // watermark and gets edge-dropped.
+    val base = 1700000000L // multiple of 20
+    stream.addData(ev(base + 1), ev(base + 9)); query.processAllAvailable()
+    stream.addData(ev(base + 5)); query.processAllAvailable() // late, same bucket
+    query.stop()
+
+    // Unlike per-batch mode (two rows summing 3), the updated aggregate is
+    // re-emitted: the latest generation FOR THIS KEY carries the MERGED
+    // count (empty trailing micro-batches may bump the global counter).
+    val latest = store.sql(
+      s"""SELECT count FROM wm_store
+         |WHERE bucket_start = $base
+         |ORDER BY rst_id DESC LIMIT 1""".stripMargin).head().getLong(0)
+    assert(latest === 3L)
+  }
+
   test("S3 valueDecoder hook: binary Avro values decode before projection") {
     val sparkSession = spark
     import sparkSession.implicits._
