@@ -64,14 +64,16 @@ object Dedup {
       (1 until n).foldLeft(x)((acc, k) =>
         concat(acc, lit(" "), element_at(w, i + k + 1))))
 
-  /** Distinct shingle hashes from a text column — split evaluated once. */
+  /** Distinct shingle hashes of the NORMALIZED text (lowercased, whitespace
+    * collapsed — dedup must not distinguish case/spacing variants); the
+    * token array is let-bound so normalize+split run once. */
   def shingleHashes(text: Column, n: Int = 3): Column =
-    SqlLet.let(TextFunctions.words(text), w =>
+    SqlLet.let(TextFunctions.words(TextFunctions.normalize(text)), w =>
       array_distinct(transform(shinglesOf(w, n), md5Hash32 _)))
 
-  /** Distinct word-unigram hashes (SimHash features). */
+  /** Distinct word-unigram hashes of the normalized text (SimHash features). */
   def wordHashes(text: Column): Column =
-    array_distinct(transform(TextFunctions.words(text), md5Hash32 _))
+    array_distinct(transform(TextFunctions.words(TextFunctions.normalize(text)), md5Hash32 _))
 
   /** Exact dedup — one row per distinct normalized text:
     * (fp, keep_id = min doc_id, dup_count). */

@@ -37,7 +37,9 @@ object DedupPack extends QueryPack {
         |  min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
     "q_dedup_near" ->
-      s"""WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') ws FROM documents),
+      s"""WITH w AS (SELECT doc_id, string_split_regex(
+         |    trim(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), '\\s+') ws
+         |  FROM documents),
          |sh AS (SELECT doc_id, list_distinct(
          |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) sh FROM w),
          |h AS (SELECT doc_id, list_distinct(
@@ -60,8 +62,9 @@ object DedupPack extends QueryPack {
          |WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
          |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) >= $Threshold""".stripMargin,
     "q_simhash_pairs" ->
-      """WITH w AS (SELECT doc_id,
-        |  list_distinct(string_split_regex(trim(text), '\s+')) ws FROM documents),
+      """WITH w AS (SELECT doc_id, list_distinct(string_split_regex(
+        |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+')) ws
+        |  FROM documents),
         |h AS (SELECT doc_id, list_distinct(
         |  [('0x' || substr(md5(s), 1, 8))::BIGINT for s in ws]) hs FROM w),
         |sg AS (SELECT doc_id,
@@ -74,8 +77,9 @@ object DedupPack extends QueryPack {
         |  ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin,
     "q_simhash" ->
-      """WITH w AS (SELECT doc_id,
-        |  list_distinct(string_split_regex(trim(text), '\s+')) ws FROM documents),
+      """WITH w AS (SELECT doc_id, list_distinct(string_split_regex(
+        |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+')) ws
+        |  FROM documents),
         |h AS (SELECT doc_id, list_distinct(
         |  [('0x' || substr(md5(s), 1, 8))::BIGINT for s in ws]) hs FROM w)
         |SELECT doc_id,

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.plans.GraftExtensions
+
+/** Hand-built dedup cases: known duplicates must be found, clearly-distinct
+  * documents must not pair. */
+class DedupSpec extends SparkSpec {
+
+  private def docs = {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 0
+      (2L, "completely different content about spark catalyst optimizer internals"),
+      (3L, "The  Quick Brown fox jumps over the lazy dog again and again today"), // exact dup of 0 after normalize
+      (4L, "another unrelated document mentioning database join strategies")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups normalization-equal texts") {
+    val got = Dedup.exact(docs).filter(col("dup_count") > 1).head()
+    assert(got.getAs[Long]("keep_id") === 0L)
+    assert(got.getAs[Long]("dup_count") === 2L) // docs 0 and 3
+  }
+
+  test("minhash-LSH finds the planted near-dup pair and nothing spurious") {
+    GraftExtensions.register(spark)
+    val pairs = Dedup.nearDuplicates(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 0-3 identical, 0-1 and 1-3 near; 2 and 4 must pair with nothing.
+    assert(pairs.contains((0L, 3L)) && pairs.contains((0L, 1L)))
+    assert(pairs.forall { case (a, b) => !Set(a, b).contains(2L) && !Set(a, b).contains(4L) })
+  }
+
+  test("normalization-equal texts share a simhash; unrelated texts differ") {
+    GraftExtensions.register(spark)
+    val sigs = Dedup.simhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sigs(0L) === sigs(3L)) // hashing runs on normalized text
+    assert(sigs(0L) !== sigs(2L))
+  }
+}
