@@ -136,15 +136,26 @@ object StreamShell {
     * session; the Flask sibling process is replaced by the store's temp view
     * + `spark.sql` (Q2). */
   def run(spark: SparkSession, cfg: GraftConfig,
-          checkpoint: Option[String] = None): (RecentStore, StreamingQuery) = {
+          checkpoint: Option[String] = None): (RecentStore, StreamingQuery) =
+    runWithSource(spark, cfg, kafkaSource(spark, cfg.kafka), checkpoint)
+
+  /** [[run]] with an injected source frame — the testable assembly (any
+    * (key, value)-shaped stream: MemoryStream in the sandbox, Kafka in
+    * production). Wires the S3 Avro decoder when the config carries an
+    * .avsc. */
+  def runWithSource(spark: SparkSession, cfg: GraftConfig, source: DataFrame,
+                    checkpoint: Option[String] = None,
+                    trigger: Option[Trigger] = None): (RecentStore, StreamingQuery) = {
     val store = new RecentStore(spark,
       GraftConfig.schemaToStructType(cfg.store.schema),
       tableName = cfg.store.tableName,
       cleanInterval = cfg.store.cleanInterval.toLong,
-      cleanFreq = cfg.store.cleanFreq.toLong,
-      materializeEvery = 8)
-    val query = attach(kafkaSource(spark, cfg.kafka), cfg.msg, store,
-      checkpoint = checkpoint)
+      cleanFreq = cfg.store.cleanFreq.toLong)
+    val decoder = cfg.kafka.avroValueSchema.map { avsc => (df: DataFrame) =>
+      graft.sources.AvroCodec.decodeValues(df, "value", avsc)
+    }
+    val query = attach(source, cfg.msg, store,
+      trigger = trigger, checkpoint = checkpoint, valueDecoder = decoder)
     (store, query)
   }
 }
