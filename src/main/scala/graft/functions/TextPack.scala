@@ -84,6 +84,14 @@ object TextPack extends QueryPack {
       table(s, dir, "documents").select(
         col("doc_id"), fingerprint(col("text")).as("fp"))
     },
+    // Rabin–Karp rolling-hash fingerprint of the normalized text (codegen'd
+    // rolling_hash expression; md5 variant above is the collision-resistant
+    // sibling).
+    "q_rolling_fp" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      table(s, dir, "documents").select(col("doc_id"),
+        call_function("rolling_hash", normalize(col("text"))).as("rfp"))
+    },
     // Top-5 words per language — windowed analytics over the corpus
     // (explode → one grouped agg → rank; WindowGroupLimit prunes pre-shuffle).
     "q_top_words_per_lang" -> { (s, dir) =>
@@ -159,6 +167,13 @@ object TextPack extends QueryPack {
         |SELECT ngram, count(*) AS count FROM g GROUP BY 1 HAVING count(*) >= 20""".stripMargin,
     "q_fingerprint" ->
       s"WITH n AS ($NormCte) SELECT doc_id, md5(norm) AS fp FROM n",
+    "q_rolling_fp" ->
+      s"""WITH n AS ($NormCte)
+         |SELECT doc_id, list_reduce(
+         |  list_prepend(0::BIGINT,
+         |    [unicode(substr(norm, i, 1))::BIGINT for i in range(1, length(norm) + 1)]),
+         |  (h, c) -> (h * 1000003 + c) % 2147483647) AS rfp
+         |FROM n""".stripMargin,
     "q_top_words_per_lang" ->
       """WITH w AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS word
         |  FROM documents),

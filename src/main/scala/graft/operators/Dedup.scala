@@ -136,6 +136,38 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Exact n-gram Jaccard near-dup — the inverted-index alternative to LSH:
+    * explode shingle hashes to (hash, doc) postings, DROP hashes whose
+    * document frequency exceeds `maxDf` (non-discriminative postings are
+    * what makes posting-list joins quadratic — the standard frequency cap),
+    * self-join the remaining postings for candidates, then re-join the hash
+    * sets BY DOC ID (the narrow-shuffle verify shape SCALE.md describes) and
+    * keep exact Jaccard >= threshold. Recall: pairs sharing only hot
+    * shingles are not candidates — part of the declared semantics, and the
+    * oracle replicates the cap. */
+  def ngramJaccard(docs: DataFrame, threshold: Double, maxDf: Long = 30L,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val hashed = docs.select(col(idCol), shingleHashes(col(textCol)).as("hs"))
+    val postings = hashed.select(col(idCol), explode(col("hs")).as("h"))
+    val rare = postings.groupBy("h")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("h")
+    val pruned = postings.join(rare, "h")
+    val cand = pruned.as("a").join(pruned.as("b"),
+        col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+    val ha = hashed.select(col(idCol).as("doc_a"), col("hs").as("hs_a"))
+    val hb = hashed.select(col(idCol).as("doc_b"), col("hs").as("hs_b"))
+    val jaccard = SqlLet.let(size(array_intersect(col("hs_a"), col("hs_b"))), inter =>
+      inter.cast("double") / (size(col("hs_a")) + size(col("hs_b")) - inter))
+    cand.join(ha, "doc_a").join(hb, "doc_b")
+      .withColumn("jaccard", jaccard)
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** SimHash near-dup pairs: candidates share the 16-bit prefix bucket
     * (blocking — same discipline as the minhash bands), verified by hamming
     * distance over the full 32-bit signature. Output

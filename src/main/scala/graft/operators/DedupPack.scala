@@ -22,6 +22,10 @@ object DedupPack extends QueryPack {
     "q_simhash_pairs" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       Dedup.simhashPairs(table(s, dir, "documents"), maxHamming = 8)
+    },
+    "q_dedup_jaccard" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Dedup.ngramJaccard(table(s, dir, "documents"), threshold = 0.5, maxDf = 30L)
     }
   )
 
@@ -61,6 +65,27 @@ object DedupPack extends QueryPack {
          |JOIN h hb ON hb.doc_id = c.doc_b
          |WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
          |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) >= $Threshold""".stripMargin,
+    "q_dedup_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(
+        |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) sh FROM w),
+        |h AS (SELECT doc_id, list_distinct(
+        |  [('0x' || substr(md5(s), 1, 8))::BIGINT for s in sh]) hs FROM sh),
+        |post AS (SELECT doc_id, unnest(hs) AS ph FROM h),
+        |rare AS (SELECT ph FROM post GROUP BY ph HAVING count(*) <= 30),
+        |pruned AS (SELECT p.doc_id, p.ph FROM post p JOIN rare r ON p.ph = r.ph),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pruned a JOIN pruned b ON a.ph = b.ph AND a.doc_id < b.doc_id)
+        |SELECT c.doc_a, c.doc_b,
+        |  CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
+        |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) AS jaccard
+        |FROM cand c
+        |JOIN h ha ON ha.doc_id = c.doc_a
+        |JOIN h hb ON hb.doc_id = c.doc_b
+        |WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
+        |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) >= 0.5""".stripMargin,
     "q_simhash_pairs" ->
       """WITH w AS (SELECT doc_id, list_distinct(string_split_regex(
         |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+')) ws

@@ -36,12 +36,14 @@ object GraftExtensions {
   private val functions: Seq[FunctionDescription] = Seq(
     fn("vec_dot", classOf[VecDot], 2, c => VecDot(c.head, c(1))),
     fn("md5_hash32", classOf[Md5Hash32Expr], 1, c => Md5Hash32Expr(c.head)),
-    fn("minhash_sig", classOf[MinhashSigExpr], 1, c => MinhashSigExpr(c.head)))
+    fn("minhash_sig", classOf[MinhashSigExpr], 1, c => MinhashSigExpr(c.head)),
+    fn("rolling_hash", classOf[RollingHashExpr], 1, c => RollingHashExpr(c.head)))
 
   /** Idempotent post-hoc registration on a live session. */
   def register(spark: SparkSession): Unit =
     functions.foreach { case (ident, _, builder) =>
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        ident.funcName, builder, "internal")
+      if (!spark.sessionState.functionRegistry.functionExists(ident))
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          ident.funcName, builder, "internal")
     }
 }

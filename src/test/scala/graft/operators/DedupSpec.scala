@@ -35,6 +35,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => !Set(a, b).contains(2L) && !Set(a, b).contains(4L) })
   }
 
+  test("n-gram Jaccard inverted-index variant agrees with LSH on planted pairs") {
+    GraftExtensions.register(spark)
+    val viaIndex = Dedup.ngramJaccard(docs, threshold = 0.5, maxDf = 30L)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex.contains((0L, 3L)) && viaIndex.contains((0L, 1L)))
+    assert(viaIndex.forall { case (a, b) => !Set(a, b).contains(2L) && !Set(a, b).contains(4L) })
+  }
+
+  test("rolling_hash: code-point fold, normalization-sensitive, CJK-safe") {
+    GraftExtensions.register(spark)
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    def manual(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((h, c) => (h * 1000003L + c) % 2147483647L)
+    val inputs = Seq("hello world", "", "中文 text ünïcödé")
+    val got = inputs.toDF("s")
+      .select(call_function("rolling_hash", col("s")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === inputs.map(manual))
+  }
+
   test("normalization-equal texts share a simhash; unrelated texts differ") {
     GraftExtensions.register(spark)
     val sigs = Dedup.simhash(docs).collect()
