@@ -136,6 +136,32 @@ object Similarity {
       .select("q_id", idCol, "rank", "sim")
   }
 
+  /** Multi-probe variant of [[knnBucketed]]: each query also probes every
+    * cell at hamming distance 1 from its own (nprobe = bits+1), recovering
+    * neighbors that fell just across a quantization boundary — the standard
+    * IVF recall lever, still equi-join-only. Probe cells are distinct, so no
+    * candidate dedup is needed. */
+  def knnMultiprobe(corpus: DataFrame, queries: DataFrame, k: Int,
+                    bits: Int = 4, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol),
+      signBucket(vecCol, bits).as("bkt"), dot(vecCol, vecCol).as("n2_c"))
+    val probes = (0 until bits).map(b => expr(s"q_bkt ^ ${1 << b}"))
+    val q = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        signBucket(vecCol, bits).as("q_bkt"), dot(vecCol, vecCol).as("n2_q"))
+      .select(col("q_id"), col("q_vec"), col("n2_q"),
+        explode(array(col("q_bkt") +: probes: _*)).as("probe"))
+    val scored = c.join(q, col("bkt") === col("probe") && col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol),
+        round(dot("q_vec", vecCol) / (sqrt(col("n2_q")) * sqrt(col("n2_c"))), 6)
+          .as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", idCol, "rank", "sim")
+  }
+
   /** Blocked pairwise near-duplicates: intra-block pairs (blockCol equality,
     * id_a < id_b) with cosine >= threshold. Output (id_a, id_b, sim).
     * Norms precomputed below the join, as in [[knn]]. */

@@ -24,6 +24,11 @@ object SimilarityPack extends QueryPack {
       val emb = table(s, dir, "embeddings")
       Similarity.knnBucketed(emb, emb.filter(col("vec_id") % 50 === 0), K, bits = 4)
     },
+    "q_knn_multiprobe" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val emb = table(s, dir, "embeddings")
+      Similarity.knnMultiprobe(emb, emb.filter(col("vec_id") % 50 === 0), K, bits = 4)
+    },
     "q_embed_neardup" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       Similarity.blockedNearDup(table(s, dir, "embeddings"), "label", NearDupThreshold)
@@ -48,6 +53,20 @@ object SimilarityPack extends QueryPack {
          |    round(list_dot_product(qv, v) /
          |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS sim
          |  FROM q JOIN e ON e.bkt = q.q_bkt AND e.vec_id != q.q_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
+         |SELECT q_id, vec_id, rank, sim FROM ranked WHERE rank <= $K""".stripMargin,
+    "q_knn_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
+         |    ${bucketSql("embedding")} AS bkt FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv, bkt AS q_bkt FROM e WHERE vec_id % 50 = 0),
+         |probes AS (SELECT q_id, qv, unnest([q_bkt, xor(q_bkt, 1), xor(q_bkt, 2),
+         |    xor(q_bkt, 4), xor(q_bkt, 8)]) AS probe FROM q),
+         |scored AS (
+         |  SELECT p.q_id, e.vec_id,
+         |    round(list_dot_product(qv, v) /
+         |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS sim
+         |  FROM probes p JOIN e ON e.bkt = p.probe AND e.vec_id != p.q_id),
          |ranked AS (SELECT *, row_number() OVER
          |  (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
          |SELECT q_id, vec_id, rank, sim FROM ranked WHERE rank <= $K""".stripMargin,
