@@ -65,9 +65,15 @@ object Dedup {
         concat(acc, lit(" "), element_at(w, i + k + 1))))
 
   /** Distinct shingle hashes of the NORMALIZED text (lowercased, whitespace
-    * collapsed — dedup must not distinguish case/spacing variants); the
-    * token array is let-bound so normalize+split run once. */
+    * collapsed — dedup must not distinguish case/spacing variants). One
+    * codegen'd pass ([[graft.plans.ShingleHashesExpr]]); the built-ins-only
+    * twin is [[shingleHashesFold]]. */
   def shingleHashes(text: Column, n: Int = 3): Column =
+    call_function("shingle_hashes",
+      TextFunctions.words(TextFunctions.normalize(text)), lit(n))
+
+  /** Declarative equivalent (let-bound so the split runs once). */
+  def shingleHashesFold(text: Column, n: Int = 3): Column =
     SqlLet.let(TextFunctions.words(TextFunctions.normalize(text)), w =>
       array_distinct(transform(shinglesOf(w, n), md5Hash32 _)))
 

@@ -37,7 +37,9 @@ object GraftExtensions {
     fn("vec_dot", classOf[VecDot], 2, c => VecDot(c.head, c(1))),
     fn("md5_hash32", classOf[Md5Hash32Expr], 1, c => Md5Hash32Expr(c.head)),
     fn("minhash_sig", classOf[MinhashSigExpr], 1, c => MinhashSigExpr(c.head)),
-    fn("rolling_hash", classOf[RollingHashExpr], 1, c => RollingHashExpr(c.head)))
+    fn("rolling_hash", classOf[RollingHashExpr], 1, c => RollingHashExpr(c.head)),
+    fn("shingle_hashes", classOf[ShingleHashesExpr], 2,
+      c => ShingleHashesExpr(c.head, c(1))))
 
   /** Idempotent post-hoc registration on a live session. */
   def register(spark: SparkSession): Unit =

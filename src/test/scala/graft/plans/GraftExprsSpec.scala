@@ -24,6 +24,15 @@ class GraftExprsSpec extends SparkSpec {
     assert(df.filter(col("fast") =!= col("ref")).count() === 0L)
   }
 
+  test("shingle_hashes equals the declarative chain (as sets)") {
+    GraftExtensions.register(spark)
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    val both = docs.select(
+      array_sort(Dedup.shingleHashes(col("text"))).as("fast"),
+      array_sort(Dedup.shingleHashesFold(col("text"))).as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() === 0L)
+  }
+
   test("minhash_sig equals the 16 scalar folds") {
     GraftExtensions.register(spark)
     val sparkSession = spark
