@@ -39,15 +39,22 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try force(fn(spark, "/root/testdata/sf0.001")) catch { case _: Throwable => () }
     }
+    // A failing query must NOT masquerade as a fast one: it reports -1 in
+    // `queries` (keeps values numeric for the driver) and its exception
+    // class in `errors`.
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { force(fn(spark, sfDir)); None }
+        catch { case e: Throwable => Some(e.getClass.getName) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, err) =>
+      s"\"" + k + "\":" + (if (err.isEmpty) v else -1.0)
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -111,12 +111,18 @@ object Dedup {
       }))
 
   /** Per-document banded LSH keys, exploded to `Bands` rows per document:
-    * (idCol, band, hs). */
+    * (idCol, band, hs). Documents with an EMPTY shingle set (fewer words
+    * than the shingle width) are dropped before banding: they can't be
+    * near-duplicates by definition, their identical all-P signatures would
+    * otherwise pile every short doc into ONE quadratic hot band, and the
+    * Jaccard denominator for such a pair is 0 (a DIVIDE_BY_ZERO under ANSI
+    * mode). The oracle replicates the filter. */
   def lshBands(docs: DataFrame, textCol: String = "text",
                idCol: String = "doc_id"): DataFrame =
     SqlLet.explodeOnce(docs.select(col(idCol), col(textCol)),
         bandStructs(col(textCol)), "bs")
       .select(col(idCol), col("bs.band").as("band"), col("bs.hs").as("hs"))
+      .filter(size(col("hs")) > 0)
 
   /** Near-duplicate pairs: band-bucket candidates verified with exact
     * Jaccard over the shingle-hash sets, thresholded. Output
@@ -160,6 +166,9 @@ object Dedup {
       .filter(col("df") <= maxDf)
       .select("h")
     val pruned = postings.join(rare, "h")
+    // Candidates share >= 1 posting, so the Jaccard denominator
+    // |a| + |b| - |a∩b| >= max(|a|,|b|) >= 1 — no zero-division case here
+    // (empty-shingle docs emit no postings and never become candidates).
     val cand = pruned.as("a").join(pruned.as("b"),
         col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))

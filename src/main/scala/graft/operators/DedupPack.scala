@@ -54,7 +54,7 @@ object DedupPack extends QueryPack {
          |bands AS (SELECT doc_id, hs, unnest(
          |  [CAST(j AS VARCHAR) || ':' || sig[4*j-3] || '_' || sig[4*j-2] || '_'
          |    || sig[4*j-1] || '_' || sig[4*j] for j in range(1, ${Dedup.Bands + 1})]) AS band
-         |  FROM sig),
+         |  FROM sig WHERE len(hs) > 0),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
          |SELECT c.doc_a, c.doc_b,
@@ -101,17 +101,19 @@ object DedupPack extends QueryPack {
         |FROM sg a JOIN sg b
         |  ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin,
+    // list_sum returns HUGEINT; the driver materializes HUGEINT as
+    // float64/decimal128 through pandas/arrow, so exposed sums MUST be cast
+    // back to BIGINT or the value hash diverges (r02's only red).
     "q_simhash" ->
       """WITH w AS (SELECT doc_id, list_distinct(string_split_regex(
         |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+')) ws
         |  FROM documents),
         |h AS (SELECT doc_id, list_distinct(
-        |  [('0x' || substr(md5(s), 1, 8))::BIGINT for s in ws]) hs FROM w)
-        |SELECT doc_id,
+        |  [('0x' || substr(md5(s), 1, 8))::BIGINT for s in ws]) hs FROM w),
+        |sg AS (SELECT doc_id, CAST(
         |  list_sum([CASE WHEN list_sum([2 * ((x >> k) & 1) - 1 for x in hs]) > 0
-        |    THEN (1::BIGINT << k) ELSE 0 END for k in range(0, 32)]) AS simhash,
-        |  list_sum([CASE WHEN list_sum([2 * ((x >> k) & 1) - 1 for x in hs]) > 0
-        |    THEN (1::BIGINT << k) ELSE 0 END for k in range(0, 32)]) >> 16 AS bucket
-        |FROM h""".stripMargin
+        |    THEN (1::BIGINT << k) ELSE 0 END for k in range(0, 32)]) AS BIGINT) AS simhash
+        |  FROM h)
+        |SELECT doc_id, simhash, simhash >> 16 AS bucket FROM sg""".stripMargin
   )
 }

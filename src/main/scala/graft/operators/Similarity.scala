@@ -43,10 +43,18 @@ object Similarity {
     expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
       "cast(0 as double), (acc, v) -> acc + v)")
 
-  /** Cosine similarity, rounded to 6 dp (dot/(‖a‖·‖b‖), each norm its own
-    * sqrt — mirrored exactly in the oracle). */
+  /** Cosine formula shared by every operator here: dot/(‖a‖·‖b‖), each norm
+    * its own sqrt, rounded to 6 dp — mirrored exactly in the oracle. A
+    * zero-norm vector (all-zero embedding) makes the denominator 0; cosine
+    * is undefined there, so the denominator is `nullif`-guarded and the NULL
+    * similarity then fails every `>= threshold` filter instead of surfacing
+    * as NaN (or a divide error under strict modes). */
+  def cosineOf(dotAB: Column, n2a: Column, n2b: Column): Column =
+    round(dotAB / nullif(sqrt(n2a) * sqrt(n2b), lit(0d)), 6)
+
+  /** Cosine similarity of two vector columns. */
   def cosine(a: String, b: String): Column =
-    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+    cosineOf(dot(a, b), dot(a, a), dot(b, b))
 
   /** Sign-signature bucket over the first `bits` dimensions — a
     * deterministic coarse quantization (IVF-style cell id) replicable in
@@ -72,8 +80,7 @@ object Similarity {
       signBucket(vecCol, bits).as("q_bkt"), dot(vecCol, vecCol).as("n2_q"))
     val scored = c.join(q, col("bkt") === col("q_bkt") && col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol),
-        round(dot("q_vec", vecCol) / (sqrt(col("n2_q")) * sqrt(col("n2_c"))), 6)
-          .as("sim"))
+        cosineOf(dot("q_vec", vecCol), col("n2_q"), col("n2_c")).as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -127,8 +134,7 @@ object Similarity {
       .crossJoin(q)
       .filter(col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol),
-        round(dot("q_vec", vecCol) / (sqrt(col("n2_q")) * sqrt(col("n2_c"))), 6)
-          .as("sim"))
+        cosineOf(dot("q_vec", vecCol), col("n2_q"), col("n2_c")).as("sim"))
     val partial = partialTopK(scored, "q_id", idCol, "sim", k)
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(idCol).asc)
     partial.withColumn("rank", row_number().over(w))
@@ -154,8 +160,7 @@ object Similarity {
         explode(array(col("q_bkt") +: probes: _*)).as("probe"))
     val scored = c.join(q, col("bkt") === col("probe") && col(idCol) =!= col("q_id"))
       .select(col("q_id"), col(idCol),
-        round(dot("q_vec", vecCol) / (sqrt(col("n2_q")) * sqrt(col("n2_c"))), 6)
-          .as("sim"))
+        cosineOf(dot("q_vec", vecCol), col("n2_q"), col("n2_c")).as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -174,8 +179,8 @@ object Similarity {
     a.join(b, col(s"a.$blockCol") === col(s"b.$blockCol") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        round(dot(s"a.$vecCol", s"b.$vecCol") /
-          (sqrt(col("a.n2")) * sqrt(col("b.n2"))), 6).as("sim"))
+        cosineOf(dot(s"a.$vecCol", s"b.$vecCol"),
+          col("a.n2"), col("b.n2")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   * that visible: `gt(a)` → `lit(a) > col`.
   *
   * `range`/`erange` are inclusive/exclusive betweens over a `(lo, hi)` pair
-  * with `None` = unbounded (`models.py:1060-1080`); a fully-open `range`
-  * matches everything.
+  * with `None` = unbounded (`models.py:1060-1080`). A fully-open `range`
+  * matches everything (explicit first branch, `models.py:1072-1073`), but a
+  * fully-open `erange` matches NOTHING: it falls through to `a[1] > b` =
+  * `None > b`, which is always False in Python 2 — preserved here as
+  * `lit(false)`.
   *
   * The reference's `custom:` comparator is arbitrary `eval()`
   * (`models.py:1104-1106`) and is DELIBERATELY not ported (code execution);
@@ -57,7 +60,8 @@ object Comparators {
     c => {
       val loOk = lo.map(v => if (exclusive) toLit(v) < c else toLit(v) <= c)
       val hiOk = hi.map(v => if (exclusive) toLit(v) > c else toLit(v) >= c)
-      (loOk.toSeq ++ hiOk.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+      // Fully open: range → everything; erange → nothing (see object doc).
+      (loOk.toSeq ++ hiOk.toSeq).reduceOption(_ && _).getOrElse(lit(!exclusive))
     }
   }
 

@@ -38,9 +38,11 @@ object Sinks {
       dupKeyUpdate: Seq[(String, String)])
 
   /** One `INSERT … ON DUPLICATE KEY UPDATE` statement for one row — the
-    * doctest contract (`:433-451`). Values are spliced with str() like the
-    * reference; callers feeding untrusted strings should use the
-    * prepared-statement path in [[upsertBatch]] instead. */
+    * doctest contract (`:433-451`), kept ONLY as the golden-test surface for
+    * the reference's mini-codegen. Values are spliced with str() like the
+    * reference, so this form is unsafe for untrusted strings;
+    * [[upsertBatch]] never executes it — it binds values through
+    * `java.sql.PreparedStatement` parameters instead. */
   def upsertStatement(schema: UpsertSchema, row: Map[String, Any]): String = {
     val cols = schema.columns.map(_._1).mkString(",")
     val vals = schema.columns.map { case (_, f) => String.valueOf(row(f)) }.mkString(",")
@@ -59,19 +61,47 @@ object Sinks {
     }(Encoders.STRING)
   }
 
+  /** The parameterized form of the upsert: one SQL string with `?`
+    * placeholders, plus the row-field names to bind, in placeholder order —
+    * insert columns first, then each `{0}` occurrence of each update
+    * template (a template may reference its field more than once). */
+  def preparedUpsert(schema: UpsertSchema): (String, Seq[String]) = {
+    val cols = schema.columns.map(_._1).mkString(",")
+    val marks = Seq.fill(schema.columns.size)("?").mkString(",")
+    val update = schema.dupKeyUpdate
+      .map { case (tpl, _) => tpl.replace("{0}", "?") }.mkString(",")
+    val updateBinds = schema.dupKeyUpdate.flatMap { case (tpl, f) =>
+      Seq.fill(tpl.sliding(3).count(_ == "{0}"))(f)
+    }
+    (s"INSERT INTO ${schema.tableName} ($cols) VALUES ($marks) " +
+      s"ON DUPLICATE KEY UPDATE $update",
+      schema.columns.map(_._2) ++ updateBinds)
+  }
+
   /** K6 executor-side JDBC upsert for one micro-batch: per-PARTITION
     * connection (the reference's `create_send_mysql_msg_func` amortization,
-    * `:395-402`), statements executed and committed per partition. Driver
-    * class must be on the executor classpath at deploy time. */
+    * `:395-402`), one `PreparedStatement` per partition with values bound as
+    * parameters (never spliced — safe for untrusted strings), executed as a
+    * JDBC batch and committed per partition. Driver class must be on the
+    * executor classpath at deploy time. */
   def upsertBatch(df: DataFrame, schema: UpsertSchema, jdbcUrl: String,
                   user: String, password: String): Unit = {
-    val stmts = upsertStatements(df, schema)
-    stmts.foreachPartition { (it: Iterator[String]) =>
+    val (sql, binds) = preparedUpsert(schema)
+    val fieldIdx = df.schema.fieldNames.zipWithIndex.toMap
+    val bindIdx = binds.map(f => fieldIdx.getOrElse(f,
+      throw new IllegalArgumentException(s"upsert schema references missing field '$f'")))
+    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val conn = java.sql.DriverManager.getConnection(jdbcUrl, user, password)
       try {
         conn.setAutoCommit(false)
-        val st = conn.createStatement()
-        it.foreach(st.execute)
+        val ps = conn.prepareStatement(sql)
+        it.foreach { row =>
+          bindIdx.zipWithIndex.foreach { case (ri, pi) =>
+            ps.setObject(pi + 1, row.get(ri))
+          }
+          ps.addBatch()
+        }
+        ps.executeBatch()
         conn.commit()
       } finally conn.close()
     }

@@ -57,6 +57,23 @@ class DedupSpec extends SparkSpec {
     assert(got === inputs.map(manual))
   }
 
+  test("docs shorter than the shingle width are dropped, not paired (ANSI-safe)") {
+    GraftExtensions.register(spark)
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // Empty shingle sets (< 3 words) used to share identical all-P
+    // signatures → one hot band → candidate pairs with a 0 Jaccard
+    // denominator (DIVIDE_BY_ZERO under ANSI). Now they never band.
+    val short = Seq((10L, "tiny doc"), (11L, "small"), (12L, ""),
+      (13L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicates(docs.union(short), threshold = 0.0)
+    // The short docs (10-12) never pair; the full-length 13 still does.
+    assert(pairs.filter(col("doc_a").isin(10L, 11L, 12L) ||
+      col("doc_b").isin(10L, 11L, 12L)).count() === 0L)
+    assert(pairs.filter(col("doc_b") === 13L).count() > 0L)
+  }
+
   test("normalization-equal texts share a simhash; unrelated texts differ") {
     GraftExtensions.register(spark)
     val sigs = Dedup.simhash(docs).collect()

@@ -35,6 +35,15 @@ class SimilaritySpec extends SparkSpec {
     assert(df.head().isNullAt(0))
   }
 
+  test("zero-norm vectors yield NULL cosine, never NaN or a divide error") {
+    GraftExtensions.register(spark)
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val df = Seq((Seq(0f, 0f, 0f), Seq(1f, 2f, 3f))).toDF("a", "b")
+    assert(df.select(Similarity.cosine("a", "b")).head().isNullAt(0))
+    assert(df.select(Similarity.cosine("a", "a")).head().isNullAt(0))
+  }
+
   test("bucketed ANN ranks candidates identically to brute force within cells") {
     GraftExtensions.register(spark)
     val queries = emb.filter(col("vec_id") % 50 === 0)

@@ -36,6 +36,10 @@ class ComparatorsSpec extends SparkSpec {
       Set("ex1", "ex2", "ex3")) // fully-open range matches everything
     assert(names(Comparators.cGeneralSelect(dt,
       Map("count" -> (("erange", (Some(1), Some(3))))))) === Set("ex2"))
+    // Fully-open erange matches NOTHING: the reference falls through to
+    // `None > b`, always False in Python 2 (models.py:1081-1086).
+    assert(names(Comparators.cGeneralSelect(dt,
+      Map("count" -> (("erange", (None, None)))))) === Set.empty)
   }
 
   test("eq / typed sugar; missing column matches nothing") {

@@ -41,6 +41,20 @@ class SinksSpec extends SparkSpec {
         "ON DUPLICATE KEY UPDATE column_val = column_val + 10,column_val1 = column_val1 * 20;"))
   }
 
+  test("prepared upsert: ? placeholders with binds in placeholder order") {
+    val (sql, binds) = Sinks.preparedUpsert(schema)
+    assert(sql === "INSERT INTO tablename (mysql_column,mysql_column1) VALUES (?,?) " +
+      "ON DUPLICATE KEY UPDATE column_val = column_val + ?,column_val1 = column_val1 * ?")
+    assert(binds === Seq("corresponding_dict_field", "corresponding_dict_field1",
+      "column_name", "column_name1"))
+    // A template may reference its field more than once.
+    val multi = Sinks.UpsertSchema("t", Seq("c" -> "f"),
+      Seq("v = {0} * {0}" -> "g"))
+    assert(Sinks.preparedUpsert(multi) ===
+      (("INSERT INTO t (c) VALUES (?) ON DUPLICATE KEY UPDATE v = ? * ?",
+        Seq("f", "g", "g"))))
+  }
+
   test("kafka payload is structural JSON with correct escaping (P10 fix)") {
     val sparkSession = spark
     import sparkSession.implicits._

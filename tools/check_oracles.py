@@ -63,6 +63,18 @@ for name in names:
         scols, srows = s.description, s.fetchall()
         o = con.execute(sql)
         ocols, orows = o.description, o.fetchall()
+        # The driver hashes values after an arrow/pandas materialization,
+        # where DuckDB HUGEINT/DECIMAL become decimal128/float64 and no
+        # longer hash-equal to Spark's int64 even when the Python ints match
+        # (bit us in r02's q_simhash). Flag any non-primitive arrow type.
+        osch = con.execute(sql).arrow().schema
+        bad = [f"{f.name}:{f.type}" for f in osch
+               if str(f.type).startswith(("decimal", "uint64"))]
+        if bad:
+            print(f"FAIL {name}: oracle emits driver-unsafe types {bad} "
+                  f"(cast to BIGINT/DOUBLE in the oracle SQL)")
+            fails += 1
+            continue
     except Exception as e:
         print(f"FAIL {name}: exec error: {e}")
         fails += 1
