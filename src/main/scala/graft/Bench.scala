@@ -29,6 +29,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Split the single-file fixtures across cores: at production scale a
+      // table is many files and scan parallelism is free, but here one 2 MB
+      // parquet file under the default 128 MB maxPartitionBytes = ONE task,
+      // so every narrow pipeline (from_json decode etc.) ran single-threaded.
+      // 1 MB splits ≈ row-group granularity for these fixtures.
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "64k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
