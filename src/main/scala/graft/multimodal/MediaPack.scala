@@ -19,6 +19,19 @@ object MediaPack extends QueryPack {
       Media.features(media)
         .withColumn("n_chunks", size(Media.sampleChunks("bytes", 16, 4)))
         .select("media_id", "n_bytes", "content_hash", "n_chunks")
+    },
+    // Frame-sample CONTENT check: the first/last sampled 16-byte chunks of
+    // each payload, hashed — proves the binary slicing math (offsets,
+    // stride, tail truncation), not just the chunk count.
+    "q_media_sample" -> { (s, dir) =>
+      val media = table(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("bytes"))
+      media.select(col("media_id"), Media.sampleChunks("bytes", 16, 4).as("chunks"))
+        .select(col("media_id"),
+          size(col("chunks")).as("n_chunks"),
+          md5(element_at(col("chunks"), 1)).as("first_chunk_hash"),
+          md5(element_at(col("chunks"), size(col("chunks")))).as("last_chunk_hash"))
     }
   )
 
@@ -29,6 +42,19 @@ object MediaPack extends QueryPack {
         |  octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS content_hash,
         |  greatest((octet_length(encode(text)) - 1) // 64, 0) + 1 AS n_chunks
+        |FROM documents""".stripMargin,
+    // DuckDB has no BLOB substring/md5, so the oracle slices the VARCHAR and
+    // md5-s it (DuckDB md5(varchar) hashes the UTF-8 bytes) — byte-identical
+    // because the fixture text is pure ASCII (checked: octet_length ==
+    // length for every row); the Spark side slices true bytes. Chunk i sits
+    // at byte i*chunk*stride, length `chunk`.
+    "q_media_sample" ->
+      """SELECT doc_id AS media_id,
+        |  greatest((octet_length(encode(text)) - 1) // 64, 0) + 1 AS n_chunks,
+        |  md5(substring(text, 1, 16)) AS first_chunk_hash,
+        |  md5(substring(text,
+        |    greatest((octet_length(encode(text)) - 1) // 64, 0) * 64 + 1, 16))
+        |    AS last_chunk_hash
         |FROM documents""".stripMargin
   )
 }

@@ -148,6 +148,47 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Near-duplicate CLUSTERS — what a dedup pipeline actually consumes: the
+    * connected components of the [[nearDuplicates]] pair graph, labeled by
+    * the minimum doc id in each component (`cluster_id`). Keep one row per
+    * cluster (`doc_id == cluster_id`), drop the rest.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels, until a
+    * fixpoint (bounded by the component diameter, which for near-dup graphs
+    * is tiny: components are cliques-ish by construction). Each round is one
+    * edge join + one groupBy — both shuffles on the node id, the standard
+    * distributed-CC shape (at extreme diameters you'd switch to
+    * large-star/small-star, which is the same primitive rounds). The
+    * convergence check is a COUNT (a scalar aggregate), not a data collect;
+    * intermediate labels are persisted so each round reads the previous
+    * round, not the whole lineage. */
+  def clusters(docs: DataFrame, threshold: Double, maxIter: Int = 20,
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val pairs = nearDuplicates(docs, threshold, textCol, idCol)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    edges.count() // materialize once; every round reuses it
+    var current = docs.select(col(idCol).as("node"), col(idCol).as("label")).persist()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val viaEdges = edges.join(current, edges("doc_b") === current("node"))
+        .select(edges("doc_a").as("node"), col("label"))
+      val next = current.union(viaEdges)
+        .groupBy("node").agg(min("label").as("label")).persist()
+      changed = next.join(current.withColumnRenamed("label", "prev"), "node")
+        .filter(col("label") =!= col("prev")).count()
+      current.unpersist()
+      current = next
+      iter += 1
+    }
+    edges.unpersist()
+    current.select(col("node").as(idCol), col("label").as("cluster_id"))
+  }
+
   /** Exact n-gram Jaccard near-dup — the inverted-index alternative to LSH:
     * explode shingle hashes to (hash, doc) postings, DROP hashes whose
     * document frequency exceeds `maxDf` (non-discriminative postings are

@@ -26,6 +26,10 @@ object DedupPack extends QueryPack {
     "q_dedup_jaccard" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       Dedup.ngramJaccard(table(s, dir, "documents"), threshold = 0.5, maxDf = 30L)
+    },
+    "q_dedup_clusters" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Dedup.clusters(table(s, dir, "documents"), Threshold)
     }
   )
 
@@ -35,36 +39,60 @@ object DedupPack extends QueryPack {
   private val BsList = Dedup.Bs.mkString("[", ",", "]")
   private val P = Dedup.P
 
+  /** Shared CTE prefix: normalized words → 3-shingles → 32-bit md5 hash sets
+    * → 16-perm minhash signature → 4 band keys (empty hash sets dropped) →
+    * banded candidates → Jaccard-verified pairs at [[Threshold]]. Both
+    * q_dedup_near and q_dedup_clusters build on `pairs`. */
+  // NOTE: raw margins, no stripMargin here — this fragment is interpolated
+  // into oracle strings that call .stripMargin ONCE at the end. (Stripping
+  // twice would eat the leading `|` of `||` concat continuation lines.)
+  private val PairCtes =
+    s"""w AS (SELECT doc_id, string_split_regex(
+       |    trim(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), '\\s+') ws
+       |  FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(
+       |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) sh FROM w),
+       |h AS (SELECT doc_id, list_distinct(
+       |  [('0x' || substr(md5(s), 1, 8))::BIGINT for s in sh]) hs FROM sh),
+       |sig AS (SELECT doc_id, hs,
+       |  [list_min([($AsList[j] * (x % $P) + $BsList[j]) % $P for x in hs])
+       |   for j in range(1, ${Dedup.NumHashes + 1})] AS sig FROM h),
+       |bands AS (SELECT doc_id, hs, unnest(
+       |  [CAST(j AS VARCHAR) || ':' || sig[4*j-3] || '_' || sig[4*j-2] || '_'
+       |    || sig[4*j-1] || '_' || sig[4*j] for j in range(1, ${Dedup.Bands + 1})]) AS band
+       |  FROM sig WHERE len(hs) > 0),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT c.doc_a, c.doc_b,
+       |  CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
+       |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) AS jaccard
+       |FROM cand c
+       |JOIN h ha ON ha.doc_id = c.doc_a
+       |JOIN h hb ON hb.doc_id = c.doc_b
+       |WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
+       |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) >= $Threshold)"""
+
   override def oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
     "q_dedup_near" ->
-      s"""WITH w AS (SELECT doc_id, string_split_regex(
-         |    trim(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), '\\s+') ws
-         |  FROM documents),
-         |sh AS (SELECT doc_id, list_distinct(
-         |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) sh FROM w),
-         |h AS (SELECT doc_id, list_distinct(
-         |  [('0x' || substr(md5(s), 1, 8))::BIGINT for s in sh]) hs FROM sh),
-         |sig AS (SELECT doc_id, hs,
-         |  [list_min([($AsList[j] * (x % $P) + $BsList[j]) % $P for x in hs])
-         |   for j in range(1, ${Dedup.NumHashes + 1})] AS sig FROM h),
-         |bands AS (SELECT doc_id, hs, unnest(
-         |  [CAST(j AS VARCHAR) || ':' || sig[4*j-3] || '_' || sig[4*j-2] || '_'
-         |    || sig[4*j-1] || '_' || sig[4*j] for j in range(1, ${Dedup.Bands + 1})]) AS band
-         |  FROM sig WHERE len(hs) > 0),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
-         |SELECT c.doc_a, c.doc_b,
-         |  CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
-         |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) AS jaccard
-         |FROM cand c
-         |JOIN h ha ON ha.doc_id = c.doc_a
-         |JOIN h hb ON hb.doc_id = c.doc_b
-         |WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
-         |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) >= $Threshold""".stripMargin,
+      s"""WITH $PairCtes
+         |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin,
+    // Connected components of the pair graph: transitive closure by
+    // recursive CTE (components are tiny cliques, so the closure is small),
+    // cluster id = min reachable doc id, singletons label themselves.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $PairCtes,
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(least(min(r.b), d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
+         |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+         |GROUP BY d.doc_id""".stripMargin,
     "q_dedup_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split_regex(
         |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') ws

@@ -167,6 +167,53 @@ object Similarity {
       .select("q_id", idCol, "rank", "sim")
   }
 
+  /** IVF (inverted-file) ANN — the centroid-partitioned scale path:
+    *
+    *   1. "Train": the `numCentroids` lowest-id corpus vectors stand in for
+    *      k-means centroids (deterministic, so the oracle replicates them;
+    *      swap in trained centroids at deploy time — the plan shape below is
+    *      identical). Collecting C×dim floats to the driver is the broadcast
+    *      BUILD side of the index, not a data collect.
+    *   2. Assign: every corpus vector goes to its nearest centroid by
+    *      squared L2, computed from dots (‖v‖² + ‖c‖² − 2·v·c) as a literal
+    *      fold over the C centroids — a NARROW per-row projection, no join,
+    *      no shuffle of the corpus (ties break toward the lower centroid id
+    *      via lexicographic struct min).
+    *   3. Probe: each query explodes to its `nprobe` nearest cells; the
+    *      candidate search is an equi-JOIN on the cell id (each corpus
+    *      vector lives in exactly one cell, so no candidate dedup), then
+    *      exact cosine re-rank. Recall is the nprobe/centroid-count trade —
+    *      declared operator semantics, replicated by the oracle. */
+  def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+             numCentroids: Int = 8, nprobe: Int = 2,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents: Seq[(Long, Seq[Float])] =
+      corpus.orderBy(col(idCol)).limit(numCentroids)
+        .select(col(idCol), col(vecCol)).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    // struct(d2, c_id) per centroid; lexicographic struct ordering gives the
+    // (distance, id) tie-break in both array_min and array_sort.
+    def centDists(vec: Column, n2: Column): Column = array(cents.map { case (cid, cv) =>
+      val cn2 = cv.foldLeft(0d)((a, x) => a + x.toDouble * x.toDouble)
+      struct(((n2 + lit(cn2)) - lit(2d) * call_function("vec_dot", vec,
+        typedLit(cv))).as("d2"), lit(cid).as("c_id"))
+    }: _*)
+    val c = corpus.select(col(idCol), col(vecCol), dot(vecCol, vecCol).as("n2_c"))
+      .withColumn("cell", array_min(centDists(col(vecCol), col("n2_c"))).getField("c_id"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        dot(vecCol, vecCol).as("n2_q"))
+      .withColumn("probe", explode(transform(
+        slice(array_sort(centDists(col("q_vec"), col("n2_q"))), 1, nprobe),
+        _.getField("c_id"))))
+    val scored = c.join(q, col("cell") === col("probe") && col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol),
+        cosineOf(dot("q_vec", vecCol), col("n2_q"), col("n2_c")).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", idCol, "rank", "sim")
+  }
+
   /** Blocked pairwise near-duplicates: intra-block pairs (blockCol equality,
     * id_a < id_b) with cosine >= threshold. Output (id_a, id_b, sim).
     * Norms precomputed below the join, as in [[knn]]. */

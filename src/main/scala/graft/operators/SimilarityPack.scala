@@ -32,6 +32,12 @@ object SimilarityPack extends QueryPack {
     "q_embed_neardup" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       Similarity.blockedNearDup(table(s, dir, "embeddings"), "label", NearDupThreshold)
+    },
+    "q_knn_ivf" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val emb = table(s, dir, "embeddings")
+      Similarity.knnIvf(emb, emb.filter(col("vec_id") % 50 === 0), K,
+        numCentroids = 8, nprobe = 2)
     }
   )
 
@@ -78,6 +84,29 @@ object SimilarityPack extends QueryPack {
          |    round(list_dot_product(qv, v) /
          |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS sim
          |  FROM q, e WHERE e.vec_id != q.q_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
+         |SELECT q_id, vec_id, rank, sim FROM ranked WHERE rank <= $K""".stripMargin,
+    // IVF: centroids = 8 lowest-id vectors; assignment/probing by squared L2
+    // from dots ((v·v + c·c) − 2·v·c — the same association order as the
+    // Spark side), ties toward the lower centroid id; nprobe = 2.
+    "q_knn_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+         |assign AS (SELECT vec_id, v, cell FROM (
+         |  SELECT e.vec_id, e.v, c.c_id AS cell, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY (list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv))
+         |      - 2 * list_dot_product(e.v, c.cv), c.c_id) AS rn
+         |  FROM e, cent c) WHERE rn = 1),
+         |probes AS (SELECT q_id, qv, cell AS probe FROM (
+         |  SELECT e.vec_id AS q_id, e.v AS qv, c.c_id AS cell, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY (list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv))
+         |      - 2 * list_dot_product(e.v, c.cv), c.c_id) AS rn
+         |  FROM e, cent c WHERE e.vec_id % 50 = 0) WHERE rn <= 2),
+         |scored AS (SELECT p.q_id, a.vec_id,
+         |  round(list_dot_product(p.qv, a.v) /
+         |    (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS sim
+         |  FROM probes p JOIN assign a ON a.cell = p.probe AND a.vec_id != p.q_id),
          |ranked AS (SELECT *, row_number() OVER
          |  (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
          |SELECT q_id, vec_id, rank, sim FROM ranked WHERE rank <= $K""".stripMargin,

@@ -74,6 +74,14 @@ class DedupSpec extends SparkSpec {
     assert(pairs.filter(col("doc_b") === 13L).count() > 0L)
   }
 
+  test("clusters: connected components label by min doc id; singletons self-label") {
+    GraftExtensions.register(spark)
+    val got = Dedup.clusters(docs, threshold = 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 0-1, 0-3 (and transitively 1-3) form one component; 2 and 4 stand alone.
+    assert(got === Map(0L -> 0L, 1L -> 0L, 3L -> 0L, 2L -> 2L, 4L -> 4L))
+  }
+
   test("normalization-equal texts share a simhash; unrelated texts differ") {
     GraftExtensions.register(spark)
     val sigs = Dedup.simhash(docs).collect()

@@ -44,6 +44,20 @@ class SimilaritySpec extends SparkSpec {
     assert(df.select(Similarity.cosine("a", "a")).head().isNullAt(0))
   }
 
+  test("IVF ANN: every reported neighbor matches brute force sim exactly") {
+    GraftExtensions.register(spark)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val brute = Similarity.knn(emb, queries, k = 500)
+      .select(col("q_id"), col("vec_id"), col("sim"))
+    val ivf = Similarity.knnIvf(emb, queries, k = 10, numCentroids = 8, nprobe = 2)
+    val joined = ivf.as("x").join(brute.as("y"),
+      col("x.q_id") === col("y.q_id") && col("x.vec_id") === col("y.vec_id"))
+    assert(joined.count() === ivf.count())
+    assert(joined.filter(col("x.sim") =!= col("y.sim")).count() === 0L)
+    // nprobe=2 of 8 cells must return results for every query.
+    assert(ivf.select("q_id").distinct().count() === queries.count())
+  }
+
   test("bucketed ANN ranks candidates identically to brute force within cells") {
     GraftExtensions.register(spark)
     val queries = emb.filter(col("vec_id") % 50 === 0)
