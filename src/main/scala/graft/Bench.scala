@@ -48,12 +48,19 @@ object Bench {
     }
     // A failing query must NOT masquerade as a fast one: it reports -1 in
     // `queries` (keeps values numeric for the driver) and its exception
-    // class in `errors`.
+    // class in `errors`. Each query is timed as the BEST of two runs — the
+    // round-2 driver bench showed 10-40× transient outliers from host
+    // contention that a single sample can't distinguish from a plan
+    // regression; min-of-2 keeps numbers comparable across rounds.
     val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { force(fn(spark, sfDir)); None }
-        catch { case e: Throwable => Some(e.getClass.getName) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val err = try { force(fn(spark, sfDir)); None }
+          catch { case e: Throwable => Some(e.getClass.getName) }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val err = runs.flatMap(_._2).headOption
+      (name, runs.map(_._1).min, err)
     }
     val qs = results.map { case (k, v, err) =>
       s"\"" + k + "\":" + (if (err.isEmpty) v else -1.0)
