@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Driver-run benchmark: headline queries on SPARK_GRAFT_SF_DIR, one JSON
   * line on stdout. Results are forced with a `noop`-format write — full
@@ -21,6 +22,52 @@ object Bench {
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  /** Streaming-ingest throughput: the events fixture replayed through the
+    * FULL streaming path — parquet file source → wire-JSON value → decode →
+    * per-batch count → [[graft.store.RecentStore]] append — under
+    * `Trigger.AvailableNow`. Returns (rows ingested, wall seconds); the
+    * emitted `stream_rows_per_s` is the single-node throughput record the
+    * reference never published (BASELINE.md). */
+  private def streamIngest(spark: SparkSession, sfDir: String): (Long, Double) = {
+    import graft.config.{BucketType, MsgSettings}
+    import org.apache.spark.sql.types._
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true") // events.ts is TIMESTAMP(NANOS) (Tables.load)
+    try {
+      // The file source requires a DIRECTORY; the fixture is one read-only
+      // file, so stage it into a temp dir (a 2 MB copy, outside the timer).
+      val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+      dir.toFile.deleteOnExit()
+      java.nio.file.Files.copy(src, dir.resolve("events.parquet"))
+      val path = dir.toString
+      val schema = spark.read.parquet(path).schema
+      val rows = spark.read.parquet(path).count()
+      // Wire shape: whole message as one JSON value, epoch-second timestamp
+      // derived with pure long math (ts is a nanos long under the flag).
+      val stream = spark.readStream.schema(schema).parquet(path)
+        .select(to_json(struct(col("event_type"), col("user_id"),
+          expr("ts div 1000000000").as("timestamp"))).as("value"))
+      val msg = MsgSettings(
+        bucketInterval = 3600, bucketField = "timestamp",
+        bucketType = BucketType.Epoch,
+        msgMapSchema = Seq("etype" -> "event_type", "uid" -> "user_id"))
+      val store = new graft.store.RecentStore(spark, StructType(Seq(
+        StructField("etype", StringType), StructField("uid", StringType),
+        StructField("bucket_start", LongType), StructField("bucket_end", LongType),
+        StructField("count", LongType))), tableName = "bench_stream_counts")
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamShell.attach(stream, msg, store,
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      (rows, (System.nanoTime() - t0) / 1e9)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -68,7 +115,12 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val (streamRows, streamSec) = try streamIngest(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] streamIngest failed: $e"); (0L, -1.0) }
+    val streamRps = if (streamSec > 0) streamRows / streamSec else -1.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,""" +
+      s""""stream_rows":$streamRows,"stream_sec":$streamSec,"stream_rows_per_s":$streamRps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
