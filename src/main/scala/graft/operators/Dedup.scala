@@ -126,11 +126,22 @@ object Dedup {
 
   /** Near-duplicate pairs: band-bucket candidates verified with exact
     * Jaccard over the shingle-hash sets, thresholded. Output
-    * (doc_a, doc_b, jaccard), doc_a < doc_b. */
+    * (doc_a, doc_b, jaccard), doc_a < doc_b.
+    *
+    * `persistBands` (default true) caches the banded-signature table before
+    * the self-join: without it each join side re-runs the whole
+    * shingle→md5→minhash pipeline (two scans + two Generates in the plan) —
+    * the signature table is exactly what a production LSH dedup would
+    * materialize once, and its size is bounded (Bands rows/doc of
+    * band-key + hash set), so MEMORY_AND_DISK is safe at any scale. */
   def nearDuplicates(docs: DataFrame, threshold: Double,
                      textCol: String = "text",
-                     idCol: String = "doc_id"): DataFrame = {
-    val bands = lshBands(docs, textCol, idCol)
+                     idCol: String = "doc_id",
+                     persistBands: Boolean = true): DataFrame = {
+    val raw = lshBands(docs, textCol, idCol)
+    val bands = if (persistBands)
+      raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else raw
     val a = bands.as("a")
     val b = bands.as("b")
     val cand = a.join(b,
@@ -200,7 +211,11 @@ object Dedup {
     * oracle replicates the cap. */
   def ngramJaccard(docs: DataFrame, threshold: Double, maxDf: Long = 30L,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // The hash-set table feeds FIVE plan branches (postings twice through
+    // the self-join, the df-cap, and both verify sides) — materialize it
+    // once instead of re-hashing the corpus per branch.
     val hashed = docs.select(col(idCol), shingleHashes(col(textCol)).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val postings = hashed.select(col(idCol), explode(col("hs")).as("h"))
     val rare = postings.groupBy("h")
       .agg(count(lit(1)).as("df"))
