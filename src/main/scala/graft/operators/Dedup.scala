@@ -245,7 +245,10 @@ object Dedup {
     * (doc_a, doc_b, hamming), doc_a < doc_b. */
   def simhashPairs(docs: DataFrame, maxHamming: Int,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // One signature row per doc — materialize before the self-join so the
+    // 32-bit vote pipeline runs once, not once per join side.
     val sigs = simhash(docs, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sigs.as("a")
     val b = sigs.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") &&

@@ -187,14 +187,22 @@ object Similarity {
   def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int,
              numCentroids: Int = 8, nprobe: Int = 2,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents: Seq[(Long, Seq[Float])] =
+    val cents: Seq[(Long, Seq[Double])] =
       corpus.orderBy(col(idCol)).limit(numCentroids)
         .select(col(idCol), col(vecCol)).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble))).toSeq
+    knnIvfWith(corpus, queries, k, cents, nprobe, idCol, vecCol)
+  }
+
+  /** [[knnIvf]] with EXPLICIT centroids — e.g. the output of [[kmeans]].
+    * Centroid ids become the cell ids. */
+  def knnIvfWith(corpus: DataFrame, queries: DataFrame, k: Int,
+                 cents: Seq[(Long, Seq[Double])], nprobe: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // struct(d2, c_id) per centroid; lexicographic struct ordering gives the
     // (distance, id) tie-break in both array_min and array_sort.
     def centDists(vec: Column, n2: Column): Column = array(cents.map { case (cid, cv) =>
-      val cn2 = cv.foldLeft(0d)((a, x) => a + x.toDouble * x.toDouble)
+      val cn2 = cv.foldLeft(0d)((a, x) => a + x * x)
       struct(((n2 + lit(cn2)) - lit(2d) * call_function("vec_dot", vec,
         typedLit(cv))).as("d2"), lit(cid).as("c_id"))
     }: _*)
@@ -212,6 +220,51 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", idCol, "rank", "sim")
+  }
+
+  /** Deterministic Lloyd k-means over the embedding column — the IVF
+    * training step ([[knnIvfWith]] consumes the result). Init = the k
+    * lowest-id vectors; each iteration broadcasts the current centroids
+    * (k×dim doubles held on the driver — the index build side, like any
+    * broadcast join build), assigns every vector with the same narrow argmin
+    * fold as [[knnIvfWith]] (no join, no shuffle of the corpus), and
+    * recomputes centroids as per-dimension means via posexplode →
+    * (cell, dim) hash aggregate — per iteration ONE bounded shuffle whose
+    * output is k×dim rows, never corpus-sized. Ties break toward the lower
+    * centroid index; an emptied cell keeps its previous centroid. All
+    * arithmetic is double with deterministic order, so results are stable
+    * across runs and partitionings (avg is a pairwise-safe sum per
+    * partition... the per-dimension mean uses Spark's avg, whose partial
+    * sums depend on partitioning — trained centroids are therefore
+    * deterministic per layout, which is why the CORRECTNESS query for
+    * trained IVF is rows-only rather than hash-compared). */
+  def kmeans(corpus: DataFrame, k: Int, iters: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    var cents: Seq[Seq[Double]] = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    for (_ <- 0 until iters) {
+      // The corpus n2 feeds every centroid distance — let-bind it once.
+      val distArr = graft.functions.SqlLet.let(dot(vecCol, vecCol), n2 =>
+        array(cents.zipWithIndex.map { case (cv, i) =>
+          val cn2 = cv.foldLeft(0d)((a, x) => a + x * x)
+          struct(((n2 + lit(cn2)) - lit(2d) * call_function("vec_dot",
+            col(vecCol), typedLit(cv))).as("d2"), lit(i).as("c_id"))
+        }: _*))
+      val assigned = corpus.select(col(vecCol),
+        array_min(distArr).getField("c_id").as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col(vecCol)))
+        .groupBy("cell", "pos").agg(avg(col("col").cast("double")).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      cents = cents.indices.map { i =>
+        byCell.get(i)
+          .map(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+          .getOrElse(cents(i))
+      }
+    }
+    cents
   }
 
   /** Blocked pairwise near-duplicates: intra-block pairs (blockCol equality,

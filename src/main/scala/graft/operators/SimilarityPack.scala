@@ -38,6 +38,18 @@ object SimilarityPack extends QueryPack {
       val emb = table(s, dir, "embeddings")
       Similarity.knnIvf(emb, emb.filter(col("vec_id") % 50 === 0), K,
         numCentroids = 8, nprobe = 2)
+    },
+    // Trained IVF: 3 Lloyd iterations for the centroids. No oracle — the
+    // per-dimension means' partial sums depend on partitioning, so this is
+    // the contract's rows-only check; value-level verification lives in
+    // SimilaritySpec (assignment = argmin, sims match brute force).
+    "q_knn_ivf_trained" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val emb = table(s, dir, "embeddings")
+      val cents = Similarity.kmeans(emb, k = 8, iters = 3)
+        .zipWithIndex.map { case (cv, i) => (i.toLong, cv) }
+      Similarity.knnIvfWith(emb, emb.filter(col("vec_id") % 50 === 0), K,
+        cents, nprobe = 2)
     }
   )
 

@@ -58,6 +58,42 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.select("q_id").distinct().count() === queries.count())
   }
 
+  test("kmeans: k centroids, argmin assignment, trained IVF sims match brute force") {
+    GraftExtensions.register(spark)
+    val cents = Similarity.kmeans(emb, k = 4, iters = 3)
+    assert(cents.size === 4)
+    assert(cents.forall(_.size === cents.head.size)) // uniform dim
+    // Trained IVF results must score identically to brute force.
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val brute = Similarity.knn(emb, queries, k = 500)
+      .select(col("q_id"), col("vec_id"), col("sim"))
+    val ivf = Similarity.knnIvfWith(emb, queries, k = 10,
+      cents.zipWithIndex.map { case (cv, i) => (i.toLong, cv) }, nprobe = 2)
+    val joined = ivf.as("x").join(brute.as("y"),
+      col("x.q_id") === col("y.q_id") && col("x.vec_id") === col("y.vec_id"))
+    assert(joined.count() === ivf.count())
+    assert(joined.filter(col("x.sim") =!= col("y.sim")).count() === 0L)
+  }
+
+  test("kmeans distortion is non-increasing over iterations") {
+    GraftExtensions.register(spark)
+    def distortion(cents: Seq[Seq[Double]]): Double = {
+      val dists = org.apache.spark.sql.functions.array(cents.map { cv =>
+        val cn2 = cv.foldLeft(0d)((a, x) => a + x * x)
+        org.apache.spark.sql.functions.call_function("vec_dot", col("embedding"), col("embedding")) +
+          org.apache.spark.sql.functions.lit(cn2) -
+          org.apache.spark.sql.functions.lit(2d) *
+            org.apache.spark.sql.functions.call_function("vec_dot", col("embedding"),
+              org.apache.spark.sql.functions.typedLit(cv))
+      }: _*)
+      emb.select(org.apache.spark.sql.functions.array_min(dists).as("d2"))
+        .agg(org.apache.spark.sql.functions.sum("d2")).head().getDouble(0)
+    }
+    val d1 = distortion(Similarity.kmeans(emb, k = 4, iters = 1))
+    val d3 = distortion(Similarity.kmeans(emb, k = 4, iters = 3))
+    assert(d3 <= d1 + 1e-9)
+  }
+
   test("bucketed ANN ranks candidates identically to brute force within cells") {
     GraftExtensions.register(spark)
     val queries = emb.filter(col("vec_id") % 50 === 0)
