@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis building blocks for large-scale corpus pipelines (the
@@ -86,4 +86,33 @@ object TextFunctions {
     * document-identity hash used by exact dedup; `md5` is identical across
     * engines, so oracle-replicable, unlike xxhash64/murmur). */
   def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** Top-k terms per document by tf·idf, with a RATIONAL idf
+    * ((N+1)/(df+1) — no log: transcendental functions aren't bit-identical
+    * across engines' libm, and a single multiply/divide chain is, so the
+    * DuckDB oracle hash-compares exactly; the ranking is order-isomorphic to
+    * log-idf for fixed tf since log is monotone).
+    *
+    * Plan shape (bounded at any corpus size): explode tokens → (doc, term)
+    * count = tf (shuffle keyed on doc+term, partial agg) → df = count over
+    * the tf table per term (shuffle bounded by vocabulary) → broadcast-or-
+    * shuffle join tf⋈df on term → score → per-doc top-k (WindowGroupLimit
+    * prunes before the final exchange). Output:
+    * (doc_id, term, tf, df, score, rank), rank <= k, ties (score desc, term asc).
+    */
+  def tfIdfTopK(docs: DataFrame, numDocs: Long, k: Int,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(words(normalize(col(textCol)))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("score",
+        round((col("tf") * (lit(numDocs) + lit(1.0d))) / (col("df") + lit(1.0d)), 6))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+  }
 }

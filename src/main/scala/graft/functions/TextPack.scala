@@ -92,6 +92,12 @@ object TextPack extends QueryPack {
       table(s, dir, "documents").select(col("doc_id"),
         call_function("rolling_hash", normalize(col("text"))).as("rfp"))
     },
+    // Per-document top-3 terms by tf·idf (rational idf — see
+    // TextFunctions.tfIdfTopK for why there's no log in it).
+    "q_tfidf_topk" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      TextFunctions.tfIdfTopK(docs, docs.count(), k = 3)
+    },
     // Top-5 words per language — windowed analytics over the corpus
     // (explode → one grouped agg → rank; WindowGroupLimit prunes pre-shuffle).
     "q_top_words_per_lang" -> { (s, dir) =>
@@ -174,6 +180,17 @@ object TextPack extends QueryPack {
          |    [unicode(substr(norm, i, 1))::BIGINT for i in range(1, length(norm) + 1)]),
          |  (h, c) -> (h * 1000003 + c) % 2147483647) AS rfp
          |FROM n""".stripMargin,
+    "q_tfidf_topk" ->
+      s"""WITH n AS ($NormCte),
+         |tok AS (SELECT doc_id, unnest(string_split_regex(norm, '\\s+')) AS term FROM n),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT t.doc_id, t.term, t.tf, d.df,
+         |  round((t.tf * ((SELECT count(*) FROM documents) + 1.0)) / (d.df + 1.0), 6) AS score
+         |  FROM tf t JOIN df d USING (term)),
+         |r AS (SELECT *, row_number() OVER
+         |  (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM sc)
+         |SELECT doc_id, term, tf, df, score, rank FROM r WHERE rank <= 3""".stripMargin,
     "q_top_words_per_lang" ->
       """WITH w AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS word
         |  FROM documents),

@@ -49,6 +49,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(hs.forall(h => h >= 0 && h <= 0xffffffffL))
   }
 
+  test("tfIdfTopK: rare repeated terms outrank ubiquitous ones; k/tie contract") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val docs = Seq(
+      (0L, "spark spark spark common"),
+      (1L, "duck duck common"),
+      (2L, "common common plain")).toDF("doc_id", "text")
+    val got = TextFunctions.tfIdfTopK(docs, numDocs = 3L, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(5)) -> r.getString(1)).toMap
+    // 'common' (df=3) loses to the rare df=1 terms despite equal-or-higher tf:
+    // doc 0: spark 3·4/2=6 > common 1·4/4=1; doc 1: duck 2·4/2=4 > common 1.
+    assert(got((0L, 1L)) === "spark")
+    assert(got((1L, 1L)) === "duck")
+    // doc 2: common 2·4/4=2.0 TIES plain 1·4/2=2.0 → term asc → common first.
+    assert(got((2L, 1L)) === "common")
+    assert(got((2L, 2L)) === "plain")
+  }
+
   test("fingerprint is normalization-invariant") {
     val sparkSession = spark
     import sparkSession.implicits._
