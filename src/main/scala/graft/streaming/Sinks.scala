@@ -64,18 +64,23 @@ object Sinks {
   /** The parameterized form of the upsert: one SQL string with `?`
     * placeholders, plus the row-field names to bind, in placeholder order —
     * insert columns first, then each `{0}` occurrence of each update
-    * template (a template may reference its field more than once). */
+    * template (a template may reference its field more than once). With no
+    * update templates the MySQL-specific `ON DUPLICATE KEY UPDATE` clause is
+    * omitted, leaving a portable prepared INSERT (any JDBC database). */
   def preparedUpsert(schema: UpsertSchema): (String, Seq[String]) = {
     val cols = schema.columns.map(_._1).mkString(",")
     val marks = Seq.fill(schema.columns.size)("?").mkString(",")
-    val update = schema.dupKeyUpdate
-      .map { case (tpl, _) => tpl.replace("{0}", "?") }.mkString(",")
-    val updateBinds = schema.dupKeyUpdate.flatMap { case (tpl, f) =>
-      Seq.fill(tpl.sliding(3).count(_ == "{0}"))(f)
+    val insert = s"INSERT INTO ${schema.tableName} ($cols) VALUES ($marks)"
+    if (schema.dupKeyUpdate.isEmpty) (insert, schema.columns.map(_._2))
+    else {
+      val update = schema.dupKeyUpdate
+        .map { case (tpl, _) => tpl.replace("{0}", "?") }.mkString(",")
+      val updateBinds = schema.dupKeyUpdate.flatMap { case (tpl, f) =>
+        Seq.fill(tpl.sliding(3).count(_ == "{0}"))(f)
+      }
+      (s"$insert ON DUPLICATE KEY UPDATE $update",
+        schema.columns.map(_._2) ++ updateBinds)
     }
-    (s"INSERT INTO ${schema.tableName} ($cols) VALUES ($marks) " +
-      s"ON DUPLICATE KEY UPDATE $update",
-      schema.columns.map(_._2) ++ updateBinds)
   }
 
   /** K6 executor-side JDBC upsert for one micro-batch: per-PARTITION

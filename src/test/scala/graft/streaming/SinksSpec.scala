@@ -55,6 +55,31 @@ class SinksSpec extends SparkSpec {
         Seq("f", "g", "g"))))
   }
 
+  test("upsertBatch round-trips through a real JDBC database (embedded Derby)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val url = "jdbc:derby:memory:graft_sink_test;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE counts (event_type VARCHAR(32), n BIGINT)")
+    conn.close()
+    // Portable prepared-INSERT shape (no MySQL upsert clause): proves the
+    // executor-side PreparedStatement binding + batch commit end to end.
+    // The injection-shaped value must arrive verbatim, never spliced.
+    val hostile = "x'); DROP TABLE counts; --"
+    val df = Seq(("click", 3L), (hostile, 1L)).toDF("etype", "cnt")
+    Sinks.upsertBatch(df,
+      Sinks.UpsertSchema("counts", Seq("event_type" -> "etype", "n" -> "cnt"), Nil),
+      url, user = "", password = "")
+    val check = java.sql.DriverManager.getConnection(url)
+    val rs = check.createStatement()
+      .executeQuery("SELECT event_type, n FROM counts ORDER BY n DESC")
+    val rows = Iterator.continually(rs)
+      .takeWhile(_.next()).map(r => (r.getString(1), r.getLong(2))).toList
+    check.close()
+    assert(rows === List(("click", 3L), (hostile, 1L)))
+  }
+
   test("kafka payload is structural JSON with correct escaping (P10 fix)") {
     val sparkSession = spark
     import sparkSession.implicits._
