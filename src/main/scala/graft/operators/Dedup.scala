@@ -175,19 +175,31 @@ object Dedup {
     * intermediate labels are persisted so each round reads the previous
     * round, not the whole lineage. */
   def clusters(docs: DataFrame, threshold: Double, maxIter: Int = 20,
-               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val pairs = nearDuplicates(docs, threshold, textCol, idCol)
-      .select(col("doc_a"), col("doc_b"))
+               textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    connectedComponents(
+      docs.select(col(idCol).as("node")),
+      nearDuplicates(docs, threshold, textCol, idCol)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      maxIter)
+      .select(col("node").as(idCol), col("cluster_id"))
+
+  /** The reusable CC core behind [[clusters]]: label every `node` with the
+    * minimum node id reachable through `pairs` (columns `src`, `dst` —
+    * treated as undirected; nodes absent from any pair label themselves).
+    * Works over ANY similarity pair set — minhash pairs, simhash pairs,
+    * embedding near-dups. Output: (node, cluster_id). */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
     val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
     edges.count() // materialize once; every round reuses it
-    var current = docs.select(col(idCol).as("node"), col(idCol).as("label")).persist()
+    var current = nodes.select(col("node"), col("node").as("label")).persist()
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      val viaEdges = edges.join(current, edges("doc_b") === current("node"))
-        .select(edges("doc_a").as("node"), col("label"))
+      val viaEdges = edges.join(current, edges("dst") === current("node"))
+        .select(edges("src").as("node"), col("label"))
       val next = current.union(viaEdges)
         .groupBy("node").agg(min("label").as("label")).persist()
       changed = next.join(current.withColumnRenamed("label", "prev"), "node")
@@ -197,7 +209,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    current.select(col("node").as(idCol), col("label").as("cluster_id"))
+    current.select(col("node"), col("label").as("cluster_id"))
   }
 
   /** Exact n-gram Jaccard near-dup — the inverted-index alternative to LSH:
