@@ -50,6 +50,18 @@ object SimilarityPack extends QueryPack {
         .zipWithIndex.map { case (cv, i) => (i.toLong, cv) }
       Similarity.knnIvfWith(emb, emb.filter(col("vec_id") % 50 === 0), K,
         cents, nprobe = 2)
+    },
+    // Embedding-space dedup clusters: connected components over the blocked
+    // cosine near-dup pairs (the same CC core as q_dedup_clusters, fed by a
+    // different similarity operator — the point of the refactor).
+    "q_embed_clusters" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val emb = table(s, dir, "embeddings")
+      Dedup.connectedComponents(
+        emb.select(col("vec_id").as("node")),
+        Similarity.blockedNearDup(emb, "label", NearDupThreshold)
+          .select(col("id_a").as("src"), col("id_b").as("dst")))
+        .select(col("node").as("vec_id"), col("cluster_id"))
     }
   )
 
@@ -130,6 +142,23 @@ object SimilarityPack extends QueryPack {
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE round(list_dot_product(a.v, b.v) /
          |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
-         |  >= $NearDupThreshold""".stripMargin
+         |  >= $NearDupThreshold""".stripMargin,
+    // CC over the near-dup pairs: transitive closure by recursive CTE
+    // (components are bounded by the label blocks), cluster = min reachable
+    // id, singletons self-label — mirrors the q_dedup_clusters oracle.
+    "q_embed_clusters" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+         |p AS (SELECT a.vec_id AS src, b.vec_id AS dst
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.v, b.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+         |    >= $NearDupThreshold),
+         |edges AS (SELECT src AS a, dst AS b FROM p UNION SELECT dst, src FROM p),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |  UNION SELECT r.a, g.b FROM reach r JOIN edges g ON r.b = g.a)
+         |SELECT v.vec_id,
+         |  CAST(coalesce(least(min(r.b), v.vec_id), v.vec_id) AS BIGINT) AS cluster_id
+         |FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
+         |GROUP BY v.vec_id""".stripMargin
   )
 }

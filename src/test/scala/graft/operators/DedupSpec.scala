@@ -82,6 +82,17 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(0L -> 0L, 1L -> 0L, 3L -> 0L, 2L -> 2L, 4L -> 4L))
   }
 
+  test("connectedComponents converges past one hop (chain graph, diameter 3)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val nodes = (0L to 4L).toDF("node")
+    // chain 4-3-2-1; node 0 isolated: min label must travel 3 hops.
+    val pairs = Seq((4L, 3L), (3L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = Dedup.connectedComponents(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("normalization-equal texts share a simhash; unrelated texts differ") {
     GraftExtensions.register(spark)
     val sigs = Dedup.simhash(docs).collect()
