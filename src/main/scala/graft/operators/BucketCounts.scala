@@ -33,4 +33,22 @@ object BucketCounts {
   /** Plain count-by-key — `GROUP BY keys → COUNT(*) AS count`. */
   def countByKey(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("count"))
+
+  /** Salted two-stage count-by-key for SKEWED keys: stage 1 groups by
+    * (keys, salt) where salt = a deterministic spread over `saltBuckets`
+    * derived from a high-cardinality spread column, so one hot key's rows
+    * land on `saltBuckets` reducers instead of one; stage 2 sums the partial
+    * counts per key (tiny — at most saltBuckets rows per key). Results are
+    * IDENTICAL to [[countByKey]] (count is decomposable), so the same oracle
+    * verifies both. Prefer AQE's runtime skew handling by default; this is
+    * the explicit plan-level tool for when the skew is known ahead of time
+    * (e.g. a null-heavy or celebrity key at 100 TB). */
+  def countByKeySalted(df: DataFrame, keys: Seq[String], spreadCol: String,
+                       saltBuckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("_salt", pmod(hash(col(spreadCol)), lit(saltBuckets)))
+    val partial = salted.groupBy((keys :+ "_salt").map(col): _*)
+      .agg(count(lit(1)).as("_partial"))
+    partial.groupBy(keys.map(col): _*)
+      .agg(sum("_partial").as("count"))
+  }
 }

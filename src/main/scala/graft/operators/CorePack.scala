@@ -76,6 +76,11 @@ object CorePack extends QueryPack {
     },
     "q_count_by_key" -> ((s, dir) =>
       BucketCounts.countByKey(table(s, dir, "events"), Seq("event_type"))),
+    // The salted skew variant MUST produce identical results (count is
+    // decomposable) — verified against the same oracle as q_count_by_key.
+    "q_count_by_key_salted" -> ((s, dir) =>
+      BucketCounts.countByKeySalted(table(s, dir, "events"), Seq("event_type"),
+        spreadCol = "event_id")),
     "q_rename_project" -> { (s, dir) =>
       // msg_map_schema analog {"etype": "event_type", "k_val": <json props.k>}
       // — code-contract direction {new -> source} (SURVEY.md §1.3).
@@ -111,6 +116,8 @@ object CorePack extends QueryPack {
     "q_bucket_counts_iso" -> bucketCountsOracle(3600L),
     "q_count_by_key" ->
       "SELECT event_type, count(*) AS count FROM events GROUP BY 1",
+    "q_count_by_key_salted" ->
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS count FROM events GROUP BY 1",
     "q_rename_project" ->
       """SELECT event_id, event_type AS etype,
         |  json_extract_string(props, '$.k') AS k_val
