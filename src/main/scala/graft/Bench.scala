@@ -37,17 +37,20 @@ object Bench {
     spark.conf.set(key, "true") // events.ts is TIMESTAMP(NANOS) (Tables.load)
     try {
       // The file source requires a DIRECTORY; the fixture is one read-only
-      // file, so stage it into a temp dir (a 2 MB copy, outside the timer).
-      val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+      // file. Stage it SPLIT into 8 files (outside the timer) and cap 2
+      // files per trigger → 4 micro-batches, so the measured rate includes
+      // real per-batch planning/commit overhead, not one giant batch.
       val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
       dir.toFile.deleteOnExit()
-      java.nio.file.Files.copy(src, dir.resolve("events.parquet"))
       val path = dir.toString
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .repartition(8).write.mode("overwrite").parquet(path)
       val schema = spark.read.parquet(path).schema
       val rows = spark.read.parquet(path).count()
       // Wire shape: whole message as one JSON value, epoch-second timestamp
       // derived with pure long math (ts is a nanos long under the flag).
-      val stream = spark.readStream.schema(schema).parquet(path)
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(path)
         .select(to_json(struct(col("event_type"), col("user_id"),
           expr("ts div 1000000000").as("timestamp"))).as("value"))
       val msg = MsgSettings(

@@ -183,6 +183,15 @@ object Dedup {
       maxIter)
       .select(col("node").as(idCol), col("cluster_id"))
 
+  /** The dedup pipeline's final artifacts over a [[clusters]] result: ids to
+    * KEEP (one representative per cluster — the min-id member, which is the
+    * cluster label itself) and the complementary ids to DROP. Narrow
+    * filters, no extra shuffle. */
+  def keepList(clustered: DataFrame, idCol: String = "doc_id"): DataFrame =
+    clustered.filter(col(idCol) === col("cluster_id")).select(idCol)
+  def dropList(clustered: DataFrame, idCol: String = "doc_id"): DataFrame =
+    clustered.filter(col(idCol) =!= col("cluster_id")).select(idCol)
+
   /** The reusable CC core behind [[clusters]]: label every `node` with the
     * minimum node id reachable through `pairs` (columns `src`, `dst` —
     * treated as undirected; nodes absent from any pair label themselves).

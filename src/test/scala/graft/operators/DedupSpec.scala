@@ -80,6 +80,11 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // 0-1, 0-3 (and transitively 1-3) form one component; 2 and 4 stand alone.
     assert(got === Map(0L -> 0L, 1L -> 0L, 3L -> 0L, 2L -> 2L, 4L -> 4L))
+    val clustered = Dedup.clusters(docs, threshold = 0.5)
+    assert(Dedup.keepList(clustered).collect().map(_.getLong(0)).toSet ===
+      Set(0L, 2L, 4L))
+    assert(Dedup.dropList(clustered).collect().map(_.getLong(0)).toSet ===
+      Set(1L, 3L))
   }
 
   test("connectedComponents converges past one hop (chain graph, diameter 3)") {
