@@ -203,17 +203,22 @@ object Dedup {
       .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
     edges.count() // materialize once; every round reuses it
-    var current = nodes.select(col("node"), col("node").as("label")).persist()
+    // Each round MUST truncate lineage (localCheckpoint, like RecentStore):
+    // persist alone keeps the nested logical plan, which doubles per round —
+    // by ~15 rounds merely PLANNING (or explainString-ing) the query OOMs.
+    // Found at sf0.1, where longer near-dup chains need more rounds.
+    var current = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val viaEdges = edges.join(current, edges("dst") === current("node"))
         .select(edges("src").as("node"), col("label"))
       val next = current.union(viaEdges)
-        .groupBy("node").agg(min("label").as("label")).persist()
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(true)
       changed = next.join(current.withColumnRenamed("label", "prev"), "node")
         .filter(col("label") =!= col("prev")).count()
-      current.unpersist()
       current = next
       iter += 1
     }
