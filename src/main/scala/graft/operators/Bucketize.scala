@@ -60,6 +60,24 @@ object Bucketize {
       .withColumn("bucket_end", start + intervalSec)
   }
 
+  /** P8 ISO-string bucket (`bucket_datetime`, `audit_utils/audit_utils/utils.py:132-166`):
+    * the bucket bounds as ISO strings rather than epoch longs. The reference
+    * emits UNPADDED, un-normalized date parts (its own zero-padding bug —
+    * `'2015-8-21T1:2:3'`); this implements the INTENDED semantics
+    * (`yyyy-MM-dd'T'HH:mm:ss`, zero-padded, UTC), per SURVEY.md §7.4 #4
+    * ("implement the intended semantics, not the bugs"). Narrow projection,
+    * built-in `date_format`. */
+  def bucketizeIsoString(df: DataFrame, field: String, intervalSec: Long,
+                         bucketType: BucketType = BucketType.Timestamp): DataFrame = {
+    val epoch = toEpochSeconds(col(field), bucketType)
+    val start = bucketStart(epoch, intervalSec)
+    val fmt = "yyyy-MM-dd'T'HH:mm:ss"
+    df.withColumn("bucket_start_iso",
+        date_format(timestamp_seconds(start), fmt))
+      .withColumn("bucket_end_iso",
+        date_format(timestamp_seconds(start + intervalSec), fmt))
+  }
+
   /** P9 now-bucket (`bucket_now_epoch`, `audit_utils/audit_utils/utils.py:168-182`):
     * the bucket containing the current UTC time. `current_timestamp()` is a
     * per-query constant, so this is a pair of literal-foldable expressions. */

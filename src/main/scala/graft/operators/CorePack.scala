@@ -104,6 +104,12 @@ object CorePack extends QueryPack {
       val counts = BucketCounts.countByKey(table(s, dir, "events"), Seq("event_type"))
       counts.select(col("event_type"),
         to_json(struct(col("event_type"), col("count"))).as("json_msg"))
+    },
+    // P8 ISO-string bucket bounds (intended semantics: zero-padded, UTC).
+    "q_bucket_iso_str" -> { (s, dir) =>
+      Bucketize.bucketizeIsoString(table(s, dir, "events"), "ts", 3600L)
+        .groupBy("event_type", "bucket_start_iso", "bucket_end_iso")
+        .agg(count(lit(1)).as("count"))
     }
   )
 
@@ -127,6 +133,14 @@ object CorePack extends QueryPack {
         |  CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_start,
         |  CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) + 3600 AS bucket_end
         |FROM events""".stripMargin,
+    "q_bucket_iso_str" ->
+      """SELECT event_type,
+        |  strftime(to_timestamp(CAST(floor(epoch(ts)/3600)*3600 AS BIGINT)),
+        |    '%Y-%m-%dT%H:%M:%S') AS bucket_start_iso,
+        |  strftime(to_timestamp(CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) + 3600),
+        |    '%Y-%m-%dT%H:%M:%S') AS bucket_end_iso,
+        |  count(*) AS count
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
     // to_json emits compact {"event_type":"x","count":N} — replicated by
     // concatenation (fixture values contain no JSON-special characters).
     "q_append_count_json" ->
