@@ -174,7 +174,7 @@ object Dedup {
     * convergence check is a COUNT (a scalar aggregate), not a data collect;
     * intermediate labels are persisted so each round reads the previous
     * round, not the whole lineage. */
-  def clusters(docs: DataFrame, threshold: Double, maxIter: Int = 20,
+  def clusters(docs: DataFrame, threshold: Double, maxIter: Int = 50,
                textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     connectedComponents(
       docs.select(col(idCol).as("node")),
@@ -198,7 +198,7 @@ object Dedup {
     * Works over ANY similarity pair set — minhash pairs, simhash pairs,
     * embedding near-dups. Output: (node, cluster_id). */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 50): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
