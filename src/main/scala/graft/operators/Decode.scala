@@ -46,7 +46,15 @@ object Decode {
         val allPresent = required
           .map(f => col("_parsed").getField(f).isNotNull)
           .reduce(_ && _)
-        parsed.filter(allPresent)
+        // SURVEY §4 pitfall 3: the reference ERRORS on a missing field, we
+        // drop the record — but the drop must be countable, not silent. The
+        // observation rides the same pass (no extra job); read it after an
+        // action via df.queryExecution.observedMetrics("graft_decode").
+        parsed
+          .observe("graft_decode",
+            count(lit(1)).as("rows_in"),
+            sum(when(allPresent, 0L).otherwise(1L)).as("rows_dropped"))
+          .filter(allPresent)
       } else parsed
     val epoch = Bucketize.toEpochSeconds(
       col("_parsed").getField(msg.bucketField), msg.bucketType)

@@ -46,6 +46,11 @@ class ProjectSpec extends SparkSpec {
     ).toDF("value")
     val strict = Decode.decode(df, "value", msg)
     assert(strict.collect().map(_.getString(0)).toSeq === Seq("a"))
+    // The drop is observable, not silent: the graft_decode metric rides the
+    // same pass (rows seen, rows dropped for missing required fields).
+    val metrics = strict.queryExecution.observedMetrics("graft_decode")
+    assert(metrics.getAs[Long]("rows_in") === 2L)
+    assert(metrics.getAs[Long]("rows_dropped") === 1L)
     val lax = Decode.decode(df, "value", msg, strict = false)
     assert(lax.count() === 2L)
   }
