@@ -118,9 +118,13 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    val (streamRows, streamSec) = try streamIngest(spark, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] streamIngest failed: $e"); (0L, -1.0) }
+    // Min-of-2 like the queries — a single streaming sample is just as
+    // exposed to transient host contention.
+    val (streamRows, streamSec) = try {
+      val runs = (1 to 2).map(_ => streamIngest(spark, sfDir))
+      (runs.head._1, runs.map(_._2).min)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] streamIngest failed: $e"); (0L, -1.0) }
     val streamRps = if (streamSec > 0) streamRows / streamSec else -1.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,""" +
       s""""stream_rows":$streamRows,"stream_sec":$streamSec,"stream_rows_per_s":$streamRps,"sf":"$sfDir"}""")
