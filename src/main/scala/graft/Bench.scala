@@ -65,7 +65,13 @@ object Bench {
       val q = graft.streaming.StreamShell.attach(stream, msg, store,
         trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       q.awaitTermination()
-      (rows, (System.nanoTime() - t0) / 1e9)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // deleteOnExit is a no-op on non-empty dirs — delete the staged copy
+      // explicitly or repeated bench runs accumulate fixtures in /tmp.
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      (rows, elapsed)
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)

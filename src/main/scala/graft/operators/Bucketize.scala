@@ -71,11 +71,28 @@ object Bucketize {
                          bucketType: BucketType = BucketType.Timestamp): DataFrame = {
     val epoch = toEpochSeconds(col(field), bucketType)
     val start = bucketStart(epoch, intervalSec)
-    val fmt = "yyyy-MM-dd'T'HH:mm:ss"
-    df.withColumn("bucket_start_iso",
-        date_format(timestamp_seconds(start), fmt))
-      .withColumn("bucket_end_iso",
-        date_format(timestamp_seconds(start + intervalSec), fmt))
+    df.withColumn("bucket_start_iso", isoUtc(start))
+      .withColumn("bucket_end_iso", isoUtc(start + intervalSec))
+  }
+
+  /** Epoch seconds → `yyyy-MM-dd'T'HH:mm:ss` in UTC, via pure civil-date
+    * math (DateType + integer time-of-day): `date_format`/`from_unixtime`
+    * would render in `spark.sql.session.timeZone`, silently breaking the
+    * UTC contract in any non-UTC session. DateType arithmetic and its
+    * string cast are timezone-free. Domain: nonneg epochs (the engine's
+    * epoch wire domain — `div`/`%` truncation would misalign pre-1970). */
+  private def isoUtc(epochSeconds: Column): Column = {
+    // floor-div via double is exact for epoch seconds ≪ 2^53 (same idiom as
+    // bucketStart above).
+    def fdiv(c: Column, d: Long): Column = floor(c / d).cast("long")
+    val days = fdiv(epochSeconds, 86400L)
+    val secs = epochSeconds - days * 86400L
+    def two(c: Column): Column = lpad(c.cast("string"), 2, "0")
+    concat(
+      date_add(lit(java.sql.Date.valueOf("1970-01-01")), days.cast("int")).cast("string"),
+      lit("T"), two(fdiv(secs, 3600L)),
+      lit(":"), two(fdiv(secs % 3600L, 60L)),
+      lit(":"), two(secs % 60L))
   }
 
   /** P9 now-bucket (`bucket_now_epoch`, `audit_utils/audit_utils/utils.py:168-182`):

@@ -20,6 +20,20 @@ import graft.config.{BucketType, MsgSettings, GraftConfig}
   */
 object Decode {
 
+  private val ObserveSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The strict-decode drop counters of an EXECUTED frame: (rows_in,
+    * rows_dropped) summed over every `graft_decode_*` observation in the
+    * plan (one per strict [[decode]] call composed into it). Empty map
+    * access never throws — returns (0, 0) when no strict decode ran. */
+  def decodeMetrics(df: DataFrame): (Long, Long) =
+    df.queryExecution.observedMetrics.toSeq.collect {
+      // .toSeq first: collecting a Map into (Long, Long) pairs would build
+      // a Map again and silently DEDUPE equal per-observation counts.
+      case (name, row) if name.startsWith("graft_decode_") =>
+        (row.getAs[Long]("rows_in"), row.getAs[Long]("rows_dropped"))
+    }.foldLeft((0L, 0L)) { case ((a, b), (x, y)) => (a + x, b + y) }
+
   /** Parse a JSON string column into the projected source fields (all strings —
     * the reference treats values opaquely, SURVEY.md §1.2).
     *
@@ -49,11 +63,16 @@ object Decode {
         // SURVEY §4 pitfall 3: the reference ERRORS on a missing field, we
         // drop the record — but the drop must be countable, not silent. The
         // observation rides the same pass (no extra job); read it after an
-        // action via df.queryExecution.observedMetrics("graft_decode").
+        // action via [[decodeMetrics]]. The name is unique PER CALL —
+        // observed-metric names must be unique within one query plan, so a
+        // fixed name would make any composition of two strict decodes
+        // (union, join) fail analysis. count(when(...)) not sum(when(...)):
+        // sum is NULL over an empty (micro-)batch, count is 0.
+        val name = s"graft_decode_${ObserveSeq.incrementAndGet()}"
         parsed
-          .observe("graft_decode",
+          .observe(name,
             count(lit(1)).as("rows_in"),
-            sum(when(allPresent, 0L).otherwise(1L)).as("rows_dropped"))
+            count(when(!allPresent, lit(1))).as("rows_dropped"))
           .filter(allPresent)
       } else parsed
     val epoch = Bucketize.toEpochSeconds(

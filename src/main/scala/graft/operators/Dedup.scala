@@ -223,6 +223,14 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // Silently-wrong beats loudly-wrong nowhere: labels at the cap are NOT
+    // the component minima, so clusters/keep-lists would quietly disagree
+    // with the transitive closure. Diameter > maxIter means the caller
+    // should raise the cap (rounds are cheap once converged — the loop
+    // exits early) or switch to large-star/small-star.
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds " +
+        s"($changed labels still changing) — raise maxIter")
     current.select(col("node"), col("label").as("cluster_id"))
   }
 

@@ -100,13 +100,19 @@ object Sinks {
       try {
         conn.setAutoCommit(false)
         val ps = conn.prepareStatement(sql)
+        var pending = 0
         it.foreach { row =>
           bindIdx.zipWithIndex.foreach { case (ri, pi) =>
             ps.setObject(pi + 1, row.get(ri))
           }
           ps.addBatch()
+          pending += 1
+          // Flush in bounded chunks: one executeBatch over a whole partition
+          // would buffer every bound row in memory (and overflow MySQL's
+          // max_allowed_packet) on large micro-batches.
+          if (pending >= 1000) { ps.executeBatch(); pending = 0 }
         }
-        ps.executeBatch()
+        if (pending > 0) ps.executeBatch()
         conn.commit()
       } finally conn.close()
     }

@@ -96,6 +96,11 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.connectedComponents(nodes, pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // Hitting the round cap before convergence must THROW, not return
+    // silently-wrong labels (diameter 3 > maxIter 1).
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, pairs, maxIter = 1)
+    }
   }
 
   test("normalization-equal texts share a simhash; unrelated texts differ") {

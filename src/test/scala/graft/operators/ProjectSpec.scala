@@ -46,11 +46,17 @@ class ProjectSpec extends SparkSpec {
     ).toDF("value")
     val strict = Decode.decode(df, "value", msg)
     assert(strict.collect().map(_.getString(0)).toSeq === Seq("a"))
-    // The drop is observable, not silent: the graft_decode metric rides the
-    // same pass (rows seen, rows dropped for missing required fields).
-    val metrics = strict.queryExecution.observedMetrics("graft_decode")
-    assert(metrics.getAs[Long]("rows_in") === 2L)
-    assert(metrics.getAs[Long]("rows_dropped") === 1L)
+    // The drop is observable, not silent: the graft_decode_* metric rides
+    // the same pass (rows seen, rows dropped for missing required fields).
+    assert(Decode.decodeMetrics(strict) === ((2L, 1L)))
+    // Composability: two strict decodes in ONE plan must not collide on the
+    // observation name, and their metrics aggregate.
+    val both = Decode.decode(df, "value", msg)
+      .unionByName(Decode.decode(df, "value", msg))
+    // Metrics attach to the executed QueryExecution — run `both` itself
+    // (count() would execute a derived plan with its own empty metrics).
+    assert(both.collect().length === 2)
+    assert(Decode.decodeMetrics(both) === ((4L, 2L)))
     val lax = Decode.decode(df, "value", msg, strict = false)
     assert(lax.count() === 2L)
   }

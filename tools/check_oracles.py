@@ -67,7 +67,9 @@ for name in names:
         # where DuckDB HUGEINT/DECIMAL become decimal128/float64 and no
         # longer hash-equal to Spark's int64 even when the Python ints match
         # (bit us in r02's q_simhash). Flag any non-primitive arrow type.
-        osch = con.execute(sql).arrow().schema
+        # LIMIT 0 wrapper: schema only — don't execute the full oracle twice
+        # (the recursive-CTE cluster oracles are the gate's slowest queries).
+        osch = con.execute(f"SELECT * FROM ({sql}) LIMIT 0").arrow().schema
         bad = [f"{f.name}:{f.type}" for f in osch
                if str(f.type).startswith(("decimal", "uint64"))]
         if bad:
