@@ -231,13 +231,18 @@ object Similarity {
     * recomputes centroids as per-dimension means via posexplode →
     * (cell, dim) hash aggregate — per iteration ONE bounded shuffle whose
     * output is k×dim rows, never corpus-sized. Ties break toward the lower
-    * centroid index; an emptied cell keeps its previous centroid. All
-    * arithmetic is double with deterministic order, so results are stable
-    * across runs and partitionings (avg is a pairwise-safe sum per
-    * partition... the per-dimension mean uses Spark's avg, whose partial
-    * sums depend on partitioning — trained centroids are therefore
-    * deterministic per layout, which is why the CORRECTNESS query for
-    * trained IVF is rows-only rather than hash-compared). */
+    * centroid index; an emptied cell keeps its previous centroid.
+    *
+    * Determinism: the per-dimension mean is a SEQUENTIAL double fold over
+    * the cell's values in ascending `idCol` order
+    * (`aggregate(array_sort(collect_list(struct(id, v))), 0d, +)`), not
+    * `avg` — partial-sum order therefore cannot leak into the result, so
+    * trained centroids are bit-identical across runs AND partitionings, and
+    * the DuckDB oracle replicates the whole 3-iteration run value-for-value
+    * (`list_reduce` over `list(val ORDER BY vec_id)`). Cost: the per-group
+    * collect_list holds one cell's values for one dimension (cell size
+    * doubles, k×dim groups) — fine while cells fit a task; at extreme cell
+    * sizes trade determinism back for `avg` or pre-bucket the fold. */
   def kmeans(corpus: DataFrame, k: Int, iters: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
     var cents: Seq[Seq[Double]] = corpus.orderBy(col(idCol)).limit(k)
@@ -251,11 +256,17 @@ object Similarity {
           struct(((n2 + lit(cn2)) - lit(2d) * call_function("vec_dot",
             col(vecCol), typedLit(cv))).as("d2"), lit(i).as("c_id"))
         }: _*))
-      val assigned = corpus.select(col(vecCol),
+      val assigned = corpus.select(col(idCol), col(vecCol),
         array_min(distArr).getField("c_id").as("cell"))
+      val sortedVals = transform(
+        array_sort(collect_list(struct(col(idCol).as("id"),
+          col("col").cast("double").as("v")))),
+        _.getField("v"))
       val means = assigned
-        .select(col("cell"), posexplode(col(vecCol)))
-        .groupBy("cell", "pos").agg(avg(col("col").cast("double")).as("m"))
+        .select(col("cell"), col(idCol), posexplode(col(vecCol)))
+        .groupBy("cell", "pos")
+        .agg((aggregate(sortedVals, lit(0d), (acc, x) => acc + x)
+          / count(lit(1)).cast("double")).as("m"))
         .collect()
       val byCell = means.groupBy(_.getInt(0))
       cents = cents.indices.map { i =>

@@ -39,10 +39,10 @@ object SimilarityPack extends QueryPack {
       Similarity.knnIvf(emb, emb.filter(col("vec_id") % 50 === 0), K,
         numCentroids = 8, nprobe = 2)
     },
-    // Trained IVF: 3 Lloyd iterations for the centroids. No oracle — the
-    // per-dimension means' partial sums depend on partitioning, so this is
-    // the contract's rows-only check; value-level verification lives in
-    // SimilaritySpec (assignment = argmin, sims match brute force).
+    // Trained IVF: 3 Lloyd iterations for the centroids. The k-means mean is
+    // a sorted sequential fold (see Similarity.kmeans), so the oracle
+    // replicates the whole training run bit-for-bit and this query
+    // hash-compares like the rest.
     "q_knn_ivf_trained" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       val emb = table(s, dir, "embeddings")
@@ -72,6 +72,28 @@ object SimilarityPack extends QueryPack {
   private def bucketSql(v: String): String =
     (0 until 4).map(d => s"(CASE WHEN $v[${d + 1}] > 0 THEN ${1 << d} ELSE 0 END)")
       .mkString(" + ")
+
+  /** One Lloyd iteration as raw CTE fragments (no margins — appended into
+    * the final query verbatim): assign by argmin((v·v + c·c) − 2·v·c, c_id),
+    * re-mean each (cell, dim) as a sequential double fold over values in
+    * ascending vec_id order (list_reduce with an explicit 0.0 seed — the
+    * exact association order of Similarity.kmeans), empty cells keep the
+    * previous centroid. */
+  private def lloydIter(prev: String, a: String, m: String, c: String): String =
+    s"""$a AS (SELECT vec_id, v, cell FROM (
+       |  SELECT e.vec_id, e.v, c.c_id AS cell, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY (list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv))
+       |      - 2 * list_dot_product(e.v, c.cv), c.c_id) AS rn
+       |  FROM e, $prev c) WHERE rn = 1),
+       |$m AS (SELECT cell, pos,
+       |    list_reduce([0.0::DOUBLE] || list(val ORDER BY vec_id), (x, y) -> x + y)
+       |      / count(*) AS m
+       |  FROM (SELECT vec_id, cell, generate_subscripts(v, 1) AS pos,
+       |        unnest(v) AS val FROM $a)
+       |  GROUP BY cell, pos),
+       |$c AS (SELECT p.c_id, coalesce(n.cv, p.cv) AS cv FROM $prev p LEFT JOIN
+       |  (SELECT cell AS c_id, list(m ORDER BY pos) AS cv FROM $m GROUP BY cell) n
+       |  ON n.c_id = p.c_id)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "q_knn_bucketed" ->
@@ -134,6 +156,36 @@ object SimilarityPack extends QueryPack {
          |ranked AS (SELECT *, row_number() OVER
          |  (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
          |SELECT q_id, vec_id, rank, sim FROM ranked WHERE rank <= $K""".stripMargin,
+    // Trained IVF: replicate the full 3-iteration Lloyd run (init = 8
+    // lowest-id vectors, c_id = 0..7 rank order exactly like kmeans'
+    // zipWithIndex), then assign/probe/score with the trained centroids —
+    // same machinery as q_knn_ivf but over c3 instead of the raw seeds.
+    // Assembled by concatenation so each fragment strips its margin once.
+    "q_knn_ivf_trained" -> (Seq(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_id, v AS cv
+         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8))""".stripMargin,
+      lloydIter("c0", "a1", "m1", "c1"),
+      lloydIter("c1", "a2", "m2", "c2"),
+      lloydIter("c2", "a3", "m3", "c3"),
+      s"""assign AS (SELECT vec_id, v, cell FROM (
+         |  SELECT e.vec_id, e.v, c.c_id AS cell, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY (list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv))
+         |      - 2 * list_dot_product(e.v, c.cv), c.c_id) AS rn
+         |  FROM e, c3 c) WHERE rn = 1),
+         |probes AS (SELECT q_id, qv, cell AS probe FROM (
+         |  SELECT e.vec_id AS q_id, e.v AS qv, c.c_id AS cell, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY (list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv))
+         |      - 2 * list_dot_product(e.v, c.cv), c.c_id) AS rn
+         |  FROM e, c3 c WHERE e.vec_id % 50 = 0) WHERE rn <= 2),
+         |scored AS (SELECT p.q_id, a.vec_id,
+         |  round(list_dot_product(p.qv, a.v) /
+         |    (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS sim
+         |  FROM probes p JOIN assign a ON a.cell = p.probe AND a.vec_id != p.q_id),
+         |ranked AS (SELECT *, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
+         |SELECT q_id, vec_id, rank, sim FROM ranked WHERE rank <= $K""".stripMargin
+    ).mkString(",\n")),
     "q_embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

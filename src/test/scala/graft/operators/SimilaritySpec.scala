@@ -75,6 +75,49 @@ class SimilaritySpec extends SparkSpec {
     assert(joined.filter(col("x.sim") =!= col("y.sim")).count() === 0L)
   }
 
+  test("kmeans is bit-identical across partitionings (sorted-fold means)") {
+    GraftExtensions.register(spark)
+    val base = Similarity.kmeans(emb, k = 4, iters = 3)
+    // Different layouts: single partition and a shuffled 7-way repartition —
+    // avg-based means would differ in the last ulps; the sorted sequential
+    // fold must not.
+    val one = Similarity.kmeans(emb.coalesce(1), k = 4, iters = 3)
+    val seven = Similarity.kmeans(emb.repartition(7, col("vec_id")), k = 4, iters = 3)
+    assert(one === base)
+    assert(seven === base)
+  }
+
+  test("kmeans: an emptied cell keeps its previous centroid") {
+    GraftExtensions.register(spark)
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // Seeds = 3 lowest-id vectors; ids 1 and 2 are IDENTICAL, so every
+    // vector ties between centroids 1 and 2 at equal distance and the tie
+    // breaks toward the lower index — cell 2 empties and must keep its seed
+    // centroid verbatim while cells 0/1 move to their members' means.
+    val tiny = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(10f, 0f)), (2L, Seq(10f, 0f)),
+      (3L, Seq(0f, 1f)), (4L, Seq(9f, 1f)), (5L, Seq(11f, 0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeans(tiny, k = 3, iters = 1)
+    assert(cents.size === 3)
+    assert(cents(2) === Seq(10d, 0d))  // untouched seed (empty cell)
+    assert(cents(0) === Seq(0d, 0.5d)) // mean of {v0, v3}
+    assert(cents(1) === Seq(10d, 0.25d)) // mean of {v1, v2, v4, v5}
+  }
+
+  test("kmeans at sf0.1 with large k: stable under repartitioning, uniform dims") {
+    GraftExtensions.register(spark)
+    // Real-cluster fixture where cells CAN empty (large k over 16 labels);
+    // the determinism contract must hold regardless.
+    val big = graft.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val a = Similarity.kmeans(big, k = 48, iters = 2)
+    val b = Similarity.kmeans(big.repartition(11, col("vec_id")), k = 48, iters = 2)
+    assert(a.size === 48)
+    assert(a.forall(_.size === a.head.size))
+    assert(a === b)
+  }
+
   test("kmeans distortion is non-increasing over iterations") {
     GraftExtensions.register(spark)
     def distortion(cents: Seq[Seq[Double]]): Double = {
