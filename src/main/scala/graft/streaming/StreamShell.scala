@@ -150,7 +150,13 @@ object StreamShell {
       GraftConfig.schemaToStructType(cfg.store.schema),
       tableName = cfg.store.tableName,
       cleanInterval = cfg.store.cleanInterval.toLong,
-      cleanFreq = cfg.store.cleanFreq.toLong)
+      cleanFreq = cfg.store.cleanFreq.toLong,
+      // This store runs UNBOUNDED: without periodic lineage truncation the
+      // per-batch unions accumulate a thousands-child plan over a long
+      // stream (planning + view re-registration degrade linearly; retention
+      // trims data, not plan nodes). Truncate on the retention cadence,
+      // clamped so a huge cleanFreq can't re-open the leak.
+      materializeEvery = cfg.store.cleanFreq.min(64).max(1))
     val decoder = cfg.kafka.avroValueSchema.map { avsc => (df: DataFrame) =>
       graft.sources.AvroCodec.decodeValues(df, "value", avsc)
     }

@@ -166,6 +166,42 @@ class StreamShellSpec extends SparkSpec {
     assert((row.getString(0), row.getLong(1), row.getLong(2)) === (("click", 0L, 2L)))
   }
 
+  test("long-running assembly keeps the store plan bounded (lineage truncation)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.config.{GraftConfig, StoreSettings}
+
+    // runWithSource must default materializeEvery: an unbounded stream
+    // otherwise accumulates one union child PER MICRO-BATCH forever
+    // (retention trims rows, not plan nodes).
+    val cfg = GraftConfig(
+      msg = msg,
+      store = StoreSettings(tableName = "bounded_store",
+        cleanInterval = 1000, cleanFreq = 5,
+        schema = Seq("etype" -> "TEXT", "bucket_start" -> "INTEGER",
+          "bucket_end" -> "INTEGER", "count" -> "INTEGER")))
+    val stream = MemoryStream[(String, String)]
+    val (store, query) = StreamShell.runWithSource(spark, cfg,
+      stream.toDF().toDF("key", "value"),
+      trigger = Some(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)))
+    val batches = 55
+    (1 to batches).foreach { i =>
+      stream.addData(ev(i.toLong * 20)) // one event, one fresh bucket, per batch
+      query.processAllAvailable()
+    }
+    query.stop()
+    // Plan depth stays bounded by the truncation cadence (cleanFreq = 5
+    // appends between localCheckpoints), NOT by the number of batches.
+    val leaves = store.selectAll.queryExecution.logical.collectLeaves().size
+    assert(leaves <= cfg.store.cleanFreq + 1,
+      s"store plan has $leaves leaves after $batches batches — lineage is growing")
+    // And contents are exactly the per-batch generations, none lost.
+    assert(store.maxRstId === Some(batches.toLong))
+    assert(store.selectAll.agg(org.apache.spark.sql.functions.sum("count"))
+      .head().getLong(0) === batches.toLong)
+  }
+
   test("auto-clean fires when the counter hits a cleanFreq multiple") {
     val sparkSession = spark
     import sparkSession.implicits._
