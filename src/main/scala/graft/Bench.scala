@@ -17,7 +17,11 @@ object Bench {
     "q_rename_project", "q_append_count_json",
     "q_decode_bucket", "q_store_select_all", "q_store_sql",
     "q_text_stats", "q_ngram_counts", "q_dedup_near", "q_knn_topk",
-    "q_knn_bucketed", "q_sql_join_agg"
+    "q_knn_bucketed", "q_sql_join_agg",
+    // Round-4 additions (keep the original 14 above for cross-round
+    // comparability): the most expensive LLM-pipeline paths — iterative CC
+    // clustering, tf-idf top-k, and the simhash blocked self-join.
+    "q_dedup_clusters", "q_tfidf_topk", "q_simhash_pairs"
   )
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
@@ -41,37 +45,40 @@ object Bench {
       // files per trigger → 4 micro-batches, so the measured rate includes
       // real per-batch planning/commit overhead, not one giant batch.
       val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
-      dir.toFile.deleteOnExit()
       val path = dir.toString
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .repartition(8).write.mode("overwrite").parquet(path)
-      val schema = spark.read.parquet(path).schema
-      val rows = spark.read.parquet(path).count()
-      // Wire shape: whole message as one JSON value, epoch-second timestamp
-      // derived with pure long math (ts is a nanos long under the flag).
-      val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "2").parquet(path)
-        .select(to_json(struct(col("event_type"), col("user_id"),
-          expr("ts div 1000000000").as("timestamp"))).as("value"))
-      val msg = MsgSettings(
-        bucketInterval = 3600, bucketField = "timestamp",
-        bucketType = BucketType.Epoch,
-        msgMapSchema = Seq("etype" -> "event_type", "uid" -> "user_id"))
-      val store = new graft.store.RecentStore(spark, StructType(Seq(
-        StructField("etype", StringType), StructField("uid", StringType),
-        StructField("bucket_start", LongType), StructField("bucket_end", LongType),
-        StructField("count", LongType))), tableName = "bench_stream_counts")
-      val t0 = System.nanoTime()
-      val q = graft.streaming.StreamShell.attach(stream, msg, store,
-        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
-      q.awaitTermination()
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // deleteOnExit is a no-op on non-empty dirs — delete the staged copy
-      // explicitly or repeated bench runs accumulate fixtures in /tmp.
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      (rows, elapsed)
+      try {
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .repartition(8).write.mode("overwrite").parquet(path)
+        val schema = spark.read.parquet(path).schema
+        val rows = spark.read.parquet(path).count()
+        // Wire shape: whole message as one JSON value, epoch-second timestamp
+        // derived with pure long math (ts is a nanos long under the flag).
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "2").parquet(path)
+          .select(to_json(struct(col("event_type"), col("user_id"),
+            expr("ts div 1000000000").as("timestamp"))).as("value"))
+        val msg = MsgSettings(
+          bucketInterval = 3600, bucketField = "timestamp",
+          bucketType = BucketType.Epoch,
+          msgMapSchema = Seq("etype" -> "event_type", "uid" -> "user_id"))
+        val store = new graft.store.RecentStore(spark, StructType(Seq(
+          StructField("etype", StringType), StructField("uid", StringType),
+          StructField("bucket_start", LongType), StructField("bucket_end", LongType),
+          StructField("count", LongType))), tableName = "bench_stream_counts")
+        val t0 = System.nanoTime()
+        val q = graft.streaming.StreamShell.attach(stream, msg, store,
+          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        q.awaitTermination()
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        (rows, elapsed)
+      } finally {
+        // Delete the staged copy even when attach/awaitTermination throws —
+        // deleteOnExit is a no-op on non-empty dirs, so a failure path would
+        // otherwise leak a fixture copy in /tmp per run.
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)

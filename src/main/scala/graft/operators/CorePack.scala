@@ -133,11 +133,14 @@ object CorePack extends QueryPack {
         |  CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS bucket_start,
         |  CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) + 3600 AS bucket_end
         |FROM events""".stripMargin,
+    // make_timestamp (naive TIMESTAMP, µs) keeps the oracle timezone-free —
+    // to_timestamp returns TIMESTAMPTZ and strftime would render it in the
+    // DuckDB session TimeZone, shifting the output on any non-UTC host.
     "q_bucket_iso_str" ->
       """SELECT event_type,
-        |  strftime(to_timestamp(CAST(floor(epoch(ts)/3600)*3600 AS BIGINT)),
+        |  strftime(make_timestamp(CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) * 1000000),
         |    '%Y-%m-%dT%H:%M:%S') AS bucket_start_iso,
-        |  strftime(to_timestamp(CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) + 3600),
+        |  strftime(make_timestamp((CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) + 3600) * 1000000),
         |    '%Y-%m-%dT%H:%M:%S') AS bucket_end_iso,
         |  count(*) AS count
         |FROM events GROUP BY 1, 2, 3""".stripMargin,

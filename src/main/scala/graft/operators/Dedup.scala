@@ -48,6 +48,16 @@ object Dedup {
   val Bands = 4
   val RowsPerBand = 4
 
+  /** Default hot-band cap for [[nearDuplicates]]: bands whose bucket exceeds
+    * this many documents are dropped before the self-join. A band shared by
+    * B docs contributes B² candidate pairs — one adversarial band (boiler-
+    * plate headers, templated spam) would otherwise go quadratic no matter
+    * how good the hash family is. Same discipline as [[ngramJaccard]]'s
+    * `maxDf`; the DuckDB oracle replicates the cap, so recall loss on
+    * over-cap bands is declared semantics, not a correctness gap. Fixture
+    * maxima are 3 (sf0.01) / 14 (sf0.1) — far under the default. */
+  val MaxBand = 64L
+
   /** 32-bit integer hash of a string: first 4 md5 bytes as an unsigned int —
     * exactly `('0x' || substr(md5(s),1,8))::BIGINT` on the DuckDB side.
     * Codegen'd [[graft.plans.Md5Hash32Expr]] (no hex round-trip, thread-local
@@ -128,20 +138,30 @@ object Dedup {
     * Jaccard over the shingle-hash sets, thresholded. Output
     * (doc_a, doc_b, jaccard), doc_a < doc_b.
     *
-    * `persistBands` (default true) caches the banded-signature table before
-    * the self-join: without it each join side re-runs the whole
-    * shingle→md5→minhash pipeline (two scans + two Generates in the plan) —
-    * the signature table is exactly what a production LSH dedup would
-    * materialize once, and its size is bounded (Bands rows/doc of
-    * band-key + hash set), so MEMORY_AND_DISK is safe at any scale. */
+    * `persistBands` (default true) materializes the banded-signature table
+    * before the self-join (eager `localCheckpoint`): without it each join
+    * side re-runs the whole shingle→md5→minhash pipeline (two scans + two
+    * Generates in the plan) — the signature table is exactly what a
+    * production LSH dedup would materialize once, and its size is bounded
+    * (Bands rows/doc of band-key + hash set). localCheckpoint rather than
+    * `persist`: cache entries registered by repeated calls (clusters(),
+    * bench min-of-2) outlive their consumers for the whole session, while
+    * checkpoint RDDs are released by the ContextCleaner as soon as the
+    * result DataFrame is dropped. */
   def nearDuplicates(docs: DataFrame, threshold: Double,
                      textCol: String = "text",
                      idCol: String = "doc_id",
-                     persistBands: Boolean = true): DataFrame = {
+                     persistBands: Boolean = true,
+                     maxBand: Long = MaxBand): DataFrame = {
     val raw = lshBands(docs, textCol, idCol)
-    val bands = if (persistBands)
-      raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else raw
+    val all = if (persistBands) raw.localCheckpoint(eager = true) else raw
+    // Hot-band cap (see [[MaxBand]]): one window count over the band key —
+    // the same shuffle partitioning the self-join needs anyway, evaluated
+    // over the materialized signature table.
+    val bands = all
+      .withColumn("_bsz", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band")))
+      .filter(col("_bsz") <= maxBand).drop("_bsz")
     val a = bands.as("a")
     val b = bands.as("b")
     val cand = a.join(b,
@@ -247,9 +267,10 @@ object Dedup {
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // The hash-set table feeds FIVE plan branches (postings twice through
     // the self-join, the df-cap, and both verify sides) — materialize it
-    // once instead of re-hashing the corpus per branch.
+    // once instead of re-hashing the corpus per branch (localCheckpoint,
+    // not persist: see nearDuplicates on cache-entry lifetime).
     val hashed = docs.select(col(idCol), shingleHashes(col(textCol)).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val postings = hashed.select(col(idCol), explode(col("hs")).as("h"))
     val rare = postings.groupBy("h")
       .agg(count(lit(1)).as("df"))
@@ -280,9 +301,10 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // One signature row per doc — materialize before the self-join so the
-    // 32-bit vote pipeline runs once, not once per join side.
+    // 32-bit vote pipeline runs once, not once per join side
+    // (localCheckpoint, not persist: see nearDuplicates on lifetime).
     val sigs = simhash(docs, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     val a = sigs.as("a")
     val b = sigs.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") &&
