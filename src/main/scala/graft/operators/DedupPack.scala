@@ -57,10 +57,12 @@ object DedupPack extends QueryPack {
        |sig AS (SELECT doc_id, hs,
        |  [list_min([($AsList[j] * (x % $P) + $BsList[j]) % $P for x in hs])
        |   for j in range(1, ${Dedup.NumHashes + 1})] AS sig FROM h),
-       |bands AS (SELECT doc_id, hs, unnest(
+       |bands0 AS (SELECT doc_id, hs, unnest(
        |  [CAST(j AS VARCHAR) || ':' || sig[4*j-3] || '_' || sig[4*j-2] || '_'
        |    || sig[4*j-1] || '_' || sig[4*j] for j in range(1, ${Dedup.Bands + 1})]) AS band
        |  FROM sig WHERE len(hs) > 0),
+       |bands AS (SELECT doc_id, hs, band FROM bands0
+       |  QUALIFY count(*) OVER (PARTITION BY band) <= ${Dedup.MaxBand}),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
        |pairs AS (SELECT c.doc_a, c.doc_b,

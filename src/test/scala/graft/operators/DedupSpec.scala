@@ -35,6 +35,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => !Set(a, b).contains(2L) && !Set(a, b).contains(4L) })
   }
 
+  test("hot-band cap bounds candidates on a pathological band") {
+    GraftExtensions.register(spark)
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // 40 IDENTICAL docs = one band bucket of 40 in every band (40·39/2 =
+    // 780 candidate pairs uncapped), plus one near-dup pair elsewhere.
+    val boiler = (100L until 140L).map(i =>
+      (i, "identical boilerplate header repeated across the corpus every time"))
+    val pathological = (boiler ++ Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again tonight")
+    )).toDF("doc_id", "text")
+    // Cap below the hot bucket: the boilerplate band is dropped wholesale,
+    // the genuine pair (bucket size 2) survives.
+    val capped = Dedup.nearDuplicates(pathological, threshold = 0.5, maxBand = 10L)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((0L, 1L)))
+    // Uncapped (cap above bucket size): the quadratic blow-up is visible —
+    // exactly what the cap exists to prevent at scale.
+    val uncapped = Dedup.nearDuplicates(pathological, threshold = 0.5, maxBand = 1000L)
+    assert(uncapped.count() === 780L + 1L)
+  }
+
   test("n-gram Jaccard inverted-index variant agrees with LSH on planted pairs") {
     GraftExtensions.register(spark)
     val viaIndex = Dedup.ngramJaccard(docs, threshold = 0.5, maxDf = 30L)
