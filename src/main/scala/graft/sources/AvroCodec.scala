@@ -75,7 +75,14 @@ object AvroCodec {
         case v: java.lang.Boolean      => node.put(f.name(), v)
         case v: java.nio.ByteBuffer    =>
           node.put(f.name(), java.util.Base64.getEncoder.encodeToString(v.array()))
-        case v                         => node.put(f.name(), v.toString)
+        // Nested records/arrays/maps/enums would previously fall through to
+        // toString and emit non-JSON garbage; the reference's decoder is
+        // scalar-only too (`utils.py:276-304`), so fail fast instead of
+        // corrupting downstream JSON parsing silently.
+        case v                         => throw new UnsupportedOperationException(
+          s"avro field '${f.name()}' has unsupported (non-scalar) runtime type " +
+            s"${v.getClass.getName} — only null/string/int/long/float/double/" +
+            "boolean/bytes fields are decodable")
       }
     }
     node

@@ -27,6 +27,27 @@ class AvroCodecSpec extends SparkSpec {
     assert(decode(Array.empty[Byte]) === null)
   }
 
+  test("nested avro types fail fast instead of emitting toString garbage") {
+    val nestedSchema =
+      """{"type": "record", "name": "Outer", "fields": [
+        |  {"name": "tag", "type": "string"},
+        |  {"name": "nums", "type": {"type": "array", "items": "long"}}]}""".stripMargin
+    // Encode a datum with avro-core directly (encoderFor is scalar-only).
+    val schema = new org.apache.avro.Schema.Parser().parse(nestedSchema)
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("tag", "x")
+    rec.put("nums", java.util.Arrays.asList(1L, 2L))
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+    new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema)
+      .write(rec, enc)
+    enc.flush()
+    val ex = intercept[UnsupportedOperationException] {
+      AvroCodec.decoderFor(nestedSchema)(out.toByteArray)
+    }
+    assert(ex.getMessage.contains("nums"))
+  }
+
   test("DataFrame encode/decode transforms round-trip with nulls") {
     val sparkSession = spark
     import sparkSession.implicits._
