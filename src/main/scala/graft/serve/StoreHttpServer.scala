@@ -1,0 +1,124 @@
+package graft.serve
+
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.store.RecentStore
+
+/** The reference's actual user surface: its store is reached over Flask
+  * routes (`audit_utils/audit_utils/http_endpoint.py:63-67,165-176`), every
+  * response a JSON list of {column: value} dicts (`models.py:176-187`).
+  * This is the same contract over `com.sun.net.httpserver` (zero new
+  * dependencies), mapping each route onto the already-verified
+  * [[RecentStore]] / [[Comparators]] calls:
+  *
+  *   - `GET /a/<table>`          — Q1 select-all; `*` = the store's own table
+  *     (`http_endpoint.py:70-77`)
+  *   - `GET /c/<json>/EOE`       — Q7 per-column comparator select
+  *     (`http_endpoint.py:202-212`)
+  *   - `GET /c/<sql>`            — Q2 arbitrary SQL (`http_endpoint.py:88-92`)
+  *   - `GET /cs/<sql>`           — Q3 SQL→Avro when a schema is set, else
+  *     plain JSON rows (`http_endpoint.py:78-86`)
+  *   - `GET /r`                  — Q4 reconnect/reset (`http_endpoint.py:94-98`)
+  *   - `GET /rst`                — Q5 generation counter (`http_endpoint.py:100-104`)
+  *   - `GET /rv/<n>`             — Q11 recent-N (`http_endpoint.py:171-178`)
+  *   - `GET /dv/<i>`             — Q12 direct fetch (`http_endpoint.py:180-186`)
+  *   - `GET /sr/<param>/<a>:<b>` — Q9 range select, literal `None` = open
+  *     bound (`http_endpoint.py:188-200`)
+  *
+  * Scale note: this veneer `collect()`s query RESULTS to the driver — by
+  * design. It serves the same pre-aggregated bounded store the reference's
+  * Flask process served (cardinality = keys × buckets × generations), never
+  * raw data; big analytical output belongs on the Dataset API, not HTTP.
+  */
+final class StoreHttpServer(store: RecentStore,
+                            avroSchema: Option[String] = None) {
+
+  private val server = HttpServer.create(new InetSocketAddress(0), 0)
+  server.createContext("/", handle _)
+  server.setExecutor(null) // dispatcher thread — a serving veneer, not a pool
+
+  def start(): this.type = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+  def port: Int = server.getAddress.getPort
+
+  /** Rows as the reference's list-of-dicts JSON (`models.py:176-187`).
+    * Nulls are KEPT (`ignoreNullFields=false`) — a dict row always carries
+    * every described column, unlike Spark's default to_json. */
+  private def rowsJson(df: DataFrame): String =
+    df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*),
+        Map("ignoreNullFields" -> "false")))
+      .collect().map(_.getString(0)).mkString("[", ",", "]")
+
+  /** Q3's avro flavor: one base64 string per encoded row datum. */
+  private def avroJson(df: DataFrame): String =
+    df.collect().map(r => "\"" + java.util.Base64.getEncoder
+      .encodeToString(r.getAs[Array[Byte]](0)) + "\"").mkString("[", ",", "]")
+
+  private def handle(ex: HttpExchange): Unit = {
+    val (status, body) =
+      try (200, route(ex.getRequestURI.getRawPath))
+      catch {
+        case e: Exception =>
+          (400, s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}""")
+      }
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def dec(seg: String): String = URLDecoder.decode(seg, UTF_8)
+
+  /** Flask's `<string:…>` converters never match `/`, so one decoded
+    * segment per parameter is the reference contract too. */
+  private def route(rawPath: String): String = {
+    val segs = rawPath.stripPrefix("/").split("/", -1).toList
+    segs match {
+      case "a" :: table :: Nil =>
+        val t = dec(table)
+        if (t == "*") rowsJson(store.selectAll)
+        else rowsJson(store.sql(s"SELECT * FROM `$t`"))
+      case "c" :: json :: "EOE" :: Nil =>
+        // The reference falls back to empty params (→ []) on unparsable
+        // JSON (`http_endpoint.py:206-212`).
+        val df = try Comparators.cGeneralSelectJson(store.selectAll, dec(json))
+          catch { case _: Exception => store.selectAll.limit(0) }
+        rowsJson(df)
+      case "c" :: sql :: Nil  => rowsJson(store.sql(dec(sql)))
+      case "cs" :: sql :: Nil =>
+        avroSchema match {
+          case Some(schema) => avroJson(store.sqlAvro(dec(sql), schema))
+          case None         => rowsJson(store.sql(dec(sql)))
+        }
+      case "r" :: Nil   => store.reset(); "null"
+      case "rst" :: Nil => store.currentRstId.toString
+      case "rv" :: n :: Nil => rowsJson(store.recent(dec(n).toLong))
+      case "dv" :: i :: Nil => rowsJson(store.directFetch(dec(i).toLong))
+      case "sr" :: param :: range :: Nil =>
+        val (lo, hi) = dec(range).split(":", 2) match {
+          case Array(a, b) =>
+            def bound(s: String): Option[Any] =
+              if (s == "None") None else Some(s.toLong)
+            (bound(a), bound(b))
+          case other => throw new IllegalArgumentException(
+            s"bad range '${other.mkString(":")}' (expected start:end)")
+        }
+        rowsJson(Comparators.selectRange(store.selectAll, dec(param), lo, hi))
+      case other => throw new IllegalArgumentException(
+        s"no route for /${other.mkString("/")}")
+    }
+  }
+}

@@ -146,6 +146,11 @@ final class RecentStore(
   def directFetch(rstId: Long): DataFrame =
     data.filter(col("rst_id") === lit(rstId))
 
+  /** Ring `get_onwards` (`models.py:768-772`): every generation from
+    * `rstId` on — the "from slot i onwards" companion of [[directFetch]]. */
+  def getOnwards(rstId: Long): DataFrame =
+    data.filter(col("rst_id") >= lit(rstId))
+
   /** Q4 reconnect/reset (`models.py:496-505`): in-memory db reopen = wipe. */
   def reset(): this.type = {
     data = emptyData()

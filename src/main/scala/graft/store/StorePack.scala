@@ -39,13 +39,15 @@ object StorePack extends QueryPack {
     * cardinality = keys × buckets, tiny), and each generation append is a
     * filter over that cached aggregate — 1 parquet scan instead of 6. The
     * append-per-generation store semantics are unchanged. */
-  def buildStore(spark: SparkSession, dir: String): RecentStore = {
+  def buildStore(spark: SparkSession, dir: String,
+                 tableName: String = "recent_counts",
+                 interval: Long = Interval): RecentStore = {
     val events = table(spark, dir, "events")
       .withColumn("_batch",
         expr(s"(CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT) - $Day0) div $BatchDays"))
     val counts = BucketCounts.bucketCounts(
-      events, "ts", Interval, Seq("event_type", "_batch")).cache()
-    val store = new RecentStore(spark, storeSchema, tableName = "recent_counts",
+      events, "ts", interval, Seq("event_type", "_batch")).cache()
+    val store = new RecentStore(spark, storeSchema, tableName = tableName,
       cleanInterval = 100, cleanFreq = 1000)
     (0L until 6L).foreach { b =>
       store.append(counts.filter(col("_batch") === b).drop("_batch"))
@@ -53,16 +55,18 @@ object StorePack extends QueryPack {
     store
   }
 
-  /** Shared oracle CTE: the store contents with derived rst_id. */
-  private val StoreCte =
-    s"""WITH store AS (
-       |  SELECT event_type,
-       |    CAST(floor(epoch(ts)/$Interval)*$Interval AS BIGINT) AS bucket_start,
-       |    CAST(floor(epoch(ts)/$Interval)*$Interval AS BIGINT) + $Interval AS bucket_end,
+  /** Store-contents select with derived rst_id, for any bucket interval
+    * that never straddles a day boundary. */
+  private def storeSelect(interval: Long): String =
+    s"""SELECT event_type,
+       |    CAST(floor(epoch(ts)/$interval)*$interval AS BIGINT) AS bucket_start,
+       |    CAST(floor(epoch(ts)/$interval)*$interval AS BIGINT) + $interval AS bucket_end,
        |    count(*) AS count,
        |    ((CAST(floor(epoch(ts)/86400) AS BIGINT) - $Day0) // $BatchDays) + 1 AS rst_id
-       |  FROM events GROUP BY 1, 2, 3, 5
-       |)""".stripMargin
+       |  FROM events GROUP BY 1, 2, 3, 5""".stripMargin
+
+  /** Shared oracle CTE: the store contents with derived rst_id. */
+  private val StoreCte = s"WITH store AS (\n  ${storeSelect(Interval)}\n)"
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q1 select-all over the stamped store (also A5 rst_id stamping, K2/K3).
@@ -98,6 +102,28 @@ object StorePack extends QueryPack {
     // Q10 typed sugar: select_gte (reversed: 5 >= count).
     "q_store_select_gte" -> { (s, dir) =>
       Comparators.selectGte(buildStore(s, dir).selectAll, Map("count" -> 5))
+    },
+    // Ring get_onwards (`models.py:768-772`): generations 4..6.
+    "q_store_onwards" -> ((s, dir) => buildStore(s, dir).getOnwards(4L)),
+    // Q13 attach analog (`attach_new_db`, `models.py:189-224`): a SECOND
+    // named store registers its own view in the shared catalog, and one SQL
+    // statement cross-queries both namespaces — Spark's catalog plays the
+    // role of sqlite_master, no ATTACH verb needed. The attached store
+    // carries DAILY buckets; the join reconciles hourly vs daily totals per
+    // event type (broadcastable both sides: keys × generations rows).
+    "q_store_attach_join" -> { (s, dir) =>
+      val primary = buildStore(s, dir)
+      buildStore(s, dir, tableName = "attached_counts", interval = 86400L)
+      primary.sql(
+        """SELECT h.event_type,
+          |  CAST(h.total AS BIGINT) AS hourly_total,
+          |  CAST(d.total AS BIGINT) AS daily_total,
+          |  h.n_buckets AS hourly_buckets, d.n_buckets AS daily_buckets
+          |FROM (SELECT event_type, sum(count) AS total, count(*) AS n_buckets
+          |      FROM recent_counts GROUP BY event_type) h
+          |JOIN (SELECT event_type, sum(count) AS total, count(*) AS n_buckets
+          |      FROM attached_counts GROUP BY event_type) d
+          |  ON h.event_type = d.event_type""".stripMargin)
     }
   )
 
@@ -119,6 +145,22 @@ object StorePack extends QueryPack {
       s"""$StoreCte SELECT * FROM store
          |WHERE event_type = 'click' AND 4 > count AND 1704672000 >= bucket_start""".stripMargin,
     "q_store_select_gte" ->
-      s"$StoreCte SELECT * FROM store WHERE 5 >= count"
+      s"$StoreCte SELECT * FROM store WHERE 5 >= count",
+    "q_store_onwards" -> s"$StoreCte SELECT * FROM store WHERE rst_id >= 4",
+    "q_store_attach_join" ->
+      s"""WITH store AS (
+         |  ${storeSelect(Interval)}
+         |), store_daily AS (
+         |  ${storeSelect(86400L)}
+         |)
+         |SELECT h.event_type,
+         |  CAST(h.total AS BIGINT) AS hourly_total,
+         |  CAST(d.total AS BIGINT) AS daily_total,
+         |  h.n_buckets AS hourly_buckets, d.n_buckets AS daily_buckets
+         |FROM (SELECT event_type, sum(count) AS total, count(*) AS n_buckets
+         |      FROM store GROUP BY event_type) h
+         |JOIN (SELECT event_type, sum(count) AS total, count(*) AS n_buckets
+         |      FROM store_daily GROUP BY event_type) d
+         |  ON h.event_type = d.event_type""".stripMargin
   )
 }

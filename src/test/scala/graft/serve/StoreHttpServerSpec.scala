@@ -1,0 +1,139 @@
+package graft.serve
+
+import java.net.{URI, URLEncoder}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+import graft.config.GraftConfig
+import graft.streaming.StreamShell
+
+/** The reference's HTTP contract end to end: the README worked example
+  * (`README.md:110-177`) driven through MemoryStream → store → every route,
+  * asserting the exact list-of-dicts JSON the Flask endpoint emits
+  * (`models.py:176-187`). */
+class StoreHttpServerSpec extends SparkSpec {
+
+  private val ini =
+    """[KafkaSettings]
+      |broker = localhost:9092
+      |topic = logstash-test
+      |[MsgSettings]
+      |bucket_interval = 20
+      |bucket_field = timestamp
+      |bucket_type = epoch
+      |msg_map_schema = {"server_name": "origin_server", "topic": "topic"}
+      |[HTTPEndpointSetting]
+      |sqlite_table = http_audit
+      |sqlite_schema = {"server_name": "TEXT", "topic": "TEXT", "bucket_start": "INTEGER", "bucket_end": "INTEGER", "count": "INTEGER"}
+      |clean_interval = 100
+      |clean_freq = 10
+      |""".stripMargin
+
+  private val client = HttpClient.newHttpClient()
+  private def get(port: Int, path: String): (Int, String) = {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+  private def enc(s: String): String = URLEncoder.encode(s, UTF_8)
+
+  test("every reference route round-trips the README worked example") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val cfg = GraftConfig.fromIni(ini)
+    val stream = MemoryStream[(String, String)]
+    val (store, query) = StreamShell.runWithSource(spark, cfg,
+      stream.toDF().toDF("key", "value"),
+      trigger = Some(Trigger.ProcessingTime(0L)))
+    stream.addData(("k",
+      """{"origin_server": "Iceman", "topic": "Dreams", "timestamp": 1440179085}"""))
+    query.processAllAvailable()
+    query.stop()
+
+    val srv = new StoreHttpServer(store).start()
+    try {
+      val row = """{"server_name":"Iceman","topic":"Dreams","bucket_start":1440179080,""" +
+        """"bucket_end":1440179100,"count":1,"rst_id":1}"""
+
+      // Q1 select-all: '*' and the explicit table name (README.md:119-132).
+      assert(get(srv.port, "/a/*") === ((200, s"[$row]")))
+      assert(get(srv.port, "/a/http_audit") === ((200, s"[$row]")))
+
+      // Q5 generation counter: one append happened, next id is 2.
+      assert(get(srv.port, "/rst") === ((200, "2")))
+
+      // Q2 arbitrary SQL.
+      val sql = "SELECT sum(count) AS total FROM http_audit WHERE topic = 'Dreams'"
+      assert(get(srv.port, s"/c/${enc(sql)}") === ((200, """[{"total":1}]""")))
+
+      // Q7 comparator select (/c/<json>/EOE) + unparsable-JSON fallback [].
+      val cjson = """{"bucket_start": ["range", 1440179080, null]}"""
+      assert(get(srv.port, s"/c/${enc(cjson)}/EOE") === ((200, s"[$row]")))
+      assert(get(srv.port, s"/c/${enc("not json")}/EOE") === ((200, "[]")))
+
+      // Q9 range select with open end; then a miss range.
+      assert(get(srv.port, "/sr/bucket_start/1440179080:None") === ((200, s"[$row]")))
+      assert(get(srv.port, "/sr/bucket_start/None:100") === ((200, "[]")))
+
+      // Q11 recent-N and Q12 direct fetch.
+      assert(get(srv.port, "/rv/1") === ((200, s"[$row]")))
+      assert(get(srv.port, "/dv/1") === ((200, s"[$row]")))
+      assert(get(srv.port, "/dv/99") === ((200, "[]")))
+
+      // Unknown route and bad SQL are 400s, not hangs.
+      assert(get(srv.port, "/nope")._1 === 400)
+      assert(get(srv.port, s"/c/${enc("SELECT FROM nothing")}")._1 === 400)
+
+      // Q4 reconnect/reset empties the store.
+      assert(get(srv.port, "/r") === ((200, "null")))
+      assert(get(srv.port, "/a/*") === ((200, "[]")))
+      assert(get(srv.port, "/rst") === ((200, "1")))
+    } finally srv.stop()
+  }
+
+  test("null columns stay present in row dicts (reference dict shape)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import org.apache.spark.sql.types._
+    val store = new graft.store.RecentStore(spark, StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType))),
+      tableName = "null_http")
+    store.append(Seq(("a", Some(1L)), ("b", None))
+      .toDF("k", "v"))
+    val srv = new StoreHttpServer(store).start()
+    try {
+      val (code, body) = get(srv.port, "/a/*")
+      assert(code === 200)
+      assert(body.contains("""{"k":"b","v":null,"rst_id":1}"""))
+    } finally srv.stop()
+  }
+
+  test("Q3 avro flavor: /cs returns base64 datums that decode back") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import org.apache.spark.sql.types._
+    import graft.sources.AvroCodec
+    val avsc =
+      """{"type": "record", "name": "KV", "fields": [
+        |  {"name": "k", "type": ["string", "null"]},
+        |  {"name": "total", "type": ["long", "null"]}]}""".stripMargin
+    val store = new graft.store.RecentStore(spark, StructType(Seq(
+      StructField("k", StringType), StructField("n", LongType))),
+      tableName = "avro_http")
+    store.append(Seq(("a", 2L), ("a", 3L)).toDF("k", "n"))
+    val srv = new StoreHttpServer(store, avroSchema = Some(avsc)).start()
+    try {
+      val sql = "SELECT k, sum(n) AS total FROM avro_http GROUP BY k"
+      val (code, body) = get(srv.port, s"/cs/${enc(sql)}")
+      assert(code === 200)
+      val b64 = body.stripPrefix("[\"").stripSuffix("\"]")
+      val decoded = AvroCodec.decoderFor(avsc)(java.util.Base64.getDecoder.decode(b64))
+      assert(decoded === """{"k":"a","total":5}""")
+    } finally srv.stop()
+  }
+}
