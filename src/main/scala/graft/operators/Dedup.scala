@@ -155,13 +155,14 @@ object Dedup {
                      maxBand: Long = MaxBand): DataFrame = {
     val raw = lshBands(docs, textCol, idCol)
     val all = if (persistBands) raw.localCheckpoint(eager = true) else raw
-    // Hot-band cap (see [[MaxBand]]): one window count over the band key —
-    // the same shuffle partitioning the self-join needs anyway, evaluated
-    // over the materialized signature table.
-    val bands = all
-      .withColumn("_bsz", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("band")))
-      .filter(col("_bsz") <= maxBand).drop("_bsz")
+    // Hot-band cap (see [[MaxBand]]): the over-cap band list comes from a
+    // map-side-combined count (output ≤ distinct bands, and the filter
+    // usually leaves it EMPTY), then a broadcast anti-join drops their rows.
+    // Cheaper than a window count, which would shuffle every band row
+    // before the self-join even when no band is hot.
+    val hot = all.groupBy("band").agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") > maxBand).select("band")
+    val bands = all.join(broadcast(hot), Seq("band"), "left_anti")
     val a = bands.as("a")
     val b = bands.as("b")
     val cand = a.join(b,
