@@ -13,6 +13,7 @@ object SparkEntry {
     store.StorePack,
     functions.TextPack,
     operators.DedupPack,
+    operators.CurationPack,
     operators.SimilarityPack,
     sources.AvroPack,
     multimodal.MediaPack,

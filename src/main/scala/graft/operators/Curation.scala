@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus-curation operators — the selection stage of a training-data
+  * pipeline (what runs AFTER dedup/quality/similarity have scored the
+  * corpus): deterministic stratified sampling for dataset mixing,
+  * intra-document repetition metrics (the classic "repetitious text"
+  * quality filters), and the end-to-end keep-list assembly.
+  *
+  * Everything here is a NARROW projection or a broadcast join — at 100 TB
+  * these run as map-only stages over the corpus scan; the only aggregates
+  * are bounded (per-stratum counts, the exact-dedup keep list that
+  * [[Dedup.exact]] already produces with one fingerprint shuffle).
+  *
+  * Determinism contract: sampling uses a salted md5 hash of the document id
+  * — NO RNG, so the sample is reproducible across runs, partitionings, and
+  * engines, and the DuckDB oracle replicates it value-for-value. (Spark's
+  * `df.sample` is seed-stable only per partitioning, which makes it
+  * unauditable at scale — hash gating is how production pipelines make
+  * sampling a pure function of the data.)
+  */
+object Curation {
+
+  /** Hash-gate denominator: rates are quantized to millionths. */
+  val SampleDenom = 1000000L
+
+  /** Rate → integer gate threshold, computed ONCE on the driver and inlined
+    * as a literal on both the Spark side and the oracle side — the engines
+    * must compare against the SAME integer (Spark's cast truncates, DuckDB's
+    * rounds; 0.35·10⁶ sits exactly on that disagreement). */
+  def gateNumerator(rate: Double): Long = (rate * SampleDenom).toLong
+
+  /** The deterministic Bernoulli gate: keep row iff
+    * `md5_32(salt:id) mod denom < numerator`. Uniform enough per salt, and
+    * INDEPENDENT gates come from different salts (the md5 outputs for
+    * different salts are unrelated) — so a held-out split is just a second
+    * call with another salt. */
+  def hashGate(idCol: Column, salt: String, numerator: Column): Column =
+    pmod(Dedup.md5Hash32(concat(lit(salt), lit(":"), idCol.cast("string"))),
+      lit(SampleDenom)) < numerator
+
+  /** Stratified sampling for dataset mixing: each stratum (language, source,
+    * quality band …) keeps its own rate; strata absent from `rates` are
+    * dropped. Output adds the mixing `weight` = 1/rate (the inverse-
+    * probability weight consumers need to de-bias counts over the sample).
+    * Narrow per-row filter — no shuffle, no RNG. */
+  def sampleStratified(docs: DataFrame, rates: Map[String, Double],
+                       strataCol: String = "lang", idCol: String = "doc_id",
+                       salt: String = "mix"): DataFrame = {
+    require(rates.nonEmpty, "rates must name at least one stratum")
+    rates.values.foreach(r => require(r >= 0d && r <= 1d, s"rate $r outside [0,1]"))
+    // Rate/threshold as literal CASE chains (strata maps are small by
+    // nature); keys sorted so the expression — and the plan — is
+    // deterministic.
+    def caseChain(f: Double => Column): Column =
+      rates.toSeq.sortBy(_._1).foldLeft(lit(null)) {
+        case (els, (k, r)) => when(col(strataCol) === k, f(r)).otherwise(els)
+      }
+    val num = caseChain(r => lit(gateNumerator(r)))
+    docs
+      .withColumn("_num", num)
+      .filter(col("_num").isNotNull && hashGate(col(idCol), salt, col("_num")))
+      .withColumn("weight", lit(1d) / caseChain(lit))
+      .drop("_num")
+  }
+
+  /** The repetition metrics as one struct expression (the token array is
+    * let-bound so the split runs once): n_words, dup_word_frac, n_bigrams,
+    * dup_bigram_frac — the Gopher/C4-style "repetitious text" signals. */
+  def repetitionStruct(text: Column): Column = {
+    import graft.functions.SqlLet
+    SqlLet.let(TextFunctions.words(TextFunctions.normalize(text)), ws => {
+      val n = size(ws)
+      val nd = size(array_distinct(ws))
+      // Bigrams from the already-bound token array (wordNgrams would
+      // re-split the text; the sliding shape is the same).
+      val bi = transform(slice(ws, lit(1), greatest(n - 1, lit(0))), (x, i) =>
+        concat(x, lit(" "), element_at(ws, i + 2)))
+      val nb = size(bi)
+      val ndb = size(array_distinct(bi))
+      struct(
+        n.as("n_words"),
+        (lit(1d) - nd.cast("double") / n).as("dup_word_frac"),
+        nb.as("n_bigrams"),
+        when(nb > 0, lit(1d) - ndb.cast("double") / nb).as("dup_bigram_frac"))
+    })
+  }
+
+  /** Intra-document repetition metrics as a query: one narrow projection. */
+  def repetition(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), repetitionStruct(col(textCol)).as("r"))
+      .select(col(idCol), col("r.n_words"), col("r.dup_word_frac"),
+        col("r.n_bigrams"), col("r.dup_bigram_frac"))
+
+  /** Filter thresholds for [[curate]] — each is a classic curation rule. */
+  final case class CurationRules(
+      minWords: Int = 20,
+      minChars: Long = 100L,
+      maxChars: Long = 2000L,
+      maxDupWordFrac: Double = 0.6,
+      langRates: Map[String, Double] = Map.empty)
+
+  /** The end-to-end keep-list assembly: exact-dedup representatives only
+    * (via [[Dedup.exact]]'s keep ids — one fingerprint shuffle), length and
+    * repetition gates (narrow), then stratified mixing rates. Output:
+    * (doc_id, lang, n_words, dup_word_frac, weight) for the KEPT documents —
+    * exactly what a downstream tokenizer job consumes.
+    *
+    * Join shape: the keep-list is (distinct fingerprints) rows — at worst
+    * corpus-sized but typically far smaller; it joins back on the id. The
+    * repetition metrics ride the same projection as the length gates, so
+    * the text column is scanned once with no self-join. */
+  def curate(docs: DataFrame, rules: CurationRules,
+             textCol: String = "text", idCol: String = "doc_id",
+             strataCol: String = "lang"): DataFrame = {
+    val keep = Dedup.exact(docs, textCol, idCol)
+      .select(col("keep_id").as(idCol))
+    val withMetrics = docs.join(keep, idCol)
+      .select(col(idCol), col(strataCol), col(textCol),
+        repetitionStruct(col(textCol)).as("r"))
+      .select(col(idCol), col(strataCol), col(textCol),
+        col("r.n_words"), col("r.dup_word_frac"))
+      .filter(col("n_words") >= rules.minWords &&
+        length(col(textCol)) >= rules.minChars &&
+        length(col(textCol)) <= rules.maxChars &&
+        col("dup_word_frac") <= rules.maxDupWordFrac)
+    sampleStratified(withMetrics, rules.langRates, strataCol, idCol)
+      .select(idCol, strataCol, "n_words", "dup_word_frac", "weight")
+  }
+}

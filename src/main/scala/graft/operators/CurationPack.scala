@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.QueryPack
+
+/** Corpus-curation queries over `documents`: deterministic stratified
+  * sampling, intra-document repetition metrics, and the end-to-end keep-list
+  * assembly. Oracles replicate the salted-md5 hash gate and the repetition
+  * arithmetic value-for-value (gate thresholds are driver-computed integers
+  * shared by both sides — see [[Curation.gateNumerator]]). */
+object CurationPack extends QueryPack {
+
+  /** Mixing rates by language — upsample the tail, downsample the head. */
+  private val Rates = Map(
+    "en" -> 0.5, "de" -> 1.0, "es" -> 0.25, "fr" -> 0.1, "zh" -> 0.05)
+
+  private val RulesV = Curation.CurationRules(
+    minWords = 20, minChars = 100L, maxChars = 2000L,
+    maxDupWordFrac = 0.6, langRates = Rates)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_stratified" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Curation.sampleStratified(table(s, dir, "documents"), Rates)
+        .select("doc_id", "lang", "weight")
+    },
+    "q_repetition" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Curation.repetition(table(s, dir, "documents"))
+    },
+    "q_curated_corpus" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Curation.curate(table(s, dir, "documents"), RulesV)
+    }
+  )
+
+  /** `mix`-salted md5 gate, same integer threshold as the Spark literal. */
+  private def gateSql(saltExpr: String): String =
+    s"('0x' || substr(md5('mix:' || $saltExpr), 1, 8))::BIGINT % ${Curation.SampleDenom}"
+
+  private def rateCase(f: Double => String): String =
+    "CASE " + Rates.toSeq.sortBy(_._1).map { case (k, r) =>
+      s"WHEN lang = '$k' THEN ${f(r)}"
+    }.mkString(" ") + " ELSE NULL END"
+
+  /** Normalized token list + repetition metrics, shared by two oracles.
+    * Raw margins — interpolated into strings that stripMargin ONCE. */
+  private val RepCtes =
+    """w AS (SELECT doc_id, lang, text, string_split_regex(
+      |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS ws
+      |  FROM documents),
+      |rep AS (SELECT doc_id, lang, text, len(ws) AS n_words,
+      |  1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dup_word_frac,
+      |  len(ws) - 1 AS n_bigrams_raw,
+      |  [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] AS bi
+      |  FROM w)"""
+
+  override def oracles: Map[String, String] = Map(
+    "q_sample_stratified" ->
+      s"""SELECT doc_id, lang,
+         |  1.0 / ${rateCase(_.toString)} AS weight
+         |FROM documents
+         |WHERE ${rateCase(r => Curation.gateNumerator(r).toString)} IS NOT NULL
+         |  AND ${gateSql("CAST(doc_id AS VARCHAR)")} <
+         |      ${rateCase(r => Curation.gateNumerator(r).toString)}""".stripMargin,
+    "q_repetition" ->
+      s"""WITH $RepCtes
+         |SELECT doc_id, n_words, dup_word_frac,
+         |  greatest(n_bigrams_raw, 0) AS n_bigrams,
+         |  CASE WHEN n_bigrams_raw > 0
+         |    THEN 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / n_bigrams_raw
+         |    ELSE NULL END AS dup_bigram_frac
+         |FROM rep""".stripMargin,
+    "q_curated_corpus" ->
+      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))),
+         |$RepCtes,
+         |gated AS (SELECT r.doc_id, r.lang, r.n_words, r.dup_word_frac
+         |  FROM rep r JOIN keep k ON k.doc_id = r.doc_id
+         |  WHERE r.n_words >= ${RulesV.minWords}
+         |    AND length(r.text) BETWEEN ${RulesV.minChars} AND ${RulesV.maxChars}
+         |    AND r.dup_word_frac <= ${RulesV.maxDupWordFrac})
+         |SELECT doc_id, lang, n_words, dup_word_frac,
+         |  1.0 / ${rateCase(_.toString)} AS weight
+         |FROM gated
+         |WHERE ${rateCase(r => Curation.gateNumerator(r).toString)} IS NOT NULL
+         |  AND ${gateSql("CAST(doc_id AS VARCHAR)")} <
+         |      ${rateCase(r => Curation.gateNumerator(r).toString)}""".stripMargin
+  )
+}

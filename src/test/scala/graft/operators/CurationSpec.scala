@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.plans.GraftExtensions
+
+/** Curation semantics: the hash gate must be a pure function of (salt, id) —
+  * reproducible across partitionings, independent across salts — and the
+  * pipeline's gates must compose as documented. */
+class CurationSpec extends SparkSpec {
+
+  private def docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+  test("stratified sample is deterministic across partitionings and runs") {
+    GraftExtensions.register(spark)
+    val rates = Map("en" -> 0.5, "de" -> 0.25)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val base = ids(Curation.sampleStratified(docs, rates))
+    assert(base === ids(Curation.sampleStratified(docs.repartition(7), rates)))
+    assert(base === ids(Curation.sampleStratified(docs.coalesce(1), rates)))
+    // Strata without a rate are dropped entirely.
+    val langs = Curation.sampleStratified(docs, rates)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de")))
+  }
+
+  test("sample rate lands near the target and weights are 1/rate") {
+    GraftExtensions.register(spark)
+    val rates = Map("en" -> 0.5)
+    val en = docs.filter(col("lang") === "en")
+    val total = en.count().toDouble
+    val sampled = Curation.sampleStratified(en, rates)
+    val frac = sampled.count() / total
+    assert(frac > 0.3 && frac < 0.7, s"0.5-gate kept $frac")
+    assert(sampled.select("weight").distinct().collect()
+      .map(_.getDouble(0)).toSeq === Seq(2.0))
+  }
+
+  test("different salts give independent (non-identical) samples") {
+    GraftExtensions.register(spark)
+    val rates = Map("en" -> 0.5)
+    def ids(salt: String) =
+      Curation.sampleStratified(docs.filter(col("lang") === "en"), rates, salt = salt)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids("mix")
+    val b = ids("heldout")
+    assert(a !== b)
+    assert((a & b).nonEmpty) // overlap ≈ rate² > 0 at fixture size
+  }
+
+  test("repetition: planted duplicate words move the fractions") {
+    GraftExtensions.register(spark)
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val tiny = Seq(
+      (0L, "a a a a"),              // 1 distinct of 4 → dup 0.75; bigrams all "a a"
+      (1L, "one two three four"),   // all distinct → dup 0
+      (2L, "solo")                  // 1 word → 0 bigrams, null bigram frac
+    ).toDF("doc_id", "text")
+    val r = Curation.repetition(tiny).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getDouble(2) === 0.75)
+    assert(r(0L).getDouble(4) === (1d - 1d / 3d))
+    assert(r(1L).getDouble(2) === 0.0)
+    assert(r(1L).getDouble(4) === 0.0)
+    assert(r(2L).getInt(3) === 0)
+    assert(r(2L).isNullAt(4))
+  }
+
+  test("curate keeps only dedup representatives that pass every gate") {
+    GraftExtensions.register(spark)
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val body = (1 to 30).map(i => s"w$i").mkString(" ") // 30 distinct words
+    val tiny = Seq(
+      (0L, body, "en"),            // representative, passes
+      (1L, body, "en"),            // exact dup of 0 → dropped by keep-list
+      (2L, "too short", "en"),     // fails minWords
+      (3L, body + " " + body, "en") // dup_word_frac ≈ 0.5 < 0.6 → passes
+    ).toDF("doc_id", "text", "lang")
+    val rules = Curation.CurationRules(
+      minWords = 20, minChars = 10L, maxChars = 10000L,
+      maxDupWordFrac = 0.6, langRates = Map("en" -> 1.0))
+    val kept = Curation.curate(tiny, rules)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 3L))
+  }
+}
