@@ -110,6 +110,11 @@ object CorePack extends QueryPack {
       Bucketize.bucketizeIsoString(table(s, dir, "events"), "ts", 3600L)
         .groupBy("event_type", "bucket_start_iso", "bucket_end_iso")
         .agg(count(lit(1)).as("count"))
+    },
+    // Gap-based sessionization (6 h gap): the windowed-analytics extension
+    // over the same event stream — one user-key shuffle end to end.
+    "q_sessionize" -> { (s, dir) =>
+      Sessionize.sessionize(table(s, dir, "events"), gapSeconds = 21600L)
     }
   )
 
@@ -144,6 +149,21 @@ object CorePack extends QueryPack {
         |    '%Y-%m-%dT%H:%M:%S') AS bucket_end_iso,
         |  count(*) AS count
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    // Sessionization: same micros-exact gap predicate, tie-break, and
+    // per-user running counter; sums cast to BIGINT (DuckDB sums BIGINT into
+    // HUGEINT, which the driver's arrow path can't hash-compare).
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, event_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w > 21600000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, us,
+        |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g)
+        |SELECT user_id, session_id, min(us) AS session_start_us,
+        |  max(us) AS session_end_us, count(*) AS n_events
+        |FROM s GROUP BY 1, 2""".stripMargin,
     // to_json emits compact {"event_type":"x","count":N} — replicated by
     // concatenation (fixture values contain no JSON-special characters).
     "q_append_count_json" ->

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Planted-session cases: gap strictly-greater boundary, per-user counter
+  * restart, and single-event sessions. */
+class SessionizeSpec extends SparkSpec {
+
+  test("gap threshold splits sessions; boundary gap does NOT (strict >)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // User 1: events at 0 s, 30 s (same session), 90 s (gap EXACTLY 60 s —
+    // still same session, predicate is strict >), then +60 s +1 µs (new).
+    // User 2: one lone event → one 1-event session.
+    val gap = 60L
+    val sessEndUs = 90L * 1000000
+    val newStartUs = sessEndUs + gap * 1000000 + 1
+    // µs precision matters: build the frame via timestamp_micros (not
+    // java.sql.Timestamp, which is millis) so the +1 µs case survives.
+    val df = Seq(
+      (1L, 10L, 0L),
+      (1L, 11L, 30L * 1000000),
+      (1L, 12L, sessEndUs),
+      (1L, 13L, newStartUs),
+      (2L, 20L, 5L * 1000000)
+    ).toDF("user_id", "event_id", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+
+    val got = Sessionize.sessionize(df, gapSeconds = gap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === Set(
+      (1L, 1L, 0L, sessEndUs, 3L),                 // events 10-12
+      (1L, 2L, newStartUs, newStartUs, 1L),        // event 13
+      (2L, 1L, 5L * 1000000, 5L * 1000000, 1L)))   // lone event
+  }
+}
