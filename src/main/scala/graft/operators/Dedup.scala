@@ -180,6 +180,40 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** CROSS-corpus near-duplicates — the decontamination operator: which
+    * `probe` documents (an eval/benchmark set) near-duplicate a `corpus`
+    * document (the training set)? Same banded-LSH discipline as
+    * [[nearDuplicates]], but the band join runs BETWEEN the two sets, so
+    * cost is Σ_band |corpus_b|·|probe_b| — never corpus×probe. The hot-band
+    * cap is computed over the UNION of both sides (a band hot in the corpus
+    * alone would still explode the join). Output
+    * (probe_id, corpus_id, jaccard) at `threshold`; consumers drop (or
+    * flag) the matched TRAINING docs before tokenization.
+    *
+    * Probe is typically tiny next to the corpus; Catalyst/AQE will broadcast
+    * its banded side, making this a map-side join over the corpus bands. */
+  def crossNearDuplicates(corpus: DataFrame, probe: DataFrame, threshold: Double,
+                          textCol: String = "text", idCol: String = "doc_id",
+                          maxBand: Long = MaxBand): DataFrame = {
+    val c = lshBands(corpus, textCol, idCol).localCheckpoint(eager = true)
+    val p = lshBands(probe, textCol, idCol).localCheckpoint(eager = true)
+    val hot = c.select("band").union(p.select("band"))
+      .groupBy("band").agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") > maxBand).select("band")
+    val cc = c.join(broadcast(hot), Seq("band"), "left_anti")
+    val pc = p.join(broadcast(hot), Seq("band"), "left_anti")
+    val cand = pc.as("p").join(cc.as("c"), col("p.band") === col("c.band"))
+      .select(col(s"p.$idCol").as("probe_id"), col("p.hs").as("hs_p"),
+        col(s"c.$idCol").as("corpus_id"), col("c.hs").as("hs_c"))
+      .dropDuplicates("probe_id", "corpus_id")
+    val jaccard = SqlLet.let(size(array_intersect(col("hs_p"), col("hs_c"))), inter =>
+      inter.cast("double") / (size(col("hs_p")) + size(col("hs_c")) - inter))
+    cand
+      .withColumn("jaccard", jaccard)
+      .filter(col("jaccard") >= threshold)
+      .select("probe_id", "corpus_id", "jaccard")
+  }
+
   /** Near-duplicate CLUSTERS — what a dedup pipeline actually consumes: the
     * connected components of the [[nearDuplicates]] pair graph, labeled by
     * the minimum doc id in each component (`cluster_id`). Keep one row per

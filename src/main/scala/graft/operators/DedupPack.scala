@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.QueryPack
 
 /** Dedup queries over `documents`, DuckDB-oracle-verified end to end —
@@ -30,6 +31,15 @@ object DedupPack extends QueryPack {
     "q_dedup_clusters" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       Dedup.clusters(table(s, dir, "documents"), Threshold)
+    },
+    // Decontamination: which held-out docs (src18/src19 = the "eval set")
+    // near-duplicate a training doc (every other source)?
+    "q_dedup_contamination" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val docs = table(s, dir, "documents")
+      val isEval = col("source").isin("src18", "src19")
+      Dedup.crossNearDuplicates(
+        docs.filter(!isEval), docs.filter(isEval), Threshold)
     }
   )
 
@@ -47,21 +57,21 @@ object DedupPack extends QueryPack {
   // into oracle strings that call .stripMargin ONCE at the end. (Stripping
   // twice would eat the leading `|` of `||` concat continuation lines.)
   private val PairCtes =
-    s"""w AS (SELECT doc_id, string_split_regex(
+    s"""w AS (SELECT doc_id, source, string_split_regex(
        |    trim(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), '\\s+') ws
        |  FROM documents),
-       |sh AS (SELECT doc_id, list_distinct(
+       |sh AS (SELECT doc_id, source, list_distinct(
        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) sh FROM w),
-       |h AS (SELECT doc_id, list_distinct(
+       |h AS (SELECT doc_id, source, list_distinct(
        |  [('0x' || substr(md5(s), 1, 8))::BIGINT for s in sh]) hs FROM sh),
-       |sig AS (SELECT doc_id, hs,
+       |sig AS (SELECT doc_id, source, hs,
        |  [list_min([($AsList[j] * (x % $P) + $BsList[j]) % $P for x in hs])
        |   for j in range(1, ${Dedup.NumHashes + 1})] AS sig FROM h),
-       |bands0 AS (SELECT doc_id, hs, unnest(
+       |bands0 AS (SELECT doc_id, source, hs, unnest(
        |  [CAST(j AS VARCHAR) || ':' || sig[4*j-3] || '_' || sig[4*j-2] || '_'
        |    || sig[4*j-1] || '_' || sig[4*j] for j in range(1, ${Dedup.Bands + 1})]) AS band
        |  FROM sig WHERE len(hs) > 0),
-       |bands AS (SELECT doc_id, hs, band FROM bands0
+       |bands AS (SELECT doc_id, source, hs, band FROM bands0
        |  QUALIFY count(*) OVER (PARTITION BY band) <= ${Dedup.MaxBand}),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
@@ -95,6 +105,23 @@ object DedupPack extends QueryPack {
          |  CAST(coalesce(least(min(r.b), d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
          |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
          |GROUP BY d.doc_id""".stripMargin,
+    // Cross-corpus: probe bands (src18/19) against corpus bands; the cap in
+    // the shared `bands` CTE is over the COMBINED band table, exactly like
+    // crossNearDuplicates' union-side hot list.
+    "q_dedup_contamination" ->
+      s"""WITH $PairCtes,
+         |xcand AS (SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS corpus_id
+         |  FROM bands p JOIN bands c ON p.band = c.band
+         |  WHERE p.source IN ('src18', 'src19')
+         |    AND c.source NOT IN ('src18', 'src19'))
+         |SELECT x.probe_id, x.corpus_id,
+         |  CAST(len(list_intersect(hp.hs, hc.hs)) AS DOUBLE) /
+         |    (len(hp.hs) + len(hc.hs) - len(list_intersect(hp.hs, hc.hs))) AS jaccard
+         |FROM xcand x
+         |JOIN h hp ON hp.doc_id = x.probe_id
+         |JOIN h hc ON hc.doc_id = x.corpus_id
+         |WHERE CAST(len(list_intersect(hp.hs, hc.hs)) AS DOUBLE) /
+         |    (len(hp.hs) + len(hc.hs) - len(list_intersect(hp.hs, hc.hs))) >= $Threshold""".stripMargin,
     "q_dedup_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split_regex(
         |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') ws

@@ -35,6 +35,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => !Set(a, b).contains(2L) && !Set(a, b).contains(4L) })
   }
 
+  test("cross-corpus decontamination flags the planted train/eval overlap only") {
+    GraftExtensions.register(spark)
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val train = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "completely different content about spark catalyst optimizer internals"),
+      (2L, "another unrelated document mentioning database join strategies")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again tonight"), // ≈ train 0
+      (101L, "entirely novel held out benchmark prose with no training twin at all")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.crossNearDuplicates(train, eval_, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits === Set((100L, 0L))) // (probe_id, corpus_id)
+    // Direction matters: ids come back labeled by side, not by magnitude.
+    val none = Dedup.crossNearDuplicates(train, eval_.filter(col("doc_id") === 101L), 0.5)
+    assert(none.count() === 0L)
+  }
+
   test("hot-band cap bounds candidates on a pathological band") {
     GraftExtensions.register(spark)
     val sparkSession = spark
