@@ -108,6 +108,22 @@ object TextPack extends QueryPack {
       val w = Window.partitionBy("lang").orderBy(col("n").desc, col("word").asc)
       counts.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
+    },
+    // Per-language length quantiles — EXACT percentiles (Spark `percentile`
+    // and DuckDB `quantile_cont` share the (n−1)·p linear-interpolation
+    // definition; verified bit-identical on this fixture including ulp
+    // noise). Exact percentile buffers each group's values, fine for
+    // bounded groups like per-language stats; at open-ended cardinality
+    // swap in approx_percentile and drop the oracle to rows-only — the
+    // exact form is the verifiable twin.
+    "q_token_quantiles" -> { (s, dir) =>
+      table(s, dir, "documents").groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, 0.1)").as("p10"),
+        expr("percentile(n_chars, 0.25)").as("p25"),
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.75)").as("p75"),
+        expr("percentile(n_chars, 0.9)").as("p90"))
     }
   )
 
@@ -197,6 +213,12 @@ object TextPack extends QueryPack {
         |c AS (SELECT lang, word, count(*) AS n FROM w GROUP BY 1, 2),
         |r AS (SELECT *, row_number() OVER
         |  (PARTITION BY lang ORDER BY n DESC, word ASC) AS rank FROM c)
-        |SELECT lang, word, n, rank FROM r WHERE rank <= 5""".stripMargin
+        |SELECT lang, word, n, rank FROM r WHERE rank <= 5""".stripMargin,
+    "q_token_quantiles" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  quantile_cont(n_chars, 0.1) AS p10, quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.5) AS p50, quantile_cont(n_chars, 0.75) AS p75,
+        |  quantile_cont(n_chars, 0.9) AS p90
+        |FROM documents GROUP BY lang""".stripMargin
   )
 }

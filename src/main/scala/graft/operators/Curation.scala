@@ -96,6 +96,16 @@ object Curation {
       .select(col(idCol), col("r.n_words"), col("r.dup_word_frac"),
         col("r.n_bigrams"), col("r.dup_bigram_frac"))
 
+  /** Deterministic output sharding: shard = salted-md5 of the id mod
+    * `numShards` — how a 100 TB job assigns rows to output files/workers so
+    * reruns land identically (repartition(n) hashes by partition-internal
+    * state; this is a pure data function, and doubles as the
+    * `repartitionByRange`-free way to get stable bucketing for downstream
+    * co-located joins). */
+  def shardOf(idCol: Column, numShards: Int, salt: String = "shard"): Column =
+    pmod(Dedup.md5Hash32(concat(lit(salt), lit(":"), idCol.cast("string"))),
+      lit(numShards.toLong))
+
   /** Filter thresholds for [[curate]] — each is a classic curation rule. */
   final case class CurationRules(
       minWords: Int = 20,

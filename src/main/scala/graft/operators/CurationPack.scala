@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.QueryPack
 
 /** Corpus-curation queries over `documents`: deterministic stratified
@@ -31,6 +32,14 @@ object CurationPack extends QueryPack {
     "q_curated_corpus" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       Curation.curate(table(s, dir, "documents"), RulesV)
+    },
+    // Deterministic 16-way output sharding + per-shard balance stats.
+    "q_shard_assign" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      table(s, dir, "documents")
+        .groupBy(Curation.shardOf(col("doc_id"), 16).as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("total_chars"))
     }
   )
 
@@ -71,6 +80,10 @@ object CurationPack extends QueryPack {
          |    THEN 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / n_bigrams_raw
          |    ELSE NULL END AS dup_bigram_frac
          |FROM rep""".stripMargin,
+    "q_shard_assign" ->
+      s"""SELECT ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM documents GROUP BY 1""".stripMargin,
     "q_curated_corpus" ->
       s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
          |  GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))),
