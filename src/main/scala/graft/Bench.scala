@@ -20,8 +20,10 @@ object Bench {
     "q_knn_bucketed", "q_sql_join_agg",
     // Round-4 additions (keep the original 14 above for cross-round
     // comparability): the most expensive LLM-pipeline paths — iterative CC
-    // clustering, tf-idf top-k, and the simhash blocked self-join.
-    "q_dedup_clusters", "q_tfidf_topk", "q_simhash_pairs"
+    // clustering, tf-idf top-k, the simhash blocked self-join, the
+    // end-to-end curation pipeline, and cross-corpus decontamination.
+    "q_dedup_clusters", "q_tfidf_topk", "q_simhash_pairs",
+    "q_curated_corpus", "q_dedup_contamination"
   )
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
