@@ -164,4 +164,19 @@ object StreamShell {
       trigger = trigger, checkpoint = checkpoint, valueDecoder = decoder)
     (store, query)
   }
+
+  /** The reference's full `kafka_http_sqlite` assembly
+    * (`spark-streaming-kafka-bucket-counter.py:243-288`): stream → store →
+    * HTTP endpoint, one call. The Flask sibling PROCESS becomes an in-JVM
+    * [[graft.serve.StoreHttpServer]] on an OS-assigned port (query it via
+    * `server.port`); stop order on teardown: query, then server. */
+  def runWithHttpSource(spark: SparkSession, cfg: GraftConfig, source: DataFrame,
+                        checkpoint: Option[String] = None,
+                        trigger: Option[Trigger] = None)
+      : (RecentStore, StreamingQuery, graft.serve.StoreHttpServer) = {
+    val (store, query) = runWithSource(spark, cfg, source, checkpoint, trigger)
+    val server = new graft.serve.StoreHttpServer(store,
+      avroSchema = cfg.kafka.avroValueSchema).start()
+    (store, query, server)
+  }
 }

@@ -96,6 +96,25 @@ class StoreHttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("one-call assembly: stream in, HTTP out (kafka_http_sqlite analog)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cfg = GraftConfig.fromIni(ini.replace("http_audit", "assembled_audit"))
+    val stream = MemoryStream[(String, String)]
+    val (_, query, srv) = StreamShell.runWithHttpSource(spark, cfg,
+      stream.toDF().toDF("key", "value"),
+      trigger = Some(Trigger.ProcessingTime(0L)))
+    try {
+      stream.addData(("k",
+        """{"origin_server": "Iceman", "topic": "Dreams", "timestamp": 1440179085}"""))
+      query.processAllAvailable()
+      val (code, body) = get(srv.port, "/a/*")
+      assert(code === 200)
+      assert(body.contains(""""count":1,"rst_id":1"""))
+    } finally { query.stop(); srv.stop() }
+  }
+
   test("null columns stay present in row dicts (reference dict shape)") {
     val sparkSession = spark
     import sparkSession.implicits._
