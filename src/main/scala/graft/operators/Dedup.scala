@@ -264,16 +264,26 @@ object Dedup {
     // Found at sf0.1, where longer near-dup chains need more rounds.
     var current = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
+    // Convergence via the exact label-sum: each round takes per-node minima,
+    // so labels are monotonically non-increasing — the sum is strictly
+    // smaller iff ANY label changed. One Decimal(38) aggregate over the
+    // already-checkpointed labels replaces a join+filter+count job per
+    // round (decimal, not long: a long sum of 2^63-scale ids wraps).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    var prevSum = labelSum(current)
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    var changed = true
+    while (changed && iter < maxIter) {
       val viaEdges = edges.join(current, edges("dst") === current("node"))
         .select(edges("src").as("node"), col("label"))
       val next = current.union(viaEdges)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint(true)
-      changed = next.join(current.withColumnRenamed("label", "prev"), "node")
-        .filter(col("label") =!= col("prev")).count()
+      val curSum = labelSum(next)
+      changed = curSum.compareTo(prevSum) != 0
+      prevSum = curSum
       current = next
       iter += 1
     }
@@ -283,9 +293,9 @@ object Dedup {
     // with the transitive closure. Diameter > maxIter means the caller
     // should raise the cap (rounds are cheap once converged — the loop
     // exits early) or switch to large-star/small-star.
-    if (changed > 0) throw new IllegalStateException(
+    if (changed) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxIter rounds " +
-        s"($changed labels still changing) — raise maxIter")
+        "(labels still changing) — raise maxIter")
     current.select(col("node"), col("label").as("cluster_id"))
   }
 
