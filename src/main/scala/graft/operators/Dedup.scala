@@ -128,10 +128,15 @@ object Dedup {
     * Jaccard denominator for such a pair is 0 (a DIVIDE_BY_ZERO under ANSI
     * mode). The oracle replicates the filter. */
   def lshBands(docs: DataFrame, textCol: String = "text",
-               idCol: String = "doc_id"): DataFrame =
-    SqlLet.explodeOnce(docs.select(col(idCol), col(textCol)),
+               idCol: String = "doc_id",
+               /** Extra columns carried through the banding (e.g. the
+                 * side/source tag for [[crossNearDuplicatesBands]]). */
+               carryCols: Seq[String] = Nil): DataFrame =
+    SqlLet.explodeOnce(
+        docs.select((col(idCol) +: col(textCol) +: carryCols.map(col)): _*),
         bandStructs(col(textCol)), "bs")
-      .select(col(idCol), col("bs.band").as("band"), col("bs.hs").as("hs"))
+      .select((col(idCol) +: carryCols.map(col)) :+
+        col("bs.band").as("band") :+ col("bs.hs").as("hs"): _*)
       .filter(size(col("hs")) > 0)
 
   /** Near-duplicate pairs: band-bucket candidates verified with exact
@@ -194,14 +199,24 @@ object Dedup {
     * its banded side, making this a map-side join over the corpus bands. */
   def crossNearDuplicates(corpus: DataFrame, probe: DataFrame, threshold: Double,
                           textCol: String = "text", idCol: String = "doc_id",
-                          maxBand: Long = MaxBand): DataFrame = {
-    val c = lshBands(corpus, textCol, idCol).localCheckpoint(eager = true)
-    val p = lshBands(probe, textCol, idCol).localCheckpoint(eager = true)
-    val hot = c.select("band").union(p.select("band"))
+                          maxBand: Long = MaxBand): DataFrame =
+    crossNearDuplicatesBands(
+      lshBands(corpus, textCol, idCol).localCheckpoint(eager = true),
+      lshBands(probe, textCol, idCol).localCheckpoint(eager = true),
+      threshold, idCol, maxBand)
+
+  /** [[crossNearDuplicates]] over PRE-BANDED sides — the one-pass shape when
+    * corpus and probe are slices of the same table: band once, filter by
+    * side, hash the text a single time. Callers own materialization of the
+    * two inputs. */
+  def crossNearDuplicatesBands(corpusBands: DataFrame, probeBands: DataFrame,
+                               threshold: Double, idCol: String = "doc_id",
+                               maxBand: Long = MaxBand): DataFrame = {
+    val hot = corpusBands.select("band").union(probeBands.select("band"))
       .groupBy("band").agg(count(lit(1)).as("_bsz"))
       .filter(col("_bsz") > maxBand).select("band")
-    val cc = c.join(broadcast(hot), Seq("band"), "left_anti")
-    val pc = p.join(broadcast(hot), Seq("band"), "left_anti")
+    val cc = corpusBands.join(broadcast(hot), Seq("band"), "left_anti")
+    val pc = probeBands.join(broadcast(hot), Seq("band"), "left_anti")
     val cand = pc.as("p").join(cc.as("c"), col("p.band") === col("c.band"))
       .select(col(s"p.$idCol").as("probe_id"), col("p.hs").as("hs_p"),
         col(s"c.$idCol").as("corpus_id"), col("c.hs").as("hs_c"))

@@ -33,13 +33,16 @@ object DedupPack extends QueryPack {
       Dedup.clusters(table(s, dir, "documents"), Threshold)
     },
     // Decontamination: which held-out docs (src18/src19 = the "eval set")
-    // near-duplicate a training doc (every other source)?
+    // near-duplicate a training doc (every other source)? Both sides slice
+    // ONE table, so band once (single hashing pass) and split by side.
     "q_dedup_contamination" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      val docs = table(s, dir, "documents")
+      val bands = Dedup.lshBands(table(s, dir, "documents"),
+        carryCols = Seq("source")).localCheckpoint(eager = true)
       val isEval = col("source").isin("src18", "src19")
-      Dedup.crossNearDuplicates(
-        docs.filter(!isEval), docs.filter(isEval), Threshold)
+      Dedup.crossNearDuplicatesBands(
+        bands.filter(!isEval).drop("source"),
+        bands.filter(isEval).drop("source"), Threshold)
     }
   )
 
