@@ -103,9 +103,14 @@ object TextFunctions {
   def tfIdfTopK(docs: DataFrame, numDocs: Long, k: Int,
                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // tf feeds BOTH the df aggregate and the scored join — materialize it
+    // once (eager localCheckpoint, released when unreferenced) instead of
+    // re-running the explode+agg per branch. Its size is bounded by
+    // Σ distinct terms per doc, far under the exploded token stream.
     val tf = docs
       .select(col(idCol), explode(words(normalize(col(textCol)))).as("term"))
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = true)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "term")
       .withColumn("score",
