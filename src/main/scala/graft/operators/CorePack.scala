@@ -115,6 +115,15 @@ object CorePack extends QueryPack {
     // over the same event stream — one user-key shuffle end to end.
     "q_sessionize" -> { (s, dir) =>
       Sessionize.sessionize(table(s, dir, "events"), gapSeconds = 21600L)
+    },
+    // Multi-level rollup (event_type × day hierarchy + grand total in ONE
+    // aggregate — Spark expands grouping sets inside a single shuffle
+    // instead of unioning three scans).
+    "q_event_rollup" -> { (s, dir) =>
+      table(s, dir, "events")
+        .withColumn("day", expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)"))
+        .rollup("event_type", "day")
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
     }
   )
 
@@ -149,6 +158,15 @@ object CorePack extends QueryPack {
         |    '%Y-%m-%dT%H:%M:%S') AS bucket_end_iso,
         |  count(*) AS count
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    // ROLLUP: same hierarchy; gid recomposed from per-column GROUPING bits
+    // in Spark's bit order (grouping_id = grouping(event_type)·2 + grouping(day)).
+    "q_event_rollup" ->
+      """SELECT event_type, CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+        |  count(*) AS n,
+        |  CAST(grouping(event_type) AS BIGINT) * 2
+        |    + CAST(grouping(CAST(floor(epoch(ts)/86400) AS BIGINT)) AS BIGINT) AS gid
+        |FROM events
+        |GROUP BY ROLLUP(event_type, CAST(floor(epoch(ts)/86400) AS BIGINT))""".stripMargin,
     // Sessionization: same micros-exact gap predicate, tie-break, and
     // per-user running counter; sums cast to BIGINT (DuckDB sums BIGINT into
     // HUGEINT, which the driver's arrow path can't hash-compare).
