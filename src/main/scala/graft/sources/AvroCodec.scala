@@ -61,29 +61,53 @@ object AvroCodec {
     }
   }
 
+  /** Avro runtime value → Jackson node. Scalars map directly; nested
+    * records/arrays/maps/enums/fixed recurse (the reference's decoder is
+    * scalar-only, `utils.py:276-304` — this is a superset, not a deviation);
+    * anything else fails fast rather than emitting toString garbage into
+    * downstream JSON parsing. */
+  private def valueToNode(v: Any, mapper: ObjectMapper,
+                          fieldName: String): com.fasterxml.jackson.databind.JsonNode =
+    v match {
+      case null => mapper.nullNode()
+      case s: org.apache.avro.util.Utf8  => mapper.getNodeFactory.textNode(s.toString)
+      case s: String                     => mapper.getNodeFactory.textNode(s)
+      case i: java.lang.Integer          => mapper.getNodeFactory.numberNode(i)
+      case l: java.lang.Long             => mapper.getNodeFactory.numberNode(l)
+      case f: java.lang.Float            => mapper.getNodeFactory.numberNode(f)
+      case d: java.lang.Double           => mapper.getNodeFactory.numberNode(d)
+      case b: java.lang.Boolean          => mapper.getNodeFactory.booleanNode(b)
+      case bb: java.nio.ByteBuffer       => mapper.getNodeFactory
+        .textNode(java.util.Base64.getEncoder.encodeToString(bb.array()))
+      case fx: org.apache.avro.generic.GenericFixed => mapper.getNodeFactory
+        .textNode(java.util.Base64.getEncoder.encodeToString(fx.bytes()))
+      case e: org.apache.avro.generic.GenericEnumSymbol[_] =>
+        mapper.getNodeFactory.textNode(e.toString)
+      case r: GenericRecord =>
+        val obj = mapper.createObjectNode()
+        r.getSchema.getFields.forEach { f =>
+          obj.set[ObjectNode](f.name(), valueToNode(r.get(f.name()), mapper, f.name()))
+        }
+        obj
+      case a: java.util.Collection[_] =>
+        val arr = mapper.createArrayNode()
+        a.forEach(x => { arr.add(valueToNode(x, mapper, fieldName)); () })
+        arr
+      case m: java.util.Map[_, _] =>
+        val obj = mapper.createObjectNode()
+        m.forEach((k, x) =>
+          { obj.set[ObjectNode](String.valueOf(k), valueToNode(x, mapper, fieldName)); () })
+        obj
+      case other => throw new UnsupportedOperationException(
+        s"avro field '$fieldName' has unsupported runtime type " +
+          s"${other.getClass.getName}")
+    }
+
   private def recordToJson(rec: GenericRecord, schema: Schema,
                            mapper: ObjectMapper): ObjectNode = {
     val node = mapper.createObjectNode()
     schema.getFields.forEach { f =>
-      rec.get(f.name()) match {
-        case null                      => node.putNull(f.name())
-        case v: org.apache.avro.util.Utf8 => node.put(f.name(), v.toString)
-        case v: java.lang.Integer      => node.put(f.name(), v)
-        case v: java.lang.Long         => node.put(f.name(), v)
-        case v: java.lang.Float        => node.put(f.name(), v)
-        case v: java.lang.Double       => node.put(f.name(), v)
-        case v: java.lang.Boolean      => node.put(f.name(), v)
-        case v: java.nio.ByteBuffer    =>
-          node.put(f.name(), java.util.Base64.getEncoder.encodeToString(v.array()))
-        // Nested records/arrays/maps/enums would previously fall through to
-        // toString and emit non-JSON garbage; the reference's decoder is
-        // scalar-only too (`utils.py:276-304`), so fail fast instead of
-        // corrupting downstream JSON parsing silently.
-        case v                         => throw new UnsupportedOperationException(
-          s"avro field '${f.name()}' has unsupported (non-scalar) runtime type " +
-            s"${v.getClass.getName} — only null/string/int/long/float/double/" +
-            "boolean/bytes fields are decodable")
-      }
+      node.set[ObjectNode](f.name(), valueToNode(rec.get(f.name()), mapper, f.name()))
     }
     node
   }

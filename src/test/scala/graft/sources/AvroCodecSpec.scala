@@ -27,25 +27,37 @@ class AvroCodecSpec extends SparkSpec {
     assert(decode(Array.empty[Byte]) === null)
   }
 
-  test("nested avro types fail fast instead of emitting toString garbage") {
+  test("nested avro types decode to proper JSON (arrays, records, maps, enums)") {
     val nestedSchema =
       """{"type": "record", "name": "Outer", "fields": [
         |  {"name": "tag", "type": "string"},
-        |  {"name": "nums", "type": {"type": "array", "items": "long"}}]}""".stripMargin
+        |  {"name": "nums", "type": {"type": "array", "items": "long"}},
+        |  {"name": "inner", "type": {"type": "record", "name": "Inner", "fields": [
+        |    {"name": "a", "type": "int"}, {"name": "b", "type": ["string", "null"]}]}},
+        |  {"name": "attrs", "type": {"type": "map", "values": "int"}},
+        |  {"name": "kind", "type": {"type": "enum", "name": "Kind",
+        |    "symbols": ["ALPHA", "BETA"]}}]}""".stripMargin
     // Encode a datum with avro-core directly (encoderFor is scalar-only).
     val schema = new org.apache.avro.Schema.Parser().parse(nestedSchema)
     val rec = new org.apache.avro.generic.GenericData.Record(schema)
     rec.put("tag", "x")
     rec.put("nums", java.util.Arrays.asList(1L, 2L))
+    val inner = new org.apache.avro.generic.GenericData.Record(schema.getField("inner").schema())
+    inner.put("a", 7)
+    inner.put("b", "y")
+    rec.put("inner", inner)
+    val attrs = new java.util.TreeMap[String, Integer]() // sorted → stable JSON
+    attrs.put("k1", 10)
+    rec.put("attrs", attrs)
+    rec.put("kind", new org.apache.avro.generic.GenericData.EnumSymbol(
+      schema.getField("kind").schema(), "BETA"))
     val out = new java.io.ByteArrayOutputStream()
     val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
     new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema)
       .write(rec, enc)
     enc.flush()
-    val ex = intercept[UnsupportedOperationException] {
-      AvroCodec.decoderFor(nestedSchema)(out.toByteArray)
-    }
-    assert(ex.getMessage.contains("nums"))
+    assert(AvroCodec.decoderFor(nestedSchema)(out.toByteArray) ===
+      """{"tag":"x","nums":[1,2],"inner":{"a":7,"b":"y"},"attrs":{"k1":10},"kind":"BETA"}""")
   }
 
   test("DataFrame encode/decode transforms round-trip with nulls") {
