@@ -76,11 +76,17 @@ object TextFunctions {
     * references it n times. */
   def wordNgrams(c: Column, n: Int): Column = {
     require(n >= 2, s"use words() for unigrams, got n=$n")
-    SqlLet.let(words(c), w =>
-      transform(slice(w, lit(1), greatest(size(w) - (n - 1), lit(0))), (x, i) =>
-        (1 until n).foldLeft(x)((acc, k) =>
-          concat(acc, lit(" "), element_at(w, i + k + 1)))))
+    SqlLet.let(words(c), w => slidingNgrams(w, n))
   }
+
+  /** The sliding-window n-gram core over a PRE-BOUND token array — the one
+    * copy of the slice/element_at idiom shared by [[wordNgrams]],
+    * [[graft.operators.Dedup]]'s shingles, and
+    * [[graft.operators.Curation]]'s repetition bigrams. */
+  def slidingNgrams(w: Column, n: Int): Column =
+    transform(slice(w, lit(1), greatest(size(w) - (n - 1), lit(0))), (x, i) =>
+      (1 until n).foldLeft(x)((acc, k) =>
+        concat(acc, lit(" "), element_at(w, i + k + 1))))
 
   /** Content fingerprint — md5 of the normalized text (the deterministic
     * document-identity hash used by exact dedup; `md5` is identical across

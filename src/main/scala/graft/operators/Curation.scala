@@ -76,9 +76,8 @@ object Curation {
       val n = size(ws)
       val nd = size(array_distinct(ws))
       // Bigrams from the already-bound token array (wordNgrams would
-      // re-split the text; the sliding shape is the same).
-      val bi = transform(slice(ws, lit(1), greatest(n - 1, lit(0))), (x, i) =>
-        concat(x, lit(" "), element_at(ws, i + 2)))
+      // re-split the text).
+      val bi = TextFunctions.slidingNgrams(ws, 2)
       val nb = size(bi)
       val ndb = size(array_distinct(bi))
       struct(
@@ -106,7 +105,9 @@ object Curation {
     pmod(Dedup.md5Hash32(concat(lit(salt), lit(":"), idCol.cast("string"))),
       lit(numShards.toLong))
 
-  /** Filter thresholds for [[curate]] — each is a classic curation rule. */
+  /** Filter thresholds for [[curate]] — each is a classic curation rule.
+    * Empty `langRates` (the default) means NO sampling stage: every gated
+    * document is kept with weight 1.0. */
   final case class CurationRules(
       minWords: Int = 20,
       minChars: Long = 100L,
@@ -138,7 +139,9 @@ object Curation {
         length(col(textCol)) >= rules.minChars &&
         length(col(textCol)) <= rules.maxChars &&
         col("dup_word_frac") <= rules.maxDupWordFrac)
-    sampleStratified(withMetrics, rules.langRates, strataCol, idCol)
-      .select(idCol, strataCol, "n_words", "dup_word_frac", "weight")
+    val sampled =
+      if (rules.langRates.isEmpty) withMetrics.withColumn("weight", lit(1d))
+      else sampleStratified(withMetrics, rules.langRates, strataCol, idCol)
+    sampled.select(idCol, strataCol, "n_words", "dup_word_frac", "weight")
   }
 }

@@ -68,11 +68,9 @@ object Dedup {
   def md5Hash32Fold(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
-  /** Word n-shingles of a bound token-array value. */
+  /** Word n-shingles of a bound token-array value (shared sliding core). */
   private def shinglesOf(w: Column, n: Int): Column =
-    transform(slice(w, lit(1), greatest(size(w) - (n - 1), lit(0))), (x, i) =>
-      (1 until n).foldLeft(x)((acc, k) =>
-        concat(acc, lit(" "), element_at(w, i + k + 1))))
+    TextFunctions.slidingNgrams(w, n)
 
   /** Distinct shingle hashes of the NORMALIZED text (lowercased, whitespace
     * collapsed — dedup must not distinguish case/spacing variants). One
@@ -152,7 +150,10 @@ object Dedup {
     * `persist`: cache entries registered by repeated calls (clusters(),
     * bench min-of-2) outlive their consumers for the whole session, while
     * checkpoint RDDs are released by the ContextCleaner as soon as the
-    * result DataFrame is dropped. */
+    * result DataFrame is dropped. With `persistBands = false` the WHOLE
+    * banding pipeline is recomputed per consumer — the cap count plus each
+    * self-join side, three passes — an explicit CPU-for-memory trade for
+    * callers that cannot afford the materialization. */
   def nearDuplicates(docs: DataFrame, threshold: Double,
                      textCol: String = "text",
                      idCol: String = "doc_id",
@@ -162,12 +163,16 @@ object Dedup {
     val all = if (persistBands) raw.localCheckpoint(eager = true) else raw
     // Hot-band cap (see [[MaxBand]]): the over-cap band list comes from a
     // map-side-combined count (output ≤ distinct bands, and the filter
-    // usually leaves it EMPTY), then a broadcast anti-join drops their rows.
-    // Cheaper than a window count, which would shuffle every band row
-    // before the self-join even when no band is hot.
+    // usually leaves it EMPTY), then an anti-join drops their rows. Cheaper
+    // than a window count, which would shuffle every band row before the
+    // self-join even when no band is hot. No broadcast HINT: on a healthy
+    // corpus AQE broadcasts the (near-empty) hot list at runtime, while on
+    // a pathologically templated corpus — the case the cap exists for —
+    // the list can be huge and a forced broadcast would OOM the driver;
+    // unhinted, it degrades to a shuffle anti-join instead.
     val hot = all.groupBy("band").agg(count(lit(1)).as("_bsz"))
       .filter(col("_bsz") > maxBand).select("band")
-    val bands = all.join(broadcast(hot), Seq("band"), "left_anti")
+    val bands = all.join(hot, Seq("band"), "left_anti")
     val a = bands.as("a")
     val b = bands.as("b")
     val cand = a.join(b,
@@ -212,11 +217,14 @@ object Dedup {
   def crossNearDuplicatesBands(corpusBands: DataFrame, probeBands: DataFrame,
                                threshold: Double, idCol: String = "doc_id",
                                maxBand: Long = MaxBand): DataFrame = {
+    // Unhinted anti-joins for the same reason as [[nearDuplicates]]: AQE
+    // broadcasts the hot list when it is small, and a templated corpus
+    // with a HUGE hot list degrades to a shuffle instead of an OOM.
     val hot = corpusBands.select("band").union(probeBands.select("band"))
       .groupBy("band").agg(count(lit(1)).as("_bsz"))
       .filter(col("_bsz") > maxBand).select("band")
-    val cc = corpusBands.join(broadcast(hot), Seq("band"), "left_anti")
-    val pc = probeBands.join(broadcast(hot), Seq("band"), "left_anti")
+    val cc = corpusBands.join(hot, Seq("band"), "left_anti")
+    val pc = probeBands.join(hot, Seq("band"), "left_anti")
     val cand = pc.as("p").join(cc.as("c"), col("p.band") === col("c.band"))
       .select(col(s"p.$idCol").as("probe_id"), col("p.hs").as("hs_p"),
         col(s"c.$idCol").as("corpus_id"), col("c.hs").as("hs_c"))
@@ -285,8 +293,9 @@ object Dedup {
     // already-checkpointed labels replaces a join+filter+count job per
     // round (decimal, not long: a long sum of 2^63-scale ids wraps).
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head()
-        .getDecimal(0)
+      // sum over zero rows is NULL — an empty node set must converge, not NPE.
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(current)
     var iter = 0
     var changed = true

@@ -80,7 +80,12 @@ final class StoreHttpServer(store: RecentStore,
       case c => c.toString
     } + "\""
 
-  private def dec(seg: String): String = URLDecoder.decode(seg, UTF_8)
+  /** RFC-3986 percent-decoding for a PATH segment: a literal `+` is a legal
+    * path character and must survive (URLDecoder alone is form-decoding and
+    * would turn `SELECT a+b` into `SELECT a b` — werkzeug/Flask preserve
+    * `+` in paths, so the reference contract does too). */
+  private def dec(seg: String): String =
+    URLDecoder.decode(seg.replace("+", "%2B"), UTF_8)
 
   /** Flask's `<string:…>` converters never match `/`, so one decoded
     * segment per parameter is the reference contract too. */

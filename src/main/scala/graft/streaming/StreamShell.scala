@@ -175,8 +175,11 @@ object StreamShell {
                         trigger: Option[Trigger] = None)
       : (RecentStore, StreamingQuery, graft.serve.StoreHttpServer) = {
     val (store, query) = runWithSource(spark, cfg, source, checkpoint, trigger)
-    val server = new graft.serve.StoreHttpServer(store,
-      avroSchema = cfg.kafka.avroValueSchema).start()
+    // Server bind can fail (fd exhaustion, policy): stop the already-running
+    // query before rethrowing, or it would stream orphaned with no handle.
+    val server = try new graft.serve.StoreHttpServer(store,
+        avroSchema = cfg.kafka.avroValueSchema).start()
+      catch { case e: Throwable => query.stop(); throw e }
     (store, query, server)
   }
 }

@@ -85,5 +85,18 @@ class CurationSpec extends SparkSpec {
     val kept = Curation.curate(tiny, rules)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(0L, 3L))
+    // Default rules (no langRates) = every gated doc kept at weight 1.0.
+    val defaulted = Curation.curate(tiny, rules.copy(langRates = Map.empty))
+    assert(defaulted.select("doc_id").collect().map(_.getLong(0)).toSet === Set(0L, 3L))
+    assert(defaulted.select("weight").distinct().collect()
+      .map(_.getDouble(0)).toSeq === Seq(1.0))
+  }
+
+  test("connected components / clusters over an empty corpus return empty, no NPE") {
+    GraftExtensions.register(spark)
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.clusters(empty, threshold = 0.5).count() === 0L)
   }
 }

@@ -38,7 +38,10 @@ class StoreHttpServerSpec extends SparkSpec {
       HttpResponse.BodyHandlers.ofString())
     (resp.statusCode(), resp.body())
   }
-  private def enc(s: String): String = URLEncoder.encode(s, UTF_8)
+  /** RFC-3986 segment encoding (URLEncoder is form encoding; its `+`-for-
+    * space would collide with literal `+` preservation in paths). */
+  private def enc(s: String): String =
+    URLEncoder.encode(s, UTF_8).replace("+", "%20")
 
   test("every reference route round-trips the README worked example") {
     val sparkSession = spark
@@ -84,6 +87,10 @@ class StoreHttpServerSpec extends SparkSpec {
       assert(get(srv.port, "/rv/1") === ((200, s"[$row]")))
       assert(get(srv.port, "/dv/1") === ((200, s"[$row]")))
       assert(get(srv.port, "/dv/99") === ((200, "[]")))
+
+      // A literal '+' in path SQL survives decoding (RFC 3986, not form
+      // decoding): unencoded '+' is what standards-compliant clients send.
+      assert(get(srv.port, "/c/SELECT%201+1%20AS%20s") === ((200, """[{"s":2}]""")))
 
       // Unknown route and bad SQL are 400s, not hangs.
       assert(get(srv.port, "/nope")._1 === 400)
