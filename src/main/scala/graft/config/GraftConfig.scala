@@ -155,10 +155,9 @@ object GraftConfig {
   def parseFlatJsonPairs(json: String): Seq[(String, String)] = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
     require(node != null && node.isObject, s"expected a JSON object, got: $json")
-    val it = node.fields()
+    // properties() is the non-deprecated fields() (insertion-ordered).
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    while (it.hasNext) {
-      val e = it.next()
+    node.properties().forEach { e =>
       require(e.getValue.isTextual,
         s"expected string value for key '${e.getKey}', got ${e.getValue}")
       buf += e.getKey -> e.getValue.asText()

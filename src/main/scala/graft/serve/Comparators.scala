@@ -102,7 +102,7 @@ object Comparators {
     val node = mapper.readTree(json)
     require(node != null && node.isObject, s"expected a JSON object, got: $json")
     val out = scala.collection.mutable.LinkedHashMap.empty[String, (String, Any)]
-    node.fields().forEachRemaining { e =>
+    node.properties().forEach { e =>
       val arr = e.getValue
       require(arr.isArray && arr.size() >= 2,
         s"bad c_dict_params for '${e.getKey}': $arr")

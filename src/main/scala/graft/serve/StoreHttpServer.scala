@@ -38,10 +38,13 @@ final class StoreHttpServer(store: RecentStore,
 
   private val server = HttpServer.create(new InetSocketAddress(0), 0)
   server.createContext("/", handle _)
-  server.setExecutor(null) // dispatcher thread — a serving veneer, not a pool
+  // Small fixed pool: Spark actions are thread-safe, and the dispatcher
+  // thread alone would serialize every request behind the slowest query.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+  server.setExecutor(pool)
 
   def start(): this.type = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
   def port: Int = server.getAddress.getPort
 
   /** Rows as the reference's list-of-dicts JSON (`models.py:176-187`).
