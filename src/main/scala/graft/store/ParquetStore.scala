@@ -1,0 +1,111 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** The DURABLE deployment of the serving-store contract — what SCALE.md
+  * prescribes for production: one parquet partition directory per
+  * generation (`<path>/rst_id=N/`), so
+  *
+  *   - append = write one new partition (no rewrite of existing data),
+  *   - retention = DELETE whole partition directories (no row-level work),
+  *   - restart = recover `MAX(rst_id)+1` from the directory listing — the
+  *     A4 restore (`models.py:526-536`) from durable storage instead of a
+  *     live DataFrame,
+  *   - reads partition-prune on `rst_id` (recent-N / direct fetch touch
+  *     only the directories they name).
+  *
+  * Mirrors [[RecentStore]]'s generation semantics exactly (stamp → append →
+  * bump → auto-clean at cleanFreq multiples); the two are interchangeable
+  * behind the same query surface, which the spec pins by running the SAME
+  * scenario against both. Local filesystem here; the layout is what any
+  * object store / Delta table would carry.
+  */
+final class ParquetStore(
+    val spark: SparkSession,
+    /** Store schema WITHOUT rst_id, like [[RecentStore]]. */
+    val schema: StructType,
+    val path: String,
+    val tableName: String = "durable",
+    val cleanInterval: Long = 100,
+    val cleanFreq: Long = 10
+) {
+
+  val fullSchema: StructType =
+    StructType(schema.fields :+ StructField("rst_id", LongType, nullable = false))
+
+  Files.createDirectories(Paths.get(path))
+  private var counter: Long = maxRstId.map(_ + 1L).getOrElse(1L)
+  registerView()
+
+  /** Generation directories currently on disk, ascending. */
+  private def generationIds(): Seq[Long] =
+    Files.list(Paths.get(path)).toArray.toSeq.map(_.asInstanceOf[Path])
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("rst_id=") => s.stripPrefix("rst_id=").toLong }
+      .sorted
+
+  /** A4 restore from DURABLE storage: the directory listing is the
+    * MAX(RST_ID) query (no data read at all). */
+  def maxRstId: Option[Long] = generationIds().lastOption
+
+  def currentRstId: Long = counter
+
+  def append(batch: DataFrame): this.type = {
+    val aligned = schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
+    batch.select(aligned.toIndexedSeq: _*)
+      .write.mode("errorifexists")
+      .parquet(s"$path/rst_id=$counter")
+    counter += 1
+    if (counter % cleanFreq == 0) clean()
+    registerView()
+    this
+  }
+
+  /** K4 retention as partition-directory deletes — no row-level work. */
+  def clean(interval: Long = -1L): this.type = {
+    val keepFrom = counter - (if (interval == -1L) cleanInterval else interval)
+    generationIds().filter(_ < keepFrom).foreach { g =>
+      val dir = Paths.get(s"$path/rst_id=$g")
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+    }
+    registerView()
+    this
+  }
+
+  /** Partition-discovered read: rst_id comes back as a column from the
+    * directory names. Filters applied HERE hit the raw partition column, so
+    * they prune whole generation directories at planning time. */
+  private def raw(filter: Option[org.apache.spark.sql.Column]): DataFrame =
+    if (generationIds().isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fullSchema)
+    else {
+      val base = spark.read.option("basePath", path).parquet(path)
+      val filtered = filter.map(base.filter).getOrElse(base)
+      // Cast AFTER the partition filter: pins rst_id to LongType regardless
+      // of partition-type inference without blocking the pruning above.
+      filtered.withColumn("rst_id", col("rst_id").cast(LongType))
+        .select(fullSchema.fields.map(f => col(f.name)).toIndexedSeq: _*)
+    }
+
+  /** Q1 select-all. */
+  def selectAll: DataFrame = raw(None)
+
+  /** Q2 SQL over the registered view. */
+  def sql(query: String): DataFrame = spark.sql(query)
+
+  /** Q11 recent-N — partition-prunes to the last n generation dirs. */
+  def recent(n: Long): DataFrame = raw(Some(col("rst_id") >= counter - n))
+
+  /** Q12 direct generation fetch — one partition directory. */
+  def directFetch(rstId: Long): DataFrame = raw(Some(col("rst_id") === rstId))
+
+  /** Ring get_onwards (`models.py:768-772`). */
+  def getOnwards(rstId: Long): DataFrame = raw(Some(col("rst_id") >= rstId))
+
+  private def registerView(): Unit =
+    selectAll.createOrReplaceTempView(tableName)
+}

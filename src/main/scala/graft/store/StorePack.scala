@@ -105,6 +105,23 @@ object StorePack extends QueryPack {
     },
     // Ring get_onwards (`models.py:768-772`): generations 4..6.
     "q_store_onwards" -> ((s, dir) => buildStore(s, dir).getOnwards(4L)),
+    // The DURABLE deployment: same 6 generations through ParquetStore
+    // (partition-per-generation on disk) must produce the identical store —
+    // verified against the very same oracle as the in-memory select-all.
+    "q_store_durable" -> { (s, dir) =>
+      val events = table(s, dir, "events")
+        .withColumn("_batch",
+          expr(s"(CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT) - $Day0) div $BatchDays"))
+      val counts = BucketCounts.bucketCounts(
+        events, "ts", Interval, Seq("event_type", "_batch")).cache()
+      val store = new ParquetStore(s, storeSchema,
+        java.nio.file.Files.createTempDirectory("graft_durable").toString,
+        tableName = "durable_counts", cleanInterval = 100, cleanFreq = 1000)
+      (0L until 6L).foreach { b =>
+        store.append(counts.filter(col("_batch") === b).drop("_batch"))
+      }
+      store.selectAll
+    },
     // Q13 attach analog (`attach_new_db`, `models.py:189-224`): a SECOND
     // named store registers its own view in the shared catalog, and one SQL
     // statement cross-queries both namespaces — Spark's catalog plays the
@@ -147,6 +164,7 @@ object StorePack extends QueryPack {
     "q_store_select_gte" ->
       s"$StoreCte SELECT * FROM store WHERE 5 >= count",
     "q_store_onwards" -> s"$StoreCte SELECT * FROM store WHERE rst_id >= 4",
+    "q_store_durable" -> s"$StoreCte SELECT * FROM store",
     "q_store_attach_join" ->
       s"""WITH store AS (
          |  ${storeSelect(Interval)}

@@ -1,0 +1,85 @@
+package graft.store
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** The durable store must be semantically interchangeable with the
+  * in-memory [[RecentStore]] (same generation/retention/restore contract),
+  * restore its counter from the directory listing, and partition-prune
+  * generation-targeted reads. */
+class ParquetStoreSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("k", StringType), StructField("n", LongType)))
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_pstore").toString
+
+  private def batch(rows: (String, Long)*) = {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    rows.toDF("k", "n")
+  }
+
+  test("same scenario, same contents as RecentStore (interchangeable deployments)") {
+    val mem = new RecentStore(spark, schema, tableName = "mem_twin", cleanFreq = 1000L)
+    val dur = new ParquetStore(spark, schema, tmp(), tableName = "dur_twin",
+      cleanFreq = 1000L)
+    Seq(batch("a" -> 1L, "b" -> 2L), batch("a" -> 3L), batch("c" -> 4L))
+      .foreach { b => mem.append(b); dur.append(b) }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(dur.selectAll) === rows(mem.selectAll))
+    assert(dur.currentRstId === mem.currentRstId)
+    assert(rows(dur.recent(2)) === rows(mem.recent(2)))
+    assert(rows(dur.directFetch(2L)) === rows(mem.directFetch(2L)))
+    assert(rows(dur.getOnwards(2L)) === rows(mem.getOnwards(2L)))
+  }
+
+  test("counter restores from the directory listing (A4 from durable storage)") {
+    val path = tmp()
+    val s1 = new ParquetStore(spark, schema, path, tableName = "restore_a")
+    s1.append(batch("a" -> 1L)).append(batch("b" -> 2L))
+    assert(s1.currentRstId === 3L)
+    // "Restart": a NEW store over the same path — no live state carried.
+    val s2 = new ParquetStore(spark, schema, path, tableName = "restore_b")
+    assert(s2.maxRstId === Some(2L))
+    assert(s2.currentRstId === 3L)
+    s2.append(batch("c" -> 3L))
+    assert(s2.selectAll.select("rst_id").distinct().collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+  }
+
+  test("retention deletes whole generation directories; auto-clean fires") {
+    val path = tmp()
+    // cleanFreq=3, cleanInterval=1: counter reaching 3 keeps rst_id >= 2.
+    val s = new ParquetStore(spark, schema, path, tableName = "ret_dur",
+      cleanInterval = 1L, cleanFreq = 3L)
+    s.append(batch("a" -> 1L)).append(batch("b" -> 2L))
+    assert(s.selectAll.select("rst_id").distinct().collect()
+      .map(_.getLong(0)).toSet === Set(2L))
+    // The pruned generation is GONE from disk, not just filtered.
+    assert(!Files.exists(java.nio.file.Paths.get(s"$path/rst_id=1")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$path/rst_id=2")))
+  }
+
+  test("generation-targeted reads partition-prune to their directories") {
+    val s = new ParquetStore(spark, schema, tmp(), tableName = "prune_dur",
+      cleanFreq = 1000L)
+    (1 to 4).foreach(i => s.append(batch(s"k$i" -> i.toLong)))
+    val plan = s.directFetch(3L).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters") && plan.contains("rst_id"),
+      s"expected a partition filter on rst_id in:\n$plan")
+    assert(s.directFetch(3L).collect().map(_.getString(0)).toSeq === Seq("k3"))
+  }
+
+  test("empty store: selectAll is empty with the full schema, sql works") {
+    val s = new ParquetStore(spark, schema, tmp(), tableName = "empty_dur")
+    assert(s.selectAll.count() === 0L)
+    assert(s.selectAll.schema === s.fullSchema)
+    assert(s.sql("SELECT count(*) FROM empty_dur").head().getLong(0) === 0L)
+  }
+}
