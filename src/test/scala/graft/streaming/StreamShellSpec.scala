@@ -202,6 +202,41 @@ class StreamShellSpec extends SparkSpec {
       .head().getLong(0) === batches.toLong)
   }
 
+  test("checkpoint restart: the second run processes ONLY new files (exactly-once source)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, lit, struct, to_json}
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+    val src = java.nio.file.Files.createTempDirectory("graft_ck_src").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_ck_chk").toString
+    def writeWave(ts: Seq[Long]): Unit =
+      ts.toDF("t").select(to_json(struct(
+          lit("click").as("event_type"), col("t").as("timestamp"))).as("value"))
+        .coalesce(1).write.mode("append").parquet(src)
+    def attachRun(store: RecentStore): Unit = {
+      val stream = spark.readStream
+        .schema(StructType(Seq(StructField("value", StringType)))).parquet(src)
+      val q = StreamShell.attach(stream, msg, store,
+        trigger = Some(Trigger.AvailableNow()), checkpoint = Some(ck))
+      q.awaitTermination()
+    }
+
+    val store = newStore("ck_store")
+    writeWave(Seq(1L, 2L, 3L)) // bucket [0,20)
+    attachRun(store)
+    writeWave(Seq(21L, 22L))   // bucket [20,40), new files only
+    attachRun(store)           // restart from the SAME checkpoint
+
+    // Exactly-once: wave 1 is NOT re-counted on restart.
+    assert(store.sql(
+      "SELECT sum(count) FROM ck_store WHERE bucket_start = 0").head().getLong(0) === 3L)
+    assert(store.sql(
+      "SELECT sum(count) FROM ck_store WHERE bucket_start = 20").head().getLong(0) === 2L)
+    assert(store.sql("SELECT sum(count) FROM ck_store").head().getLong(0) === 5L)
+  }
+
   test("auto-clean fires when the counter hits a cleanFreq multiple") {
     val sparkSession = spark
     import sparkSession.implicits._
