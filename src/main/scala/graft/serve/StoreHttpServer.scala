@@ -5,14 +5,16 @@ import java.nio.charset.StandardCharsets.UTF_8
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.store.RecentStore
+import graft.store.GenerationStore
 
 /** The reference's actual user surface: its store is reached over Flask
   * routes (`audit_utils/audit_utils/http_endpoint.py:63-67,165-176`), every
   * response a JSON list of {column: value} dicts (`models.py:176-187`).
   * This is the same contract over `com.sun.net.httpserver` (zero new
   * dependencies), mapping each route onto the already-verified
-  * [[RecentStore]] / [[Comparators]] calls:
+  * [[graft.store.GenerationStore]] / [[Comparators]] calls — serving either
+  * deployment (in-memory [[graft.store.RecentStore]] or durable
+  * [[graft.store.ParquetStore]], like the reference's SQLite):
   *
   *   - `GET /a/<table>`          — Q1 select-all; `*` = the store's own table
   *     (`http_endpoint.py:70-77`)
@@ -33,7 +35,7 @@ import graft.store.RecentStore
   * Flask process served (cardinality = keys × buckets × generations), never
   * raw data; big analytical output belongs on the Dataset API, not HTTP.
   */
-final class StoreHttpServer(store: RecentStore,
+final class StoreHttpServer(store: GenerationStore,
                             avroSchema: Option[String] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(0), 0)

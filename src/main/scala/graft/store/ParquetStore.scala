@@ -31,7 +31,7 @@ final class ParquetStore(
     val tableName: String = "durable",
     val cleanInterval: Long = 100,
     val cleanFreq: Long = 10
-) {
+) extends GenerationStore {
 
   val fullSchema: StructType =
     StructType(schema.fields :+ StructField("rst_id", LongType, nullable = false))
@@ -105,6 +105,19 @@ final class ParquetStore(
 
   /** Ring get_onwards (`models.py:768-772`). */
   def getOnwards(rstId: Long): DataFrame = raw(Some(col("rst_id") >= rstId))
+
+  /** Q4 reset: delete every generation directory, rewind the counter — the
+    * durable analog of reconnect-on-:memory:. */
+  def reset(): this.type = {
+    generationIds().foreach { g =>
+      val dir = Paths.get(s"$path/rst_id=$g")
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+    }
+    counter = 1L
+    registerView()
+    this
+  }
 
   private def registerView(): Unit =
     selectAll.createOrReplaceTempView(tableName)

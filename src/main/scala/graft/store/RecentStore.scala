@@ -45,7 +45,7 @@ final class RecentStore(
       * (`models.py:794-806`): appends larger than this throw. Costs a count()
       * job per append — leave None on hot paths. */
     val softLimit: Option[Long] = None
-) {
+) extends GenerationStore {
 
   val fullSchema: StructType =
     StructType(schema.fields :+ StructField("rst_id", LongType, nullable = false))
@@ -125,17 +125,8 @@ final class RecentStore(
     * parse → Catalyst analyze/optimize → physical plan, replacing SQLite. */
   def sql(query: String): DataFrame = spark.sql(query)
 
-  /** Q3 SQL→Avro select (`SLCustomSelect.get` + `dict_to_avro`,
-    * `http_endpoint.py:78-86`, `utils.py:276-304`): run a query and encode
-    * each result row to a single-datum Avro binary. The caller supplies the
-    * .avsc whose field names match the query's output columns (nullable
-    * outputs must be unions with null). */
-  def sqlAvro(query: String, avroSchemaJson: String): DataFrame = {
-    val result = sql(query)
-    graft.sources.AvroCodec.encodeColumns(
-      result, result.columns.toSeq, avroSchemaJson, outCol = "avro_value")
-      .select(col("avro_value"))
-  }
+  // Q3 sqlAvro (`SLCustomSelect.get` + `dict_to_avro`,
+  // `http_endpoint.py:78-86`): inherited from [[GenerationStore]].
 
   /** Q11 recent-N fetch (`get_recent`, `models.py:774-784`): the last n
     * appended generations. */

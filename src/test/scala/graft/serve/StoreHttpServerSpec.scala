@@ -139,6 +139,29 @@ class StoreHttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("the veneer serves the DURABLE store too (reference wraps durable SQLite)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import org.apache.spark.sql.types._
+    val store = new graft.store.ParquetStore(spark,
+      StructType(Seq(StructField("k", StringType), StructField("n", LongType))),
+      java.nio.file.Files.createTempDirectory("graft_http_dur").toString,
+      tableName = "dur_http")
+    store.append(Seq(("a", 1L)).toDF("k", "n"))
+      .append(Seq(("b", 2L)).toDF("k", "n"))
+    val srv = new StoreHttpServer(store).start()
+    try {
+      assert(get(srv.port, "/rst") === ((200, "3")))
+      assert(get(srv.port, "/dv/2") === ((200, """[{"k":"b","n":2,"rst_id":2}]""")))
+      val sql = "SELECT sum(n) AS total FROM dur_http"
+      assert(get(srv.port, s"/c/${enc(sql)}") === ((200, """[{"total":3}]""")))
+      // Q4 reset wipes the directories and rewinds the counter.
+      assert(get(srv.port, "/r") === ((200, "null")))
+      assert(get(srv.port, "/a/*") === ((200, "[]")))
+      assert(get(srv.port, "/rst") === ((200, "1")))
+    } finally srv.stop()
+  }
+
   test("Q3 avro flavor: /cs returns base64 datums that decode back") {
     val sparkSession = spark
     import sparkSession.implicits._
