@@ -33,6 +33,14 @@ trait GenerationStore {
   /** K4 retention. */
   def clean(interval: Long = -1L): this.type
 
+  /** Append from a STREAMING micro-batch: the batch plan reads ephemeral
+    * source offsets, so it must be materialized before the trigger
+    * completes. In-memory deployment: localCheckpoint (the union keeps
+    * referencing it). Durable deployment overrides — its parquet write IS
+    * the materialization, so checkpointing first would do the work twice. */
+  def appendStreaming(batch: DataFrame): this.type =
+    append(batch.localCheckpoint(eager = true))
+
   /** Q3 SQL→Avro select (shared — both deployments encode identically). */
   def sqlAvro(query: String, avroSchemaJson: String): DataFrame = {
     val result = sql(query)

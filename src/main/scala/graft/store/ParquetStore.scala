@@ -53,6 +53,10 @@ final class ParquetStore(
 
   def currentRstId: Long = counter
 
+  /** Streaming append: the partition write below materializes the batch
+    * within the trigger — no pre-checkpoint needed (see trait). */
+  override def appendStreaming(batch: DataFrame): this.type = append(batch)
+
   def append(batch: DataFrame): this.type = {
     val aligned = schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
     batch.select(aligned.toIndexedSeq: _*)

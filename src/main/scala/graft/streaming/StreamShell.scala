@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import graft.config.{GraftConfig, KafkaSettings, MsgSettings}
 import graft.operators.{BucketCounts, Decode, Project}
-import graft.store.RecentStore
+import graft.store.{GenerationStore, RecentStore}
 
 /** The streaming shell — the reference's DStream job
   * (`ss_kafka_bucket_counter`, `spark-streaming-kafka-bucket-counter.py:91-173`)
@@ -59,7 +59,7 @@ object StreamShell {
 
   /** Attach the counting pipeline to a streaming frame and start it.
     * Every micro-batch appends one generation to the store. */
-  def attach(stream: DataFrame, msg: MsgSettings, store: RecentStore,
+  def attach(stream: DataFrame, msg: MsgSettings, store: GenerationStore,
              trigger: Option[Trigger] = None,
              checkpoint: Option[String] = None,
              valueDecoder: Option[DataFrame => DataFrame] = None): StreamingQuery = {
@@ -69,11 +69,10 @@ object StreamShell {
         // rst_id comes from the store's own restored counter, not batchId:
         // the reference's generation id survives restarts via MAX(RST_ID)
         // (`models.py:533-536`), whereas batchId restarts with the checkpoint.
-        // The generation is MATERIALIZED here (localCheckpoint): appending a
-        // lazy plan over the ephemeral micro-batch would re-read retired
-        // source offsets on later store queries, and stateful operators
-        // would never commit their state stores.
-        store.append(batchCounts(batch, msg, valueDecoder).localCheckpoint(true))
+        // appendStreaming materializes the generation within the trigger
+        // (checkpoint or durable write, per deployment): a lazy plan over
+        // the ephemeral micro-batch would re-read retired source offsets.
+        store.appendStreaming(batchCounts(batch, msg, valueDecoder))
         ()
       }
     checkpoint.foreach(dir => writer = writer.option("checkpointLocation", dir))
@@ -93,7 +92,7 @@ object StreamShell {
     * Scale: streaming state is bounded by (active buckets × keys) and
     * watermark-expired state is dropped by Spark; shuffle per trigger is the
     * same partial+final agg as the batch path. */
-  def attachWatermarked(stream: DataFrame, msg: MsgSettings, store: RecentStore,
+  def attachWatermarked(stream: DataFrame, msg: MsgSettings, store: GenerationStore,
                         lateness: String = "0 seconds",
                         trigger: Option[Trigger] = None,
                         checkpoint: Option[String] = None,
@@ -112,7 +111,7 @@ object StreamShell {
       .outputMode("update")
       .trigger(trigger.getOrElse(defaultTrigger(msg)))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        store.append(batch.localCheckpoint(true)) // materialize: see attach()
+        store.appendStreaming(batch) // materialize within trigger: see attach()
         ()
       }
     checkpoint.foreach(dir => writer = writer.option("checkpointLocation", dir))

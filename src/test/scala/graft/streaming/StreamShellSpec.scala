@@ -202,6 +202,28 @@ class StreamShellSpec extends SparkSpec {
       .head().getLong(0) === batches.toLong)
   }
 
+  test("streaming into the DURABLE store: generations land as partition dirs") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_stream_dur").toString
+    val store = new graft.store.ParquetStore(spark, storeSchema, path,
+      tableName = "dur_stream", cleanFreq = 1000L)
+    val stream = MemoryStream[(String, String)]
+    val query = StreamShell.attach(stream.toDF().toDF("key", "value"), msg, store,
+      trigger = Some(Trigger.ProcessingTime(0L)))
+    stream.addData(ev(1), ev(9)); query.processAllAvailable()
+    stream.addData(ev(5)); query.processAllAvailable()
+    query.stop()
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/rst_id=1")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/rst_id=2")))
+    assert(store.sql(
+      "SELECT sum(count) FROM dur_stream WHERE bucket_start = 0").head().getLong(0) === 3L)
+    // A fresh store over the same path restores the counter from disk.
+    assert(new graft.store.ParquetStore(spark, storeSchema, path,
+      tableName = "dur_stream2").currentRstId === 3L)
+  }
+
   test("checkpoint restart: the second run processes ONLY new files (exactly-once source)") {
     val sparkSession = spark
     import sparkSession.implicits._
