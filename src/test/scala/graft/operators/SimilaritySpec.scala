@@ -118,6 +118,31 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("ANN recall levers behave as documented (nprobe, multiprobe, training)") {
+    GraftExtensions.register(spark)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val brute = Similarity.knn(emb, queries, 10).select("q_id", "vec_id")
+    val total = brute.count().toDouble
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("q_id", "vec_id").intersect(brute).count() / total
+
+    val ivf2 = recall(Similarity.knnIvf(emb, queries, 10, numCentroids = 8, nprobe = 2))
+    val ivf4 = recall(Similarity.knnIvf(emb, queries, 10, numCentroids = 8, nprobe = 4))
+    val bucketed = recall(Similarity.knnBucketed(emb, queries, 10, bits = 4))
+    val multi = recall(Similarity.knnMultiprobe(emb, queries, 10, bits = 4))
+    val cents = Similarity.kmeans(emb, 8, 3).zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    val trained = recall(Similarity.knnIvfWith(emb, queries, 10, cents, nprobe = 2))
+
+    // The documented levers, as inequalities on this deterministic fixture
+    // (measured: ivf2 0.44, ivf4 0.62, bucketed 0.05, multi 0.46,
+    // trained 0.48): more probes → more recall; hamming-1 probing rescues
+    // the coarse sign quantizer; trained centroids beat seed centroids.
+    assert(ivf4 > ivf2, s"nprobe lever broken: ivf4=$ivf4 ivf2=$ivf2")
+    assert(multi > bucketed, s"multiprobe lever broken: multi=$multi bucketed=$bucketed")
+    assert(trained >= ivf2, s"training hurt recall: trained=$trained ivf2=$ivf2")
+    assert(ivf4 >= 0.5, s"ivf nprobe=4 recall degenerate: $ivf4")
+  }
+
   test("kmeans distortion is non-increasing over iterations") {
     GraftExtensions.register(spark)
     def distortion(cents: Seq[Seq[Double]]): Double = {
