@@ -62,13 +62,21 @@ final class StoreHttpServer(store: GenerationStore,
     df.collect().map(r => "\"" + java.util.Base64.getEncoder
       .encodeToString(r.getAs[Array[Byte]](0)) + "\"").mkString("[", ",", "]")
 
+  /** Reads share; the one MUTATING route (`/r` reset) takes the write lock —
+    * a reset racing an in-flight scan would otherwise delete partition
+    * directories (durable store) or swap `data` (in-memory) mid-collect. */
+  private val lock = new java.util.concurrent.locks.ReentrantReadWriteLock()
+
   private def handle(ex: HttpExchange): Unit = {
+    val isWrite = ex.getRequestURI.getRawPath.stripPrefix("/") == "r"
+    val l = if (isWrite) lock.writeLock() else lock.readLock()
+    l.lock()
     val (status, body) =
       try (200, route(ex.getRequestURI.getRawPath))
       catch {
         case e: Exception =>
           (400, s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}""")
-      }
+      } finally l.unlock()
     val bytes = body.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(status, bytes.length.toLong)

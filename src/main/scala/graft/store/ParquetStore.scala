@@ -37,15 +37,31 @@ final class ParquetStore(
     StructType(schema.fields :+ StructField("rst_id", LongType, nullable = false))
 
   Files.createDirectories(Paths.get(path))
-  private var counter: Long = maxRstId.map(_ + 1L).getOrElse(1L)
+  /** Volatile: HTTP pool threads read the counter while the streaming
+    * thread appends. */
+  @volatile private var counter: Long = maxRstId.map(_ + 1L).getOrElse(1L)
   registerView()
 
-  /** Generation directories currently on disk, ascending. */
-  private def generationIds(): Seq[Long] =
-    Files.list(Paths.get(path)).toArray.toSeq.map(_.asInstanceOf[Path])
+  /** Generation directories currently on disk, ascending. Staging dirs
+    * (`.staging_*`, from in-flight or failed writes) never match, so a
+    * crashed half-written generation is invisible to reads AND to counter
+    * restore. NIO streams are closed eagerly (they hold an fd until GC —
+    * a per-micro-batch leak otherwise). */
+  private def generationIds(): Seq[Long] = {
+    val s = Files.list(Paths.get(path))
+    try s.toArray.toSeq.map(_.asInstanceOf[Path])
       .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("rst_id=") => s.stripPrefix("rst_id=").toLong }
+      .collect { case n if n.startsWith("rst_id=") => n.stripPrefix("rst_id=").toLong }
       .sorted
+    finally s.close()
+  }
+
+  private def deleteRecursively(dir: Path): Unit = {
+    val s = Files.walk(dir)
+    try s.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(p => { Files.deleteIfExists(p); () })
+    finally s.close()
+  }
 
   /** A4 restore from DURABLE storage: the directory listing is the
     * MAX(RST_ID) query (no data read at all). */
@@ -57,27 +73,41 @@ final class ParquetStore(
     * within the trigger — no pre-checkpoint needed (see trait). */
   override def appendStreaming(batch: DataFrame): this.type = append(batch)
 
+  /** Append = stage → atomic rename. Writing straight to `rst_id=N` would
+    * wedge the store on one failed write (errorifexists meets the partial
+    * directory on every retry) and serve half-written data after a crash;
+    * the staged directory is deleted on failure and never matches
+    * [[generationIds]]. */
   def append(batch: DataFrame): this.type = {
     val aligned = schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
-    batch.select(aligned.toIndexedSeq: _*)
-      .write.mode("errorifexists")
-      .parquet(s"$path/rst_id=$counter")
+    val staging = Paths.get(path, s".staging_$counter")
+    try {
+      batch.select(aligned.toIndexedSeq: _*)
+        .write.mode("overwrite").parquet(staging.toString)
+      Files.move(staging, Paths.get(path, s"rst_id=$counter"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case e: Throwable =>
+      if (Files.exists(staging)) deleteRecursively(staging)
+      throw e
+    }
     counter += 1
-    if (counter % cleanFreq == 0) clean()
+    if (counter % cleanFreq == 0) cleanCore(-1L)
     registerView()
     this
   }
 
   /** K4 retention as partition-directory deletes — no row-level work. */
   def clean(interval: Long = -1L): this.type = {
-    val keepFrom = counter - (if (interval == -1L) cleanInterval else interval)
-    generationIds().filter(_ < keepFrom).foreach { g =>
-      val dir = Paths.get(s"$path/rst_id=$g")
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => { Files.deleteIfExists(p); () })
-    }
+    cleanCore(interval)
     registerView()
     this
+  }
+
+  private def cleanCore(interval: Long): Unit = {
+    val keepFrom = counter - (if (interval == -1L) cleanInterval else interval)
+    generationIds().filter(_ < keepFrom).foreach { g =>
+      deleteRecursively(Paths.get(s"$path/rst_id=$g"))
+    }
   }
 
   /** Partition-discovered read: rst_id comes back as a column from the
@@ -113,11 +143,7 @@ final class ParquetStore(
   /** Q4 reset: delete every generation directory, rewind the counter — the
     * durable analog of reconnect-on-:memory:. */
   def reset(): this.type = {
-    generationIds().foreach { g =>
-      val dir = Paths.get(s"$path/rst_id=$g")
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => { Files.deleteIfExists(p); () })
-    }
+    generationIds().foreach(g => deleteRecursively(Paths.get(s"$path/rst_id=$g")))
     counter = 1L
     registerView()
     this

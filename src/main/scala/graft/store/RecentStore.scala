@@ -50,8 +50,11 @@ final class RecentStore(
   val fullSchema: StructType =
     StructType(schema.fields :+ StructField("rst_id", LongType, nullable = false))
 
-  private var data: DataFrame = emptyData()
-  private var counter: Long = 1L
+  // Volatile: the streaming thread mutates while HTTP pool threads read
+  // (visibility only — mutation itself is single-writer by contract, like
+  // the reference's one consumer process).
+  @volatile private var data: DataFrame = emptyData()
+  @volatile private var counter: Long = 1L
   private var appends: Int = 0
   registerView()
 

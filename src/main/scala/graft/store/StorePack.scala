@@ -39,21 +39,31 @@ object StorePack extends QueryPack {
     * cardinality = keys × buckets, tiny), and each generation append is a
     * filter over that cached aggregate — 1 parquet scan instead of 6. The
     * append-per-generation store semantics are unchanged. */
-  def buildStore(spark: SparkSession, dir: String,
-                 tableName: String = "recent_counts",
-                 interval: Long = Interval): RecentStore = {
+  /** Append the 6 deterministic generations into ANY deployment — the one
+    * copy of the batching pipeline, so the in-memory and durable stores are
+    * guaranteed to be built from the same scenario. The per-batch counts
+    * are materialized once (eager localCheckpoint — released when
+    * unreferenced, unlike cache entries) and each generation is a filter
+    * over them: 1 parquet scan instead of 6. */
+  def buildInto[S <: GenerationStore](spark: SparkSession, dir: String,
+                                      store: S, interval: Long = Interval): S = {
     val events = table(spark, dir, "events")
       .withColumn("_batch",
         expr(s"(CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT) - $Day0) div $BatchDays"))
     val counts = BucketCounts.bucketCounts(
-      events, "ts", interval, Seq("event_type", "_batch")).cache()
-    val store = new RecentStore(spark, storeSchema, tableName = tableName,
-      cleanInterval = 100, cleanFreq = 1000)
+      events, "ts", interval, Seq("event_type", "_batch"))
+      .localCheckpoint(eager = true)
     (0L until 6L).foreach { b =>
       store.append(counts.filter(col("_batch") === b).drop("_batch"))
     }
     store
   }
+
+  def buildStore(spark: SparkSession, dir: String,
+                 tableName: String = "recent_counts",
+                 interval: Long = Interval): RecentStore =
+    buildInto(spark, dir, new RecentStore(spark, storeSchema,
+      tableName = tableName, cleanInterval = 100, cleanFreq = 1000), interval)
 
   /** Store-contents select with derived rst_id, for any bucket interval
     * that never straddles a day boundary. */
@@ -105,22 +115,19 @@ object StorePack extends QueryPack {
     },
     // Ring get_onwards (`models.py:768-772`): generations 4..6.
     "q_store_onwards" -> ((s, dir) => buildStore(s, dir).getOnwards(4L)),
-    // The DURABLE deployment: same 6 generations through ParquetStore
-    // (partition-per-generation on disk) must produce the identical store —
-    // verified against the very same oracle as the in-memory select-all.
+    // The DURABLE deployment: the SAME buildInto pipeline through
+    // ParquetStore must produce the identical store — verified against the
+    // very same oracle as the in-memory select-all. One canonical path per
+    // (tmpdir, sf), wiped before each build: repeated invocations (bench
+    // min-of-2, plan guard) rebuild in place instead of stranding a fresh
+    // temp directory per call.
     "q_store_durable" -> { (s, dir) =>
-      val events = table(s, dir, "events")
-        .withColumn("_batch",
-          expr(s"(CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT) - $Day0) div $BatchDays"))
-      val counts = BucketCounts.bucketCounts(
-        events, "ts", Interval, Seq("event_type", "_batch")).cache()
-      val store = new ParquetStore(s, storeSchema,
-        java.nio.file.Files.createTempDirectory("graft_durable").toString,
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        f"graft_durable_${dir.hashCode}%08x")
+      val store = new ParquetStore(s, storeSchema, base.toString,
         tableName = "durable_counts", cleanInterval = 100, cleanFreq = 1000)
-      (0L until 6L).foreach { b =>
-        store.append(counts.filter(col("_batch") === b).drop("_batch"))
-      }
-      store.selectAll
+      store.reset()
+      buildInto(s, dir, store).selectAll
     },
     // Q13 attach analog (`attach_new_db`, `models.py:189-224`): a SECOND
     // named store registers its own view in the shared catalog, and one SQL
