@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
-import graft.config.{BucketType, MsgSettings, GraftConfig}
+import graft.config.{GraftConfig, MsgSettings}
 
 /** Message decode + projection + bucketing — the reference's per-record parse
   * path (`json_dict_bucket_parse`, `audit_utils/audit_utils/utils.py:62-97`)
