@@ -32,6 +32,16 @@ object DedupPack extends QueryPack {
       graft.plans.GraftExtensions.register(s)
       Dedup.clusters(table(s, dir, "documents"), Threshold)
     },
+    // The pipeline's final artifacts: representative ids to KEEP (one per
+    // cluster) and the complementary DROP list.
+    "q_dedup_keep" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Dedup.keepList(Dedup.clusters(table(s, dir, "documents"), Threshold))
+    },
+    "q_dedup_drop" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Dedup.dropList(Dedup.clusters(table(s, dir, "documents"), Threshold))
+    },
     // Decontamination: which held-out docs (src18/src19 = the "eval set")
     // near-duplicate a training doc (every other source)? Both sides slice
     // ONE table, so band once (single hashing pass) and split by side.
@@ -108,6 +118,30 @@ object DedupPack extends QueryPack {
          |  CAST(coalesce(least(min(r.b), d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
          |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
          |GROUP BY d.doc_id""".stripMargin,
+    // Keep = doc_id == its cluster label (the component minimum);
+    // drop = the complement. Same recursive closure as q_dedup_clusters.
+    "q_dedup_keep" ->
+      s"""WITH RECURSIVE $PairCtes,
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |cl AS (SELECT d.doc_id,
+         |  CAST(coalesce(least(min(r.b), d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
+         |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+         |GROUP BY d.doc_id)
+         |SELECT doc_id FROM cl WHERE doc_id = cluster_id""".stripMargin,
+    "q_dedup_drop" ->
+      s"""WITH RECURSIVE $PairCtes,
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |cl AS (SELECT d.doc_id,
+         |  CAST(coalesce(least(min(r.b), d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
+         |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+         |GROUP BY d.doc_id)
+         |SELECT doc_id FROM cl WHERE doc_id != cluster_id""".stripMargin,
     // Cross-corpus: probe bands (src18/19) against corpus bands; the cap in
     // the shared `bands` CTE is over the COMBINED band table, exactly like
     // crossNearDuplicates' union-side hot list.

@@ -162,6 +162,29 @@ class StoreHttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("concurrent reads racing resets never 500 (read/write lock)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import org.apache.spark.sql.types._
+    val store = new graft.store.RecentStore(spark, StructType(Seq(
+      StructField("k", StringType), StructField("n", LongType))),
+      tableName = "race_http")
+    store.append(Seq(("a", 1L)).toDF("k", "n"))
+    val srv = new StoreHttpServer(store).start()
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val futures = (1 to 24).map { i =>
+        Future(get(srv.port, if (i % 6 == 0) "/r" else "/a/*"))
+      }
+      val results = Await.result(Future.sequence(futures), 60.seconds)
+      // Every response is a clean 200 — no torn state, no 500s/exceptions.
+      assert(results.forall(_._1 == 200), results.filter(_._1 != 200).toString)
+      assert(results.forall { case (_, b) => b == "null" || b.startsWith("[") })
+    } finally srv.stop()
+  }
+
   test("Q3 avro flavor: /cs returns base64 datums that decode back") {
     val sparkSession = spark
     import sparkSession.implicits._

@@ -224,6 +224,27 @@ class StreamShellSpec extends SparkSpec {
       tableName = "dur_stream2").currentRstId === 3L)
   }
 
+  test("watermarked upgrade mode also streams into the durable store") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_wm_dur").toString
+    val store = new graft.store.ParquetStore(spark, storeSchema, path,
+      tableName = "wm_dur", cleanFreq = 1000L)
+    val stream = MemoryStream[(String, String)]
+    val query = StreamShell.attachWatermarked(
+      stream.toDF().toDF("key", "value"), msg, store,
+      lateness = "1 hour", trigger = Some(Trigger.ProcessingTime(0L)))
+    val base = 1700000000L
+    stream.addData(ev(base + 1), ev(base + 9)); query.processAllAvailable()
+    stream.addData(ev(base + 5)); query.processAllAvailable() // late, merges
+    query.stop()
+    val latest = store.sql(
+      s"""SELECT count FROM wm_dur WHERE bucket_start = $base
+         |ORDER BY rst_id DESC LIMIT 1""".stripMargin).head().getLong(0)
+    assert(latest === 3L)
+  }
+
   test("checkpoint restart: the second run processes ONLY new files (exactly-once source)") {
     val sparkSession = spark
     import sparkSession.implicits._
