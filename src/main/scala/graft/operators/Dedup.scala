@@ -281,11 +281,16 @@ object Dedup {
       .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
     edges.count() // materialize once; every round reuses it
+    // Only nodes TOUCHED BY AN EDGE can ever change labels — isolated nodes
+    // self-label outside the loop, so every round's join/groupBy runs over
+    // |edge nodes| (the near-dup pair population, typically a few % of the
+    // corpus) instead of |V|.
     // Each round MUST truncate lineage (localCheckpoint, like RecentStore):
     // persist alone keeps the nested logical plan, which doubles per round —
     // by ~15 rounds merely PLANNING (or explainString-ing) the query OOMs.
     // Found at sf0.1, where longer near-dup chains need more rounds.
-    var current = nodes.select(col("node"), col("node").as("label"))
+    val edgeNodes = edges.select(col("src").as("node")).distinct()
+    var current = edgeNodes.select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
     // Convergence via the exact label-sum: each round takes per-node minima,
     // so labels are monotonically non-increasing — the sum is strictly
@@ -320,7 +325,11 @@ object Dedup {
     if (changed) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxIter rounds " +
         "(labels still changing) — raise maxIter")
-    current.select(col("node"), col("label").as("cluster_id"))
+    // Isolated nodes (never in a pair) label themselves; left join keeps
+    // every input node exactly once whether or not it saw an edge.
+    nodes.select(col("node"))
+      .join(current.withColumnRenamed("label", "cluster_id"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("cluster_id"), col("node")).as("cluster_id"))
   }
 
   /** Exact n-gram Jaccard near-dup — the inverted-index alternative to LSH:
