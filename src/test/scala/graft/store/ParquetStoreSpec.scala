@@ -76,6 +76,30 @@ class ParquetStoreSpec extends SparkSpec {
     assert(s.directFetch(3L).collect().map(_.getString(0)).toSeq === Seq("k3"))
   }
 
+  test("a failed append leaves no partial generation and does not wedge retries") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val path = tmp()
+    val s = new ParquetStore(spark, schema, path, tableName = "fail_dur")
+    s.append(batch("a" -> 1L))
+    // A batch whose evaluation throws mid-write (raise_error under the cast).
+    val poison = Seq("x").toDF("k")
+      .withColumn("n", expr("raise_error('boom')").cast("long"))
+    intercept[Exception] { s.append(poison) }
+    // No partial rst_id=2 directory, no leftover staging dir, counter unmoved.
+    val listed = {
+      val st = Files.list(java.nio.file.Paths.get(path))
+      try st.toArray.map(_.toString).toSeq finally st.close()
+    }
+    assert(listed.forall(p => !p.contains("staging")), listed.toString)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$path/rst_id=2")))
+    assert(s.currentRstId === 2L)
+    // The SAME generation id succeeds on retry — the store is not wedged.
+    s.append(batch("b" -> 2L))
+    assert(s.selectAll.select("rst_id").distinct().collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
   test("empty store: selectAll is empty with the full schema, sql works") {
     val s = new ParquetStore(spark, schema, tmp(), tableName = "empty_dur")
     assert(s.selectAll.count() === 0L)
