@@ -76,10 +76,13 @@ object Bench {
       } finally {
         // Delete the staged copy even when attach/awaitTermination throws —
         // deleteOnExit is a no-op on non-empty dirs, so a failure path would
-        // otherwise leak a fixture copy in /tmp per run.
+        // otherwise leak a fixture copy in /tmp per run. Close the NIO
+        // stream eagerly (it holds a directory fd until GC).
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.iterator().asScala.toSeq.reverse
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
       }
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)

@@ -52,6 +52,11 @@ object Curation {
                        salt: String = "mix"): DataFrame = {
     require(rates.nonEmpty, "rates must name at least one stratum")
     rates.values.foreach(r => require(r >= 0d && r <= 1d, s"rate $r outside [0,1]"))
+    // Fail fast rather than silently clobber caller data: `weight` is the
+    // OUTPUT column, `_num` a transient internal.
+    Seq("weight", "_num").foreach(c => require(!docs.columns.contains(c),
+      s"input already has a '$c' column — rename it before sampling " +
+        "(sampleStratified emits its own 'weight')"))
     // Rate/threshold as literal CASE chains (strata maps are small by
     // nature); keys sorted so the expression — and the plan — is
     // deterministic.

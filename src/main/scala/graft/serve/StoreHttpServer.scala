@@ -77,11 +77,15 @@ final class StoreHttpServer(store: GenerationStore,
         case e: Exception =>
           (400, s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}""")
       } finally l.unlock()
-    val bytes = body.getBytes(UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
-    ex.sendResponseHeaders(status, bytes.length.toLong)
-    ex.getResponseBody.write(bytes)
-    ex.close()
+    // Clients can disconnect mid-response: the write may throw, but the
+    // exchange (and its socket fd) must close either way.
+    try {
+      val bytes = body.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(status, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+    } catch { case _: java.io.IOException => () }
+    finally ex.close()
   }
 
   private def jsonStr(s: String): String =

@@ -78,7 +78,7 @@ final class ParquetStore(
     * directory on every retry) and serve half-written data after a crash;
     * the staged directory is deleted on failure and never matches
     * [[generationIds]]. */
-  def append(batch: DataFrame): this.type = {
+  def append(batch: DataFrame): this.type = this.synchronized {
     val aligned = schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
     val staging = Paths.get(path, s".staging_$counter")
     try {
@@ -97,7 +97,7 @@ final class ParquetStore(
   }
 
   /** K4 retention as partition-directory deletes — no row-level work. */
-  def clean(interval: Long = -1L): this.type = {
+  def clean(interval: Long = -1L): this.type = this.synchronized {
     cleanCore(interval)
     registerView()
     this
@@ -112,17 +112,23 @@ final class ParquetStore(
 
   /** Partition-discovered read: rst_id comes back as a column from the
     * directory names. Filters applied HERE hit the raw partition column, so
-    * they prune whole generation directories at planning time. */
+    * they prune whole generation directories at planning time. The schema
+    * is PROVIDED, not inferred — an appended EMPTY batch leaves a data-less
+    * generation directory, and inference over only-empty generations would
+    * throw where the in-memory twin serves zero rows.
+    *
+    * Readers racing retention on an ABOUT-TO-EXPIRE generation can hit
+    * missing files mid-scan — inherent to file-backed stores (same as Hive
+    * partition drops under readers); size `cleanInterval` with read latency
+    * in mind, or deploy on a snapshot-isolated table format. */
   private def raw(filter: Option[org.apache.spark.sql.Column]): DataFrame =
     if (generationIds().isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fullSchema)
     else {
-      val base = spark.read.option("basePath", path).parquet(path)
+      val base = spark.read.schema(fullSchema)
+        .option("basePath", path).parquet(path)
       val filtered = filter.map(base.filter).getOrElse(base)
-      // Cast AFTER the partition filter: pins rst_id to LongType regardless
-      // of partition-type inference without blocking the pruning above.
-      filtered.withColumn("rst_id", col("rst_id").cast(LongType))
-        .select(fullSchema.fields.map(f => col(f.name)).toIndexedSeq: _*)
+      filtered.select(fullSchema.fields.map(f => col(f.name)).toIndexedSeq: _*)
     }
 
   /** Q1 select-all. */
@@ -142,7 +148,7 @@ final class ParquetStore(
 
   /** Q4 reset: delete every generation directory, rewind the counter — the
     * durable analog of reconnect-on-:memory:. */
-  def reset(): this.type = {
+  def reset(): this.type = this.synchronized {
     generationIds().foreach(g => deleteRecursively(Paths.get(s"$path/rst_id=$g")))
     counter = 1L
     registerView()

@@ -50,9 +50,9 @@ final class RecentStore(
   val fullSchema: StructType =
     StructType(schema.fields :+ StructField("rst_id", LongType, nullable = false))
 
-  // Volatile: the streaming thread mutates while HTTP pool threads read
-  // (visibility only — mutation itself is single-writer by contract, like
-  // the reference's one consumer process).
+  // Mutators are synchronized (a streaming append racing an HTTP /r reset
+  // would interleave the read-modify-write and resurrect wiped data);
+  // volatile gives reader threads visibility without taking the lock.
   @volatile private var data: DataFrame = emptyData()
   @volatile private var counter: Long = 1L
   private var appends: Int = 0
@@ -80,7 +80,7 @@ final class RecentStore(
 
   /** Restore the generation counter from existing contents — reattach
     * semantics (`models.py:533-536`): counter = MAX(rst_id)+1, or 1 if empty. */
-  def restoreFrom(existing: DataFrame): this.type = {
+  def restoreFrom(existing: DataFrame): this.type = this.synchronized {
     data = align(existing, withRstId = true)
     counter = maxRstId.map(_ + 1L).getOrElse(1L)
     registerView()
@@ -92,7 +92,7 @@ final class RecentStore(
     * Batch-level atomicity subsumes the reference's per-row tolerance loop
     * (a Spark action either commits the whole batch plan or fails it).
     */
-  def append(batch: DataFrame): this.type = {
+  def append(batch: DataFrame): this.type = this.synchronized {
     softLimit.foreach { lim =>
       val n = batch.count()
       if (n > lim) throw new IllegalStateException(
@@ -113,7 +113,7 @@ final class RecentStore(
   /** Retention — operator K4 (`clean`, `models.py:702-735`): drop generations
     * older than `counter - interval`. `clean(0)` empties the store (doctest
     * `models.py:718-727`). */
-  def clean(interval: Long = -1L): this.type = {
+  def clean(interval: Long = -1L): this.type = this.synchronized {
     val keepFrom = counter - (if (interval == -1L) cleanInterval else interval)
     data = data.filter(col("rst_id") >= lit(keepFrom))
     registerView()
@@ -146,7 +146,7 @@ final class RecentStore(
     data.filter(col("rst_id") >= lit(rstId))
 
   /** Q4 reconnect/reset (`models.py:496-505`): in-memory db reopen = wipe. */
-  def reset(): this.type = {
+  def reset(): this.type = this.synchronized {
     data = emptyData()
     counter = 1L
     appends = 0

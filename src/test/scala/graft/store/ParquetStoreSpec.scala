@@ -100,6 +100,19 @@ class ParquetStoreSpec extends SparkSpec {
       .map(_.getLong(0)).toSet === Set(1L, 2L))
   }
 
+  test("an appended EMPTY batch round-trips (provided schema, no inference)") {
+    val s = new ParquetStore(spark, schema, tmp(), tableName = "emptygen_dur")
+    s.append(batch().limit(0)) // generation 1: zero rows, data-less directory
+    assert(s.currentRstId === 2L)
+    assert(s.selectAll.count() === 0L)
+    // Names+types match (file reads relax nullability, which is fine).
+    assert(s.selectAll.schema.map(f => (f.name, f.dataType))
+      === s.fullSchema.map(f => (f.name, f.dataType)))
+    s.append(batch("a" -> 1L))
+    assert(s.selectAll.collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+      === Seq(("a", 2L)))
+  }
+
   test("empty store: selectAll is empty with the full schema, sql works") {
     val s = new ParquetStore(spark, schema, tmp(), tableName = "empty_dur")
     assert(s.selectAll.count() === 0L)
