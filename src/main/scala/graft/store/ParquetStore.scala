@@ -117,16 +117,19 @@ final class ParquetStore(
     * generation directory, and inference over only-empty generations would
     * throw where the in-memory twin serves zero rows.
     *
-    * Readers racing retention on an ABOUT-TO-EXPIRE generation can hit
-    * missing files mid-scan — inherent to file-backed stores (same as Hive
-    * partition drops under readers); size `cleanInterval` with read latency
-    * in mind, or deploy on a snapshot-isolated table format. */
+    * Readers racing retention on an ABOUT-TO-EXPIRE generation see its
+    * files vanish mid-scan; `ignoreMissingFiles` (scoped to THIS read, not
+    * the session) makes that a graceful skip of already-expired data
+    * instead of a failed query — the natural read semantics for a rolling
+    * retention window (a snapshot-isolated table format is the upgrade). */
   private def raw(filter: Option[org.apache.spark.sql.Column]): DataFrame =
     if (generationIds().isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fullSchema)
     else {
       val base = spark.read.schema(fullSchema)
-        .option("basePath", path).parquet(path)
+        .option("basePath", path)
+        .option("ignoreMissingFiles", "true")
+        .parquet(path)
       val filtered = filter.map(base.filter).getOrElse(base)
       filtered.select(fullSchema.fields.map(f => col(f.name)).toIndexedSeq: _*)
     }
