@@ -14,6 +14,7 @@ object SparkEntry {
     functions.TextPack,
     operators.DedupPack,
     operators.CurationPack,
+    operators.TemporalPack,
     operators.SimilarityPack,
     sources.AvroPack,
     multimodal.MediaPack,

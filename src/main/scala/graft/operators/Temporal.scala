@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins a point-lookup store cannot express but an event pipeline
+  * constantly needs: the as-of join ("latest right row at or before each
+  * left row") and the point-in-interval range join. Neither exists as a
+  * Spark built-in; the naive formulations (a θ-join on `r.ts <= l.ts`, a
+  * raw interval predicate) plan as BroadcastNestedLoop/cartesian — exactly
+  * what [[graft.PlanAuditSpec]]'s plan guard forbids. Both operators here
+  * compile to ONE equi-shuffle instead.
+  *
+  * As-of plan shape (the 100 TB story): tag both sides, union, ONE shuffle
+  * on the join keys, one sort by (instant, side), then
+  * `last(_rv, ignoreNulls)` over an unbounded-preceding frame fills every
+  * left row with the most recent right payload. Cost is a sort-merge pass
+  * over |L|+|R| rows — no per-row probe, no quadratic candidate set, and
+  * skew lands on the same AQE machinery as any keyed shuffle.
+  *
+  * Range-join plan shape: bucket instants by a caller-chosen width, explode
+  * each interval to the buckets it overlaps (ceil(len/width)+1 rows), then
+  * equi-join on (bucket) and re-check the exact predicate. Candidate volume
+  * is Σ_bucket |points_b|·|intervals_b| — bounded by the bucket width, never
+  * |points|·|intervals|.
+  */
+object Temporal {
+
+  /** Exact floor-division for long instants: subtract the non-negative
+    * `pmod` remainder, then integral-divide — `x - pmod(x, w)` is an exact
+    * multiple of `w`, so truncating `div` equals floor division for the
+    * whole long range (a double `/`+`floor` path would misround above
+    * 2^53, i.e. post-2255 micros). */
+  private def floorDiv(x: Column, w: Long): Column =
+    call_function("div", x - pmod(x, lit(w)), lit(w))
+
+  /** As-of join: for each `left` row, the single `right` row with the
+    * greatest `tsCol` satisfying `right.ts <= left.ts` (or `<` when
+    * `inclusive = false`), per join key. Left-outer semantics: unmatched
+    * left rows keep null right payload.
+    *
+    * Contract: both frames carry `keys` and `tsCol`; `tsCol` must be an
+    * exact orderable instant — epoch micros as LONG, not a double. Right
+    * payload = every other right column, carried through under its own
+    * name (must not collide with a left column); the matched right instant
+    * itself lands in `asofTsCol`. Ties among right rows at one instant
+    * resolve to the greatest payload struct (callers wanting a specific
+    * winner pre-aggregate the right side to unique (keys, ts) — the pack
+    * query does).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, inclusive: Boolean = true,
+               asofTsCol: String = "asof_ts"): DataFrame = {
+    val fixed = keys :+ tsCol
+    val payload = right.columns.filterNot(fixed.contains).toSeq
+    val leftOnly = left.columns.filterNot(fixed.contains).toSeq
+    val clash = payload.toSet intersect left.columns.toSet
+    require(clash.isEmpty, s"right payload collides with left columns: $clash")
+    require(!left.columns.contains(asofTsCol), s"left already has $asofTsCol")
+
+    val rv = struct(col(tsCol).as(asofTsCol) +: payload.map(col): _*)
+    val rvType = right.select(rv).schema.head.dataType
+    // Right rows sort BEFORE left rows at an equal instant for inclusive
+    // (`<=`) semantics — the window then sees the equal-instant payload —
+    // and AFTER them for strict (`<`).
+    val (sideR, sideL) = if (inclusive) (0, 1) else (1, 0)
+    val lRows = left.select(
+      fixed.map(col) ++ Seq(lit(sideL).as("_side"), lit(null).cast(rvType).as("_rv")) ++
+        leftOnly.map(col): _*)
+    val rRows = right.select(
+      fixed.map(col) ++ Seq(lit(sideR).as("_side"), rv.as("_rv")) ++
+        leftOnly.map(n => lit(null).cast(left.schema(n).dataType).as(n)): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col("_side"), col("_rv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lRows.unionByName(rRows)
+      .withColumn("_m", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === sideL)
+      .select(fixed.map(col) ++ leftOnly.map(col) ++
+        (asofTsCol +: payload).map(p => col(s"_m.$p").as(p)): _*)
+  }
+
+  /** Point-in-interval join: every (point, interval) pair with
+    * `start <= point < end` (half-open), as an inner join carrying all
+    * columns of both frames. `pointCol`/`startCol`/`endCol` are exact LONG
+    * instants; empty intervals (`end <= start`) match nothing.
+    *
+    * `bucketWidth` is the scale lever: each interval explodes to
+    * `len/bucketWidth + 1` bucket rows, and each bucket's candidates are
+    * re-checked exactly — pick it near the typical interval length so the
+    * explosion stays O(1) per interval while buckets stay selective.
+    */
+  def rangeJoin(points: DataFrame, pointCol: String,
+                intervals: DataFrame, startCol: String, endCol: String,
+                bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val clash = points.columns.toSet intersect intervals.columns.toSet
+    require(clash.isEmpty, s"point/interval column collision: $clash")
+    val iv = intervals.filter(col(endCol) > col(startCol))
+      .withColumn("_b",
+        explode(sequence(floorDiv(col(startCol), bucketWidth),
+          floorDiv(col(endCol) - 1, bucketWidth))))
+    points.withColumn("_b", floorDiv(col(pointCol), bucketWidth))
+      .join(iv, "_b")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("_b")
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** As-of / range join semantics: boundary inclusivity, null fill on no
+  * match, strict mode, and randomized checks against in-memory reference
+  * implementations (including negative and >2^53 instants, where a
+  * double-based floor-div would misround the bucket). */
+class TemporalSpec extends SparkSpec {
+
+  private lazy val ss: org.apache.spark.sql.SparkSession = spark
+
+  test("asofJoin picks latest at-or-before row, null when none") {
+    import ss.implicits._
+    val left = Seq((1L, 100L, "a"), (1L, 205L, "b"), (2L, 50L, "c"))
+      .toDF("k", "us", "tag")
+    val right = Seq((1L, 100L, 10.0), (1L, 200L, 20.0), (1L, 300L, 30.0))
+      .toDF("k", "us", "v")
+    val got = Temporal.asofJoin(left, right, Seq("k"), "us")
+      .select("tag", "asof_ts", "v").collect()
+      .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(got === Set(
+      ("a", Some(100L), Some(10.0)), // inclusive: equal instant matches
+      ("b", Some(200L), Some(20.0)),
+      ("c", None, None)))            // no prior purchase → left-outer null
+  }
+
+  test("asofJoin strict mode skips the equal-instant row") {
+    import ss.implicits._
+    val left = Seq((1L, 100L, "a")).toDF("k", "us", "tag")
+    val right = Seq((1L, 100L, 10.0), (1L, 90L, 9.0)).toDF("k", "us", "v")
+    val got = Temporal.asofJoin(left, right, Seq("k"), "us", inclusive = false)
+      .select("v").collect().map(_.getDouble(0)).toSeq
+    assert(got === Seq(9.0))
+  }
+
+  test("asofJoin matches an in-memory reference on random data") {
+    import ss.implicits._
+    val rnd = new scala.util.Random(7)
+    val lefts = (0 until 400).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    // Unique (k, us) on the right — the documented tie contract.
+    val rights = rnd.shuffle((0 until 300).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))).distinct
+      .map { case (k, us) => (k, us, rnd.nextDouble()) }
+    val got = Temporal.asofJoin(
+        lefts.toDF("k", "us", "lid"), rights.toDF("k", "us", "v"), Seq("k"), "us")
+      .select("lid", "asof_ts").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    val expected = lefts.map { case (k, us, lid) =>
+      val c = rights.filter(r => r._1 == k && r._2 <= us)
+      lid -> (if (c.isEmpty) None else Some(c.map(_._2).max))
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("rangeJoin is exactly the half-open interval predicate") {
+    import ss.implicits._
+    val rnd = new scala.util.Random(11)
+    // Negative and positive instants; interval lengths 0 (empty) to ~3 buckets.
+    val points = (0 until 500).map(i => (rnd.nextLong() % 2000L, i.toLong))
+    val ivs = (0 until 120).map { i =>
+      val s = rnd.nextLong() % 2000L
+      (s, s + rnd.nextInt(300).toLong, i.toLong)
+    }
+    val got = Temporal.rangeJoin(points.toDF("p", "pid"), "p",
+        ivs.toDF("s", "e", "iid"), "s", "e", bucketWidth = 100L)
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      (p, pid) <- points; (s, e, iid) <- ivs if p >= s && p < e
+    } yield (pid, iid)).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("rangeJoin buckets exactly above 2^53 (double floor-div would misround)") {
+    import ss.implicits._
+    val base = 9007199254740993L // 2^53 + 1
+    val points = Seq((base, 1L), (base + 2L, 2L), (-base, 3L)).toDF("p", "pid")
+    val ivs = Seq((base, base + 1L, 10L), (base + 1L, base + 3L, 11L),
+      (-base - 1L, -base + 1L, 12L)).toDF("s", "e", "iid")
+    val got = Temporal.rangeJoin(points, "p", ivs, "s", "e", bucketWidth = 3L)
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (2L, 11L), (3L, 12L)))
+  }
+
+  test("asofJoin plans one shuffle over the union, no join node") {
+    import ss.implicits._
+    val left = Seq((1L, 100L, "a")).toDF("k", "us", "tag")
+    val right = Seq((1L, 90L, 9.0)).toDF("k", "us", "v")
+    val plan = Temporal.asofJoin(left, right, Seq("k"), "us")
+      .queryExecution.executedPlan
+    val exchanges = plan.toString.linesIterator.count(_.contains("Exchange"))
+    assert(!plan.toString.contains("Join"), "as-of must not plan a join")
+    assert(exchanges <= 1, s"expected one shuffle, saw $exchanges")
+  }
+}
