@@ -4,6 +4,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.SqlLet
 
 /** Similarity search over embedding columns (`Array[Float]`): brute-force
   * cosine top-k with a per-partition partial-top-k stage, and blocked
@@ -276,6 +277,74 @@ object Similarity {
       }
     }
     cents
+  }
+
+  /** Symmetric int8 quantization of an embedding column — the storage/
+    * bandwidth lever at corpus scale: a 64-dim float vector (256 B) becomes
+    * 64 int8 codes + one float scale (~68 B), and candidate scoring runs on
+    * integer codes (exact, order-independent sums) instead of floats.
+    *
+    * scale = max|v| / 127; code_i = floor(v_i/scale + 0.5) — explicit
+    * half-up-toward-+∞ rounding, chosen over `round()` because its floor
+    * formulation is bit-reproducible on any engine (the oracle uses the
+    * same expression). A zero vector gets scale 0 and all-zero codes.
+    * Output codes stay INT (values in [-127, 127]): parquet/arrow TINYINT
+    * round-trips vary by engine, int8 range does not. */
+  def int8Codes(vecCol: String): Column =
+    SqlLet.let(int8Scale(vecCol), s =>
+      transform(col(vecCol), x =>
+        when(s === 0d, lit(0))
+          .otherwise(floor(x.cast("double") / s + lit(0.5)).cast("int"))))
+
+  /** Per-vector quantization scale: max|v| / 127 as double. */
+  def int8Scale(vecCol: String): Column =
+    array_max(transform(col(vecCol), x => abs(x.cast("double")))) / lit(127d)
+
+  /** Exact integer dot product of two int-code arrays (LONG — 127²·dim
+    * stays far inside the range). Order-independent, so no sequential-fold
+    * discipline is needed: integer addition associates. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Quantized-candidate kNN — the IVF-PQ-shaped pipeline: coarse sign-
+    * bucket cell (equi-join, as [[knnBucketed]]), candidate ranking by
+    * INT8-code cosine (integer dot products — exact, cheap, and the only
+    * thing a scaled scan would keep in memory), then exact float re-rank of
+    * the surviving `candMult`×k per query. All joins stay equi-joins; the
+    * float vectors are only touched for the final candidate set, so at
+    * 100 TB the hot path reads codes (¼ the bytes) and the re-rank reads
+    * the full vectors for candMult·k·|queries| rows.
+    *
+    * Quantized cosine = qd/(√qaa·√qbb) over exact integer dots — ties (and
+    * the approx→exact rank boundary) break by vec_id, so the candidate set
+    * is deterministic and the oracle replicates both stages. */
+  def knnQuantized(corpus: DataFrame, queries: DataFrame, k: Int,
+                   bits: Int = 8, candMult: Int = 3,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol),
+      signBucket(vecCol, bits).as("bkt"), int8Codes(vecCol).as("qc"),
+      dot(vecCol, vecCol).as("n2_c"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      signBucket(vecCol, bits).as("q_bkt"), int8Codes(vecCol).as("q_qc"),
+      dot(vecCol, vecCol).as("n2_q"))
+    val cand = c.join(q, col("bkt") === col("q_bkt") && col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol), col(vecCol), col("q_vec"),
+        col("n2_c"), col("n2_q"),
+        (qdot(col("q_qc"), col("qc")).cast("double") /
+          nullif(sqrt(qdot(col("qc"), col("qc")).cast("double")) *
+            sqrt(qdot(col("q_qc"), col("q_qc")).cast("double")), lit(0d))).as("qsim"))
+    val wq = Window.partitionBy("q_id")
+      .orderBy(col("qsim").desc_nulls_last, col(idCol).asc)
+    val survivors = cand.withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= k * candMult)
+    val we = Window.partitionBy("q_id").orderBy(col("sim").desc, col(idCol).asc)
+    survivors
+      .select(col("q_id"), col(idCol),
+        cosineOf(dot("q_vec", vecCol), col("n2_q"), col("n2_c")).as("sim"))
+      .withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= k)
+      .select("q_id", idCol, "rank", "sim")
   }
 
   /** Blocked pairwise near-duplicates: intra-block pairs (blockCol equality,

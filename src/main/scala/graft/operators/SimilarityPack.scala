@@ -51,6 +51,25 @@ object SimilarityPack extends QueryPack {
       Similarity.knnIvfWith(emb, emb.filter(col("vec_id") % 50 === 0), K,
         cents, nprobe = 2)
     },
+    // Int8 quantization audit: per-vector scale + exact integer code sums.
+    // qsum/qnorm are order-independent integer aggregates — the cheap
+    // engine-portable checksum of the whole code table.
+    "q_embed_quantize" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      table(s, dir, "embeddings").select(col("vec_id"),
+          graft.functions.SqlLet.let(Similarity.int8Codes("embedding"), qc =>
+            struct(Similarity.int8Scale("embedding").as("scale"),
+              aggregate(qc, lit(0L), (a, x) => a + x.cast("long")).as("qsum"),
+              Similarity.qdot(qc, qc).as("qnorm"))).as("z"))
+        .select(col("vec_id"), col("z.scale"), col("z.qsum"), col("z.qnorm"))
+    },
+    // Coarse cell → int8-code candidate ranking → exact float re-rank.
+    "q_knn_quantized" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val emb = table(s, dir, "embeddings")
+      Similarity.knnQuantized(emb, emb.filter(col("vec_id") % 50 === 0), K,
+        bits = 4, candMult = 3)
+    },
     // Embedding-space dedup clusters: connected components over the blocked
     // cosine near-dup pairs (the same CC core as q_dedup_clusters, fed by a
     // different similarity operator — the point of the refactor).
@@ -95,7 +114,47 @@ object SimilarityPack extends QueryPack {
        |  (SELECT cell AS c_id, list(m ORDER BY pos) AS cv FROM $m GROUP BY cell) n
        |  ON n.c_id = p.c_id)""".stripMargin
 
+  /** Shared int8-quantization CTE: DOUBLE[] vectors + BIGINT codes. The
+    * floor(x/scale + 0.5) form is the exact expression Spark runs; BIGINT
+    * code lists keep list_dot_product integer-valued (exact in double).
+    * Raw margins — interpolated into strings that stripMargin ONCE. */
+  private val QuantCtes =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] v,
+       |    ${bucketSql("embedding")} AS bkt FROM embeddings),
+       |sc AS (SELECT vec_id, v, bkt,
+       |    list_max(list_transform(v, x -> abs(x))) / 127 AS scale FROM e),
+       |c AS (SELECT vec_id, v, bkt, scale,
+       |    CASE WHEN scale = 0 THEN [CAST(0 AS BIGINT) FOR x IN v]
+       |         ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+       |    END AS qc FROM sc)"""
+
   override def oracles: Map[String, String] = Map(
+    "q_embed_quantize" ->
+      s"""WITH $QuantCtes
+         |SELECT vec_id, scale,
+         |  list_reduce([CAST(0 AS BIGINT)] || qc, (a, b) -> a + b) AS qsum,
+         |  list_reduce([CAST(0 AS BIGINT)] || list_transform(qc, x -> x * x),
+         |    (a, b) -> a + b) AS qnorm
+         |FROM c""".stripMargin,
+    "q_knn_quantized" ->
+      s"""WITH $QuantCtes,
+         |q AS (SELECT vec_id AS q_id, v AS qv, bkt AS q_bkt, qc AS q_qc
+         |  FROM c WHERE vec_id % 50 = 0),
+         |cand AS (SELECT q.q_id, c.vec_id, qv, v,
+         |    list_dot_product(q_qc, qc) /
+         |      nullif(sqrt(list_dot_product(qc, qc)) *
+         |        sqrt(list_dot_product(q_qc, q_qc)), 0) AS qsim
+         |  FROM q JOIN c ON c.bkt = q.q_bkt AND c.vec_id != q.q_id),
+         |surv AS (SELECT q_id, vec_id, qv, v FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY qsim DESC NULLS LAST, vec_id ASC) AS qrank
+         |  FROM cand) WHERE qrank <= ${K * 3}),
+         |ranked AS (SELECT q_id, vec_id,
+         |    round(list_dot_product(qv, v) /
+         |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS sim
+         |  FROM surv)
+         |SELECT q_id, vec_id, rank, sim FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM ranked)
+         |WHERE rank <= $K""".stripMargin,
     "q_knn_bucketed" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
          |    ${bucketSql("embedding")} AS bkt FROM embeddings),

@@ -174,4 +174,53 @@ class SimilaritySpec extends SparkSpec {
     assert(joined.count() === bucketed.count())
     assert(joined.filter(col("x.sim") =!= col("y.sim")).count() === 0L)
   }
+
+  test("int8 codes stay in [-127,127] and dequantize within scale/2 per element") {
+    GraftExtensions.register(spark)
+    val checked = emb.select(
+      graft.functions.SqlLet.let2(
+        Similarity.int8Codes("embedding"), Similarity.int8Scale("embedding"),
+        (qc, s) => struct(
+          array_max(transform(qc, c => abs(c))).as("maxcode"),
+          // max |q_i*s - v_i| over the vector — the round-off bound.
+          array_max(zip_with(qc, col("embedding"),
+            (q, v) => abs(q.cast("double") * s - v.cast("double")))).as("maxerr"),
+          (s / 2 + lit(1e-12)).as("bound"))).as("z"))
+      .select(col("z.*"))
+    assert(checked.filter(col("maxcode") > 127).count() === 0L)
+    assert(checked.filter(col("maxerr") > col("bound")).count() === 0L)
+  }
+
+  test("int8 zero vector quantizes to scale 0 and all-zero codes") {
+    GraftExtensions.register(spark)
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val z = Seq(Seq(0f, 0f, 0f)).toDF("embedding")
+      .select(Similarity.int8Scale("embedding").as("s"),
+        Similarity.int8Codes("embedding").as("qc")).head()
+    assert(z.getDouble(0) === 0d)
+    assert(z.getSeq[Int](1) === Seq(0, 0, 0))
+  }
+
+  test("knnQuantized with exhaustive candidates equals exact bucketed kNN") {
+    GraftExtensions.register(spark)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    // candMult large enough to keep every cellmate → the re-rank is over
+    // the full cell and must reproduce knnBucketed exactly.
+    val exhaustive = Similarity.knnQuantized(emb, queries, k = 10,
+      bits = 4, candMult = 1000)
+    val exact = Similarity.knnBucketed(emb, queries, k = 10, bits = 4)
+    assert(exhaustive.collect().toSet === exact.collect().toSet)
+  }
+
+  test("knnQuantized returns deterministic candidates at tight candMult") {
+    GraftExtensions.register(spark)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val a = Similarity.knnQuantized(emb, queries, k = 10, bits = 4, candMult = 2)
+      .collect().toSet
+    val b = Similarity.knnQuantized(emb.repartition(7), queries, k = 10,
+      bits = 4, candMult = 2).collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }
