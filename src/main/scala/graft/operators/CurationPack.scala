@@ -40,6 +40,27 @@ object CurationPack extends QueryPack {
         .groupBy(Curation.shardOf(col("doc_id"), 16).as("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chars").cast("long").as("total_chars"))
+    },
+    // Key-list application with the bloom prefilter (BloomJoin): restrict /
+    // exclude a fact table by a key set. Semantics are EXACT (verify join
+    // removes false positives) — the oracle is the plain IN / NOT IN query.
+    "q_bloom_semijoin" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val ev = table(s, dir, "events")
+      val keys = ev.filter(col("event_type") === "purchase" && col("value") > 200)
+        .select("user_id").distinct()
+      BloomJoin.semiJoin(ev, "user_id", keys, "user_id",
+          estItems = 10000L, numBits = 65536L)
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    },
+    "q_bloom_anti" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val ev = table(s, dir, "events")
+      val keys = ev.filter(col("event_type") === "purchase" && col("value") > 200)
+        .select("user_id").distinct()
+      BloomJoin.antiJoin(ev, "user_id", keys, "user_id",
+          estItems = 10000L, numBits = 65536L)
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
     }
   )
 
@@ -65,6 +86,16 @@ object CurationPack extends QueryPack {
       |  FROM w)"""
 
   override def oracles: Map[String, String] = Map(
+    "q_bloom_semijoin" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+        |WHERE user_id IN (SELECT user_id FROM events
+        |  WHERE event_type = 'purchase' AND value > 200)
+        |GROUP BY 1""".stripMargin,
+    "q_bloom_anti" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+        |WHERE user_id NOT IN (SELECT user_id FROM events
+        |  WHERE event_type = 'purchase' AND value > 200)
+        |GROUP BY 1""".stripMargin,
     "q_sample_stratified" ->
       s"""SELECT doc_id, lang,
          |  1.0 / ${rateCase(_.toString)} AS weight

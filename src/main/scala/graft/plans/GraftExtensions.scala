@@ -39,7 +39,18 @@ object GraftExtensions {
     fn("minhash_sig", classOf[MinhashSigExpr], 1, c => MinhashSigExpr(c.head)),
     fn("rolling_hash", classOf[RollingHashExpr], 1, c => RollingHashExpr(c.head)),
     fn("shingle_hashes", classOf[ShingleHashesExpr], 2,
-      c => ShingleHashesExpr(c.head, c(1))))
+      c => ShingleHashesExpr(c.head, c(1))),
+    // Spark's own runtime-filter machinery, exposed as callable functions
+    // for explicit key-set prefilters (operators.BloomJoin): build with
+    // bloom_agg(xxhash64(k), est_items, num_bits), probe with
+    // bloom_contains(filter_bytes, xxhash64(k)).
+    fn("bloom_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate], 3,
+      c => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        c.head, c(1), c(2))),
+    fn("bloom_contains",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain], 2,
+      c => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(c.head, c(1))))
 
   /** Idempotent post-hoc registration on a live session. */
   def register(spark: SparkSession): Unit =
