@@ -124,6 +124,18 @@ object CorePack extends QueryPack {
         .withColumn("day", expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)"))
         .rollup("event_type", "day")
         .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+    },
+    // SLIDING windows (1 h window / 15 min slide) — the tumbling-bucket
+    // P4 generalized via Spark's native window() slicing: each event lands
+    // in exactly window/slide = 4 windows (an Expand, narrow per row),
+    // then the usual partial+final count. Window starts emitted as epoch
+    // seconds (second-aligned boundaries make the LONG cast exact).
+    "q_bucket_sliding" -> { (s, dir) =>
+      table(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("count"))
+        .select(col("window.start").cast("long").as("ws"), col("event_type"),
+          col("count"))
     }
   )
 
@@ -167,6 +179,15 @@ object CorePack extends QueryPack {
         |    + CAST(grouping(CAST(floor(epoch(ts)/86400) AS BIGINT)) AS BIGINT) AS gid
         |FROM events
         |GROUP BY ROLLUP(event_type, CAST(floor(epoch(ts)/86400) AS BIGINT))""".stripMargin,
+    // Sliding windows: every event belongs to exactly 4 windows (ws =
+    // floor(t/900)*900 − k·900, k ∈ 0..3; t − ws = t%900 + 900k < 3600
+    // always holds, so no extra range predicate is needed). `//` is floor
+    // division — positive epochs here, same as CAST(floor()).
+    "q_bucket_sliding" ->
+      """SELECT ((epoch_us(ts) // 1000000) // 900) * 900 - 900 * r.k AS ws,
+        |  event_type, count(*) AS count
+        |FROM events, range(0, 4) r(k)
+        |GROUP BY 1, 2""".stripMargin,
     // Sessionization: same micros-exact gap predicate, tie-break, and
     // per-user running counter; sums cast to BIGINT (DuckDB sums BIGINT into
     // HUGEINT, which the driver's arrow path can't hash-compare).

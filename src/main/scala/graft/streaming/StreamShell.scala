@@ -79,6 +79,53 @@ object StreamShell {
     writer.start()
   }
 
+  /** [[attach]] with exactly-once-by-message-id ingestion — the streaming
+    * face of the dedup family: a training-data ingest that must not double-
+    * count replayed messages (producer retries, at-least-once sources)
+    * drops duplicates on `dedupCols` BEFORE the per-batch count, via
+    * Spark's watermark-bounded dedup state
+    * (`dropDuplicatesWithinWatermark`). State is bounded: an id is
+    * remembered until the watermark passes its event time + `lateness`,
+    * then dropped — so memory is (ids per lateness window), not (all ids
+    * ever). A duplicate arriving LATER than `lateness` is counted again;
+    * size `lateness` to the source's replay horizon.
+    *
+    * Downstream semantics are unchanged from [[attach]]: per-batch counts,
+    * one generation per trigger, no cross-batch merge. */
+  def attachDeduped(stream: DataFrame, msg: MsgSettings, store: GenerationStore,
+                    dedupCols: Seq[String], lateness: String = "0 seconds",
+                    trigger: Option[Trigger] = None,
+                    checkpoint: Option[String] = None,
+                    valueDecoder: Option[DataFrame => DataFrame] = None): StreamingQuery = {
+    val values = stream.select(col("value"))
+    val decoded = valueDecoder.map(_(values)).getOrElse(values)
+    // Decode must sit in the STREAMING plan here (not inside foreachBatch
+    // as attach() has it): the dedup state operator keys on decoded
+    // message fields.
+    val parsed = Decode.decode(Project.dropKey(decoded), "value", msg)
+      .withColumn("_ets", timestamp_seconds(col("bucket_start")))
+      .withWatermark("_ets", lateness)
+      .dropDuplicatesWithinWatermark(dedupCols)
+      .drop("_ets")
+    // The id columns exist to dedup on, not to group on: a message id in
+    // the count keys would degenerate counts to per-message rows.
+    val keyCols = msg.msgMapSchema.map(_._1).filterNot(dedupCols.contains)
+    var writer: DataStreamWriter[org.apache.spark.sql.Row] = parsed.writeStream
+      .trigger(trigger.getOrElse(defaultTrigger(msg)))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val counted = BucketCounts.countByKey(
+          batch, keyCols :+ "bucket_start" :+ "bucket_end")
+        // The stateful dedup operator fires extra DATA-LESS micro-batches
+        // to advance the watermark; blindly appending those would burn a
+        // generation (and a retention tick) per watermark advance. Empty
+        // checks are cheap at micro-batch scale (limit-1 over the agg).
+        if (!counted.isEmpty) store.appendStreaming(counted)
+        ()
+      }
+    checkpoint.foreach(dir => writer = writer.option("checkpointLocation", dir))
+    writer.start()
+  }
+
   /** The UPGRADE-PATH mode (SURVEY.md §2.7): watermarked cross-batch
     * aggregation instead of the reference's per-batch counts. One row per
     * (key, bucket) is maintained by Spark's state store; each trigger emits

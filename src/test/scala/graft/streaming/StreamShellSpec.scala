@@ -280,6 +280,47 @@ class StreamShellSpec extends SparkSpec {
     assert(store.sql("SELECT sum(count) FROM ck_store").head().getLong(0) === 5L)
   }
 
+  test("deduped ingest: replayed message ids are counted once across batches") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // Message carries an id; the id is decoded (map schema) but must NOT
+    // become a count key — counts stay per (etype, bucket).
+    val dmsg = msg.copy(msgMapSchema = Seq(
+      "etype" -> "event_type", "eid" -> "event_id"))
+    def dev(t: Long, id: Long): (String, String) =
+      ("k", s"""{"event_type": "click", "timestamp": $t, "event_id": $id}""")
+
+    val store = newStore("dedup_stream")
+    val stream = MemoryStream[(String, String)]
+    val query = StreamShell.attachDeduped(
+      stream.toDF().toDF("key", "value"), dmsg, store,
+      dedupCols = Seq("eid"), lateness = "1 hour",
+      trigger = Some(Trigger.ProcessingTime(0L)))
+
+    // Event times well past epoch: rows AT the initial watermark (epoch 0)
+    // would be discarded as late by the dedup state operator.
+    val base = 1700000000L // multiple of 20 → bucket [base, base+20)
+    // Batch 1: ids 1,2,3 (id 2 duplicated in-batch) — 3 unique.
+    stream.addData(dev(base + 1, 1), dev(base + 2, 2), dev(base + 3, 2), dev(base + 4, 3))
+    query.processAllAvailable()
+    // Batch 2: id 2 replayed (dropped), id 4 new — 1 unique.
+    stream.addData(dev(base + 5, 2), dev(base + 6, 4))
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = store.selectAll
+      .select("etype", "bucket_start", "count", "rst_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(rows === Set(
+      ("click", base, 3L, 1L),  // batch 1: 3 unique ids
+      ("click", base, 1L, 2L))) // batch 2: only the new id
+    assert(store.sql(
+      "SELECT sum(count) FROM dedup_stream").head().getLong(0) === 4L)
+  }
+
   test("auto-clean fires when the counter hits a cleanFreq multiple") {
     val sparkSession = spark
     import sparkSession.implicits._
