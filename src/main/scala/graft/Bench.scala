@@ -23,7 +23,11 @@ object Bench {
     // clustering, tf-idf top-k, the simhash blocked self-join, the
     // end-to-end curation pipeline, and cross-corpus decontamination.
     "q_dedup_clusters", "q_tfidf_topk", "q_simhash_pairs",
-    "q_curated_corpus", "q_dedup_contamination"
+    "q_curated_corpus", "q_dedup_contamination",
+    // Round-5 additions: temporal joins, sliding windows, the quantized
+    // ANN path, and the bloom-prefiltered key-set join.
+    "q_asof_join", "q_range_join", "q_bucket_sliding",
+    "q_knn_quantized", "q_bloom_anti"
   )
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =

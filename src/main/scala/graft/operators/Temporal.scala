@@ -82,28 +82,37 @@ object Temporal {
         (asofTsCol +: payload).map(p => col(s"_m.$p").as(p)): _*)
   }
 
-  /** Point-in-interval join: every (point, interval) pair with
-    * `start <= point < end` (half-open), as an inner join carrying all
-    * columns of both frames. `pointCol`/`startCol`/`endCol` are exact LONG
-    * instants; empty intervals (`end <= start`) match nothing.
+  /** Point-in-interval join: every (point, interval) pair with equal
+    * `keys` and `start <= point < end` (half-open), as an inner join
+    * carrying all columns of both frames. `pointCol`/`startCol`/`endCol`
+    * are exact LONG instants; empty intervals (`end <= start`) match
+    * nothing.
     *
-    * `bucketWidth` is the scale lever: each interval explodes to
-    * `len/bucketWidth + 1` bucket rows, and each bucket's candidates are
-    * re-checked exactly — pick it near the typical interval length so the
-    * explosion stays O(1) per interval while buckets stay selective.
+    * Scale levers, in order of importance:
+    *   - `keys`: candidates are bounded per (key, bucket) — ALWAYS pass
+    *     the natural entity key when one exists. A keyless interval join
+    *     over a table whose interval density grows with the corpus has
+    *     quadratically growing TRUE output (every point matches every
+    *     concurrent interval) — no plan can outrun the semantics.
+    *   - `bucketWidth`: each interval explodes to `len/bucketWidth + 1`
+    *     bucket rows, re-checked exactly — pick it near the typical
+    *     interval length so the explosion stays O(1) per interval while
+    *     buckets stay selective.
     */
   def rangeJoin(points: DataFrame, pointCol: String,
                 intervals: DataFrame, startCol: String, endCol: String,
-                bucketWidth: Long): DataFrame = {
+                bucketWidth: Long, keys: Seq[String] = Nil): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val clash = points.columns.toSet intersect intervals.columns.toSet
+    val clash = (points.columns.toSet intersect intervals.columns.toSet) -- keys
     require(clash.isEmpty, s"point/interval column collision: $clash")
+    require(keys.forall(points.columns.contains) && keys.forall(intervals.columns.contains),
+      s"keys $keys must exist on both sides")
     val iv = intervals.filter(col(endCol) > col(startCol))
       .withColumn("_b",
         explode(sequence(floorDiv(col(startCol), bucketWidth),
           floorDiv(col(endCol) - 1, bucketWidth))))
     points.withColumn("_b", floorDiv(col(pointCol), bucketWidth))
-      .join(iv, "_b")
+      .join(iv, "_b" +: keys)
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("_b")
   }

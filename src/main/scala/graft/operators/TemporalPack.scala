@@ -12,13 +12,7 @@ import graft.QueryPack
   * IEJoin; our bucketed equi-join must reproduce it row-for-row. */
 object TemporalPack extends QueryPack {
 
-  private val WeekUs = 7L * 86400L * 1000000L // inline-precomputed (INT32-safe)
-
-  /** Epoch micros for the NTZ order/ship dates. The cast reads the wall
-    * time in the session zone — every graft runner pins UTC — so this
-    * equals DuckDB's `epoch_us` on the same naive TIMESTAMP. */
-  private def ntzMicros(c: org.apache.spark.sql.Column) =
-    unix_micros(c.cast("timestamp"))
+  private val WindowUs = 7200L * 1000000L // 2 h in µs, inline-precomputed (INT32-safe)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // For each click, the user's most recent prior-or-equal purchase value
@@ -35,16 +29,23 @@ object TemporalPack extends QueryPack {
         .select(col("event_id"), col("user_id"), col("purchase_value"),
           (col("us") - col("asof_ts")).as("lag_us"))
     },
-    // How many lineitems shipped inside each order's first fulfilment week
-    // [orderdate, orderdate+7d) — a pure interval predicate, no equi key.
+    // Click-after-error attribution: each user's clicks joined into the
+    // 2-hour window after each of their error events — a KEYED interval
+    // join (user equi key + time range), so candidates are bounded per
+    // (user, bucket) and the true output scales linearly with the corpus.
+    // (A keyless interval join over concurrency-dense intervals has
+    // quadratically growing output — see Temporal.rangeJoin's scaladoc.)
     "q_range_join" -> { (s, dir) =>
-      val o = table(s, dir, "orders").select(col("o_orderkey"),
-        ntzMicros(col("o_orderdate")).as("w_start"),
-        (ntzMicros(col("o_orderdate")) + WeekUs).as("w_end"))
-      val li = table(s, dir, "lineitem")
-        .select(ntzMicros(col("l_shipdate")).as("ship_us"))
-      Temporal.rangeJoin(li, "ship_us", o, "w_start", "w_end", WeekUs)
-        .groupBy("o_orderkey").agg(count(lit(1)).as("n_shipped"))
+      val ev = table(s, dir, "events")
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"),
+          unix_micros(col("ts")).as("w_start"),
+          (unix_micros(col("ts")) + WindowUs).as("w_end"))
+      val clk = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("click_us"))
+      Temporal.rangeJoin(clk, "click_us", err, "w_start", "w_end", WindowUs,
+          keys = Seq("user_id"))
+        .groupBy("err_id").agg(count(lit(1)).as("n_clicks"))
     }
   )
 
@@ -59,10 +60,13 @@ object TemporalPack extends QueryPack {
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     "q_range_join" ->
-      s"""SELECT o.o_orderkey, count(*) AS n_shipped
-         |FROM orders o JOIN lineitem l
-         |  ON epoch_us(l.l_shipdate) >= epoch_us(o.o_orderdate)
-         | AND epoch_us(l.l_shipdate) < epoch_us(o.o_orderdate) + $WeekUs
+      s"""WITH err AS (SELECT user_id, event_id AS err_id, epoch_us(ts) AS s
+         |    FROM events WHERE event_type = 'error'),
+         |clk AS (SELECT user_id, epoch_us(ts) AS p FROM events
+         |    WHERE event_type = 'click')
+         |SELECT err_id, count(*) AS n_clicks
+         |FROM err JOIN clk USING (user_id)
+         |WHERE p >= s AND p < s + $WindowUs
          |GROUP BY 1""".stripMargin
   )
 }

@@ -75,6 +75,28 @@ class TemporalSpec extends SparkSpec {
     assert(expected.nonEmpty)
   }
 
+  test("keyed rangeJoin bounds candidates per key and matches the reference") {
+    import ss.implicits._
+    val rnd = new scala.util.Random(23)
+    val points = (0 until 400).map(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(2000).toLong, i.toLong))
+    val ivs = (0 until 100).map { i =>
+      val s = rnd.nextInt(2000).toLong
+      (rnd.nextInt(6).toLong, s, s + rnd.nextInt(250).toLong, i.toLong)
+    }
+    val got = Temporal.rangeJoin(points.toDF("k", "p", "pid"), "p",
+        ivs.toDF("k", "s", "e", "iid"), "s", "e",
+        bucketWidth = 100L, keys = Seq("k"))
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      (kp, p, pid) <- points; (ki, s, e, iid) <- ivs
+      if kp == ki && p >= s && p < e
+    } yield (pid, iid)).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty)
+  }
+
   test("rangeJoin buckets exactly above 2^53 (double floor-div would misround)") {
     import ss.implicits._
     val base = 9007199254740993L // 2^53 + 1
