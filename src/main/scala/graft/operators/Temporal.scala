@@ -37,21 +37,29 @@ object Temporal {
 
   /** As-of join: for each `left` row, the single `right` row with the
     * greatest `tsCol` satisfying `right.ts <= left.ts` (or `<` when
-    * `inclusive = false`), per join key. Left-outer semantics: unmatched
-    * left rows keep null right payload.
+    * `inclusive = false`), per join key — or, with `forward = true`, the
+    * SMALLEST right instant satisfying `right.ts >= left.ts` (`>` when
+    * strict): "next event at-or-after" instead of "latest at-or-before".
+    * Left-outer semantics: unmatched left rows keep null right payload.
     *
     * Contract: both frames carry `keys` and `tsCol`; `tsCol` must be an
     * exact orderable instant — epoch micros as LONG, not a double. Right
     * payload = every other right column, carried through under its own
     * name (must not collide with a left column); the matched right instant
     * itself lands in `asofTsCol`. Ties among right rows at one instant
-    * resolve to the greatest payload struct (callers wanting a specific
-    * winner pre-aggregate the right side to unique (keys, ts) — the pack
-    * query does).
+    * resolve to the greatest payload struct in either direction (callers
+    * wanting a specific winner pre-aggregate the right side to unique
+    * (keys, ts) — the pack queries do).
+    *
+    * The forward plan is the exact mirror of the backward one (same single
+    * keyed shuffle, same sort): the window frame flips to
+    * current-row→unbounded-following with `first(ignoreNulls)`, and the
+    * equal-instant side ordering inverts so inclusivity still holds.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, inclusive: Boolean = true,
-               asofTsCol: String = "asof_ts"): DataFrame = {
+               asofTsCol: String = "asof_ts",
+               forward: Boolean = false): DataFrame = {
     val fixed = keys :+ tsCol
     val payload = right.columns.filterNot(fixed.contains).toSeq
     val leftOnly = left.columns.filterNot(fixed.contains).toSeq
@@ -61,10 +69,12 @@ object Temporal {
 
     val rv = struct(col(tsCol).as(asofTsCol) +: payload.map(col): _*)
     val rvType = right.select(rv).schema.head.dataType
-    // Right rows sort BEFORE left rows at an equal instant for inclusive
-    // (`<=`) semantics — the window then sees the equal-instant payload —
-    // and AFTER them for strict (`<`).
-    val (sideR, sideL) = if (inclusive) (0, 1) else (1, 0)
+    // Equal-instant ordering: the right row must fall INSIDE the left row's
+    // frame exactly when the join is inclusive. Backward frames end at the
+    // current row, so inclusive puts right rows first; forward frames start
+    // at the current row, so inclusive puts right rows after.
+    val (sideR, sideL) =
+      if (inclusive == !forward) (0, 1) else (1, 0)
     val lRows = left.select(
       fixed.map(col) ++ Seq(lit(sideL).as("_side"), lit(null).cast(rvType).as("_rv")) ++
         leftOnly.map(col): _*)
@@ -72,11 +82,21 @@ object Temporal {
       fixed.map(col) ++ Seq(lit(sideR).as("_side"), rv.as("_rv")) ++
         leftOnly.map(n => lit(null).cast(left.schema(n).dataType).as(n)): _*)
 
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol), col("_side"), col("_rv"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // `_rv` tie ordering keeps "greatest payload struct wins" in both
+    // directions: backward takes `last` over ascending _rv, forward takes
+    // `first` over descending _rv.
+    val w0 = Window.partitionBy(keys.map(col): _*)
+    val (w, pick) =
+      if (forward)
+        (w0.orderBy(col(tsCol), col("_side"), col("_rv").desc)
+           .rowsBetween(Window.currentRow, Window.unboundedFollowing),
+         first(col("_rv"), ignoreNulls = true))
+      else
+        (w0.orderBy(col(tsCol), col("_side"), col("_rv"))
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow),
+         last(col("_rv"), ignoreNulls = true))
     lRows.unionByName(rRows)
-      .withColumn("_m", last(col("_rv"), ignoreNulls = true).over(w))
+      .withColumn("_m", pick.over(w))
       .filter(col("_side") === sideL)
       .select(fixed.map(col) ++ leftOnly.map(col) ++
         (asofTsCol +: payload).map(p => col(s"_m.$p").as(p)): _*)

@@ -29,6 +29,21 @@ object TemporalPack extends QueryPack {
         .select(col("event_id"), col("user_id"), col("purchase_value"),
           (col("us") - col("asof_ts")).as("lag_us"))
     },
+    // Forward as-of: for each error, the user's NEXT click at-or-after it
+    // and how long it took — time-to-recovery. Right side pre-aggregated to
+    // unique (user, instant) for engine-independent tie resolution.
+    "q_asof_forward" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id").as("cid"))
+        .groupBy("user_id", "us").agg(max("cid").as("click_id"))
+      Temporal.asofJoin(errs, clicks, Seq("user_id"), "us", forward = true)
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          (col("asof_ts") - col("us")).as("wait_us"))
+    },
     // Click-after-error attribution: each user's clicks joined into the
     // 2-hour window after each of their error events — a KEYED interval
     // join (user equi key + time range), so candidates are bounded per
@@ -59,6 +74,15 @@ object TemporalPack extends QueryPack {
         |  CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS lag_us
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "q_asof_forward" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |    WHERE event_type = 'error'),
+        |r AS (SELECT user_id, ts, max(event_id) AS click_id FROM events
+        |    WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, r.click_id,
+        |  CAST(epoch_us(r.ts) - epoch_us(l.ts) AS BIGINT) AS wait_us
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
     "q_range_join" ->
       s"""WITH err AS (SELECT user_id, event_id AS err_id, epoch_us(ts) AS s
          |    FROM events WHERE event_type = 'error'),

@@ -109,6 +109,51 @@ class TemporalSpec extends SparkSpec {
     assert(got === Set((1L, 10L), (2L, 11L), (3L, 12L)))
   }
 
+  test("forward asofJoin picks earliest at-or-after row, null when none") {
+    import ss.implicits._
+    val left = Seq((1L, 100L, "a"), (1L, 205L, "b"), (2L, 500L, "c"))
+      .toDF("k", "us", "tag")
+    val right = Seq((1L, 100L, 10.0), (1L, 200L, 20.0), (1L, 300L, 30.0))
+      .toDF("k", "us", "v")
+    val got = Temporal.asofJoin(left, right, Seq("k"), "us", forward = true)
+      .select("tag", "asof_ts", "v").collect()
+      .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(got === Set(
+      ("a", Some(100L), Some(10.0)), // inclusive: equal instant matches
+      ("b", Some(300L), Some(30.0)), // next click strictly later is fine too
+      ("c", None, None)))            // nothing after → left-outer null
+  }
+
+  test("forward asofJoin strict mode skips the equal-instant row") {
+    import ss.implicits._
+    val left = Seq((1L, 100L, "a")).toDF("k", "us", "tag")
+    val right = Seq((1L, 100L, 10.0), (1L, 110L, 11.0)).toDF("k", "us", "v")
+    val got = Temporal.asofJoin(left, right, Seq("k"), "us",
+        inclusive = false, forward = true)
+      .select("v").collect().map(_.getDouble(0)).toSeq
+    assert(got === Seq(11.0))
+  }
+
+  test("forward asofJoin matches an in-memory reference on random data") {
+    import ss.implicits._
+    val rnd = new scala.util.Random(13)
+    val lefts = (0 until 400).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val rights = rnd.shuffle((0 until 300).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))).distinct
+      .map { case (k, us) => (k, us, rnd.nextDouble()) }
+    val got = Temporal.asofJoin(
+        lefts.toDF("k", "us", "lid"), rights.toDF("k", "us", "v"),
+        Seq("k"), "us", forward = true)
+      .select("lid", "asof_ts").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    val expected = lefts.map { case (k, us, lid) =>
+      val c = rights.filter(r => r._1 == k && r._2 >= us)
+      lid -> (if (c.isEmpty) None else Some(c.map(_._2).min))
+    }.toMap
+    assert(got === expected)
+  }
+
   test("asofJoin plans one shuffle over the union, no join node") {
     import ss.implicits._
     val left = Seq((1L, 100L, "a")).toDF("k", "us", "tag")
