@@ -15,6 +15,7 @@ object SparkEntry {
     operators.DedupPack,
     operators.CurationPack,
     operators.TemporalPack,
+    operators.AnalyticsPack,
     operators.SimilarityPack,
     sources.AvroPack,
     multimodal.MediaPack,

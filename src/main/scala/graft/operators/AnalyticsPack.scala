@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+
+/** OLAP-analytics extensions over the event stream: pivot (long→wide
+  * reshaping), cube (all-subtotal aggregation), and sketch-backed
+  * approximate aggregates pinned against exact oracles.
+  *
+  * Oracle notes: DuckDB `count(*) FILTER` stays BIGINT (a bare `sum(CASE…)`
+  * would widen to HUGEINT and break the driver's arrow materialization);
+  * `GROUPING(a, b)` bit-packs identically to Spark's `grouping_id()`;
+  * DuckDB `dayofweek` is 0-based Sunday where Spark's is 1-based, hence the
+  * `+1`. The approx queries output integer/boolean columns only — the
+  * sketch value itself is engine-specific, so what's pinned is the exact
+  * count plus an integer-exact error-bound check ([[Sketches.withinRelBound]]).
+  */
+object AnalyticsPack extends QueryPack {
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Long→wide: one row per user, one column per event type. Explicit pivot
+    // values keep the plan single-pass (no distinct-values pre-query) and the
+    // output schema static — at 100 TB an unpinned pivot would first scan the
+    // corpus just to learn the column list.
+    "q_pivot_events" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val wide = ev.groupBy("user_id")
+        .pivot("event_type", EventTypes)
+        .agg(count(lit(1)))
+      wide.select(col("user_id") +:
+        EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    },
+    // All-subtotals cube over (event_type, day-of-week) with the grouping_id
+    // disambiguating true nulls from subtotal rows.
+    "q_event_cube" -> { (s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"))
+        .cube("event_type", "dow")
+        .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+    },
+    // HLL++ distinct ids per event type, pinned to within 10% of exact
+    // (rsd 0.02 ⇒ expected error ~2%, so the margin is wide but honest).
+    "q_approx_distinct" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      ev.groupBy("event_type")
+        .agg(approx_count_distinct(col("event_id"), 0.02).as("approx"),
+          countDistinct(col("event_id")).as("n_ids"))
+        .select(col("event_type"), col("n_ids"),
+          Sketches.withinRelBound(col("approx"), col("n_ids"), 10L).as("approx_ok"))
+    },
+    // GK-sketch quantiles of purchase value per event type, each pinned
+    // within 5% relative error of the exact percentile (row counts are the
+    // integer-exact payload; the booleans pin the sketch).
+    "q_approx_quantiles" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      val near = (a: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =>
+        abs(a - e) <= abs(e) * lit(0.05)
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(10000)).as("ap"),
+          percentile(col("value"), array(lit(0.5), lit(0.95))).as("ex"))
+        .select(col("event_type"), col("n"),
+          near(col("ap")(0), col("ex")(0)).as("ok_p50"),
+          near(col("ap")(1), col("ex")(1)).as("ok_p95"))
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_pivot_events" -> {
+      val cols = EventTypes.map(t =>
+        s"count(*) FILTER (WHERE event_type = '$t') AS $t").mkString(",\n  ")
+      s"SELECT user_id,\n  $cols\nFROM events GROUP BY 1"
+    },
+    "q_event_cube" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(dayofweek(ts) + 1 AS BIGINT) AS dow FROM events)
+        |SELECT event_type, dow, count(*) AS n,
+        |  CAST(grouping(event_type, dow) AS BIGINT) AS gid
+        |FROM e GROUP BY CUBE (event_type, dow)""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT event_id) AS n_ids,
+        |  true AS approx_ok
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_approx_quantiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  true AS ok_p50, true AS ok_p95
+        |FROM events GROUP BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Sketch-aggregate and reshaping semantics: HLL error behaves at real
+  * cardinalities, the rel-bound check is integer-exact (incl. zero), pivot
+  * reproduces manual conditional counts, and cube's grouping_id separates
+  * subtotal rows from true nulls. */
+class AnalyticsSpec extends SparkSpec {
+
+  private lazy val ss: org.apache.spark.sql.SparkSession = spark
+
+  test("approxDistinct lands within the documented rsd at 50k cardinality") {
+    import ss.implicits._
+    val df = (0 until 50000).map(i => (i % 2, i.toLong)).toDF("g", "v")
+    val got = Sketches.approxDistinct(df, Seq("g"), "v", rsd = 0.02)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // 25k distinct per group; 10x the rsd as a hard cap keeps this stable.
+    for ((_, a) <- got) assert(math.abs(a - 25000L) <= 5000L)
+  }
+
+  test("withinRelBound is integer-exact and safe at exact = 0") {
+    import ss.implicits._
+    val df = Seq((100L, 95L), (100L, 89L), (0L, 0L), (0L, 1L))
+      .toDF("exact", "approx")
+    val got = df.select(
+        Sketches.withinRelBound(col("approx"), col("exact"), 10L).as("ok"))
+      .collect().map(_.getBoolean(0)).toSeq
+    // 5% in, 11% out; 0≈0 in, 0 vs 1 out.
+    assert(got === Seq(true, false, true, false))
+  }
+
+  test("approxQuantiles tracks exact percentiles on a skewed column") {
+    import ss.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 20000).map(_ => math.pow(rnd.nextDouble(), 4) * 1000)
+      .map(Tuple1(_)).toDF("v")
+    val Array(q50, q95) = Sketches
+      .approxQuantiles(df, Nil, "v", Seq(0.5, 0.95), accuracy = 10000)
+      .collect().head.getSeq[Double](0).toArray
+    val Array(e50, e95) = df
+      .select(percentile(col("v"), array(lit(0.5), lit(0.95))))
+      .collect().head.getSeq[Double](0).toArray
+    assert(math.abs(q50 - e50) <= 0.05 * e50)
+    assert(math.abs(q95 - e95) <= 0.05 * e95)
+  }
+
+  test("pivot with pinned values equals manual conditional counts") {
+    import ss.implicits._
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "b")).toDF("k", "t")
+    val wide = df.groupBy("k").pivot("t", Seq("a", "b", "missing"))
+      .agg(count(lit(1)))
+      .select(col("k"), coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("b"), lit(0L)).as("b"),
+        coalesce(col("missing"), lit(0L)).as("missing"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(wide === Set((1L, 2L, 1L, 0L), (2L, 0L, 1L, 0L)))
+  }
+
+  test("cube grouping_id distinguishes subtotal rows from data nulls") {
+    import ss.implicits._
+    val df = Seq(("x", null.asInstanceOf[String]), ("x", "d")).toDF("a", "b")
+    val got = df.cube("a", "b")
+      .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3))).toSet
+    // The (x, null-data) row carries gid 0; the (x, subtotal-b) row gid 1.
+    assert(got.contains((Some("x"), None, 1L, 0L)))
+    assert(got.contains((Some("x"), None, 2L, 1L)))
+    assert(got.contains((None, None, 2L, 3L))) // grand total
+  }
+}
