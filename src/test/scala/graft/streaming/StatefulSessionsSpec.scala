@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.Sessionize
+
+/** flatMapGroupsWithState sessionization: gap-break emission inside a batch,
+  * watermark-timeout emission across batches, out-of-order merge within the
+  * lateness tolerance, and agreement with the batch operator on in-order
+  * feeds. */
+class StatefulSessionsSpec extends SparkSpec {
+
+  // Off the epoch origin: an event AT the initial watermark (0) is dropped
+  // as late by the stateful operator's boundary predicate.
+  private val Base = 100000L
+  private def ts(sec: Long) = new Timestamp((Base + sec) * 1000L)
+  private def us(sec: Long) = (Base + sec) * 1000000L
+
+  /** Run the sessionizer over a MemoryStream, feeding each batch and
+    * processing it, then return the memory-sink rows. */
+  private def run(batches: Seq[Seq[(Long, Long, Timestamp)]], gap: Long,
+                  lateness: String, sink: String): Set[(Long, Long, Long, Long)] = {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val stream = MemoryStream[(Long, Long, Timestamp)]
+    val sessions = StatefulSessions.sessions(
+      stream.toDF().toDF("user_id", "event_id", "ts"), gap, lateness)
+    val query = sessions.writeStream.format("memory")
+      .queryName(sink).outputMode("append").start()
+    try {
+      for (b <- batches) { stream.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+    spark.table(sink)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+  }
+
+  test("a gap-exceeding event closes the open session in that micro-batch") {
+    val got = run(Seq(
+      Seq((1L, 1L, ts(0)), (1L, 2L, ts(10))),
+      Seq((1L, 3L, ts(100))) // 90 s gap > 30 s → closes [0,10]
+    ), gap = 30L, lateness = "5 seconds", sink = "ss_gap")
+    assert(got === Set((1L, us(0), us(10), 2L)))
+  }
+
+  test("the watermark passing last+gap closes an idle session (timeout path)") {
+    val got = run(Seq(
+      Seq((1L, 1L, ts(0)), (1L, 2L, ts(10))),
+      // Another user's far-future event advances the watermark (batch max
+      // event time − lateness) beyond 10 s + 30 s gap → user 1 times out.
+      Seq((2L, 3L, ts(1000))),
+      Seq((2L, 4L, ts(2000)))
+    ), gap = 30L, lateness = "5 seconds", sink = "ss_timeout")
+    assert(got.contains((1L, us(0), us(10), 2L)))
+  }
+
+  test("an out-of-order event within lateness merges into the open session") {
+    val got = run(Seq(
+      Seq((1L, 1L, ts(20)), (1L, 2L, ts(30))),
+      Seq((1L, 3L, ts(25))), // arrives late but within tolerance → merges
+      Seq((2L, 4L, ts(1000))),
+      Seq((2L, 5L, ts(2000)))
+    ), gap = 30L, lateness = "60 seconds", sink = "ss_ooo")
+    assert(got.contains((1L, us(20), us(30), 3L)))
+  }
+
+  test("in-order multi-batch feed equals the batch sessionize result") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val rnd = new scala.util.Random(31)
+    // 4 users, event times strictly increasing across the whole feed so no
+    // event is late; random inter-event gaps straddle the 30 s threshold.
+    var t = 0L
+    val all = (1 to 120).map { i =>
+      t += rnd.nextInt(50).toLong + 1L
+      ((i % 4).toLong + 1L, i.toLong, ts(t))
+    }
+    val got = run(
+      all.grouped(40).toSeq :+ Seq((99L, 999L, ts(t + 100000L))),
+      gap = 30L, lateness = "1 second", sink = "ss_agree")
+
+    val batch = Sessionize.sessionize(
+        all.toDF("user_id", "event_id", "ts"), gapSeconds = 30L)
+      .select(col("user_id"), col("session_start_us"),
+        col("session_end_us"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // Every real user's session is closed by the sentinel's watermark push.
+    assert(got.filter(_._1 <= 4L) === batch)
+  }
+}
