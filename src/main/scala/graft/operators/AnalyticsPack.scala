@@ -51,6 +51,27 @@ object AnalyticsPack extends QueryPack {
         .select(col("event_type"), col("n_ids"),
           Sketches.withinRelBound(col("approx"), col("n_ids"), 10L).as("approx_ok"))
     },
+    // Co-located join over tables bucketed on the join key at write time —
+    // the pay-the-shuffle-once layout. Values are pinned by the oracle's
+    // plain join; the exchange-free PLAN is pinned by BucketingSpec.
+    "q_bucketed_join" -> { (s, dir) =>
+      val tag = math.abs(dir.hashCode).toString
+      Bucketing.writeBucketed(
+        table(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        s"orders_b_$tag", s"/tmp/graft_bucketed_$tag/orders",
+        8, Seq("o_custkey"), Seq("o_custkey"))
+      Bucketing.writeBucketed(
+        table(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        s"customer_b_$tag", s"/tmp/graft_bucketed_$tag/customer",
+        8, Seq("c_custkey"), Seq("c_custkey"))
+      s.table(s"orders_b_$tag")
+        .join(s.table(s"customer_b_$tag"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+            .as("price_cents"))
+    },
     // GK-sketch quantiles of purchase value per event type, each pinned
     // within 5% relative error of the exact percentile (row counts are the
     // integer-exact payload; the booleans pin the sketch).
@@ -87,6 +108,12 @@ object AnalyticsPack extends QueryPack {
     "q_approx_quantiles" ->
       """SELECT event_type, count(*) AS n,
         |  true AS ok_p50, true AS ok_p95
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS price_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin
   )
 }

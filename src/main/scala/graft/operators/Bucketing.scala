@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Bucketed table layout — the shuffle you pay ONCE at write time instead of
+  * on every join. A table written with `bucketBy(n, k)` is hash-partitioned
+  * into n files per directory by k; two tables bucketed on the same key with
+  * the same n join as a sort-merge join with NO Exchange on either side, and
+  * a `groupBy(k)` over one table aggregates shuffle-free. An equality filter
+  * on k prunes to 1/n of the files before the scan (`SelectedBucketsCount`
+  * in the plan).
+  *
+  * The 100 TB calculus: a fact table that is joined on the same key by many
+  * downstream queries (orders⋈customer, lineitem⋈orders, …) amortizes one
+  * bucketed write across every subsequent read — each of which would
+  * otherwise re-shuffle the full fact table. Pick n so one bucket of the
+  * LARGEST co-bucketed table fits an executor's sort budget; n must match
+  * across tables meant to co-join (Spark only elides the exchange when both
+  * sides hash to the same layout).
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed (and optionally per-bucket-sorted) parquet
+    * table at an explicit `path`, registered as `tableName` in the session
+    * catalog. Sorting by the bucket key makes the downstream sort-merge
+    * join's sort a no-op per bucket file. */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+                    numBuckets: Int, keys: Seq[String],
+                    sortCols: Seq[String] = Nil): Unit = {
+    require(keys.nonEmpty, "bucketing needs at least one key")
+    val w = df.write.mode(SaveMode.Overwrite)
+      .format("parquet").option("path", path)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+    val sorted =
+      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.saveAsTable(tableName)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The point of bucketing is the PLAN, so that's what these tests pin:
+  * exchange-free co-located join, shuffle-free aggregation on the bucket
+  * key, bucket pruning on equality filters — plus value equality against
+  * the unbucketed plan. */
+class BucketingSpec extends SparkSpec {
+
+  private def withNoBroadcast[A](body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, old)
+  }
+
+  private lazy val tables: Unit = {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(17)
+    val facts = (0 until 5000).map(i =>
+      (rnd.nextInt(200).toLong, i.toLong, rnd.nextInt(1000).toLong))
+    val dims = (0 until 200).map(k => (k.toLong, s"dim_$k"))
+    Bucketing.writeBucketed(facts.toDF("k", "fid", "v"),
+      "bspec_facts", "/tmp/graft_bspec/facts", 8, Seq("k"), Seq("k"))
+    Bucketing.writeBucketed(dims.toDF("k", "name"),
+      "bspec_dims", "/tmp/graft_bspec/dims", 8, Seq("k"), Seq("k"))
+  }
+
+  test("co-bucketed join plans with NO exchange and matches the plain join") {
+    tables
+    withNoBroadcast {
+      val joined = spark.table("bspec_facts")
+        .join(spark.table("bspec_dims"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected exchange-free co-located join, got:\n$plan")
+      val expected = spark.table("bspec_facts").collect().length
+      assert(joined.count() === expected) // every fact key exists in dims
+    }
+  }
+
+  test("groupBy on the bucket key aggregates without a shuffle") {
+    tables
+    val agg = spark.table("bspec_facts").groupBy("k")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"expected shuffle-free bucketed aggregation, got:\n$plan")
+    assert(agg.count() === 200L)
+  }
+
+  test("equality filter on the bucket key prunes to one bucket") {
+    tables
+    // A bare filter has no join/agg to pay for the bucketed scan, so the
+    // planner's auto-bucketed-scan opt-out kicks in; disable it to pin the
+    // pruning behavior itself.
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val plan = spark.table("bspec_facts").filter(col("k") === 7L)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"expected bucket pruning, got:\n$plan")
+    } finally spark.conf.set(key, old)
+  }
+}
