@@ -72,6 +72,19 @@ object AnalyticsPack extends QueryPack {
           sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
             .as("price_cents"))
     },
+    // Salted skew join: events (hot user keys) ⋈ customer dimension with
+    // the hot side spread over 4 salt lanes. The oracle is the PLAIN join —
+    // salting must be invisible in the output.
+    "q_salted_join" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"))
+      val cust = table(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+      SkewJoin.saltedJoin(ev, cust, Seq("user_id"),
+          salts = 4, saltFrom = Seq("event_id"))
+        .groupBy("c_nationkey", "event_type")
+        .agg(count(lit(1)).as("n_events"))
+    },
     // GK-sketch quantiles of purchase value per event type, each pinned
     // within 5% relative error of the exact percentile (row counts are the
     // integer-exact payload; the booleans pin the sketch).
@@ -109,6 +122,10 @@ object AnalyticsPack extends QueryPack {
       """SELECT event_type, count(*) AS n,
         |  true AS ok_p50, true AS ok_p95
         |FROM events GROUP BY 1""".stripMargin,
+    "q_salted_join" ->
+      """SELECT c_nationkey, event_type, count(*) AS n_events
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
     "q_bucketed_join" ->
       """SELECT c_nationkey, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
