@@ -27,7 +27,12 @@ object Bench {
     // Round-5 additions: temporal joins, sliding windows, the quantized
     // ANN path, and the bloom-prefiltered key-set join.
     "q_asof_join", "q_range_join", "q_bucket_sliding",
-    "q_knn_quantized", "q_bloom_anti"
+    "q_knn_quantized", "q_bloom_anti",
+    // Round-5 second wave: forward as-of, OLAP reshaping (pivot/cube), the
+    // HLL sketch path, the salted skew join, and the bucketed-layout join
+    // (whose cost INCLUDES the two bucketed writes — that's the operator).
+    "q_asof_forward", "q_pivot_events", "q_event_cube",
+    "q_approx_distinct", "q_salted_join", "q_bucketed_join"
   )
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
