@@ -35,4 +35,20 @@ object Bucketing {
       if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
     sorted.saveAsTable(tableName)
   }
+
+  /** Range-clustered layout for ordered scans: globally range-partition by
+    * `rangeCol` into `numFiles` files, each sorted within. Files then cover
+    * DISJOINT value ranges, so a time/range predicate prunes whole files
+    * and row groups via parquet min/max statistics instead of scanning the
+    * corpus — the layout that makes "last 6 hours of a 100 TB event log"
+    * read ~6 hours of bytes. The range exchange samples the column to pick
+    * balanced split points, so skewed distributions still yield even files.
+    */
+  def writeRangeSorted(df: DataFrame, path: String, numFiles: Int,
+                       rangeCol: String): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(rangeCol))
+      .sortWithinPartitions(rangeCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

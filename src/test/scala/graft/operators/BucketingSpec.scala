@@ -52,6 +52,32 @@ class BucketingSpec extends SparkSpec {
     assert(agg.count() === 200L)
   }
 
+  test("range-sorted write yields files covering disjoint value ranges") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(53)
+    val df = (0 until 20000).map(_ => rnd.nextInt(1000000).toLong)
+      .map(Tuple1(_)).toDF("ts")
+    Bucketing.writeRangeSorted(df, "/tmp/graft_bspec/range", 8, "ts")
+
+    val files = new java.io.File("/tmp/graft_bspec/range").listFiles()
+      .filter(f => f.getName.startsWith("part-")).map(_.getPath).sorted
+    assert(files.length === 8)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("ts")), max(col("ts"))).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    // Sorted by min, each file's max must stay below the next file's min.
+    val byMin = ranges.sortBy(_._1)
+    for (Array((_, hi), (lo, _)) <- byMin.sliding(2).map(_.toArray))
+      assert(hi < lo, s"overlapping file ranges: ${byMin.mkString(", ")}")
+    // And the predicate reaches the scan for pruning to act on.
+    val plan = spark.read.parquet("/tmp/graft_bspec/range")
+      .filter(col("ts") > 900000L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,900000)]"))
+  }
+
   test("equality filter on the bucket key prunes to one bucket") {
     tables
     // A bare filter has no join/agg to pay for the bucketed scan, so the
