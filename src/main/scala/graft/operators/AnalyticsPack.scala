@@ -55,7 +55,7 @@ object AnalyticsPack extends QueryPack {
     // the pay-the-shuffle-once layout. Values are pinned by the oracle's
     // plain join; the exchange-free PLAN is pinned by BucketingSpec.
     "q_bucketed_join" -> { (s, dir) =>
-      val tag = math.abs(dir.hashCode).toString
+      val tag = (dir.hashCode & Int.MaxValue).toString
       Bucketing.writeBucketed(
         table(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
         s"orders_b_$tag", s"/tmp/graft_bucketed_$tag/orders",

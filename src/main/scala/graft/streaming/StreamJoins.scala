@@ -33,6 +33,8 @@ object StreamJoins {
                  lateness: String = "10 seconds",
                  joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "stream-stream windowJoin needs equi keys")
+    require(Set("inner", "left_outer")(joinType),
+      s"joinType must be inner or left_outer, got $joinType")
     val clash = (left.columns.toSet intersect right.columns.toSet) -- keys
     require(clash.isEmpty, s"column collision outside keys: $clash")
 
