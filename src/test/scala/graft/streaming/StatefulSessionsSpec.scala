@@ -70,6 +70,43 @@ class StatefulSessionsSpec extends SparkSpec {
     assert(got.contains((1L, us(20), us(30), 3L)))
   }
 
+  test("session state survives a checkpointed restart") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+
+    val src = java.nio.file.Files.createTempDirectory("graft_ss_src").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_ss_ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ss_out").toString
+    def writeWave(rows: Seq[(Long, Long, Timestamp)]): Unit =
+      rows.toDF("user_id", "event_id", "ts")
+        .coalesce(1).write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(StructType(Seq(
+          StructField("user_id", LongType), StructField("event_id", LongType),
+          StructField("ts", TimestampType)))).parquet(src)
+      // File sink, not memory: the memory sink refuses checkpoint recovery.
+      val q = StatefulSessions.sessions(stream, gapSeconds = 30L,
+          lateness = "5 seconds")
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    writeWave(Seq((1L, 1L, ts(0)), (1L, 2L, ts(10)))) // open session
+    runOnce()                                         // state checkpointed
+    writeWave(Seq((1L, 3L, ts(100))))                 // gap > 30 s
+    runOnce()                                         // restart, same ck
+
+    // The session opened BEFORE the restart closes AFTER it — the state
+    // store carried (start, last, n) across process boundaries.
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.contains((1L, us(0), us(10), 2L)))
+  }
+
   test("in-order multi-batch feed equals the batch sessionize result") {
     val sparkSession = spark
     import sparkSession.implicits._
