@@ -33,6 +33,21 @@ object CurationPack extends QueryPack {
       graft.plans.GraftExtensions.register(s)
       Curation.curate(table(s, dir, "documents"), RulesV)
     },
+    // Sliding-window chunking into 32-token chunks with 8-token overlap —
+    // context-window preparation, fully narrow (no shuffle).
+    "q_doc_chunks" -> { (s, dir) =>
+      Chunking.chunk(table(s, dir, "documents"), chunkTokens = 32,
+        overlapTokens = 8)
+    },
+    // Greedy sequence packing into 512-token bins across 8 shards, ordered
+    // by the salted-md5 global shuffle; one shuffle + one window pass.
+    "q_pack_sequences" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Chunking.packSequences(table(s, dir, "documents"), ctxTokens = 512,
+          numShards = 8)
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+    },
     // Deterministic 16-way output sharding + per-shard balance stats.
     "q_shard_assign" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
@@ -111,6 +126,30 @@ object CurationPack extends QueryPack {
          |    THEN 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / n_bigrams_raw
          |    ELSE NULL END AS dup_bigram_frac
          |FROM rep""".stripMargin,
+    "q_doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |    FROM documents WHERE length(trim(text)) > 0),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+        |c AS (SELECT doc_id, toks, n,
+        |    unnest(generate_series(0, CASE WHEN n <= 32 THEN 0
+        |      ELSE (n - 32 + 23) // 24 END)) AS chunk_ix FROM n)
+        |SELECT doc_id, chunk_ix,
+        |  array_to_string(list_slice(toks, chunk_ix*24 + 1, chunk_ix*24 + 32), ' ')
+        |    AS chunk_text,
+        |  CAST(least(32, n - chunk_ix*24) AS BIGINT) AS n_tokens
+        |FROM c""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH d AS (SELECT doc_id,
+        |    ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+        |    md5(CAST(doc_id AS VARCHAR)) AS ord,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT shard, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT shard, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin,
     "q_shard_assign" ->
       s"""SELECT ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard,
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
