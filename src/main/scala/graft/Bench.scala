@@ -32,7 +32,8 @@ object Bench {
     // HLL sketch path, the salted skew join, and the bucketed-layout join
     // (whose cost INCLUDES the two bucketed writes — that's the operator).
     "q_asof_forward", "q_pivot_events", "q_event_cube",
-    "q_approx_distinct", "q_salted_join", "q_bucketed_join"
+    "q_approx_distinct", "q_salted_join", "q_bucketed_join",
+    "q_doc_chunks", "q_pack_sequences"
   )
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =

@@ -43,6 +43,24 @@ class ChunkingSpec extends SparkSpec {
     assert(got.toSeq === Seq((2L, "solo", 1L)))
   }
 
+  test("chunk plans fully narrow; packing plans exactly one exchange") {
+    import ss.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val docs = (0 until 100).map(i => (i.toLong, "a b c d e f g h i j"))
+      .toDF("doc_id", "text")
+    val chunkPlan = Chunking.chunk(docs, 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange"),
+      s"chunking must not shuffle:\n$chunkPlan")
+    // The window's shard partitioning also satisfies the downstream
+    // (shard, bin) aggregation — subset-key clustering — so ONE exchange.
+    val packPlan = Chunking.packSequences(docs, 16, 4)
+      .groupBy("shard", "bin").count()
+      .queryExecution.executedPlan.toString
+    val exchanges = packPlan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 1, s"expected one exchange, got $exchanges:\n$packPlan")
+  }
+
   test("packing conserves tokens, keeps offsets inside the budget, bins contiguous") {
     import ss.implicits._
     val rnd = new scala.util.Random(67)
