@@ -35,6 +35,14 @@ class ChunkingSpec extends SparkSpec {
     }
   }
 
+  test("tabs, newlines and runs of spaces tokenize as single separators") {
+    import ss.implicits._
+    val docs = Seq((1L, " a\t b\n\nc   d ")).toDF("doc_id", "text")
+    val got = Chunking.chunk(docs, 2, 0).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSeq.sortBy(_._1)
+    assert(got === Seq((0L, "a b", 2L), (1L, "c d", 2L)))
+  }
+
   test("whitespace-only docs vanish; a one-token doc yields one chunk") {
     import ss.implicits._
     val docs = Seq((1L, "   "), (2L, "solo"), (3L, "")).toDF("doc_id", "text")

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.{Chunking, Curation}
+
+/** The curation gate and the chunker are NARROW transforms, so the exact
+  * batch operators run unchanged over a stream — no watermark, no state,
+  * append mode. This pins that composability: stream (doc_id, text) →
+  * hash-gate sample → length gate → chunk, and the streamed output equals
+  * the batch output on the accepted documents. */
+class DocPipelineSpec extends SparkSpec {
+
+  test("streamed curate→chunk equals the batch result, with no state store") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.plans.GraftExtensions.register(spark)
+
+    val rnd = new scala.util.Random(71)
+    val docs = (0 until 200).map { i =>
+      (i.toLong, (0 until rnd.nextInt(30)).map(j => s"t${i}_$j").mkString(" "))
+    }
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      Chunking.chunk(
+        df.filter(Curation.hashGate(col("doc_id"), "stream", lit(300000L)))
+          .filter(length(col("text")) >= 20),
+        chunkTokens = 6, overlapTokens = 2)
+
+    val stream = MemoryStream[(Long, String)]
+    val query = pipeline(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("dp_out")
+      .outputMode("append").start()
+    try {
+      for (b <- docs.grouped(70)) { stream.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+
+    val streamed = spark.table("dp_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batch = pipeline(docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+}
