@@ -116,6 +116,34 @@ object CorePack extends QueryPack {
     "q_sessionize" -> { (s, dir) =>
       Sessionize.sessionize(table(s, dir, "events"), gapSeconds = 21600L)
     },
+    // Spark's NATIVE session_window beside our Sessionize — built-in where
+    // one exists. NB the native boundary is strict-< merge (a gap EQUAL to
+    // the threshold starts a new session), unlike Sessionize's <= — the
+    // oracle replicates the >= split rule.
+    "q_session_window" -> { (s, dir) =>
+      table(s, dir, "events")
+        .groupBy(session_window(col("ts"), "21600 seconds").as("sw"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("w_start_us"),
+          unix_micros(col("sw.end")).as("w_end_us"), col("n_events"))
+    },
+    // CDC-style compaction: the LATEST event per (user, type) under a total
+    // order (ts, event_id) — the deterministic upsert-view pattern (max_by
+    // would tie-break arbitrarily).
+    "q_latest_per_key" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type")
+        .orderBy(col("us").desc, col("event_id").desc)
+      table(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("last_event_id"), col("us").as("last_us"))
+    },
     // Multi-level rollup (event_type × day hierarchy + grand total in ONE
     // aggregate — Spark expands grouping sets inside a single shuffle
     // instead of unioning three scans).
@@ -203,6 +231,26 @@ object CorePack extends QueryPack {
         |SELECT user_id, session_id, min(us) AS session_start_us,
         |  max(us) AS session_end_us, count(*) AS n_events
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // Native session_window: strict-< merge ⇒ split on gap >= threshold;
+    // window end = last event + gap.
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w >= 21600000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (SELECT user_id, us,
+        |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM g)
+        |SELECT user_id, min(us) AS w_start_us,
+        |  max(us) + 21600000000 AS w_end_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q_latest_per_key" ->
+      """SELECT user_id, event_type, event_id AS last_event_id,
+        |  epoch_us(ts) AS last_us
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin,
     // to_json emits compact {"event_type":"x","count":N} — replicated by
     // concatenation (fixture values contain no JSON-special characters).
     "q_append_count_json" ->

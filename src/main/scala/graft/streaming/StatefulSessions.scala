@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** A session being tracked for one user: bounds in epoch micros + count. */
 case class OpenSession(startUs: Long, lastUs: Long, n: Long)
@@ -40,8 +42,90 @@ private[streaming] case class SessionEvent(user_id: Long, event_id: Long,
   */
 object StatefulSessions {
 
+  /** The same gap state machine on the `transformWithState` API (Spark 4's
+    * successor to flatMapGroupsWithState): typed `ValueState` + explicit
+    * event-time timers instead of one opaque state object + a single
+    * timeout slot. Requires the RocksDB state store provider. */
+  private class GapSessionProcessor(gapSeconds: Long)
+      extends StatefulProcessor[Long, SessionEvent, ClosedSession] {
+    @transient private var open: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState("open", Encoders.product[OpenSession],
+        TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
+        timers: TimerValues): Iterator[ClosedSession] = {
+      val gapUs = gapSeconds * 1000000L
+      val evs = rows.map(e => (e.us, e.event_id)).toArray.sorted
+      val closed = Seq.newBuilder[ClosedSession]
+      var cur = if (open.exists()) Some(open.get()) else None
+      for ((us, _) <- evs) cur match {
+        case Some(o) if us - o.lastUs > gapUs =>
+          closed += ClosedSession(user, o.startUs, o.lastUs, o.n)
+          cur = Some(OpenSession(us, us, 1L))
+        case Some(o) =>
+          cur = Some(OpenSession(math.min(o.startUs, us),
+            math.max(o.lastUs, us), o.n + 1L))
+        case None =>
+          cur = Some(OpenSession(us, us, 1L))
+      }
+      cur.foreach { o =>
+        open.update(o)
+        // One live timer per key: clear stale ones, then arm last+gap
+        // (floored past the watermark, as in the fMGWS path).
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(math.max(
+          o.lastUs / 1000L + gapSeconds * 1000L,
+          timers.getCurrentWatermarkInMs() + 1L))
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      if (open.exists()) {
+        val s = open.get()
+        open.clear()
+        Iterator.single(ClosedSession(user, s.startUs, s.lastUs, s.n))
+      } else Iterator.empty
+    }
+  }
+
+  /** [[sessions]] re-expressed on `transformWithState`. Identical
+    * semantics; the caller's session must run the RocksDB state store
+    * (`spark.sql.streaming.stateStore.providerClass`). */
+  def sessionsTws(events: DataFrame, gapSeconds: Long,
+                  lateness: String = "10 seconds",
+                  userCol: String = "user_id", tsCol: String = "ts",
+                  idCol: String = "event_id"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    typedEvents(events, lateness, userCol, tsCol, idCol)
+      .groupByKey(_.user_id)
+      .transformWithState(new GapSessionProcessor(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Sessionize a streaming frame carrying `userCol`, `idCol`, `tsCol`
     * (timestamp). Returns an append-mode stream of closed sessions. */
+  /** Project first, watermark last: an alias-of-cast would strip the
+    * watermark metadata off the event-time column, and the state timeouts /
+    * timers need it on the frame that feeds the stateful operator. */
+  private def typedEvents(events: DataFrame, lateness: String,
+                          userCol: String, tsCol: String,
+                          idCol: String): Dataset[SessionEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(userCol).cast("long").as("user_id"),
+        col(idCol).cast("long").as("event_id"),
+        unix_micros(col(tsCol)).as("us"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", lateness)
+      .as[SessionEvent]
+  }
+
   def sessions(events: DataFrame, gapSeconds: Long,
                lateness: String = "10 seconds",
                userCol: String = "user_id", tsCol: String = "ts",
@@ -50,18 +134,8 @@ object StatefulSessions {
     import spark.implicits._
     val gapUs = gapSeconds * 1000000L
 
-    // Project first, watermark last: an alias-of-cast would strip the
-    // watermark metadata off the event-time column, and the state timeout
-    // needs it on the frame that feeds flatMapGroupsWithState.
-    val typed = events
-      .select(col(userCol).cast("long").as("user_id"),
-        col(idCol).cast("long").as("event_id"),
-        unix_micros(col(tsCol)).as("us"),
-        col(tsCol).cast("timestamp").as("ts"))
-      .withWatermark("ts", lateness)
-      .as[SessionEvent]
-
-    typed.groupByKey(_.user_id)
+    typedEvents(events, lateness, userCol, tsCol, idCol)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[SessionEvent], state: GroupState[OpenSession]) =>

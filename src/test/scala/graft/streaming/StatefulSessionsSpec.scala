@@ -20,21 +20,36 @@ class StatefulSessionsSpec extends SparkSpec {
   private def us(sec: Long) = (Base + sec) * 1000000L
 
   /** Run the sessionizer over a MemoryStream, feeding each batch and
-    * processing it, then return the memory-sink rows. */
+    * processing it, then return the memory-sink rows. `tws = true` drives
+    * the transformWithState variant (RocksDB state store). */
   private def run(batches: Seq[Seq[(Long, Long, Timestamp)]], gap: Long,
-                  lateness: String, sink: String): Set[(Long, Long, Long, Long)] = {
+                  lateness: String, sink: String,
+                  tws: Boolean = false): Set[(Long, Long, Long, Long)] = {
     val sparkSession = spark
     import sparkSession.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
-    val stream = MemoryStream[(Long, Long, Timestamp)]
-    val sessions = StatefulSessions.sessions(
-      stream.toDF().toDF("user_id", "event_id", "ts"), gap, lateness)
-    val query = sessions.writeStream.format("memory")
-      .queryName(sink).outputMode("append").start()
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    if (tws) spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      for (b <- batches) { stream.addData(b); query.processAllAvailable() }
-    } finally query.stop()
+      val stream = MemoryStream[(Long, Long, Timestamp)]
+      val src = stream.toDF().toDF("user_id", "event_id", "ts")
+      val sessions =
+        if (tws) StatefulSessions.sessionsTws(src, gap, lateness)
+        else StatefulSessions.sessions(src, gap, lateness)
+      val query = sessions.writeStream.format("memory")
+        .queryName(sink).outputMode("append").start()
+      try {
+        for (b <- batches) { stream.addData(b); query.processAllAvailable() }
+      } finally query.stop()
+    } finally {
+      oldProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
     spark.table(sink)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -68,6 +83,21 @@ class StatefulSessionsSpec extends SparkSpec {
       Seq((2L, 5L, ts(2000)))
     ), gap = 30L, lateness = "60 seconds", sink = "ss_ooo")
     assert(got.contains((1L, us(20), us(30), 3L)))
+  }
+
+  test("transformWithState variant: gap close and timer close both emit") {
+    val gapClosed = run(Seq(
+      Seq((1L, 1L, ts(0)), (1L, 2L, ts(10))),
+      Seq((1L, 3L, ts(100)))
+    ), gap = 30L, lateness = "5 seconds", sink = "tws_gap", tws = true)
+    assert(gapClosed === Set((1L, us(0), us(10), 2L)))
+
+    val timedOut = run(Seq(
+      Seq((1L, 1L, ts(0)), (1L, 2L, ts(10))),
+      Seq((2L, 3L, ts(1000))),
+      Seq((2L, 4L, ts(2000)))
+    ), gap = 30L, lateness = "5 seconds", sink = "tws_timeout", tws = true)
+    assert(timedOut.contains((1L, us(0), us(10), 2L)))
   }
 
   test("session state survives a checkpointed restart") {
