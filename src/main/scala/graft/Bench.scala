@@ -12,7 +12,7 @@ object Bench {
 
   /** Representative subset (keep comparable across rounds; adding every
     * CORRECTNESS query here would drown the signal in tiny queries). */
-  private val headline = Seq(
+  private[graft] val headline = Seq(
     "q_count_by_key", "q_bucket_counts", "q_bucket_counts_fine",
     "q_rename_project", "q_append_count_json",
     "q_decode_bucket", "q_store_select_all", "q_store_sql",
