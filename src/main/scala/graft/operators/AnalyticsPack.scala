@@ -21,17 +21,17 @@ object AnalyticsPack extends QueryPack {
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Long→wide: one row per user, one column per event type. Explicit pivot
-    // values keep the plan single-pass (no distinct-values pre-query) and the
-    // output schema static — at 100 TB an unpinned pivot would first scan the
-    // corpus just to learn the column list.
+    // Long→wide: one row per user, one column per event type, as
+    // conditional aggregation. `.pivot(values)` plans TWO aggregates (pair
+    // counts, then the reshape — two exchanges, seen in PLANS.md); the
+    // count-when formulation is the same result in ONE shuffle with
+    // map-side partials. An UNPINNED pivot would additionally scan the
+    // corpus first just to learn the column list — always pin values.
     "q_pivot_events" -> { (s, dir) =>
-      val ev = table(s, dir, "events")
-      val wide = ev.groupBy("user_id")
-        .pivot("event_type", EventTypes)
-        .agg(count(lit(1)))
-      wide.select(col("user_id") +:
-        EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      val cells = EventTypes.map(t =>
+        count(when(col("event_type") === t, 1)).as(t))
+      table(s, dir, "events").groupBy("user_id")
+        .agg(cells.head, cells.tail: _*)
     },
     // All-subtotals cube over (event_type, day-of-week) with the grouping_id
     // disambiguating true nulls from subtotal rows.
