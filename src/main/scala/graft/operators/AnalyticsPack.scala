@@ -72,6 +72,27 @@ object AnalyticsPack extends QueryPack {
           sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
             .as("price_cents"))
     },
+    // Count-min-sketch frequency probes: per-type sketches (fixed seed ⇒
+    // deterministic; counters merge order-independently) broadcast-joined
+    // against a bounded probe list. CMS never undercounts; the overcount
+    // ceiling here is eps·N ≈ 0.001·2k = 2 ⇒ slack 64 is generous and
+    // integer-exact.
+    "q_cms_probe" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val ev = table(s, dir, "events")
+      val sketches = ev.groupBy("event_type")
+        .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"))
+      val probes = ev.filter(col("user_id") <= 20)
+        .select("event_type", "user_id").distinct()
+      val exact = ev.filter(col("user_id") <= 20)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("n_exact"))
+      probes.join(exact, Seq("event_type", "user_id"))
+        .join(broadcast(sketches), "event_type")
+        .select(col("event_type"), col("user_id"), col("n_exact"),
+          (expr("cms_estimate(sk, user_id)") >= col("n_exact") &&
+            expr("cms_estimate(sk, user_id)") <= col("n_exact") + 64L)
+            .as("cms_ok"))
+    },
     // Salted skew join: events (hot user keys) ⋈ customer dimension with
     // the hot side spread over 4 salt lanes. The oracle is the PLAIN join —
     // salting must be invisible in the output.
@@ -122,6 +143,9 @@ object AnalyticsPack extends QueryPack {
       """SELECT event_type, count(*) AS n,
         |  true AS ok_p50, true AS ok_p95
         |FROM events GROUP BY 1""".stripMargin,
+    "q_cms_probe" ->
+      """SELECT event_type, user_id, count(*) AS n_exact, true AS cms_ok
+        |FROM events WHERE user_id <= 20 GROUP BY 1, 2""".stripMargin,
     "q_salted_join" ->
       """SELECT c_nationkey, event_type, count(*) AS n_events
         |FROM events JOIN customer ON user_id = c_custkey

@@ -48,6 +48,8 @@ object GraftExtensions {
       classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate], 3,
       c => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         c.head, c(1), c(2))),
+    fn("cms_estimate", classOf[CmsEstimateExpr], 2,
+      c => CmsEstimateExpr(c.head, c(1))),
     fn("bloom_contains",
       classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain], 2,
       c => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(c.head, c(1))))
