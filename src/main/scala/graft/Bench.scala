@@ -33,7 +33,8 @@ object Bench {
     // (whose cost INCLUDES the two bucketed writes — that's the operator).
     "q_asof_forward", "q_pivot_events", "q_event_cube",
     "q_approx_distinct", "q_salted_join", "q_bucketed_join",
-    "q_doc_chunks", "q_pack_sequences"
+    "q_doc_chunks", "q_pack_sequences",
+    "q_session_window", "q_latest_per_key", "q_cms_probe"
   )
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =

@@ -44,6 +44,8 @@ object Chunking {
     require(chunkTokens > 0, "chunkTokens must be positive")
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       "overlap must be in [0, chunkTokens)")
+    require(Seq("_toks", "_n", "chunk_ix", "chunk_text", "n_tokens")
+      .forall(!docs.columns.contains(_)), "chunk output column names are reserved")
     val stride = (chunkTokens - overlapTokens).toLong
     docs
       .filter(length(trim(col(textCol))) > 0)
@@ -72,6 +74,8 @@ object Chunking {
                     idCol: String = "doc_id", textCol: String = "text",
                     salt: String = "pack"): DataFrame = {
     require(ctxTokens > 0 && numShards > 0, "ctxTokens/numShards must be positive")
+    require(Seq("shard", "_ord", "n_tokens", "_cum", "bin", "bin_offset")
+      .forall(!docs.columns.contains(_)), "pack output column names are reserved")
     val w = Window.partitionBy("shard").orderBy(col("_ord"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
