@@ -82,16 +82,14 @@ object AnalyticsPack extends QueryPack {
       val ev = table(s, dir, "events")
       val sketches = ev.groupBy("event_type")
         .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"))
-      val probes = ev.filter(col("user_id") <= 20)
-        .select("event_type", "user_id").distinct()
-      val exact = ev.filter(col("user_id") <= 20)
+      // The exact-count aggregate IS the probe list (distinct keys ≤ 20).
+      ev.filter(col("user_id") <= 20)
         .groupBy("event_type", "user_id").agg(count(lit(1)).as("n_exact"))
-      probes.join(exact, Seq("event_type", "user_id"))
         .join(broadcast(sketches), "event_type")
+        .withColumn("_est", expr("cms_estimate(sk, user_id)"))
         .select(col("event_type"), col("user_id"), col("n_exact"),
-          (expr("cms_estimate(sk, user_id)") >= col("n_exact") &&
-            expr("cms_estimate(sk, user_id)") <= col("n_exact") + 64L)
-            .as("cms_ok"))
+          (col("_est") >= col("n_exact") &&
+            col("_est") <= col("n_exact") + 64L).as("cms_ok"))
     },
     // Salted skew join: events (hot user keys) ⋈ customer dimension with
     // the hot side spread over 4 salt lanes. The oracle is the PLAIN join —

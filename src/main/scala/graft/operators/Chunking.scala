@@ -47,10 +47,14 @@ object Chunking {
     require(Seq("_toks", "_n", "chunk_ix", "chunk_text", "n_tokens")
       .forall(!docs.columns.contains(_)), "chunk output column names are reserved")
     val stride = (chunkTokens - overlapTokens).toLong
+    // Drop empty tokens outright: `trim` strips only spaces, so a doc made
+    // of tabs/newlines (or ending in one) would otherwise sneak phantom ""
+    // tokens into chunks — violating the "chunks are never empty" contract.
+    val toks = filter(TextFunctions.words(col(textCol)), t => t =!= "")
     docs
-      .filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol), TextFunctions.words(col(textCol)).as("_toks"))
+      .select(col(idCol), toks.as("_toks"))
       .withColumn("_n", size(col("_toks")).cast("long"))
+      .filter(col("_n") > 0)
       // Last chunk index: 0 when the doc fits one chunk, else
       // ceil((n - chunkTokens) / stride) — the start of the chunk that
       // covers the tail.

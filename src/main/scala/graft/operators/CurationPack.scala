@@ -127,9 +127,11 @@ object CurationPack extends QueryPack {
          |    ELSE NULL END AS dup_bigram_frac
          |FROM rep""".stripMargin,
     "q_doc_chunks" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-        |    FROM documents WHERE length(trim(text)) > 0),
-        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |                x -> x <> '') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t
+        |    WHERE len(toks) > 0),
         |c AS (SELECT doc_id, toks, n,
         |    unnest(generate_series(0, CASE WHEN n <= 32 THEN 0
         |      ELSE (n - 32 + 23) // 24 END)) AS chunk_ix FROM n)

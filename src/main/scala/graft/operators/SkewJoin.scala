@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Salted equi-join for skewed keys — the manual lever when AQE's skew-join
@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** The deterministic salt lane in [0, salts) for a big-side row — exposed
+    * so the spread/determinism properties are testable against the SAME
+    * derivation the join uses. */
+  def saltColumn(saltFrom: Seq[String], salts: Int): Column =
+    pmod(hash(saltFrom.map(col): _*), lit(salts))
+
   /** Inner-join `big` (skewed on `keys`) with `small`, spreading each hot
     * key over `salts` tasks. `saltFrom` names big-side columns whose hash
     * spreads rows (an id column; never the join key itself — that would put
@@ -33,8 +39,7 @@ object SkewJoin {
     require(saltFrom.nonEmpty, "saltFrom must name at least one big-side column")
     require(!(big.columns.contains("_salt") || small.columns.contains("_salt")),
       "_salt column name is reserved")
-    val b = big.withColumn("_salt",
-      pmod(hash(saltFrom.map(col): _*), lit(salts)))
+    val b = big.withColumn("_salt", saltColumn(saltFrom, salts))
     val s = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     b.join(s, keys :+ "_salt").drop("_salt")

@@ -51,10 +51,11 @@ object Temporal {
     * wanting a specific winner pre-aggregate the right side to unique
     * (keys, ts) — the pack queries do).
     *
-    * The forward plan is the exact mirror of the backward one (same single
-    * keyed shuffle, same sort): the window frame flips to
-    * current-row→unbounded-following with `first(ignoreNulls)`, and the
-    * equal-instant side ordering inverts so inclusivity still holds.
+    * The forward plan is the exact mirror of the backward one — same single
+    * keyed shuffle, same incremental unbounded-PRECEDING frame — with the
+    * instant ordering flipped to descending. (Mirroring the frame to
+    * unbounded-following instead would look symmetric but Spark re-scans
+    * that frame per row: quadratic on a hot key.)
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, inclusive: Boolean = true,
@@ -69,12 +70,11 @@ object Temporal {
 
     val rv = struct(col(tsCol).as(asofTsCol) +: payload.map(col): _*)
     val rvType = right.select(rv).schema.head.dataType
-    // Equal-instant ordering: the right row must fall INSIDE the left row's
-    // frame exactly when the join is inclusive. Backward frames end at the
-    // current row, so inclusive puts right rows first; forward frames start
-    // at the current row, so inclusive puts right rows after.
-    val (sideR, sideL) =
-      if (inclusive == !forward) (0, 1) else (1, 0)
+    // Right rows sort BEFORE left rows at an equal instant for inclusive
+    // semantics — the window then sees the equal-instant payload — and
+    // AFTER them for strict. Identical rule in both directions, because the
+    // forward mirror flips the INSTANT ordering, not the frame.
+    val (sideR, sideL) = if (inclusive) (0, 1) else (1, 0)
     val lRows = left.select(
       fixed.map(col) ++ Seq(lit(sideL).as("_side"), lit(null).cast(rvType).as("_rv")) ++
         leftOnly.map(col): _*)
@@ -82,21 +82,19 @@ object Temporal {
       fixed.map(col) ++ Seq(lit(sideR).as("_side"), rv.as("_rv")) ++
         leftOnly.map(n => lit(null).cast(left.schema(n).dataType).as(n)): _*)
 
-    // `_rv` tie ordering keeps "greatest payload struct wins" in both
-    // directions: backward takes `last` over ascending _rv, forward takes
-    // `first` over descending _rv.
-    val w0 = Window.partitionBy(keys.map(col): _*)
-    val (w, pick) =
-      if (forward)
-        (w0.orderBy(col(tsCol), col("_side"), col("_rv").desc)
-           .rowsBetween(Window.currentRow, Window.unboundedFollowing),
-         first(col("_rv"), ignoreNulls = true))
-      else
-        (w0.orderBy(col(tsCol), col("_side"), col("_rv"))
-           .rowsBetween(Window.unboundedPreceding, Window.currentRow),
-         last(col("_rv"), ignoreNulls = true))
+    // Both directions keep the SAME [unbounded-preceding, current] frame and
+    // `last(ignoreNulls)` — Spark evaluates that frame incrementally (O(n)
+    // per partition), whereas an unbounded-FOLLOWING frame is recomputed per
+    // row (O(n²) on a hot key). Forward simply walks instants descending, so
+    // "last right row seen" is the smallest instant ≥ the left row's; ties
+    // at one instant resolve to the greatest payload struct either way
+    // (`last` over ascending `_rv` within the equal-(ts, side) run).
+    val ord = if (forward) col(tsCol).desc else col(tsCol).asc
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ord, col("_side"), col("_rv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lRows.unionByName(rRows)
-      .withColumn("_m", pick.over(w))
+      .withColumn("_m", last(col("_rv"), ignoreNulls = true).over(w))
       .filter(col("_side") === sideL)
       .select(fixed.map(col) ++ leftOnly.map(col) ++
         (asofTsCol +: payload).map(p => col(s"_m.$p").as(p)): _*)

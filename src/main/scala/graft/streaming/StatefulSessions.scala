@@ -107,8 +107,6 @@ object StatefulSessions {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
-  /** Sessionize a streaming frame carrying `userCol`, `idCol`, `tsCol`
-    * (timestamp). Returns an append-mode stream of closed sessions. */
   /** Project first, watermark last: an alias-of-cast would strip the
     * watermark metadata off the event-time column, and the state timeouts /
     * timers need it on the frame that feeds the stateful operator. */
@@ -126,6 +124,8 @@ object StatefulSessions {
       .as[SessionEvent]
   }
 
+  /** Sessionize a streaming frame carrying `userCol`, `idCol`, `tsCol`
+    * (timestamp). Returns an append-mode stream of closed sessions. */
   def sessions(events: DataFrame, gapSeconds: Long,
                lateness: String = "10 seconds",
                userCol: String = "user_id", tsCol: String = "ts",

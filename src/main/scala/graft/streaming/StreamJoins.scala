@@ -33,6 +33,7 @@ object StreamJoins {
                  lateness: String = "10 seconds",
                  joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "stream-stream windowJoin needs equi keys")
+    require(windowSeconds > 0, "windowSeconds must be positive")
     require(Set("inner", "left_outer")(joinType),
       s"joinType must be inner or left_outer, got $joinType")
     val clash = (left.columns.toSet intersect right.columns.toSet) -- keys

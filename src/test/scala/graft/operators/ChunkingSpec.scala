@@ -45,10 +45,13 @@ class ChunkingSpec extends SparkSpec {
 
   test("whitespace-only docs vanish; a one-token doc yields one chunk") {
     import ss.implicits._
-    val docs = Seq((1L, "   "), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    // "\n" and "\t\t" are the trap cases: trim strips only spaces, so they
+    // must be killed by the empty-token filter, not the length guard.
+    val docs = Seq((1L, "   "), (2L, "solo"), (3L, ""), (4L, "\n"),
+      (5L, "\t\t"), (6L, "tail\t")).toDF("doc_id", "text")
     val got = Chunking.chunk(docs, 8, 3).collect()
       .map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
-    assert(got.toSeq === Seq((2L, "solo", 1L)))
+    assert(got.toSeq.sorted === Seq((2L, "solo", 1L), (6L, "tail", 1L)))
   }
 
   test("chunk plans fully narrow; packing plans exactly one exchange") {

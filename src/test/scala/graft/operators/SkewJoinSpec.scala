@@ -28,19 +28,27 @@ class SkewJoinSpec extends SparkSpec {
     assert(plain.size === 3000)
   }
 
-  test("the hot key actually spreads over multiple salt lanes") {
+  test("the hot key actually spreads over multiple salt lanes AND partitions") {
     import ss.implicits._
     val big = (0 until 1000).map(i => (0L, i.toLong)).toDF("k", "id")
+    // The operator's own salt derivation fans a single key over all lanes…
     val lanes = big
-      .withColumn("_salt", pmod(hash(col("id")), lit(4)))
+      .withColumn("_salt", SkewJoin.saltColumn(Seq("id"), 4))
       .select("_salt").distinct().count()
     assert(lanes === 4L)
+    // …and the joined output physically lands on >1 shuffle partition (the
+    // unsalted join would put every hot-key row in ONE task).
+    val small = Seq((0L, "d")).toDF("k", "name")
+    val parts = SkewJoin.saltedJoin(big, small, Seq("k"), 4, Seq("id"))
+      .withColumn("p", spark_partition_id())
+      .select("p").distinct().count()
+    assert(parts > 1L, "hot key stayed on one partition")
   }
 
   test("salt assignment is deterministic across evaluations") {
     import ss.implicits._
     val big = (0 until 500).map(i => (i.toLong % 7L, i.toLong)).toDF("k", "id")
-    val salted = big.withColumn("_salt", pmod(hash(col("id")), lit(4)))
+    val salted = big.withColumn("_salt", SkewJoin.saltColumn(Seq("id"), 4))
     val a = salted.collect().map(r => (r.getLong(1), r.getInt(2))).toMap
     val b = salted.repartition(7).collect()
       .map(r => (r.getLong(1), r.getInt(2))).toMap
