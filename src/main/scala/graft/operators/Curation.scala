@@ -100,6 +100,28 @@ object Curation {
       .select(col(idCol), col("r.n_words"), col("r.dup_word_frac"),
         col("r.n_bigrams"), col("r.dup_bigram_frac"))
 
+  /** Deterministic train/val/test assignment: ONE hash draw per id mapped
+    * onto contiguous integer ranges, so the splits are DISJOINT and
+    * exhaustive BY CONSTRUCTION — no per-split gates whose acceptance sets
+    * could overlap or leave gaps, and (like every gate here) no RNG, so a
+    * rerun, a retried task, or next month's incremental batch assigns every
+    * document identically. The last split absorbs integer rounding.
+    * `fractions` must sum to 1. */
+  def splitOf(idCol: Column, fractions: Seq[(String, Double)],
+              salt: String = "split"): Column = {
+    require(fractions.size >= 2, "need at least two splits")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val draw = pmod(
+      Dedup.md5Hash32(concat(lit(salt), lit(":"), idCol.cast("string"))),
+      lit(SampleDenom))
+    val cuts = fractions.map(_._2).scanLeft(0L)((acc, f) => acc + gateNumerator(f))
+      .tail.init // upper bounds for all but the last (absorbing) split
+    cuts.zip(fractions.map(_._1)).foldRight(lit(fractions.last._1): Column) {
+      case ((cut, name), rest) => when(draw < cut, name).otherwise(rest)
+    }
+  }
+
   /** Deterministic output sharding: shard = salted-md5 of the id mod
     * `numShards` — how a 100 TB job assigns rows to output files/workers so
     * reruns land identically (repartition(n) hashes by partition-internal

@@ -33,6 +33,16 @@ object CurationPack extends QueryPack {
       graft.plans.GraftExtensions.register(s)
       Curation.curate(table(s, dir, "documents"), RulesV)
     },
+    // Deterministic 80/10/10 train/val/test assignment — one hash draw on
+    // contiguous ranges, disjoint and exhaustive by construction.
+    "q_split_assign" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      table(s, dir, "documents")
+        .groupBy(Curation.splitOf(col("doc_id"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"),
+          col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
     // Sliding-window chunking into 32-token chunks with 8-token overlap —
     // context-window preparation, fully narrow (no shuffle).
     "q_doc_chunks" -> { (s, dir) =>
@@ -126,6 +136,15 @@ object CurationPack extends QueryPack {
          |    THEN 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / n_bigrams_raw
          |    ELSE NULL END AS dup_bigram_frac
          |FROM rep""".stripMargin,
+    "q_split_assign" ->
+      """WITH d AS (SELECT lang,
+        |  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % 1000000 AS h FROM documents)
+        |SELECT CASE WHEN h < 800000 THEN 'train'
+        |            WHEN h < 900000 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs
+        |FROM d GROUP BY 1, 2""".stripMargin,
     "q_doc_chunks" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split_regex(trim(text), '\s+'),

@@ -92,6 +92,28 @@ class CurationSpec extends SparkSpec {
       .map(_.getDouble(0)).toSeq === Seq(1.0))
   }
 
+  test("splitOf is exhaustive, disjoint, deterministic, near the fractions") {
+    GraftExtensions.register(spark)
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val ids = (0 until 20000).map(i => Tuple1(i.toLong)).toDF("doc_id")
+    val split = Curation.splitOf(col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // Exhaustive + disjoint by construction: one label per row, never null.
+    val counts = ids.groupBy(split.as("s")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts.values.sum === 20000L)
+    assert(math.abs(counts("train") - 16000L) < 500L)
+    assert(math.abs(counts("val") - 2000L) < 300L)
+    // Deterministic under any partitioning.
+    val a = ids.select(col("doc_id"), split.as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = ids.repartition(17).select(col("doc_id"), split.as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+  }
+
   test("connected components / clusters over an empty corpus return empty, no NPE") {
     GraftExtensions.register(spark)
     val sparkSession = spark
