@@ -124,6 +124,31 @@ object StatefulSessions {
       .as[SessionEvent]
   }
 
+  /** Attach the sessionizer to a streaming frame and append each
+    * micro-batch's CLOSED sessions to a serving store (either deployment)
+    * under fresh generations — the reference's ingest shape
+    * (decode→aggregate→store) with the aggregate swapped for the session
+    * state machine. Batches with no closed session skip the append: every
+    * watermark-advance tick would otherwise burn a generation and a
+    * retention slot, exactly the edge-drop rule the bucket-count path
+    * applies. */
+  def attachToStore(events: DataFrame, gapSeconds: Long,
+                    store: graft.store.GenerationStore,
+                    lateness: String = "10 seconds",
+                    trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+                    checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var writer = sessions(events, gapSeconds, lateness).toDF().writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) store.appendStreaming(batch)
+        ()
+      }
+    trigger.foreach(t => writer = writer.trigger(t))
+    checkpoint.foreach(dir => writer = writer.option("checkpointLocation", dir))
+    writer.start()
+  }
+
   /** Sessionize a streaming frame carrying `userCol`, `idCol`, `tsCol`
     * (timestamp). Returns an append-mode stream of closed sessions. */
   def sessions(events: DataFrame, gapSeconds: Long,

@@ -137,6 +137,41 @@ class StatefulSessionsSpec extends SparkSpec {
     assert(got.contains((1L, us(0), us(10), 2L)))
   }
 
+  test("closed sessions append to the serving store, one generation per closing batch") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import org.apache.spark.sql.types._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val store = new graft.store.RecentStore(spark, StructType(Seq(
+      StructField("user_id", LongType), StructField("session_start_us", LongType),
+      StructField("session_end_us", LongType), StructField("n_events", LongType))),
+      tableName = "sess_store", cleanFreq = 1000L)
+    val stream = MemoryStream[(Long, Long, Timestamp)]
+    val query = StatefulSessions.attachToStore(
+      stream.toDF().toDF("user_id", "event_id", "ts"),
+      gapSeconds = 30L, store, lateness = "5 seconds",
+      trigger = Some(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)))
+    try {
+      stream.addData(Seq((1L, 1L, ts(0)), (1L, 2L, ts(10))))
+      query.processAllAvailable() // nothing closed yet → NO generation burned
+      assert(store.selectAll.count() === 0L)
+      stream.addData(Seq((1L, 3L, ts(100)))) // closes [0,10]
+      query.processAllAvailable()
+      stream.addData(Seq((2L, 4L, ts(10000))))
+      stream.addData(Seq((2L, 5L, ts(20000)))) // times out user 1's [100,100]
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val rows = store.selectAll
+      .select("user_id", "session_start_us", "session_end_us", "n_events", "rst_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(rows.contains((1L, us(0), us(10), 2L, 1L)))   // gap close → gen 1
+    assert(rows.exists(r => r._1 == 1L && r._2 == us(100) && r._5 > 1L))
+  }
+
   test("in-order multi-batch feed equals the batch sessionize result") {
     val sparkSession = spark
     import sparkSession.implicits._
