@@ -45,22 +45,49 @@ object AnalyticsPack extends QueryPack {
     // (rsd 0.02 ⇒ expected error ~2%, so the margin is wide but honest).
     "q_approx_distinct" -> { (s, dir) =>
       val ev = table(s, dir, "events")
-      ev.groupBy("event_type")
+      // HLL is duplicate-insensitive, so the sketch over the pre-distincted
+      // pairs equals the sketch over the raw rows — one shuffle on
+      // (type, id) with map-side partial distinct, instead of the Expand
+      // plan (2× rows through the exchange) that countDistinct+HLL in a
+      // single aggregate would produce.
+      ev.select("event_type", "event_id").distinct()
+        .groupBy("event_type")
         .agg(approx_count_distinct(col("event_id"), 0.02).as("approx"),
-          countDistinct(col("event_id")).as("n_ids"))
+          count(lit(1)).as("n_ids"))
         .select(col("event_type"), col("n_ids"),
           Sketches.withinRelBound(col("approx"), col("n_ids"), 10L).as("approx_ok"))
+    },
+    // Per-type value trend over the event month: OLS slope/intercept from
+    // exact integer moments (Regression.linearFit) — x = day index from
+    // 2024-01-01, y = value quantized to thousandths. The derived doubles
+    // are bit-identical across engines because every input to the float
+    // math is an exact BIGINT.
+    "q_trend" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+      Regression.linearFit(ev, Seq("event_type"),
+        expr("unix_micros(ts) div 86400000000 - 19723"),
+        expr("CAST(floor(value * 1000) AS BIGINT)"))
+    },
+    // Order-independent table checksum over lineitem, broken down by
+    // returnflag: the "did the copy preserve the data" audit. Quantity is
+    // quantized to integer cents before canonicalization (float→string
+    // rendering is not engine-portable; exact integers are).
+    "q_table_checksum" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+      Checksum.tableChecksum(li, Seq("l_returnflag"), Seq(
+        col("l_orderkey"), col("l_linenumber"), col("l_linestatus"),
+        floor(col("l_quantity") * 100).cast("long")))
     },
     // Co-located join over tables bucketed on the join key at write time —
     // the pay-the-shuffle-once layout. Values are pinned by the oracle's
     // plain join; the exchange-free PLAN is pinned by BucketingSpec.
     "q_bucketed_join" -> { (s, dir) =>
       val tag = (dir.hashCode & Int.MaxValue).toString
-      Bucketing.writeBucketed(
+      Bucketing.ensureBucketed(
         table(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
         s"orders_b_$tag", s"/tmp/graft_bucketed_$tag/orders",
         8, Seq("o_custkey"), Seq("o_custkey"))
-      Bucketing.writeBucketed(
+      Bucketing.ensureBucketed(
         table(s, dir, "customer").select("c_custkey", "c_nationkey"),
         s"customer_b_$tag", s"/tmp/graft_bucketed_$tag/customer",
         8, Seq("c_custkey"), Seq("c_custkey"))
@@ -148,6 +175,42 @@ object AnalyticsPack extends QueryPack {
       """SELECT c_nationkey, event_type, count(*) AS n_events
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2""".stripMargin,
+    // Same exact-moment OLS: HUGEINT intermediate sums are cast to BIGINT
+    // before the double math so the final expression sees the same exact
+    // integers Spark's long sums hold; the float expression tree is
+    // written in the same shape/order as Regression.linearFit.
+    "q_trend" ->
+      """WITH t AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 - 19723 AS x,
+        |    CAST(floor(value * 1000) AS BIGINT) AS y FROM events),
+        |s AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM t GROUP BY 1)
+        |SELECT event_type, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        |  (CAST(sy AS DOUBLE)
+        |     - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+        |   / CAST(n AS DOUBLE) AS intercept
+        |FROM s""".stripMargin,
+    // MD5 digests agree byte-for-byte across engines on identical UTF-8
+    // canonical strings; the 7-hex-char prefix parses to the same BIGINT
+    // via conv() (Spark) and the 0x-cast (DuckDB).
+    "q_table_checksum" ->
+      """WITH h AS (SELECT l_returnflag,
+        |    md5(concat_ws('|', l_orderkey, l_linenumber, l_linestatus,
+        |      CAST(floor(l_quantity * 100) AS BIGINT))) AS d
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(('0x' || substr(d, 1, 7))::BIGINT) AS BIGINT) AS checksum,
+        |  min(d) AS h_min, max(d) AS h_max
+        |FROM h GROUP BY 1""".stripMargin,
     "q_bucketed_join" ->
       """SELECT c_nationkey, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)

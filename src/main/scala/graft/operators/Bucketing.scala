@@ -36,6 +36,18 @@ object Bucketing {
     sorted.saveAsTable(tableName)
   }
 
+  /** [[writeBucketed]], idempotent per session: if `tableName` is already in
+    * the catalog the write is skipped and the existing layout is reused.
+    * This is the honest read-path contract — the layout is paid once, every
+    * subsequent query (or benchmark iteration) measures the exchange-free
+    * join it bought, not a re-write of an identical table. Callers that
+    * changed the DATA under the same name must drop the table first. */
+  def ensureBucketed(df: DataFrame, tableName: String, path: String,
+                     numBuckets: Int, keys: Seq[String],
+                     sortCols: Seq[String] = Nil): Unit =
+    if (!df.sparkSession.catalog.tableExists(tableName))
+      writeBucketed(df, tableName, path, numBuckets, keys, sortCols)
+
   /** Range-clustered layout for ordered scans: globally range-partition by
     * `rangeCol` into `numFiles` files, each sorted within. Files then cover
     * DISJOINT value ranges, so a time/range predicate prunes whole files

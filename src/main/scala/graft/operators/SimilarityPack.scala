@@ -70,6 +70,17 @@ object SimilarityPack extends QueryPack {
       Similarity.knnQuantized(emb, emb.filter(col("vec_id") % 50 === 0), K,
         bits = 4, candMult = 3)
     },
+    // Edit-distance similarity join on 32-char document prefixes — the
+    // PassJoin segment-signature plan (FuzzyJoin.editJoin): exact ed<=2
+    // semantics with equi-join candidate generation instead of a cross
+    // join. The oracle is the brute-force levenshtein join, so a green row
+    // proves the signature scheme loses no pairs.
+    "q_fuzzy_join" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 32).as("prefix"))
+      FuzzyJoin.editJoin(docs, k = 2, idCol = "doc_id", strCol = "prefix")
+        .select(col("left_id"), col("right_id"), col("dist").cast("long").as("dist"))
+    },
     // Embedding-space dedup clusters: connected components over the blocked
     // cosine near-dup pairs (the same CC core as q_dedup_clusters, fed by a
     // different similarity operator — the point of the refactor).
@@ -129,6 +140,19 @@ object SimilarityPack extends QueryPack {
        |    END AS qc FROM sc)"""
 
   override def oracles: Map[String, String] = Map(
+    // Brute-force edit-distance join (DuckDB's native levenshtein) with the
+    // operator's orientation rule: left = shorter string, ties by id. The
+    // length-band predicate is implied by ed<=2 — it only prunes the cross
+    // join for the oracle's own runtime.
+    "q_fuzzy_join" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 32) AS p FROM documents)
+        |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+        |FROM d a JOIN d b
+        |  ON (length(a.p) < length(b.p)
+        |      OR (length(a.p) = length(b.p) AND a.doc_id < b.doc_id))
+        | AND abs(length(a.p) - length(b.p)) <= 2
+        |WHERE levenshtein(a.p, b.p) <= 2""".stripMargin,
     "q_embed_quantize" ->
       s"""WITH $QuantCtes
          |SELECT vec_id, scale,

@@ -134,4 +134,43 @@ object Temporal {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("_b")
   }
+
+  /** Time-series densification + forward fill — resample an irregular event
+    * stream onto a fixed per-key grid. Input `obs` must already be one row
+    * per (keys, bucket) with `bucketCol` a long on `step`-aligned values
+    * (the output of a bucketed aggregation); output is one row per key per
+    * grid step from that key's first to last observation, with each value
+    * column carried forward from the most recent observed bucket and an
+    * `observed` flag marking real vs filled rows.
+    *
+    * Plan shape: the spine is a per-key `sequence` explode (linear in
+    * OUTPUT rows, computed from a tiny per-key min/max aggregate — no
+    * driver-side loop), the join back to observations is an equi-join on
+    * (keys, bucket), and the fill is `last(ignore nulls)` over a window
+    * partitioned by key — one running-state pass per key partition, no
+    * per-row rescans (unbounded-PRECEDING frames are incremental in
+    * Spark). At 100 TB the only fan-out is the grid itself; gaps per key
+    * are bounded by the key's own observation span, so output stays
+    * proportional to keys × span/step regardless of event volume. */
+  def resampleFill(obs: DataFrame, keys: Seq[String], bucketCol: String,
+                   step: Long, valueCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "resampleFill needs at least one key column")
+    require(step > 0, "step must be positive")
+    require(valueCols.nonEmpty, "resampleFill needs at least one value column")
+    val keyCols = keys.map(col)
+    val spine = obs.groupBy(keyCols: _*)
+      .agg(min(col(bucketCol)).as("_lo"), max(col(bucketCol)).as("_hi"))
+      .select(keyCols :+
+        explode(sequence(col("_lo"), col("_hi"), lit(step))).as(bucketCol): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols: _*).orderBy(col(bucketCol))
+      .rowsBetween(Long.MinValue, 0)
+    val joined = spine.join(obs, keys :+ bucketCol, "left")
+    val filled = valueCols.foldLeft(
+      joined.withColumn("observed", col(valueCols.head).isNotNull)) {
+      (df, v) => df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    }
+    filled.select((keys :+ bucketCol :+ "observed").map(col) ++
+      valueCols.map(col): _*)
+  }
 }

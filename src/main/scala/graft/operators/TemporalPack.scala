@@ -13,6 +13,7 @@ import graft.QueryPack
 object TemporalPack extends QueryPack {
 
   private val WindowUs = 7200L * 1000000L // 2 h in µs, inline-precomputed (INT32-safe)
+  private val HourUs = 3600L * 1000000L
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // For each click, the user's most recent prior-or-equal purchase value
@@ -61,6 +62,19 @@ object TemporalPack extends QueryPack {
       Temporal.rangeJoin(clk, "click_us", err, "w_start", "w_end", WindowUs,
           keys = Seq("user_id"))
         .groupBy("err_id").agg(count(lit(1)).as("n_clicks"))
+    },
+    // Resample + forward fill: each sampled user's hourly event count,
+    // densified onto the full hourly grid between their first and last
+    // active hour, gaps carrying the last observed count forward. Counts
+    // are integer-exact, so the fill is hash-comparable.
+    "q_gap_fill" -> { (s, dir) =>
+      val obs = table(s, dir, "events")
+        .filter(col("user_id") % 7 === 0)
+        .groupBy(col("user_id"),
+          expr(s"(unix_micros(ts) div $HourUs) * $HourUs").as("bucket_us"))
+        .agg(count(lit(1)).as("n_events"))
+      Temporal.resampleFill(obs, Seq("user_id"), "bucket_us", HourUs,
+        Seq("n_events"))
     }
   )
 
@@ -91,6 +105,23 @@ object TemporalPack extends QueryPack {
          |SELECT err_id, count(*) AS n_clicks
          |FROM err JOIN clk USING (user_id)
          |WHERE p >= s AND p < s + $WindowUs
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+    // generate_series spine + IGNORE NULLS running last — DuckDB's native
+    // way of writing the same densify-and-fill. Positive epochs make `//`
+    // (floor) and Spark's `div` (truncation) identical here.
+    "q_gap_fill" ->
+      s"""WITH obs AS (SELECT user_id,
+         |    (epoch_us(ts) // $HourUs) * $HourUs AS bucket_us,
+         |    count(*) AS n_events
+         |  FROM events WHERE user_id % 7 = 0 GROUP BY 1, 2),
+         |b AS (SELECT user_id, min(bucket_us) AS lo, max(bucket_us) AS hi
+         |  FROM obs GROUP BY 1),
+         |spine AS (SELECT user_id,
+         |    unnest(generate_series(lo, hi, $HourUs)) AS bucket_us FROM b)
+         |SELECT s.user_id, s.bucket_us,
+         |  o.n_events IS NOT NULL AS observed,
+         |  last_value(o.n_events IGNORE NULLS)
+         |    OVER (PARTITION BY s.user_id ORDER BY s.bucket_us) AS n_events
+         |FROM spine s LEFT JOIN obs o USING (user_id, bucket_us)""".stripMargin
   )
 }

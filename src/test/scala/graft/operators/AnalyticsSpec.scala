@@ -72,4 +72,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.contains((Some("x"), None, 2L, 1L)))
     assert(got.contains((None, None, 2L, 3L))) // grand total
   }
+
+  test("linearFit recovers an exact linear relation and a known noisy slope") {
+    import ss.implicits._
+    // y = 3x + 7 exactly → slope 3, intercept 7 to the last bit.
+    val exact = (0L to 20L).map(x => ("a", x, 3 * x + 7))
+    // Symmetric residuals around y = 2x: (0,-1) and (2,+1) offsets cancel
+    // in the moments → slope exactly 2, intercept 0.
+    val noisy = Seq(("b", 0L, -1L), ("b", 0L, 1L), ("b", 2L, 3L), ("b", 2L, 5L))
+    val got = Regression.linearFit((exact ++ noisy).toDF("g", "x", "y"),
+        Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(got("a") === ((21L, 3.0, 7.0)))
+    assert(got("b") === ((4L, 2.0, 0.0)))
+  }
+
+  test("linearFit is invariant to partitioning (exact integer moments)") {
+    import ss.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 500L).map(x => ("g", x, x * 13 + rnd.nextInt(1000).toLong))
+    val one = Regression.linearFit(rows.toDF("g", "x", "y").repartition(1),
+      Seq("g"), col("x"), col("y")).head()
+    val many = Regression.linearFit(rows.toDF("g", "x", "y").repartition(7),
+      Seq("g"), col("x"), col("y")).head()
+    // Bit-identical, not approximately equal — the operator's whole point.
+    assert(one.getDouble(2) === many.getDouble(2))
+    assert(one.getDouble(3) === many.getDouble(3))
+  }
+
+  test("tableChecksum is row-order-independent and detects single-row drift") {
+    import ss.implicits._
+    val rows = (1L to 100L).map(i => ("g", i, s"name$i"))
+    def sum(df: org.apache.spark.sql.DataFrame) =
+      Checksum.tableChecksum(df, Seq("g"), Seq(col("id"), col("nm"))).head()
+    val base = sum(rows.toDF("g", "id", "nm"))
+    val shuffled = sum(scala.util.Random.shuffle(rows).toDF("g", "id", "nm")
+      .repartition(5))
+    assert(base === shuffled)
+    val drifted = sum(rows.updated(41, ("g", 42L, "nameX")).toDF("g", "id", "nm"))
+    assert(base.getLong(2) !== drifted.getLong(2))
+  }
 }

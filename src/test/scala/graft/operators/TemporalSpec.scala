@@ -154,6 +154,30 @@ class TemporalSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("resampleFill densifies per-key grids and carries values forward") {
+    import ss.implicits._
+    // key 1 observes at 0, 30, 40 (step 10 → gaps at 10, 20); key 2 at 100
+    // only (single-point spine). Values fill from the last observed bucket.
+    val obs = Seq((1L, 0L, 5L), (1L, 30L, 7L), (1L, 40L, 2L), (2L, 100L, 9L))
+      .toDF("k", "b", "v")
+    val got = Temporal.resampleFill(obs, Seq("k"), "b", 10L, Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+      .toSet
+    assert(got === Set(
+      (1L, 0L, true, 5L), (1L, 10L, false, 5L), (1L, 20L, false, 5L),
+      (1L, 30L, true, 7L), (1L, 40L, true, 2L), (2L, 100L, true, 9L)))
+  }
+
+  test("resampleFill fills multiple value columns independently") {
+    import ss.implicits._
+    val obs = Seq((1L, 0L, 5L, 50L), (1L, 20L, 7L, 70L)).toDF("k", "b", "v1", "v2")
+    val got = Temporal.resampleFill(obs, Seq("k"), "b", 10L, Seq("v1", "v2"))
+      .filter(col("b") === 10L).collect()
+    assert(got.length === 1)
+    assert((got(0).getLong(3), got(0).getLong(4)) === ((5L, 50L)))
+    assert(!got(0).getBoolean(2))
+  }
+
   test("asofJoin plans one shuffle over the union, no join node") {
     import ss.implicits._
     val left = Seq((1L, 100L, "a")).toDF("k", "us", "tag")
