@@ -19,6 +19,8 @@ import graft.QueryPack
 object AnalyticsPack extends QueryPack {
 
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val WeekUs = 7L * 86400L * 1000000L
+  private val FunnelCutoffUs = 1704240000000000L // 2024-01-03T00:00:00Z in µs
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Long→wide: one row per user, one column per event type, as
@@ -56,6 +58,26 @@ object AnalyticsPack extends QueryPack {
           count(lit(1)).as("n_ids"))
         .select(col("event_type"), col("n_ids"),
           Sketches.withinRelBound(col("approx"), col("n_ids"), 10L).as("approx_ok"))
+    },
+    // view→click→purchase funnel: one sorted fold per user (single
+    // shuffle) vs the oracle's cascaded per-stage min aggregations — same
+    // strict-ordering semantics, two independent plans.
+    "q_funnel" -> { (s, dir) =>
+      // First 48 h of the corpus (us < 2024-01-03T00Z): sparse enough that
+      // users genuinely spread across stages 0..3.
+      val ev = table(s, dir, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .filter(col("us") < FunnelCutoffUs)
+      Funnel.funnel(ev, Seq("view", "click", "purchase"))
+        .groupBy("stages_done")
+        .agg(count(lit(1)).as("n_users"),
+          max(element_at(col("stage_ts"), 3)).as("max_complete_us"))
+    },
+    // Weekly retention triangle: cohort = week of first event.
+    "q_cohort" -> { (s, dir) =>
+      val ev = table(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      Funnel.cohortRetention(ev, WeekUs)
     },
     // Per-type value trend over the event month: OLS slope/intercept from
     // exact integer moments (Regression.linearFit) — x = day index from
@@ -175,6 +197,35 @@ object AnalyticsPack extends QueryPack {
       """SELECT c_nationkey, event_type, count(*) AS n_events
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2""".stripMargin,
+    // Cascaded-minimum funnel — an INDEPENDENT formulation of the same
+    // strict-after semantics (stage i = earliest matching event strictly
+    // after stage i-1), so a green row pins the one-pass fold against the
+    // per-stage aggregation every analytics SQL writes.
+    "q_funnel" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+         |  WHERE epoch_us(ts) < $FunnelCutoffUs),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > t2 GROUP BY 1),
+        |st AS (SELECT u.user_id,
+        |    CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |         WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS sd,
+        |    coalesce(t3, -1) AS t3c
+        |  FROM (SELECT DISTINCT user_id FROM e) u
+        |  LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id))
+        |SELECT CAST(sd AS BIGINT) AS stages_done, count(*) AS n_users,
+        |  CAST(max(t3c) AS BIGINT) AS max_complete_us
+        |FROM st GROUP BY 1""".stripMargin,
+    "q_cohort" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) // $WeekUs AS p FROM events),
+         |f AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY 1),
+         |a AS (SELECT DISTINCT user_id, p FROM e)
+         |SELECT cohort, p - cohort AS period_offset, count(*) AS n_users
+         |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
     // Same exact-moment OLS: HUGEINT intermediate sums are cast to BIGINT
     // before the double math so the final expression sees the same exact
     // integers Spark's long sums hold; the float expression tree is
