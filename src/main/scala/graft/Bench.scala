@@ -34,7 +34,14 @@ object Bench {
     "q_asof_forward", "q_pivot_events", "q_event_cube",
     "q_approx_distinct", "q_salted_join", "q_bucketed_join",
     "q_doc_chunks", "q_pack_sequences",
-    "q_session_window", "q_latest_per_key", "q_cms_probe"
+    "q_session_window", "q_latest_per_key", "q_cms_probe",
+    // Round-5 third wave: the PassJoin fuzzy join, grid densification,
+    // product analytics (funnel/cohort), exact-moment OLS, and the
+    // full-table checksum audit. q_bucketed_join now measures the
+    // co-located join on the reused layout (first call still pays the
+    // write; min-of-2 reports the steady state).
+    "q_fuzzy_join", "q_gap_fill", "q_funnel", "q_cohort",
+    "q_trend", "q_table_checksum"
   )
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =

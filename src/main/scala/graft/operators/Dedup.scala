@@ -275,6 +275,11 @@ object Dedup {
     * treated as undirected; nodes absent from any pair label themselves).
     * Works over ANY similarity pair set — minhash pairs, simhash pairs,
     * embedding near-dups. Output: (node, cluster_id). */
+  /** Rounds the most recent [[connectedComponents]] call took to converge —
+    * measurement/debug telemetry (CcProbe, perf notes), never consulted by
+    * the operators themselves. */
+  @volatile private[graft] var lastRounds: Int = 0
+
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxIter: Int = 50): DataFrame = {
     val edges = pairs
@@ -307,8 +312,19 @@ object Dedup {
     while (changed && iter < maxIter) {
       val viaEdges = edges.join(current, edges("dst") === current("node"))
         .select(edges("src").as("node"), col("label"))
-      val next = current.union(viaEdges)
+      val stepped = current.union(viaEdges)
         .groupBy("node").agg(min("label").as("label"))
+      // Pointer jump: label(x) := label(label(x)). A label is itself a
+      // component member's id, so the indirection stays within the
+      // component and labels remain monotone non-increasing — but known
+      // minima now propagate 2^r hops after r rounds instead of r, so a
+      // chain of diameter d converges in O(log d) edge-join rounds. The
+      // jump is a self-equi-join on the node-sized label table — cheap
+      // next to the edge join it eliminates rounds of.
+      val lbl = stepped.select(col("node").as("pnode"), col("label").as("plabel"))
+      val next = stepped.join(lbl, stepped("label") === lbl("pnode"), "left")
+        .select(stepped("node"),
+          coalesce(col("plabel"), stepped("label")).as("label"))
         .localCheckpoint(true)
       val curSum = labelSum(next)
       changed = curSum.compareTo(prevSum) != 0
@@ -325,6 +341,7 @@ object Dedup {
     if (changed) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxIter rounds " +
         "(labels still changing) — raise maxIter")
+    lastRounds = iter // instrumentation only (see field scaladoc)
     // Isolated nodes (never in a pair) label themselves; left join keeps
     // every input node exactly once whether or not it saw an edge.
     nodes.select(col("node"))
