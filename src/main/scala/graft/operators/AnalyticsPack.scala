@@ -21,6 +21,7 @@ object AnalyticsPack extends QueryPack {
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
   private val WeekUs = 7L * 86400L * 1000000L
   private val FunnelCutoffUs = 1704240000000000L // 2024-01-03T00:00:00Z in µs
+  private val Jan8Us = 1704672000000000L // 2024-01-08T00:00:00Z in µs
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Long→wide: one row per user, one column per event type, as
@@ -78,6 +79,25 @@ object AnalyticsPack extends QueryPack {
       val ev = table(s, dir, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("us"))
       Funnel.cohortRetention(ev, WeekUs)
+    },
+    // Z-order layout roundtrip: events rewritten Morton-clustered on
+    // (time, user), then a two-dimensional slice aggregated off the copy.
+    // Values pin content preservation against the original table; the
+    // per-file dual-dimension span bound (the pruning property) is pinned
+    // by BucketingSpec's tile assertions.
+    "q_zorder_scan" -> { (s, dir) =>
+      val tag = (dir.hashCode & Int.MaxValue).toString
+      val path = s"/tmp/graft_zorder_$tag"
+      if (!new java.io.File(path, "_SUCCESS").exists())
+        Bucketing.writeZOrdered(
+          table(s, dir, "events").select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"), col("value")),
+          path, 16, "us", "user_id")
+      s.read.parquet(path)
+        .filter(col("user_id") <= 50 && col("us") < Jan8Us)
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast("long")).as("value_cents"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
     },
     // Per-type value trend over the event month: OLS slope/intercept from
     // exact integer moments (Regression.linearFit) — x = day index from
@@ -226,6 +246,15 @@ object AnalyticsPack extends QueryPack {
          |a AS (SELECT DISTINCT user_id, p FROM e)
          |SELECT cohort, p - cohort AS period_offset, count(*) AS n_users
          |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+    // Oracle reads the ORIGINAL events table — a layout rewrite must be
+    // value-invisible.
+    "q_zorder_scan" ->
+      s"""SELECT count(*) AS n,
+         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+         |    AS value_cents,
+         |  min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM events
+         |WHERE user_id <= 50 AND epoch_us(ts) < $Jan8Us""".stripMargin,
     // Same exact-moment OLS: HUGEINT intermediate sums are cast to BIGINT
     // before the double math so the final expression sees the same exact
     // integers Spark's long sums hold; the float expression tree is

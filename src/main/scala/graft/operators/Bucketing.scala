@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 
 /** Bucketed table layout — the shuffle you pay ONCE at write time instead of
   * on every join. A table written with `bucketBy(n, k)` is hash-partitioned
@@ -62,5 +62,74 @@ object Bucketing {
     df.repartitionByRange(numFiles, org.apache.spark.sql.functions.col(rangeCol))
       .sortWithinPartitions(rangeCol)
       .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Morton (Z-order) value of two long columns, each first normalized to
+    * `bitsPerDim` bits by exact integer scaling over [lo, hi]. Interleaving
+    * the bits makes 1-D z-proximity imply 2-D proximity, so range-splitting
+    * on z clusters BOTH dimensions at once. Nulls sort first (null z). */
+  private[operators] def mortonValue(a: Column, aLo: Long, aHi: Long,
+                                     b: Column, bLo: Long, bHi: Long,
+                                     bitsPerDim: Int): Column = {
+    import org.apache.spark.sql.functions._
+    require(bitsPerDim >= 1 && bitsPerDim <= 16, "bitsPerDim in [1,16]")
+    // Exact integer scaling with a pure right-shift (no division, no
+    // double rounding, no overflow): shift so the span lands in
+    // <= bitsPerDim bits. Up to 2× coarser than a true divide at the top
+    // of the range — irrelevant for layout, where buckets only steer
+    // locality.
+    def bucket(v: Column, lo: Long, hi: Long): Column = {
+      val span = hi - lo
+      val shift = math.max(0,
+        64 - java.lang.Long.numberOfLeadingZeros(span) - bitsPerDim)
+      shiftright(v - lit(lo), shift)
+    }
+    val ab = bucket(a, aLo, aHi); val bb = bucket(b, bLo, bHi)
+    (0 until bitsPerDim).map { i =>
+      (shiftright(ab, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(bb, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+  }
+
+  /** Z-order clustered layout: the two-dimensional sibling of
+    * [[writeRangeSorted]]. Range-sorting clusters ONE column perfectly and
+    * leaves any other predicate scanning every file; z-ordering spends the
+    * same single range exchange on the interleaved Morton value, so the
+    * numFiles files tile a √n × √n grid over BOTH columns — parquet min/max
+    * stats on each raw column stay narrow per file, and a selective
+    * predicate on EITHER dimension (or both) prunes most files. The
+    * 100 TB use: event logs queried sometimes by time, sometimes by entity
+    * — one layout serves both without a second copy.
+    *
+    * Bounds for the scaling are taken from one min/max aggregate (four
+    * scalars to the driver — index-build-sized, like centroid fetches).
+    * The Morton column is dropped before the write; it is layout, not
+    * data. */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
+                    colA: String, colB: String, bitsPerDim: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    require(numFiles > 0, "numFiles must be positive")
+    val r = df.agg(min(col(colA)), max(col(colA)),
+      min(col(colB)), max(col(colB))).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) { // all-null dim: plain write
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+    } else {
+      val z = mortonValue(col(colA), r.getLong(0), r.getLong(1),
+        col(colB), r.getLong(2), r.getLong(3), bitsPerDim)
+      // Partition by the Morton GRID CELL (top bits of z), not raw z:
+      // sampled range bounds on raw z can land mid-cell, and a file
+      // straddling a high-bit z boundary covers the FULL range of one
+      // dimension (the curve jumps across the grid there) — snapping to
+      // cells is what guarantees every file a bounded tile. Within a
+      // cell, rows stay z-sorted for row-group-level stats.
+      val cellBits = 64 - java.lang.Long.numberOfLeadingZeros((numFiles - 1).max(1))
+      val dropBits = (2 * bitsPerDim - cellBits).max(0)
+      df.withColumn("_graft_z", z)
+        .withColumn("_graft_cell", shiftright(col("_graft_z"), dropBits))
+        .repartitionByRange(numFiles, col("_graft_cell"))
+        .sortWithinPartitions("_graft_z")
+        .drop("_graft_z", "_graft_cell")
+        .write.mode(SaveMode.Overwrite).parquet(path)
+    }
   }
 }

@@ -78,6 +78,41 @@ class BucketingSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,900000)]"))
   }
 
+  test("z-ordered write keeps BOTH dimensions' per-file spans narrow") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(97)
+    // Two independent uniform dims — the case plain range-sorting can only
+    // cluster one of.
+    val df = (0 until 40000).map(_ =>
+      (rnd.nextInt(1000000).toLong, rnd.nextInt(1000000).toLong))
+      .toDF("x", "y")
+    Bucketing.writeZOrdered(df, "/tmp/graft_bspec/zorder", 16, "x", "y")
+
+    val files = new java.io.File("/tmp/graft_bspec/zorder").listFiles()
+      .filter(f => f.getName.startsWith("part-")).map(_.getPath).sorted
+    assert(files.length === 16)
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f).agg(
+        min(col("x")), max(col("x")), min(col("y")), max(col("y"))).head()
+      ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))
+    }
+    // 16 files ≈ a 4×4 Morton grid: most files cover ~1/4 of each dim.
+    // Boundary-crossing z ranges can span 2 cells; assert every file stays
+    // well under the full span on BOTH dims (range-sorting one dim would
+    // leave the other at ~100%).
+    for (((xlo, xhi), (ylo, yhi)) <- spans) {
+      assert(xhi - xlo <= 600000L, s"x span too wide: ${(xlo, xhi)}")
+      assert(yhi - ylo <= 600000L, s"y span too wide: ${(ylo, yhi)}")
+    }
+    // A 1/8-width slice on EITHER dim must intersect only a minority of
+    // files' min/max ranges — that's the pruning parquet stats deliver.
+    val xHit = spans.count { case ((lo, hi), _) => lo <= 125000L && hi >= 0L }
+    val yHit = spans.count { case (_, (lo, hi)) => lo <= 125000L && hi >= 0L }
+    assert(xHit <= 8, s"x slice should prune, hit $xHit/16 files")
+    assert(yHit <= 8, s"y slice should prune, hit $yHit/16 files")
+  }
+
   test("equality filter on the bucket key prunes to one bucket") {
     tables
     // A bare filter has no join/agg to pay for the bucketed scan, so the
