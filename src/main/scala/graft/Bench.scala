@@ -41,7 +41,7 @@ object Bench {
     // co-located join on the reused layout (first call still pays the
     // write; min-of-2 reports the steady state).
     "q_fuzzy_join", "q_gap_fill", "q_funnel", "q_cohort",
-    "q_trend", "q_table_checksum"
+    "q_trend", "q_table_checksum", "q_star_join", "q_zorder_scan"
   )
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =

@@ -126,4 +126,30 @@ object TextFunctions {
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))
   }
+
+  /** Corpus-statistics familiarity score — the integer-exact stand-in for
+    * bigram log-probability quality scoring. Each document scores the sum
+    * of `floor(log2(corpus count)) + 1` over its bigrams (computed as
+    * `length(bin(count))` — pure integer ops, because transcendental
+    * `log()` is a libm call with NO cross-engine bit guarantee, while the
+    * binary digit count is the same everywhere). High scores = documents
+    * made of common constructions; low = rare/garbled text — the same
+    * ordering a real LM-perplexity filter induces, shuffles bounded by the
+    * bigram vocabulary, no model call.
+    *
+    * Plan: one explode+groupBy builds the count model (vocabulary-sized),
+    * one equi-join scores, one per-doc aggregate. Output:
+    * (idCol, n_bigrams, familiarity). Documents with < 2 tokens have no
+    * bigrams and are absent. */
+  def bigramFamiliarity(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val bg = docs
+      .select(col(idCol), explode(wordNgrams(col(textCol), 2)).as("ngram"))
+      .localCheckpoint(eager = true) // feeds model build AND scoring join
+    val model = bg.groupBy("ngram").agg(count(lit(1)).as("cnt"))
+    bg.join(model, "ngram")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(length(bin(col("cnt")))).as("familiarity"))
+  }
 }

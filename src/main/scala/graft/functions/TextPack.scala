@@ -79,6 +79,12 @@ object TextPack extends QueryPack {
         .groupBy("ngram").agg(count(lit(1)).as("count"))
         .filter(col("count") >= 20)
     },
+    // Rank-free LM-style quality signal: per-doc sum of binary digit
+    // counts of corpus bigram frequencies (integer-exact familiarity; see
+    // TextFunctions.bigramFamiliarity for why there's no log in it).
+    "q_bigram_familiarity" -> { (s, dir) =>
+      TextFunctions.bigramFamiliarity(table(s, dir, "documents"))
+    },
     // Document fingerprint (md5 of normalized text) — the dedup identity.
     "q_fingerprint" -> { (s, dir) =>
       table(s, dir, "documents").select(
@@ -183,6 +189,17 @@ object TextPack extends QueryPack {
          |  (len(string_split_regex(trim(text), '\\s+')) >= 5 AND
          |   len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) <= len(string_split_regex(trim(text), '\\s+'))) AS looks_clean
          |FROM n""".stripMargin,
+    "q_bigram_familiarity" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |    unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS ngram
+        |  FROM w),
+        |m AS (SELECT ngram, count(*) AS cnt FROM bg GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(length(bin(cnt))) AS BIGINT) AS familiarity
+        |FROM bg JOIN m USING (ngram)
+        |GROUP BY 1""".stripMargin,
     "q_ngram_counts" ->
       """WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents),
         |g AS (SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS ngram FROM w)

@@ -80,6 +80,25 @@ object AnalyticsPack extends QueryPack {
         .select(col("user_id"), unix_micros(col("ts")).as("us"))
       Funnel.cohortRetention(ev, WeekUs)
     },
+    // Star-schema join: one shuffle join between the two fact tables,
+    // every dimension explicitly broadcast — the plan where a 100 TB
+    // lineitem never moves for a kilobyte-scale nation table. Revenue is
+    // floor-quantized to cents per row (deterministic IEEE product of
+    // identical doubles) then summed exactly.
+    "q_star_join" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = table(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val n = table(s, dir, "nation").select("n_nationkey", "n_name")
+      li.select(col("l_orderkey"),
+          floor(col("l_extendedprice") * (lit(1d) - col("l_discount")) * 100)
+            .cast("long").as("rev_cents"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_items"), sum(col("rev_cents")).as("revenue_cents"))
+    },
     // Z-order layout roundtrip: events rewritten Morton-clustered on
     // (time, user), then a two-dimensional slice aggregated off the copy.
     // Values pin content preservation against the original table; the
@@ -246,6 +265,15 @@ object AnalyticsPack extends QueryPack {
          |a AS (SELECT DISTINCT user_id, p FROM e)
          |SELECT cohort, p - cohort AS period_offset, count(*) AS n_users
          |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+    "q_star_join" ->
+      """SELECT n_name, count(*) AS n_items,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
     // Oracle reads the ORIGINAL events table — a layout rewrite must be
     // value-invisible.
     "q_zorder_scan" ->

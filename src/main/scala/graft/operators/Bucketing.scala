@@ -64,6 +64,53 @@ object Bucketing {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Small-file compaction — the maintenance op every long-lived table
+    * needs: streaming sinks, per-generation appends, and fine-grained
+    * partition writes all accumulate files far below the efficient scan
+    * size, and at 100 TB the resulting open/seek overhead (and NameNode /
+    * object-store listing pressure) dominates reads. Rewrites `path` into
+    * ceil(bytes/targetBytes) files via `coalesce` — a NARROW merge of
+    * input splits, no shuffle — then swaps directories. Returns the new
+    * file count (unchanged if already at or below it; never splits files).
+    *
+    * Single-writer maintenance op: the delete+rename swap is not atomic
+    * against concurrent writers; readers racing the swap should use
+    * ignoreMissingFiles (as RecentStore's durable reads already do). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(hPath)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    val total = parts.map(_.getLen).sum
+    // Overflow-safe ceil-div (total + target - 1 wraps for huge targets).
+    val n = math.max(1L,
+      total / targetBytes + (if (total % targetBytes > 0) 1L else 0L)).toInt
+    if (n >= parts.length) return parts.length
+    val tmp = new org.apache.hadoop.fs.Path(path + "._graft_compact")
+    // Size output files by sizing the INPUT SPLITS: with maxPartitionBytes
+    // = targetBytes (and openCost not inflating tiny files), Spark's file
+    // bin-packing yields ~n read partitions of ~targetBytes each, written
+    // 1:1 — no shuffle anywhere. coalesce(n) only caps packing slack; it
+    // cannot split, which is why split sizing (not coalesce) does the work.
+    val conf = spark.conf
+    val prev = Seq("spark.sql.files.maxPartitionBytes",
+      "spark.sql.files.openCostInBytes").map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+    conf.set("spark.sql.files.openCostInBytes", "1024")
+    try spark.read.parquet(path).coalesce(n)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    finally prev.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+    fs.delete(hPath, true)
+    if (!fs.rename(tmp, hPath))
+      throw new java.io.IOException(s"compact: rename $tmp -> $hPath failed")
+    n
+  }
+
   /** Morton (Z-order) value of two long columns, each first normalized to
     * `bitsPerDim` bits by exact integer scaling over [lo, hi]. Interleaving
     * the bits makes 1-D z-proximity imply 2-D proximity, so range-splitting

@@ -113,6 +113,33 @@ class BucketingSpec extends SparkSpec {
     assert(yHit <= 8, s"y slice should prune, hit $yHit/16 files")
   }
 
+  test("compact merges small files without changing content") {
+    val ss = spark
+    import ss.implicits._
+    val df = (1L to 5000L).map(i => (i, s"row$i")).toDF("id", "nm")
+    df.repartition(64).write.mode("overwrite")
+      .parquet("/tmp/graft_bspec/compact")
+    def nFiles = new java.io.File("/tmp/graft_bspec/compact").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(nFiles === 64)
+    val before = Checksum.tableChecksum(
+      spark.read.parquet("/tmp/graft_bspec/compact"), Nil,
+      Seq(col("id"), col("nm"))).head()
+    val total = new java.io.File("/tmp/graft_bspec/compact").listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length()).sum
+    val n = Bucketing.compact(spark, "/tmp/graft_bspec/compact", total / 4 + 1)
+    assert(n <= 4, s"target math: expected <=4, got $n")
+    assert(nFiles <= n && nFiles >= 2,
+      s"expected 2..$n compacted files, got $nFiles")
+    val after = Checksum.tableChecksum(
+      spark.read.parquet("/tmp/graft_bspec/compact"), Nil,
+      Seq(col("id"), col("nm"))).head()
+    assert(before === after) // order-independent checksum: content identical
+    // Re-running with the same target is a no-op (already at/below it).
+    assert(Bucketing.compact(spark, "/tmp/graft_bspec/compact",
+      total / 4 + 1) === nFiles)
+  }
+
   test("equality filter on the bucket key prunes to one bucket") {
     tables
     // A bare filter has no join/agg to pay for the bucketed scan, so the
