@@ -16,6 +16,7 @@ object SparkEntry {
     operators.CurationPack,
     operators.TemporalPack,
     operators.AnalyticsPack,
+    operators.PipelinePack,
     operators.SimilarityPack,
     sources.AvroPack,
     multimodal.MediaPack,

@@ -409,6 +409,36 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Duplicate-PASSAGE detection — document-level dedup (exact/near) misses
+    * boilerplate repeated INSIDE otherwise-distinct documents (license
+    * headers, navigation chrome, quoted chain-mail), the second-biggest
+    * contamination source in web corpora after whole-page dupes. Slides a
+    * `w`-word window over the raw whitespace tokens of each document and
+    * returns every passage that appears in at least `minDocs` distinct
+    * documents: (passage, n_docs, n_occ, first_doc).
+    *
+    * Scale shape: narrow n-gram fan-out (one Generate, the token array
+    * let-bound so the split runs once) → ONE hash aggregate keyed on the
+    * passage. Output cardinality is bounded by the post-filter duplicate
+    * set, and map-side partial counts collapse each document's repeats
+    * before the shuffle. At 100 TB the group key would be the passage's
+    * rolling hash ([[graft.plans.RollingHashExpr]] — 8 bytes instead of a
+    * ~40-byte string) with `min(passage)` carried for reporting; the
+    * string-keyed form is kept here because it is what the DuckDB oracle
+    * can replicate verbatim, and the plan shape is identical. */
+  def duplicatePassages(docs: DataFrame, w: Int = 5, minDocs: Long = 2L,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(w >= 2, "passage width must be at least 2 words")
+    val ngrams = SqlLet.let(TextFunctions.words(col(textCol)), ws =>
+      TextFunctions.slidingNgrams(ws, w))
+    SqlLet.explodeOnce(docs.select(col(idCol), col(textCol)), ngrams, "passage")
+      .groupBy("passage")
+      .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_occ"),
+        min(col(idCol)).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** 32-bit SimHash of the distinct word set + a 16-bit prefix bucket (the
     * blocking key for hamming-distance candidate search). The word-hash set
     * is let-bound, so the 32 per-bit votes fold over a computed VALUE

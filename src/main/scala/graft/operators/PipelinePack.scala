@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+import graft.functions.{Pii, SqlLet, TextFunctions}
+
+/** Round-5 pipeline utilities: dataset profiling, PII scrubbing,
+  * passage-level dedup, co-occurrence graph analytics, SCD-2 history
+  * build, and an inverted index — the remaining table-stakes passes of a
+  * production training-data pipeline, each pinned to a DuckDB oracle.
+  *
+  * Oracle notes: Spark `size()` returns INT (cast to long where DuckDB's
+  * `len()` returns BIGINT); every regex pattern is RE2-safe so Java regex
+  * and DuckDB's RE2 produce identical matches; the PII queries INJECT
+  * deterministic synthetic PII derived from `doc_id` (the fixture corpus
+  * is clean word-salad — without injection the scrubber would be
+  * vacuously green).
+  */
+object PipelinePack extends QueryPack {
+
+  private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  /** doc_id-derived synthetic PII appended to each document (Spark side). */
+  private def injected = concat(col("text"),
+    lit(" contact user"), col("doc_id").cast("string"),
+    lit("@example.com or 10.0."), (col("doc_id") % 250).cast("string"),
+    lit(".7 ref 9"), lpad(col("doc_id").cast("string"), 9, "0"))
+
+  /** The same injection in DuckDB SQL. */
+  private val InjectedSql =
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.' || " +
+      "CAST(doc_id % 250 AS VARCHAR) || '.7 ref 9' || lpad(CAST(doc_id AS VARCHAR), 9, '0')"
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-column profile of the documents table — one scan, one aggregate
+    // (exact distincts via a single Expand), reshaped long on the driver.
+    "q_profile_docs" -> { (s, dir) =>
+      Profiling.profile(table(s, dir, "documents"), ProfileCols)
+    },
+    // Fixed-width value histogram per event type: mergeable bins, one
+    // map-side-combined aggregate.
+    "q_histogram" -> { (s, dir) =>
+      Profiling.histogram(table(s, dir, "events"), "value", 25.0d,
+        Seq("event_type"))
+    },
+    // Detect + redact synthetic PII: per-doc match counts by class and the
+    // md5 of the redacted text (pins the exact replacement output, not
+    // just the counts). The injected text is let-bound through a Generate
+    // barrier so the concat runs once, not once per regex.
+    "q_pii_redact" -> { (s, dir) =>
+      SqlLet.explodeOnce(
+          table(s, dir, "documents").select(col("doc_id"), col("text")),
+          array(injected), "t")
+        .select(col("doc_id"),
+          Pii.countMatches(col("t"), Pii.EmailRe).cast("long").as("n_emails"),
+          Pii.countMatches(col("t"), Pii.Ipv4Re).cast("long").as("n_ips"),
+          Pii.countMatches(col("t"), Pii.LongNumRe).cast("long").as("n_nums"),
+          md5(Pii.redact(col("t"))).as("redacted_md5"))
+    },
+    // Boilerplate passages: every 5-word window shared by >= 2 documents.
+    "q_dup_passages" -> { (s, dir) =>
+      Dedup.duplicatePassages(table(s, dir, "documents"), w = 5, minDocs = 2L)
+    },
+    // Triangle census of the co-purchase graph (parts sharing an order) —
+    // degree-ordered orientation on the Spark side, id-ordered 3-way join
+    // on the oracle side: two independent formulations, one count.
+    "q_triangles" -> { (s, dir) =>
+      Graphs.triangleStats(Graphs.coOccurrenceEdges(
+        table(s, dir, "lineitem"), "l_orderkey", "l_partkey"))
+    },
+    // SCD-2 validity intervals of each user's event-type state machine.
+    "q_scd2" -> { (s, dir) =>
+      Temporal.scd2(
+        table(s, dir, "events").select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id")),
+        keys = Seq("user_id"), attrCol = "event_type",
+        instantCol = "us", tieCols = Seq("event_id"))
+    },
+    // Inverted index: term -> document frequency + sorted posting list.
+    "q_inverted_index" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.words(col("text"))).as("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          sort_array(collect_list(col("doc_id"))).as("postings"))
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_profile_docs" -> ProfileCols.map(c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  min(CAST($c AS VARCHAR)) AS min_str,
+         |  max(CAST($c AS VARCHAR)) AS max_str FROM documents""".stripMargin)
+      .mkString("\nUNION ALL\n"),
+    "q_histogram" ->
+      """SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  CAST(CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS DOUBLE) AS bin_lo
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_pii_redact" ->
+      s"""WITH t AS (SELECT doc_id, $InjectedSql AS t FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t, '${Pii.EmailRe}')) AS n_emails,
+         |  len(regexp_extract_all(t, '${Pii.Ipv4Re}')) AS n_ips,
+         |  len(regexp_extract_all(t, '${Pii.LongNumRe}')) AS n_nums,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '${Pii.EmailRe}', '<EMAIL>', 'g'),
+         |    '${Pii.Ipv4Re}', '<IP>', 'g'),
+         |    '${Pii.LongNumRe}', '<NUM>', 'g')) AS redacted_md5
+         |FROM t""".stripMargin,
+    "q_dup_passages" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |    FROM documents),
+        |g AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS passage
+        |      FROM w, unnest(generate_series(1, len(ws) - 4)) AS t(i)
+        |      WHERE len(ws) >= 5)
+        |SELECT passage, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+        |  min(doc_id) AS first_doc
+        |FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+    "q_triangles" ->
+      """WITH pl AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p
+        |    FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM pl a JOIN pl b ON a.g = b.g AND a.p < b.p),
+        |d AS (SELECT n, count(*) AS dg FROM
+        |      (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1)
+        |SELECT (SELECT count(*) FROM d) AS n_nodes,
+        |  (SELECT count(*) FROM e) AS n_edges,
+        |  (SELECT count(*) FROM e e1
+        |     JOIN e e2 ON e1.v = e2.u
+        |     JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles,
+        |  (SELECT max(dg) FROM d) AS max_degree""".stripMargin,
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |    FROM events),
+        |c AS (SELECT *,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS prev,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS rn FROM e),
+        |ch AS (SELECT user_id, event_type, us, event_id FROM c
+        |       WHERE rn = 1 OR prev <> event_type)
+        |SELECT user_id, event_type AS state, us AS valid_from,
+        |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |    AS valid_to
+        |FROM ch""".stripMargin,
+    "q_inverted_index" ->
+      """WITH p AS (SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+        |      AS term FROM documents))
+        |SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+        |FROM p GROUP BY 1""".stripMargin
+  )
+}

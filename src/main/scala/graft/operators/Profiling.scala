@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling: the "what is in this table" pass every ingestion
+  * pipeline runs before touching 100 TB — per-column null/distinct/extrema
+  * stats and fixed-width histograms.
+  *
+  * Reference anchor: the reference exposes only row-level audit counts
+  * (`audit_utils/audit_utils/models.py` count tables); column-level
+  * profiling is part of the training-data-pipeline extension surface.
+  */
+object Profiling {
+
+  /** One-pass column profile in LONG form: one output row per profiled
+    * column with (col_name, n_rows, n_nulls, n_distinct, min_str, max_str).
+    *
+    * Extrema are computed over the STRING rendering (`cast` before `min`)
+    * so one schema covers every input type; lexicographic order is the
+    * documented contract (callers wanting numeric extrema profile a cast
+    * column). Multiple exact `count_distinct`s in one aggregate plan as a
+    * single Expand (rows × n_cols through one shuffle) — the standard
+    * exact-distinct trade; swap in `approx_count_distinct` when profiling
+    * wide tables at full scale. The long-form reshape is a driver-side
+    * literal explode of the single aggregate row — no second pass. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val s = col(c).cast("string")
+      Seq(count(col(c)).as(s"_nn_$c"), countDistinct(col(c)).as(s"_nd_$c"),
+        min(s).as(s"_mn_$c"), max(s).as(s"_mx_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("_rows"), aggs: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"), col("_rows").as("n_rows"),
+        (col("_rows") - col(s"_nn_$c")).as("n_nulls"),
+        col(s"_nd_$c").as("n_distinct"),
+        col(s"_mn_$c").as("min_str"), col(s"_mx_$c").as("max_str"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Fixed-width histogram of `valueCol` per group key: bin index
+    * (`floor(v / width)` — toward -inf, so negatives bin correctly), its
+    * inclusive lower edge, and the count. One hash aggregate with map-side
+    * partials; output cardinality = keys × occupied bins, never row-scale.
+    * Fixed edges (vs quantile bins) keep the pass single-scan and make
+    * results mergeable across shards — the property that matters when each
+    * of 1000 executors histograms its slice. */
+  def histogram(df: DataFrame, valueCol: String, binWidth: Double,
+                keys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0d, "binWidth must be positive")
+    val bin = floor(col(valueCol) / binWidth).cast("long")
+    df.groupBy((keys.map(col) :+ bin.as("bin")): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", col("bin") * binWidth)
+  }
+}

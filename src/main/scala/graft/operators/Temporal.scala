@@ -173,4 +173,39 @@ object Temporal {
     filled.select((keys :+ bucketCol :+ "observed").map(col) ++
       valueCols.map(col): _*)
   }
+
+  /** SCD-2 interval build: collapse a change log into validity intervals.
+    * For each key, order events by (`instantCol`, `tieCols`…), keep only
+    * rows where `attrCol` CHANGES (run-length compression of consecutive
+    * equal states), and emit `(keys…, state, valid_from, valid_to)` where
+    * `valid_to` is the next change's instant (null = still current) — the
+    * slowly-changing-dimension type-2 table every warehouse derives from
+    * an upsert/CDC stream.
+    *
+    * Plan shape: both window passes partition on the SAME keys, so Catalyst
+    * plans ONE exchange; the second sort runs over the (much smaller)
+    * change-row subset. The tie columns make the ordering total, so the
+    * interval set is deterministic even when two events share an instant
+    * (the intermediate interval is then zero-length — preserved, not
+    * dropped, because downstream as-of lookups rely on the state at
+    * exactly that instant). */
+  def scd2(log: DataFrame, keys: Seq[String], attrCol: String,
+           instantCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "scd2 needs at least one key column")
+    val keyCols = keys.map(col)
+    val order = col(instantCol) +: tieCols.map(col)
+    val wAll = Window.partitionBy(keyCols: _*).orderBy(order: _*)
+    val changes = log
+      .withColumn("_prev", lag(col(attrCol), 1).over(wAll))
+      // Window expressions must be projected before they can gate a filter.
+      // First row per key (_first) always opens an interval; after that a
+      // change is any non-null-safe-equal transition (null-safe <=> keeps
+      // null→null runs collapsed).
+      .withColumn("_first", row_number().over(wAll) === 1)
+      .filter(col("_first") || !(col("_prev") <=> col(attrCol)))
+    val wCh = Window.partitionBy(keyCols: _*).orderBy(order: _*)
+    changes.select(keyCols ++ Seq(col(attrCol).as("state"),
+        col(instantCol).as("valid_from"),
+        lead(col(instantCol), 1).over(wCh).as("valid_to")): _*)
+  }
 }

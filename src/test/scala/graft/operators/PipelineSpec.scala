@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.Pii
+
+/** Round-5 pipeline utilities: profiling, PII scrubbing, passage dedup,
+  * triangle counting, SCD-2 history. */
+class PipelineSpec extends SparkSpec {
+
+  test("profile counts nulls/distincts and uses lexicographic string extrema") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (Some(1L), Some("b")), (Some(10L), None), (None, Some("a")),
+      (Some(10L), Some("a"))).toDF("id", "tag")
+    val p = Profiling.profile(df, Seq("id", "tag"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val id = p("id")
+    assert(id.getLong(1) == 4 && id.getLong(2) == 1) // n_rows, n_nulls
+    assert(id.getLong(3) == 2)                       // distinct {1, 10}
+    // Lexicographic, not numeric: "1" < "10" as strings.
+    assert(id.getString(4) == "1" && id.getString(5) == "10")
+    val tag = p("tag")
+    assert(tag.getLong(2) == 1 && tag.getLong(3) == 2)
+    assert(tag.getString(4) == "a" && tag.getString(5) == "b")
+  }
+
+  test("histogram bins toward -inf so negatives land in their own bins") {
+    val s = spark; import s.implicits._
+    val df = Seq(-0.5, -25.0, 0.0, 24.9, 25.0).toDF("v")
+    val bins = Profiling.histogram(df, "v", 25.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(bins(-1L) == ((2L, -25.0))) // -0.5 and -25.0
+    assert(bins(0L) == ((2L, 0.0)))    // 0.0 and 24.9
+    assert(bins(1L) == ((1L, 25.0)))   // 25.0 opens the next bin
+  }
+
+  test("Pii redacts email, ipv4 and long digit runs with class tokens") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      "mail a.user+x@sub.example.org from 192.168.0.1 acct 123456789 end")
+      .toDF("t")
+    val out = df.select(
+      Pii.redact(col("t")).as("r"),
+      Pii.countMatches(col("t"), Pii.EmailRe).as("e"),
+      Pii.countMatches(col("t"), Pii.Ipv4Re).as("i"),
+      Pii.countMatches(col("t"), Pii.LongNumRe).as("n")).head()
+    assert(out.getString(0) == "mail <EMAIL> from <IP> acct <NUM> end")
+    assert(out.getInt(1) == 1 && out.getInt(2) == 1 && out.getInt(3) == 1)
+    // Short digit runs and bare words survive.
+    val clean = df.select(Pii.redact(lit("call 555 1234 ok"))).head().getString(0)
+    assert(clean == "call 555 1234 ok")
+  }
+
+  test("duplicatePassages finds cross-doc windows, drops short docs") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a very quick brown fox jumps high today"),
+      (3L, "too short"),
+      (4L, "quick brown fox jumps high today again and again")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatePassages(docs, w = 5, minDocs = 2L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // Shared by docs 1 & 2 (and 4 partially): the exact 5-gram set.
+    assert(out.contains("quick brown fox jumps high")) // docs 2, 4
+    assert(out("quick brown fox jumps high") == ((2L, 2L, 2L)))
+    // doc 3 has < 5 words: contributes nothing (and crashes nothing).
+    assert(!out.keys.exists(_.contains("too short")))
+    // No passage private to one doc leaks through the minDocs filter.
+    assert(!out.contains("the quick brown fox jumps"))
+  }
+
+  test("triangleStats: K4 has 4 triangles; a path has none") {
+    val s = spark; import s.implicits._
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    val r = Graphs.triangleStats(k4).head()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 6) // nodes, edges
+    assert(r.getLong(2) == 4 && r.getLong(3) == 3) // triangles, max degree
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    assert(Graphs.triangleStats(path).head().getLong(2) == 0)
+  }
+
+  test("coOccurrenceEdges emits each shared-group pair once, u < v") {
+    val s = spark; import s.implicits._
+    val m = Seq((10L, 1L), (10L, 2L), (10L, 2L), (11L, 2L), (11L, 1L), (12L, 5L))
+      .toDF("g", "i")
+    val e = Graphs.coOccurrenceEdges(m, "g", "i")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e == Set((1L, 2L))) // dup rows and dup groups collapse; singleton drops
+  }
+
+  test("scd2 collapses runs, keeps zero-length intervals on instant ties") {
+    val s = spark; import s.implicits._
+    val log = Seq(
+      (1L, "a", 10L, 100L), (1L, "a", 20L, 101L), (1L, "b", 30L, 102L),
+      (1L, "b", 30L, 103L), (1L, "a", 40L, 104L),
+      (2L, "x", 5L, 200L)
+    ).toDF("k", "attr", "ts", "id")
+    val out = Temporal.scd2(log, Seq("k"), "attr", "ts", Seq("id"))
+      .orderBy("k", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    // Run a,a collapses; b at 30 (id 102) opens, the tied b (id 103) is the
+    // same state so NOT a change; a at 40 closes it.
+    assert(out.toSeq == Seq(
+      (1L, "a", 10L, 30L), (1L, "b", 30L, 40L), (1L, "a", 40L, -1L),
+      (2L, "x", 5L, -1L)))
+  }
+
+  test("scd2 treats null state transitions null-safely") {
+    val s = spark; import s.implicits._
+    val log = Seq(
+      (1L, Option("a"), 10L), (1L, Option.empty[String], 20L),
+      (1L, Option.empty[String], 30L), (1L, Option("a"), 40L)
+    ).toDF("k", "attr", "ts")
+    val out = Temporal.scd2(log, Seq("k"), "attr", "ts")
+      .orderBy("valid_from")
+      .collect().map(r => (Option(r.getString(1)), r.getLong(2)))
+    assert(out.toSeq == Seq((Some("a"), 10L), (None, 20L), (Some("a"), 40L)))
+  }
+}
