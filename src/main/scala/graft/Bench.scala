@@ -41,7 +41,12 @@ object Bench {
     // co-located join on the reused layout (first call still pays the
     // write; min-of-2 reports the steady state).
     "q_fuzzy_join", "q_gap_fill", "q_funnel", "q_cohort",
-    "q_trend", "q_table_checksum", "q_star_join", "q_zorder_scan"
+    "q_trend", "q_table_checksum", "q_star_join", "q_zorder_scan",
+    // Round-5 pipeline utilities: the four with real data volume — passage
+    // dedup (n-gram fan-out), triangle census (wedge join), PII scrubbing
+    // (3 regex passes/row), SCD-2 (two same-key window passes).
+    "q_dup_passages", "q_triangles", "q_pii_redact", "q_scd2",
+    "q_pagerank"
   )
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =

@@ -280,6 +280,8 @@ object Dedup {
     * the operators themselves. */
   @volatile private[graft] var lastRounds: Int = 0
 
+  private val ccSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxIter: Int = 50): DataFrame = {
     val edges = pairs
@@ -299,14 +301,17 @@ object Dedup {
       .localCheckpoint(true)
     // Convergence via the exact label-sum: each round takes per-node minima,
     // so labels are monotonically non-increasing — the sum is strictly
-    // smaller iff ANY label changed. One Decimal(38) aggregate over the
-    // already-checkpointed labels replaces a join+filter+count job per
-    // round (decimal, not long: a long sum of 2^63-scale ids wraps).
-    def labelSum(df: DataFrame): java.math.BigDecimal =
+    // smaller iff ANY label changed (decimal, not long: a long sum of
+    // 2^63-scale ids wraps). The sum rides the checkpoint materialization
+    // as an observe() metric (CollectMetrics is accumulator-backed, so the
+    // eager localCheckpoint pass populates it) — NO separate aggregate job
+    // per round; at bench scale the per-round job launch was ~25% of the
+    // whole clusters() wall time.
+    def initSum(df: DataFrame): java.math.BigDecimal =
       // sum over zero rows is NULL — an empty node set must converge, not NPE.
       Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head()
         .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(current)
+    var prevSum = initSum(current)
     var iter = 0
     var changed = true
     while (changed && iter < maxIter) {
@@ -322,11 +327,21 @@ object Dedup {
       // jump is a self-equi-join on the node-sized label table — cheap
       // next to the edge join it eliminates rounds of.
       val lbl = stepped.select(col("node").as("pnode"), col("label").as("plabel"))
-      val next = stepped.join(lbl, stepped("label") === lbl("pnode"), "left")
+      val obsName = s"graft_cc_${ccSeq.incrementAndGet()}" // unique per plan
+      val jumped = stepped.join(lbl, stepped("label") === lbl("pnode"), "left")
         .select(stepped("node"),
           coalesce(col("plabel"), stepped("label")).as("label"))
-        .localCheckpoint(true)
-      val curSum = labelSum(next)
+        .observe(obsName, sum(col("label").cast("decimal(38,0)")).as("s"))
+      val next = jumped.localCheckpoint(true)
+      val curSum = jumped.queryExecution.observedMetrics.get(obsName) match {
+        // Metric row present; a NULL sum means zero rows (empty node set).
+        case Some(r) => Option(r.getDecimal(0))
+          .getOrElse(java.math.BigDecimal.ZERO)
+        // Metric missing (a future engine routing localCheckpoint around
+        // the accumulator pass): pay the explicit aggregate rather than
+        // silently faking convergence with a zero.
+        case None => initSum(next)
+      }
       changed = curSum.compareTo(prevSum) != 0
       prevSum = curSum
       current = next

@@ -32,6 +32,21 @@ object PipelinePack extends QueryPack {
     "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.' || " +
       "CAST(doc_id % 250 AS VARCHAR) || '.7 ref 9' || lpad(CAST(doc_id AS VARCHAR), 9, '0')"
 
+  /** The co-purchase edge list (parts sharing an order), MATERIALIZED once
+    * per fixture dir and reused by every graph query — deriving a graph
+    * from a fact table is a build step, not something each analytics query
+    * re-runs (the q_zorder/q_bucketed layout discipline). Deterministic
+    * content; readers see identical (u, v) longs. */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val tag = (dir.hashCode & Int.MaxValue).toString
+    val path = s"/tmp/graft_copurchase_$tag"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Graphs.coOccurrenceEdges(
+          table(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-column profile of the documents table — one scan, one aggregate
     // (exact distincts via a single Expand), reshaped long on the driver.
@@ -66,8 +81,15 @@ object PipelinePack extends QueryPack {
     // degree-ordered orientation on the Spark side, id-ordered 3-way join
     // on the oracle side: two independent formulations, one count.
     "q_triangles" -> { (s, dir) =>
-      Graphs.triangleStats(Graphs.coOccurrenceEdges(
-        table(s, dir, "lineitem"), "l_orderkey", "l_partkey"))
+      Graphs.triangleStats(copurchaseEdges(s, dir))
+    },
+    // Fixed-point PageRank (3 rounds) over the same co-purchase graph —
+    // top-20 parts under the total order (rank desc, node), so the LIMIT
+    // is deterministic even through rank ties.
+    "q_pagerank" -> { (s, dir) =>
+      Graphs.pageRankFixedPoint(copurchaseEdges(s, dir), iters = 3)
+        .orderBy(col("rank_fp").desc, col("node"))
+        .limit(20)
     },
     // SCD-2 validity intervals of each user's event-type state machine.
     "q_scd2" -> { (s, dir) =>
@@ -135,6 +157,33 @@ object PipelinePack extends QueryPack {
         |     JOIN e e2 ON e1.v = e2.u
         |     JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles,
         |  (SELECT max(dg) FROM d) AS max_degree""".stripMargin,
+    "q_pagerank" -> {
+      // The same 3 damped rounds, unrolled as chained CTEs. All-integer
+      // fixed-point arithmetic (units of 1e-12): `//` (DuckDB) and `div`
+      // (Spark) agree on non-negative operands, and the HUGEINT sums are
+      // cast back to BIGINT before the damping multiply so both engines
+      // run the identical expression tree.
+      def round(i: Int): String =
+        s"""r$i AS (SELECT e.dst AS node,
+           |  CAST(150000000000 + (85 * CAST(sum(r${i - 1}.rank_fp // deg.d)
+           |    AS BIGINT)) // 100 AS BIGINT) AS rank_fp
+           |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+           |  JOIN deg ON e.src = deg.src GROUP BY 1)""".stripMargin
+      s"""WITH pl AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p
+         |    FROM lineitem),
+         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+         |       FROM pl a JOIN pl b ON a.g = b.g AND a.p < b.p),
+         |e AS (SELECT u AS src, v AS dst FROM e0
+         |      UNION ALL SELECT v, u FROM e0),
+         |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+         |r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS rank_fp
+         |       FROM deg),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT node, rank_fp FROM r3
+         |ORDER BY rank_fp DESC, node LIMIT 20""".stripMargin
+    },
     "q_scd2" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
         |    FROM events),

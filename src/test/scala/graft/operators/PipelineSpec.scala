@@ -82,6 +82,24 @@ class PipelineSpec extends SparkSpec {
     assert(Graphs.triangleStats(path).head().getLong(2) == 0)
   }
 
+  test("pageRankFixedPoint matches the hand-computed fixed-point round") {
+    val s = spark; import s.implicits._
+    // Path 1–2–3: deg(1)=deg(3)=1, deg(2)=2. After ONE damped round:
+    //   contrib to 1: 1e12 div 2 = 5e11  → 15e10 + 85·5e11 div 100 = 575e9
+    //   contrib to 2: 1e12 + 1e12 = 2e12 → 15e10 + 85·2e12 div 100 = 1850e9
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val r1 = Graphs.pageRankFixedPoint(path, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 575000000000L, 2L -> 1850000000000L,
+      3L -> 575000000000L))
+    // Rank mass is conserved up to truncation (here exactly).
+    assert(r1.values.sum == 3000000000000L)
+    // More rounds stay integer-exact and keep the hub on top.
+    val r3 = Graphs.pageRankFixedPoint(path, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3(2L) > r3(1L) && r3(1L) == r3(3L))
+  }
+
   test("coOccurrenceEdges emits each shared-group pair once, u < v") {
     val s = spark; import s.implicits._
     val m = Seq((10L, 1L), (10L, 2L), (10L, 2L), (11L, 2L), (11L, 1L), (12L, 5L))
