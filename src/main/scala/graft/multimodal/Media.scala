@@ -73,4 +73,41 @@ object Media {
   def features(df: DataFrame, bytesCol: String = "bytes"): DataFrame =
     df.withColumn("n_bytes", octet_length(col(bytesCol)))
       .withColumn("content_hash", md5(col(bytesCol)))
+
+  /** Codec invocations of the LAST [[extractFeaturesBatched]] action on
+    * this JVM — test/measurement instrumentation for the batch contract. */
+  val batchCalls = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Batched feature extraction — the `mapInPandas`/`mapInArrow` batch
+    * shape, in Scala: each partition's rows are drained into fixed-size
+    * batches and the (stubbed) codec is invoked ONCE per batch with every
+    * payload in it, emitting one feature row per input row in order. This
+    * is the exact contract a vectorized decoder needs (GPU image decode,
+    * batched resize: per-call setup amortized over `batchSize` payloads),
+    * with the real codec swapped in at the ⚠ stub boundary below.
+    *
+    * The stub "codec" computes a deterministic per-payload byte sum —
+    * integer-exact, so the DuckDB oracle can pin that the batch path
+    * touched every byte of every row exactly once, independent of batch
+    * boundaries or partitioning. Appends `byte_sum` (long); narrow, no
+    * shuffle, batches never buffered beyond `batchSize` rows. */
+  def extractFeaturesBatched(df: DataFrame, batchSize: Int = 64,
+                             bytesCol: String = "bytes"): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val schema = df.schema.add("byte_sum", LongType)
+    val bi = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // ⚠ STUB BOUNDARY: a real pipeline hands `payloads` to the
+        // vectorized codec in one call; the fake computes byte sums.
+        batchCalls.incrementAndGet()
+        val payloads = batch.map(_.getAs[Array[Byte]](bi))
+        val sums = payloads.map { b =>
+          if (b == null) 0L else { var s = 0L; var i = 0
+            while (i < b.length) { s += b(i) & 0xff; i += 1 }; s }
+        }
+        batch.lazyZip(sums).map((row, s) => Row.fromSeq(row.toSeq :+ s))
+      }
+    }(Encoders.row(schema))
+  }
 }

@@ -20,6 +20,18 @@ object MediaPack extends QueryPack {
         .withColumn("n_chunks", size(Media.sampleChunks("bytes", 16, 4)))
         .select("media_id", "n_bytes", "content_hash", "n_chunks")
     },
+    // Batched codec path: per-payload byte sums computed through the
+    // fixed-size batch contract ([[Media.extractFeaturesBatched]]) — the
+    // oracle pins that every byte of every row was touched exactly once
+    // REGARDLESS of how rows fell into batches/partitions.
+    "q_media_features" -> { (s, dir) =>
+      val media = table(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("bytes"))
+      Media.extractFeaturesBatched(media, batchSize = 64)
+        .select(col("media_id"), col("byte_sum"),
+          octet_length(col("bytes")).cast("long").as("n_bytes"))
+    },
     // Frame-sample CONTENT check: the first/last sampled 16-byte chunks of
     // each payload, hashed — proves the binary slicing math (offsets,
     // stride, tail truncation), not just the chunk count.
@@ -43,6 +55,14 @@ object MediaPack extends QueryPack {
         |  md5(text) AS content_hash,
         |  greatest((octet_length(encode(text)) - 1) // 64, 0) + 1 AS n_chunks
         |FROM documents""".stripMargin,
+    // Char-wise ascii() sum equals the byte sum because the fixture text is
+    // pure ASCII (same invariant q_media_sample's oracle relies on).
+    "q_media_features" ->
+      """WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+        |    FROM documents)
+        |SELECT doc_id AS media_id, CAST(sum(ascii(c)) AS BIGINT) AS byte_sum,
+        |  count(*) AS n_bytes
+        |FROM ch GROUP BY 1""".stripMargin,
     // DuckDB has no BLOB substring/md5, so the oracle slices the VARCHAR and
     // md5-s it (DuckDB md5(varchar) hashes the UTF-8 bytes) — byte-identical
     // because the fixture text is pure ASCII (checked: octet_length ==

@@ -42,4 +42,27 @@ class MediaSpec extends SparkSpec {
     assert(r.getInt(0) === 5)
     assert(r.getString(1) === "5d41402abc4b2a76b9719d911017c592")
   }
+
+  test("batched extraction: results independent of batch size, codec called per batch") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val df = (0 until 100).map(i => (i.toLong, "x" * (i + 1))).toDF("id", "s")
+      .selectExpr("id", "encode(s, 'UTF-8') AS bytes")
+      .repartition(2)
+    def run(bs: Int): Map[Long, Long] =
+      Media.extractFeaturesBatched(df, batchSize = bs)
+        .select("id", "byte_sum")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = run(1000)
+    // 'x' = 0x78 = 120; id i carries i+1 bytes.
+    assert(whole(0L) === 120L && whole(99L) === 120L * 100)
+    // Batch boundaries must be invisible in the output…
+    assert(run(7) === whole)
+    // …and the codec really is invoked once per batch: 100 rows over 2
+    // partitions at batchSize 30 ⇒ 2×ceil(50/30) = 4 calls (local mode:
+    // executors share the driver JVM, so the counter sees every call).
+    Media.batchCalls.set(0L)
+    run(30)
+    assert(Media.batchCalls.get() === 4L)
+  }
 }
