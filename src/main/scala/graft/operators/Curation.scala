@@ -171,4 +171,43 @@ object Curation {
       else sampleStratified(withMetrics, rules.langRates, strataCol, idCol)
     sampled.select(idCol, strataCol, "n_words", "dup_word_frac", "weight")
   }
+
+  /** Curriculum buckets: `ntile(n)` per stratum under the TOTAL order
+    * (`score`, `idCol`) — the difficulty-ordering step of curriculum
+    * training mixes. The id tie-break means equal scores can't wander
+    * across bucket boundaries between runs or engines (bare `ntile` over a
+    * non-total order is nondeterministic — the same trap
+    * `q_latest_per_key` documents for max_by). One window pass = one
+    * stratum-keyed shuffle; output adds `score` and `bucket` (1..n). */
+  def curriculumBuckets(docs: DataFrame, n: Int, strataCol: String,
+                        score: Column, idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, "need at least one bucket")
+    // Order by the PROJECTED score attribute, not the raw expression — the
+    // projection below drops the expression's source columns.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("score"), col(idCol))
+    docs.select(col(idCol), col(strataCol), score.as("score"))
+      .withColumn("bucket", ntile(n).over(w).cast("long"))
+  }
+
+  /** Exactly-k-per-stratum sample — the quota twin of the rate gate in
+    * [[sampleStratified]]: rank every row by its salted-md5 draw (total
+    * order (hash, id)) and keep rank ≤ k. Deterministic and rerun-stable
+    * like every sampling op here, but with an EXACT output size
+    * min(k, |stratum|) — what eval-set construction needs, where a rate
+    * gate's binomial wobble is unacceptable. One window pass; at extreme
+    * stratum sizes swap ntile machinery for a per-stratum top-k aggregate
+    * (the [[Similarity]] partial-top-k shape) to avoid the full sort. */
+  def sampleExactK(docs: DataFrame, k: Int, strataCol: String,
+                   idCol: String = "doc_id", salt: String = "exactk"): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val h = Dedup.md5Hash32(
+      concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("_h"), col(idCol))
+    docs.withColumn("_h", h)
+      .withColumn("draw_rank", row_number().over(w).cast("long"))
+      .filter(col("draw_rank") <= k)
+      .drop("_h")
+  }
 }

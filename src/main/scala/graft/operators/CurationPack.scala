@@ -20,6 +20,20 @@ object CurationPack extends QueryPack {
     maxDupWordFrac = 0.6, langRates = Rates)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Curriculum deciles by length within each language — total-order
+    // ntile, so bucket edges are engine-stable through score ties.
+    "q_curriculum" -> { (s, dir) =>
+      Curation.curriculumBuckets(table(s, dir, "documents"), n = 10,
+        strataCol = "lang", score = length(col("text")).cast("long"))
+    },
+    // Exactly 20 docs per language by salted-md5 draw — quota sampling
+    // with an exact output size (eval-set construction).
+    "q_sample_exact_k" -> { (s, dir) =>
+      Curation.sampleExactK(
+          table(s, dir, "documents").select("doc_id", "lang"),
+          k = 20, strataCol = "lang")
+        .select("doc_id", "lang", "draw_rank")
+    },
     "q_sample_stratified" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       Curation.sampleStratified(table(s, dir, "documents"), Rates)
@@ -121,6 +135,18 @@ object CurationPack extends QueryPack {
         |WHERE user_id NOT IN (SELECT user_id FROM events
         |  WHERE event_type = 'purchase' AND value > 200)
         |GROUP BY 1""".stripMargin,
+    "q_curriculum" ->
+      """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS score,
+        |  CAST(ntile(10) OVER (PARTITION BY lang
+        |    ORDER BY length(text), doc_id) AS BIGINT) AS bucket
+        |FROM documents""".stripMargin,
+    "q_sample_exact_k" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |    ('0x' || substr(md5('exactk:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY hv, doc_id) AS BIGINT) AS draw_rank FROM h)
+        |SELECT doc_id, lang, draw_rank FROM r WHERE draw_rank <= 20""".stripMargin,
     "q_sample_stratified" ->
       s"""SELECT doc_id, lang,
          |  1.0 / ${rateCase(_.toString)} AS weight

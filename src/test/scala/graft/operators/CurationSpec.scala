@@ -114,6 +114,43 @@ class CurationSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("curriculumBuckets: total-order ntile — even fill, tie-stable") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // 10 docs, one stratum, scores with a 4-way tie at 5.
+    val docs = Seq((1L, 3L), (2L, 5L), (3L, 5L), (4L, 5L), (5L, 5L),
+      (6L, 1L), (7L, 9L), (8L, 2L), (9L, 7L), (10L, 4L))
+      .toDF("doc_id", "n")
+      .withColumn("lang", lit("en"))
+    val out = Curation.curriculumBuckets(docs, n = 5, strataCol = "lang",
+        score = col("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // ntile(5) over 10 rows = 2 per bucket; order (score, id) breaks the
+    // tie deterministically: 6,8 | 1,10 | 2,3 | 4,5 | 9,7.
+    assert(out === Map(6L -> 1L, 8L -> 1L, 1L -> 2L, 10L -> 2L,
+      2L -> 3L, 3L -> 3L, 4L -> 4L, 5L -> 4L, 9L -> 5L, 7L -> 5L))
+  }
+
+  test("sampleExactK: exact quota, rerun- and partitioning-stable") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val docs = (1L to 500L).map(i => (i, if (i % 5 == 0) "de" else "en"))
+      .toDF("doc_id", "lang")
+    val out = Curation.sampleExactK(docs, k = 10, strataCol = "lang")
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("en" -> 10L, "de" -> 10L))
+    // Small stratum: quota caps at the stratum size.
+    val tiny = Curation.sampleExactK(docs.filter(col("doc_id") <= 7), k = 10,
+      strataCol = "lang")
+    assert(tiny.count() === 7L)
+    // Stable under repartitioning (hash draw, not RNG).
+    val a = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Curation.sampleExactK(docs.repartition(13), k = 10,
+      strataCol = "lang").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
   test("connected components / clusters over an empty corpus return empty, no NPE") {
     GraftExtensions.register(spark)
     val sparkSession = spark
