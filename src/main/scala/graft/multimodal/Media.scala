@@ -74,8 +74,11 @@ object Media {
     df.withColumn("n_bytes", octet_length(col(bytesCol)))
       .withColumn("content_hash", md5(col(bytesCol)))
 
-  /** Codec invocations of the LAST [[extractFeaturesBatched]] action on
-    * this JVM — test/measurement instrumentation for the batch contract. */
+  /** CUMULATIVE codec invocations of every [[extractFeaturesBatched]]
+    * action on this JVM (never reset by the operator) — test/measurement
+    * instrumentation for the batch contract; callers zero it themselves
+    * around the action they want to count. Local-mode only: executors in
+    * a real cluster would not share this JVM. */
   val batchCalls = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Batched feature extraction — the `mapInPandas`/`mapInArrow` batch

@@ -57,12 +57,16 @@ object MediaPack extends QueryPack {
         |FROM documents""".stripMargin,
     // Char-wise ascii() sum equals the byte sum because the fixture text is
     // pure ASCII (same invariant q_media_sample's oracle relies on).
+    // (?s) so '.' also matches newlines (an ASCII byte!); the LEFT JOIN
+    // keeps empty-text payloads as (0, 0) rows like the Spark side does.
     "q_media_features" ->
-      """WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
-        |    FROM documents)
-        |SELECT doc_id AS media_id, CAST(sum(ascii(c)) AS BIGINT) AS byte_sum,
-        |  count(*) AS n_bytes
-        |FROM ch GROUP BY 1""".stripMargin,
+      """WITH s AS (SELECT doc_id, CAST(sum(ascii(c)) AS BIGINT) AS bs,
+        |    count(*) AS nb
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c
+        |        FROM documents) GROUP BY 1)
+        |SELECT d.doc_id AS media_id, coalesce(s.bs, 0) AS byte_sum,
+        |  coalesce(s.nb, 0) AS n_bytes
+        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
     // DuckDB has no BLOB substring/md5, so the oracle slices the VARCHAR and
     // md5-s it (DuckDB md5(varchar) hashes the UTF-8 bytes) — byte-identical
     // because the fixture text is pure ASCII (checked: octet_length ==

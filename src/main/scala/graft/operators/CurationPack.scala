@@ -29,6 +29,7 @@ object CurationPack extends QueryPack {
     // Exactly 20 docs per language by salted-md5 draw — quota sampling
     // with an exact output size (eval-set construction).
     "q_sample_exact_k" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s) // md5_hash32 (the draw)
       Curation.sampleExactK(
           table(s, dir, "documents").select("doc_id", "lang"),
           k = 20, strataCol = "lang")

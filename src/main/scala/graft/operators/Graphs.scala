@@ -77,9 +77,17 @@ object Graphs {
           broadcast(ranks.select(col("node"), expr("rank_fp div d").as("c"))),
           dir("src") === col("node"))
         .select(col("dst"), col("c"))
+      // Sum in DECIMAL(38,0): exact and commutative like a long sum, but a
+      // hub concentrating > ~1.08e5 node-masses of rank would wrap a LONG
+      // sum under the ×85 damping multiply SILENTLY (non-ANSI). The
+      // decimal path can't wrap; `div` takes the integral part exactly
+      // like DuckDB's `//` on the oracle's HUGEINT. Operating envelope:
+      // the FINAL per-node rank must fit a BIGINT — beyond ~9e6 nodes'
+      // worth of mass on one node, shrink Scale.
       ranks = contrib.groupBy("dst")
-        .agg((lit(85L) * sum(col("c"))).as("s"))
-        .select(col("dst").as("node"), (teleport + expr("s div 100")).as("rank_fp"))
+        .agg(sum(col("c").cast("decimal(38,0)")).as("s"))
+        .select(col("dst").as("node"),
+          (teleport + expr("CAST((s * 85) div 100 AS BIGINT)")).as("rank_fp"))
         .join(broadcast(deg.withColumnRenamed("node", "dst")), col("node") === col("dst"))
         .select(col("node"), col("d"), col("rank_fp"))
       // Short chains stay LAZY — all rounds fuse into one DAG with no
@@ -93,17 +101,21 @@ object Graphs {
   /** Global triangle statistics of an undirected edge list (`u < v` rows):
     * one row of (n_nodes, n_edges, n_triangles, max_degree).
     *
-    * Algorithm: degree-ordered orientation (node-iterator++). Each edge is
-    * directed from its (degree, id)-smaller endpoint to the larger; every
-    * triangle then appears EXACTLY once as a path a→b→c plus the closing
-    * edge a→c, so the count needs one wedge join + one closing semi-join.
-    * Orienting by degree (not id) bounds every out-degree by O(√m), so the
-    * wedge intermediate is O(m^1.5) worst-case instead of Σdeg² — the
-    * difference between a power-law graph finishing and not. The degree
-    * table is keys-sized; at web scale it broadcasts. */
+    * Algorithm: degree-ordered orientation + adjacency intersection. Each
+    * edge is directed from its (degree, id)-smaller endpoint to the
+    * larger; every triangle then has a unique lowest vertex a holding both
+    * out-edges a→b, a→c, and is counted exactly once as a member of
+    * |N+(u) ∩ N+(v)| over its oriented base edge u→v. Orienting by degree
+    * (not id) bounds every out-degree by O(√m), so total intersection work
+    * is O(m^1.5) worst-case instead of Σdeg² — the difference between a
+    * power-law graph finishing and not. The degree table is node-sized;
+    * at web scale it broadcasts. */
   def triangleStats(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+      // Consumed three times (both orientation attaches + degStats below) —
+      // materialize once instead of re-running the edge-list aggregate.
+      .localCheckpoint(eager = true)
     // Total order (d, n): strict for distinct nodes, so orientation is
     // well-defined and acyclic.
     val du = deg.select(col("n").as("u"), col("d").as("du"))
@@ -118,16 +130,14 @@ object Graphs {
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("dst"))
-      .localCheckpoint(eager = true) // consumed 3× below — materialize once
-    // Edge-iterator with adjacency intersection: for each oriented edge
-    // u→v, triangles closed above it are |N+(u) ∩ N+(v)|. The adjacency
-    // table is NODE-sized (out-lists are O(√m)-bounded by the degree
-    // orientation), so the two joins move |E| + 2·|adj| rows — the naive
-    // wedge self-join instead materializes Σ outdeg² rows THROUGH a
-    // shuffle (measured 4.5× slower at the 1.2 M-edge fixture graph), and
-    // the intersection happens CPU-local per row.
-    // Adjacency is node-sized (out-lists O(√m)-capped by the orientation);
-    // persist it once — it feeds both attach joins below.
+      .localCheckpoint(eager = true) // feeds adj AND tri — materialize once
+    // For each oriented edge u→v, triangles closed above it are
+    // |N+(u) ∩ N+(v)|. The adjacency table is NODE-sized (out-lists
+    // O(√m)-bounded by the orientation) and feeds both attach joins, so
+    // the joins move |E| + 2·|adj| rows and the intersection runs
+    // CPU-local per row — a naive wedge self-join instead pushes
+    // Σ outdeg² rows through a shuffle (measured ~1.5× slower end-to-end
+    // at the 1.2 M-edge fixture graph, and growing with skew).
     val adj = oriented.groupBy("src").agg(collect_list(col("dst")).as("nbrs"))
       .localCheckpoint(eager = true)
     val tri = oriented

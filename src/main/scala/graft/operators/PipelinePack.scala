@@ -160,13 +160,13 @@ object PipelinePack extends QueryPack {
     "q_pagerank" -> {
       // The same 3 damped rounds, unrolled as chained CTEs. All-integer
       // fixed-point arithmetic (units of 1e-12): `//` (DuckDB) and `div`
-      // (Spark) agree on non-negative operands, and the HUGEINT sums are
-      // cast back to BIGINT before the damping multiply so both engines
-      // run the identical expression tree.
+      // (Spark) agree on non-negative operands; the damping multiply runs
+      // in HUGEINT here and DECIMAL(38,0) on the Spark side — both exact,
+      // both cast to BIGINT only for the final in-range rank.
       def round(i: Int): String =
         s"""r$i AS (SELECT e.dst AS node,
-           |  CAST(150000000000 + (85 * CAST(sum(r${i - 1}.rank_fp // deg.d)
-           |    AS BIGINT)) // 100 AS BIGINT) AS rank_fp
+           |  CAST(150000000000 + (sum(r${i - 1}.rank_fp // deg.d) * 85)
+           |    // 100 AS BIGINT) AS rank_fp
            |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
            |  JOIN deg ON e.src = deg.src GROUP BY 1)""".stripMargin
       s"""WITH pl AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p
@@ -193,7 +193,7 @@ object PipelinePack extends QueryPack {
         |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
         |      AS rn FROM e),
         |ch AS (SELECT user_id, event_type, us, event_id FROM c
-        |       WHERE rn = 1 OR prev <> event_type)
+        |       WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
         |SELECT user_id, event_type AS state, us AS valid_from,
         |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
         |    AS valid_to
