@@ -58,17 +58,19 @@ object Bench {
     * `Trigger.AvailableNow`. Returns (rows ingested, wall seconds); the
     * emitted `stream_rows_per_s` is the single-node throughput record the
     * reference never published (BASELINE.md). */
-  private def streamIngest(spark: SparkSession, sfDir: String): (Long, Double) = {
-    import graft.config.{BucketType, MsgSettings}
-    import org.apache.spark.sql.types._
+  /** Stage the events fixture SPLIT into 8 parquet files in a temp dir
+    * (the file source needs a DIRECTORY; 2 files/trigger ⇒ 4 real
+    * micro-batches, so measured rates include per-batch planning/commit
+    * overhead, not one giant batch) and hand (path, schema, rows) to `f`.
+    * Cleans up the staged copy and the nanos flag even when `f` throws —
+    * deleteOnExit is a no-op on non-empty dirs, so a failure path would
+    * otherwise leak a fixture copy in /tmp per run. */
+  private def withStagedEvents[T](spark: SparkSession, sfDir: String)(
+      f: (String, org.apache.spark.sql.types.StructType, Long) => T): T = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true") // events.ts is TIMESTAMP(NANOS) (Tables.load)
     try {
-      // The file source requires a DIRECTORY; the fixture is one read-only
-      // file. Stage it SPLIT into 8 files (outside the timer) and cap 2
-      // files per trigger → 4 micro-batches, so the measured rate includes
-      // real per-batch planning/commit overhead, not one giant batch.
       val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
       val path = dir.toString
       try {
@@ -76,31 +78,9 @@ object Bench {
           .repartition(8).write.mode("overwrite").parquet(path)
         val schema = spark.read.parquet(path).schema
         val rows = spark.read.parquet(path).count()
-        // Wire shape: whole message as one JSON value, epoch-second timestamp
-        // derived with pure long math (ts is a nanos long under the flag).
-        val stream = spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "2").parquet(path)
-          .select(to_json(struct(col("event_type"), col("user_id"),
-            expr("ts div 1000000000").as("timestamp"))).as("value"))
-        val msg = MsgSettings(
-          bucketInterval = 3600, bucketField = "timestamp",
-          bucketType = BucketType.Epoch,
-          msgMapSchema = Seq("etype" -> "event_type", "uid" -> "user_id"))
-        val store = new graft.store.RecentStore(spark, StructType(Seq(
-          StructField("etype", StringType), StructField("uid", StringType),
-          StructField("bucket_start", LongType), StructField("bucket_end", LongType),
-          StructField("count", LongType))), tableName = "bench_stream_counts")
-        val t0 = System.nanoTime()
-        val q = graft.streaming.StreamShell.attach(stream, msg, store,
-          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
-        q.awaitTermination()
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        (rows, elapsed)
+        f(path, schema, rows)
       } finally {
-        // Delete the staged copy even when attach/awaitTermination throws —
-        // deleteOnExit is a no-op on non-empty dirs, so a failure path would
-        // otherwise leak a fixture copy in /tmp per run. Close the NIO
-        // stream eagerly (it holds a directory fd until GC).
+        // Close the NIO stream eagerly (it holds a directory fd until GC).
         import scala.jdk.CollectionConverters._
         val walk = java.nio.file.Files.walk(dir)
         try walk.iterator().asScala.toSeq.reverse
@@ -112,6 +92,53 @@ object Bench {
       case None    => spark.conf.unset(key)
     }
   }
+
+  private def streamIngest(spark: SparkSession, sfDir: String): (Long, Double) = {
+    import graft.config.{BucketType, MsgSettings}
+    import org.apache.spark.sql.types._
+    withStagedEvents(spark, sfDir) { (path, schema, rows) =>
+      // Wire shape: whole message as one JSON value, epoch-second timestamp
+      // derived with pure long math (ts is a nanos long under the flag).
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(path)
+        .select(to_json(struct(col("event_type"), col("user_id"),
+          expr("ts div 1000000000").as("timestamp"))).as("value"))
+      val msg = MsgSettings(
+        bucketInterval = 3600, bucketField = "timestamp",
+        bucketType = BucketType.Epoch,
+        msgMapSchema = Seq("etype" -> "event_type", "uid" -> "user_id"))
+      val store = new graft.store.RecentStore(spark, StructType(Seq(
+        StructField("etype", StringType), StructField("uid", StringType),
+        StructField("bucket_start", LongType), StructField("bucket_end", LongType),
+        StructField("count", LongType))), tableName = "bench_stream_counts")
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamShell.attach(stream, msg, store,
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      (rows, (System.nanoTime() - t0) / 1e9)
+    }
+  }
+
+  /** Stateful-sessionization throughput: the same staged replay driven
+    * through `flatMapGroupsWithState` (watermark + event-time timeout,
+    * one state record per active user) to a streaming noop sink — the
+    * STATE-STORE path's single-node rate, complementing
+    * `stream_rows_per_s`'s stateless per-batch path. */
+  private def streamSessions(spark: SparkSession, sfDir: String): (Long, Double) =
+    withStagedEvents(spark, sfDir) { (path, schema, rows) =>
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(path)
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("ts"))
+      val sessions = graft.streaming.StatefulSessions.sessions(
+        stream, gapSeconds = 21600L)
+      val t0 = System.nanoTime()
+      val q = sessions.toDF().writeStream.format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (rows, (System.nanoTime() - t0) / 1e9)
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -167,8 +194,16 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] streamIngest failed: $e"); (0L, -1.0) }
     val streamRps = if (streamSec > 0) streamRows / streamSec else -1.0
+    val (sessRows, sessSec) = try {
+      val runs = (1 to 2).map(_ => streamSessions(spark, sfDir))
+      (runs.head._1, runs.map(_._2).min)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] streamSessions failed: $e"); (0L, -1.0) }
+    val sessRps = if (sessSec > 0) sessRows / sessSec else -1.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,""" +
-      s""""stream_rows":$streamRows,"stream_sec":$streamSec,"stream_rows_per_s":$streamRps,"sf":"$sfDir"}""")
+      s""""stream_rows":$streamRows,"stream_sec":$streamSec,"stream_rows_per_s":$streamRps,""" +
+      s""""stream_sessions_rows":$sessRows,"stream_sessions_sec":$sessSec,""" +
+      s""""stream_sessions_rows_per_s":$sessRps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
