@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.SparkSpec
+
+/** ScalaCheck cross-checks for the graph and pipeline operators: random
+  * small graphs/logs where a brute-force answer is computable in-memory,
+  * pinned against the distributed formulation. Deterministic seeds — a
+  * failure reproduces exactly. */
+class GraphPropsSpec extends SparkSpec {
+
+  /** Random undirected edge set over `n` nodes (u < v, distinct). */
+  private def randomEdges(n: Int, m: Int, seed: Long): Set[(Long, Long)] =
+    Gen.listOfN(m, Gen.zip(Gen.chooseNum(0L, n - 1L), Gen.chooseNum(0L, n - 1L)))
+      .apply(Gen.Parameters.default, Seed(seed))
+      .getOrElse(sys.error("scalacheck sampling failed"))
+      .collect { case (a, b) if a != b => (a min b, a max b) }
+      .toSet
+
+  private def bruteTriangles(edges: Set[(Long, Long)]): Long = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    (for {
+      (a, b) <- edges.toSeq // a < b by construction; c > b closes a<b<c once
+      c <- nodes if c > b
+    } yield if (edges((a, c)) && edges((b, c))) 1L else 0L).sum
+  }
+
+  test("triangleStats matches brute force on random graphs") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    for (seed <- 1L to 4L) {
+      val edges = randomEdges(n = 25, m = 120, seed)
+      val df = edges.toSeq.toDF("u", "v")
+      val r = Graphs.triangleStats(df).head()
+      assert(r.getLong(1) === edges.size.toLong, s"edge count, seed $seed")
+      assert(r.getLong(2) === bruteTriangles(edges), s"triangles, seed $seed")
+    }
+  }
+
+  test("pageRank: mass conserved within truncation loss, repartition-invariant") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val Scale = 1000000000000L
+    val edges = randomEdges(n = 40, m = 150, seed = 7L)
+    val df = edges.toSeq.toDF("u", "v")
+    val n = edges.flatMap(e => Seq(e._1, e._2)).size
+    val ranks = Graphs.pageRankFixedPoint(df, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.size === n)
+    val mass = ranks.values.sum
+    // Each node each round can truncate < 1 unit per out-edge plus 1 in the
+    // damping divide — total loss bounded far below 0.1% of the mass.
+    assert(mass <= n.toLong * Scale)
+    assert(mass >= n.toLong * Scale - n.toLong * 4L * 1000L)
+    // Every rank is at least the teleport floor.
+    assert(ranks.values.forall(_ >= 15L * Scale / 100L))
+    // Bit-identical under a different partitioning (the fixed-point claim).
+    val re = Graphs.pageRankFixedPoint(df.repartition(7), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re === ranks)
+  }
+
+  test("scd2: intervals chain over each key's span, states never repeat") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val states = Seq("a", "b", "c")
+    val rows = Gen.listOfN(300,
+        Gen.zip(Gen.chooseNum(1L, 12L), Gen.oneOf(states), Gen.chooseNum(0L, 50L)))
+      .apply(Gen.Parameters.default, Seed(11L))
+      .getOrElse(sys.error("scalacheck sampling failed"))
+      .zipWithIndex.map { case ((k, s, t), i) => (k, s, t, i.toLong) }
+    val df = rows.toDF("k", "attr", "ts", "id")
+    val out = Temporal.scd2(df, Seq("k"), "attr", "ts", Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MaxValue else r.getLong(3)))
+    val byKey = out.groupBy(_._1)
+    for ((k, ivs) <- byKey) {
+      val sorted = ivs.sortBy(_._3)
+      // Chain: each valid_to equals the next valid_from; last is open.
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 === b._3, s"gap in chain for key $k")
+          assert(a._2 !== b._2, s"un-collapsed run for key $k")
+        case _ => ()
+      }
+      assert(sorted.last._4 === Long.MaxValue)
+      // First interval opens at the key's earliest instant.
+      val lo = rows.filter(_._1 == k).map(_._3).min
+      assert(sorted.head._3 === lo)
+    }
+    // Interval count = number of state CHANGES under the (ts, id) order.
+    for ((k, ivs) <- byKey) {
+      val log = rows.filter(_._1 == k).sortBy(r => (r._3, r._4)).map(_._2)
+      val changes = log.foldLeft(List.empty[String]) {
+        case (acc, s) if acc.headOption.contains(s) => acc
+        case (acc, s) => s :: acc
+      }.size
+      assert(ivs.length === changes, s"interval count for key $k")
+    }
+  }
+
+  test("duplicatePassages: exactly the brute-force shared 3-gram set") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val vocab = Seq("red", "blue", "oak", "elm", "fox")
+    val docs = Gen.listOfN(30, Gen.listOfN(8, Gen.oneOf(vocab)))
+      .apply(Gen.Parameters.default, Seed(23L))
+      .getOrElse(sys.error("scalacheck sampling failed"))
+      .zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val brute = docs
+      .flatMap { case (id, t) =>
+        t.split(" ").sliding(3).map(g => (g.mkString(" "), id)) }
+      .groupBy(_._1).view
+      .mapValues(v => (v.map(_._2).distinct.size.toLong, v.size.toLong))
+      .filter(_._2._1 >= 2).toMap
+    val out = Dedup.duplicatePassages(docs.toDF("doc_id", "text"), w = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === brute)
+  }
+}
