@@ -51,6 +51,33 @@ object SimilarityPack extends QueryPack {
       Similarity.knnIvfWith(emb, emb.filter(col("vec_id") % 50 === 0), K,
         cents, nprobe = 2)
     },
+    // Recall@k of the sign-bucketed ANN against the brute-force truth —
+    // the number that justifies (or indicts) the scale path: both variants
+    // are already individually oracle-pinned; this query pins their
+    // OVERLAP per query point. n_hits is an exact integer; recall is one
+    // IEEE division of exact ints.
+    "q_knn_recall" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val emb = table(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") % 50 === 0)
+      val brute = Similarity.knn(emb, qs, K).select(col("q_id"), col("vec_id"))
+        .localCheckpoint(eager = true) // truth set feeds both overlap joins
+      def hitsOf(approx: DataFrame, as: String): DataFrame =
+        brute.join(approx.select(col("q_id"), col("vec_id")),
+            Seq("q_id", "vec_id"), "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as(as))
+      val hb = hitsOf(Similarity.knnBucketed(emb, qs, K, bits = 4), "h_bkt")
+      val hm = hitsOf(Similarity.knnMultiprobe(emb, qs, K, bits = 4), "h_mp")
+      // Left joins from the query list: a query whose buckets missed ALL
+      // true neighbors must report recall 0, not vanish.
+      qs.select(col("vec_id").as("q_id"))
+        .join(hb, Seq("q_id"), "left").join(hm, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("h_bkt"), lit(0L)).as("hits_bucketed"),
+          (coalesce(col("h_bkt"), lit(0L)) / lit(K.toDouble)).as("recall_bucketed"),
+          coalesce(col("h_mp"), lit(0L)).as("hits_multiprobe"),
+          (coalesce(col("h_mp"), lit(0L)) / lit(K.toDouble)).as("recall_multiprobe"))
+    },
     // Int8 quantization audit: per-vector scale + exact integer code sums.
     // qsum/qnorm are order-independent integer aggregates — the cheap
     // engine-portable checksum of the whole code table.
@@ -205,6 +232,49 @@ object SimilarityPack extends QueryPack {
          |ranked AS (SELECT *, row_number() OVER
          |  (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
          |SELECT q_id, vec_id, rank, sim FROM ranked WHERE rank <= $K""".stripMargin,
+    // Both CTE chains (brute truth × bucketed candidate) joined on the
+    // survivor set; division only at the end, double-by-double.
+    "q_knn_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
+         |    ${bucketSql("embedding")} AS bkt FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv, bkt AS q_bkt FROM e WHERE vec_id % 50 = 0),
+         |bscored AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    round(list_dot_product(qv, v) /
+         |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS sim
+         |  FROM q, e WHERE e.vec_id != q.q_id),
+         |brute AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM bscored)
+         |  WHERE rank <= $K),
+         |ascored AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    round(list_dot_product(qv, v) /
+         |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS sim
+         |  FROM q JOIN e ON e.bkt = q.q_bkt AND e.vec_id != q.q_id),
+         |approx AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM ascored)
+         |  WHERE rank <= $K),
+         |probes AS (SELECT q_id, qv, unnest([q_bkt, xor(q_bkt, 1), xor(q_bkt, 2),
+         |    xor(q_bkt, 4), xor(q_bkt, 8)]) AS probe FROM q),
+         |mscored AS (
+         |  SELECT p.q_id, e.vec_id,
+         |    round(list_dot_product(qv, v) /
+         |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS sim
+         |  FROM probes p JOIN e ON e.bkt = p.probe AND e.vec_id != p.q_id),
+         |mapprox AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM mscored)
+         |  WHERE rank <= $K),
+         |bhits AS (SELECT q_id, count(*) AS n FROM brute
+         |  JOIN approx USING (q_id, vec_id) GROUP BY 1),
+         |mhits AS (SELECT q_id, count(*) AS n FROM brute
+         |  JOIN mapprox USING (q_id, vec_id) GROUP BY 1)
+         |SELECT q.q_id,
+         |  CAST(coalesce(bhits.n, 0) AS BIGINT) AS hits_bucketed,
+         |  CAST(coalesce(bhits.n, 0) AS DOUBLE) / CAST($K AS DOUBLE) AS recall_bucketed,
+         |  CAST(coalesce(mhits.n, 0) AS BIGINT) AS hits_multiprobe,
+         |  CAST(coalesce(mhits.n, 0) AS DOUBLE) / CAST($K AS DOUBLE) AS recall_multiprobe
+         |FROM q LEFT JOIN bhits ON q.q_id = bhits.q_id
+         |LEFT JOIN mhits ON q.q_id = mhits.q_id""".stripMargin,
     "q_knn_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
