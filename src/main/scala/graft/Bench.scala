@@ -52,12 +52,6 @@ object Bench {
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  /** Streaming-ingest throughput: the events fixture replayed through the
-    * FULL streaming path — parquet file source → wire-JSON value → decode →
-    * per-batch count → [[graft.store.RecentStore]] append — under
-    * `Trigger.AvailableNow`. Returns (rows ingested, wall seconds); the
-    * emitted `stream_rows_per_s` is the single-node throughput record the
-    * reference never published (BASELINE.md). */
   /** Stage the events fixture SPLIT into 8 parquet files in a temp dir
     * (the file source needs a DIRECTORY; 2 files/trigger ⇒ 4 real
     * micro-batches, so measured rates include per-batch planning/commit
@@ -93,10 +87,18 @@ object Bench {
     }
   }
 
-  private def streamIngest(spark: SparkSession, sfDir: String): (Long, Double) = {
+  /** Streaming-ingest throughput: the staged events replayed through the
+    * FULL streaming path — parquet file source → wire-JSON value → decode →
+    * per-batch count → [[graft.store.RecentStore]] append — under
+    * `Trigger.AvailableNow`. Returns (rows ingested, wall seconds); the
+    * emitted `stream_rows_per_s` is the single-node throughput record the
+    * reference never published (BASELINE.md). */
+  private def streamIngest(spark: SparkSession, path: String,
+                           schema: org.apache.spark.sql.types.StructType,
+                           rows: Long): (Long, Double) = {
     import graft.config.{BucketType, MsgSettings}
     import org.apache.spark.sql.types._
-    withStagedEvents(spark, sfDir) { (path, schema, rows) =>
+    locally {
       // Wire shape: whole message as one JSON value, epoch-second timestamp
       // derived with pure long math (ts is a nanos long under the flag).
       val stream = spark.readStream.schema(schema)
@@ -123,15 +125,24 @@ object Bench {
     * through `flatMapGroupsWithState` (watermark + event-time timeout,
     * one state record per active user) to a streaming noop sink — the
     * STATE-STORE path's single-node rate, complementing
-    * `stream_rows_per_s`'s stateless per-batch path. */
-  private def streamSessions(spark: SparkSession, sfDir: String): (Long, Double) =
-    withStagedEvents(spark, sfDir) { (path, schema, rows) =>
+    * `stream_rows_per_s`'s stateless per-batch path.
+    *
+    * Lateness must cover the fixture's whole time span: the staged files
+    * are round-robin splits, so each micro-batch spans the full month and
+    * the watermark jumps to ~max(ts) after batch 1 — under the default
+    * 10 s lateness the stateful operator would DROP ~3/4 of the replay as
+    * late before it ever touched the state store, and the reported rate
+    * would be measured mostly on rows that skipped the work. */
+  private def streamSessions(spark: SparkSession, path: String,
+                             schema: org.apache.spark.sql.types.StructType,
+                             rows: Long): (Long, Double) =
+    locally {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2").parquet(path)
         .select(col("event_id"), col("user_id"),
           timestamp_micros(expr("ts div 1000")).as("ts"))
       val sessions = graft.streaming.StatefulSessions.sessions(
-        stream, gapSeconds = 21600L)
+        stream, gapSeconds = 21600L, lateness = "40 days")
       val t0 = System.nanoTime()
       val q = sessions.toDF().writeStream.format("noop")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -188,17 +199,23 @@ object Bench {
     val total = results.collect { case (_, v, None) => v }.sum
     // Min-of-2 like the queries — a single streaming sample is just as
     // exposed to transient host contention.
-    val (streamRows, streamSec) = try {
-      val runs = (1 to 2).map(_ => streamIngest(spark, sfDir))
-      (runs.head._1, runs.map(_._2).min)
+    // One staging for all four streaming runs (2× ingest + 2× sessions) —
+    // the staged copy is deterministic, so re-staging per run was pure
+    // wasted I/O. Per-benchmark try so one failing path can't hide the
+    // other's numbers; staging failure itself fails both.
+    def minOf2(run: () => (Long, Double), name: String): (Long, Double) =
+      try { val rs = (1 to 2).map(_ => run()); (rs.head._1, rs.map(_._2).min) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: $e"); (0L, -1.0) }
+    val ((streamRows, streamSec), (sessRows, sessSec)) = try {
+      withStagedEvents(spark, sfDir) { (path, schema, rows) =>
+        (minOf2(() => streamIngest(spark, path, schema, rows), "streamIngest"),
+          minOf2(() => streamSessions(spark, path, schema, rows), "streamSessions"))
+      }
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] streamIngest failed: $e"); (0L, -1.0) }
+      System.err.println(s"[bench] event staging failed: $e")
+      ((0L, -1.0), (0L, -1.0)) }
     val streamRps = if (streamSec > 0) streamRows / streamSec else -1.0
-    val (sessRows, sessSec) = try {
-      val runs = (1 to 2).map(_ => streamSessions(spark, sfDir))
-      (runs.head._1, runs.map(_._2).min)
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] streamSessions failed: $e"); (0L, -1.0) }
     val sessRps = if (sessSec > 0) sessRows / sessSec else -1.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,""" +
       s""""stream_rows":$streamRows,"stream_sec":$streamSec,"stream_rows_per_s":$streamRps,""" +

@@ -122,8 +122,12 @@ object SimilarityPack extends QueryPack {
     }
   )
 
-  private val Cos = "round(list_dot_product(%s, %s) / " +
-    "(sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s))), 6)"
+  /** The pinned cosine expression (sequential double dot, separate sqrts,
+    * round 6) — ONE definition interpolated into every oracle, so the
+    * formula these oracles exist to pin cannot drift between variants. */
+  private def cosSql(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / " +
+      s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
   /** 4-bit sign bucket of the first dims, exact float compare both sides. */
   private def bucketSql(v: String): String =
@@ -200,8 +204,7 @@ object SimilarityPack extends QueryPack {
          |    (PARTITION BY q_id ORDER BY qsim DESC NULLS LAST, vec_id ASC) AS qrank
          |  FROM cand) WHERE qrank <= ${K * 3}),
          |ranked AS (SELECT q_id, vec_id,
-         |    round(list_dot_product(qv, v) /
-         |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS sim
+         |    ${cosSql("qv", "v")} AS sim
          |  FROM surv)
          |SELECT q_id, vec_id, rank, sim FROM (SELECT *, row_number() OVER
          |    (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM ranked)
@@ -212,8 +215,7 @@ object SimilarityPack extends QueryPack {
          |q AS (SELECT vec_id AS q_id, v AS qv, bkt AS q_bkt FROM e WHERE vec_id % 50 = 0),
          |scored AS (
          |  SELECT q.q_id, e.vec_id,
-         |    round(list_dot_product(qv, v) /
-         |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS sim
+         |    ${cosSql("qv", "v")} AS sim
          |  FROM q JOIN e ON e.bkt = q.q_bkt AND e.vec_id != q.q_id),
          |ranked AS (SELECT *, row_number() OVER
          |  (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
@@ -226,8 +228,7 @@ object SimilarityPack extends QueryPack {
          |    xor(q_bkt, 4), xor(q_bkt, 8)]) AS probe FROM q),
          |scored AS (
          |  SELECT p.q_id, e.vec_id,
-         |    round(list_dot_product(qv, v) /
-         |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS sim
+         |    ${cosSql("qv", "v")} AS sim
          |  FROM probes p JOIN e ON e.bkt = p.probe AND e.vec_id != p.q_id),
          |ranked AS (SELECT *, row_number() OVER
          |  (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
@@ -240,16 +241,14 @@ object SimilarityPack extends QueryPack {
          |q AS (SELECT vec_id AS q_id, v AS qv, bkt AS q_bkt FROM e WHERE vec_id % 50 = 0),
          |bscored AS (
          |  SELECT q.q_id, e.vec_id,
-         |    round(list_dot_product(qv, v) /
-         |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS sim
+         |    ${cosSql("qv", "v")} AS sim
          |  FROM q, e WHERE e.vec_id != q.q_id),
          |brute AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER
          |    (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM bscored)
          |  WHERE rank <= $K),
          |ascored AS (
          |  SELECT q.q_id, e.vec_id,
-         |    round(list_dot_product(qv, v) /
-         |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS sim
+         |    ${cosSql("qv", "v")} AS sim
          |  FROM q JOIN e ON e.bkt = q.q_bkt AND e.vec_id != q.q_id),
          |approx AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER
          |    (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM ascored)
@@ -258,8 +257,7 @@ object SimilarityPack extends QueryPack {
          |    xor(q_bkt, 4), xor(q_bkt, 8)]) AS probe FROM q),
          |mscored AS (
          |  SELECT p.q_id, e.vec_id,
-         |    round(list_dot_product(qv, v) /
-         |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS sim
+         |    ${cosSql("qv", "v")} AS sim
          |  FROM probes p JOIN e ON e.bkt = p.probe AND e.vec_id != p.q_id),
          |mapprox AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER
          |    (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM mscored)
@@ -280,8 +278,7 @@ object SimilarityPack extends QueryPack {
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
          |scored AS (
          |  SELECT q.q_id, e.vec_id,
-         |    round(list_dot_product(qv, v) /
-         |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS sim
+         |    ${cosSql("qv", "v")} AS sim
          |  FROM q, e WHERE e.vec_id != q.q_id),
          |ranked AS (SELECT *, row_number() OVER
          |  (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
@@ -303,8 +300,7 @@ object SimilarityPack extends QueryPack {
          |      - 2 * list_dot_product(e.v, c.cv), c.c_id) AS rn
          |  FROM e, cent c WHERE e.vec_id % 50 = 0) WHERE rn <= 2),
          |scored AS (SELECT p.q_id, a.vec_id,
-         |  round(list_dot_product(p.qv, a.v) /
-         |    (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS sim
+         |  ${cosSql("p.qv", "a.v")} AS sim
          |  FROM probes p JOIN assign a ON a.cell = p.probe AND a.vec_id != p.q_id),
          |ranked AS (SELECT *, row_number() OVER
          |  (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
@@ -332,8 +328,7 @@ object SimilarityPack extends QueryPack {
          |      - 2 * list_dot_product(e.v, c.cv), c.c_id) AS rn
          |  FROM e, c3 c WHERE e.vec_id % 50 = 0) WHERE rn <= 2),
          |scored AS (SELECT p.q_id, a.vec_id,
-         |  round(list_dot_product(p.qv, a.v) /
-         |    (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS sim
+         |  ${cosSql("p.qv", "a.v")} AS sim
          |  FROM probes p JOIN assign a ON a.cell = p.probe AND a.vec_id != p.q_id),
          |ranked AS (SELECT *, row_number() OVER
          |  (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
@@ -342,11 +337,9 @@ object SimilarityPack extends QueryPack {
     "q_embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  round(list_dot_product(a.v, b.v) /
-         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+         |  ${cosSql("a.v", "b.v")} AS sim
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE round(list_dot_product(a.v, b.v) /
-         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+         |WHERE ${cosSql("a.v", "b.v")}
          |  >= $NearDupThreshold""".stripMargin,
     // CC over the near-dup pairs: transitive closure by recursive CTE
     // (components are bounded by the label blocks), cluster = min reachable
@@ -355,8 +348,7 @@ object SimilarityPack extends QueryPack {
       s"""WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
          |p AS (SELECT a.vec_id AS src, b.vec_id AS dst
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE round(list_dot_product(a.v, b.v) /
-         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+         |  WHERE ${cosSql("a.v", "b.v")}
          |    >= $NearDupThreshold),
          |edges AS (SELECT src AS a, dst AS b FROM p UNION SELECT dst, src FROM p),
          |reach(a, b) AS (SELECT a, b FROM edges

@@ -66,10 +66,16 @@ class GraphPropsSpec extends SparkSpec {
     val sparkSession = spark
     import sparkSession.implicits._
     val states = Seq("a", "b", "c")
+    // Unique (key, instant) pairs: instant ties produce zero-length
+    // intervals whose ORDER the output alone cannot reconstruct, so chain
+    // assertions on them would lean on collect() row order. The tie path
+    // is pinned deterministically in PipelineSpec; here the invariants
+    // need a total order.
     val rows = Gen.listOfN(300,
         Gen.zip(Gen.chooseNum(1L, 12L), Gen.oneOf(states), Gen.chooseNum(0L, 50L)))
       .apply(Gen.Parameters.default, Seed(11L))
       .getOrElse(sys.error("scalacheck sampling failed"))
+      .distinctBy(r => (r._1, r._3))
       .zipWithIndex.map { case ((k, s, t), i) => (k, s, t, i.toLong) }
     val df = rows.toDF("k", "attr", "ts", "id")
     val out = Temporal.scd2(df, Seq("k"), "attr", "ts", Seq("id"))
@@ -77,7 +83,10 @@ class GraphPropsSpec extends SparkSpec {
         if (r.isNullAt(3)) Long.MaxValue else r.getLong(3)))
     val byKey = out.groupBy(_._1)
     for ((k, ivs) <- byKey) {
-      val sorted = ivs.sortBy(_._3)
+      // Sort by (valid_from, valid_to): instant ties produce zero-length
+      // intervals sharing valid_from, and relying on collect() row order
+      // to break them would make the chain assertions flaky.
+      val sorted = ivs.sortBy(r => (r._3, r._4))
       // Chain: each valid_to equals the next valid_from; last is open.
       sorted.sliding(2).foreach {
         case Array(a, b) =>
