@@ -206,6 +206,16 @@ object AnalyticsPack extends QueryPack {
         .select(col("event_type"), col("n"),
           near(col("ap")(0), col("ex")(0)).as("ok_p50"),
           near(col("ap")(1), col("ex")(1)).as("ok_p95"))
+    },
+    // EXACT heavy hitters (vocabulary mining): every term occurring ≥ 500
+    // times across the corpus, found through the CMS prefilter + exact
+    // recount two-pass — the oracle is the plain GROUP BY … HAVING, so a
+    // green row proves the prefilter lost nothing and the recount killed
+    // every false positive.
+    "q_heavy_hitters" -> { (s, dir) =>
+      val terms = table(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.words(col("text"))).as("term"))
+      Sketches.heavyHitters(terms, "term", threshold = 500L)
     }
   )
 
@@ -232,6 +242,11 @@ object AnalyticsPack extends QueryPack {
     "q_cms_probe" ->
       """SELECT event_type, user_id, count(*) AS n_exact, true AS cms_ok
         |FROM events WHERE user_id <= 20 GROUP BY 1, 2""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |    FROM documents)
+        |SELECT term, count(*) AS n FROM t
+        |GROUP BY 1 HAVING count(*) >= 500""".stripMargin,
     "q_salted_join" ->
       """SELECT c_nationkey, event_type, count(*) AS n_events
         |FROM events JOIN customer ON user_id = c_custkey

@@ -96,6 +96,28 @@ object Dedup {
     docs.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** INCREMENTAL exact dedup — the steady-state shape of a production
+    * pipeline, where each new crawl batch dedups against the corpus
+    * already ingested instead of re-deduping the world:
+    *
+    *   1. within-batch: keep the min-id document per normalized
+    *      fingerprint (one shuffle on the 16-byte fp, batch-sized);
+    *   2. against the corpus: LEFT ANTI join the survivors' fingerprints
+    *      against the existing corpus fingerprint set (`corpusFps`, one
+    *      `fp` column — the pre-aggregated index a real deployment keeps
+    *      as a bucketed table, so the anti join co-locates by fp and
+    *      never rescans corpus text).
+    *
+    * Output: (fp, keep_id, batch_dups) — the rows of the batch that enter
+    * the corpus, with how many in-batch copies each collapsed. Cost scales
+    * with the BATCH (plus one pass of the fingerprint index), not the
+    * corpus — the whole point of keeping the index. */
+  def incremental(newDocs: DataFrame, corpusFps: DataFrame,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    exact(newDocs, textCol, idCol)
+      .withColumnRenamed("dup_count", "batch_dups")
+      .join(corpusFps.select(col("fp")), Seq("fp"), "left_anti")
+
   /** The whole signature pipeline as ONE expression producing
     * `array<struct<band: string, hs: array<bigint>>>`. The shingle-hash set
     * is let-bound; each of the 16 minhashes is then a SCALAR long fold over

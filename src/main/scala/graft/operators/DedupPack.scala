@@ -42,6 +42,17 @@ object DedupPack extends QueryPack {
       graft.plans.GraftExtensions.register(s)
       Dedup.dropList(Dedup.clusters(table(s, dir, "documents"), Threshold))
     },
+    // Incremental ingest: the last fifth of doc ids plays the "new crawl
+    // batch", everything before it the already-ingested corpus whose
+    // fingerprint index the batch anti-joins.
+    "q_dedup_incremental" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val isBatch = col("doc_id") % 10 >= 8
+      Dedup.incremental(
+        docs.filter(isBatch),
+        docs.filter(!isBatch).select(
+          graft.functions.TextFunctions.fingerprint(col("text")).as("fp")))
+    },
     // Decontamination: which held-out docs (src18/src19 = the "eval set")
     // near-duplicate a training doc (every other source)? Both sides slice
     // ONE table, so band once (single hashing pass) and split by side.
@@ -102,6 +113,15 @@ object DedupPack extends QueryPack {
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH fp AS (SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |    FROM documents),
+        |b AS (SELECT fp, min(doc_id) AS keep_id, count(*) AS batch_dups
+        |      FROM fp WHERE doc_id % 10 >= 8 GROUP BY 1)
+        |SELECT b.* FROM b
+        |WHERE NOT EXISTS (SELECT 1 FROM fp c
+        |  WHERE c.doc_id % 10 < 8 AND c.fp = b.fp)""".stripMargin,
     "q_dedup_near" ->
       s"""WITH $PairCtes
          |SELECT doc_a, doc_b, jaccard FROM pairs""".stripMargin,

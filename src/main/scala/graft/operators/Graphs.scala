@@ -98,6 +98,42 @@ object Graphs {
     ranks.select(col("node"), col("rank_fp"))
   }
 
+  /** Seeded (semi-supervised) label propagation over the undirected edge
+    * list (`u < v` rows): starting from `seeds` (node, label), each round
+    * every node takes the MINIMUM label among itself and its neighbors;
+    * after `iters` rounds a node's label is the smallest seed label within
+    * `iters` hops (null if no seed is that close). The min-combiner makes
+    * the fixed-point deterministic — order of propagation can't matter —
+    * which is what lets the oracle replicate the run exactly; majority-vote
+    * LPA variants trade that determinism away for community quality.
+    *
+    * Per round: ONE equi-join of the node-sized state against the edge
+    * list + one hash aggregate on the receiving endpoint — the same plan
+    * shape (and the same broadcast-the-state rationale) as
+    * [[pageRankFixedPoint]]. State stays node-sized throughout; labeled
+    * frontier rows only shrink the join output, never grow it. */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val dir = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(eager = true)
+    var state = dir.select(col("src").as("node")).distinct()
+      .join(broadcast(seeds.select(col("node"), col("label"))), Seq("node"), "left")
+    for (i <- 1 to iters) {
+      val viaNbrs = dir.join(
+          broadcast(state.filter(col("label").isNotNull)),
+          dir("src") === state("node"))
+        .select(col("dst").as("node"), col("label"))
+      // min() skips nulls: an unlabeled node contributes nothing, keeps
+      // its null until a labeled neighbor reaches it.
+      state = state.select(col("node"), col("label"))
+        .unionByName(viaNbrs)
+        .groupBy("node").agg(min(col("label")).as("label"))
+      if (i % 8 == 0 && i < iters) state = state.localCheckpoint(eager = true)
+    }
+    state.select(col("node"), col("label"))
+  }
+
   /** Global triangle statistics of an undirected edge list (`u < v` rows):
     * one row of (n_nodes, n_edges, n_triangles, max_degree).
     *

@@ -91,6 +91,17 @@ object PipelinePack extends QueryPack {
         .orderBy(col("rank_fp").desc, col("node"))
         .limit(20)
     },
+    // Seeded label propagation (3 rounds) over the co-purchase graph:
+    // every ~97th part seeds its own id; a node's label is the smallest
+    // seed id within 3 hops. Min-combining keeps the fixed point
+    // deterministic, so the oracle unrolls the identical rounds.
+    "q_label_prop" -> { (s, dir) =>
+      val seeds = table(s, dir, "lineitem")
+        .select(col("l_partkey").as("node")).distinct()
+        .filter(col("node") % 97 === 0)
+        .withColumn("label", col("node"))
+      Graphs.labelPropagation(copurchaseEdges(s, dir), seeds, iters = 3)
+    },
     // SCD-2 validity intervals of each user's event-type state machine.
     "q_scd2" -> { (s, dir) =>
       Temporal.scd2(
@@ -183,6 +194,26 @@ object PipelinePack extends QueryPack {
          |${round(3)}
          |SELECT node, rank_fp FROM r3
          |ORDER BY rank_fp DESC, node LIMIT 20""".stripMargin
+    },
+    "q_label_prop" -> {
+      def round(i: Int): String =
+        s"""r$i AS (SELECT node, min(label) AS label FROM (
+           |  SELECT node, label FROM r${i - 1}
+           |  UNION ALL
+           |  SELECT e.dst, r.label FROM e JOIN r${i - 1} r ON e.src = r.node
+           |  WHERE r.label IS NOT NULL) GROUP BY 1)""".stripMargin
+      s"""WITH pl AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p
+         |    FROM lineitem),
+         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+         |       FROM pl a JOIN pl b ON a.g = b.g AND a.p < b.p),
+         |e AS (SELECT u AS src, v AS dst FROM e0
+         |      UNION ALL SELECT v, u FROM e0),
+         |r0 AS (SELECT DISTINCT src AS node,
+         |       CASE WHEN src % 97 = 0 THEN src END AS label FROM e),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT node, label FROM r3""".stripMargin
     },
     "q_scd2" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id

@@ -48,4 +48,49 @@ object Sketches {
     * hash-compare across engines. */
   def withinRelBound(approx: Column, exact: Column, denom: Long): Column =
     abs(approx - exact) * lit(denom) <= exact
+
+  /** EXACT heavy hitters — every key of `keyCol` occurring at least
+    * `threshold` times, with its exact count — via a Count-Min prefilter:
+    *
+    *   1. Build ONE CountMinSketch over the key column (mergeable
+    *      fixed-size aggregate: partials combine counter-wise, a few KB
+    *      cross the wire however many distinct keys exist).
+    *   2. Probe every row against the broadcast sketch and keep rows whose
+    *      key's ESTIMATE reaches the threshold. CMS never undercounts, so
+    *      no true heavy hitter is lost; the probe is a narrow map-stage
+    *      filter (the deserialized sketch is memoized per partition —
+    *      [[graft.plans.CmsEstimateExpr]]).
+    *   3. Exact-count the surviving rows and re-check the threshold,
+    *      eliminating the sketch's false positives. All rows of a key pass
+    *      or fail the prefilter together (same key ⇒ same estimate), so
+    *      surviving counts are TRUE counts and the output is exact.
+    *
+    * Why not a plain groupBy+HAVING: that shuffles one row per distinct
+    * key per partition — at 100 TB with a long-tailed key domain (URLs,
+    * n-grams, user ids) the shuffle is dominated by keys that can never
+    * reach the threshold. The prefilter keeps the shuffle proportional to
+    * rows of CANDIDATE keys (≥ threshold − eps·N by the CMS bound), at the
+    * cost of one extra narrow pass. `eps` bounds overcount (and false-
+    * positive volume) at eps·N; `seed` pins the hash functions so runs are
+    * reproducible.
+    *
+    * Output: (`keyCol`, `n`), exact. String/binary keys probe through the
+    * same byte-level hash the aggregate ingests, long keys through the
+    * integral path. */
+  def heavyHitters(df: DataFrame, keyCol: String, threshold: Long,
+                   eps: Double = 1e-4, confidence: Double = 0.99,
+                   seed: Int = 42): DataFrame = {
+    require(threshold >= 1, "threshold must be at least 1")
+    val k = df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.StringType => col(keyCol).cast("binary")
+      case _                                     => col(keyCol)
+    }
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val sk = df.agg(
+      expr(s"count_min_sketch($keyCol, ${eps}d, ${confidence}d, $seed)").as("_sk"))
+    df.join(broadcast(sk))
+      .filter(call_function("cms_estimate", col("_sk"), k) >= lit(threshold))
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= lit(threshold))
+  }
 }

@@ -14,6 +14,8 @@ object TemporalPack extends QueryPack {
 
   private val WindowUs = 7200L * 1000000L // 2 h in µs, inline-precomputed (INT32-safe)
   private val HourUs = 3600L * 1000000L
+  private val T1Us = 1704153600000000L // 2024-01-02T00:00:00Z in µs
+  private val T2Us = 1706745600000000L // 2024-02-01T00:00:00Z in µs (whole fixture)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // For each click, the user's most recent prior-or-equal purchase value
@@ -75,6 +77,16 @@ object TemporalPack extends QueryPack {
         .agg(count(lit(1)).as("n_events"))
       Temporal.resampleFill(obs, Seq("user_id"), "bucket_us", HourUs,
         Seq("n_events"))
+    },
+    // CDC audit: which users' latest event-type state differs between the
+    // day-1 snapshot and the end of the fixture — one grouped aggregate,
+    // against the oracle's classic two-window-plus-join formulation.
+    "q_snapshot_diff" -> { (s, dir) =>
+      Temporal.snapshotDiff(
+        table(s, dir, "events").select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id")),
+        keys = Seq("user_id"), attrCol = "event_type",
+        instantCol = "us", t1 = T1Us, t2 = T2Us, tieCols = Seq("event_id"))
     }
   )
 
@@ -122,6 +134,25 @@ object TemporalPack extends QueryPack {
          |  o.n_events IS NOT NULL AS observed,
          |  last_value(o.n_events IGNORE NULLS)
          |    OVER (PARTITION BY s.user_id ORDER BY s.bucket_us) AS n_events
-         |FROM spine s LEFT JOIN obs o USING (user_id, bucket_us)""".stripMargin
+         |FROM spine s LEFT JOIN obs o USING (user_id, bucket_us)""".stripMargin,
+    // The textbook two-snapshot formulation: a window scan per snapshot,
+    // full outer join on the key — an independent derivation of the same
+    // diff the Spark side computes in one grouped aggregate.
+    "q_snapshot_diff" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+         |    FROM events),
+         |s1 AS (SELECT user_id, event_type AS st FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY us DESC, event_id DESC) AS rn
+         |    FROM e WHERE us <= $T1Us) WHERE rn = 1),
+         |s2 AS (SELECT user_id, event_type AS st FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY us DESC, event_id DESC) AS rn
+         |    FROM e WHERE us <= $T2Us) WHERE rn = 1)
+         |SELECT s2.user_id,
+         |  CASE WHEN s1.st IS NULL THEN 'added' ELSE 'changed' END AS change,
+         |  s1.st AS old_state, s2.st AS new_state
+         |FROM s2 LEFT JOIN s1 USING (user_id)
+         |WHERE s1.st IS DISTINCT FROM s2.st""".stripMargin
   )
 }

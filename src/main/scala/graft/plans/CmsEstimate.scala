@@ -16,10 +16,18 @@ import org.apache.spark.util.sketch.CountMinSketch
   * a few KB regardless of key cardinality, and answer per-key frequency
   * without a per-key shuffle — the 100 TB "how often did X occur" path.
   *
-  * Evaluation deserializes the sketch per call, so probe AGGREGATED rows
-  * (a handful of sketches × a bounded probe list, usually behind a
-  * broadcast join) — never a raw fact table. Keys must be integral (the
-  * aggregate hashes integral types via addLong; matching dispatch here).
+  * Keys may be BIGINT or BINARY (probe strings as `cast(s AS BINARY)` —
+  * the aggregate hashes StringType and BinaryType through the same
+  * byte-level path, so the estimates agree).
+  *
+  * The deserialized sketch is memoized per expression instance keyed on
+  * the byte array's REFERENCE (the sketch arrives via a broadcast join, so
+  * every row of a partition sees the same array object): after the first
+  * row, a probe is just the sketch's few hash-and-min operations. That
+  * makes per-ROW probing of a fact table affordable — which is exactly the
+  * heavy-hitter prefilter pattern ([[graft.operators.Sketches.heavyHitters]]).
+  * The memo is a volatile pair; a race between threads merely deserializes
+  * twice (CountMinSketch reads are thread-safe).
   */
 case class CmsEstimateExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -28,18 +36,38 @@ case class CmsEstimateExpr(left: Expression, right: Expression)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (left.dataType == BinaryType && right.dataType == LongType)
+    if (left.dataType == BinaryType &&
+        (right.dataType == LongType || right.dataType == BinaryType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"cms_estimate expects (binary, bigint), got " +
+        s"cms_estimate expects (binary, bigint|binary), got " +
           s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
+  // (bytes reference, deserialized sketch) — see scaladoc. @transient: the
+  // memo never travels with the serialized task closure.
+  @transient private var memo: (AnyRef, CountMinSketch) = _
+
+  private def sketchOf(bytes: Array[Byte]): CountMinSketch = {
+    val m = memo
+    if (m != null && (m._1 eq bytes)) m._2
+    else {
+      val cms = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+      memo = (bytes, cms)
+      cms
+    }
+  }
+
   override protected def nullSafeEval(sketch: Any, key: Any): Any = {
-    val cms = CountMinSketch.readFrom(
-      new ByteArrayInputStream(sketch.asInstanceOf[Array[Byte]]))
-    cms.estimateCount(Long.box(key.asInstanceOf[Long]))
+    val cms = sketchOf(sketch.asInstanceOf[Array[Byte]])
+    // estimateCount dispatches Long → the addLong path and byte[] → the
+    // addBinary path — the same ingest hashing the aggregate used for
+    // integral and STRING/BINARY (utf-8 bytes) inputs respectively.
+    cms.estimateCount(key match {
+      case l: java.lang.Long => l
+      case b: Array[Byte]    => b
+    })
   }
 
   override def prettyName: String = "cms_estimate"

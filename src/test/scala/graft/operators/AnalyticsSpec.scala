@@ -113,4 +113,30 @@ class AnalyticsSpec extends SparkSpec {
     val drifted = sum(rows.updated(41, ("g", 42L, "nameX")).toDF("g", "id", "nm"))
     assert(base.getLong(2) !== drifted.getLong(2))
   }
+
+  test("heavyHitters is exact on skewed long keys, even with a coarse sketch") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // 200 singleton keys + a handful of heavy ones at varying multiplicity.
+    val rows: Seq[Long] = (1L to 200L) ++
+      Seq.fill(25)(1000L) ++ Seq.fill(24)(2000L) ++ Seq.fill(80)(3000L)
+    val want = rows.groupBy(identity).collect {
+      case (k, v) if v.size >= 25 => (k, v.size.toLong)
+    }.toSet
+    for (eps <- Seq(1e-4, 0.1)) { // 0.1 → tiny sketch, rampant collisions
+      val got = Sketches.heavyHitters(rows.toDF("k"), "k", 25L, eps = eps)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"eps=$eps")
+    }
+  }
+
+  test("heavyHitters probes string keys through the aggregate's byte path") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val rows = (1 to 300).map(i => s"tail$i") ++
+      Seq.fill(40)("señor🦊") ++ Seq.fill(39)("the") // non-ASCII must round-trip
+    val got = Sketches.heavyHitters(rows.toDF("term"), "term", 39L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(("señor🦊", 40L), ("the", 39L)))
+  }
 }

@@ -26,6 +26,22 @@ class DedupSpec extends SparkSpec {
     assert(got.getAs[Long]("dup_count") === 2L) // docs 0 and 3
   }
 
+  test("incremental dedup: in-batch collapse, corpus anti-join, novel docs kept") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val corpusFps = Dedup.exact(docs).select(col("fp"))
+    val batch = Seq(
+      (10L, "The  Quick Brown fox jumps over the lazy dog again and again today"), // corpus dup → dropped
+      (11L, "fresh content one"),
+      (12L, "Fresh   CONTENT one"), // in-batch dup of 11 → collapsed
+      (13L, "fresh content two")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incremental(batch, corpusFps)
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("batch_dups")))
+      .toSet
+    assert(got === Set((11L, 2L), (13L, 1L)))
+  }
+
   test("minhash-LSH finds the planted near-dup pair and nothing spurious") {
     GraftExtensions.register(spark)
     val pairs = Dedup.nearDuplicates(docs, threshold = 0.5)

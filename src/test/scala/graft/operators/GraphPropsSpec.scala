@@ -110,6 +110,31 @@ class GraphPropsSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation: label = min seed within iters hops (brute BFS)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    for (seed <- 11L to 13L; iters <- Seq(1, 3)) {
+      val edges = randomEdges(n = 30, m = 55, seed)
+      val adj = (edges.toSeq ++ edges.toSeq.map(_.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val nodes = adj.keySet
+      val seedNodes = nodes.filter(_ % 5 == 0)
+      // Brute: frontier BFS to depth `iters`, take the min reachable seed.
+      val expected = nodes.map { n =>
+        var reach = Set(n)
+        for (_ <- 1 to iters) reach = reach ++ reach.flatMap(adj)
+        n -> (reach intersect seedNodes).minOption
+      }.toMap
+      val got = Graphs.labelPropagation(
+          edges.toSeq.toDF("u", "v"),
+          seedNodes.toSeq.map(x => (x, x)).toDF("node", "label"), iters)
+        .collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+        .toMap
+      assert(got === expected, s"seed $seed, iters $iters")
+    }
+  }
+
   test("duplicatePassages: exactly the brute-force shared 3-gram set") {
     val sparkSession = spark
     import sparkSession.implicits._

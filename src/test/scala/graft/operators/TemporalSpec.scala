@@ -188,4 +188,34 @@ class TemporalSpec extends SparkSpec {
     assert(!plan.toString.contains("Join"), "as-of must not plan a join")
     assert(exchanges <= 1, s"expected one shuffle, saw $exchanges")
   }
+
+  test("snapshotDiff: added/changed classes, ties on tieCol, t2 cutoff honored") {
+    import ss.implicits._
+    val log = Seq(
+      (1L, "a", 1L, 1L), (1L, "b", 5L, 2L),  // changed a→b
+      (2L, "a", 1L, 3L), (2L, "a", 7L, 4L),  // unchanged → absent
+      (3L, "b", 6L, 5L),                     // added after t1
+      // tie at instant 2: tieCol picks "y" as the t1 state
+      (4L, "x", 2L, 6L), (4L, "y", 2L, 7L), (4L, "z", 9L, 8L),
+      (5L, "a", 1L, 9L), (5L, "b", 12L, 10L) // change lands AFTER t2 → absent
+    ).toDF("k", "attr", "us", "tie")
+    val got = Temporal.snapshotDiff(log, Seq("k"), "attr", "us",
+        t1 = 3L, t2 = 10L, tieCols = Seq("tie"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)), r.getString(3)))
+      .toSet
+    assert(got === Set(
+      (1L, "changed", Some("a"), "b"),
+      (3L, "added", None, "b"),
+      (4L, "changed", Some("y"), "z")))
+  }
+
+  test("snapshotDiff plans a single aggregate, no join") {
+    import ss.implicits._
+    val log = Seq((1L, "a", 1L, 1L)).toDF("k", "attr", "us", "tie")
+    val plan = Temporal.snapshotDiff(log, Seq("k"), "attr", "us", 1L, 2L,
+      Seq("tie")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "snapshot diff must not plan a join")
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 1)
+  }
 }
