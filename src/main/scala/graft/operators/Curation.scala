@@ -179,6 +179,35 @@ object Curation {
     * non-total order is nondeterministic — the same trap
     * `q_latest_per_key` documents for max_by). One window pass = one
     * stratum-keyed shuffle; output adds `score` and `bucket` (1..n). */
+  /** Per-stratum length outliers without a single float: a document is a
+    * `long` outlier when its length exceeds `hiNum/hiDen` × the stratum
+    * mean, a `short` outlier below `loNum/loDen` × it. The mean comparison
+    * is cross-multiplied — `len · n · den  vs  num · Σlen` — so the whole
+    * decision is integer arithmetic: partition-order-independent, exactly
+    * replicable by any engine, never subject to float-mean drift. (The
+    * classic z-score filter needs a sqrt; ratio-to-mean bounds are the
+    * transcendental-free form, same discipline as rational idf.) Products
+    * run in DECIMAL(38,0): a corpus-scale Σlen times a document length
+    * would overflow a BIGINT silently under non-ANSI arithmetic.
+    *
+    * Plan: one bounded aggregate per stratum (count + sum), broadcast back
+    * over the corpus scan, narrow filter — map-only over the data at any
+    * scale. */
+  def lengthOutliers(docs: DataFrame, lenCol: String, strataCol: String,
+                     hiNum: Long, hiDen: Long, loNum: Long, loDen: Long): DataFrame = {
+    require(hiNum > 0 && hiDen > 0 && loNum > 0 && loDen > 0, "bounds must be positive")
+    val stats = docs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("_n"), sum(col(lenCol)).as("_sum"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val lhs = dec(col(lenCol)) * dec(col("_n"))
+    docs.join(broadcast(stats), strataCol)
+      .withColumn("outlier",
+        when(lhs * lit(hiDen) > lit(hiNum) * dec(col("_sum")), lit("long"))
+          .when(lhs * lit(loDen) < lit(loNum) * dec(col("_sum")), lit("short")))
+      .filter(col("outlier").isNotNull)
+      .drop("_n", "_sum")
+  }
+
   def curriculumBuckets(docs: DataFrame, n: Int, strataCol: String,
                         score: Column, idCol: String = "doc_id"): DataFrame = {
     require(n >= 1, "need at least one bucket")

@@ -20,6 +20,15 @@ object CurationPack extends QueryPack {
     maxDupWordFrac = 0.6, langRates = Rates)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Length outliers per language, all-integer ratio-to-mean bounds:
+    // long > 1.5× the stratum mean, short < 0.5× it (cross-multiplied, no
+    // float mean anywhere — the oracle replicates the comparison exactly).
+    "q_length_outliers" -> { (s, dir) =>
+      Curation.lengthOutliers(
+          table(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          "n_chars", "lang", hiNum = 3L, hiDen = 2L, loNum = 1L, loDen = 2L)
+        .select("doc_id", "lang", "n_chars", "outlier")
+    },
     // Curriculum deciles by length within each language — total-order
     // ntile, so bucket edges are engine-stable through score ties.
     "q_curriculum" -> { (s, dir) =>
@@ -136,6 +145,16 @@ object CurationPack extends QueryPack {
         |WHERE user_id NOT IN (SELECT user_id FROM events
         |  WHERE event_type = 'purchase' AND value > 200)
         |GROUP BY 1""".stripMargin,
+    "q_length_outliers" ->
+      """WITH s AS (SELECT lang, count(*) AS n, sum(n_chars) AS tot
+        |    FROM documents GROUP BY 1),
+        |o AS (SELECT doc_id, lang, n_chars,
+        |  CASE WHEN CAST(n_chars AS HUGEINT) * n * 2 > 3 * CAST(tot AS HUGEINT)
+        |         THEN 'long'
+        |       WHEN CAST(n_chars AS HUGEINT) * n * 2 < CAST(tot AS HUGEINT)
+        |         THEN 'short' END AS outlier
+        |  FROM documents JOIN s USING (lang))
+        |SELECT * FROM o WHERE outlier IS NOT NULL""".stripMargin,
     "q_curriculum" ->
       """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS score,
         |  CAST(ntile(10) OVER (PARTITION BY lang

@@ -78,6 +78,26 @@ object SimilarityPack extends QueryPack {
           coalesce(col("h_mp"), lit(0L)).as("hits_multiprobe"),
           (coalesce(col("h_mp"), lit(0L)) / lit(K.toDouble)).as("recall_multiprobe"))
     },
+    // Recall@10 of the IVF path (8 seed centroids, nprobe 2) against the
+    // same brute-force truth — completes the recall ladder next to the
+    // sign-bucket and multiprobe rows of q_knn_recall.
+    "q_knn_recall_ivf" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val emb = table(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") % 50 === 0)
+      // Truth set materialized eagerly (like q_knn_recall): the brute
+      // baseline's documented cross join stays inside the checkpoint.
+      val hits = Similarity.knn(emb, qs, K).select(col("q_id"), col("vec_id"))
+        .localCheckpoint(eager = true)
+        .join(Similarity.knnIvf(emb, qs, K, numCentroids = 8, nprobe = 2)
+          .select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("h"))
+      qs.select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("h"), lit(0L)).as("hits_ivf"),
+          (coalesce(col("h"), lit(0L)) / lit(K.toDouble)).as("recall_ivf"))
+    },
     // Int8 quantization audit: per-vector scale + exact integer code sums.
     // qsum/qnorm are order-independent integer aggregates — the cheap
     // engine-portable checksum of the whole code table.
@@ -273,6 +293,39 @@ object SimilarityPack extends QueryPack {
          |  CAST(coalesce(mhits.n, 0) AS DOUBLE) / CAST($K AS DOUBLE) AS recall_multiprobe
          |FROM q LEFT JOIN bhits ON q.q_id = bhits.q_id
          |LEFT JOIN mhits ON q.q_id = mhits.q_id""".stripMargin,
+    "q_knn_recall_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+         |bscored AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    ${cosSql("qv", "v")} AS sim
+         |  FROM q, e WHERE e.vec_id != q.q_id),
+         |brute AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM bscored)
+         |  WHERE rank <= $K),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+         |assign AS (SELECT vec_id, v, cell FROM (
+         |  SELECT e.vec_id, e.v, c.c_id AS cell, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY (list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv))
+         |      - 2 * list_dot_product(e.v, c.cv), c.c_id) AS rn
+         |  FROM e, cent c) WHERE rn = 1),
+         |probes AS (SELECT q_id, qv, cell AS probe FROM (
+         |  SELECT e.vec_id AS q_id, e.v AS qv, c.c_id AS cell, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY (list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv))
+         |      - 2 * list_dot_product(e.v, c.cv), c.c_id) AS rn
+         |  FROM e, cent c WHERE e.vec_id % 50 = 0) WHERE rn <= 2),
+         |iscored AS (SELECT p.q_id, a.vec_id,
+         |  ${cosSql("p.qv", "a.v")} AS sim
+         |  FROM probes p JOIN assign a ON a.cell = p.probe AND a.vec_id != p.q_id),
+         |ivf AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM iscored)
+         |  WHERE rank <= $K),
+         |hits AS (SELECT q_id, count(*) AS n FROM brute
+         |  JOIN ivf USING (q_id, vec_id) GROUP BY 1)
+         |SELECT q.q_id,
+         |  CAST(coalesce(hits.n, 0) AS BIGINT) AS hits_ivf,
+         |  CAST(coalesce(hits.n, 0) AS DOUBLE) / CAST($K AS DOUBLE) AS recall_ivf
+         |FROM q LEFT JOIN hits ON q.q_id = hits.q_id""".stripMargin,
     "q_knn_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),

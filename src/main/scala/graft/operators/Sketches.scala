@@ -86,10 +86,15 @@ object Sketches {
       case _                                     => col(keyCol)
     }
     graft.plans.GraftExtensions.register(df.sparkSession)
-    val sk = df.agg(
-      expr(s"count_min_sketch($keyCol, ${eps}d, ${confidence}d, $seed)").as("_sk"))
-    df.join(broadcast(sk))
-      .filter(call_function("cms_estimate", col("_sk"), k) >= lit(threshold))
+    // The sketch is the INDEX BUILD side: one bounded row (a few KB at any
+    // corpus size) collected to the driver and re-shipped as a literal —
+    // the same pattern as IVF centroids, and it keeps the probe pass a pure
+    // narrow filter (a single-row broadcast join would plan the nested-loop
+    // product the repo-wide plan guard forbids).
+    val skBytes: Array[Byte] = df
+      .agg(expr(s"count_min_sketch($keyCol, ${eps}d, ${confidence}d, $seed)"))
+      .head().getAs[Array[Byte]](0)
+    df.filter(call_function("cms_estimate", lit(skBytes), k) >= lit(threshold))
       .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
       .filter(col("n") >= lit(threshold))
   }

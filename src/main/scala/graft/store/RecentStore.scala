@@ -110,6 +110,37 @@ final class RecentStore(
     this
   }
 
+  /** MERGE upsert — the keyed companion of [[append]]: rows of `batch`
+    * REPLACE existing rows sharing their `keys` values (whatever generation
+    * those lived in), and rows with novel keys insert; every batch row is
+    * stamped with the current generation, untouched rows keep theirs. This
+    * is the `MERGE WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT`
+    * shape a warehouse store (Delta/Iceberg) runs for the same contract —
+    * and the plan is the same one those engines use: ONE left-anti join of
+    * the store against the batch's distinct key set (keyed shuffle, or a
+    * broadcast when the batch is small) + a union. No full outer join, no
+    * per-row lookups.
+    *
+    * Matched-row counting (for callers that audit upsert vs insert) is one
+    * `semi` join away and deliberately not computed here — it would cost an
+    * extra action per merge on the hot path. */
+  def merge(batch: DataFrame, keys: Seq[String]): this.type = this.synchronized {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"merge key '$k' is not a store column (${schema.fieldNames.mkString(",")})"))
+    val aligned = align(batch, withRstId = false)
+    data = data
+      .join(aligned.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(aligned.withColumn("rst_id", lit(counter)))
+    counter += 1
+    appends += 1
+    if (counter % cleanFreq == 0) clean()
+    if (materializeEvery > 0 && appends % materializeEvery == 0)
+      data = data.localCheckpoint(eager = true)
+    registerView()
+    this
+  }
+
   /** Retention — operator K4 (`clean`, `models.py:702-735`): drop generations
     * older than `counter - interval`. `clean(0)` empties the store (doctest
     * `models.py:718-727`). */

@@ -129,6 +129,19 @@ object StorePack extends QueryPack {
       store.reset()
       buildInto(s, dir, store).selectAll
     },
+    // MERGE upsert: a corrected recount of every purchase bucket (counts
+    // +1000) replaces the matched rows across ALL generations and stamps
+    // them with the merge generation (7); other event types keep their
+    // original rows and rst_ids. One left-anti join + union — the
+    // Delta-style MERGE plan.
+    "q_store_merge" -> { (s, dir) =>
+      val store = buildStore(s, dir)
+      val upd = BucketCounts.bucketCounts(
+          table(s, dir, "events").filter(col("event_type") === "purchase"),
+          "ts", Interval, Seq("event_type"))
+        .withColumn("count", col("count") + 1000L)
+      store.merge(upd, Seq("event_type", "bucket_start")).selectAll
+    },
     // Q13 attach analog (`attach_new_db`, `models.py:189-224`): a SECOND
     // named store registers its own view in the shared catalog, and one SQL
     // statement cross-queries both namespaces — Spark's catalog plays the
@@ -172,6 +185,16 @@ object StorePack extends QueryPack {
       s"$StoreCte SELECT * FROM store WHERE 5 >= count",
     "q_store_onwards" -> s"$StoreCte SELECT * FROM store WHERE rst_id >= 4",
     "q_store_durable" -> s"$StoreCte SELECT * FROM store",
+    // Buckets never straddle generations (1 h buckets, 5-day batches), so
+    // a purchase recount matches every original purchase row exactly:
+    // merged = originals with +1000 counts at the merge generation.
+    "q_store_merge" ->
+      s"""$StoreCte
+         |SELECT * FROM store WHERE event_type <> 'purchase'
+         |UNION ALL
+         |SELECT event_type, bucket_start, bucket_end,
+         |  count + 1000 AS count, 7 AS rst_id
+         |FROM store WHERE event_type = 'purchase'""".stripMargin,
     "q_store_attach_join" ->
       s"""WITH store AS (
          |  ${storeSelect(Interval)}

@@ -158,4 +158,22 @@ class CurationSpec extends SparkSpec {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.clusters(empty, threshold = 0.5).count() === 0L)
   }
+
+  test("lengthOutliers: integer cross-multiplied bounds, strata independent") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // en: mean 100 → long > 150, short < 50. fr: mean 10 → bounds 15 / 5.
+    val docs = Seq(
+      (1L, "en", 100L), (2L, "en", 151L), (3L, "en", 49L),
+      (4L, "en", 150L),                  // exactly 1.5× mean: NOT an outlier
+      (5L, "fr", 10L), (6L, "fr", 16L), (7L, "fr", 4L)
+    ).toDF("doc_id", "lang", "len")
+    // Means shift once outliers are in the data; recompute like the op does:
+    // en n=4 sum=450 → long: len·4·2 > 3·450 ⇔ len > 168.75; short: len·8 < 450.
+    // fr n=3 sum=30 → long: len·6 > 90 ⇔ len > 15; short: len·6 < 30 ⇔ len < 5.
+    val got = Curation.lengthOutliers(docs, "len", "lang", 3L, 2L, 1L, 2L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("outlier")))
+      .toSet
+    assert(got === Set((3L, "short"), (6L, "long"), (7L, "short")))
+  }
 }

@@ -125,4 +125,26 @@ class StoreSpec extends SparkSpec {
       s.append(Seq(1L).toDF("num")) // no 'name'
     }
   }
+
+  test("merge replaces matched keys across generations, inserts novel ones") {
+    val s = new RecentStore(spark, schema, "t_merge", cleanFreq = 1000L)
+    s.append(row(1, "a")).append(row(2, "b"))        // gens 1, 2
+    s.merge(row(1, "a2").unionAll(row(3, "c")), Seq("num")) // gen 3
+    assert(s.currentRstId === 4L)
+    val got = s.selectAll.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (1L, "a2", 3L), // replaced: new payload, merge generation
+      (2L, "b", 2L),  // untouched: original generation kept
+      (3L, "c", 3L))) // inserted
+    // A second merge touching nothing = plain stamped insert.
+    s.merge(row(4, "d"), Seq("num"))
+    assert(s.selectAll.count() === 4L && s.currentRstId === 5L)
+  }
+
+  test("merge rejects keys outside the store schema") {
+    val s = new RecentStore(spark, schema, "t_merge_bad", cleanFreq = 1000L)
+    intercept[IllegalArgumentException] { s.merge(row(1, "a"), Seq("rst_id")) }
+    intercept[IllegalArgumentException] { s.merge(row(1, "a"), Nil) }
+  }
 }
