@@ -46,7 +46,13 @@ object Bench {
     // dedup (n-gram fan-out), triangle census (wedge join), PII scrubbing
     // (3 regex passes/row), SCD-2 (two same-key window passes).
     "q_dup_passages", "q_triangles", "q_pii_redact", "q_scd2",
-    "q_pagerank"
+    "q_pagerank",
+    // Round-5 fourth wave: the CMS-prefiltered heavy hitters, 3-round
+    // label propagation (iterative joins), the one-aggregate CDC snapshot
+    // diff, the MERGE upsert (anti-join + union over the 6-gen store),
+    // batch-vs-corpus incremental dedup, and exact sorted quantiles.
+    "q_heavy_hitters", "q_label_prop", "q_snapshot_diff",
+    "q_store_merge", "q_dedup_incremental", "q_exact_quantiles"
   )
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =

@@ -59,6 +59,14 @@ object PipelinePack extends QueryPack {
       Profiling.histogram(table(s, dir, "events"), "value", 25.0d,
         Seq("event_type"))
     },
+    // EXACT length quantiles per language — type-1 order statistics at
+    // integer ranks, no sketch and no interpolation, so the values
+    // hash-match any engine that sorts the same longs.
+    "q_exact_quantiles" -> { (s, dir) =>
+      Profiling.exactQuantiles(table(s, dir, "documents"), Seq("lang"),
+        "n_chars", Seq(("p25", 1L, 4L), ("p50", 1L, 2L),
+          ("p75", 3L, 4L), ("p95", 19L, 20L)))
+    },
     // Detect + redact synthetic PII: per-doc match counts by class and the
     // md5 of the redacted text (pins the exact replacement output, not
     // just the counts). The injected text is let-bound through a Generate
@@ -195,6 +203,17 @@ object PipelinePack extends QueryPack {
          |SELECT node, rank_fp FROM r3
          |ORDER BY rank_fp DESC, node LIMIT 20""".stripMargin
     },
+    "q_exact_quantiles" ->
+      """WITH r AS (SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang, max(n) AS n,
+        |  max(CASE WHEN rn = (n * 1 + 3) // 4 THEN n_chars END) AS p25,
+        |  max(CASE WHEN rn = (n * 1 + 1) // 2 THEN n_chars END) AS p50,
+        |  max(CASE WHEN rn = (n * 3 + 3) // 4 THEN n_chars END) AS p75,
+        |  max(CASE WHEN rn = (n * 19 + 19) // 20 THEN n_chars END) AS p95
+        |FROM r GROUP BY 1""".stripMargin,
     "q_label_prop" -> {
       def round(i: Int): String =
         s"""r$i AS (SELECT node, min(label) AS label FROM (

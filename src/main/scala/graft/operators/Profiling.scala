@@ -41,6 +41,43 @@ object Profiling {
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
 
+  /** EXACT per-group quantiles of an integral column — the audited-pipeline
+    * counterpart of [[Sketches.approxQuantiles]]: no sketch error bar, no
+    * float interpolation, bit-identical on any engine. Each requested
+    * quantile is the type-1 order statistic `value at rank ⌈p·n⌉`, with the
+    * probability given as the RATIONAL `num/den` so the rank is pure
+    * integer arithmetic: `rank = (n·num + den − 1) div den`.
+    *
+    * Plan: ONE keyed shuffle; both window passes (row_number and the
+    * per-group count) share the same partitioning, so Catalyst plans a
+    * single exchange + sort, and the final conditional aggregate rides the
+    * same layout. Cost is the in-partition sort — the price of EXACT
+    * quantiles at any scale (the mergeable-sketch trade documented on
+    * [[Sketches.approxQuantiles]]); a skewed group lands on one reducer, so
+    * at 100 TB this runs after the groups are known to be bounded (per
+    * language, per source — never per corpus).
+    *
+    * Output: keys…, n, then one column per `(name, num, den)` prob. */
+  def exactQuantiles(df: DataFrame, keys: Seq[String], valueCol: String,
+                     probs: Seq[(String, Long, Long)]): DataFrame = {
+    require(probs.nonEmpty, "need at least one quantile")
+    probs.foreach { case (_, nu, de) =>
+      require(nu >= 1 && de >= nu, s"probability $nu/$de outside (0, 1]") }
+    val w = org.apache.spark.sql.expressions.Window
+    val ranked = df.select((keys :+ valueCol).map(col): _*)
+      .withColumn("_rn",
+        row_number().over(w.partitionBy(keys.map(col): _*).orderBy(col(valueCol))))
+      .withColumn("_n", count(lit(1)).over(w.partitionBy(keys.map(col): _*)))
+    val qCols = probs.map { case (name, nu, de) =>
+      // _n is group-constant, so the rank expression is too: exactly one
+      // row per group satisfies the `when`.
+      max(when(col("_rn") === expr(s"((_n * $nu) + $de - 1) div $de"),
+        col(valueCol))).as(name)
+    }
+    ranked.groupBy(keys.map(col): _*)
+      .agg(max(col("_n")).as("n"), qCols: _*)
+  }
+
   /** Fixed-width histogram of `valueCol` per group key: bin index
     * (`floor(v / width)` — toward -inf, so negatives bin correctly), its
     * inclusive lower edge, and the count. One hash aggregate with map-side

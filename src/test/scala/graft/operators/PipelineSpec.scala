@@ -138,4 +138,26 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (Option(r.getString(1)), r.getLong(2)))
     assert(out.toSeq == Seq((Some("a"), 10L), (None, 20L), (Some("a"), 40L)))
   }
+
+  test("exactQuantiles: type-1 order statistics vs in-memory sort, single exchange") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = for (g <- Seq("a", "b", "c"); _ <- 1 to (17 + g.hashCode.abs % 5))
+      yield (g, rnd.nextInt(1000).toLong)
+    val probs = Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p95", 19L, 20L))
+    val df = Profiling.exactQuantiles(rows.toDF("g", "v"), Seq("g"), "v", probs)
+    val got = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val want = rows.groupBy(_._1).map { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.size.toLong
+      def q(nu: Long, de: Long) = sorted(((n * nu + de - 1) / de - 1).toInt)
+      g -> ((n, q(1, 4), q(1, 2), q(19, 20)))
+    }
+    assert(got === want)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 2, // partial+final agg may add one
+      "quantile windows must share one partitioning")
+  }
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
-import graft.operators.{Chunking, Curation}
+import graft.operators.{Chunking, Curation, Dedup}
 
 /** The curation gate and the chunker are NARROW transforms, so the exact
   * batch operators run unchanged over a stream — no watermark, no state,
@@ -42,5 +42,38 @@ class DocPipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(streamed === batch)
     assert(batch.nonEmpty)
+  }
+
+  test("streamed incremental dedup converges to the one-shot exact dedup") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // 120 docs over a 40-text vocabulary → plenty of dups within AND across
+    // micro-batches. Ids ascend with arrival order, so "first batch wins"
+    // and "global min id wins" pick the same representatives.
+    val docs = (0 until 120).map(i => (i.toLong, s"text number ${i % 40} body"))
+
+    val stream = MemoryStream[(Long, String)]
+    // The accumulating corpus state a real ingest keeps as a table: each
+    // trigger dedups its batch against the index and appends the survivors.
+    var corpus = Seq.empty[(String, Long)].toDF("fp", "keep_id")
+    val query = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val survivors = Dedup.incremental(b, corpus.select(col("fp")))
+          .select(col("fp"), col("keep_id"))
+          .localCheckpoint(eager = true) // materialize within the trigger
+        corpus = corpus.unionByName(survivors)
+        ()
+      }.start()
+    try {
+      for (b <- docs.grouped(50)) { stream.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+
+    val streamedKeeps = corpus.select("keep_id").collect().map(_.getLong(0)).toSet
+    val batchKeeps = Dedup.exact(docs.toDF("doc_id", "text"))
+      .select("keep_id").collect().map(_.getLong(0)).toSet
+    assert(streamedKeeps === batchKeeps)
+    assert(streamedKeeps.size === 40)
   }
 }
