@@ -52,7 +52,10 @@ object Bench {
     // diff, the MERGE upsert (anti-join + union over the 6-gen store),
     // batch-vs-corpus incremental dedup, and exact sorted quantiles.
     "q_heavy_hitters", "q_label_prop", "q_snapshot_diff",
-    "q_store_merge", "q_dedup_incremental", "q_exact_quantiles"
+    "q_store_merge", "q_dedup_incremental", "q_exact_quantiles",
+    // n-gram contamination scoring: the gram-explosion + distinct-index
+    // semi-join is the only new query with real data volume.
+    "q_contamination_score"
   )
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =

@@ -20,6 +20,17 @@ object CurationPack extends QueryPack {
     maxDupWordFrac = 0.6, langRates = Rates)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Leakage-safe split: the hash gate keyed on the GROUP (source domain)
+    // instead of the document id, so every doc of a domain — including all
+    // its intra-domain near-duplicates — lands in the same split and
+    // train/test contamination through shared boilerplate is structurally
+    // impossible. Same splitOf operator, different key: the leakage story
+    // is a KEY CHOICE, not new machinery.
+    "q_split_by_group" -> { (s, dir) =>
+      table(s, dir, "documents").select(col("doc_id"), col("source"),
+        Curation.splitOf(col("source"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    },
     // Length outliers per language, all-integer ratio-to-mean bounds:
     // long > 1.5× the stratum mean, short < 0.5× it (cross-multiplied, no
     // float mean anywhere — the oracle replicates the comparison exactly).
@@ -145,6 +156,15 @@ object CurationPack extends QueryPack {
         |WHERE user_id NOT IN (SELECT user_id FROM events
         |  WHERE event_type = 'purchase' AND value > 200)
         |GROUP BY 1""".stripMargin,
+    "q_split_by_group" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  ('0x' || substr(md5('split:' || source), 1, 8))::BIGINT
+        |    % 1000000 AS h FROM documents)
+        |SELECT doc_id, source,
+        |  CASE WHEN h < 800000 THEN 'train'
+        |       WHEN h < 900000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM d""".stripMargin,
     "q_length_outliers" ->
       """WITH s AS (SELECT lang, count(*) AS n, sum(n_chars) AS tot
         |    FROM documents GROUP BY 1),

@@ -118,6 +118,45 @@ object Dedup {
       .withColumnRenamed("dup_count", "batch_dups")
       .join(corpusFps.select(col("fp")), Seq("fp"), "left_anti")
 
+  /** n-gram OVERLAP contamination score — the eval-decontamination metric
+    * training runs report (what fraction of each held-out document's
+    * distinct normalized n-grams appears ANYWHERE in the training corpus),
+    * complementing [[crossNearDuplicatesBands]]: LSH answers "which train
+    * doc is this a near-dup of", the overlap fraction answers "how much of
+    * this eval doc leaked, from anywhere" — including stitched/partial
+    * leaks no single near-dup pair explains.
+    *
+    * Exact integers only: (matched_grams, total_grams, permille =
+    * matched·1000 div total) — no float ratio, so the score hash-compares
+    * across engines.
+    *
+    * Scale shape: the corpus side collapses to DISTINCT 32-bit gram hashes
+    * (one shuffle, then a bounded-by-vocabulary set that a deployment keeps
+    * as a bucketed table, like the [[incremental]] fingerprint index); the
+    * probe side is (eval_doc, gram) exploded rows semi-joined against it on
+    * the hash — eval sets are tiny next to the corpus, so the join streams
+    * the small side. No pairwise doc×doc work anywhere. */
+  def ngramContamination(corpusDocs: DataFrame, probeDocs: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         n: Int = 3): DataFrame = {
+    val corpusGrams = corpusDocs
+      .select(explode(shingleHashes(col(textCol), n)).as("h")).distinct()
+    val probeGrams = probeDocs
+      .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("h"))
+    val matched = probeGrams.join(corpusGrams, Seq("h"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("matched_grams"))
+    probeDocs
+      .select(col(idCol),
+        size(shingleHashes(col(textCol), n)).cast("long").as("total_grams"))
+      .join(matched, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("matched_grams"), lit(0L)).as("matched_grams"),
+        col("total_grams"),
+        when(col("total_grams") > 0,
+          expr("(coalesce(matched_grams, 0) * 1000) div total_grams"))
+          .as("permille"))
+  }
+
   /** The whole signature pipeline as ONE expression producing
     * `array<struct<band: string, hs: array<bigint>>>`. The shingle-hash set
     * is let-bound; each of the 16 minhashes is then a SCALAR long fold over

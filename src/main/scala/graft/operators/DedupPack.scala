@@ -53,6 +53,16 @@ object DedupPack extends QueryPack {
         docs.filter(!isBatch).select(
           graft.functions.TextFunctions.fingerprint(col("text")).as("fp")))
     },
+    // n-gram overlap contamination: per held-out doc, what fraction of its
+    // distinct 3-gram hashes occurs anywhere in the training corpus —
+    // integer (matched, total, permille), the report-card companion of
+    // the pairwise q_dedup_contamination below.
+    "q_contamination_score" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val docs = table(s, dir, "documents")
+      val isEval = col("source").isin("src18", "src19")
+      Dedup.ngramContamination(docs.filter(!isEval), docs.filter(isEval))
+    },
     // Decontamination: which held-out docs (src18/src19 = the "eval set")
     // near-duplicate a training doc (every other source)? Both sides slice
     // ONE table, so band once (single hashing pass) and split by side.
@@ -113,6 +123,25 @@ object DedupPack extends QueryPack {
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_contamination_score" ->
+      """WITH w AS (SELECT doc_id, source, string_split_regex(
+        |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') ws
+        |  FROM documents),
+        |h AS (SELECT doc_id, source, list_distinct(
+        |  [('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 8))::BIGINT
+        |   for i in range(1, len(ws) - 1)]) hs FROM w),
+        |c AS (SELECT DISTINCT unnest(hs) AS g FROM h
+        |  WHERE source NOT IN ('src18', 'src19')),
+        |p AS (SELECT doc_id, unnest(hs) AS g FROM h
+        |  WHERE source IN ('src18', 'src19')),
+        |m AS (SELECT doc_id, count(*) AS matched FROM p
+        |  WHERE g IN (SELECT g FROM c) GROUP BY 1),
+        |t AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS total_grams FROM h
+        |  WHERE source IN ('src18', 'src19'))
+        |SELECT t.doc_id, coalesce(m.matched, 0) AS matched_grams, t.total_grams,
+        |  CASE WHEN total_grams > 0
+        |    THEN (coalesce(m.matched, 0) * 1000) // total_grams END AS permille
+        |FROM t LEFT JOIN m USING (doc_id)""".stripMargin,
     "q_dedup_incremental" ->
       """WITH fp AS (SELECT doc_id,
         |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp

@@ -42,6 +42,31 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((11L, 2L), (13L, 1L)))
   }
 
+  test("ngramContamination: planted partial leak scores the exact overlap fraction") {
+    GraftExtensions.register(spark)
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon"), // grams: ab g, b g d, g d e
+      (1L, "zeta eta theta iota")
+    ).toDF("doc_id", "text")
+    val probe = Seq(
+      // 4 distinct 3-grams; the first two ("alpha beta gamma",
+      // "beta gamma delta") exist in corpus doc 0 → 2/4 = 500 permille.
+      (10L, "alpha beta gamma delta kappa lambda"),
+      (11L, "mu nu xi omicron"),     // 2 grams, 0 matched
+      (12L, "pi rho")                // too short: 0 grams, null permille
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramContamination(corpus, probe).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(got === Map(
+      10L -> ((2L, 4L, Some(500L))),
+      11L -> ((0L, 2L, Some(0L))),
+      12L -> ((0L, 0L, None))))
+  }
+
   test("minhash-LSH finds the planted near-dup pair and nothing spurious") {
     GraftExtensions.register(spark)
     val pairs = Dedup.nearDuplicates(docs, threshold = 0.5)
