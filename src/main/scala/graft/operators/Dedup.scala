@@ -141,20 +141,25 @@ object Dedup {
                          n: Int = 3): DataFrame = {
     val corpusGrams = corpusDocs
       .select(explode(shingleHashes(col(textCol), n)).as("h")).distinct()
-    val probeGrams = probeDocs
-      .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("h"))
-    val matched = probeGrams.join(corpusGrams, Seq("h"), "left_semi")
-      .groupBy(idCol).agg(count(lit(1)).as("matched_grams"))
-    probeDocs
-      .select(col(idCol),
-        size(shingleHashes(col(textCol), n)).cast("long").as("total_grams"))
-      .join(matched, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("matched_grams"), lit(0L)).as("matched_grams"),
-        col("total_grams"),
+    // ONE probe-side scan, one hashing pass: the gram set is bound through
+    // a Generate barrier (the exactly-once discipline — a size() + explode
+    // over the raw expression would run the md5 chain twice per row), then
+    // explode_outer keeps 0-gram docs as a null-gram row so they surface
+    // with total_grams = 0 instead of vanishing.
+    val grams = graft.functions.SqlLet
+      .explodeOnce(probeDocs.select(col(idCol), col(textCol)),
+        array(shingleHashes(col(textCol), n)), "_hs")
+      .select(col(idCol), size(col("_hs")).cast("long").as("total_grams"),
+        explode_outer(col("_hs")).as("h"))
+    // LEFT join against the DISTINCT corpus gram set: each gram row matches
+    // at most once (no fanout), match presence = the count payload.
+    grams.join(corpusGrams.withColumn("_hit", lit(1)), Seq("h"), "left")
+      .groupBy(idCol)
+      .agg(max(col("total_grams")).as("total_grams"),
+        count(col("_hit")).as("matched_grams"))
+      .select(col(idCol), col("matched_grams"), col("total_grams"),
         when(col("total_grams") > 0,
-          expr("(coalesce(matched_grams, 0) * 1000) div total_grams"))
-          .as("permille"))
+          expr("(matched_grams * 1000) div total_grams")).as("permille"))
   }
 
   /** The whole signature pipeline as ONE expression producing

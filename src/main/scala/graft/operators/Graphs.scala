@@ -111,7 +111,11 @@ object Graphs {
     * list + one hash aggregate on the receiving endpoint — the same plan
     * shape (and the same broadcast-the-state rationale) as
     * [[pageRankFixedPoint]]. State stays node-sized throughout; labeled
-    * frontier rows only shrink the join output, never grow it. */
+    * frontier rows only shrink the join output, never grow it.
+    *
+    * Contract: output covers EDGE-TOUCHED nodes only — a seed whose node
+    * appears in no edge has nothing to propagate to and is absent from the
+    * result (union the seed list back in if isolated seeds must surface). */
   def labelPropagation(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     val dir = edges.select(col("u").as("src"), col("v").as("dst"))

@@ -154,6 +154,33 @@ object SimilarityPack extends QueryPack {
     (0 until 4).map(d => s"(CASE WHEN $v[${d + 1}] > 0 THEN ${1 << d} ELSE 0 END)")
       .mkString(" + ")
 
+  /** The IVF assign + probe CTE pair over centroid CTE `$cent` — ONE
+    * definition of the distance/tie-break convention ((v·v + c·c) − 2·v·c,
+    * ties toward the lower centroid id, nprobe = 2, query set = every 50th
+    * vector) shared by all three IVF oracles so they cannot drift.
+    * Margins already stripped — compose with `Seq(...).mkString(",\n")`. */
+  private def ivfAssignProbes(cent: String): String =
+    s"""assign AS (SELECT vec_id, v, cell FROM (
+       |  SELECT e.vec_id, e.v, c.c_id AS cell, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY (list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv))
+       |      - 2 * list_dot_product(e.v, c.cv), c.c_id) AS rn
+       |  FROM e, $cent c) WHERE rn = 1),
+       |probes AS (SELECT q_id, qv, cell AS probe FROM (
+       |  SELECT e.vec_id AS q_id, e.v AS qv, c.c_id AS cell, row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY (list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv))
+       |      - 2 * list_dot_product(e.v, c.cv), c.c_id) AS rn
+       |  FROM e, $cent c WHERE e.vec_id % 50 = 0) WHERE rn <= 2)""".stripMargin
+
+  /** The IVF exact-rerank tail: cosine-score the probed candidates, take
+    * top-[[K]] under the (sim desc, id) total order. Margins stripped. */
+  private def ivfScoredTail: String =
+    s"""scored AS (SELECT p.q_id, a.vec_id,
+       |  ${cosSql("p.qv", "a.v")} AS sim
+       |  FROM probes p JOIN assign a ON a.cell = p.probe AND a.vec_id != p.q_id),
+       |ranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
+       |SELECT q_id, vec_id, rank, sim FROM ranked WHERE rank <= $K""".stripMargin
+
   /** One Lloyd iteration as raw CTE fragments (no margins — appended into
     * the final query verbatim): assign by argmin((v·v + c·c) − 2·v·c, c_id),
     * re-mean each (cell, dim) as a sequential double fold over values in
@@ -293,7 +320,7 @@ object SimilarityPack extends QueryPack {
          |  CAST(coalesce(mhits.n, 0) AS DOUBLE) / CAST($K AS DOUBLE) AS recall_multiprobe
          |FROM q LEFT JOIN bhits ON q.q_id = bhits.q_id
          |LEFT JOIN mhits ON q.q_id = mhits.q_id""".stripMargin,
-    "q_knn_recall_ivf" ->
+    "q_knn_recall_ivf" -> Seq(
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
          |bscored AS (
@@ -303,29 +330,21 @@ object SimilarityPack extends QueryPack {
          |brute AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER
          |    (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM bscored)
          |  WHERE rank <= $K),
-         |cent AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
-         |assign AS (SELECT vec_id, v, cell FROM (
-         |  SELECT e.vec_id, e.v, c.c_id AS cell, row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY (list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv))
-         |      - 2 * list_dot_product(e.v, c.cv), c.c_id) AS rn
-         |  FROM e, cent c) WHERE rn = 1),
-         |probes AS (SELECT q_id, qv, cell AS probe FROM (
-         |  SELECT e.vec_id AS q_id, e.v AS qv, c.c_id AS cell, row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY (list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv))
-         |      - 2 * list_dot_product(e.v, c.cv), c.c_id) AS rn
-         |  FROM e, cent c WHERE e.vec_id % 50 = 0) WHERE rn <= 2),
-         |iscored AS (SELECT p.q_id, a.vec_id,
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 8)""".stripMargin,
+      ivfAssignProbes("cent"),
+      s"""scored AS (SELECT p.q_id, a.vec_id,
          |  ${cosSql("p.qv", "a.v")} AS sim
          |  FROM probes p JOIN assign a ON a.cell = p.probe AND a.vec_id != p.q_id),
          |ivf AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER
-         |    (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM iscored)
+         |    (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
          |  WHERE rank <= $K),
          |hits AS (SELECT q_id, count(*) AS n FROM brute
          |  JOIN ivf USING (q_id, vec_id) GROUP BY 1)
          |SELECT q.q_id,
          |  CAST(coalesce(hits.n, 0) AS BIGINT) AS hits_ivf,
          |  CAST(coalesce(hits.n, 0) AS DOUBLE) / CAST($K AS DOUBLE) AS recall_ivf
-         |FROM q LEFT JOIN hits ON q.q_id = hits.q_id""".stripMargin,
+         |FROM q LEFT JOIN hits ON q.q_id = hits.q_id""".stripMargin
+    ).mkString(",\n"),
     "q_knn_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
@@ -339,25 +358,12 @@ object SimilarityPack extends QueryPack {
     // IVF: centroids = 8 lowest-id vectors; assignment/probing by squared L2
     // from dots ((v·v + c·c) − 2·v·c — the same association order as the
     // Spark side), ties toward the lower centroid id; nprobe = 2.
-    "q_knn_ivf" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-         |cent AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
-         |assign AS (SELECT vec_id, v, cell FROM (
-         |  SELECT e.vec_id, e.v, c.c_id AS cell, row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY (list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv))
-         |      - 2 * list_dot_product(e.v, c.cv), c.c_id) AS rn
-         |  FROM e, cent c) WHERE rn = 1),
-         |probes AS (SELECT q_id, qv, cell AS probe FROM (
-         |  SELECT e.vec_id AS q_id, e.v AS qv, c.c_id AS cell, row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY (list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv))
-         |      - 2 * list_dot_product(e.v, c.cv), c.c_id) AS rn
-         |  FROM e, cent c WHERE e.vec_id % 50 = 0) WHERE rn <= 2),
-         |scored AS (SELECT p.q_id, a.vec_id,
-         |  ${cosSql("p.qv", "a.v")} AS sim
-         |  FROM probes p JOIN assign a ON a.cell = p.probe AND a.vec_id != p.q_id),
-         |ranked AS (SELECT *, row_number() OVER
-         |  (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
-         |SELECT q_id, vec_id, rank, sim FROM ranked WHERE rank <= $K""".stripMargin,
+    "q_knn_ivf" -> Seq(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |cent AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 8)""".stripMargin,
+      ivfAssignProbes("cent"),
+      ivfScoredTail
+    ).mkString(",\n"),
     // Trained IVF: replicate the full 3-iteration Lloyd run (init = 8
     // lowest-id vectors, c_id = 0..7 rank order exactly like kmeans'
     // zipWithIndex), then assign/probe/score with the trained centroids —
@@ -370,22 +376,8 @@ object SimilarityPack extends QueryPack {
       lloydIter("c0", "a1", "m1", "c1"),
       lloydIter("c1", "a2", "m2", "c2"),
       lloydIter("c2", "a3", "m3", "c3"),
-      s"""assign AS (SELECT vec_id, v, cell FROM (
-         |  SELECT e.vec_id, e.v, c.c_id AS cell, row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY (list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv))
-         |      - 2 * list_dot_product(e.v, c.cv), c.c_id) AS rn
-         |  FROM e, c3 c) WHERE rn = 1),
-         |probes AS (SELECT q_id, qv, cell AS probe FROM (
-         |  SELECT e.vec_id AS q_id, e.v AS qv, c.c_id AS cell, row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY (list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv))
-         |      - 2 * list_dot_product(e.v, c.cv), c.c_id) AS rn
-         |  FROM e, c3 c WHERE e.vec_id % 50 = 0) WHERE rn <= 2),
-         |scored AS (SELECT p.q_id, a.vec_id,
-         |  ${cosSql("p.qv", "a.v")} AS sim
-         |  FROM probes p JOIN assign a ON a.cell = p.probe AND a.vec_id != p.q_id),
-         |ranked AS (SELECT *, row_number() OVER
-         |  (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
-         |SELECT q_id, vec_id, rank, sim FROM ranked WHERE rank <= $K""".stripMargin
+      ivfAssignProbes("c3"),
+      ivfScoredTail
     ).mkString(",\n")),
     "q_embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings)

@@ -70,13 +70,21 @@ object Sketches {
     * n-grams, user ids) the shuffle is dominated by keys that can never
     * reach the threshold. The prefilter keeps the shuffle proportional to
     * rows of CANDIDATE keys (≥ threshold − eps·N by the CMS bound), at the
-    * cost of one extra narrow pass. `eps` bounds overcount (and false-
-    * positive volume) at eps·N; `seed` pins the hash functions so runs are
-    * reproducible.
+    * cost of one extra narrow pass. `seed` pins the hash functions so runs
+    * are reproducible.
+    *
+    * Sizing `eps` is the whole trade: the sketch is ~`(2/eps)·7·8` bytes
+    * (≈ 1.1 MB at the 1e-4 default — an index artifact shipped inside
+    * every task binary, like a broadcast build side), and the prefilter
+    * only bites when `threshold ≫ eps·N` — at 10⁹ rows, eps = 1e-4 means
+    * overcounts up to 10⁵, so thresholds below that pass everything (still
+    * EXACT, just unfiltered). Pick eps ≈ threshold / (10 · N) and accept
+    * the proportional sketch size.
     *
     * Output: (`keyCol`, `n`), exact. String/binary keys probe through the
     * same byte-level hash the aggregate ingests, long keys through the
-    * integral path. */
+    * integral path. NULL keys are excluded (the CMS aggregate skips them),
+    * unlike a literal GROUP BY, which would emit a (null, n) row. */
   def heavyHitters(df: DataFrame, keyCol: String, threshold: Long,
                    eps: Double = 1e-4, confidence: Double = 0.99,
                    seed: Int = 42): DataFrame = {
@@ -86,15 +94,17 @@ object Sketches {
       case _                                     => col(keyCol)
     }
     graft.plans.GraftExtensions.register(df.sparkSession)
-    // The sketch is the INDEX BUILD side: one bounded row (a few KB at any
-    // corpus size) collected to the driver and re-shipped as a literal —
+    // The sketch is the INDEX BUILD side: one bounded row (size set by eps
+    // — see scaladoc) collected to the driver and re-shipped as a literal —
     // the same pattern as IVF centroids, and it keeps the probe pass a pure
     // narrow filter (a single-row broadcast join would plan the nested-loop
-    // product the repo-wide plan guard forbids).
+    // product the repo-wide plan guard forbids; a literal also makes the
+    // expression memo hit, a joined binary column would defeat it).
     val skBytes: Array[Byte] = df
       .agg(expr(s"count_min_sketch($keyCol, ${eps}d, ${confidence}d, $seed)"))
       .head().getAs[Array[Byte]](0)
-    df.filter(call_function("cms_estimate", lit(skBytes), k) >= lit(threshold))
+    df.filter(col(keyCol).isNotNull && // explicit: null keys are out of scope
+        call_function("cms_estimate", lit(skBytes), k) >= lit(threshold))
       .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
       .filter(col("n") >= lit(threshold))
   }

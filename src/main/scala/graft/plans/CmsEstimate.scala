@@ -21,13 +21,16 @@ import org.apache.spark.util.sketch.CountMinSketch
   * byte-level path, so the estimates agree).
   *
   * The deserialized sketch is memoized per expression instance keyed on
-  * the byte array's REFERENCE (the sketch arrives via a broadcast join, so
-  * every row of a partition sees the same array object): after the first
-  * row, a probe is just the sketch's few hash-and-min operations. That
-  * makes per-ROW probing of a fact table affordable — which is exactly the
-  * heavy-hitter prefilter pattern ([[graft.operators.Sketches.heavyHitters]]).
-  * The memo is a volatile pair; a race between threads merely deserializes
-  * twice (CountMinSketch reads are thread-safe).
+  * the byte array's REFERENCE. That hits when the sketch is a plan
+  * LITERAL (one array object per task — how
+  * [[graft.operators.Sketches.heavyHitters]] ships it), making per-ROW
+  * probing of a fact table affordable: after the first row, a probe is
+  * just the sketch's few hash-and-min operations. When the sketch arrives
+  * as a JOINED COLUMN instead, each row's binary accessor yields a fresh
+  * copy and the memo never hits — on that path keep probing AGGREGATED
+  * rows only (a bounded probe list behind a broadcast join, as q_cms_probe
+  * does). The memo is a volatile pair; a race between threads merely
+  * deserializes twice (CountMinSketch reads are thread-safe).
   */
 case class CmsEstimateExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -46,8 +49,11 @@ case class CmsEstimateExpr(left: Expression, right: Expression)
   }
 
   // (bytes reference, deserialized sketch) — see scaladoc. @transient: the
-  // memo never travels with the serialized task closure.
-  @transient private var memo: (AnyRef, CountMinSketch) = _
+  // memo never travels with the serialized task closure; @volatile: plan
+  // fragments are shared across local-mode task threads, and the sketch's
+  // fields are non-final — unsynchronized publication could expose a
+  // half-initialized table to a second thread.
+  @transient @volatile private var memo: (AnyRef, CountMinSketch) = _
 
   private def sketchOf(bytes: Array[Byte]): CountMinSketch = {
     val m = memo

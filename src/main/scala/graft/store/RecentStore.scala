@@ -93,21 +93,32 @@ final class RecentStore(
     * (a Spark action either commits the whole batch plan or fails it).
     */
   def append(batch: DataFrame): this.type = this.synchronized {
+    checkSoftLimit(batch)
+    val stamped = align(batch, withRstId = false)
+      .withColumn("rst_id", lit(counter))
+    data = data.unionByName(stamped)
+    commitGeneration()
+    this
+  }
+
+  private def checkSoftLimit(batch: DataFrame): Unit =
     softLimit.foreach { lim =>
       val n = batch.count()
       if (n > lim) throw new IllegalStateException(
         s"batch of $n rows exceeds soft limit $lim (DumpTable soft_limit semantics)")
     }
-    val stamped = align(batch, withRstId = false)
-      .withColumn("rst_id", lit(counter))
-    data = data.unionByName(stamped)
+
+  /** The post-mutation tail shared by [[append]] and [[merge]]: one
+    * generation committed — bump counters, run the retention trigger,
+    * truncate lineage on cadence, re-register the view. One copy, so the
+    * two mutators cannot drift. */
+  private def commitGeneration(): Unit = {
     counter += 1
     appends += 1
     if (counter % cleanFreq == 0) clean()
     if (materializeEvery > 0 && appends % materializeEvery == 0)
       data = data.localCheckpoint(eager = true)
     registerView()
-    this
   }
 
   /** MERGE upsert — the keyed companion of [[append]]: rows of `batch`
@@ -128,16 +139,12 @@ final class RecentStore(
     require(keys.nonEmpty, "merge needs at least one key column")
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"merge key '$k' is not a store column (${schema.fieldNames.mkString(",")})"))
+    checkSoftLimit(batch)
     val aligned = align(batch, withRstId = false)
     data = data
       .join(aligned.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .unionByName(aligned.withColumn("rst_id", lit(counter)))
-    counter += 1
-    appends += 1
-    if (counter % cleanFreq == 0) clean()
-    if (materializeEvery > 0 && appends % materializeEvery == 0)
-      data = data.localCheckpoint(eager = true)
-    registerView()
+    commitGeneration()
     this
   }
 

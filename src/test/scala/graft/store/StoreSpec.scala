@@ -147,4 +147,12 @@ class StoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] { s.merge(row(1, "a"), Seq("rst_id")) }
     intercept[IllegalArgumentException] { s.merge(row(1, "a"), Nil) }
   }
+
+  test("merge enforces the same soft limit as append") {
+    val s = new RecentStore(spark, schema, "t_merge_soft", cleanFreq = 1000L,
+      softLimit = Some(1L))
+    intercept[IllegalStateException] {
+      s.merge(row(1, "a").unionAll(row(2, "b")), Seq("num"))
+    }
+  }
 }
