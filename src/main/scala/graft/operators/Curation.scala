@@ -208,6 +208,32 @@ object Curation {
       .drop("_n", "_sum")
   }
 
+  /** Winsorization — clamp `valueCol` into its own per-stratum exact
+    * quantile band [`lo`, `hi`] (rational probabilities, e.g. (1,20) and
+    * (19,20) for p05/p95): the tail-taming cleanup that keeps outlier
+    * documents instead of dropping them ([[lengthOutliers]] is the DROP
+    * decision; this is the KEEP-but-bound one). Bounds come from
+    * [[Profiling.exactQuantiles]] — type-1 order statistics, so clamped
+    * values are members of the data, bit-identical on any engine.
+    *
+    * Plan: the quantile aggregate's output is strata-sized → broadcast
+    * back over the corpus scan, then a narrow `least/greatest` clamp —
+    * the only heavy step is the quantile sort itself (see the
+    * exactQuantiles scale note). */
+  def winsorize(df: DataFrame, keys: Seq[String], valueCol: String,
+                lo: (Long, Long), hi: (Long, Long),
+                out: String = "clamped"): DataFrame = {
+    Seq("_lo", "_hi", out).foreach(c => require(!df.columns.contains(c),
+      s"input already has a '$c' column"))
+    val bounds = Profiling.exactQuantiles(
+        df.select((keys :+ valueCol).map(col): _*), keys, valueCol,
+        Seq(("_lo", lo._1, lo._2), ("_hi", hi._1, hi._2)))
+      .drop("n")
+    df.join(broadcast(bounds), keys)
+      .withColumn(out, least(greatest(col(valueCol), col("_lo")), col("_hi")))
+      .drop("_lo", "_hi")
+  }
+
   def curriculumBuckets(docs: DataFrame, n: Int, strataCol: String,
                         score: Column, idCol: String = "doc_id"): DataFrame = {
     require(n >= 1, "need at least one bucket")

@@ -31,6 +31,14 @@ object CurationPack extends QueryPack {
         Curation.splitOf(col("source"),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
     },
+    // Winsorize document lengths into the per-language [p05, p95] band —
+    // exact order-statistic bounds, so the clamp is engine-exact.
+    "q_winsorize" -> { (s, dir) =>
+      Curation.winsorize(
+        table(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq("lang"), "n_chars", lo = (1L, 20L), hi = (19L, 20L))
+        .select("doc_id", "lang", "n_chars", "clamped")
+    },
     // Length outliers per language, all-integer ratio-to-mean bounds:
     // long > 1.5× the stratum mean, short < 0.5× it (cross-multiplied, no
     // float mean anywhere — the oracle replicates the comparison exactly).
@@ -156,6 +164,18 @@ object CurationPack extends QueryPack {
         |WHERE user_id NOT IN (SELECT user_id FROM events
         |  WHERE event_type = 'purchase' AND value > 200)
         |GROUP BY 1""".stripMargin,
+    "q_winsorize" ->
+      """WITH r AS (SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |b AS (SELECT lang,
+        |    max(CASE WHEN rn = (n * 1 + 19) // 20 THEN n_chars END) AS lo,
+        |    max(CASE WHEN rn = (n * 19 + 19) // 20 THEN n_chars END) AS hi
+        |  FROM r GROUP BY 1)
+        |SELECT doc_id, lang, n_chars,
+        |  least(greatest(n_chars, lo), hi) AS clamped
+        |FROM documents JOIN b USING (lang)""".stripMargin,
     "q_split_by_group" ->
       """WITH d AS (SELECT doc_id, source,
         |  ('0x' || substr(md5('split:' || source), 1, 8))::BIGINT

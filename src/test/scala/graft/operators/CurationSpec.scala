@@ -176,4 +176,20 @@ class CurationSpec extends SparkSpec {
       .toSet
     assert(got === Set((3L, "short"), (6L, "long"), (7L, "short")))
   }
+
+  test("winsorize clamps to in-data order statistics per stratum") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // Stratum a: values 1..20 → p05 = rank ⌈20/20⌉ = 1 → 1, p95 = rank 19 → 19.
+    // Stratum b: 100..104 → p05 = rank 1 → 100, p95 = rank ⌈5·19/20⌉=5 → 104.
+    val rows = (1L to 20L).map(v => ("a", v)) ++ (100L to 104L).map(v => ("b", v))
+    val got = Curation.winsorize(rows.toDF("g", "v"), Seq("g"), "v",
+        lo = (1L, 20L), hi = (19L, 20L))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got(("a", 20L)) === 19L) // clamped down to p95
+    assert(got(("a", 1L)) === 1L)   // at the lower bound, untouched
+    assert(got(("a", 10L)) === 10L)
+    assert(got(("b", 100L)) === 100L)
+    assert(got(("b", 104L)) === 104L) // p95 IS the max here — no clamp
+  }
 }
