@@ -207,6 +207,24 @@ object AnalyticsPack extends QueryPack {
           near(col("ap")(0), col("ex")(0)).as("ok_p50"),
           near(col("ap")(1), col("ex")(1)).as("ok_p95"))
     },
+    // Rolling 7-day window per event type over daily counts: a RANGE frame
+    // on the epoch-day number, so calendar gaps shorten the window instead
+    // of silently widening it (a ROWS frame would span "last 7 observed
+    // days"). Two shuffles total — the daily pre-aggregate collapses the
+    // events first, so the window pass sorts keys × days rows, never raw
+    // events; integer sums + the contributing-day count, avg left to the
+    // reader (no float in the pinned output).
+    "q_moving_window" -> { (s, dir) =>
+      val daily = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day").rangeBetween(-6L, 0L)
+      daily.select(col("event_type"), col("day"), col("n"),
+        sum(col("n")).over(w).as("n_7d"),
+        count(lit(1)).over(w).as("days_in_window"))
+    },
     // EXACT heavy hitters (vocabulary mining): every term occurring ≥ 500
     // times across the corpus, found through the CMS prefilter + exact
     // recount two-pass — the oracle is the plain GROUP BY … HAVING, so a
@@ -242,6 +260,16 @@ object AnalyticsPack extends QueryPack {
     "q_cms_probe" ->
       """SELECT event_type, user_id, count(*) AS n_exact, true AS cms_ok
         |FROM events WHERE user_id <= 20 GROUP BY 1, 2""".stripMargin,
+    "q_moving_window" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n,
+        |  CAST(sum(n) OVER w AS BIGINT) AS n_7d,
+        |  count(*) OVER w AS days_in_window
+        |FROM d
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_heavy_hitters" ->
       """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
         |    FROM documents)
