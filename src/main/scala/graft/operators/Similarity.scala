@@ -363,4 +363,28 @@ object Similarity {
           col("a.n2"), col("b.n2")).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** CROSS-corpus blocked near-duplicates — the embedding face of
+    * incremental ingest ([[graft.operators.Dedup.incremental]] is the
+    * fingerprint face): every (probe, corpus) pair sharing a block with
+    * cosine ≥ threshold. Output (probe_id, corpus_id, sim) — callers drop
+    * probe vectors that surface here (LEFT ANTI on probe_id) and ingest
+    * the rest. Same blocked equi-join shape as [[blockedNearDup]] (norms
+    * below the join, no id ordering — the two sides are distinct tables);
+    * cost is Σ_block |probe_b|·|corpus_b|, and the probe batch is the
+    * small side at steady state. */
+  def crossBlockedNearDup(corpus: DataFrame, probe: DataFrame,
+                          blockCol: String, threshold: Double,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    def slim(df: DataFrame) = df.select(col(idCol), col(blockCol), col(vecCol),
+      dot(vecCol, vecCol).as("n2"))
+    val c = slim(corpus).as("c")
+    val p = slim(probe).as("p")
+    p.join(c, col(s"p.$blockCol") === col(s"c.$blockCol"))
+      .select(col(s"p.$idCol").as("probe_id"), col(s"c.$idCol").as("corpus_id"),
+        cosineOf(dot(s"p.$vecCol", s"c.$vecCol"),
+          col("p.n2"), col("c.n2")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
 }

@@ -78,6 +78,21 @@ object SimilarityPack extends QueryPack {
           coalesce(col("h_mp"), lit(0L)).as("hits_multiprobe"),
           (coalesce(col("h_mp"), lit(0L)) / lit(K.toDouble)).as("recall_multiprobe"))
     },
+    // Incremental EMBEDDING ingest — the semantic twin of
+    // q_dedup_incremental: the last fifth of vec_ids plays the incoming
+    // batch, kept only when no same-block corpus vector sits within the
+    // near-dup cosine threshold. Blocked equi-join + LEFT ANTI, no
+    // all-pairs work.
+    "q_embed_incremental" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val emb = table(s, dir, "embeddings")
+      val isBatch = col("vec_id") % 10 >= 8
+      val dups = Similarity.crossBlockedNearDup(
+        emb.filter(!isBatch), emb.filter(isBatch), "label", NearDupThreshold)
+      emb.filter(isBatch).select(col("vec_id"))
+        .join(dups.select(col("probe_id").as("vec_id")).distinct(),
+          Seq("vec_id"), "left_anti")
+    },
     // Recall@10 of the IVF path (8 seed centroids, nprobe 2) against the
     // same brute-force truth — completes the recall ladder next to the
     // sign-bucket and multiprobe rows of q_knn_recall.
@@ -320,6 +335,14 @@ object SimilarityPack extends QueryPack {
          |  CAST(coalesce(mhits.n, 0) AS DOUBLE) / CAST($K AS DOUBLE) AS recall_multiprobe
          |FROM q LEFT JOIN bhits ON q.q_id = bhits.q_id
          |LEFT JOIN mhits ON q.q_id = mhits.q_id""".stripMargin,
+    "q_embed_incremental" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+         |p AS (SELECT * FROM e WHERE vec_id % 10 >= 8),
+         |c AS (SELECT * FROM e WHERE vec_id % 10 < 8),
+         |m AS (SELECT DISTINCT p.vec_id FROM p JOIN c ON p.label = c.label
+         |  WHERE ${cosSql("p.v", "c.v")} >= $NearDupThreshold)
+         |SELECT vec_id FROM p
+         |WHERE vec_id NOT IN (SELECT vec_id FROM m)""".stripMargin,
     "q_knn_recall_ivf" -> Seq(
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),

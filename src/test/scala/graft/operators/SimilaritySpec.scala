@@ -223,4 +223,22 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  test("crossBlockedNearDup flags planted probe dups, respects block boundaries") {
+    GraftExtensions.register(spark)
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val corpus = Seq(
+      (1L, "b0", Array(1f, 0f, 0f)),
+      (2L, "b1", Array(0f, 1f, 0f))
+    ).toDF("vec_id", "label", "embedding")
+    val probe = Seq(
+      (10L, "b0", Array(0.99f, 0.1f, 0f)), // near-dup of 1, same block → flagged
+      (11L, "b1", Array(0.99f, 0.1f, 0f)), // near 1 but BLOCKED apart → not flagged
+      (12L, "b0", Array(0f, 0f, 1f))       // orthogonal → not flagged
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.crossBlockedNearDup(corpus, probe, "label", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((10L, 1L)))
+  }
 }
