@@ -118,6 +118,14 @@ object PipelinePack extends QueryPack {
         keys = Seq("user_id"), attrCol = "event_type",
         instantCol = "us", tieCols = Seq("event_id"))
     },
+    // Global contiguous ids under the (lang, doc_id) total order — the
+    // distributed two-pass prefix sum, pinned against the single-partition
+    // row_number() the oracle writes.
+    "q_global_ids" -> { (s, dir) =>
+      Numbering.assignGlobalIds(
+        table(s, dir, "documents").select(col("doc_id"), col("lang")),
+        order = Seq(col("lang"), col("doc_id")))
+    },
     // Inverted index: term -> document frequency + sorted posting list.
     "q_inverted_index" -> { (s, dir) =>
       table(s, dir, "documents")
@@ -248,6 +256,10 @@ object PipelinePack extends QueryPack {
         |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
         |    AS valid_to
         |FROM ch""".stripMargin,
+    "q_global_ids" ->
+      """SELECT doc_id, lang,
+        |  row_number() OVER (ORDER BY lang, doc_id) AS global_id
+        |FROM documents""".stripMargin,
     "q_inverted_index" ->
       """WITH p AS (SELECT DISTINCT doc_id, term FROM (
         |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))

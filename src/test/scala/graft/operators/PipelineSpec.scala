@@ -160,4 +160,19 @@ class PipelineSpec extends SparkSpec {
     assert(plan.linesIterator.count(_.contains("Exchange")) <= 2, // partial+final agg may add one
       "quantile windows must share one partitioning")
   }
+
+  test("assignGlobalIds: contiguous 1..N in total order, input-partitioning invariant") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 300).map(i => (rnd.nextInt(40).toLong, i.toLong))
+    val want = rows.sortBy(identity).zipWithIndex
+      .map { case (r, i) => r -> (i + 1).toLong }.toMap
+    for (inputParts <- Seq(1, 7)) {
+      val got = Numbering.assignGlobalIds(
+          rows.toDF("k", "tie").repartition(inputParts),
+          order = Seq(col("k"), col("tie")), numPartitions = Some(5))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === want, s"inputParts=$inputParts")
+    }
+  }
 }
