@@ -55,7 +55,10 @@ object Bench {
     "q_store_merge", "q_dedup_incremental", "q_exact_quantiles",
     // n-gram contamination scoring: the gram-explosion + distinct-index
     // semi-join is the only new query with real data volume.
-    "q_contamination_score"
+    "q_contamination_score",
+    // Distributed global numbering (range sort + prefix sum) and the
+    // blocked batch-vs-corpus embedding dedup.
+    "q_global_ids", "q_embed_incremental"
   )
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, expr, lit}
 import graft.QueryPack
 
 /** Dedup queries over `documents`, DuckDB-oracle-verified end to end —
@@ -41,6 +41,17 @@ object DedupPack extends QueryPack {
     "q_dedup_drop" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       Dedup.dropList(Dedup.clusters(table(s, dir, "documents"), Threshold))
+    },
+    // Dedup-aware sampling weights: weight each document by the inverse of
+    // its near-dup cluster size (ppm, integer), so a cluster contributes
+    // ONE document's worth of probability mass however many copies crawled
+    // in — the soft alternative to hard-dropping duplicates.
+    "q_cluster_weights" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+      Dedup.clusters(table(s, dir, "documents"), Threshold)
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .withColumn("weight_ppm", expr("1000000 div cluster_size"))
     },
     // Incremental ingest: the last fifth of doc ids plays the "new crawl
     // batch", everything before it the already-ingested corpus whose
@@ -167,6 +178,20 @@ object DedupPack extends QueryPack {
          |  CAST(coalesce(least(min(r.b), d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
          |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
          |GROUP BY d.doc_id""".stripMargin,
+    "q_cluster_weights" ->
+      s"""WITH RECURSIVE $PairCtes,
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |cl AS (SELECT d.doc_id,
+         |    CAST(coalesce(least(min(r.b), d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
+         |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+         |  GROUP BY d.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  1000000 // count(*) OVER (PARTITION BY cluster_id) AS weight_ppm
+         |FROM cl""".stripMargin,
     // Keep = doc_id == its cluster label (the component minimum);
     // drop = the complement. Same recursive closure as q_dedup_clusters.
     "q_dedup_keep" ->
