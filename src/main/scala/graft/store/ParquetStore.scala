@@ -96,6 +96,49 @@ final class ParquetStore(
     this
   }
 
+  /** MERGE upsert, durable form — same contract as [[RecentStore.merge]]
+    * (matched keys replaced wherever they live, batch stamped with the
+    * merge generation, untouched rows keep theirs) realized as
+    * COPY-ON-WRITE: each existing generation that contains a matched key
+    * is rewritten without those rows (stage → swap, untouched generations
+    * are not rewritten — the semi-join probe prunes them), then the batch
+    * appends as the new generation. This is exactly the file-level plan a
+    * Delta/Iceberg MERGE runs, minus the transaction log: the
+    * delete-then-rename swap has a crash window a table format would close
+    * with an atomic commit — the documented upgrade path, not something a
+    * bare filesystem can express. */
+  def merge(batch: DataFrame, keys: Seq[String]): this.type = this.synchronized {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"merge key '$k' is not a store column (${schema.fieldNames.mkString(",")})"))
+    val aligned = schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
+    // Pinned: read once per touched generation + once for the append —
+    // and never re-derived from source files the rewrites may replace.
+    val pinned = batch.select(aligned.toIndexedSeq: _*).localCheckpoint(eager = true)
+    val batchKeys = pinned.select(keys.map(col): _*).distinct()
+      .localCheckpoint(eager = true)
+    for (g <- generationIds()) {
+      val gen = raw(Some(col("rst_id") === g)).drop("rst_id")
+      if (!gen.join(batchKeys, keys, "left_semi").isEmpty) {
+        val staging = Paths.get(path, s".staging_rw_$g")
+        try {
+          // Read-from-original, write-to-staging: the scan and the write
+          // never touch the same files; the swap happens only after the
+          // staged copy is complete.
+          gen.join(batchKeys, keys, "left_anti")
+            .write.mode("overwrite").parquet(staging.toString)
+          deleteRecursively(Paths.get(path, s"rst_id=$g"))
+          Files.move(staging, Paths.get(path, s"rst_id=$g"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } catch { case e: Throwable =>
+          if (Files.exists(staging)) deleteRecursively(staging)
+          throw e
+        }
+      }
+    }
+    append(pinned)
+  }
+
   /** K4 retention as partition-directory deletes — no row-level work. */
   def clean(interval: Long = -1L): this.type = this.synchronized {
     cleanCore(interval)

@@ -142,6 +142,22 @@ object StorePack extends QueryPack {
         .withColumn("count", col("count") + 1000L)
       store.merge(upd, Seq("event_type", "bucket_start")).selectAll
     },
+    // The same MERGE through the DURABLE deployment: copy-on-write
+    // generation rewrites + the batch as a new partition — identical
+    // contents, identical oracle.
+    "q_store_merge_durable" -> { (s, dir) =>
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        f"graft_durable_mg_${dir.hashCode}%08x")
+      val store = new ParquetStore(s, storeSchema, base.toString,
+        tableName = "durable_merge", cleanInterval = 100, cleanFreq = 1000)
+      store.reset()
+      buildInto(s, dir, store)
+      val upd = BucketCounts.bucketCounts(
+          table(s, dir, "events").filter(col("event_type") === "purchase"),
+          "ts", Interval, Seq("event_type"))
+        .withColumn("count", col("count") + 1000L)
+      store.merge(upd, Seq("event_type", "bucket_start")).selectAll
+    },
     // Q13 attach analog (`attach_new_db`, `models.py:189-224`): a SECOND
     // named store registers its own view in the shared catalog, and one SQL
     // statement cross-queries both namespaces — Spark's catalog plays the
@@ -189,6 +205,13 @@ object StorePack extends QueryPack {
     // a purchase recount matches every original purchase row exactly:
     // merged = originals with +1000 counts at the merge generation.
     "q_store_merge" ->
+      s"""$StoreCte
+         |SELECT * FROM store WHERE event_type <> 'purchase'
+         |UNION ALL
+         |SELECT event_type, bucket_start, bucket_end,
+         |  count + 1000 AS count, 7 AS rst_id
+         |FROM store WHERE event_type = 'purchase'""".stripMargin,
+    "q_store_merge_durable" ->
       s"""$StoreCte
          |SELECT * FROM store WHERE event_type <> 'purchase'
          |UNION ALL

@@ -38,6 +38,28 @@ class ParquetStoreSpec extends SparkSpec {
     assert(rows(dur.getOnwards(2L)) === rows(mem.getOnwards(2L)))
   }
 
+  test("merge: copy-on-write parity with RecentStore.merge, untouched dirs not rewritten") {
+    val mem = new RecentStore(spark, schema, tableName = "mem_mg", cleanFreq = 1000L)
+    val dur = new ParquetStore(spark, schema, tmp(), tableName = "dur_mg",
+      cleanFreq = 1000L)
+    Seq(batch("a" -> 1L), batch("b" -> 2L)).foreach { b =>
+      mem.append(b); dur.append(b)
+    }
+    val gen2 = Files.getLastModifiedTime(
+      java.nio.file.Paths.get(dur.path, "rst_id=2"))
+    val upd = batch("a" -> 10L, "c" -> 3L)
+    mem.merge(upd, Seq("k")); dur.merge(upd, Seq("k"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(dur.selectAll) === rows(mem.selectAll))
+    assert(rows(dur.selectAll) === Set(("a", 10L, 3L), ("b", 2L, 2L), ("c", 3L, 3L)))
+    assert(dur.currentRstId === 4L)
+    // Generation 2 held only unmatched keys — copy-on-write must skip it.
+    assert(Files.getLastModifiedTime(
+      java.nio.file.Paths.get(dur.path, "rst_id=2")) === gen2,
+      "untouched generation directory was rewritten")
+  }
+
   test("counter restores from the directory listing (A4 from durable storage)") {
     val path = tmp()
     val s1 = new ParquetStore(spark, schema, path, tableName = "restore_a")
