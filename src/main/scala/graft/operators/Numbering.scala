@@ -34,7 +34,7 @@ object Numbering {
                       out: String = "global_id",
                       numPartitions: Option[Int] = None): DataFrame = {
     require(order.nonEmpty, "assignGlobalIds needs at least one order column")
-    Seq(out, "_pid", "_local").foreach(c => require(!df.columns.contains(c),
+    Seq(out, "_pid", "_off").foreach(c => require(!df.columns.contains(c),
       s"input already has a '$c' column"))
     val parts = numPartitions.getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions)
     val sorted = df.repartitionByRange(parts, order: _*)
@@ -47,13 +47,16 @@ object Numbering {
     val pinned = sorted.localCheckpoint(eager = true)
     val counts = pinned.groupBy("_pid").count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = counts.scanLeft(0L)(_ + _._2).init
-    val offsetOf = counts.map(_._1).zip(offsets).foldLeft(lit(0L)) {
-      case (acc, (pid, off)) => when(col("_pid") === pid, off).otherwise(acc)
-    }
+    val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2).init)
+    // Offsets attach through a BROADCAST join on the partition id — O(1)
+    // per row at any partition count (a when/otherwise literal chain would
+    // nest one CaseWhen per partition: O(P) per-row evaluation and a
+    // Catalyst tree thousands deep at real cluster widths).
+    val offsetsDf = df.sparkSession
+      .createDataFrame(offsets.toSeq).toDF("_pid", "_off")
     val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
-    pinned
-      .withColumn(out, row_number().over(w).cast("long") + offsetOf)
-      .drop("_pid")
+    pinned.join(broadcast(offsetsDf), "_pid")
+      .withColumn(out, row_number().over(w).cast("long") + col("_off"))
+      .drop("_pid", "_off")
   }
 }

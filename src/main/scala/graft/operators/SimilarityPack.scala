@@ -89,9 +89,10 @@ object SimilarityPack extends QueryPack {
       val isBatch = col("vec_id") % 10 >= 8
       val dups = Similarity.crossBlockedNearDup(
         emb.filter(!isBatch), emb.filter(isBatch), "label", NearDupThreshold)
+      // No distinct on the pair side: LEFT ANTI is insensitive to
+      // duplicate right keys, so deduping first would just add a shuffle.
       emb.filter(isBatch).select(col("vec_id"))
-        .join(dups.select(col("probe_id").as("vec_id")).distinct(),
-          Seq("vec_id"), "left_anti")
+        .join(dups.select(col("probe_id").as("vec_id")), Seq("vec_id"), "left_anti")
     },
     // Recall@10 of the IVF path (8 seed centroids, nprobe 2) against the
     // same brute-force truth — completes the recall ladder next to the

@@ -117,23 +117,43 @@ final class ParquetStore(
     val pinned = batch.select(aligned.toIndexedSeq: _*).localCheckpoint(eager = true)
     val batchKeys = pinned.select(keys.map(col): _*).distinct()
       .localCheckpoint(eager = true)
-    for (g <- generationIds()) {
+    // ONE job finds the touched generations (the file-pruning step of a
+    // table-format MERGE): a semi-join of the whole store against the
+    // batch keys, projected to distinct rst_ids — not a probe job plus a
+    // full directory listing per generation.
+    val touched = raw(None).join(batchKeys, keys, "left_semi")
+      .select("rst_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    for (g <- touched) {
       val gen = raw(Some(col("rst_id") === g)).drop("rst_id")
-      if (!gen.join(batchKeys, keys, "left_semi").isEmpty) {
-        val staging = Paths.get(path, s".staging_rw_$g")
-        try {
-          // Read-from-original, write-to-staging: the scan and the write
-          // never touch the same files; the swap happens only after the
-          // staged copy is complete.
-          gen.join(batchKeys, keys, "left_anti")
-            .write.mode("overwrite").parquet(staging.toString)
-          deleteRecursively(Paths.get(path, s"rst_id=$g"))
-          Files.move(staging, Paths.get(path, s"rst_id=$g"),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        } catch { case e: Throwable =>
+      val staging = Paths.get(path, s".staging_rw_$g")
+      val original = Paths.get(path, s"rst_id=$g")
+      var originalDeleted = false
+      try {
+        // Read-from-original, write-to-staging: the scan and the write
+        // never touch the same files; the swap happens only after the
+        // staged copy is complete.
+        gen.join(batchKeys, keys, "left_anti")
+          .write.mode("overwrite").parquet(staging.toString)
+        deleteRecursively(original)
+        originalDeleted = true
+        Files.move(staging, original,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case e: Throwable =>
+        if (!originalDeleted) {
+          // Original intact — the staged copy is redundant, drop it.
           if (Files.exists(staging)) deleteRecursively(staging)
-          throw e
+        } else if (Files.exists(staging)) {
+          // Original is GONE: the staged directory is the only surviving
+          // copy of this generation's unmatched rows — deleting it here
+          // would turn a failed rename into data loss. Try a plain rename
+          // as recovery; if that too fails, leave .staging_rw_<g> on disk
+          // for operator recovery (reads skip it, so the store stays
+          // serving, minus this generation, instead of corrupting).
+          try Files.move(staging, original)
+          catch { case _: Throwable => () }
         }
+        throw e
       }
     }
     append(pinned)

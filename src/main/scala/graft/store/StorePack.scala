@@ -65,6 +65,16 @@ object StorePack extends QueryPack {
     buildInto(spark, dir, new RecentStore(spark, storeSchema,
       tableName = tableName, cleanInterval = 100, cleanFreq = 1000), interval)
 
+  /** The ONE definition of the merge scenario's update batch (a purchase
+    * recount with +1000 counts), shared by the in-memory and durable merge
+    * queries — both claim "same contract, same oracle", so the batch they
+    * merge must be the same expression. */
+  private def mergeUpdate(s: SparkSession, dir: String): DataFrame =
+    BucketCounts.bucketCounts(
+        table(s, dir, "events").filter(col("event_type") === "purchase"),
+        "ts", Interval, Seq("event_type"))
+      .withColumn("count", col("count") + 1000L)
+
   /** Store-contents select with derived rst_id, for any bucket interval
     * that never straddles a day boundary. */
   private def storeSelect(interval: Long): String =
@@ -135,16 +145,14 @@ object StorePack extends QueryPack {
     // original rows and rst_ids. One left-anti join + union — the
     // Delta-style MERGE plan.
     "q_store_merge" -> { (s, dir) =>
-      val store = buildStore(s, dir)
-      val upd = BucketCounts.bucketCounts(
-          table(s, dir, "events").filter(col("event_type") === "purchase"),
-          "ts", Interval, Seq("event_type"))
-        .withColumn("count", col("count") + 1000L)
-      store.merge(upd, Seq("event_type", "bucket_start")).selectAll
+      buildStore(s, dir)
+        .merge(mergeUpdate(s, dir), Seq("event_type", "bucket_start"))
+        .selectAll
     },
     // The same MERGE through the DURABLE deployment: copy-on-write
     // generation rewrites + the batch as a new partition — identical
-    // contents, identical oracle.
+    // contents, identical oracle (the shared mergeUpdate guarantees the
+    // two merge queries cannot drift apart).
     "q_store_merge_durable" -> { (s, dir) =>
       val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         f"graft_durable_mg_${dir.hashCode}%08x")
@@ -152,11 +160,8 @@ object StorePack extends QueryPack {
         tableName = "durable_merge", cleanInterval = 100, cleanFreq = 1000)
       store.reset()
       buildInto(s, dir, store)
-      val upd = BucketCounts.bucketCounts(
-          table(s, dir, "events").filter(col("event_type") === "purchase"),
-          "ts", Interval, Seq("event_type"))
-        .withColumn("count", col("count") + 1000L)
-      store.merge(upd, Seq("event_type", "bucket_start")).selectAll
+        .merge(mergeUpdate(s, dir), Seq("event_type", "bucket_start"))
+        .selectAll
     },
     // Q13 attach analog (`attach_new_db`, `models.py:189-224`): a SECOND
     // named store registers its own view in the shared catalog, and one SQL

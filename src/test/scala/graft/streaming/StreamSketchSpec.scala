@@ -13,7 +13,7 @@ import graft.plans.GraftExtensions
   * state instead of resetting per trigger. */
 class StreamSketchSpec extends SparkSpec {
 
-  test("update-mode CMS sketches accumulate across micro-batches") {
+  test("complete-mode CMS sketches accumulate across micro-batches") {
     val sparkSession = spark
     import sparkSession.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
