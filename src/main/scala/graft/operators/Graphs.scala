@@ -138,6 +138,27 @@ object Graphs {
     state.select(col("node"), col("label"))
   }
 
+  /** FIXED-POINT seeded label propagation — the limit of
+    * [[labelPropagation]] as `iters → ∞` — computed WITHOUT walking hops:
+    * min-label propagation converges, per connected component, to the
+    * smallest seed label in that component (or null if the component is
+    * seedless). So the fixpoint is connected components (pointer-doubling,
+    * O(log diameter) edge-join rounds, convergence-checked — the
+    * [[Dedup.connectedComponents]] core) plus ONE component-min join — a
+    * long-chain graph converges in log rounds where the per-hop loop would
+    * need diameter rounds. Output covers edge-touched nodes, like
+    * [[labelPropagation]]. */
+  def labelPropagationFixpoint(edges: DataFrame, seeds: DataFrame): DataFrame = {
+    val nodes = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node"))).distinct()
+    val cc = Dedup.connectedComponents(nodes,
+      edges.select(col("u").as("src"), col("v").as("dst")))
+    val compSeed = cc.join(seeds.select(col("node"), col("label")), Seq("node"))
+      .groupBy("cluster_id").agg(min(col("label")).as("label"))
+    cc.join(compSeed, Seq("cluster_id"), "left")
+      .select(col("node"), col("label"))
+  }
+
   /** Global triangle statistics of an undirected edge list (`u < v` rows):
     * one row of (n_nodes, n_edges, n_triangles, max_degree).
     *

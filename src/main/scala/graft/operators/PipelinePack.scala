@@ -110,6 +110,18 @@ object PipelinePack extends QueryPack {
         .withColumn("label", col("node"))
       Graphs.labelPropagation(copurchaseEdges(s, dir), seeds, iters = 3)
     },
+    // The CONVERGED label assignment: fixpoint = per-component minimum
+    // seed, computed via pointer-doubling CC instead of per-hop rounds;
+    // the oracle derives the same thing from a recursive transitive
+    // closure — two independent formulations of the limit.
+    "q_label_prop_converged" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val seeds = table(s, dir, "lineitem")
+        .select(col("l_partkey").as("node")).distinct()
+        .filter(col("node") % 97 === 0)
+        .withColumn("label", col("node"))
+      Graphs.labelPropagationFixpoint(copurchaseEdges(s, dir), seeds)
+    },
     // SCD-2 validity intervals of each user's event-type state machine.
     "q_scd2" -> { (s, dir) =>
       Temporal.scd2(
@@ -242,6 +254,22 @@ object PipelinePack extends QueryPack {
          |${round(3)}
          |SELECT node, label FROM r3""".stripMargin
     },
+    "q_label_prop_converged" ->
+      """WITH RECURSIVE pl AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p
+        |    FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |       FROM pl a JOIN pl b ON a.g = b.g AND a.p < b.p),
+        |e AS (SELECT u AS src, v AS dst FROM e0
+        |      UNION ALL SELECT v, u FROM e0),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |reach(a, b) AS (SELECT src, dst FROM e
+        |  UNION SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+        |comp AS (SELECT n.node,
+        |    least(coalesce(min(r.b), n.node), n.node) AS cid
+        |  FROM n LEFT JOIN reach r ON r.a = n.node GROUP BY n.node),
+        |cs AS (SELECT cid, min(node) AS label FROM comp
+        |  WHERE node % 97 = 0 GROUP BY cid)
+        |SELECT comp.node, cs.label FROM comp LEFT JOIN cs USING (cid)""".stripMargin,
     "q_scd2" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
         |    FROM events),

@@ -135,6 +135,39 @@ class GraphPropsSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagationFixpoint: component-min seed, exact on a long chain") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // Random graphs: fixpoint = min seed of each connected component.
+    for (seed <- 21L to 22L) {
+      val edges = randomEdges(n = 30, m = 40, seed)
+      val adj = (edges.toSeq ++ edges.toSeq.map(_.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val nodes = adj.keySet
+      val seedNodes = nodes.filter(_ % 5 == 0)
+      def component(n: Long): Set[Long] = {
+        var reach = Set(n); var prev = 0
+        while (reach.size != prev) { prev = reach.size; reach = reach ++ reach.flatMap(adj) }
+        reach
+      }
+      val expected = nodes.map(n =>
+        n -> (component(n) intersect seedNodes).minOption).toMap
+      val got = Graphs.labelPropagationFixpoint(
+          edges.toSeq.toDF("u", "v"),
+          seedNodes.toSeq.map(x => (x, x)).toDF("node", "label"))
+        .collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+        .toMap
+      assert(got === expected, s"seed $seed")
+    }
+    // Diameter-40 chain seeded only at the far end: the per-hop operator
+    // would need 40 rounds; the CC-based fixpoint must still label node 40.
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("u", "v")
+    val far = Graphs.labelPropagationFixpoint(chain, Seq((0L, 0L)).toDF("node", "label"))
+      .filter(col("node") === 40L).head()
+    assert(far.getLong(1) === 0L)
+  }
+
   test("duplicatePassages: exactly the brute-force shared 3-gram set") {
     val sparkSession = spark
     import sparkSession.implicits._
