@@ -59,6 +59,11 @@ object Bench {
     // Distributed global numbering (range sort + prefix sum) and the
     // blocked batch-vs-corpus embedding dedup.
     "q_global_ids", "q_embed_incremental"
+    // NOT in the headline: q_store_merge_durable (its time is dominated by
+    // rebuilding the 6-generation fixture store from scratch, drowning the
+    // merge delta the in-memory q_store_merge already tracks) and
+    // q_label_prop_converged (same CC core q_dedup_clusters already
+    // benches, on a denser graph).
   )
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
