@@ -130,6 +130,17 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("heavyHitters edges: unreachable threshold is empty, threshold 1 is every key") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val rows = Seq(1L, 1L, 2L).toDF("k")
+    assert(Sketches.heavyHitters(rows, "k", 100L).isEmpty)
+    val all = Sketches.heavyHitters(rows, "k", 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all === Set((1L, 2L), (2L, 1L)))
+    intercept[IllegalArgumentException] { Sketches.heavyHitters(rows, "k", 0L) }
+  }
+
   test("heavyHitters probes string keys through the aggregate's byte path") {
     val sparkSession = spark
     import sparkSession.implicits._

@@ -161,6 +161,18 @@ class PipelineSpec extends SparkSpec {
       "quantile windows must share one partitioning")
   }
 
+  test("assignGlobalIds edges: empty input, single row, reserved-column guard") {
+    val s = spark; import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("k", "tie")
+    assert(Numbering.assignGlobalIds(empty, Seq(col("k"), col("tie"))).isEmpty)
+    val one = Numbering.assignGlobalIds(Seq((5L, 1L)).toDF("k", "tie"),
+      Seq(col("k"))).head()
+    assert(one.getAs[Long]("global_id") === 1L)
+    intercept[IllegalArgumentException] {
+      Numbering.assignGlobalIds(Seq((1L, 2L)).toDF("k", "global_id"), Seq(col("k")))
+    }
+  }
+
   test("assignGlobalIds: contiguous 1..N in total order, input-partitioning invariant") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(13)

@@ -210,6 +210,18 @@ class TemporalSpec extends SparkSpec {
       (4L, "changed", Some("y"), "z")))
   }
 
+  test("snapshotDiff edges: empty log, all-late log, invalid cutoffs") {
+    import ss.implicits._
+    val empty = Seq.empty[(Long, String, Long, Long)].toDF("k", "attr", "us", "tie")
+    assert(Temporal.snapshotDiff(empty, Seq("k"), "attr", "us", 1L, 2L).isEmpty)
+    // Every event after t2: nothing to diff.
+    val late = Seq((1L, "a", 100L, 1L)).toDF("k", "attr", "us", "tie")
+    assert(Temporal.snapshotDiff(late, Seq("k"), "attr", "us", 1L, 2L).isEmpty)
+    intercept[IllegalArgumentException] {
+      Temporal.snapshotDiff(late, Seq("k"), "attr", "us", t1 = 5L, t2 = 5L)
+    }
+  }
+
   test("snapshotDiff plans a single aggregate, no join") {
     import ss.implicits._
     val log = Seq((1L, "a", 1L, 1L)).toDF("k", "attr", "us", "tie")
