@@ -349,7 +349,18 @@ object Dedup {
   private val ccSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50): DataFrame =
+    // Isolated nodes (never in a pair) label themselves; left join keeps
+    // every input node exactly once whether or not it saw an edge.
+    nodes.select(col("node"))
+      .join(connectedComponentsOfEdges(pairs, maxIter), Seq("node"), "left")
+      .select(col("node"), coalesce(col("cluster_id"), col("node")).as("cluster_id"))
+
+  /** [[connectedComponents]] restricted to the EDGE-TOUCHED node set — for
+    * callers whose node universe IS the edge endpoints (e.g. fixpoint
+    * label propagation), skipping the redundant caller-side node
+    * derivation and the no-op reattach join. */
+  def connectedComponentsOfEdges(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
@@ -423,11 +434,7 @@ object Dedup {
       s"connectedComponents did not converge within $maxIter rounds " +
         "(labels still changing) — raise maxIter")
     lastRounds = iter // instrumentation only (see field scaladoc)
-    // Isolated nodes (never in a pair) label themselves; left join keeps
-    // every input node exactly once whether or not it saw an edge.
-    nodes.select(col("node"))
-      .join(current.withColumnRenamed("label", "cluster_id"), Seq("node"), "left")
-      .select(col("node"), coalesce(col("cluster_id"), col("node")).as("cluster_id"))
+    current.withColumnRenamed("label", "cluster_id")
   }
 
   /** Exact n-gram Jaccard near-dup — the inverted-index alternative to LSH:

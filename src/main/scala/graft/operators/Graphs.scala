@@ -149,9 +149,9 @@ object Graphs {
     * need diameter rounds. Output covers edge-touched nodes, like
     * [[labelPropagation]]. */
   def labelPropagationFixpoint(edges: DataFrame, seeds: DataFrame): DataFrame = {
-    val nodes = edges.select(col("u").as("node"))
-      .unionAll(edges.select(col("v").as("node"))).distinct()
-    val cc = Dedup.connectedComponents(nodes,
+    // The node universe IS the edge endpoints here — the edges-only CC
+    // entry point skips a redundant node derivation + reattach join.
+    val cc = Dedup.connectedComponentsOfEdges(
       edges.select(col("u").as("src"), col("v").as("dst")))
     val compSeed = cc.join(seeds.select(col("node"), col("label")), Seq("node"))
       .groupBy("cluster_id").agg(min(col("label")).as("label"))

@@ -115,7 +115,6 @@ object PipelinePack extends QueryPack {
     // the oracle derives the same thing from a recursive transitive
     // closure — two independent formulations of the limit.
     "q_label_prop_converged" -> { (s, dir) =>
-      graft.plans.GraftExtensions.register(s)
       val seeds = table(s, dir, "lineitem")
         .select(col("l_partkey").as("node")).distinct()
         .filter(col("node") % 97 === 0)
@@ -254,6 +253,12 @@ object PipelinePack extends QueryPack {
          |${round(3)}
          |SELECT node, label FROM r3""".stripMargin
     },
+    // SCALE NOTE: this oracle's `reach` closure is O(|component|²) — fine
+    // at the sf0.01 driver gate (seconds), >20 min at sf0.1 where the
+    // co-purchase graph is one giant component. Recursive-closure oracles
+    // are viable only where components stay small (cf. q_dedup_clusters);
+    // exclude this query from any self-sweep above sf0.01. The OPERATOR is
+    // pointer-doubling — the quadratic lives in the oracle only.
     "q_label_prop_converged" ->
       """WITH RECURSIVE pl AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p
         |    FROM lineitem),
