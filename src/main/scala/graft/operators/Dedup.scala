@@ -363,6 +363,12 @@ object Dedup {
   def connectedComponentsOfEdges(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      // Cache PRE-PARTITIONED on the per-round join key: the cached plan's
+      // outputPartitioning is HashPartitioning(dst), so every round's
+      // edges⋈labels join exchanges only the node-sized label table — the
+      // (larger) edge side would otherwise re-shuffle identically each
+      // round. Same effect as bucketing the edge table in a deployment.
+      .repartition(col("dst"))
       .persist()
     edges.count() // materialize once; every round reuses it
     // Only nodes TOUCHED BY AN EDGE can ever change labels — isolated nodes
