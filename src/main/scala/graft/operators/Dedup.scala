@@ -226,15 +226,12 @@ object Dedup {
                      persistBands: Boolean = true,
                      maxBand: Long = MaxBand): DataFrame = {
     val raw = lshBands(docs, textCol, idCol)
-    // Checkpoint PRE-PARTITIONED on the band key — localCheckpoint records
-    // the physical partitioning on its LogicalRDD, so the band self-join
-    // below (and the hot-band anti-join) reuse the layout instead of
-    // shuffling both sides (same discipline as connectedComponents' edge
-    // cache). Unpersisted path keeps the raw plan: the repartition would
-    // only add a shuffle to each recomputation.
-    val all = if (persistBands)
-      raw.repartition(col("band")).localCheckpoint(eager = true)
-    else raw
+    // Plain checkpoint, NOT pre-partitioned on band: a LogicalRDD's
+    // recorded partitioning did not eliminate the self-join exchanges in
+    // the measured plan (exchange count unchanged), so a repartition here
+    // is one extra shuffle for nothing — unlike the CC edge CACHE, whose
+    // InMemoryRelation layout the per-round joins do reuse.
+    val all = if (persistBands) raw.localCheckpoint(eager = true) else raw
     // Hot-band cap (see [[MaxBand]]): the over-cap band list comes from a
     // map-side-combined count (output ≤ distinct bands, and the filter
     // usually leaves it EMPTY), then an anti-join drops their rows. Cheaper
