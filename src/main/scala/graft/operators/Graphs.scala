@@ -98,6 +98,34 @@ object Graphs {
     ranks.select(col("node"), col("rank_fp"))
   }
 
+  /** Frequent co-occurring pairs (market-basket support counting): every
+    * item pair appearing together in at least `minSup` groups, with the
+    * pair count AND each item's own support — the exact integers from
+    * which lift/confidence derive (`lift = pair_n·N / (u_n·v_n)` — left
+    * as a rational to the caller, keeping the output engine-exact).
+    * Output: (u, v, pair_n, u_n, v_n), u < v.
+    *
+    * Plan: the deduped membership is materialized ONCE and feeds all three
+    * aggregates; candidate volume is Σ|g|² over groups (the a-priori
+    * pair-generation bound — cap or salt pathologically hot groups, as
+    * with [[coOccurrenceEdges]]); the support attach joins run against the
+    * minSup-filtered pair set, which is tiny by construction. */
+  def frequentPairs(df: DataFrame, groupCol: String, itemCol: String,
+                    minSup: Long): DataFrame = {
+    require(minSup >= 1, "minSup must be at least 1")
+    val m = df.select(col(groupCol).as("g"), col(itemCol).as("u")).distinct()
+      .localCheckpoint(eager = true) // feeds both join sides + item supports
+    val pairs = m.join(m.withColumnRenamed("u", "v"), "g")
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minSup)
+    val sup = m.groupBy("u").agg(count(lit(1)).as("sup"))
+    pairs
+      .join(sup.select(col("u"), col("sup").as("u_n")), "u")
+      .join(sup.select(col("u").as("v"), col("sup").as("v_n")), "v")
+      .select("u", "v", "pair_n", "u_n", "v_n")
+  }
+
   /** Seeded (semi-supervised) label propagation over the undirected edge
     * list (`u < v` rows): starting from `seeds` (node, label), each round
     * every node takes the MINIMUM label among itself and its neighbors;

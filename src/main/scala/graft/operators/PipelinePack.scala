@@ -85,6 +85,12 @@ object PipelinePack extends QueryPack {
     "q_dup_passages" -> { (s, dir) =>
       Dedup.duplicatePassages(table(s, dir, "documents"), w = 5, minDocs = 2L)
     },
+    // Frequent co-purchase pairs at support >= 3, with the exact integer
+    // supports lift/confidence derive from.
+    "q_pair_support" -> { (s, dir) =>
+      Graphs.frequentPairs(table(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minSup = 3L)
+    },
     // Triangle census of the co-purchase graph (parts sharing an order) —
     // degree-ordered orientation on the Spark side, id-ordered 3-way join
     // on the oracle side: two independent formulations, one count.
@@ -182,6 +188,15 @@ object PipelinePack extends QueryPack {
         |SELECT passage, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
         |  min(doc_id) AS first_doc
         |FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+    "q_pair_support" ->
+      """WITH pl AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p
+        |    FROM lineitem),
+        |pair AS (SELECT a.p AS u, b.p AS v, count(*) AS pair_n
+        |  FROM pl a JOIN pl b ON a.g = b.g AND a.p < b.p GROUP BY 1, 2),
+        |sup AS (SELECT p, count(*) AS n FROM pl GROUP BY 1)
+        |SELECT u, v, pair_n, su.n AS u_n, sv.n AS v_n
+        |FROM pair JOIN sup su ON su.p = u JOIN sup sv ON sv.p = v
+        |WHERE pair_n >= 3""".stripMargin,
     "q_triangles" ->
       """WITH pl AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p
         |    FROM lineitem),

@@ -135,6 +135,29 @@ class GraphPropsSpec extends SparkSpec {
     }
   }
 
+  test("frequentPairs matches brute-force support counting") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val baskets = Gen.listOfN(60, Gen.listOfN(4, Gen.chooseNum(0L, 9L)))
+      .apply(Gen.Parameters.default, Seed(31L))
+      .getOrElse(sys.error("scalacheck sampling failed"))
+      .zipWithIndex.flatMap { case (items, g) => items.map(i => (g.toLong, i)) }
+    val members = baskets.distinct
+    val itemSup = members.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val brute = members.groupBy(_._1).values.flatMap { grp =>
+      val is = grp.map(_._2).sorted
+      for (a <- is; b <- is if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 3L)
+      .map { case ((a, b), n) => (a, b, n, itemSup(a), itemSup(b)) }.toSet
+    val got = Graphs.frequentPairs(baskets.toDF("g", "item"), "g", "item", 3L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === brute)
+    assert(brute.nonEmpty, "fixture must exercise the threshold")
+  }
+
   test("labelPropagationFixpoint: component-min seed, exact on a long chain") {
     val sparkSession = spark
     import sparkSession.implicits._
