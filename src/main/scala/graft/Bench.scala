@@ -58,7 +58,13 @@ object Bench {
     "q_contamination_score",
     // Distributed global numbering (range sort + prefix sum) and the
     // blocked batch-vs-corpus embedding dedup.
-    "q_global_ids", "q_embed_incremental"
+    "q_global_ids", "q_embed_incremental",
+    // BPE tokenizer training: 8 iterations of pair-count aggregate +
+    // argmax collect + narrow merge fold over the weighted word table —
+    // the driver-loop iterative family alongside q_dedup_clusters.
+    // (q_bpe_vocab/q_bpe_encode share the same training core; benching
+    // them too would triple-count it.)
+    "q_bpe_merges"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and

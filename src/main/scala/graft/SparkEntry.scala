@@ -18,6 +18,7 @@ object SparkEntry {
     operators.AnalyticsPack,
     operators.PipelinePack,
     operators.SimilarityPack,
+    operators.BpePack,
     sources.AvroPack,
     multimodal.MediaPack,
     serve.ServePack

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING over a document corpus — the
+  * standard LLM-pipeline step the reference has no analog for (its text
+  * surface stops at counting; ref `spark_streaming_kafka_bucket_counter/
+  * utils.py` bucket maps). Part of the training-data extension family.
+  *
+  * Scale design — the point of doing BPE on Spark at all: merges never
+  * cross word boundaries (GPT-2-style word-level BPE), so the corpus is
+  * first collapsed to a WEIGHTED UNIQUE-WORD table (one shuffle over the
+  * raw text; 100 TB of text → ~10⁸ word rows), and every iteration after
+  * that touches only that table:
+  *
+  *   - pair counting explodes adjacent token pairs and hash-aggregates
+  *     with map-side partials — shuffle cardinality = distinct pairs
+  *     (≤ vocab²-ish, in practice thousands), never corpus-scale;
+  *   - the argmax is a `LIMIT 1` over that tiny aggregate, collected to
+  *     the driver exactly like a k-means centroid update ([[Similarity]]);
+  *   - applying the merge is a NARROW per-row array fold — no shuffle.
+  *
+  * Each iteration `localCheckpoint`s the rewritten token table, the same
+  * lineage-truncation discipline as [[Dedup.connectedComponents]].
+  *
+  * Determinism: counts are exact integer sums; the winning pair is chosen
+  * by `(count DESC, lhs ASC, rhs ASC)` — a total order, so results are
+  * independent of partitioning. Merge application is greedy
+  * leftmost-non-overlapping, which the left fold encodes naturally: after
+  * a merge the accumulator's tail is `lhs||rhs`, which can't re-match
+  * `lhs` (tokens are non-empty), so "aaa" under (a,a) yields [aa, a].
+  *
+  * Tokenization contract: words are `split(trim(lower(text)), "\s+")`,
+  * initial symbols are Java chars (code-unit granularity — fine for the
+  * BMP text this fixture carries; a production byte-level BPE would seed
+  * from UTF-8 bytes instead, same iteration shape).
+  */
+object Bpe {
+
+  /** One learned merge: rank (1-based), the pair, and its weighted count
+    * at selection time. Field names match the driver-checked schema. */
+  final case class Merge(merge_rank: Long, lhs: String, rhs: String,
+                         pair_count: Long)
+
+  /** Corpus → (word, weight) — the one corpus-scale shuffle. */
+  def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("weight"))
+
+  /** Adjacent (l, r) token pairs of `toks`, one struct per position.
+    * `slice(_, 1, 0)` is the legal empty slice, so 1-token words simply
+    * contribute nothing after the explode. */
+  private val adjacentPairs: Column = explode(expr(
+    "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+      "(x, i) -> struct(x AS l, toks[i+1] AS r))"))
+
+  /** Greedy leftmost application of one merge as a narrow array fold.
+    * Built with the Column API (not an `expr` string) so corpus-derived
+    * token text can never be parsed as SQL. */
+  private def applyMerge(l: String, r: String): Column =
+    aggregate(col("toks"), array().cast("array<string>"), (acc, t) =>
+      when(size(acc) > lit(0) && element_at(acc, -1) === lit(l) &&
+             t === lit(r),
+        concat(slice(acc, lit(1), size(acc) - lit(1)), array(lit(l + r))))
+        .otherwise(concat(acc, array(t))))
+
+  /** Run `k` merge inductions; returns the learned merges (driver-side,
+    * `k` rows) and the final (word, weight, toks) table — the trained
+    * TOKENIZER: a word → token-sequence map, broadcastable for encoding.
+    * Stops early if no adjacent pair remains. */
+  def train(docs: DataFrame, k: Int, textCol: String = "text")
+      : (Seq[Merge], DataFrame) = {
+    require(k >= 1, "need at least one merge iteration")
+    var cur = wordTable(docs, textCol)
+      .select(col("word"), col("weight"),
+        filter(split(col("word"), ""), t => t =!= lit("")).as("toks"))
+      .localCheckpoint(eager = true)
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1L
+    var exhausted = false
+    while (rank <= k && !exhausted) {
+      val top = cur.select(adjacentPairs.as("p"), col("weight"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("weight").as("pair_count"))
+        .orderBy(col("pair_count").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(rank, l, r, cnt)
+        cur = cur.withColumn("toks", applyMerge(l, r))
+          .localCheckpoint(eager = true)
+        rank += 1
+      }
+    }
+    (merges.result(), cur)
+  }
+
+  /** Weighted token frequencies after training — the induced vocabulary. */
+  def vocab(tokenTable: DataFrame): DataFrame =
+    tokenTable.select(col("weight"), explode(col("toks")).as("token"))
+      .groupBy("token").agg(sum("weight").as("cnt"))
+
+  /** Encode the corpus with a trained tokenizer: per-document BPE token
+    * count. The tokenizer (word → token count) is BROADCAST — it is
+    * vocabulary-sized, so at 100 TB the encode pass stays a narrow
+    * map-side join over the exploded corpus plus one doc-key aggregate;
+    * the inner join also makes the pass self-consistent (every corpus
+    * word is in a tokenizer trained on the same corpus). */
+  def encode(docs: DataFrame, tokenizer: DataFrame, idCol: String = "doc_id",
+             textCol: String = "text"): DataFrame = {
+    val wordLens = tokenizer
+      .select(col("word"), size(col("toks")).cast("long").as("n_toks"))
+    docs
+      .select(col(idCol),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(wordLens), "word")
+      .groupBy(idCol).agg(sum("n_toks").as("n_bpe_tokens"))
+  }
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+
+/** Driver-checkable queries for [[Bpe]] tokenizer training. The DuckDB
+  * oracle replicates the ENTIRE k-iteration induction value-for-value as a
+  * mechanically generated chain of CTEs — per iteration: windowed pair
+  * counts → `(count DESC, l, r)` argmax → greedy-leftmost merge expressed
+  * as gaps-and-islands run parity (positions matching the winning pair,
+  * grouped into maximal runs, keep odd offsets — exactly what the Spark
+  * side's left fold computes). So the learned merge table itself is
+  * hash-checked, not just row counts.
+  */
+object BpePack extends QueryPack {
+
+  /** Merge count for the driver gate: enough iterations to exercise
+    * multi-char merges (rank 6+ at sf0.01 merges into a prior merge) while
+    * keeping the unrolled oracle tractable for DuckDB. */
+  private val K = 8
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The learned merge table — the tokenizer-training artifact itself.
+    "q_bpe_merges" -> { (s, dir) =>
+      val (merges, _) = Bpe.train(table(s, dir, "documents"), K)
+      s.createDataFrame(merges)
+    },
+    // Weighted token vocabulary after the k merges.
+    "q_bpe_vocab" -> { (s, dir) =>
+      val (_, toks) = Bpe.train(table(s, dir, "documents"), K)
+      Bpe.vocab(toks)
+    },
+    // Encode the corpus with the trained tokenizer: per-doc BPE token
+    // counts via a broadcast word → token-count join.
+    "q_bpe_encode" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val (_, toks) = Bpe.train(docs, K)
+      Bpe.encode(docs, toks)
+    }
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q_bpe_merges" -> oracleSql(K, Merges),
+    "q_bpe_vocab" -> oracleSql(K, Vocab),
+    "q_bpe_encode" -> oracleSql(K, Encode)
+  )
+
+  private sealed trait Output
+  private case object Merges extends Output
+  private case object Vocab extends Output
+  private case object Encode extends Output
+
+  /** Unrolled k-iteration BPE in DuckDB SQL (validated against an
+    * independent reference implementation at sf0.001/sf0.01). */
+  private def oracleSql(k: Int, out: Output): String = {
+    val parts = Seq.newBuilder[String]
+    parts += """w0 AS (
+      |  SELECT w AS word, count(*) AS weight
+      |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      |        FROM documents)
+      |  WHERE w <> '' GROUP BY w)""".stripMargin
+    parts += """tok1 AS (
+      |  SELECT word, weight, CAST(g.i AS BIGINT) AS pos,
+      |         substr(word, CAST(g.i AS INT), 1) AS token
+      |  FROM w0, unnest(generate_series(1, length(word))) AS g(i))""".stripMargin
+    for (i <- 1 to k) {
+      parts += s"""best$i AS (
+        |  SELECT l, r, CAST(sum(weight) AS BIGINT) AS pair_count
+        |  FROM (SELECT token AS l,
+        |               lead(token) OVER (PARTITION BY word ORDER BY pos) AS r,
+        |               weight
+        |        FROM tok$i)
+        |  WHERE r IS NOT NULL GROUP BY l, r
+        |  ORDER BY pair_count DESC, l, r LIMIT 1)""".stripMargin
+      parts += s"""m$i AS (
+        |  SELECT t.word, t.weight, t.pos, t.token, b.l, b.r,
+        |         (t.token = b.l AND
+        |          lead(t.token) OVER (PARTITION BY t.word ORDER BY t.pos) = b.r
+        |         ) AS hit
+        |  FROM tok$i t CROSS JOIN best$i b)""".stripMargin
+      parts += s"""i$i AS (
+        |  SELECT *,
+        |         pos - row_number() OVER (PARTITION BY word, hit ORDER BY pos)
+        |           AS isl
+        |  FROM m$i)""".stripMargin
+      parts += s"""k$i AS (
+        |  SELECT *, hit AND (row_number() OVER
+        |    (PARTITION BY word, hit, isl ORDER BY pos) % 2 = 1) AS keep
+        |  FROM i$i)""".stripMargin
+      parts += s"""tok${i + 1} AS (
+        |  SELECT word, weight,
+        |         row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+        |         CASE WHEN keep THEN l || r ELSE token END AS token
+        |  FROM (SELECT *, lag(keep) OVER (PARTITION BY word ORDER BY pos)
+        |          AS consumed
+        |        FROM k$i)
+        |  WHERE consumed IS DISTINCT FROM true)""".stripMargin
+    }
+    val select = out match {
+      case Merges =>
+        (1 to k).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, " +
+            s"pair_count FROM best$i").mkString("\nUNION ALL\n")
+      case Vocab =>
+        s"SELECT token, CAST(sum(weight) AS BIGINT) AS cnt " +
+          s"FROM tok${k + 1} GROUP BY token"
+      case Encode =>
+        s"""SELECT doc_id, CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens
+           |FROM (SELECT doc_id,
+           |        unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+           |      FROM documents) dw
+           |JOIN (SELECT word, count(*) AS n_toks FROM tok${k + 1}
+           |      GROUP BY word) wl ON dw.w = wl.word
+           |WHERE dw.w <> '' GROUP BY doc_id""".stripMargin
+    }
+    "WITH " + parts.result().mkString(",\n") + "\n" + select
+  }
+}

@@ -59,6 +59,13 @@ object PipelinePack extends QueryPack {
       Profiling.histogram(table(s, dir, "events"), "value", 25.0d,
         Seq("event_type"))
     },
+    // Equi-depth histogram: 8 buckets cut at exact octile boundaries of
+    // the doc-length distribution, derived wholly from the distinct-value
+    // frequency table (see Profiling.equiDepthHistogram for the scale
+    // contract).
+    "q_histogram_equidepth" -> { (s, dir) =>
+      Profiling.equiDepthHistogram(table(s, dir, "documents"), "n_chars", 8)
+    },
     // EXACT length quantiles per language — type-1 order statistics at
     // integer ranks, no sketch and no interpolation, so the values
     // hash-match any engine that sorts the same longs.
@@ -236,6 +243,22 @@ object PipelinePack extends QueryPack {
          |${round(3)}
          |SELECT node, rank_fp FROM r3
          |ORDER BY rank_fp DESC, node LIMIT 20""".stripMargin
+    },
+    "q_histogram_equidepth" -> {
+      val k = 8
+      val cutCols = (1 until k).map(i =>
+        s"min(CASE WHEN cum >= (n*$i + ${k - 1})//$k THEN v END) AS c$i")
+        .mkString(",\n  ")
+      val bucket = "1 + " +
+        (1 until k).map(i => s"CAST(v > c$i AS INT)").mkString(" + ")
+      s"""WITH f AS (SELECT n_chars AS v, count(*) AS fc FROM documents
+         |  GROUP BY 1),
+         |c AS (SELECT v, sum(fc) OVER (ORDER BY v) AS cum,
+         |             sum(fc) OVER () AS n FROM f),
+         |cuts AS (SELECT $cutCols FROM c)
+         |SELECT CAST($bucket AS BIGINT) AS bucket, CAST(sum(fc) AS BIGINT) AS n,
+         |       min(v) AS lo, max(v) AS hi
+         |FROM f CROSS JOIN cuts GROUP BY 1""".stripMargin
     },
     "q_exact_quantiles" ->
       """WITH r AS (SELECT lang, n_chars,

@@ -93,4 +93,48 @@ object Profiling {
       .agg(count(lit(1)).as("n"))
       .withColumn("bin_lo", col("bin") * binWidth)
   }
+
+  /** EQUI-DEPTH histogram: k buckets cut at the EXACT type-1 quantiles
+    * (rank `⌈n·i/k⌉`), each reported with its count and value extrema —
+    * the selectivity-estimation profile (equi-width above answers "where
+    * is the mass", equi-depth answers "where are the boundaries").
+    *
+    * Scale path: everything derives from the DISTINCT-VALUE frequency
+    * table (one corpus-scale hash aggregate), never from row-scale sorts.
+    * The running-count window orders the frequency table in ONE partition
+    * — bounded by value cardinality, not row count (an integral feature
+    * column has thousands of distinct values at any corpus size; for
+    * unbounded-cardinality doubles use [[Sketches.approxQuantiles]]).
+    * Cut values are collected to the driver (k−1 longs, a centroid-style
+    * scalar fetch) and re-enter the plan as literals, so bucket assignment
+    * is a narrow projection over the checkpointed frequency table.
+    *
+    * Ties sit ENTIRELY in the bucket of their cut: bucket = 1 + #{cuts
+    * strictly below the value}. With heavy ties buckets are uneven (and
+    * duplicate cuts leave buckets empty/absent) — inherent to exact
+    * equi-depth, and deterministic on any engine, unlike rank-split
+    * `ntile` whose boundary ties depend on sort order.
+    *
+    * Output: (bucket 1..k, n, lo, hi), absent buckets omitted. */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, "need at least two buckets")
+    val freq = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("f"))
+      .localCheckpoint(eager = true) // reused by the cuts job AND the histogram
+    val w = org.apache.spark.sql.expressions.Window
+    val cum = freq
+      .withColumn("cum", sum("f").over(w.orderBy("v")
+        .rowsBetween(w.unboundedPreceding, w.currentRow)))
+      .withColumn("n", sum("f").over(w.orderBy("v")
+        .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)))
+    val cutAggs = (1 until k).map { i =>
+      min(when(col("cum") >= expr(s"((n * $i) + ${k - 1}) div $k"), col("v")))
+        .as(s"c$i")
+    }
+    val cuts = cum.agg(cutAggs.head, cutAggs.tail: _*).collect()(0)
+    val bucket = (1 until k).map(i =>
+        when(col("v") > lit(cuts.get(i - 1)), 1L).otherwise(0L))
+      .reduce(_ + _) + lit(1L)
+    freq.groupBy(bucket.as("bucket"))
+      .agg(sum("f").as("n"), min("v").as("lo"), max("v").as("hi"))
+  }
 }

@@ -29,6 +29,8 @@ import graft.store.GenerationStore
   *   - `GET /dv/<i>`             — Q12 direct fetch (`http_endpoint.py:180-186`)
   *   - `GET /sr/<param>/<a>:<b>` — Q9 range select, literal `None` = open
   *     bound (`http_endpoint.py:188-200`)
+  *   - `GET /x`, `GET /x/<name>` — extension: list / run pre-registered
+  *     analytics (bounded aggregated views; no reference analog)
   *
   * Scale note: this veneer `collect()`s query RESULTS to the driver — by
   * design. It serves the same pre-aggregated bounded store the reference's
@@ -36,7 +38,8 @@ import graft.store.GenerationStore
   * raw data; big analytical output belongs on the Dataset API, not HTTP.
   */
 final class StoreHttpServer(store: GenerationStore,
-                            avroSchema: Option[String] = None) {
+                            avroSchema: Option[String] = None,
+                            analytics: Map[String, () => DataFrame] = Map.empty) {
 
   private val server = HttpServer.create(new InetSocketAddress(0), 0)
   server.createContext("/", handle _)
@@ -129,6 +132,15 @@ final class StoreHttpServer(store: GenerationStore,
       case "rst" :: Nil => store.currentRstId.toString
       case "rv" :: n :: Nil => rowsJson(store.recent(dec(n).toLong))
       case "dv" :: i :: Nil => rowsJson(store.directFetch(dec(i).toLong))
+      // Extension surface (no reference analog): named pre-registered
+      // analytics — `/x` lists them, `/x/<name>` runs one. Same bounded-
+      // result contract as every other route: register AGGREGATED views
+      // (profiles, histograms, learned merge tables), not raw scans.
+      case "x" :: Nil =>
+        analytics.keys.toSeq.sorted.map(jsonStr).mkString("[", ",", "]")
+      case "x" :: name :: Nil =>
+        rowsJson(analytics.getOrElse(dec(name), throw new IllegalArgumentException(
+          s"no analytic '${dec(name)}' (GET /x lists)")).apply())
       case "sr" :: param :: range :: Nil =>
         val (lo, hi) = dec(range).split(":", 2) match {
           case Array(a, b) =>

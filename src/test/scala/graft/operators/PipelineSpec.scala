@@ -35,6 +35,24 @@ class PipelineSpec extends SparkSpec {
     assert(bins(1L) == ((1L, 25.0)))   // 25.0 opens the next bin
   }
 
+  test("equiDepthHistogram cuts at exact quartiles with tie-absorbing buckets") {
+    val s = spark; import s.implicits._
+    // 1..8 → quartile cuts at ranks 2,4,6 → values 2,4,6; buckets of 2.
+    val even = (1L to 8L).toDF("v")
+    val h = Profiling.equiDepthHistogram(even, "v", 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(h == Map(1L -> ((2L, 1L, 2L)), 2L -> ((2L, 3L, 4L)),
+      3L -> ((2L, 5L, 6L)), 4L -> ((2L, 7L, 8L))))
+    // Heavy ties: value 5 spans several quartile ranks → its bucket absorbs
+    // every 5 and the duplicate cuts leave later buckets absent.
+    val ties = (Seq.fill(6)(5L) ++ Seq(1L, 9L)).toDF("v")
+    val t = Profiling.equiDepthHistogram(ties, "v", 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // cuts at ranks 2,4,6 are all 5 → buckets: (<=5)=7 rows in bucket 1,
+    // (>5)=1 row in bucket 4.
+    assert(t == Map(1L -> ((7L, 1L, 5L)), 4L -> ((1L, 9L, 9L))))
+  }
+
   test("Pii redacts email, ipv4 and long digit runs with class tokens") {
     val s = spark; import s.implicits._
     val df = Seq(

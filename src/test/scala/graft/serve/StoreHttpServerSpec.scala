@@ -139,6 +139,30 @@ class StoreHttpServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("/x lists and runs registered analytics; unknown names 400") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import org.apache.spark.sql.types._
+    val store = new graft.store.RecentStore(spark, StructType(Seq(
+      StructField("k", StringType))), tableName = "x_http")
+    val corpus = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val srv = new StoreHttpServer(store, analytics = Map(
+      "bpe_merges" -> (() => {
+        val (m, _) = graft.operators.Bpe.train(corpus, k = 1)
+        spark.createDataFrame(m)
+      }),
+      "doc_profile" -> (() =>
+        graft.operators.Profiling.profile(corpus, Seq("doc_id"))))).start()
+    try {
+      assert(get(srv.port, "/x") === ((200, """["bpe_merges","doc_profile"]""")))
+      val (code, body) = get(srv.port, "/x/bpe_merges")
+      assert(code === 200)
+      assert(body ===
+        """[{"merge_rank":1,"lhs":"a","rhs":"b","pair_count":2}]""")
+      assert(get(srv.port, "/x/nope")._1 === 400)
+    } finally srv.stop()
+  }
+
   test("the veneer serves the DURABLE store too (reference wraps durable SQLite)") {
     val sparkSession = spark
     import sparkSession.implicits._
