@@ -113,4 +113,81 @@ object Media {
       }
     }(Encoders.row(schema))
   }
+
+  /** Per-payload `nCells`-bit PERCEPTUAL hash: the payload is cut into
+    * `nCells` equal byte cells (last one ragged) and bit i is set when
+    * cell i's byte MEAN exceeds the payload's overall byte mean — the
+    * aHash construction, with the codec's luma plane stood in by raw
+    * payload bytes (⚠ same stub boundary as [[extractFeaturesBatched]];
+    * a real image pipeline hashes the decoded, downscaled luma instead —
+    * identical bit/compare shape). The mean comparison is an integer
+    * cross-multiply (`cellSum·len > totalSum·cellLen`), so hashes are
+    * bit-identical on any engine — no float division anywhere.
+    *
+    * Narrow per-partition pass, no shuffle; null/empty payloads hash to 0.
+    * `nCells ≤ 63` keeps the hash in one long. */
+  def perceptualHash(df: DataFrame, nCells: Int = 16,
+                     bytesCol: String = "bytes"): DataFrame = {
+    require(nCells >= 2 && nCells <= 63, "nCells must be in [2, 63]")
+    val schema = df.schema.add("phash", LongType)
+    val bi = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val b = row.getAs[Array[Byte]](bi)
+        var h = 0L
+        if (b != null && b.length > 0) {
+          val len = b.length
+          val cellW = (len + nCells - 1) / nCells
+          var total = 0L
+          val sums = new Array[Long](nCells)
+          val lens = new Array[Long](nCells)
+          var i = 0
+          while (i < len) {
+            val v = (b(i) & 0xff).toLong
+            total += v; sums(i / cellW) += v; lens(i / cellW) += 1L
+            i += 1
+          }
+          var c = 0
+          while (c < nCells) {
+            if (sums(c) * len > total * lens(c)) h |= (1L << c)
+            c += 1
+          }
+        }
+        Row.fromSeq(row.toSeq :+ h)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Near-duplicate media pairs by perceptual-hash hamming distance —
+    * EXACT (every pair at distance ≤ `maxHamming`, no recall loss) via
+    * pigeonhole banding: the `nBits` hash splits into `maxHamming + 1`
+    * segments, and two hashes within the budget must agree on at least
+    * one whole segment, so candidate generation is an equi-join on
+    * (segment index, segment value) — the [[graft.operators.Dedup]] LSH
+    * band shape, shuffle bounded by segment-bucket sizes, never the n²
+    * cross join a naive hamming scan needs. Candidates are then filtered
+    * on true `bit_count(xor)` and de-duplicated (a pair can agree on
+    * several segments).
+    *
+    * Output: (a, b, hamming) with a < b by id. */
+  def phashPairs(ph: DataFrame, nBits: Int, maxHamming: Int = 2,
+                 idCol: String = "media_id"): DataFrame = {
+    val nSeg = maxHamming + 1
+    require(nBits >= nSeg, s"need at least $nSeg bits for $maxHamming-bit budget")
+    val segW = (nBits + nSeg - 1) / nSeg
+    val segs = (0 until nSeg).map { s =>
+      val lo = s * segW
+      val w = math.min(segW, nBits - lo)
+      struct(lit(s).as("seg"),
+        expr(s"shiftright(phash, $lo) & ${(1L << w) - 1}").as("sv"))
+    }
+    val e = ph.select(col(idCol), col("phash"), explode(array(segs: _*)).as("g"))
+    val l = e.select(col(idCol).as("a"), col("phash").as("pa"), col("g"))
+    val r = e.select(col(idCol).as("b"), col("phash").as("pb"), col("g"))
+    l.join(r, l("g") === r("g") && col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -32,6 +32,26 @@ object MediaPack extends QueryPack {
         .select(col("media_id"), col("byte_sum"),
           octet_length(col("bytes")).cast("long").as("n_bytes"))
     },
+    // Perceptual hash over the payload bytes (aHash construction at the
+    // stubbed codec boundary — integer cross-multiply mean bits, engine
+    // bit-identical).
+    "q_media_phash" -> { (s, dir) =>
+      val media = table(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("bytes"))
+      Media.perceptualHash(media, nCells = 16)
+        .select("media_id", "phash")
+    },
+    // Multimodal NEAR-dup: every payload pair within hamming 2 of each
+    // other's perceptual hash — exact via pigeonhole segment banding; the
+    // oracle is the independent brute-force n² scan.
+    "q_media_phash_pairs" -> { (s, dir) =>
+      val media = table(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("bytes"))
+      Media.phashPairs(Media.perceptualHash(media, nCells = 16)
+        .select("media_id", "phash"), nBits = 16, maxHamming = 2)
+    },
     // Frame-sample CONTENT check: the first/last sampled 16-byte chunks of
     // each payload, hashed — proves the binary slicing math (offsets,
     // stride, tail truncation), not just the chunk count.
@@ -46,6 +66,28 @@ object MediaPack extends QueryPack {
           md5(element_at(col("chunks"), size(col("chunks")))).as("last_chunk_hash"))
     }
   )
+
+  /** Shared phash CTE chain: char-position explode → ragged byte cells →
+    * integer cross-multiply bits → per-doc 16-bit hash (`p`). */
+  private val PhashCte: String = {
+    val nc = 16
+    s"""ch AS (SELECT doc_id, CAST(g.i AS BIGINT) AS pos,
+       |         CAST(ascii(substr(text, CAST(g.i AS INT), 1)) AS BIGINT) AS v,
+       |         CAST(octet_length(encode(text)) AS BIGINT) AS len
+       |       FROM documents,
+       |            unnest(generate_series(1, length(text))) AS g(i)),
+       |cell AS (SELECT doc_id, len, (pos-1)//((len + ${nc - 1})//$nc) AS c,
+       |           sum(v) AS cs, count(*) AS cl
+       |         FROM ch GROUP BY 1, 2, 3),
+       |tot AS (SELECT doc_id, sum(cs) AS total FROM cell GROUP BY 1),
+       |ph0 AS (SELECT cell.doc_id,
+       |          CAST(sum(CASE WHEN cs*len > total*cl
+       |                        THEN (CAST(1 AS BIGINT) << CAST(c AS INT))
+       |                        ELSE 0 END) AS BIGINT) AS phash
+       |        FROM cell JOIN tot ON cell.doc_id = tot.doc_id GROUP BY 1),
+       |p AS (SELECT d.doc_id AS media_id, coalesce(ph0.phash, 0) AS phash
+       |      FROM documents d LEFT JOIN ph0 ON d.doc_id = ph0.doc_id)""".stripMargin
+  }
 
   override def oracles: Map[String, String] = Map(
     // md5(text) in DuckDB hashes the UTF-8 bytes — exactly the payload.
@@ -67,6 +109,18 @@ object MediaPack extends QueryPack {
         |SELECT d.doc_id AS media_id, coalesce(s.bs, 0) AS byte_sum,
         |  coalesce(s.nb, 0) AS n_bytes
         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+    // Byte-level phash replica over ascii() sums (ASCII fixture invariant
+    // as above); empty payloads LEFT-JOIN back in as phash 0.
+    "q_media_phash" ->
+      s"WITH $PhashCte\nSELECT media_id, phash FROM p",
+    // Brute-force n² hamming scan — independent of the Spark side's
+    // pigeonhole banding, which is exact, so the results must coincide.
+    "q_media_phash_pairs" ->
+      s"""WITH $PhashCte
+         |SELECT a.media_id AS a, b.media_id AS b,
+         |       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         |FROM p a JOIN p b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 2""".stripMargin,
     // DuckDB has no BLOB substring/md5, so the oracle slices the VARCHAR and
     // md5-s it (DuckDB md5(varchar) hashes the UTF-8 bytes) — byte-identical
     // because the fixture text is pure ASCII (checked: octet_length ==

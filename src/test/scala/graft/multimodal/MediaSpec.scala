@@ -43,6 +43,38 @@ class MediaSpec extends SparkSpec {
     assert(r.getString(1) === "5d41402abc4b2a76b9719d911017c592")
   }
 
+  test("perceptualHash: hand-computed bits, ragged tail cell, empty → 0") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // 4 cells over 8 bytes [0,0,0,0,255,255,255,0]: total=765, len=8,
+    // cell sums (0,0,510,255) × len vs total × cellLen(2):
+    // 0>1530 F, 0>1530 F, 4080>1530 T, 2040>1530 T → bits 2,3 → 0b1100.
+    val df = Seq((1L, Array[Byte](0, 0, 0, 0, -1, -1, -1, 0)),
+                 (2L, Array.emptyByteArray)).toDF("media_id", "bytes")
+    val h = Media.perceptualHash(df, nCells = 4)
+      .select("media_id", "phash").as[(Long, Long)].collect().toMap
+    assert(h === Map(1L -> 12L, 2L -> 0L))
+    // 9 bytes over 4 cells ⇒ cellW=3, tail cell holds 0 bytes — no crash,
+    // and the empty cell's bit stays 0.
+    val ragged = Seq((3L, Array.tabulate[Byte](9)(i => i.toByte)))
+      .toDF("media_id", "bytes")
+    val hr = Media.perceptualHash(ragged, nCells = 4)
+      .select("phash").as[Long].head()
+    assert((hr & (1L << 3)) === 0L)
+  }
+
+  test("phashPairs: banding finds exactly the brute-force hamming ball") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // Crafted 16-bit hashes: 0x0F0F vs 0x0F0C differ in 2 bits (pair),
+    // vs 0x0F00 in 4 bits (no pair); 0xFFFF is far from all.
+    val ph = Seq((1L, 0x0F0FL), (2L, 0x0F0CL), (3L, 0x0F00L), (4L, 0xFFFFL))
+      .toDF("media_id", "phash")
+    val pairs = Media.phashPairs(ph, nBits = 16, maxHamming = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L, 2L), (2L, 3L, 2L)))
+  }
+
   test("batched extraction: results independent of batch size, codec called per batch") {
     val sparkSession = spark
     import sparkSession.implicits._
