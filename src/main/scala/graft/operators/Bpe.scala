@@ -121,4 +121,25 @@ object Bpe {
       .join(broadcast(wordLens), "word")
       .groupBy(idCol).agg(sum("n_toks").as("n_bpe_tokens"))
   }
+
+  /** Full encoding: each document's ordered BPE token SEQUENCE — the
+    * artifact a training pipeline actually writes. Same broadcast-join
+    * plan as [[encode]] plus one doc-key aggregate that reassembles
+    * order: `array_sort` over (position, word-tokens) structs then a
+    * flatten, so the result is independent of partitioning (positions
+    * are unique per document). Documents with no words are absent, like
+    * every word-granular output here. */
+  def encodeTokens(docs: DataFrame, tokenizer: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame =
+    docs
+      .select(col(idCol),
+        posexplode(split(trim(lower(col(textCol))), "\\s+")))
+      .withColumnRenamed("col", "word")
+      .filter(col("word") =!= "")
+      .join(broadcast(tokenizer.select("word", "toks")), "word")
+      .groupBy(idCol)
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("toks")))),
+        x => x.getField("toks"))).as("tokens"))
 }

@@ -37,19 +37,30 @@ object BpePack extends QueryPack {
       val docs = table(s, dir, "documents")
       val (_, toks) = Bpe.train(docs, K)
       Bpe.encode(docs, toks)
+    },
+    // The ordered per-document token sequences themselves. Space-joined
+    // for the gate (tokens never contain whitespace, so it's lossless —
+    // and the driver's value hashing is only proven on scalars).
+    "q_bpe_tokens" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val (_, toks) = Bpe.train(docs, K)
+      Bpe.encodeTokens(docs, toks)
+        .select(col("doc_id"), array_join(col("tokens"), " ").as("tokens"))
     }
   )
 
   override def oracles: Map[String, String] = Map(
     "q_bpe_merges" -> oracleSql(K, Merges),
     "q_bpe_vocab" -> oracleSql(K, Vocab),
-    "q_bpe_encode" -> oracleSql(K, Encode)
+    "q_bpe_encode" -> oracleSql(K, Encode),
+    "q_bpe_tokens" -> oracleSql(K, Tokens)
   )
 
   private sealed trait Output
   private case object Merges extends Output
   private case object Vocab extends Output
   private case object Encode extends Output
+  private case object Tokens extends Output
 
   /** Unrolled k-iteration BPE in DuckDB SQL (validated against an
     * independent reference implementation at sf0.001/sf0.01). */
@@ -112,6 +123,18 @@ object BpePack extends QueryPack {
            |      FROM documents) dw
            |JOIN (SELECT word, count(*) AS n_toks FROM tok${k + 1}
            |      GROUP BY word) wl ON dw.w = wl.word
+           |WHERE dw.w <> '' GROUP BY doc_id""".stripMargin
+      case Tokens =>
+        s"""SELECT doc_id,
+           |  array_to_string(flatten(list(toks ORDER BY wpos)), ' ') AS tokens
+           |FROM (SELECT doc_id, wl[CAST(g.i AS INT)] AS w,
+           |        CAST(g.i AS BIGINT) AS wpos
+           |      FROM (SELECT doc_id,
+           |              string_split_regex(trim(lower(text)), '\\s+') AS wl
+           |            FROM documents) t,
+           |           unnest(generate_series(1, len(wl))) AS g(i)) dw
+           |JOIN (SELECT word, list(token ORDER BY pos) AS toks
+           |      FROM tok${k + 1} GROUP BY word) wt ON dw.w = wt.word
            |WHERE dw.w <> '' GROUP BY doc_id""".stripMargin
     }
     "WITH " + parts.result().mkString(",\n") + "\n" + select

@@ -51,6 +51,17 @@ class BpeSpec extends SparkSpec {
     assert(enc == Map(1L -> 4L, 2L -> 1L))
   }
 
+  test("encodeTokens reassembles per-doc sequences in word order") {
+    val s = spark; import s.implicits._
+    val corpus = Seq((1L, "cd ab  cd"), (2L, " ")).toDF("doc_id", "text")
+    val (_, tok) = Bpe.train(corpus, k = 1) // (c,d) wins at count 2
+    val seqs = Bpe.encodeTokens(corpus, tok)
+      .as[(Long, Seq[String])].collect().toMap
+    // doc 2 has no words → absent; doc 1 keeps word order across the
+    // double space.
+    assert(seqs === Map(1L -> Seq("cd", "a", "b", "cd")))
+  }
+
   test("vocab sums weights over final tokens") {
     val (_, toks) = Bpe.train(docs("ab ab cd"), k = 1)
     val v = Bpe.vocab(toks).as[(String, Long)].collect().toMap
