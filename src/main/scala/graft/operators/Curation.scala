@@ -72,6 +72,49 @@ object Curation {
       .drop("_num")
   }
 
+  /** TEMPERATURE sampling (α = 1/2) for multilingual mixing: per-stratum
+    * keep rates proportional to `√n_l / n_l`, so the sampled corpus mixes
+    * strata by `√n_l` — the classic α-sampling that upweights low-resource
+    * languages relative to raw frequency (α=1 is proportional, α=0 uniform;
+    * √ is the standard middle).
+    *
+    * Integer-exact end to end: stratum weight `w_l = ⌊√n_l⌋` (IEEE sqrt is
+    * correctly rounded, so every engine floors the same value), and each
+    * stratum's gate numerator is `min((target·w_l·denom) div (Σw·n_l),
+    * denom)` — pure integer arithmetic inlined against the same salted-md5
+    * gate as [[sampleStratified]]. Caller keeps `target·w_l·SampleDenom`
+    * under 2⁶³ (true for any realistic target; rescale SampleDenom down
+    * if sampling trillions).
+    *
+    * Unlike [[sampleStratified]] the rates are DATA-derived, so they ride
+    * the plan: one tiny per-stratum aggregate, an empty-frame window to
+    * total the weights (strata-count rows in one partition — never
+    * row-scale), and a broadcast join back onto the corpus scan; the gate
+    * itself stays a narrow filter. Output: sampled rows + (n_strat,
+    * gate_num) for auditability. */
+  def sampleTemperature(docs: DataFrame, targetDocs: Long,
+                        strataCol: String = "lang", idCol: String = "doc_id",
+                        salt: String = "temp"): DataFrame = {
+    require(targetDocs > 0, "targetDocs must be positive")
+    Seq("n_strat", "gate_num").foreach(c => require(!docs.columns.contains(c),
+      s"input already has a '$c' column — rename it before sampling"))
+    val win = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val rates = docs.groupBy(strataCol)
+      .agg(count(lit(1)).as("n_strat"))
+      .withColumn("_w", floor(sqrt(col("n_strat"))).cast("long"))
+      .withColumn("_tw", sum("_w").over(win))
+      // `div`, not `/`: Column./ on longs is DOUBLE division (exactness
+      // gone past 2^53); this stays in integer arithmetic throughout.
+      .withColumn("gate_num",
+        least(expr(s"($targetDocs * _w * $SampleDenom) div (_tw * n_strat)"),
+          lit(SampleDenom)))
+      .drop("_w", "_tw")
+    docs.join(broadcast(rates), strataCol)
+      .filter(hashGate(col(idCol), salt, col("gate_num")))
+  }
+
   /** The repetition metrics as one struct expression (the token array is
     * let-bound so the split runs once): n_words, dup_word_frac, n_bigrams,
     * dup_bigram_frac — the Gopher/C4-style "repetitious text" signals. */

@@ -68,6 +68,15 @@ object CurationPack extends QueryPack {
       Curation.sampleStratified(table(s, dir, "documents"), Rates)
         .select("doc_id", "lang", "weight")
     },
+    // α=1/2 temperature sampling toward 200 docs: keep rates ∝ √n_l/n_l,
+    // so low-resource languages are upweighted — rates derived IN-plan
+    // from the per-language counts (integer-exact, see
+    // Curation.sampleTemperature).
+    "q_sample_temperature" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Curation.sampleTemperature(table(s, dir, "documents"), targetDocs = 200L)
+        .select("doc_id", "lang", "n_strat", "gate_num")
+    },
     "q_repetition" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       Curation.repetition(table(s, dir, "documents"))
@@ -207,6 +216,18 @@ object CurationPack extends QueryPack {
         |r AS (SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang
         |    ORDER BY hv, doc_id) AS BIGINT) AS draw_rank FROM h)
         |SELECT doc_id, lang, draw_rank FROM r WHERE draw_rank <= 20""".stripMargin,
+    "q_sample_temperature" ->
+      s"""WITH s AS (SELECT lang, count(*) AS n_strat,
+         |    CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+         |  FROM documents GROUP BY 1),
+         |r AS (SELECT lang, n_strat,
+         |    CAST(least((200 * w * ${Curation.SampleDenom}) //
+         |               (sum(w) OVER () * n_strat),
+         |           ${Curation.SampleDenom}) AS BIGINT) AS gate_num FROM s)
+         |SELECT d.doc_id, d.lang, r.n_strat, r.gate_num
+         |FROM documents d JOIN r USING (lang)
+         |WHERE ('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |      % ${Curation.SampleDenom} < r.gate_num""".stripMargin,
     "q_sample_stratified" ->
       s"""SELECT doc_id, lang,
          |  1.0 / ${rateCase(_.toString)} AS weight

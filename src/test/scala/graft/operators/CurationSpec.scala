@@ -49,6 +49,31 @@ class CurationSpec extends SparkSpec {
     assert((a & b).nonEmpty) // overlap ≈ rate² > 0 at fixture size
   }
 
+  test("temperature sampling: exact ⌊√n⌋-derived gates, α-upweighting, stable") {
+    GraftExtensions.register(spark)
+    val s = spark; import s.implicits._
+    // Skewed strata: 400 "hi" docs vs 25 "lo" docs.
+    val corpus = ((1L to 400L).map(i => (i, "hi")) ++
+      (401L to 425L).map(i => (i, "lo"))).toDF("doc_id", "lang")
+    val out = Curation.sampleTemperature(corpus, targetDocs = 100L)
+    val gates = out.select("lang", "n_strat", "gate_num").distinct()
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // w_hi=⌊√400⌋=20, w_lo=⌊√25⌋=5, Σw=25:
+    //   hi: (100·20·10⁶) div (25·400) = 200000 (20% keep)
+    //   lo: (100·5·10⁶)  div (25·25)  = 800000 (80% keep — upweighted)
+    assert(gates === Map("hi" -> ((400L, 200000L)), "lo" -> ((25L, 800000L))))
+    // Pure function of the data: partitioning-invariant.
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(out) === ids(
+      Curation.sampleTemperature(corpus.repartition(7), targetDocs = 100L)))
+    // A stratum bigger than its target cap clamps at the denominator.
+    val tiny = Seq((1L, "x")).toDF("doc_id", "lang")
+    val g = Curation.sampleTemperature(tiny, targetDocs = 10L)
+      .select("gate_num").head().getLong(0)
+    assert(g === Curation.SampleDenom)
+  }
+
   test("repetition: planted duplicate words move the fractions") {
     GraftExtensions.register(spark)
     val sparkSession = spark
