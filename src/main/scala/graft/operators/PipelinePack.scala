@@ -66,6 +66,13 @@ object PipelinePack extends QueryPack {
     "q_histogram_equidepth" -> { (s, dir) =>
       Profiling.equiDepthHistogram(table(s, dir, "documents"), "n_chars", 8)
     },
+    // Distribution drift: event-type mix of the month's first half vs
+    // second half, as per-category chi-square contributions (the ingest
+    // monitoring pass — "which categories moved").
+    "q_dist_drift" -> { (s, dir) =>
+      Profiling.distributionDrift(table(s, dir, "events"), "event_type",
+        dayofmonth(col("ts")) <= 15)
+    },
     // EXACT length quantiles per language — type-1 order statistics at
     // integer ranks, no sketch and no interpolation, so the values
     // hash-match any engine that sorts the same longs.
@@ -244,6 +251,22 @@ object PipelinePack extends QueryPack {
          |SELECT node, rank_fp FROM r3
          |ORDER BY rank_fp DESC, node LIMIT 20""".stripMargin
     },
+    "q_dist_drift" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT *, sum(n_a) OVER () AS ta, sum(n_b) OVER () AS tb FROM c)
+        |SELECT event_type, n_a, n_b,
+        |  CASE WHEN ta > 0 AND tb > 0 THEN
+        |    (CAST(n_a AS DOUBLE) * CAST(tb AS DOUBLE) -
+        |     CAST(n_b AS DOUBLE) * CAST(ta AS DOUBLE)) *
+        |    (CAST(n_a AS DOUBLE) * CAST(tb AS DOUBLE) -
+        |     CAST(n_b AS DOUBLE) * CAST(ta AS DOUBLE)) /
+        |    (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE) *
+        |     CAST(n_a + n_b AS DOUBLE))
+        |  END AS drift_contrib
+        |FROM t""".stripMargin,
     "q_histogram_equidepth" -> {
       val k = 8
       val cutCols = (1 until k).map(i =>

@@ -137,4 +137,40 @@ object Profiling {
     freq.groupBy(bucket.as("bucket"))
       .agg(sum("f").as("n"), min("v").as("lo"), max("v").as("hi"))
   }
+
+  /** Distribution DRIFT between two slices of one table (old/new ingest
+    * window, train/serve, A/B): the per-category decomposition of the
+    * two-sample chi-square homogeneity statistic. Emits, per category,
+    * both slice counts and the category's chi-square contribution
+    * `(n_a·T_b − n_b·T_a)² / (T_a·T_b·(n_a+n_b))` (T = slice totals) —
+    * sum the column for the full statistic; the per-category rows are the
+    * monitoring payload ("which categories moved").
+    *
+    * One bounded hash aggregate over the scan (category cardinality,
+    * never rows) + an empty-frame window for the totals. Determinism: the
+    * counts are exact longs; every double product is computed in a FIXED
+    * association order and stays exact until one square and one division
+    * (long→double conversion and IEEE ops are correctly rounded; products
+    * are exact while count·total < 2⁵³ — counts up to ~9·10⁷ per side
+    * against totals of the same order). Slices a category saw zero of
+    * still contribute (drift TO or FROM nothing is still drift); if a
+    * whole SLICE is empty the contribution is null. */
+  def distributionDrift(df: DataFrame, catCol: String, slice: Column)
+      : DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val d = (c: Column) => c.cast("double")
+    val diff = d(col("n_a")) * d(col("_tb")) - d(col("n_b")) * d(col("_ta"))
+    df.groupBy(col(catCol))
+      .agg(sum(when(slice, 1L).otherwise(0L)).as("n_a"),
+        sum(when(slice, 0L).otherwise(1L)).as("n_b"))
+      .withColumn("_ta", sum("n_a").over(win))
+      .withColumn("_tb", sum("n_b").over(win))
+      .withColumn("drift_contrib",
+        when(col("_ta") > 0 && col("_tb") > 0,
+          diff * diff /
+            (d(col("_ta")) * d(col("_tb")) * d(col("n_a") + col("n_b")))))
+      .drop("_ta", "_tb")
+  }
 }

@@ -53,6 +53,27 @@ class PipelineSpec extends SparkSpec {
     assert(t == Map(1L -> ((7L, 1L, 5L)), 4L -> ((1L, 9L, 9L))))
   }
 
+  test("distributionDrift: hand-computed chi-square contributions, zero-slice null") {
+    val s = spark; import s.implicits._
+    // Slice A: 3×x, 1×y; slice B: 1×x, 3×y. T_a = T_b = 4.
+    val df = (Seq.fill(3)(("x", true)) ++ Seq(("y", true)) ++
+      Seq(("x", false)) ++ Seq.fill(3)(("y", false))).toDF("cat", "in_a")
+    val drift = Profiling.distributionDrift(df, "cat", col("in_a"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // x: (3·4 − 1·4)² / (4·4·4) = 64/64 = 1.0; y symmetric.
+    assert(drift === Map("x" -> ((3L, 1L, 1.0)), "y" -> ((1L, 3L, 1.0))))
+    // A category absent from one slice still contributes…
+    val oneSided = Seq(("x", true), ("y", true), ("y", false)).toDF("cat", "in_a")
+    val d2 = Profiling.distributionDrift(oneSided, "cat", col("in_a"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // x: n_a=1, n_b=0, T_a=2, T_b=1 → (1·1 − 0·2)² / (2·1·1) = 0.5
+    assert(d2("x") === 0.5)
+    // …but an entirely empty SLICE yields null contributions.
+    val empty = Seq(("x", true), ("y", true)).toDF("cat", "in_a")
+    assert(Profiling.distributionDrift(empty, "cat", col("in_a"))
+      .collect().forall(_.isNullAt(3)))
+  }
+
   test("Pii redacts email, ipv4 and long digit runs with class tokens") {
     val s = spark; import s.implicits._
     val df = Seq(
