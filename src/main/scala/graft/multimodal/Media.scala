@@ -190,4 +190,19 @@ object Media {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Near-dup media CLUSTERS: connected components over the
+    * [[phashPairs]] graph ([[graft.operators.Dedup.connectedComponents]]
+    * — pointer doubling, per-round lineage truncation), every media row
+    * labeled (isolated rows self-label). Same caveat as text near-dup
+    * clustering: transitive closure chains distinct-looking payloads
+    * through intermediates — use for dedup keep-lists, not similarity
+    * assertions. */
+  def phashClusters(ph: DataFrame, nBits: Int, maxHamming: Int = 2,
+                    idCol: String = "media_id"): DataFrame =
+    graft.operators.Dedup.connectedComponents(
+      ph.select(col(idCol).as("node")),
+      phashPairs(ph, nBits, maxHamming, idCol)
+        .select(col("a").as("src"), col("b").as("dst")))
+      .withColumnRenamed("node", idCol)
 }

@@ -44,6 +44,31 @@ class MediaPropsSpec extends SparkSpec {
     }
   }
 
+  test("phashClusters: components match a brute-force union-find") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val hashes = sample(
+      Gen.listOfN(50, Gen.chooseNum(0L, (1L << 10) - 1)), seed = 11L)
+      .zipWithIndex.map { case (h, i) => (i.toLong, h) }
+    val got = Media.phashClusters(hashes.toDF("media_id", "phash"),
+        nBits = 10, maxHamming = 2)
+      .as[(Long, Long)].collect().toMap
+    // Brute-force union-find over the same hamming ball.
+    val parent = scala.collection.mutable.Map(hashes.map(_._1 -> -1L): _*)
+    def find(x: Long): Long =
+      if (parent(x) < 0) x else { val r = find(parent(x)); parent(x) = r; r }
+    for ((a, ha) <- hashes; (b, hb) <- hashes
+         if a < b && java.lang.Long.bitCount(ha ^ hb) <= 2) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    val want = hashes.map { case (i, _) => i -> find(i) }.toMap
+    assert(got.size === hashes.size)
+    // Same partition: identical component MEMBERSHIP (ids may differ, but
+    // both implementations label by min member, so compare directly).
+    assert(got === want)
+  }
+
   test("phashPairs banding equals brute force on random hash sets") {
     val sparkSession = spark
     import sparkSession.implicits._
