@@ -122,6 +122,25 @@ object Bpe {
       .groupBy(idCol).agg(sum("n_toks").as("n_bpe_tokens"))
   }
 
+  /** Out-of-vocabulary monitoring: per-document word counts and how many
+    * of them the trained tokenizer has never seen — the vocabulary-drift
+    * signal a serving pipeline watches per ingest window (a rising OOV
+    * rate means the tokenizer no longer fits the traffic). `vocabWords`
+    * is any one-column `word` table (e.g. [[train]]'s tokenizer);
+    * broadcast + narrow left join + one doc-key aggregate, so it runs
+    * identically over a batch corpus or inside `foreachBatch`. */
+  def oovStats(docs: DataFrame, vocabWords: DataFrame,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(vocabWords.select(col("word"), lit(1L).as("_known"))),
+        Seq("word"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("_known").isNull, 1L).otherwise(0L)).as("n_oov"))
+
   /** Full encoding: each document's ordered BPE token SEQUENCE — the
     * artifact a training pipeline actually writes. Same broadcast-join
     * plan as [[encode]] plus one doc-key aggregate that reassembles

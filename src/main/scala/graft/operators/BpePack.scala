@@ -38,6 +38,14 @@ object BpePack extends QueryPack {
       val (_, toks) = Bpe.train(docs, K)
       Bpe.encode(docs, toks)
     },
+    // Vocabulary drift: tokenizer word table built from the EVEN doc_ids,
+    // odd documents scored for out-of-vocabulary words — the train/serve
+    // drift monitor (same-corpus OOV is vacuously zero).
+    "q_bpe_oov" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      Bpe.oovStats(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        Bpe.wordTable(docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text"))
+    },
     // The ordered per-document token sequences themselves. Space-joined
     // for the gate (tokens never contain whitespace, so it's lossless —
     // and the driver's value hashing is only proven on scalars).
@@ -53,7 +61,20 @@ object BpePack extends QueryPack {
     "q_bpe_merges" -> oracleSql(K, Merges),
     "q_bpe_vocab" -> oracleSql(K, Vocab),
     "q_bpe_encode" -> oracleSql(K, Encode),
-    "q_bpe_tokens" -> oracleSql(K, Tokens)
+    "q_bpe_tokens" -> oracleSql(K, Tokens),
+    // OOV needs only the word SET, not the merge chain.
+    "q_bpe_oov" ->
+      """WITH v AS (SELECT DISTINCT w AS word FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |    FROM documents WHERE doc_id % 2 = 0) WHERE w <> ''),
+        |dw AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT doc_id, count(*) AS n_words,
+        |  CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov
+        |FROM dw LEFT JOIN v ON dw.w = v.word
+        |WHERE dw.w <> '' GROUP BY doc_id""".stripMargin
   )
 
   private sealed trait Output

@@ -44,6 +44,40 @@ class DocPipelineSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streamed OOV monitoring through a broadcast tokenizer equals batch") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Bpe
+
+    // Tokenizer trained on a fixed reference corpus; the stream carries a
+    // drifting mix of known and novel words.
+    val trainCorpus = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val vocab = Bpe.wordTable(trainCorpus, "text").localCheckpoint(true)
+    val streamDocs = (1 to 90).map(i =>
+      (i.toLong, if (i % 3 == 0) s"alpha nova$i" else "beta gamma"))
+
+    val stream = MemoryStream[(Long, String)]
+    var seen = Seq.empty[(Long, Long, Long)].toDF("doc_id", "n_words", "n_oov")
+    val query = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen = seen.unionByName(
+          Bpe.oovStats(b, vocab).localCheckpoint(eager = true))
+        ()
+      }.start()
+    try {
+      for (b <- streamDocs.grouped(40)) { stream.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+
+    val streamed = seen.as[(Long, Long, Long)].collect().toSet
+    val batch = Bpe.oovStats(streamDocs.toDF("doc_id", "text"), vocab)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    // Every third doc carries exactly one novel word.
+    assert(streamed.count(_._3 == 1L) === 30)
+    assert(streamed.count(_._3 == 0L) === 60)
+  }
+
   test("streamed incremental dedup converges to the one-shot exact dedup") {
     val sparkSession = spark
     import sparkSession.implicits._
