@@ -116,6 +116,14 @@ object CorePack extends QueryPack {
     "q_sessionize" -> { (s, dir) =>
       Sessionize.sessionize(table(s, dir, "events"), gapSeconds = 21600L)
     },
+    // Sweep-line concurrency over those sessions: max sessions open at
+    // once per day (day-partitioned running sum + days-sized offset pass —
+    // see Temporal.concurrencyProfile).
+    "q_concurrency" -> { (s, dir) =>
+      Temporal.concurrencyProfile(
+        Sessionize.sessionize(table(s, dir, "events"), gapSeconds = 21600L),
+        "session_start_us", "session_end_us")
+    },
     // Spark's NATIVE session_window beside our Sessionize — built-in where
     // one exists. NB the native boundary is strict-< merge (a gap EQUAL to
     // the threshold starts a new session), unlike Sessionize's <= — the
@@ -231,6 +239,36 @@ object CorePack extends QueryPack {
         |SELECT user_id, session_id, min(us) AS session_start_us,
         |  max(us) AS session_end_us, count(*) AS n_events
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // Concurrency: the sessionize CTE feeding the identical two-pass sweep
+    // line (day-partitioned running sum, strictly-prior-days offset).
+    "q_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, event_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w > 21600000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, us,
+        |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g),
+        |sess AS (SELECT min(us) AS s_us, max(us) AS e_us
+        |  FROM s GROUP BY user_id, session_id),
+        |d AS (SELECT s_us AS us, 1 AS delta FROM sess
+        |      UNION ALL SELECT e_us, -1 FROM sess),
+        |r AS (SELECT us // 86400000000 AS day, us, delta,
+        |  CAST(sum(delta) OVER (PARTITION BY us // 86400000000
+        |    ORDER BY us, delta DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |  FROM d),
+        |pd AS (SELECT day, max(run) AS mxrun,
+        |  CAST(sum(delta) AS BIGINT) AS net,
+        |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_started
+        |  FROM r GROUP BY 1)
+        |SELECT day,
+        |  CAST(coalesce(sum(net) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + greatest(mxrun, 0) AS BIGINT) AS max_concurrent,
+        |  n_started
+        |FROM pd""".stripMargin,
     // Native session_window: strict-< merge ⇒ split on gap >= threshold;
     // window end = last event + gap.
     "q_session_window" ->

@@ -242,4 +242,52 @@ object Temporal {
         col(instantCol).as("valid_from"),
         lead(col(instantCol), 1).over(wCh).as("valid_to")): _*)
   }
+
+  /** Interval CONCURRENCY profile — "how many sessions were open at once,
+    * per day": the classic sweep line (+1 at start, −1 at end, running
+    * sum), distributed the only way a sweep line scales: the running sum
+    * is day-PARTITIONED (each day's window is bounded by its own event
+    * count), and cross-day state is re-introduced as per-day OFFSETS from
+    * a second, days-sized prefix window — the [[graft.operators.Numbering]]
+    * two-pass discipline, never one global ordered partition over all
+    * interval endpoints.
+    *
+    * Intervals are CLOSED (`[start, end]`, micros): at a shared instant
+    * the start sorts before the end (`delta DESC`), so a session ending
+    * exactly when another starts overlaps it. Determinism under ties:
+    * within a run of equal `(us, delta)` rows the prefix-value SET is the
+    * same whatever their order, so the per-day max is partition-order
+    * independent. A day's maximum includes its start-of-day state
+    * (`offset + greatest(max prefix, 0)`) — a day of pure endings still
+    * reports the concurrency it opened with. Days with no endpoints are
+    * absent (their concurrency is the previous day's closing state).
+    *
+    * Output: (day — epoch days, max_concurrent, n_started). */
+  def concurrencyProfile(intervals: DataFrame, startCol: String,
+                         endCol: String): DataFrame = {
+    val DayUs = 86400000000L
+    val deltas = intervals
+      .select(col(startCol).as("us"), lit(1L).as("delta"))
+      .unionByName(intervals.select(col(endCol).as("us"), lit(-1L).as("delta")))
+      .withColumn("day", expr(s"us div $DayUs"))
+    val wDay = Window.partitionBy("day")
+      .orderBy(col("us").asc, col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perDay = deltas
+      .withColumn("_run", sum("delta").over(wDay))
+      .groupBy("day")
+      .agg(max("_run").as("_max_run"), sum("delta").as("_net"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_started"))
+    // Day-offset pass: cumulative net of STRICTLY PRIOR days, over the
+    // days-sized aggregate (one partition of ≤ #days rows — an index
+    // artifact, like Numbering's per-partition counts).
+    val wPrior = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perDay
+      .withColumn("_offset", coalesce(sum("_net").over(wPrior), lit(0L)))
+      .select(col("day"),
+        (col("_offset") + greatest(col("_max_run"), lit(0L)))
+          .as("max_concurrent"),
+        col("n_started"))
+  }
 }

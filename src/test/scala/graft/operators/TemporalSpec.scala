@@ -9,6 +9,31 @@ import graft.SparkSpec
   * double-based floor-div would misround the bucket). */
 class TemporalSpec extends SparkSpec {
 
+  test("concurrencyProfile: overlap counting, closed intervals, cross-day carry") {
+    val s = spark; import s.implicits._
+    val D = 86400000000L // one day in micros
+    // Same-day overlaps: [0,10], [5,20], [15,30] → peak 2.
+    val sameDay = Seq((0L, 10L), (5L, 20L), (15L, 30L)).toDF("s_us", "e_us")
+    val r1 = Temporal.concurrencyProfile(sameDay, "s_us", "e_us")
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, m, n) => d -> ((m, n)) }.toMap
+    assert(r1 === Map(0L -> ((2L, 3L))))
+    // Closed intervals: end == next start still overlaps (peak 2).
+    val touch = Seq((0L, 10L), (10L, 20L)).toDF("s_us", "e_us")
+    assert(Temporal.concurrencyProfile(touch, "s_us", "e_us")
+      .select("max_concurrent").head().getLong(0) === 2L)
+    // A session spanning day0→day2 carries into day1/day2 as an offset;
+    // day1 (no own endpoints for it) only appears via the short session,
+    // whose peak rides the carry.
+    val span = Seq((0L, 2 * D + 3600L), (D + 100L, D + 200L))
+      .toDF("s_us", "e_us")
+    val r3 = Temporal.concurrencyProfile(span, "s_us", "e_us")
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, m, n) => d -> ((m, n)) }.toMap
+    assert(r3 === Map(0L -> ((1L, 1L)), 1L -> ((2L, 1L)), 2L -> ((1L, 0L))))
+  }
+
+
   private lazy val ss: org.apache.spark.sql.SparkSession = spark
 
   test("asofJoin picks latest at-or-before row, null when none") {
