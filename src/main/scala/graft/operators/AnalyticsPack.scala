@@ -129,6 +129,36 @@ object AnalyticsPack extends QueryPack {
         expr("unix_micros(ts) div 86400000000 - 19723"),
         expr("CAST(floor(value * 1000) AS BIGINT)"))
     },
+    // Lag-1 autocorrelation of daily event counts per type — the AR(1)
+    // "is today predicted by yesterday" diagnostic, as an OLS fit of
+    // count_t against count_{t-1} over OBSERVED days (gaps skip to the
+    // previous observed day). Counts are exact longs, so the moments —
+    // and the derived doubles — are engine bit-identical.
+    "q_autocorr" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = table(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val pairs = daily.withColumn("prev", lag("cnt", 1).over(w))
+        .filter(col("prev").isNotNull)
+      Regression.linearFit(pairs, Seq("event_type"), col("prev"), col("cnt"))
+    },
+    // Referential-integrity audit across the star schema's FK relations —
+    // the "keys still line up" half of the migration check beside
+    // q_table_checksum.
+    "q_fk_orphans" -> { (s, dir) =>
+      Checksum.fkAudit(Seq(
+        Checksum.FkRelation("lineitem_orders", table(s, dir, "lineitem"),
+          "l_orderkey", table(s, dir, "orders"), "o_orderkey"),
+        Checksum.FkRelation("orders_customer", table(s, dir, "orders"),
+          "o_custkey", table(s, dir, "customer"), "c_custkey"),
+        Checksum.FkRelation("lineitem_part", table(s, dir, "lineitem"),
+          "l_partkey", table(s, dir, "part"), "p_partkey"),
+        Checksum.FkRelation("customer_nation", table(s, dir, "customer"),
+          "c_nationkey", table(s, dir, "nation"), "n_nationkey")))
+    },
     // Order-independent table checksum over lineitem, broken down by
     // returnflag: the "did the copy preserve the data" audit. Quantity is
     // quantized to integer cents before canonicalization (float→string
@@ -350,6 +380,43 @@ object AnalyticsPack extends QueryPack {
         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
         |   / CAST(n AS DOUBLE) AS intercept
         |FROM s""".stripMargin,
+    "q_autocorr" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, cnt AS y,
+        |    lag(cnt) OVER (PARTITION BY event_type ORDER BY day) AS x FROM d),
+        |t AS (SELECT event_type, x, y FROM p WHERE x IS NOT NULL),
+        |s AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM t GROUP BY 1)
+        |SELECT event_type, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        |  (CAST(sy AS DOUBLE)
+        |     - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+        |   / CAST(n AS DOUBLE) AS intercept
+        |FROM s""".stripMargin,
+    "q_fk_orphans" -> Seq(
+      ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"))
+      .map { case (name, child, ck, parent, pk) =>
+        s"""SELECT '$name' AS relation, count(*) AS n_child,
+           |  CAST(sum(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null_keys,
+           |  CAST(sum(CASE WHEN c.k IS NOT NULL AND p.k IS NULL
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+           |FROM (SELECT $ck AS k FROM $child) c
+           |LEFT JOIN (SELECT DISTINCT $pk AS k FROM $parent) p ON c.k = p.k"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n"),
     // MD5 digests agree byte-for-byte across engines on identical UTF-8
     // canonical strings; the 7-hex-char prefix parses to the same BIGINT
     // via conv() (Spark) and the 0x-cast (DuckDB).

@@ -44,4 +44,34 @@ object Checksum {
       sum(conv(substring(col("_h"), 1, 7), 16, 10).cast("long")).as("checksum"),
       min(col("_h")).as("h_min"), max(col("_h")).as("h_max"))
   }
+
+  /** One foreign-key relation to audit: display name, child table +
+    * key column, parent table + key column. */
+  final case class FkRelation(name: String, child: DataFrame, childKey: String,
+                              parent: DataFrame, parentKey: String)
+
+  /** Referential-integrity audit — the other half of the migration check
+    * ([[tableChecksum]] says "same rows"; this says "keys still line up"):
+    * per relation, the child row count, how many child keys are NULL
+    * (legal under SQL RI — not orphans), and how many NON-NULL child keys
+    * have no parent. One pass per relation: child keys LEFT JOIN the
+    * distinct parent key set, then a single conditional aggregate; the
+    * parent side is key-distinct (dimension-sized for star schemas —
+    * Catalyst/AQE picks broadcast when it fits), and the scalar results
+    * union into one audit table. */
+  def fkAudit(relations: Seq[FkRelation]): DataFrame = {
+    require(relations.nonEmpty, "audit needs at least one relation")
+    relations.map { r =>
+      val parentKeys = r.parent.select(col(r.parentKey).as("_k")).distinct()
+        .withColumn("_p", lit(1))
+      r.child.select(col(r.childKey).as("_k"))
+        .join(parentKeys, Seq("_k"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("_k").isNull, 1L).otherwise(0L)).as("n_null_keys"),
+          sum(when(col("_k").isNotNull && col("_p").isNull, 1L)
+            .otherwise(0L)).as("n_orphans"))
+        .select(lit(r.name).as("relation"), col("n_child"),
+          col("n_null_keys"), col("n_orphans"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -9,6 +9,18 @@ import graft.SparkSpec
   * subtotal rows from true nulls. */
 class AnalyticsSpec extends SparkSpec {
 
+  test("fkAudit: orphans counted, null keys legal, clean relations zero") {
+    val s = spark; import s.implicits._
+    val child = Seq(Some(1L), Some(2L), Some(9L), None).toDF("fk")
+    val parent = Seq(1L, 1L, 2L, 3L).toDF("pk") // dup parent keys must not fan out
+    val r = Checksum.fkAudit(Seq(
+        Checksum.FkRelation("c_p", child, "fk", parent, "pk")))
+      .head()
+    // 4 child rows; 1 null key (not an orphan); 9 has no parent.
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      (("c_p", 4L, 1L, 1L)))
+  }
+
   private lazy val ss: org.apache.spark.sql.SparkSession = spark
 
   test("approxDistinct lands within the documented rsd at 50k cardinality") {
