@@ -64,7 +64,11 @@ object Bench {
     // the driver-loop iterative family alongside q_dedup_clusters.
     // (q_bpe_vocab/q_bpe_encode share the same training core; benching
     // them too would triple-count it.)
-    "q_bpe_merges"
+    "q_bpe_merges",
+    // Multimodal near-dup (banded hamming self-join over per-row hashes)
+    // and the session sweep line (two window passes + day-offset join) —
+    // the two newest paths with real data volume.
+    "q_media_phash_pairs", "q_concurrency"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and

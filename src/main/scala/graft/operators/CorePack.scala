@@ -116,6 +116,26 @@ object CorePack extends QueryPack {
     "q_sessionize" -> { (s, dir) =>
       Sessionize.sessionize(table(s, dir, "events"), gapSeconds = 21600L)
     },
+    // Path analysis: the 20 most common opening event-type paths (first 5
+    // events per user, total-ordered). The per-user top-5 is a
+    // row_number filter — WindowGroupLimit prunes below the rank bound
+    // BEFORE the shuffle, so a whale user costs 5 rows downstream, never
+    // a full collect_list buffer.
+    "q_user_paths" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      table(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= 5)
+        .groupBy("user_id")
+        .agg(array_join(expr(
+          "transform(array_sort(collect_list(struct(us, event_id, event_type)))," +
+            " x -> x.event_type)"), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path")).limit(20)
+    },
     // Sweep-line concurrency over those sessions: max sessions open at
     // once per day (day-partitioned running sum + days-sized offset pass —
     // see Temporal.concurrencyProfile).
@@ -239,6 +259,17 @@ object CorePack extends QueryPack {
         |SELECT user_id, session_id, min(us) AS session_start_us,
         |  max(us) AS session_end_us, count(*) AS n_events
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_user_paths" ->
+      """WITH o AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts),
+        |      event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id,
+        |    array_to_string(list(event_type ORDER BY us, event_id), '>')
+        |      AS path
+        |  FROM o WHERE rn <= 5 GROUP BY 1)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY 1
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
     // Concurrency: the sessionize CTE feeding the identical two-pass sweep
     // line (day-partitioned running sum, strictly-prior-days offset).
     "q_concurrency" ->
