@@ -125,7 +125,10 @@ object Media {
     * bit-identical on any engine — no float division anywhere.
     *
     * Narrow per-partition pass, no shuffle; null/empty payloads hash to 0.
-    * `nCells ≤ 63` keeps the hash in one long. */
+    * `nCells ≤ 63` keeps the hash in one long; the cross-multiply stays
+    * exact while `255·cellLen·len < 2⁶³` — payloads into the hundreds of
+    * MB, far past any sane media blob (and a real deployment hashes the
+    * decoded thumbnail, a few KB). */
   def perceptualHash(df: DataFrame, nCells: Int = 16,
                      bytesCol: String = "bytes"): DataFrame = {
     require(nCells >= 2 && nCells <= 63, "nCells must be in [2, 63]")

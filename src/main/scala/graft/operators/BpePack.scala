@@ -105,12 +105,17 @@ object BpePack extends QueryPack {
         |        FROM tok$i)
         |  WHERE r IS NOT NULL GROUP BY l, r
         |  ORDER BY pair_count DESC, l, r LIMIT 1)""".stripMargin
+      // LEFT JOIN, not CROSS JOIN: when training exhausts before k merges,
+      // best_i is EMPTY — a cross join would wipe the token table, while
+      // the Spark side stops early and keeps it. With a null best row,
+      // `hit` is NULL → `keep` falsy → tok_{i+1} = tok_i (validated: an
+      // "ab ab" corpus under k=3 keeps vocab {ab: 2} on both engines).
       parts += s"""m$i AS (
         |  SELECT t.word, t.weight, t.pos, t.token, b.l, b.r,
         |         (t.token = b.l AND
         |          lead(t.token) OVER (PARTITION BY t.word ORDER BY t.pos) = b.r
         |         ) AS hit
-        |  FROM tok$i t CROSS JOIN best$i b)""".stripMargin
+        |  FROM tok$i t LEFT JOIN best$i b ON true)""".stripMargin
       parts += s"""i$i AS (
         |  SELECT *,
         |         pos - row_number() OVER (PARTITION BY word, hit ORDER BY pos)
