@@ -177,6 +177,10 @@ object Media {
                  idCol: String = "media_id"): DataFrame = {
     val nSeg = maxHamming + 1
     require(nBits >= nSeg, s"need at least $nSeg bits for $maxHamming-bit budget")
+    // ≤ 63: at 64 a full-width segment's mask (1L << 64) − 1 wraps to 0
+    // (Scala shift counts are mod 64), which would silently collapse the
+    // banding into ONE bucket — a correct but quadratic self-join.
+    require(nBits <= 63, "nBits must be <= 63 (single-long hashes)")
     val segW = (nBits + nSeg - 1) / nSeg
     val segs = (0 until nSeg).map { s =>
       val lo = s * segW

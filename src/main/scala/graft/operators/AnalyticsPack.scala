@@ -368,18 +368,20 @@ object AnalyticsPack extends QueryPack {
         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
         |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy
         |  FROM t GROUP BY 1)
-        |SELECT event_type, n,
-        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
-        |  (CAST(sy AS DOUBLE)
-        |     - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+        |, sl AS (SELECT event_type, n, sx, sy,
+        |    CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+        |      -- constant x: Spark's 0/0 is NaN, DuckDB's is NULL — pin NaN
+        |      THEN 'NaN'::DOUBLE
+        |      ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS slope
+        |  FROM s)
+        |SELECT event_type, n, slope,
+        |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
         |   / CAST(n AS DOUBLE) AS intercept
-        |FROM s""".stripMargin,
+        |FROM sl""".stripMargin,
     "q_autocorr" ->
       """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |    count(*) AS cnt FROM events GROUP BY 1, 2),
@@ -390,18 +392,20 @@ object AnalyticsPack extends QueryPack {
         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
         |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy
         |  FROM t GROUP BY 1)
-        |SELECT event_type, n,
-        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
-        |  (CAST(sy AS DOUBLE)
-        |     - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+        |, sl AS (SELECT event_type, n, sx, sy,
+        |    CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+        |      -- constant x: Spark's 0/0 is NaN, DuckDB's is NULL — pin NaN
+        |      THEN 'NaN'::DOUBLE
+        |      ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS slope
+        |  FROM s)
+        |SELECT event_type, n, slope,
+        |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
         |   / CAST(n AS DOUBLE) AS intercept
-        |FROM s""".stripMargin,
+        |FROM sl""".stripMargin,
     "q_fk_orphans" -> Seq(
       ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
       ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
@@ -409,10 +413,10 @@ object AnalyticsPack extends QueryPack {
       ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"))
       .map { case (name, child, ck, parent, pk) =>
         s"""SELECT '$name' AS relation, count(*) AS n_child,
-           |  CAST(sum(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-           |    AS n_null_keys,
-           |  CAST(sum(CASE WHEN c.k IS NOT NULL AND p.k IS NULL
-           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+           |  CAST(coalesce(sum(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END), 0)
+           |    AS BIGINT) AS n_null_keys,
+           |  CAST(coalesce(sum(CASE WHEN c.k IS NOT NULL AND p.k IS NULL
+           |           THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans
            |FROM (SELECT $ck AS k FROM $child) c
            |LEFT JOIN (SELECT DISTINCT $pk AS k FROM $parent) p ON c.k = p.k"""
           .stripMargin

@@ -20,23 +20,34 @@ object BpePack extends QueryPack {
     * keeping the unrolled oracle tractable for DuckDB. */
   private val K = 8
 
+  /** One training per (session, sf dir) for the three DERIVED queries
+    * (vocab/encode/tokens): they need the SAME trained tokenizer, and the
+    * token table is localCheckpoint-materialized, so the memoized
+    * DataFrame is safely re-consumable — without this a Verify pass pays
+    * the 8-iteration induction 4×. q_bpe_merges deliberately does NOT use
+    * the memo: it is the benchmark's training query, and a min-of-2 timing
+    * over a memo hit would report a fiction. */
+  private val trained = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[Bpe.Merge], DataFrame)]()
+  private def train(s: SparkSession, dir: String): (Seq[Bpe.Merge], DataFrame) =
+    trained.computeIfAbsent(s.hashCode() + "|" + dir,
+      _ => Bpe.train(table(s, dir, "documents"), K))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The learned merge table — the tokenizer-training artifact itself.
+    // Unmemoized: this is the bench's training-cost query (see `trained`).
     "q_bpe_merges" -> { (s, dir) =>
       val (merges, _) = Bpe.train(table(s, dir, "documents"), K)
       s.createDataFrame(merges)
     },
     // Weighted token vocabulary after the k merges.
     "q_bpe_vocab" -> { (s, dir) =>
-      val (_, toks) = Bpe.train(table(s, dir, "documents"), K)
-      Bpe.vocab(toks)
+      Bpe.vocab(train(s, dir)._2)
     },
     // Encode the corpus with the trained tokenizer: per-doc BPE token
     // counts via a broadcast word → token-count join.
     "q_bpe_encode" -> { (s, dir) =>
-      val docs = table(s, dir, "documents")
-      val (_, toks) = Bpe.train(docs, K)
-      Bpe.encode(docs, toks)
+      Bpe.encode(table(s, dir, "documents"), train(s, dir)._2)
     },
     // Vocabulary drift: tokenizer word table built from the EVEN doc_ids,
     // odd documents scored for out-of-vocabulary words — the train/serve
@@ -50,9 +61,7 @@ object BpePack extends QueryPack {
     // for the gate (tokens never contain whitespace, so it's lossless —
     // and the driver's value hashing is only proven on scalars).
     "q_bpe_tokens" -> { (s, dir) =>
-      val docs = table(s, dir, "documents")
-      val (_, toks) = Bpe.train(docs, K)
-      Bpe.encodeTokens(docs, toks)
+      Bpe.encodeTokens(table(s, dir, "documents"), train(s, dir)._2)
         .select(col("doc_id"), array_join(col("tokens"), " ").as("tokens"))
     }
   )

@@ -67,9 +67,13 @@ object Checksum {
       r.child.select(col(r.childKey).as("_k"))
         .join(parentKeys, Seq("_k"), "left")
         .agg(count(lit(1)).as("n_child"),
-          sum(when(col("_k").isNull, 1L).otherwise(0L)).as("n_null_keys"),
-          sum(when(col("_k").isNotNull && col("_p").isNull, 1L)
-            .otherwise(0L)).as("n_orphans"))
+          // coalesce: sum over ZERO rows is NULL, and an empty child table
+          // (the failed-migration case this audit exists for) must report
+          // 0s, not nulls that NPE consumers or slip through `> 0` filters.
+          coalesce(sum(when(col("_k").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_null_keys"),
+          coalesce(sum(when(col("_k").isNotNull && col("_p").isNull, 1L)
+            .otherwise(0L)), lit(0L)).as("n_orphans"))
         .select(lit(r.name).as("relation"), col("n_child"),
           col("n_null_keys"), col("n_orphans"))
     }.reduce(_.unionByName(_))

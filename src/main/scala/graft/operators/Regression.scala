@@ -24,7 +24,9 @@ object Regression {
 
   /** Per-group OLS fit of integral `y` against integral `x`. Output:
     * groupCols ++ (n, slope, intercept); groups where x is constant (zero
-    * variance) yield NaN slope/intercept in both engines. */
+    * variance) yield NaN slope/intercept (0/0 — NB DuckDB returns NULL for
+    * 0/0, so oracles must pin NaN explicitly on the zero-variance branch,
+    * as the q_trend/q_autocorr oracles do). */
   def linearFit(df: DataFrame, groupCols: Seq[String],
                 x: Column, y: Column): DataFrame = {
     require(groupCols.nonEmpty, "linearFit needs at least one group column")
