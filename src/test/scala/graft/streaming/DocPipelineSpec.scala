@@ -78,6 +78,46 @@ class DocPipelineSpec extends SparkSpec {
     assert(streamed.count(_._3 == 0L) === 60)
   }
 
+  test("streamed edge ingest + per-batch CC converges to batch components") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // A long path graph arriving shuffled across micro-batches: components
+    // only fully merge once ALL edges are in — the worst case for
+    // incremental clustering.
+    val rnd = new scala.util.Random(19)
+    val edges = rnd.shuffle((0L until 60L).map(i => (i, i + 1)) ++
+      (100L until 130L).map(i => (i, i + 2)))
+
+    val stream = MemoryStream[(Long, Long)]
+    // The accumulating edge table a real ingest keeps; CC re-derives
+    // cluster labels per trigger over the union (labels are NOT
+    // incremental state — min-labels can change when batches bridge
+    // previously separate components, so recompute-over-accumulated is
+    // the correct streaming formulation).
+    var acc = Seq.empty[(Long, Long)].toDF("src", "dst")
+    var lastLabels: org.apache.spark.sql.DataFrame = null
+    val query = stream.toDF().toDF("src", "dst").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc = acc.unionByName(b).localCheckpoint(eager = true)
+        lastLabels = graft.operators.Dedup.connectedComponentsOfEdges(acc)
+          .localCheckpoint(eager = true)
+        ()
+      }.start()
+    try {
+      for (b <- edges.grouped(25)) { stream.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+
+    val streamed = lastLabels.as[(Long, Long)].collect().toMap
+    val batch = graft.operators.Dedup
+      .connectedComponentsOfEdges(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(streamed === batch)
+    // Three true components: the 0..60 path + the even and odd 100..131 chains.
+    assert(streamed.values.toSet.size === 3)
+  }
+
   test("streamed incremental dedup converges to the one-shot exact dedup") {
     val sparkSession = spark
     import sparkSession.implicits._
