@@ -99,6 +99,89 @@ object Bpe {
     (merges.result(), cur)
   }
 
+  /** Vocabulary-scale training: the corpus-scale word COUNT stays
+    * distributed (one shuffle, exactly [[wordTable]]), then the induction
+    * loop runs IN-MEMORY on the collected weighted word table. This is
+    * the production path for real merge counts — a 32k-merge tokenizer
+    * under [[train]] means 64k+ sequential Spark jobs doing kilobytes of
+    * work each; every real BPE trainer collapses to the word table first
+    * because it is vocabulary-sized, not corpus-sized. Semantics are
+    * IDENTICAL to [[train]] (same counts, tie-break, greedy-leftmost
+    * merge — property-tested equivalent), with one standard knob:
+    * `minWeight` drops words rarer than the floor from training (HF
+    * `min_frequency`); 1 = exact.
+    *
+    * The loop keeps pair counts incrementally (pair → count + a
+    * stale-tolerant pair → words index; only words containing the winning
+    * pair are touched per merge) with the argmax from a sorted set — so a
+    * merge costs O(touched words · word length + log #pairs), not a
+    * vocabulary rescan. Driver memory holds the word table (prune with
+    * `minWeight` when the raw vocabulary outgrows it).
+    *
+    * Returns the merges plus the same (word, weight, toks) tokenizer
+    * DataFrame as [[train]], so [[encode]]/[[encodeTokens]]/[[vocab]]
+    * compose unchanged. */
+  def trainLocal(docs: DataFrame, k: Int, textCol: String = "text",
+                 minWeight: Long = 1L): (Seq[Merge], DataFrame) = {
+    require(k >= 1, "need at least one merge iteration")
+    val spark = docs.sparkSession
+    val words = wordTable(docs, textCol)
+      .filter(col("weight") >= minWeight)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val seqs = words.map { case (w, _) => w.map(_.toString).toVector }
+    val weight = words.map(_._2)
+
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val where = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    // Sorted by (count DESC, l, r) via the (-count, l, r) natural order.
+    val order = scala.collection.mutable.TreeSet.empty[(Long, String, String)]
+    def bump(p: (String, String), delta: Long): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old != 0L) order.remove((-old, p._1, p._2))
+      val now = old + delta
+      if (now != 0L) { counts(p) = now; order.add((-now, p._1, p._2)) }
+      else counts.remove(p)
+    }
+    def pairsOf(i: Int): Iterator[(String, String)] =
+      if (seqs(i).size < 2) Iterator.empty
+      else seqs(i).iterator.zip(seqs(i).iterator.drop(1))
+    for (i <- seqs.indices; p <- pairsOf(i)) {
+      bump(p, weight(i))
+      where.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += i
+    }
+
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1L
+    while (rank <= k && order.nonEmpty) {
+      val (negCnt, l, r) = order.head
+      merges += Merge(rank, l, r, -negCnt)
+      val touched = where.getOrElse((l, r), scala.collection.mutable.Set.empty)
+      for (i <- touched.toSeq if seqs(i).size >= 2) {
+        // Stale-tolerant: fully retract this word's pairs, fold-merge,
+        // re-add — exact even if the index over-approximates membership.
+        pairsOf(i).foreach(bump(_, -weight(i)))
+        seqs(i) = seqs(i).foldLeft(Vector.empty[String]) { (acc, t) =>
+          if (acc.nonEmpty && acc.last == l && t == r) acc.init :+ (l + r)
+          else acc :+ t
+        }
+        pairsOf(i).foreach { p =>
+          bump(p, weight(i))
+          where.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += i
+        }
+      }
+      where.remove((l, r))
+      rank += 1
+    }
+
+    val sess = spark
+    import sess.implicits._
+    val tokenizer = words.indices
+      .map(i => (words(i)._1, weight(i), seqs(i)))
+      .toDF("word", "weight", "toks")
+    (merges.result(), tokenizer)
+  }
+
   /** Weighted token frequencies after training — the induced vocabulary. */
   def vocab(tokenTable: DataFrame): DataFrame =
     tokenTable.select(col("weight"), explode(col("toks")).as("token"))

@@ -63,6 +63,29 @@ class BpePropsSpec extends SparkSpec {
       val gotVocab = Bpe.vocab(toks)
         .as[(String, Long)].collect().toMap
       assert(gotVocab === wantVocab, s"vocab, seed $seed")
+      // The in-memory vocabulary-scale path must be merge-for-merge and
+      // vocab-for-vocab identical to the distributed loop.
+      val (localMerges, localToks) = Bpe.trainLocal(df, k = 3)
+      assert(localMerges === wantMerges, s"local merges, seed $seed")
+      assert(Bpe.vocab(localToks).as[(String, Long)].collect().toMap
+        === wantVocab, s"local vocab, seed $seed")
     }
+  }
+
+  test("trainLocal runs deep merge counts and minWeight prunes training") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // Deep induction (k far beyond the distributed loop's sweet spot):
+    // every word collapses to a single token once k covers the vocabulary.
+    val docs = (1 to 50).map(i => s"alpha beta gamma delta epsilon").toDF("text")
+    val (merges, toks) = Bpe.trainLocal(docs, k = 1000)
+    assert(merges.nonEmpty && merges.size < 1000) // exhausts, stops early
+    val lens = toks.selectExpr("size(toks)").as[Int].collect()
+    assert(lens.forall(_ == 1)) // fully merged vocabulary
+    // minWeight excludes rare words from training entirely.
+    val skewed = (Seq.fill(9)("aa bb") :+ "zz").toDF("text")
+    val (_, tok2) = Bpe.trainLocal(skewed, k = 5, minWeight = 2L)
+    val trainedWords = tok2.select("word").as[String].collect().toSet
+    assert(trainedWords === Set("aa", "bb"))
   }
 }
