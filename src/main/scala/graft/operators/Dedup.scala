@@ -457,6 +457,56 @@ object Dedup {
     * keep exact Jaccard >= threshold. Recall: pairs sharing only hot
     * shingles are not candidates — part of the declared semantics, and the
     * oracle replicates the cap. */
+  /** Sorted-neighborhood near-dup pairs — the classic SNM alternative to
+    * LSH banding: sort the corpus by its normalized text, compare each
+    * document only against its `window − 1` sort neighbors, verify
+    * candidates with exact shingle Jaccard. Catches prefix-sharing
+    * near-dups with a LINEAR candidate count (≤ window·n pairs) and no
+    * banding randomness; misses pairs whose edits fall early in the text
+    * (they sort apart) — the standard SNM recall trade, complementary to
+    * [[nearDuplicates]].
+    *
+    * Scale shape: the global sort order comes from
+    * [[Numbering.assignGlobalIds]] (range repartition + in-partition
+    * sort + driver prefix offsets — never one ordered partition);
+    * neighbor candidates are an EQUI-join on rank blocks of size
+    * `window` (each row lands in its own block and the next, so any pair
+    * within rank distance < window shares a block key) with the rank
+    * distance re-checked exactly. The verify step reuses the
+    * checkpointed shingle-hash table on both sides. Empty-shingle
+    * documents (< n words) never emit pairs, like every other near-dup
+    * path here. Output: (doc_a, doc_b, jaccard), a before b in sort
+    * order. */
+  def sortedNeighborhood(docs: DataFrame, window: Int, threshold: Double,
+                         textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    require(window >= 2, "window must cover at least one neighbor")
+    val hashed = docs.select(col(idCol),
+        graft.functions.TextFunctions.normalize(col(textCol)).as("_key"),
+        shingleHashes(col(textCol)).as("hs"))
+      .localCheckpoint(eager = true) // feeds the rank pass + both verify sides
+    val ranked = Numbering.assignGlobalIds(hashed.select(col(idCol), col("_key")),
+      Seq(col("_key"), col(idCol)), out = "r")
+    val w = window.toLong
+    val e = ranked.select(col(idCol).as("id"), col("r"),
+      explode(expr(s"array(r div $w, r div $w + 1)")).as("blk"))
+    val cand = e.as("a").join(e.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("b.r") - col("a.r") > 0 && col("b.r") - col("a.r") < w)
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    val ha = hashed.select(col(idCol).as("doc_a"), col("hs").as("hs_a"))
+    val hb = hashed.select(col(idCol).as("doc_b"), col("hs").as("hs_b"))
+    val jaccard = graft.functions.SqlLet.let(
+      size(array_intersect(col("hs_a"), col("hs_b"))), inter =>
+        inter.cast("double") / (size(col("hs_a")) + size(col("hs_b")) - inter))
+    cand.join(ha, "doc_a").join(hb, "doc_b")
+      .filter(size(col("hs_a")) > 0 && size(col("hs_b")) > 0)
+      .withColumn("jaccard", jaccard)
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   def ngramJaccard(docs: DataFrame, threshold: Double, maxDf: Long = 30L,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // The hash-set table feeds FIVE plan branches (postings twice through

@@ -28,6 +28,15 @@ object DedupPack extends QueryPack {
       graft.plans.GraftExtensions.register(s)
       Dedup.ngramJaccard(table(s, dir, "documents"), threshold = 0.5, maxDf = 30L)
     },
+    // Sorted-neighborhood method: candidates from sort adjacency (window
+    // 6 over the normalized-text order), exact shingle-Jaccard verify —
+    // the linear-candidate classic beside the LSH/simhash/inverted-index
+    // paths.
+    "q_dedup_snm" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Dedup.sortedNeighborhood(table(s, dir, "documents"), window = 6,
+        threshold = 0.5)
+    },
     "q_dedup_clusters" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       Dedup.clusters(table(s, dir, "documents"), Threshold)
@@ -253,6 +262,33 @@ object DedupPack extends QueryPack {
         |JOIN h ha ON ha.doc_id = c.doc_a
         |JOIN h hb ON hb.doc_id = c.doc_b
         |WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
+        |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) >= 0.5""".stripMargin,
+    // SNM: row_number over the normalized-text total order; candidate =
+    // rank distance 1..5; verify = the exact Jaccard twin of
+    // q_dedup_jaccard (empty-shingle docs excluded on both engines).
+    "q_dedup_snm" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS key
+        |  FROM documents),
+        |r AS (SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS rk
+        |  FROM n),
+        |w AS (SELECT doc_id, string_split_regex(
+        |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) sh FROM w),
+        |h AS (SELECT doc_id, list_distinct(
+        |  [('0x' || substr(md5(s), 1, 8))::BIGINT for s in sh]) hs FROM sh),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 5)
+        |SELECT c.doc_a, c.doc_b,
+        |  CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
+        |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) AS jaccard
+        |FROM cand c
+        |JOIN h ha ON ha.doc_id = c.doc_a
+        |JOIN h hb ON hb.doc_id = c.doc_b
+        |WHERE len(ha.hs) > 0 AND len(hb.hs) > 0
+        |  AND CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
         |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) >= 0.5""".stripMargin,
     "q_simhash_pairs" ->
       """WITH w AS (SELECT doc_id, list_distinct(string_split_regex(

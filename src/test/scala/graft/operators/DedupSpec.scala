@@ -26,6 +26,36 @@ class DedupSpec extends SparkSpec {
     assert(got.getAs[Long]("dup_count") === 2L) // docs 0 and 3
   }
 
+  test("sortedNeighborhood: window-bounded candidates, prefix near-dups found") {
+    val s = spark; import s.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    // Sort order (normalized text): d1, d2 adjacent (shared prefix, one
+    // word differs → Jaccard 3/5 on 3-shingles); d3/d4 far from both.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "mary had a little lamb whose fleece"),
+      (4L, "zulu yankee xray whiskey victor uniform")).toDF("doc_id", "text")
+    // Pair emitted in SORT order: "…epsilon eta" (doc 2) < "…epsilon
+    // zeta" (doc 1).
+    val pairs = Dedup.sortedNeighborhood(docs, window = 2, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((2L, 1L)))
+    // Window 2 compares ONLY rank neighbors: with an intervening doc
+    // between the near-dups in sort order ("…epsilon mike" falls between
+    // eta and zeta), SNM misses the pair — the documented recall trade
+    // vs LSH.
+    val wedge = docs.union(
+      Seq((5L, "alpha beta gamma delta epsilon mike")).toDF("doc_id", "text"))
+    val missed = Dedup.sortedNeighborhood(wedge, window = 2, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!missed.contains((2L, 1L)))
+    // …and widening the window recovers it.
+    val wide = Dedup.sortedNeighborhood(wedge, window = 3, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(wide.contains((2L, 1L)))
+  }
+
   test("incremental dedup: in-batch collapse, corpus anti-join, novel docs kept") {
     val sparkSession = spark
     import sparkSession.implicits._
