@@ -13,15 +13,58 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Default hot-group cap for [[coOccurrenceEdges]] / [[frequentPairs]]:
+    * groups whose deduped membership exceeds this many items are dropped
+    * before the pair-generating self-join. A group of size B contributes
+    * B² candidate pairs, so ONE adversarial group (a viral item, a default
+    * value, a mega-order) goes quadratic no matter how the rest of the
+    * data looks — the identical hazard, and the identical remedy, as
+    * [[Dedup.MaxBand]] for LSH bands. Capped groups are declared
+    * semantics (the DuckDB oracles replicate the filter), not silent
+    * truncation. Fixture group maxima are 7 (TPC-H order width) — far
+    * under the default, so the cap is a pure scale guard there. */
+  val MaxGroup = 256L
+
+  /** Node-count ceiling under which the iterative operators broadcast
+    * their node-sized state each round. Below it, broadcasting the rank /
+    * label table avoids re-shuffling the full edge list every round
+    * (iterative plans give AQE no runtime stats to discover this itself).
+    * Above it, a per-round broadcast is the textbook scale-killer — a
+    * multi-GB driver-built build per iteration, or an outright driver
+    * OOM — so the hints are DROPPED and both joins become plain keyed
+    * shuffles, the standard distributed plan. 2M rows of (long, long,
+    * long) is ~50 MB serialized — comfortably under executor broadcast
+    * budgets while covering every graph that plausibly fits one driver. */
+  val BroadcastNodeLimit = 2000000L
+
+  /** Hint `df` for broadcast only when the pre-loop node count said the
+    * state side is small; identity (keyed shuffle join) otherwise. */
+  private def maybeBroadcast(df: DataFrame, small: Boolean): DataFrame =
+    if (small) broadcast(df) else df
+
+  /** Keep only groups whose deduped size is ≤ `maxGroup`. The size table
+    * aggregates and joins on the SAME key `g` the pair self-join uses, so
+    * the guard rides the existing shuffle partitioning — no extra
+    * exchange beyond the one aggregate. */
+  private def capGroups(m: DataFrame, maxGroup: Long): DataFrame = {
+    require(maxGroup >= 2, "maxGroup below 2 would drop every pair")
+    val small = m.groupBy("g").agg(count(lit(1)).as("gn"))
+      .filter(col("gn") <= maxGroup).select("g")
+    m.join(small, "g")
+  }
+
   /** Distinct undirected co-occurrence edges `(u, v), u < v` from a
     * (group, item) membership table: two items are adjacent iff they share
     * a group. One self-equi-join on the group key; both the membership
     * pre-distinct and the final edge distinct are hash aggregates with
-    * map-side partials. A pathologically hot group (one order containing
-    * thousands of items) would emit |g|² pairs — the same hot-band shape as
-    * LSH dedup, and the same remedies apply (cap or salt the group). */
-  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
-    val m = df.select(col(groupCol).as("g"), col(itemCol).as("u")).distinct()
+    * map-side partials. Groups larger than `maxGroup` are dropped before
+    * the self-join ([[MaxGroup]]) — the Σ|g|² candidate bound holds by
+    * construction, not by hoping the data is polite. */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+                        maxGroup: Long = MaxGroup): DataFrame = {
+    val m = capGroups(
+      df.select(col(groupCol).as("g"), col(itemCol).as("u")).distinct(),
+      maxGroup)
     m.join(m.withColumnRenamed("u", "v"), "g")
       .filter(col("u") < col("v"))
       .select("u", "v").distinct()
@@ -47,8 +90,17 @@ object Graphs {
     * aggregated), edges stream through; per-round lineage is truncated
     * with localCheckpoint like [[Dedup.connectedComponents]]. The
     * symmetric (doubled) edge list means no dangling-mass term: every
-    * node has out-degree ≥ 1. */
-  def pageRankFixedPoint(edges: DataFrame, iters: Int): DataFrame = {
+    * node has out-degree ≥ 1.
+    *
+    * Broadcast policy: the node-sized rank table is broadcast each round
+    * ONLY when the node count (one `count()` on the already-materialized
+    * degree checkpoint, paid once before the loop) is under
+    * `broadcastNodeLimit`; past it, both per-round joins fall back to
+    * plain keyed shuffles. Output is bit-identical either way — the hint
+    * changes the physical join strategy, never the arithmetic — which
+    * `GraphsSpec` pins by running both paths. */
+  def pageRankFixedPoint(edges: DataFrame, iters: Int,
+                         broadcastNodeLimit: Long = BroadcastNodeLimit): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     val Scale = 1000000000000L // 1e12 fixed-point units
     val dir = edges.select(col("u").as("src"), col("v").as("dst"))
@@ -61,20 +113,20 @@ object Graphs {
     val deg = dir.groupBy("src").agg(count(lit(1)).as("d"))
       .withColumnRenamed("src", "node")
       .localCheckpoint(eager = true)
+    // One job against the materialized checkpoint decides the join
+    // strategy for EVERY round — the conditional the scaladoc used to
+    // only promise.
+    val smallState = deg.count() <= broadcastNodeLimit
     var ranks = deg.select(col("node"), col("d"), lit(Scale).as("rank_fp"))
     val teleport = lit(15L * Scale / 100L)
     for (i <- 1 to iters) {
-      // The rank table is node-sized and shrinks relative to edges as the
-      // graph grows — broadcast it explicitly (iterative plans give AQE no
-      // runtime stats to discover this itself; without the hint each round
-      // sort-merges the full edge list). Beyond broadcastable node counts,
-      // drop the hints and both joins become plain keyed shuffles — the
-      // textbook distributed-PageRank plan.
       val contrib = dir.join(
           // `div`, not `/`: Column./ on longs is DOUBLE division, and the
           // damped sum (≤ 85·node_count·1e12 ≈ 1.7e17) exceeds 2^53 — a
           // double round-trip would corrupt low bits. `div` stays integral.
-          broadcast(ranks.select(col("node"), expr("rank_fp div d").as("c"))),
+          maybeBroadcast(
+            ranks.select(col("node"), expr("rank_fp div d").as("c")),
+            smallState),
           dir("src") === col("node"))
         .select(col("dst"), col("c"))
       // Sum in DECIMAL(38,0): exact and commutative like a long sum, but a
@@ -88,7 +140,8 @@ object Graphs {
         .agg(sum(col("c").cast("decimal(38,0)")).as("s"))
         .select(col("dst").as("node"),
           (teleport + expr("CAST((s * 85) div 100 AS BIGINT)")).as("rank_fp"))
-        .join(broadcast(deg.withColumnRenamed("node", "dst")), col("node") === col("dst"))
+        .join(maybeBroadcast(deg.withColumnRenamed("node", "dst"), smallState),
+          col("node") === col("dst"))
         .select(col("node"), col("d"), col("rank_fp"))
       // Short chains stay LAZY — all rounds fuse into one DAG with no
       // intermediate materialization; only long runs pay a periodic
@@ -106,14 +159,18 @@ object Graphs {
     * Output: (u, v, pair_n, u_n, v_n), u < v.
     *
     * Plan: the deduped membership is materialized ONCE and feeds all three
-    * aggregates; candidate volume is Σ|g|² over groups (the a-priori
-    * pair-generation bound — cap or salt pathologically hot groups, as
-    * with [[coOccurrenceEdges]]); the support attach joins run against the
-    * minSup-filtered pair set, which is tiny by construction. */
+    * aggregates; candidate volume is Σ|g|² over groups, BOUNDED by the
+    * `maxGroup` cap ([[MaxGroup]] — groups past it are dropped before the
+    * self-join, and item supports count only capped membership so the
+    * support numbers stay consistent with the pairs they annotate); the
+    * support attach joins run against the minSup-filtered pair set, which
+    * is tiny by construction. */
   def frequentPairs(df: DataFrame, groupCol: String, itemCol: String,
-                    minSup: Long): DataFrame = {
+                    minSup: Long, maxGroup: Long = MaxGroup): DataFrame = {
     require(minSup >= 1, "minSup must be at least 1")
-    val m = df.select(col(groupCol).as("g"), col(itemCol).as("u")).distinct()
+    val m = capGroups(
+        df.select(col(groupCol).as("g"), col(itemCol).as("u")).distinct(),
+        maxGroup)
       .localCheckpoint(eager = true) // feeds both join sides + item supports
     val pairs = m.join(m.withColumnRenamed("u", "v"), "g")
       .filter(col("u") < col("v"))
@@ -143,17 +200,30 @@ object Graphs {
     *
     * Contract: output covers EDGE-TOUCHED nodes only — a seed whose node
     * appears in no edge has nothing to propagate to and is absent from the
-    * result (union the seed list back in if isolated seeds must surface). */
-  def labelPropagation(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    * result (union the seed list back in if isolated seeds must surface).
+    *
+    * Broadcast policy: identical to [[pageRankFixedPoint]] — state (and
+    * the seed attach, which is at most node-sized) is broadcast per round
+    * only when one pre-loop node `count()` comes in under
+    * `broadcastNodeLimit`; otherwise every join is a keyed shuffle.
+    * Bit-identical output either way (pinned by `GraphsSpec`). */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame, iters: Int,
+                       broadcastNodeLimit: Long = BroadcastNodeLimit): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     val dir = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint(eager = true)
-    var state = dir.select(col("src").as("node")).distinct()
-      .join(broadcast(seeds.select(col("node"), col("label"))), Seq("node"), "left")
+    val nodes = dir.select(col("src").as("node")).distinct()
+      .localCheckpoint(eager = true)
+    // The one pre-loop job that picks broadcast vs keyed shuffle for the
+    // seed attach and every round's state join.
+    val smallState = nodes.count() <= broadcastNodeLimit
+    var state = nodes.join(
+      maybeBroadcast(seeds.select(col("node"), col("label")), smallState),
+      Seq("node"), "left")
     for (i <- 1 to iters) {
       val viaNbrs = dir.join(
-          broadcast(state.filter(col("label").isNotNull)),
+          maybeBroadcast(state.filter(col("label").isNotNull), smallState),
           dir("src") === state("node"))
         .select(col("dst").as("node"), col("label"))
       // min() skips nulls: an unlabeled node contributes nothing, keeps
@@ -198,20 +268,23 @@ object Graphs {
     * (not id) bounds every out-degree by O(√m), so total intersection work
     * is O(m^1.5) worst-case instead of Σdeg² — the difference between a
     * power-law graph finishing and not. The degree table is node-sized;
-    * at web scale it broadcasts. */
-  def triangleStats(edges: DataFrame): DataFrame = {
+    * its attach joins broadcast only under [[BroadcastNodeLimit]] (same
+    * conditional as the iterative operators), keyed shuffles past it. */
+  def triangleStats(edges: DataFrame,
+                    broadcastNodeLimit: Long = BroadcastNodeLimit): DataFrame = {
     val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
       // Consumed three times (both orientation attaches + degStats below) —
       // materialize once instead of re-running the edge-list aggregate.
       .localCheckpoint(eager = true)
+    val smallState = deg.count() <= broadcastNodeLimit
     // Total order (d, n): strict for distinct nodes, so orientation is
     // well-defined and acyclic.
     val du = deg.select(col("n").as("u"), col("d").as("du"))
     val dv = deg.select(col("n").as("v"), col("d").as("dv"))
-    // Degree table is node-sized → broadcast both attach joins (at web
-    // scale where nodes outgrow broadcast, drop the hints: keyed shuffles).
-    val oriented = edges.join(broadcast(du), "u").join(broadcast(dv), "v")
+    val oriented = edges
+      .join(maybeBroadcast(du, smallState), "u")
+      .join(maybeBroadcast(dv, smallState), "v")
       .select(
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("u"))

@@ -36,15 +36,37 @@ object PipelinePack extends QueryPack {
     * per fixture dir and reused by every graph query — deriving a graph
     * from a fact table is a build step, not something each analytics query
     * re-runs (the q_zorder/q_bucketed layout discipline). Deterministic
-    * content; readers see identical (u, v) longs. */
+    * content; readers see identical (u, v) longs.
+    *
+    * The cache key is a CONTENT fingerprint of the lineitem fixture (path
+    * plus every file's name/size/mtime), so regenerating a fixture in
+    * place keys a fresh cache entry instead of silently feeding stale
+    * edges. Builds land in a per-attempt temp dir and publish via atomic
+    * rename — two concurrent sessions race only on who renames first, and
+    * the loser adopts the winner's (identical, deterministic) output. */
   private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val tag = (dir.hashCode & Int.MaxValue).toString
-    val path = s"/tmp/graft_copurchase_$tag"
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    val src = new java.io.File(dir, "lineitem.parquet")
+    val files = if (src.isDirectory)
+      Option(src.listFiles()).toSeq.flatten.sortBy(_.getName) else Seq(src)
+    val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(s"$dir!", "|", "")
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val path = new java.io.File(s"/tmp/graft_copurchase_$tag")
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val tmp = new java.io.File(
+        path.getPath + ".build-" + java.util.UUID.randomUUID().toString.take(8))
       Graphs.coOccurrenceEdges(
           table(s, dir, "lineitem"), "l_orderkey", "l_partkey")
-        .write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
+        .write.mode("overwrite").parquet(tmp.getPath)
+      // Atomic publish; losing a rename race means another session already
+      // published the same deterministic content — discard ours.
+      if (!tmp.renameTo(path)) {
+        import scala.reflect.io.Directory
+        new Directory(tmp).deleteRecursively()
+      }
+    }
+    s.read.parquet(path.getPath)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -165,9 +187,26 @@ object PipelinePack extends QueryPack {
         .distinct()
         .groupBy("term")
         .agg(count(lit(1)).as("df"),
-          sort_array(collect_list(col("doc_id"))).as("postings"))
+          // Postings serialize to a ','-joined string, not ARRAY<BIGINT>:
+          // the repo convention (and the driver's hasher contract) is that
+          // no query emits raw array columns. Sort NUMERICALLY first, then
+          // stringify — string sort would put "10" before "2".
+          array_join(
+            transform(sort_array(collect_list(col("doc_id"))),
+              _.cast("string")), ",").as("postings"))
     }
   )
+
+  /** Deduped co-purchase membership with the [[Graphs.MaxGroup]] hot-group
+    * cap replicated oracle-side: every graph oracle below derives its edge
+    * list from THIS `pl`, so the cap is pinned semantics, not a silent
+    * Spark-only divergence. (TPC-H orders hold ≤ 7 parts, so at fixture
+    * scale the filter drops nothing — the hashes prove exactly that.) */
+  private val CappedPl =
+    s"""pl0 AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p
+       |    FROM lineitem),
+       |pl AS (SELECT g, p FROM pl0
+       |       QUALIFY count(*) OVER (PARTITION BY g) <= ${Graphs.MaxGroup})""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "q_profile_docs" -> ProfileCols.map(c =>
@@ -203,8 +242,7 @@ object PipelinePack extends QueryPack {
         |  min(doc_id) AS first_doc
         |FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
     "q_pair_support" ->
-      """WITH pl AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p
-        |    FROM lineitem),
+      s"""WITH $CappedPl,
         |pair AS (SELECT a.p AS u, b.p AS v, count(*) AS pair_n
         |  FROM pl a JOIN pl b ON a.g = b.g AND a.p < b.p GROUP BY 1, 2),
         |sup AS (SELECT p, count(*) AS n FROM pl GROUP BY 1)
@@ -212,8 +250,7 @@ object PipelinePack extends QueryPack {
         |FROM pair JOIN sup su ON su.p = u JOIN sup sv ON sv.p = v
         |WHERE pair_n >= 3""".stripMargin,
     "q_triangles" ->
-      """WITH pl AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p
-        |    FROM lineitem),
+      s"""WITH $CappedPl,
         |e AS (SELECT DISTINCT a.p AS u, b.p AS v
         |      FROM pl a JOIN pl b ON a.g = b.g AND a.p < b.p),
         |d AS (SELECT n, count(*) AS dg FROM
@@ -236,8 +273,7 @@ object PipelinePack extends QueryPack {
            |    // 100 AS BIGINT) AS rank_fp
            |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
            |  JOIN deg ON e.src = deg.src GROUP BY 1)""".stripMargin
-      s"""WITH pl AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p
-         |    FROM lineitem),
+      s"""WITH $CappedPl,
          |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
          |       FROM pl a JOIN pl b ON a.g = b.g AND a.p < b.p),
          |e AS (SELECT u AS src, v AS dst FROM e0
@@ -301,8 +337,7 @@ object PipelinePack extends QueryPack {
            |  UNION ALL
            |  SELECT e.dst, r.label FROM e JOIN r${i - 1} r ON e.src = r.node
            |  WHERE r.label IS NOT NULL) GROUP BY 1)""".stripMargin
-      s"""WITH pl AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p
-         |    FROM lineitem),
+      s"""WITH $CappedPl,
          |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
          |       FROM pl a JOIN pl b ON a.g = b.g AND a.p < b.p),
          |e AS (SELECT u AS src, v AS dst FROM e0
@@ -321,8 +356,7 @@ object PipelinePack extends QueryPack {
     // exclude this query from any self-sweep above sf0.01. The OPERATOR is
     // pointer-doubling — the quadratic lives in the oracle only.
     "q_label_prop_converged" ->
-      """WITH RECURSIVE pl AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS p
-        |    FROM lineitem),
+      s"""WITH RECURSIVE $CappedPl,
         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
         |       FROM pl a JOIN pl b ON a.g = b.g AND a.p < b.p),
         |e AS (SELECT u AS src, v AS dst FROM e0
@@ -358,7 +392,8 @@ object PipelinePack extends QueryPack {
       """WITH p AS (SELECT DISTINCT doc_id, term FROM (
         |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
         |      AS term FROM documents))
-        |SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+        |SELECT term, count(*) AS df,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
         |FROM p GROUP BY 1""".stripMargin
   )
 }

@@ -209,4 +209,67 @@ class GraphPropsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out === brute)
   }
+
+  test("broadcast hints are size-conditional; both join paths bit-identical") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val edges = randomEdges(n = 40, m = 200, seed = 7L).toSeq.toDF("u", "v")
+    val seeds = Seq((0L, 0L), (13L, 13L)).toDF("node", "label")
+
+    // broadcastNodeLimit = 0 forces the keyed-shuffle fallback; the default
+    // broadcasts. The hint changes ONLY the physical join strategy, so
+    // results must be bit-identical longs — the 100×-scale fallback is the
+    // same operator, not a different approximation.
+    def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    assert(sortedRows(Graphs.pageRankFixedPoint(edges, iters = 3)) ===
+      sortedRows(Graphs.pageRankFixedPoint(edges, iters = 3, broadcastNodeLimit = 0)))
+    assert(sortedRows(Graphs.labelPropagation(edges, seeds, iters = 3)) ===
+      sortedRows(Graphs.labelPropagation(edges, seeds, iters = 3, broadcastNodeLimit = 0)))
+    assert(sortedRows(Graphs.triangleStats(edges)) ===
+      sortedRows(Graphs.triangleStats(edges, broadcastNodeLimit = 0)))
+
+    // The conditional is real: the hinted plan carries a broadcast join
+    // hint, the over-limit plan carries none (AQE may still pick broadcast
+    // from runtime stats — that is its call, not a per-round driver build
+    // we forced).
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.toString.contains("UnresolvedHint") ||
+        df.queryExecution.analyzed.toString.contains("ResolvedHint")
+    assert(hinted(Graphs.pageRankFixedPoint(edges, iters = 1)))
+    assert(!hinted(Graphs.pageRankFixedPoint(edges, iters = 1, broadcastNodeLimit = 0)))
+    assert(hinted(Graphs.labelPropagation(edges, seeds, iters = 1)))
+    assert(!hinted(Graphs.labelPropagation(edges, seeds, iters = 1, broadcastNodeLimit = 0)))
+  }
+
+  test("hot-group cap: one adversarial group cannot go quadratic") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // Group 1 holds 100 items (would emit 4950 pairs), groups 2/3 are
+    // ordinary. With maxGroup = 64 the hot group is dropped WHOLESALE and
+    // the polite groups are untouched — Dedup.MaxBand discipline.
+    val membership =
+      (1L to 100L).map(i => (1L, i)) ++
+        Seq((2L, 1L), (2L, 2L), (2L, 3L), (3L, 2L), (3L, 3L))
+    val df = membership.toDF("g", "item")
+
+    val edges = Graphs.coOccurrenceEdges(df, "g", "item", maxGroup = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+
+    val pairs = Graphs.frequentPairs(df, "g", "item", minSup = 1L, maxGroup = 64)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // pair_n counts capped groups only; supports likewise count capped
+    // membership, so support numbers stay consistent with the pairs.
+    assert(pairs === Map(
+      (1L, 2L) -> ((1L, 1L, 2L)),
+      (1L, 3L) -> ((1L, 1L, 2L)),
+      (2L, 3L) -> ((2L, 2L, 2L))))
+
+    // Raising the cap past the hot group restores its pairs: the cap is a
+    // declared knob, not a hidden truncation.
+    val full = Graphs.coOccurrenceEdges(df, "g", "item", maxGroup = 128)
+    assert(full.count() === (100L * 99L / 2L))
+  }
 }
