@@ -99,6 +99,33 @@ object Bpe {
     (merges.result(), cur)
   }
 
+  /** Lexicographic compare of two strings by their UTF-8 BYTES — the order
+    * Spark's binary string comparison (and therefore [[train]]'s argmax
+    * tie-break) uses. Differs from `String.compareTo` only beyond the BMP. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val ab = a.getBytes("UTF-8"); val bb = b.getBytes("UTF-8")
+    val n = math.min(ab.length, bb.length)
+    var i = 0
+    while (i < n) {
+      val c = (ab(i) & 0xff) - (bb(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    ab.length - bb.length
+  }
+
+  /** (-count, l, r) ordering with UTF-8-byte string ties — see
+    * [[trainLocal]]'s TreeSet. */
+  private val pairTieOrdering: Ordering[(Long, String, String)] =
+    (x: (Long, String, String), y: (Long, String, String)) => {
+      val c0 = java.lang.Long.compare(x._1, y._1)
+      if (c0 != 0) c0
+      else {
+        val c1 = utf8Compare(x._2, y._2)
+        if (c1 != 0) c1 else utf8Compare(x._3, y._3)
+      }
+    }
+
   /** Vocabulary-scale training: the corpus-scale word COUNT stays
     * distributed (one shuffle, exactly [[wordTable]]), then the induction
     * loop runs IN-MEMORY on the collected weighted word table. This is
@@ -134,8 +161,14 @@ object Bpe {
     val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val where = scala.collection.mutable.HashMap
       .empty[(String, String), scala.collection.mutable.Set[Int]]
-    // Sorted by (count DESC, l, r) via the (-count, l, r) natural order.
-    val order = scala.collection.mutable.TreeSet.empty[(Long, String, String)]
+    // Sorted by (count DESC, l, r) — with the TIE strings compared by
+    // UTF-8 bytes, matching the binary sort order Spark's min_by/struct
+    // comparison gives [[train]]. The JVM's natural String order compares
+    // UTF-16 code units, which ranks non-BMP tokens (surrogate pairs,
+    // 0xD800–0xDFFF) BELOW U+E000..U+FFFF where UTF-8 ranks them above —
+    // on an equal-count tie the two paths would pick different winners.
+    val order = scala.collection.mutable.TreeSet
+      .empty[(Long, String, String)](pairTieOrdering)
     def bump(p: (String, String), delta: Long): Unit = {
       val old = counts.getOrElse(p, 0L)
       if (old != 0L) order.remove((-old, p._1, p._2))

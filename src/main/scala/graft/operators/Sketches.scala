@@ -100,8 +100,13 @@ object Sketches {
     // narrow filter (a single-row broadcast join would plan the nested-loop
     // product the repo-wide plan guard forbids; a literal also makes the
     // expression memo hit, a joined binary column would defeat it).
+    // Column API (not an interpolated SQL string), so a key column whose
+    // name needs backticks — spaces, dots, hyphens — resolves as an
+    // identifier instead of parsing as an arbitrary expression, matching
+    // the probe side below.
     val skBytes: Array[Byte] = df
-      .agg(expr(s"count_min_sketch($keyCol, ${eps}d, ${confidence}d, $seed)"))
+      .agg(call_function("count_min_sketch",
+        col(keyCol), lit(eps), lit(confidence), lit(seed)))
       .head().getAs[Array[Byte]](0)
     df.filter(col(keyCol).isNotNull && // explicit: null keys are out of scope
         call_function("cms_estimate", lit(skBytes), k) >= lit(threshold))

@@ -200,10 +200,16 @@ object Temporal {
         when(col(instantCol) <= cut, ord))
     log.filter(col(instantCol) <= t2)
       .groupBy(keys.map(col): _*)
-      .agg(stateAt(t1).as("old_state"), stateAt(t2).as("new_state"))
+      // `_at_t1` carries key-presence SEPARATELY from the state value: a
+      // max_by over a null-valued t1 state yields a null old_state that is
+      // otherwise indistinguishable from key-absent-at-t1, so a null
+      // tombstone state that later changes would misreport as `added`.
+      .agg(stateAt(t1).as("old_state"), stateAt(t2).as("new_state"),
+        max(when(col(instantCol) <= t1, lit(1)).otherwise(lit(0)))
+          .as("_at_t1"))
       .filter(!(col("old_state") <=> col("new_state")))
       .select(keys.map(col) ++ Seq(
-        when(col("old_state").isNull, lit("added"))
+        when(col("_at_t1") === 0, lit("added"))
           .otherwise(lit("changed")).as("change"),
         col("old_state"), col("new_state")): _*)
   }

@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale soak for the ITERATIVE operators (the ones whose failure mode is
+  * planner/driver blow-up, not a wrong row): replicate the sf0.1 fixtures
+  * R× with disjoint key offsets — R=10 approximates sf1 — and run the
+  * dedup-clusters, PageRank, and label-propagation paths end-to-end,
+  * recording wall time and iteration counts. Results land in SCALE.md.
+  *
+  * Replication is a NARROW explode (no shuffle): each replica r offsets
+  * every key by r·stride, so the graph becomes R disjoint copies — R× the
+  * nodes and R× the edges, the honest "would this survive 10×?" shape.
+  * The PageRank/label-prop paths run TWICE: once with the default
+  * size-conditional broadcast (still under [[graft.operators.Graphs
+  * .BroadcastNodeLimit]] at R=10) and once with the hints force-disabled
+  * (`broadcastNodeLimit = 0`) — soaking the exact keyed-shuffle fallback
+  * a 100×-node cluster run would take. Not part of the driver contract. */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args(1).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]").appName("graft-soak")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(spark)
+    import graft.operators.{Dedup, Graphs}
+
+    def timed(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"SOAK $tag rows=$n%d sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    /** r ∈ [0, reps) replica index, exploded narrowly (no shuffle). */
+    def replicate(df: DataFrame): DataFrame =
+      df.withColumn("r", explode(sequence(lit(0L), lit(reps - 1L))))
+
+    // ~sf1 documents: doc_id offset per replica, text unchanged — the
+    // near-dup pair structure repeats per shard, clusters stay bounded.
+    val docs = replicate(graft.Tables.load(spark, dir, "documents"))
+      .withColumn("doc_id", col("doc_id") + col("r") * 10000000L)
+      .drop("r").localCheckpoint(true)
+    println(s"SOAK docs n=${docs.count()}")
+    timed("dedup_clusters") {
+      val out = Dedup.clusters(docs, 0.2)
+      val n = out.count()
+      println(s"SOAK dedup_clusters cc_rounds=${Dedup.lastRounds}")
+      n
+    }
+
+    // ~sf1 co-purchase graph: both keys offset → `reps` disjoint copies.
+    val li = replicate(graft.Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_partkey"))
+      .select((col("l_orderkey") + col("r") * 1000000000L).as("l_orderkey"),
+        (col("l_partkey") + col("r") * 100000000L).as("l_partkey"))
+    var edges: DataFrame = null
+    timed("edge_build") {
+      edges = Graphs.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+        .localCheckpoint(true)
+      edges.count()
+    }
+    val seeds = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node"))).distinct()
+      .filter(col("node") % 97 === 0).withColumn("label", col("node"))
+      .localCheckpoint(true)
+
+    for ((tag, limit) <- Seq(("broadcast", Graphs.BroadcastNodeLimit),
+                             ("shuffle", 0L))) {
+      timed(s"pagerank_$tag") {
+        Graphs.pageRankFixedPoint(edges, iters = 3,
+          broadcastNodeLimit = limit).count()
+      }
+      timed(s"label_prop_$tag") {
+        Graphs.labelPropagation(edges, seeds, iters = 3,
+          broadcastNodeLimit = limit).count()
+      }
+    }
+    spark.stop()
+  }
+}

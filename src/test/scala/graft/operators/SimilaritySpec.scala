@@ -143,6 +143,32 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf4 >= 0.5, s"ivf nprobe=4 recall degenerate: $ivf4")
   }
 
+  test("declared recall floors: production ANN configs cannot silently degrade") {
+    GraftExtensions.register(spark)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val brute = Similarity.knn(emb, queries, 10).select("q_id", "vec_id")
+    val total = brute.count().toDouble
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("q_id", "vec_id").intersect(brute).count() / total
+
+    // Floors for the EXACT configurations SparkEntry ships (q_knn_multiprobe
+    // bits=4; q_knn_ivf numCentroids=8, nprobe=2). The fixture is fully
+    // deterministic (measured 0.46 / 0.44), so a floor at 0.40 trips on any
+    // real recall regression — a tuning change that keeps hashes green but
+    // guts recall now fails HERE instead of shipping.
+    val multi = recall(Similarity.knnMultiprobe(emb, queries, 10, bits = 4))
+    assert(multi >= 0.40, s"q_knn_multiprobe recall floor broken: $multi < 0.40")
+    val ivf = recall(Similarity.knnIvf(emb, queries, 10, numCentroids = 8, nprobe = 2))
+    assert(ivf >= 0.40, s"q_knn_ivf recall floor broken: $ivf < 0.40")
+
+    // And the scale path must be able to BUY recall with probes: at
+    // nprobe = 7 of 8 cells the IVF index must clear 0.9 (nprobe = 6
+    // measures 0.88 on this fixture) — the declared high-recall operating
+    // point for when precision matters more than probe cost.
+    val ivfHigh = recall(Similarity.knnIvf(emb, queries, 10, numCentroids = 8, nprobe = 7))
+    assert(ivfHigh >= 0.9, s"ivf high-recall point broken: $ivfHigh < 0.9")
+  }
+
   test("kmeans distortion is non-increasing over iterations") {
     GraftExtensions.register(spark)
     def distortion(cents: Seq[Seq[Double]]): Double = {
