@@ -145,6 +145,20 @@ object AnalyticsPack extends QueryPack {
         .filter(col("prev").isNotNull)
       Regression.linearFit(pairs, Seq("event_type"), col("prev"), col("cnt"))
     },
+    // Ingest-volume burst monitor: (event_type, day) cells whose count
+    // exceeds 5/4 of the trailing-4-observed-days mean — integer
+    // cross-multiplied, no float mean (Profiling.burstAnomalies).
+    "q_count_anomalies" -> { (s, dir) =>
+      Profiling.burstAnomalies(table(s, dir, "events"), "event_type",
+        expr("unix_micros(ts) div 86400000000"), num = 5L, den = 4L)
+    },
+    // Key-skew audit over lineitem's join keys plus a deliberately hot
+    // low-cardinality column — the "salt this or not" report that feeds
+    // SkewJoin/countByKeySalted decisions.
+    "q_skew_audit" -> { (s, dir) =>
+      Profiling.skewAudit(table(s, dir, "lineitem"),
+        Seq("l_partkey", "l_suppkey", "l_returnflag"))
+    },
     // Referential-integrity audit across the star schema's FK relations —
     // the "keys still line up" half of the migration check beside
     // q_table_checksum.
@@ -406,6 +420,46 @@ object AnalyticsPack extends QueryPack {
         |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
         |   / CAST(n AS DOUBLE) AS intercept
         |FROM sl""".stripMargin,
+    // Trailing frame is OBSERVED rows (4 PRECEDING..1 PRECEDING), the
+    // cross-multiplied 5/4-of-mean gate, >=3 prior days required.
+    "q_count_anomalies" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, n,
+        |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev_n,
+        |    count(*) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS prev_days
+        |  FROM d)
+        |SELECT event_type, day, n, prev_n, prev_days FROM w
+        |WHERE prev_days >= 3
+        |  AND n::HUGEINT * 4 * prev_days > 5::HUGEINT * prev_n""".stripMargin,
+    // Hot-key tie-break is the (n, key-string) total order on both
+    // engines; quantile ranks are the type-1 ceil formula over the
+    // frequency table; skew products run in HUGEINT like Spark's
+    // DECIMAL(38,0).
+    "q_skew_audit" -> {
+      val freqs = Seq("l_partkey", "l_suppkey", "l_returnflag").map(c =>
+        s"""SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS k, count(*) AS n
+           |  FROM lineitem WHERE $c IS NOT NULL GROUP BY 2""".stripMargin)
+        .mkString("\n  UNION ALL\n")
+      s"""WITH f AS (
+         |$freqs),
+         |r AS (SELECT *,
+         |    row_number() OVER (PARTITION BY col_name ORDER BY n, k) AS rn,
+         |    count(*) OVER (PARTITION BY col_name) AS nk FROM f),
+         |top AS (SELECT col_name, k AS top_key FROM r
+         |  QUALIFY row_number() OVER (PARTITION BY col_name
+         |    ORDER BY n DESC, k DESC) = 1)
+         |SELECT r.col_name, CAST(sum(n) AS BIGINT) AS n_rows, max(nk) AS n_keys,
+         |  max(n) AS max_n, max(top_key) AS top_key,
+         |  max(CASE WHEN rn = ((nk * 1) + 2 - 1) // 2 THEN n END) AS p50_n,
+         |  max(CASE WHEN rn = ((nk * 99) + 100 - 1) // 100 THEN n END) AS p99_n,
+         |  CAST((1000::HUGEINT * max(n) * max(nk)) // sum(n) AS BIGINT)
+         |    AS skew_permille
+         |FROM r JOIN top ON top.col_name = r.col_name
+         |GROUP BY 1""".stripMargin
+    },
     "q_fk_orphans" -> Seq(
       ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
       ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),

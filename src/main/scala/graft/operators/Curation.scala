@@ -288,6 +288,49 @@ object Curation {
       .withColumn("bucket", ntile(n).over(w).cast("long"))
   }
 
+  /** Poisson PPS sampling (inclusion probability proportional to size):
+    * keep each row with probability `min(1, k·w/W)` where `w` is the row's
+    * weight (quality score, length, dup-cluster mass …) and `W = Σw` — the
+    * survey-sampling scheme that makes a weighted corpus target an
+    * EXPECTED k documents while favoring high-weight ones, with the exact
+    * inverse-probability correction available from the emitted
+    * probability.
+    *
+    * Exact end to end: the gate is the same salted-md5 draw as every
+    * sampler here, and the inclusion test cross-multiplies in
+    * DECIMAL(38,0) — `draw·W < k·w·denom` — so no float ever decides
+    * membership, and any engine replays the sample identically.
+    * `p_permille = min(1000, 1000·k·w div W)` rides along for audit and
+    * de-biasing (integer, like the decision).
+    *
+    * Plan: `W` is ONE aggregate scalar fetched to the driver (the
+    * [[Profiling.equiDepthHistogram]] cut-point shape — an index artifact,
+    * not data motion) and re-enters as a literal, so the gate itself is a
+    * narrow filter over the corpus scan: map-only at any scale. Weights
+    * must be positive; `W` must fit a BIGINT (rescale w first otherwise —
+    * asserted here, not silently wrapped). */
+  def samplePps(docs: DataFrame, weightCol: String, k: Long,
+                idCol: String = "doc_id", salt: String = "pps"): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(!docs.columns.contains("p_permille"),
+      "input already has a 'p_permille' column — rename it before sampling")
+    val row = docs.agg(
+      sum(col(weightCol)).as("w"), min(col(weightCol)).as("mn")).collect()(0)
+    require(!row.isNullAt(0) && row.getLong(1) > 0,
+      s"$weightCol must be positive on every row")
+    val totalW = row.getLong(0)
+    val draw = pmod(
+      Dedup.md5Hash32(concat(lit(salt), lit(":"), col(idCol).cast("string"))),
+      lit(SampleDenom))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    docs
+      .filter(dec(draw) * lit(totalW) <
+        lit(k) * dec(col(weightCol)) * lit(SampleDenom))
+      .withColumn("p_permille",
+        least(lit(1000L), expr(
+          s"CAST((CAST(1000 AS DECIMAL(38,0)) * $k * $weightCol) div $totalW AS BIGINT)")))
+  }
+
   /** Exactly-k-per-stratum sample — the quota twin of the rate gate in
     * [[sampleStratified]]: rank every row by its salted-md5 draw (total
     * order (hash, id)) and keep rank ≤ k. Deterministic and rerun-stable

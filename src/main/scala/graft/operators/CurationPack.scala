@@ -77,6 +77,15 @@ object CurationPack extends QueryPack {
       Curation.sampleTemperature(table(s, dir, "documents"), targetDocs = 200L)
         .select("doc_id", "lang", "n_strat", "gate_num")
     },
+    // Poisson PPS sampling toward 150 expected docs, weighted by length —
+    // inclusion test and audit probability both integer-exact
+    // (Curation.samplePps).
+    "q_sample_pps" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Curation.samplePps(
+        table(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        weightCol = "n_chars", k = 150L)
+    },
     "q_repetition" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       Curation.repetition(table(s, dir, "documents"))
@@ -228,6 +237,18 @@ object CurationPack extends QueryPack {
          |FROM documents d JOIN r USING (lang)
          |WHERE ('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
          |      % ${Curation.SampleDenom} < r.gate_num""".stripMargin,
+    // The inclusion product and the W multiplier run in HUGEINT, the same
+    // exact arithmetic as Spark's DECIMAL(38,0) cross-multiply.
+    "q_sample_pps" ->
+      s"""WITH t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS w_total
+         |  FROM documents)
+         |SELECT d.doc_id, d.lang, d.n_chars,
+         |  CAST(least(1000, (1000::HUGEINT * 150 * d.n_chars) // t.w_total)
+         |    AS BIGINT) AS p_permille
+         |FROM documents d JOIN t ON TRUE
+         |WHERE (('0x' || substr(md5('pps:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |       % ${Curation.SampleDenom})::HUGEINT * t.w_total
+         |      < 150::HUGEINT * d.n_chars * ${Curation.SampleDenom}""".stripMargin,
     "q_sample_stratified" ->
       s"""SELECT doc_id, lang,
          |  1.0 / ${rateCase(_.toString)} AS weight

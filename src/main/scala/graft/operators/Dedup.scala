@@ -341,6 +341,32 @@ object Dedup {
   def dropList(clustered: DataFrame, idCol: String = "doc_id"): DataFrame =
     clustered.filter(col(idCol) =!= col("cluster_id")).select(idCol)
 
+  /** QUALITY-aware representative per near-dup cluster: where [[keepList]]
+    * keeps the min-id member (pure dedup), this keeps the member that
+    * maximizes `scoreCol` — the "which copy of this page do we train on"
+    * decision (longest text, best quality score, lowest boilerplate …).
+    * Ties resolve to the smaller id — the (score DESC, id) total order, so
+    * the choice is deterministic under any partitioning or engine.
+    *
+    * Output: (cluster_id, rep_id, n_docs, rep_score). Plan: one
+    * cluster-keyed window pass over the [[clusters]] result joined to the
+    * scores — near-dup clusters are small by construction (LSH candidates,
+    * not the corpus), so the per-cluster sort is bounded; the join is on
+    * the id both sides already carry. */
+  def clusterRepresentatives(clustered: DataFrame, scored: DataFrame,
+                             scoreCol: String, idCol: String = "doc_id")
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col(scoreCol).desc, col(idCol))
+    clustered.join(scored.select(col(idCol), col(scoreCol)), idCol)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+      .filter(col("_rn") === 1)
+      .select(col("cluster_id"), col(idCol).as("rep_id"), col("n_docs"),
+        col(scoreCol).as("rep_score"))
+  }
+
   /** The reusable CC core behind [[clusters]]: label every `node` with the
     * minimum node id reachable through `pairs` (columns `src`, `dst` —
     * treated as undirected; nodes absent from any pair label themselves).

@@ -41,6 +41,15 @@ object DedupPack extends QueryPack {
       graft.plans.GraftExtensions.register(s)
       Dedup.clusters(table(s, dir, "documents"), Threshold)
     },
+    // Quality-aware keep decision: per near-dup cluster, the LONGEST
+    // member (ties → smaller id) — "which copy do we train on", vs
+    // q_dedup_keep's min-id pure-dedup answer.
+    "q_cluster_representatives" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val docs = table(s, dir, "documents")
+      Dedup.clusterRepresentatives(Dedup.clusters(docs, Threshold),
+        docs.select("doc_id", "n_chars"), "n_chars")
+    },
     // The pipeline's final artifacts: representative ids to KEEP (one per
     // cluster) and the complementary DROP list.
     "q_dedup_keep" -> { (s, dir) =>
@@ -187,6 +196,23 @@ object DedupPack extends QueryPack {
          |  CAST(coalesce(least(min(r.b), d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
          |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
          |GROUP BY d.doc_id""".stripMargin,
+    "q_cluster_representatives" ->
+      s"""WITH RECURSIVE $PairCtes,
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |cl AS (SELECT d.doc_id,
+         |    CAST(coalesce(least(min(r.b), d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
+         |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+         |  GROUP BY d.doc_id),
+         |j AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars,
+         |    row_number() OVER (PARTITION BY cl.cluster_id
+         |      ORDER BY d.n_chars DESC, cl.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY cl.cluster_id) AS n_docs
+         |  FROM cl JOIN documents d USING (doc_id))
+         |SELECT cluster_id, doc_id AS rep_id, n_docs, n_chars AS rep_score
+         |FROM j WHERE rn = 1""".stripMargin,
     "q_cluster_weights" ->
       s"""WITH RECURSIVE $PairCtes,
          |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs

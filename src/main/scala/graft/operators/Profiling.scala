@@ -138,6 +138,78 @@ object Profiling {
       .agg(sum("f").as("n"), min("v").as("lo"), max("v").as("hi"))
   }
 
+  /** Key-skew audit — the "should this join be salted / will one reducer
+    * drown" report a pipeline runs BEFORE committing to a shuffle key. Per
+    * audited column: row/key counts, the hottest key and its count, exact
+    * p50/p99 of the per-key frequency, and `skew_permille` =
+    * 1000·max_n·n_keys / n_rows — 1000 means perfectly uniform; 10⁶ means
+    * the hot key holds 1000× its uniform share (the [[SkewJoin]] /
+    * [[BucketCounts.countByKeySalted]] trigger).
+    *
+    * Plan: all columns ride ONE Expand + one (col, key) hash aggregate
+    * (the [[profile]] discipline — never a scan per column); the quantile
+    * windows run over the per-key FREQUENCY table, bounded by key
+    * cardinality, not rows. Every output is an exact long (products in
+    * DECIMAL(38,0) — corpus-scale max_n·n_keys overflows BIGINT silently
+    * otherwise); the hot-key tie-break is the (n, key) total order. */
+  def skewAudit(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "skewAudit needs at least one column")
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("k"))): _*)).as("p"))
+      .select(col("p.*")).filter(col("k").isNotNull)
+    val freq = pairs.groupBy("col_name", "k").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("col_name")
+    freq
+      .withColumn("_rn", row_number().over(w.orderBy(col("n"), col("k"))))
+      .withColumn("_nk", count(lit(1)).over(w))
+      .groupBy("col_name")
+      .agg(
+        sum("n").as("n_rows"),
+        max("_nk").as("n_keys"),
+        max("n").as("max_n"),
+        // Lexicographic struct max = (n, k) total order: ties on the count
+        // resolve to the largest key string on BOTH engines.
+        max(struct(col("n"), col("k"))).getField("k").as("top_key"),
+        max(when(col("_rn") === expr("((_nk * 1) + 2 - 1) div 2"), col("n")))
+          .as("p50_n"),
+        max(when(col("_rn") === expr("((_nk * 99) + 100 - 1) div 100"), col("n")))
+          .as("p99_n"))
+      .withColumn("skew_permille", expr(
+        "CAST((CAST(1000 AS DECIMAL(38,0)) * max_n * n_keys) div n_rows AS BIGINT)"))
+  }
+
+  /** Burst anomalies in per-category daily counts — the ingest-volume
+    * monitor ("did `error` events triple against their trailing window").
+    * A (category, day) cell is anomalous when its count exceeds
+    * `num/den ×` the mean of the trailing `window` OBSERVED days (rows, not
+    * calendar days — a silent category re-appearing after a gap compares
+    * against its last active days; the right default for volume
+    * monitoring), with at least `minPrev` prior days required before any
+    * alarm (cold categories can't trip on their first rows).
+    *
+    * The mean comparison is cross-multiplied — `n·den·prev_days >
+    * num·prev_n` in DECIMAL(38,0) — so the whole decision is integer
+    * arithmetic, engine-portable, no float mean. Plan: one corpus-scale
+    * hash aggregate to (category × day) cells, then windows over that
+    * bounded table partitioned by category — the post-aggregate sorts
+    * never see row-scale data. */
+  def burstAnomalies(df: DataFrame, catCol: String, dayCol: Column,
+                     num: Long, den: Long, window: Int = 4,
+                     minPrev: Int = 3): DataFrame = {
+    require(num > 0 && den > 0, "threshold ratio must be positive")
+    require(window >= minPrev && minPrev >= 1, "need 1 <= minPrev <= window")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(catCol).orderBy("day").rowsBetween(-window, -1)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    df.groupBy(col(catCol), dayCol.as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_n", sum("n").over(w))
+      .withColumn("prev_days", count(lit(1)).over(w))
+      .filter(col("prev_days") >= minPrev &&
+        dec(col("n")) * lit(den) * dec(col("prev_days")) >
+          lit(num) * dec(col("prev_n")))
+  }
+
   /** Distribution DRIFT between two slices of one table (old/new ingest
     * window, train/serve, A/B): the per-category decomposition of the
     * two-sample chi-square homogeneity statistic. Emits, per category,

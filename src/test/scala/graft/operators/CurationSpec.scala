@@ -217,4 +217,41 @@ class CurationSpec extends SparkSpec {
     assert(got(("b", 100L)) === 100L)
     assert(got(("b", 104L)) === 104L) // p95 IS the max here — no clamp
   }
+
+  test("samplePps: deterministic, matches the integer inclusion rule exactly") {
+    GraftExtensions.register(spark)
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // Weights 1..200: W = 20100; k = 30 → inclusion prob ≈ 30·w/20100.
+    val rows = (1L to 200L).map(i => (i, i))
+    val df = rows.toDF("doc_id", "w")
+    val got = Curation.samplePps(df, "w", k = 30L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // Reference: replay the md5 gate in memory with the same BigInt math.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(id: Long): Long = {
+      val hex = md.digest(s"pps:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % Curation.SampleDenom
+    }
+    val W = rows.map(_._2).sum
+    val expect = rows.filter { case (id, w) =>
+      BigInt(draw(id)) * W < BigInt(30L) * w * Curation.SampleDenom
+    }.map { case (id, w) =>
+      id -> math.min(1000L, 1000L * 30L * w / W)
+    }.toMap
+    assert(got === expect)
+    // Partitioning-invariant (pure function of the data).
+    val again = Curation.samplePps(df.repartition(13), "w", k = 30L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again === got)
+    // High weights are favored: the kept set's mean weight exceeds the
+    // population's (PPS's defining property).
+    val keptMean = got.keySet.map(id => rows(id.toInt - 1)._2).sum.toDouble / got.size
+    assert(keptMean > 100.5, s"PPS kept mean $keptMean not above uniform mean")
+    // Zero/negative weights are a loud error, not silent exclusion.
+    intercept[IllegalArgumentException] {
+      Curation.samplePps(Seq((1L, 0L)).toDF("doc_id", "w"), "w", k = 5L)
+    }
+  }
 }

@@ -202,6 +202,29 @@ class DedupSpec extends SparkSpec {
       Set(1L, 3L))
   }
 
+  test("clusterRepresentatives keeps the highest-score member, ties to min id") {
+    GraftExtensions.register(spark)
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val clustered = Dedup.clusters(docs, threshold = 0.5)
+    // Scores: doc 1 is the longest member of cluster {0,1,3}; singletons
+    // represent themselves. Tie case: give 0 and 3 equal scores and check
+    // below that the winner of cluster 0 would be min-id among ties.
+    val scored = Seq((0L, 10L), (1L, 99L), (2L, 5L), (3L, 10L), (4L, 7L))
+      .toDF("doc_id", "score")
+    val got = Dedup.clusterRepresentatives(clustered, scored, "score")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(0L -> ((1L, 3L, 99L)), 2L -> ((2L, 1L, 5L)),
+      4L -> ((4L, 1L, 7L))))
+    // Equal top scores: smaller id wins (total order, not arbitrary).
+    val tied = Seq((0L, 50L), (1L, 50L), (2L, 5L), (3L, 50L), (4L, 7L))
+      .toDF("doc_id", "score")
+    val rep0 = Dedup.clusterRepresentatives(clustered, tied, "score")
+      .filter(col("cluster_id") === 0L).collect()(0).getLong(1)
+    assert(rep0 === 0L)
+  }
+
   test("connectedComponents converges past one hop (chain graph, diameter 3)") {
     val sparkSession = spark
     import sparkSession.implicits._

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions.col
 import graft.SparkSpec
 
 /** ScalaCheck cross-checks for the profiling/temporal additions: random
@@ -71,5 +72,53 @@ class ProfilingPropsSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       assert(got === refConcurrency(iv, DayUs), s"seed $seed")
     }
+  }
+
+  test("skewAudit matches the brute-force frequency profile on random keys") {
+    val s = spark; import s.implicits._
+    for (seed <- 1L to 3L) {
+      // Zipf-ish: a hot key plus a tail — the regime the audit exists for.
+      val ks = sample(Gen.listOfN(300,
+        Gen.frequency(5 -> Gen.const(7L), 1 -> Gen.chooseNum(0L, 40L))), seed)
+      val df = ks.zipWithIndex.map { case (k, i) => (k, s"v${i % 11}") }
+        .toDF("a", "b").repartition(7)
+      val got = Profiling.skewAudit(df, Seq("a", "b")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+      for ((name, vals) <- Seq("a" -> ks.map(_.toString),
+                               "b" -> ks.indices.map(i => s"v${i % 11}"))) {
+        val freq = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val ns = freq.values.toSeq.sorted
+        val nk = ns.size.toLong
+        def rank(nu: Long, de: Long) = ((nk * nu + de - 1) / de - 1).toInt
+        val maxN = ns.max
+        // (n, key) lexicographic max — ties on count resolve to max key.
+        val topKey = freq.toSeq.map { case (k, n) => (n, k) }.max._2
+        val expect = (vals.size.toLong, nk, maxN, topKey,
+          ns(rank(1, 2)), ns(rank(99, 100)),
+          1000L * maxN * nk / vals.size)
+        assert(got(name) === expect, s"seed $seed col $name")
+      }
+    }
+  }
+
+  test("burstAnomalies: trailing-mean gate, minPrev warm-up, observed-day frame") {
+    val s = spark; import s.implicits._
+    // Counts per day: t stays flat at 4; day 10 bursts to 9 (> 5/4 × mean 4);
+    // day 12 (gap at 11) compares against the last OBSERVED days. Category
+    // u has only 2 prior days — below minPrev, can never alarm.
+    val rows =
+      (1L to 9L).flatMap(d => Seq.fill(4)(("t", d))) ++
+        Seq.fill(9)(("t", 10L)) ++ Seq.fill(9)(("t", 12L)) ++
+        (1L to 2L).flatMap(d => Seq.fill(2)(("u", d))) ++ Seq.fill(99)(("u", 3L))
+    val df = rows.toDF("cat", "d").repartition(5)
+    val got = Profiling.burstAnomalies(df, "cat", col("d"), num = 5L, den = 4L)
+      .select("cat", "day", "n", "prev_n", "prev_days")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // Day 10: prev = days 6-9 (4×4=16); 9·4·4 = 144 > 5·16 = 80 → alarm.
+    // Day 12: prev = days 7,8,9,10 (4+4+4+9=21); 9·4·4 = 144 > 105 → alarm.
+    // Day 3 of u: only 2 prior days < minPrev=3 → silent despite the 99.
+    assert(got === Set(("t", 10L, 9L, 16L, 4L), ("t", 12L, 9L, 21L, 4L)))
   }
 }
