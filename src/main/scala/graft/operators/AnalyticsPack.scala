@@ -145,6 +145,31 @@ object AnalyticsPack extends QueryPack {
         .filter(col("prev").isNotNull)
       Regression.linearFit(pairs, Seq("event_type"), col("prev"), col("cnt"))
     },
+    // Trailing-7-day distinct users per (type, day) via DAILY HLL sketches
+    // unioned over a calendar RANGE frame — the mergeable-artifact pattern
+    // that answers any window without re-scanning raw events. The exact
+    // side (pinned beside it) is the honest ×7 Expand + distinct the
+    // sketch path replaces at scale.
+    "q_sliding_distinct" -> { (s, dir) =>
+      val du = table(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"), col("user_id"))
+        .distinct()
+        .localCheckpoint(true) // feeds both the sketch and the exact side
+      val approx = Sketches.slidingDistinct(du, Seq("event_type"), "day",
+        "user_id", window = 7)
+      val exact = du
+        .withColumn("cover", explode(sequence(col("day"), col("day") + 6)))
+        .groupBy(col("event_type"), col("cover").as("day"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        // Only OBSERVED days are emitted (a cover day past the data's end
+        // is not a reporting day).
+        .join(du.select("event_type", "day").distinct(), Seq("event_type", "day"))
+      exact.join(approx, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("exact_users"),
+          Sketches.withinRelBound(col("approx_users"), col("exact_users"), 10L)
+            .as("approx_ok"))
+    },
     // Ingest-volume burst monitor: (event_type, day) cells whose count
     // exceeds 5/4 of the trailing-4-observed-days mean — integer
     // cross-multiplied, no float mean (Profiling.burstAnomalies).
@@ -420,6 +445,16 @@ object AnalyticsPack extends QueryPack {
         |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
         |   / CAST(n AS DOUBLE) AS intercept
         |FROM sl""".stripMargin,
+    "q_sliding_distinct" ->
+      """WITH du AS (SELECT DISTINCT event_type,
+        |    epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+        |obs AS (SELECT DISTINCT event_type, day FROM du),
+        |cov AS (SELECT du.event_type, du.day + g.x AS day, du.user_id
+        |  FROM du CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS x) g)
+        |SELECT c.event_type, c.day, count(DISTINCT c.user_id) AS exact_users,
+        |  true AS approx_ok
+        |FROM cov c JOIN obs o ON o.event_type = c.event_type AND o.day = c.day
+        |GROUP BY 1, 2""".stripMargin,
     // Trailing frame is OBSERVED rows (4 PRECEDING..1 PRECEDING), the
     // cross-multiplied 5/4-of-mean gate, >=3 prior days required.
     "q_count_anomalies" ->

@@ -32,6 +32,39 @@ object Sketches {
     df.groupBy(keys.map(col): _*)
       .agg(approx_count_distinct(col(valueCol), rsd).as(out))
 
+  /** SLIDING-window distinct counting by sketch merge — "distinct users
+    * over the trailing week, per day" at 100 TB. The raw-data formulation
+    * re-scans `window` days of events for EVERY output day (the oracle
+    * does exactly that: a ×window Expand + exact distinct — honest, and
+    * w× the data motion); this one aggregates each (group, day) to a
+    * DataSketches HLL once — ONE corpus-scale shuffle with mergeable
+    * fixed-size partials — then unions sketches over the trailing RANGE
+    * frame of the bounded groups×days table. Sketch union = register-wise
+    * max: associative and duplicate-insensitive, which is exactly why
+    * pre-aggregated daily sketches answer any window AFTER the fact —
+    * the pattern that turns a streaming distinct-count into cheap daily
+    * artifacts plus query-time merges.
+    *
+    * The frame is calendar days (`rangeBetween` on the integral day), so
+    * gaps shorten the window — consistent with "users in the last 7
+    * days". Output: (group…, day, approx_users). Estimates are
+    * deterministic for a given input set (register maxima), but
+    * engine-specific — gate queries pin an error bound beside the exact
+    * value instead of the estimate itself ([[withinRelBound]]). */
+  def slidingDistinct(df: DataFrame, keys: Seq[String], dayCol: String,
+                      valueCol: String, window: Int, lgK: Int = 12,
+                      out: String = "approx_users"): DataFrame = {
+    require(window >= 1, "window must be at least one day")
+    val daily = df.groupBy((keys.map(col) :+ col(dayCol)): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("_sk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(dayCol))
+      .rangeBetween(-(window - 1L), 0L)
+    daily
+      .withColumn(out, hll_sketch_estimate(hll_union_agg(col("_sk")).over(w)))
+      .drop("_sk")
+  }
+
   /** Per-group approximate quantiles of `valueCol` at `probs`, as one array
     * column. `accuracy` trades state size for error: guaranteed rank error
     * ≤ n/accuracy. */
