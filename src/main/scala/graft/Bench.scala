@@ -68,7 +68,13 @@ object Bench {
     // Multimodal near-dup (banded hamming self-join over per-row hashes)
     // and the session sweep line (two window passes + day-offset join) —
     // the two newest paths with real data volume.
-    "q_media_phash_pairs", "q_concurrency"
+    "q_media_phash_pairs", "q_concurrency",
+    // Round-6 additions: the one-Expand key-skew audit, the sliding
+    // HLL-union distinct (sketch side AND its honest ×7 exact companion),
+    // PPS sampling (scalar-fetch + narrow gate), and the quality-aware
+    // cluster-representative pick (CC + cluster-keyed window).
+    "q_skew_audit", "q_sliding_distinct", "q_sample_pps",
+    "q_cluster_representatives"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
