@@ -89,6 +89,45 @@ object Dedup {
   def wordHashes(text: Column): Column =
     array_distinct(transform(TextFunctions.words(TextFunctions.normalize(text)), md5Hash32 _))
 
+  /** Cross-SOURCE overlap matrix: pairwise Jaccard of the distinct shingle
+    * vocabularies of each source/crawl — the corpus-level diagnostic
+    * ("which crawls duplicate each other, and how much") that decides
+    * which source PAIRS are worth a full document-level dedup pass.
+    *
+    * Plan: one explode + hash aggregate to the distinct (source, gram)
+    * membership (vocabulary-bounded, never corpus-bounded), then a
+    * gram-keyed self-equi-join for intersections. Per-gram fan-out is
+    * |sources sharing the gram|² ≤ |sources|² — sources are FEW by
+    * construction (crawl labels, not documents), so a universal gram
+    * costs |sources|² rows, not a quadratic blow-up; the join shuffles
+    * the vocabulary, not the corpus. Jaccard is emitted as integer
+    * permille (`1000·|∩| div |∪|`) — no float ratio to drift. Pairs
+    * sharing zero grams are absent (nothing to report).
+    *
+    * Output: (src_a, src_b, n_a, n_b, n_common, jaccard_permille),
+    * src_a < src_b. */
+  def sourceOverlap(docs: DataFrame, groupCol: String = "source",
+                    textCol: String = "text", n: Int = 3): DataFrame = {
+    val m = docs
+      .select(col(groupCol).as("src_a"),
+        explode(shingleHashes(col(textCol), n)).as("gram"))
+      .distinct()
+      .localCheckpoint(eager = true) // feeds the sizes AND both join sides
+    val sizes = m.groupBy("src_a").agg(count(lit(1)).as("n_grams"))
+    m.join(m.select(col("src_a").as("src_b"), col("gram")), "gram")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes), "src_a")
+      .withColumnRenamed("n_grams", "n_a")
+      .join(broadcast(sizes.withColumnRenamed("src_a", "src_b")
+        .withColumnRenamed("n_grams", "n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        expr("1000 * n_common div (n_a + n_b - n_common)")
+          .as("jaccard_permille"))
+  }
+
   /** Exact dedup — one row per distinct normalized text:
     * (fp, keep_id = min doc_id, dup_count). */
   def exact(docs: DataFrame, textCol: String = "text",

@@ -41,6 +41,13 @@ object DedupPack extends QueryPack {
       graft.plans.GraftExtensions.register(s)
       Dedup.clusters(table(s, dir, "documents"), Threshold)
     },
+    // Corpus-level crawl-overlap matrix: pairwise shingle-vocabulary
+    // Jaccard between sources, integer permille — decides which source
+    // PAIRS deserve a document-level dedup pass.
+    "q_source_overlap" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Dedup.sourceOverlap(table(s, dir, "documents"))
+    },
     // Quality-aware keep decision: per near-dup cluster, the LONGEST
     // member (ties → smaller id) — "which copy do we train on", vs
     // q_dedup_keep's min-id pure-dedup answer.
@@ -196,6 +203,22 @@ object DedupPack extends QueryPack {
          |  CAST(coalesce(least(min(r.b), d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
          |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
          |GROUP BY d.doc_id""".stripMargin,
+    "q_source_overlap" ->
+      """WITH w AS (SELECT source, string_split_regex(
+        |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') ws
+        |  FROM documents),
+        |h AS (SELECT source, list_distinct(
+        |  [('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 8))::BIGINT
+        |   for i in range(1, len(ws) - 1)]) hs FROM w),
+        |m AS (SELECT DISTINCT source, unnest(hs) AS gram FROM h),
+        |s AS (SELECT source, count(*) AS n FROM m GROUP BY 1),
+        |i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+        |  FROM m a JOIN m b ON a.gram = b.gram AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_common,
+        |  1000 * n_common // (sa.n + sb.n - n_common) AS jaccard_permille
+        |FROM i JOIN s sa ON sa.source = src_a JOIN s sb ON sb.source = src_b"""
+        .stripMargin,
     "q_cluster_representatives" ->
       s"""WITH RECURSIVE $PairCtes,
          |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs

@@ -225,6 +225,28 @@ class DedupSpec extends SparkSpec {
     assert(rep0 === 0L)
   }
 
+  test("sourceOverlap: identical sources hit 1000 permille, disjoint ones are absent") {
+    GraftExtensions.register(spark)
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val rows = Seq(
+      (0L, "alpha beta gamma delta epsilon", "s1"),
+      (1L, "alpha beta gamma delta epsilon", "s2"),     // identical vocab to s1
+      (2L, "alpha beta gamma zeta eta theta", "s3"),    // shares grams with s1/s2
+      (3L, "completely different words here now", "s4") // disjoint
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(rows, n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // s1/s2: 3 grams each, all shared → Jaccard 1000.
+    assert(got(("s1", "s2")) === ((3L, 3L, 3L, 1000L)))
+    // s3 shares exactly "alpha beta gamma" with s1 and s2: 1 of 7 grams.
+    assert(got(("s1", "s3")) === ((3L, 4L, 1L, 166L)))
+    assert(got(("s2", "s3")) === ((3L, 4L, 1L, 166L)))
+    // s4 shares nothing — absent from the matrix entirely.
+    assert(!got.keySet.exists { case (a, b) => a == "s4" || b == "s4" })
+  }
+
   test("connectedComponents converges past one hop (chain graph, diameter 3)") {
     val sparkSession = spark
     import sparkSession.implicits._

@@ -235,6 +235,28 @@ class TemporalSpec extends SparkSpec {
       (4L, "changed", Some("y"), "z")))
   }
 
+  test("snapshotDiff: a null-valued t1 state that changes is 'changed', not 'added'") {
+    import ss.implicits._
+    // Key 1 exists at t1 with a NULL attribute (a tombstone state), then
+    // takes a value; key-presence must be derived separately from the
+    // state value, or this misreports as 'added'. Key 2 really is added.
+    val log = Seq(
+      (1L, None, 1L, 1L), (1L, Some("b"), 5L, 2L),
+      (2L, Some("c"), 6L, 3L),
+      (3L, Some("d"), 2L, 4L), (3L, None, 7L, 5L) // value → null tombstone
+    ).toDF("k", "attr", "us", "tie")
+    val got = Temporal.snapshotDiff(log, Seq("k"), "attr", "us",
+        t1 = 3L, t2 = 10L, tieCols = Seq("tie"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)),
+        Option(r.getString(3))))
+      .toSet
+    assert(got === Set(
+      (1L, "changed", None, Some("b")),
+      (2L, "added", None, Some("c")),
+      (3L, "changed", Some("d"), None)))
+  }
+
   test("snapshotDiff edges: empty log, all-late log, invalid cutoffs") {
     import ss.implicits._
     val empty = Seq.empty[(Long, String, Long, Long)].toDF("k", "attr", "us", "tie")
