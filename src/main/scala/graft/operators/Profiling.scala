@@ -195,14 +195,25 @@ object Profiling {
     * never see row-scale data. */
   def burstAnomalies(df: DataFrame, catCol: String, dayCol: Column,
                      num: Long, den: Long, window: Int = 4,
-                     minPrev: Int = 3): DataFrame = {
+                     minPrev: Int = 3): DataFrame =
+    burstAnomaliesFromDaily(
+      df.groupBy(col(catCol), dayCol.as("day")).agg(count(lit(1)).as("n")),
+      catCol, num, den, window, minPrev)
+
+  /** [[burstAnomalies]] over an ALREADY-aggregated (category, day, n)
+    * table — the streaming-monitor entry point: a stream job keeps the
+    * bounded daily-count table as its state (merging each micro-batch's
+    * partial counts in), and re-derives alarms from it per trigger;
+    * `DocPipelineSpec` pins that this converges to the batch result. */
+  def burstAnomaliesFromDaily(daily: DataFrame, catCol: String,
+                              num: Long, den: Long, window: Int = 4,
+                              minPrev: Int = 3): DataFrame = {
     require(num > 0 && den > 0, "threshold ratio must be positive")
     require(window >= minPrev && minPrev >= 1, "need 1 <= minPrev <= window")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(catCol).orderBy("day").rowsBetween(-window, -1)
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    df.groupBy(col(catCol), dayCol.as("day"))
-      .agg(count(lit(1)).as("n"))
+    daily
       .withColumn("prev_n", sum("n").over(w))
       .withColumn("prev_days", count(lit(1)).over(w))
       .filter(col("prev_days") >= minPrev &&

@@ -78,6 +78,46 @@ class DocPipelineSpec extends SparkSpec {
     assert(streamed.count(_._3 == 0L) === 60)
   }
 
+  test("streamed volume monitor over merged daily counts equals batch alarms") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Profiling
+
+    // Flat 4/day for days 1..9, a 9-burst on day 10 — sliced across
+    // micro-batches so single days arrive SPLIT (the merge-by-sum path).
+    val rows = ((1L to 9L).flatMap(d => Seq.fill(4)(("t", d))) ++
+      Seq.fill(9)(("t", 10L))).sortBy(_._2)
+
+    val stream = MemoryStream[(String, Long)]
+    // The monitor's state: the bounded (cat, day, n) table, merged per
+    // trigger; alarms re-derived from it (windows over days can shift as
+    // late data lands — recompute-over-daily is the correct formulation).
+    var daily = Seq.empty[(String, Long, Long)].toDF("cat", "day", "n")
+    var alarms: org.apache.spark.sql.DataFrame = null
+    val query = stream.toDF().toDF("cat", "day").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        daily = daily.unionByName(
+            b.groupBy("cat", "day").agg(count(lit(1)).as("n")))
+          .groupBy("cat", "day").agg(sum("n").as("n"))
+          .localCheckpoint(eager = true)
+        alarms = Profiling.burstAnomaliesFromDaily(daily, "cat",
+          num = 5L, den = 4L).localCheckpoint(eager = true)
+        ()
+      }.start()
+    try {
+      for (b <- rows.grouped(17)) { stream.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+
+    val streamed = alarms.select("cat", "day", "n", "prev_n", "prev_days")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val batch = Profiling.burstAnomalies(rows.toDF("cat", "day"), "cat",
+        col("day"), num = 5L, den = 4L)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed === Set(("t", 10L, 9L, 16L, 4L)))
+  }
+
   test("streamed edge ingest + per-batch CC converges to batch components") {
     val sparkSession = spark
     import sparkSession.implicits._
