@@ -152,4 +152,35 @@ object TextFunctions {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(length(bin(col("cnt")))).as("familiarity"))
   }
+
+  /** Held-out [[bigramFamiliarity]]: the count model is built from TRAIN
+    * documents only and scores the REST — the leakage-free formulation
+    * (self-scoring inflates every document's score by its own bigrams;
+    * a real perplexity filter trains its LM on a held-out corpus for
+    * exactly this reason). Unseen bigrams contribute 0 familiarity and
+    * are tallied separately as `n_oov` — the OOV rate is itself the
+    * junk-detection signal (garbled text is mostly bigrams the train
+    * split has never seen).
+    *
+    * Output: (idCol, n_bigrams, n_oov, familiarity) for every scored
+    * (non-train) document with ≥ 1 bigram. Plan: one explode feeds both
+    * the model build (train side, vocabulary-sized aggregate) and the
+    * scoring LEFT join (bigram-keyed shuffle), then one per-doc
+    * aggregate — same two-shuffle shape as the in-corpus variant. */
+  def bigramFamiliarityHeldOut(docs: DataFrame, isTrain: Column,
+                               textCol: String = "text",
+                               idCol: String = "doc_id"): DataFrame = {
+    val bg = docs
+      .select(col(idCol), isTrain.as("_train"),
+        explode(wordNgrams(col(textCol), 2)).as("ngram"))
+      .localCheckpoint(eager = true) // feeds model build AND scoring join
+    val model = bg.filter(col("_train"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+    bg.filter(!col("_train"))
+      .join(model, Seq("ngram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
+        coalesce(sum(length(bin(col("cnt")))), lit(0L)).as("familiarity"))
+  }
 }

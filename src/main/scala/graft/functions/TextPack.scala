@@ -85,6 +85,14 @@ object TextPack extends QueryPack {
     "q_bigram_familiarity" -> { (s, dir) =>
       TextFunctions.bigramFamiliarity(table(s, dir, "documents"))
     },
+    // Held-out variant: the count model comes from the TRAIN split only
+    // and scores val/test docs — the leakage-free quality filter, with
+    // the OOV tally as the junk signal.
+    "q_heldout_familiarity" -> { (s, dir) =>
+      TextFunctions.bigramFamiliarityHeldOut(table(s, dir, "documents"),
+        graft.operators.Curation.splitOf(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)) === "train")
+    },
     // Document fingerprint (md5 of normalized text) — the dedup identity.
     "q_fingerprint" -> { (s, dir) =>
       table(s, dir, "documents").select(
@@ -199,6 +207,23 @@ object TextPack extends QueryPack {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  CAST(sum(length(bin(cnt))) AS BIGINT) AS familiarity
         |FROM bg JOIN m USING (ngram)
+        |GROUP BY 1""".stripMargin,
+    "q_heldout_familiarity" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |    unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS ngram
+        |  FROM w),
+        |sp AS (SELECT doc_id,
+        |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 1000000 < 800000 AS is_train FROM documents),
+        |m AS (SELECT ngram, count(*) AS cnt
+        |  FROM bg JOIN sp USING (doc_id) WHERE is_train GROUP BY 1)
+        |SELECT bg.doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(coalesce(sum(length(bin(cnt))), 0) AS BIGINT) AS familiarity
+        |FROM bg JOIN sp USING (doc_id) LEFT JOIN m USING (ngram)
+        |WHERE NOT is_train
         |GROUP BY 1""".stripMargin,
     "q_ngram_counts" ->
       """WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents),

@@ -26,6 +26,19 @@ object CurationPack extends QueryPack {
     // train/test contamination through shared boilerplate is structurally
     // impossible. Same splitOf operator, different key: the leakage story
     // is a KEY CHOICE, not new machinery.
+    // Per-stage attrition accounting of the standard curation cascade —
+    // the "where did my corpus go" report. Stage order matters (each
+    // n_in is the previous n_kept) and matches how the gates run in
+    // production: cheap length gates first, the tokenizing word-count
+    // gate only on survivors, language routing last.
+    "q_filter_cascade" -> { (s, dir) =>
+      Integrity.filterCascade(table(s, dir, "documents"), Seq(
+        "min_chars_100" -> (col("n_chars") >= 100L),
+        "max_chars_450" -> (col("n_chars") <= 450L),
+        "min_words_40" ->
+          (size(graft.functions.TextFunctions.words(col("text"))) >= 40),
+        "latin_lang" -> col("lang").isin("en", "es", "de", "fr")))
+    },
     "q_split_by_group" -> { (s, dir) =>
       table(s, dir, "documents").select(col("doc_id"), col("source"),
         Curation.splitOf(col("source"),
@@ -172,6 +185,21 @@ object CurationPack extends QueryPack {
       |  FROM w)"""
 
   override def oracles: Map[String, String] = Map(
+    "q_filter_cascade" ->
+      """WITH f AS (SELECT n_chars >= 100 AS s1, n_chars <= 450 AS s2,
+        |    len(string_split_regex(trim(text), '\s+')) >= 40 AS s3,
+        |    lang IN ('en','es','de','fr') AS s4 FROM documents),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(sum(CASE WHEN s1 AND s2 AND s3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |    CAST(sum(CASE WHEN s1 AND s2 AND s3 AND s4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+        |  FROM f)
+        |SELECT 1::BIGINT AS stage, 'min_chars_100' AS filter,
+        |    c0 AS n_in, c1 AS n_kept, c0 - c1 AS n_dropped FROM c
+        |UNION ALL SELECT 2, 'max_chars_450', c1, c2, c1 - c2 FROM c
+        |UNION ALL SELECT 3, 'min_words_40', c2, c3, c2 - c3 FROM c
+        |UNION ALL SELECT 4, 'latin_lang', c3, c4, c3 - c4 FROM c""".stripMargin,
     "q_bloom_semijoin" ->
       """SELECT user_id, count(*) AS n_events FROM events
         |WHERE user_id IN (SELECT user_id FROM events

@@ -41,6 +41,18 @@ object DedupPack extends QueryPack {
       graft.plans.GraftExtensions.register(s)
       Dedup.clusters(table(s, dir, "documents"), Threshold)
     },
+    // Eval-decontamination audit: near-dup clusters straddling the
+    // per-document hash split — each row is a cluster whose members sit
+    // in BOTH train and an eval split, i.e. a leaked benchmark answer.
+    // (q_split_by_group is the structural fix — split on the group key;
+    // this is the audit you run when the split key was the document.)
+    "q_split_leakage" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Integrity.splitLeakage(
+        Dedup.clusters(table(s, dir, "documents"), Threshold),
+        Curation.splitOf(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    },
     // Corpus-level crawl-overlap matrix: pairwise shingle-vocabulary
     // Jaccard between sources, integer permille — decides which source
     // PAIRS deserve a document-level dedup pass.
@@ -203,6 +215,31 @@ object DedupPack extends QueryPack {
          |  CAST(coalesce(least(min(r.b), d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
          |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
          |GROUP BY d.doc_id""".stripMargin,
+    // Same transitive closure, joined to the md5 split gate; only
+    // clusters touching > 1 split survive.
+    "q_split_leakage" ->
+      s"""WITH RECURSIVE $PairCtes,
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |cl AS (SELECT d.doc_id,
+         |    CAST(coalesce(least(min(r.b), d.doc_id), d.doc_id) AS BIGINT)
+         |      AS cluster_id
+         |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+         |  GROUP BY d.doc_id),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN h < 800000 THEN 'train'
+         |         WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |      ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |        % 1000000 AS h FROM documents)),
+         |j AS (SELECT cluster_id, split FROM cl JOIN sp USING (doc_id))
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+         |  array_to_string(list_sort(list_distinct(list(split))), ',') AS splits
+         |FROM j GROUP BY 1
+         |HAVING count(DISTINCT split) > 1""".stripMargin,
     "q_source_overlap" ->
       """WITH w AS (SELECT source, string_split_regex(
         |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') ws

@@ -67,6 +67,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got((2L, 2L)) === "plain")
   }
 
+  test("bigramFamiliarityHeldOut: train-only model, OOV tally, no self-score") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val docs = Seq(
+      (0L, "a b c"),      // train: bigrams "a b", "b c"
+      (1L, "a b a b"),    // train: "a b"×2, "b a"
+      (2L, "a b x y"),    // scored: "a b" seen(cnt=3→2 bits), others OOV
+      (3L, "p q r")       // scored: all OOV → familiarity 0
+    ).toDF("doc_id", "text")
+    val got = TextFunctions.bigramFamiliarityHeldOut(docs, col("doc_id") <= 1L)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // model counts: "a b"→3, "b c"→1, "b a"→1 (train docs only; doc 2's
+    // own "a b" did NOT inflate the model — cnt is 3, not 4).
+    assert(got(2L) === ((2L, 3L, 2L, 2L)))  // bits(3)=2; "b x","x y" OOV
+    assert(got(3L) === ((3L, 2L, 2L, 0L)))  // every bigram unseen
+    assert(!got.contains(0L) && !got.contains(1L)) // train docs not scored
+  }
+
   test("fingerprint is normalization-invariant") {
     val sparkSession = spark
     import sparkSession.implicits._
