@@ -74,7 +74,12 @@ object Bench {
     // PPS sampling (scalar-fetch + narrow gate), and the quality-aware
     // cluster-representative pick (CC + cluster-keyed window).
     "q_skew_audit", "q_sliding_distinct", "q_sample_pps",
-    "q_cluster_representatives"
+    "q_cluster_representatives",
+    // Round-6 integrity family: held-out bigram scoring (the only one
+    // with real data volume — a bigram-keyed model join) plus the
+    // cluster-split leakage audit (CC + one hash aggregate).
+    // q_filter_cascade stays out: one narrow scan, pure noise at sf0.1.
+    "q_heldout_familiarity", "q_split_leakage"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -184,6 +189,43 @@ object Bench {
       (rows, (System.nanoTime() - t0) / 1e9)
     }
 
+  /** Exactly-once-ingest throughput: [[streamIngest]]'s pipeline with the
+    * watermark-bounded message-id dedup state in front of the count
+    * ([[graft.streaming.StreamShell.attachDeduped]]). Every staged
+    * event_id is unique, so nothing is removed — the number measures the
+    * WORST-case cost of the dedup guarantee: one state-store insert +
+    * lookup per row on top of the stateless path. Lateness must cover the
+    * staged replay's full span for the same reason as [[streamSessions]]:
+    * round-robin file splits mean the watermark jumps to ~max(ts) after
+    * the first micro-batch. */
+  private def streamDedup(spark: SparkSession, path: String,
+                          schema: org.apache.spark.sql.types.StructType,
+                          rows: Long): (Long, Double) = {
+    import graft.config.{BucketType, MsgSettings}
+    import org.apache.spark.sql.types._
+    locally {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(path)
+        .select(to_json(struct(col("event_id"), col("event_type"), col("user_id"),
+          expr("ts div 1000000000").as("timestamp"))).as("value"))
+      val msg = MsgSettings(
+        bucketInterval = 3600, bucketField = "timestamp",
+        bucketType = BucketType.Epoch,
+        msgMapSchema = Seq("eid" -> "event_id",
+          "etype" -> "event_type", "uid" -> "user_id"))
+      val store = new graft.store.RecentStore(spark, StructType(Seq(
+        StructField("etype", StringType), StructField("uid", StringType),
+        StructField("bucket_start", LongType), StructField("bucket_end", LongType),
+        StructField("count", LongType))), tableName = "bench_stream_dedup")
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamShell.attachDeduped(stream, msg, store,
+        dedupCols = Seq("eid"), lateness = "40 days",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+      (rows, (System.nanoTime() - t0) / 1e9)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -240,20 +282,24 @@ object Bench {
       try { val rs = (1 to 2).map(_ => run()); (rs.head._1, rs.map(_._2).min) }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: $e"); (0L, -1.0) }
-    val ((streamRows, streamSec), (sessRows, sessSec)) = try {
+    val ((streamRows, streamSec), (sessRows, sessSec), (dedupRows, dedupSec)) = try {
       withStagedEvents(spark, sfDir) { (path, schema, rows) =>
         (minOf2(() => streamIngest(spark, path, schema, rows), "streamIngest"),
-          minOf2(() => streamSessions(spark, path, schema, rows), "streamSessions"))
+          minOf2(() => streamSessions(spark, path, schema, rows), "streamSessions"),
+          minOf2(() => streamDedup(spark, path, schema, rows), "streamDedup"))
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] event staging failed: $e")
-      ((0L, -1.0), (0L, -1.0)) }
+      ((0L, -1.0), (0L, -1.0), (0L, -1.0)) }
     val streamRps = if (streamSec > 0) streamRows / streamSec else -1.0
     val sessRps = if (sessSec > 0) sessRows / sessSec else -1.0
+    val dedupRps = if (dedupSec > 0) dedupRows / dedupSec else -1.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,""" +
       s""""stream_rows":$streamRows,"stream_sec":$streamSec,"stream_rows_per_s":$streamRps,""" +
       s""""stream_sessions_rows":$sessRows,"stream_sessions_sec":$sessSec,""" +
-      s""""stream_sessions_rows_per_s":$sessRps,"sf":"$sfDir"}""")
+      s""""stream_sessions_rows_per_s":$sessRps,""" +
+      s""""stream_dedup_rows":$dedupRows,"stream_dedup_sec":$dedupSec,""" +
+      s""""stream_dedup_rows_per_s":$dedupRps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
