@@ -58,8 +58,18 @@ object Funnel {
 
   /** Classic retention triangle: each key's cohort is the period of its
     * first event; one output row per (cohort, period offset) counts the
-    * cohort keys active in that period. Two aggregations on the key plus
-    * a key-equi join — every shuffle is on the entity key. */
+    * cohort keys active in that period.
+    *
+    * ONE key-shuffle, no join: a single `collect_set(period)` aggregate
+    * per key carries both facts — the cohort (its array_min) and the
+    * active periods (its elements). The per-key set is bounded by the
+    * number of periods in the observation window (weeks in a retention
+    * report — dozens, never row-scale), so the ObjectHashAggregate state
+    * and the explode fan-out are small by construction at any corpus
+    * size. Partial aggregation still applies (set unions merge map-side),
+    * so shuffle volume is ≤ distinct (key, period) pairs — the same bytes
+    * the old distinct-then-join plan shuffled, minus two extra exchanges
+    * and the join. */
   def cohortRetention(events: DataFrame, periodUs: Long,
                       keyCol: String = "user_id",
                       tsCol: String = "us"): DataFrame = {
@@ -67,10 +77,10 @@ object Funnel {
     // Integer div, not `/`: double division can land an exact multiple a
     // hair below the integer and truncate into the previous period.
     val period = expr(s"`$tsCol` div ${periodUs}L")
-    val firstSeen = events.groupBy(col(keyCol))
-      .agg(min(period).as("cohort"))
-    val active = events.select(col(keyCol), period.as("period")).distinct()
-    active.join(firstSeen, Seq(keyCol))
+    events.groupBy(col(keyCol))
+      .agg(collect_set(period).as("_periods"))
+      .select(array_min(col("_periods")).as("cohort"),
+        explode(col("_periods")).as("period"))
       .groupBy(col("cohort"), (col("period") - col("cohort")).as("period_offset"))
       .agg(count(lit(1)).as("n_users"))
   }

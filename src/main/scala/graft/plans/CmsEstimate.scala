@@ -3,7 +3,7 @@ package graft.plans
 import java.io.ByteArrayInputStream
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 import org.apache.spark.util.sketch.CountMinSketch
 
@@ -33,7 +33,7 @@ import org.apache.spark.util.sketch.CountMinSketch
   * deserializes twice (CountMinSketch reads are thread-safe).
   */
 case class CmsEstimateExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -74,6 +74,24 @@ case class CmsEstimateExpr(left: Expression, right: Expression)
       case l: java.lang.Long => l
       case b: Array[Byte]    => b
     })
+  }
+
+  /** Codegen entry points — the generated call sites for the two key
+    * types. Probing per fact-table row only pays off if the probe stays
+    * inside whole-stage codegen (a CodegenFallback here would collapse
+    * the surrounding stage to interpreted rows), so the generated code
+    * calls back into this instance, which holds the sketch memo. */
+  def probeLong(sketch: Array[Byte], key: Long): Long =
+    sketchOf(sketch).estimateCount(key)
+  def probeBinary(sketch: Array[Byte], key: Array[Byte]): Long =
+    sketchOf(sketch).estimateCount(key)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self =
+      ctx.addReferenceObj("cmsProbe", this, classOf[CmsEstimateExpr].getName)
+    val call = if (right.dataType == LongType) "probeLong" else "probeBinary"
+    nullSafeCodeGen(ctx, ev,
+      (sk, k) => s"${ev.value} = $self.$call($sk, $k);")
   }
 
   override def prettyName: String = "cms_estimate"
