@@ -32,10 +32,18 @@ object Graphs {
     * Above it, a per-round broadcast is the textbook scale-killer — a
     * multi-GB driver-built build per iteration, or an outright driver
     * OOM — so the hints are DROPPED and both joins become plain keyed
-    * shuffles, the standard distributed plan. 2M rows of (long, long,
-    * long) is ~50 MB serialized — comfortably under executor broadcast
-    * budgets while covering every graph that plausibly fits one driver. */
-  val BroadcastNodeLimit = 2000000L
+    * shuffles, the standard distributed plan.
+    *
+    * The ceiling is set by MEASUREMENT, not by what fits: a per-round
+    * broadcast pays a driver-side collect+build+ship latency every
+    * iteration, and the round-6 soak (SCALE.md) showed that cost
+    * overtaking the keyed-shuffle plan well before memory is at risk —
+    * at 200 k nodes label propagation ran 1.8–2.8× SLOWER broadcast than
+    * shuffled, while at 20 k nodes broadcast won both operators. 100 k
+    * (~2.4 MB of (long, long, long) state) keeps the default an order of
+    * magnitude inside the measured-win regime; crossing it is a smooth
+    * plan-strategy trade, not a cliff. */
+  val BroadcastNodeLimit = 100000L
 
   /** Hint `df` for broadcast only when the pre-loop node count said the
     * state side is small; identity (keyed shuffle join) otherwise. */

@@ -80,6 +80,30 @@ object Soak {
           broadcastNodeLimit = limit).count()
       }
     }
+
+    // Non-iterative hot paths whose state is an in-memory artifact (CMS
+    // sketch, per-key period set, bigram model) — the soak checks the
+    // artifact stays bounded as rows scale 10×. Replicated events keep
+    // their timestamps (periods per user unchanged — the claimed bound),
+    // users disjoint per replica.
+    val ev = replicate(graft.Tables.load(spark, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us")))
+      .select((col("user_id") + col("r") * 100000000L).as("user_id"), col("us"))
+    timed("cohort") {
+      graft.operators.Funnel.cohortRetention(ev, 604800000000L).count()
+    }
+    val terms = docs.select(
+      explode(graft.functions.TextFunctions.words(col("text"))).as("term"))
+    timed("heavy_hitters") {
+      // threshold scales with reps: the same per-shard vocabulary repeats.
+      graft.operators.Sketches.heavyHitters(terms, "term",
+        threshold = 500L * reps).count()
+    }
+    timed("heldout_familiarity") {
+      graft.functions.TextFunctions.bigramFamiliarityHeldOut(docs,
+        graft.operators.Curation.splitOf(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)) === "train").count()
+    }
     spark.stop()
   }
 }

@@ -118,6 +118,46 @@ class DocPipelineSpec extends SparkSpec {
     assert(streamed === Set(("t", 10L, 9L, 16L, 4L)))
   }
 
+  test("streamed incremental exact dedup converges to the batch keep set") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // 120 docs over 40 distinct texts — every text appears 3× (ids i,
+    // i+40, i+80), so duplicates ALWAYS straddle micro-batches.
+    val docs = (0 until 120).map(i => (i.toLong, s"text body ${i % 40}"))
+
+    val stream = MemoryStream[(Long, String)]
+    // The production ingest loop: each batch dedups within itself, then
+    // anti-joins the GROWING corpus fingerprint index; survivors' fps
+    // append to the index. State = the fp index (one 16-byte row per
+    // distinct text ever seen), not the documents.
+    var index = Seq.empty[String].toDF("fp")
+    var kept = Seq.empty[Long].toDF("keep_id")
+    val query = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val survivors = Dedup.incremental(b, index)
+          .localCheckpoint(eager = true)
+        kept = kept.unionByName(survivors.select("keep_id"))
+          .localCheckpoint(eager = true)
+        index = index.unionByName(survivors.select("fp"))
+          .localCheckpoint(eager = true)
+        ()
+      }.start()
+    try {
+      // Batches arrive in id order, so first-arrival == min-id and the
+      // streamed keep set must equal the global batch dedup exactly.
+      for (b <- docs.grouped(50)) { stream.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+
+    val streamedKeep = kept.as[Long].collect().toSet
+    val batchKeep = Dedup.exact(docs.toDF("doc_id", "text"))
+      .select("keep_id").as[Long].collect().toSet
+    assert(streamedKeep === batchKeep)
+    assert(streamedKeep === (0L until 40L).toSet)
+    assert(index.count() === 40L)
+  }
+
   test("streamed edge ingest + per-batch CC converges to batch components") {
     val sparkSession = spark
     import sparkSession.implicits._
