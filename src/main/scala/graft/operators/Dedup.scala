@@ -300,6 +300,45 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Sketch-error audit of the MinHash pipeline — "measure, don't guess"
+    * for the LSH layer, the exact analogue of what the knn-recall queries
+    * do for the ANN family: for every verified near-dup pair, the
+    * signature-level Jaccard ESTIMATE (matching minhash components out of
+    * [[NumHashes]]) side by side with the exact shingle-set Jaccard, both
+    * as integer permille (single integer divisions — engine-exact). The
+    * spread between the two columns is the operating error of the
+    * signatures the banding actually keys on; a widening spread after a
+    * hash/shingle tuning change is the regression signal.
+    *
+    * Plan: the (id, hs, sig) table materializes once and feeds both pair
+    * sides of an id equi-join against the verified pairs — no extra
+    * banding work beyond [[nearDuplicates]] itself. */
+  def minhashAccuracy(docs: DataFrame, threshold: Double,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val base = docs
+      .select(col(idCol), shingleHashes(col(textCol)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .withColumn("sig", call_function("minhash_sig", col("hs")))
+      .localCheckpoint(eager = true) // feeds both sides of the pair join
+    nearDuplicates(docs, threshold, textCol, idCol)
+      .select("doc_a", "doc_b")
+      .join(base.select(col(idCol).as("doc_a"), col("hs").as("hs_a"),
+        col("sig").as("sig_a")), Seq("doc_a"))
+      .join(base.select(col(idCol).as("doc_b"), col("hs").as("hs_b"),
+        col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => (x === y).cast("long")),
+          lit(0L), (acc, e) => acc + e).as("est_matches"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("inter"),
+        (size(col("hs_a")) + size(col("hs_b")) -
+          size(array_intersect(col("hs_a"), col("hs_b")))).cast("long").as("uni"))
+      .select(col("doc_a"), col("doc_b"), col("est_matches"),
+        expr(s"est_matches * 1000 div ${NumHashes}L").as("est_permille"),
+        expr("inter * 1000 div uni").as("exact_permille"))
+  }
+
   /** CROSS-corpus near-duplicates — the decontamination operator: which
     * `probe` documents (an eval/benchmark set) near-duplicate a `corpus`
     * document (the training set)? Same banded-LSH discipline as

@@ -41,6 +41,13 @@ object DedupPack extends QueryPack {
       graft.plans.GraftExtensions.register(s)
       Dedup.clusters(table(s, dir, "documents"), Threshold)
     },
+    // Sketch-error audit: per verified near-dup pair, minhash-estimated
+    // vs exact Jaccard (integer permille) — the LSH layer's operating
+    // error, next to q_knn_recall's ANN recall ladder.
+    "q_minhash_accuracy" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Dedup.minhashAccuracy(table(s, dir, "documents"), Threshold)
+    },
     // Eval-decontamination audit: near-dup clusters straddling the
     // per-document hash split — each row is a cluster whose members sit
     // in BOTH train and an eval split, i.e. a leaked benchmark answer.
@@ -215,6 +222,22 @@ object DedupPack extends QueryPack {
          |  CAST(coalesce(least(min(r.b), d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
          |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
          |GROUP BY d.doc_id""".stripMargin,
+    // Signature agreement count vs exact set Jaccard over the SAME
+    // thresholded pairs; sig positions are 1-based lists in DuckDB.
+    "q_minhash_accuracy" ->
+      s"""WITH $PairCtes,
+         |acc AS (SELECT p.doc_a, p.doc_b,
+         |    len(list_filter(range(1, ${Dedup.NumHashes + 1}),
+         |      j -> sa.sig[j] = sb.sig[j])) AS est_matches,
+         |    len(list_intersect(sa.hs, sb.hs)) AS inter,
+         |    len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)) AS uni
+         |  FROM pairs p
+         |  JOIN sig sa ON sa.doc_id = p.doc_a
+         |  JOIN sig sb ON sb.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, CAST(est_matches AS BIGINT) AS est_matches,
+         |  CAST(est_matches * 1000 // ${Dedup.NumHashes} AS BIGINT) AS est_permille,
+         |  CAST(inter * 1000 // uni AS BIGINT) AS exact_permille
+         |FROM acc""".stripMargin,
     // Same transitive closure, joined to the md5 split gate; only
     // clusters touching > 1 split survive.
     "q_split_leakage" ->

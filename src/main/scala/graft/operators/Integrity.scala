@@ -34,8 +34,10 @@ object Integrity {
     require(stages.nonEmpty, "need at least one stage")
     // surv(0) = every row; surv(i) = rows passing stages 1..i
     val surv = stages.scanLeft(lit(true)) { case (acc, (_, pred)) => acc && pred }
+    // coalesce: sum over ZERO rows is NULL, and an empty input must
+    // report an all-zero cascade, not a null one.
     val counters = surv.zipWithIndex.map { case (c, i) =>
-      sum(when(c, 1L).otherwise(0L)).as(s"_c$i")
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L)).as(s"_c$i")
     }
     val one = df.agg(counters.head, counters.tail: _*)
     val stageRows = stages.zipWithIndex.map { case ((name, _), i) =>

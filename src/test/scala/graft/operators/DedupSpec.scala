@@ -270,4 +270,21 @@ class DedupSpec extends SparkSpec {
     assert(sigs(0L) === sigs(3L)) // hashing runs on normalized text
     assert(sigs(0L) !== sigs(2L))
   }
+
+  test("minhashAccuracy: identical shingle sets estimate AND measure 1000‰") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    GraftExtensions.register(spark)
+    // docs 0 and 1 normalize to the same text → same shingle set → every
+    // minhash component agrees and exact Jaccard is 1; doc 2 is unrelated.
+    val d = Seq((0L, "alpha beta gamma delta epsilon"),
+      (1L, "Alpha  beta GAMMA delta epsilon"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val rows = Dedup.minhashAccuracy(d, threshold = 0.9)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.toSeq === Seq((1L, 0L, Dedup.NumHashes.toLong, 1000L, 1000L))
+      || rows.toSeq === Seq((0L, 1L, Dedup.NumHashes.toLong, 1000L, 1000L)))
+    // est_permille and exact_permille are both ≤ 1000 by construction.
+    rows.foreach { r => assert(r._4 <= 1000L && r._5 <= 1000L) }
+  }
 }

@@ -35,6 +35,15 @@ class IntegritySpec extends SparkSpec {
     assert(rows(1) === ((2L, "after", 0L, 0L, 0L)))
   }
 
+  test("filterCascade on an empty frame reports zero rows at every stage") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val rows = Integrity.filterCascade(
+        Seq.empty[Long].toDF("id"), Seq("a" -> (col("id") > 0), "b" -> lit(true)))
+      .orderBy("stage").as[(Long, String, Long, Long, Long)].collect()
+    assert(rows.toSeq === Seq((1L, "a", 0L, 0L, 0L), (2L, "b", 0L, 0L, 0L)))
+  }
+
   test("splitLeakage reports exactly the straddling clusters, splits sorted") {
     val sparkSession = spark
     import sparkSession.implicits._
