@@ -175,6 +175,26 @@ object Curation {
     pmod(Dedup.md5Hash32(concat(lit(salt), lit(":"), idCol.cast("string"))),
       lit(numShards.toLong))
 
+  /** Small-files compaction plan: pack size-carrying rows (files, docs,
+    * chunks) in a caller-given total order into ~`targetBytes` output
+    * shards — the greedy streaming bin-packer every 100 TB table
+    * maintenance job runs (a shard may overrun by at most one row's
+    * size; rows larger than the target get a shard of their own).
+    * shard = (clamped running total − 1) div target, so the assignment
+    * is a pure function of the inclusive prefix sum — computed
+    * distributed via [[Numbering.prefixSum]], never a single-partition
+    * window. Output: input columns + (cum_bytes, shard), integer-exact. */
+  def compactionPlan(files: DataFrame, order: Seq[Column], sizeCol: Column,
+                     targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, "targetBytes must be positive")
+    Numbering.prefixSum(files, order, sizeCol, out = "cum_bytes")
+      // greatest(…, 0): a zero-size leading row has cum_bytes 0, and
+      // (−1 div target) is 0 in Spark but −1 under DuckDB's floor
+      // division — clamp before dividing so both engines agree.
+      .withColumn("shard",
+        expr(s"greatest(cum_bytes - 1, 0L) div ${targetBytes}L"))
+  }
+
   /** Filter thresholds for [[curate]] — each is a classic curation rule.
     * Empty `langRates` (the default) means NO sampling stage: every gated
     * document is kept with weight 1.0. */

@@ -26,6 +26,15 @@ object CurationPack extends QueryPack {
     // train/test contamination through shared boilerplate is structurally
     // impossible. Same splitOf operator, different key: the leakage story
     // is a KEY CHOICE, not new machinery.
+    // Small-files compaction plan: pack documents (in id order, n_chars
+    // as the size) into ~4 KB output shards via the DISTRIBUTED prefix
+    // sum — the table-maintenance bin-packer, oracle-pinned against the
+    // textbook single-window cumulative sum.
+    "q_compaction_plan" -> { (s, dir) =>
+      Curation.compactionPlan(
+        table(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        Seq(col("doc_id")), col("n_chars"), targetBytes = 4096L)
+    },
     // Per-stage attrition accounting of the standard curation cascade —
     // the "where did my corpus go" report. Stage order matters (each
     // n_in is the previous n_kept) and matches how the gates run in
@@ -185,6 +194,14 @@ object CurationPack extends QueryPack {
       |  FROM w)"""
 
   override def oracles: Map[String, String] = Map(
+    "q_compaction_plan" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |    CAST(sum(n_chars) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_bytes
+        |  FROM documents)
+        |SELECT doc_id, n_chars, cum_bytes,
+        |  CAST(greatest(cum_bytes - 1, 0) // 4096 AS BIGINT) AS shard
+        |FROM c""".stripMargin,
     "q_filter_cascade" ->
       """WITH f AS (SELECT n_chars >= 100 AS s1, n_chars <= 450 AS s2,
         |    len(string_split_regex(trim(text), '\s+')) >= 40 AS s3,

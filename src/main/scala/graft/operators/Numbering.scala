@@ -30,10 +30,16 @@ import org.apache.spark.sql.functions._
   * that the distributed formulation equals the textbook one. */
 object Numbering {
 
-  def assignGlobalIds(df: DataFrame, order: Seq[Column],
-                      out: String = "global_id",
-                      numPartitions: Option[Int] = None): DataFrame = {
-    require(order.nonEmpty, "assignGlobalIds needs at least one order column")
+  /** The shared two-pass skeleton: range-sort, pin the layout, ship ONE
+    * bounded per-partition statistic to the driver, prefix-sum it there,
+    * and re-attach each partition's offset through a broadcast join.
+    * `partStat` is the per-partition total (count / sum); `localCol`
+    * builds the within-partition running value given the window. */
+  private def twoPass(df: DataFrame, order: Seq[Column],
+                      partStat: Column,
+                      localCol: org.apache.spark.sql.expressions.WindowSpec => Column,
+                      out: String, numPartitions: Option[Int]): DataFrame = {
+    require(order.nonEmpty, "need at least one order column")
     Seq(out, "_pid", "_off").foreach(c => require(!df.columns.contains(c),
       s"input already has a '$c' column"))
     val parts = numPartitions.getOrElse(df.sparkSession.sessionState.conf.numShufflePartitions)
@@ -42,12 +48,12 @@ object Numbering {
       .withColumn("_pid", spark_partition_id())
     // One bounded pass for the offsets: |partitions| rows to the driver —
     // the prefix-sum index, not data. localCheckpoint pins the partition
-    // layout so the counting pass and the numbering pass cannot see
+    // layout so the statistic pass and the output pass cannot see
     // different boundary draws (range sampling is not re-run).
     val pinned = sorted.localCheckpoint(eager = true)
-    val counts = pinned.groupBy("_pid").count()
+    val totals = pinned.groupBy("_pid").agg(partStat.as("_t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2).init)
+    val offsets = totals.map(_._1).zip(totals.scanLeft(0L)(_ + _._2).init)
     // Offsets attach through a BROADCAST join on the partition id — O(1)
     // per row at any partition count (a when/otherwise literal chain would
     // nest one CaseWhen per partition: O(P) per-row evaluation and a
@@ -56,7 +62,27 @@ object Numbering {
       .createDataFrame(offsets.toSeq).toDF("_pid", "_off")
     val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
     pinned.join(broadcast(offsetsDf), "_pid")
-      .withColumn(out, row_number().over(w).cast("long") + col("_off"))
+      .withColumn(out, localCol(w) + col("_off"))
       .drop("_pid", "_off")
   }
+
+  def assignGlobalIds(df: DataFrame, order: Seq[Column],
+                      out: String = "global_id",
+                      numPartitions: Option[Int] = None): DataFrame =
+    twoPass(df, order, count(lit(1)),
+      w => row_number().over(w).cast("long"), out, numPartitions)
+
+  /** Distributed inclusive prefix sum of `valueCol` under the caller's
+    * total order — `sum(v) OVER (ORDER BY …)` without the single-partition
+    * window, same two-pass discipline as [[assignGlobalIds]] (per-partition
+    * totals prefix-summed on the driver, within-partition running sums in
+    * parallel). `valueCol` must be non-null (coalesce upstream) and the
+    * order total, or the running values are ill-defined. */
+  def prefixSum(df: DataFrame, order: Seq[Column], valueCol: Column,
+                out: String = "prefix_sum",
+                numPartitions: Option[Int] = None): DataFrame =
+    twoPass(df, order, sum(valueCol).cast("long"),
+      w => sum(valueCol).over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)).cast("long"),
+      out, numPartitions)
 }

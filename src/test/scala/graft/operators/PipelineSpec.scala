@@ -226,4 +226,43 @@ class PipelineSpec extends SparkSpec {
       assert(got === want, s"inputParts=$inputParts")
     }
   }
+
+  test("prefixSum equals the single-window cumulative sum at any partitioning") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 257).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+    val want = rows.sortBy(_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, acc), (k, v)) => (k, v, acc + v) }
+      .tail.map { case (k, _, c) => k -> c }.toMap
+    for (parts <- Seq(1, 6)) {
+      val got = Numbering.prefixSum(rows.toDF("k", "v").repartition(3),
+          order = Seq(col("k")), col("v"), numPartitions = Some(parts))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === want, s"numPartitions=$parts")
+    }
+  }
+
+  test("compactionPlan: shards fill to target, overrun bounded by one row") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 400).map(i => (i.toLong, (rnd.nextInt(900) + 100).toLong))
+    val target = 4096L
+    val plan = Curation.compactionPlan(rows.toDF("id", "sz"),
+        Seq(col("id")), col("sz"), target)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // shard ids are nondecreasing in the pack order and start at 0
+    val inOrder = plan.sortBy(_._1)
+    assert(inOrder.head._3 === 0L)
+    inOrder.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 === a._3 || b._3 === a._3 + 1,
+        "shards must be contiguous in pack order")
+    }
+    // every full shard lands in [target − max row + 1, target + max row −1]
+    val byShard = inOrder.groupBy(_._3).toSeq.sortBy(_._1)
+    val maxSz = rows.map(_._2).max
+    byShard.init.foreach { case (sid, members) =>
+      val tot = members.map(_._2).sum
+      assert(tot > target - maxSz && tot < target + maxSz, s"shard $sid: $tot")
+    }
+  }
 }
