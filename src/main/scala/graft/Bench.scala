@@ -94,34 +94,35 @@ object Bench {
     * (the file source needs a DIRECTORY; 2 files/trigger ⇒ 4 real
     * micro-batches, so measured rates include per-batch planning/commit
     * overhead, not one giant batch) and hand (path, schema, rows) to `f`.
-    * Cleans up the staged copy and the nanos flag even when `f` throws —
-    * deleteOnExit is a no-op on non-empty dirs, so a failure path would
-    * otherwise leak a fixture copy in /tmp per run. */
+    *
+    * The staged copy carries `ts_us` (epoch microseconds, LONG) instead of
+    * the fixture's raw timestamp column: [[Tables.load]] canonicalizes
+    * whatever representation the driver last regenerated (TIMESTAMP(NANOS)
+    * long, TIMESTAMP_NTZ, …) into TimestampType, and the long survives the
+    * round trip bit-exactly — round 6's streaming paths read the raw file
+    * and died on the NTZ regeneration.
+    *
+    * Cleans up the staged copy even when `f` throws — deleteOnExit is a
+    * no-op on non-empty dirs, so a failure path would otherwise leak a
+    * fixture copy in /tmp per run. */
   private def withStagedEvents[T](spark: SparkSession, sfDir: String)(
       f: (String, org.apache.spark.sql.types.StructType, Long) => T): T = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true") // events.ts is TIMESTAMP(NANOS) (Tables.load)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    val path = dir.toString
     try {
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
-      val path = dir.toString
-      try {
-        spark.read.parquet(s"$sfDir/events.parquet")
-          .repartition(8).write.mode("overwrite").parquet(path)
-        val schema = spark.read.parquet(path).schema
-        val rows = spark.read.parquet(path).count()
-        f(path, schema, rows)
-      } finally {
-        // Close the NIO stream eagerly (it holds a directory fd until GC).
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(dir)
-        try walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+      Tables.load(spark, sfDir, "events")
+        .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+        .repartition(8).write.mode("overwrite").parquet(path)
+      val schema = spark.read.parquet(path).schema
+      val rows = spark.read.parquet(path).count()
+      f(path, schema, rows)
+    } finally {
+      // Close the NIO stream eagerly (it holds a directory fd until GC).
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 
@@ -142,7 +143,7 @@ object Bench {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2").parquet(path)
         .select(to_json(struct(col("event_type"), col("user_id"),
-          expr("ts div 1000000000").as("timestamp"))).as("value"))
+          expr("ts_us div 1000000").as("timestamp"))).as("value"))
       val msg = MsgSettings(
         bucketInterval = 3600, bucketField = "timestamp",
         bucketType = BucketType.Epoch,
@@ -178,7 +179,7 @@ object Bench {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2").parquet(path)
         .select(col("event_id"), col("user_id"),
-          timestamp_micros(expr("ts div 1000")).as("ts"))
+          timestamp_micros(col("ts_us")).as("ts"))
       val sessions = graft.streaming.StatefulSessions.sessions(
         stream, gapSeconds = 21600L, lateness = "40 days")
       val t0 = System.nanoTime()
@@ -207,7 +208,7 @@ object Bench {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2").parquet(path)
         .select(to_json(struct(col("event_id"), col("event_type"), col("user_id"),
-          expr("ts div 1000000000").as("timestamp"))).as("value"))
+          expr("ts_us div 1000000").as("timestamp"))).as("value"))
       val msg = MsgSettings(
         bucketInterval = 3600, bucketField = "timestamp",
         bucketType = BucketType.Epoch,
@@ -266,8 +267,13 @@ object Bench {
       val err = runs.flatMap(_._2).headOption
       (name, runs.map(_._1).min, err)
     }
+    // Aggressive rounding: the driver parses a bounded 2000-char TAIL of
+    // stdout, and round 6's full-precision line outgrew it (parsed: null).
+    // 10 ms per-query precision is far inside min-of-2 host-contention
+    // noise; the budget check lives in BenchSpec.
+    def sec(v: Double): String = f"$v%.2f"
     val qs = results.map { case (k, v, err) =>
-      s"\"" + k + "\":" + (if (err.isEmpty) v else -1.0)
+      s"\"" + k + "\":" + (if (err.isEmpty) sec(v) else "-1")
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
@@ -294,12 +300,23 @@ object Bench {
     val streamRps = if (streamSec > 0) streamRows / streamSec else -1.0
     val sessRps = if (sessSec > 0) sessRows / sessSec else -1.0
     val dedupRps = if (dedupSec > 0) dedupRows / dedupSec else -1.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,""" +
-      s""""stream_rows":$streamRows,"stream_sec":$streamSec,"stream_rows_per_s":$streamRps,""" +
-      s""""stream_sessions_rows":$sessRows,"stream_sessions_sec":$sessSec,""" +
-      s""""stream_sessions_rows_per_s":$sessRps,""" +
-      s""""stream_dedup_rows":$dedupRows,"stream_dedup_sec":$dedupSec,""" +
-      s""""stream_dedup_rows_per_s":$dedupRps,"sf":"$sfDir"}""")
+    def rate(v: Double): String = f"$v%.1f"
+    val line =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,""" +
+      s""""stream_rows":$streamRows,"stream_sec":${sec(streamSec)},"stream_rows_per_s":${rate(streamRps)},""" +
+      s""""stream_sessions_rows":$sessRows,"stream_sessions_sec":${sec(sessSec)},""" +
+      s""""stream_sessions_rows_per_s":${rate(sessRps)},""" +
+      s""""stream_dedup_rows":$dedupRows,"stream_dedup_sec":${sec(dedupSec)},""" +
+      s""""stream_dedup_rows_per_s":${rate(dedupRps)},"sf":"$sfDir"}"""
+    if (line.length > 1800) System.err.println(
+      s"[bench] WARNING: results line is ${line.length} chars — the driver " +
+        "tails 2000; trim the headline or precision")
+    println(line)
     spark.stop()
+    // A round with ANY failed query or dead streaming path must not report
+    // success — round 6 shipped rc=0 with 15 broken queries and 0-row
+    // streams, and downstream tooling read it as a green round.
+    val streamsDead = Seq(streamSec, sessSec, dedupSec).exists(_ <= 0)
+    if (results.exists(_._3.nonEmpty) || streamsDead) sys.exit(1)
   }
 }

@@ -2,16 +2,26 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Central fixture loader for the driver parquet tables (TESTDATA.md).
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS) which Spark rejects by
-  * default (PARQUET_TYPE_ILLEGAL). We flip the documented escape hatch
-  * `spark.sql.legacy.parquet.nanosAsLong` (dynamic SQLConf) and convert the
-  * resulting nanosecond longs back to a proper TimestampType with exact
-  * integer math (`div 1000` → microseconds — no double rounding; nanos since
-  * epoch exceed 2^53 so a double roundtrip would corrupt timestamps).
+  * Timestamp normalization — the fixtures have shipped two representations
+  * across driver regenerations, and every engine query must see ONE type:
+  *
+  *  - TIMESTAMP(NANOS) (early fixtures): Spark rejects it by default
+  *    (PARQUET_TYPE_ILLEGAL). We flip the documented escape hatch
+  *    `spark.sql.legacy.parquet.nanosAsLong` (dynamic SQLConf) and convert
+  *    the resulting nanosecond longs back to TimestampType with exact
+  *    integer math (`div 1000` → microseconds — no double rounding; nanos
+  *    since epoch exceed 2^53 so a double roundtrip would corrupt them).
+  *  - tz-naive TIMESTAMP(MICROS) (current fixtures): Spark ≥3.4 infers
+  *    TIMESTAMP_NTZ, which event-time functions (`unix_micros`, watermarks,
+  *    `window`) reject — this silently killed 18 event-time queries and all
+  *    streaming benches in round 6. We cast NTZ → TimestampType here; every
+  *    engine session pins `spark.sql.session.timeZone=UTC`, so the cast
+  *    preserves the wall clock and epoch math matches DuckDB's
+  *    naive-as-UTC interpretation of the same files.
   */
 object Tables {
 
@@ -33,6 +43,8 @@ object Tables {
       df.schema.fields.foldLeft(df) {
         case (acc, f) if tableNanos.contains(f.name) && f.dataType == LongType =>
           acc.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000")))
+        case (acc, f) if f.dataType == TimestampNTZType =>
+          acc.withColumn(f.name, col(f.name).cast(TimestampType))
         case (acc, _) => acc
       }
     } finally prev match {

@@ -20,6 +20,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must leave a VISIBLE failure record, not a gap:
+    // round 6's NTZ fixture regression crashed 18 queries and the round's
+    // correctness report simply had 18 fewer rows — all green. Writing a
+    // directory with a _FAILED marker (and no parquet) makes the driver's
+    // read of that output error out → an explicit err entry per query.
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
@@ -28,8 +34,25 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
           e.printStackTrace()
+          failed += name
+          val d = new java.io.File(s"$outDir/$name")
+          org.apache.commons.io.FileUtils.deleteQuietly(d)
+          d.mkdirs()
+          Files.writeString(Paths.get(s"$outDir/$name/_FAILED"),
+            s"$name: ${e.getClass.getName}: ${String.valueOf(e.getMessage)}\n")
         }
       }
+    if (only.isEmpty) {
+      val produced = Option(new java.io.File(outDir).list()).getOrElse(Array())
+        .filterNot(_ == "oracle_sql.json").toSet
+      val missing = SparkEntry.queries.keySet -- produced
+      if (failed.nonEmpty || missing.nonEmpty)
+        System.err.println(s"[verify] SUMMARY: ${failed.size} failed " +
+          s"(${failed.sorted.mkString(",")}); missing outputs: " +
+          s"${missing.toSeq.sorted.mkString(",")}")
+      else System.err.println(
+        s"[verify] SUMMARY: all ${SparkEntry.queries.size} queries produced output")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -51,11 +51,23 @@ def canon(cols, rows):
 
 fails = 0
 names = only or sorted(oracle.keys())
+if not only:
+    # Completeness gate: every oracle key must have a produced output dir —
+    # round 6's gate passed by omission when 18 queries crashed in Verify.
+    produced = {p.name for p in pathlib.Path(outdir).iterdir() if p.is_dir()}
+    extra = produced - set(oracle)
+    if extra:
+        print(f"NOTE: outputs without oracle entries: {sorted(extra)}")
 for name in names:
     sql = oracle.get(name)
     pq = f"{outdir}/{name}"
     if not pathlib.Path(pq).exists():
         print(f"FAIL {name}: no spark output at {pq}")
+        fails += 1
+        continue
+    if pathlib.Path(f"{pq}/_FAILED").exists():
+        msg = pathlib.Path(f"{pq}/_FAILED").read_text().strip()
+        print(f"FAIL {name}: verify marked failed: {msg[:200]}")
         fails += 1
         continue
     try:
