@@ -8,6 +8,22 @@ import graft.QueryPack
   * including the LSH banding itself (see [[Dedup]]'s determinism contract). */
 object DedupPack extends QueryPack {
 
+  /** DuckDB CTE chain ending in `sg(doc_id, simhash)` — the 32-bit simhash
+    * of each document's distinct-word set, value-identical to
+    * [[Dedup.simhashPairs]]'s Spark-side hash. Shared by the
+    * `q_simhash_pairs` oracle here and the similarity-graph oracles
+    * (`q_kcore` in PipelinePack) that build edges from the same pairs. */
+  private[operators] val SimhashSgCte: String =
+    """w AS (SELECT doc_id, list_distinct(string_split_regex(
+      |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+')) ws
+      |  FROM documents),
+      |h AS (SELECT doc_id, list_distinct(
+      |  [('0x' || substr(md5(s), 1, 8))::BIGINT for s in ws]) hs FROM w),
+      |sg AS (SELECT doc_id,
+      |  list_sum([CASE WHEN list_sum([2 * ((x >> k) & 1) - 1 for x in hs]) > 0
+      |    THEN (1::BIGINT << k) ELSE 0 END for k in range(0, 32)]) AS simhash
+      |  FROM h)""".stripMargin
+
   private val Threshold = 0.2
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -400,15 +416,7 @@ object DedupPack extends QueryPack {
         |  AND CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
         |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) >= 0.5""".stripMargin,
     "q_simhash_pairs" ->
-      """WITH w AS (SELECT doc_id, list_distinct(string_split_regex(
-        |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+')) ws
-        |  FROM documents),
-        |h AS (SELECT doc_id, list_distinct(
-        |  [('0x' || substr(md5(s), 1, 8))::BIGINT for s in ws]) hs FROM w),
-        |sg AS (SELECT doc_id,
-        |  list_sum([CASE WHEN list_sum([2 * ((x >> k) & 1) - 1 for x in hs]) > 0
-        |    THEN (1::BIGINT << k) ELSE 0 END for k in range(0, 32)]) AS simhash
-        |  FROM h)
+      s"""WITH $SimhashSgCte
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         |FROM sg a JOIN sg b

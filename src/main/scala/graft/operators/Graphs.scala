@@ -265,6 +265,68 @@ object Graphs {
       .select(col("node"), col("label"))
   }
 
+  /** k-core of an undirected edge list (`u < v` rows): the maximal
+    * subgraph in which every node has degree ≥ k, found by iterative
+    * peeling — drop all nodes with degree < k, recompute degrees over the
+    * survivors, repeat to fixpoint. Output: (node, core_deg) for the
+    * surviving nodes, with each node's degree INSIDE the core (≥ k by
+    * construction). The k-core is unique and peel-order-independent, so
+    * running the peel to convergence is deterministic and the oracle can
+    * replicate it round-for-round.
+    *
+    * Scale shape: per round, one node-sized degree aggregate over the
+    * surviving edges + two semi-joins filtering the edge list to
+    * surviving endpoints. The survivor set only shrinks, and the edge
+    * list is re-checkpointed each round it shrinks — each round's join reads
+    * a materialized, already-reduced input instead of replaying the whole
+    * peel lineage (the CC planning-OOM lesson). The survivor side of both
+    * semi-joins is node-sized and broadcast only under
+    * `broadcastNodeLimit` ([[BroadcastNodeLimit]] — same measured
+    * conditional as the other iterative operators), keyed shuffles past
+    * it.
+    *
+    * Convergence costs one node `count()` per round against the
+    * checkpointed survivor table. `maxRounds` is a loud-failure guard
+    * (like the CC round cap), not a semantic knob: real peels converge in
+    * a handful of rounds — each round must remove ≥ 1 node to continue,
+    * and removals cascade geometrically in practice. */
+  def kCore(edges: DataFrame, k: Long, maxRounds: Int = 64,
+            broadcastNodeLimit: Long = BroadcastNodeLimit): DataFrame = {
+    require(k >= 1, "k-core needs k >= 1")
+    var dir = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(eager = true)
+    var dirEdges = dir.count()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      val survivors = dir.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("node"))
+        .localCheckpoint(eager = true)
+      val smallState = survivors.count() <= broadcastNodeLimit
+      val next = dir
+        .join(maybeBroadcast(survivors.withColumnRenamed("node", "src"),
+          smallState), Seq("src"), "left_semi")
+        .join(maybeBroadcast(survivors.withColumnRenamed("node", "dst"),
+          smallState), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint(eager = true)
+      // Edge-count equality detects the fixpoint: a peel round that drops
+      // no edge also dropped no node (degrees were unchanged inputs).
+      val nextEdges = next.count()
+      converged = nextEdges == dirEdges
+      dir = next
+      dirEdges = nextEdges
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not converge in $maxRounds rounds — " +
+          "raise maxRounds or inspect the graph")
+    dir.groupBy("src").agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("node"), col("core_deg"))
+  }
+
   /** Global triangle statistics of an undirected edge list (`u < v` rows):
     * one row of (n_nodes, n_edges, n_triangles, max_degree).
     *

@@ -163,6 +163,19 @@ object PipelinePack extends QueryPack {
         .withColumn("label", col("node"))
       Graphs.labelPropagationFixpoint(copurchaseEdges(s, dir), seeds)
     },
+    // k-core of the simhash near-dup similarity graph: documents that sit
+    // in DENSELY-duplicated neighborhoods (every member similar to ≥ 4
+    // in-core others) — chains and stars of borderline matches peel away,
+    // template/boilerplate families survive. Iterative peeling to the
+    // (unique, order-independent) fixpoint; the oracle unrolls the same
+    // peel rounds over the same pair graph.
+    "q_kcore" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Graphs.kCore(
+        Dedup.simhashPairs(table(s, dir, "documents"), maxHamming = 8)
+          .select(col("doc_a").as("u"), col("doc_b").as("v")),
+        k = 4)
+    },
     // SCD-2 validity intervals of each user's event-type state machine.
     "q_scd2" -> { (s, dir) =>
       Temporal.scd2(
@@ -370,6 +383,31 @@ object PipelinePack extends QueryPack {
         |cs AS (SELECT cid, min(node) AS label FROM comp
         |  WHERE node % 97 = 0 GROUP BY cid)
         |SELECT comp.node, cs.label FROM comp LEFT JOIN cs USING (cid)""".stripMargin,
+    // Peel rounds UNROLLED (not WITH RECURSIVE — SQL recursion accumulates
+    // rows; peeling shrinks a set). The sf0.01 graph reaches its fixpoint
+    // after 1 drop round; 6 unrolled rounds leave generous slack, and once
+    // s_i = s_{i-1} every further round is the identity, so any N past
+    // convergence yields the same core the Spark side's
+    // converge-or-fail loop produces.
+    "q_kcore" -> {
+      def peel(i: Int): String =
+        s"""s$i AS (SELECT e.src AS node FROM e
+           |  JOIN s${i - 1} a ON e.src = a.node
+           |  JOIN s${i - 1} b ON e.dst = b.node
+           |  GROUP BY 1 HAVING count(*) >= 4)""".stripMargin
+      s"""WITH ${DedupPack.SimhashSgCte},
+         |e0 AS (SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM sg a JOIN sg b
+         |    ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8),
+         |e AS (SELECT u AS src, v AS dst FROM e0
+         |      UNION ALL SELECT v, u FROM e0),
+         |s0 AS (SELECT DISTINCT src AS node FROM e),
+         |${(1 to 6).map(peel).mkString(",\n")}
+         |SELECT e.src AS node, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM e JOIN s6 a ON e.src = a.node JOIN s6 b ON e.dst = b.node
+         |GROUP BY 1""".stripMargin
+    },
     "q_scd2" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
         |    FROM events),

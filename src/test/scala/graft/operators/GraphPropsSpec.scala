@@ -272,4 +272,59 @@ class GraphPropsSpec extends SparkSpec {
     val full = Graphs.coOccurrenceEdges(df, "g", "item", maxGroup = 128)
     assert(full.count() === (100L * 99L / 2L))
   }
+
+  /** In-memory peel to the fixpoint — the definitionally-obvious
+    * formulation the distributed loop is checked against. */
+  private def bruteKCore(edges: Set[(Long, Long)], k: Long): Map[Long, Long] = {
+    val adj = collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set())
+    edges.foreach { case (u, v) => adj(u) += v; adj(v) += u }
+    var nodes = adj.keySet.toSet
+    var changed = true
+    while (changed) {
+      val drop = nodes.filter(n => (adj(n) & nodes).size < k)
+      changed = drop.nonEmpty
+      nodes --= drop
+    }
+    nodes.map(n => n -> (adj(n) & nodes).size.toLong).toMap
+  }
+
+  test("kCore matches brute-force peeling on random graphs") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    for (seed <- 1L to 3L; k <- Seq(2L, 4L)) {
+      val edges = randomEdges(n = 30, m = 90, seed)
+      val got = Graphs.kCore(edges.toSeq.toDF("u", "v"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === bruteKCore(edges, k), s"seed $seed k $k")
+    }
+  }
+
+  test("kCore peel cascades: chain dissolves round by round, clique survives") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // A 12-node chain hanging off a 4-clique: at k=2 the chain's free end
+    // has degree 1, and each peel round exposes the next link — the
+    // fixpoint needs ~12 cascading rounds, exercising the loop (not just
+    // one drop pass), then leaves exactly the clique, where every node
+    // keeps degree 3.
+    val clique = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val chain = (3L until 15L).map(i => (i, i + 1))
+    val got = Graphs.kCore((clique ++ chain).toDF("u", "v"), k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // Entirely sub-critical graph → empty core, loop terminates cleanly.
+    assert(Graphs.kCore(chain.toDF("u", "v"), k = 2).count() === 0L)
+  }
+
+  test("kCore is bit-identical with broadcast hints disabled") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val edges = randomEdges(n = 40, m = 160, seed = 11L)
+    val df = edges.toSeq.toDF("u", "v")
+    val broadcastPath = Graphs.kCore(df, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shufflePath = Graphs.kCore(df, k = 4, broadcastNodeLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(broadcastPath === shufflePath)
+  }
 }
