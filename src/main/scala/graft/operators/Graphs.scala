@@ -370,6 +370,11 @@ object Graphs {
     // CPU-local per row — a naive wedge self-join instead pushes
     // Σ outdeg² rows through a shuffle (measured ~1.5× slower end-to-end
     // at the 1.2 M-edge fixture graph, and growing with skew).
+    // The adjacency attaches stay SHUFFLE joins on purpose: broadcasting
+    // the list-heavy node-sized table measured ~2× SLOWER end-to-end at
+    // the 1.2 M-edge fixture (6.6 s vs 3.3 s) — collecting + rebuilding
+    // ~√m-element arrays per task dwarfs the exchange they avoid. Only the
+    // narrow degree table above rides the broadcast conditional.
     val adj = oriented.groupBy("src").agg(collect_list(col("dst")).as("nbrs"))
       .localCheckpoint(eager = true)
     val tri = oriented
