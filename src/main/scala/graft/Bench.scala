@@ -79,7 +79,11 @@ object Bench {
     // with real data volume — a bigram-keyed model join) plus the
     // cluster-split leakage audit (CC + one hash aggregate).
     // q_filter_cascade stays out: one narrow scan, pure noise at sf0.1.
-    "q_heldout_familiarity", "q_split_leakage"
+    "q_heldout_familiarity", "q_split_leakage",
+    // Round-7: k-core peeling of the simhash similarity graph — the
+    // convergence-looped iterative operator (simhash pair generation +
+    // per-round degree aggregate and survivor semi-joins).
+    "q_kcore"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
