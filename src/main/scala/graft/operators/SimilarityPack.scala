@@ -133,6 +133,21 @@ object SimilarityPack extends QueryPack {
       Similarity.knnQuantized(emb, emb.filter(col("vec_id") % 50 === 0), K,
         bits = 4, candMult = 3)
     },
+    // Per-label centroid accumulators (class prototypes): component sums
+    // in fixed point — ×2^20 is a pure exponent shift (exact on every
+    // float), floor+long sums commute across any partitioning, so the
+    // centroid is bit-identical on Spark and the oracle; the caller
+    // divides sum_fp/n at read time. One shuffle on (label, dim) with
+    // map-side partials; posexplode is narrow. At 100 TB the reduce side
+    // is labels × dims — model-sized, not data-sized.
+    "q_label_centroids" -> { (s, dir) =>
+      table(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("col").cast("double") * 1048576L)).as("sum_fp"))
+    },
     // Edit-distance similarity join on 32-char document prefixes — the
     // PassJoin segment-signature plan (FuzzyJoin.editJoin): exact ed<=2
     // semantics with equi-join candidate generation instead of a cross
@@ -254,6 +269,15 @@ object SimilarityPack extends QueryPack {
          |  list_reduce([CAST(0 AS BIGINT)] || list_transform(qc, x -> x * x),
          |    (a, b) -> a + b) AS qnorm
          |FROM c""".stripMargin,
+    "q_label_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(u.s.dim AS BIGINT) AS dim,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(CAST(u.s.x AS DOUBLE) * 1048576) AS BIGINT))
+        |    AS BIGINT) AS sum_fp
+        |FROM embeddings,
+        |  unnest([{'dim': i, 'x': embedding[i+1]}
+        |          for i in range(0, len(embedding))]) u(s)
+        |GROUP BY 1, 2""".stripMargin,
     "q_knn_quantized" ->
       s"""WITH $QuantCtes,
          |q AS (SELECT vec_id AS q_id, v AS qv, bkt AS q_bkt, qc AS q_qc

@@ -81,6 +81,17 @@ object Soak {
       }
     }
 
+    // k-core peel over the ~sf1 simhash similarity graph (the q_kcore
+    // path): pair generation is the banded self-join, then the
+    // convergence-looped peel — checks round count and that the shrinking
+    // checkpoint cadence holds at 10×.
+    timed("kcore") {
+      Graphs.kCore(
+        Dedup.simhashPairs(docs, maxHamming = 8)
+          .select(col("doc_a").as("u"), col("doc_b").as("v")),
+        k = 4).count()
+    }
+
     // Non-iterative hot paths whose state is an in-memory artifact (CMS
     // sketch, per-key period set, bigram model) — the soak checks the
     // artifact stays bounded as rows scale 10×. Replicated events keep
