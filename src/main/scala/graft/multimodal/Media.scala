@@ -174,9 +174,11 @@ object Media {
     *
     * Output: (a, b, hamming) with a < b by id. */
   def phashPairs(ph: DataFrame, nBits: Int, maxHamming: Int = 2,
-                 idCol: String = "media_id"): DataFrame = {
+                 idCol: String = "media_id",
+                 maxBucket: Long = graft.operators.Dedup.MaxBucket): DataFrame = {
     val nSeg = maxHamming + 1
     require(nBits >= nSeg, s"need at least $nSeg bits for $maxHamming-bit budget")
+    require(maxBucket >= 2, "maxBucket below 2 would drop every pair")
     // ≤ 63: at 64 a full-width segment's mask (1L << 64) − 1 wraps to 0
     // (Scala shift counts are mod 64), which would silently collapse the
     // banding into ONE bucket — a correct but quadratic self-join.
@@ -188,7 +190,22 @@ object Media {
       struct(lit(s).as("seg"),
         expr(s"shiftright(phash, $lo) & ${(1L << w) - 1}").as("sv"))
     }
-    val e = ph.select(col(idCol), col("phash"), explode(array(segs: _*)).as("g"))
+    val e0 = ph.select(col(idCol), col("phash"), explode(array(segs: _*)).as("g"))
+    // Per-segment hot-bucket cap (Dedup.MaxBucket discipline): an
+    // identical-media family lands every segment in one bucket and emits
+    // |family|² pairs REGARDLESS of join strategy — past the cap that
+    // bucket is dropped before the self-join. A pair survives if ANY of
+    // its maxHamming+1 segment buckets stays under the cap, so the
+    // pigeonhole completeness guarantee degrades only for members of
+    // oversized families (exact dedup's job first). Below the cap — all
+    // fixtures; max segment bucket at sf0.01 is well under the 4096
+    // default — the banding remains provably lossless, which is why the
+    // brute-force oracle can stay cap-free (MediaSpec pins the cap
+    // behavior adversarially instead).
+    val e = e0.join(
+      e0.groupBy("g").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= maxBucket).select("g"),
+      "g")
     val l = e.select(col(idCol).as("a"), col("phash").as("pa"), col("g"))
     val r = e.select(col(idCol).as("b"), col("phash").as("pb"), col("g"))
     l.join(r, l("g") === r("g") && col("a") < col("b"))

@@ -58,6 +58,21 @@ object Dedup {
     * maxima are 3 (sf0.01) / 14 (sf0.1) — far under the default. */
   val MaxBand = 64L
 
+  /** Hot-bucket cap for the SINGLE-band pair joins ([[simhashPairs]],
+    * [[graft.multimodal.Media.phashPairs]]'s per-segment buckets): a
+    * bucket of B identical-or-near-identical signatures emits B² pairs —
+    * the OUTPUT is quadratic in the family size, so no join strategy
+    * saves an uncapped run; past this size the family is exact-dedup's
+    * job ([[fingerprints]] collapses byte-identical docs in one linear
+    * shuffle) and the near-dup pair list for it carries no information a
+    * sample of the family wouldn't. 4096 bounds any one bucket at ~8.4 M
+    * candidate rows. Wider than [[MaxBand]] because these buckets key on
+    * the FULL signature prefix (real near-dup mass, not LSH collisions);
+    * fixture maxima are 478 (sf0.1 simhash) — the default never bites
+    * below adversarial density, and the caps are declared, test-pinned
+    * semantics, not silent truncation. */
+  val MaxBucket = 4096L
+
   /** 32-bit integer hash of a string: first 4 md5 bytes as an unsigned int —
     * exactly `('0x' || substr(md5(s),1,8))::BIGINT` on the DuckDB side.
     * Codegen'd [[graft.plans.Md5Hash32Expr]] (no hex round-trip, thread-local
@@ -647,12 +662,21 @@ object Dedup {
     * distance over the full 32-bit signature. Output
     * (doc_a, doc_b, hamming), doc_a < doc_b. */
   def simhashPairs(docs: DataFrame, maxHamming: Int,
-                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                   textCol: String = "text", idCol: String = "doc_id",
+                   maxBucket: Long = MaxBucket): DataFrame = {
+    require(maxBucket >= 2, "maxBucket below 2 would drop every pair")
     // One signature row per doc — materialize before the self-join so the
     // 32-bit vote pipeline runs once, not once per join side
     // (localCheckpoint, not persist: see nearDuplicates on lifetime).
-    val sigs = simhash(docs, textCol, idCol)
+    val sigs0 = simhash(docs, textCol, idCol)
       .localCheckpoint(eager = true)
+    // Hot-bucket cap (MaxBand discipline): buckets past `maxBucket` are
+    // dropped WHOLESALE before the self-join, bounding candidates at
+    // Σ|b|² over surviving buckets. The size aggregate and the gate join
+    // key on the SAME `bucket` the pair join shuffles on.
+    val small = sigs0.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket).select("bucket")
+    val sigs = sigs0.join(small, "bucket")
     val a = sigs.as("a")
     val b = sigs.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") &&

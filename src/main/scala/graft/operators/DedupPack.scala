@@ -10,11 +10,13 @@ object DedupPack extends QueryPack {
 
   /** DuckDB CTE chain ending in `sg(doc_id, simhash)` — the 32-bit simhash
     * of each document's distinct-word set, value-identical to
-    * [[Dedup.simhashPairs]]'s Spark-side hash. Shared by the
-    * `q_simhash_pairs` oracle here and the similarity-graph oracles
-    * (`q_kcore` in PipelinePack) that build edges from the same pairs. */
+    * [[Dedup.simhashPairs]]'s Spark-side hash — and `sgc`, the same rows
+    * with [[Dedup.MaxBucket]]-oversized 16-bit-prefix buckets dropped
+    * (the pair-join input). Shared by the `q_simhash_pairs` oracle here
+    * and the similarity-graph oracles (`q_kcore` in PipelinePack) that
+    * build edges from the same pairs. */
   private[operators] val SimhashSgCte: String =
-    """w AS (SELECT doc_id, list_distinct(string_split_regex(
+    raw"""w AS (SELECT doc_id, list_distinct(string_split_regex(
       |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+')) ws
       |  FROM documents),
       |h AS (SELECT doc_id, list_distinct(
@@ -22,7 +24,9 @@ object DedupPack extends QueryPack {
       |sg AS (SELECT doc_id,
       |  list_sum([CASE WHEN list_sum([2 * ((x >> k) & 1) - 1 for x in hs]) > 0
       |    THEN (1::BIGINT << k) ELSE 0 END for k in range(0, 32)]) AS simhash
-      |  FROM h)""".stripMargin
+      |  FROM h),
+      |sgc AS (SELECT * FROM sg
+      |  QUALIFY count(*) OVER (PARTITION BY simhash >> 16) <= ${Dedup.MaxBucket})""".stripMargin
 
   private val Threshold = 0.2
 
@@ -419,7 +423,7 @@ object DedupPack extends QueryPack {
       s"""WITH $SimhashSgCte
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-        |FROM sg a JOIN sg b
+        |FROM sgc a JOIN sgc b
         |  ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin,
     // list_sum returns HUGEINT; the driver materializes HUGEINT as

@@ -397,7 +397,7 @@ object PipelinePack extends QueryPack {
            |  GROUP BY 1 HAVING count(*) >= 4)""".stripMargin
       s"""WITH ${DedupPack.SimhashSgCte},
          |e0 AS (SELECT a.doc_id AS u, b.doc_id AS v
-         |  FROM sg a JOIN sg b
+         |  FROM sgc a JOIN sgc b
          |    ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
          |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8),
          |e AS (SELECT u AS src, v AS dst FROM e0

@@ -75,6 +75,24 @@ class MediaSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L, 2L), (2L, 3L, 2L)))
   }
 
+  test("phashPairs: oversized identical-hash family is capped, polite pairs kept") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // 50 byte-identical hashes (every segment lands in one bucket) next to
+    // one polite near-pair. With maxBucket = 8 the family's buckets are
+    // dropped wholesale — none of its 1225 pairs survive — while the
+    // polite pair is untouched; raising the cap restores the family
+    // (declared knob, not hidden truncation).
+    val family = (1L to 50L).map(i => (i, 0x0F0FL))
+    val polite = Seq((100L, 0x5050L), (101L, 0x5053L)) // hamming 2
+    val ph = (family ++ polite).toDF("media_id", "phash")
+    val capped = Media.phashPairs(ph, nBits = 16, maxHamming = 2, maxBucket = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped === Set((100L, 101L, 2L)))
+    val uncapped = Media.phashPairs(ph, nBits = 16, maxHamming = 2)
+    assert(uncapped.count() === 50L * 49L / 2L + 1L)
+  }
+
   test("batched extraction: results independent of batch size, codec called per batch") {
     val sparkSession = spark
     import sparkSession.implicits._

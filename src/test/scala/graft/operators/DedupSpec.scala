@@ -150,6 +150,27 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() === 780L + 1L)
   }
 
+  test("simhashPairs: oversized signature bucket is capped, polite pair kept") {
+    GraftExtensions.register(spark)
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // 30 identical docs share one simhash (one 16-bit-prefix bucket of 30);
+    // two other identical docs form a polite bucket of 2. maxBucket = 8
+    // drops the family wholesale and keeps the pair — same declared-cap
+    // discipline as the LSH band cap above.
+    val family = (100L until 130L).map(i =>
+      (i, "identical boilerplate header repeated across the corpus every time"))
+    val docs = (family ++ Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again today")
+    )).toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(docs, maxHamming = 8, maxBucket = 8L)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((0L, 1L)))
+    val uncapped = Dedup.simhashPairs(docs, maxHamming = 8)
+    assert(uncapped.count() === 30L * 29L / 2L + 1L)
+  }
+
   test("n-gram Jaccard inverted-index variant agrees with LSH on planted pairs") {
     GraftExtensions.register(spark)
     val viaIndex = Dedup.ngramJaccard(docs, threshold = 0.5, maxDf = 30L)
