@@ -349,11 +349,25 @@ object Similarity {
 
   /** Blocked pairwise near-duplicates: intra-block pairs (blockCol equality,
     * id_a < id_b) with cosine >= threshold. Output (id_a, id_b, sim).
-    * Norms precomputed below the join, as in [[knn]]. */
+    * Norms precomputed below the join, as in [[knn]].
+    *
+    * Blocks past `maxBlock` are dropped before the self-join
+    * ([[graft.operators.Dedup.MaxBucket]] discipline): a B-vector block
+    * emits B² candidate pairs whatever the join strategy, so one
+    * degenerate block (a dominant label, a default embedding) must not be
+    * allowed to go quadratic — the cap is declared semantics the oracles
+    * replicate, and the size gate keys on the SAME column the pair join
+    * shuffles on. */
   def blockedNearDup(corpus: DataFrame, blockCol: String, threshold: Double,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val slim = corpus.select(col(idCol), col(blockCol), col(vecCol),
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     maxBlock: Long = graft.operators.Dedup.MaxBucket): DataFrame = {
+    require(maxBlock >= 2, "maxBlock below 2 would drop every pair")
+    val slim0 = corpus.select(col(idCol), col(blockCol), col(vecCol),
       dot(vecCol, vecCol).as("n2"))
+    val slim = slim0.join(
+      slim0.groupBy(blockCol).agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= maxBlock).select(blockCol),
+      blockCol)
     val a = slim.as("a")
     val b = slim.as("b")
     a.join(b, col(s"a.$blockCol") === col(s"b.$blockCol") &&

@@ -428,7 +428,9 @@ object SimilarityPack extends QueryPack {
       ivfScoredTail
     ).mkString(",\n")),
     "q_embed_neardup" ->
-      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings)
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings
+         |  QUALIFY count(*) OVER (PARTITION BY label)
+         |    <= ${graft.operators.Dedup.MaxBucket})
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ${cosSql("a.v", "b.v")} AS sim
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -438,7 +440,9 @@ object SimilarityPack extends QueryPack {
     // (components are bounded by the label blocks), cluster = min reachable
     // id, singletons self-label — mirrors the q_dedup_clusters oracle.
     "q_embed_clusters" ->
-      s"""WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      s"""WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings
+         |  QUALIFY count(*) OVER (PARTITION BY label)
+         |    <= ${graft.operators.Dedup.MaxBucket}),
          |p AS (SELECT a.vec_id AS src, b.vec_id AS dst
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |  WHERE ${cosSql("a.v", "b.v")}

@@ -267,4 +267,21 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((10L, 1L)))
   }
+
+  test("blockedNearDup: oversized block is capped, polite block kept") {
+    GraftExtensions.register(spark)
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // 20 identical vectors in one block (190 pairs uncapped) beside a
+    // 2-vector near-dup block. maxBlock = 8 drops the hot block wholesale,
+    // keeps the polite pair — Dedup.MaxBucket discipline.
+    val hot = (1L to 20L).map(i => (i, "big", Array(1f, 0f, 0f)))
+    val polite = Seq((100L, "ok", Array(0f, 1f, 0f)),
+      (101L, "ok", Array(0f, 0.99f, 0.1f)))
+    val df = (hot ++ polite).toDF("vec_id", "label", "embedding")
+    val capped = Similarity.blockedNearDup(df, "label", 0.9, maxBlock = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((100L, 101L)))
+    assert(Similarity.blockedNearDup(df, "label", 0.9).count() === 190L + 1L)
+  }
 }
