@@ -371,4 +371,47 @@ object Curation {
       .filter(col("draw_rank") <= k)
       .drop("_h")
   }
+
+  /** Token-budget waterfilling across sources — the data-mixing allocation
+    * primitive: spread `budgetNum/budgetDen` of the total corpus size over
+    * the sources as `allocated_s = min(avail_s, λ)`, with the water level
+    * λ chosen so the allocations sum EXACTLY to the budget (the classic
+    * cap-aware proportional fill: small sources are taken whole, large
+    * ones are levelled). Output: (source, avail, allocated).
+    *
+    * All integer arithmetic: sources sorted ascending by (avail, source),
+    * a prefix-sum finds the last fully-funded rank p (monotone condition
+    * `cum + avail·(k−rn) ≤ B`), then λ = remainder div (k−p) with the
+    * div-remainder distributed +1 to the first `mod` unfilled sources in
+    * the same total order — deterministic, partitioning-independent, and
+    * replicated verbatim by the DuckDB oracle. By the maximality of p,
+    * λ+1 never exceeds any unfilled source's avail, so `allocated ≤ avail`
+    * holds row-wise by construction.
+    *
+    * Scale shape: one shuffle for the per-source aggregate; the windows
+    * run over the SOURCES-sized table (single partition by design — the
+    * same bounded-cardinality discipline as [[lengthOutliers]]' stats
+    * table), never over documents. */
+  def budgetWaterfill(docs: DataFrame, srcCol: String, sizeCol: String,
+                      budgetNum: Long = 2L, budgetDen: Long = 3L): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0, "budget fraction must be >= 0")
+    val W = org.apache.spark.sql.expressions.Window
+    val ord = W.orderBy(col("avail"), col(srcCol))
+    val all = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    docs
+      .groupBy(srcCol).agg(sum(col(sizeCol)).cast("long").as("avail"))
+      .withColumn("rn", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum(col("avail")).over(ord))
+      .withColumn("k", count(lit(1)).over(all))
+      .withColumn("b", expr(s"(sum(avail) OVER () * $budgetNum) div $budgetDen"))
+      .withColumn("is_full", col("cum") + col("avail") * (col("k") - col("rn")) <= col("b"))
+      .withColumn("p", coalesce(max(when(col("is_full"), col("rn"))).over(all), lit(0L)))
+      .withColumn("cum_p", coalesce(max(when(col("is_full"), col("cum"))).over(all), lit(0L)))
+      .withColumn("allocated",
+        when(col("is_full"), col("avail"))
+          .when(col("rn") - col("p") <= (col("b") - col("cum_p")) % (col("k") - col("p")),
+            expr("(b - cum_p) div (k - p)") + 1L)
+          .otherwise(expr("(b - cum_p) div (k - p)")))
+      .select(col(srcCol), col("avail"), col("allocated"))
+  }
 }

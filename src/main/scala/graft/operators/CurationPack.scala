@@ -20,6 +20,13 @@ object CurationPack extends QueryPack {
     maxDupWordFrac = 0.6, langRates = Rates)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token-budget waterfill: allocate 2/3 of the corpus across sources as
+    // min(avail, λ) with the water level λ integer-exact and the division
+    // remainder spread deterministically — the cap-aware mixing allocation
+    // every multi-source training run starts from.
+    "q_budget_waterfill" -> { (s, dir) =>
+      Curation.budgetWaterfill(table(s, dir, "documents"), "source", "n_chars")
+    },
     // Leakage-safe split: the hash gate keyed on the GROUP (source domain)
     // instead of the document id, so every doc of a domain — including all
     // its intra-domain near-duplicates — lands in the same split and
@@ -194,6 +201,28 @@ object CurationPack extends QueryPack {
       |  FROM w)"""
 
   override def oracles: Map[String, String] = Map(
+    "q_budget_waterfill" ->
+      """WITH per AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail
+        |    FROM documents GROUP BY 1),
+        |t AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY avail, source) AS BIGINT) AS rn,
+        |    CAST(sum(avail) OVER (ORDER BY avail, source
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(count(*) OVER () AS BIGINT) AS k,
+        |    CAST((sum(avail) OVER () * 2) // 3 AS BIGINT) AS b
+        |  FROM per),
+        |f AS (SELECT *, cum + avail * (k - rn) <= b AS is_full FROM t),
+        |g AS (SELECT *,
+        |    CAST(coalesce(max(CASE WHEN is_full THEN rn END) OVER (), 0)
+        |      AS BIGINT) AS p,
+        |    CAST(coalesce(max(CASE WHEN is_full THEN cum END) OVER (), 0)
+        |      AS BIGINT) AS cum_p
+        |  FROM f)
+        |SELECT source, avail,
+        |  CAST(CASE WHEN is_full THEN avail
+        |    WHEN rn - p <= (b - cum_p) % (k - p) THEN (b - cum_p) // (k - p) + 1
+        |    ELSE (b - cum_p) // (k - p) END AS BIGINT) AS allocated
+        |FROM g""".stripMargin,
     "q_compaction_plan" ->
       """WITH c AS (SELECT doc_id, n_chars,
         |    CAST(sum(n_chars) OVER (ORDER BY doc_id

@@ -254,4 +254,39 @@ class CurationSpec extends SparkSpec {
       Curation.samplePps(Seq((1L, 0L)).toDF("doc_id", "w"), "w", k = 5L)
     }
   }
+
+  test("budgetWaterfill: exact budget, caps respected, water level levels") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // Sources 10/20/300/400 chars, budget = 2/3 · 730 = 486: the small
+    // sources fit whole, the big two level at λ with the remainder going
+    // to the earlier unfilled source in (avail, source) order.
+    val docs = Seq(("a", 10L), ("b", 20L), ("c", 300L), ("d", 400L))
+      .flatMap { case (s, n) => Seq((s, n / 2), (s, n - n / 2)) } // 2 docs each
+      .toDF("source", "n_chars")
+    val got = Curation.budgetWaterfill(docs, "source", "n_chars")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("a") === ((10L, 10L)) && got("b") === ((20L, 20L)))
+    // λ = (486 - 30) div 2 = 228, remainder 0.
+    assert(got("c") === ((300L, 228L)) && got("d") === ((400L, 228L)))
+    assert(got.values.map(_._2).sum === 730L * 2 / 3)
+    assert(got.values.forall { case (avail, alloc) => alloc <= avail })
+    // Budget at least the total → every source taken whole.
+    val full = Curation.budgetWaterfill(docs, "source", "n_chars",
+        budgetNum = 1L, budgetDen = 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(full === Map("a" -> 10L, "b" -> 20L, "c" -> 300L, "d" -> 400L))
+    // Equal sources, budget 2/3 · 9 = 6 → clean level λ=2 for all; and a
+    // non-divisible budget (3/4 · 9 = 6 rem 3 over... use 5/6: b=7, λ=2
+    // rem 1) sends the single +1 to the FIRST source in (avail, source)
+    // order — Σ stays exact in both.
+    val eq = Seq(("x", 3L), ("y", 3L), ("z", 3L)).toDF("source", "n_chars")
+    val rem0 = Curation.budgetWaterfill(eq, "source", "n_chars")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rem0 === Map("x" -> 2L, "y" -> 2L, "z" -> 2L))
+    val rem1 = Curation.budgetWaterfill(eq, "source", "n_chars",
+        budgetNum = 5L, budgetDen = 6L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rem1 === Map("x" -> 3L, "y" -> 2L, "z" -> 2L))
+  }
 }
