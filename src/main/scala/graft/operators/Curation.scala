@@ -414,4 +414,34 @@ object Curation {
           .otherwise(expr("(b - cum_p) div (k - p)")))
       .select(col(srcCol), col("avail"), col("allocated"))
   }
+
+  /** Apply a [[budgetWaterfill]] allocation: per source, keep the
+    * hash-ordered PREFIX of documents whose cumulative size fits the
+    * source's allocation. The salted-md5 order makes the cut an unbiased,
+    * rerun-stable sample of each source (the same auditable-draw contract
+    * as every sampling op here), and because the running total is
+    * monotone along that order, `cum ≤ allocated` IS a prefix — greedy
+    * fill, no knapsack ambiguity. Output: (idCol, srcCol, sizeCol,
+    * cum_chars) for kept documents.
+    *
+    * Scale shape: the allocation table is sources-sized (broadcast); the
+    * window is partitioned BY SOURCE over documents — one keyed shuffle,
+    * parallel across sources, never a global sort. */
+  def budgetCut(docs: DataFrame, srcCol: String, sizeCol: String,
+                idCol: String = "doc_id", salt: String = "cut",
+                budgetNum: Long = 2L, budgetDen: Long = 3L): DataFrame = {
+    val alloc = budgetWaterfill(docs, srcCol, sizeCol, budgetNum, budgetDen)
+      .select(col(srcCol), col("allocated"))
+    val h = Dedup.md5Hash32(
+      concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol)).orderBy(col("_h"), col(idCol))
+    docs
+      .select(col(idCol), col(srcCol), col(sizeCol))
+      .withColumn("_h", h)
+      .withColumn("cum_chars", sum(col(sizeCol)).over(w).cast("long"))
+      .join(broadcast(alloc), srcCol)
+      .filter(col("cum_chars") <= col("allocated"))
+      .select(col(idCol), col(srcCol), col(sizeCol), col("cum_chars"))
+  }
 }

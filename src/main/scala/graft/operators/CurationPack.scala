@@ -27,6 +27,13 @@ object CurationPack extends QueryPack {
     "q_budget_waterfill" -> { (s, dir) =>
       Curation.budgetWaterfill(table(s, dir, "documents"), "source", "n_chars")
     },
+    // The allocation APPLIED: per source the hash-ordered document prefix
+    // that fits its waterfilled budget — the deterministic corpus cut a
+    // mixing run actually trains on.
+    "q_budget_cut" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Curation.budgetCut(table(s, dir, "documents"), "source", "n_chars")
+    },
     // Leakage-safe split: the hash gate keyed on the GROUP (source domain)
     // instead of the document id, so every doc of a domain — including all
     // its intra-domain near-duplicates — lands in the same split and
@@ -200,29 +207,50 @@ object CurationPack extends QueryPack {
       |  [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] AS bi
       |  FROM w)"""
 
+  /** DuckDB CTE chain ending in `alloc(source, avail, allocated)` — the
+    * integer waterfill over per-source n_chars at budget 2/3, replicating
+    * [[Curation.budgetWaterfill]] step for step. Shared by the
+    * `q_budget_waterfill` and `q_budget_cut` oracles. */
+  private val WaterfillAllocCte: String =
+    """per AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail
+      |    FROM documents GROUP BY 1),
+      |t AS (SELECT *,
+      |    CAST(row_number() OVER (ORDER BY avail, source) AS BIGINT) AS rn,
+      |    CAST(sum(avail) OVER (ORDER BY avail, source
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(count(*) OVER () AS BIGINT) AS k,
+      |    CAST((sum(avail) OVER () * 2) // 3 AS BIGINT) AS b
+      |  FROM per),
+      |f AS (SELECT *, cum + avail * (k - rn) <= b AS is_full FROM t),
+      |g AS (SELECT *,
+      |    CAST(coalesce(max(CASE WHEN is_full THEN rn END) OVER (), 0)
+      |      AS BIGINT) AS p,
+      |    CAST(coalesce(max(CASE WHEN is_full THEN cum END) OVER (), 0)
+      |      AS BIGINT) AS cum_p
+      |  FROM f),
+      |alloc AS (SELECT source, avail,
+      |  CAST(CASE WHEN is_full THEN avail
+      |    WHEN rn - p <= (b - cum_p) % (k - p) THEN (b - cum_p) // (k - p) + 1
+      |    ELSE (b - cum_p) // (k - p) END AS BIGINT) AS allocated
+      |  FROM g)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "q_budget_waterfill" ->
-      """WITH per AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail
-        |    FROM documents GROUP BY 1),
-        |t AS (SELECT *,
-        |    CAST(row_number() OVER (ORDER BY avail, source) AS BIGINT) AS rn,
-        |    CAST(sum(avail) OVER (ORDER BY avail, source
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
-        |    CAST(count(*) OVER () AS BIGINT) AS k,
-        |    CAST((sum(avail) OVER () * 2) // 3 AS BIGINT) AS b
-        |  FROM per),
-        |f AS (SELECT *, cum + avail * (k - rn) <= b AS is_full FROM t),
-        |g AS (SELECT *,
-        |    CAST(coalesce(max(CASE WHEN is_full THEN rn END) OVER (), 0)
-        |      AS BIGINT) AS p,
-        |    CAST(coalesce(max(CASE WHEN is_full THEN cum END) OVER (), 0)
-        |      AS BIGINT) AS cum_p
-        |  FROM f)
-        |SELECT source, avail,
-        |  CAST(CASE WHEN is_full THEN avail
-        |    WHEN rn - p <= (b - cum_p) % (k - p) THEN (b - cum_p) // (k - p) + 1
-        |    ELSE (b - cum_p) // (k - p) END AS BIGINT) AS allocated
-        |FROM g""".stripMargin,
+      s"""WITH $WaterfillAllocCte
+        |SELECT source, avail, allocated FROM alloc""".stripMargin,
+    "q_budget_cut" ->
+      s"""WITH $WaterfillAllocCte,
+        |d AS (SELECT doc_id, source, n_chars,
+        |    ('0x' || substr(md5('cut:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_chars,
+        |    CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars
+        |  FROM d)
+        |SELECT doc_id, source, n_chars, cum_chars
+        |FROM c JOIN alloc USING (source)
+        |WHERE cum_chars <= allocated""".stripMargin,
     "q_compaction_plan" ->
       """WITH c AS (SELECT doc_id, n_chars,
         |    CAST(sum(n_chars) OVER (ORDER BY doc_id

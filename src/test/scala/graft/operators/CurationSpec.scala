@@ -289,4 +289,26 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(rem1 === Map("x" -> 3L, "y" -> 2L, "z" -> 2L))
   }
+
+  test("budgetCut keeps a per-source prefix that fits the allocation, rerun-stable") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val docs = (1L to 40L).map(i => (i, s"s${i % 4}", 10L + i % 7))
+      .toDF("doc_id", "source", "n_chars")
+    val alloc = Curation.budgetWaterfill(docs, "source", "n_chars")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val cut = Curation.budgetCut(docs, "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // Per-source kept size never exceeds (and prefix-fills) the allocation.
+    val bySrc = cut.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    bySrc.foreach { case (s, kept) => assert(kept <= alloc(s), s"source $s") }
+    // cum is consistent: max cum per source equals the kept sum.
+    cut.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._4).max === bySrc(s), s"cum of $s") }
+    // Deterministic under repartitioning.
+    val again = Curation.budgetCut(docs.repartition(7), "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSet === cut.toSet)
+  }
 }
