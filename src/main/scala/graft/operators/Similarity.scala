@@ -362,12 +362,15 @@ object Similarity {
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      maxBlock: Long = graft.operators.Dedup.MaxBucket): DataFrame = {
     require(maxBlock >= 2, "maxBlock below 2 would drop every pair")
-    val slim0 = corpus.select(col(idCol), col(blockCol), col(vecCol),
-      dot(vecCol, vecCol).as("n2"))
-    val slim = slim0.join(
-      slim0.groupBy(blockCol).agg(count(lit(1)).as("bn"))
-        .filter(col("bn") <= maxBlock).select(blockCol),
-      blockCol)
+    // Window count, not aggregate+semi-join: one exchange on the block key
+    // serves both the gate and the pair join, and the norm projection runs
+    // once (see the phashPairs measurement).
+    val slim = corpus.select(col(idCol), col(blockCol), col(vecCol),
+        dot(vecCol, vecCol).as("n2"))
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(blockCol))))
+      .filter(col("bn") <= maxBlock)
+      .drop("bn")
     val a = slim.as("a")
     val b = slim.as("b")
     a.join(b, col(s"a.$blockCol") === col(s"b.$blockCol") &&
