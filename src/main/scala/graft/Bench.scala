@@ -248,7 +248,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val queries = headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+    // A headline name that no longer resolves must fail the run, not
+    // silently shrink the bench (the same pass-by-omission hazard as
+    // round 6's Verify gap).
+    val unknown = headline.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"headline names not in SparkEntry.queries: $unknown")
+    val queries = headline.map(n => n -> SparkEntry.queries(n))
     // Warm-up at the smallest SF: JIT + codegen + parquet footer caches, so
     // per-query numbers measure the query, not JVM warm-up (first-query skew
     // dominated round 1's q_count_by_key).
