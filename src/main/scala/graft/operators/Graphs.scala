@@ -327,6 +327,53 @@ object Graphs {
       .select(col("src").as("node"), col("core_deg"))
   }
 
+  /** Per-node CORE NUMBERS via h-index iteration (the distributed k-core
+    * decomposition): start every node at its degree and repeatedly replace
+    * each node's value with the H-index of its neighbors' values — the
+    * largest h such that ≥ h neighbors hold value ≥ h. The sequence is
+    * monotone non-increasing and its fixpoint is exactly the coreness
+    * (Lü et al., "The H-index of a network node"), so `kCore(k)`'s node
+    * set equals `coreness ≥ k` — pinned by `GraphPropsSpec`. Runs a FIXED
+    * `rounds` iterations: past convergence each round is the identity, so
+    * any `rounds` ≥ the convergence depth yields the coreness while
+    * keeping the round count — and therefore the DuckDB oracle's unrolled
+    * replication — deterministic. Output: (node, coreness).
+    *
+    * Scale shape: per round ONE edges ⋈ node-sized state equi-join, one
+    * dst-keyed collect_list aggregate (group size = degree — the same
+    * O(√m)-unbounded caveat as any adjacency materialization; cap degrees
+    * upstream if the graph has super-hubs), and a narrow sorted-array
+    * fold for the H-index. State stays node-sized; the broadcast
+    * conditional and checkpoint cadence match the other iterative
+    * operators. */
+  def corenessHIndex(edges: DataFrame, rounds: Int = 4,
+                     broadcastNodeLimit: Long = BroadcastNodeLimit): DataFrame = {
+    require(rounds >= 1, "need at least one h-index round")
+    val dir = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(eager = true)
+    var state = dir.groupBy("src").agg(count(lit(1)).as("c"))
+      .withColumnRenamed("src", "node")
+      .localCheckpoint(eager = true)
+    val smallState = state.count() <= broadcastNodeLimit
+    // H-index of the DESC-sorted neighbor values: v_i decreasing and i
+    // increasing make `v_i ≥ i` a prefix property, so the count IS the
+    // max prefix length — one narrow fold, no second sort.
+    val hIndex = expr(
+      "aggregate(transform(cs, (v, i) -> CASE WHEN v >= i + 1 THEN 1L ELSE 0L END), " +
+        "0L, (a, x) -> a + x)")
+    for (t <- 1 to rounds) {
+      state = dir
+        .join(maybeBroadcast(state, smallState), dir("src") === col("node"))
+        .select(col("dst"), col("c"))
+        .groupBy("dst")
+        .agg(sort_array(collect_list(col("c")), asc = false).as("cs"))
+        .select(col("dst").as("node"), hIndex.as("c"))
+      if (t % 8 == 0 && t < rounds) state = state.localCheckpoint(eager = true)
+    }
+    state.select(col("node"), col("c").as("coreness"))
+  }
+
   /** Global triangle statistics of an undirected edge list (`u < v` rows):
     * one row of (n_nodes, n_edges, n_triangles, max_degree).
     *

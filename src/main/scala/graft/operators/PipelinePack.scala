@@ -176,6 +176,18 @@ object PipelinePack extends QueryPack {
           .select(col("doc_a").as("u"), col("doc_b").as("v")),
         k = 4)
     },
+    // Per-document core numbers of the same similarity graph: 4 fixed
+    // h-index rounds (fixpoint = coreness; fixture converges in ≤ 2, so
+    // the tail rounds are the identity and the oracle can unroll the
+    // identical chain). Internal consistency: coreness ≥ 4 is exactly
+    // q_kcore's node set — pinned in GraphPropsSpec.
+    "q_coreness" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Graphs.corenessHIndex(
+        Dedup.simhashPairs(table(s, dir, "documents"), maxHamming = 8)
+          .select(col("doc_a").as("u"), col("doc_b").as("v")),
+        rounds = 4)
+    },
     // SCD-2 validity intervals of each user's event-type state machine.
     "q_scd2" -> { (s, dir) =>
       Temporal.scd2(
@@ -407,6 +419,30 @@ object PipelinePack extends QueryPack {
          |SELECT e.src AS node, CAST(count(*) AS BIGINT) AS core_deg
          |FROM e JOIN s6 a ON e.src = a.node JOIN s6 b ON e.dst = b.node
          |GROUP BY 1""".stripMargin
+    },
+    // The identical 4 h-index rounds, unrolled. `list(...)` aggregation
+    // order is nondeterministic in DuckDB, but the DESC list_sort makes
+    // the H-index fold order-independent — same trick as the Spark side's
+    // sort_array(collect_list(…)).
+    "q_coreness" -> {
+      def round(t: Int): String =
+        s"""r$t AS (SELECT dst AS node,
+           |  CAST(list_sum([CASE WHEN l[i] >= i THEN 1 ELSE 0 END
+           |    for i in range(1, len(l) + 1)]) AS BIGINT) AS c
+           |  FROM (SELECT e.dst, list_reverse(list_sort(list(r${t - 1}.c))) AS l
+           |        FROM e JOIN r${t - 1} ON e.src = r${t - 1}.node
+           |        GROUP BY e.dst))""".stripMargin
+      s"""WITH ${DedupPack.SimhashSgCte},
+         |e0 AS (SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM sgc a JOIN sgc b
+         |    ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8),
+         |e AS (SELECT u AS src, v AS dst FROM e0
+         |      UNION ALL SELECT v, u FROM e0),
+         |r0 AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS c
+         |       FROM e GROUP BY 1),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT node, c AS coreness FROM r4""".stripMargin
     },
     "q_scd2" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id

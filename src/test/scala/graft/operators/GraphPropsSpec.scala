@@ -316,6 +316,40 @@ class GraphPropsSpec extends SparkSpec {
     assert(Graphs.kCore(chain.toDF("u", "v"), k = 2).count() === 0L)
   }
 
+  /** Textbook peel-order coreness (min-degree removal), the independent
+    * formulation the h-index iteration is checked against. */
+  private def bruteCoreness(edges: Set[(Long, Long)]): Map[Long, Long] = {
+    val adj = collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set())
+    edges.foreach { case (u, v) => adj(u) += v; adj(v) += u }
+    var nodes = adj.keySet.toSet
+    val core = collection.mutable.Map.empty[Long, Long]
+    var k = 0L
+    while (nodes.nonEmpty) {
+      val d = nodes.map(n => n -> (adj(n) & nodes).size.toLong).toMap
+      k = math.max(k, d.values.min)
+      val peel = nodes.filter(n => d(n) <= k)
+      peel.foreach(n => core(n) = k)
+      nodes --= peel
+    }
+    core.toMap
+  }
+
+  test("h-index coreness converges to brute-force core numbers; coreness>=k = kCore") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    for (seed <- 1L to 3L) {
+      val edges = randomEdges(n = 30, m = 90, seed)
+      val df = edges.toSeq.toDF("u", "v")
+      // 30-node graphs converge well within 16 rounds.
+      val got = Graphs.corenessHIndex(df, rounds = 16)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === bruteCoreness(edges), s"seed $seed")
+      // The defining identity: {coreness >= k} is exactly the k-core.
+      val kc = Graphs.kCore(df, k = 3).collect().map(_.getLong(0)).toSet
+      assert(got.filter(_._2 >= 3L).keySet === kc, s"kcore identity, seed $seed")
+    }
+  }
+
   test("kCore is bit-identical with broadcast hints disabled") {
     val sparkSession = spark
     import sparkSession.implicits._
