@@ -91,6 +91,27 @@ object Bench {
     // benches, on a denser graph).
   )
 
+  /** Subset of [[headline]] rotated OUT of the stdout results line in
+    * round 8 (none are in the original cross-round-comparable 14): they are
+    * still RUN and error-gated every bench — a failure still fails the run —
+    * and their timings print on an EARLY stdout line (far from the driver's
+    * 2000-char tail) plus the per-round TimeQuery table in SCALE.md. The
+    * rotation exists because the results line must fit the tail with slack
+    * (see the budget note at the bottom of [[main]]); r7's 67-query line hit
+    * 1820 chars and the driver recorded `parsed: null`. */
+  private[graft] val secondary = Seq(
+    "q_range_join", "q_bucket_sliding", "q_pivot_events", "q_event_cube",
+    "q_salted_join", "q_funnel", "q_cohort", "q_trend", "q_zorder_scan",
+    "q_scd2", "q_snapshot_diff", "q_dedup_incremental", "q_exact_quantiles",
+    "q_sample_pps",
+    // Second rotation wave (stable ≤0.5 s, each with a headline sibling
+    // covering the same execution family): forward as-of (q_asof_join
+    // stays), HLL distinct (q_sliding_distinct stays), quantized ANN
+    // (q_knn_topk/q_knn_bucketed stay), CMS heavy hitters (q_cms_probe
+    // stays), grid densification, and global prefix-sum numbering.
+    "q_asof_forward", "q_approx_distinct", "q_knn_quantized",
+    "q_heavy_hitters", "q_gap_fill", "q_global_ids")
+
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
@@ -250,9 +271,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // A headline name that no longer resolves must fail the run, not
     // silently shrink the bench (the same pass-by-omission hazard as
-    // round 6's Verify gap).
+    // round 6's Verify gap). `secondary` is a SUBSET of `headline`: every
+    // secondary query still runs and error-gates; it is only excluded from
+    // the tail-budgeted stdout results line.
     val unknown = headline.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"headline names not in SparkEntry.queries: $unknown")
+    val stray = secondary.filterNot(headline.contains)
+    require(stray.isEmpty, s"secondary names not in headline: $stray")
     val queries = headline.map(n => n -> SparkEntry.queries(n))
     // Warm-up at the smallest SF: JIT + codegen + parquet footer caches, so
     // per-query numbers measure the query, not JVM warm-up (first-query skew
@@ -266,7 +291,7 @@ object Bench {
     // round-2 driver bench showed 10-40× transient outliers from host
     // contention that a single sample can't distinguish from a plan
     // regression; min-of-2 keeps numbers comparable across rounds.
-    val results = queries.map { case (name, fn) =>
+    val allResults = queries.map { case (name, fn) =>
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val err = try { force(fn(spark, sfDir)); None }
@@ -276,17 +301,27 @@ object Bench {
       val err = runs.flatMap(_._2).headOption
       (name, runs.map(_._1).min, err)
     }
-    // Aggressive rounding: the driver parses a bounded 2000-char TAIL of
-    // stdout, and round 6's full-precision line outgrew it (parsed: null).
-    // 10 ms per-query precision is far inside min-of-2 host-contention
-    // noise; the budget check lives in BenchSpec.
-    def sec(v: Double): String = f"$v%.2f"
+    val (secondaryResults, results) =
+      allResults.partition { case (n, _, _) => secondary.contains(n) }
+    // Secondary timings: full precision, printed EARLY so the streaming
+    // benches' output pushes this line well out of the driver's stdout tail
+    // (it is for local/judge-log inspection, and it feeds the per-round
+    // SCALE.md secondary table; the driver only keeps the tail).
+    println(secondaryResults.map { case (k, v, err) =>
+      s"\"" + k + "\":" + (if (err.isEmpty) f"$v%.3f" else "-1")
+    }.mkString("{\"secondary\":{", ",", "}}"))
+    // Tail-budget rounding: the driver keeps only a 2000-char TAIL of
+    // combined stdout+stderr, so the results line must fit WITH slack for
+    // sbt's trailing "[success]" line and any late log lines. 100 ms
+    // per-query precision is inside min-of-2 host-contention noise at this
+    // scale; the worst-case-width budget is asserted by BenchSpec.
+    def sec(v: Double): String = f"$v%.1f"
     val qs = results.map { case (k, v, err) =>
       s"\"" + k + "\":" + (if (err.isEmpty) sec(v) else "-1")
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val total = allResults.collect { case (_, v, None) => v }.sum
     // Min-of-2 like the queries — a single streaming sample is just as
     // exposed to transient host contention.
     // One staging for all four streaming runs (2× ingest + 2× sessions) —
@@ -317,15 +352,27 @@ object Bench {
       s""""stream_sessions_rows_per_s":${rate(sessRps)},""" +
       s""""stream_dedup_rows":$dedupRows,"stream_dedup_sec":${sec(dedupSec)},""" +
       s""""stream_dedup_rows_per_s":${rate(dedupRps)},"sf":"$sfDir"}"""
-    if (line.length > 1800) System.err.println(
-      s"[bench] WARNING: results line is ${line.length} chars — the driver " +
-        "tails 2000; trim the headline or precision")
-    println(line)
+    // Stop Spark BEFORE printing the results line: shutdown-path WARNs go to
+    // stderr, and the driver tails the COMBINED stream — anything logged
+    // after the line eats its tail budget from the near side.
     spark.stop()
-    // A round with ANY failed query or dead streaming path must not report
-    // success — round 6 shipped rc=0 with 15 broken queries and 0-row
-    // streams, and downstream tooling read it as a green round.
+    println(line)
+    // Tail-budget gate, hard like the other loud-failure gates (ADVICE r7:
+    // the 1800-char stderr warning shipped rc=0 with parsed:null). Budget:
+    // 2000-char tail − ~80 chars for sbt's trailing "[success]" line − slack
+    // for a stray late log line ⇒ the line itself must stay ≤ 1500. Adding a
+    // query family without rotating one into `secondary` breaks BenchSpec
+    // first, then this.
+    val overBudget = line.length > 1500
+    if (overBudget) System.err.println(
+      s"[bench] FATAL: results line is ${line.length} chars (> 1500 budget) " +
+        "— the driver tails 2000 of stdout+stderr; rotate queries into " +
+        "Bench.secondary or trim precision")
+    // A round with ANY failed query, dead streaming path, or over-budget
+    // line must not report success — round 6 shipped rc=0 with 15 broken
+    // queries and 0-row streams, and downstream tooling read it as a green
+    // round; round 7 shipped rc=0 with a line the driver could not keep.
     val streamsDead = Seq(streamSec, sessSec, dedupSec).exists(_ <= 0)
-    if (results.exists(_._3.nonEmpty) || streamsDead) sys.exit(1)
+    if (allResults.exists(_._3.nonEmpty) || streamsDead || overBudget) sys.exit(1)
   }
 }
