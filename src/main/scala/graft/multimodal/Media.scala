@@ -8,13 +8,19 @@ import org.apache.spark.sql.types._
   * carried as opaque `binary` columns beside typed metadata, with
   * decode/feature steps running per partition.
   *
-  * ⚠ STUB BOUNDARY: this container ships no image/audio codecs, so
-  * [[Media.decodeHeader]] parses a deterministic FAKE 12-byte header
-  * (3 big-endian ints: width, height, sampleRate) standing in for a real
-  * JPEG/WAV probe — swap `parseHeader` for the codec call at deploy time.
-  * Everything AROUND the stub is the real Spark-side contract: binary-column
-  * schema, per-partition batching, metadata struct shape, and the
-  * narrow-projection plan (no shuffle, no driver collect).
+  * [[Media.parseHeader]] is a REAL container-header probe — JPEG (SOI +
+  * marker walk to the SOF frame header), PNG (signature + IHDR), and
+  * PCM WAV (RIFF/WAVE + `fmt ` chunk) — implemented as pure byte
+  * arithmetic, no codec library. It reads dimensions/audio parameters
+  * from genuine files; it does NOT decode pixels or samples.
+  *
+  * ⚠ STUB BOUNDARY (narrower than it used to be): full pixel/sample
+  * decode, resize, and frame extraction still need a codec library this
+  * container doesn't ship — those steps run through the batch contract of
+  * [[Media.extractFeaturesBatched]] with a deterministic fake in place of
+  * the codec call. Everything around that boundary is the real Spark-side
+  * contract: binary-column schema, per-partition batching, metadata struct
+  * shape, and the narrow-projection plan (no shuffle, no driver collect).
   */
 object Media {
 
@@ -24,36 +30,119 @@ object Media {
     StructField("kind", StringType),
     StructField("bytes", BinaryType),
     StructField("meta", StructType(Seq(
+      StructField("format", StringType),
       StructField("width", IntegerType),
       StructField("height", IntegerType),
-      StructField("sample_rate", IntegerType))))))
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType))))))
 
-  /** Deterministic fake header codec — the stubbed decode step. */
-  def parseHeader(bytes: Array[Byte]): (Int, Int, Int) = {
-    def be(i: Int): Int =
-      ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
-        ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
-    if (bytes == null || bytes.length < 12) (0, 0, 0)
-    else (be(0), be(4), be(8))
+  /** Parsed container header. Image formats carry (width, height); WAV
+    * carries (sampleRate, channels); unrecognized/truncated payloads parse
+    * as `unknown` with zeros — never an exception (corpus blobs are
+    * untrusted bytes). */
+  final case class MediaHeader(format: String, width: Int, height: Int,
+                               sampleRate: Int, channels: Int)
+  val UnknownHeader: MediaHeader = MediaHeader("unknown", 0, 0, 0, 0)
+
+  /** Real header probe over raw file bytes: JPEG / PNG / WAV, else unknown.
+    *
+    * - JPEG: `FF D8` (SOI), then the marker walk every JPEG tool performs —
+    *   skip fill bytes, step over variable-length segments (big-endian
+    *   2-byte length INCLUDING itself) until a frame header SOF0–SOF15
+    *   (excluding DHT/JPG/DAC which share the C0–CF range), whose payload is
+    *   precision(1) height(2) width(2), big-endian.
+    * - PNG: the 8-byte signature, then the mandatory first chunk must be
+    *   IHDR: length(4) type("IHDR") width(4) height(4), big-endian.
+    * - WAV: "RIFF" size(4 LE) "WAVE", then a chunk walk (id(4) size(4 LE),
+    *   chunks word-aligned) to "fmt ": audioFormat(2) channels(2)
+    *   sampleRate(4), little-endian.
+    */
+  def parseHeader(bytes: Array[Byte]): MediaHeader = {
+    if (bytes == null) return UnknownHeader
+    val n = bytes.length
+    @inline def u8(i: Int): Int = bytes(i) & 0xff
+    @inline def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    @inline def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+
+    // --- JPEG: FF D8, marker walk to the first SOF frame header.
+    if (n >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      while (i + 3 < n) {
+        if (u8(i) != 0xff) return UnknownHeader // desynced marker stream
+        var j = i
+        while (j + 1 < n && u8(j + 1) == 0xff) j += 1 // fill bytes
+        if (j + 3 >= n) return UnknownHeader
+        val marker = u8(j + 1)
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          // len(2) precision(1) height(2) width(2)
+          if (j + 8 >= n) return UnknownHeader
+          return MediaHeader("jpeg", be16(j + 7), be16(j + 5), 0, 0)
+        } else if (marker == 0xd9 || (marker >= 0xd0 && marker <= 0xd7)) {
+          i = j + 2 // standalone marker (EOI / RSTn): no length field
+        } else {
+          val segLen = be16(j + 2)
+          if (segLen < 2) return UnknownHeader
+          i = j + 2 + segLen
+        }
+      }
+      return UnknownHeader
+    }
+
+    // --- PNG: 8-byte signature, IHDR must be the first chunk.
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (n >= 24 && pngSig.indices.forall(i => u8(i) == pngSig(i)) &&
+        u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R') {
+      val w = be32(16); val h = be32(20)
+      if (w > 0 && w <= Int.MaxValue && h > 0 && h <= Int.MaxValue)
+        return MediaHeader("png", w.toInt, h.toInt, 0, 0)
+      return UnknownHeader
+    }
+
+    // --- WAV: RIFF/WAVE container, chunk walk to `fmt `.
+    if (n >= 12 && u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' &&
+        u8(3) == 'F' && u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' &&
+        u8(11) == 'E') {
+      var i = 12
+      while (i + 8 <= n) {
+        val isFmt = u8(i) == 'f' && u8(i + 1) == 'm' && u8(i + 2) == 't' &&
+          u8(i + 3) == ' '
+        val size = le32(i + 4)
+        if (isFmt) {
+          if (i + 16 + 8 > n || size < 16) return UnknownHeader
+          val channels = le16(i + 10)
+          val rate = le32(i + 12)
+          if (rate <= 0 || rate > Int.MaxValue || channels <= 0)
+            return UnknownHeader
+          return MediaHeader("wav", 0, 0, rate.toInt, channels)
+        }
+        if (size < 0 || size > Int.MaxValue - 9) return UnknownHeader
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      return UnknownHeader
+    }
+
+    UnknownHeader
   }
 
-  def packHeader(width: Int, height: Int, sampleRate: Int,
-                 payload: Array[Byte]): Array[Byte] = {
-    val buf = java.nio.ByteBuffer.allocate(12 + payload.length)
-    buf.putInt(width).putInt(height).putInt(sampleRate).put(payload)
-    buf.array()
-  }
-
-  /** Decode step: fill `meta` from the payload header, per partition (codec
-    * state would be amortized here exactly like [[graft.sources.AvroCodec]]). */
+  /** Decode step: fill `meta` from the payload's real container header, per
+    * partition (per-partition iteration is where a stateful codec would be
+    * amortized, exactly like [[graft.sources.AvroCodec]]). */
   def decodeHeader(df: DataFrame): DataFrame = {
     val schema = df.schema
     val bi = schema.fieldIndex("bytes")
     val mi = schema.fieldIndex("meta")
     df.mapPartitions { it =>
       it.map { row =>
-        val (w, h, sr) = parseHeader(row.getAs[Array[Byte]](bi))
-        Row.fromSeq(row.toSeq.updated(mi, Row(w, h, sr)))
+        val h = parseHeader(row.getAs[Array[Byte]](bi))
+        Row.fromSeq(row.toSeq.updated(mi,
+          Row(h.format, h.width, h.height, h.sampleRate, h.channels)))
       }
     }(Encoders.row(schema))
   }

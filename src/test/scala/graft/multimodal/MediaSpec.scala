@@ -3,24 +3,129 @@ package graft.multimodal
 import org.apache.spark.sql.Row
 import graft.SparkSpec
 
-/** Multimodal plumbing: fake-header decode (stub boundary), chunk sampling,
-  * features — exercising the binary-column schema end to end. */
-class MediaSpec extends SparkSpec {
+/** Genuine minimal media files, built byte-by-byte — no codec library.
+  * The WAV is a fully valid 0-sample PCM file; the PNG has the real
+  * signature and CRC-correct IHDR/IDAT/IEND chunks (zlib row data via
+  * Deflater); the JPEG is a structurally genuine baseline file (SOI, JFIF
+  * APP0, COM, DQT, SOF0, DHT, SOS, EOI with correct segment lengths). */
+object MediaFixtures {
 
-  test("header pack/parse round-trips through the DataFrame decode step") {
-    val payload = Array.tabulate[Byte](100)(_.toByte)
-    val bytes = Media.packHeader(640, 480, 44100, payload)
-    val df = spark.createDataFrame(
-      java.util.List.of(Row(1L, "image", bytes, null)), Media.MediaSchema)
-    val meta = Media.decodeHeader(df).select("meta.*").head()
-    assert((meta.getInt(0), meta.getInt(1), meta.getInt(2)) === ((640, 480, 44100)))
+  def jpeg(width: Int, height: Int, progressive: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int, payload: Array[Byte]): Unit = {
+      out.write(0xff); out.write(m)
+      val len = payload.length + 2
+      out.write(len >> 8); out.write(len & 0xff); out.write(payload, 0, payload.length)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    marker(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)) // APP0
+    marker(0xfe, "made by MediaFixtures".getBytes("US-ASCII")) // COM — walk must skip
+    marker(0xdb, (Array(0x00) ++ Array.fill(64)(1)).map(_.toByte)) // DQT
+    val sof = Array[Int](8, height >> 8, height & 0xff, width >> 8, width & 0xff,
+      1, 1, 0x11, 0).map(_.toByte)
+    marker(if (progressive) 0xc2 else 0xc0, sof) // SOF0 / SOF2
+    marker(0xc4, (Array(0x00, 1) ++ Array.fill(15)(0) ++ Array(0)).map(_.toByte)) // DHT
+    marker(0xda, Array[Int](1, 1, 0x00, 0, 63, 0).map(_.toByte)) // SOS
+    out.write(0x00) // entropy-coded byte
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
   }
 
-  test("short payloads decode to zero meta instead of failing") {
+  def png(width: Int, height: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    def chunk(kind: String, data: Array[Byte]): Unit = {
+      def be32(v: Long): Array[Byte] = Array(
+        (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+      val typ = kind.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ); crc.update(data)
+      out.write(be32(data.length), 0, 4); out.write(typ, 0, 4)
+      out.write(data, 0, data.length); out.write(be32(crc.getValue), 0, 4)
+    }
+    chunk("IHDR", java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height).put(8.toByte).put(0.toByte) // 8-bit gray
+      .put(0.toByte).put(0.toByte).put(0.toByte).array())
+    // zlib-compressed scanlines: height rows of (filter 0 + width zeros).
+    val raw = new Array[Byte](height * (1 + width))
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val m = deflater.deflate(buf); deflater.end()
+    chunk("IDAT", buf.take(m))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  def wav(sampleRate: Int, channels: Int, junkChunkFirst: Boolean = false): Array[Byte] = {
+    val junk = if (junkChunkFirst) 8 + 3 + 1 else 0 // odd-size chunk + pad byte
+    val buf = java.nio.ByteBuffer.allocate(44 + junk)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + junk) // riff size, 0 samples
+      .put("WAVE".getBytes("US-ASCII"))
+    if (junkChunkFirst) // word-aligned odd-size chunk the walk must step over
+      buf.put("JUNK".getBytes("US-ASCII")).putInt(3)
+        .put(Array[Byte](1, 2, 3)).put(0.toByte)
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(0)
+    buf.array()
+  }
+}
+
+/** Multimodal plumbing: real container-header probing (JPEG/PNG/WAV), chunk
+  * sampling, features — exercising the binary-column schema end to end. */
+class MediaSpec extends SparkSpec {
+  import Media.MediaHeader
+
+  test("parseHeader reads genuine JPEG / PNG / WAV headers") {
+    assert(Media.parseHeader(MediaFixtures.jpeg(640, 480)) ===
+      MediaHeader("jpeg", 640, 480, 0, 0))
+    // Progressive (SOF2) frame header, and dims that exercise both bytes.
+    assert(Media.parseHeader(MediaFixtures.jpeg(1281, 723, progressive = true)) ===
+      MediaHeader("jpeg", 1281, 723, 0, 0))
+    assert(Media.parseHeader(MediaFixtures.png(1920, 1080)) ===
+      MediaHeader("png", 1920, 1080, 0, 0))
+    assert(Media.parseHeader(MediaFixtures.wav(44100, 2)) ===
+      MediaHeader("wav", 0, 0, 44100, 2))
+    // The chunk walk steps over a word-aligned odd-size chunk before fmt.
+    assert(Media.parseHeader(MediaFixtures.wav(16000, 1, junkChunkFirst = true)) ===
+      MediaHeader("wav", 0, 0, 16000, 1))
+  }
+
+  test("parseHeader never throws on hostile bytes, returns unknown") {
+    val cases = Seq[Array[Byte]](
+      null, Array.emptyByteArray, Array[Byte](1, 2),
+      Array[Byte](0xff.toByte, 0xd8.toByte), // SOI and nothing else
+      MediaFixtures.jpeg(640, 480).takeWhile(_ != 0xc0.toByte), // truncated pre-SOF
+      MediaFixtures.png(8, 8).take(20),      // truncated IHDR
+      MediaFixtures.wav(44100, 2).take(16),  // truncated before fmt
+      "RIFFxxxxWAVE".getBytes("US-ASCII"),   // WAV with no chunks at all
+      Array.tabulate[Byte](64)(i => (i * 37).toByte)) // noise
+    cases.foreach { b =>
+      assert(Media.parseHeader(b) === Media.UnknownHeader, s"case: ${
+        Option(b).map(_.take(8).mkString(",")).getOrElse("null")}")
+    }
+  }
+
+  test("decodeHeader fills meta from real headers through the DataFrame path") {
     val df = spark.createDataFrame(
-      java.util.List.of(Row(1L, "image", Array[Byte](1, 2), null)), Media.MediaSchema)
-    val meta = Media.decodeHeader(df).select("meta.*").head()
-    assert((meta.getInt(0), meta.getInt(1), meta.getInt(2)) === ((0, 0, 0)))
+      java.util.List.of(
+        Row(1L, "image", MediaFixtures.jpeg(640, 480), null),
+        Row(2L, "image", MediaFixtures.png(32, 16), null),
+        Row(3L, "audio", MediaFixtures.wav(22050, 1), null),
+        Row(4L, "blob", Array[Byte](1, 2), null)),
+      Media.MediaSchema)
+    val metas = Media.decodeHeader(df).select("media_id", "meta.*")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))))
+      .toMap
+    assert(metas(1L) === (("jpeg", 640, 480, 0, 0)))
+    assert(metas(2L) === (("png", 32, 16, 0, 0)))
+    assert(metas(3L) === (("wav", 0, 0, 22050, 1)))
+    assert(metas(4L) === (("unknown", 0, 0, 0, 0)))
   }
 
   test("chunk sampling slices every stride-th chunk") {
