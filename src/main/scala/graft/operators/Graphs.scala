@@ -45,10 +45,36 @@ object Graphs {
     * plan-strategy trade, not a cliff. */
   val BroadcastNodeLimit = 100000L
 
+  /** Saturation cap for [[corenessHIndex]]: each round keeps only the TOP
+    * `MaxDegree` neighbor values per node before the list aggregate, so the
+    * per-node adjacency row is bounded (≤ 32 KB of longs) no matter how
+    * super-hubby the graph is — without it, ONE celebrity node at corpus
+    * scale materializes a degree-sized (multi-GB) `collect_list` row in a
+    * single aggregation buffer, the same single-key hazard as
+    * [[MaxGroup]] / [[Dedup.MaxBand]]. Unlike those drop-style caps this
+    * one is EXACT below the cap: the h-index at threshold h needs only the
+    * top-h neighbor values, so truncating to the top `maxDegree` yields
+    * exactly `min(coreness, maxDegree)` — saturation, not distortion
+    * (pinned adversarially in GraphPropsSpec). Coreness beyond 4096 needs
+    * a >4096-clique-like core; the fixture graphs peak far below it. */
+  val MaxDegree = 4096L
+
   /** Hint `df` for broadcast only when the pre-loop node count said the
     * state side is small; identity (keyed shuffle join) otherwise. */
   private def maybeBroadcast(df: DataFrame, small: Boolean): DataFrame =
     if (small) broadcast(df) else df
+
+  /** Drop the executor storage blocks behind an eager `localCheckpoint`
+    * once no later round references it. `Dataset.unpersist` only touches
+    * CacheManager entries; the checkpoint's data lives in the internal RDD
+    * under the Dataset's `LogicalRDD` leaf, so that RDD is unpersisted
+    * directly. Without this, every peel round of [[kCore]] pinned one more
+    * (initially full-size) edge-list copy in the block manager for the
+    * life of the session (ADVICE r7). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** Keep only groups whose deduped size is ≤ `maxGroup`. The size table
     * aggregates and joins on the SAME key `g` the pair self-join uses, so
@@ -315,6 +341,12 @@ object Graphs {
       // Edge-count equality detects the fixpoint: a peel round that drops
       // no edge also dropped no node (degrees were unchanged inputs).
       val nextEdges = next.count()
+      // `next` is materialized (the count above forced it) and its lineage
+      // is truncated, so the previous round's edge copy and this round's
+      // survivor table can release their storage blocks now — a deep
+      // cascading peel otherwise pins O(rounds) edge-list copies.
+      releaseCheckpoint(dir)
+      releaseCheckpoint(survivors)
       converged = nextEdges == dirEdges
       dir = next
       dirEdges = nextEdges
@@ -339,21 +371,28 @@ object Graphs {
     * keeping the round count — and therefore the DuckDB oracle's unrolled
     * replication — deterministic. Output: (node, coreness).
     *
-    * Scale shape: per round ONE edges ⋈ node-sized state equi-join, one
-    * dst-keyed collect_list aggregate (group size = degree — the same
-    * O(√m)-unbounded caveat as any adjacency materialization; cap degrees
-    * upstream if the graph has super-hubs), and a narrow sorted-array
-    * fold for the H-index. State stays node-sized; the broadcast
-    * conditional and checkpoint cadence match the other iterative
-    * operators. */
+    * Scale shape: per round ONE edges ⋈ node-sized state equi-join, a
+    * dst-keyed top-`maxDegree` window gate, then the list aggregate over
+    * the SAME key (the window's sort spills gracefully under skew; the
+    * aggregate's per-node array is bounded by the cap — a super-hub can no
+    * longer materialize a degree-sized row, see [[MaxDegree]]), and a
+    * narrow sorted-array fold for the H-index. With the cap the computed
+    * value is EXACTLY `min(coreness, maxDegree)`: the h-index at any
+    * threshold h ≤ cap depends only on the top-h neighbor values, so
+    * truncation saturates deep cores at the cap and distorts nothing
+    * below it (initial degrees are `least`-capped for the same invariant).
+    * State stays node-sized; the broadcast conditional and checkpoint
+    * cadence match the other iterative operators. */
   def corenessHIndex(edges: DataFrame, rounds: Int = 4,
-                     broadcastNodeLimit: Long = BroadcastNodeLimit): DataFrame = {
+                     broadcastNodeLimit: Long = BroadcastNodeLimit,
+                     maxDegree: Long = MaxDegree): DataFrame = {
     require(rounds >= 1, "need at least one h-index round")
+    require(maxDegree >= 1, "maxDegree must be positive")
     val dir = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint(eager = true)
-    var state = dir.groupBy("src").agg(count(lit(1)).as("c"))
-      .withColumnRenamed("src", "node")
+    var state = dir.groupBy("src").agg(count(lit(1)).as("d"))
+      .select(col("src").as("node"), least(col("d"), lit(maxDegree)).as("c"))
       .localCheckpoint(eager = true)
     val smallState = state.count() <= broadcastNodeLimit
     // H-index of the DESC-sorted neighbor values: v_i decreasing and i
@@ -362,10 +401,18 @@ object Graphs {
     val hIndex = expr(
       "aggregate(transform(cs, (v, i) -> CASE WHEN v >= i + 1 THEN 1L ELSE 0L END), " +
         "0L, (a, x) -> a + x)")
+    // Top-maxDegree gate: rank ties arbitrarily — the KEPT multiset (the
+    // cap largest values) is order-independent, so results stay
+    // deterministic. Window and aggregate share the dst hash partitioning:
+    // one exchange serves both.
+    val byValueDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dst")).orderBy(col("c").desc)
     for (t <- 1 to rounds) {
       state = dir
         .join(maybeBroadcast(state, smallState), dir("src") === col("node"))
         .select(col("dst"), col("c"))
+        .withColumn("rn", row_number().over(byValueDesc))
+        .filter(col("rn") <= maxDegree)
         .groupBy("dst")
         .agg(sort_array(collect_list(col("c")), asc = false).as("cs"))
         .select(col("dst").as("node"), hIndex.as("c"))

@@ -350,6 +350,71 @@ class GraphPropsSpec extends SparkSpec {
     }
   }
 
+  test("corenessHIndex maxDegree cap: saturation at the cap, exact below it") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // 6-clique: true coreness 5 everywhere. Cap 4 ⇒ every node saturates
+    // to min(5, 4) = 4 — the declared semantics, not a wrong value.
+    val clique = (for (a <- 0L to 5L; b <- (a + 1) to 5L) yield (a, b)).toDF("u", "v")
+    val capped = Graphs.corenessHIndex(clique, rounds = 8, maxDegree = 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped === (0L to 5L).map(_ -> 4L).toMap)
+    // Adversarial super-hub: a 50-leaf star. The hub's degree (50) blows
+    // past cap 8, but its true coreness is 1 — the cap must leave the
+    // result EXACT (top-8 of the leaves' 1-values still h-index to 1),
+    // proving saturation only bites past the cap, never below it.
+    val star = (1L to 50L).map(i => (0L, i)).toDF("u", "v")
+    val starCore = Graphs.corenessHIndex(star, rounds = 4, maxDegree = 8L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starCore === (0L to 50L).map(_ -> 1L).toMap)
+    // Default cap on a random graph: identical to the uncapped brute force.
+    val edges = randomEdges(n = 30, m = 90, seed = 7L)
+    val got = Graphs.corenessHIndex(edges.toSeq.toDF("u", "v"), rounds = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === bruteCoreness(edges))
+  }
+
+  test("fixture convergence pin: q_coreness's 4 rounds reach the fixpoint") {
+    // The driver's q_coreness runs 4 fixed h-index rounds and its DuckDB
+    // oracle unrolls the SAME 4 rounds — if a fixture regeneration ever
+    // produced a similarity graph needing more, both sides would agree on
+    // non-coreness values and the hash compare would pass silently. Pin it
+    // here on the ACTUAL driver graph (sf0.01, the correctness-gate scale):
+    // rounds=4 must equal rounds=5, and {coreness ≥ 4} must equal the
+    // k-core node set — under-convergence now fails loudly.
+    graft.plans.GraftExtensions.register(spark) // simhashPairs uses md5_hash32
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 8)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .localCheckpoint(eager = true)
+    def run(rounds: Int): Map[Long, Long] =
+      Graphs.corenessHIndex(pairs, rounds = rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c4 = run(4)
+    assert(c4 === run(5), "q_coreness's fixed 4 rounds no longer converge " +
+      "on the sf0.01 fixture graph — bump rounds in PipelinePack AND the " +
+      "oracle's unroll together")
+    val kc = Graphs.kCore(pairs, k = 4).collect().map(_.getLong(0)).toSet
+    assert(c4.filter(_._2 >= 4L).keySet === kc,
+      "coreness≥4 drifted from the k-core node set on the fixture graph")
+  }
+
+  test("kCore releases prior rounds' checkpoint blocks as it peels") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // The 12-round cascading chain from the peel spec — the case that
+    // pinned O(rounds) edge-list copies before the release fix.
+    val clique = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val chain = (3L until 15L).map(i => (i, i + 1))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Graphs.kCore((clique ++ chain).toDF("u", "v"), k = 2).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // Only the final surviving edge table (the returned result's basis)
+    // may still hold blocks — not one per peel round.
+    assert(leaked.size <= 1,
+      s"kCore left ${leaked.size} checkpointed RDDs persisted (expected <= 1)")
+  }
+
   test("kCore is bit-identical with broadcast hints disabled") {
     val sparkSession = spark
     import sparkSession.implicits._
