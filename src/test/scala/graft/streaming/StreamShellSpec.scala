@@ -321,6 +321,98 @@ class StreamShellSpec extends SparkSpec {
       "SELECT sum(count) FROM dedup_stream").head().getLong(0) === 4L)
   }
 
+  test("checkpoint recovery: restart continues rst_ids, recounts nothing, " +
+      "and matches an uninterrupted run") {
+    // §2.7's delivery contract claims strict improvement over the
+    // reference's lossy-on-failure accumulator pair
+    // (`spark-streaming-kafka-bucket-counter.py:189-241`): source offsets
+    // live in the checkpoint, generation ids in the DURABLE store (A4
+    // restore from the directory listing, NOT the checkpoint's batchId).
+    // Simulate a crash by discarding the query AND the store instance,
+    // then restarting both from their on-disk state.
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+
+    val srcDir = Files.createTempDirectory("graft_cp_src")
+    val cpDir = Files.createTempDirectory("graft_cp_ckpt")
+    val storeDir = Files.createTempDirectory("graft_cp_store")
+    val srcSchema = StructType(Seq(
+      StructField("key", StringType), StructField("value", StringType)))
+    // One parquet FILE per intended micro-batch, mod-times forced strictly
+    // increasing so the file source's oldest-first order is deterministic.
+    var fileSeq = 0
+    def stage(rows: (String, String)*): Unit = {
+      val tmp = Files.createTempDirectory("graft_cp_stage")
+      rows.toSeq.toDF("key", "value").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val s = Files.list(tmp)
+        try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally s.close()
+      }
+      val dest = srcDir.resolve(f"batch_$fileSeq%03d.parquet")
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + fileSeq * 60000L))
+      fileSeq += 1
+      val w = Files.walk(tmp)
+      try w.iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+      finally w.close()
+    }
+    def runOnce(store: graft.store.GenerationStore, checkpoint: String): Unit = {
+      val stream = spark.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val q = StreamShell.attach(stream, msg, store,
+        trigger = Some(Trigger.AvailableNow()),
+        checkpoint = Some(checkpoint))
+      q.awaitTermination()
+    }
+    def durableStore(name: String) = new graft.store.ParquetStore(
+      spark, storeSchema, storeDir.toString, tableName = name, cleanFreq = 1000L)
+    def contents(store: graft.store.GenerationStore): Set[(String, Long, Long, Long)] =
+      store.selectAll.select("etype", "bucket_start", "count", "rst_id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+
+    // Phase 1: two micro-batches land, then the "crash".
+    stage(ev(1), ev(9))  // bucket [0,20) ×2   → generation 1
+    stage(ev(21))        // bucket [20,40) ×1  → generation 2
+    runOnce(durableStore("cp_run1"), cpDir.toString)
+
+    // Phase 2: restart from checkpoint with NO new data — a fresh store
+    // instance (counter restored from disk) and the same checkpoint must
+    // append NOTHING: already-committed source files are never recounted.
+    val afterCrash = durableStore("cp_run2")
+    assert(afterCrash.currentRstId === 3L, "A4 restore from durable listing")
+    runOnce(afterCrash, cpDir.toString)
+    assert(contents(afterCrash) === Set(
+      ("click", 0L, 2L, 1L), ("click", 20L, 1L, 2L)))
+
+    // Phase 3: more data arrives after the restart — generations continue
+    // at 3, 4 (store counter, not the checkpoint's restarted batchId).
+    stage(ev(5))          // late event, bucket [0,20) ×1 → generation 3
+    stage(ev(45), ev(41)) // bucket [40,60) ×2            → generation 4
+    runOnce(durableStore("cp_run3"), cpDir.toString)
+    val recovered = contents(durableStore("cp_read"))
+    assert(recovered === Set(
+      ("click", 0L, 2L, 1L), ("click", 20L, 1L, 2L),
+      ("click", 0L, 1L, 3L), ("click", 40L, 2L, 4L)))
+
+    // Uninterrupted control: all four files visible from the start, fresh
+    // checkpoint + fresh store — the crash/restart run must be
+    // indistinguishable, generation ids included.
+    val cleanCp = Files.createTempDirectory("graft_cp_ckpt2")
+    val cleanStoreDir = Files.createTempDirectory("graft_cp_store2")
+    val clean = new graft.store.ParquetStore(
+      spark, storeSchema, cleanStoreDir.toString, tableName = "cp_clean",
+      cleanFreq = 1000L)
+    runOnce(clean, cleanCp.toString)
+    assert(contents(clean) === recovered)
+  }
+
   test("auto-clean fires when the counter hits a cleanFreq multiple") {
     val sparkSession = spark
     import sparkSession.implicits._
