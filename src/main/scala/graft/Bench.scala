@@ -83,7 +83,11 @@ object Bench {
     // Round-7: k-core peeling of the simhash similarity graph — the
     // convergence-looped iterative operator (simhash pair generation +
     // per-round degree aggregate and survivor semi-joins).
-    "q_kcore"
+    "q_kcore",
+    // Round-8: passage scrubbing — the corpus-rewrite op (word/gram
+    // explodes, passage-keyed canonical aggregate + join-back, position
+    // anti-join, ordered reassembly). Real data volume: corpus × words.
+    "q_passage_scrub"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and

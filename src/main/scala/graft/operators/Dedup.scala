@@ -716,6 +716,66 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Passage SCRUBBING — the rewrite companion of [[duplicatePassages]]
+    * detection (the C4/RefinedWeb-style sub-document dedup): every
+    * occurrence of a `w`-word window shared by ≥ `minDocs` distinct
+    * documents is removed from the corpus EXCEPT its canonical first
+    * occurrence (smallest doc id, then smallest word position within it),
+    * and each document's surviving words are reassembled in order.
+    *
+    * Output: (idCol, scrubbed, n_kept, n_removed) — one row per input
+    * document (fully-scrubbed docs emit an empty string, untouched docs
+    * their original word sequence re-joined on single spaces).
+    *
+    * Deterministic: the canonical occurrence is a total-order minimum —
+    * no hashing, no ties. Overlapping duplicated windows union their
+    * covered positions; a window overlapping the canonical occurrence may
+    * still remove part of it (declared semantics, identical on any
+    * engine).
+    *
+    * Scale shape: narrow word/gram explodes (corpus × words rows, the
+    * [[duplicatePassages]] cost), one passage-keyed aggregate, one
+    * passage-keyed join back, a (doc, pos) distinct and one anti-join —
+    * all equi-keyed; a passage shared by B documents contributes B
+    * occurrence rows (LINEAR in occurrences, no self-join, so no
+    * quadratic hot-passage hazard and no cap needed). */
+  def scrubPassages(docs: DataFrame, w: Int = 5, minDocs: Long = 2L,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(w >= 2, "passage width must be at least 2 words")
+    require(minDocs >= 2, "minDocs below 2 would scrub every passage")
+    val base = docs.select(col(idCol), TextFunctions.words(col(textCol)).as("ws"))
+    val wordsDf = base.select(col(idCol), posexplode(col("ws")).as(Seq("pos", "word")))
+    val grams = base
+      .select(col(idCol),
+        posexplode(TextFunctions.slidingNgrams(col("ws"), w)).as(Seq("gpos", "passage")))
+    // Duplicated passages with their canonical occurrence: min over the
+    // (doc, gpos) total order, carried as one struct aggregate.
+    val dup = grams.groupBy("passage")
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        min(struct(col(idCol).as("cdoc"), col("gpos").as("cgpos"))).as("canon"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("passage"), col("canon"))
+    // Every non-canonical occurrence covers positions [gpos, gpos+w-1].
+    val covered = grams.join(dup, "passage")
+      .filter(!(col(idCol) === col("canon.cdoc") && col("gpos") === col("canon.cgpos")))
+      .select(col(idCol), explode(sequence(col("gpos"), col("gpos") + (w - 1))).as("pos"))
+      .distinct()
+    val kept = wordsDf.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(idCol)
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+          s => s("word")), " ").as("scrubbed"),
+        count(lit(1)).as("n_kept"))
+    // Left join from the full doc list: fully-scrubbed (or empty) docs
+    // still emit a row.
+    docs.select(col(idCol), TextFunctions.tokenCount(col(textCol)).cast("long").as("n_words"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** 32-bit SimHash of the distinct word set + a 16-bit prefix bucket (the
     * blocking key for hamming-distance candidate search). The word-hash set
     * is let-bound, so the 32 per-bit votes fold over a computed VALUE

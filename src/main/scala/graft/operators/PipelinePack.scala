@@ -121,6 +121,14 @@ object PipelinePack extends QueryPack {
     "q_dup_passages" -> { (s, dir) =>
       Dedup.duplicatePassages(table(s, dir, "documents"), w = 5, minDocs = 2L)
     },
+    // Passage SCRUBBING — the rewrite companion: duplicated 5-word windows
+    // removed everywhere but their canonical first occurrence, documents
+    // reassembled; md5 pins the exact surviving word sequence.
+    "q_passage_scrub" -> { (s, dir) =>
+      Dedup.scrubPassages(table(s, dir, "documents"), w = 5, minDocs = 2L)
+        .select(col("doc_id"), md5(col("scrubbed")).as("scrubbed_md5"),
+          col("n_kept"), col("n_removed"))
+    },
     // Frequent co-purchase pairs at support >= 3, with the exact integer
     // supports lift/confidence derive from.
     "q_pair_support" -> { (s, dir) =>
@@ -266,6 +274,41 @@ object PipelinePack extends QueryPack {
         |SELECT passage, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
         |  min(doc_id) AS first_doc
         |FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+    // Positions are 1-based here, 0-based on the Spark side — a pure
+    // internal basis, never exposed: only (md5, counts) cross engines.
+    "q_passage_scrub" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |    FROM documents),
+        |wp AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+        |         ws[CAST(t.i AS INT)] AS word
+        |       FROM w, unnest(generate_series(1, len(ws))) AS t(i)),
+        |g AS (SELECT doc_id, CAST(t.i AS BIGINT) AS gpos,
+        |        array_to_string(ws[i:i+4], ' ') AS passage
+        |      FROM w, unnest(generate_series(1, len(ws) - 4)) AS t(i)
+        |      WHERE len(ws) >= 5),
+        |dup AS (SELECT passage FROM g GROUP BY 1
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |c1 AS (SELECT passage, min(doc_id) AS cdoc
+        |       FROM g JOIN dup USING (passage) GROUP BY 1),
+        |c2 AS (SELECT g.passage, c1.cdoc, min(g.gpos) AS cgpos
+        |       FROM g JOIN c1 ON g.passage = c1.passage AND g.doc_id = c1.cdoc
+        |       GROUP BY 1, 2),
+        |cov0 AS (SELECT g.doc_id, g.gpos
+        |         FROM g JOIN c2 ON g.passage = c2.passage
+        |         WHERE NOT (g.doc_id = c2.cdoc AND g.gpos = c2.cgpos)),
+        |cov AS (SELECT DISTINCT doc_id, gpos + CAST(u.j AS BIGINT) AS pos
+        |        FROM cov0, unnest(generate_series(0, 4)) AS u(j)),
+        |kept AS (SELECT wp.doc_id, wp.pos, wp.word
+        |         FROM wp LEFT JOIN cov
+        |           ON wp.doc_id = cov.doc_id AND wp.pos = cov.pos
+        |         WHERE cov.doc_id IS NULL),
+        |agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS scrubbed,
+        |          count(*) AS n_kept
+        |        FROM kept GROUP BY 1)
+        |SELECT w.doc_id, md5(coalesce(a.scrubbed, '')) AS scrubbed_md5,
+        |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(len(ws) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM w LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "q_pair_support" ->
       s"""WITH $CappedPl,
         |pair AS (SELECT a.p AS u, b.p AS v, count(*) AS pair_n

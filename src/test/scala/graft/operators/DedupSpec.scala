@@ -308,4 +308,30 @@ class DedupSpec extends SparkSpec {
     // est_permille and exact_permille are both ≤ 1000 by construction.
     rows.foreach { r => assert(r._4 <= 1000L && r._5 <= 1000L) }
   }
+
+  test("scrubPassages: canonical occurrence survives, every other copy goes") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // Passage "p q r s t" (w=3 windows of it) appears in docs 10, 20, and
+    // TWICE in 30. With w=3/minDocs=2 every 3-gram inside it is shared, so:
+    // doc 10 (smallest id) keeps its copy, doc 20 loses it, doc 30 loses
+    // both copies — including its second one even though doc 30 also hosts
+    // an occurrence chain. Unique surrounding words are untouched.
+    val d = Seq(
+      (10L, "a b p q r s t c d"),
+      (20L, "e f p q r s t g h"),
+      (30L, "p q r s t i j p q r s t"),
+      (40L, "k l m n o")).toDF("doc_id", "text")
+    val got = Dedup.scrubPassages(d, w = 3, minDocs = 2L)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(10L) === (("a b p q r s t c d", 9L, 0L)))
+    assert(got(20L) === (("e f g h", 4L, 5L)))
+    assert(got(30L) === (("i j", 2L, 10L)))
+    assert(got(40L) === (("k l m n o", 5L, 0L)))
+    // Raising minDocs above the sharing degree scrubs nothing.
+    val none = Dedup.scrubPassages(d, w = 3, minDocs = 5L)
+      .as[(Long, String, Long, Long)].collect()
+    assert(none.forall(_._4 === 0L))
+  }
 }
