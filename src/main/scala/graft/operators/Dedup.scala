@@ -744,11 +744,7 @@ object Dedup {
                     idCol: String = "doc_id"): DataFrame = {
     require(w >= 2, "passage width must be at least 2 words")
     require(minDocs >= 2, "minDocs below 2 would scrub every passage")
-    val base = docs.select(col(idCol), TextFunctions.words(col(textCol)).as("ws"))
-    val wordsDf = base.select(col(idCol), posexplode(col("ws")).as(Seq("pos", "word")))
-    val grams = base
-      .select(col(idCol),
-        posexplode(TextFunctions.slidingNgrams(col("ws"), w)).as(Seq("gpos", "passage")))
+    val grams = docGrams(docs, w, textCol, idCol)
     // Duplicated passages with their canonical occurrence: min over the
     // (doc, gpos) total order, carried as one struct aggregate.
     val dup = grams.groupBy("passage")
@@ -757,17 +753,67 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
       .select(col("passage"), col("canon"))
     // Every non-canonical occurrence covers positions [gpos, gpos+w-1].
-    val covered = grams.join(dup, "passage")
+    val coveredGrams = grams.join(dup, "passage")
       .filter(!(col(idCol) === col("canon.cdoc") && col("gpos") === col("canon.cgpos")))
+    reassembleWithout(docs, coveredGrams, w, textCol, idCol)
+  }
+
+  /** The corpus side of [[scrubPassagesIncremental]]: the DISTINCT `w`-word
+    * windows of the corpus — one narrow explode + one distinct, buildable
+    * offline once per corpus snapshot and reused across every arriving
+    * batch (exactly the fingerprint-index pattern of [[incremental]]). */
+  def passageIndex(corpus: DataFrame, w: Int = 5, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame =
+    docGrams(corpus, w, textCol, idCol).select("passage").distinct()
+
+  /** Incremental passage scrub — [[scrubPassages]]'s batch-vs-corpus face
+    * (the third member of the incremental family, after exact
+    * [[incremental]] and the blocked embedding variant): every occurrence
+    * in the BATCH of a window already present in the corpus index is
+    * removed — no canonical survivor, the corpus already holds the text —
+    * and batch documents are reassembled. Batch-INTERNAL duplicates are
+    * deliberately untouched (run [[scrubPassages]] over the batch for
+    * those); the two compose.
+    *
+    * Cost scales with the batch (narrow explodes + one semi-join against
+    * the index, then the [[reassembleWithout]] tail), never with the
+    * corpus — the index is the only corpus-sized input and it is one
+    * `distinct` passage column. */
+  def scrubPassagesIncremental(batch: DataFrame, corpusIndex: DataFrame,
+                               w: Int = 5, textCol: String = "text",
+                               idCol: String = "doc_id"): DataFrame = {
+    require(w >= 2, "passage width must be at least 2 words")
+    val coveredGrams = docGrams(batch, w, textCol, idCol)
+      .join(corpusIndex.select("passage"), Seq("passage"), "left_semi")
+    reassembleWithout(batch, coveredGrams, w, textCol, idCol)
+  }
+
+  /** (id, gpos, passage): every `w`-word sliding window of every document,
+    * with its 0-based start position. */
+  private def docGrams(docs: DataFrame, w: Int, textCol: String,
+                       idCol: String): DataFrame =
+    docs.select(col(idCol), TextFunctions.words(col(textCol)).as("ws"))
+      .select(col(idCol),
+        posexplode(TextFunctions.slidingNgrams(col("ws"), w)).as(Seq("gpos", "passage")))
+
+  /** Shared scrub tail: expand covered gram occurrences (idCol, gpos) to
+    * word positions, anti-join them out of the word stream, reassemble
+    * each document's survivors in order. Left join from the full doc list
+    * so fully-scrubbed (or empty) docs still emit a row. */
+  private def reassembleWithout(docs: DataFrame, coveredGrams: DataFrame,
+                                w: Int, textCol: String,
+                                idCol: String): DataFrame = {
+    val covered = coveredGrams
       .select(col(idCol), explode(sequence(col("gpos"), col("gpos") + (w - 1))).as("pos"))
       .distinct()
+    val wordsDf = docs
+      .select(col(idCol), TextFunctions.words(col(textCol)).as("ws"))
+      .select(col(idCol), posexplode(col("ws")).as(Seq("pos", "word")))
     val kept = wordsDf.join(covered, Seq(idCol, "pos"), "left_anti")
       .groupBy(idCol)
       .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("word")))),
           s => s("word")), " ").as("scrubbed"),
         count(lit(1)).as("n_kept"))
-    // Left join from the full doc list: fully-scrubbed (or empty) docs
-    // still emit a row.
     docs.select(col(idCol), TextFunctions.tokenCount(col(textCol)).cast("long").as("n_words"))
       .join(kept, Seq(idCol), "left")
       .select(col(idCol),

@@ -129,6 +129,18 @@ object PipelinePack extends QueryPack {
         .select(col("doc_id"), md5(col("scrubbed")).as("scrubbed_md5"),
           col("n_kept"), col("n_removed"))
     },
+    // Batch-vs-corpus passage scrub: arriving docs (doc_id % 10 >= 8, the
+    // incremental-family split) lose every window the corpus index already
+    // holds — no canonical survivor, the corpus has the text.
+    "q_passage_scrub_incremental" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val isBatch = col("doc_id") % 10 >= 8
+      Dedup.scrubPassagesIncremental(
+        docs.filter(isBatch),
+        Dedup.passageIndex(docs.filter(!isBatch), w = 5), w = 5)
+        .select(col("doc_id"), md5(col("scrubbed")).as("scrubbed_md5"),
+          col("n_kept"), col("n_removed"))
+    },
     // Frequent co-purchase pairs at support >= 3, with the exact integer
     // supports lift/confidence derive from.
     "q_pair_support" -> { (s, dir) =>
@@ -309,6 +321,34 @@ object PipelinePack extends QueryPack {
         |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
         |  CAST(len(ws) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
         |FROM w LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "q_passage_scrub_incremental" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |    FROM documents),
+        |bw AS (SELECT * FROM w WHERE doc_id % 10 >= 8),
+        |wp AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+        |         ws[CAST(t.i AS INT)] AS word
+        |       FROM bw, unnest(generate_series(1, len(ws))) AS t(i)),
+        |g AS (SELECT doc_id, CAST(t.i AS BIGINT) AS gpos,
+        |        array_to_string(ws[i:i+4], ' ') AS passage
+        |      FROM bw, unnest(generate_series(1, len(ws) - 4)) AS t(i)
+        |      WHERE len(ws) >= 5),
+        |idx AS (SELECT DISTINCT array_to_string(ws[i:i+4], ' ') AS passage
+        |        FROM w, unnest(generate_series(1, len(ws) - 4)) AS t(i)
+        |        WHERE doc_id % 10 < 8 AND len(ws) >= 5),
+        |cov0 AS (SELECT g.doc_id, g.gpos FROM g JOIN idx USING (passage)),
+        |cov AS (SELECT DISTINCT doc_id, gpos + CAST(u.j AS BIGINT) AS pos
+        |        FROM cov0, unnest(generate_series(0, 4)) AS u(j)),
+        |kept AS (SELECT wp.doc_id, wp.pos, wp.word
+        |         FROM wp LEFT JOIN cov
+        |           ON wp.doc_id = cov.doc_id AND wp.pos = cov.pos
+        |         WHERE cov.doc_id IS NULL),
+        |agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS scrubbed,
+        |          count(*) AS n_kept
+        |        FROM kept GROUP BY 1)
+        |SELECT bw.doc_id, md5(coalesce(a.scrubbed, '')) AS scrubbed_md5,
+        |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(len(ws) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM bw LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "q_pair_support" ->
       s"""WITH $CappedPl,
         |pair AS (SELECT a.p AS u, b.p AS v, count(*) AS pair_n

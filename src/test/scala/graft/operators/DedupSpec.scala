@@ -334,4 +334,27 @@ class DedupSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect()
     assert(none.forall(_._4 === 0L))
   }
+
+  test("scrubPassagesIncremental: corpus windows go entirely, batch-internal dups stay") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val corpus = Seq(
+      (1L, "x y p q r s t z"),
+      (2L, "unrelated corpus words here")).toDF("doc_id", "text")
+    val batch = Seq(
+      // Hosts the corpus passage — EVERY occurrence goes (no canonical
+      // survivor: the corpus already holds the text).
+      (100L, "a b p q r s t c"),
+      // Batch-internal duplicate pair sharing "u v w" — deliberately kept:
+      // batch-internal dedup is scrubPassages' job, the two compose.
+      (101L, "u v w d e"),
+      (102L, "u v w f g")).toDF("doc_id", "text")
+    val got = Dedup.scrubPassagesIncremental(
+        batch, Dedup.passageIndex(corpus, w = 3), w = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(100L) === (("a b c", 3L, 5L)))
+    assert(got(101L) === (("u v w d e", 5L, 0L)))
+    assert(got(102L) === (("u v w f g", 5L, 0L)))
+  }
 }
