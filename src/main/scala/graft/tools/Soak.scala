@@ -92,6 +92,21 @@ object Soak {
         k = 4).count()
     }
 
+    // Passage scrubbing over the ~sf1 corpus (the q_passage_scrub path):
+    // word/gram explodes scale linearly; the replicated text means every
+    // passage's sharing degree ALSO multiplies by reps — the occurrence
+    // fan-out (linear, no self-join) is exactly what the no-cap claim in
+    // SCALE.md rests on, so soak it.
+    timed("passage_scrub") {
+      // Force with a noop WRITE (Bench's discipline), not count(): the
+      // op's tail is a left join from docs against a grouped (key-unique)
+      // right side, and distinct-key propagation lets a bare count()
+      // eliminate the join — and with it the whole scrub.
+      Dedup.scrubPassages(docs, w = 5, minDocs = 2L)
+        .write.format("noop").mode("overwrite").save()
+      docs.count() // output is docs-sized by construction
+    }
+
     // Non-iterative hot paths whose state is an in-memory artifact (CMS
     // sketch, per-key period set, bigram model) — the soak checks the
     // artifact stays bounded as rows scale 10×. Replicated events keep
