@@ -172,6 +172,87 @@ class StatefulSessionsSpec extends SparkSpec {
     assert(rows.exists(r => r._1 == 1L && r._2 == us(100) && r._5 > 1L))
   }
 
+  test("state-store recovery: an open session survives a restart and closes correctly") {
+    // The sharpest §2.7 recovery claim: sessions OPEN at the moment of a
+    // crash live only in the state store, so a restart from checkpoint must
+    // resume them — user 1's session closes via the gap-break DATA path
+    // after restart, user 2's via the watermark TIMEOUT path — and the
+    // total emission set must equal an uninterrupted run's, each session
+    // exactly once.
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import java.nio.file.Files
+
+    val srcDir = Files.createTempDirectory("graft_sess_src")
+    val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    var fileSeq = 0
+    def stage(rows: (Long, Long, Timestamp)*): Unit = {
+      val tmp = Files.createTempDirectory("graft_sess_stage")
+      rows.toSeq.toDF("user_id", "event_id", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val s = Files.list(tmp)
+        try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally s.close()
+      }
+      val dest = srcDir.resolve(f"f$fileSeq%03d.parquet")
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + fileSeq * 60000L))
+      fileSeq += 1
+    }
+    def runAvailable(checkpoint: String,
+                     buf: collection.mutable.Buffer[(Long, Long, Long, Long)]): Unit = {
+      val stream = spark.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      val q = StatefulSessions.sessions(stream, gapSeconds = 3600L,
+          lateness = "10 seconds")
+        .toDF().writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          buf.synchronized { buf ++= b.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))) }
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+
+    val cp = Files.createTempDirectory("graft_sess_ckpt").toString
+    val emitted = collection.mutable.Buffer.empty[(Long, Long, Long, Long)]
+    // Phase 1: sessions OPEN at crash time — u1 [1000..5000] n=3,
+    // u2 [1500] n=1; nothing can have closed yet.
+    stage((1L, 1L, ts(1000)), (1L, 2L, ts(2000)), (2L, 3L, ts(1500)))
+    stage((1L, 4L, ts(5000)))
+    runAvailable(cp, emitted)
+    assert(emitted.isEmpty, "no session may close before the crash point")
+
+    // Phase 2: restart from checkpoint; new data far past both sessions'
+    // horizons. u1's event gap-breaks its RESUMED session; u2 times out.
+    stage((1L, 5L, ts(20000)), (3L, 6L, ts(20001)))
+    stage((3L, 7L, ts(20500)))
+    runAvailable(cp, emitted)
+    val got = emitted.toSet
+    assert(got === Set(
+      (1L, us(1000), us(5000), 3L),
+      (2L, us(1500), us(1500), 1L)), s"recovered emissions: $got")
+    assert(emitted.size === 2, "each closed session must emit exactly once")
+
+    // Uninterrupted control over the same four files: identical emissions.
+    val cp2 = Files.createTempDirectory("graft_sess_ckpt2").toString
+    val control = collection.mutable.Buffer.empty[(Long, Long, Long, Long)]
+    runAvailable(cp2, control)
+    assert(control.toSet === got)
+    assert(control.size === 2)
+  }
+
   test("in-order multi-batch feed equals the batch sessionize result") {
     val sparkSession = spark
     import sparkSession.implicits._
