@@ -12,6 +12,7 @@ object SparkEntry {
     operators.CorePack,
     store.StorePack,
     functions.TextPack,
+    functions.LmPack,
     operators.DedupPack,
     operators.CurationPack,
     operators.TemporalPack,

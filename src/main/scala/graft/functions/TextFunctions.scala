@@ -183,4 +183,84 @@ object TextFunctions {
         sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
         coalesce(sum(length(bin(col("cnt")))), lit(0L)).as("familiarity"))
   }
+
+  /** CONDITIONAL bigram LM score — the CCNet-style cross-entropy filter in
+    * the repo's integer-exact idiom. [[bigramFamiliarityHeldOut]] scores raw
+    * JOINT counts, which conflates "predictable continuation" with "common
+    * context"; a real LM filter scores log p(w2|w1) = log c(w1 w2) − log
+    * c(w1 ·). Here both logs are the binary digit count (`length(bin(x))` =
+    * floor(log2 x)+1 — exact integers, no libm, so the DuckDB oracle
+    * hash-compares), giving per-doc
+    * `score = Σ_known (bitlen c12 − bitlen c1) ≤ 0`: the closer to 0, the
+    * more predictable the text under the train-split model; unseen bigrams
+    * tally as `n_oov` exactly as in the held-out familiarity.
+    *
+    * Plan (bounded at any corpus size): one explode feeds the model build
+    * and the scoring join; the context-normalizer join (model ⋈ per-w1
+    * totals) happens on the VOCABULARY-sized model table, so the corpus
+    * only pays ONE bigram-keyed shuffle for scoring plus the per-doc
+    * aggregate — the same two-corpus-shuffle shape as the familiarity
+    * queries. Output: (idCol, n_bigrams, n_oov, score) for every scored
+    * (non-train) document with ≥ 1 bigram. */
+  def conditionalCrossent(docs: DataFrame, isTrain: Column,
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    val bg = docs
+      .select(col(idCol), isTrain.as("_train"),
+        explode(wordNgrams(col(textCol), 2)).as("ngram"))
+      .localCheckpoint(eager = true) // feeds model build AND scoring join
+    val model = bg.filter(col("_train"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+    // Context totals c(w1 ·) and the normalizer join, both vocabulary-sized.
+    val ctx = model
+      .groupBy(split(col("ngram"), " ").getItem(0).as("w1"))
+      .agg(sum("cnt").as("ctx_cnt"))
+    val m = model.withColumn("w1", split(col("ngram"), " ").getItem(0))
+      .join(ctx, "w1").select("ngram", "cnt", "ctx_cnt")
+    bg.filter(!col("_train"))
+      .join(m, Seq("ngram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
+        coalesce(sum(when(col("cnt").isNotNull,
+          length(bin(col("cnt"))) - length(bin(col("ctx_cnt"))))
+          .otherwise(0)), lit(0)).cast("long").as("score"))
+  }
+
+  /** DSIR-style importance weights: per-document integer log-ratio of a
+    * TARGET distribution (e.g. one curated source) vs the RAW corpus over
+    * the doc's bigram features —
+    * `weight = Σ (bitlen(c_target+1) − bitlen(c_raw+1))` (add-one so unseen
+    * target bigrams contribute bitlen(1)=1, no null branch; bitlen = exact
+    * integer log2 as everywhere else in this file). Documents whose
+    * constructions are relatively MORE frequent in the target than in the
+    * corpus at large weight higher — the ordering data-selection importance
+    * resampling induces, with zero float accumulation so the DuckDB oracle
+    * hash-compares.
+    *
+    * Plan: one explode feeds both count models; raw⋈target is a
+    * vocabulary-sized LEFT join (target ⊆ raw by construction, so the
+    * scoring join back to the corpus is INNER — every scored bigram is in
+    * the raw model); then one per-doc aggregate. Two corpus-scale shuffles
+    * total, same shape as [[conditionalCrossent]]. Output:
+    * (idCol, lang, n_bigrams, weight) for every NON-target document with
+    * ≥ 1 bigram. */
+  def importanceWeights(docs: DataFrame, isTarget: Column,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val bg = docs
+      .select(col(idCol), col("lang"), isTarget.as("_tgt"),
+        explode(wordNgrams(col(textCol), 2)).as("ngram"))
+      .localCheckpoint(eager = true) // feeds both models AND the scoring join
+    val raw = bg.groupBy("ngram").agg(count(lit(1)).as("rc"))
+    val tgt = bg.filter(col("_tgt")).groupBy("ngram").agg(count(lit(1)).as("tc"))
+    val m = raw.join(tgt, Seq("ngram"), "left")
+      .select(col("ngram"), col("rc"), coalesce(col("tc"), lit(0L)).as("tc"))
+    bg.filter(!col("_tgt"))
+      .join(m, "ngram")
+      .groupBy(col(idCol), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(length(bin(col("tc") + 1)) - length(bin(col("rc") + 1)))
+          .cast("long").as("weight"))
+  }
 }
