@@ -87,7 +87,11 @@ object Bench {
     // Round-8: passage scrubbing — the corpus-rewrite op (word/gram
     // explodes, passage-keyed canonical aggregate + join-back, position
     // anti-join, ordered reassembly). Real data volume: corpus × words.
-    "q_passage_scrub"
+    "q_passage_scrub",
+    // Round-8 LM family (secondary tier — timed + error-gated, not in the
+    // driver line): conditional-crossent model join, PMI margins+top-k,
+    // DSIR two-model scoring join.
+    "q_lm_crossent", "q_pmi_topk", "q_importance_weights"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -114,7 +118,18 @@ object Bench {
     // (q_knn_topk/q_knn_bucketed stay), CMS heavy hitters (q_cms_probe
     // stays), grid densification, and global prefix-sum numbering.
     "q_asof_forward", "q_approx_distinct", "q_knn_quantized",
-    "q_heavy_hitters", "q_gap_fill", "q_global_ids")
+    "q_heavy_hitters", "q_gap_fill", "q_global_ids",
+    // Third wave (round 8, making room for the stream-join metric fields):
+    // the new LM-family queries enter straight into the secondary tier, and
+    // five stable sub-0.7 s queries rotate out of the line — each leaves a
+    // headline sibling covering its execution family (q_embed_incremental →
+    // q_knn_*, q_pii_redact → the narrow-projection originals,
+    // q_store_merge → q_store_select_all/q_store_sql, q_heldout_familiarity
+    // → q_ngram_counts' bigram explode+agg core, q_bloom_anti →
+    // q_cms_probe's sketch family).
+    "q_lm_crossent", "q_pmi_topk", "q_importance_weights",
+    "q_embed_incremental", "q_pii_redact", "q_store_merge",
+    "q_heldout_familiarity", "q_bloom_anti")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -256,6 +271,38 @@ object Bench {
     }
   }
 
+  /** Stream-stream join throughput: the staged replay split into TWO live
+    * streams (views vs clicks) correlated with
+    * [[graft.streaming.StreamJoins.windowJoin]] — "click within an hour of
+    * the view, same user". Measures the symmetric-state-store path (both
+    * sides buffered + range-matched as either arrives), complementing the
+    * one-sided state of sessions/dedup. Rows = total staged input across
+    * both sides, so the rate is comparable with the other stream metrics.
+    * Lateness must cover the replay's span for the same reason as
+    * [[streamSessions]] (round-robin splits ⇒ watermark jumps after
+    * batch 1). */
+  private def streamJoin(spark: SparkSession, path: String,
+                         schema: org.apache.spark.sql.types.StructType,
+                         rows: Long): (Long, Double) =
+    locally {
+      def side(et: String) = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(path)
+        .filter(col("event_type") === et)
+      val views = side("view").select(col("user_id"),
+        timestamp_micros(col("ts_us")).as("vts"), col("event_id").as("view_id"))
+      val clicks = side("click").select(col("user_id"),
+        timestamp_micros(col("ts_us")).as("cts"), col("event_id").as("click_id"))
+      val joined = graft.streaming.StreamJoins.windowJoin(
+        views, clicks, keys = Seq("user_id"), tsL = "vts", tsR = "cts",
+        windowSeconds = 3600L, lateness = "40 days")
+      val t0 = System.nanoTime()
+      val q = joined.writeStream.format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (rows, (System.nanoTime() - t0) / 1e9)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -336,18 +383,21 @@ object Bench {
       try { val rs = (1 to 2).map(_ => run()); (rs.head._1, rs.map(_._2).min) }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: $e"); (0L, -1.0) }
-    val ((streamRows, streamSec), (sessRows, sessSec), (dedupRows, dedupSec)) = try {
+    val ((streamRows, streamSec), (sessRows, sessSec), (dedupRows, dedupSec),
+         (joinRows, joinSec)) = try {
       withStagedEvents(spark, sfDir) { (path, schema, rows) =>
         (minOf2(() => streamIngest(spark, path, schema, rows), "streamIngest"),
           minOf2(() => streamSessions(spark, path, schema, rows), "streamSessions"),
-          minOf2(() => streamDedup(spark, path, schema, rows), "streamDedup"))
+          minOf2(() => streamDedup(spark, path, schema, rows), "streamDedup"),
+          minOf2(() => streamJoin(spark, path, schema, rows), "streamJoin"))
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] event staging failed: $e")
-      ((0L, -1.0), (0L, -1.0), (0L, -1.0)) }
+      ((0L, -1.0), (0L, -1.0), (0L, -1.0), (0L, -1.0)) }
     val streamRps = if (streamSec > 0) streamRows / streamSec else -1.0
     val sessRps = if (sessSec > 0) sessRows / sessSec else -1.0
     val dedupRps = if (dedupSec > 0) dedupRows / dedupSec else -1.0
+    val joinRps = if (joinSec > 0) joinRows / joinSec else -1.0
     def rate(v: Double): String = f"$v%.1f"
     val line =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,""" +
@@ -355,7 +405,9 @@ object Bench {
       s""""stream_sessions_rows":$sessRows,"stream_sessions_sec":${sec(sessSec)},""" +
       s""""stream_sessions_rows_per_s":${rate(sessRps)},""" +
       s""""stream_dedup_rows":$dedupRows,"stream_dedup_sec":${sec(dedupSec)},""" +
-      s""""stream_dedup_rows_per_s":${rate(dedupRps)},"sf":"$sfDir"}"""
+      s""""stream_dedup_rows_per_s":${rate(dedupRps)},""" +
+      s""""stream_join_rows":$joinRows,"stream_join_sec":${sec(joinSec)},""" +
+      s""""stream_join_rows_per_s":${rate(joinRps)},"sf":"$sfDir"}"""
     // Stop Spark BEFORE printing the results line: shutdown-path WARNs go to
     // stderr, and the driver tails the COMBINED stream — anything logged
     // after the line eats its tail budget from the near side.
@@ -376,7 +428,7 @@ object Bench {
     // line must not report success — round 6 shipped rc=0 with 15 broken
     // queries and 0-row streams, and downstream tooling read it as a green
     // round; round 7 shipped rc=0 with a line the driver could not keep.
-    val streamsDead = Seq(streamSec, sessSec, dedupSec).exists(_ <= 0)
+    val streamsDead = Seq(streamSec, sessSec, dedupSec, joinSec).exists(_ <= 0)
     if (allResults.exists(_._3.nonEmpty) || streamsDead || overBudget) sys.exit(1)
   }
 }

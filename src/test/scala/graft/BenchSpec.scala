@@ -51,7 +51,9 @@ class BenchSpec extends AnyFunSuite {
       s""""stream_sessions_rows":9999999,"stream_sessions_sec":9999.9,""" +
       s""""stream_sessions_rows_per_s":9999999.9,""" +
       s""""stream_dedup_rows":9999999,"stream_dedup_sec":9999.9,""" +
-      s""""stream_dedup_rows_per_s":9999999.9,"sf":"/root/testdata/sf0.1"}"""
+      s""""stream_dedup_rows_per_s":9999999.9,""" +
+      s""""stream_join_rows":9999999,"stream_join_sec":9999.9,""" +
+      s""""stream_join_rows_per_s":9999999.9,"sf":"/root/testdata/sf0.1"}"""
     assert(line.length <= 1450,
       s"worst-case results line is ${line.length} chars (> 1450 spec budget; " +
         "runtime hard gate is 1500) — rotate queries into Bench.secondary")
