@@ -39,6 +39,7 @@ object LmPack extends QueryPack {
     // Conditional LM score of val/test docs under the train-split bigram
     // model: score = Σ (bitlen c(w1w2) − bitlen c(w1·)) ≤ 0, OOV tallied.
     "q_lm_crossent" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s) // md5_hash32 (the split draw)
       conditionalCrossent(table(s, dir, "documents"), isTrain)
     },
     // Top-20 collocations with support ≥ 5 by rational PMI

@@ -89,6 +89,7 @@ object TextPack extends QueryPack {
     // and scores val/test docs — the leakage-free quality filter, with
     // the OOV tally as the junk signal.
     "q_heldout_familiarity" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s) // md5_hash32 (the split draw)
       TextFunctions.bigramFamiliarityHeldOut(table(s, dir, "documents"),
         graft.operators.Curation.splitOf(col("doc_id"),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)) === "train")

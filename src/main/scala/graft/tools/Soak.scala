@@ -130,6 +130,21 @@ object Soak {
         graft.operators.Curation.splitOf(col("doc_id"),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)) === "train").count()
     }
+    // LM-family scoring joins (q_lm_crossent / q_importance_weights):
+    // same explode+model-join shape as heldout_familiarity but with the
+    // extra vocabulary-sized normalizer join (crossent) resp. the second
+    // count model (importance). Replication multiplies corpus size 10×
+    // while the bigram vocabulary stays per-shard-identical — the model
+    // tables stay bounded, which is exactly the claim to soak.
+    timed("lm_crossent") {
+      graft.functions.TextFunctions.conditionalCrossent(docs,
+        graft.operators.Curation.splitOf(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)) === "train").count()
+    }
+    timed("importance_weights") {
+      graft.functions.TextFunctions.importanceWeights(docs,
+        col("source") === "src0").count()
+    }
     spark.stop()
   }
 }
