@@ -13,6 +13,7 @@ object SparkEntry {
     store.StorePack,
     functions.TextPack,
     functions.LmPack,
+    functions.RetrievalPack,
     operators.DedupPack,
     operators.CurationPack,
     operators.TemporalPack,

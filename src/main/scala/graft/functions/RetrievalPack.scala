@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+
+/** Driver queries for [[Retrieval]] — BM25 ranking and hashed-linear
+  * quality-filter inference over `documents`. Oracles replicate the exact
+  * integer arithmetic (bit-length logs, scale-cleared tf normalization,
+  * DECIMAL(20,6) order-free sums, the md5-based feature hash), so both
+  * queries hash-compare value-for-value.
+  */
+object RetrievalPack extends QueryPack {
+
+  /** Fixed query-term set: one rare term (high integer idf) plus three
+    * near-ubiquitous ones — exercises the idf spread AND the multi-term
+    * decimal sum on the fixture vocabulary. */
+  private[graft] val Bm25Terms = Seq("dup", "vector", "spark", "merge")
+  private val TopN = 20
+  private[graft] val ClassifierDim = 1024L
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25_topk" -> { (s, dir) =>
+      Retrieval.bm25TopK(table(s, dir, "documents"), Bm25Terms, TopN)
+    },
+    "q_quality_classifier" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s) // md5_hash32 (the feature hash)
+      Retrieval.hashedLinearMargin(table(s, dir, "documents"), ClassifierDim)
+    }
+  )
+
+  private val NormCte =
+    "SELECT *, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm FROM documents"
+
+  private def termList = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+
+  override def oracles: Map[String, String] = Map(
+    // Same exact pipeline: per-doc token lists → (N, S) one-row stats →
+    // query-term tf/df → integer-cleared BM25 → DECIMAL(20,6) per-doc sum →
+    // global top-20. `length(bin(x))` is the shared exact log2.
+    "q_bm25_topk" ->
+      s"""WITH n AS ($NormCte),
+         |t AS (SELECT doc_id, string_split_regex(norm, '\\s+') AS toks FROM n),
+         |d AS (SELECT doc_id, len(toks) AS dl, toks FROM t),
+         |stats AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS s FROM d),
+         |base AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+         |m AS (SELECT doc_id, dl, term, count(*) AS tf FROM base
+         |  WHERE term IN $termList GROUP BY 1, 2, 3),
+         |df AS (SELECT term, count(*) AS df FROM m GROUP BY 1),
+         |sc AS (SELECT m.doc_id,
+         |    round(((length(bin(stats.nd)) - length(bin(df.df)) + 1)
+         |        * (22 * stats.s * m.tf))::DOUBLE
+         |      / (10 * stats.s * m.tf + 3 * stats.s + 9 * stats.nd * m.dl)::DOUBLE,
+         |      6) AS score, m.tf
+         |  FROM m JOIN df USING (term) CROSS JOIN stats),
+         |agg AS (SELECT doc_id, count(*) AS n_terms,
+         |    CAST(sum(tf) AS BIGINT) AS n_hits,
+         |    CAST(sum(CAST(score AS DECIMAL(20,6))) AS DOUBLE) AS bm25
+         |  FROM sc GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER
+         |  (ORDER BY bm25 DESC, doc_id ASC) AS rank FROM agg)
+         |SELECT doc_id, n_terms, n_hits, bm25, rank FROM r WHERE rank <= $TopN""".stripMargin,
+    // The identical fold, unrolled relationally: unnest → per-token integer
+    // weight from the md5 feature hash → per-doc sum. The md5 prefix cast
+    // is the shared 32-bit hash (cf. LmPack's split gate).
+    "q_quality_classifier" ->
+      s"""WITH n AS ($NormCte),
+         |t AS (SELECT doc_id, lang, string_split_regex(norm, '\\s+') AS toks FROM n),
+         |u AS (SELECT doc_id, lang, len(toks) AS n_tokens, unnest(toks) AS w FROM t),
+         |g AS (SELECT doc_id, any_value(lang) AS lang,
+         |    CAST(any_value(n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(sum(((('0x' || substr(md5(w), 1, 8))::BIGINT % $ClassifierDim)
+         |      % 21) - 10) AS BIGINT) AS margin
+         |  FROM u GROUP BY 1)
+         |SELECT doc_id, lang, n_tokens, margin, margin > 0 AS kept FROM g""".stripMargin
+  )
+}

@@ -88,6 +88,37 @@ object Similarity {
       .select("q_id", idCol, "rank", "sim")
   }
 
+  /** Hard-negative mining — the contrastive-training variant of
+    * [[knnBucketed]]: for each query, the top-k most-similar corpus vectors
+    * with a DIFFERENT label (nearest vectors the model must learn to push
+    * away). Candidates come from the query's sign-bucket cell, so the plan
+    * is the same co-partitioned equi-join as knnBucketed with the
+    * label-mismatch predicate fused into the join condition — it prunes
+    * same-label pairs BEFORE cosine scoring, and self-pairs vacuously
+    * (a query shares its own label). Queries whose cell holds only
+    * same-label vectors yield no rows, like any nprobe=1 IVF miss.
+    *
+    * Output: (q_id, q_label, vec_id, label, rank, sim). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    bits: Int = 8, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol), col(labelCol),
+      signBucket(vecCol, bits).as("bkt"), dot(vecCol, vecCol).as("n2_c"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      col(labelCol).as("q_label"), signBucket(vecCol, bits).as("q_bkt"),
+      dot(vecCol, vecCol).as("n2_q"))
+    val scored = c.join(q,
+        col("bkt") === col("q_bkt") && col(labelCol) =!= col("q_label"))
+      .select(col("q_id"), col("q_label"), col(idCol), col(labelCol),
+        cosineOf(dot("q_vec", vecCol), col("n2_q"), col("n2_c")).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col(idCol), col(labelCol),
+        col("rank"), col("sim"))
+  }
+
   /** Per-partition partial top-k: keep at most k rows per query id inside
     * each partition, ordered by (score DESC, tie ASC). Output rows are a
     * superset of the global top-k — feed them to the final window. */

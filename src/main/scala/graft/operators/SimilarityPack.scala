@@ -33,6 +33,15 @@ object SimilarityPack extends QueryPack {
       graft.plans.GraftExtensions.register(s)
       Similarity.blockedNearDup(table(s, dir, "embeddings"), "label", NearDupThreshold)
     },
+    // Hard-negative mining for contrastive training: per query, top-k
+    // nearest vectors of a DIFFERENT label from the query's sign-bucket
+    // cell (label mismatch fused into the candidate equi-join).
+    "q_hard_negatives" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val emb = table(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 50 === 0), K,
+        bits = 4)
+    },
     "q_knn_ivf" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       val emb = table(s, dir, "embeddings")
@@ -307,6 +316,21 @@ object SimilarityPack extends QueryPack {
          |ranked AS (SELECT *, row_number() OVER
          |  (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
          |SELECT q_id, vec_id, rank, sim FROM ranked WHERE rank <= $K""".stripMargin,
+    // knnBucketed's oracle with labels carried and the mismatch predicate
+    // in the join — same cell candidates, same cosine, same rank window.
+    "q_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v,
+         |    ${bucketSql("embedding")} AS bkt FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, bkt AS q_bkt
+         |  FROM e WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+         |    ${cosSql("qv", "v")} AS sim
+         |  FROM q JOIN e ON e.bkt = q.q_bkt AND e.label != q.q_label),
+         |ranked AS (SELECT *, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank FROM scored)
+         |SELECT q_id, q_label, vec_id, label, rank, sim
+         |FROM ranked WHERE rank <= $K""".stripMargin,
     "q_knn_multiprobe" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
          |    ${bucketSql("embedding")} AS bkt FROM embeddings),

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.plans.{GraftExtensions, Md5Hash32}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** [[Retrieval]] semantics pinned against independent in-memory
+  * re-implementations of the exact arithmetic (integer BM25, hashed linear
+  * margin), plus the structural contracts: shuffle-free classifier plan,
+  * no-match docs absent from BM25, determinism across runs. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "apple banana apple cherry", "en"),
+    (2L, "banana banana banana banana banana banana", "en"),
+    (3L, "cherry date elderberry fig grape", "en"),
+    (4L, "apple apple apple apple date", "de"),
+    (5L, "kiwi lemon mango", "de")
+  ).toDF("doc_id", "text", "lang")
+
+  /** The exact integer BM25 of [[Retrieval.bm25TopK]], re-derived by hand:
+    * idf = bitlen(N) − bitlen(df) + 1; score = idf·22·S·tf /
+    * (10·S·tf + 3·S + 9·N·dl) rounded to 6 dp; doc total = Σ rounded. */
+  private def bruteBm25(corpus: Seq[(Long, String)], terms: Seq[String])
+      : Map[Long, BigDecimal] = {
+    val toks = corpus.map { case (id, t) =>
+      id -> t.toLowerCase.trim.split("\\s+").toSeq }
+    val n = toks.size.toLong
+    val s = toks.map(_._2.size.toLong).sum
+    val df = terms.map { t =>
+      t -> toks.count(_._2.contains(t)).toLong }.toMap
+    def bitlen(x: Long) = java.lang.Long.toBinaryString(x).length.toLong
+    toks.flatMap { case (id, ws) =>
+      val dl = ws.size.toLong
+      val scores = terms.flatMap { t =>
+        val tf = ws.count(_ == t).toLong
+        if (tf == 0) None
+        else {
+          val idf = bitlen(n) - bitlen(df(t)) + 1
+          val raw = (idf * 22L * s * tf).toDouble /
+            (10L * s * tf + 3L * s + 9L * n * dl).toDouble
+          Some(BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        }
+      }
+      if (scores.isEmpty) None else Some(id -> scores.sum)
+    }.toMap
+  }
+
+  test("bm25TopK matches the hand-computed exact-arithmetic reference") {
+    val got = Retrieval.bm25TopK(docs, Seq("apple", "banana", "fig"), topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getDouble(3))).toSeq
+    val want = bruteBm25(
+      docs.select("doc_id", "text").as[(Long, String)].collect().toSeq,
+      Seq("apple", "banana", "fig"))
+    // Doc 5 matches nothing → absent; the other four all match something.
+    assert(got.map(_._1).toSet === Set(1L, 2L, 3L, 4L))
+    got.foreach { case (id, _, score) =>
+      assert(BigDecimal(score) === want(id), s"doc $id") }
+    // Ranks are dense 1..k by (score desc, id asc).
+    val byRank = got.sortBy(_._2)
+    assert(byRank.map(_._2) === (1L to got.size))
+    assert(byRank.map(_._3).reverse.sorted.reverse === byRank.map(_._3),
+      "scores must be non-increasing in rank")
+  }
+
+  test("bm25TopK: rarer terms carry strictly larger integer idf") {
+    // 'fig' appears in 1 of 5 docs (bitlen 1), 'apple' in 2 (bitlen 2):
+    // idf(fig)=3+1-1=3... derived: bitlen(5)=3 ⇒ idf = 3-bitlen(df)+1.
+    val one = Retrieval.bm25TopK(docs, Seq("fig"), topN = 10).collect()
+    val common = Retrieval.bm25TopK(docs, Seq("banana"), topN = 10).collect()
+    assert(one.nonEmpty && common.nonEmpty)
+    // Same doc-3 token count context: fig's single hit must outscore a
+    // single banana hit in doc 1 (same tf=1; banana df=2 ⇒ lower idf)
+    val figScore = one.head.getDouble(3)
+    val bananaDoc1 = common.find(_.getLong(0) == 1L).get.getDouble(3)
+    assert(figScore > bananaDoc1)
+  }
+
+  test("bm25TopK truncates to topN with deterministic tie order") {
+    val top2 = Retrieval.bm25TopK(docs, Seq("apple", "banana", "fig"), topN = 2)
+      .collect()
+    assert(top2.length === 2)
+    assert(top2.map(_.getLong(4)).sorted === Array(1L, 2L))
+    val full = Retrieval.bm25TopK(docs, Seq("apple", "banana", "fig"), topN = 10)
+      .orderBy("rank").collect()
+    assert(top2.sortBy(_.getLong(4)).map(_.getLong(0)).toSeq ===
+      full.take(2).map(_.getLong(0)).toSeq, "topN is a prefix of the full ranking")
+  }
+
+  test("hashedLinearMargin equals a driver-side Md5Hash32 fold; plan is shuffle-free") {
+    GraftExtensions.register(spark)
+    val out = Retrieval.hashedLinearMargin(docs, dim = 1024L)
+    val got = out.collect().map(r =>
+      (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4))).toSeq
+    def weight(w: String): Long =
+      ((Md5Hash32.hash(UTF8String.fromString(w)) % 1024L) % 21L) - 10L
+    docs.select("doc_id", "text").as[(Long, String)].collect().foreach {
+      case (id, text) =>
+        val ws = text.toLowerCase.trim.split("\\s+").toSeq
+        val margin = ws.map(weight).sum
+        val row = got.find(_._1 == id).get
+        assert(row._2 === ws.size.toLong, s"n_tokens doc $id")
+        assert(row._3 === margin, s"margin doc $id")
+        assert(row._4 === (margin > 0), s"kept doc $id")
+    }
+    // Map-only contract: corpus-wide filter inference must plan zero
+    // exchanges — that is the operator's whole 100 TB story.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"classifier plan must not shuffle:\n$plan")
+  }
+
+  test("hashedLinearMargin weights stay in [-10, 10] and margins are reproducible") {
+    GraftExtensions.register(spark)
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val a = Retrieval.hashedLinearMargin(emb).orderBy("doc_id").collect()
+    val b = Retrieval.hashedLinearMargin(emb).orderBy("doc_id").collect()
+    assert(a.map(_.getLong(3)).toSeq === b.map(_.getLong(3)).toSeq)
+    // |margin| ≤ 10 · n_tokens — the weight-range invariant.
+    a.foreach { r =>
+      assert(math.abs(r.getLong(3)) <= 10L * r.getLong(2), r.toString) }
+  }
+}

@@ -143,6 +143,40 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf4 >= 0.5, s"ivf nprobe=4 recall degenerate: $ivf4")
   }
 
+  test("hardNegatives: cross-label only, bucket-consistent, equals filtered re-rank") {
+    GraftExtensions.register(spark)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val hn = Similarity.hardNegatives(emb, queries, k = 10, bits = 4)
+    val rows = hn.collect()
+    assert(rows.nonEmpty)
+    // The defining predicate: NO returned negative shares its query's label.
+    assert(rows.forall(r => r.getInt(1) != r.getInt(3)),
+      "hard negative with the query's own label")
+    // Candidates come from the query's sign-bucket cell: every returned
+    // pair must agree on the 4-bit bucket.
+    val bkt = emb.select(col("vec_id"),
+      Similarity.signBucket("embedding", 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.forall(r => bkt(r.getLong(0)) == bkt(r.getLong(2))),
+      "negative drawn from a different bucket cell")
+    // Independent reference: brute-force cosine top-k per query restricted
+    // to (same bucket, different label) — must match exactly, ranks and all.
+    val lbl = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val brute = Similarity.knn(emb, queries, k = emb.count().toInt)
+      .collect()
+      .filter(r => bkt(r.getLong(0)) == bkt(r.getLong(1)) &&
+        lbl(r.getLong(0)) != lbl(r.getLong(1)))
+      .groupBy(_.getLong(0))
+      .toSeq.flatMap { case (q, rs) =>
+        rs.sortBy(r => (-r.getDouble(3), r.getLong(1))).take(10).zipWithIndex
+          .map { case (r, i) => (q, r.getLong(1), i + 1, r.getDouble(3)) }
+      }.toSet
+    val got = rows.map(r =>
+      (r.getLong(0), r.getLong(2), r.getInt(4), r.getDouble(5))).toSet
+    assert(got === brute, "hardNegatives disagrees with filtered brute force")
+  }
+
   test("declared recall floors: production ANN configs cannot silently degrade") {
     GraftExtensions.register(spark)
     val queries = emb.filter(col("vec_id") % 50 === 0)
