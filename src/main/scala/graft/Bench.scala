@@ -91,7 +91,13 @@ object Bench {
     // Round-8 LM family (secondary tier — timed + error-gated, not in the
     // driver line): conditional-crossent model join, PMI margins+top-k,
     // DSIR two-model scoring join.
-    "q_lm_crossent", "q_pmi_topk", "q_importance_weights"
+    "q_lm_crossent", "q_pmi_topk", "q_importance_weights",
+    // Round-8 retrieval family (secondary tier like the LM family): BM25
+    // ranking (filtered explode + broadcast df join + global top-k), the
+    // map-only hashed-linear classifier, and hard-negative mining (the
+    // cross-label bucketed ANN join).
+    "q_bm25_topk", "q_quality_classifier", "q_hard_negatives",
+    "q_classifier_auc", "q_classifier_calibration"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -129,7 +135,10 @@ object Bench {
     // q_cms_probe's sketch family).
     "q_lm_crossent", "q_pmi_topk", "q_importance_weights",
     "q_embed_incremental", "q_pii_redact", "q_store_merge",
-    "q_heldout_familiarity", "q_bloom_anti")
+    "q_heldout_familiarity", "q_bloom_anti",
+    // Round-8 retrieval family — timed + error-gated, off the driver line.
+    "q_bm25_topk", "q_quality_classifier", "q_hard_negatives",
+    "q_classifier_auc", "q_classifier_calibration")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

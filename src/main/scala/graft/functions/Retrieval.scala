@@ -104,6 +104,14 @@ object Retrieval {
       .select(col(idCol), col("n_terms"), col("n_hits"), col("bm25"), col("rank"))
   }
 
+  /** The per-row hashed-linear margin fold of [[hashedLinearMargin]], as a
+    * composable Column (Scala lambda form of the same `aggregate` HOF, so
+    * callers can attach labels or other columns without a re-join). */
+  def marginOf(text: Column, dim: Long = 1024L): Column =
+    aggregate(words(normalize(text)), lit(0L),
+      (acc, w) => acc +
+        ((call_function("md5_hash32", w) % lit(dim)) % lit(21L) - lit(10L)))
+
   /** Hashed bag-of-words linear-margin inference: feature id =
     * `md5_hash32(token) mod dim`, weight(f) = (f mod 21) − 10 ∈ [−10, 10],
     * margin = Σ_tokens weight(feature(token)), kept ⇔ margin > 0.
@@ -126,4 +134,65 @@ object Retrieval {
         expr(s"aggregate(toks, CAST(0 AS BIGINT), " +
           s"(acc, w) -> acc + (((md5_hash32(w) % $dim) % 21) - 10))").as("margin"))
       .withColumn("kept", col("margin") > 0)
+
+  /** Exact ROC-AUC of an integer score against a boolean label —
+    * Mann–Whitney with tie-averaged ranks, computed WITHOUT a corpus-scale
+    * sort: ranks come from the value-sized score histogram. A tie group of
+    * `n` rows after `c_lt` lower-scored rows occupies ranks
+    * c_lt+1..c_lt+n, average rank c_lt+(n+1)/2, so (doubled to stay
+    * integral) Σ 2·R⁺ = Σ_values np·(2·c_lt + n + 1) and
+    *
+    *   AUC = (Σ 2·R⁺ − n_pos·(n_pos+1)) / (2·n_pos·n_neg)
+    *
+    * — exact integers until one final IEEE division, rounded to 6 dp
+    * (= P(score⁺ > score⁻) + ½·P(=), the probabilistic AUC with ties).
+    *
+    * Scale shape: one corpus-scale groupBy(score) whose OUTPUT is bounded
+    * by the score range (the hashed-linear margin is ±10·tokens — thousands
+    * of distinct values, not corpus rows); the rank prefix-sum runs as a
+    * single-partition window over that histogram (the waterfill pattern)
+    * and the answer is a one-row aggregate. AUC over a billion docs costs
+    * one map-side-combined shuffle of a few thousand rows. A single-class
+    * input (`n_pos = 0` or `n_neg = 0`) yields a NULL auc — guarded
+    * explicitly, since ANSI mode makes the bare division throw.
+    *
+    * Output: one row (n_pos, n_neg, auc_num, auc) with
+    * auc_num = Σ2R⁺ − n_pos·(n_pos+1) (exact long numerator). */
+  def classifierAuc(scored: DataFrame, scoreCol: String = "margin",
+                    labelCol: String = "label"): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val h = scored.groupBy(scoreCol).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("np"))
+    h.withColumn("c_lt", sum(col("n")).over(W.orderBy(col(scoreCol))) - col("n"))
+      .agg(
+        sum(col("np") * (lit(2L) * col("c_lt") + col("n") + lit(1L))).as("s2r"),
+        sum(col("np")).cast("long").as("n_pos"),
+        sum(col("n") - col("np")).cast("long").as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("s2r") - col("n_pos") * (col("n_pos") + lit(1L)))
+          .cast("long").as("auc_num"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null))
+          .otherwise(round(
+            (col("s2r") - col("n_pos") * (col("n_pos") + lit(1L))).cast("double")
+              / (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6))
+          .as("auc"))
+  }
+
+  /** Calibration table for an integer score: fixed-width score buckets →
+    * (count, positives, positive rate). bucket = floor(score / width) via
+    * double division — exact for the bounded integer margins and identical
+    * in DuckDB, covering negative scores correctly (floor, not truncation).
+    * One corpus-scale aggregate with bucket-count output; the rate is a
+    * single rounded rational. Output: (bucket, n, n_pos, pos_rate). */
+  def classifierCalibration(scored: DataFrame, width: Long = 10L,
+                            scoreCol: String = "margin",
+                            labelCol: String = "label"): DataFrame =
+    scored
+      .groupBy(floor(col(scoreCol).cast("double") / lit(width.toDouble))
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("pos_rate",
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6))
 }

@@ -26,8 +26,30 @@ object RetrievalPack extends QueryPack {
     "q_quality_classifier" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s) // md5_hash32 (the feature hash)
       Retrieval.hashedLinearMargin(table(s, dir, "documents"), ClassifierDim)
+    },
+    // Exact ROC-AUC of the classifier margin against the length label —
+    // the filter-quality audit: margin + label in ONE scan (no re-join),
+    // ranks from the value-sized margin histogram.
+    "q_classifier_auc" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Retrieval.classifierAuc(labeled(s, dir))
+    },
+    // Margin-decile calibration of the same score/label pair.
+    "q_classifier_calibration" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Retrieval.classifierCalibration(labeled(s, dir), width = 10L)
     }
   )
+
+  /** Margin + boolean label in one scan: label = "document is long"
+    * (n_chars ≥ 180) — the deterministic stand-in target the audit queries
+    * grade the hashed-linear score against. */
+  private def labeled(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(
+      (col("n_chars") >= LabelChars).as("label"),
+      Retrieval.marginOf(col("text"), ClassifierDim).as("margin"))
+
+  private[graft] val LabelChars = 180L
 
   private val NormCte =
     "SELECT *, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm FROM documents"
@@ -72,6 +94,44 @@ object RetrievalPack extends QueryPack {
          |    CAST(sum(((('0x' || substr(md5(w), 1, 8))::BIGINT % $ClassifierDim)
          |      % 21) - 10) AS BIGINT) AS margin
          |  FROM u GROUP BY 1)
-         |SELECT doc_id, lang, n_tokens, margin, margin > 0 AS kept FROM g""".stripMargin
+         |SELECT doc_id, lang, n_tokens, margin, margin > 0 AS kept FROM g""".stripMargin,
+    // Mann–Whitney AUC from the margin histogram: identical tie-averaged
+    // rank algebra (Σ2R⁺ via 2·c_lt + n + 1), exact integers until the one
+    // rounded division. Window frame: ORDER BY on distinct margins, so
+    // RANGE-to-current-row matches Spark's default frame exactly.
+    "q_classifier_auc" ->
+      s"""WITH $LabeledCtes,
+         |h AS (SELECT margin, count(*) AS n,
+         |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np
+         |  FROM g GROUP BY 1),
+         |w AS (SELECT *, sum(n) OVER (ORDER BY margin) - n AS c_lt FROM h),
+         |a AS (SELECT CAST(sum(np * (2 * c_lt + n + 1)) AS BIGINT) AS s2r,
+         |    CAST(sum(np) AS BIGINT) AS n_pos,
+         |    CAST(sum(n - np) AS BIGINT) AS n_neg FROM w)
+         |SELECT n_pos, n_neg,
+         |  CAST(s2r - n_pos * (n_pos + 1) AS BIGINT) AS auc_num,
+         |  round((s2r - n_pos * (n_pos + 1))::DOUBLE
+         |    / (2 * n_pos * n_neg)::DOUBLE, 6) AS auc
+         |FROM a""".stripMargin,
+    "q_classifier_calibration" ->
+      s"""WITH $LabeledCtes
+         |SELECT CAST(floor(margin::DOUBLE / 10.0) AS BIGINT) AS bucket,
+         |  count(*) AS n,
+         |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  round(sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE, 6) AS pos_rate
+         |FROM g GROUP BY 1""".stripMargin
   )
+
+  /** Shared CTE chain: per-doc hashed-linear margin + the n_chars label —
+    * the SQL twin of [[labeled]] (compose as `WITH $LabeledCtes, ...`). */
+  private def LabeledCtes: String =
+    s"""n AS ($NormCte),
+       |t AS (SELECT doc_id, n_chars >= $LabelChars AS label,
+       |  string_split_regex(norm, '\\s+') AS toks FROM n),
+       |u AS (SELECT doc_id, label, unnest(toks) AS w FROM t),
+       |g AS (SELECT doc_id, any_value(label) AS label,
+       |    CAST(sum(((('0x' || substr(md5(w), 1, 8))::BIGINT % $ClassifierDim)
+       |      % 21) - 10) AS BIGINT) AS margin
+       |  FROM u GROUP BY 1)""".stripMargin
 }

@@ -111,6 +111,52 @@ class RetrievalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"classifier plan must not shuffle:\n$plan")
   }
 
+  test("classifierAuc matches the O(n²) pair-counting definition, ties included") {
+    // Scores with a tie straddling the classes: AUC must equal
+    // (#(pos>neg) + ½·#(pos=neg)) / (n_pos·n_neg) — computed brute-force.
+    val scored = Seq(
+      (5L, true), (3L, true), (3L, false), (1L, false), (0L, false),
+      (5L, false), (7L, true), (1L, true)
+    ).toDF("margin", "label")
+    val row = Retrieval.classifierAuc(scored).head()
+    val data = Seq((5L, true), (3L, true), (3L, false), (1L, false),
+      (0L, false), (5L, false), (7L, true), (1L, true))
+    val pos = data.filter(_._2).map(_._1)
+    val neg = data.filterNot(_._2).map(_._1)
+    val wins = (for (p <- pos; q <- neg) yield
+      if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+    val want = BigDecimal(wins / (pos.size * neg.size))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(row.getLong(0) === pos.size.toLong)
+    assert(row.getLong(1) === neg.size.toLong)
+    assert(BigDecimal(row.getDouble(3)) === want)
+    // Exact numerator identity: auc = auc_num / (2·n_pos·n_neg).
+    assert(row.getLong(2).toDouble / (2.0 * pos.size * neg.size) ===
+      wins / (pos.size * neg.size))
+  }
+
+  test("classifierAuc: degenerate single-class input yields NULL auc, not a crash") {
+    val onlyPos = Seq((1L, true), (2L, true)).toDF("margin", "label")
+    val row = Retrieval.classifierAuc(onlyPos).head()
+    assert(row.getLong(0) === 2L && row.getLong(1) === 0L)
+    assert(row.isNullAt(3))
+  }
+
+  test("classifierCalibration buckets with floor (negative margins) and exact rates") {
+    val scored = Seq(
+      (-13L, false), (-5L, true), (0L, false), (9L, true), (10L, true), (23L, false)
+    ).toDF("margin", "label")
+    val got = Retrieval.classifierCalibration(scored, width = 10L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // floor(-13/10) = -2 (floor, NOT truncation toward zero).
+    assert(got(-2L) === ((1L, 0L, 0.0)))
+    assert(got(-1L) === ((1L, 1L, 1.0)))
+    assert(got(0L) === ((2L, 1L, 0.5)))
+    assert(got(1L) === ((1L, 1L, 1.0)))
+    assert(got(2L) === ((1L, 0L, 0.0)))
+  }
+
   test("hashedLinearMargin weights stay in [-10, 10] and margins are reproducible") {
     GraftExtensions.register(spark)
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
