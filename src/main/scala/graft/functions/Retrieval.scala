@@ -64,6 +64,9 @@ object Retrieval {
     * N and Σdl are a one-row aggregate fetched to the driver (the justified
     * scalar-fetch pattern, cf. q_pmi_topk: attaching a constant via a join
     * would plan the BroadcastNestedLoopJoin the plan guard forbids).
+    * Corpus passes: exactly two tokenizing scans — the narrow (N, Σdl)
+    * stats aggregate and the explode feeding the checkpointed `matched`
+    * table; everything downstream runs on |Q|·df rows.
     *
     * Output: (doc_id, n_terms, n_hits, bm25, rank), rank 1..topN by
     * (bm25 DESC, doc_id ASC). Documents matching no query term are absent —
@@ -80,11 +83,16 @@ object Retrieval {
     val s = statsRow.getLong(1)
     // Everything after the explode is filtered to the query terms BEFORE
     // the (doc, term) aggregate — the shuffle carries |Q|·df rows.
+    // localCheckpoint: `matched` feeds BOTH the df aggregate and the scoring
+    // join — without it Catalyst re-derives the whole corpus explode twice
+    // (same sharing pattern as q_pmi_topk's grouped bigram table). The
+    // materialized table is |Q|·df rows, not corpus tokens.
     val matched = toks
       .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = true)
     val dfTbl = matched.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = matched.join(broadcast(dfTbl), "term")
       .withColumn("idf", lit(bitLen(nDocs)) - bitLen(col("df")) + lit(1L))

@@ -69,4 +69,61 @@ class StreamJoinsSpec extends SparkSpec {
     assert(matched === Set((1L, 10L, 20L)))
     assert(padded === Set((2L, 11L)))
   }
+
+  test("join state survives a checkpointed restart; crash == clean run") {
+    // The symmetric-state recovery claim: a left row buffered in the join
+    // state store at the moment the process dies must still match a right
+    // row that arrives only AFTER the restart — and the interrupted run
+    // must produce exactly the rows an uninterrupted run does.
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_sjr_$tag").toString
+    val (clickSrc, buySrc) = (tmp("c"), tmp("b"))
+    def write(dir: String, cols: (String, String, String),
+              rows: Seq[(Long, Long, Timestamp)]): Unit =
+      rows.toDF(cols._1, cols._2, cols._3)
+        .coalesce(1).write.mode("append").parquet(dir)
+    def schema(id: String, t: String) = StructType(Seq(
+      StructField("user_id", LongType), StructField(id, LongType),
+      StructField(t, TimestampType)))
+    def runOnce(ck: String, out: String): Unit = {
+      val clicks = spark.readStream.schema(schema("click_id", "cts")).parquet(clickSrc)
+      val buys = spark.readStream.schema(schema("buy_id", "bts")).parquet(buySrc)
+      val q = StreamJoins.windowJoin(clicks, buys, Seq("user_id"),
+          "cts", "bts", windowSeconds = 3600L, lateness = "5 seconds")
+        .selectExpr("user_id", "click_id", "buy_id")
+        // File sink: the memory sink refuses checkpoint recovery.
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    val (ck1, out1) = (tmp("ck1"), tmp("out1"))
+    write(clickSrc, ("user_id", "click_id", "cts"),
+      Seq((1L, 10L, ts(0)), (2L, 11L, ts(5))))
+    runOnce(ck1, out1)                       // clicks buffered, no matches yet
+    assert(spark.read.schema(schema("click_id", "buy_id")) // out empty so far
+      .parquet(out1).count() === 0L)
+    write(buySrc, ("user_id", "buy_id", "bts"),
+      Seq((1L, 20L, ts(600)),                // in u1's window → must match
+        (2L, 21L, ts(4000))))                // past u2's window → must not
+    runOnce(ck1, out1)                       // restart from checkpoint
+
+    val interrupted = spark.read.parquet(out1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(interrupted === Set((1L, 10L, 20L)),
+      "pre-restart click did not match a post-restart buy")
+
+    // Clean run over the SAME source dirs (both waves already on disk).
+    val (ck2, out2) = (tmp("ck2"), tmp("out2"))
+    runOnce(ck2, out2)
+    val clean = spark.read.parquet(out2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(clean === interrupted, "interrupted run diverged from clean run")
+  }
 }
