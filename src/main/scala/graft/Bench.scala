@@ -97,7 +97,8 @@ object Bench {
     // map-only hashed-linear classifier, and hard-negative mining (the
     // cross-label bucketed ANN join).
     "q_bm25_topk", "q_quality_classifier", "q_hard_negatives",
-    "q_classifier_auc", "q_classifier_calibration"
+    "q_classifier_auc", "q_classifier_calibration",
+    "q_rank_fusion", "q_zipf_slope"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -138,7 +139,8 @@ object Bench {
     "q_heldout_familiarity", "q_bloom_anti",
     // Round-8 retrieval family — timed + error-gated, off the driver line.
     "q_bm25_topk", "q_quality_classifier", "q_hard_negatives",
-    "q_classifier_auc", "q_classifier_calibration")
+    "q_classifier_auc", "q_classifier_calibration",
+    "q_rank_fusion", "q_zipf_slope")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

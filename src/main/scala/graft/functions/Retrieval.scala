@@ -187,6 +187,36 @@ object Retrieval {
           .as("auc"))
   }
 
+  /** Reciprocal-rank fusion of top-k rankings: each input carries
+    * (`idCol`, `rank` 1-based); fused score = Σ_lists 1/(kConst + rank),
+    * the parameter-free list-combination rule retrieval stacks use to
+    * merge lexical and model-based rankings. Each contribution is rounded
+    * to 9 dp once and summed as DECIMAL(12,9) — exact and order-free, so
+    * the result hash-compares (the repo's single-rounded-rational
+    * discipline; doubles summed in shuffle order would not).
+    *
+    * Scale: inputs are k-sized by construction (they come from top-k
+    * operators), so everything here is driver-trivial; the expensive part
+    * is producing the input rankings, each of which is already a
+    * distributed TakeOrdered. Output: (idCol, n_lists, rrf, rank 1..topN
+    * by (rrf DESC, id ASC)). */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String = "doc_id",
+              kConst: Long = 60L, topN: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val contrib = round(lit(1.0)
+        / (lit(kConst.toDouble) + col("rank").cast("double")), 9)
+      .cast("decimal(12,9)")
+    val unioned = rankings.map(_.select(col(idCol), contrib.as("c")))
+      .reduce(_ unionAll _)
+    val fused = unioned.groupBy(idCol).agg(
+      count(lit(1)).cast("long").as("n_lists"),
+      sum(col("c")).cast("double").as("rrf"))
+    val top = fused.orderBy(col("rrf").desc, col(idCol).asc).limit(topN)
+    top.withColumn("rank", row_number()
+        .over(Window.orderBy(col("rrf").desc, col(idCol).asc)).cast("long"))
+      .select(col(idCol), col("n_lists"), col("rrf"), col("rank"))
+  }
+
   /** Calibration table for an integer score: fixed-width score buckets →
     * (count, positives, positive rate). bucket = floor(score / width) via
     * double division — exact for the bounded integer margins and identical

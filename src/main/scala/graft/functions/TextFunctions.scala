@@ -227,6 +227,48 @@ object TextFunctions {
           .otherwise(0)), lit(0)).cast("long").as("score"))
   }
 
+  /** Zipf-slope corpus audit: OLS slope of bit-length(frequency) against
+    * bit-length(rank) over the corpus vocabulary — the log-log Zipf fit
+    * (natural text ≈ −1) with both logs the EXACT integer log2 used
+    * throughout this file, so the whole regression is integer arithmetic:
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *
+    * with x = bitlen(rank), y = bitlen(freq). The sums fit in longs at any
+    * plausible vocabulary (Σxy ≤ |V|·bitlen(|V|)·bitlen(tokens) ≈ 1.5·10¹²
+    * at a billion-term vocabulary); the final cross products are computed
+    * in DECIMAL(38,0) where n·Σxy can pass 2⁶³. One rounded division at
+    * the end.
+    *
+    * Ranks come from [[graft.operators.Numbering.assignGlobalIds]] —
+    * range-sort + driver prefix-sum over per-partition counts — NOT a
+    * single-partition row_number window: the vocabulary of a 100 TB corpus
+    * is itself tens of millions of rows. A corpus whose frequency
+    * histogram drifts from its recorded slope has changed composition —
+    * the cheap drift alarm upstream of the expensive dedup/curation
+    * reruns. Output: one row (n_terms, sxy, sxx, slope). */
+  def zipfSlope(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.functions.{length => flen}
+    def bitLen(c: Column): Column = flen(bin(c)).cast("long")
+    val freq = docs
+      .select(explode(words(normalize(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    val ranked = graft.operators.Numbering.assignGlobalIds(
+      freq, order = Seq(col("freq").desc, col("term").asc), out = "rank")
+    val pts = ranked.select(bitLen(col("rank")).as("x"), bitLen(col("freq")).as("y"))
+    val d38 = "decimal(38,0)"
+    pts.agg(count(lit(1)).cast("long").as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_terms"), col("sxy").cast("long").as("sxy"),
+        col("sxx").cast("long").as("sxx"),
+        round((col("n_terms").cast(d38) * col("sxy").cast(d38)
+            - col("sx").cast(d38) * col("sy").cast(d38)).cast("double")
+          / (col("n_terms").cast(d38) * col("sxx").cast(d38)
+            - col("sx").cast(d38) * col("sx").cast(d38)).cast("double"),
+          6).as("slope"))
+  }
+
   /** DSIR-style importance weights: per-document integer log-ratio of a
     * TARGET distribution (e.g. one curated source) vs the RAW corpus over
     * the doc's bigram features —

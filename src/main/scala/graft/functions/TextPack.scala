@@ -131,6 +131,12 @@ object TextPack extends QueryPack {
     // bounded groups like per-language stats; at open-ended cardinality
     // swap in approx_percentile and drop the oracle to rows-only — the
     // exact form is the verifiable twin.
+    // Zipf-slope corpus audit: integer-exact log-log OLS over the
+    // vocabulary (bit-length logs; ranks via the distributed two-pass
+    // numbering, never a single-partition window).
+    "q_zipf_slope" -> { (s, dir) =>
+      TextFunctions.zipfSlope(table(s, dir, "documents"))
+    },
     "q_token_quantiles" -> { (s, dir) =>
       table(s, dir, "documents").groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
@@ -257,6 +263,24 @@ object TextPack extends QueryPack {
         |r AS (SELECT *, row_number() OVER
         |  (PARTITION BY lang ORDER BY n DESC, word ASC) AS rank FROM c)
         |SELECT lang, word, n, rank FROM r WHERE rank <= 5""".stripMargin,
+    // Identical regression: x = bitlen(rank), y = bitlen(freq); cross
+    // products in HUGEINT (the oracle's DECIMAL(38,0) twin), one rounded
+    // division.
+    "q_zipf_slope" ->
+      s"""WITH n AS ($NormCte),
+         |zw AS (SELECT unnest(string_split_regex(norm, '\\s+')) AS term FROM n),
+         |zf AS (SELECT term, count(*) AS freq FROM zw GROUP BY 1),
+         |zr AS (SELECT freq, row_number() OVER
+         |  (ORDER BY freq DESC, term ASC) AS rank FROM zf),
+         |zp AS (SELECT length(bin(rank)) AS x, length(bin(freq)) AS y FROM zr),
+         |za AS (SELECT count(*) AS n_terms,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx FROM zp)
+         |SELECT n_terms, sxy, sxx,
+         |  round((n_terms::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+         |    / (n_terms::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE, 6) AS slope
+         |FROM za""".stripMargin,
     "q_token_quantiles" ->
       """SELECT lang, count(*) AS n_docs,
         |  quantile_cont(n_chars, 0.1) AS p10, quantile_cont(n_chars, 0.25) AS p25,

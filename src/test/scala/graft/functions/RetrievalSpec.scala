@@ -157,6 +157,47 @@ class RetrievalSpec extends SparkSpec {
     assert(got(2L) === ((1L, 0L, 0.0)))
   }
 
+  test("rrfFuse matches hand-computed reciprocal-rank sums and tie order") {
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1L), (4L, 2L), (1L, 3L)).toDF("doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), topN = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    def c(rank: Long): BigDecimal =
+      BigDecimal(1.0 / (60.0 + rank)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val want = Map(
+      1L -> (c(1) + c(3)), 2L -> (c(2) + c(1)), 3L -> c(3), 4L -> c(2))
+    got.foreach { case (id, nLists, rrf, _) =>
+      assert(BigDecimal(rrf) === want(id), s"doc $id")
+      assert(nLists === (if (id <= 2) 2L else 1L))
+    }
+    // Both-list docs outrank single-list docs here; doc 2 (ranks 2+1)
+    // beats doc 1 (ranks 1+3).
+    assert(got.sortBy(_._4).map(_._1).toSeq === Seq(2L, 1L, 4L, 3L))
+  }
+
+  test("zipfSlope equals a brute-force integer OLS on bitlen(rank)/bitlen(freq)") {
+    // Zipf-ish counts: a 8, b 4, c 2, d 1, e 1 (tie broken by term).
+    val corpus = Seq(
+      "a a a a a a a a", "b b b b", "c c", "d e"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val row = TextFunctions.zipfSlope(corpus).head()
+    val freqs = Seq("a" -> 8L, "b" -> 4L, "c" -> 2L, "d" -> 1L, "e" -> 1L)
+    def bl(x: Long) = java.lang.Long.toBinaryString(x).length.toLong
+    val pts = freqs.sortBy { case (t, f) => (-f, t) }.zipWithIndex
+      .map { case ((_, f), i) => (bl(i + 1L), bl(f)) }
+    val n = pts.size.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val (sxy, sxx) = (pts.map(p => p._1 * p._2).sum, pts.map(p => p._1 * p._1).sum)
+    val slope = BigDecimal((n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(row.getLong(0) === n)
+    assert(row.getLong(1) === sxy)
+    assert(row.getLong(2) === sxx)
+    assert(BigDecimal(row.getDouble(3)) === slope)
+    // Sanity: a frequency-decaying vocabulary regresses with negative slope.
+    assert(row.getDouble(3) < 0.0)
+  }
+
   test("hashedLinearMargin weights stay in [-10, 10] and margins are reproducible") {
     GraftExtensions.register(spark)
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
