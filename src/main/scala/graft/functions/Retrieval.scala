@@ -187,6 +187,32 @@ object Retrieval {
           .as("auc"))
   }
 
+  /** Corpus-relative percentile of an integer score — the normalization
+    * that turns a raw quality margin into "keep the top p%" thresholds
+    * that stay meaningful as corpus composition shifts. Percentile =
+    * tie-averaged midrank / N = (2·c_lt + n + 1) / (2·N), the same
+    * histogram algebra as [[classifierAuc]], rounded once.
+    *
+    * Scale shape: the score histogram is value-sized (bounded by the score
+    * range, not corpus rows), so attaching (c_lt, n, N) back to every row
+    * is a BROADCAST hash join — the whole op is one groupBy(score) whose
+    * output is tiny plus a map-only join. No global sort, no window over
+    * the corpus. Output: input columns + (pct). */
+  def scorePercentiles(scored: DataFrame, scoreCol: String = "margin")
+      : DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val h = scored.groupBy(scoreCol).agg(count(lit(1)).cast("long").as("n"))
+    val cum = h
+      .withColumn("c_lt", sum(col("n")).over(W.orderBy(col(scoreCol))) - col("n"))
+      .withColumn("total", sum(col("n")).over(
+        W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    scored.join(broadcast(cum), scoreCol)
+      .withColumn("pct", round(
+        (lit(2L) * col("c_lt") + col("n") + lit(1L)).cast("double")
+          / (lit(2L) * col("total")).cast("double"), 6))
+      .drop("n", "c_lt", "total")
+  }
+
   /** Reciprocal-rank fusion of top-k rankings: each input carries
     * (`idCol`, `rank` 1-based); fused score = Σ_lists 1/(kConst + rank),
     * the parameter-free list-combination rule retrieval stacks use to

@@ -45,6 +45,15 @@ object RetrievalPack extends QueryPack {
       graft.plans.GraftExtensions.register(s)
       Retrieval.classifierCalibration(labeled(s, dir), width = 10L)
     },
+    // Corpus-relative percentile of every doc's quality margin — the
+    // threshold-free normalization (histogram broadcast-join, map-only).
+    "q_score_percentiles" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Retrieval.scorePercentiles(
+        table(s, dir, "documents").select(col("doc_id"),
+          Retrieval.marginOf(col("text"), ClassifierDim).as("margin")))
+        .select("doc_id", "margin", "pct")
+    },
     // RRF of the lexical BM25 top-20 with the model-quality top-20 — the
     // relevance×quality list merge; both inputs are the exact rankings
     // their standalone queries produce.
@@ -160,6 +169,18 @@ object RetrievalPack extends QueryPack {
          |  round(sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE
          |    / count(*)::DOUBLE, 6) AS pos_rate
          |FROM g GROUP BY 1""".stripMargin,
+    // Same tie-averaged midrank percentile from the margin histogram
+    // ((2·c_lt + n + 1)/(2N)), joined back per doc.
+    "q_score_percentiles" ->
+      s"""WITH n AS ($NormCte),
+         |$LabeledTail,
+         |h AS (SELECT margin, count(*) AS cnt FROM g GROUP BY 1),
+         |cum AS (SELECT margin, cnt,
+         |    sum(cnt) OVER (ORDER BY margin) - cnt AS c_lt,
+         |    sum(cnt) OVER () AS total FROM h)
+         |SELECT g.doc_id, g.margin,
+         |  round((2 * c.c_lt + c.cnt + 1)::DOUBLE / (2 * c.total)::DOUBLE, 6) AS pct
+         |FROM g JOIN cum c USING (margin)""".stripMargin,
     // RRF over the two shared ranking chains: contribution rounded to 9 dp
     // once, summed as DECIMAL(12,9) — order-free exactly like the Spark
     // side's decimal sum.

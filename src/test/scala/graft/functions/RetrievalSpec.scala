@@ -157,6 +157,33 @@ class RetrievalSpec extends SparkSpec {
     assert(got(2L) === ((1L, 0L, 0.0)))
   }
 
+  test("scorePercentiles equals brute midrank/N with ties; plan broadcasts the histogram") {
+    val scored = Seq((1L, 5L), (2L, 3L), (3L, 3L), (4L, 1L), (5L, 7L), (6L, 3L))
+      .toDF("doc_id", "margin")
+    val out = Retrieval.scorePercentiles(scored)
+    // Output columns are (margin, doc_id, pct) — join key first.
+    val got = out.collect().map(r =>
+      (r.getLong(1), r.getLong(0), r.getDouble(2))).toSeq // → (doc_id, margin, pct)
+    val vals = Seq((1L, 5L), (2L, 3L), (3L, 3L), (4L, 1L), (5L, 7L), (6L, 3L))
+    val all = vals.map(_._2).sorted
+    def midrank(v: Long): Double = {
+      val lt = all.count(_ < v); val eq = all.count(_ == v)
+      (lt + (eq + 1) / 2.0) / all.size
+    }
+    vals.foreach { case (id, m) =>
+      val row = got.find(_._1 == id).get
+      assert(BigDecimal(row._3) ===
+        BigDecimal(midrank(m)).setScale(6, BigDecimal.RoundingMode.HALF_UP),
+        s"doc $id")
+    }
+    // Higher margin ⇒ strictly higher percentile across distinct values.
+    val byMargin = vals.map(_._2).distinct.sorted.map(m =>
+      got.find(_._2 == m).get._3)
+    assert(byMargin === byMargin.sorted)
+    // The histogram side must attach via a broadcast join (map-only op).
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("rrfFuse matches hand-computed reciprocal-rank sums and tie order") {
     val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
     val b = Seq((2L, 1L), (4L, 2L), (1L, 3L)).toDF("doc_id", "rank")
