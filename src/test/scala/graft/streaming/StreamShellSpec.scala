@@ -431,4 +431,68 @@ class StreamShellSpec extends SparkSpec {
     val survivors = store.selectAll.select("rst_id").collect().map(_.getLong(0)).toSet
     assert(survivors === Set(2L))
   }
+
+  test("dedup STATE survives a checkpointed restart: replayed ids stay dropped") {
+    // The exactly-once claim has to hold across process death: an id seen
+    // before the crash and replayed after the restart must still be
+    // dropped, which only works if dropDuplicatesWithinWatermark's state
+    // store recovers from the checkpoint. (The in-run replay case is the
+    // "deduped ingest" test above; this one kills and restarts the query.)
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+
+    val srcDir = Files.createTempDirectory("graft_ddr_src")
+    val ckDir = Files.createTempDirectory("graft_ddr_ck")
+    val srcSchema = StructType(Seq(
+      StructField("key", StringType), StructField("value", StringType)))
+    var fileSeq = 0
+    def stage(rows: (String, String)*): Unit = {
+      val tmp = Files.createTempDirectory("graft_ddr_stage")
+      rows.toSeq.toDF("key", "value").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val s = Files.list(tmp)
+        try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        finally s.close()
+      }
+      Files.move(part, srcDir.resolve(f"batch_$fileSeq%03d.parquet"))
+      fileSeq += 1
+      val w = Files.walk(tmp)
+      try w.iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+      finally w.close()
+    }
+    val dmsg = msg.copy(msgMapSchema = Seq(
+      "etype" -> "event_type", "eid" -> "event_id"))
+    val base = 1700000000L
+    def dev(t: Long, id: Long): (String, String) =
+      ("k", s"""{"event_type": "click", "timestamp": ${base + t}, "event_id": $id}""")
+    def runOnce(store: graft.store.GenerationStore): Unit = {
+      val stream = spark.readStream.schema(srcSchema)
+        .parquet(srcDir.toString)
+      val q = StreamShell.attachDeduped(stream, dmsg, store,
+        dedupCols = Seq("eid"), lateness = "1 hour",
+        trigger = Some(Trigger.AvailableNow()),
+        checkpoint = Some(ckDir.toString))
+      q.awaitTermination()
+    }
+
+    val store = newStore("ddr_store")
+    stage(dev(1, 1), dev(2, 2), dev(3, 2)) // ids 1,2 (+in-batch dup) → 2 unique
+    runOnce(store)                         // state checkpointed, then "crash"
+    stage(dev(5, 2), dev(6, 3))            // id 2 REPLAYED, id 3 new
+    runOnce(store)                         // restart from checkpoint
+
+    val rows = store.selectAll.select("etype", "bucket_start", "count", "rst_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // Bucket base..base+20 (base is a multiple of 20): 2 uniques before the
+    // crash, and ONLY id 3 after it — the replayed id 2 was dropped by
+    // state restored from the checkpoint, not recounted.
+    assert(rows === Set(
+      ("click", base, 2L, 1L),
+      ("click", base, 1L, 2L)))
+  }
 }
