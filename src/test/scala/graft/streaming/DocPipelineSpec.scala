@@ -44,6 +44,73 @@ class DocPipelineSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streamed quality-filter inference equals batch; observe() meters the kept rate") {
+    // The hashed-linear classifier is a per-row fold — no state, no
+    // watermark — so filter-at-ingest runs the EXACT batch operator over
+    // the stream, and `observe` surfaces kept/total counters per batch
+    // without a second pass (the production ingest-health metric).
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.plans.GraftExtensions.register(spark)
+
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val rnd = new scala.util.Random(53)
+    val docs = (0 until 150).map { i =>
+      (i.toLong, (0 to rnd.nextInt(20)).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(" "), "xx")
+    }
+    def score(df: org.apache.spark.sql.DataFrame) =
+      graft.functions.Retrieval.hashedLinearMargin(df)
+
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val kept = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val m = e.progress.observedMetrics
+        if (m.containsKey("quality_gate")) {
+          val row = m.get("quality_gate")
+          seen.addAndGet(row.getLong(0)); kept.addAndGet(row.getLong(1))
+        }
+      }
+    }
+    spark.streams.addListener(listener)
+
+    val stream = MemoryStream[(Long, String, String)]
+    val query = score(stream.toDF().toDF("doc_id", "text", "lang"))
+      .observe("quality_gate", count(lit(1)).as("n_seen"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .filter(col("kept"))
+      .writeStream.format("memory").queryName("qg_out")
+      .outputMode("append").start()
+    try {
+      for (b <- docs.grouped(50)) { stream.addData(b); query.processAllAvailable() }
+      // Listener events are async — drain them before reading counters.
+      spark.streams.active.foreach(_.processAllAvailable())
+      var waited = 0
+      while (seen.get() < docs.size && waited < 100) { Thread.sleep(50); waited += 1 }
+    } finally {
+      query.stop()
+      // Shared session across suites — never leak the listener.
+      spark.streams.removeListener(listener)
+    }
+
+    val streamed = spark.table("qg_out").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    val batch = score(docs.toDF("doc_id", "text", "lang"))
+      .filter(col("kept")).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty && batch.size < docs.size,
+      "fixture must exercise both sides of the gate")
+    // The observed metrics audit the gate without a second scan.
+    assert(seen.get() === docs.size.toLong)
+    assert(kept.get() === batch.size.toLong)
+  }
+
   test("streamed OOV monitoring through a broadcast tokenizer equals batch") {
     val sparkSession = spark
     import sparkSession.implicits._
