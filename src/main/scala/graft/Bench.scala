@@ -98,7 +98,8 @@ object Bench {
     // cross-label bucketed ANN join).
     "q_bm25_topk", "q_quality_classifier", "q_hard_negatives",
     "q_classifier_auc", "q_classifier_calibration",
-    "q_rank_fusion", "q_zipf_slope", "q_score_percentiles"
+    "q_rank_fusion", "q_zipf_slope", "q_score_percentiles",
+    "q_bm25_incremental", "q_classifier_auc_by_lang"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -140,7 +141,8 @@ object Bench {
     // Round-8 retrieval family — timed + error-gated, off the driver line.
     "q_bm25_topk", "q_quality_classifier", "q_hard_negatives",
     "q_classifier_auc", "q_classifier_calibration",
-    "q_rank_fusion", "q_zipf_slope", "q_score_percentiles")
+    "q_rank_fusion", "q_zipf_slope", "q_score_percentiles",
+    "q_bm25_incremental", "q_classifier_auc_by_lang")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -75,35 +75,18 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], topN: Int = 20,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
-    val toks = docs.select(col(idCol), words(normalize(col(textCol))).as("toks"))
-      .select(col(idCol), size(col("toks")).cast("long").as("dl"), col("toks"))
+    val toks = tokenized(docs, idCol, textCol)
     // One-row corpus aggregate (N docs, S total tokens) fetched once.
     val statsRow = toks.agg(count(lit(1)), sum(col("dl"))).head
     val nDocs = statsRow.getLong(0)
     val s = statsRow.getLong(1)
-    // Everything after the explode is filtered to the query terms BEFORE
-    // the (doc, term) aggregate — the shuffle carries |Q|·df rows.
     // localCheckpoint: `matched` feeds BOTH the df aggregate and the scoring
     // join — without it Catalyst re-derives the whole corpus explode twice
     // (same sharing pattern as q_pmi_topk's grouped bigram table). The
     // materialized table is |Q|·df rows, not corpus tokens.
-    val matched = toks
-      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
-      .groupBy(col(idCol), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = true)
+    val matched = matchedTf(toks, queryTerms, idCol).localCheckpoint(eager = true)
     val dfTbl = matched.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = matched.join(broadcast(dfTbl), "term")
-      .withColumn("idf", lit(bitLen(nDocs)) - bitLen(col("df")) + lit(1L))
-      .withColumn("score", round(
-        (col("idf") * (lit(22L * s) * col("tf"))).cast("double") /
-          (lit(10L * s) * col("tf") + lit(3L * s) + lit(9L * nDocs) * col("dl"))
-            .cast("double"), 6))
-    val perDoc = scored.groupBy(idCol).agg(
-      count(lit(1)).as("n_terms"),
-      sum("tf").cast("long").as("n_hits"),
-      sum(col("score").cast("decimal(20,6)")).cast("double").as("bm25"))
+    val perDoc = scoreMatched(matched, nDocs, s, dfTbl, idCol)
     // Distributed global top-k (TakeOrderedAndProject), then the rank
     // window runs on topN rows only — same shape as q_pmi_topk.
     val top = perDoc.orderBy(col("bm25").desc, col(idCol).asc).limit(topN)
@@ -111,6 +94,69 @@ object Retrieval {
         .over(Window.orderBy(col("bm25").desc, col(idCol).asc)).cast("long"))
       .select(col(idCol), col("n_terms"), col("n_hits"), col("bm25"), col("rank"))
   }
+
+  /** The corpus-level BM25 index for a query-term set: one-row global
+    * stats (N docs, S tokens) plus the terms-sized document-frequency
+    * table — everything scoring needs that requires touching the corpus.
+    * Build once, score any number of batches against it ([[bm25Score]]):
+    * at 100 TB the index build is the only corpus-scale pass in the
+    * retrieval path; each batch then costs O(batch). */
+  case class Bm25Index(nDocs: Long, totalTokens: Long, dfTbl: DataFrame)
+
+  /** Per-doc token lists with length — the shared scan shape. */
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String) =
+    docs.select(col(idCol), words(normalize(col(textCol))).as("toks"))
+      .select(col(idCol), size(col("toks")).cast("long").as("dl"), col("toks"))
+
+  /** (doc, dl, term, tf) for the query terms only — filtered BEFORE the
+    * aggregate, so the shuffle carries |Q|·df rows, not corpus tokens. */
+  private def matchedTf(toks: DataFrame, queryTerms: Seq[String],
+                        idCol: String): DataFrame = toks
+    .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+    .filter(col("term").isin(queryTerms: _*))
+    .groupBy(col(idCol), col("dl"), col("term"))
+    .agg(count(lit(1)).as("tf"))
+
+  /** The ONE definition of the exact-integer BM25 arithmetic + per-doc
+    * decimal sum, shared by the one-shot and incremental forms so they
+    * cannot drift. */
+  private def scoreMatched(matched: DataFrame, nDocs: Long, s: Long,
+                           dfTbl: DataFrame, idCol: String): DataFrame =
+    matched.join(broadcast(dfTbl), "term")
+      .withColumn("idf", lit(bitLen(nDocs)) - bitLen(col("df")) + lit(1L))
+      .withColumn("score", round(
+        (col("idf") * (lit(22L * s) * col("tf"))).cast("double") /
+          (lit(10L * s) * col("tf") + lit(3L * s) + lit(9L * nDocs) * col("dl"))
+            .cast("double"), 6))
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_terms"),
+        sum("tf").cast("long").as("n_hits"),
+        sum(col("score").cast("decimal(20,6)")).cast("double").as("bm25"))
+
+  /** Build the [[Bm25Index]] from a corpus: one tokenizing stats pass plus
+    * one filtered explode for df. The df table checkpoints eagerly (it is
+    * terms-sized) so scoring passes never re-derive the corpus scan. */
+  def bm25Index(corpus: DataFrame, queryTerms: Seq[String],
+                idCol: String = "doc_id", textCol: String = "text"): Bm25Index = {
+    require(queryTerms.nonEmpty, "bm25Index needs at least one query term")
+    val toks = tokenized(corpus, idCol, textCol)
+    val statsRow = toks.agg(count(lit(1)), sum(col("dl"))).head
+    val dfTbl = matchedTf(toks, queryTerms, idCol)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .localCheckpoint(eager = true)
+    Bm25Index(statsRow.getLong(0), statsRow.getLong(1), dfTbl)
+  }
+
+  /** Score `docs` against a prebuilt [[Bm25Index]] — the INCREMENTAL form:
+    * cost scales with the BATCH; the corpus contributes only its frozen
+    * (N, S, df) statistics (new-batch terms the corpus never saw simply
+    * don't join — df would be 0, idf undefined, and retrieval against the
+    * index treats them as no-ops, matching the frozen-index contract).
+    * Output: (idCol, n_terms, n_hits, bm25) per matched doc. */
+  def bm25Score(docs: DataFrame, index: Bm25Index, queryTerms: Seq[String],
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    scoreMatched(matchedTf(tokenized(docs, idCol, textCol), queryTerms, idCol),
+      index.nDocs, index.totalTokens, index.dfTbl, idCol)
 
   /** The per-row hashed-linear margin fold of [[hashedLinearMargin]], as a
     * composable Column (Scala lambda form of the same `aggregate` HOF, so
@@ -178,6 +224,36 @@ object Retrieval {
         sum(col("np")).cast("long").as("n_pos"),
         sum(col("n") - col("np")).cast("long").as("n_neg"))
       .select(col("n_pos"), col("n_neg"),
+        (col("s2r") - col("n_pos") * (col("n_pos") + lit(1L)))
+          .cast("long").as("auc_num"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null))
+          .otherwise(round(
+            (col("s2r") - col("n_pos") * (col("n_pos") + lit(1L))).cast("double")
+              / (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6))
+          .as("auc"))
+  }
+
+  /** Per-group [[classifierAuc]] — the per-slice model audit (per
+    * language, per source): identical tie-averaged rank algebra with every
+    * step partitioned by `groupCol`, so the histogram window and the final
+    * aggregate parallelize across groups — no single-partition stage at
+    * all, unlike the global form's (histogram-sized) rank window. A group
+    * with one class reports NULL auc. Output: one row per group
+    * (groupCol, n_pos, n_neg, auc_num, auc). */
+  def classifierAucBy(scored: DataFrame, groupCol: String,
+                      scoreCol: String = "margin",
+                      labelCol: String = "label"): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val h = scored.groupBy(groupCol, scoreCol).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("np"))
+    h.withColumn("c_lt",
+        sum(col("n")).over(W.partitionBy(groupCol).orderBy(col(scoreCol))) - col("n"))
+      .groupBy(groupCol).agg(
+        sum(col("np") * (lit(2L) * col("c_lt") + col("n") + lit(1L))).as("s2r"),
+        sum(col("np")).cast("long").as("n_pos"),
+        sum(col("n") - col("np")).cast("long").as("n_neg"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
         (col("s2r") - col("n_pos") * (col("n_pos") + lit(1L)))
           .cast("long").as("auc_num"),
         when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null))

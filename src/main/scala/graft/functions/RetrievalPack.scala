@@ -45,6 +45,23 @@ object RetrievalPack extends QueryPack {
       graft.plans.GraftExtensions.register(s)
       Retrieval.classifierCalibration(labeled(s, dir), width = 10L)
     },
+    // Per-language AUC of the same score/label pair — the per-slice model
+    // audit, fully partitioned (no single-partition stage).
+    "q_classifier_auc_by_lang" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Retrieval.classifierAucBy(
+        table(s, dir, "documents").select(col("lang"),
+          (col("n_chars") >= LabelChars).as("label"),
+          Retrieval.marginOf(col("text"), ClassifierDim).as("margin")),
+        groupCol = "lang")
+    },
+    // Incremental BM25: every 10th doc scored as a NEW batch against the
+    // frozen full-corpus index (N, S, df) — cost scales with the batch.
+    "q_bm25_incremental" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+      val idx = Retrieval.bm25Index(docs, Bm25Terms)
+      Retrieval.bm25Score(docs.filter(col("doc_id") % 10 === 0), idx, Bm25Terms)
+    },
     // Corpus-relative percentile of every doc's quality margin — the
     // threshold-free normalization (histogram broadcast-join, map-only).
     "q_score_percentiles" -> { (s, dir) =>
@@ -112,13 +129,14 @@ object RetrievalPack extends QueryPack {
        |  (ORDER BY bm25 DESC, doc_id ASC) AS rank FROM agg)""".stripMargin
 
   /** Hashed-linear margin + n_chars label chain after `n` — the SQL twin
-    * of [[labeled]], ending in `g` (doc_id, label, margin). CTE names are
-    * disjoint from [[Bm25Tail]] so the two chains compose in one WITH. */
+    * of [[labeled]], ending in `g` (doc_id, lang, label, margin). CTE
+    * names are disjoint from [[Bm25Tail]] so the two chains compose in one
+    * WITH. */
   private def LabeledTail: String =
-    s"""lt AS (SELECT doc_id, n_chars >= $LabelChars AS label,
+    s"""lt AS (SELECT doc_id, lang, n_chars >= $LabelChars AS label,
        |  string_split_regex(norm, '\\s+') AS toks FROM n),
-       |lu AS (SELECT doc_id, label, unnest(toks) AS w FROM lt),
-       |g AS (SELECT doc_id, any_value(label) AS label,
+       |lu AS (SELECT doc_id, lang, label, unnest(toks) AS w FROM lt),
+       |g AS (SELECT doc_id, any_value(lang) AS lang, any_value(label) AS label,
        |    CAST(sum(((('0x' || substr(md5(w), 1, 8))::BIGINT % $ClassifierDim)
        |      % 21) - 10) AS BIGINT) AS margin
        |  FROM lu GROUP BY 1)""".stripMargin
@@ -169,6 +187,35 @@ object RetrievalPack extends QueryPack {
          |  round(sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE
          |    / count(*)::DOUBLE, 6) AS pos_rate
          |FROM g GROUP BY 1""".stripMargin,
+    // Per-language AUC: the same rank algebra with every window and
+    // aggregate PARTITIONED by lang.
+    "q_classifier_auc_by_lang" ->
+      s"""WITH n AS ($NormCte),
+         |$LabeledTail,
+         |h AS (SELECT lang, margin, count(*) AS n,
+         |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np
+         |  FROM g GROUP BY 1, 2),
+         |w AS (SELECT *, sum(n) OVER
+         |  (PARTITION BY lang ORDER BY margin) - n AS c_lt FROM h),
+         |a AS (SELECT lang,
+         |    CAST(sum(np * (2 * c_lt + n + 1)) AS BIGINT) AS s2r,
+         |    CAST(sum(np) AS BIGINT) AS n_pos,
+         |    CAST(sum(n - np) AS BIGINT) AS n_neg FROM w GROUP BY 1)
+         |SELECT lang, n_pos, n_neg,
+         |  CAST(s2r - n_pos * (n_pos + 1) AS BIGINT) AS auc_num,
+         |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+         |    ELSE round((s2r - n_pos * (n_pos + 1))::DOUBLE
+         |      / (2 * n_pos * n_neg)::DOUBLE, 6) END AS auc
+         |FROM a""".stripMargin,
+    // Incremental scoring against the frozen corpus index is pointwise, so
+    // restricting the full-corpus per-doc table to the batch IS the
+    // incremental result (per-doc score depends only on own tf/dl plus the
+    // corpus N/S/df).
+    "q_bm25_incremental" ->
+      s"""WITH n AS ($NormCte),
+         |$Bm25Tail
+         |SELECT doc_id, n_terms, n_hits, bm25 FROM agg
+         |WHERE doc_id % 10 = 0""".stripMargin,
     // Same tie-averaged midrank percentile from the margin histogram
     // ((2·c_lt + n + 1)/(2N)), joined back per doc.
     "q_score_percentiles" ->

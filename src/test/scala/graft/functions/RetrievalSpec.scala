@@ -157,6 +157,46 @@ class RetrievalSpec extends SparkSpec {
     assert(got(2L) === ((1L, 0L, 0.0)))
   }
 
+  test("bm25Score against a prebuilt index equals the one-shot per-doc scores") {
+    val terms = Seq("apple", "banana", "fig")
+    val idx = Retrieval.bm25Index(docs, terms)
+    // Identity: batch ⊆ corpus scored against the corpus index must equal
+    // the one-shot ranking's per-doc rows for those docs (scores are
+    // pointwise given frozen N/S/df).
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val inc = Retrieval.bm25Score(batch, idx, terms).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val full = Retrieval.bm25TopK(docs, terms, topN = 100).collect()
+      .filter(_.getLong(0) % 2 == 1)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(inc === full)
+    assert(inc.nonEmpty)
+    // A batch term unseen by the index contributes nothing (frozen-index
+    // contract: no df row to join).
+    val alien = Seq((99L, "zzz zzz zzz", "en")).toDF("doc_id", "text", "lang")
+    assert(Retrieval.bm25Score(alien, idx, terms).count() === 0L)
+  }
+
+  test("classifierAucBy equals the global AUC computed per group") {
+    val scored = Seq(
+      ("en", 5L, true), ("en", 3L, false), ("en", 3L, true), ("en", 1L, false),
+      ("de", 9L, false), ("de", 2L, true), ("de", 2L, false),
+      ("fr", 4L, true), ("fr", 6L, true) // single-class group → NULL auc
+    ).toDF("lang", "margin", "label")
+    val by = Retrieval.classifierAucBy(scored, "lang").collect()
+      .map(r => r.getString(0) -> r).toMap
+    for (lang <- Seq("en", "de", "fr")) {
+      val global = Retrieval.classifierAuc(scored.filter(col("lang") === lang)).head()
+      val g = by(lang)
+      assert(g.getLong(1) === global.getLong(0), s"$lang n_pos")
+      assert(g.getLong(2) === global.getLong(1), s"$lang n_neg")
+      assert(g.getLong(3) === global.getLong(2), s"$lang auc_num")
+      if (global.isNullAt(3)) assert(g.isNullAt(4), s"$lang null auc")
+      else assert(g.getDouble(4) === global.getDouble(3), s"$lang auc")
+    }
+    assert(by("fr").isNullAt(4))
+  }
+
   test("scorePercentiles equals brute midrank/N with ties; plan broadcasts the histogram") {
     val scored = Seq((1L, 5L), (2L, 3L), (3L, 3L), (4L, 1L), (5L, 7L), (6L, 3L))
       .toDF("doc_id", "margin")
