@@ -427,6 +427,34 @@ object Curation {
     * Scale shape: the allocation table is sources-sized (broadcast); the
     * window is partitioned BY SOURCE over documents — one keyed shuffle,
     * parallel across sources, never a global sort. */
+  /** Deterministic per-epoch training order: each epoch gets an
+    * independent salted-md5 permutation of the corpus (the
+    * reshuffle-between-epochs contract of a training DataLoader, made
+    * rerun-stable and resumable — position (epoch, p) is a pure function
+    * of the corpus and the salt, so a restarted run rebuilds the exact
+    * order and can seek to where it left off).
+    *
+    * Scale shape: the epoch fan-out is a narrow explode; positions come
+    * from ONE [[Numbering.assignGlobalIds]] pass over (epoch, hash) —
+    * range-sort + driver prefix-sum — then per-epoch position = global id
+    * − epoch·N. Never a per-epoch window (2 partitions of corpus size
+    * each); the range sort spreads (epoch, hash) evenly across the
+    * cluster. N is the one-row scalar fetch. Output:
+    * (idCol, epoch, position 1..N). */
+  def epochOrder(docs: DataFrame, epochs: Int, idCol: String = "doc_id",
+                 salt: String = "epoch"): DataFrame = {
+    require(epochs > 0, "need at least one epoch")
+    val n = docs.count()
+    val fanned = docs.select(col(idCol))
+      .withColumn("epoch", explode(sequence(lit(0L), lit(epochs - 1L))))
+      .withColumn("_h", Dedup.md5Hash32(concat(lit(salt),
+        col("epoch").cast("string"), lit(":"), col(idCol).cast("string"))))
+    Numbering.assignGlobalIds(fanned,
+        order = Seq(col("epoch"), col("_h"), col(idCol)), out = "_gid")
+      .select(col(idCol), col("epoch"),
+        (col("_gid") - col("epoch") * lit(n)).as("position"))
+  }
+
   def budgetCut(docs: DataFrame, srcCol: String, sizeCol: String,
                 idCol: String = "doc_id", salt: String = "cut",
                 budgetNum: Long = 2L, budgetDen: Long = 3L): DataFrame = {

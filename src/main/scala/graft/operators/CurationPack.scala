@@ -155,6 +155,12 @@ object CurationPack extends QueryPack {
         .groupBy("shard", "bin")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
     },
+    // Deterministic per-epoch training order: 2 independent salted
+    // permutations, positions via the distributed two-pass numbering.
+    "q_epoch_order" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Curation.epochOrder(table(s, dir, "documents"), epochs = 2)
+    },
     // Deterministic 16-way output sharding + per-shard balance stats.
     "q_shard_assign" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
@@ -401,6 +407,19 @@ object CurationPack extends QueryPack {
         |SELECT shard, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY 1, 2""".stripMargin,
+    // Same per-epoch salted permutation; positions = partitioned
+    // row_number (the oracle can afford the per-epoch window — the engine
+    // side uses the distributed numbering instead).
+    "q_epoch_order" ->
+      """WITH e AS (SELECT doc_id, unnest([0, 1]) AS epoch FROM documents),
+        |h AS (SELECT doc_id, epoch,
+        |    ('0x' || substr(md5('epoch' || CAST(epoch AS VARCHAR) || ':'
+        |      || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+        |  FROM e)
+        |SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+        |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY hv, doc_id)
+        |    AS BIGINT) AS position
+        |FROM h""".stripMargin,
     "q_shard_assign" ->
       s"""SELECT ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard,
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars

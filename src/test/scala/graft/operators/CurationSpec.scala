@@ -311,4 +311,29 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(again.toSet === cut.toSet)
   }
+
+  test("epochOrder: each epoch a full 1..N permutation, epochs independent, " +
+      "stable under repartitioning") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val docs = (1L to 97L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val out = Curation.epochOrder(docs, epochs = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 97 * 3)
+    // Every epoch is a dense permutation of positions 1..N over ALL docs.
+    out.groupBy(_._2).foreach { case (ep, rows) =>
+      assert(rows.map(_._1).toSet === (1L to 97L).toSet, s"epoch $ep doc set")
+      assert(rows.map(_._3).sorted.toSeq === (1L to 97L), s"epoch $ep positions")
+    }
+    // Different epochs draw DIFFERENT permutations (the salt includes the
+    // epoch): identical orderings would defeat the reshuffle contract.
+    val perm = (ep: Long) => out.filter(_._2 == ep).sortBy(_._3).map(_._1).toSeq
+    assert(perm(0L) !== perm(1L))
+    assert(perm(1L) !== perm(2L))
+    // Deterministic under repartitioning (the two-pass numbering contract).
+    val again = Curation.epochOrder(docs.repartition(11), epochs = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet === out.toSet)
+  }
 }
