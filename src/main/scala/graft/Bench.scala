@@ -99,7 +99,8 @@ object Bench {
     "q_bm25_topk", "q_quality_classifier", "q_hard_negatives",
     "q_classifier_auc", "q_classifier_calibration",
     "q_rank_fusion", "q_zipf_slope", "q_score_percentiles",
-    "q_bm25_incremental", "q_classifier_auc_by_lang", "q_epoch_order"
+    "q_bm25_incremental", "q_classifier_auc_by_lang", "q_epoch_order",
+    "q_dedup_containment"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -142,7 +143,8 @@ object Bench {
     "q_bm25_topk", "q_quality_classifier", "q_hard_negatives",
     "q_classifier_auc", "q_classifier_calibration",
     "q_rank_fusion", "q_zipf_slope", "q_score_percentiles",
-    "q_bm25_incremental", "q_classifier_auc_by_lang", "q_epoch_order")
+    "q_bm25_incremental", "q_classifier_auc_by_lang", "q_epoch_order",
+    "q_dedup_containment")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -626,8 +626,13 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  def ngramJaccard(docs: DataFrame, threshold: Double, maxDf: Long = 30L,
-                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  /** Shared df-capped inverted-index candidate machinery of
+    * [[ngramJaccard]] / [[ngramContainment]]: (doc_a, doc_b, hs_a, hs_b)
+    * for every pair sharing ≥ 1 shingle hash with document frequency ≤
+    * `maxDf` — the rare-posting self-join whose candidate count is bounded
+    * by Σ df² over kept postings. */
+  private def dfCappedPairs(docs: DataFrame, maxDf: Long,
+                            textCol: String, idCol: String): DataFrame = {
     // The hash-set table feeds FIVE plan branches (postings twice through
     // the self-join, the df-cap, and both verify sides) — materialize it
     // once instead of re-hashing the corpus per branch (localCheckpoint,
@@ -649,12 +654,40 @@ object Dedup {
       .distinct()
     val ha = hashed.select(col(idCol).as("doc_a"), col("hs").as("hs_a"))
     val hb = hashed.select(col(idCol).as("doc_b"), col("hs").as("hs_b"))
+    cand.join(ha, "doc_a").join(hb, "doc_b")
+  }
+
+  def ngramJaccard(docs: DataFrame, threshold: Double, maxDf: Long = 30L,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val jaccard = SqlLet.let(size(array_intersect(col("hs_a"), col("hs_b"))), inter =>
       inter.cast("double") / (size(col("hs_a")) + size(col("hs_b")) - inter))
-    cand.join(ha, "doc_a").join(hb, "doc_b")
+    dfCappedPairs(docs, maxDf, textCol, idCol)
       .withColumn("jaccard", jaccard)
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** ASYMMETRIC containment pairs — "the smaller document's shingles are
+    * (mostly) inside the larger's": C = |A∩B| / min(|A|, |B|), thresholded.
+    * Catches subset-duplication (a doc quoted whole inside another, a
+    * fragment re-shipped with boilerplate) that symmetric Jaccard
+    * structurally misses: for |A| ≪ |B| the union term caps Jaccard at
+    * |A|/|B| no matter how completely A is contained. Candidates come from
+    * the same df-capped inverted index as [[ngramJaccard]] (min-denominator
+    * > 0 for the same reason the Jaccard denominator is). Output
+    * (doc_a, doc_b, n_a, n_b, n_common, containment), doc_a < doc_b. */
+  def ngramContainment(docs: DataFrame, threshold: Double, maxDf: Long = 30L,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val contain = SqlLet.let(size(array_intersect(col("hs_a"), col("hs_b"))), inter =>
+      inter.cast("double") / least(size(col("hs_a")), size(col("hs_b"))))
+    dfCappedPairs(docs, maxDf, textCol, idCol)
+      .withColumn("n_a", size(col("hs_a")).cast("long"))
+      .withColumn("n_b", size(col("hs_b")).cast("long"))
+      .withColumn("n_common",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("containment", contain)
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "n_a", "n_b", "n_common", "containment")
   }
 
   /** SimHash near-dup pairs: candidates share the 16-bit prefix bucket

@@ -48,6 +48,14 @@ object DedupPack extends QueryPack {
       graft.plans.GraftExtensions.register(s)
       Dedup.ngramJaccard(table(s, dir, "documents"), threshold = 0.5, maxDf = 30L)
     },
+    // Asymmetric containment over the same df-capped index: subset
+    // duplication (small doc inside big doc) that Jaccard's union
+    // denominator structurally caps below threshold.
+    "q_dedup_containment" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Dedup.ngramContainment(table(s, dir, "documents"), threshold = 0.5,
+        maxDf = 30L)
+    },
     // Sorted-neighborhood method: candidates from sort adjacency (window
     // 6 over the normalized-text order), exact shingle-Jaccard verify —
     // the linear-candidate classic beside the LSH/simhash/inverted-index
@@ -392,6 +400,29 @@ object DedupPack extends QueryPack {
         |JOIN h hb ON hb.doc_id = c.doc_b
         |WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
         |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) >= 0.5""".stripMargin,
+    // Containment: identical candidate chain, min-size denominator.
+    "q_dedup_containment" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(
+        |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) sh FROM w),
+        |h AS (SELECT doc_id, list_distinct(
+        |  [('0x' || substr(md5(s), 1, 8))::BIGINT for s in sh]) hs FROM sh),
+        |post AS (SELECT doc_id, unnest(hs) AS ph FROM h),
+        |rare AS (SELECT ph FROM post GROUP BY ph HAVING count(*) <= 30),
+        |pruned AS (SELECT p.doc_id, p.ph FROM post p JOIN rare r ON p.ph = r.ph),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pruned a JOIN pruned b ON a.ph = b.ph AND a.doc_id < b.doc_id),
+        |v AS (SELECT c.doc_a, c.doc_b,
+        |    CAST(len(ha.hs) AS BIGINT) AS n_a, CAST(len(hb.hs) AS BIGINT) AS n_b,
+        |    CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS n_common
+        |  FROM cand c
+        |  JOIN h ha ON ha.doc_id = c.doc_a
+        |  JOIN h hb ON hb.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, n_a, n_b, n_common,
+        |  n_common::DOUBLE / least(n_a, n_b) AS containment
+        |FROM v WHERE n_common::DOUBLE / least(n_a, n_b) >= 0.5""".stripMargin,
     // SNM: row_number over the normalized-text total order; candidate =
     // rank distance 1..5; verify = the exact Jaccard twin of
     // q_dedup_jaccard (empty-shingle docs excluded on both engines).

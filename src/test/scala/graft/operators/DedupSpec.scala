@@ -357,4 +357,34 @@ class DedupSpec extends SparkSpec {
     assert(got(101L) === (("u v w d e", 5L, 0L)))
     assert(got(102L) === (("u v w f g", 5L, 0L)))
   }
+
+  test("ngramContainment flags subset duplication that Jaccard structurally misses") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    // Doc 1 is doc 2's opening passage verbatim; doc 2 continues with 24
+    // more words. Every 3-shingle of doc 1 is in doc 2 ⇒ containment = 1.0,
+    // while Jaccard ≈ |A|/|B| ≈ 0.15 stays under any useful threshold.
+    val inner = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 24).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, inner),
+      (2L, s"$inner $filler"),
+      (3L, "totally different content words only here")
+    ).toDF("doc_id", "text")
+    val contained = Dedup.ngramContainment(docs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(contained.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    val p = contained.head
+    assert(p._3 === 4L)              // |A|: 6 words → 4 shingles
+    assert(p._5 === 4L && p._6 === 1.0, "full containment")
+    // The symmetric form misses it at the same threshold — and even at 0.5.
+    assert(Dedup.ngramJaccard(docs, threshold = 0.5).count() === 0L)
+    // Sanity on the relationship: containment >= jaccard for every pair.
+    val j = Dedup.ngramJaccard(docs, threshold = 0.0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    contained.foreach { c =>
+      assert(c._6 >= j((c._1, c._2)) - 1e-12) }
+  }
 }
