@@ -270,6 +270,46 @@ object Graphs {
     state.select(col("node"), col("label"))
   }
 
+  /** Multi-source BFS hop distance: dist(node) = length of the shortest
+    * edge path from any seed, computed in `maxHops` rounds (nodes farther
+    * than `maxHops` stay null — the bounded-radius form every
+    * neighborhood-audit query wants, and the oracle can unroll). Exactly
+    * [[labelPropagation]]'s per-round shape with `min(dist)` combine; the
+    * per-round join uses only the FRONTIER (nodes first reached last
+    * round) — equivalent to propagating from every reached node, since a
+    * node reached at d already pushed d+1 in round d+1 and min-combine
+    * absorbs re-sends — so the join's state side SHRINKS as the wave
+    * passes instead of growing with the reached set. Broadcast vs keyed
+    * shuffle picked once via `broadcastNodeLimit` like every iterative
+    * operator here. Output: (node, dist ∈ [0, maxHops] or null) over
+    * edge-touched nodes. */
+  def hopDistance(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+                  broadcastNodeLimit: Long = BroadcastNodeLimit): DataFrame = {
+    require(maxHops >= 1, "need at least one hop")
+    val dir = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(eager = true)
+    val nodes = dir.select(col("src").as("node")).distinct()
+      .localCheckpoint(eager = true)
+    val smallState = nodes.count() <= broadcastNodeLimit
+    var state = nodes.join(
+      maybeBroadcast(seeds.select(col("node")).distinct()
+        .withColumn("dist", lit(0L)), smallState),
+      Seq("node"), "left")
+    for (i <- 1 to maxHops) {
+      val frontier = state.filter(col("dist") === (i - 1L))
+        .select(col("node").as("f_node"))
+      val viaNbrs = dir.join(maybeBroadcast(frontier, smallState),
+          dir("src") === col("f_node"))
+        .select(col("dst").as("node"), lit(i.toLong).as("dist"))
+      state = state.select(col("node"), col("dist"))
+        .unionByName(viaNbrs)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+      if (i % 8 == 0 && i < maxHops) state = state.localCheckpoint(eager = true)
+    }
+    state.select(col("node"), col("dist"))
+  }
+
   /** FIXED-POINT seeded label propagation — the limit of
     * [[labelPropagation]] as `iters → ∞` — computed WITHOUT walking hops:
     * min-label propagation converges, per connected component, to the

@@ -172,6 +172,16 @@ object PipelinePack extends QueryPack {
         .withColumn("label", col("node"))
       Graphs.labelPropagation(copurchaseEdges(s, dir), seeds, iters = 3)
     },
+    // Multi-source BFS: hop distance from the same seed set, 3 bounded
+    // rounds (nodes beyond 3 hops stay null) — the neighborhood-radius
+    // audit; frontier-only joins, oracle unrolls propagate-from-all
+    // (equivalent under min-combine).
+    "q_hop_distance" -> { (s, dir) =>
+      val seeds = table(s, dir, "lineitem")
+        .select(col("l_partkey").as("node")).distinct()
+        .filter(col("node") % 97 === 0)
+      Graphs.hopDistance(copurchaseEdges(s, dir), seeds, maxHops = 3)
+    },
     // The CONVERGED label assignment: fixpoint = per-component minimum
     // seed, computed via pointer-doubling CC instead of per-hop rounds;
     // the oracle derives the same thing from a recursive transitive
@@ -456,6 +466,28 @@ object PipelinePack extends QueryPack {
          |${round(2)},
          |${round(3)}
          |SELECT node, label FROM r3""".stripMargin
+    },
+    // BFS distances: r0 seeds dist 0, each unrolled round min-combines
+    // dist+1 pushed from every reached node (≡ the engine's frontier-only
+    // form under min).
+    "q_hop_distance" -> {
+      def round(i: Int): String =
+        s"""r$i AS (SELECT node, min(dist) AS dist FROM (
+           |  SELECT node, dist FROM r${i - 1}
+           |  UNION ALL
+           |  SELECT e.dst, r.dist + 1 FROM e JOIN r${i - 1} r ON e.src = r.node
+           |  WHERE r.dist IS NOT NULL) GROUP BY 1)""".stripMargin
+      s"""WITH $CappedPl,
+         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+         |       FROM pl a JOIN pl b ON a.g = b.g AND a.p < b.p),
+         |e AS (SELECT u AS src, v AS dst FROM e0
+         |      UNION ALL SELECT v, u FROM e0),
+         |r0 AS (SELECT DISTINCT src AS node,
+         |       CASE WHEN src % 97 = 0 THEN CAST(0 AS BIGINT) END AS dist FROM e),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT node, dist FROM r3""".stripMargin
     },
     // SCALE NOTE: this oracle's `reach` closure is O(|component|²) — fine
     // at the sf0.01 driver gate (seconds), >20 min at sf0.1 where the

@@ -135,6 +135,38 @@ class GraphPropsSpec extends SparkSpec {
     }
   }
 
+  test("hopDistance: min BFS depth within maxHops (brute), both join plans") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    for (seed <- 11L to 13L; hops <- Seq(1, 3)) {
+      val edges = randomEdges(n = 30, m = 55, seed)
+      val adj = (edges.toSeq ++ edges.toSeq.map(_.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val nodes = adj.keySet
+      val seedNodes = nodes.filter(_ % 5 == 0)
+      // Brute: level-synchronous BFS from the whole seed set.
+      val expected = {
+        var dist = seedNodes.map(_ -> 0L).toMap
+        var frontier = seedNodes
+        for (d <- 1 to hops) {
+          frontier = frontier.flatMap(adj) -- dist.keySet
+          dist = dist ++ frontier.map(_ -> d.toLong)
+        }
+        nodes.map(n => n -> dist.get(n)).toMap
+      }
+      val df = edges.toSeq.toDF("u", "v")
+      val seedsDf = seedNodes.toSeq.toDF("node")
+      def run(limit: Long): Map[Long, Option[Long]] =
+        Graphs.hopDistance(df, seedsDf, maxHops = hops,
+            broadcastNodeLimit = limit)
+          .collect()
+          .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+          .toMap
+      assert(run(Long.MaxValue) === expected, s"seed $seed, hops $hops")
+      assert(run(0L) === expected, s"shuffle plan, seed $seed, hops $hops")
+    }
+  }
+
   test("frequentPairs matches brute-force support counting") {
     val sparkSession = spark
     import sparkSession.implicits._
