@@ -104,7 +104,10 @@ object Bench {
     // Bounded multi-source BFS (frontier-only joins over the copurchase
     // graph — the shrinking-state sibling of q_label_prop's full-state
     // rounds).
-    "q_hop_distance"
+    "q_hop_distance",
+    // Prefix-filtered exact set-similarity join (AllPairs/PPJoin) — the
+    // complete no-cap sibling of q_dedup_jaccard's df-capped index.
+    "q_dedup_prefix"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -148,7 +151,7 @@ object Bench {
     "q_classifier_auc", "q_classifier_calibration",
     "q_rank_fusion", "q_zipf_slope", "q_score_percentiles",
     "q_bm25_incremental", "q_classifier_auc_by_lang", "q_epoch_order",
-    "q_dedup_containment", "q_hop_distance")
+    "q_dedup_containment", "q_hop_distance", "q_dedup_prefix")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

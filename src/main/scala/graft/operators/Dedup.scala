@@ -690,6 +690,98 @@ object Dedup {
       .select("doc_a", "doc_b", "n_a", "n_b", "n_common", "containment")
   }
 
+  /** EXACT-COMPLETE set-similarity self-join via prefix filtering (the
+    * AllPairs/PPJoin candidate rule): every pair of documents with shingle
+    * Jaccard ≥ `threshold` — no LSH randomness, no df-cap recall loss, no
+    * sort-window miss. The one candidate generator in this family whose
+    * output is DEFINITIONALLY the brute-force all-pairs answer, which is
+    * exactly how the oracle checks it (an independent O(n²) join, never
+    * this algorithm).
+    *
+    * Why it is complete: order all shingle hashes by (global df asc, hash)
+    * — any total order works; rarest-first minimizes candidates. A pair
+    * with J ≥ t shares ≥ ⌈t·max(|A|,|B|)⌉ ≥ ⌈t·|A|⌉ hashes, so if A kept
+    * only its first |A| − ⌈t·|A|⌉ + 1 hashes (its PREFIX), the smallest
+    * shared hash in the order cannot be skipped by both sides' prefixes —
+    * hence candidates = pairs whose prefixes share ≥ 1 hash, a plain
+    * equi-join on prefix postings. The |B| ≥ t·|A| ∧ |A| ≥ t·|B| length
+    * filter rides in the same join condition. Exact array-intersect verify
+    * decides membership, so pruning can only cost work, never answers.
+    *
+    * Scale shape: one map-side-combined df aggregate (output = vocabulary),
+    * one doc-keyed window to rank each doc's hashes (groups = one doc's
+    * shingle set, never corpus-wide), then an equi-join whose work is
+    * Σ_h prefixdf(h)² — prefix postings concentrate on RARE hashes by
+    * construction (a hash with df > ~1/t · typical-doc-size appears in no
+    * prefix), which is the published reason AllPairs beats the plain
+    * inverted index without needing a recall-losing cap. The POSITIONAL
+    * filter (the "PP" of PPJoin) rides in the same join condition: a
+    * matched posting at ranks (i, j) can still contribute at most
+    * 1 + min(|A|−i, |B|−j) overlap, so rows that cannot reach the
+    * required ⌈t/(1+t)·(|A|+|B|)⌉ are dropped BEFORE the distinct —
+    * this turns the classic blow-up corpus (many small docs sharing one
+    * frequent hash) from Σ df² candidate rows into zero. At a truly
+    * adversarial corpus (thousands of near-identical docs) the surviving
+    * candidate set approaches the true near-dup pair count —
+    * output-sized, not a blow-up. All pruning bounds are integer
+    * arithmetic on a floor-to-micro threshold (rounding the threshold
+    * DOWN only widens prefixes/bounds), so float rounding can never drop
+    * a qualifying pair; membership itself is exact-verified either way. */
+  def prefixJaccard(docs: DataFrame, threshold: Double,
+                    textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    // Micro-integer threshold, floored: tm/1e6 <= threshold, and every
+    // pruning bound below is monotone in t, so pruning with tm is a
+    // (possibly slightly looser) SUPERSET of pruning with the exact t.
+    val tm = math.floor(threshold * 1e6).toLong
+    // Exact integer ⌈n/d⌉ in Column arithmetic: Spark's `/` is FLOATING
+    // division, so divide only after subtracting the remainder — the
+    // quotient is then an exact integer, and every operand here is far
+    // below 2^53, so the double round-trip is lossless.
+    def ceilDiv(num: Column, den: Long): Column = {
+      val n = num + lit(den - 1L)
+      ((n - pmod(n, lit(den))) / lit(den)).cast("long")
+    }
+    // (id, hs) feeds the df pass, the ranking pass, and both verify sides.
+    val hashed = docs.select(col(idCol), shingleHashes(col(textCol)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .localCheckpoint(eager = true)
+    val postings = hashed.select(col(idCol), explode(col("hs")).as("h"),
+      size(col("hs")).cast("long").as("s"))
+    val dfs = postings.groupBy("h").agg(count(lit(1)).as("df"))
+    val ranked = postings.join(dfs, "h")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("df"), col("h"))).cast("long"))
+    // Prefix length |d| − ⌈t·|d|⌉ + 1 (⌈⌉ via integer micro arithmetic).
+    val prefix = ranked
+      .filter(col("rn") <= col("s") - ceilDiv(col("s") * tm, 1000000L) + lit(1L))
+      .select(col(idCol).as("id"), col("h"), col("s"), col("rn"))
+    // Required overlap for the pair: α = ⌈t/(1+t)·(|A|+|B|)⌉ =
+    // ceilDiv(tm·(sa+sb), 1e6+tm); a matched posting at ranks (i, j) has
+    // remaining-overlap upper bound 1 + min(|A|−i, |B|−j). The pair's
+    // smallest-order common hash always satisfies the bound when J ≥ t,
+    // so per-row pruning before the distinct cannot lose a true pair.
+    val alpha = ceilDiv(lit(tm) * (col("a.s") + col("b.s")), 1000000L + tm)
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          col("a.s") * tm <= col("b.s") * 1000000L &&
+          col("b.s") * tm <= col("a.s") * 1000000L &&
+          lit(1L) + least(col("a.s") - col("a.rn"), col("b.s") - col("b.rn"))
+            >= alpha)
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    val ha = hashed.select(col(idCol).as("doc_a"), col("hs").as("hs_a"))
+    val hb = hashed.select(col(idCol).as("doc_b"), col("hs").as("hs_b"))
+    val jaccard = SqlLet.let(size(array_intersect(col("hs_a"), col("hs_b"))), inter =>
+      inter.cast("double") / (size(col("hs_a")) + size(col("hs_b")) - inter))
+    cand.join(ha, "doc_a").join(hb, "doc_b")
+      .withColumn("jaccard", jaccard)
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** SimHash near-dup pairs: candidates share the 16-bit prefix bucket
     * (blocking — same discipline as the minhash bands), verified by hamming
     * distance over the full 32-bit signature. Output

@@ -56,6 +56,14 @@ object DedupPack extends QueryPack {
       Dedup.ngramContainment(table(s, dir, "documents"), threshold = 0.5,
         maxDf = 30L)
     },
+    // Prefix-filtered EXACT set-similarity join (AllPairs/PPJoin): the
+    // complete Jaccard>=t pair set, no cap/banding recall trade — the
+    // oracle is an independent brute-force all-pairs join, never this
+    // algorithm's candidate chain.
+    "q_dedup_prefix" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Dedup.prefixJaccard(table(s, dir, "documents"), threshold = 0.5)
+    },
     // Sorted-neighborhood method: candidates from sort adjacency (window
     // 6 over the normalized-text order), exact shingle-Jaccard verify —
     // the linear-candidate classic beside the LSH/simhash/inverted-index
@@ -423,6 +431,24 @@ object DedupPack extends QueryPack {
         |SELECT doc_a, doc_b, n_a, n_b, n_common,
         |  n_common::DOUBLE / least(n_a, n_b) AS containment
         |FROM v WHERE n_common::DOUBLE / least(n_a, n_b) >= 0.5""".stripMargin,
+    // Prefix filtering is COMPLETE, so the oracle is the independent
+    // brute-force all-pairs join over the same shingle-hash sets — it
+    // shares no candidate machinery with the engine's algorithm.
+    "q_dedup_prefix" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(
+        |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) sh FROM w),
+        |h AS (SELECT doc_id, list_distinct(
+        |  [('0x' || substr(md5(s), 1, 8))::BIGINT for s in sh]) hs FROM sh
+        |  WHERE len(sh) > 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+        |    (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+        |    (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= 0.5""".stripMargin,
     // SNM: row_number over the normalized-text total order; candidate =
     // rank distance 1..5; verify = the exact Jaccard twin of
     // q_dedup_jaccard (empty-shingle docs excluded on both engines).

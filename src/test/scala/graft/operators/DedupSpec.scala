@@ -179,6 +179,80 @@ class DedupSpec extends SparkSpec {
     assert(viaIndex.forall { case (a, b) => !Set(a, b).contains(2L) && !Set(a, b).contains(4L) })
   }
 
+  test("prefixJaccard equals brute force on random corpora (completeness)") {
+    val s = spark; import s.implicits._
+    GraftExtensions.register(spark)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 2) {
+      val base = (0 until 30).map { i =>
+        (i.toLong,
+          Vector.fill(8 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+            .mkString(" "))
+      }
+      // Planted near-dups: copies with one word swapped — high-Jaccard
+      // pairs the random base alone would rarely produce.
+      val planted = (0 until 8).map { j =>
+        val ws = base(rnd.nextInt(base.size))._2.split(" ")
+        ws(rnd.nextInt(ws.length)) = vocab(rnd.nextInt(vocab.size))
+        (100L + j, ws.mkString(" "))
+      }
+      val corpus = (base ++ planted).toDF("doc_id", "text")
+      val hs = corpus
+        .select(col("doc_id"), Dedup.shingleHashes(col("text")).as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+        .filter(_._2.nonEmpty)
+      for (t <- Seq(0.5, 0.75)) {
+        val brute = (for {
+          (a, ha) <- hs; (b, hb) <- hs if a < b
+          inter = (ha intersect hb).size
+          j = inter.toDouble / (ha.size + hb.size - inter) if j >= t
+        } yield (a, b, j)).toSet
+        val got = Dedup.prefixJaccard(corpus, t).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(got === brute, s"trial $trial threshold $t")
+        assert(brute.nonEmpty, s"trial $trial threshold $t must plant pairs")
+      }
+    }
+  }
+
+  test("prefixJaccard keeps pairs the df-capped index structurally drops") {
+    val s = spark; import s.implicits._
+    GraftExtensions.register(spark)
+    // 40 identical docs: every shingle's df = 40 > maxDf = 30, so the
+    // capped inverted index generates ZERO candidates — the documented
+    // recall trade. Prefix filtering has no cap: all C(40,2) exact-dup
+    // pairs at Jaccard 1.0 must come back.
+    val herd = (0L until 40L)
+      .map(i => (i, "spark shuffles partitions across the cluster stages"))
+      .toDF("doc_id", "text")
+    assert(Dedup.ngramJaccard(herd, threshold = 0.5, maxDf = 30L).count() === 0L)
+    val got = Dedup.prefixJaccard(herd, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === 40 * 39 / 2)
+    assert(got.forall(_._3 === 1.0))
+  }
+
+  test("prefixJaccard positional filter prunes the shared-frequent-hash corpus") {
+    val s = spark; import s.implicits._
+    GraftExtensions.register(spark)
+    // 200 docs of TWO shingles each: one unique, one shared by all — with
+    // |d| = 2 and t = 0.5 the whole set is prefix, so plain AllPairs
+    // emits ~n²/2 candidate rows on the shared hash with ZERO true pairs
+    // (J = 1/3 < t). The positional filter bound at the shared hash's
+    // last-rank match is 1 < α = ⌈t/(1+t)·4⌉ = 2, so PPJoin prunes every
+    // one BEFORE the distinct. Correctness side: only the planted
+    // identical pair may appear.
+    val filler = (0L until 200L).map(i => (i, s"uniq$i alpha beta gamma"))
+    val planted = Seq((900L, "shared alpha beta gamma"),
+      (901L, "shared alpha beta gamma"))
+    val got = Dedup.prefixJaccard((filler ++ planted).toDF("doc_id", "text"),
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((900L, 901L, 1.0)))
+  }
+
   test("rolling_hash: code-point fold, normalization-sensitive, CJK-safe") {
     GraftExtensions.register(spark)
     val sparkSession = spark
