@@ -731,19 +731,7 @@ object Dedup {
                     textCol: String = "text", idCol: String = "doc_id")
       : DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
-    import org.apache.spark.sql.expressions.Window
-    // Micro-integer threshold, floored: tm/1e6 <= threshold, and every
-    // pruning bound below is monotone in t, so pruning with tm is a
-    // (possibly slightly looser) SUPERSET of pruning with the exact t.
-    val tm = math.floor(threshold * 1e6).toLong
-    // Exact integer ⌈n/d⌉ in Column arithmetic: Spark's `/` is FLOATING
-    // division, so divide only after subtracting the remainder — the
-    // quotient is then an exact integer, and every operand here is far
-    // below 2^53, so the double round-trip is lossless.
-    def ceilDiv(num: Column, den: Long): Column = {
-      val n = num + lit(den - 1L)
-      ((n - pmod(n, lit(den))) / lit(den)).cast("long")
-    }
+    val tm = microThreshold(threshold)
     // (id, hs) feeds the df pass, the ranking pass, and both verify sides.
     val hashed = docs.select(col(idCol), shingleHashes(col(textCol)).as("hs"))
       .filter(size(col("hs")) > 0)
@@ -751,19 +739,13 @@ object Dedup {
     val postings = hashed.select(col(idCol), explode(col("hs")).as("h"),
       size(col("hs")).cast("long").as("s"))
     val dfs = postings.groupBy("h").agg(count(lit(1)).as("df"))
-    val ranked = postings.join(dfs, "h")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("df"), col("h"))).cast("long"))
-    // Prefix length |d| − ⌈t·|d|⌉ + 1 (⌈⌉ via integer micro arithmetic).
-    val prefix = ranked
-      .filter(col("rn") <= col("s") - ceilDiv(col("s") * tm, 1000000L) + lit(1L))
-      .select(col(idCol).as("id"), col("h"), col("s"), col("rn"))
+    val prefix = rankedPrefix(postings.join(dfs, "h"), tm, idCol)
     // Required overlap for the pair: α = ⌈t/(1+t)·(|A|+|B|)⌉ =
     // ceilDiv(tm·(sa+sb), 1e6+tm); a matched posting at ranks (i, j) has
     // remaining-overlap upper bound 1 + min(|A|−i, |B|−j). The pair's
     // smallest-order common hash always satisfies the bound when J ≥ t,
     // so per-row pruning before the distinct cannot lose a true pair.
-    val alpha = ceilDiv(lit(tm) * (col("a.s") + col("b.s")), 1000000L + tm)
+    val alpha = ceilDivCol(lit(tm) * (col("a.s") + col("b.s")), 1000000L + tm)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           col("a.s") * tm <= col("b.s") * 1000000L &&
@@ -780,6 +762,90 @@ object Dedup {
       .withColumn("jaccard", jaccard)
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Micro-integer threshold, floored: tm/1e6 ≤ threshold, and every
+    * PPJoin pruning bound is monotone in t, so pruning with tm is a
+    * (possibly slightly looser) SUPERSET of pruning with the exact t —
+    * float rounding can never drop a qualifying pair. */
+  private def microThreshold(threshold: Double): Long =
+    math.floor(threshold * 1e6).toLong
+
+  /** Exact integer ⌈n/d⌉ in Column arithmetic: Spark's `/` is FLOATING
+    * division, so divide only after subtracting the remainder — the
+    * quotient is then an exact integer, and every operand here is far
+    * below 2^53, so the double round-trip is lossless. */
+  private def ceilDivCol(num: Column, den: Long): Column = {
+    val n = num + lit(den - 1L)
+    ((n - pmod(n, lit(den))) / lit(den)).cast("long")
+  }
+
+  /** PPJoin prefix postings of one side: rank each doc's hashes under the
+    * given (already-joined) `df` order column, keep the first
+    * |d| − ⌈t·|d|⌉ + 1. Expects (idCol, h, s, df); the per-doc window's
+    * groups are one document's shingle set, never corpus-wide. */
+  private def rankedPrefix(postingsWithDf: DataFrame, tm: Long,
+                           idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    postingsWithDf
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("df"), col("h"))).cast("long"))
+      .filter(col("rn") <= col("s") - ceilDivCol(col("s") * tm, 1000000L) + lit(1L))
+      .select(col(idCol).as("id"), col("h"), col("s"), col("rn"))
+  }
+
+  /** Incremental PPJoin — [[prefixJaccard]]'s production form for
+    * continuous ingestion: every (batch, corpus) cross pair with shingle
+    * Jaccard ≥ `threshold`, COMPLETE like the self-join variant, at
+    * O(batch)-shaped per-batch cost. The hash order — and with it the
+    * corpus's prefix-posting index and df table — is FROZEN from the
+    * corpus alone; a batch hash unseen in the corpus sorts LAST
+    * (df = ∞ sentinel): it cannot match any corpus posting, so spending
+    * batch prefix slots on corpus-rare hashes instead maximizes pruning,
+    * and ANY shared total order preserves the completeness theorem.
+    * Prefix + positional + length filters are [[prefixJaccard]]'s
+    * verbatim, applied to the batch×index equi-join. In production the
+    * two `cPost`-derived tables are built once per corpus snapshot and
+    * persisted; here they rebuild per call, which only overstates the
+    * incremental cost. Output (batch_id, corpus_id, jaccard). */
+  def prefixJaccardIncremental(corpus: DataFrame, batch: DataFrame,
+                               threshold: Double, textCol: String = "text",
+                               idCol: String = "doc_id"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val tm = microThreshold(threshold)
+    val cHashed = corpus.select(col(idCol), shingleHashes(col(textCol)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .localCheckpoint(eager = true)
+    val bHashed = batch.select(col(idCol), shingleHashes(col(textCol)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .localCheckpoint(eager = true)
+    def posts(hashed: DataFrame) = hashed.select(col(idCol),
+      explode(col("hs")).as("h"), size(col("hs")).cast("long").as("s"))
+    val cPost = posts(cHashed)
+    // The frozen index: corpus df (the order) + corpus prefix postings.
+    val dfs = cPost.groupBy("h").agg(count(lit(1)).as("df"))
+    val cPrefix = rankedPrefix(cPost.join(dfs, "h"), tm, idCol)
+    val bPrefix = rankedPrefix(
+      posts(bHashed).join(dfs, Seq("h"), "left")
+        .withColumn("df", coalesce(col("df"), lit(Long.MaxValue))),
+      tm, idCol)
+    val alpha = ceilDivCol(lit(tm) * (col("b.s") + col("c.s")), 1000000L + tm)
+    val cand = bPrefix.as("b").join(cPrefix.as("c"),
+        col("b.h") === col("c.h") &&
+          col("b.s") * tm <= col("c.s") * 1000000L &&
+          col("c.s") * tm <= col("b.s") * 1000000L &&
+          lit(1L) + least(col("b.s") - col("b.rn"), col("c.s") - col("c.rn"))
+            >= alpha)
+      .select(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
+      .distinct()
+    val hb = bHashed.select(col(idCol).as("batch_id"), col("hs").as("hs_b"))
+    val hc = cHashed.select(col(idCol).as("corpus_id"), col("hs").as("hs_c"))
+    val jaccard = SqlLet.let(size(array_intersect(col("hs_b"), col("hs_c"))), inter =>
+      inter.cast("double") / (size(col("hs_b")) + size(col("hs_c")) - inter))
+    cand.join(hb, "batch_id").join(hc, "corpus_id")
+      .withColumn("jaccard", jaccard)
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "corpus_id", "jaccard")
   }
 
   /** SimHash near-dup pairs: candidates share the 16-bit prefix bucket

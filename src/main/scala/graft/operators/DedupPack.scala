@@ -64,6 +64,16 @@ object DedupPack extends QueryPack {
       graft.plans.GraftExtensions.register(s)
       Dedup.prefixJaccard(table(s, dir, "documents"), threshold = 0.5)
     },
+    // Incremental PPJoin: the src18/19 "new batch" scored against the
+    // frozen corpus prefix index — complete like q_dedup_prefix, O(batch)
+    // per call; oracle is the independent brute-force cross join.
+    "q_dedup_prefix_inc" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val docs = table(s, dir, "documents")
+      val isBatch = col("source").isin("src18", "src19")
+      Dedup.prefixJaccardIncremental(docs.filter(!isBatch),
+        docs.filter(isBatch), threshold = 0.5)
+    },
     // Sorted-neighborhood method: candidates from sort adjacency (window
     // 6 over the normalized-text order), exact shingle-Jaccard verify —
     // the linear-candidate classic beside the LSH/simhash/inverted-index
@@ -449,6 +459,24 @@ object DedupPack extends QueryPack {
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
         |    (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= 0.5""".stripMargin,
+    // Incremental PPJoin is complete like the self-join form, so the
+    // oracle is the brute-force batch×corpus cross join.
+    "q_dedup_prefix_inc" ->
+      """WITH w AS (SELECT doc_id, source, string_split_regex(
+        |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id, source, list_distinct(
+        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) sh FROM w),
+        |h AS (SELECT doc_id, source, list_distinct(
+        |  [('0x' || substr(md5(s), 1, 8))::BIGINT for s in sh]) hs FROM sh
+        |  WHERE len(sh) > 0)
+        |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+        |  CAST(len(list_intersect(b.hs, c.hs)) AS DOUBLE) /
+        |    (len(b.hs) + len(c.hs) - len(list_intersect(b.hs, c.hs))) AS jaccard
+        |FROM h b JOIN h c
+        |  ON b.source IN ('src18', 'src19') AND c.source NOT IN ('src18', 'src19')
+        |WHERE CAST(len(list_intersect(b.hs, c.hs)) AS DOUBLE) /
+        |    (len(b.hs) + len(c.hs) - len(list_intersect(b.hs, c.hs))) >= 0.5""".stripMargin,
     // SNM: row_number over the normalized-text total order; candidate =
     // rank distance 1..5; verify = the exact Jaccard twin of
     // q_dedup_jaccard (empty-shingle docs excluded on both engines).

@@ -79,6 +79,10 @@ object Soak {
         Graphs.labelPropagation(edges, seeds, iters = 3,
           broadcastNodeLimit = limit).count()
       }
+      timed(s"hop_distance_$tag") {
+        Graphs.hopDistance(edges, seeds.select("node"), maxHops = 3,
+          broadcastNodeLimit = limit).count()
+      }
     }
 
     // k-core peel over the ~sf1 simhash similarity graph (the q_kcore
@@ -105,6 +109,15 @@ object Soak {
       Dedup.scrubPassages(docs, w = 5, minDocs = 2L)
         .write.format("noop").mode("overwrite").save()
       docs.count() // output is docs-sized by construction
+    }
+
+    // PPJoin over the replicated corpus — deliberately ADVERSARIAL for a
+    // COMPLETE similarity join: every document's text recurs `reps`×, so
+    // the true answer alone holds C(reps,2) pairs per base doc (plus each
+    // shard's internal near-dups ×reps) — the output-sized-candidates
+    // regime the operator's scaladoc claims is its worst case.
+    timed("prefix_jaccard") {
+      Dedup.prefixJaccard(docs, 0.5).count()
     }
 
     // Non-iterative hot paths whose state is an in-memory artifact (CMS

@@ -234,6 +234,44 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_._3 === 1.0))
   }
 
+  test("prefixJaccardIncremental equals brute cross force; novel batch is a no-op") {
+    val s = spark; import s.implicits._
+    GraftExtensions.register(spark)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val rnd = new scala.util.Random(23)
+    val corpusDocs = (0 until 25).map { i =>
+      (i.toLong,
+        Vector.fill(8 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+    }
+    // Batch: near-dup edits of corpus docs + one doc over a DISJOINT
+    // vocabulary (every hash unseen in the corpus — the df=∞ path).
+    val batchDocs = (0 until 6).map { j =>
+      val ws = corpusDocs(rnd.nextInt(corpusDocs.size))._2.split(" ")
+      ws(rnd.nextInt(ws.length)) = vocab(rnd.nextInt(vocab.size))
+      (200L + j, ws.mkString(" "))
+    } :+ (300L, "foo bar baz qux quux corge grault")
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val batch = batchDocs.toDF("doc_id", "text")
+    def sets(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), Dedup.shingleHashes(col("text")).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+      .filter(_._2.nonEmpty)
+    val (ch, bh) = (sets(corpus), sets(batch))
+    for (t <- Seq(0.5, 0.75)) {
+      val brute = (for {
+        (b, hb) <- bh; (c, hc) <- ch
+        inter = (hb intersect hc).size
+        j = inter.toDouble / (hb.size + hc.size - inter) if j >= t
+      } yield (b, c, j)).toSet
+      val got = Dedup.prefixJaccardIncremental(corpus, batch, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === brute, s"threshold $t")
+      assert(got.forall(_._1 != 300L), "novel-vocabulary doc must not pair")
+    }
+  }
+
   test("prefixJaccard positional filter prunes the shared-frequent-hash corpus") {
     val s = spark; import s.implicits._
     GraftExtensions.register(spark)
