@@ -111,6 +111,53 @@ class DocPipelineSpec extends SparkSpec {
     assert(kept.get() === batch.size.toLong)
   }
 
+  test("foreachBatch incremental PPJoin vs a frozen corpus equals one-shot") {
+    // Dedup-at-ingest: each micro-batch is scored against the FROZEN
+    // corpus prefix index with the exact batch operator inside
+    // foreachBatch (the join is not a narrow transform, so this is its
+    // streaming form). Scoring is strictly batch×corpus — no
+    // batch-internal pairs — so the union over micro-batches must equal
+    // the one-shot run on all streamed docs REGARDLESS of how the stream
+    // was batched; that independence is the property pinned here.
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.plans.GraftExtensions.register(spark)
+
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val rnd = new scala.util.Random(37)
+    val corpusDocs = (0 until 25).map { i =>
+      (i.toLong,
+        Vector.fill(8 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+    }
+    val arriving = (0 until 12).map { j =>
+      val ws = corpusDocs(rnd.nextInt(corpusDocs.size))._2.split(" ")
+      if (j % 2 == 0) ws(rnd.nextInt(ws.length)) = vocab(rnd.nextInt(vocab.size))
+      (500L + j, ws.mkString(" "))
+    }
+    val corpus = corpusDocs.toDF("doc_id", "text").localCheckpoint(true)
+
+    val got = collection.mutable.Set.empty[(Long, Long, Double)]
+    val stream = MemoryStream[(Long, String)]
+    val query = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = Dedup.prefixJaccardIncremental(corpus, b, 0.5).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        got.synchronized { got ++= rows; () }
+      }
+      .start()
+    try {
+      for (b <- arriving.grouped(5)) { stream.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+
+    val oneShot = Dedup.prefixJaccardIncremental(corpus,
+        arriving.toDF("doc_id", "text"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.toSet === oneShot)
+    assert(oneShot.nonEmpty, "fixture must plant cross matches")
+  }
+
   test("streamed OOV monitoring through a broadcast tokenizer equals batch") {
     val sparkSession = spark
     import sparkSession.implicits._
