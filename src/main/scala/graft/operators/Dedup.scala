@@ -630,16 +630,25 @@ object Dedup {
     * [[ngramJaccard]] / [[ngramContainment]]: (doc_a, doc_b, hs_a, hs_b)
     * for every pair sharing ≥ 1 shingle hash with document frequency ≤
     * `maxDf` — the rare-posting self-join whose candidate count is bounded
-    * by Σ df² over kept postings. */
+    * by Σ df² over kept postings.
+    *
+    * `sizeRatioMicro` (0 = off): a Jaccard caller passes its threshold in
+    * micro units to fuse the J ≥ t ⟹ t·|A| ≤ |B| ≤ |A|/t LENGTH filter
+    * into the candidate join — pure pruning of pairs the threshold would
+    * drop anyway, so the OUTPUT (and therefore the oracle) is unchanged;
+    * the containment caller must leave it off (min-denominator similarity
+    * is exactly about tiny-in-big pairs the ratio filter would kill). */
   private def dfCappedPairs(docs: DataFrame, maxDf: Long,
-                            textCol: String, idCol: String): DataFrame = {
+                            textCol: String, idCol: String,
+                            sizeRatioMicro: Long = 0L): DataFrame = {
     // The hash-set table feeds FIVE plan branches (postings twice through
     // the self-join, the df-cap, and both verify sides) — materialize it
     // once instead of re-hashing the corpus per branch (localCheckpoint,
     // not persist: see nearDuplicates on cache-entry lifetime).
     val hashed = docs.select(col(idCol), shingleHashes(col(textCol)).as("hs"))
       .localCheckpoint(eager = true)
-    val postings = hashed.select(col(idCol), explode(col("hs")).as("h"))
+    val postings = hashed.select(col(idCol), explode(col("hs")).as("h"),
+      size(col("hs")).cast("long").as("s"))
     val rare = postings.groupBy("h")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -648,8 +657,12 @@ object Dedup {
     // Candidates share >= 1 posting, so the Jaccard denominator
     // |a| + |b| - |a∩b| >= max(|a|,|b|) >= 1 — no zero-division case here
     // (empty-shingle docs emit no postings and never become candidates).
-    val cand = pruned.as("a").join(pruned.as("b"),
-        col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
+    val joinCond = col("a.h") === col("b.h") &&
+      col(s"a.$idCol") < col(s"b.$idCol") &&
+      (if (sizeRatioMicro <= 0L) lit(true)
+       else col("a.s") * sizeRatioMicro <= col("b.s") * 1000000L &&
+         col("b.s") * sizeRatioMicro <= col("a.s") * 1000000L)
+    val cand = pruned.as("a").join(pruned.as("b"), joinCond)
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
     val ha = hashed.select(col(idCol).as("doc_a"), col("hs").as("hs_a"))
@@ -661,7 +674,8 @@ object Dedup {
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val jaccard = SqlLet.let(size(array_intersect(col("hs_a"), col("hs_b"))), inter =>
       inter.cast("double") / (size(col("hs_a")) + size(col("hs_b")) - inter))
-    dfCappedPairs(docs, maxDf, textCol, idCol)
+    dfCappedPairs(docs, maxDf, textCol, idCol,
+        sizeRatioMicro = microThreshold(threshold))
       .withColumn("jaccard", jaccard)
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
