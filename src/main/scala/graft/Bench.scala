@@ -108,7 +108,9 @@ object Bench {
     // Prefix-filtered exact set-similarity join (AllPairs/PPJoin) — the
     // complete no-cap sibling of q_dedup_jaccard's df-capped index — and
     // its batch-vs-frozen-index incremental form.
-    "q_dedup_prefix", "q_dedup_prefix_inc"
+    "q_dedup_prefix", "q_dedup_prefix_inc",
+    // LSH pair-level recall audit (complete PPJoin truth × banded found).
+    "q_dedup_recall"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -153,7 +155,7 @@ object Bench {
     "q_rank_fusion", "q_zipf_slope", "q_score_percentiles",
     "q_bm25_incremental", "q_classifier_auc_by_lang", "q_epoch_order",
     "q_dedup_containment", "q_hop_distance", "q_dedup_prefix",
-    "q_dedup_prefix_inc")
+    "q_dedup_prefix_inc", "q_dedup_recall")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -33,6 +33,13 @@ import graft.functions.{SqlLet, TextFunctions}
   *     classic LSH bound. At this fixture scale we carry the hash arrays
   *     through the join for the verify step; at 100 TB you'd re-join them by
   *     doc_id instead to keep shuffle rows narrow — same plan shape.
+  *   - exact-complete near-dup: [[prefixJaccard]] (PPJoin prefix +
+  *     positional filtering) returns the FULL J ≥ t pair set with no
+  *     banding randomness or cap recall loss — candidate work concentrates
+  *     on rare hashes and is output-sized on adversarial corpora; its
+  *     frozen-index form [[prefixJaccardIncremental]] scores a batch at
+  *     O(batch), and [[nearDupRecall]] uses the complete set as truth to
+  *     audit the LSH layer's recall per Jaccard decile.
   */
 object Dedup {
 
@@ -776,6 +783,29 @@ object Dedup {
       .withColumn("jaccard", jaccard)
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** LSH recall audit at the PAIR level — "measure, don't guess" for the
+    * banding layer, now measurable at corpus scale because
+    * [[prefixJaccard]] provides the COMPLETE truth set without a cross
+    * join: per Jaccard decile, how many true ≥-threshold pairs did the
+    * banded [[nearDuplicates]] path actually surface? The found set is
+    * verified on the same shingle sets, so found ⊆ truth and recall is a
+    * plain left join + one tiny aggregate; a decile whose recall sags is
+    * the signal to add bands or lower rows-per-band. All ratios are
+    * integer permille; the decile comes from the SAME double arithmetic
+    * on both engines (IEEE ops are bit-deterministic given identical
+    * inputs). Output (jaccard_decile, n_true, n_found, recall_permille). */
+  def nearDupRecall(docs: DataFrame, threshold: Double,
+                    textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    val truth = prefixJaccard(docs, threshold, textCol, idCol)
+    val found = nearDuplicates(docs, threshold, textCol, idCol)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    truth.join(found, Seq("doc_a", "doc_b"), "left")
+      .groupBy(floor(col("jaccard") * 10).cast("long").as("jaccard_decile"))
+      .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"))
+      .withColumn("recall_permille", expr("n_found * 1000 div n_true"))
   }
 
   /** Micro-integer threshold, floored: tm/1e6 ≤ threshold, and every

@@ -64,6 +64,13 @@ object DedupPack extends QueryPack {
       graft.plans.GraftExtensions.register(s)
       Dedup.prefixJaccard(table(s, dir, "documents"), threshold = 0.5)
     },
+    // LSH recall audit: per Jaccard decile, the fraction of TRUE
+    // >=threshold pairs (complete PPJoin truth) the banded LSH path
+    // surfaces — the dedup-family analogue of q_knn_recall.
+    "q_dedup_recall" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Dedup.nearDupRecall(table(s, dir, "documents"), Threshold)
+    },
     // Incremental PPJoin: the src18/19 "new batch" scored against the
     // frozen corpus prefix index — complete like q_dedup_prefix, O(batch)
     // per call; oracle is the independent brute-force cross join.
@@ -459,6 +466,23 @@ object DedupPack extends QueryPack {
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
         |    (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= 0.5""".stripMargin,
+    // Recall audit: truth = brute all-pairs (PPJoin is complete, so the
+    // oracle never runs the engine's algorithm), found = the LSH chain.
+    "q_dedup_recall" ->
+      s"""WITH $PairCtes,
+         |truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+         |      (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
+         |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |  WHERE len(a.hs) > 0 AND len(b.hs) > 0
+         |    AND CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+         |      (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= $Threshold)
+         |SELECT CAST(floor(t.jaccard * 10) AS BIGINT) AS jaccard_decile,
+         |  count(*) AS n_true, count(p.doc_a) AS n_found,
+         |  CAST(count(p.doc_a) * 1000 // count(*) AS BIGINT) AS recall_permille
+         |FROM truth t LEFT JOIN pairs p
+         |  ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+         |GROUP BY 1""".stripMargin,
     // Incremental PPJoin is complete like the self-join form, so the
     // oracle is the brute-force batch×corpus cross join.
     "q_dedup_prefix_inc" ->

@@ -272,6 +272,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("nearDupRecall: per-decile table equals brute truth x LSH found") {
+    val s = spark; import s.implicits._
+    GraftExtensions.register(spark)
+    // Graded-similarity corpus: pairs engineered across Jaccard deciles by
+    // sharing a variable-length common core — low deciles are where LSH
+    // recall actually sags, so the audit must book them against a truth
+    // it computes completely.
+    val rnd = new scala.util.Random(41)
+    def words(n: Int, tag: String) = Vector.tabulate(n)(i => s"${tag}_$i")
+    val docs = (0 until 12).flatMap { p =>
+      val core = words(4 + rnd.nextInt(20), s"core$p")
+      val da = (core ++ words(rnd.nextInt(10), s"a$p")).mkString(" ")
+      val db = (core ++ words(rnd.nextInt(10), s"b$p")).mkString(" ")
+      Seq((2L * p, da), (2L * p + 1, db))
+    }.toDF("doc_id", "text")
+    val t = 0.2
+    val truth = Dedup.prefixJaccard(docs, t).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val found = Dedup.nearDuplicates(docs, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(truth.keySet), "LSH found must verify within truth")
+    val expected = truth.groupBy { case (_, j) => math.floor(j * 10).toLong }
+      .map { case (d, m) =>
+        val nTrue = m.size.toLong
+        val nFound = m.keys.count(found).toLong
+        (d, nTrue, nFound, nFound * 1000L / nTrue)
+      }.toSet
+    val got = Dedup.nearDupRecall(docs, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+    assert(expected.size >= 3, "fixture must span several deciles")
+  }
+
   test("prefixJaccard positional filter prunes the shared-frequent-hash corpus") {
     val s = spark; import s.implicits._
     GraftExtensions.register(spark)
