@@ -109,8 +109,9 @@ object Bench {
     // complete no-cap sibling of q_dedup_jaccard's df-capped index — and
     // its batch-vs-frozen-index incremental form.
     "q_dedup_prefix", "q_dedup_prefix_inc",
-    // LSH pair-level recall audit (complete PPJoin truth × banded found).
-    "q_dedup_recall"
+    // LSH pair-level recall audit (complete PPJoin truth × banded found)
+    // and the data-card mode field (value-level agg + max-join argmax).
+    "q_dedup_recall", "q_profile_modes"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -155,7 +156,7 @@ object Bench {
     "q_rank_fusion", "q_zipf_slope", "q_score_percentiles",
     "q_bm25_incremental", "q_classifier_auc_by_lang", "q_epoch_order",
     "q_dedup_containment", "q_hop_distance", "q_dedup_prefix",
-    "q_dedup_prefix_inc", "q_dedup_recall")
+    "q_dedup_prefix_inc", "q_dedup_recall", "q_profile_modes")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

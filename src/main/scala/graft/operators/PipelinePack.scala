@@ -75,6 +75,11 @@ object PipelinePack extends QueryPack {
     "q_profile_docs" -> { (s, dir) =>
       Profiling.profile(table(s, dir, "documents"), ProfileCols)
     },
+    // The data-card mode field: each profiled column's most frequent
+    // value via the max-join argmax (never a per-column window).
+    "q_profile_modes" -> { (s, dir) =>
+      Profiling.modes(table(s, dir, "documents"), ProfileCols)
+    },
     // Fixed-width value histogram per event type: mergeable bins, one
     // map-side-combined aggregate.
     "q_histogram" -> { (s, dir) =>
@@ -270,6 +275,14 @@ object PipelinePack extends QueryPack {
          |  count(DISTINCT $c) AS n_distinct,
          |  min(CAST($c AS VARCHAR)) AS min_str,
          |  max(CAST($c AS VARCHAR)) AS max_str FROM documents""".stripMargin)
+      .mkString("\nUNION ALL\n"),
+    "q_profile_modes" -> ProfileCols.map(c =>
+      s"""SELECT '$c' AS col_name, min(value) AS top_value, max(cnt) AS top_count
+         |FROM (SELECT CAST($c AS VARCHAR) AS value, count(*) AS cnt
+         |      FROM documents WHERE $c IS NOT NULL GROUP BY 1)
+         |WHERE cnt = (SELECT max(cnt) FROM
+         |  (SELECT count(*) AS cnt FROM documents WHERE $c IS NOT NULL
+         |   GROUP BY CAST($c AS VARCHAR)))""".stripMargin)
       .mkString("\nUNION ALL\n"),
     "q_histogram" ->
       """SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin,

@@ -41,6 +41,35 @@ object Profiling {
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Per-column MODE — the data-card field [[profile]] lacks: each
+    * profiled column's most frequent non-null value (string-rendered, like
+    * profile's extrema) with its count; ties break to the smallest value.
+    *
+    * Scale shape: the value-level counts are one map-side-combined
+    * aggregate on (column, value); the argmax is a columns-sized max join
+    * + a min aggregate over the tied values — NEVER a window partitioned
+    * by column, whose per-partition sort would put an id-like column's
+    * every distinct value on one reducer. Columns with only null values
+    * emit no row (count(NULL-only) has no non-null mode). */
+  def modes(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "modes needs at least one column")
+    val stacked = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("value"))): _*))
+      .as("cv"))
+      .select(col("cv.col_name").as("col_name"), col("cv.value").as("value"))
+      .filter(col("value").isNotNull)
+    val perValue = stacked.groupBy("col_name", "value")
+      .agg(count(lit(1)).as("cnt"))
+    // Renamed join key: `top` shares perValue's lineage, so a same-name
+    // column reference would be ambiguous.
+    val top = perValue.groupBy("col_name").agg(max(col("cnt")).as("top_count"))
+      .withColumnRenamed("col_name", "_mode_col")
+    perValue.join(top,
+        col("col_name") === col("_mode_col") && col("cnt") === col("top_count"))
+      .groupBy(col("col_name"))
+      .agg(min(col("value")).as("top_value"), max(col("top_count")).as("top_count"))
+  }
+
   /** EXACT per-group quantiles of an integral column — the audited-pipeline
     * counterpart of [[Sketches.approxQuantiles]]: no sketch error bar, no
     * float interpolation, bit-identical on any engine. Each requested

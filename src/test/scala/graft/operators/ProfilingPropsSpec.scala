@@ -37,6 +37,33 @@ class ProfilingPropsSpec extends SparkSpec {
     }
   }
 
+  test("modes: brute-force agreement on random data; ties to min; null column absent") {
+    val s = spark; import s.implicits._
+    for (seed <- 1L to 3L) {
+      val rows = sample(Gen.listOfN(120,
+        Gen.zip(Gen.option(Gen.chooseNum(0L, 6L)),
+          Gen.option(Gen.oneOf("x", "y", "z")))), seed)
+      val df = rows.toDF("a", "b")
+        .withColumn("allnull", org.apache.spark.sql.functions.lit(null).cast("string"))
+      def brute(vs: Seq[String]): Option[(String, Long)] = {
+        val g = vs.filter(_ != null).groupBy(identity).view.mapValues(_.size.toLong)
+        if (g.isEmpty) None
+        else {
+          val m = g.values.max
+          Some((g.filter(_._2 == m).keys.min, m))
+        }
+      }
+      val expected = Seq(
+        "a" -> brute(rows.map(_._1.map(_.toString).orNull)),
+        "b" -> brute(rows.map(_._2.orNull)),
+        "allnull" -> None
+      ).collect { case (c, Some((v, n))) => (c, v, n) }.toSet
+      val got = Profiling.modes(df, Seq("a", "b", "allnull")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   /** In-memory sweep-line reference: brute-force per-day max over event
     * points (+ start-of-day carry). */
   private def refConcurrency(iv: Seq[(Long, Long)], dayUs: Long)
