@@ -111,7 +111,9 @@ object Bench {
     "q_dedup_prefix", "q_dedup_prefix_inc",
     // LSH pair-level recall audit (complete PPJoin truth × banded found)
     // and the data-card mode field (value-level agg + max-join argmax).
-    "q_dedup_recall", "q_profile_modes"
+    "q_dedup_recall", "q_profile_modes",
+    // Personalized PageRank (seed teleport, frontier-sparse contributions).
+    "q_ppr"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -156,7 +158,7 @@ object Bench {
     "q_rank_fusion", "q_zipf_slope", "q_score_percentiles",
     "q_bm25_incremental", "q_classifier_auc_by_lang", "q_epoch_order",
     "q_dedup_containment", "q_hop_distance", "q_dedup_prefix",
-    "q_dedup_prefix_inc", "q_dedup_recall", "q_profile_modes")
+    "q_dedup_prefix_inc", "q_dedup_recall", "q_profile_modes", "q_ppr")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -270,6 +270,63 @@ object Graphs {
     state.select(col("node"), col("label"))
   }
 
+  /** Personalized PageRank — [[pageRankFixedPoint]] with the teleport mass
+    * restricted to `seeds`: the data-SELECTION form of the walk (rank =
+    * stationary proximity to the seed set; pick high-rank documents to
+    * enrich a corpus toward the seeds, the classic PPR-sampling recipe).
+    * Identical integer discipline: 1e-12 fixed point, `div` contributions,
+    * DECIMAL(38,0) damped sums — bit-identical across engines and
+    * partitionings. Two deltas vs the global walk: per-node teleport
+    * `t = 0.15·Scale·[node ∈ seeds]` rides in the rank table next to the
+    * degree, and the contribution side drops `rank div d = 0` rows before
+    * the edge join — early rounds touch only edges near the seed WAVE
+    * (mass is zero elsewhere), so sparse-seed runs cost a frontier-sized
+    * join like [[hopDistance]], converging to the full edge join only as
+    * support spreads. Each round LEFT-joins the aggregate back onto the
+    * node universe so zero-mass nodes keep their degree and teleport.
+    * Output (node, rank_fp) over edge-touched nodes. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+                           broadcastNodeLimit: Long = BroadcastNodeLimit)
+      : DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val Scale = 1000000000000L
+    val dir = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(eager = true)
+    val deg = dir.groupBy("src").agg(count(lit(1)).as("d"))
+      .withColumnRenamed("src", "node")
+      .localCheckpoint(eager = true)
+    val smallState = deg.count() <= broadcastNodeLimit
+    // Node universe with per-node teleport units (seed-gated) — the
+    // constant side every round re-joins.
+    val base = deg.join(
+        maybeBroadcast(seeds.select(col("node")).distinct()
+          .withColumn("_s", lit(1L)), smallState),
+        Seq("node"), "left")
+      .select(col("node"), col("d"),
+        coalesce(col("_s") * lit(15L * Scale / 100L), lit(0L)).as("t"))
+      .localCheckpoint(eager = true)
+    var ranks = base.withColumn("rank_fp",
+      when(col("t") > 0L, lit(Scale)).otherwise(lit(0L)))
+    for (i <- 1 to iters) {
+      val contrib = dir.join(
+          maybeBroadcast(ranks
+            .select(col("node"), expr("rank_fp div d").as("c"))
+            .filter(col("c") > 0L), smallState),
+          dir("src") === col("node"))
+        .select(col("dst"), col("c"))
+      val mass = contrib.groupBy("dst")
+        .agg(sum(col("c").cast("decimal(38,0)")).as("s"))
+        .select(col("dst").as("node"),
+          expr("CAST((s * 85) div 100 AS BIGINT)").as("m"))
+      ranks = base.join(maybeBroadcast(mass, smallState), Seq("node"), "left")
+        .select(col("node"), col("d"), col("t"),
+          (col("t") + coalesce(col("m"), lit(0L))).as("rank_fp"))
+      if (i % 8 == 0 && i < iters) ranks = ranks.localCheckpoint(eager = true)
+    }
+    ranks.select(col("node"), col("rank_fp"))
+  }
+
   /** Multi-source BFS hop distance: dist(node) = length of the shortest
     * edge path from any seed, computed in `maxHops` rounds (nodes farther
     * than `maxHops` stay null — the bounded-radius form every

@@ -177,6 +177,15 @@ object PipelinePack extends QueryPack {
         .withColumn("label", col("node"))
       Graphs.labelPropagation(copurchaseEdges(s, dir), seeds, iters = 3)
     },
+    // Personalized PageRank from the same seed set: teleport restricted
+    // to seeds (the data-selection walk), 3 rounds, integer fixed point;
+    // zero-mass contributions dropped pre-join (frontier-sparse rounds).
+    "q_ppr" -> { (s, dir) =>
+      val seeds = table(s, dir, "lineitem")
+        .select(col("l_partkey").as("node")).distinct()
+        .filter(col("node") % 97 === 0)
+      Graphs.personalizedPageRank(copurchaseEdges(s, dir), seeds, iters = 3)
+    },
     // Multi-source BFS: hop distance from the same seed set, 3 bounded
     // rounds (nodes beyond 3 hops stay null) — the neighborhood-radius
     // audit; frontier-only joins, oracle unrolls propagate-from-all
@@ -479,6 +488,32 @@ object PipelinePack extends QueryPack {
          |${round(2)},
          |${round(3)}
          |SELECT node, label FROM r3""".stripMargin
+    },
+    // PPR: seed-gated teleport per node, LEFT-joined damped mass so
+    // zero-support nodes keep teleport; same integer fixed point as
+    // q_pagerank (HUGEINT sums // = Spark's DECIMAL div).
+    "q_ppr" -> {
+      def round(i: Int): String =
+        s"""r$i AS (SELECT n.node, n.d,
+           |  CAST((CASE WHEN n.node % 97 = 0 THEN 150000000000 ELSE 0 END)
+           |    + coalesce((m.s * 85) // 100, 0) AS BIGINT) AS rank_fp
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst, sum(r${i - 1}.rank_fp // r${i - 1}.d) AS s
+           |    FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+           |    GROUP BY 1) m ON n.node = m.dst)""".stripMargin
+      s"""WITH $CappedPl,
+         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+         |       FROM pl a JOIN pl b ON a.g = b.g AND a.p < b.p),
+         |e AS (SELECT u AS src, v AS dst FROM e0
+         |      UNION ALL SELECT v, u FROM e0),
+         |nodes AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+         |r0 AS (SELECT node, d, CASE WHEN node % 97 = 0
+         |       THEN CAST(1000000000000 AS BIGINT) ELSE CAST(0 AS BIGINT)
+         |       END AS rank_fp FROM nodes),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT node, rank_fp FROM r3""".stripMargin
     },
     // BFS distances: r0 seeds dist 0, each unrolled round min-combines
     // dist+1 pushed from every reached node (≡ the engine's frontier-only

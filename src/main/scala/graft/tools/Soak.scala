@@ -83,6 +83,10 @@ object Soak {
         Graphs.hopDistance(edges, seeds.select("node"), maxHops = 3,
           broadcastNodeLimit = limit).count()
       }
+      timed(s"ppr_$tag") {
+        Graphs.personalizedPageRank(edges, seeds.select("node"), iters = 3,
+          broadcastNodeLimit = limit).count()
+      }
     }
 
     // k-core peel over the ~sf1 simhash similarity graph (the q_kcore

@@ -167,6 +167,43 @@ class GraphPropsSpec extends SparkSpec {
     }
   }
 
+  test("personalizedPageRank: brute integer fixed-point, both join plans") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val Scale = 1000000000000L
+    for (seed <- 11L to 12L) {
+      // A seedless side component guarantees zero-rank nodes at any
+      // density of the random part.
+      val edges = randomEdges(n = 30, m = 55, seed) ++
+        Seq((101L, 102L), (102L, 103L), (103L, 104L))
+      val dir = edges.toSeq ++ edges.toSeq.map(_.swap)
+      val deg = dir.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val nodes = deg.keySet
+      val seedNodes = nodes.filter(_ % 5 == 0)
+      var rank = nodes.map(n =>
+        n -> (if (seedNodes(n)) Scale else 0L)).toMap
+      for (_ <- 1 to 3) {
+        val mass = dir.groupBy(_._2).view.mapValues(_.map { case (s, _) =>
+          BigInt(rank(s) / deg(s))
+        }.sum).toMap
+        rank = nodes.map { n =>
+          val t = if (seedNodes(n)) 15L * Scale / 100L else 0L
+          n -> (t + (mass.getOrElse(n, BigInt(0)) * 85 / 100).toLong)
+        }.toMap
+      }
+      val df = edges.toSeq.toDF("u", "v")
+      val seedsDf = seedNodes.toSeq.toDF("node")
+      def run(limit: Long): Map[Long, Long] =
+        Graphs.personalizedPageRank(df, seedsDf, iters = 3,
+            broadcastNodeLimit = limit)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(run(Long.MaxValue) === rank, s"seed $seed")
+      assert(run(0L) === rank, s"shuffle plan, seed $seed")
+      assert(rank.values.exists(_ > 0) && rank.values.exists(_ === 0L),
+        "fixture must have both reached and unreached nodes")
+    }
+  }
+
   test("frequentPairs matches brute-force support counting") {
     val sparkSession = spark
     import sparkSession.implicits._
