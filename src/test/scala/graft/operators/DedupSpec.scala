@@ -203,7 +203,9 @@ class DedupSpec extends SparkSpec {
         .select(col("doc_id"), Dedup.shingleHashes(col("text")).as("hs"))
         .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
         .filter(_._2.nonEmpty)
-      for (t <- Seq(0.5, 0.75)) {
+      // 0.5/0.75 are binary-exact; 0.7/0.21 exercise the floored
+      // micro-threshold pruning bounds (the float-rounding hazard class).
+      for (t <- Seq(0.5, 0.75, 0.7, 0.21)) {
         val brute = (for {
           (a, ha) <- hs; (b, hb) <- hs if a < b
           inter = (ha intersect hb).size
@@ -259,7 +261,7 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
       .filter(_._2.nonEmpty)
     val (ch, bh) = (sets(corpus), sets(batch))
-    for (t <- Seq(0.5, 0.75)) {
+    for (t <- Seq(0.5, 0.75, 0.7, 0.21)) {
       val brute = (for {
         (b, hb) <- bh; (c, hc) <- ch
         inter = (hb intersect hc).size
