@@ -112,8 +112,9 @@ object Bench {
     // LSH pair-level recall audit (complete PPJoin truth × banded found)
     // and the data-card mode field (value-level agg + max-join argmax).
     "q_dedup_recall", "q_profile_modes",
-    // Personalized PageRank (seed teleport, frontier-sparse contributions).
-    "q_ppr"
+    // Personalized PageRank (seed teleport, frontier-sparse contributions)
+    // and exact clusters (CC over the complete PPJoin pair graph).
+    "q_ppr", "q_dedup_clusters_exact"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -158,7 +159,8 @@ object Bench {
     "q_rank_fusion", "q_zipf_slope", "q_score_percentiles",
     "q_bm25_incremental", "q_classifier_auc_by_lang", "q_epoch_order",
     "q_dedup_containment", "q_hop_distance", "q_dedup_prefix",
-    "q_dedup_prefix_inc", "q_dedup_recall", "q_profile_modes", "q_ppr")
+    "q_dedup_prefix_inc", "q_dedup_recall", "q_profile_modes", "q_ppr",
+    "q_dedup_clusters_exact")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

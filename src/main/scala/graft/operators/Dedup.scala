@@ -432,6 +432,24 @@ object Dedup {
       maxIter)
       .select(col("node").as(idCol), col("cluster_id"))
 
+  /** EXACT near-dup clusters — [[clusters]] with the COMPLETE
+    * [[prefixJaccard]] pair graph instead of the banded LSH candidates:
+    * the assignment is a pure function of (corpus, threshold), so a
+    * re-run, a re-tuned banding, or another engine reproduces it
+    * bit-identically, and no true ≥-threshold pair can ever split a
+    * cluster. Same CC core (pre-partitioned cached edges, pointer
+    * doubling); the pair generation is the PPJoin whose cost SCALE.md
+    * measures at ~parity with the capped index. */
+  def clustersExact(docs: DataFrame, threshold: Double, maxIter: Int = 50,
+                    textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame =
+    connectedComponents(
+      docs.select(col(idCol).as("node")),
+      prefixJaccard(docs, threshold, textCol, idCol)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      maxIter)
+      .select(col("node").as(idCol), col("cluster_id"))
+
   /** The dedup pipeline's final artifacts over a [[clusters]] result: ids to
     * KEEP (one representative per cluster — the min-id member, which is the
     * cluster label itself) and the complementary ids to DROP. Narrow

@@ -94,6 +94,13 @@ object DedupPack extends QueryPack {
       graft.plans.GraftExtensions.register(s)
       Dedup.clusters(table(s, dir, "documents"), Threshold)
     },
+    // EXACT clusters: CC over the COMPLETE PPJoin pair graph — a pure
+    // function of (corpus, threshold); oracle closes over brute-force
+    // truth pairs, independent of every engine candidate chain.
+    "q_dedup_clusters_exact" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Dedup.clustersExact(table(s, dir, "documents"), Threshold)
+    },
     // Sketch-error audit: per verified near-dup pair, minhash-estimated
     // vs exact Jaccard (integer permille) — the LSH layer's operating
     // error, next to q_knn_recall's ANN recall ladder.
@@ -466,6 +473,31 @@ object DedupPack extends QueryPack {
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
         |    (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= 0.5""".stripMargin,
+    // Exact clusters: recursive closure over BRUTE-FORCE truth pairs
+    // (never the engine's candidate chain); same closure shape as
+    // q_dedup_clusters' oracle. SCALE NOTE like q_dedup_clusters: the
+    // closure is O(|component|²) — fine at the sf0.01 driver gate.
+    "q_dedup_clusters_exact" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(
+         |    trim(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), '\\s+') ws
+         |  FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(
+         |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) sh FROM w),
+         |h AS (SELECT doc_id, list_distinct(
+         |  [('0x' || substr(md5(s), 1, 8))::BIGINT for s in sh]) hs FROM sh
+         |  WHERE len(sh) > 0),
+         |tpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+         |    (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= $Threshold),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM tpairs
+         |  UNION SELECT doc_b, doc_a FROM tpairs),
+         |reach(a, b) AS (SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(least(min(r.b), d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
+         |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+         |GROUP BY d.doc_id""".stripMargin,
     // Recall audit: truth = brute all-pairs (PPJoin is complete, so the
     // oracle never runs the engine's algorithm), found = the LSH chain.
     "q_dedup_recall" ->

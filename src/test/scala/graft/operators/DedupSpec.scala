@@ -274,6 +274,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("clustersExact: agrees with LSH clusters on the fixture; groups the herd") {
+    val s = spark; import s.implicits._
+    GraftExtensions.register(spark)
+    // Where LSH recall is full (this fixture), exact and banded clusters
+    // must coincide; the herd pins the no-candidate-loss guarantee.
+    val viaLsh = Dedup.clusters(docs, 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Dedup.clustersExact(docs, 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact === viaLsh)
+    val herd = (0L until 40L)
+      .map(i => (i, "spark shuffles partitions across the cluster stages"))
+      .toDF("doc_id", "text")
+    val herdClusters = Dedup.clustersExact(herd, 0.5).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(herdClusters === Set(0L), "identical docs must form one cluster")
+  }
+
   test("nearDupRecall: per-decile table equals brute truth x LSH found") {
     val s = spark; import s.implicits._
     GraftExtensions.register(spark)
