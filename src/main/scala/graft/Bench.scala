@@ -114,7 +114,9 @@ object Bench {
     "q_dedup_recall", "q_profile_modes",
     // Personalized PageRank (seed teleport, frontier-sparse contributions)
     // and exact clusters (CC over the complete PPJoin pair graph).
-    "q_ppr", "q_dedup_clusters_exact"
+    "q_ppr", "q_dedup_clusters_exact",
+    // Weighted bounded shortest path (improved-frontier Bellman-Ford).
+    "q_weighted_hops"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -160,7 +162,7 @@ object Bench {
     "q_bm25_incremental", "q_classifier_auc_by_lang", "q_epoch_order",
     "q_dedup_containment", "q_hop_distance", "q_dedup_prefix",
     "q_dedup_prefix_inc", "q_dedup_recall", "q_profile_modes", "q_ppr",
-    "q_dedup_clusters_exact")
+    "q_dedup_clusters_exact", "q_weighted_hops")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

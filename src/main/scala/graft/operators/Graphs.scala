@@ -367,6 +367,59 @@ object Graphs {
     state.select(col("node"), col("dist"))
   }
 
+  /** Bounded WEIGHTED shortest path — [[hopDistance]]'s min-PLUS sibling:
+    * dist(node) = minimum total edge weight over paths of ≤ `maxHops`
+    * edges from any seed (k-round Bellman–Ford; nodes unreachable within
+    * the bound stay null). Each round relaxes edges only from the
+    * IMPROVED frontier — nodes whose distance changed last round — which
+    * is exact for the same reason hopDistance's first-reach frontier is:
+    * an unimproved node already pushed its (identical) candidates in an
+    * earlier round and min-combine absorbs re-sends, so the oracle's
+    * relax-from-all unroll is definitionally equal. Unlike hopDistance
+    * the frontier needs computing (improvement ≠ first reach): one
+    * node-keyed join of consecutive states per round — node-sized, the
+    * same scale class as the round's aggregate. Weights must be
+    * non-negative (relaxation never revisits a settled optimum within the
+    * bound either way — the guard is for semantics, not correctness of
+    * the unroll). Input edges (u, v, w); output (node, dist). */
+  def weightedHopDistance(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+                          broadcastNodeLimit: Long = BroadcastNodeLimit)
+      : DataFrame = {
+    require(maxHops >= 1, "need at least one hop")
+    val dir = edges.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst"), col("w")))
+      .localCheckpoint(eager = true)
+    val nodes = dir.select(col("src").as("node")).distinct()
+      .localCheckpoint(eager = true)
+    val smallState = nodes.count() <= broadcastNodeLimit
+    var state = nodes.join(
+      maybeBroadcast(seeds.select(col("node")).distinct()
+        .withColumn("dist", lit(0L)), smallState),
+      Seq("node"), "left")
+    var frontier = state.filter(col("dist").isNotNull)
+      .select(col("node").as("f_node"), col("dist").as("f_dist"))
+    for (i <- 1 to maxHops) {
+      val relaxed = dir.join(maybeBroadcast(frontier, smallState),
+          dir("src") === col("f_node"))
+        .select(col("dst").as("node"), (col("f_dist") + col("w")).as("dist"))
+      val next = state.select(col("node"), col("dist"))
+        .unionByName(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = true)
+      if (i < maxHops) {
+        // Improved = strictly smaller than the previous round's value
+        // (first reach included: old null, new set).
+        frontier = next.join(
+            state.select(col("node"), col("dist").as("_old")), Seq("node"))
+          .filter(col("dist").isNotNull &&
+            (col("_old").isNull || col("dist") < col("_old")))
+          .select(col("node").as("f_node"), col("dist").as("f_dist"))
+      }
+      state = next
+    }
+    state.select(col("node"), col("dist"))
+  }
+
   /** FIXED-POINT seeded label propagation — the limit of
     * [[labelPropagation]] as `iters → ∞` — computed WITHOUT walking hops:
     * min-label propagation converges, per connected component, to the

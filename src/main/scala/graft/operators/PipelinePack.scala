@@ -196,6 +196,18 @@ object PipelinePack extends QueryPack {
         .filter(col("node") % 97 === 0)
       Graphs.hopDistance(copurchaseEdges(s, dir), seeds, maxHops = 3)
     },
+    // Weighted bounded shortest path: min-plus Bellman-Ford, 3 rounds,
+    // deterministic integer weights derived from the endpoints; the
+    // engine relaxes only the improved frontier (≡ relax-from-all under
+    // min-combine, which is what the oracle unrolls).
+    "q_weighted_hops" -> { (s, dir) =>
+      val seeds = table(s, dir, "lineitem")
+        .select(col("l_partkey").as("node")).distinct()
+        .filter(col("node") % 97 === 0)
+      val we = copurchaseEdges(s, dir)
+        .withColumn("w", lit(1L) + pmod(col("u") + col("v"), lit(3L)))
+      Graphs.weightedHopDistance(we, seeds, maxHops = 3)
+    },
     // The CONVERGED label assignment: fixpoint = per-component minimum
     // seed, computed via pointer-doubling CC instead of per-hop rounds;
     // the oracle derives the same thing from a recursive transitive
@@ -530,6 +542,28 @@ object PipelinePack extends QueryPack {
          |       FROM pl a JOIN pl b ON a.g = b.g AND a.p < b.p),
          |e AS (SELECT u AS src, v AS dst FROM e0
          |      UNION ALL SELECT v, u FROM e0),
+         |r0 AS (SELECT DISTINCT src AS node,
+         |       CASE WHEN src % 97 = 0 THEN CAST(0 AS BIGINT) END AS dist FROM e),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT node, dist FROM r3""".stripMargin
+    },
+    // Min-plus unroll: each round relaxes from EVERY reached node
+    // (≡ the engine's improved-frontier form under min-combine).
+    "q_weighted_hops" -> {
+      def round(i: Int): String =
+        s"""r$i AS (SELECT node, min(dist) AS dist FROM (
+           |  SELECT node, dist FROM r${i - 1}
+           |  UNION ALL
+           |  SELECT e.dst, r.dist + e.w FROM e JOIN r${i - 1} r ON e.src = r.node
+           |  WHERE r.dist IS NOT NULL) GROUP BY 1)""".stripMargin
+      s"""WITH $CappedPl,
+         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+         |       FROM pl a JOIN pl b ON a.g = b.g AND a.p < b.p),
+         |ew AS (SELECT u, v, 1 + (u + v) % 3 AS w FROM e0),
+         |e AS (SELECT u AS src, v AS dst, w FROM ew
+         |      UNION ALL SELECT v, u, w FROM ew),
          |r0 AS (SELECT DISTINCT src AS node,
          |       CASE WHEN src % 97 = 0 THEN CAST(0 AS BIGINT) END AS dist FROM e),
          |${round(1)},

@@ -167,6 +167,45 @@ class GraphPropsSpec extends SparkSpec {
     }
   }
 
+  test("weightedHopDistance: brute bounded Bellman-Ford, both join plans") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    for (seed <- 11L to 12L; hops <- Seq(1, 3)) {
+      val edges = randomEdges(n = 25, m = 45, seed)
+        .map { case (u, v) => (u, v, 1L + (u + v) % 4) }
+      val dirW = edges.toSeq ++ edges.toSeq.map { case (u, v, w) => (v, u, w) }
+      val nodes = dirW.map(_._1).toSet
+      val seedNodes = nodes.filter(_ % 5 == 0)
+      // Brute: k rounds of relax-from-all with min-combine.
+      var dist = nodes.map(n =>
+        n -> (if (seedNodes(n)) Some(0L) else None)).toMap
+      for (_ <- 1 to hops) {
+        val relaxed = dirW.flatMap { case (s0, d0, w) =>
+          dist(s0).map(x => d0 -> (x + w))
+        }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+        dist = dist.map { case (n, old) =>
+          n -> (old ++ relaxed.get(n)).reduceOption(_ min _)
+        }
+      }
+      val df = edges.toSeq.toDF("u", "v", "w")
+      val seedsDf = seedNodes.toSeq.toDF("node")
+      def run(limit: Long): Map[Long, Option[Long]] =
+        Graphs.weightedHopDistance(df, seedsDf, maxHops = hops,
+            broadcastNodeLimit = limit)
+          .collect()
+          .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+          .toMap
+      assert(run(Long.MaxValue) === dist, s"seed $seed, hops $hops")
+      assert(run(0L) === dist, s"shuffle plan, seed $seed, hops $hops")
+    }
+    // A 2-edge cheap path must beat a 1-edge expensive one (min-PLUS, not
+    // min-hop): 0 -5-> 2 but 0 -1-> 1 -1-> 2.
+    val tri = Seq((0L, 2L, 5L), (0L, 1L, 1L), (1L, 2L, 1L)).toDF("u", "v", "w")
+    val got = Graphs.weightedHopDistance(tri, Seq(0L).toDF("node"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
+
   test("personalizedPageRank: brute integer fixed-point, both join plans") {
     val sparkSession = spark
     import sparkSession.implicits._
