@@ -87,6 +87,12 @@ object Soak {
         Graphs.personalizedPageRank(edges, seeds.select("node"), iters = 3,
           broadcastNodeLimit = limit).count()
       }
+      timed(s"weighted_hops_$tag") {
+        Graphs.weightedHopDistance(
+          edges.withColumn("w", lit(1L) + pmod(col("u") + col("v"), lit(3L))),
+          seeds.select("node"), maxHops = 3,
+          broadcastNodeLimit = limit).count()
+      }
     }
 
     // k-core peel over the ~sf1 simhash similarity graph (the q_kcore
