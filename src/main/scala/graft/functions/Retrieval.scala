@@ -77,9 +77,7 @@ object Retrieval {
     require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
     val toks = tokenized(docs, idCol, textCol)
     // One-row corpus aggregate (N docs, S total tokens) fetched once.
-    val statsRow = toks.agg(count(lit(1)), sum(col("dl"))).head
-    val nDocs = statsRow.getLong(0)
-    val s = statsRow.getLong(1)
+    val (nDocs, s) = corpusStats(toks)
     // localCheckpoint: `matched` feeds BOTH the df aggregate and the scoring
     // join — without it Catalyst re-derives the whole corpus explode twice
     // (same sharing pattern as q_pmi_topk's grouped bigram table). The
@@ -107,6 +105,15 @@ object Retrieval {
   private def tokenized(docs: DataFrame, idCol: String, textCol: String) =
     docs.select(col(idCol), words(normalize(col(textCol))).as("toks"))
       .select(col(idCol), size(col("toks")).cast("long").as("dl"), col("toks"))
+
+  /** One-row (N docs, S total tokens) corpus aggregate. `sum` over zero
+    * rows is NULL — an EMPTY corpus must yield (0, 0) and flow through to
+    * an empty ranking, not NPE on the scalar fetch (ADVICE r8). */
+  private def corpusStats(toks: DataFrame): (Long, Long) = {
+    val r = toks.agg(count(lit(1)),
+      coalesce(sum(col("dl")), lit(0L)).cast("long")).head
+    (r.getLong(0), r.getLong(1))
+  }
 
   /** (doc, dl, term, tf) for the query terms only — filtered BEFORE the
     * aggregate, so the shuffle carries |Q|·df rows, not corpus tokens. */
@@ -140,11 +147,11 @@ object Retrieval {
                 idCol: String = "doc_id", textCol: String = "text"): Bm25Index = {
     require(queryTerms.nonEmpty, "bm25Index needs at least one query term")
     val toks = tokenized(corpus, idCol, textCol)
-    val statsRow = toks.agg(count(lit(1)), sum(col("dl"))).head
+    val (nDocs, s) = corpusStats(toks)
     val dfTbl = matchedTf(toks, queryTerms, idCol)
       .groupBy("term").agg(count(lit(1)).as("df"))
       .localCheckpoint(eager = true)
-    Bm25Index(statsRow.getLong(0), statsRow.getLong(1), dfTbl)
+    Bm25Index(nDocs, s, dfTbl)
   }
 
   /** Score `docs` against a prebuilt [[Bm25Index]] — the INCREMENTAL form:
@@ -158,13 +165,20 @@ object Retrieval {
     scoreMatched(matchedTf(tokenized(docs, idCol, textCol), queryTerms, idCol),
       index.nDocs, index.totalTokens, index.dfTbl, idCol)
 
-  /** The per-row hashed-linear margin fold of [[hashedLinearMargin]], as a
-    * composable Column (Scala lambda form of the same `aggregate` HOF, so
-    * callers can attach labels or other columns without a re-join). */
-  def marginOf(text: Column, dim: Long = 1024L): Column =
-    aggregate(words(normalize(text)), lit(0L),
+  /** The margin fold over an already-tokenized array column — the ONE
+    * definition of the hashed-linear arithmetic ([[marginOf]] and
+    * [[hashedLinearMargin]] both build on it, so the Spark-side fold
+    * cannot drift between the two forms; ADVICE r8). */
+  private def marginOfToks(toks: Column, dim: Long): Column =
+    aggregate(toks, lit(0L),
       (acc, w) => acc +
         ((call_function("md5_hash32", w) % lit(dim)) % lit(21L) - lit(10L)))
+
+  /** The per-row hashed-linear margin fold of [[hashedLinearMargin]], as a
+    * composable Column (same `aggregate` HOF, so callers can attach labels
+    * or other columns without a re-join). */
+  def marginOf(text: Column, dim: Long = 1024L): Column =
+    marginOfToks(words(normalize(text)), dim)
 
   /** Hashed bag-of-words linear-margin inference: feature id =
     * `md5_hash32(token) mod dim`, weight(f) = (f mod 21) − 10 ∈ [−10, 10],
@@ -178,16 +192,20 @@ object Retrieval {
     * corpus-wide filter inference.
     *
     * Requires `md5_hash32` registered ([[graft.plans.GraftExtensions]]).
-    * Output: (doc_id, lang, n_tokens, margin, kept). */
+    * `langCol` rides along for per-group evaluation when present
+    * (`None` for frames without a language column — the output then has
+    * no lang field). Output: (doc_id, [lang,] n_tokens, margin, kept). */
   def hashedLinearMargin(docs: DataFrame, dim: Long = 1024L,
                          idCol: String = "doc_id",
-                         textCol: String = "text"): DataFrame =
-    docs.select(col(idCol), col("lang"), words(normalize(col(textCol))).as("toks"))
-      .select(col(idCol), col("lang"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        expr(s"aggregate(toks, CAST(0 AS BIGINT), " +
-          s"(acc, w) -> acc + (((md5_hash32(w) % $dim) % 21) - 10))").as("margin"))
+                         textCol: String = "text",
+                         langCol: Option[String] = Some("lang")): DataFrame = {
+    val carried = langCol.toSeq.map(col)
+    docs.select(col(idCol) +: carried :+ words(normalize(col(textCol))).as("toks"): _*)
+      .select(col(idCol) +: carried :+
+        size(col("toks")).cast("long").as("n_tokens") :+
+        marginOfToks(col("toks"), dim).as("margin"): _*)
       .withColumn("kept", col("margin") > 0)
+  }
 
   /** Exact ROC-AUC of an integer score against a boolean label —
     * Mann–Whitney with tie-averaged ranks, computed WITHOUT a corpus-scale

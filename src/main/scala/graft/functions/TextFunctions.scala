@@ -257,16 +257,23 @@ object TextFunctions {
       freq, order = Seq(col("freq").desc, col("term").asc), out = "rank")
     val pts = ranked.select(bitLen(col("rank")).as("x"), bitLen(col("freq")).as("y"))
     val d38 = "decimal(38,0)"
+    // Degenerate fit — every x equal (single-rank-bucket vocabulary, e.g.
+    // one term), where n·Σx²−(Σx)² = 0 — yields NULL, not NaN: the slope
+    // of a one-point cloud is undefined, and NaN would poison any
+    // downstream drift comparison silently (cf. classifierAuc's
+    // single-class NULL). SqlLet so the denominator evaluates once.
+    val slope = SqlLet.let(
+      (col("n_terms").cast(d38) * col("sxx").cast(d38)
+        - col("sx").cast(d38) * col("sx").cast(d38)).cast("double"), den =>
+      when(den === 0.0d, lit(null).cast("double")).otherwise(round(
+        (col("n_terms").cast(d38) * col("sxy").cast(d38)
+          - col("sx").cast(d38) * col("sy").cast(d38)).cast("double") / den,
+        6)))
     pts.agg(count(lit(1)).cast("long").as("n_terms"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
       .select(col("n_terms"), col("sxy").cast("long").as("sxy"),
-        col("sxx").cast("long").as("sxx"),
-        round((col("n_terms").cast(d38) * col("sxy").cast(d38)
-            - col("sx").cast(d38) * col("sy").cast(d38)).cast("double")
-          / (col("n_terms").cast(d38) * col("sxx").cast(d38)
-            - col("sx").cast(d38) * col("sx").cast(d38)).cast("double"),
-          6).as("slope"))
+        col("sxx").cast("long").as("sxx"), slope.as("slope"))
   }
 
   /** DSIR-style importance weights: per-document integer log-ratio of a

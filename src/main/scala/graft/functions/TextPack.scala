@@ -265,7 +265,7 @@ object TextPack extends QueryPack {
         |SELECT lang, word, n, rank FROM r WHERE rank <= 5""".stripMargin,
     // Identical regression: x = bitlen(rank), y = bitlen(freq); cross
     // products in HUGEINT (the oracle's DECIMAL(38,0) twin), one rounded
-    // division.
+    // division; the degenerate all-x-equal case NULLs like the engine.
     "q_zipf_slope" ->
       s"""WITH n AS ($NormCte),
          |zw AS (SELECT unnest(string_split_regex(norm, '\\s+')) AS term FROM n),
@@ -278,8 +278,10 @@ object TextPack extends QueryPack {
          |    CAST(sum(x * y) AS BIGINT) AS sxy,
          |    CAST(sum(x * x) AS BIGINT) AS sxx FROM zp)
          |SELECT n_terms, sxy, sxx,
-         |  round((n_terms::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
-         |    / (n_terms::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE, 6) AS slope
+         |  CASE WHEN (n_terms::HUGEINT * sxx - sx::HUGEINT * sx) = 0 THEN NULL
+         |    ELSE round((n_terms::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE
+         |      / (n_terms::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE, 6)
+         |  END AS slope
          |FROM za""".stripMargin,
     "q_token_quantiles" ->
       """SELECT lang, count(*) AS n_docs,

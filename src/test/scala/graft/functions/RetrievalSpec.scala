@@ -265,6 +265,33 @@ class RetrievalSpec extends SparkSpec {
     assert(row.getDouble(3) < 0.0)
   }
 
+  test("bm25TopK / bm25Index on an EMPTY corpus return empty, not NPE") {
+    val empty = docs.filter(lit(false))
+    assert(Retrieval.bm25TopK(empty, Seq("apple")).count() === 0L)
+    val idx = Retrieval.bm25Index(empty, Seq("apple"))
+    assert(idx.nDocs === 0L && idx.totalTokens === 0L)
+    assert(Retrieval.bm25Score(docs, idx, Seq("nomatchterm")).count() === 0L)
+  }
+
+  test("zipfSlope: degenerate single-term vocabulary yields NULL slope, not NaN") {
+    val one = Seq((1L, "solo")).toDF("doc_id", "text")
+    val row = TextFunctions.zipfSlope(one).head()
+    assert(row.getLong(0) === 1L)
+    assert(row.isNullAt(3), s"slope should be NULL, got ${row.get(3)}")
+  }
+
+  test("hashedLinearMargin with langCol=None works on frames without a lang column") {
+    GraftExtensions.register(spark)
+    val noLang = docs.select("doc_id", "text")
+    val got = Retrieval.hashedLinearMargin(noLang, langCol = None)
+    assert(got.columns.toSeq === Seq("doc_id", "n_tokens", "margin", "kept"))
+    // Same margins as the lang-carrying form on the same texts.
+    val withLang = Retrieval.hashedLinearMargin(docs)
+      .select("doc_id", "margin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.select("doc_id", "margin").collect().foreach { r =>
+      assert(r.getLong(1) === withLang(r.getLong(0))) }
+  }
+
   test("hashedLinearMargin weights stay in [-10, 10] and margins are reproducible") {
     GraftExtensions.register(spark)
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
