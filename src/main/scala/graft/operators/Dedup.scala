@@ -230,13 +230,16 @@ object Dedup {
     * cheaper than a single fold carrying a 16-wide accumulator array), and
     * each `sig(j)` appears exactly once in the band-key expression tree, so
     * nothing is recomputed. */
-  private def bandStructs(text: Column): Column =
+  private def bandStructs(text: Column, bands: Int = Bands,
+                          rowsPerBand: Int = RowsPerBand): Column = {
+    require(bands >= 1 && rowsPerBand >= 1 && bands * rowsPerBand <= NumHashes,
+      s"band geometry ${bands}x$rowsPerBand exceeds the $NumHashes-hash signature")
     SqlLet.let(shingleHashes(text), hs =>
       SqlLet.let(call_function("minhash_sig", hs), sigv => {
-        val bandCols = (0 until Bands).map { b =>
-          val parts = (0 until RowsPerBand).flatMap { r =>
+        val bandCols = (0 until bands).map { b =>
+          val parts = (0 until rowsPerBand).flatMap { r =>
             val sep = if (r == 0) Seq(lit(s"${b + 1}:")) else Seq(lit("_"))
-            sep :+ element_at(sigv, b * RowsPerBand + r + 1).cast("string")
+            sep :+ element_at(sigv, b * rowsPerBand + r + 1).cast("string")
           }
           // concat (null-propagating) matches DuckDB ||; concat_ws would
           // silently skip a null minhash.
@@ -244,6 +247,7 @@ object Dedup {
         }
         array(bandCols: _*)
       }))
+  }
 
   /** Per-document banded LSH keys, exploded to `Bands` rows per document:
     * (idCol, band, hs). Documents with an EMPTY shingle set (fewer words
@@ -256,10 +260,16 @@ object Dedup {
                idCol: String = "doc_id",
                /** Extra columns carried through the banding (e.g. the
                  * side/source tag for [[crossNearDuplicatesBands]]). */
-               carryCols: Seq[String] = Nil): DataFrame =
+               carryCols: Seq[String] = Nil,
+               /** Band geometry; bands·rowsPerBand ≤ [[NumHashes]]. The
+                 * 4×4 default is what the oracles replicate — alternate
+                 * geometries ([[suggestBands]] output) are for tuned
+                 * deployments and the recall-floor specs. */
+               bands: Int = Bands,
+               rowsPerBand: Int = RowsPerBand): DataFrame =
     SqlLet.explodeOnce(
         docs.select((col(idCol) +: col(textCol) +: carryCols.map(col)): _*),
-        bandStructs(col(textCol)), "bs")
+        bandStructs(col(textCol), bands, rowsPerBand), "bs")
       .select((col(idCol) +: carryCols.map(col)) :+
         col("bs.band").as("band") :+ col("bs.hs").as("hs"): _*)
       .filter(size(col("hs")) > 0)
@@ -285,8 +295,11 @@ object Dedup {
                      textCol: String = "text",
                      idCol: String = "doc_id",
                      persistBands: Boolean = true,
-                     maxBand: Long = MaxBand): DataFrame = {
-    val raw = lshBands(docs, textCol, idCol)
+                     maxBand: Long = MaxBand,
+                     bands: Int = Bands,
+                     rowsPerBand: Int = RowsPerBand): DataFrame = {
+    val raw = lshBands(docs, textCol, idCol,
+      bands = bands, rowsPerBand = rowsPerBand)
     // Plain checkpoint, NOT pre-partitioned on band: a LogicalRDD's
     // recorded partitioning did not eliminate the self-join exchanges in
     // the measured plan (exchange count unchanged), so a repartition here
@@ -304,9 +317,9 @@ object Dedup {
     // unhinted, it degrades to a shuffle anti-join instead.
     val hot = all.groupBy("band").agg(count(lit(1)).as("_bsz"))
       .filter(col("_bsz") > maxBand).select("band")
-    val bands = all.join(hot, Seq("band"), "left_anti")
-    val a = bands.as("a")
-    val b = bands.as("b")
+    val kept = all.join(hot, Seq("band"), "left_anti")
+    val a = kept.as("a")
+    val b = kept.as("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col("a.hs").as("hs_a"),
@@ -489,7 +502,13 @@ object Dedup {
     * minimum node id reachable through `pairs` (columns `src`, `dst` —
     * treated as undirected; nodes absent from any pair label themselves).
     * Works over ANY similarity pair set — minhash pairs, simhash pairs,
-    * embedding near-dups. Output: (node, cluster_id). */
+    * embedding near-dups. Pointer-doubling rounds (O(log d)); if the
+    * `maxIter` cap is hit before convergence the loop CONTRACTS the graph
+    * through the partial labels and finishes with alternating large-star/
+    * small-star rounds ([[starContract]], r9) — convergent on any
+    * diameter, self-verified exact, so an adversarial chain-shaped
+    * component degrades to extra rounds instead of an outage.
+    * Output: (node, cluster_id). */
   /** Rounds the most recent [[connectedComponents]] call took to converge —
     * measurement/debug telemetry (CcProbe, perf notes), never consulted by
     * the operators themselves. */
@@ -579,17 +598,119 @@ object Dedup {
       current = next
       iter += 1
     }
+    // Labels at the cap are NOT the component minima — clusters/keep-lists
+    // would quietly disagree with the transitive closure. Instead of
+    // failing loud (the r7 behavior — at 100× one adversarial chain-shaped
+    // component turned clusters/label-prop/leakage into outages), CONTRACT
+    // the graph through the partial labels and finish with alternating
+    // large-star/small-star rounds (Kiveris et al., "Connected Components
+    // in MapReduce and Beyond") — the same edge-join + min-agg primitives,
+    // provably convergent on any diameter. The fallback's answer is
+    // exactness-VERIFIED below (every original edge must be a self-loop
+    // under the final labels), so a bug here fails loud, never silently.
+    val resolved =
+      if (!changed) current
+      else {
+        // Contract: each surviving edge connects two partial labels. The
+        // contracted node space is the label space — small relative to the
+        // original once maxIter doubling rounds have merged the easy mass.
+        // `edges` (cached, symmetric) rather than re-deriving `pairs` —
+        // the pair set upstream may be an expensive LSH/PPJoin chain.
+        val l1 = current.select(col("node").as("n1"), col("label").as("la"))
+        val l2 = current.select(col("node").as("n2"), col("label").as("lb"))
+        val contracted = edges
+          .join(l1, edges("src") === col("n1"))
+          .join(l2, edges("dst") === col("n2"))
+          .filter(col("la") =!= col("lb"))
+          .select(greatest(col("la"), col("lb")).as("src"),
+            least(col("la"), col("lb")).as("dst"))
+          .distinct()
+        val star = starContract(contracted, maxRounds = math.max(maxIter, 64))
+        val merged = current.join(
+            star.select(col("node").as("snode"), col("center")),
+            current("label") === col("snode"), "left")
+          .select(current("node"),
+            coalesce(col("center"), current("label")).as("label"))
+          .localCheckpoint(true)
+        // Exactness gate: under correct CC labels every original edge is a
+        // self-loop. One edge⋈labels⋈labels count — cheap next to the loop.
+        val lf = merged.select(col("node"), col("label"))
+        val bad = edges
+          .join(lf.select(col("node").as("n1"), col("label").as("la")),
+            edges("src") === col("n1"))
+          .join(lf.select(col("node").as("n2"), col("label").as("lb")),
+            edges("dst") === col("n2"))
+          .filter(col("la") =!= col("lb")).count()
+        if (bad != 0) throw new IllegalStateException(
+          s"connectedComponents star-fallback left $bad cross-component " +
+            "edge rows — labels are not a fixpoint (engine bug, not input)")
+        merged
+      }
     edges.unpersist()
-    // Silently-wrong beats loudly-wrong nowhere: labels at the cap are NOT
-    // the component minima, so clusters/keep-lists would quietly disagree
-    // with the transitive closure. Diameter > maxIter means the caller
-    // should raise the cap (rounds are cheap once converged — the loop
-    // exits early) or switch to large-star/small-star.
-    if (changed) throw new IllegalStateException(
-      s"connectedComponents did not converge within $maxIter rounds " +
-        "(labels still changing) — raise maxIter")
     lastRounds = iter // instrumentation only (see field scaladoc)
-    current.withColumnRenamed("label", "cluster_id")
+    resolved.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** Alternating large-star/small-star contraction to a fixpoint: returns
+    * (node, center) for every node of `edges0` (canonical src > dst rows),
+    * center = the component minimum. Each operation is one symmetric-or-
+    * directed grouping (min over neighbors) plus a relink projection —
+    * O(|E|) work per round, convergent in O(log² n) rounds on ANY diameter
+    * (no dependence on the longest chain, unlike plain label flooding).
+    * Fixpoint detection compares the edge multiset's (count, xxhash64 sum)
+    * across rounds; the caller's self-loop verification makes correctness
+    * independent of that checksum. Lineage truncates per round like the
+    * doubling loop (nested plans OOM the planner by ~15 rounds). */
+  private def starContract(edges0: DataFrame, maxRounds: Int): DataFrame = {
+    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+      // Decimal sum: xxhash64 values span the full long range, so a long
+      // sum overflows (ANSI throws) — same discipline as the label sums.
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    // Large-star: every node's strictly-LARGER neighbors relink to
+    // m = min(Γ(u) ∪ {u}). Output stays canonical: v > u ≥ m.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy("src").agg(min("dst").as("mn"))
+      sym.join(mins, "src")
+        .select(col("dst").as("v"), least(col("mn"), col("src")).as("m"))
+        .filter(col("v") > col("m"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    // Small-star: every node's smaller-side neighbors (and the node) relink
+    // to the min of the smaller side. Directed larger→smaller input only.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("src").agg(min("dst").as("m"))
+      val relinked = e.join(mins, "src")
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      relinked.union(mins.select(col("src"), col("m").as("dst")))
+        .distinct()
+    }
+    var cur = edges0.localCheckpoint(true)
+    var sig = checksum(cur)
+    var round = 0
+    var stable = cur.isEmpty
+    while (!stable && round < maxRounds) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nextSig = checksum(next)
+      stable = nextSig == sig
+      sig = nextSig
+      cur = next
+      round += 1
+    }
+    if (!stable) throw new IllegalStateException(
+      s"large-star/small-star did not reach a fixpoint in $maxRounds rounds")
+    // At the fixpoint every edge is (member, center); centers label
+    // themselves. groupBy-min rather than trusting single-parent shape —
+    // costs one node-sized aggregate, robust to a non-star fixpoint.
+    cur.select(col("src").as("node"), col("dst").as("center"))
+      .union(cur.select(col("dst").as("node"), col("dst").as("center")))
+      .groupBy("node").agg(min("center").as("center"))
   }
 
   /** Exact n-gram Jaccard near-dup — the inverted-index alternative to LSH:
@@ -784,15 +905,7 @@ object Dedup {
     // remaining-overlap upper bound 1 + min(|A|−i, |B|−j). The pair's
     // smallest-order common hash always satisfies the bound when J ≥ t,
     // so per-row pruning before the distinct cannot lose a true pair.
-    val alpha = ceilDivCol(lit(tm) * (col("a.s") + col("b.s")), 1000000L + tm)
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
-          col("a.s") * tm <= col("b.s") * 1000000L &&
-          col("b.s") * tm <= col("a.s") * 1000000L &&
-          lit(1L) + least(col("a.s") - col("a.rn"), col("b.s") - col("b.rn"))
-            >= alpha)
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .distinct()
+    val cand = prefixCandidates(prefix, tm)
     val ha = hashed.select(col(idCol).as("doc_a"), col("hs").as("hs_a"))
     val hb = hashed.select(col(idCol).as("doc_b"), col("hs").as("hs_b"))
     val jaccard = SqlLet.let(size(array_intersect(col("hs_a"), col("hs_b"))), inter =>
@@ -826,6 +939,92 @@ object Dedup {
       .withColumn("recall_permille", expr("n_found * 1000 div n_true"))
   }
 
+  /** The banding S-curve: probability that a pair with Jaccard `j` shares
+    * at least one of `bands` bands of `rowsPerBand` minhashes each —
+    * S(j) = 1 − (1 − j^r)^b, the closed form [[nearDupRecall]] validates
+    * empirically and [[suggestBands]] optimizes over. */
+  def bandRecallAt(j: Double, bands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(j, rowsPerBand), bands)
+
+  /** One candidate LSH geometry with its closed-form operating point. */
+  final case class BandChoice(bands: Int, rowsPerBand: Int,
+                              /** S(threshold): worst-case catch probability
+                                * for a pair AT the threshold. */
+                              thresholdRecall: Double,
+                              /** S(fpRef): candidate probability for a
+                                * clearly-sub-threshold pair — the
+                                * precision/work proxy the choice minimizes. */
+                              fpRate: Double,
+                              /** Σ n_true(decile)·S(decile mid) / Σ n_true
+                                * over the MEASURED ≥-threshold pair-mass
+                                * distribution (NaN when the corpus has no
+                                * qualifying pairs). */
+                              weightedRecall: Double)
+
+  /** Auto-tune the LSH band geometry from the recall model the audit
+    * validates: the banding S-curve S(j) = 1 − (1 − j^r)^b is closed-form,
+    * and [[nearDupRecall]] measures it per decile against the complete
+    * PPJoin truth set — this is the step that ACTS on that measurement
+    * (r8 built the audit; nothing consumed it).
+    *
+    * Selection rule over the (b, r) grid with b·r ≤ `maxHashes`:
+    *
+    *   1. eligible ⇔ S(threshold) ≥ `recallFloor` — recall is evaluated AT
+    *      the threshold, the hardest point (S is increasing in j, so every
+    *      qualifying pair does at least this well);
+    *   2. among eligible, MINIMIZE S(`fpRef`), the catch probability of a
+    *      clearly-sub-threshold pair. Without this term the recall floor
+    *      alone always degenerates to r = 1 (catch everything, verify
+    *      everything) — candidate verification work, not recall, is what
+    *      the geometry actually trades;
+    *   3. ties: fewer total hashes, then fewer bands (signature compute,
+    *      then explode factor).
+    *
+    * The returned `weightedRecall` folds the MEASURED ≥-threshold pair-mass
+    * histogram (one complete [[prefixJaccard]] pass — the same truth set the
+    * audit uses) through the S-curve: the corpus-specific expected recall,
+    * for reporting beside the worst-case gate. Throws when no geometry
+    * within `maxHashes` meets the floor (raise the budget — silently
+    * returning a floor-missing geometry would defeat the audit).
+    *
+    * Driver-side closed-form math over a ≤`maxHashes`² grid plus one
+    * corpus truth pass; the suggestion plugs into [[nearDuplicates]]'
+    * `bands`/`rowsPerBand` parameters. */
+  def suggestBands(docs: DataFrame, threshold: Double,
+                   recallFloor: Double = 0.9,
+                   maxHashes: Int = NumHashes,
+                   fpRef: Double = -1.0,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): BandChoice = {
+    require(threshold > 0.0 && threshold < 1.0, "threshold in (0, 1)")
+    require(recallFloor > 0.0 && recallFloor < 1.0, "recallFloor in (0, 1)")
+    require(maxHashes >= 1, "maxHashes must be positive")
+    val fp = if (fpRef > 0) fpRef else threshold / 2
+    def s(j: Double, b: Int, r: Int): Double = bandRecallAt(j, b, r)
+    // Measured ≥-threshold pair mass per decile (≤ 10 rows collected).
+    val mass = prefixJaccard(docs, threshold, textCol, idCol)
+      .groupBy(floor(col("jaccard") * 10).cast("int").as("d"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = mass.values.sum
+    def weighted(b: Int, r: Int): Double =
+      if (total == 0) Double.NaN
+      else mass.map { case (d, n) =>
+        val mid = math.min((d / 10.0 + math.min(d / 10.0 + 0.1, 1.0)) / 2, 1.0)
+        n * s(mid, b, r)
+      }.sum / total
+    val grid = for {
+      r <- 1 to maxHashes
+      b <- 1 to maxHashes / r
+    } yield BandChoice(b, r, s(threshold, b, r), s(fp, b, r), weighted(b, r))
+    val eligible = grid.filter(_.thresholdRecall >= recallFloor)
+    if (eligible.isEmpty) throw new IllegalArgumentException(
+      f"no (bands, rowsPerBand) grid point with ≤ $maxHashes hashes reaches " +
+        f"recall $recallFloor%.2f at threshold $threshold%.2f — raise maxHashes")
+    eligible.minBy(c =>
+      (c.fpRate, c.bands * c.rowsPerBand, c.bands))
+  }
+
   /** Micro-integer threshold, floored: tm/1e6 ≤ threshold, and every
     * PPJoin pruning bound is monotone in t, so pruning with tm is a
     * (possibly slightly looser) SUPERSET of pruning with the exact t —
@@ -840,6 +1039,25 @@ object Dedup {
   private def ceilDivCol(num: Column, den: Long): Column = {
     val n = num + lit(den - 1L)
     ((n - pmod(n, lit(den))) / lit(den)).cast("long")
+  }
+
+  /** The PPJoin candidate self-join over a prefix-posting table —
+    * extracted so the adversarial-density soak (`tools.PrefixSoak`) can
+    * measure the candidate stage the exact code path produces. Condition:
+    * shared prefix hash + id order + both length filters + the positional
+    * bound (a posting matched at ranks (i, j) can contribute at most
+    * 1 + min(|A|−i, |B|−j) overlap, which must reach
+    * α = ⌈t/(1+t)·(|A|+|B|)⌉). */
+  private[graft] def prefixCandidates(prefix: DataFrame, tm: Long): DataFrame = {
+    val alpha = ceilDivCol(lit(tm) * (col("a.s") + col("b.s")), 1000000L + tm)
+    prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          col("a.s") * tm <= col("b.s") * 1000000L &&
+          col("b.s") * tm <= col("a.s") * 1000000L &&
+          lit(1L) + least(col("a.s") - col("a.rn"), col("b.s") - col("b.rn"))
+            >= alpha)
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
   }
 
   /** PPJoin prefix postings of one side: rank each doc's hashes under the
@@ -866,29 +1084,69 @@ object Dedup {
     * batch prefix slots on corpus-rare hashes instead maximizes pruning,
     * and ANY shared total order preserves the completeness theorem.
     * Prefix + positional + length filters are [[prefixJaccard]]'s
-    * verbatim, applied to the batch×index equi-join. In production the
-    * two `cPost`-derived tables are built once per corpus snapshot and
-    * persisted; here they rebuild per call, which only overstates the
-    * incremental cost. Output (batch_id, corpus_id, jaccard). */
+    * verbatim, applied to the batch×index equi-join. This form rebuilds
+    * the corpus tables per call (overstating incremental cost); the
+    * production steady-state — index built ONCE per corpus snapshot,
+    * persisted, batches scored against the frozen generation — is
+    * [[graft.store.PrefixIndexStore]], which shares [[prefixScoreBatch]]
+    * verbatim. Output (batch_id, corpus_id, jaccard). */
   def prefixJaccardIncremental(corpus: DataFrame, batch: DataFrame,
                                threshold: Double, textCol: String = "text",
                                idCol: String = "doc_id"): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val (cHashed, dfs, cPrefix) =
+      prefixIndexTables(corpus, threshold, textCol, idCol)
+    prefixScoreBatch(cHashed, dfs, cPrefix, batch, threshold, textCol, idCol)
+  }
+
+  /** The three corpus-side tables of the frozen PPJoin index — what
+    * [[graft.store.PrefixIndexStore]] persists once per corpus snapshot:
+    *
+    *   - `hashed`  (cid, hs): each doc's distinct shingle-hash set (the
+    *     exact-verify side),
+    *   - `dfs`     (h, df): the global document-frequency table — the
+    *     FROZEN total order every prefix is ranked under,
+    *   - `prefix`  (id, h, s, rn): the corpus prefix postings.
+    *
+    * `hashed` checkpoints eagerly — all three tables (and the incremental
+    * form's verify join) derive from that ONE tokenizing corpus scan. */
+  def prefixIndexTables(corpus: DataFrame, threshold: Double,
+                        textCol: String = "text", idCol: String = "doc_id")
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
     val tm = microThreshold(threshold)
-    val cHashed = corpus.select(col(idCol), shingleHashes(col(textCol)).as("hs"))
+    val cHashed = corpus.select(col(idCol).as("cid"),
+        shingleHashes(col(textCol)).as("hs"))
       .filter(size(col("hs")) > 0)
       .localCheckpoint(eager = true)
+    val cPost = cHashed.select(col("cid").as(idCol),
+      explode(col("hs")).as("h"), size(col("hs")).cast("long").as("s"))
+    val dfs = cPost.groupBy("h").agg(count(lit(1)).as("df"))
+    val cPrefix = rankedPrefix(cPost.join(dfs, "h"), tm, idCol)
+    (cHashed, dfs, cPrefix)
+  }
+
+  /** Score one batch against a frozen PPJoin corpus index — the shared
+    * core of [[prefixJaccardIncremental]] (tables rebuilt per call) and
+    * [[graft.store.PrefixIndexStore.scoreBatch]] (tables read from the
+    * durable store), so the two forms CANNOT drift. Inputs are
+    * [[prefixIndexTables]]'s shapes; completeness argument and filters are
+    * [[prefixJaccard]]'s verbatim (unseen batch hashes sort last via the
+    * df = ∞ sentinel — maximal pruning, any shared total order preserves
+    * the theorem). Output (batch_id, corpus_id, jaccard). */
+  def prefixScoreBatch(cHashed: DataFrame, dfs: DataFrame, cPrefix: DataFrame,
+                       batch: DataFrame, threshold: Double,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val tm = microThreshold(threshold)
     val bHashed = batch.select(col(idCol), shingleHashes(col(textCol)).as("hs"))
       .filter(size(col("hs")) > 0)
       .localCheckpoint(eager = true)
-    def posts(hashed: DataFrame) = hashed.select(col(idCol),
-      explode(col("hs")).as("h"), size(col("hs")).cast("long").as("s"))
-    val cPost = posts(cHashed)
-    // The frozen index: corpus df (the order) + corpus prefix postings.
-    val dfs = cPost.groupBy("h").agg(count(lit(1)).as("df"))
-    val cPrefix = rankedPrefix(cPost.join(dfs, "h"), tm, idCol)
+    val bPost = bHashed.select(col(idCol), explode(col("hs")).as("h"),
+      size(col("hs")).cast("long").as("s"))
     val bPrefix = rankedPrefix(
-      posts(bHashed).join(dfs, Seq("h"), "left")
+      bPost.join(dfs, Seq("h"), "left")
         .withColumn("df", coalesce(col("df"), lit(Long.MaxValue))),
       tm, idCol)
     val alpha = ceilDivCol(lit(tm) * (col("b.s") + col("c.s")), 1000000L + tm)
@@ -901,7 +1159,7 @@ object Dedup {
       .select(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
       .distinct()
     val hb = bHashed.select(col(idCol).as("batch_id"), col("hs").as("hs_b"))
-    val hc = cHashed.select(col(idCol).as("corpus_id"), col("hs").as("hs_c"))
+    val hc = cHashed.select(col("cid").as("corpus_id"), col("hs").as("hs_c"))
     val jaccard = SqlLet.let(size(array_intersect(col("hs_b"), col("hs_c"))), inter =>
       inter.cast("double") / (size(col("hs_b")) + size(col("hs_c")) - inter))
     cand.join(hb, "batch_id").join(hc, "corpus_id")

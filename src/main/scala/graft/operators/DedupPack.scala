@@ -81,6 +81,30 @@ object DedupPack extends QueryPack {
       Dedup.prefixJaccardIncremental(docs.filter(!isBatch),
         docs.filter(isBatch), threshold = 0.5)
     },
+    // The DURABLE incremental PPJoin: index persisted as a ParquetStore
+    // generation (the production steady-state — one corpus pass per
+    // snapshot), batch scored against the STORED tables. Same complete
+    // semantics as q_dedup_prefix_inc, so the same brute-force oracle; the
+    // result checkpoints eagerly so the temp index dir can be removed
+    // before the caller materializes.
+    "q_dedup_prefix_indexed" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val docs = table(s, dir, "documents")
+      val isBatch = col("source").isin("src18", "src19")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_prefix_idx")
+      try {
+        val store = new graft.store.PrefixIndexStore(s, tmp.toString,
+          threshold = 0.5, name = s"prefix_idx_${System.nanoTime()}")
+        store.snapshot(docs.filter(!isBatch))
+        store.scoreBatch(docs.filter(isBatch)).localCheckpoint(eager = true)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    },
     // Sorted-neighborhood method: candidates from sort adjacency (window
     // 6 over the normalized-text order), exact shingle-Jaccard verify —
     // the linear-candidate classic beside the LSH/simhash/inverted-index
@@ -518,6 +542,25 @@ object DedupPack extends QueryPack {
     // Incremental PPJoin is complete like the self-join form, so the
     // oracle is the brute-force batch×corpus cross join.
     "q_dedup_prefix_inc" ->
+      """WITH w AS (SELECT doc_id, source, string_split_regex(
+        |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id, source, list_distinct(
+        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]) sh FROM w),
+        |h AS (SELECT doc_id, source, list_distinct(
+        |  [('0x' || substr(md5(s), 1, 8))::BIGINT for s in sh]) hs FROM sh
+        |  WHERE len(sh) > 0)
+        |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+        |  CAST(len(list_intersect(b.hs, c.hs)) AS DOUBLE) /
+        |    (len(b.hs) + len(c.hs) - len(list_intersect(b.hs, c.hs))) AS jaccard
+        |FROM h b JOIN h c
+        |  ON b.source IN ('src18', 'src19') AND c.source NOT IN ('src18', 'src19')
+        |WHERE CAST(len(list_intersect(b.hs, c.hs)) AS DOUBLE) /
+        |    (len(b.hs) + len(c.hs) - len(list_intersect(b.hs, c.hs))) >= 0.5""".stripMargin,
+    // Stored-index scoring is the same complete batch×corpus contract, so
+    // the oracle is the same independent brute-force cross join (never the
+    // engine's candidate chain, never the store).
+    "q_dedup_prefix_indexed" ->
       """WITH w AS (SELECT doc_id, source, string_split_regex(
         |    trim(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), '\s+') ws
         |  FROM documents),

@@ -1,0 +1,100 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Adversarial-density + steady-state soak for the exact PPJoin family
+  * (VERDICT r8 #7/#2). Two experiments, results recorded in SCALE.md:
+  *
+  *  1. TEMPLATE CLIQUE: the sf0.1 documents corpus plus a `clique`-doc
+  *     family of near-identical templated documents (each mutates one
+  *     word position of a shared ~40-word template with a doc-unique
+  *     token). The true ≥-threshold pair set of the clique is itself
+  *     quadratic (C(clique, 2) pairs), which is the stress case for the
+  *     completeness claim: measure the candidate DISTINCT rows vs the
+  *     true output rows (`Dedup.scala`'s "candidates approach the true
+  *     pair count" claim), and the end-to-end wall for `prefixJaccard`
+  *     and `clustersExact`-equivalent CC over the pairs.
+  *
+  *  2. FROZEN-INDEX STEADY STATE: snapshot [[graft.store.PrefixIndexStore]]
+  *     at 1×/2×/4× replicated corpora and score the SAME batch against
+  *     each — per-batch wall must stay ~flat as the corpus grows (the
+  *     whole point of the durable index: O(batch) scoring, one corpus
+  *     pass per snapshot).
+  *
+  * Not part of the driver contract. */
+object PrefixSoak {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val clique = if (args.length > 1) args(1).toInt else 5000
+    val spark = SparkSession.builder()
+      .master("local[32]").appName("graft-prefix-soak")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(spark)
+    import graft.operators.Dedup
+
+    def timed[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"SOAK $tag sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      r
+    }
+
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text")
+
+    // --- 1. Template clique -------------------------------------------
+    // 40-word template; doc k swaps word (k mod 40) for a k-unique token.
+    // Pairwise Jaccard of two mutated docs ≈ (shared shingles)/(union) —
+    // far above 0.5 when a single word of 40 differs.
+    val template = (1 to 40).map(i => s"templateword$i").mkString(" ")
+    val cliqueDocs = spark.range(clique.toLong)
+      .select((col("id") + 100000000L).as("doc_id"),
+        concat_ws(" ",
+          (1 to 40).map(i =>
+            when(pmod(col("id"), lit(40)) === (i - 1),
+              concat(lit("uniq"), col("id").cast("string")))
+              .otherwise(lit(s"templateword$i"))): _*).as("text"))
+    val corpus = docs.unionByName(cliqueDocs).localCheckpoint(true)
+    println(s"SOAK corpus n=${corpus.count()} (clique $clique)")
+
+    val (_, _, prefix) = Dedup.prefixIndexTables(corpus, 0.5)
+    val prefixChk = prefix.localCheckpoint(true)
+    println(s"SOAK prefix_postings n=${prefixChk.count()}")
+    val nCand = timed("candidates") {
+      Dedup.prefixCandidates(prefixChk, 500000L).count()
+    }
+    val nPairs = timed("prefix_jaccard_full") {
+      Dedup.prefixJaccard(corpus, 0.5).count()
+    }
+    val truePairs = clique.toLong * (clique - 1) / 2
+    println(f"SOAK clique_true=$truePairs candidates=$nCand output=$nPairs " +
+      f"cand_over_output=${nCand.toDouble / math.max(nPairs, 1)}%.2f")
+
+    // --- 2. Frozen-index steady state ---------------------------------
+    val batch = docs.limit(2000).localCheckpoint(true)
+    println(s"SOAK batch n=${batch.count()}")
+    for (reps <- Seq(1, 2, 4)) {
+      val big =
+        if (reps == 1) docs
+        else docs.withColumn("r", explode(sequence(lit(0L), lit(reps - 1L))))
+          .select((col("doc_id") + col("r") * 10000000L).as("doc_id"), col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_pidx_soak$reps")
+      val store = new graft.store.PrefixIndexStore(spark, tmp.toString,
+        threshold = 0.5, name = s"pidx_soak$reps")
+      timed(s"snapshot_${reps}x") { store.snapshot(big) }
+      val n = timed(s"score_batch_vs_${reps}x") { store.scoreBatch(batch).count() }
+      println(s"SOAK score_batch_vs_${reps}x pairs=$n")
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    spark.stop()
+  }
+}

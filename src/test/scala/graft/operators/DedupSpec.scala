@@ -442,11 +442,40 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.connectedComponents(nodes, pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
-    // Hitting the round cap before convergence must THROW, not return
-    // silently-wrong labels (diameter 3 > maxIter 1).
-    intercept[IllegalStateException] {
-      Dedup.connectedComponents(nodes, pairs, maxIter = 1)
-    }
+    // Hitting the round cap before convergence now falls back to
+    // large-star/small-star (r9) — same correct labels, never a throw and
+    // never silently-wrong output (the fallback self-verifies).
+    val capped = Dedup.connectedComponents(nodes, pairs, maxIter = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped === got)
+  }
+
+  test("connectedComponents: diameter-1000 chain converges under maxIter=20") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // 0-1-2-…-1000: one component, min id 0. Pointer doubling covers
+    // diameter d in O(log d) rounds; the star fallback covers any excess.
+    val nodes = (0L to 1000L).toDF("node")
+    val pairs = (0L until 1000L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Dedup.connectedComponents(nodes, pairs, maxIter = 20).collect()
+    assert(got.length === 1001)
+    assert(got.forall(_.getLong(1) == 0L))
+  }
+
+  test("star fallback under a tiny cap equals the unconstrained labels (multi-component)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // Two chains + an isolated node; maxIter=1 guarantees the doubling
+    // loop hits the cap and the large-star/small-star path resolves it.
+    val nodes = (0L to 120L).toDF("node")
+    val pairs = ((10L until 60L).map(i => (i, i + 1)) ++      // chain 10..60
+      (70L until 120L).map(i => (i + 1, i))).toDF("src", "dst") // chain 70..120
+    val free = Dedup.connectedComponents(nodes, pairs, maxIter = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val capped = Dedup.connectedComponents(nodes, pairs, maxIter = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped === free)
+    assert(capped(35L) === 10L && capped(95L) === 70L && capped(3L) === 3L)
   }
 
   test("normalization-equal texts share a simhash; unrelated texts differ") {

@@ -158,6 +158,55 @@ class DocPipelineSpec extends SparkSpec {
     assert(oneShot.nonEmpty, "fixture must plant cross matches")
   }
 
+  test("foreachBatch scoring against the DURABLE prefix-index store equals one-shot") {
+    // The production steady state (r9): the corpus index is persisted ONCE
+    // as a PrefixIndexStore snapshot; each micro-batch scores against the
+    // STORED generation — no corpus rebuild anywhere in the streaming
+    // loop. Union over micro-batches must equal the one-shot run, same
+    // batching-independence as the rebuild-per-call sibling above.
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.plans.GraftExtensions.register(spark)
+
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val rnd = new scala.util.Random(41)
+    val corpusDocs = (0 until 25).map { i =>
+      (i.toLong,
+        Vector.fill(8 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+    }
+    val arriving = (0 until 12).map { j =>
+      val ws = corpusDocs(rnd.nextInt(corpusDocs.size))._2.split(" ")
+      if (j % 2 == 0) ws(rnd.nextInt(ws.length)) = vocab(rnd.nextInt(vocab.size))
+      (500L + j, ws.mkString(" "))
+    }
+    val corpus = corpusDocs.toDF("doc_id", "text").localCheckpoint(true)
+    val store = new graft.store.PrefixIndexStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_pidx_stream").toString,
+      threshold = 0.5, name = "pidx_stream")
+    store.snapshot(corpus)
+
+    val got = collection.mutable.Set.empty[(Long, Long, Double)]
+    val stream = MemoryStream[(Long, String)]
+    val query = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = store.scoreBatch(b).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        got.synchronized { got ++= rows; () }
+      }
+      .start()
+    try {
+      for (b <- arriving.grouped(5)) { stream.addData(b); query.processAllAvailable() }
+    } finally query.stop()
+
+    val oneShot = Dedup.prefixJaccardIncremental(corpus,
+        arriving.toDF("doc_id", "text"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.toSet === oneShot)
+    assert(oneShot.nonEmpty, "fixture must plant cross matches")
+  }
+
   test("streamed OOV monitoring through a broadcast tokenizer equals batch") {
     val sparkSession = spark
     import sparkSession.implicits._
