@@ -14,13 +14,20 @@ import org.apache.spark.sql.types._
   * arithmetic, no codec library. It reads dimensions/audio parameters
   * from genuine files; it does NOT decode pixels or samples.
   *
-  * ⚠ STUB BOUNDARY (narrower than it used to be): full pixel/sample
-  * decode, resize, and frame extraction still need a codec library this
-  * container doesn't ship — those steps run through the batch contract of
-  * [[Media.extractFeaturesBatched]] with a deterministic fake in place of
-  * the codec call. Everything around that boundary is the real Spark-side
-  * contract: binary-column schema, per-partition batching, metadata struct
-  * shape, and the narrow-projection plan (no shuffle, no driver collect).
+  * [[Media.decodeGray]] and [[Media.decodePcm]] are REAL decoders for the
+  * uncompressed formats — binary PGM/PPM pixel planes (P5/P6) and PCM WAV
+  * sample streams (8/16-bit) — pure byte arithmetic end to end, so
+  * [[Media.extractFeaturesBatched]] computes genuine pixel/sample
+  * statistics and [[Media.perceptualHash]] hashes a genuine grayscale
+  * plane for those payloads.
+  *
+  * ⚠ STUB BOUNDARY (narrower again in r9): only ENTROPY-CODED payloads
+  * (JPEG/PNG compressed streams, lossy audio) still need a codec library
+  * this container doesn't ship — for those, the same batch contract runs
+  * with the deterministic byte-level fallback in place of the codec call.
+  * Everything around that boundary is the real Spark-side contract:
+  * binary-column schema, per-partition batching, metadata struct shape,
+  * and the narrow-projection plan (no shuffle, no driver collect).
   */
 object Media {
 
@@ -128,7 +135,155 @@ object Media {
       return UnknownHeader
     }
 
+    // --- PNM: P5 (binary PGM) / P6 (binary PPM) header (r9, with the
+    // matching REAL pixel decode in [[decodeGray]]).
+    pnmHeader(bytes) match {
+      case Some((rgb, w, h, _)) =>
+        return MediaHeader(if (rgb) "ppm" else "pgm", w, h, 0, 0)
+      case None => ()
+    }
+
     UnknownHeader
+  }
+
+  /** A decoded grayscale pixel plane (row-major, one byte per pixel). */
+  final case class GrayImage(width: Int, height: Int, pixels: Array[Byte])
+
+  /** REAL pixel decode for binary PGM (P5, grayscale) and PPM (P6, RGB →
+    * gray by integer mean (r+g+b)/3, floor) with maxval ≤ 255 — the
+    * uncompressed formats whose "codec" is pure byte arithmetic: a PNM
+    * header is the magic, then whitespace-separated width/height/maxval
+    * tokens (with `#` line comments), one whitespace byte, then the raw
+    * plane. Returns None on anything malformed/truncated/oversized —
+    * untrusted corpus bytes never throw. Payloads past ~64 MPix are
+    * rejected (a decoded plane must stay executor-batch-sized; a real
+    * pipeline downscales inside the codec). */
+  /** Parsed PNM (P5/P6) header: (rgb?, width, height, plane offset). */
+  private def pnmHeader(bytes: Array[Byte]): Option[(Boolean, Int, Int, Int)] = {
+    if (bytes == null || bytes.length < 2) return None
+    if (bytes(0) != 'P' || (bytes(1) != '5' && bytes(1) != '6')) return None
+    val rgb = bytes(1) == '6'
+    val n = bytes.length
+    var i = 2
+    // Three header integers, skipping whitespace and '#' comments.
+    val vals = new Array[Int](3)
+    var v = 0
+    while (v < 3) {
+      var moved = true
+      while (moved) {
+        moved = false
+        while (i < n && (bytes(i) == ' ' || bytes(i) == '\t' ||
+          bytes(i) == '\n' || bytes(i) == '\r')) { i += 1; moved = true }
+        if (i < n && bytes(i) == '#') {
+          while (i < n && bytes(i) != '\n') i += 1
+          moved = true
+        }
+      }
+      if (i >= n || bytes(i) < '0' || bytes(i) > '9') return None
+      var x = 0L
+      while (i < n && bytes(i) >= '0' && bytes(i) <= '9') {
+        x = x * 10 + (bytes(i) - '0')
+        if (x > Int.MaxValue) return None
+        i += 1
+      }
+      vals(v) = x.toInt
+      v += 1
+    }
+    val (w, h, maxv) = (vals(0), vals(1), vals(2))
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    if (w.toLong * h > 64L * 1024 * 1024) return None
+    // Exactly ONE whitespace byte separates the header from the plane.
+    if (i >= n || !(bytes(i) == ' ' || bytes(i) == '\t' ||
+      bytes(i) == '\n' || bytes(i) == '\r')) return None
+    Some((rgb, w, h, i + 1))
+  }
+
+  def decodeGray(bytes: Array[Byte]): Option[GrayImage] = {
+    val (rgb, w, h, off) = pnmHeader(bytes) match {
+      case Some(t) => t
+      case None => return None
+    }
+    val n = bytes.length
+    val i = off
+    val pixels = w * h
+    val need = if (rgb) 3L * pixels else pixels.toLong
+    if (n - i < need) return None
+    val out = new Array[Byte](pixels)
+    if (rgb) {
+      var p = 0
+      while (p < pixels) {
+        val b = i + 3 * p
+        out(p) = (((bytes(b) & 0xff) + (bytes(b + 1) & 0xff) +
+          (bytes(b + 2) & 0xff)) / 3).toByte
+        p += 1
+      }
+    } else {
+      System.arraycopy(bytes, i, out, 0, pixels)
+    }
+    Some(GrayImage(w, h, out))
+  }
+
+  /** A decoded PCM sample stream (channels interleaved, one Int per
+    * sample: signed 16-bit values, or 8-bit unsigned re-centered to
+    * signed by −128 so silence is 0 in both widths). */
+  final case class PcmAudio(sampleRate: Int, channels: Int,
+                            bitsPerSample: Int, samples: Array[Int])
+
+  /** REAL sample decode for PCM WAV (format tag 1, 8- or 16-bit): the
+    * RIFF chunk walk of [[parseHeader]] continued through `fmt ` into the
+    * `data` chunk, each sample read as 16-bit little-endian signed or
+    * 8-bit unsigned−128. None on malformed/truncated/compressed payloads
+    * — untrusted bytes never throw; data chunks past ~64 M samples are
+    * rejected for the same executor-batch-size reason as [[decodeGray]]. */
+  def decodePcm(bytes: Array[Byte]): Option[PcmAudio] = {
+    if (bytes == null || bytes.length < 44) return None
+    val n = bytes.length
+    @inline def u8(i: Int): Int = bytes(i) & 0xff
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+      bytes(10) == 'V' && bytes(11) == 'E')) return None
+    var i = 12
+    var rate = 0; var channels = 0; var bits = 0; var fmtSeen = false
+    while (i + 8 <= n) {
+      val size = le32(i + 4)
+      if (size < 0 || size > Int.MaxValue - 9) return None
+      val body = i + 8
+      if (bytes(i) == 'f' && bytes(i + 1) == 'm' && bytes(i + 2) == 't' &&
+        bytes(i + 3) == ' ') {
+        if (size < 16 || body + 16 > n) return None
+        val audioFormat = le16(body)
+        channels = le16(body + 2)
+        val r = le32(body + 4)
+        bits = le16(body + 14)
+        if (audioFormat != 1 || channels <= 0 || r <= 0 ||
+          r > Int.MaxValue || (bits != 8 && bits != 16)) return None
+        rate = r.toInt
+        fmtSeen = true
+      } else if (bytes(i) == 'd' && bytes(i + 1) == 'a' &&
+        bytes(i + 2) == 't' && bytes(i + 3) == 'a') {
+        if (!fmtSeen) return None // fmt must precede data
+        if (body + size > n) return None // truncated data chunk
+        val count = if (bits == 16) size.toInt / 2 else size.toInt
+        if (count > 64 * 1024 * 1024) return None
+        val out = new Array[Int](count)
+        var s = 0
+        if (bits == 16) {
+          while (s < count) {
+            out(s) = le16(body + 2 * s).toShort.toInt
+            s += 1
+          }
+        } else {
+          while (s < count) { out(s) = u8(body + s) - 128; s += 1 }
+        }
+        return Some(PcmAudio(rate, channels, bits, out))
+      }
+      i = body + size.toInt + (size.toInt & 1) // word-aligned chunks
+    }
+    None
   }
 
   /** Decode step: fill `meta` from the payload's real container header, per
@@ -172,46 +327,79 @@ object Media {
 
   /** Batched feature extraction — the `mapInPandas`/`mapInArrow` batch
     * shape, in Scala: each partition's rows are drained into fixed-size
-    * batches and the (stubbed) codec is invoked ONCE per batch with every
-    * payload in it, emitting one feature row per input row in order. This
-    * is the exact contract a vectorized decoder needs (GPU image decode,
-    * batched resize: per-call setup amortized over `batchSize` payloads),
-    * with the real codec swapped in at the ⚠ stub boundary below.
+    * batches and the codec is invoked ONCE per batch with every payload in
+    * it, emitting one feature row per input row in order. This is the
+    * exact contract a vectorized decoder needs (GPU image decode, batched
+    * resize: per-call setup amortized over `batchSize` payloads).
     *
-    * The stub "codec" computes a deterministic per-payload byte sum —
-    * integer-exact, so the DuckDB oracle can pin that the batch path
-    * touched every byte of every row exactly once, independent of batch
-    * boundaries or partitioning. Appends `byte_sum` (long); narrow, no
-    * shuffle, batches never buffered beyond `batchSize` rows. */
+    * Per payload it appends:
+    *   - `byte_sum` (long): deterministic whole-payload byte sum — the
+    *     integer-exact probe the DuckDB oracle pins, proving the batch
+    *     path touched every byte of every row exactly once regardless of
+    *     batch boundaries or partitioning;
+    *   - `decoded` (string, nullable): which REAL decoder succeeded —
+    *     `pgm`/`ppm` ([[decodeGray]]) or `wav_pcm` ([[decodePcm]]), NULL
+    *     when neither applies;
+    *   - `n_samples`/`sample_sum` (long, nullable): genuine decoded
+    *     statistics — pixel count + gray-value sum for images, sample
+    *     count + Σ|amplitude| (a loudness proxy) for audio.
+    *
+    * ⚠ STUB BOUNDARY: payloads that are neither PNM nor PCM WAV (i.e.
+    * entropy-coded formats needing a codec library) get NULL decode
+    * columns — a real pipeline would route them to the vectorized codec
+    * in this same batch call. Narrow, no shuffle, batches never buffered
+    * beyond `batchSize` rows. */
   def extractFeaturesBatched(df: DataFrame, batchSize: Int = 64,
                              bytesCol: String = "bytes"): DataFrame = {
     require(batchSize > 0, "batchSize must be positive")
     val schema = df.schema.add("byte_sum", LongType)
+      .add("decoded", StringType).add("n_samples", LongType)
+      .add("sample_sum", LongType)
     val bi = df.schema.fieldIndex(bytesCol)
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // ⚠ STUB BOUNDARY: a real pipeline hands `payloads` to the
-        // vectorized codec in one call; the fake computes byte sums.
+        // One "codec" call per batch (counted); every payload decoded here.
         batchCalls.incrementAndGet()
         val payloads = batch.map(_.getAs[Array[Byte]](bi))
-        val sums = payloads.map { b =>
-          if (b == null) 0L else { var s = 0L; var i = 0
-            while (i < b.length) { s += b(i) & 0xff; i += 1 }; s }
+        val feats = payloads.map { b =>
+          val byteSum =
+            if (b == null) 0L else { var s = 0L; var i = 0
+              while (i < b.length) { s += b(i) & 0xff; i += 1 }; s }
+          decodeGray(b) match {
+            case Some(img) =>
+              var s = 0L; var i = 0
+              while (i < img.pixels.length) { s += img.pixels(i) & 0xff; i += 1 }
+              (byteSum, if (b(1) == '6') "ppm" else "pgm",
+                img.pixels.length.toLong, s)
+            case None => decodePcm(b) match {
+              case Some(a) =>
+                var s = 0L; var i = 0
+                while (i < a.samples.length) { s += math.abs(a.samples(i).toLong); i += 1 }
+                (byteSum, "wav_pcm", a.samples.length.toLong, s)
+              case None => (byteSum, null, -1L, -1L)
+            }
+          }
         }
-        batch.lazyZip(sums).map((row, s) => Row.fromSeq(row.toSeq :+ s))
+        batch.lazyZip(feats).map { case (row, (bs, kind, ns, ss)) =>
+          Row.fromSeq(row.toSeq :+ bs :+ kind :+
+            (if (kind == null) null else ns) :+ (if (kind == null) null else ss))
+        }
       }
     }(Encoders.row(schema))
   }
 
-  /** Per-payload `nCells`-bit PERCEPTUAL hash: the payload is cut into
-    * `nCells` equal byte cells (last one ragged) and bit i is set when
-    * cell i's byte MEAN exceeds the payload's overall byte mean — the
-    * aHash construction, with the codec's luma plane stood in by raw
-    * payload bytes (⚠ same stub boundary as [[extractFeaturesBatched]];
-    * a real image pipeline hashes the decoded, downscaled luma instead —
-    * identical bit/compare shape). The mean comparison is an integer
-    * cross-multiply (`cellSum·len > totalSum·cellLen`), so hashes are
-    * bit-identical on any engine — no float division anywhere.
+  /** Per-payload `nCells`-bit PERCEPTUAL hash — the aHash construction:
+    * the hashed plane is cut into `nCells` equal cells (last one ragged)
+    * and bit i is set when cell i's byte MEAN exceeds the plane's overall
+    * mean, as an integer cross-multiply (`cellSum·len > totalSum·cellLen`)
+    * so hashes are bit-identical on any engine — no float division.
+    *
+    * The hashed plane is the REAL decoded grayscale image when the payload
+    * is binary PGM/PPM ([[decodeGray]] — so two differently-encoded or
+    * comment-differing PNM files of the same picture hash identically),
+    * falling back to the raw payload bytes otherwise (⚠ the entropy-coded
+    * stub boundary of [[extractFeaturesBatched]]; a real pipeline hashes
+    * the codec's downscaled luma — identical bit/compare shape).
     *
     * Narrow per-partition pass, no shuffle; null/empty payloads hash to 0.
     * `nCells ≤ 63` keeps the hash in one long; the cross-multiply stays
@@ -225,7 +413,8 @@ object Media {
     val bi = df.schema.fieldIndex(bytesCol)
     df.mapPartitions { it =>
       it.map { row =>
-        val b = row.getAs[Array[Byte]](bi)
+        val raw = row.getAs[Array[Byte]](bi)
+        val b = decodeGray(raw).map(_.pixels).getOrElse(raw)
         var h = 0L
         if (b != null && b.length > 0) {
           val len = b.length

@@ -73,6 +73,52 @@ object MediaFixtures {
       .put("data".getBytes("US-ASCII")).putInt(0)
     buf.array()
   }
+
+  /** PCM WAV with real 16-bit LE samples (interleaved). */
+  def wav16(sampleRate: Int, channels: Int, samples: Seq[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** PCM WAV with 8-bit unsigned samples. */
+  def wav8(sampleRate: Int, channels: Int, samples: Seq[Int]): Array[Byte] = {
+    val dataLen = samples.length
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels).putShort(channels.toShort)
+      .putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => buf.put((s & 0xff).toByte))
+    buf.array()
+  }
+
+  /** Binary PGM (P5), with a header comment the scanner must skip. */
+  def pgm(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == width * height)
+    val header = s"P5\n# test fixture\n$width $height\n255\n".getBytes("US-ASCII")
+    header ++ pixels
+  }
+
+  /** Binary PPM (P6), interleaved RGB bytes. */
+  def ppm(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == 3 * width * height)
+    val header = s"P6 $width $height 255\n".getBytes("US-ASCII")
+    header ++ rgb
+  }
 }
 
 /** Multimodal plumbing: real container-header probing (JPEG/PNG/WAV), chunk
@@ -196,6 +242,92 @@ class MediaSpec extends SparkSpec {
     assert(capped === Set((100L, 101L, 2L)))
     val uncapped = Media.phashPairs(ph, nBits = 16, maxHamming = 2)
     assert(uncapped.count() === 50L * 49L / 2L + 1L)
+  }
+
+  test("decodeGray: P5 pixels round-trip; P6 decodes to the integer-mean gray plane") {
+    val px = Array.tabulate(12)(i => (i * 20).toByte) // 4×3 gradient
+    val g5 = Media.decodeGray(MediaFixtures.pgm(4, 3, px)).get
+    assert((g5.width, g5.height) === ((4, 3)))
+    assert(g5.pixels.toSeq === px.toSeq)
+    // P6: gray = floor((r+g+b)/3), per pixel.
+    val rgb = Array[Byte](10, 20, 31,  0, 0, 0,  -1, -1, -1,  100, 50, 25)
+    val g6 = Media.decodeGray(MediaFixtures.ppm(2, 2, rgb)).get
+    assert(g6.pixels.map(_ & 0xff).toSeq === Seq((10 + 20 + 31) / 3, 0, 255,
+      (100 + 50 + 25) / 3))
+    // Hostile inputs decode to None, never throw.
+    assert(Media.decodeGray(null).isEmpty)
+    assert(Media.decodeGray("P5 2 2 255\n".getBytes ++ Array[Byte](1, 2, 3)).isEmpty) // truncated
+    assert(Media.decodeGray("P5 0 2 255\n ".getBytes).isEmpty) // zero dim
+    assert(Media.decodeGray("P5 2 2 70000\n".getBytes).isEmpty) // >8-bit maxval
+    assert(Media.decodeGray("plain text".getBytes).isEmpty)
+  }
+
+  test("decodePcm: 16-bit signed and 8-bit recentered samples round-trip") {
+    val s16 = Seq[Short](0, 1000, -1000, Short.MaxValue, Short.MinValue, 7)
+    val a = Media.decodePcm(MediaFixtures.wav16(16000, 2, s16)).get
+    assert((a.sampleRate, a.channels, a.bitsPerSample) === ((16000, 2, 16)))
+    assert(a.samples.toSeq === s16.map(_.toInt))
+    val a8 = Media.decodePcm(MediaFixtures.wav8(8000, 1, Seq(128, 0, 255))).get
+    assert(a8.samples.toSeq === Seq(0, -128, 127)) // recentered: silence = 0
+    // Hostile inputs: truncated data chunk, non-PCM format tag, junk.
+    val tr = MediaFixtures.wav16(16000, 1, Seq[Short](1, 2, 3)).dropRight(2)
+    assert(Media.decodePcm(tr).isEmpty)
+    val nonPcm = MediaFixtures.wav16(16000, 1, Seq[Short](1))
+      .updated(20, 3.toByte) // format tag 3 = IEEE float
+    assert(Media.decodePcm(nonPcm).isEmpty)
+    assert(Media.decodePcm("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Media.decodePcm(null).isEmpty)
+  }
+
+  test("parseHeader reads PNM headers (and decode limits don't apply to the probe)") {
+    val px = Array.fill(6)(9.toByte)
+    assert(Media.parseHeader(MediaFixtures.pgm(3, 2, px)) ===
+      MediaHeader("pgm", 3, 2, 0, 0))
+    assert(Media.parseHeader(MediaFixtures.ppm(1, 2, Array.fill(6)(1.toByte))) ===
+      MediaHeader("ppm", 1, 2, 0, 0))
+  }
+
+  test("batched extraction computes GENUINE pixel/sample statistics for PNM + WAV") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val px = Array.tabulate(6)(i => (i * 10).toByte) // sum 0+10+…+50 = 150
+    val s16 = Seq[Short](100, -200, 300) // Σ|s| = 600
+    val rows = Seq(
+      (1L, MediaFixtures.pgm(3, 2, px)),
+      (2L, MediaFixtures.ppm(1, 2, Array[Byte](30, 60, 90, 10, 20, 33))), // grays 60, 21
+      (3L, MediaFixtures.wav16(16000, 1, s16)),
+      (4L, "just some text".getBytes("UTF-8")))
+    val df = rows.toDF("id", "bytes")
+    val got = Media.extractFeaturesBatched(df, batchSize = 2)
+      .select("id", "decoded", "n_samples", "sample_sum")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got(1L) === (("pgm", 6L, 150L)))
+    assert(got(2L) === (("ppm", 2L, 81L)))
+    assert(got(3L) === (("wav_pcm", 3L, 600L)))
+    assert(got(4L) === ((null, -1L, -1L))) // the entropy-coded stub boundary
+  }
+
+  test("perceptualHash hashes the DECODED gray plane for PNM: encoding-invariant") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // Same image, three byte-level encodings: P5, P5 with a different
+    // comment, and P6 with each gray tripled into RGB.
+    val px = Array.tabulate(32)(i => (i * 8).toByte)
+    val p5a = MediaFixtures.pgm(8, 4, px)
+    val p5b = ("P5\n# another comment entirely\n8 4\n255\n".getBytes("US-ASCII")) ++ px
+    val p6 = MediaFixtures.ppm(8, 4, px.flatMap(b => Array(b, b, b)))
+    val df = Seq((1L, p5a), (2L, p5b), (3L, p6)).toDF("id", "bytes")
+    val h = Media.perceptualHash(df, nCells = 16)
+      .select("id", "phash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) === h(2L), "comment bytes must not affect the hash")
+    assert(h(1L) === h(3L), "P6 of the same picture must hash identically")
+    // And the plane actually drives bits: a different image differs.
+    val other = MediaFixtures.pgm(8, 4, Array.tabulate(32)(i => (255 - i * 8).toByte))
+    val h2 = Media.perceptualHash(Seq((9L, other)).toDF("id", "bytes"), nCells = 16)
+      .select("phash").head().getLong(0)
+    assert(h2 !== h(1L))
   }
 
   test("batched extraction: results independent of batch size, codec called per batch") {
