@@ -883,10 +883,25 @@ object Dedup {
     * frequent hash) from Σ df² candidate rows into zero. At a truly
     * adversarial corpus (thousands of near-identical docs) the surviving
     * candidate set approaches the true near-dup pair count —
-    * output-sized, not a blow-up. All pruning bounds are integer
-    * arithmetic on a floor-to-micro threshold (rounding the threshold
-    * DOWN only widens prefixes/bounds), so float rounding can never drop
-    * a qualifying pair; membership itself is exact-verified either way. */
+    * output-sized, not a blow-up. MEASURED (SCALE.md r9 soak): a 5000-doc
+    * template clique (12.5M true pairs) produced candidates/output = 1.01.
+    * All pruning bounds are integer arithmetic on a floor-to-micro
+    * threshold (rounding the threshold DOWN only widens prefixes/bounds),
+    * so float rounding can never drop a qualifying pair; membership
+    * itself is exact-verified either way.
+    *
+    * CONTRACT at adversarial density: when a near-identical family of
+    * size F exists, the OUTPUT itself is Θ(F²) — no candidate rule can
+    * help, the answer is that big (the r9 soak's 12.5M-pair clique wall is
+    * >90% output materialization + verify). Production pre-passes that
+    * keep the answer small without losing information: (1) collapse
+    * byte-identical docs first ([[exact]] — one linear shuffle), so
+    * F counts distinct texts only; (2) when only CLUSTERS are needed,
+    * consume the pairs directly into [[clustersExact]] (CC needs each pair
+    * once, streamed, never a retained pair list); (3) an explicit family
+    * cap like the LSH [[MaxBand]] — at which point the capped LSH path is
+    * the honest choice, since capping forfeits exactly the completeness
+    * this operator exists for. */
   def prefixJaccard(docs: DataFrame, threshold: Double,
                     textCol: String = "text", idCol: String = "doc_id")
       : DataFrame = {

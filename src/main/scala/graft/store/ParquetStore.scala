@@ -67,6 +67,11 @@ final class ParquetStore(
     * MAX(RST_ID) query (no data read at all). */
   def maxRstId: Option[Long] = generationIds().lastOption
 
+  /** Whether generation `rstId` is currently on disk — readers that must
+    * distinguish "expired by retention" from "legitimately empty" check
+    * this before a [[directFetch]] (which returns zero rows for both). */
+  def hasGeneration(rstId: Long): Boolean = generationIds().contains(rstId)
+
   def currentRstId: Long = counter
 
   /** Streaming append: the partition write below materializes the batch

@@ -93,6 +93,16 @@ final class PrefixIndexStore(
     val g = snapshotId.orElse(latestSnapshot).getOrElse(
       throw new IllegalStateException(
         s"no complete prefix-index snapshot at $path — call snapshot() first"))
+    // A retention-expired (or never-written) generation must fail LOUD: a
+    // partition-pruned read of a missing generation is zero rows, which
+    // would silently score the batch against an EMPTY corpus — every
+    // batch doc would pass dedup.
+    if (!(hashedStore.hasGeneration(g) && dfsStore.hasGeneration(g) &&
+      prefixStore.hasGeneration(g)))
+      throw new IllegalStateException(
+        s"prefix-index snapshot $g is not present in all three stores at " +
+          s"$path (expired by retention or never completed) — score against " +
+          s"latestSnapshot=$latestSnapshot or re-snapshot")
     graft.operators.Dedup.prefixScoreBatch(
       hashedStore.directFetch(g).drop("rst_id"),
       dfsStore.directFetch(g).drop("rst_id"),

@@ -35,6 +35,29 @@ object CcProbe {
       }
       println(s"PROBE rounds ${Dedup.lastRounds}")
     }
+
+    // Star-fallback stress (r9): a CHAIN is the adversarial shape — the
+    // worst case the fallback exists for, and the one where contraction
+    // through partial labels barely shrinks the graph (labels shift, they
+    // don't collapse). Compare pointer doubling run free (O(log d) rounds)
+    // against a deliberately-capped run that forces large-star/small-star
+    // to finish the same component.
+    val chainN = if (args.length > 1) args(1).toLong else 200000L
+    val chain = spark.range(chainN - 1)
+      .select(col("id").as("src"), (col("id") + 1L).as("dst"))
+      .localCheckpoint(true)
+    val nodes = spark.range(chainN).select(col("id").as("node"))
+    timed(s"chain${chainN}_doubling") {
+      val r = Dedup.connectedComponents(nodes, chain, maxIter = 50)
+      require(r.filter(col("cluster_id") =!= 0L).count() == 0L)
+    }
+    println(s"PROBE chain_doubling_rounds ${Dedup.lastRounds}")
+    timed(s"chain${chainN}_star_fallback") {
+      // maxIter 8 ⇒ doubling covers only 255 hops; the star rounds must
+      // resolve the remaining ~chainN-long contracted chain.
+      val r = Dedup.connectedComponents(nodes, chain, maxIter = 8)
+      require(r.filter(col("cluster_id") =!= 0L).count() == 0L)
+    }
     spark.stop()
   }
 }

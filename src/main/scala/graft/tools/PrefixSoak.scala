@@ -47,36 +47,46 @@ object PrefixSoak {
     val docs = graft.Tables.load(spark, dir, "documents")
       .select("doc_id", "text")
 
-    // --- 1. Template clique -------------------------------------------
+    // --- 1. Template clique (skipped when clique == 0) ----------------
     // 40-word template; doc k swaps word (k mod 40) for a k-unique token.
     // Pairwise Jaccard of two mutated docs ≈ (shared shingles)/(union) —
     // far above 0.5 when a single word of 40 differs.
-    val template = (1 to 40).map(i => s"templateword$i").mkString(" ")
-    val cliqueDocs = spark.range(clique.toLong)
-      .select((col("id") + 100000000L).as("doc_id"),
-        concat_ws(" ",
-          (1 to 40).map(i =>
-            when(pmod(col("id"), lit(40)) === (i - 1),
-              concat(lit("uniq"), col("id").cast("string")))
-              .otherwise(lit(s"templateword$i"))): _*).as("text"))
-    val corpus = docs.unionByName(cliqueDocs).localCheckpoint(true)
-    println(s"SOAK corpus n=${corpus.count()} (clique $clique)")
+    if (clique > 0) {
+      val cliqueDocs = spark.range(clique.toLong)
+        .select((col("id") + 100000000L).as("doc_id"),
+          concat_ws(" ",
+            (1 to 40).map(i =>
+              when(pmod(col("id"), lit(40)) === (i - 1),
+                concat(lit("uniq"), col("id").cast("string")))
+                .otherwise(lit(s"templateword$i"))): _*).as("text"))
+      val corpus = docs.unionByName(cliqueDocs).localCheckpoint(true)
+      println(s"SOAK corpus n=${corpus.count()} (clique $clique)")
 
-    val (_, _, prefix) = Dedup.prefixIndexTables(corpus, 0.5)
-    val prefixChk = prefix.localCheckpoint(true)
-    println(s"SOAK prefix_postings n=${prefixChk.count()}")
-    val nCand = timed("candidates") {
-      Dedup.prefixCandidates(prefixChk, 500000L).count()
+      val (_, _, prefix) = Dedup.prefixIndexTables(corpus, 0.5)
+      val prefixChk = prefix.localCheckpoint(true)
+      println(s"SOAK prefix_postings n=${prefixChk.count()}")
+      val nCand = timed("candidates") {
+        Dedup.prefixCandidates(prefixChk, 500000L).count()
+      }
+      val nPairs = timed("prefix_jaccard_full") {
+        Dedup.prefixJaccard(corpus, 0.5).count()
+      }
+      val truePairs = clique.toLong * (clique - 1) / 2
+      println(f"SOAK clique_true=$truePairs candidates=$nCand output=$nPairs " +
+        f"cand_over_output=${nCand.toDouble / math.max(nPairs, 1)}%.2f")
     }
-    val nPairs = timed("prefix_jaccard_full") {
-      Dedup.prefixJaccard(corpus, 0.5).count()
-    }
-    val truePairs = clique.toLong * (clique - 1) / 2
-    println(f"SOAK clique_true=$truePairs candidates=$nCand output=$nPairs " +
-      f"cand_over_output=${nCand.toDouble / math.max(nPairs, 1)}%.2f")
 
     // --- 2. Frozen-index steady state ---------------------------------
+    // Matching batch: output pairs grow with corpus replicas (each batch
+    // doc re-matches per shard), so its score time is OUTPUT-sized. The
+    // no-match batch (doc-unique tokens, zero candidates) isolates the
+    // pure index-probe cost — the number that must stay flat.
     val batch = docs.limit(2000).localCheckpoint(true)
+    val noMatch = spark.range(2000)
+      .select((col("id") + 900000000L).as("doc_id"),
+        concat_ws(" ", (1 to 10).map(i =>
+          concat(lit(s"nomatch${i}_"), col("id").cast("string"))): _*).as("text"))
+      .localCheckpoint(true)
     println(s"SOAK batch n=${batch.count()}")
     for (reps <- Seq(1, 2, 4)) {
       val big =
@@ -89,6 +99,8 @@ object PrefixSoak {
       timed(s"snapshot_${reps}x") { store.snapshot(big) }
       val n = timed(s"score_batch_vs_${reps}x") { store.scoreBatch(batch).count() }
       println(s"SOAK score_batch_vs_${reps}x pairs=$n")
+      val n0 = timed(s"score_nomatch_vs_${reps}x") { store.scoreBatch(noMatch).count() }
+      println(s"SOAK score_nomatch_vs_${reps}x pairs=$n0")
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(tmp)
       try walk.iterator().asScala.toSeq.reverse

@@ -52,7 +52,11 @@ object StreamJoinProbe {
     def run(tag: String, path: String,
             schema: org.apache.spark.sql.types.StructType, rows: Long,
             lateness: String, filesPerTrigger: Int,
-            rocksdb: Boolean): Unit = {
+            rocksdb: Boolean, statePartitions: Int = 32): Unit = {
+      // State-store count per micro-batch = shuffle partitions at query
+      // start (× 4 internal stores for a symmetric join); sizing them to
+      // the stream volume is the standard production lever probed here.
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
       if (rocksdb)
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -85,6 +89,10 @@ object StreamJoinProbe {
     run("bench", rr, rrSchema, rrRows, "40 days", 2, rocksdb = false)
     run("rocksdb", rr, rrSchema, rrRows, "40 days", 2, rocksdb = true)
     run("onebatch", rr, rrSchema, rrRows, "40 days", 8, rocksdb = false)
+    run("p8", rr, rrSchema, rrRows, "40 days", 2, rocksdb = false,
+      statePartitions = 8)
+    run("p8rocks", rr, rrSchema, rrRows, "40 days", 2, rocksdb = true,
+      statePartitions = 8)
     val (to, toSchema, toRows) = stage(timeOrdered = true)
     run("timeorder", to, toSchema, toRows, "2 hours", 2, rocksdb = false)
     spark.stop()

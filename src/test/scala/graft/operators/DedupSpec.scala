@@ -478,6 +478,28 @@ class DedupSpec extends SparkSpec {
     assert(capped(35L) === 10L && capped(95L) === 70L && capped(3L) === 3L)
   }
 
+  test("star fallback equals unconstrained CC on seeded random graphs") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // Mixed shapes per seed: random sparse edges + one long chain, so the
+    // capped run both merges easy mass AND hits the cap with work left.
+    for (seed <- Seq(7, 23, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 300L
+      val rand = Seq.fill(250)((rnd.nextLong(n), rnd.nextLong(n)))
+        .filter { case (a, b) => a != b }
+      val chain = (400L until 480L).map(i => (i, i + 1))
+      val pairs = (rand ++ chain).toDF("src", "dst")
+      val nodes = (0L until n).toDF("node")
+        .union((400L to 480L).toDF("node"))
+      val free = Dedup.connectedComponents(nodes, pairs, maxIter = 50)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val capped = Dedup.connectedComponents(nodes, pairs, maxIter = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(capped === free, s"seed $seed")
+    }
+  }
+
   test("normalization-equal texts share a simhash; unrelated texts differ") {
     GraftExtensions.register(spark)
     val sigs = Dedup.simhash(docs).collect()

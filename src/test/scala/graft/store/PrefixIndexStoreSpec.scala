@@ -79,6 +79,24 @@ class PrefixIndexStoreSpec extends SparkSpec {
     assert(pairs(store.scoreBatch(batch, snapshotId = Some(g0))) === narrow)
   }
 
+  test("scoring a retention-expired snapshot fails loud, never empty-dedup") {
+    GraftExtensions.register(spark)
+    // keepSnapshots=2, ParquetStore auto-clean every 10 appends ⇒ after 11
+    // snapshots only the last two survive; snapshot 1 is gone from disk.
+    val store = new PrefixIndexStore(spark, tmp(), threshold = 0.3,
+      name = "pidx_ret", keepSnapshots = 2L)
+    val corpus = docs.filter("doc_id <= 5")
+    val batch = docs.filter("doc_id >= 6")
+    val g0 = (1 to 11).map(_ => store.snapshot(corpus)).head
+    val ex = intercept[IllegalStateException] {
+      store.scoreBatch(batch, snapshotId = Some(g0))
+    }
+    assert(ex.getMessage.contains("expired"))
+    // The surviving latest snapshot still scores correctly.
+    assert(pairs(store.scoreBatch(batch)) ===
+      pairs(Dedup.prefixJaccardIncremental(corpus, batch, 0.3)))
+  }
+
   test("empty store refuses to score (loud, not empty-result)") {
     val store = new PrefixIndexStore(spark, tmp(), threshold = 0.3,
       name = "pidx_empty")
