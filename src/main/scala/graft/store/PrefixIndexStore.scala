@@ -18,8 +18,15 @@ import org.apache.spark.sql.types._
   * across all three, so reads partition-prune to exactly the generation
   * they score against, retention drops whole superseded snapshots, and a
   * restart recovers the latest snapshot from the directory listing alone.
-  * Scoring reads the LATEST complete generation; a crash mid-snapshot
-  * leaves at most a staging dir the stores never serve.
+  * Scoring reads the LATEST generation present in ALL THREE stores, so a
+  * crash mid-snapshot can never serve a partial index: a crash inside one
+  * append leaves only a staging dir (invisible to reads), and a crash
+  * BETWEEN appends leaves an orphaned newer generation in a prefix of the
+  * stores — reads keep serving the last complete snapshot, and the next
+  * [[snapshot]] call fails loud with a rebuild instruction rather than
+  * interleaving generations (the crash window a table format's atomic
+  * multi-table commit would close — the documented upgrade path, same as
+  * [[ParquetStore.merge]]).
   *
   * The index is a pure function of (corpus, `threshold`, shingling): the
   * threshold fixes the prefix lengths baked into the stored postings, so

@@ -47,16 +47,39 @@ object CcProbe {
       .select(col("id").as("src"), (col("id") + 1L).as("dst"))
       .localCheckpoint(true)
     val nodes = spark.range(chainN).select(col("id").as("node"))
+    // driverLimit = 0: these two runs measure the DISTRIBUTED paths (the
+    // small-graph union-find gate would otherwise absorb a 200k chain).
     timed(s"chain${chainN}_doubling") {
-      val r = Dedup.connectedComponents(nodes, chain, maxIter = 50)
+      val r = Dedup.connectedComponents(nodes, chain, maxIter = 50,
+        driverLimit = 0L)
       require(r.filter(col("cluster_id") =!= 0L).count() == 0L)
     }
     println(s"PROBE chain_doubling_rounds ${Dedup.lastRounds}")
     timed(s"chain${chainN}_star_fallback") {
       // maxIter 8 ⇒ doubling covers only 255 hops; the star rounds must
       // resolve the remaining ~chainN-long contracted chain.
-      val r = Dedup.connectedComponents(nodes, chain, maxIter = 8)
+      val r = Dedup.connectedComponents(nodes, chain, maxIter = 8,
+        driverLimit = 0L)
       require(r.filter(col("cluster_id") =!= 0L).count() == 0L)
+    }
+
+    // Driver union-find vs distributed loop crossover (the r9 small-graph
+    // gate): random graphs at three edge scales, both paths, same labels.
+    for (m <- Seq(100000L, 500000L, 1000000L)) {
+      val rpairs = spark.range(m).select(
+          pmod(xxhash64(col("id")), lit(m)).as("src"),
+          pmod(xxhash64(col("id") + 7L), lit(m)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .localCheckpoint(true)
+      val rnodes = spark.range(m).select(col("id").as("node"))
+      timed(s"rand${m}_driver_uf") {
+        require(Dedup.connectedComponents(rnodes, rpairs,
+          driverLimit = Long.MaxValue).count() == m)
+      }
+      timed(s"rand${m}_dist_loop") {
+        require(Dedup.connectedComponents(rnodes, rpairs,
+          driverLimit = 0L).count() == m)
+      }
     }
     spark.stop()
   }

@@ -330,6 +330,25 @@ class MediaSpec extends SparkSpec {
     assert(h2 !== h(1L))
   }
 
+  test("decoders never throw on random bytes (seeded fuzz), incl. near-miss headers") {
+    val rnd = new scala.util.Random(1234)
+    val prefixes = Seq(
+      Array.emptyByteArray,
+      "P5".getBytes("US-ASCII"), "P6 ".getBytes("US-ASCII"),
+      "P5 #".getBytes("US-ASCII"),
+      "RIFF".getBytes("US-ASCII"),
+      "RIFF    WAVE".getBytes("US-ASCII"),
+      "RIFF    WAVEfmt ".getBytes("US-ASCII"))
+    for (_ <- 1 to 500) {
+      val tail = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(tail)
+      val b = prefixes(rnd.nextInt(prefixes.size)) ++ tail
+      Media.decodeGray(b)   // must not throw
+      Media.decodePcm(b)    // must not throw
+      Media.parseHeader(b)  // must not throw
+    }
+  }
+
   test("batched extraction: results independent of batch size, codec called per batch") {
     val sparkSession = spark
     import sparkSession.implicits._

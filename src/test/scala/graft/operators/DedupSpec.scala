@@ -439,15 +439,22 @@ class DedupSpec extends SparkSpec {
     val nodes = (0L to 4L).toDF("node")
     // chain 4-3-2-1; node 0 isolated: min label must travel 3 hops.
     val pairs = Seq((4L, 3L), (3L, 2L), (2L, 1L)).toDF("src", "dst")
-    val got = Dedup.connectedComponents(nodes, pairs).collect()
+    // driverLimit = 0 forces the DISTRIBUTED loop — the small-graph gate
+    // would otherwise short-circuit every fixture-sized spec to union-find.
+    val got = Dedup.connectedComponents(nodes, pairs, driverLimit = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
     // Hitting the round cap before convergence now falls back to
     // large-star/small-star (r9) — same correct labels, never a throw and
     // never silently-wrong output (the fallback self-verifies).
-    val capped = Dedup.connectedComponents(nodes, pairs, maxIter = 1).collect()
+    val capped = Dedup.connectedComponents(nodes, pairs, maxIter = 1,
+        driverLimit = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(capped === got)
+    // And the DEFAULT path (small graph ⇒ driver union-find) agrees.
+    val driver = Dedup.connectedComponents(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver === got)
   }
 
   test("connectedComponents: diameter-1000 chain converges under maxIter=20") {
@@ -457,7 +464,8 @@ class DedupSpec extends SparkSpec {
     // diameter d in O(log d) rounds; the star fallback covers any excess.
     val nodes = (0L to 1000L).toDF("node")
     val pairs = (0L until 1000L).map(i => (i, i + 1)).toDF("src", "dst")
-    val got = Dedup.connectedComponents(nodes, pairs, maxIter = 20).collect()
+    val got = Dedup.connectedComponents(nodes, pairs, maxIter = 20,
+      driverLimit = 0L).collect()
     assert(got.length === 1001)
     assert(got.forall(_.getLong(1) == 0L))
   }
@@ -470,9 +478,11 @@ class DedupSpec extends SparkSpec {
     val nodes = (0L to 120L).toDF("node")
     val pairs = ((10L until 60L).map(i => (i, i + 1)) ++      // chain 10..60
       (70L until 120L).map(i => (i + 1, i))).toDF("src", "dst") // chain 70..120
-    val free = Dedup.connectedComponents(nodes, pairs, maxIter = 50)
+    val free = Dedup.connectedComponents(nodes, pairs, maxIter = 50,
+        driverLimit = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val capped = Dedup.connectedComponents(nodes, pairs, maxIter = 1)
+    val capped = Dedup.connectedComponents(nodes, pairs, maxIter = 1,
+        driverLimit = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(capped === free)
     assert(capped(35L) === 10L && capped(95L) === 70L && capped(3L) === 3L)
@@ -492,11 +502,17 @@ class DedupSpec extends SparkSpec {
       val pairs = (rand ++ chain).toDF("src", "dst")
       val nodes = (0L until n).toDF("node")
         .union((400L to 480L).toDF("node"))
-      val free = Dedup.connectedComponents(nodes, pairs, maxIter = 50)
+      val free = Dedup.connectedComponents(nodes, pairs, maxIter = 50,
+          driverLimit = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val capped = Dedup.connectedComponents(nodes, pairs, maxIter = 2)
+      val capped = Dedup.connectedComponents(nodes, pairs, maxIter = 2,
+          driverLimit = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(capped === free, s"seed $seed")
+      // Driver union-find (the default at this size) matches both.
+      val driver = Dedup.connectedComponents(nodes, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(driver === free, s"seed $seed driver")
     }
   }
 
