@@ -125,9 +125,11 @@ object Bench {
     // Weighted bounded shortest path (improved-frontier Bellman-Ford).
     "q_weighted_hops",
     // Round-9: the durable PPJoin index — snapshot build + stored-index
-    // batch scoring end to end (secondary tier; the per-batch steady state
-    // is isolated in SCALE.md's soak).
-    "q_dedup_prefix_indexed"
+    // batch scoring end to end — and the oracle-verified real-decode
+    // query (constructed PGM payloads through the batched decoder). Both
+    // secondary tier; the index's per-batch steady state is isolated in
+    // SCALE.md's soak.
+    "q_dedup_prefix_indexed", "q_media_decode"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -173,7 +175,8 @@ object Bench {
     "q_bm25_incremental", "q_classifier_auc_by_lang", "q_epoch_order",
     "q_dedup_containment", "q_hop_distance", "q_dedup_prefix",
     "q_dedup_prefix_inc", "q_dedup_recall", "q_profile_modes", "q_ppr",
-    "q_dedup_clusters_exact", "q_weighted_hops", "q_dedup_prefix_indexed")
+    "q_dedup_clusters_exact", "q_weighted_hops", "q_dedup_prefix_indexed",
+    "q_media_decode")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -16,18 +16,24 @@ import org.apache.spark.sql.types._
   *
   * [[Media.decodeGray]] and [[Media.decodePcm]] are REAL decoders for the
   * uncompressed formats — binary PGM/PPM pixel planes (P5/P6) and PCM WAV
-  * sample streams (8/16-bit) — pure byte arithmetic end to end, so
-  * [[Media.extractFeaturesBatched]] computes genuine pixel/sample
-  * statistics and [[Media.perceptualHash]] hashes a genuine grayscale
-  * plane for those payloads.
+  * sample streams (8/16-bit) — pure byte arithmetic end to end, and
+  * [[Media.decodeImage]] extends real pixel decode to JPEG/PNG through
+  * the JDK's built-in `javax.imageio` readers (Java SE, zero added
+  * dependencies), with the byte-level header probe gating dimensions
+  * before any decoder runs. [[Media.extractFeaturesBatched]] therefore
+  * computes genuine pixel/sample statistics for ALL the image formats it
+  * probes plus PCM audio, and [[Media.perceptualHash]] hashes a genuine
+  * decoded + [[Media.boxDownscale]]d luma thumbnail — the real aHash
+  * pipeline.
   *
-  * ⚠ STUB BOUNDARY (narrower again in r9): only ENTROPY-CODED payloads
-  * (JPEG/PNG compressed streams, lossy audio) still need a codec library
-  * this container doesn't ship — for those, the same batch contract runs
-  * with the deterministic byte-level fallback in place of the codec call.
-  * Everything around that boundary is the real Spark-side contract:
-  * binary-column schema, per-partition batching, metadata struct shape,
-  * and the narrow-projection plan (no shuffle, no driver collect).
+  * ⚠ STUB BOUNDARY (narrower again in r9, images now fully real): only
+  * COMPRESSED AUDIO (mp3/aac — no JDK codec) and video frame extraction
+  * still need an external codec — for those payloads the same batch
+  * contract runs with the deterministic byte-level fallback in place of
+  * the codec call. Everything around that boundary is the real Spark-side
+  * contract: binary-column schema, per-partition batching, metadata
+  * struct shape, and the narrow-projection plan (no shuffle, no driver
+  * collect).
   */
 object Media {
 
@@ -143,6 +149,49 @@ object Media {
       case None => ()
     }
 
+    // --- MP4/ISO-BMFF (r9): the genuine box walk every mp4 tool performs
+    // — size(4 BE) type(4) boxes, 64-bit size escape (size==1), nested
+    // containers — down the moov → trak → tkhd path to the first VIDEO
+    // track's 16.16-fixed-point presentation width/height (audio tracks
+    // carry 0×0 and are skipped). Frame DECODE needs a codec (the ⚠
+    // boundary); the container structure does not.
+    if (n >= 12 && bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' &&
+      bytes(7) == 'p') {
+      // (lo, hi) box scan; returns (type, payloadStart, payloadEnd).
+      def boxes(lo: Long, hi: Long): Iterator[(String, Long, Long)] =
+        new Iterator[(String, Long, Long)] {
+          private var i = lo
+          def hasNext: Boolean = i + 8 <= hi
+          def next(): (String, Long, Long) = {
+            val s0 = be32(i.toInt)
+            val typ = new String(bytes, i.toInt + 4, 4, "ISO-8859-1")
+            var payload = i + 8
+            var end = if (s0 == 0) hi else i + s0
+            if (s0 == 1) { // 64-bit size
+              if (i + 16 > hi) { i = hi; return ("", hi, hi) }
+              val sHi = be32(i.toInt + 8); val sLo = be32(i.toInt + 12)
+              end = i + ((sHi << 32) | sLo); payload = i + 16
+            }
+            if (end <= i || end > hi) { i = hi; return ("", hi, hi) }
+            val r = (typ, payload, end)
+            i = end
+            r
+          }
+        }
+      for ((t1, p1, e1) <- boxes(0, n.toLong) if t1 == "moov";
+           (t2, p2, e2) <- boxes(p1, e1) if t2 == "trak";
+           (t3, p3, e3) <- boxes(p2, e2) if t3 == "tkhd") {
+        val ver = u8(p3.toInt)
+        val dimOff = p3 + (if (ver == 1) 88L else 76L)
+        if (dimOff + 8 <= e3) {
+          val w = (be32(dimOff.toInt) >> 16).toInt  // 16.16 fixed point
+          val h = (be32(dimOff.toInt + 4) >> 16).toInt
+          if (w > 0 && h > 0) return MediaHeader("mp4", w, h, 0, 0)
+        }
+      }
+      return MediaHeader("mp4", 0, 0, 0, 0) // valid container, no video trak
+    }
+
     UnknownHeader
   }
 
@@ -221,6 +270,87 @@ object Media {
       System.arraycopy(bytes, i, out, 0, pixels)
     }
     Some(GrayImage(w, h, out))
+  }
+
+  /** REAL pixel decode for the entropy-coded image formats too (r9):
+    * JPEG and PNG through the JDK's built-in `javax.imageio` readers — a
+    * Java SE API, not an added dependency, so the "codec library this
+    * container doesn't ship" boundary turns out not to apply to images at
+    * all. Decoded ARGB reduces to the same integer-mean gray plane as
+    * [[decodeGray]]'s P6 path ((r+g+b)/3, floor), so all downstream
+    * feature/phash arithmetic is shared.
+    *
+    * Untrusted-bytes discipline: the byte-level [[parseHeader]] probe runs
+    * FIRST and gates dimensions (≤ 64 MPix) before any decoder sees the
+    * payload — a crafted dimension bomb is rejected from the header, and
+    * any decoder exception/null (truncated stream, wrong format) returns
+    * None. In-memory only (`ImageIO.setUseCache(false)` — the default
+    * temp-FILE cache would do disk I/O per payload inside executors). */
+  def decodeImage(bytes: Array[Byte]): Option[GrayImage] = {
+    decodeGray(bytes).orElse {
+      val h = parseHeader(bytes)
+      if ((h.format != "jpeg" && h.format != "png") ||
+        h.width <= 0 || h.height <= 0 ||
+        h.width.toLong * h.height > 64L * 1024 * 1024) None
+      else
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          if (img == null) None
+          else {
+            val (w, ht) = (img.getWidth, img.getHeight)
+            val out = new Array[Byte](w * ht)
+            var y = 0
+            while (y < ht) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                out(y * w + x) = ((((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff)
+                  + (rgb & 0xff)) / 3).toByte
+                x += 1
+              }
+              y += 1
+            }
+            Some(GrayImage(w, ht, out))
+          }
+        } catch { case _: Throwable => None }
+    }
+  }
+
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Integer box-mean downscale of a gray plane to `tw`×`th` — the REAL
+    * "resize" step of the decode/feature/resize pipeline contract, in
+    * exact integer arithmetic (each target cell is the floor-mean of its
+    * source box; boxes partition the source, last row/col ragged). Images
+    * already at or below the target pass through unchanged. */
+  def boxDownscale(img: GrayImage, tw: Int, th: Int): GrayImage = {
+    require(tw > 0 && th > 0)
+    if (img.width <= tw && img.height <= th) return img
+    val ow = math.min(tw, img.width)
+    val oh = math.min(th, img.height)
+    val out = new Array[Byte](ow * oh)
+    var cy = 0
+    while (cy < oh) {
+      val y0 = cy * img.height / oh
+      val y1 = math.max((cy + 1) * img.height / oh, y0 + 1)
+      var cx = 0
+      while (cx < ow) {
+        val x0 = cx * img.width / ow
+        val x1 = math.max((cx + 1) * img.width / ow, x0 + 1)
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += img.pixels(y * img.width + x) & 0xff; x += 1 }
+          y += 1
+        }
+        out(cy * ow + cx) = (s / ((y1 - y0).toLong * (x1 - x0))).toByte
+        cx += 1
+      }
+      cy += 1
+    }
+    GrayImage(ow, oh, out)
   }
 
   /** A decoded PCM sample stream (channels interleaved, one Int per
@@ -365,12 +495,11 @@ object Media {
           val byteSum =
             if (b == null) 0L else { var s = 0L; var i = 0
               while (i < b.length) { s += b(i) & 0xff; i += 1 }; s }
-          decodeGray(b) match {
+          decodeImage(b) match {
             case Some(img) =>
               var s = 0L; var i = 0
               while (i < img.pixels.length) { s += img.pixels(i) & 0xff; i += 1 }
-              (byteSum, if (b(1) == '6') "ppm" else "pgm",
-                img.pixels.length.toLong, s)
+              (byteSum, parseHeader(b).format, img.pixels.length.toLong, s)
             case None => decodePcm(b) match {
               case Some(a) =>
                 var s = 0L; var i = 0
@@ -394,12 +523,14 @@ object Media {
     * mean, as an integer cross-multiply (`cellSum·len > totalSum·cellLen`)
     * so hashes are bit-identical on any engine — no float division.
     *
-    * The hashed plane is the REAL decoded grayscale image when the payload
-    * is binary PGM/PPM ([[decodeGray]] — so two differently-encoded or
-    * comment-differing PNM files of the same picture hash identically),
-    * falling back to the raw payload bytes otherwise (⚠ the entropy-coded
-    * stub boundary of [[extractFeaturesBatched]]; a real pipeline hashes
-    * the codec's downscaled luma — identical bit/compare shape).
+    * The hashed plane is the REAL decoded, DOWNSCALED grayscale image
+    * when the payload is a decodable image — PNM via [[decodeGray]],
+    * JPEG/PNG via [[decodeImage]]'s JDK readers — box-mean-reduced to a
+    * 16×16 luma thumbnail ([[boxDownscale]], the real aHash pipeline), so
+    * two encodings of the same picture hash identically (PNM forms
+    * bit-equal; PNG vs JPEG within the lossy-compression hamming budget,
+    * spec-pinned). Non-image payloads fall back to the raw bytes (the
+    * remaining stub boundary: compressed AUDIO and video frames).
     *
     * Narrow per-partition pass, no shuffle; null/empty payloads hash to 0.
     * `nCells ≤ 63` keeps the hash in one long; the cross-multiply stays
@@ -414,7 +545,8 @@ object Media {
     df.mapPartitions { it =>
       it.map { row =>
         val raw = row.getAs[Array[Byte]](bi)
-        val b = decodeGray(raw).map(_.pixels).getOrElse(raw)
+        val b = decodeImage(raw)
+          .map(img => boxDownscale(img, 16, 16).pixels).getOrElse(raw)
         var h = 0L
         if (b != null && b.length > 0) {
           val len = b.length

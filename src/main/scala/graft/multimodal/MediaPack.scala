@@ -32,6 +32,22 @@ object MediaPack extends QueryPack {
         .select(col("media_id"), col("byte_sum"),
           octet_length(col("bytes")).cast("long").as("n_bytes"))
     },
+    // REAL pixel decode, oracle-verified end to end: each document's text
+    // bytes are wrapped into a genuine binary PGM payload (header built
+    // in-query), pushed through the batched decoder, and the DECODED
+    // pixel statistics must reproduce DuckDB's independent byte
+    // arithmetic — the decode path itself is on the correctness gate, not
+    // just spec-pinned.
+    "q_media_decode" -> { (s, dir) =>
+      val media = table(s, dir, "documents")
+        .filter(octet_length(col("text")) > 0)
+        .select(col("doc_id").as("media_id"),
+          encode(concat(lit("P5 "), octet_length(col("text")).cast("string"),
+            lit(" 1 255\n"), col("text")), "UTF-8").as("bytes"))
+      Media.extractFeaturesBatched(media)
+        .select(col("media_id"), col("decoded"),
+          col("n_samples"), col("sample_sum"), col("byte_sum"))
+    },
     // Perceptual hash over the payload bytes (aHash construction at the
     // stubbed codec boundary — integer cross-multiply mean bits, engine
     // bit-identical).
@@ -109,6 +125,28 @@ object MediaPack extends QueryPack {
         |SELECT d.doc_id AS media_id, coalesce(s.bs, 0) AS byte_sum,
         |  coalesce(s.nb, 0) AS n_bytes
         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+    // The decode query's oracle re-derives the DECODED pixel stats from
+    // first principles: pixels are exactly the text bytes (the payload is
+    // a constructed P5 with height 1), so sample_sum is the ascii() sum
+    // of the text and byte_sum adds the header's own byte sum — same
+    // ASCII-fixture invariant as the other media oracles.
+    "q_media_decode" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    octet_length(encode(text)) AS n,
+        |    'P5 ' || CAST(octet_length(encode(text)) AS VARCHAR)
+        |      || ' 1 255' || chr(10) AS hdr
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |ts AS (SELECT doc_id, CAST(sum(ascii(c)) AS BIGINT) AS tsum
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c
+        |        FROM b) GROUP BY 1),
+        |hs AS (SELECT doc_id, CAST(sum(ascii(c)) AS BIGINT) AS hsum
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(hdr, '(?s).')) AS c
+        |        FROM b) GROUP BY 1)
+        |SELECT b.doc_id AS media_id, 'pgm' AS decoded,
+        |  CAST(b.n AS BIGINT) AS n_samples,
+        |  ts.tsum AS sample_sum,
+        |  ts.tsum + hs.hsum AS byte_sum
+        |FROM b JOIN ts USING (doc_id) JOIN hs USING (doc_id)""".stripMargin,
     // Byte-level phash replica over ascii() sums (ASCII fixture invariant
     // as above); empty payloads LEFT-JOIN back in as phash 0.
     "q_media_phash" ->

@@ -106,6 +106,25 @@ object MediaFixtures {
     buf.array()
   }
 
+  /** Minimal genuine MP4: ftyp + moov[ trak[tkhd 0×0 audio], trak[tkhd
+    * w×h video] ] with correct box sizes and v0 tkhd layout (dims as
+    * 16.16 fixed point at payload offset 76). */
+  def mp4(width: Int, height: Int): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    def tkhd(w: Int, h: Int): Array[Byte] = {
+      val p = java.nio.ByteBuffer.allocate(84)
+      p.position(76)
+      p.putInt(w << 16).putInt(h << 16)
+      box("tkhd", p.array())
+    }
+    val moov = box("moov", box("trak", tkhd(0, 0)) ++ box("trak", tkhd(width, height)))
+    box("ftyp", "isomiso2".getBytes("US-ASCII")) ++ moov
+  }
+
   /** Binary PGM (P5), with a header comment the scanner must skip. */
   def pgm(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
     require(pixels.length == width * height)
@@ -330,6 +349,102 @@ class MediaSpec extends SparkSpec {
     assert(h2 !== h(1L))
   }
 
+  test("parseHeader walks MP4 boxes to the first VIDEO track's dimensions") {
+    assert(Media.parseHeader(MediaFixtures.mp4(1920, 1080)) ===
+      MediaHeader("mp4", 1920, 1080, 0, 0))
+    // A container whose only tkhd is 0×0 (audio-only) reports mp4, no dims.
+    def boxNoVideo: Array[Byte] = {
+      def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+        val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+        b.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+        b.array()
+      }
+      val p = java.nio.ByteBuffer.allocate(84)
+      box("ftyp", "isomiso2".getBytes("US-ASCII")) ++
+        box("moov", box("trak", box("tkhd", p.array())))
+    }
+    assert(Media.parseHeader(boxNoVideo) === MediaHeader("mp4", 0, 0, 0, 0))
+    // Truncated/hostile MP4 bytes never throw.
+    assert(Media.parseHeader(MediaFixtures.mp4(1920, 1080).take(20)) ===
+      MediaHeader("mp4", 0, 0, 0, 0))
+  }
+
+  test("decodeImage: real JPEG/PNG pixel decode through the JDK readers") {
+    // A deterministic gradient, encoded by the SAME JDK encoders the
+    // decoder uses — PNG is lossless so the gray plane must round-trip
+    // exactly; JPEG is lossy so dims are exact and pixels close.
+    val (w, h) = (40, 24)
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 255 / (w - 1) + y * 255 / (h - 1)) / 2
+      src.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(src, fmt, bos))
+      bos.toByteArray
+    }
+    val png = Media.decodeImage(enc("png")).get
+    assert((png.width, png.height) === ((w, h)))
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 255 / (w - 1) + y * 255 / (h - 1)) / 2
+      assert((png.pixels(y * w + x) & 0xff) === v, s"png pixel ($x,$y)")
+    }
+    val jpg = Media.decodeImage(enc("jpg")).get
+    assert((jpg.width, jpg.height) === ((w, h)))
+    val meanDiff = (0 until w * h).map(i =>
+      math.abs((jpg.pixels(i) & 0xff) - (png.pixels(i) & 0xff))).sum.toDouble / (w * h)
+    assert(meanDiff < 8.0, s"jpeg decode drifted $meanDiff from the source plane")
+    // The batched extractor reports the codec formats as decoded now.
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val df = Seq((1L, enc("png")), (2L, enc("jpg"))).toDF("id", "bytes")
+    val got = Media.extractFeaturesBatched(df)
+      .select("id", "decoded", "n_samples")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) === (("png", (w * h).toLong)))
+    assert(got(2L) === (("jpeg", (w * h).toLong)))
+  }
+
+  test("boxDownscale: exact integer box means, ragged boxes, pass-through when small") {
+    // 4×2 → 2×1: each target cell = floor mean of a 2×2 box.
+    val img = Media.GrayImage(4, 2, Array[Byte](10, 20, 30, 40, 50, 60, 70, 81))
+    val d = Media.boxDownscale(img, 2, 1)
+    assert((d.width, d.height) === ((2, 1)))
+    assert(d.pixels.map(_ & 0xff).toSeq === Seq((10 + 20 + 50 + 60) / 4,
+      (30 + 40 + 70 + 81) / 4))
+    // Already small → untouched (same instance contract not required, same
+    // values required).
+    val small = Media.boxDownscale(img, 16, 16)
+    assert(small.pixels.toSeq === img.pixels.toSeq)
+  }
+
+  test("perceptualHash: PNG and JPEG of the same picture land within the lossy budget") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val (w, h) = (64, 64)
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      // Vertical gradient: 16-cell linear hashing cuts the 16×16 thumbnail
+      // into ROWS, so row means must differ for bits to carry signal (a
+      // row-symmetric pattern like a checkerboard hashes to 0 by design).
+      val v = y * 255 / (h - 1)
+      src.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(src, fmt, bos); bos.toByteArray
+    }
+    val hashes = Media.perceptualHash(
+        Seq((1L, enc("png")), (2L, enc("jpg"))).toDF("id", "bytes"), nCells = 16)
+      .select("id", "phash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ham = java.lang.Long.bitCount(hashes(1L) ^ hashes(2L))
+    assert(ham <= 2, s"png/jpeg phash hamming $ham — decode path not shared?")
+    assert(hashes(1L) !== 0L, "structured image must set bits")
+  }
+
   test("decoders never throw on random bytes (seeded fuzz), incl. near-miss headers") {
     val rnd = new scala.util.Random(1234)
     val prefixes = Seq(
@@ -337,8 +452,10 @@ class MediaSpec extends SparkSpec {
       "P5".getBytes("US-ASCII"), "P6 ".getBytes("US-ASCII"),
       "P5 #".getBytes("US-ASCII"),
       "RIFF".getBytes("US-ASCII"),
-      "RIFF    WAVE".getBytes("US-ASCII"),
-      "RIFF    WAVEfmt ".getBytes("US-ASCII"))
+      "RIFF    WAVE".getBytes("US-ASCII"),
+      "RIFF    WAVEfmt ".getBytes("US-ASCII"),
+      Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes("US-ASCII"),
+      Array[Byte](0, 0, 0, 1) ++ "ftyp".getBytes("US-ASCII")) // 64-bit size escape
     for (_ <- 1 to 500) {
       val tail = new Array[Byte](rnd.nextInt(200))
       rnd.nextBytes(tail)
