@@ -26,14 +26,20 @@ import org.apache.spark.sql.types._
   * decoded + [[Media.boxDownscale]]d luma thumbnail — the real aHash
   * pipeline.
   *
+  * Video is handled at the CONTAINER level for real: [[Media.parseHeader]]
+  * walks MP4/ISO-BMFF boxes to the video track's dimensions, and
+  * [[Media.mp4SampleRanges]] / [[Media.extractFrameSamples]] reconstruct
+  * every sample's exact byte range from the `stbl` demuxer tables
+  * (stsc/stsz/stco) — locating frames is byte arithmetic.
+  *
   * ⚠ STUB BOUNDARY (narrower again in r9, images now fully real): only
-  * COMPRESSED AUDIO (mp3/aac — no JDK codec) and video frame extraction
-  * still need an external codec — for those payloads the same batch
-  * contract runs with the deterministic byte-level fallback in place of
-  * the codec call. Everything around that boundary is the real Spark-side
-  * contract: binary-column schema, per-partition batching, metadata
-  * struct shape, and the narrow-projection plan (no shuffle, no driver
-  * collect).
+  * COMPRESSED-STREAM DECODE — mp3/aac audio and the video frames
+  * themselves (no JDK codec for either) — still needs an external codec;
+  * for those payloads the same batch contract runs with the deterministic
+  * byte-level fallback in place of the codec call. Everything around that
+  * boundary is the real Spark-side contract: binary-column schema,
+  * per-partition batching, metadata struct shape, and the
+  * narrow-projection plan (no shuffle, no driver collect).
   */
 object Media {
 
@@ -157,27 +163,7 @@ object Media {
     // boundary); the container structure does not.
     if (n >= 12 && bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' &&
       bytes(7) == 'p') {
-      // (lo, hi) box scan; returns (type, payloadStart, payloadEnd).
-      def boxes(lo: Long, hi: Long): Iterator[(String, Long, Long)] =
-        new Iterator[(String, Long, Long)] {
-          private var i = lo
-          def hasNext: Boolean = i + 8 <= hi
-          def next(): (String, Long, Long) = {
-            val s0 = be32(i.toInt)
-            val typ = new String(bytes, i.toInt + 4, 4, "ISO-8859-1")
-            var payload = i + 8
-            var end = if (s0 == 0) hi else i + s0
-            if (s0 == 1) { // 64-bit size
-              if (i + 16 > hi) { i = hi; return ("", hi, hi) }
-              val sHi = be32(i.toInt + 8); val sLo = be32(i.toInt + 12)
-              end = i + ((sHi << 32) | sLo); payload = i + 16
-            }
-            if (end <= i || end > hi) { i = hi; return ("", hi, hi) }
-            val r = (typ, payload, end)
-            i = end
-            r
-          }
-        }
+      def boxes(lo: Long, hi: Long) = isoBoxes(bytes, lo, hi)
       for ((t1, p1, e1) <- boxes(0, n.toLong) if t1 == "moov";
            (t2, p2, e2) <- boxes(p1, e1) if t2 == "trak";
            (t3, p3, e3) <- boxes(p2, e2) if t3 == "tkhd") {
@@ -193,6 +179,169 @@ object Media {
     }
 
     UnknownHeader
+  }
+
+  /** ISO-BMFF box scan over `bytes[lo, hi)`: yields (type, payloadStart,
+    * payloadEnd) per box — size(4 BE) type(4), the 64-bit size escape
+    * (size == 1), size == 0 meaning to-end. Malformed sizes terminate the
+    * scan with a sentinel ("" type) rather than throwing; nested
+    * containers are walked by re-invoking over a payload range. Shared by
+    * [[parseHeader]]'s tkhd probe and [[mp4SampleRanges]]' stbl walk. */
+  private def isoBoxes(bytes: Array[Byte], lo: Long, hi: Long)
+      : Iterator[(String, Long, Long)] =
+    new Iterator[(String, Long, Long)] {
+      @inline def u8(i: Int): Int = bytes(i) & 0xff
+      @inline def be32(i: Int): Long =
+        (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      private var i = lo
+      def hasNext: Boolean = i + 8 <= hi
+      def next(): (String, Long, Long) = {
+        val s0 = be32(i.toInt)
+        val typ = new String(bytes, i.toInt + 4, 4, "ISO-8859-1")
+        var payload = i + 8
+        var end = if (s0 == 0) hi else i + s0
+        if (s0 == 1) { // 64-bit size
+          if (i + 16 > hi) { i = hi; return ("", hi, hi) }
+          val sHi = be32(i.toInt + 8); val sLo = be32(i.toInt + 12)
+          end = i + ((sHi << 32) | sLo); payload = i + 16
+        }
+        if (end <= i || end > hi) { i = hi; return ("", hi, hi) }
+        val r = (typ, payload, end)
+        i = end
+        r
+      }
+    }
+
+  /** REAL frame/sample extraction from an MP4 container — the byte range
+    * of every media sample, reconstructed from the `stbl` tables the way
+    * every demuxer does it: `stsc` (sample-to-chunk runs) distributes
+    * samples over chunks, `stco`/`co64` gives each chunk's file offset,
+    * `stsz` gives per-sample sizes (or one uniform size), and sample k's
+    * offset is its chunk's offset plus the sizes of the samples before it
+    * in that chunk. Pure byte arithmetic — what needs a codec is DECODING
+    * a frame, not locating it.
+    *
+    * Takes the FIRST track with a complete stbl (the probe's video-first
+    * ordering is the fixture contract); returns (offset, size) per sample
+    * in sample order, or None for non-MP4/malformed/over-budget payloads
+    * (> 1M samples — an executor-batch sanity cap like the decoders').
+    * Ranges are validated against the payload length, so a slice over the
+    * result can never go out of bounds on truncated files. */
+  def mp4SampleRanges(bytes: Array[Byte]): Option[Vector[(Long, Int)]] = {
+    if (bytes == null || bytes.length < 12 || bytes(4) != 'f' ||
+      bytes(5) != 't' || bytes(6) != 'y' || bytes(7) != 'p') return None
+    val n = bytes.length
+    @inline def u8(i: Int): Int = bytes(i) & 0xff
+    @inline def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def boxes(lo: Long, hi: Long) = isoBoxes(bytes, lo, hi)
+    try {
+      for ((t1, p1, e1) <- boxes(0, n.toLong) if t1 == "moov";
+           (t2, p2, e2) <- boxes(p1, e1) if t2 == "trak";
+           (t3, p3, e3) <- boxes(p2, e2) if t3 == "mdia";
+           (t4, p4, e4) <- boxes(p3, e3) if t4 == "minf";
+           (t5, p5, e5) <- boxes(p4, e4) if t5 == "stbl") {
+        var stsc: Option[(Long, Long)] = None
+        var stsz: Option[(Long, Long)] = None
+        var stco: Option[(Long, Long, Boolean)] = None
+        for ((t, p, e) <- boxes(p5, e5)) t match {
+          case "stsc" => stsc = Some((p, e))
+          case "stsz" => stsz = Some((p, e))
+          case "stco" => stco = Some((p, e, false))
+          case "co64" => stco = Some((p, e, true))
+          case _ => ()
+        }
+        (stsc, stsz, stco) match {
+          case (Some((scP, scE)), Some((szP, szE)), Some((coP, coE, co64))) =>
+            // stsz: ver/flags(4) uniformSize(4) count(4) [sizes…]
+            if (szP + 12 > szE) return None
+            val uniform = be32(szP.toInt + 4)
+            val count = be32(szP.toInt + 8)
+            if (count < 0 || count > 1000000) return None
+            val sizes = new Array[Long](count.toInt)
+            if (uniform != 0) java.util.Arrays.fill(sizes, uniform)
+            else {
+              if (szP + 12 + 4L * count > szE) return None
+              var k = 0
+              while (k < count) { sizes(k) = be32((szP + 12 + 4L * k).toInt); k += 1 }
+            }
+            // stco/co64: ver/flags(4) count(4) [offsets…]
+            if (coP + 8 > coE) return None
+            val nChunks = be32(coP.toInt + 4)
+            val width = if (co64) 8L else 4L
+            if (nChunks < 0 || coP + 8 + width * nChunks > coE) return None
+            def chunkOff(c: Int): Long = {
+              val at = (coP + 8 + width * c).toInt
+              if (co64) (be32(at) << 32) | be32(at + 4) else be32(at)
+            }
+            // stsc: ver/flags(4) count(4) [(firstChunk, samplesPerChunk,
+            // descIdx)…]; each run applies to chunks firstChunk..next−1.
+            if (scP + 8 > scE) return None
+            val nRuns = be32(scP.toInt + 4)
+            if (nRuns <= 0 || scP + 8 + 12L * nRuns > scE) return None
+            def run(r: Int): (Long, Long) = {
+              val at = (scP + 8 + 12L * r).toInt
+              (be32(at), be32(at + 4)) // (firstChunk 1-based, samples/chunk)
+            }
+            val out = Vector.newBuilder[(Long, Int)]
+            var sample = 0
+            var r = 0
+            var chunk = run(0)._1 // 1-based
+            while (sample < count && chunk <= nChunks) {
+              val perChunk = run(r)._2
+              var off = chunkOff(chunk.toInt - 1)
+              var k = 0L
+              while (k < perChunk && sample < count) {
+                val sz = sizes(sample)
+                if (sz < 0 || sz > Int.MaxValue || off < 0 || off + sz > n)
+                  return None // range escapes the payload — truncated file
+                out += ((off, sz.toInt))
+                off += sz
+                sample += 1
+                k += 1
+              }
+              chunk += 1
+              if (r + 1 < nRuns && chunk >= run(r + 1)._1) r += 1
+            }
+            if (sample < count) return None // tables inconsistent
+            return Some(out.result())
+          case _ => () // this trak has no complete stbl; try the next
+        }
+      }
+      None
+      // NonFatal, NOT Throwable: the early `return`s above compile to
+      // ControlThrowable from inside the for-comprehension closures — a
+      // Throwable catch here would swallow every successful return.
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** [[mp4SampleRanges]] over a DataFrame: appends `n_frames` (long) and
+    * `frame_samples` (array<binary>) — every `stride`-th sample's raw
+    * bytes, sliced at the REAL container-table boundaries (vs
+    * [[sampleChunks]]' fixed-byte-stride fallback for opaque payloads).
+    * Narrow per-partition pass; non-MP4/malformed payloads yield
+    * (−1, null). ⚠ Decoding the extracted frames needs a codec — locating
+    * them does not. */
+  def extractFrameSamples(df: DataFrame, stride: Int = 1,
+                          bytesCol: String = "bytes"): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    val schema = df.schema.add("n_frames", LongType)
+      .add("frame_samples", ArrayType(BinaryType))
+    val bi = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val b = row.getAs[Array[Byte]](bi)
+        mp4SampleRanges(b) match {
+          case Some(ranges) =>
+            val picked = ranges.indices.by(stride).map { k =>
+              val (off, sz) = ranges(k)
+              java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + sz)
+            }
+            Row.fromSeq(row.toSeq :+ ranges.length.toLong :+ picked)
+          case None => Row.fromSeq(row.toSeq :+ -1L :+ null)
+        }
+      }
+    }(Encoders.row(schema))
   }
 
   /** A decoded grayscale pixel plane (row-major, one byte per pixel). */

@@ -125,6 +125,53 @@ object MediaFixtures {
     box("ftyp", "isomiso2".getBytes("US-ASCII")) ++ moov
   }
 
+  /** Genuine playable-layout MP4: ftyp, then mdat carrying `samples`
+    * back-to-back in `chunkSizes`-grouped chunks, then moov with a full
+    * stbl (stsc runs, per-sample stsz, stco file offsets) describing
+    * exactly that layout — the demuxer tables [[Media.mp4SampleRanges]]
+    * reconstructs ranges from. */
+  def mp4WithSamples(samples: Seq[Array[Byte]], chunkSizes: Seq[Int]): Array[Byte] = {
+    require(chunkSizes.sum == samples.length)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val ftyp = box("ftyp", "isomiso2".getBytes("US-ASCII"))
+    val data = samples.flatten.toArray
+    val mdat = box("mdat", data)
+    // Chunk c starts at ftyp + mdat-header + bytes of earlier chunks.
+    val chunkStarts = chunkSizes.indices.map { c =>
+      val samplesBefore = chunkSizes.take(c).sum
+      ftyp.length + 8 + samples.take(samplesBefore).map(_.length).sum
+    }
+    val stsz = {
+      val b = java.nio.ByteBuffer.allocate(12 + 4 * samples.length)
+      b.putInt(0).putInt(0).putInt(samples.length)
+      samples.foreach(s => b.putInt(s.length))
+      box("stsz", b.array())
+    }
+    val stco = {
+      val b = java.nio.ByteBuffer.allocate(8 + 4 * chunkStarts.length)
+      b.putInt(0).putInt(chunkStarts.length)
+      chunkStarts.foreach(b.putInt)
+      box("stco", b.array())
+    }
+    val stsc = {
+      // One run per distinct samples-per-chunk change (1-based firstChunk).
+      val runs = chunkSizes.zipWithIndex
+        .filter { case (sz, i) => i == 0 || chunkSizes(i - 1) != sz }
+        .map { case (sz, i) => (i + 1, sz) }
+      val b = java.nio.ByteBuffer.allocate(8 + 12 * runs.length)
+      b.putInt(0).putInt(runs.length)
+      runs.foreach { case (fc, spc) => b.putInt(fc).putInt(spc).putInt(1) }
+      box("stsc", b.array())
+    }
+    val moov = box("moov", box("trak", box("mdia", box("minf",
+      box("stbl", stsc ++ stsz ++ stco)))))
+    ftyp ++ mdat ++ moov
+  }
+
   /** Binary PGM (P5), with a header comment the scanner must skip. */
   def pgm(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
     require(pixels.length == width * height)
@@ -367,6 +414,54 @@ class MediaSpec extends SparkSpec {
     // Truncated/hostile MP4 bytes never throw.
     assert(Media.parseHeader(MediaFixtures.mp4(1920, 1080).take(20)) ===
       MediaHeader("mp4", 0, 0, 0, 0))
+  }
+
+  test("mp4SampleRanges reconstructs exact frame byte ranges from the stbl tables") {
+    // 5 samples of sizes 5,6,7,8,9 over chunks of 3+2 — two stsc runs.
+    val samples = Seq(5, 6, 7, 8, 9).zipWithIndex.map { case (sz, i) =>
+      Array.tabulate(sz)(j => (100 + 10 * i + j).toByte) }
+    val mp4 = MediaFixtures.mp4WithSamples(samples, chunkSizes = Seq(3, 2))
+    val ranges = Media.mp4SampleRanges(mp4).get
+    assert(ranges.length === 5)
+    assert(ranges.map(_._2) === Vector(5, 6, 7, 8, 9))
+    // The ranges must slice back EXACTLY the planted frame bytes.
+    ranges.zip(samples).foreach { case ((off, sz), planted) =>
+      assert(mp4.slice(off.toInt, off.toInt + sz).toSeq === planted.toSeq)
+    }
+    // Chunk 2's first sample starts at its stco offset, not adjacent to
+    // chunk 1's last byte (the chunk indirection is real).
+    assert(ranges(3)._1 === ranges(0)._1 + 5 + 6 + 7)
+    // A table claiming more data than the file carries (last stsz entry
+    // inflated) must reject the WHOLE payload — no partial range list.
+    val lastSize = Array[Byte](0, 0, 0, 9)
+    val at = mp4.toSeq.lastIndexOfSlice(lastSize.toSeq)
+    assert(at > 0)
+    val lying = mp4.clone()
+    lying(at) = 0x7f.toByte // size becomes 0x7F000009
+    assert(Media.mp4SampleRanges(lying).isEmpty)
+    // Hostile / non-mp4 payloads: None, never a throw.
+    assert(Media.mp4SampleRanges("plain text".getBytes).isEmpty)
+    assert(Media.mp4SampleRanges(null).isEmpty)
+  }
+
+  test("extractFrameSamples: container-true frame slices through the DataFrame path") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val samples = Seq(5, 6, 7, 8, 9).zipWithIndex.map { case (sz, i) =>
+      Array.tabulate(sz)(j => (100 + 10 * i + j).toByte) }
+    val mp4 = MediaFixtures.mp4WithSamples(samples, chunkSizes = Seq(3, 2))
+    val df = Seq((1L, mp4), (2L, "not a container".getBytes("UTF-8")))
+      .toDF("id", "bytes")
+    val got = Media.extractFrameSamples(df, stride = 2)
+      .select("id", "n_frames", "frame_samples")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.getSeq[Array[Byte]](2))))).toMap
+    val (n, frames) = got(1L)
+    assert(n === 5L)
+    // stride 2 ⇒ samples 0, 2, 4.
+    assert(frames.get.map(_.toSeq) === Seq(samples(0).toSeq, samples(2).toSeq,
+      samples(4).toSeq))
+    assert(got(2L) === ((-1L, None)))
   }
 
   test("decodeImage: real JPEG/PNG pixel decode through the JDK readers") {
