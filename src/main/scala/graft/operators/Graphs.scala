@@ -466,13 +466,66 @@ object Graphs {
     * (like the CC round cap), not a semantic knob: real peels converge in
     * a handful of rounds — each round must remove ≥ 1 node to continue,
     * and removals cascade geometrically in practice. */
+  /** Symmetric-edge-row limit under which [[kCore]] peels driver-side —
+    * the same measured small-graph discipline as
+    * [[Dedup.DriverCcEdgeLimit]] (the iterative loop's floor on a tiny
+    * graph is 3 jobs per peel round, not data; a ≤1M-row collect is
+    * ≤16 MB and the in-memory peel is O(E)). Similarity-pair graphs at
+    * bench scale are hundreds of edges; a 100 TB co-occurrence graph
+    * sails past the gate into the loop unchanged. */
+  val DriverKCoreEdgeLimit = 1000000L
+
+  /** In-memory k-core peel over a collected SYMMETRIC directed edge list:
+    * repeatedly delete nodes of degree < k (queue-driven, O(E)); returns
+    * (node, degree-within-core) for the survivors — the k-core is a
+    * unique subgraph, so this is definitionally the loop's fixpoint. */
+  private[graft] def driverKCore(edges: Array[(Long, Long)], k: Long)
+      : Array[(Long, Long)] = {
+    import scala.collection.mutable
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    edges.foreach { case (s, d) =>
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty[Long]) += d
+    }
+    val deg = mutable.HashMap.empty[Long, Long]
+    adj.foreach { case (n, ns) => deg(n) = ns.length.toLong }
+    val removed = mutable.HashSet.empty[Long]
+    val queue = mutable.ArrayDeque.empty[Long]
+    deg.foreach { case (n, d) => if (d < k) queue.append(n) }
+    while (queue.nonEmpty) {
+      val n = queue.removeHead()
+      if (!removed.contains(n)) {
+        removed += n
+        adj(n).foreach { m =>
+          if (!removed.contains(m)) {
+            val d = deg(m) - 1
+            deg(m) = d
+            if (d == k - 1) queue.append(m)
+          }
+        }
+      }
+    }
+    deg.iterator.filter { case (n, _) => !removed.contains(n) }
+      .map { case (n, d) => (n, d) }.toArray
+  }
+
   def kCore(edges: DataFrame, k: Long, maxRounds: Int = 64,
-            broadcastNodeLimit: Long = BroadcastNodeLimit): DataFrame = {
+            broadcastNodeLimit: Long = BroadcastNodeLimit,
+            driverLimit: Long = DriverKCoreEdgeLimit): DataFrame = {
     require(k >= 1, "k-core needs k >= 1")
     var dir = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint(eager = true)
     var dirEdges = dir.count()
+    // Small-graph gate — see [[DriverKCoreEdgeLimit]]; long ids only.
+    if (dirEdges <= driverLimit && dir.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)) {
+      val out = driverKCore(
+        dir.collect().map(r => (r.getLong(0), r.getLong(1))), k)
+      releaseCheckpoint(dir)
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return out.toSeq.toDF("node", "core_deg")
+    }
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -533,14 +586,56 @@ object Graphs {
     * below it (initial degrees are `least`-capped for the same invariant).
     * State stays node-sized; the broadcast conditional and checkpoint
     * cadence match the other iterative operators. */
+  /** In-memory replica of the h-index iteration — SEMANTICS-IDENTICAL to
+    * the distributed rounds (same `least(deg, maxDegree)` start, same
+    * top-`maxDegree` neighbor gate, same synchronous update, same FIXED
+    * round count), so the small-graph gate can never diverge from the
+    * loop or its unrolled DuckDB oracle. */
+  private[graft] def driverCoreness(edges: Array[(Long, Long)], rounds: Int,
+                                    maxDegree: Long): Array[(Long, Long)] = {
+    import scala.collection.mutable
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    edges.foreach { case (s, d) =>
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty[Long]) += d
+    }
+    var state = mutable.HashMap.empty[Long, Long]
+    adj.foreach { case (n, ns) => state(n) = math.min(ns.length.toLong, maxDegree) }
+    for (_ <- 1 to rounds) {
+      val next = mutable.HashMap.empty[Long, Long]
+      adj.foreach { case (n, ns) =>
+        val vals = ns.map(state).sortBy(v => -v)
+        val top = if (vals.length > maxDegree) vals.take(maxDegree.toInt) else vals
+        // v_i desc and i asc make v_i ≥ i+1 a prefix property — the first
+        // failure is final, and the prefix length IS the h-index.
+        var h = 0L
+        var i = 0
+        while (i < top.length && top(i) >= i + 1) { h += 1; i += 1 }
+        next(n) = h
+      }
+      state = next
+    }
+    state.toArray
+  }
+
   def corenessHIndex(edges: DataFrame, rounds: Int = 4,
                      broadcastNodeLimit: Long = BroadcastNodeLimit,
-                     maxDegree: Long = MaxDegree): DataFrame = {
+                     maxDegree: Long = MaxDegree,
+                     driverLimit: Long = DriverKCoreEdgeLimit): DataFrame = {
     require(rounds >= 1, "need at least one h-index round")
     require(maxDegree >= 1, "maxDegree must be positive")
     val dir = edges.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint(eager = true)
+    // Small-graph gate — [[DriverKCoreEdgeLimit]] discipline; long ids only.
+    if (dir.count() <= driverLimit && dir.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)) {
+      val out = driverCoreness(
+        dir.collect().map(r => (r.getLong(0), r.getLong(1))), rounds, maxDegree)
+      releaseCheckpoint(dir)
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return out.toSeq.toDF("node", "coreness")
+    }
     var state = dir.groupBy("src").agg(count(lit(1)).as("d"))
       .select(col("src").as("node"), least(col("d"), lit(maxDegree)).as("c"))
       .localCheckpoint(eager = true)

@@ -401,9 +401,14 @@ class GraphPropsSpec extends SparkSpec {
     import sparkSession.implicits._
     for (seed <- 1L to 3L; k <- Seq(2L, 4L)) {
       val edges = randomEdges(n = 30, m = 90, seed)
+      // Default path (small graph => r9 driver peel) AND the forced
+      // distributed loop must both match the brute-force reference.
       val got = Graphs.kCore(edges.toSeq.toDF("u", "v"), k)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === bruteKCore(edges, k), s"seed $seed k $k")
+      val dist = Graphs.kCore(edges.toSeq.toDF("u", "v"), k, driverLimit = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist === got, s"seed $seed k $k distributed")
     }
   }
 
@@ -417,11 +422,14 @@ class GraphPropsSpec extends SparkSpec {
     // keeps degree 3.
     val clique = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
     val chain = (3L until 15L).map(i => (i, i + 1))
-    val got = Graphs.kCore((clique ++ chain).toDF("u", "v"), k = 2)
+    // driverLimit = 0: this test exists to exercise the cascading LOOP.
+    val got = Graphs.kCore((clique ++ chain).toDF("u", "v"), k = 2,
+        driverLimit = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
     // Entirely sub-critical graph → empty core, loop terminates cleanly.
-    assert(Graphs.kCore(chain.toDF("u", "v"), k = 2).count() === 0L)
+    assert(Graphs.kCore(chain.toDF("u", "v"), k = 2, driverLimit = 0L)
+      .count() === 0L)
   }
 
   /** Textbook peel-order coreness (min-degree removal), the independent
@@ -482,6 +490,20 @@ class GraphPropsSpec extends SparkSpec {
     assert(got === bruteCoreness(edges))
   }
 
+  test("coreness driver gate equals the forced distributed rounds (caps included)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    for (seed <- Seq(5L, 11L); cap <- Seq(3L, Graphs.MaxDegree)) {
+      val edges = randomEdges(n = 30, m = 90, seed).toSeq.toDF("u", "v")
+      val drv = Graphs.corenessHIndex(edges, rounds = 4, maxDegree = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Graphs.corenessHIndex(edges, rounds = 4, maxDegree = cap,
+          driverLimit = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(drv === dist, s"seed $seed cap $cap")
+    }
+  }
+
   test("fixture convergence pin: q_coreness's 4 rounds reach the fixpoint") {
     // The driver's q_coreness runs 4 fixed h-index rounds and its DuckDB
     // oracle unrolls the SAME 4 rounds — if a fixture regeneration ever
@@ -515,7 +537,9 @@ class GraphPropsSpec extends SparkSpec {
     val clique = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
     val chain = (3L until 15L).map(i => (i, i + 1))
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    Graphs.kCore((clique ++ chain).toDF("u", "v"), k = 2).count()
+    // driverLimit = 0: the release behavior under test is the LOOP's.
+    Graphs.kCore((clique ++ chain).toDF("u", "v"), k = 2, driverLimit = 0L)
+      .count()
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     // Only the final surviving edge table (the returned result's basis)
     // may still hold blocks — not one per peel round.
