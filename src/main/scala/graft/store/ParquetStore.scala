@@ -178,6 +178,60 @@ final class ParquetStore(
     }
   }
 
+  /** Parquet files currently making up generation `rstId` (0 when the
+    * generation is absent) — the small-files health signal [[compact]]
+    * acts on. */
+  def generationFileCount(rstId: Long): Long = {
+    val dir = Paths.get(path, s"rst_id=$rstId")
+    if (!Files.isDirectory(dir)) return 0L
+    val s = Files.list(dir)
+    try s.toArray.toSeq.map(_.asInstanceOf[Path])
+      .count(p => p.getFileName.toString.endsWith(".parquet")).toLong
+    finally s.close()
+  }
+
+  /** OPTIMIZE for one generation: rewrite its files into `numFiles`
+    * (default 1) without changing a row or the generation's identity —
+    * the small-files maintenance every streaming parquet sink needs (each
+    * micro-batch append lands one generation with up to
+    * shuffle-partitions files; thousands of batches = a scan that opens
+    * thousands of footers). Same stage → delete → atomic-rename pattern
+    * as [[merge]]'s copy-on-write, with the same recovery behavior on a
+    * failed swap (the staged copy is preserved when the original is
+    * already gone). A no-op for absent generations; readers racing the
+    * swap see the usual `ignoreMissingFiles` semantics of a rolling
+    * store, and a table format's atomic commit is — as with merge — the
+    * documented upgrade for closing that window entirely. */
+  def compact(rstId: Long, numFiles: Int = 1): this.type = this.synchronized {
+    require(numFiles >= 1, "numFiles must be positive")
+    if (generationIds().contains(rstId)) {
+      val staging = Paths.get(path, s".staging_cp_$rstId")
+      val original = Paths.get(path, s"rst_id=$rstId")
+      var originalDeleted = false
+      try {
+        raw(Some(col("rst_id") === rstId)).drop("rst_id")
+          .repartition(numFiles)
+          .write.mode("overwrite").parquet(staging.toString)
+        deleteRecursively(original)
+        originalDeleted = true
+        Files.move(staging, original,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case e: Throwable =>
+        if (!originalDeleted) {
+          if (Files.exists(staging)) deleteRecursively(staging)
+        } else if (Files.exists(staging)) {
+          // The staged copy is now the only copy — same recovery contract
+          // as merge: plain-rename fallback, else leave it for operators.
+          try Files.move(staging, original)
+          catch { case _: Throwable => () }
+        }
+        throw e
+      }
+      registerView()
+    }
+    this
+  }
+
   /** Partition-discovered read: rst_id comes back as a column from the
     * directory names. Filters applied HERE hit the raw partition column, so
     * they prune whole generation directories at planning time. The schema

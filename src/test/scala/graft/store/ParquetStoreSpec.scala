@@ -141,4 +141,31 @@ class ParquetStoreSpec extends SparkSpec {
     assert(s.selectAll.schema === s.fullSchema)
     assert(s.sql("SELECT count(*) FROM empty_dur").head().getLong(0) === 0L)
   }
+
+  test("compact rewrites a generation's small files without changing a row") {
+    val s = new ParquetStore(spark, schema, tmp(), tableName = "compact_dur")
+    // A many-file generation (the streaming-append shape) + a neighbor
+    // generation that must stay untouched.
+    s.append(batch((1 to 40).map(i => s"k$i" -> i.toLong): _*).repartition(8))
+    s.append(batch("z" -> 99L))
+    assert(s.generationFileCount(1L) === 8L)
+    val before = s.selectAll.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val counterBefore = s.currentRstId
+    s.compact(1L)
+    assert(s.generationFileCount(1L) === 1L)
+    val after = s.selectAll.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after === before, "compaction changed row content")
+    assert(s.currentRstId === counterBefore)
+    assert(s.maxRstId === Some(2L))
+    // Neighbor generation untouched; absent generation is a no-op.
+    assert(s.directFetch(2L).count() === 1L)
+    s.compact(77L)
+    // The registered view still serves post-compaction.
+    assert(s.sql("SELECT count(*) FROM compact_dur").head().getLong(0) === 41L)
+    // Targeted numFiles > 1 also honored.
+    s.compact(1L, numFiles = 2)
+    assert(s.generationFileCount(1L) === 2L)
+  }
 }
