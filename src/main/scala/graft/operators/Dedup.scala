@@ -1209,6 +1209,35 @@ object Dedup {
     (cHashed, dfs, cPrefix)
   }
 
+  /** The corpus-side DELTA of a frozen PPJoin index: `newDocs`' hashed
+    * sets and prefix postings ranked under the FROZEN `frozenDfs` order
+    * (hashes unseen in the base order sort last via the df = ∞ sentinel,
+    * exactly like the batch side of [[prefixScoreBatch]]). Because the
+    * completeness theorem needs only a total order SHARED by both join
+    * sides — not the true current df order — an index can grow by
+    * appending deltas indefinitely without a corpus rebuild; what decays
+    * is only PRUNING quality as the frozen order drifts from the true
+    * frequencies, which is the re-snapshot trigger, never a correctness
+    * event. Returns (hashedDelta (cid, hs), prefixDelta (id, h, s, rn)).
+    * The durable form is [[graft.store.PrefixIndexStore.appendDocs]]. */
+  def prefixIndexDelta(newDocs: DataFrame, frozenDfs: DataFrame,
+                       threshold: Double, textCol: String = "text",
+                       idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val tm = microThreshold(threshold)
+    val hashed = newDocs.select(col(idCol).as("cid"),
+        shingleHashes(col(textCol)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .localCheckpoint(eager = true)
+    val posts = hashed.select(col("cid").as(idCol),
+      explode(col("hs")).as("h"), size(col("hs")).cast("long").as("s"))
+    val prefix = rankedPrefix(
+      posts.join(frozenDfs, Seq("h"), "left")
+        .withColumn("df", coalesce(col("df"), lit(Long.MaxValue))),
+      tm, idCol)
+    (hashed, prefix)
+  }
+
   /** Score one batch against a frozen PPJoin corpus index — the shared
     * core of [[prefixJaccardIncremental]] (tables rebuilt per call) and
     * [[graft.store.PrefixIndexStore.scoreBatch]] (tables read from the

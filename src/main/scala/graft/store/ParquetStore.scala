@@ -72,6 +72,11 @@ final class ParquetStore(
     * this before a [[directFetch]] (which returns zero rows for both). */
   def hasGeneration(rstId: Long): Boolean = generationIds().contains(rstId)
 
+  /** All generation ids currently on disk, ascending — for readers whose
+    * validity depends on a RANGE of generations being present (e.g. the
+    * prefix-index append log's contiguity guard). Directory listing only. */
+  def generations: Seq[Long] = generationIds()
+
   def currentRstId: Long = counter
 
   /** Streaming append: the partition write below materializes the batch

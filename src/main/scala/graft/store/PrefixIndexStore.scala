@@ -64,6 +64,21 @@ final class PrefixIndexStore(
       StructField("s", LongType), StructField("rn", LongType))),
     s"$path/prefix", s"${name}_prefix", cleanInterval = keepSnapshots)
 
+  /** Every dfs generation carries ONE sentinel row (h = [[SentinelHash]],
+    * df = the generation's BASE snapshot id): shingle hashes are 32-bit
+    * values widened to long, so −1 can never collide with a real hash,
+    * and the sentinel makes base resolution an O(1) partition-pruned read
+    * with no side metadata file. A full [[snapshot]]'s sentinel points at
+    * itself; an [[appendDocs]] delta's sentinel points back at the frozen
+    * base whose df ORDER it was ranked under. */
+  private val SentinelHash = -1L
+
+  private def withSentinel(dfs: DataFrame, base: Long): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    dfs.unionByName(Seq((SentinelHash, base)).toDF("h", "df"))
+  }
+
   /** Build the index from `corpus` and persist it as the next generation
     * of all three stores — the one corpus-scale pass per snapshot. The
     * three tables derive from a single checkpointed tokenizing scan
@@ -74,16 +89,46 @@ final class PrefixIndexStore(
       corpus, threshold, textCol, idCol)
     val g = hashedStore.currentRstId
     hashedStore.append(hashed)
-    dfsStore.append(dfs)
+    dfsStore.append(withSentinel(dfs, g))
     prefixStore.append(prefix)
     require(dfsStore.currentRstId == g + 1 && prefixStore.currentRstId == g + 1,
       s"prefix-index stores out of lockstep at $path — rebuild the index dir")
     g
   }
 
-  /** Latest COMPLETE snapshot id: the highest generation present in all
-    * three stores (a crash between appends leaves a newer partial
-    * generation in a prefix of them; scoring must never mix snapshots). */
+  /** APPEND-ONLY index growth — the ingestion steady state between
+    * re-snapshots: the new docs' hashed sets and prefix postings are
+    * ranked under the CURRENT BASE's frozen df order
+    * ([[graft.operators.Dedup.prefixIndexDelta]] — completeness needs only
+    * a shared total order, so results stay exact) and land as one new
+    * generation; no corpus-scale work anywhere. What drifts as deltas
+    * accumulate is PRUNING quality (the frozen order diverges from true
+    * frequencies), which is the signal to re-[[snapshot]] — never a
+    * correctness event. Returns the delta's generation id. */
+  def appendDocs(docs: DataFrame): Long = this.synchronized {
+    val g = latestSnapshot.getOrElse(throw new IllegalStateException(
+      s"appendDocs needs a base snapshot at $path — call snapshot() first"))
+    val base = baseOf(g)
+    if (!dfsStore.hasGeneration(base)) throw new IllegalStateException(
+      s"append chain's base snapshot $base expired from $path — re-snapshot " +
+        "(and raise keepSnapshots for append-heavy use)")
+    val frozen = dfsStore.directFetch(base).drop("rst_id")
+      .filter(col("h") =!= SentinelHash)
+    val (hashedDelta, prefixDelta) = graft.operators.Dedup.prefixIndexDelta(
+      docs, frozen, threshold, textCol, idCol)
+    val gd = hashedStore.currentRstId
+    hashedStore.append(hashedDelta)
+    dfsStore.append(withSentinel(frozen.limit(0), base)) // sentinel-only
+    prefixStore.append(prefixDelta)
+    require(dfsStore.currentRstId == gd + 1 && prefixStore.currentRstId == gd + 1,
+      s"prefix-index stores out of lockstep at $path — rebuild the index dir")
+    gd
+  }
+
+  /** Latest COMPLETE generation id (full snapshot OR delta): the highest
+    * generation present in all three stores (a crash between appends
+    * leaves a newer partial generation in a prefix of them; scoring must
+    * never mix generations). */
   def latestSnapshot: Option[Long] =
     for {
       h <- hashedStore.maxRstId
@@ -91,29 +136,53 @@ final class PrefixIndexStore(
       p <- prefixStore.maxRstId
     } yield math.min(h, math.min(d, p))
 
-  /** Score one batch against the stored snapshot (latest complete by
-    * default) — O(batch) work; the corpus contributes only its frozen
-    * partition-pruned generation reads. Output (batch_id, corpus_id,
-    * jaccard), the exact [[graft.operators.Dedup.prefixJaccardIncremental]]
-    * contract. */
+  /** The BASE snapshot whose frozen df order governs generation `g` —
+    * read from the dfs sentinel row (partition-pruned single-generation
+    * scan). */
+  def baseOf(g: Long): Long = {
+    val rows = dfsStore.directFetch(g)
+      .filter(col("h") === SentinelHash).select("df").collect()
+    require(rows.length == 1,
+      s"generation $g at $path carries ${rows.length} base sentinels — " +
+        "index written by an incompatible version; rebuild the index dir")
+    rows(0).getLong(0)
+  }
+
+  /** Score one batch against the stored index as of generation `g`
+    * (latest complete by default) — O(batch) work: the frozen df order is
+    * read from `g`'s base, and the corpus side is the UNION of the base
+    * snapshot plus every delta up to `g`, all partition-pruned generation
+    * reads. Output (batch_id, corpus_id, jaccard), the exact
+    * [[graft.operators.Dedup.prefixJaccardIncremental]] contract. */
   def scoreBatch(batch: DataFrame, snapshotId: Option[Long] = None): DataFrame = {
     val g = snapshotId.orElse(latestSnapshot).getOrElse(
       throw new IllegalStateException(
         s"no complete prefix-index snapshot at $path — call snapshot() first"))
-    // A retention-expired (or never-written) generation must fail LOUD: a
-    // partition-pruned read of a missing generation is zero rows, which
-    // would silently score the batch against an EMPTY corpus — every
-    // batch doc would pass dedup.
-    if (!(hashedStore.hasGeneration(g) && dfsStore.hasGeneration(g) &&
-      prefixStore.hasGeneration(g)))
-      throw new IllegalStateException(
-        s"prefix-index snapshot $g is not present in all three stores at " +
-          s"$path (expired by retention or never completed) — score against " +
+    // Retention/crash holes must fail LOUD: a partition-pruned read over a
+    // missing generation silently yields zero rows for it, which would
+    // score the batch against a PARTIAL corpus — deduped docs would pass.
+    def contiguous(s: ParquetStore, what: String): Unit = {
+      if (!s.hasGeneration(g)) throw new IllegalStateException(
+        s"prefix-index generation $g ($what) is not present at $path " +
+          s"(expired by retention or never completed) — score against " +
           s"latestSnapshot=$latestSnapshot or re-snapshot")
+    }
+    contiguous(dfsStore, "dfs")
+    val base = baseOf(g)
+    val have = Seq(hashedStore, prefixStore).map(_.generations.toSet)
+    val need = (base to g).toSet
+    for ((h, s) <- have.zip(Seq("hashed", "prefix")); if !need.subsetOf(h))
+      throw new IllegalStateException(
+        s"prefix-index generations ${(need -- h).toSeq.sorted.mkString(",")} " +
+          s"($s) missing at $path — the base..$g append chain has retention " +
+          "holes; re-snapshot (and raise keepSnapshots for append-heavy use)")
+    def range(s: ParquetStore) = s.selectAll
+      .filter(col("rst_id").between(base, g)).drop("rst_id")
     graft.operators.Dedup.prefixScoreBatch(
-      hashedStore.directFetch(g).drop("rst_id"),
-      dfsStore.directFetch(g).drop("rst_id"),
-      prefixStore.directFetch(g).drop("rst_id"),
+      range(hashedStore),
+      dfsStore.directFetch(base).drop("rst_id")
+        .filter(col("h") =!= SentinelHash),
+      range(prefixStore),
       batch, threshold, textCol, idCol)
   }
 }

@@ -107,6 +107,29 @@ object PrefixSoak {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
       finally walk.close()
     }
+
+    // --- 3. Append-log steady state (r9): between re-snapshots, corpus
+    // growth costs O(delta) — each append ranks ONLY the new docs under
+    // the frozen base order. Deltas reuse the corpus docs with offset ids
+    // (same text mass as a real ingest batch).
+    val tmpA = java.nio.file.Files.createTempDirectory("graft_pidx_append")
+    val aStore = new graft.store.PrefixIndexStore(spark, tmpA.toString,
+      threshold = 0.5, name = "pidx_soak_append", keepSnapshots = 100L)
+    timed("append_base_snapshot") { aStore.snapshot(docs) }
+    for (i <- 1 to 3) {
+      val delta = docs.limit(2000)
+        .select((col("doc_id") + i * 50000000L).as("doc_id"), col("text"))
+      timed(s"append_delta_$i") { aStore.appendDocs(delta) }
+    }
+    val nA = timed("append_score") { aStore.scoreBatch(batch).count() }
+    println(s"SOAK append_score pairs=$nA")
+    locally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmpA)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
     spark.stop()
   }
 }

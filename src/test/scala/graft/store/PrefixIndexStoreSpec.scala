@@ -103,5 +103,59 @@ class PrefixIndexStoreSpec extends SparkSpec {
     intercept[IllegalStateException] {
       store.scoreBatch(docs.filter("doc_id >= 6"))
     }
+    intercept[IllegalStateException] {
+      store.appendDocs(docs.filter("doc_id <= 2")) // append needs a base
+    }
+  }
+
+  test("append-only growth: deltas under the frozen order score exactly like a full index") {
+    GraftExtensions.register(spark)
+    val store = new PrefixIndexStore(spark, tmp(), threshold = 0.3,
+      name = "pidx_append", keepSnapshots = 100L)
+    val batch = docs.filter("doc_id >= 6")
+    store.snapshot(docs.filter("doc_id <= 2"))
+    store.appendDocs(docs.filter("doc_id = 3"))
+    store.appendDocs(docs.filter("doc_id IN (4, 5)"))
+    // Complete ⇒ the RESULT is a pure function of (corpus, batch,
+    // threshold) — identical to the one-shot rebuild over the full corpus
+    // even though the frozen base order differs from the true df order.
+    val got = pairs(store.scoreBatch(batch))
+    val want = pairs(Dedup.prefixJaccardIncremental(
+      docs.filter("doc_id <= 5"), batch, 0.3))
+    assert(got === want)
+    assert(got.exists(_._2 == 5L), "delta-only docs must be matchable")
+    // …and independent of HOW the same corpus was split into deltas.
+    val store2 = new PrefixIndexStore(spark, tmp(), threshold = 0.3,
+      name = "pidx_append2", keepSnapshots = 100L)
+    store2.snapshot(docs.filter("doc_id <= 4"))
+    store2.appendDocs(docs.filter("doc_id = 5"))
+    assert(pairs(store2.scoreBatch(batch)) === want)
+    // A restarted instance resolves the base chain from disk alone.
+    val reopened = new PrefixIndexStore(spark,
+      store.path, threshold = 0.3, name = "pidx_append_re")
+    assert(pairs(reopened.scoreBatch(batch)) === want)
+    // Re-snapshot resets the base: scoring at the new head reads ONLY the
+    // fresh snapshot, not stale deltas.
+    val g2 = store2.snapshot(docs.filter("doc_id <= 2"))
+    assert(store2.baseOf(g2) === g2)
+    assert(!pairs(store2.scoreBatch(batch)).exists(_._2 == 5L))
+  }
+
+  test("retention holes in the append chain fail loud, never partial-corpus dedup") {
+    GraftExtensions.register(spark)
+    // keepSnapshots=2 with default cleanFreq=10: after the 10th append the
+    // BASE snapshot is deleted while recent deltas survive — scoring must
+    // refuse the broken chain instead of silently matching a partial corpus.
+    val store = new PrefixIndexStore(spark, tmp(), threshold = 0.3,
+      name = "pidx_holes", keepSnapshots = 2L)
+    store.snapshot(docs.filter("doc_id <= 4"))
+    // Whichever side notices first — an appendDocs finding its base gone,
+    // or scoreBatch finding the chain holed — the failure is loud and
+    // names the remedy.
+    val ex = intercept[IllegalStateException] {
+      (1 to 10).foreach(_ => store.appendDocs(docs.filter("doc_id = 5")))
+      store.scoreBatch(docs.filter("doc_id >= 6"))
+    }
+    assert(ex.getMessage.contains("re-snapshot"))
   }
 }
