@@ -15,8 +15,11 @@ import org.apache.spark.sql.types._
   * from genuine files; it does NOT decode pixels or samples.
   *
   * [[Media.decodeGray]] and [[Media.decodePcm]] are REAL decoders for the
-  * uncompressed formats — binary PGM/PPM pixel planes (P5/P6) and PCM WAV
-  * sample streams (8/16-bit) — pure byte arithmetic end to end, and
+  * byte-arithmetic formats — binary PGM/PPM pixel planes (P5/P6), PCM WAV
+  * sample streams (8/16-bit), G.711 µ-law/A-law WAV (format tags 7/6,
+  * expanded to 16-bit linear by the published ITU-T formulas), and IMA
+  * ADPCM WAV (tag 0x11, the 4-bit block predictor codec, r10) — pure byte
+  * arithmetic end to end, and
   * [[Media.decodeImage]] extends real pixel decode to JPEG/PNG through
   * the JDK's built-in `javax.imageio` readers (Java SE, zero added
   * dependencies), with the byte-level header probe gating dimensions
@@ -32,7 +35,8 @@ import org.apache.spark.sql.types._
   * every sample's exact byte range from the `stbl` demuxer tables
   * (stsc/stsz/stco) — locating frames is byte arithmetic.
   *
-  * ⚠ STUB BOUNDARY (narrower again in r9, images now fully real): only
+  * ⚠ STUB BOUNDARY (narrower again in r10 — all WAV-contained audio now
+  * decodes for real, G.711 and IMA ADPCM included): only
   * COMPRESSED-STREAM DECODE — mp3/aac audio and the video frames
   * themselves (no JDK codec for either) — still needs an external codec;
   * for those payloads the same batch contract runs with the deterministic
@@ -142,7 +146,11 @@ object Media {
           return MediaHeader("wav", 0, 0, rate.toInt, channels)
         }
         if (size < 0 || size > Int.MaxValue - 9) return UnknownHeader
-        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        // Advance in Long: i + 8 + size can overflow Int for declared
+        // sizes near the cap, wrapping the cursor negative (ADVICE r9).
+        val next = i.toLong + 8L + size + (size & 1) // chunks are word-aligned
+        if (next > n) return UnknownHeader
+        i = next.toInt
       }
       return UnknownHeader
     }
@@ -166,7 +174,10 @@ object Media {
       def boxes(lo: Long, hi: Long) = isoBoxes(bytes, lo, hi)
       for ((t1, p1, e1) <- boxes(0, n.toLong) if t1 == "moov";
            (t2, p2, e2) <- boxes(p1, e1) if t2 == "trak";
-           (t3, p3, e3) <- boxes(p2, e2) if t3 == "tkhd") {
+           (t3, p3, e3) <- boxes(p2, e2) if t3 == "tkhd" && p3 < e3) {
+        // p3 < e3 guard: a tkhd of declared size 8 has an empty payload
+        // ending exactly at the buffer end — u8(p3) would read bytes(n)
+        // and throw on this untrusted path (ADVICE r9).
         val ver = u8(p3.toInt)
         val dimOff = p3 + (if (ver == 1) 88L else 76L)
         if (dimOff + 8 <= e3) {
@@ -479,14 +490,17 @@ object Media {
     val ow = math.min(tw, img.width)
     val oh = math.min(th, img.height)
     val out = new Array[Byte](ow * oh)
+    // Box bounds in Long: cy*height (and cx*width) overflow Int for tall
+    // sources near the 64 MPix cap with large public-API targets — the
+    // internal 16×16 phash call was safe only by coincidence (ADVICE r9).
     var cy = 0
     while (cy < oh) {
-      val y0 = cy * img.height / oh
-      val y1 = math.max((cy + 1) * img.height / oh, y0 + 1)
+      val y0 = (cy.toLong * img.height / oh).toInt
+      val y1 = math.max(((cy + 1).toLong * img.height / oh).toInt, y0 + 1)
       var cx = 0
       while (cx < ow) {
-        val x0 = cx * img.width / ow
-        val x1 = math.max((cx + 1) * img.width / ow, x0 + 1)
+        val x0 = (cx.toLong * img.width / ow).toInt
+        val x1 = math.max(((cx + 1).toLong * img.width / ow).toInt, x0 + 1)
         var s = 0L
         var y = y0
         while (y < y1) {
@@ -506,14 +520,56 @@ object Media {
     * sample: signed 16-bit values, or 8-bit unsigned re-centered to
     * signed by −128 so silence is 0 in both widths). */
   final case class PcmAudio(sampleRate: Int, channels: Int,
-                            bitsPerSample: Int, samples: Array[Int])
+                            bitsPerSample: Int, samples: Array[Int],
+                            codec: String = "pcm")
 
-  /** REAL sample decode for PCM WAV (format tag 1, 8- or 16-bit): the
-    * RIFF chunk walk of [[parseHeader]] continued through `fmt ` into the
-    * `data` chunk, each sample read as 16-bit little-endian signed or
-    * 8-bit unsigned−128. None on malformed/truncated/compressed payloads
-    * — untrusted bytes never throw; data chunks past ~64 M samples are
-    * rejected for the same executor-batch-size reason as [[decodeGray]]. */
+  /** ITU-T G.711 µ-law expansion: one encoded byte → the 16-bit linear
+    * sample it represents. Pure table-free integer arithmetic (the
+    * published complement/segment/mantissa formula) — this is the REAL
+    * decode for µ-law WAV (format tag 7), not a stub. */
+  def ulawToLinear(b: Int): Int = {
+    val u = ~b & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 0x07)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** ITU-T G.711 A-law expansion (format tag 6): XOR-0x55 unbias, then the
+    * published segment expansion; sign bit SET means positive in A-law. */
+  def alawToLinear(b: Int): Int = {
+    val a = b ^ 0x55
+    val seg = (a >> 4) & 0x07
+    val t0 = (a & 0x0f) << 4
+    val t =
+      if (seg == 0) t0 + 8
+      else (t0 + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** IMA/DVI ADPCM step-size table (89 entries) and index-adjust table —
+    * the published constants from the IMA ADPCM specification. */
+  private val ImaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val ImaIndexAdj: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** REAL sample decode for WAV — PCM (format tag 1, 8/16-bit), G.711
+    * µ-law/A-law (tags 7/6, decoded to 16-bit linear via [[ulawToLinear]]/
+    * [[alawToLinear]]), and IMA ADPCM (tag 0x11, the block-structured
+    * 4-bit predictor codec decoded by the published step/index tables):
+    * the RIFF chunk walk of [[parseHeader]] continued through `fmt ` into
+    * the `data` chunk. PCM samples are read as 16-bit little-endian signed
+    * or 8-bit unsigned−128; compressed tags decode to 16-bit linear (the
+    * returned `bitsPerSample` is the DECODED width, 16). None on
+    * malformed/truncated payloads and on tags with no pure-byte decode
+    * (mp3/aac live behind a codec boundary, not here) — untrusted bytes
+    * never throw; outputs past ~64 M samples are rejected for the same
+    * executor-batch-size reason as [[decodeGray]]. */
   def decodePcm(bytes: Array[Byte]): Option[PcmAudio] = {
     if (bytes == null || bytes.length < 44) return None
     val n = bytes.length
@@ -526,7 +582,8 @@ object Media {
       bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
       bytes(10) == 'V' && bytes(11) == 'E')) return None
     var i = 12
-    var rate = 0; var channels = 0; var bits = 0; var fmtSeen = false
+    var rate = 0; var channels = 0; var bits = 0; var tag = 0
+    var blockAlign = 0; var samplesPerBlock = 0; var fmtSeen = false
     while (i + 8 <= n) {
       val size = le32(i + 4)
       if (size < 0 || size > Int.MaxValue - 9) return None
@@ -534,35 +591,141 @@ object Media {
       if (bytes(i) == 'f' && bytes(i + 1) == 'm' && bytes(i + 2) == 't' &&
         bytes(i + 3) == ' ') {
         if (size < 16 || body + 16 > n) return None
-        val audioFormat = le16(body)
+        tag = le16(body)
         channels = le16(body + 2)
         val r = le32(body + 4)
+        blockAlign = le16(body + 12)
         bits = le16(body + 14)
-        if (audioFormat != 1 || channels <= 0 || r <= 0 ||
-          r > Int.MaxValue || (bits != 8 && bits != 16)) return None
+        if (channels <= 0 || r <= 0 || r > Int.MaxValue) return None
+        tag match {
+          case 1 => if (bits != 8 && bits != 16) return None
+          case 6 | 7 => if (bits != 8) return None
+          case 0x11 => // IMA ADPCM: extended fmt carries samples/block
+            if (bits != 4 || size < 20 || body + 20 > n) return None
+            samplesPerBlock = le16(body + 18)
+            if (blockAlign < 4 * channels || samplesPerBlock <= 0) return None
+          case _ => return None
+        }
         rate = r.toInt
         fmtSeen = true
       } else if (bytes(i) == 'd' && bytes(i + 1) == 'a' &&
         bytes(i + 2) == 't' && bytes(i + 3) == 'a') {
         if (!fmtSeen) return None // fmt must precede data
         if (body + size > n) return None // truncated data chunk
-        val count = if (bits == 16) size.toInt / 2 else size.toInt
-        if (count > 64 * 1024 * 1024) return None
-        val out = new Array[Int](count)
-        var s = 0
-        if (bits == 16) {
-          while (s < count) {
-            out(s) = le16(body + 2 * s).toShort.toInt
-            s += 1
-          }
-        } else {
-          while (s < count) { out(s) = u8(body + s) - 128; s += 1 }
+        val sz = size.toInt
+        tag match {
+          case 1 =>
+            val count = if (bits == 16) sz / 2 else sz
+            if (count > 64 * 1024 * 1024) return None
+            val out = new Array[Int](count)
+            var s = 0
+            if (bits == 16) {
+              while (s < count) {
+                out(s) = le16(body + 2 * s).toShort.toInt
+                s += 1
+              }
+            } else {
+              while (s < count) { out(s) = u8(body + s) - 128; s += 1 }
+            }
+            return Some(PcmAudio(rate, channels, bits, out))
+          case 6 | 7 =>
+            if (sz > 64 * 1024 * 1024) return None
+            val out = new Array[Int](sz)
+            var s = 0
+            if (tag == 7) {
+              while (s < sz) { out(s) = ulawToLinear(u8(body + s)); s += 1 }
+            } else {
+              while (s < sz) { out(s) = alawToLinear(u8(body + s)); s += 1 }
+            }
+            return Some(PcmAudio(rate, channels, 16, out,
+              if (tag == 7) "ulaw" else "alaw"))
+          case _ => // 0x11, the only tag fmt lets through
+            return decodeImaAdpcm(bytes, body, sz, rate, channels,
+              blockAlign, samplesPerBlock)
         }
-        return Some(PcmAudio(rate, channels, bits, out))
       }
-      i = body + size.toInt + (size.toInt & 1) // word-aligned chunks
+      // Advance in Long: body + size can overflow Int for declared sizes
+      // near the cap, wrapping the cursor negative and sending the next
+      // iteration's reads out of bounds (ADVICE r9).
+      val next = body.toLong + size + (size & 1) // word-aligned chunks
+      if (next > n) return None
+      i = next.toInt
     }
     None
+  }
+
+  /** IMA ADPCM block decode (WAV format tag 0x11). Block layout per the
+    * IMA spec: per channel a 4-byte header (initial 16-bit predictor —
+    * which IS the block's first output sample — plus the step index),
+    * then interleaved 4-byte nibble words per channel, low nibble first,
+    * each word carrying 8 consecutive samples of its channel. A trailing
+    * partial block decodes its complete rows; `samplesPerBlock` caps each
+    * block's output (trailing pad nibbles dropped), exactly as players
+    * treat the extended-fmt field. Never throws on untrusted bytes. */
+  private def decodeImaAdpcm(bytes: Array[Byte], body: Int, sz: Int,
+      rate: Int, channels: Int, blockAlign: Int,
+      samplesPerBlock: Int): Option[PcmAudio] = {
+    @inline def u8(i: Int): Int = bytes(i) & 0xff
+    @inline def le16s(i: Int): Int = (u8(i) | (u8(i + 1) << 8)).toShort.toInt
+    val rowBytes = 4 * channels
+    def framesIn(blockLen: Int): Int =
+      if (blockLen < 4 * channels) 0
+      else math.min(samplesPerBlock, 1 + 8 * ((blockLen - 4 * channels) / rowBytes))
+    val nFull = sz / blockAlign
+    val rem = sz % blockAlign
+    val totalFrames = nFull.toLong * framesIn(blockAlign) + framesIn(rem)
+    if (totalFrames * channels > 64L * 1024 * 1024) return None
+    val out = new Array[Int]((totalFrames * channels).toInt)
+    val pred = new Array[Int](channels)
+    val idx = new Array[Int](channels)
+    var globalFrame = 0
+    var b = 0
+    val nBlocks = nFull + (if (rem > 0) 1 else 0)
+    while (b < nBlocks) {
+      val blockStart = body + b * blockAlign
+      val blockLen = math.min(blockAlign, sz - b * blockAlign)
+      val frames = framesIn(blockLen)
+      if (frames > 0) {
+        var c = 0
+        while (c < channels) {
+          pred(c) = le16s(blockStart + 4 * c)
+          idx(c) = math.max(0, math.min(88, u8(blockStart + 4 * c + 2)))
+          out(globalFrame * channels + c) = pred(c)
+          c += 1
+        }
+        var f = 1
+        var rowBase = blockStart + 4 * channels
+        while (f < frames) {
+          val rowFrames = math.min(8, frames - f)
+          var k = 0
+          while (k < rowFrames) {
+            var c = 0
+            while (c < channels) {
+              val byteIdx = rowBase + c * 4 + (k >> 1)
+              val nib =
+                if ((k & 1) == 0) u8(byteIdx) & 0x0f
+                else (u8(byteIdx) >> 4) & 0x0f
+              val step = ImaStep(idx(c))
+              var diff = step >> 3
+              if ((nib & 1) != 0) diff += step >> 2
+              if ((nib & 2) != 0) diff += step >> 1
+              if ((nib & 4) != 0) diff += step
+              val p = if ((nib & 8) != 0) pred(c) - diff else pred(c) + diff
+              pred(c) = math.max(-32768, math.min(32767, p))
+              idx(c) = math.max(0, math.min(88, idx(c) + ImaIndexAdj(nib)))
+              out((globalFrame + f + k) * channels + c) = pred(c)
+              c += 1
+            }
+            k += 1
+          }
+          f += rowFrames
+          rowBase += rowBytes
+        }
+        globalFrame += frames
+      }
+      b += 1
+    }
+    Some(PcmAudio(rate, channels, 16, out, "ima_adpcm"))
   }
 
   /** Decode step: fill `meta` from the payload's real container header, per
@@ -617,17 +780,18 @@ object Media {
     *     path touched every byte of every row exactly once regardless of
     *     batch boundaries or partitioning;
     *   - `decoded` (string, nullable): which REAL decoder succeeded —
-    *     `pgm`/`ppm` ([[decodeGray]]) or `wav_pcm` ([[decodePcm]]), NULL
-    *     when neither applies;
+    *     `pgm`/`ppm` ([[decodeGray]]) or `wav_pcm`/`wav_ulaw`/`wav_alaw`/
+    *     `wav_ima_adpcm` ([[decodePcm]]'s fmt-tag dispatch), NULL when
+    *     neither applies;
     *   - `n_samples`/`sample_sum` (long, nullable): genuine decoded
     *     statistics — pixel count + gray-value sum for images, sample
     *     count + Σ|amplitude| (a loudness proxy) for audio.
     *
-    * ⚠ STUB BOUNDARY: payloads that are neither PNM nor PCM WAV (i.e.
-    * entropy-coded formats needing a codec library) get NULL decode
-    * columns — a real pipeline would route them to the vectorized codec
-    * in this same batch call. Narrow, no shuffle, batches never buffered
-    * beyond `batchSize` rows. */
+    * ⚠ STUB BOUNDARY: payloads that are neither decodable images nor WAV
+    * (i.e. entropy-coded formats needing a codec library — mp3/aac, video
+    * frames) get NULL decode columns — a real pipeline would route them to
+    * the vectorized codec in this same batch call. Narrow, no shuffle,
+    * batches never buffered beyond `batchSize` rows. */
   def extractFeaturesBatched(df: DataFrame, batchSize: Int = 64,
                              bytesCol: String = "bytes"): DataFrame = {
     require(batchSize > 0, "batchSize must be positive")
@@ -653,7 +817,7 @@ object Media {
               case Some(a) =>
                 var s = 0L; var i = 0
                 while (i < a.samples.length) { s += math.abs(a.samples(i).toLong); i += 1 }
-                (byteSum, "wav_pcm", a.samples.length.toLong, s)
+                (byteSum, "wav_" + a.codec, a.samples.length.toLong, s)
               case None => (byteSum, null, -1L, -1L)
             }
           }

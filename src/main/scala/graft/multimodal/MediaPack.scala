@@ -38,6 +38,14 @@ object MediaPack extends QueryPack {
     // pixel statistics must reproduce DuckDB's independent byte
     // arithmetic — the decode path itself is on the correctness gate, not
     // just spec-pinned.
+    // REAL compressed-audio decode on the oracle gate (r10): each
+    // document's ASCII bytes become the µ-law (tag 7) / A-law (tag 6)
+    // coded DATA of a genuine WAV container built in-query, pushed
+    // through the batched decoder; the decoded 16-bit linear loudness sum
+    // must reproduce DuckDB's independent transcription of the ITU-T
+    // G.711 expansion formulas — arithmetic pinned end to end.
+    "q_media_decode_ulaw" -> g711Query(7),
+    "q_media_decode_alaw" -> g711Query(6),
     "q_media_decode" -> { (s, dir) =>
       val media = table(s, dir, "documents")
         .filter(octet_length(col("text")) > 0)
@@ -82,6 +90,77 @@ object MediaPack extends QueryPack {
           md5(element_at(col("chunks"), size(col("chunks")))).as("last_chunk_hash"))
     }
   )
+
+  /** Shared µ-law/A-law decode query (r10): each document's ASCII bytes
+    * become the G.711-coded data of a genuine WAV container (format `tag`),
+    * decoded through the batch contract; the oracle reproduces the decoded
+    * 16-bit statistics from an independent SQL transcription of the ITU-T
+    * expansion formulas. */
+  private def g711Query(tag: Int): (SparkSession, String) => DataFrame = {
+    (s, dir) =>
+      import s.implicits._
+      val media = table(s, dir, "documents")
+        .filter(octet_length(col("text")) > 0)
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("bytes"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, data) => (id, wavContainer(tag, data)) }
+        .toDF("media_id", "bytes")
+      Media.extractFeaturesBatched(media)
+        .select(col("media_id"), col("decoded"),
+          col("n_samples"), col("sample_sum"))
+  }
+
+  /** Minimal genuine WAV container around pre-coded sample data: RIFF/WAVE
+    * + fmt(16) with the given format tag (mono, 8 kHz, 8-bit) + data — the
+    * byte layout every WAV writer emits. */
+  private def wavContainer(tag: Int, data: Array[Byte]): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(tag.toShort).putShort(1).putInt(8000)
+      .putInt(8000).putShort(1).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    buf.array()
+  }
+
+  /** G.711 oracle SQL: the published expansion formulas transcribed
+    * directly into DuckDB arithmetic — u = ~byte (µ-law) / a = byte⊕0x55
+    * (A-law), then segment shift + mantissa + bias, summed as |amplitude|
+    * per document. Independent of the Scala decoder by construction. */
+  private def g711Oracle(ulaw: Boolean): String = {
+    val (code, label) =
+      if (ulaw)
+        ("""CASE WHEN u >= 128
+           |      THEN 132 - ((u % 16) * 8 + 132) * CAST(power(2, (u // 16) % 8) AS BIGINT)
+           |      ELSE ((u % 16) * 8 + 132) * CAST(power(2, (u // 16) % 8) AS BIGINT) - 132
+           |      END""".stripMargin, "wav_ulaw")
+      else
+        ("""CASE WHEN u >= 128 THEN t ELSE -t END""", "wav_alaw")
+    val uExpr =
+      if (ulaw) "255 - ascii(c) AS u"
+      else "xor(ascii(c), 85) AS u"
+    val tCte =
+      if (ulaw) ""
+      else
+        """, (CASE WHEN (u // 16) % 8 = 0 THEN (u % 16) * 16 + 8
+          |        ELSE ((u % 16) * 16 + 264) * CAST(power(2, (u // 16) % 8 - 1) AS BIGINT)
+          |   END) AS t""".stripMargin
+    s"""WITH b AS (SELECT doc_id, text FROM documents
+       |  WHERE octet_length(encode(text)) > 0),
+       |s AS (SELECT doc_id, $uExpr
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c
+       |        FROM b)),
+       |e AS (SELECT doc_id, u$tCte FROM s),
+       |g AS (SELECT doc_id, CAST(sum(abs($code)) AS BIGINT) AS ss
+       |  FROM e GROUP BY 1)
+       |SELECT b.doc_id AS media_id, '$label' AS decoded,
+       |  CAST(octet_length(encode(b.text)) AS BIGINT) AS n_samples,
+       |  g.ss AS sample_sum
+       |FROM b JOIN g USING (doc_id)""".stripMargin
+  }
 
   /** Shared phash CTE chain: char-position explode → ragged byte cells →
     * integer cross-multiply bits → per-doc 16-bit hash (`p`). */
@@ -130,6 +209,8 @@ object MediaPack extends QueryPack {
     // a constructed P5 with height 1), so sample_sum is the ascii() sum
     // of the text and byte_sum adds the header's own byte sum — same
     // ASCII-fixture invariant as the other media oracles.
+    "q_media_decode_ulaw" -> g711Oracle(ulaw = true),
+    "q_media_decode_alaw" -> g711Oracle(ulaw = false),
     "q_media_decode" ->
       """WITH b AS (SELECT doc_id, text,
         |    octet_length(encode(text)) AS n,

@@ -106,6 +106,51 @@ object MediaFixtures {
     buf.array()
   }
 
+  /** WAV container around pre-coded bytes with an arbitrary format tag
+    * (G.711 µ-law = 7 / A-law = 6), mono 8 kHz 8-bit. */
+  def wavCoded(tag: Int, data: Array[Byte]): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(tag.toShort).putShort(1).putInt(8000)
+      .putInt(8000).putShort(1).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    buf.array()
+  }
+
+  /** IMA ADPCM WAV (format tag 0x11): extended fmt chunk (cbSize=2,
+    * samplesPerBlock) + raw block `data`. */
+  def wavAdpcm(channels: Int, blockAlign: Int, samplesPerBlock: Int,
+               data: Array[Byte]): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(48 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(40 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x11.toShort).putShort(channels.toShort).putInt(8000)
+      .putInt(4000).putShort(blockAlign.toShort).putShort(4)
+      .putShort(2).putShort(samplesPerBlock.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    buf.array()
+  }
+
+  /** IMA ADPCM block bytes for one MONO block: 4-byte header (pred, index)
+    * + packed nibbles (low nibble first), zero-padded to `blockAlign`. */
+  def adpcmMonoBlock(pred: Int, index: Int, nibbles: Seq[Int],
+                     blockAlign: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(blockAlign)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putShort(pred.toShort).put(index.toByte).put(0.toByte)
+    nibbles.grouped(2).foreach { g =>
+      val lo = g.head & 0xf
+      val hi = if (g.size > 1) g(1) & 0xf else 0
+      b.put((lo | (hi << 4)).toByte)
+    }
+    b.array()
+  }
+
   /** Minimal genuine MP4: ftyp + moov[ trak[tkhd 0×0 audio], trak[tkhd
     * w×h video] ] with correct box sizes and v0 tkhd layout (dims as
     * 16.16 fixed point at payload offset 76). */
@@ -343,6 +388,156 @@ class MediaSpec extends SparkSpec {
     assert(Media.decodePcm(nonPcm).isEmpty)
     assert(Media.decodePcm("RIFFxxxxWAVE".getBytes).isEmpty)
     assert(Media.decodePcm(null).isEmpty)
+  }
+
+  test("G.711 expansion pins the published anchors and round-trips all 256 codes") {
+    // Known anchor values from the ITU-T G.711 tables.
+    assert(Media.ulawToLinear(0x00) === -32124) // most negative µ-law code
+    assert(Media.ulawToLinear(0x80) === 32124)  // most positive
+    assert(Media.ulawToLinear(0xff) === 0)      // +0
+    assert(Media.ulawToLinear(0x7f) === 0)      // −0 (µ-law's double zero)
+    assert(Media.alawToLinear(0x55) === -8)     // A-law has no exact zero
+    assert(Media.alawToLinear(0xd5) === 8)
+    assert(Media.alawToLinear(0x2a) === -32256) // most negative A-law code
+    assert(Media.alawToLinear(0xaa) === 32256)
+    // Independent ENCODERS (sign/segment-search construction, written
+    // from the G.711 definition — not the decoder inverted): compressing
+    // each code's decoded value must give the code back. This pins the
+    // decoder against the standard, not against itself.
+    def ulawEncode(pcm0: Int): Int = {
+      var pcm = pcm0
+      val sign = if (pcm < 0) { pcm = -pcm; 0x80 } else 0
+      if (pcm > 32635) pcm = 32635
+      pcm += 0x84
+      var exp = 7; var mask = 0x4000
+      while (exp > 0 && (pcm & mask) == 0) { exp -= 1; mask >>= 1 }
+      ~(sign | (exp << 4) | ((pcm >> (exp + 3)) & 0x0f)) & 0xff
+    }
+    def alawEncode(pcm0: Int): Int = {
+      var pcm = pcm0
+      val sign = if (pcm >= 0) 0x80 else { pcm = -pcm; 0 }
+      if (pcm > 32767) pcm = 32767
+      var exp = 7; var mask = 0x4000
+      while (exp > 0 && (pcm & mask) == 0) { exp -= 1; mask >>= 1 }
+      val mant = if (exp == 0) (pcm >> 4) & 0x0f else (pcm >> (exp + 3)) & 0x0f
+      (sign | (exp << 4) | mant) ^ 0x55
+    }
+    for (code <- 0 until 256) {
+      // µ-law's −0 code (0x7f) canonicalizes to +0 (0xff) on re-encode.
+      val expectU = if (code == 0x7f) 0xff else code
+      assert(ulawEncode(Media.ulawToLinear(code)) === expectU,
+        s"ulaw code $code")
+      assert(alawEncode(Media.alawToLinear(code)) === code,
+        s"alaw code $code")
+    }
+  }
+
+  test("decodePcm: G.711 WAV payloads decode through the fmt-tag dispatch") {
+    val data = Array.tabulate(256)(_.toByte)
+    val u = Media.decodePcm(MediaFixtures.wavCoded(7, data)).get
+    assert((u.codec, u.bitsPerSample, u.sampleRate, u.channels) ===
+      (("ulaw", 16, 8000, 1)))
+    assert(u.samples.toSeq === (0 until 256).map(Media.ulawToLinear))
+    val a = Media.decodePcm(MediaFixtures.wavCoded(6, data)).get
+    assert(a.codec === "alaw")
+    assert(a.samples.toSeq === (0 until 256).map(Media.alawToLinear))
+    // Unsupported compressed tags still refuse (mp3-in-WAV is tag 0x55).
+    assert(Media.decodePcm(MediaFixtures.wavCoded(0x55, data)).isEmpty)
+  }
+
+  test("decodePcm: IMA ADPCM blocks decode by the published step tables") {
+    // Hand-stepped reference, from (pred=0, index=0, step=7):
+    //   nib 4  → diff 7          → pred 7,  index 2 (step 9)
+    //   nib 8  → diff 1, minus   → pred 6,  index 1 (step 8)
+    //   nib 3  → diff 1+2+4 = 7  → pred 13, index 0 (step 7)
+    //   nib 15 → diff 0+1+3+7,−  → pred 2,  index 8 (step 16)
+    //   nib 0×4 → diffs 2,1,1,1  → pred 4, 5, 6, 7
+    val nib = Seq(4, 8, 3, 15, 0, 0, 0, 0)
+    val mono = Media.decodePcm(MediaFixtures.wavAdpcm(1, 8, 9,
+      MediaFixtures.adpcmMonoBlock(0, 0, nib, 8))).get
+    assert(mono.codec === "ima_adpcm")
+    assert(mono.samples.toSeq === Seq(0, 7, 6, 13, 2, 4, 5, 6, 7))
+    // samplesPerBlock CAPS a block's output (trailing pad nibbles dropped).
+    val capped = Media.decodePcm(MediaFixtures.wavAdpcm(1, 8, 5,
+      MediaFixtures.adpcmMonoBlock(0, 0, nib, 8))).get
+    assert(capped.samples.toSeq === Seq(0, 7, 6, 13, 2))
+    // Multi-block state RESET: two identical blocks decode identically.
+    val two = Media.decodePcm(MediaFixtures.wavAdpcm(1, 8, 9,
+      MediaFixtures.adpcmMonoBlock(0, 0, nib, 8) ++
+        MediaFixtures.adpcmMonoBlock(0, 0, nib, 8))).get
+    assert(two.samples.toSeq === mono.samples.toSeq ++ mono.samples.toSeq)
+    // Trailing partial block: header only → just the predictor sample.
+    val partial = Media.decodePcm(MediaFixtures.wavAdpcm(1, 8, 9,
+      MediaFixtures.adpcmMonoBlock(0, 0, nib, 8) ++
+        Array[Byte](100, 0, 3, 0))).get
+    assert(partial.samples.toSeq === mono.samples.toSeq :+ 100)
+    // STEREO layout: per-channel headers then alternating 4-byte nibble
+    // words — decoding a stereo block must equal the two mono decodes,
+    // interleaved (pins the word-interleave arithmetic).
+    val nibL = nib
+    val nibR = Seq(1, 2, 9, 10, 5, 0, 7, 8)
+    def pack(ns: Seq[Int]): Array[Byte] = ns.grouped(2)
+      .map(g => ((g.head & 0xf) | ((g(1) & 0xf) << 4)).toByte).toArray
+    val stereoBlock = {
+      val b = java.nio.ByteBuffer.allocate(16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putShort(50).put(0.toByte).put(0.toByte)     // ch0 header
+        .putShort(-70).put(30.toByte).put(0.toByte)  // ch1 header
+        .put(pack(nibL)).put(pack(nibR))
+      b.array()
+    }
+    val st = Media.decodePcm(MediaFixtures.wavAdpcm(2, 16, 9, stereoBlock)).get
+    val l = Media.decodePcm(MediaFixtures.wavAdpcm(1, 8, 9,
+      MediaFixtures.adpcmMonoBlock(50, 0, nibL, 8))).get.samples
+    val r = Media.decodePcm(MediaFixtures.wavAdpcm(1, 8, 9,
+      MediaFixtures.adpcmMonoBlock(-70, 30, nibR, 8))).get.samples
+    assert(st.samples.toSeq === l.zip(r).flatMap(p => Seq(p._1, p._2)).toSeq)
+    // Out-of-range stored step index clamps instead of throwing.
+    val hostile = Media.decodePcm(MediaFixtures.wavAdpcm(1, 8, 9,
+      MediaFixtures.adpcmMonoBlock(0, 200, nib, 8)))
+    assert(hostile.nonEmpty)
+  }
+
+  test("poison-pill declared sizes and boundary boxes never throw (ADVICE r9)") {
+    // A chunk size near Int.MaxValue made `body + size` wrap negative and
+    // the next iteration read bytes(<0). Both walks must refuse cleanly.
+    def hugeChunk(tag: String): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + 8 + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(0x7ffffff0)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put(tag.getBytes("US-ASCII")).putInt(0x7ffffff0)
+        .putInt(0)
+      b.array()
+    }
+    assert(Media.parseHeader(hugeChunk("JUNK")) === Media.UnknownHeader)
+    assert(Media.decodePcm(hugeChunk("LIST")).isEmpty)
+    // fmt first, then the poison chunk (exercises decodePcm past fmtSeen).
+    val fmtThenHuge = {
+      val riffAndFmt = MediaFixtures.wav8(8000, 1, Seq(1, 2)).take(36)
+      val b = java.nio.ByteBuffer.allocate(36 + 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(riffAndFmt).put("LIST".getBytes("US-ASCII")).putInt(0x7ffffff0)
+      b.array()
+    }
+    Media.decodePcm(fmtThenHuge) // must not throw
+    // tkhd of declared size 8: empty payload ending exactly at buffer end.
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val emptyTkhd = box("ftyp", Array[Byte](0, 0, 0, 0)) ++
+      box("moov", box("trak", box("tkhd", Array.emptyByteArray)))
+    assert(Media.parseHeader(emptyTkhd) === Media.MediaHeader("mp4", 0, 0, 0, 0))
+    // boxDownscale on a 1×64M column: cy*height overflows Int at cy=32
+    // without Long box bounds. Rows of constant value y/2^20 → cell cy
+    // must average to exactly cy.
+    val tall = Media.GrayImage(1, 64 * 1024 * 1024,
+      Array.tabulate(64 * 1024 * 1024)(y => (y >> 20).toByte))
+    val d = Media.boxDownscale(tall, 1, 64)
+    assert((d.width, d.height) === ((1, 64)))
+    assert(d.pixels.map(_ & 0xff).toSeq === (0 until 64))
   }
 
   test("parseHeader reads PNM headers (and decode limits don't apply to the probe)") {
