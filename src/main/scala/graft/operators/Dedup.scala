@@ -1238,6 +1238,54 @@ object Dedup {
     (hashed, prefix)
   }
 
+  /** The batch side's ranked prefix under a frozen df order — shared by
+    * [[prefixScoreBatch]] and [[prefixCandidatePairs]]. */
+  private def batchPrefix(bHashed: DataFrame, dfs: DataFrame, tm: Long,
+                          idCol: String): DataFrame = {
+    val bPost = bHashed.select(col(idCol), explode(col("hs")).as("h"),
+      size(col("hs")).cast("long").as("s"))
+    rankedPrefix(
+      bPost.join(dfs, Seq("h"), "left")
+        .withColumn("df", coalesce(col("df"), lit(Long.MaxValue))),
+      tm, idCol)
+  }
+
+  /** The PPJoin candidate equi-join — prefix + length + positional filters,
+    * shared VERBATIM by [[prefixScoreBatch]] (which verifies candidates
+    * exactly) and [[prefixCandidatePairs]] (which counts them: the
+    * stored-index pruning-decay probe), so the probe measures exactly the
+    * volume the scorer pays. Output (batch_id, corpus_id), distinct. */
+  private def candidateJoin(bPrefix: DataFrame, cPrefix: DataFrame,
+                            tm: Long): DataFrame = {
+    val alpha = ceilDivCol(lit(tm) * (col("b.s") + col("c.s")), 1000000L + tm)
+    bPrefix.as("b").join(cPrefix.as("c"),
+        col("b.h") === col("c.h") &&
+          col("b.s") * tm <= col("c.s") * 1000000L &&
+          col("c.s") * tm <= col("b.s") * 1000000L &&
+          lit(1L) + least(col("b.s") - col("b.rn"), col("c.s") - col("c.rn"))
+            >= alpha)
+      .select(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
+      .distinct()
+  }
+
+  /** CANDIDATE pairs only — [[prefixScoreBatch]]'s pre-verification stage,
+    * exposed as the measured pruning-quality signal for the durable index
+    * ([[graft.store.PrefixIndexStore.pruningDecay]]): as append-only
+    * deltas accumulate, the frozen df order drifts from true frequencies
+    * and candidate volume per corpus doc grows — this is the re-snapshot
+    * trigger. Shares [[candidateJoin]]/[[batchPrefix]] with the scorer so
+    * the probe cannot drift from what scoring actually pays. */
+  def prefixCandidatePairs(dfs: DataFrame, cPrefix: DataFrame,
+                           batch: DataFrame, threshold: Double,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val tm = microThreshold(threshold)
+    val bHashed = batch.select(col(idCol), shingleHashes(col(textCol)).as("hs"))
+      .filter(size(col("hs")) > 0)
+    candidateJoin(batchPrefix(bHashed, dfs, tm, idCol), cPrefix, tm)
+  }
+
   /** Score one batch against a frozen PPJoin corpus index — the shared
     * core of [[prefixJaccardIncremental]] (tables rebuilt per call) and
     * [[graft.store.PrefixIndexStore.scoreBatch]] (tables read from the
@@ -1255,21 +1303,7 @@ object Dedup {
     val bHashed = batch.select(col(idCol), shingleHashes(col(textCol)).as("hs"))
       .filter(size(col("hs")) > 0)
       .localCheckpoint(eager = true)
-    val bPost = bHashed.select(col(idCol), explode(col("hs")).as("h"),
-      size(col("hs")).cast("long").as("s"))
-    val bPrefix = rankedPrefix(
-      bPost.join(dfs, Seq("h"), "left")
-        .withColumn("df", coalesce(col("df"), lit(Long.MaxValue))),
-      tm, idCol)
-    val alpha = ceilDivCol(lit(tm) * (col("b.s") + col("c.s")), 1000000L + tm)
-    val cand = bPrefix.as("b").join(cPrefix.as("c"),
-        col("b.h") === col("c.h") &&
-          col("b.s") * tm <= col("c.s") * 1000000L &&
-          col("c.s") * tm <= col("b.s") * 1000000L &&
-          lit(1L) + least(col("b.s") - col("b.rn"), col("c.s") - col("c.rn"))
-            >= alpha)
-      .select(col("b.id").as("batch_id"), col("c.id").as("corpus_id"))
-      .distinct()
+    val cand = candidateJoin(batchPrefix(bHashed, dfs, tm, idCol), cPrefix, tm)
     val hb = bHashed.select(col(idCol).as("batch_id"), col("hs").as("hs_b"))
     val hc = cHashed.select(col("cid").as("corpus_id"), col("hs").as("hs_c"))
     val jaccard = SqlLet.let(size(array_intersect(col("hs_b"), col("hs_c"))), inter =>

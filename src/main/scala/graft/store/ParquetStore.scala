@@ -176,6 +176,33 @@ final class ParquetStore(
     this
   }
 
+  /** Retention keyed to an EXTERNAL commit point rather than a generation
+    * count: delete every generation BELOW `keepFrom`. This is what a
+    * multi-store coordinator ([[PrefixIndexStore]]) uses — its snapshots
+    * span several appends, so counting generations (cleanInterval) would
+    * expire a live snapshot's base out from under its append chain. */
+  def cleanBelow(keepFrom: Long): this.type = this.synchronized {
+    generationIds().filter(_ < keepFrom).foreach { g =>
+      deleteRecursively(Paths.get(s"$path/rst_id=$g"))
+    }
+    registerView()
+    this
+  }
+
+  /** Crash-recovery GC for a coordinator whose commit point lives OUTSIDE
+    * this store: delete every generation ABOVE `committed` (orphans from a
+    * crash between a multi-store sequence's appends) and realign the
+    * counter to `committed + 1`, so the next append reuses the orphaned
+    * id and lockstep ids stay dense. No-op when nothing is above. */
+  def truncateAbove(committed: Long): this.type = this.synchronized {
+    generationIds().filter(_ > committed).foreach { g =>
+      deleteRecursively(Paths.get(s"$path/rst_id=$g"))
+    }
+    counter = committed + 1L
+    registerView()
+    this
+  }
+
   private def cleanCore(interval: Long): Unit = {
     val keepFrom = counter - (if (interval == -1L) cleanInterval else interval)
     generationIds().filter(_ < keepFrom).foreach { g =>

@@ -1,5 +1,6 @@
 package graft.store
 
+import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -16,17 +17,22 @@ import org.apache.spark.sql.types._
   * Realized as three [[ParquetStore]]s advancing generations in lockstep
   * (the K7 durable-generations machinery): one snapshot = one `rst_id`
   * across all three, so reads partition-prune to exactly the generation
-  * they score against, retention drops whole superseded snapshots, and a
-  * restart recovers the latest snapshot from the directory listing alone.
-  * Scoring reads the LATEST generation present in ALL THREE stores, so a
-  * crash mid-snapshot can never serve a partial index: a crash inside one
-  * append leaves only a staging dir (invisible to reads), and a crash
-  * BETWEEN appends leaves an orphaned newer generation in a prefix of the
-  * stores — reads keep serving the last complete snapshot, and the next
-  * [[snapshot]] call fails loud with a rebuild instruction rather than
-  * interleaving generations (the crash window a table format's atomic
-  * multi-table commit would close — the documented upgrade path, same as
-  * [[ParquetStore.merge]]).
+  * they score against and a restart recovers from the directory listing
+  * alone.
+  *
+  * DURABILITY CONTRACT (r10 — the manifest closed the r9 crash window):
+  * a generation EXISTS only once its commit manifest file
+  * (`<path>/_commits/<g>`, written LAST, via temp + atomic rename) does.
+  * A crash inside one store's append leaves only an invisible staging
+  * dir; a crash BETWEEN the three appends leaves orphaned un-manifested
+  * generations in a prefix of the stores — reads keep serving the last
+  * COMMITTED generation, and the next [[snapshot]]/[[appendDocs]] call
+  * GC's the orphans and realigns the three counters before writing
+  * (self-healing, no manual rebuild). Retention is keyed to COMMITTED
+  * FULL SNAPSHOTS, not generation counts ([[keepSnapshots]]): delta
+  * appends consume generation ids, so the r9 scheme of passing
+  * `keepSnapshots` as a ParquetStore cleanInterval expired a live base
+  * out from under its append chain after ~cleanFreq appends (ADVICE r9).
   *
   * The index is a pure function of (corpus, `threshold`, shingling): the
   * threshold fixes the prefix lengths baked into the stored postings, so
@@ -36,7 +42,11 @@ import org.apache.spark.sql.types._
   *
   * The scoring core is [[graft.operators.Dedup.prefixScoreBatch]] — shared
   * verbatim with the rebuild-per-call form, so stored-index and rebuilt
-  * results cannot drift (pinned by `PrefixIndexStoreSpec`). */
+  * results cannot drift (pinned by `PrefixIndexStoreSpec`). Pruning decay
+  * under append-only growth is a MEASURED signal here, not a doc note:
+  * [[pruningDecay]] counts the scorer's own candidate stage per corpus
+  * doc, delta vs base, and [[shouldResnapshot]] recommends the rebuild
+  * once delta docs generate disproportionate candidate volume. */
 final class PrefixIndexStore(
     val spark: SparkSession,
     val path: String,
@@ -47,22 +57,30 @@ final class PrefixIndexStore(
     val idType: DataType = LongType,
     /** Temp-view name prefix (three views: `<name>_{hashed,dfs,prefix}`). */
     val name: String = "prefix_index",
-    /** Superseded snapshots kept before retention deletes them. */
+    /** Completed FULL snapshots kept (each with its whole append chain);
+      * older snapshots and their deltas are deleted after the next
+      * successful [[snapshot]]. */
     val keepSnapshots: Long = 2L
 ) {
   require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+  require(keepSnapshots >= 1L, "keepSnapshots must keep at least the latest")
 
+  // Auto-clean disabled (cleanFreq that counter % freq never hits):
+  // generation-count retention is wrong for a store whose unit of
+  // retention is a SNAPSHOT spanning many generations — this class runs
+  // its own snapshot-keyed retention in cleanOldSnapshots().
+  private val NoAutoClean = Long.MaxValue
   private val hashedStore = new ParquetStore(spark,
     StructType(Seq(StructField("cid", idType),
       StructField("hs", ArrayType(LongType)))),
-    s"$path/hashed", s"${name}_hashed", cleanInterval = keepSnapshots)
+    s"$path/hashed", s"${name}_hashed", cleanFreq = NoAutoClean)
   private val dfsStore = new ParquetStore(spark,
     StructType(Seq(StructField("h", LongType), StructField("df", LongType))),
-    s"$path/dfs", s"${name}_dfs", cleanInterval = keepSnapshots)
+    s"$path/dfs", s"${name}_dfs", cleanFreq = NoAutoClean)
   private val prefixStore = new ParquetStore(spark,
     StructType(Seq(StructField("id", idType), StructField("h", LongType),
       StructField("s", LongType), StructField("rn", LongType))),
-    s"$path/prefix", s"${name}_prefix", cleanInterval = keepSnapshots)
+    s"$path/prefix", s"${name}_prefix", cleanFreq = NoAutoClean)
 
   /** Every dfs generation carries ONE sentinel row (h = [[SentinelHash]],
     * df = the generation's BASE snapshot id): shingle hashes are 32-bit
@@ -73,18 +91,62 @@ final class PrefixIndexStore(
     * base whose df ORDER it was ranked under. */
   private val SentinelHash = -1L
 
-  private def withSentinel(dfs: DataFrame, base: Long): DataFrame = {
-    val spark0 = spark
-    import spark0.implicits._
-    dfs.unionByName(Seq((SentinelHash, base)).toDF("h", "df"))
+  // ---- Commit manifest: the atomic multi-store commit point -------------
+
+  private val commitsDir = Paths.get(path, "_commits")
+  Files.createDirectories(commitsDir)
+  migrateLegacy()
+
+  /** Generation ids with a commit manifest, ascending. */
+  private def committedIds(): Seq[Long] = {
+    val s = Files.list(commitsDir)
+    try s.toArray.toSeq.map(_.asInstanceOf[Path].getFileName.toString)
+      .collect { case n if n.forall(_.isDigit) => n.toLong }.sorted
+    finally s.close()
+  }
+
+  /** Write `<path>/_commits/<g>` (content: the generation's base id, for
+    * operators) via temp + atomic rename — the LAST step of a snapshot or
+    * delta append; its existence IS the commit. */
+  private def commit(g: Long, base: Long): Unit = {
+    val tmp = commitsDir.resolve(s".tmp_$g")
+    Files.writeString(tmp, s"$base\n")
+    Files.move(tmp, commitsDir.resolve(s"$g"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Pre-manifest directories (r9 layout) carry committed generations with
+    * no manifest. Adopt them once: every generation present in ALL THREE
+    * stores was complete under the old min-of-maxes rule → manifest it.
+    * Orphans (present in a prefix of the stores) stay un-manifested and
+    * the next write's [[recover]] GC's them — the r9 "fails loud, rebuild
+    * by hand" case heals automatically instead. */
+  private def migrateLegacy(): Unit =
+    if (committedIds().isEmpty) {
+      val complete = Seq(hashedStore, dfsStore, prefixStore)
+        .map(_.generations.toSet).reduce(_ intersect _)
+      complete.toSeq.sorted.foreach { g => commit(g, baseOf(g)) }
+    }
+
+  /** GC orphaned generations from a crash between appends and realign the
+    * three counters to the last committed generation — called before
+    * every write so a crashed store never needs manual repair. */
+  private def recover(): Unit = {
+    val committed = latestSnapshot.getOrElse(0L)
+    Seq(hashedStore, dfsStore, prefixStore).foreach { s =>
+      if (s.maxRstId.exists(_ > committed) || s.currentRstId != committed + 1L)
+        s.truncateAbove(committed)
+    }
   }
 
   /** Build the index from `corpus` and persist it as the next generation
     * of all three stores — the one corpus-scale pass per snapshot. The
     * three tables derive from a single checkpointed tokenizing scan
-    * ([[graft.operators.Dedup.prefixIndexTables]]). Returns the snapshot's
-    * rst_id. */
+    * ([[graft.operators.Dedup.prefixIndexTables]]); the commit manifest
+    * lands last, then retention drops snapshots past [[keepSnapshots]].
+    * Returns the snapshot's rst_id. */
   def snapshot(corpus: DataFrame): Long = this.synchronized {
+    recover()
     val (hashed, dfs, prefix) = graft.operators.Dedup.prefixIndexTables(
       corpus, threshold, textCol, idCol)
     val g = hashedStore.currentRstId
@@ -93,6 +155,8 @@ final class PrefixIndexStore(
     prefixStore.append(prefix)
     require(dfsStore.currentRstId == g + 1 && prefixStore.currentRstId == g + 1,
       s"prefix-index stores out of lockstep at $path — rebuild the index dir")
+    commit(g, g)
+    cleanOldSnapshots()
     g
   }
 
@@ -103,17 +167,18 @@ final class PrefixIndexStore(
     * a shared total order, so results stay exact) and land as one new
     * generation; no corpus-scale work anywhere. What drifts as deltas
     * accumulate is PRUNING quality (the frozen order diverges from true
-    * frequencies), which is the signal to re-[[snapshot]] — never a
-    * correctness event. Returns the delta's generation id. */
+    * frequencies) — measured by [[pruningDecay]], acted on by
+    * [[shouldResnapshot]], never a correctness event. Returns the delta's
+    * generation id. */
   def appendDocs(docs: DataFrame): Long = this.synchronized {
+    recover()
     val g = latestSnapshot.getOrElse(throw new IllegalStateException(
       s"appendDocs needs a base snapshot at $path — call snapshot() first"))
     val base = baseOf(g)
     if (!dfsStore.hasGeneration(base)) throw new IllegalStateException(
       s"append chain's base snapshot $base expired from $path — re-snapshot " +
         "(and raise keepSnapshots for append-heavy use)")
-    val frozen = dfsStore.directFetch(base).drop("rst_id")
-      .filter(col("h") =!= SentinelHash)
+    val frozen = frozenDfs(base)
     val (hashedDelta, prefixDelta) = graft.operators.Dedup.prefixIndexDelta(
       docs, frozen, threshold, textCol, idCol)
     val gd = hashedStore.currentRstId
@@ -122,19 +187,42 @@ final class PrefixIndexStore(
     prefixStore.append(prefixDelta)
     require(dfsStore.currentRstId == gd + 1 && prefixStore.currentRstId == gd + 1,
       s"prefix-index stores out of lockstep at $path — rebuild the index dir")
+    commit(gd, base)
     gd
   }
 
-  /** Latest COMPLETE generation id (full snapshot OR delta): the highest
-    * generation present in all three stores (a crash between appends
-    * leaves a newer partial generation in a prefix of them; scoring must
-    * never mix generations). */
-  def latestSnapshot: Option[Long] =
-    for {
-      h <- hashedStore.maxRstId
-      d <- dfsStore.maxRstId
-      p <- prefixStore.maxRstId
-    } yield math.min(h, math.min(d, p))
+  private def withSentinel(dfs: DataFrame, base: Long): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    dfs.unionByName(Seq((SentinelHash, base)).toDF("h", "df"))
+  }
+
+  private def frozenDfs(base: Long): DataFrame =
+    dfsStore.directFetch(base).drop("rst_id")
+      .filter(col("h") =!= SentinelHash)
+
+  /** Latest COMMITTED generation id (full snapshot OR delta) — the
+    * manifest is the commit point, so an orphaned post-crash generation
+    * sitting in a prefix of the stores is never served. */
+  def latestSnapshot: Option[Long] = committedIds().lastOption
+
+  /** Committed FULL snapshots (self-sentinel generations), ascending —
+    * the unit [[keepSnapshots]] retention counts. */
+  def fullSnapshots: Seq[Long] = committedIds().filter(g => baseOf(g) == g)
+
+  /** Snapshot-keyed retention: keep the last [[keepSnapshots]] committed
+    * full snapshots WITH their whole append chains; everything below the
+    * oldest kept base — generations and manifests — is deleted. Runs
+    * after each successful [[snapshot]]. */
+  private def cleanOldSnapshots(): Unit = {
+    val fulls = fullSnapshots
+    if (fulls.size > keepSnapshots) {
+      val keepFrom = fulls(fulls.size - keepSnapshots.toInt)
+      Seq(hashedStore, dfsStore, prefixStore).foreach(_.cleanBelow(keepFrom))
+      committedIds().filter(_ < keepFrom)
+        .foreach(g => Files.deleteIfExists(commitsDir.resolve(s"$g")))
+    }
+  }
 
   /** The BASE snapshot whose frozen df order governs generation `g` —
     * read from the dfs sentinel row (partition-pruned single-generation
@@ -148,26 +236,23 @@ final class PrefixIndexStore(
     rows(0).getLong(0)
   }
 
-  /** Score one batch against the stored index as of generation `g`
-    * (latest complete by default) — O(batch) work: the frozen df order is
-    * read from `g`'s base, and the corpus side is the UNION of the base
-    * snapshot plus every delta up to `g`, all partition-pruned generation
-    * reads. Output (batch_id, corpus_id, jaccard), the exact
-    * [[graft.operators.Dedup.prefixJaccardIncremental]] contract. */
-  def scoreBatch(batch: DataFrame, snapshotId: Option[Long] = None): DataFrame = {
+  /** Resolve + validate the generation a read runs against: committed,
+    * present, and with a hole-free base..g chain in the posting stores —
+    * retention/crash holes must fail LOUD (a partition-pruned read over a
+    * missing generation silently yields zero rows for it, which would
+    * score batches against a PARTIAL corpus: deduped docs would pass). */
+  private def resolveValidated(snapshotId: Option[Long]): (Long, Long) = {
     val g = snapshotId.orElse(latestSnapshot).getOrElse(
       throw new IllegalStateException(
         s"no complete prefix-index snapshot at $path — call snapshot() first"))
-    // Retention/crash holes must fail LOUD: a partition-pruned read over a
-    // missing generation silently yields zero rows for it, which would
-    // score the batch against a PARTIAL corpus — deduped docs would pass.
-    def contiguous(s: ParquetStore, what: String): Unit = {
-      if (!s.hasGeneration(g)) throw new IllegalStateException(
-        s"prefix-index generation $g ($what) is not present at $path " +
-          s"(expired by retention or never completed) — score against " +
-          s"latestSnapshot=$latestSnapshot or re-snapshot")
-    }
-    contiguous(dfsStore, "dfs")
+    if (!committedIds().contains(g)) throw new IllegalStateException(
+      s"prefix-index generation $g at $path has no commit manifest " +
+        "(expired by retention or never completed) — score against " +
+        s"latestSnapshot=$latestSnapshot or re-snapshot")
+    if (!dfsStore.hasGeneration(g)) throw new IllegalStateException(
+      s"prefix-index generation $g (dfs) is not present at $path " +
+        s"(expired by retention or never completed) — score against " +
+        s"latestSnapshot=$latestSnapshot or re-snapshot")
     val base = baseOf(g)
     val have = Seq(hashedStore, prefixStore).map(_.generations.toSet)
     val need = (base to g).toSet
@@ -176,13 +261,82 @@ final class PrefixIndexStore(
         s"prefix-index generations ${(need -- h).toSeq.sorted.mkString(",")} " +
           s"($s) missing at $path — the base..$g append chain has retention " +
           "holes; re-snapshot (and raise keepSnapshots for append-heavy use)")
+    (g, base)
+  }
+
+  /** Score one batch against the stored index as of generation `g`
+    * (latest committed by default) — O(batch) work: the frozen df order
+    * is read from `g`'s base, and the corpus side is the UNION of the
+    * base snapshot plus every delta up to `g`, all partition-pruned
+    * generation reads. Output (batch_id, corpus_id, jaccard), the exact
+    * [[graft.operators.Dedup.prefixJaccardIncremental]] contract. */
+  def scoreBatch(batch: DataFrame, snapshotId: Option[Long] = None): DataFrame = {
+    val (g, base) = resolveValidated(snapshotId)
     def range(s: ParquetStore) = s.selectAll
       .filter(col("rst_id").between(base, g)).drop("rst_id")
     graft.operators.Dedup.prefixScoreBatch(
-      range(hashedStore),
-      dfsStore.directFetch(base).drop("rst_id")
-        .filter(col("h") =!= SentinelHash),
-      range(prefixStore),
+      range(hashedStore), frozenDfs(base), range(prefixStore),
       batch, threshold, textCol, idCol)
   }
+
+  /** Measured pruning quality under append-only growth, r10 (VERDICT r9
+    * #2): candidate volume from the scorer's OWN candidate stage
+    * ([[graft.operators.Dedup.prefixCandidatePairs]] — shared join,
+    * cannot drift), split base vs deltas. A corpus doc's postings live in
+    * exactly one generation, so base/delta candidate sets partition
+    * cleanly. If delta postings were ranked under a fresh order they
+    * would generate candidates at ≈ the base's per-corpus-doc rate; as
+    * the frozen order drifts, delta docs generate disproportionately
+    * more — [[PruningDecay.ratio]] is that disproportion, 1.0 when no
+    * deltas exist. Probe cost: two candidate joins + counts, batch-sized
+    * work (this is monitoring, run on a sampled batch, not on every
+    * scoring call). */
+  def pruningDecay(batch: DataFrame,
+                   snapshotId: Option[Long] = None): PruningDecay = {
+    val (g, base) = resolveValidated(snapshotId)
+    val dfsB = frozenDfs(base)
+    def cand(prefix: DataFrame): Long =
+      graft.operators.Dedup.prefixCandidatePairs(
+        dfsB, prefix, batch, threshold, textCol, idCol).count()
+    val basePrefix = prefixStore.directFetch(base).drop("rst_id")
+    val baseCand = cand(basePrefix)
+    val baseDocs = hashedStore.directFetch(base).count()
+    val (deltaCand, deltaDocs) =
+      if (g == base) (0L, 0L)
+      else {
+        val deltaPrefix = prefixStore.selectAll
+          .filter(col("rst_id").between(base + 1, g)).drop("rst_id")
+        (cand(deltaPrefix),
+          hashedStore.selectAll
+            .filter(col("rst_id").between(base + 1, g)).count())
+      }
+    PruningDecay(g, base, baseDocs, deltaDocs, baseCand, deltaCand)
+  }
+
+  /** Recommend a re-[[snapshot]] when delta postings generate more than
+    * `factor`× the base's per-corpus-doc candidate volume for `batch`.
+    * (The store holds hashes, not text, so the rebuild itself needs the
+    * caller's corpus — this recommends; the ingest loop acts.) */
+  def shouldResnapshot(batch: DataFrame, factor: Double = 3.0,
+                       snapshotId: Option[Long] = None): Boolean =
+    pruningDecay(batch, snapshotId).ratio > factor
+}
+
+/** [[PrefixIndexStore.pruningDecay]]'s measurement: candidate volume per
+  * corpus doc, base snapshot vs accumulated deltas, for one probe batch. */
+final case class PruningDecay(
+    generation: Long, base: Long,
+    baseDocs: Long, deltaDocs: Long,
+    baseCandidates: Long, deltaCandidates: Long) {
+  /** Candidates per base-corpus doc. */
+  def baseRate: Double = baseCandidates.toDouble / math.max(1L, baseDocs)
+  /** Candidates per delta-corpus doc. */
+  def deltaRate: Double = deltaCandidates.toDouble / math.max(1L, deltaDocs)
+  /** Delta disproportion: deltaRate / baseRate — 1.0 with no deltas; a
+    * base generating ZERO candidates while deltas generate some reads as
+    * maximal drift (the division guards with one candidate per base
+    * corpus, so the ratio stays finite and comparable). */
+  def ratio: Double =
+    if (deltaDocs == 0L) 1.0
+    else deltaRate / math.max(baseRate, 1.0 / math.max(1L, baseDocs))
 }

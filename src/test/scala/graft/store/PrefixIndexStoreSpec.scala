@@ -141,21 +141,169 @@ class PrefixIndexStoreSpec extends SparkSpec {
     assert(!pairs(store2.scoreBatch(batch)).exists(_._2 == 5L))
   }
 
-  test("retention holes in the append chain fail loud, never partial-corpus dedup") {
+  test("retention is keyed to FULL snapshots: appends never expire their own base (ADVICE r9)") {
     GraftExtensions.register(spark)
-    // keepSnapshots=2 with default cleanFreq=10: after the 10th append the
-    // BASE snapshot is deleted while recent deltas survive — scoring must
-    // refuse the broken chain instead of silently matching a partial corpus.
+    // r9 passed keepSnapshots as a ParquetStore cleanInterval, which counts
+    // GENERATIONS — ~9 appendDocs at the default cleanFreq=10 deleted the
+    // live base out from under its append chain. Now retention only drops
+    // whole superseded snapshots, so an arbitrarily long append chain at
+    // DEFAULTS keeps working.
     val store = new PrefixIndexStore(spark, tmp(), threshold = 0.3,
-      name = "pidx_holes", keepSnapshots = 2L)
-    store.snapshot(docs.filter("doc_id <= 4"))
-    // Whichever side notices first — an appendDocs finding its base gone,
-    // or scoreBatch finding the chain holed — the failure is loud and
-    // names the remedy.
+      name = "pidx_chain", keepSnapshots = 2L)
+    store.snapshot(docs.filter("doc_id <= 2"))
+    (3 to 5).foreach(i => store.appendDocs(docs.filter(s"doc_id = $i")))
+    (1 to 10).foreach(_ => store.appendDocs(docs.filter("doc_id = 999"))) // empty deltas
+    val batch = docs.filter("doc_id >= 6")
+    assert(pairs(store.scoreBatch(batch)) ===
+      pairs(Dedup.prefixJaccardIncremental(docs.filter("doc_id <= 5"), batch, 0.3)))
+    // Re-snapshots still retire OLD snapshots with their whole chains:
+    // two more full snapshots push the first (and its 13 deltas) out.
+    val g1 = store.snapshot(docs.filter("doc_id <= 5"))
+    val g2 = store.snapshot(docs.filter("doc_id <= 5"))
+    assert(store.fullSnapshots === Seq(g1, g2))
     val ex = intercept[IllegalStateException] {
-      (1 to 10).foreach(_ => store.appendDocs(docs.filter("doc_id = 5")))
-      store.scoreBatch(docs.filter("doc_id >= 6"))
+      store.scoreBatch(batch, snapshotId = Some(1L))
     }
-    assert(ex.getMessage.contains("re-snapshot"))
+    assert(ex.getMessage.contains("expired") || ex.getMessage.contains("manifest"))
+    // A base deleted OUT-OF-BAND (disk corruption, manual rm) still fails
+    // loud at scoring, never silently dedups against a partial corpus.
+    val store2 = new PrefixIndexStore(spark, tmp(), threshold = 0.3,
+      name = "pidx_holes2", keepSnapshots = 2L)
+    val b0 = store2.snapshot(docs.filter("doc_id <= 4"))
+    store2.appendDocs(docs.filter("doc_id = 5"))
+    deleteDir(java.nio.file.Paths.get(store2.path, "prefix", s"rst_id=$b0"))
+    val ex2 = intercept[IllegalStateException] { store2.scoreBatch(batch) }
+    assert(ex2.getMessage.contains("re-snapshot"))
+  }
+
+  private def deleteDir(dir: java.nio.file.Path): Unit = {
+    val s = Files.walk(dir)
+    try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { Files.deleteIfExists(p); () })
+    finally s.close()
+  }
+
+  test("crash BETWEEN appends self-heals: orphans are GC'd, the next snapshot succeeds") {
+    GraftExtensions.register(spark)
+    val path = tmp()
+    val corpus = docs.filter("doc_id <= 5")
+    val batch = docs.filter("doc_id >= 6")
+    val store = new PrefixIndexStore(spark, path, threshold = 0.3,
+      name = "pidx_crash")
+    val g = store.snapshot(corpus)
+    val committed = pairs(store.scoreBatch(batch))
+    // Simulate a crash between the three lockstep appends: the NEXT
+    // generation exists in the hashed store (first append completed) but
+    // not in dfs/prefix, and no commit manifest was written. This is the
+    // exact on-disk state the r9 code failed loud on, demanding a manual
+    // rebuild.
+    val sparkSession = spark
+    import sparkSession.implicits._
+    Seq((999L, Array(1L, 2L, 3L))).toDF("cid", "hs")
+      .write.parquet(s"$path/hashed/rst_id=${g + 1}")
+    // Reads keep serving the last COMMITTED snapshot (same instance and
+    // a restarted one).
+    assert(store.latestSnapshot === Some(g))
+    assert(pairs(store.scoreBatch(batch)) === committed)
+    val reopened = new PrefixIndexStore(spark, path, threshold = 0.3,
+      name = "pidx_crash_re")
+    assert(reopened.latestSnapshot === Some(g))
+    assert(pairs(reopened.scoreBatch(batch)) === committed)
+    // The next write recovers WITHOUT manual intervention: the orphan is
+    // GC'd, counters realign, and the new snapshot lands as g+1.
+    val g2 = reopened.snapshot(corpus)
+    assert(g2 === g + 1)
+    assert(pairs(reopened.scoreBatch(batch)) === committed)
+    // The orphan's fake doc 999 must be gone, not resurrected into g+1.
+    assert(!pairs(reopened.scoreBatch(batch)).exists(_._2 == 999L))
+    // Same self-healing through the append path on a fresh crash.
+    Seq((998L, Array(1L, 2L))).toDF("cid", "hs")
+      .write.parquet(s"$path/hashed/rst_id=${g2 + 1}")
+    val g3 = reopened.appendDocs(docs.filter("doc_id = 5"))
+    assert(g3 === g2 + 1)
+    assert(!pairs(reopened.scoreBatch(batch)).exists(_._2 == 998L))
+  }
+
+  test("legacy pre-manifest directories are adopted, not invalidated") {
+    GraftExtensions.register(spark)
+    val path = tmp()
+    val corpus = docs.filter("doc_id <= 5")
+    val batch = docs.filter("doc_id >= 6")
+    val store = new PrefixIndexStore(spark, path, threshold = 0.3,
+      name = "pidx_legacy")
+    val g = store.snapshot(corpus)
+    store.appendDocs(docs.filter("doc_id = 5"))
+    val before = pairs(store.scoreBatch(batch))
+    // Strip the manifests — the r9 on-disk layout.
+    deleteDir(java.nio.file.Paths.get(path, "_commits"))
+    val reopened = new PrefixIndexStore(spark, path, threshold = 0.3,
+      name = "pidx_legacy_re")
+    assert(reopened.latestSnapshot === Some(g + 1))
+    assert(pairs(reopened.scoreBatch(batch)) === before)
+  }
+
+  /** Drift fixture for the pruning-decay probe. Every doc is 12 words =
+    * 10 distinct word-3-gram shingles; at t=0.8 the prefix keeps each
+    * doc's 3 RAREST shingles under the governing df order.
+    *
+    *   - Base: 40 texts × 2 exact copies (their shingles df=2) + one doc
+    *     carrying phrase P = "alpha beta gamma delta epsilon" (P's
+    *     shingles df=1 — the rarest thing in the base order).
+    *   - Drifted docs (deltas AND probe batches): P + the 7-word tail of
+    *     a base text, disjoint tail ranges per family. Under the FROZEN
+    *     base order P (df=1) beats the tails (df=2) into every prefix →
+    *     all (probe × delta) pairs become candidates. Under a FRESH order
+    *     P is common (df ≈ #drifted docs) and the corpus-known tails
+    *     (df 2-3) take the prefix slots → the same distribution stops
+    *     colliding. That flip is exactly the pruning decay the probe must
+    *     measure and the re-snapshot must cure. */
+  private def word(i: Int, k: Int) = s"c${i}x$k"
+  private def baseText(i: Int) = (0 until 12).map(word(i, _)).mkString(" ")
+  private def drifted(i: Int) =
+    "alpha beta gamma delta epsilon " + (5 until 12).map(word(i, _)).mkString(" ")
+  private def df(rows: Seq[(Long, String)]) = {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("pruningDecay: accumulated drift trips the re-snapshot trigger; a re-snapshot restores it") {
+    GraftExtensions.register(spark)
+    val store = new PrefixIndexStore(spark, tmp(), threshold = 0.8,
+      name = "pidx_decay", keepSnapshots = 3L)
+    val base = df((0 until 40).flatMap(i => Seq(
+      (2L * i, baseText(i)), (2L * i + 1, baseText(i)))) :+ (999L, drifted(100)))
+    val deltas = df((0 until 20).map(m => (3000L + m, drifted(m))))
+    val probe = df((0 until 10).map(k => (9000L + k, drifted(20 + k))))
+    val freshDeltas = df((0 until 20).map(m => (5000L + m, drifted(30 + m / 2))))
+    store.snapshot(base)
+    // No deltas: ratio is 1 by definition, trigger quiet.
+    val d0 = store.pruningDecay(probe)
+    assert(d0.deltaDocs === 0L && d0.ratio === 1.0)
+    assert(!store.shouldResnapshot(probe))
+    // 20 drifted docs under the frozen order: P is still ranked rarest, so
+    // every (probe, delta) pair becomes a candidate — the measured
+    // disproportion the r9 scaladoc only DESCRIBED.
+    store.appendDocs(deltas)
+    val d1 = store.pruningDecay(probe)
+    assert(d1.deltaCandidates >= 150L,
+      s"drifted deltas must blow up candidates, got $d1")
+    assert(d1.ratio > 3.0, s"decay ratio must trip the trigger, got $d1")
+    assert(store.shouldResnapshot(probe))
+    // Candidates are pruning WASTE, not matches — scoring stays exact and
+    // empty throughout (probe docs are below threshold vs everything).
+    assert(store.scoreBatch(probe).count() === 0L)
+    // Re-snapshot re-ranks P as common; the SAME drifted distribution now
+    // appends without candidate blowup — the trigger goes quiet.
+    store.snapshot(base.union(deltas))
+    store.appendDocs(freshDeltas)
+    val d2 = store.pruningDecay(probe)
+    assert(d2.deltaDocs === 20L)
+    assert(d2.deltaCandidates < d1.deltaCandidates / 10,
+      s"fresh order must collapse candidate volume, got $d2 vs $d1")
+    assert(d2.ratio <= 3.0, s"fresh order must restore pruning, got $d2")
+    assert(!store.shouldResnapshot(probe))
+    // Still exact after the churn.
+    assert(store.scoreBatch(probe).count() === 0L)
   }
 }
