@@ -261,10 +261,12 @@ object Dedup {
                /** Extra columns carried through the banding (e.g. the
                  * side/source tag for [[crossNearDuplicatesBands]]). */
                carryCols: Seq[String] = Nil,
-               /** Band geometry; bands·rowsPerBand ≤ [[NumHashes]]. The
-                 * 4×4 default is what the oracles replicate — alternate
-                 * geometries ([[suggestBands]] output) are for tuned
-                 * deployments and the recall-floor specs. */
+               /** Band geometry; bands·rowsPerBand ≤ [[NumHashes]]. This
+                 * low-level primitive keeps the static 4×4 default (it has
+                 * no threshold to derive from); threshold-aware callers —
+                 * [[nearDuplicates]], [[clusters]] — derive theirs from
+                 * [[defaultBands]], and the oracles replicate whatever
+                 * geometry the query under test uses. */
                bands: Int = Bands,
                rowsPerBand: Int = RowsPerBand): DataFrame =
     SqlLet.explodeOnce(
@@ -296,10 +298,20 @@ object Dedup {
                      idCol: String = "doc_id",
                      persistBands: Boolean = true,
                      maxBand: Long = MaxBand,
-                     bands: Int = Bands,
-                     rowsPerBand: Int = RowsPerBand): DataFrame = {
+                     /** Band geometry. The DEFAULT (-1, -1) derives from
+                       * [[defaultBands]]`(threshold)` — closed-form, meets
+                       * the 0.9 recall floor AT the threshold with minimal
+                       * sub-threshold candidate work (r10; the old static
+                       * 4×4 undershot the floor at both tails, spec-pinned
+                       * in `SuggestBandsSpec`). Pass both to override. */
+                     bands: Int = -1,
+                     rowsPerBand: Int = -1): DataFrame = {
+    require((bands > 0) == (rowsPerBand > 0),
+      "pass BOTH bands and rowsPerBand, or neither (derived from threshold)")
+    val (nb, nr) =
+      if (bands > 0) (bands, rowsPerBand) else derivedBands(threshold)
     val raw = lshBands(docs, textCol, idCol,
-      bands = bands, rowsPerBand = rowsPerBand)
+      bands = nb, rowsPerBand = nr)
     // Plain checkpoint, NOT pre-partitioned on band: a LogicalRDD's
     // recorded partitioning did not eliminate the self-join exchanges in
     // the measured plan (exchange count unchanged), so a repartition here
@@ -1080,26 +1092,61 @@ object Dedup {
                    textCol: String = "text",
                    idCol: String = "doc_id"): BandChoice = {
     require(threshold > 0.0 && threshold < 1.0, "threshold in (0, 1)")
-    require(recallFloor > 0.0 && recallFloor < 1.0, "recallFloor in (0, 1)")
-    require(maxHashes >= 1, "maxHashes must be positive")
-    val fp = if (fpRef > 0) fpRef else threshold / 2
-    def s(j: Double, b: Int, r: Int): Double = bandRecallAt(j, b, r)
+    val choice = defaultBands(threshold, recallFloor, maxHashes, fpRef)
     // Measured ≥-threshold pair mass per decile (≤ 10 rows collected).
     val mass = prefixJaccard(docs, threshold, textCol, idCol)
       .groupBy(floor(col("jaccard") * 10).cast("int").as("d"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = mass.values.sum
-    def weighted(b: Int, r: Int): Double =
+    val weighted =
       if (total == 0) Double.NaN
       else mass.map { case (d, n) =>
         val mid = math.min((d / 10.0 + math.min(d / 10.0 + 0.1, 1.0)) / 2, 1.0)
-        n * s(mid, b, r)
+        n * bandRecallAt(mid, choice.bands, choice.rowsPerBand)
       }.sum / total
+    choice.copy(weightedRecall = weighted)
+  }
+
+  /** [[defaultBands]] made TOTAL for the default path of
+    * [[nearDuplicates]]/[[clusters]]: at degenerate thresholds (≤ 0, or so
+    * low that S(t) caps below the floor even at maxHashes×1 — the curve's
+    * ceiling is 1−(1−t)^maxHashes) the maximal-recall geometry
+    * ([[NumHashes]]×1) is used instead of throwing, since a caller passing
+    * threshold 0.05 wants "catch what you can", and the old static 4×4 was
+    * silently WORSE at exactly those thresholds. Explicit tuning goes
+    * through [[defaultBands]]/[[suggestBands]], which still throw. */
+  private def derivedBands(threshold: Double): (Int, Int) =
+    if (threshold <= 0.0) (NumHashes, 1)
+    else
+      try { val g = defaultBands(threshold); (g.bands, g.rowsPerBand) }
+      catch {
+        // Only the no-eligible-geometry case reaches here: threshold > 0
+        // is checked above and the floor/budget arguments are defaults.
+        case _: IllegalArgumentException => (NumHashes, 1)
+      }
+
+  /** The CLOSED-FORM core of [[suggestBands]] — grid selection with the
+    * recall floor AT the threshold and sub-threshold fp minimization, no
+    * corpus pass anywhere (the S-curve is analytic). This is also what the
+    * DEFAULT band geometry of [[nearDuplicates]]/[[clusters]] derives from
+    * per threshold (r10 — r9 spec-pinned that the static 4×4 default
+    * undershoots the 0.9 floor at t=0.8, and at t≤0.5 its recall collapses
+    * below 25%; nothing acted on it until the default was derived).
+    * Deterministic: same (threshold, floor, budget) → same geometry, which
+    * the DuckDB oracles replicate in lockstep. */
+  def defaultBands(threshold: Double, recallFloor: Double = 0.9,
+                   maxHashes: Int = NumHashes,
+                   fpRef: Double = -1.0): BandChoice = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    require(recallFloor > 0.0 && recallFloor < 1.0, "recallFloor in (0, 1)")
+    require(maxHashes >= 1, "maxHashes must be positive")
+    val fp = if (fpRef > 0) fpRef else threshold / 2
+    def s(j: Double, b: Int, r: Int): Double = bandRecallAt(j, b, r)
     val grid = for {
       r <- 1 to maxHashes
       b <- 1 to maxHashes / r
-    } yield BandChoice(b, r, s(threshold, b, r), s(fp, b, r), weighted(b, r))
+    } yield BandChoice(b, r, s(threshold, b, r), s(fp, b, r), Double.NaN)
     val eligible = grid.filter(_.thresholdRecall >= recallFloor)
     if (eligible.isEmpty) throw new IllegalArgumentException(
       f"no (bands, rowsPerBand) grid point with ≤ $maxHashes hashes reaches " +

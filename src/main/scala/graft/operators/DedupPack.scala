@@ -207,8 +207,12 @@ object DedupPack extends QueryPack {
     // ONE table, so band once (single hashing pass) and split by side.
     "q_dedup_contamination" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
+      // Same derived geometry as the nearDuplicates default at this
+      // threshold, so the shared PairCtes oracle replicates both.
       val bands = Dedup.lshBands(table(s, dir, "documents"),
-        carryCols = Seq("source")).localCheckpoint(eager = true)
+        carryCols = Seq("source"),
+        bands = Geo.bands, rowsPerBand = Geo.rowsPerBand)
+        .localCheckpoint(eager = true)
       val isEval = col("source").isin("src18", "src19")
       Dedup.crossNearDuplicatesBands(
         bands.filter(!isEval).drop("source"),
@@ -222,10 +226,22 @@ object DedupPack extends QueryPack {
   private val BsList = Dedup.Bs.mkString("[", ",", "]")
   private val P = Dedup.P
 
+  /** The DERIVED default band geometry at [[Threshold]] (r10): the Spark
+    * side's `nearDuplicates(docs, Threshold)` resolves to exactly this via
+    * `Dedup.defaultBands`, and the oracle's band keys are generated from
+    * the same (bands, rowsPerBand) below — lockstep by construction. */
+  private val Geo = Dedup.defaultBands(Threshold)
+
+  /** `'j:' || sig[r(j-1)+1] || '_' || … || sig[rj]` for the derived r. */
+  private val BandKeySql = (1 to Geo.rowsPerBand)
+    .map(k => s"sig[${Geo.rowsPerBand}*j-${Geo.rowsPerBand - k}]")
+    .mkString(" || '_' || ")
+
   /** Shared CTE prefix: normalized words → 3-shingles → 32-bit md5 hash sets
-    * → 16-perm minhash signature → 4 band keys (empty hash sets dropped) →
-    * banded candidates → Jaccard-verified pairs at [[Threshold]]. Both
-    * q_dedup_near and q_dedup_clusters build on `pairs`. */
+    * → 16-perm minhash signature → the DERIVED [[Geo]] band keys (empty
+    * hash sets dropped) → banded candidates → Jaccard-verified pairs at
+    * [[Threshold]]. Both q_dedup_near and q_dedup_clusters build on
+    * `pairs`. */
   // NOTE: raw margins, no stripMargin here — this fragment is interpolated
   // into oracle strings that call .stripMargin ONCE at the end. (Stripping
   // twice would eat the leading `|` of `||` concat continuation lines.)
@@ -241,8 +257,8 @@ object DedupPack extends QueryPack {
        |  [list_min([($AsList[j] * (x % $P) + $BsList[j]) % $P for x in hs])
        |   for j in range(1, ${Dedup.NumHashes + 1})] AS sig FROM h),
        |bands0 AS (SELECT doc_id, source, hs, unnest(
-       |  [CAST(j AS VARCHAR) || ':' || sig[4*j-3] || '_' || sig[4*j-2] || '_'
-       |    || sig[4*j-1] || '_' || sig[4*j] for j in range(1, ${Dedup.Bands + 1})]) AS band
+       |  [CAST(j AS VARCHAR) || ':' || $BandKeySql
+       |   for j in range(1, ${Geo.bands + 1})]) AS band
        |  FROM sig WHERE len(hs) > 0),
        |bands AS (SELECT doc_id, source, hs, band FROM bands0
        |  QUALIFY count(*) OVER (PARTITION BY band) <= ${Dedup.MaxBand}),
