@@ -130,6 +130,83 @@ object PrefixSoak {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
       finally walk.close()
     }
+
+    // --- 4. Pruning-decay curve (r10, VERDICT r9 #2): candidate volume
+    // per corpus doc, deltas vs base, as append-only DRIFTED deltas
+    // accumulate to 1×/2×/4× of a controlled tail-family. Drift model:
+    // topical boilerplate — a trending phrase that exists RARELY in the
+    // base (df=2: it started organically) then floods every delta doc,
+    // whose body text comes from a family the base holds 3 copies of
+    // (df=3 > the phrase's 2, so under the FROZEN order the phrase wins
+    // the prefix slots of every delta doc — the hot-posting mechanism;
+    // a fresh order ranks the phrase common and evicts it). The probe
+    // batch carries the same phrase over doc-unique junk, so every
+    // candidate is pruning WASTE (zero true matches). After the curve, a
+    // re-snapshot + one more drifted delta at the same volume shows the
+    // trigger going quiet.
+    val tmpD = java.nio.file.Files.createTempDirectory("graft_pidx_decay")
+    val dStore = new graft.store.PrefixIndexStore(spark, tmpD.toString,
+      threshold = 0.5, name = "pidx_soak_decay", keepSnapshots = 100L)
+    val phrase = "breaking viral trend update exclusive "
+    def tailText(tid: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat_ws(" ", (1 to 45).map(i =>
+        concat(lit(s"tail${i}x"), tid.cast("string"))): _*)
+    val dupFamily = spark.range(500)
+      .withColumn("r", explode(sequence(lit(0), lit(2))))
+      .select((lit(700000000L) + col("id") * 10 + col("r")).as("doc_id"),
+        tailText(col("id")).as("text"))
+    val phraseSeed = spark.range(2)
+      .select((col("id") + 800000000L).as("doc_id"),
+        concat(lit(phrase), concat_ws(" ", (1 to 45).map(i =>
+          concat(lit(s"seed${i}_"), col("id").cast("string"))): _*)).as("text"))
+    def driftedDelta(n: Int, off: Long): DataFrame = spark.range(n)
+      .select((col("id") + off).as("doc_id"),
+        concat(lit(phrase), tailText(pmod(col("id"), lit(500)))).as("text"))
+    val dProbe = spark.range(200)
+      .select((col("id") + 950000000L).as("doc_id"),
+        concat(lit(phrase), concat_ws(" ", (1 to 45).map(i =>
+          concat(lit(s"probe${i}_"), col("id").cast("string"))): _*)).as("text"))
+      .localCheckpoint(true)
+    timed("decay_base_snapshot") {
+      dStore.snapshot(docs.unionByName(dupFamily).unionByName(phraseSeed))
+    }
+    def decayPoint(tag: String): Unit = {
+      val t0 = System.nanoTime()
+      val d = dStore.pruningDecay(dProbe)
+      val probeSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val n = dStore.scoreBatch(dProbe).count()
+      val scoreSec = (System.nanoTime() - t1) / 1e9
+      println(f"SOAK decay_$tag ratio=${d.ratio}%.2f baseRate=${d.baseRate}%.4f " +
+        f"deltaRate=${d.deltaRate}%.4f candBase=${d.baseCandidates} " +
+        f"candDelta=${d.deltaCandidates} deltaDocs=${d.deltaDocs} " +
+        f"trigger=${dStore.shouldResnapshot(dProbe)} " +
+        f"probe_sec=$probeSec%.1f score_sec=$scoreSec%.1f matches=$n")
+    }
+    decayPoint("0x")
+    timed("decay_append_1x") { dStore.appendDocs(driftedDelta(2000, 200000000L)) }
+    decayPoint("1x")
+    timed("decay_append_2x") { dStore.appendDocs(driftedDelta(2000, 300000000L)) }
+    decayPoint("2x")
+    timed("decay_append_4x") { dStore.appendDocs(driftedDelta(4000, 400000000L)) }
+    decayPoint("4x")
+    // Re-snapshot folds the drifted mass into the order; the SAME delta
+    // volume then appends without disproportionate candidates.
+    timed("decay_resnapshot") {
+      dStore.snapshot(docs.unionByName(dupFamily).unionByName(phraseSeed)
+        .unionByName(driftedDelta(2000, 200000000L))
+        .unionByName(driftedDelta(2000, 300000000L))
+        .unionByName(driftedDelta(4000, 400000000L)))
+    }
+    timed("decay_append_fresh") { dStore.appendDocs(driftedDelta(2000, 600000000L)) }
+    decayPoint("post_resnapshot_1x")
+    locally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmpD)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
     spark.stop()
   }
 }
