@@ -203,7 +203,7 @@ object Bench {
     * Cleans up the staged copy even when `f` throws — deleteOnExit is a
     * no-op on non-empty dirs, so a failure path would otherwise leak a
     * fixture copy in /tmp per run. */
-  private def withStagedEvents[T](spark: SparkSession, sfDir: String)(
+  private[graft] def withStagedEvents[T](spark: SparkSession, sfDir: String)(
       f: (String, org.apache.spark.sql.types.StructType, Long) => T): T = {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
     val path = dir.toString

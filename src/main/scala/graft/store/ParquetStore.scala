@@ -30,7 +30,17 @@ final class ParquetStore(
     val path: String,
     val tableName: String = "durable",
     val cleanInterval: Long = 100,
-    val cleanFreq: Long = 10
+    val cleanFreq: Long = 10,
+    /** STREAMING small-files guard (r10 — r9 shipped [[compact]] but
+      * nothing called it, so the append path still decayed toward a
+      * footer-open storm at defaults): after each [[appendStreaming]],
+      * the just-SEALED generation (atomic rename already done — never a
+      * generation mid-write) is compacted to one file when it landed more
+      * than this many. Micro-batches write up to shuffle-partitions files
+      * per generation; with the guard, steady-state files ≈ generations.
+      * 0 disables. Batch [[append]] is left alone — bulk loads size their
+      * own files. */
+    val autoCompactFiles: Long = 8L
 ) extends GenerationStore {
 
   val fullSchema: StructType =
@@ -80,8 +90,20 @@ final class ParquetStore(
   def currentRstId: Long = counter
 
   /** Streaming append: the partition write below materializes the batch
-    * within the trigger — no pre-checkpoint needed (see trait). */
-  override def appendStreaming(batch: DataFrame): this.type = append(batch)
+    * within the trigger — no pre-checkpoint needed (see trait). The
+    * [[autoCompactFiles]] guard then compacts the generation this call
+    * just sealed, INSIDE the same foreachBatch invocation — the cost is
+    * one batch-sized rewrite per trigger (measured in SCALE.md), the
+    * payoff is a scan that opens one footer per generation instead of
+    * one per shuffle partition per generation. */
+  override def appendStreaming(batch: DataFrame): this.type = {
+    append(batch)
+    if (autoCompactFiles > 0L) {
+      val sealedGen = currentRstId - 1L
+      if (generationFileCount(sealedGen) > autoCompactFiles) compact(sealedGen)
+    }
+    this
+  }
 
   /** Append = stage → atomic rename. Writing straight to `rst_id=N` would
     * wedge the store on one failed write (errorifexists meets the partial

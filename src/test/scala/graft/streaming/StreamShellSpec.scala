@@ -413,6 +413,58 @@ class StreamShellSpec extends SparkSpec {
     assert(contents(clean) === recovered)
   }
 
+  test("streaming auto-compaction bounds files per generation; results identical to uncompacted") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 12 distinct event types spread the per-batch count aggregate across
+    // the 4 test shuffle partitions, so every uncompacted generation lands
+    // SEVERAL parquet files — the small-files decay in miniature.
+    def batchData(b: Int): Seq[(String, String)] =
+      (0 until 12).map(i => ev(b * 100L + i, s"etype$i"))
+    def run(name: String, autoCompact: Long): graft.store.ParquetStore = {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft_autocompact_$name").toString
+      val store = new graft.store.ParquetStore(spark, storeSchema, path,
+        tableName = s"ac_$name", cleanFreq = 1000L,
+        autoCompactFiles = autoCompact)
+      val stream = MemoryStream[(String, String)]
+      val query = StreamShell.attach(
+        stream.toDF().toDF("key", "value"), msg, store,
+        trigger = Some(Trigger.ProcessingTime(0L)))
+      (1 to 5).foreach { b =>
+        stream.addData(batchData(b): _*)
+        query.processAllAvailable()
+      }
+      query.stop()
+      store
+    }
+    // AQE would coalesce this test's 12-row shuffles into ONE partition
+    // (hiding the decay the test exists to exercise — real micro-batches
+    // keep many partitions); scope it off for both runs symmetrically.
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    val (plain, compacted) =
+      try {
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        (run("off", autoCompact = 0L), run("on", autoCompact = 1L))
+      } finally spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    val gens = (1L to 5L)
+    // Precondition: without the guard the decay is real (else this test
+    // asserts nothing) — at least one generation carries multiple files.
+    assert(gens.map(plain.generationFileCount).max > 1L,
+      "fixture must produce multi-file generations")
+    // The guard bounds every SEALED generation to one file.
+    gens.foreach(g => assert(compacted.generationFileCount(g) === 1L,
+      s"generation $g not compacted"))
+    // And compaction never changes a row: same counts, same generations.
+    def rows(s: graft.store.ParquetStore) = s.selectAll
+      .select("etype", "bucket_start", "bucket_end", "count", "rst_id")
+      .collect().map(_.toSeq).toSet
+    assert(rows(compacted) === rows(plain))
+    assert(rows(compacted).nonEmpty)
+  }
+
   test("auto-clean fires when the counter hits a cleanFreq multiple") {
     val sparkSession = spark
     import sparkSession.implicits._
