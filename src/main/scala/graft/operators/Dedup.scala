@@ -554,7 +554,10 @@ object Dedup {
 
   /** Min-label union-find with path compression over a collected
     * symmetric edge list: returns (node → component-min) for every node
-    * appearing in an edge — exactly the distributed loop's contract. */
+    * appearing in an edge — exactly the distributed loop's contract.
+    * DRIFT CONTRACT: `TwinDriftSpec` re-proves equality with the
+    * distributed loop on FRESH random graphs every test run — a semantic
+    * edit here or in the loop must keep that suite green. */
   private[graft] def driverUnionFind(edges: Array[(Long, Long)])
       : Array[(Long, Long)] = {
     val parent = new java.util.HashMap[Long, Long]()

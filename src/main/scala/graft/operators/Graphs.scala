@@ -478,7 +478,9 @@ object Graphs {
   /** In-memory k-core peel over a collected SYMMETRIC directed edge list:
     * repeatedly delete nodes of degree < k (queue-driven, O(E)); returns
     * (node, degree-within-core) for the survivors — the k-core is a
-    * unique subgraph, so this is definitionally the loop's fixpoint. */
+    * unique subgraph, so this is definitionally the loop's fixpoint.
+    * DRIFT CONTRACT: `TwinDriftSpec` re-proves equality with the
+    * distributed cascade on fresh random graphs every test run. */
   private[graft] def driverKCore(edges: Array[(Long, Long)], k: Long)
       : Array[(Long, Long)] = {
     import scala.collection.mutable
@@ -590,7 +592,9 @@ object Graphs {
     * the distributed rounds (same `least(deg, maxDegree)` start, same
     * top-`maxDegree` neighbor gate, same synchronous update, same FIXED
     * round count), so the small-graph gate can never diverge from the
-    * loop or its unrolled DuckDB oracle. */
+    * loop or its unrolled DuckDB oracle. DRIFT CONTRACT: `TwinDriftSpec`
+    * re-proves equality with the distributed rounds on fresh random
+    * graphs every test run. */
   private[graft] def driverCoreness(edges: Array[(Long, Long)], rounds: Int,
                                     maxDegree: Long): Array[(Long, Long)] = {
     import scala.collection.mutable
