@@ -136,7 +136,9 @@ object Bench {
     // Round-10: real G.711 decode through the batch contract (WAV
     // container build + µ-law expansion per byte) — secondary tier; the
     // A-law twin shares every code path so one bench line suffices.
-    "q_media_decode_ulaw"
+    // q_media_video_frames: MP4 build + stbl demux + per-frame pixel
+    // decode end to end.
+    "q_media_decode_ulaw", "q_media_video_frames"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -183,7 +185,7 @@ object Bench {
     "q_dedup_containment", "q_hop_distance", "q_dedup_prefix",
     "q_dedup_prefix_inc", "q_dedup_recall", "q_profile_modes", "q_ppr",
     "q_dedup_clusters_exact", "q_weighted_hops", "q_dedup_prefix_indexed",
-    "q_media_decode", "q_media_decode_ulaw")
+    "q_media_decode", "q_media_decode_ulaw", "q_media_video_frames")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

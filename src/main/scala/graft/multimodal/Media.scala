@@ -29,21 +29,26 @@ import org.apache.spark.sql.types._
   * decoded + [[Media.boxDownscale]]d luma thumbnail — the real aHash
   * pipeline.
   *
-  * Video is handled at the CONTAINER level for real: [[Media.parseHeader]]
+  * Video is handled at the CONTAINER level for real — [[Media.parseHeader]]
   * walks MP4/ISO-BMFF boxes to the video track's dimensions, and
   * [[Media.mp4SampleRanges]] / [[Media.extractFrameSamples]] reconstruct
   * every sample's exact byte range from the `stbl` demuxer tables
-  * (stsc/stsz/stco) — locating frames is byte arithmetic.
+  * (stsc/stsz/stco) — and, for the MJPEG family (each sample a complete
+  * self-contained picture), at the PIXEL level too:
+  * [[Media.decodeFrames]] decodes located frames through the same JDK
+  * readers, with a per-frame aHash that joins against still-image hashes
+  * (r10).
   *
   * ⚠ STUB BOUNDARY (narrower again in r10 — all WAV-contained audio now
-  * decodes for real, G.711 and IMA ADPCM included): only
-  * COMPRESSED-STREAM DECODE — mp3/aac audio and the video frames
-  * themselves (no JDK codec for either) — still needs an external codec;
-  * for those payloads the same batch contract runs with the deterministic
-  * byte-level fallback in place of the codec call. Everything around that
-  * boundary is the real Spark-side contract: binary-column schema,
-  * per-partition batching, metadata struct shape, and the
-  * narrow-projection plan (no shuffle, no driver collect).
+  * decodes for real, G.711 and IMA ADPCM included, and MJPEG-family
+  * video frames decode end to end): only COMPRESSED-STREAM DECODE —
+  * mp3/aac audio and INTER-frame video codecs (h264/h265/vp9: samples
+  * are not self-contained pictures; no JDK codec) — still needs an
+  * external codec; for those payloads the same batch contract runs with
+  * the deterministic byte-level fallback in place of the codec call.
+  * Everything around that boundary is the real Spark-side contract:
+  * binary-column schema, per-partition batching, metadata struct shape,
+  * and the narrow-projection plan (no shuffle, no driver collect).
   */
 object Media {
 
@@ -350,6 +355,67 @@ object Media {
             }
             Row.fromSeq(row.toSeq :+ ranges.length.toLong :+ picked)
           case None => Row.fromSeq(row.toSeq :+ -1L :+ null)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** REAL video-frame PIXEL decode for MJPEG-family MP4s (r10): every
+    * `stride`-th frame is located by [[mp4SampleRanges]]' stbl byte
+    * arithmetic and decoded by the SAME JDK readers as still images —
+    * Motion-JPEG (and PNG/PNM-sample) video carries each frame as a
+    * complete self-contained picture, so "video frame decode needs an
+    * external codec" stopped being true for that family exactly the way
+    * it did for still images in r9. Appends per payload:
+    *
+    *   - `n_frames` (long): total samples in the container (−1 = not MP4),
+    *   - `frames_decoded` (long): sampled frames whose bytes decoded,
+    *   - `frame_pixels`/`frame_luma_sum` (long): integer-exact decoded
+    *     statistics over the sampled frames (the
+    *     [[extractFeaturesBatched]] discipline, per frame),
+    *   - `first_frame_phash` (long, nullable): the standard aHash of the
+    *     first decoded frame (decode → 16×16 box-mean → 16-cell linear
+    *     hash) — BIT-IDENTICAL to [[perceptualHash]] of the same picture
+    *     as a standalone image (shared [[linearAhash]]), so video
+    *     near-dup keys join directly against image near-dup keys.
+    *
+    * ⚠ Entropy-coded INTER-frame codecs (h264/h265/vp9 …) remain the stub
+    * boundary: their samples are not self-contained pictures and need an
+    * external codec; such frames simply count as undecoded here. Narrow
+    * per-partition pass, no shuffle, untrusted bytes never throw. */
+  def decodeFrames(df: DataFrame, stride: Int = 1,
+                   bytesCol: String = "bytes"): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    val schema = df.schema.add("n_frames", LongType)
+      .add("frames_decoded", LongType).add("frame_pixels", LongType)
+      .add("frame_luma_sum", LongType)
+      .add("first_frame_phash", LongType)
+    val bi = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val b = row.getAs[Array[Byte]](bi)
+        mp4SampleRanges(b) match {
+          case Some(ranges) =>
+            var decoded = 0L; var px = 0L; var luma = 0L
+            var ph: java.lang.Long = null
+            ranges.indices.by(stride).foreach { k =>
+              val (off, sz) = ranges(k)
+              val frame =
+                java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + sz)
+              decodeImage(frame).foreach { img =>
+                decoded += 1L
+                px += img.pixels.length.toLong
+                var i = 0
+                while (i < img.pixels.length) {
+                  luma += img.pixels(i) & 0xff; i += 1
+                }
+                if (ph == null)
+                  ph = linearAhash(boxDownscale(img, 16, 16).pixels, 16)
+              }
+            }
+            Row.fromSeq(row.toSeq :+ ranges.length.toLong :+ decoded :+
+              px :+ luma :+ ph)
+          case None => Row.fromSeq(row.toSeq :+ -1L :+ 0L :+ 0L :+ 0L :+ null)
         }
       }
     }(Encoders.row(schema))
@@ -850,6 +916,34 @@ object Media {
     * exact while `255·cellLen·len < 2⁶³` — payloads into the hundreds of
     * MB, far past any sane media blob (and a real deployment hashes the
     * decoded thumbnail, a few KB). */
+  /** The aHash bit construction over a raw plane: `nCells` equal cells
+    * (last ragged), bit c set when cell c's byte mean exceeds the overall
+    * mean, as an exact integer cross-multiply. Shared by
+    * [[perceptualHash]] and [[decodeFrames]]' per-frame hash so a video
+    * frame and the same picture as a standalone image hash identically. */
+  private def linearAhash(b: Array[Byte], nCells: Int): Long = {
+    var h = 0L
+    if (b != null && b.length > 0) {
+      val len = b.length
+      val cellW = (len + nCells - 1) / nCells
+      var total = 0L
+      val sums = new Array[Long](nCells)
+      val lens = new Array[Long](nCells)
+      var i = 0
+      while (i < len) {
+        val v = (b(i) & 0xff).toLong
+        total += v; sums(i / cellW) += v; lens(i / cellW) += 1L
+        i += 1
+      }
+      var c = 0
+      while (c < nCells) {
+        if (sums(c) * len > total * lens(c)) h |= (1L << c)
+        c += 1
+      }
+    }
+    h
+  }
+
   def perceptualHash(df: DataFrame, nCells: Int = 16,
                      bytesCol: String = "bytes"): DataFrame = {
     require(nCells >= 2 && nCells <= 63, "nCells must be in [2, 63]")
@@ -860,25 +954,7 @@ object Media {
         val raw = row.getAs[Array[Byte]](bi)
         val b = decodeImage(raw)
           .map(img => boxDownscale(img, 16, 16).pixels).getOrElse(raw)
-        var h = 0L
-        if (b != null && b.length > 0) {
-          val len = b.length
-          val cellW = (len + nCells - 1) / nCells
-          var total = 0L
-          val sums = new Array[Long](nCells)
-          val lens = new Array[Long](nCells)
-          var i = 0
-          while (i < len) {
-            val v = (b(i) & 0xff).toLong
-            total += v; sums(i / cellW) += v; lens(i / cellW) += 1L
-            i += 1
-          }
-          var c = 0
-          while (c < nCells) {
-            if (sums(c) * len > total * lens(c)) h |= (1L << c)
-            c += 1
-          }
-        }
+        val h = linearAhash(b, nCells)
         Row.fromSeq(row.toSeq :+ h)
       }
     }(Encoders.row(schema))

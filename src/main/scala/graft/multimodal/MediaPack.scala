@@ -46,6 +46,28 @@ object MediaPack extends QueryPack {
     // G.711 expansion formulas — arithmetic pinned end to end.
     "q_media_decode_ulaw" -> g711Query(7),
     "q_media_decode_alaw" -> g711Query(6),
+    // REAL video-frame decode on the oracle gate (r10): each document's
+    // bytes become TWO complete picture frames (forward + reversed PGM)
+    // inside a genuine MP4 (full stbl built in-query); decodeFrames must
+    // locate both via the demuxer tables AND decode their pixels — the
+    // oracle reproduces the decoded statistics from DuckDB byte
+    // arithmetic. (JPEG frames — the actual MJPEG case — are spec-pinned
+    // in MediaSpec; entropy coding has no SQL replica.)
+    "q_media_video_frames" -> { (s, dir) =>
+      import s.implicits._
+      val media = table(s, dir, "documents")
+        .filter(octet_length(col("text")) > 0)
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("bytes"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, data) =>
+          (id, mp4Video(Seq(pgmFrame(data), pgmFrame(data.reverse))))
+        }
+        .toDF("media_id", "bytes")
+      Media.decodeFrames(media)
+        .select(col("media_id"), col("n_frames"), col("frames_decoded"),
+          col("frame_pixels"), col("frame_luma_sum"))
+    },
     "q_media_decode" -> { (s, dir) =>
       val media = table(s, dir, "documents")
         .filter(octet_length(col("text")) > 0)
@@ -124,6 +146,46 @@ object MediaPack extends QueryPack {
       .putInt(8000).putShort(1).putShort(8)
       .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
     buf.array()
+  }
+
+  /** One binary-PGM picture of `data` as a 1-pixel-tall row. */
+  private def pgmFrame(data: Array[Byte]): Array[Byte] =
+    s"P5 ${data.length} 1 255\n".getBytes("US-ASCII") ++ data
+
+  /** Genuine playable-layout MP4 around complete picture samples: ftyp +
+    * mdat (one chunk per frame) + moov/trak/mdia/minf/stbl with real
+    * stsc/stsz/stco tables describing exactly that layout — what
+    * [[Media.mp4SampleRanges]] demuxes and [[Media.decodeFrames]]
+    * decodes. */
+  private def mp4Video(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val ftyp = box("ftyp", "isomiso2".getBytes("US-ASCII"))
+    val mdat = box("mdat", frames.flatten.toArray)
+    val starts = frames.indices.map(k =>
+      ftyp.length + 8 + frames.take(k).map(_.length).sum)
+    val stsz = {
+      val b = java.nio.ByteBuffer.allocate(12 + 4 * frames.length)
+      b.putInt(0).putInt(0).putInt(frames.length)
+      frames.foreach(f => b.putInt(f.length))
+      box("stsz", b.array())
+    }
+    val stco = {
+      val b = java.nio.ByteBuffer.allocate(8 + 4 * starts.length)
+      b.putInt(0).putInt(starts.length)
+      starts.foreach(b.putInt)
+      box("stco", b.array())
+    }
+    val stsc = { // one sample per chunk, single run
+      val b = java.nio.ByteBuffer.allocate(8 + 12)
+      b.putInt(0).putInt(1).putInt(1).putInt(1).putInt(1)
+      box("stsc", b.array())
+    }
+    ftyp ++ mdat ++ box("moov", box("trak", box("mdia", box("minf",
+      box("stbl", stsc ++ stsz ++ stco)))))
   }
 
   /** G.711 oracle SQL: the published expansion formulas transcribed
@@ -211,6 +273,20 @@ object MediaPack extends QueryPack {
     // ASCII-fixture invariant as the other media oracles.
     "q_media_decode_ulaw" -> g711Oracle(ulaw = true),
     "q_media_decode_alaw" -> g711Oracle(ulaw = false),
+    // The two frames are the text bytes forward and reversed: same pixel
+    // count and byte sum each, so the decoded stats are pure ascii()
+    // arithmetic (the PGM fixture invariant of q_media_decode).
+    "q_media_video_frames" ->
+      """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |ts AS (SELECT doc_id, CAST(sum(ascii(c)) AS BIGINT) AS tsum
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c
+        |        FROM b) GROUP BY 1)
+        |SELECT b.doc_id AS media_id, CAST(2 AS BIGINT) AS n_frames,
+        |  CAST(2 AS BIGINT) AS frames_decoded,
+        |  CAST(2 * b.n AS BIGINT) AS frame_pixels,
+        |  2 * ts.tsum AS frame_luma_sum
+        |FROM b JOIN ts USING (doc_id)""".stripMargin,
     "q_media_decode" ->
       """WITH b AS (SELECT doc_id, text,
         |    octet_length(encode(text)) AS n,

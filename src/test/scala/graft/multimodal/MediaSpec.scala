@@ -735,6 +735,63 @@ class MediaSpec extends SparkSpec {
     assert(hashes(1L) !== 0L, "structured image must set bits")
   }
 
+  test("decodeFrames: REAL MJPEG pixel decode — frames located by stbl, decoded by the JDK readers") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // Three genuine JPEG frames (distinct gradients), packed as a real
+    // Motion-JPEG-layout MP4: every sample is a complete JPEG picture.
+    def jpegFrame(seed: Int): Array[Byte] = {
+      val (w, h) = (32, 32)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((x + y * seed) * 255 / (w + h * seed)) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val frames = Seq(jpegFrame(1), jpegFrame(2), jpegFrame(3))
+    val video = MediaFixtures.mp4WithSamples(frames, Seq(2, 1))
+    val got = Media.decodeFrames(Seq((1L, video)).toDF("id", "bytes"))
+      .select("n_frames", "frames_decoded", "frame_pixels",
+        "frame_luma_sum", "first_frame_phash")
+      .head()
+    assert(got.getLong(0) === 3L)
+    assert(got.getLong(1) === 3L, "every JPEG frame must decode")
+    // Stats must equal the DIRECT still-image decodes of the same bytes.
+    val direct = frames.map(f => Media.decodeImage(f).get)
+    assert(got.getLong(2) === direct.map(_.pixels.length.toLong).sum)
+    assert(got.getLong(3) ===
+      direct.map(_.pixels.map(p => (p & 0xff).toLong).sum).sum)
+    // The per-frame hash is BIT-IDENTICAL to perceptualHash of the same
+    // picture as a standalone image — video keys join image keys.
+    val stillHash = Media.perceptualHash(
+        Seq((1L, frames.head)).toDF("id", "bytes"), nCells = 16)
+      .select("phash").head().getLong(0)
+    assert(got.getLong(4) === stillHash)
+    assert(stillHash !== 0L, "structured frame must set bits")
+    // Frame stride: every 2nd frame → 2 decoded, phash still frame 1's.
+    val strided = Media.decodeFrames(
+        Seq((1L, video)).toDF("id", "bytes"), stride = 2)
+      .select("frames_decoded", "first_frame_phash").head()
+    assert(strided.getLong(0) === 2L)
+    assert(strided.getLong(1) === stillHash)
+    // Non-MP4 payloads and entropy-coded (undecodable) samples degrade,
+    // never throw: h264-like junk samples count as located-not-decoded.
+    val junkVideo = MediaFixtures.mp4WithSamples(
+      Seq(Array.fill(64)(0x5a.toByte)), Seq(1))
+    val junk = Media.decodeFrames(Seq((1L, junkVideo)).toDF("id", "bytes"))
+      .select("n_frames", "frames_decoded", "first_frame_phash").head()
+    assert(junk.getLong(0) === 1L && junk.getLong(1) === 0L)
+    assert(junk.isNullAt(2))
+    val notMp4 = Media.decodeFrames(
+        Seq((1L, "plain text".getBytes)).toDF("id", "bytes"))
+      .select("n_frames").head()
+    assert(notMp4.getLong(0) === -1L)
+  }
+
   test("decoders never throw on random bytes (seeded fuzz), incl. near-miss headers") {
     val rnd = new scala.util.Random(1234)
     val prefixes = Seq(
