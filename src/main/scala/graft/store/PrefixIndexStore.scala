@@ -174,7 +174,7 @@ final class PrefixIndexStore(
     recover()
     val g = latestSnapshot.getOrElse(throw new IllegalStateException(
       s"appendDocs needs a base snapshot at $path — call snapshot() first"))
-    val base = baseOf(g)
+    val base = baseFromManifest(g)
     if (!dfsStore.hasGeneration(base)) throw new IllegalStateException(
       s"append chain's base snapshot $base expired from $path — re-snapshot " +
         "(and raise keepSnapshots for append-heavy use)")
@@ -206,9 +206,24 @@ final class PrefixIndexStore(
     * sitting in a prefix of the stores is never served. */
   def latestSnapshot: Option[Long] = committedIds().lastOption
 
-  /** Committed FULL snapshots (self-sentinel generations), ascending —
-    * the unit [[keepSnapshots]] retention counts. */
-  def fullSnapshots: Seq[Long] = committedIds().filter(g => baseOf(g) == g)
+  /** A committed generation's base, read from its MANIFEST content — a
+    * filesystem read, no Spark job, so snapshot-keyed retention over a
+    * thousands-of-deltas append chain stays O(chain) file reads instead
+    * of O(chain) partition-pruned scan jobs. Falls back to the dfs
+    * sentinel ([[baseOf]]) for a manifest whose content predates the
+    * base field or was hand-edited. */
+  private def baseFromManifest(g: Long): Long = {
+    val f = commitsDir.resolve(s"$g")
+    try {
+      val t = Files.readString(f).trim
+      if (t.nonEmpty && t.forall(_.isDigit)) t.toLong else baseOf(g)
+    } catch { case scala.util.control.NonFatal(_) => baseOf(g) }
+  }
+
+  /** Committed FULL snapshots (self-base generations), ascending — the
+    * unit [[keepSnapshots]] retention counts. Manifest-content reads
+    * only (see [[baseFromManifest]]). */
+  def fullSnapshots: Seq[Long] = committedIds().filter(g => baseFromManifest(g) == g)
 
   /** Snapshot-keyed retention: keep the last [[keepSnapshots]] committed
     * full snapshots WITH their whole append chains; everything below the
@@ -253,7 +268,14 @@ final class PrefixIndexStore(
       s"prefix-index generation $g (dfs) is not present at $path " +
         s"(expired by retention or never completed) — score against " +
         s"latestSnapshot=$latestSnapshot or re-snapshot")
-    val base = baseOf(g)
+    val base = baseFromManifest(g) // committed just above → manifest read
+    // The BASE's dfs generation is the frozen order every posting was
+    // ranked under — scoring with it missing would re-rank the batch
+    // against an empty order and silently MISS pairs (completeness needs
+    // the shared order, not just the postings).
+    if (!dfsStore.hasGeneration(base)) throw new IllegalStateException(
+      s"prefix-index base snapshot $base (dfs) is missing at $path — the " +
+        s"frozen order generation $g was ranked under is gone; re-snapshot")
     val have = Seq(hashedStore, prefixStore).map(_.generations.toSet)
     val need = (base to g).toSet
     for ((h, s) <- have.zip(Seq("hashed", "prefix")); if !need.subsetOf(h))

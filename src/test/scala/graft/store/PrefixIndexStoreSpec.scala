@@ -174,6 +174,16 @@ class PrefixIndexStoreSpec extends SparkSpec {
     deleteDir(java.nio.file.Paths.get(store2.path, "prefix", s"rst_id=$b0"))
     val ex2 = intercept[IllegalStateException] { store2.scoreBatch(batch) }
     assert(ex2.getMessage.contains("re-snapshot"))
+    // …including a dfs-ONLY hole: the base dfs generation IS the frozen
+    // order — scoring without it would re-rank the batch against nothing
+    // and silently miss pairs (r10 guard).
+    val store3 = new PrefixIndexStore(spark, tmp(), threshold = 0.3,
+      name = "pidx_holes3", keepSnapshots = 2L)
+    val c0 = store3.snapshot(docs.filter("doc_id <= 4"))
+    store3.appendDocs(docs.filter("doc_id = 5"))
+    deleteDir(java.nio.file.Paths.get(store3.path, "dfs", s"rst_id=$c0"))
+    val ex3 = intercept[IllegalStateException] { store3.scoreBatch(batch) }
+    assert(ex3.getMessage.contains("frozen order"))
   }
 
   private def deleteDir(dir: java.nio.file.Path): Unit = {
