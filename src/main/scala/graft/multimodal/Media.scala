@@ -40,12 +40,15 @@ import org.apache.spark.sql.types._
   * (r10).
   *
   * ⚠ STUB BOUNDARY (narrower again in r10 — all WAV-contained audio now
-  * decodes for real, G.711 and IMA ADPCM included, and MJPEG-family
-  * video frames decode end to end): only COMPRESSED-STREAM DECODE —
-  * mp3/aac audio and INTER-frame video codecs (h264/h265/vp9: samples
-  * are not self-contained pictures; no JDK codec) — still needs an
-  * external codec; for those payloads the same batch contract runs with
-  * the deterministic byte-level fallback in place of the codec call.
+  * decodes for real, G.711 and IMA ADPCM included; MJPEG-family video
+  * frames decode end to end; and mp3/ADTS-AAC get real header METADATA
+  * and exact frame LOCATION from the published sync/length arithmetic —
+  * [[Media.mp3FrameRanges]]/[[Media.adtsFrameRanges]]): only
+  * COMPRESSED-STREAM PAYLOAD DECODE — mp3/aac frame contents and
+  * INTER-frame video codecs (h264/h265/vp9: samples are not
+  * self-contained pictures; no JDK codec) — still needs an external
+  * codec; for those payloads the same batch contract runs with the
+  * deterministic byte-level fallback in place of the codec call.
   * Everything around that boundary is the real Spark-side contract:
   * binary-column schema, per-partition batching, metadata struct shape,
   * and the narrow-projection plan (no shuffle, no driver collect).
@@ -194,7 +197,158 @@ object Media {
       return MediaHeader("mp4", 0, 0, 0, 0) // valid container, no video trak
     }
 
+    // --- MP3 (r10): ID3v2 skip + MPEG-1/2/2.5 Layer III frame-sync
+    // header parse. Acceptance needs TWO consecutive valid frames (the
+    // standard false-sync discipline — an 0xFFEx pair occurs in random
+    // bytes, two length-chained headers do not). Metadata only; frame
+    // LOCATION is [[mp3FrameRanges]], decode stays behind the codec
+    // boundary.
+    mp3Probe(bytes) match {
+      case Some((rate, ch)) => return MediaHeader("mp3", 0, 0, rate, ch)
+      case None => ()
+    }
+
+    // --- AAC in ADTS (r10): 0xFFF syncword, sampling-frequency index +
+    // channel configuration from the fixed header, same two-chained-frames
+    // acceptance rule via the 13-bit frame-length field.
+    adtsProbe(bytes) match {
+      case Some((rate, ch)) => return MediaHeader("aac", 0, 0, rate, ch)
+      case None => ()
+    }
+
     UnknownHeader
+  }
+
+  // MPEG audio (Layer III) constants — the published header tables.
+  // version field: 3 = MPEG-1, 2 = MPEG-2, 0 = MPEG-2.5 (1 reserved).
+  private val Mp3BitrateV1 = Array(
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitrateV2 = Array(
+    0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val Mp3RatesV1 = Array(44100, 48000, 32000)
+  private val Mp3RatesV2 = Array(22050, 24000, 16000)
+  private val Mp3RatesV25 = Array(11025, 12000, 8000)
+
+  /** Parse one MPEG Layer III frame header at `i`: (frameLen, sampleRate,
+    * channels), or None if the 4 bytes are not a valid L3 header. Pure
+    * table arithmetic — frame length = `coef·bitrate/rate + padding`
+    * (coef 144 for MPEG-1, 72 for MPEG-2/2.5). */
+  private def mp3FrameAt(bytes: Array[Byte], i: Int): Option[(Int, Int, Int)] = {
+    val n = bytes.length
+    if (i + 4 > n) return None
+    @inline def u8(k: Int): Int = bytes(k) & 0xff
+    if (u8(i) != 0xff || (u8(i + 1) & 0xe0) != 0xe0) return None
+    val version = (u8(i + 1) >> 3) & 0x3
+    val layer = (u8(i + 1) >> 1) & 0x3
+    if (version == 1 || layer != 1) return None // reserved version / not L3
+    val brIdx = (u8(i + 2) >> 4) & 0xf
+    val srIdx = (u8(i + 2) >> 2) & 0x3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None // free/bad
+    val v1 = version == 3
+    val bitrate = (if (v1) Mp3BitrateV1 else Mp3BitrateV2)(brIdx) * 1000
+    val rate = (version match {
+      case 3 => Mp3RatesV1
+      case 2 => Mp3RatesV2
+      case _ => Mp3RatesV25
+    })(srIdx)
+    val padding = (u8(i + 2) >> 1) & 0x1
+    val channels = if (((u8(i + 3) >> 6) & 0x3) == 3) 1 else 2
+    val len = (if (v1) 144 else 72) * bitrate / rate + padding
+    if (len < 4) None else Some((len, rate, channels))
+  }
+
+  /** Start of MPEG audio data: past an ID3v2 tag when present (syncsafe
+    * 28-bit size), else 0. */
+  private def mp3DataStart(bytes: Array[Byte]): Int = {
+    val n = bytes.length
+    if (n >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      @inline def s7(k: Int): Int = bytes(k) & 0x7f
+      val size = (s7(6) << 21) | (s7(7) << 14) | (s7(8) << 7) | s7(9)
+      val start = 10L + size
+      if (start < n) start.toInt else n
+    } else 0
+  }
+
+  /** (sampleRate, channels) when the payload is an MPEG Layer III stream:
+    * two length-chained valid frame headers from the post-ID3 start. */
+  private def mp3Probe(bytes: Array[Byte]): Option[(Int, Int)] =
+    if (bytes == null) None
+    else {
+      val start = mp3DataStart(bytes)
+      for {
+        (len, rate, ch) <- mp3FrameAt(bytes, start)
+        _ <- mp3FrameAt(bytes, start + len) // chained second frame
+      } yield (rate, ch)
+    }
+
+  /** REAL frame byte ranges of an MPEG Layer III stream — the mp3 analog
+    * of [[mp4SampleRanges]]: ID3v2 skipped, then each frame's extent from
+    * its own header arithmetic, chained until the bytes run out (a
+    * trailing 128-byte ID3v1 `TAG` block, or any junk after the last
+    * whole frame, ends the walk cleanly). Frame PAYLOAD decode still
+    * needs a codec; locating frames does not — sampling, splitting, and
+    * re-muxing work on exact ranges. None unless two chained frames
+    * validate (the [[mp3Probe]] discipline); capped at 1M frames like
+    * the MP4 walk. Untrusted bytes never throw. */
+  def mp3FrameRanges(bytes: Array[Byte]): Option[Vector[(Long, Int)]] = {
+    if (mp3Probe(bytes).isEmpty) return None
+    val out = Vector.newBuilder[(Long, Int)]
+    var i = mp3DataStart(bytes)
+    var count = 0
+    var ok = true
+    while (ok && count < 1000000) {
+      mp3FrameAt(bytes, i) match {
+        case Some((len, _, _)) if i + len <= bytes.length =>
+          out += ((i.toLong, len)); i += len; count += 1
+        case _ => ok = false
+      }
+    }
+    if (count >= 1000000) None else Some(out.result())
+  }
+
+  // ADTS sampling-frequency table (index 0-11; 12+ reserved).
+  private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000)
+
+  /** Parse one ADTS frame header at `i`: (frameLen, sampleRate, channels). */
+  private def adtsFrameAt(bytes: Array[Byte], i: Int): Option[(Int, Int, Int)] = {
+    val n = bytes.length
+    if (i + 7 > n) return None
+    @inline def u8(k: Int): Int = bytes(k) & 0xff
+    if (u8(i) != 0xff || (u8(i + 1) & 0xf6) != 0xf0) return None // sync + layer 00
+    val srIdx = (u8(i + 2) >> 2) & 0xf
+    if (srIdx >= AdtsRates.length) return None
+    val ch = ((u8(i + 2) & 0x1) << 2) | ((u8(i + 3) >> 6) & 0x3)
+    if (ch == 0) return None
+    val len = ((u8(i + 3) & 0x3) << 11) | (u8(i + 4) << 3) | ((u8(i + 5) >> 5) & 0x7)
+    if (len < 7) None else Some((len, AdtsRates(srIdx), ch))
+  }
+
+  /** (sampleRate, channels) for an ADTS AAC stream — two chained frames. */
+  private def adtsProbe(bytes: Array[Byte]): Option[(Int, Int)] =
+    if (bytes == null) None
+    else
+      for {
+        (len, rate, ch) <- adtsFrameAt(bytes, 0)
+        _ <- adtsFrameAt(bytes, len)
+      } yield (rate, ch)
+
+  /** REAL frame byte ranges of an ADTS AAC stream — see
+    * [[mp3FrameRanges]]; the 13-bit frame-length field chains frames. */
+  def adtsFrameRanges(bytes: Array[Byte]): Option[Vector[(Long, Int)]] = {
+    if (adtsProbe(bytes).isEmpty) return None
+    val out = Vector.newBuilder[(Long, Int)]
+    var i = 0
+    var count = 0
+    var ok = true
+    while (ok && count < 1000000) {
+      adtsFrameAt(bytes, i) match {
+        case Some((len, _, _)) if i + len <= bytes.length =>
+          out += ((i.toLong, len)); i += len; count += 1
+        case _ => ok = false
+      }
+    }
+    if (count >= 1000000) None else Some(out.result())
   }
 
   /** ISO-BMFF box scan over `bytes[lo, hi)`: yields (type, payloadStart,
@@ -331,13 +485,15 @@ object Media {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** [[mp4SampleRanges]] over a DataFrame: appends `n_frames` (long) and
-    * `frame_samples` (array<binary>) — every `stride`-th sample's raw
-    * bytes, sliced at the REAL container-table boundaries (vs
-    * [[sampleChunks]]' fixed-byte-stride fallback for opaque payloads).
-    * Narrow per-partition pass; non-MP4/malformed payloads yield
-    * (−1, null). ⚠ Decoding the extracted frames needs a codec — locating
-    * them does not. */
+  /** [[frameRanges]] over a DataFrame: appends `n_frames` (long) and
+    * `frame_samples` (array<binary>) — every `stride`-th media unit's raw
+    * bytes, sliced at the REAL container boundaries (MP4 stbl tables,
+    * MPEG-L3/ADTS header-chained frames — vs [[sampleChunks]]'
+    * fixed-byte-stride fallback for opaque payloads). Narrow
+    * per-partition pass; unrecognized/malformed payloads yield (−1,
+    * null). ⚠ Decoding entropy-coded frames needs a codec — locating
+    * them does not (MJPEG-family frames additionally DECODE via
+    * [[decodeFrames]]). */
   def extractFrameSamples(df: DataFrame, stride: Int = 1,
                           bytesCol: String = "bytes"): DataFrame = {
     require(stride > 0, "stride must be positive")
@@ -347,7 +503,7 @@ object Media {
     df.mapPartitions { it =>
       it.map { row =>
         val b = row.getAs[Array[Byte]](bi)
-        mp4SampleRanges(b) match {
+        frameRanges(b) match {
           case Some(ranges) =>
             val picked = ranges.indices.by(stride).map { k =>
               val (off, sz) = ranges(k)
@@ -359,6 +515,18 @@ object Media {
       }
     }(Encoders.row(schema))
   }
+
+  /** Frame/sample byte ranges for ANY supported container: MP4 (stbl
+    * demux), MPEG Layer III (header-chained frames, r10), ADTS AAC
+    * (length-field-chained frames, r10). This is what
+    * [[extractFrameSamples]] slices with — locating media units is byte
+    * arithmetic for all three; only the entropy-coded payload decode
+    * stays behind the codec boundary (images/MJPEG excepted, see
+    * [[decodeFrames]]). */
+  def frameRanges(bytes: Array[Byte]): Option[Vector[(Long, Int)]] =
+    mp4SampleRanges(bytes)
+      .orElse(mp3FrameRanges(bytes))
+      .orElse(adtsFrameRanges(bytes))
 
   /** REAL video-frame PIXEL decode for MJPEG-family MP4s (r10): every
     * `stride`-th frame is located by [[mp4SampleRanges]]' stbl byte

@@ -735,6 +735,64 @@ class MediaSpec extends SparkSpec {
     assert(hashes(1L) !== 0L, "structured image must set bits")
   }
 
+  test("mp3/ADTS probes: header tables, ID3v2 skip, chained-frame acceptance, exact ranges") {
+    // MPEG-1 Layer III, 44.1 kHz, 128 kbps, joint stereo, no padding:
+    // frame length = 144·128000/44100 = 417 bytes (header arithmetic).
+    def mp3Frame(): Array[Byte] = {
+      val f = new Array[Byte](417)
+      f(0) = 0xFF.toByte; f(1) = 0xFB.toByte
+      f(2) = 0x90.toByte; f(3) = 0x40.toByte
+      (4 until 417).foreach(i => f(i) = (i & 0x7f).toByte)
+      f
+    }
+    val mp3 = mp3Frame() ++ mp3Frame() ++ mp3Frame()
+    assert(Media.parseHeader(mp3) === Media.MediaHeader("mp3", 0, 0, 44100, 2))
+    assert(Media.mp3FrameRanges(mp3).get ===
+      Vector((0L, 417), (417L, 417), (834L, 417)))
+    // ID3v2 prefix (syncsafe size 10 → 20-byte tag) shifts everything.
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 10) ++
+      Array.fill(10)(0x55.toByte) ++ mp3
+    assert(Media.parseHeader(id3) === Media.MediaHeader("mp3", 0, 0, 44100, 2))
+    assert(Media.mp3FrameRanges(id3).get.head === ((20L, 417)))
+    // Trailing ID3v1 junk ends the walk cleanly, never truncates frames.
+    val tagged = mp3 ++ ("TAG" + "x" * 125).getBytes("US-ASCII")
+    assert(Media.mp3FrameRanges(tagged).get.length === 3)
+    // ONE valid frame is not acceptance: a lone sync word in random bytes
+    // must not classify (the false-sync discipline).
+    assert(Media.parseHeader(mp3Frame().take(417)) === Media.UnknownHeader)
+    assert(Media.mp3FrameRanges(mp3Frame()).isEmpty)
+    // ADTS AAC-LC, 44.1 kHz (index 4), 2 channels, explicit frame-length
+    // field; mixed lengths chain exactly.
+    def adtsFrame(len: Int): Array[Byte] = {
+      val f = new Array[Byte](len)
+      f(0) = 0xFF.toByte; f(1) = 0xF1.toByte; f(2) = 0x50.toByte
+      f(3) = (0x80 | ((len >> 11) & 0x3)).toByte
+      f(4) = ((len >> 3) & 0xff).toByte
+      f(5) = (((len & 0x7) << 5) | 0x1f).toByte
+      f(6) = 0xFC.toByte
+      (7 until len).foreach(i => f(i) = (i & 0x3f).toByte)
+      f
+    }
+    val aac = adtsFrame(100) ++ adtsFrame(150) ++ adtsFrame(80)
+    assert(Media.parseHeader(aac) === Media.MediaHeader("aac", 0, 0, 44100, 2))
+    assert(Media.adtsFrameRanges(aac).get ===
+      Vector((0L, 100), (100L, 150), (250L, 80)))
+    assert(Media.parseHeader(adtsFrame(100)) === Media.UnknownHeader)
+    // extractFrameSamples now slices audio frames at REAL boundaries too.
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val sliced = Media.extractFrameSamples(
+        Seq((1L, mp3), (2L, aac), (3L, "not media".getBytes)).toDF("id", "bytes"))
+      .select("id", "n_frames", "frame_samples")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.getSeq[Array[Byte]](2))))).toMap
+    assert(sliced(1L)._1 === 3L)
+    assert(sliced(1L)._2.get.head.toSeq === mp3Frame().toSeq)
+    assert(sliced(2L)._1 === 3L)
+    assert(sliced(2L)._2.get(1).length === 150)
+    assert(sliced(3L)._1 === -1L)
+  }
+
   test("decodeFrames: REAL MJPEG pixel decode — frames located by stbl, decoded by the JDK readers") {
     val sparkSession = spark
     import sparkSession.implicits._
