@@ -20,10 +20,10 @@ import org.apache.spark.sql.types._
   * expanded to 16-bit linear by the published ITU-T formulas), and IMA
   * ADPCM WAV (tag 0x11, the 4-bit block predictor codec, r10) — pure byte
   * arithmetic end to end, and
-  * [[Media.decodeImage]] extends real pixel decode to JPEG/PNG through
-  * the JDK's built-in `javax.imageio` readers (Java SE, zero added
-  * dependencies), with the byte-level header probe gating dimensions
-  * before any decoder runs. [[Media.extractFeaturesBatched]] therefore
+  * [[Media.decodeImage]] extends real pixel decode to JPEG/PNG — and
+  * GIF, BMP, and TIFF (r10) — through the JDK's built-in `javax.imageio` readers
+  * (Java SE, zero added dependencies), with the byte-level header probe
+  * gating dimensions before any decoder runs. [[Media.extractFeaturesBatched]] therefore
   * computes genuine pixel/sample statistics for ALL the image formats it
   * probes plus PCM audio, and [[Media.perceptualHash]] hashes a genuine
   * decoded + [[Media.boxDownscale]]d luma thumbnail — the real aHash
@@ -75,7 +75,8 @@ object Media {
                                sampleRate: Int, channels: Int)
   val UnknownHeader: MediaHeader = MediaHeader("unknown", 0, 0, 0, 0)
 
-  /** Real header probe over raw file bytes: JPEG / PNG / WAV, else unknown.
+  /** Real header probe over raw file bytes: JPEG / PNG / WAV / GIF / BMP /
+    * TIFF / PNM / MP4 / mp3 / ADTS-AAC, else unknown.
     *
     * - JPEG: `FF D8` (SOI), then the marker walk every JPEG tool performs —
     *   skip fill bytes, step over variable-length segments (big-endian
@@ -159,6 +160,64 @@ object Media {
         val next = i.toLong + 8L + size + (size & 1) // chunks are word-aligned
         if (next > n) return UnknownHeader
         i = next.toInt
+      }
+      return UnknownHeader
+    }
+
+    // --- GIF (r10): GIF87a/GIF89a signature, logical-screen LE16
+    // dimensions. Pixel decode rides the same JDK readers as JPEG/PNG
+    // ([[decodeImage]]); LZW needs no external codec either.
+    if (n >= 13 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' &&
+        u8(3) == '8' && (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a') {
+      val w = le16(6); val h = le16(8)
+      if (w > 0 && h > 0) return MediaHeader("gif", w, h, 0, 0)
+      return UnknownHeader
+    }
+
+    // --- BMP (r10): "BM", then the DIB header — BITMAPINFOHEADER and
+    // successors (LE32 SIGNED dims at 18/22; negative height = top-down
+    // row order, dimensions are the absolute value) or the OS/2
+    // BITMAPCOREHEADER (size 12, LE16 dims). JDK readers decode it.
+    if (n >= 26 && u8(0) == 'B' && u8(1) == 'M') {
+      val dib = le32(14)
+      if (dib == 12L) {
+        val w = le16(18); val h = le16(20)
+        if (w > 0 && h > 0) return MediaHeader("bmp", w, h, 0, 0)
+      } else if (dib >= 40L) {
+        val w = le32(18).toInt; val h0 = le32(22).toInt
+        if (w > 0 && h0 != 0 && h0 != Int.MinValue)
+          return MediaHeader("bmp", w, math.abs(h0), 0, 0)
+      }
+      return UnknownHeader
+    }
+
+    // --- TIFF (r10): "II*\0" (LE) / "MM\0*" (BE) magic, then the first
+    // IFD's tag walk to ImageWidth (256) / ImageLength (257) — SHORT or
+    // LONG values, inline in the 4-byte value field for count 1. Entry
+    // count is bounded by the 16-bit field itself; every read is
+    // bounds-checked (untrusted bytes). JDK readers decode TIFF since
+    // Java 9, so this rides [[decodeImage]] like GIF/BMP.
+    if (n >= 8 && ((u8(0) == 'I' && u8(1) == 'I' && u8(2) == 0x2a && u8(3) == 0) ||
+                   (u8(0) == 'M' && u8(1) == 'M' && u8(2) == 0 && u8(3) == 0x2a))) {
+      val le = u8(0) == 'I'
+      @inline def r16(i: Int): Int = if (le) le16(i) else be16(i)
+      @inline def r32(i: Int): Long = if (le) le32(i) else be32(i)
+      val ifd = r32(4)
+      if (ifd >= 8 && ifd + 2 <= n) {
+        val cnt = r16(ifd.toInt)
+        var w = 0L; var h = 0L
+        var k = 0
+        while (k < cnt && ifd + 2 + 12L * (k + 1) <= n) {
+          val e = (ifd + 2 + 12L * k).toInt
+          val tag = r16(e); val typ = r16(e + 2); val c = r32(e + 4)
+          if ((tag == 256 || tag == 257) && c == 1L && (typ == 3 || typ == 4)) {
+            val v = if (typ == 3) r16(e + 8).toLong else r32(e + 8)
+            if (tag == 256) w = v else h = v
+          }
+          k += 1
+        }
+        if (w > 0 && w <= Int.MaxValue && h > 0 && h <= Int.MaxValue)
+          return MediaHeader("tiff", w.toInt, h.toInt, 0, 0)
       }
       return UnknownHeader
     }
@@ -257,9 +316,11 @@ object Media {
     if (len < 4) None else Some((len, rate, channels))
   }
 
-  /** Start of MPEG audio data: past an ID3v2 tag when present (syncsafe
-    * 28-bit size), else 0. */
-  private def mp3DataStart(bytes: Array[Byte]): Int = {
+  /** Start of audio data: past an ID3v2 tag when present (syncsafe
+    * 28-bit size), else 0. ID3v2 is container-agnostic — tagging tools
+    * prepend it to ADTS AAC files as readily as to mp3 — so both probes
+    * share this skip. */
+  private def id3DataStart(bytes: Array[Byte]): Int = {
     val n = bytes.length
     if (n >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
       @inline def s7(k: Int): Int = bytes(k) & 0x7f
@@ -274,7 +335,7 @@ object Media {
   private def mp3Probe(bytes: Array[Byte]): Option[(Int, Int)] =
     if (bytes == null) None
     else {
-      val start = mp3DataStart(bytes)
+      val start = id3DataStart(bytes)
       for {
         (len, rate, ch) <- mp3FrameAt(bytes, start)
         _ <- mp3FrameAt(bytes, start + len) // chained second frame
@@ -293,17 +354,20 @@ object Media {
   def mp3FrameRanges(bytes: Array[Byte]): Option[Vector[(Long, Int)]] = {
     if (mp3Probe(bytes).isEmpty) return None
     val out = Vector.newBuilder[(Long, Int)]
-    var i = mp3DataStart(bytes)
+    var i = id3DataStart(bytes)
     var count = 0
     var ok = true
-    while (ok && count < 1000000) {
+    // `<=` then `> 1000000`: a stream of EXACTLY 1M frames is in budget
+    // (parity with [[mp4SampleRanges]]' `count > 1000000` rule); only a
+    // 1M+1-th frame rejects.
+    while (ok && count <= 1000000) {
       mp3FrameAt(bytes, i) match {
         case Some((len, _, _)) if i + len <= bytes.length =>
           out += ((i.toLong, len)); i += len; count += 1
         case _ => ok = false
       }
     }
-    if (count >= 1000000) None else Some(out.result())
+    if (count > 1000000) None else Some(out.result())
   }
 
   // ADTS sampling-frequency table (index 0-11; 12+ reserved).
@@ -324,31 +388,39 @@ object Media {
     if (len < 7) None else Some((len, AdtsRates(srIdx), ch))
   }
 
-  /** (sampleRate, channels) for an ADTS AAC stream — two chained frames. */
+  /** (sampleRate, channels) for an ADTS AAC stream — two chained frames
+    * from the post-ID3v2 start (same skip as [[mp3Probe]]). */
   private def adtsProbe(bytes: Array[Byte]): Option[(Int, Int)] =
     if (bytes == null) None
-    else
+    else {
+      val start = adtsDataStart(bytes)
       for {
-        (len, rate, ch) <- adtsFrameAt(bytes, 0)
-        _ <- adtsFrameAt(bytes, len)
+        (len, rate, ch) <- adtsFrameAt(bytes, start)
+        _ <- adtsFrameAt(bytes, start + len)
       } yield (rate, ch)
+    }
+
+  /** Post-ID3v2 start for ADTS (alias of [[id3DataStart]], named for the
+    * call sites' symmetry with the mp3 walk). */
+  @inline private def adtsDataStart(bytes: Array[Byte]): Int =
+    id3DataStart(bytes)
 
   /** REAL frame byte ranges of an ADTS AAC stream — see
     * [[mp3FrameRanges]]; the 13-bit frame-length field chains frames. */
   def adtsFrameRanges(bytes: Array[Byte]): Option[Vector[(Long, Int)]] = {
     if (adtsProbe(bytes).isEmpty) return None
     val out = Vector.newBuilder[(Long, Int)]
-    var i = 0
+    var i = adtsDataStart(bytes)
     var count = 0
     var ok = true
-    while (ok && count < 1000000) {
+    while (ok && count <= 1000000) { // exactly-1M in budget, see mp3 walk
       adtsFrameAt(bytes, i) match {
         case Some((len, _, _)) if i + len <= bytes.length =>
           out += ((i.toLong, len)); i += len; count += 1
         case _ => ok = false
       }
     }
-    if (count >= 1000000) None else Some(out.result())
+    if (count > 1000000) None else Some(out.result())
   }
 
   /** ISO-BMFF box scan over `bytes[lo, hi)`: yields (type, payloadStart,
@@ -667,12 +739,12 @@ object Media {
   }
 
   /** REAL pixel decode for the entropy-coded image formats too (r9):
-    * JPEG and PNG through the JDK's built-in `javax.imageio` readers — a
-    * Java SE API, not an added dependency, so the "codec library this
-    * container doesn't ship" boundary turns out not to apply to images at
-    * all. Decoded ARGB reduces to the same integer-mean gray plane as
-    * [[decodeGray]]'s P6 path ((r+g+b)/3, floor), so all downstream
-    * feature/phash arithmetic is shared.
+    * JPEG and PNG — plus GIF, BMP, and TIFF (r10) — through the JDK's built-in
+    * `javax.imageio` readers — a Java SE API, not an added dependency, so
+    * the "codec library this container doesn't ship" boundary turns out
+    * not to apply to images at all. Decoded ARGB reduces to the same
+    * integer-mean gray plane as [[decodeGray]]'s P6 path ((r+g+b)/3,
+    * floor), so all downstream feature/phash arithmetic is shared.
     *
     * Untrusted-bytes discipline: the byte-level [[parseHeader]] probe runs
     * FIRST and gates dimensions (≤ 64 MPix) before any decoder sees the
@@ -683,7 +755,7 @@ object Media {
   def decodeImage(bytes: Array[Byte]): Option[GrayImage] = {
     decodeGray(bytes).orElse {
       val h = parseHeader(bytes)
-      if ((h.format != "jpeg" && h.format != "png") ||
+      if (!ImageIoFormats.contains(h.format) ||
         h.width <= 0 || h.height <= 0 ||
         h.width.toLong * h.height > 64L * 1024 * 1024) None
       else
@@ -710,6 +782,11 @@ object Media {
         } catch { case _: Throwable => None }
     }
   }
+
+  /** Formats [[decodeImage]] routes to the JDK readers — each with a
+    * byte-level [[parseHeader]] probe that gates dimensions BEFORE any
+    * decoder touches the untrusted payload. */
+  private val ImageIoFormats = Set("jpeg", "png", "gif", "bmp", "tiff")
 
   javax.imageio.ImageIO.setUseCache(false)
 
@@ -1064,26 +1141,6 @@ object Media {
     }(Encoders.row(schema))
   }
 
-  /** Per-payload `nCells`-bit PERCEPTUAL hash — the aHash construction:
-    * the hashed plane is cut into `nCells` equal cells (last one ragged)
-    * and bit i is set when cell i's byte MEAN exceeds the plane's overall
-    * mean, as an integer cross-multiply (`cellSum·len > totalSum·cellLen`)
-    * so hashes are bit-identical on any engine — no float division.
-    *
-    * The hashed plane is the REAL decoded, DOWNSCALED grayscale image
-    * when the payload is a decodable image — PNM via [[decodeGray]],
-    * JPEG/PNG via [[decodeImage]]'s JDK readers — box-mean-reduced to a
-    * 16×16 luma thumbnail ([[boxDownscale]], the real aHash pipeline), so
-    * two encodings of the same picture hash identically (PNM forms
-    * bit-equal; PNG vs JPEG within the lossy-compression hamming budget,
-    * spec-pinned). Non-image payloads fall back to the raw bytes (the
-    * remaining stub boundary: compressed AUDIO and video frames).
-    *
-    * Narrow per-partition pass, no shuffle; null/empty payloads hash to 0.
-    * `nCells ≤ 63` keeps the hash in one long; the cross-multiply stays
-    * exact while `255·cellLen·len < 2⁶³` — payloads into the hundreds of
-    * MB, far past any sane media blob (and a real deployment hashes the
-    * decoded thumbnail, a few KB). */
   /** The aHash bit construction over a raw plane: `nCells` equal cells
     * (last ragged), bit c set when cell c's byte mean exceeds the overall
     * mean, as an exact integer cross-multiply. Shared by
@@ -1112,6 +1169,26 @@ object Media {
     h
   }
 
+  /** Per-payload `nCells`-bit PERCEPTUAL hash — the aHash construction:
+    * the hashed plane is cut into `nCells` equal cells (last one ragged)
+    * and bit i is set when cell i's byte MEAN exceeds the plane's overall
+    * mean, as an integer cross-multiply (`cellSum·len > totalSum·cellLen`)
+    * so hashes are bit-identical on any engine — no float division.
+    *
+    * The hashed plane is the REAL decoded, DOWNSCALED grayscale image
+    * when the payload is a decodable image — PNM via [[decodeGray]],
+    * JPEG/PNG via [[decodeImage]]'s JDK readers — box-mean-reduced to a
+    * 16×16 luma thumbnail ([[boxDownscale]], the real aHash pipeline), so
+    * two encodings of the same picture hash identically (PNM forms
+    * bit-equal; PNG vs JPEG within the lossy-compression hamming budget,
+    * spec-pinned). Non-image payloads fall back to the raw bytes (the
+    * remaining stub boundary: compressed AUDIO and video frames).
+    *
+    * Narrow per-partition pass, no shuffle; null/empty payloads hash to 0.
+    * `nCells ≤ 63` keeps the hash in one long; the cross-multiply stays
+    * exact while `255·cellLen·len < 2⁶³` — payloads into the hundreds of
+    * MB, far past any sane media blob (and a real deployment hashes the
+    * decoded thumbnail, a few KB). */
   def perceptualHash(df: DataFrame, nCells: Int = 16,
                      bytesCol: String = "bytes"): DataFrame = {
     require(nCells >= 2 && nCells <= 63, "nCells must be in [2, 63]")

@@ -46,6 +46,27 @@ object MediaPack extends QueryPack {
     // G.711 expansion formulas — arithmetic pinned end to end.
     "q_media_decode_ulaw" -> g711Query(7),
     "q_media_decode_alaw" -> g711Query(6),
+    // REAL BMP pixel decode on the oracle gate (r10): each document's
+    // bytes become the gray (v,v,v) 24bpp pixel row of a genuine
+    // height-1 BMP (BITMAPINFOHEADER built in-query, 4-byte row stride
+    // padding included), decoded by the JDK readers through the batch
+    // contract; the decoded gray stats must reproduce DuckDB's
+    // independent byte arithmetic — (v+v+v)/3 = v, so sample_sum is the
+    // ascii() sum. (GIF's LZW has no SQL replica — spec-pinned in
+    // MediaSpec like JPEG.)
+    "q_media_decode_bmp" -> { (s, dir) =>
+      import s.implicits._
+      val media = table(s, dir, "documents")
+        .filter(octet_length(col("text")) > 0)
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("bytes"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, data) => (id, bmpContainer(data)) }
+        .toDF("media_id", "bytes")
+      Media.extractFeaturesBatched(media)
+        .select(col("media_id"), col("decoded"),
+          col("n_samples"), col("sample_sum"))
+    },
     // REAL video-frame decode on the oracle gate (r10): each document's
     // bytes become TWO complete picture frames (forward + reversed PGM)
     // inside a genuine MP4 (full stbl built in-query); decodeFrames must
@@ -146,6 +167,23 @@ object MediaPack extends QueryPack {
       .putInt(8000).putShort(1).putShort(8)
       .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
     buf.array()
+  }
+
+  /** Genuine height-1 24bpp BMP whose pixel row is `data` as gray
+    * (v,v,v) triples: "BM" file header + BITMAPINFOHEADER + the row,
+    * padded to the format's 4-byte stride — the byte layout every BMP
+    * writer emits. */
+  private def bmpContainer(data: Array[Byte]): Array[Byte] = {
+    val w = data.length
+    val stride = (w * 3 + 3) & ~3
+    val size = 54 + stride
+    val buf = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(1).putShort(1).putShort(24)
+      .putInt(0).putInt(stride).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    data.foreach(v => buf.put(v).put(v).put(v))
+    buf.array() // stride padding stays zero (allocate zero-fills)
   }
 
   /** One binary-PGM picture of `data` as a 1-pixel-tall row. */
@@ -273,6 +311,20 @@ object MediaPack extends QueryPack {
     // ASCII-fixture invariant as the other media oracles.
     "q_media_decode_ulaw" -> g711Oracle(ulaw = true),
     "q_media_decode_alaw" -> g711Oracle(ulaw = false),
+    // Decoded gray of a (v,v,v) 24bpp pixel is (v+v+v)/3 = v, so the
+    // decoded stats are pure ascii() arithmetic (the ASCII-fixture
+    // invariant of the other media oracles) — independent of the JDK
+    // reader by construction.
+    "q_media_decode_bmp" ->
+      """WITH b AS (SELECT doc_id, text FROM documents
+        |  WHERE octet_length(encode(text)) > 0),
+        |ts AS (SELECT doc_id, CAST(sum(ascii(c)) AS BIGINT) AS tsum
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c
+        |        FROM b) GROUP BY 1)
+        |SELECT b.doc_id AS media_id, 'bmp' AS decoded,
+        |  CAST(octet_length(encode(b.text)) AS BIGINT) AS n_samples,
+        |  ts.tsum AS sample_sum
+        |FROM b JOIN ts USING (doc_id)""".stripMargin,
     // The two frames are the text bytes forward and reversed: same pixel
     // count and byte sum each, so the decoded stats are pure ascii()
     // arithmetic (the PGM fixture invariant of q_media_decode).

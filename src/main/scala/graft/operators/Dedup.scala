@@ -264,7 +264,8 @@ object Dedup {
                /** Band geometry; bands·rowsPerBand ≤ [[NumHashes]]. This
                  * low-level primitive keeps the static 4×4 default (it has
                  * no threshold to derive from); threshold-aware callers —
-                 * [[nearDuplicates]], [[clusters]] — derive theirs from
+                 * [[nearDuplicates]], [[clusters]],
+                 * [[crossNearDuplicates]] — derive theirs from
                  * [[defaultBands]], and the oracles replicate whatever
                  * geometry the query under test uses. */
                bands: Int = Bands,
@@ -400,11 +401,25 @@ object Dedup {
     * its banded side, making this a map-side join over the corpus bands. */
   def crossNearDuplicates(corpus: DataFrame, probe: DataFrame, threshold: Double,
                           textCol: String = "text", idCol: String = "doc_id",
-                          maxBand: Long = MaxBand): DataFrame =
+                          maxBand: Long = MaxBand,
+                          /** Band geometry; the (-1, -1) default derives from
+                            * [[defaultBands]]`(threshold)` exactly like
+                            * [[nearDuplicates]] — a decontamination pass has
+                            * the same recall-floor contract as the self-join
+                            * (the static 4×4 would undershoot it at both
+                            * threshold tails). Pass both to override. */
+                          bands: Int = -1, rowsPerBand: Int = -1): DataFrame = {
+    require((bands > 0) == (rowsPerBand > 0),
+      "pass BOTH bands and rowsPerBand, or neither (derived from threshold)")
+    val (nb, nr) =
+      if (bands > 0) (bands, rowsPerBand) else derivedBands(threshold)
     crossNearDuplicatesBands(
-      lshBands(corpus, textCol, idCol).localCheckpoint(eager = true),
-      lshBands(probe, textCol, idCol).localCheckpoint(eager = true),
+      lshBands(corpus, textCol, idCol, bands = nb, rowsPerBand = nr)
+        .localCheckpoint(eager = true),
+      lshBands(probe, textCol, idCol, bands = nb, rowsPerBand = nr)
+        .localCheckpoint(eager = true),
       threshold, idCol, maxBand)
+  }
 
   /** [[crossNearDuplicates]] over PRE-BANDED sides — the one-pass shape when
     * corpus and probe are slices of the same table: band once, filter by

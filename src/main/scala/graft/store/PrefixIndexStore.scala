@@ -130,13 +130,22 @@ final class PrefixIndexStore(
 
   /** GC orphaned generations from a crash between appends and realign the
     * three counters to the last committed generation — called before
-    * every write so a crashed store never needs manual repair. */
+    * every write so a crashed store never needs manual repair. Also
+    * sweeps `.tmp_*` manifest staging files (a crash between
+    * [[commit]]'s write and its atomic rename strands one; nothing else
+    * ever deletes them — `committedIds` filters them out, so without the
+    * sweep they'd accumulate for the life of the store). */
   private def recover(): Unit = {
     val committed = latestSnapshot.getOrElse(0L)
     Seq(hashedStore, dfsStore, prefixStore).foreach { s =>
       if (s.maxRstId.exists(_ > committed) || s.currentRstId != committed + 1L)
         s.truncateAbove(committed)
     }
+    val l = Files.list(commitsDir)
+    try l.toArray.foreach { p0 =>
+      val p = p0.asInstanceOf[Path]
+      if (p.getFileName.toString.startsWith(".tmp_")) Files.deleteIfExists(p)
+    } finally l.close()
   }
 
   /** Build the index from `corpus` and persist it as the next generation
@@ -257,23 +266,29 @@ final class PrefixIndexStore(
     * missing generation silently yields zero rows for it, which would
     * score batches against a PARTIAL corpus: deduped docs would pass). */
   private def resolveValidated(snapshotId: Option[Long]): (Long, Long) = {
-    val g = snapshotId.orElse(latestSnapshot).getOrElse(
+    // One _commits listing and one listing per posting store for the whole
+    // validation — this runs per scoring call on the ingest hot path, and a
+    // thousands-of-deltas chain makes repeated directory listings real
+    // filesystem metadata work.
+    val committed = committedIds()
+    val g = snapshotId.orElse(committed.lastOption).getOrElse(
       throw new IllegalStateException(
         s"no complete prefix-index snapshot at $path — call snapshot() first"))
-    if (!committedIds().contains(g)) throw new IllegalStateException(
+    if (!committed.contains(g)) throw new IllegalStateException(
       s"prefix-index generation $g at $path has no commit manifest " +
         "(expired by retention or never completed) — score against " +
-        s"latestSnapshot=$latestSnapshot or re-snapshot")
-    if (!dfsStore.hasGeneration(g)) throw new IllegalStateException(
+        s"latestSnapshot=${committed.lastOption} or re-snapshot")
+    val dfsGens = dfsStore.generations.toSet
+    if (!dfsGens.contains(g)) throw new IllegalStateException(
       s"prefix-index generation $g (dfs) is not present at $path " +
         s"(expired by retention or never completed) — score against " +
-        s"latestSnapshot=$latestSnapshot or re-snapshot")
+        s"latestSnapshot=${committed.lastOption} or re-snapshot")
     val base = baseFromManifest(g) // committed just above → manifest read
     // The BASE's dfs generation is the frozen order every posting was
     // ranked under — scoring with it missing would re-rank the batch
     // against an empty order and silently MISS pairs (completeness needs
     // the shared order, not just the postings).
-    if (!dfsStore.hasGeneration(base)) throw new IllegalStateException(
+    if (!dfsGens.contains(base)) throw new IllegalStateException(
       s"prefix-index base snapshot $base (dfs) is missing at $path — the " +
         s"frozen order generation $g was ranked under is gone; re-snapshot")
     val have = Seq(hashedStore, prefixStore).map(_.generations.toSet)

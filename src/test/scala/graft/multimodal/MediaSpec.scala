@@ -697,6 +697,100 @@ class MediaSpec extends SparkSpec {
     assert(got(2L) === (("jpeg", (w * h).toLong)))
   }
 
+  test("decodeImage: real GIF/BMP pixel decode through the JDK readers (r10)") {
+    // Both formats are LOSSLESS for an 8-bit gray plane (BMP stores raw
+    // triples; GIF's LZW is lossless and a gray image fits one 256-color
+    // palette), so the decoded plane must round-trip EXACTLY — encoded by
+    // the same JDK writers the decoder's readers mirror.
+    val (w, h) = (40, 24)
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 255 / (w - 1) + y * 255 / (h - 1)) / 2
+      src.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(src, fmt, bos))
+      bos.toByteArray
+    }
+    for (fmt <- Seq("gif", "bmp")) {
+      val bytes = enc(fmt)
+      // The byte-level probe reads the real dimensions first (the decode
+      // gate) and labels the format.
+      val hd = Media.parseHeader(bytes)
+      assert((hd.format, hd.width, hd.height) === ((fmt, w, h)), fmt)
+      val img = Media.decodeImage(bytes).get
+      assert((img.width, img.height) === ((w, h)), fmt)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 255 / (w - 1) + y * 255 / (h - 1)) / 2
+        assert((img.pixels(y * w + x) & 0xff) === v, s"$fmt pixel ($x,$y)")
+      }
+    }
+    // Top-down BMP (negative height) probes to ABSOLUTE dimensions and
+    // still decodes: hand-built 2×2, rows stored top-first.
+    val td = {
+      val stride = (2 * 3 + 3) & ~3
+      val b = java.nio.ByteBuffer.allocate(54 + 2 * stride)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54 + 2 * stride).putInt(0).putInt(54)
+      b.putInt(40).putInt(2).putInt(-2).putShort(1).putShort(24)
+        .putInt(0).putInt(2 * stride).putInt(0).putInt(0).putInt(0).putInt(0)
+      for (v <- Seq(10, 20, 30, 40)) { // row-major top-down gray pixels
+        b.put(v.toByte).put(v.toByte).put(v.toByte)
+        if (v == 20 || v == 40) b.put(Array[Byte](0, 0)) // stride pad
+      }
+      b.array()
+    }
+    val tdh = Media.parseHeader(td)
+    assert((tdh.format, tdh.width, tdh.height) === (("bmp", 2, 2)))
+    val tdImg = Media.decodeImage(td).get
+    assert(tdImg.pixels.map(_ & 0xff).toSeq === Seq(10, 20, 30, 40))
+    // TIFF rides the same JDK readers (Java 9+): the probe must walk the
+    // IFD to the real dimensions — BOTH byte orders — and gray pixels
+    // round-trip exactly (TIFF is lossless).
+    for (fmt <- Seq("tiff")) {
+      val bytes = enc(fmt)
+      val hd = Media.parseHeader(bytes)
+      assert((hd.format, hd.width, hd.height) === (("tiff", w, h)))
+      val img = Media.decodeImage(bytes).get
+      assert((img.width, img.height) === ((w, h)))
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 255 / (w - 1) + y * 255 / (h - 1)) / 2
+        assert((img.pixels(y * w + x) & 0xff) === v, s"tiff pixel ($x,$y)")
+      }
+    }
+    // The probe reads BOTH byte orders; hand-build each (the JDK writer
+    // only emits one), SHORT-typed dims inline in the value field.
+    for (le <- Seq(true, false)) {
+      val b = java.nio.ByteBuffer.allocate(8 + 2 + 2 * 12 + 4)
+        .order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+               else java.nio.ByteOrder.BIG_ENDIAN)
+      if (le) b.put('I'.toByte).put('I'.toByte).put(0x2a.toByte).put(0.toByte)
+      else b.put('M'.toByte).put('M'.toByte).put(0.toByte).put(0x2a.toByte)
+      b.putInt(8) // IFD at 8
+      b.putShort(2)
+      def entry(tag: Int, v: Int): Unit = {
+        b.putShort(tag.toShort).putShort(3).putInt(1) // SHORT, count 1
+        b.putShort(v.toShort).putShort(0) // inline value, endian-true
+      }
+      entry(256, 123); entry(257, 45)
+      b.putInt(0) // next-IFD terminator
+      val hd = Media.parseHeader(b.array())
+      assert((hd.format, hd.width, hd.height) === (("tiff", 123, 45)),
+        s"le=$le")
+    }
+    // Batched extraction labels the new formats.
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val got = Media.extractFeaturesBatched(
+        Seq((1L, enc("gif")), (2L, enc("bmp"))).toDF("id", "bytes"))
+      .select("id", "decoded", "n_samples")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) === (("gif", (w * h).toLong)))
+    assert(got(2L) === (("bmp", (w * h).toLong)))
+  }
+
   test("boxDownscale: exact integer box means, ragged boxes, pass-through when small") {
     // 4×2 → 2×1: each target cell = floor mean of a 2×2 box.
     val img = Media.GrayImage(4, 2, Array[Byte](10, 20, 30, 40, 50, 60, 70, 81))
@@ -778,6 +872,13 @@ class MediaSpec extends SparkSpec {
     assert(Media.adtsFrameRanges(aac).get ===
       Vector((0L, 100), (100L, 150), (250L, 80)))
     assert(Media.parseHeader(adtsFrame(100)) === Media.UnknownHeader)
+    // Tagging tools prepend ID3v2 to ADTS files too — the probe must skip
+    // it exactly like the mp3 path (same tag, container-agnostic).
+    val id3aac = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 10) ++
+      Array.fill(10)(0x55.toByte) ++ aac
+    assert(Media.parseHeader(id3aac) === Media.MediaHeader("aac", 0, 0, 44100, 2))
+    assert(Media.adtsFrameRanges(id3aac).get ===
+      Vector((20L, 100), (120L, 150), (270L, 80)))
     // extractFrameSamples now slices audio frames at REAL boundaries too.
     val sparkSession = spark
     import sparkSession.implicits._

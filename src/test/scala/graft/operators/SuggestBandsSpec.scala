@@ -85,4 +85,24 @@ class SuggestBandsSpec extends SparkSpec {
     assert(lowT.count() >= 0L) // must not throw
     intercept[IllegalArgumentException] { Dedup.defaultBands(0.01) }
   }
+
+  test("crossNearDuplicates' DEFAULT derives the same geometry as nearDuplicates") {
+    GraftExtensions.register(spark)
+    // The decontamination operator shares the self-join's recall contract:
+    // at the same threshold its default banding must be the derived
+    // geometry, not the static 4×4 (which undershoots the floor at both
+    // tails). Pin by result equality against an explicit derived-geometry
+    // call on a corpus/probe split of the fixture.
+    val t = 0.5
+    val g = Dedup.defaultBands(t)
+    assert((g.bands, g.rowsPerBand) !== ((Dedup.Bands, Dedup.RowsPerBand)))
+    val corpus = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+    val probe = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0)
+    val byDefault = Dedup.crossNearDuplicates(corpus, probe, t)
+      .select("probe_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byDerived = Dedup.crossNearDuplicates(corpus, probe, t,
+        bands = g.bands, rowsPerBand = g.rowsPerBand)
+      .select("probe_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byDefault === byDerived)
+  }
 }

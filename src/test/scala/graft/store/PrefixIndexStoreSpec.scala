@@ -232,6 +232,15 @@ class PrefixIndexStoreSpec extends SparkSpec {
     val g3 = reopened.appendDocs(docs.filter("doc_id = 5"))
     assert(g3 === g2 + 1)
     assert(!pairs(reopened.scoreBatch(batch)).exists(_._2 == 998L))
+    // A crash INSIDE commit() (manifest written, rename not reached)
+    // strands a `.tmp_<g>` staging file that committedIds filters out —
+    // the next write's recovery must sweep it, not let crash debris
+    // accumulate for the life of the store.
+    val stranded = java.nio.file.Paths.get(path, "_commits", s".tmp_${g3 + 1}")
+    java.nio.file.Files.writeString(stranded, s"${g3 + 1}\n")
+    val g4 = reopened.appendDocs(docs.filter("doc_id = 4"))
+    assert(g4 === g3 + 1)
+    assert(!java.nio.file.Files.exists(stranded))
   }
 
   test("legacy pre-manifest directories are adopted, not invalidated") {
