@@ -143,6 +143,85 @@ object Curation {
       .select(col(idCol), col("r.n_words"), col("r.dup_word_frac"),
         col("r.n_bigrams"), col("r.dup_bigram_frac"))
 
+  /** Duplicate-UNIT statistics per document — the Gopher-style (Rae et
+    * al. 2021, §A1.1) duplicate line / paragraph quality signals,
+    * parametric on the unit separator (`"\n"` for lines, `"\n{2,}"` for
+    * paragraphs): how many units repeat within the document, by COUNT and
+    * by CHARACTER MASS. A "duplicate" is every non-first occurrence of a
+    * unit's exact text, so `dup_unit_frac` = Σ(c−1)/Σc over the per-unit
+    * occurrence counts c, and `dup_char_frac` weighs each unit by its
+    * length — the two published cut dimensions. Empty units (consecutive
+    * separators, leading/trailing) are dropped; documents with no
+    * non-empty unit drop out of the result.
+    *
+    * Plan: explode → per-(doc, unit) hash count → per-doc re-aggregation
+    * — two map-side-combined shuffles, linear in corpus size. The
+    * shuffle-free alternative (array `exists` over earlier indices) is
+    * quadratic per document, which is the wrong trade for exactly the
+    * long repetitive documents this filter exists to catch. Fractions
+    * are single IEEE divisions of exact integers — engine-identical, so
+    * the DuckDB oracle hash-matches. */
+  def duplicateUnitStats(docs: DataFrame, sepRegex: String = "\n",
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val units = docs.select(col(idCol),
+        explode(split(col(textCol), sepRegex)).as("unit"))
+      .filter(length(trim(col("unit"))) > 0)
+    units.groupBy(col(idCol), col("unit")).agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(
+        sum("c").as("n_units"),
+        sum(col("c") - 1).as("dup_units"),
+        sum(length(col("unit")) * col("c")).as("unit_chars"),
+        sum(length(col("unit")) * (col("c") - 1)).as("dup_unit_chars"))
+      .select(col(idCol), col("n_units"), col("dup_units"),
+        (col("dup_units").cast("double") / col("n_units"))
+          .as("dup_unit_frac"),
+        col("unit_chars"), col("dup_unit_chars"),
+        (col("dup_unit_chars").cast("double") / col("unit_chars"))
+          .as("dup_char_frac"))
+  }
+
+  /** Top word-n-gram character fraction per document — the other half of
+    * the Gopher repetition battery: for each n in `ns`, the single most
+    * frequent word n-gram and the fraction of the document's normalized
+    * characters its occurrences cover (`count · length(ngram) /
+    * length(normalized text)`; overlapping occurrences can push the
+    * fraction past 1, which is itself a strong repetition signal). Ties
+    * break deterministically to the lexicographically LARGEST n-gram at
+    * the max count (`max(struct(count, ngram))` — binary string order,
+    * identical in DuckDB's default collation), so the oracle
+    * hash-matches. Documents shorter than n words have no n-gram and
+    * drop out for that n.
+    *
+    * Plan: one explode over all requested n (tagged rows) → per-(doc, n,
+    * ngram) hash count → per-(doc, n) max-struct argmax — map-side
+    * combined, linear; no window function, no per-doc quadratic array
+    * scan. */
+  def topNgramCharFrac(docs: DataFrame, ns: Seq[Int] = Seq(2, 3, 4),
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 2), "ns must all be >= 2")
+    val base = docs.select(col(idCol),
+      TextFunctions.words(TextFunctions.normalize(col(textCol))).as("ws"),
+      length(TextFunctions.normalize(col(textCol))).cast("long")
+        .as("total_chars"))
+    val tagged = base.select(col(idCol), col("total_chars"),
+        explode(array(ns.map(n => struct(lit(n).as("n"),
+          TextFunctions.slidingNgrams(col("ws"), n).as("ngs"))): _*)).as("t"))
+      .select(col(idCol), col("total_chars"), col("t.n").as("n"),
+        explode(col("t.ngs")).as("ng"))
+    tagged.groupBy(col(idCol), col("n"), col("ng"))
+      .agg(count(lit(1)).as("c"), max("total_chars").as("total_chars"))
+      .groupBy(col(idCol), col("n"))
+      .agg(max(struct(col("c"), col("ng"))).as("m"),
+        max("total_chars").as("total_chars"))
+      .select(col(idCol), col("n"), col("m.ng").as("top_ngram"),
+        col("m.c").as("top_count"),
+        (col("m.c") * length(col("m.ng"))).as("ngram_chars"),
+        ((col("m.c") * length(col("m.ng"))).cast("double") /
+          col("total_chars")).as("top_char_frac"))
+  }
+
   /** Deterministic train/val/test assignment: ONE hash draw per id mapped
     * onto contiguous integer ranges, so the splits are DISJOINT and
     * exhaustive BY CONSTRUCTION — no per-split gates whose acceptance sets

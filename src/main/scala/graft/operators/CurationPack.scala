@@ -126,6 +126,30 @@ object CurationPack extends QueryPack {
       graft.plans.GraftExtensions.register(s)
       Curation.repetition(table(s, dir, "documents"))
     },
+    // Gopher duplicate-line signals (Curation.duplicateUnitStats). The
+    // fixture text carries no newlines, so the lined form is constructed
+    // in-query (the media-container pattern): normalized words wrapped
+    // into 2-word lines joined by '\n' — duplicate lines then arise from
+    // genuine intra-document phrase repetition (181/500 docs at sf0.01).
+    "q_gopher_lines" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val base = table(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextFunctions.words(
+          graft.functions.TextFunctions.normalize(col("text"))).as("ws"))
+      val lined = base.select(col("doc_id"),
+        array_join(transform(
+            sequence(lit(0), expr("(size(ws) + 1) div 2 - 1")),
+            i => array_join(slice(col("ws"), i * 2 + 1, lit(2)), " ")),
+          "\n").as("text"))
+      Curation.duplicateUnitStats(lined)
+    },
+    // Gopher top word-n-gram character fraction for n = 2, 3, 4
+    // (Curation.topNgramCharFrac) — deterministic argmax via max-struct,
+    // oracle replicates with a window rank.
+    "q_gopher_topngram" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      Curation.topNgramCharFrac(table(s, dir, "documents"))
+    },
     "q_curated_corpus" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       Curation.curate(table(s, dir, "documents"), RulesV)
@@ -372,6 +396,52 @@ object CurationPack extends QueryPack {
          |    THEN 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / n_bigrams_raw
          |    ELSE NULL END AS dup_bigram_frac
          |FROM rep""".stripMargin,
+    // The lined form replicated step for step: normalized words → 2-word
+    // wrap → non-empty units → per-(doc, unit) counts → per-doc sums.
+    // Fractions are single divisions of exact integers on both engines.
+    "q_gopher_lines" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS ws
+        |  FROM documents),
+        |l AS (SELECT doc_id, unnest(
+        |    [array_to_string(ws[2*i+1:2*i+2], ' ')
+        |     for i in range(0, (len(ws)+1)//2)]) AS unit FROM w),
+        |nz AS (SELECT doc_id, unit FROM l WHERE length(trim(unit)) > 0),
+        |c AS (SELECT doc_id, unit, count(*) AS c FROM nz GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_units,
+        |  CAST(sum(c - 1) AS BIGINT) AS dup_units,
+        |  CAST(sum(c - 1) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS dup_unit_frac,
+        |  CAST(sum(length(unit) * c) AS BIGINT) AS unit_chars,
+        |  CAST(sum(length(unit) * (c - 1)) AS BIGINT) AS dup_unit_chars,
+        |  CAST(sum(length(unit) * (c - 1)) AS DOUBLE)
+        |    / CAST(sum(length(unit) * c) AS BIGINT) AS dup_char_frac
+        |FROM c GROUP BY 1""".stripMargin,
+    // Window-rank replica of the max-struct argmax: highest count, then
+    // lexicographically largest n-gram (binary order on both engines).
+    "q_gopher_topngram" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS ws,
+        |    length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS tc
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, 2 AS n, tc, unnest(
+        |    [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS ng FROM t
+        |  UNION ALL
+        |  SELECT doc_id, 3, tc, unnest(
+        |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |     for i in range(1, len(ws)-1)]) FROM t
+        |  UNION ALL
+        |  SELECT doc_id, 4, tc, unnest(
+        |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+        |     for i in range(1, len(ws)-2)]) FROM t),
+        |c AS (SELECT doc_id, n, ng, tc, count(*) AS c FROM g GROUP BY 1, 2, 3, 4),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id, n ORDER BY c DESC, ng DESC) AS rn FROM c)
+        |SELECT doc_id, n, ng AS top_ngram, CAST(c AS BIGINT) AS top_count,
+        |  CAST(c * length(ng) AS BIGINT) AS ngram_chars,
+        |  CAST(c * length(ng) AS DOUBLE) / tc AS top_char_frac
+        |FROM r WHERE rn = 1""".stripMargin,
     "q_split_assign" ->
       """WITH d AS (SELECT lang,
         |  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

@@ -93,6 +93,71 @@ class CurationSpec extends SparkSpec {
     assert(r(2L).isNullAt(4))
   }
 
+  test("duplicateUnitStats: hand-computed line duplication by count and char mass") {
+    GraftExtensions.register(spark)
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val tiny = Seq(
+      // 4 lines: "ab" ×2 (2 chars each), "cde", "f" — 1 non-first
+      // occurrence of 4 units, 2 of 8 chars.
+      (0L, "ab\ncde\nab\nf"),
+      // all distinct → zero dups
+      (1L, "x\ny\nz"),
+      // empty/whitespace lines dropped; the two "hi" survive
+      (2L, "hi\n\n  \nhi"),
+      // nothing but separators → doc drops out entirely
+      (3L, "\n\n")
+    ).toDF("doc_id", "text")
+    val r = Curation.duplicateUnitStats(tiny).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getLong(1) === 4L) // n_units
+    assert(r(0L).getLong(2) === 1L) // dup_units
+    assert(r(0L).getDouble(3) === 0.25)
+    assert(r(0L).getLong(4) === 8L) // unit_chars: 2+3+2+1
+    assert(r(0L).getLong(5) === 2L) // dup chars: one extra "ab"
+    assert(r(0L).getDouble(6) === 0.25)
+    assert(r(1L).getLong(2) === 0L)
+    assert(r(1L).getDouble(6) === 0.0)
+    assert(r(2L).getLong(1) === 2L)
+    assert(r(2L).getLong(2) === 1L)
+    assert(!r.contains(3L))
+    // Paragraph mode is the same operator at the published separator.
+    val para = Curation.duplicateUnitStats(
+      Seq((9L, "p one\n\np two\n\np one")).toDF("doc_id", "text"),
+      sepRegex = "\n{2,}").collect().head
+    assert(para.getLong(1) === 3L)
+    assert(para.getLong(2) === 1L)
+    assert(para.getLong(5) === 5L) // "p one" repeated: 5 chars
+  }
+
+  test("topNgramCharFrac: argmax, deterministic tie-break, short docs drop") {
+    GraftExtensions.register(spark)
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val tiny = Seq(
+      // "a b" ×2 is the top bigram (others ×1); norm len 11
+      (0L, "a b c a b"),
+      // every bigram ×1 → ties; the lexicographically largest wins
+      (1L, "x y z"),
+      (2L, "solo") // < 2 words → no rows
+    ).toDF("doc_id", "text")
+    val r = Curation.topNgramCharFrac(tiny, ns = Seq(2)).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getString(2) === "a b")
+    assert(r(0L).getLong(3) === 2L)
+    assert(r(0L).getLong(4) === 6L) // 2 × len("a b")
+    assert(r(0L).getDouble(5) === 6.0 / 9) // norm "a b c a b" = 9 chars
+    assert(r(1L).getString(2) === "y z") // tie-break: largest string
+    assert(!r.contains(2L))
+    // Overlapping occurrences can push the fraction past 1 — the signal
+    // the filter exists for.
+    val rep = Curation.topNgramCharFrac(
+      Seq((7L, "w w w w w")).toDF("doc_id", "text"), ns = Seq(2))
+      .collect().head
+    assert(rep.getLong(3) === 4L) // "w w" ×4 in 9 chars
+    assert(rep.getDouble(5) === 12.0 / 9)
+  }
+
   test("curate keeps only dedup representatives that pass every gate") {
     GraftExtensions.register(spark)
     val sparkSession = spark
