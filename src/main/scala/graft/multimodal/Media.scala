@@ -319,13 +319,17 @@ object Media {
   /** Start of audio data: past an ID3v2 tag when present (syncsafe
     * 28-bit size), else 0. ID3v2 is container-agnostic — tagging tools
     * prepend it to ADTS AAC files as readily as to mp3 — so both probes
-    * share this skip. */
+    * share this skip. The v2.4 footer flag (header flags bit 0x10)
+    * appends a 10-byte footer the syncsafe size EXCLUDES — without the
+    * extra skip the cursor lands on the '3DI' footer bytes and a valid
+    * tagged stream fails both probes. */
   private def id3DataStart(bytes: Array[Byte]): Int = {
     val n = bytes.length
     if (n >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
       @inline def s7(k: Int): Int = bytes(k) & 0x7f
       val size = (s7(6) << 21) | (s7(7) << 14) | (s7(8) << 7) | s7(9)
-      val start = 10L + size
+      val footer = if ((bytes(5) & 0x10) != 0) 10L else 0L
+      val start = 10L + size + footer
       if (start < n) start.toInt else n
     } else 0
   }
@@ -750,14 +754,23 @@ object Media {
     * FIRST and gates dimensions (≤ 64 MPix) before any decoder sees the
     * payload — a crafted dimension bomb is rejected from the header, and
     * any decoder exception/null (truncated stream, wrong format) returns
-    * None. In-memory only (`ImageIO.setUseCache(false)` — the default
-    * temp-FILE cache would do disk I/O per payload inside executors). */
+    * None. GIF needs a SECOND gate: the probe reads the logical-screen
+    * dimensions, but the JDK reader allocates from the IMAGE-DESCRIPTOR
+    * dimensions — a different header field — so a 1×1 screen with a
+    * 40000×40000 descriptor would bypass a screen-only gate
+    * ([[gifDescriptorPixels]] walks to the first descriptor and gates on
+    * it; every other format's probe reads the same field the decoder
+    * allocates from). In-memory only (`ImageIO.setUseCache(false)` — the
+    * default temp-FILE cache would do disk I/O per payload inside
+    * executors). */
   def decodeImage(bytes: Array[Byte]): Option[GrayImage] = {
     decodeGray(bytes).orElse {
       val h = parseHeader(bytes)
       if (!ImageIoFormats.contains(h.format) ||
         h.width <= 0 || h.height <= 0 ||
-        h.width.toLong * h.height > 64L * 1024 * 1024) None
+        h.width.toLong * h.height > 64L * 1024 * 1024 ||
+        (h.format == "gif" && !gifDescriptorPixels(bytes)
+          .exists(p => p > 0 && p <= 64L * 1024 * 1024))) None
       else
         try {
           val img = javax.imageio.ImageIO.read(
@@ -781,6 +794,36 @@ object Media {
           }
         } catch { case _: Throwable => None }
     }
+  }
+
+  /** Pixel count of a GIF's FIRST image descriptor — the field the JDK
+    * reader actually allocates from (the logical-screen dimensions the
+    * probe reports are a different field; see [[decodeImage]]'s gate).
+    * Walks header → optional global color table → extension blocks
+    * (sub-block chains) to the first 0x2C descriptor; None on trailer,
+    * truncation, or malformed block structure. Untrusted bytes never
+    * throw. */
+  private def gifDescriptorPixels(bytes: Array[Byte]): Option[Long] = {
+    val n = bytes.length
+    @inline def u8(i: Int): Int = bytes(i) & 0xff
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (n < 13) return None
+    var i = 13L
+    if ((u8(10) & 0x80) != 0) i += 3L * (1 << ((u8(10) & 0x7) + 1))
+    while (i + 1 <= n) {
+      u8(i.toInt) match {
+        case 0x2c => // image descriptor: left(2) top(2) w(2) h(2) flags(1)
+          if (i + 9 > n) return None
+          return Some(le16(i.toInt + 5).toLong * le16(i.toInt + 7))
+        case 0x21 => // extension: introducer + label + sub-block chain
+          i += 2
+          var sz = -1
+          while (sz != 0 && i + 1 <= n) { sz = u8(i.toInt); i += 1L + sz }
+          if (sz != 0) return None // ran off the end mid-chain
+        case _ => return None // 0x3B trailer (no image) or malformed
+      }
+    }
+    None
   }
 
   /** Formats [[decodeImage]] routes to the JDK readers — each with a

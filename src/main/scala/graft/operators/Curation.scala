@@ -201,10 +201,15 @@ object Curation {
                        textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 2), "ns must all be >= 2")
+    // normalize() let-bound so its regexp_replace chain — the dominant
+    // rowwise cost — runs ONCE per row for both the word split and the
+    // character count.
     val base = docs.select(col(idCol),
-      TextFunctions.words(TextFunctions.normalize(col(textCol))).as("ws"),
-      length(TextFunctions.normalize(col(textCol))).cast("long")
-        .as("total_chars"))
+        graft.functions.SqlLet.let(TextFunctions.normalize(col(textCol)),
+          nm => struct(TextFunctions.words(nm).as("ws"),
+            length(nm).cast("long").as("total_chars"))).as("b"))
+      .select(col(idCol), col("b.ws").as("ws"),
+        col("b.total_chars").as("total_chars"))
     val tagged = base.select(col(idCol), col("total_chars"),
         explode(array(ns.map(n => struct(lit(n).as("n"),
           TextFunctions.slidingNgrams(col("ws"), n).as("ngs"))): _*)).as("t"))

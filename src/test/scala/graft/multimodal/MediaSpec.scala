@@ -760,6 +760,26 @@ class MediaSpec extends SparkSpec {
         assert((img.pixels(y * w + x) & 0xff) === v, s"tiff pixel ($x,$y)")
       }
     }
+    // GIF dimension-bomb gate: the JDK reader allocates from the IMAGE
+    // DESCRIPTOR dims, not the logical screen, so a 1×1 screen with a
+    // 40000×40000 descriptor must be refused BEFORE the reader runs (a
+    // screen-only gate would admit a ~6.4 GB allocation).
+    val bomb = {
+      val b = java.nio.ByteBuffer.allocate(6 + 7 + 10 + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("GIF89a".getBytes("US-ASCII"))
+      b.putShort(1).putShort(1).put(0.toByte).put(0.toByte).put(0.toByte)
+      b.put(0x2c.toByte).putShort(0).putShort(0)
+        .putShort(40000.toShort).putShort(40000.toShort).put(0.toByte)
+      b.put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      b.array()
+    }
+    assert(Media.parseHeader(bomb).format === "gif") // probe sees 1×1 screen
+    assert(Media.decodeImage(bomb).isEmpty) // descriptor gate refuses
+    // A legit GIF still passes the descriptor walk (incl. its extension
+    // blocks — the JDK writer emits a graphic-control extension).
+    assert(Media.decodeImage(enc("gif")).isDefined)
+
     // The probe reads BOTH byte orders; hand-build each (the JDK writer
     // only emits one), SHORT-typed dims inline in the value field.
     for (le <- Seq(true, false)) {
@@ -879,6 +899,17 @@ class MediaSpec extends SparkSpec {
     assert(Media.parseHeader(id3aac) === Media.MediaHeader("aac", 0, 0, 44100, 2))
     assert(Media.adtsFrameRanges(id3aac).get ===
       Vector((20L, 100), (120L, 150), (270L, 80)))
+    // ID3v2.4 FOOTER flag (0x10): the syncsafe size excludes the 10-byte
+    // footer, so the skip must add it — both containers.
+    val footer = Array[Byte]('3', 'D', 'I', 4, 0, 0, 0, 0, 0, 10)
+    val id3f = Array[Byte]('I', 'D', '3', 4, 0, 0x10, 0, 0, 0, 10) ++
+      Array.fill(10)(0x55.toByte) ++ footer
+    assert(Media.parseHeader(id3f ++ mp3) ===
+      Media.MediaHeader("mp3", 0, 0, 44100, 2))
+    assert(Media.mp3FrameRanges(id3f ++ mp3).get.head === ((30L, 417)))
+    assert(Media.parseHeader(id3f ++ aac) ===
+      Media.MediaHeader("aac", 0, 0, 44100, 2))
+    assert(Media.adtsFrameRanges(id3f ++ aac).get.head === ((30L, 100)))
     // extractFrameSamples now slices audio frames at REAL boundaries too.
     val sparkSession = spark
     import sparkSession.implicits._

@@ -135,7 +135,7 @@ class CurationSpec extends SparkSpec {
     val sparkSession = spark
     import sparkSession.implicits._
     val tiny = Seq(
-      // "a b" ×2 is the top bigram (others ×1); norm len 11
+      // "a b" ×2 is the top bigram (others ×1); norm len 9
       (0L, "a b c a b"),
       // every bigram ×1 → ties; the lexicographically largest wins
       (1L, "x y z"),
