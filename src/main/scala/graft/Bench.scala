@@ -143,7 +143,10 @@ object Bench {
     // Gopher repetition battery (r10): duplicate-line stats (explode +
     // two map-side-combined aggs) and the top-n-gram char fraction
     // (tagged explode + max-struct argmax). Secondary tier.
-    "q_gopher_lines", "q_gopher_topngram"
+    "q_gopher_lines", "q_gopher_topngram",
+    // q_media_decode_flac: the full FLAC frame layer (container build +
+    // CRC-validated bit-level decode) through the batch contract.
+    "q_media_decode_flac"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -191,7 +194,8 @@ object Bench {
     "q_dedup_prefix_inc", "q_dedup_recall", "q_profile_modes", "q_ppr",
     "q_dedup_clusters_exact", "q_weighted_hops", "q_dedup_prefix_indexed",
     "q_media_decode", "q_media_decode_ulaw", "q_media_video_frames",
-    "q_media_decode_bmp", "q_gopher_lines", "q_gopher_topngram")
+    "q_media_decode_bmp", "q_gopher_lines", "q_gopher_topngram",
+    "q_media_decode_flac")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -40,15 +40,19 @@ import org.apache.spark.sql.types._
   * (r10).
   *
   * ⚠ STUB BOUNDARY (narrower again in r10 — all WAV-contained audio now
-  * decodes for real, G.711 and IMA ADPCM included; MJPEG-family video
-  * frames decode end to end; and mp3/ADTS-AAC get real header METADATA
-  * and exact frame LOCATION from the published sync/length arithmetic —
+  * decodes for real, G.711 and IMA ADPCM included; FLAC decodes for
+  * real through the whole mandatory frame layer ([[Media.decodeFlac]] —
+  * Rice coding, fixed + LPC predictors, stereo decorrelation, CRC
+  * validation, pure integer arithmetic); MJPEG-family video frames
+  * decode end to end; and mp3/ADTS-AAC get real header METADATA and
+  * exact frame LOCATION from the published sync/length arithmetic —
   * [[Media.mp3FrameRanges]]/[[Media.adtsFrameRanges]]): only
-  * COMPRESSED-STREAM PAYLOAD DECODE — mp3/aac frame contents and
-  * INTER-frame video codecs (h264/h265/vp9: samples are not
-  * self-contained pictures; no JDK codec) — still needs an external
-  * codec; for those payloads the same batch contract runs with the
-  * deterministic byte-level fallback in place of the codec call.
+  * PERCEPTUAL-CODEC PAYLOAD DECODE — mp3/aac frame contents (MDCT +
+  * Huffman, no JDK codec) and INTER-frame video codecs (h264/h265/vp9:
+  * samples are not self-contained pictures; no JDK codec) — still needs
+  * an external codec; for those payloads the same batch contract runs
+  * with the deterministic byte-level fallback in place of the codec
+  * call.
   * Everything around that boundary is the real Spark-side contract:
   * binary-column schema, per-partition batching, metadata struct shape,
   * and the narrow-projection plan (no shuffle, no driver collect).
@@ -76,7 +80,7 @@ object Media {
   val UnknownHeader: MediaHeader = MediaHeader("unknown", 0, 0, 0, 0)
 
   /** Real header probe over raw file bytes: JPEG / PNG / WAV / GIF / BMP /
-    * TIFF / PNM / MP4 / mp3 / ADTS-AAC, else unknown.
+    * TIFF / PNM / MP4 / FLAC / mp3 / ADTS-AAC, else unknown.
     *
     * - JPEG: `FF D8` (SOI), then the marker walk every JPEG tool performs —
     *   skip fill bytes, step over variable-length segments (big-endian
@@ -254,6 +258,32 @@ object Media {
         }
       }
       return MediaHeader("mp4", 0, 0, 0, 0) // valid container, no video trak
+    }
+
+    // --- FLAC (r10): "fLaC" magic + the STREAMINFO metadata block's
+    // 20-bit rate / 3-bit channels. Sample decode is REAL too —
+    // [[decodeFlac]] implements the whole mandatory frame layer in pure
+    // integer arithmetic.
+    if (n >= 22 && bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' &&
+      bytes(3) == 'C') {
+      var i = 4
+      var last = false
+      while (!last && i + 4 <= n) {
+        val hdr = u8(i)
+        last = (hdr & 0x80) != 0
+        val len = (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+        val body = i + 4
+        if (body + len > n) return UnknownHeader
+        if ((hdr & 0x7f) == 0 && len >= 34) {
+          val rate = (u8(body + 10) << 12) | (u8(body + 11) << 4) |
+            (u8(body + 12) >> 4)
+          val channels = ((u8(body + 12) >> 1) & 0x7) + 1
+          if (rate > 0) return MediaHeader("flac", 0, 0, rate, channels)
+          return UnknownHeader
+        }
+        i = body + len
+      }
+      return UnknownHeader
     }
 
     // --- MP3 (r10): ID3v2 skip + MPEG-1/2/2.5 Layer III frame-sync
@@ -1082,6 +1112,357 @@ object Media {
     Some(PcmAudio(rate, channels, 16, out, "ima_adpcm"))
   }
 
+  /** MSB-first bit cursor over a byte range — the FLAC frame layer is bit
+    * packed (everything before it is byte aligned). Reads past the end
+    * throw [[ArrayIndexOutOfBoundsException]]; [[decodeFlac]] catches and
+    * returns None, keeping the untrusted-bytes contract. */
+  private final class BitReader(bytes: Array[Byte], startByte: Int,
+                                endByte: Int) {
+    private var bitPos: Long = startByte.toLong * 8
+    private val endBit: Long = endByte.toLong * 8
+    def bytePos: Int = ((bitPos + 7) >> 3).toInt
+    def remaining: Long = endBit - bitPos
+    def bits(n: Int): Int = bitsLong(n).toInt
+    def bitsLong(n: Int): Long = {
+      var v = 0L; var k = n
+      while (k > 0) {
+        if (bitPos >= endBit) throw new ArrayIndexOutOfBoundsException("eof")
+        val b = (bytes((bitPos >> 3).toInt) >> (7 - (bitPos & 7).toInt)) & 1
+        v = (v << 1) | b
+        bitPos += 1; k -= 1
+      }
+      v
+    }
+    /** Two's-complement signed read. */
+    def sbits(n: Int): Int = { val v = bits(n); (v << (32 - n)) >> (32 - n) }
+    /** Zero run length before the terminating 1 bit. */
+    def unary(): Int = {
+      var c = 0
+      while (bits(1) == 0) {
+        c += 1
+        if (c > (1 << 24)) throw new ArrayIndexOutOfBoundsException("unary")
+      }
+      c
+    }
+    def alignByte(): Unit = bitPos = (bitPos + 7) & ~7L
+  }
+
+  /** CRC-8, polynomial 0x07, init 0 — the FLAC frame-header checksum. */
+  private[multimodal] def flacCrc8(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= bytes(i) & 0xff
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, polynomial 0x8005, init 0 — the FLAC whole-frame checksum. */
+  private[multimodal] def flacCrc16(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (bytes(i) & 0xff) << 8
+      var k = 0
+      while (k < 8) {
+        crc =
+          if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+          else (crc << 1) & 0xffff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** REAL FLAC sample decode — the lossless-audio analog of the image
+    * work: pure integer arithmetic end to end (RFC 9639), no codec
+    * library. Implements the full mandatory frame layer: metadata-block
+    * walk to STREAMINFO; frame headers (all blocksize/rate/sample-size
+    * codes, UTF-8-style coded numbers, CRC-8 VALIDATED); subframes
+    * CONSTANT / VERBATIM / FIXED orders 0–4 / LPC orders 1–32 (quantized
+    * coefficients, arithmetic-shift prediction accumulated in Long);
+    * wasted-bits unary; Rice residual partitions (4- and 5-bit
+    * parameters, raw-bits escape, zigzag); left/side, right/side and
+    * mid/side stereo decorrelation; whole-frame CRC-16 VALIDATED. A
+    * checksum mismatch or any structural violation returns None — on
+    * untrusted bytes a lying frame fails loud (as None), never decodes
+    * to garbage samples. Output interleaved like [[decodePcm]], capped at
+    * the same ~64 M samples; `bitsPerSample` is the stream's real bps.
+    *
+    * Narrow per-partition work; the bit cursor costs ~1 bit-op per coded
+    * bit — fixture-scale corpora decode in well under a second, and a
+    * real deployment would vectorize the same arithmetic, not change
+    * it. */
+  def decodeFlac(bytes: Array[Byte]): Option[PcmAudio] = {
+    if (bytes == null || bytes.length < 42) return None
+    if (!(bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' &&
+      bytes(3) == 'C')) return None
+    try {
+      val n = bytes.length
+      @inline def u8(i: Int): Int = bytes(i) & 0xff
+      // --- metadata blocks → STREAMINFO + first-frame offset.
+      var i = 4
+      var rate = 0; var channels = 0; var bps = 0; var total = 0L
+      var seen = false; var last = false
+      while (!last) {
+        if (i + 4 > n) return None
+        val hdr = u8(i)
+        last = (hdr & 0x80) != 0
+        val len = (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+        val body = i + 4
+        if (body + len > n) return None
+        if ((hdr & 0x7f) == 0 && len >= 34) {
+          rate = (u8(body + 10) << 12) | (u8(body + 11) << 4) |
+            (u8(body + 12) >> 4)
+          channels = ((u8(body + 12) >> 1) & 0x7) + 1
+          bps = (((u8(body + 12) & 0x1) << 4) | (u8(body + 13) >> 4)) + 1
+          total = ((u8(body + 13) & 0xfL) << 32) | (u8(body + 14).toLong << 24) |
+            (u8(body + 15).toLong << 16) | (u8(body + 16).toLong << 8) |
+            u8(body + 17).toLong
+          seen = true
+        }
+        i = body + len
+      }
+      if (!seen || rate <= 0 || channels < 1 || channels > 8 ||
+        bps < 4 || bps > 32) return None
+      if (total * channels > 64L * 1024 * 1024) return None
+      // --- frames until the declared total (or stream end when total=0).
+      val out = new java.util.ArrayList[Array[Int]]() // per-frame interleaved
+      var collected = 0L
+      val br = new BitReader(bytes, i, n)
+      while ((total == 0L || collected < total) && br.remaining >= 32) {
+        val frameStart = br.bytePos
+        if (br.bits(14) != 0x3ffe) return None // lost sync
+        if (br.bits(1) != 0) return None // reserved
+        br.bits(1) // blocking strategy
+        val bsCode = br.bits(4); val srCode = br.bits(4)
+        val chanAsn = br.bits(4); val ssCode = br.bits(3)
+        if (br.bits(1) != 0) return None // reserved
+        // UTF-8-style coded frame/sample number (value unused here).
+        val b0 = br.bits(8)
+        if ((b0 & 0x80) != 0) {
+          var cont = 0; var mask = 0x40
+          while ((b0 & mask) != 0 && cont < 7) { cont += 1; mask >>= 1 }
+          if (cont == 0 || cont > 6) return None // 10xxxxxx lead / overlong
+          var k = 0
+          while (k < cont) {
+            if ((br.bits(8) & 0xc0) != 0x80) return None
+            k += 1
+          }
+        }
+        val blocksize = bsCode match {
+          case 0 => return None // reserved
+          case 1 => 192
+          case c if c <= 5 => 576 << (c - 2)
+          case 6 => br.bits(8) + 1
+          case 7 => br.bits(16) + 1
+          case c => 256 << (c - 8)
+        }
+        srCode match { // stream/frame rate consistency is not enforced
+          case 12 => br.bits(8)
+          case 13 | 14 => br.bits(16)
+          case 15 => return None
+          case _ => 0
+        }
+        val frameBps = ssCode match {
+          case 0 => bps
+          case 1 => 8
+          case 2 => 12
+          case 4 => 16
+          case 5 => 20
+          case 6 => 24
+          case 7 => 32
+          case _ => return None
+        }
+        val headerEnd = br.bytePos
+        if (br.bits(8) != flacCrc8(bytes, frameStart, headerEnd)) return None
+        val nch = if (chanAsn <= 7) chanAsn + 1 else 2
+        if (chanAsn > 10) return None
+        if (nch != channels) return None
+        if (collected + blocksize > 64L * 1024 * 1024 / channels) return None
+        // --- subframes (side channels carry one extra bit).
+        val chans = new Array[Array[Int]](nch)
+        var c = 0
+        while (c < nch) {
+          val extra = chanAsn match {
+            case 8 if c == 1 => 1 // left/side
+            case 9 if c == 0 => 1 // right/side
+            case 10 if c == 1 => 1 // mid/side
+            case _ => 0
+          }
+          chans(c) = decodeFlacSubframe(br, blocksize, frameBps + extra)
+          c += 1
+        }
+        // --- stereo decorrelation.
+        chanAsn match {
+          case 8 => // left/side: right = left - side
+            var k = 0
+            while (k < blocksize) {
+              chans(1)(k) = chans(0)(k) - chans(1)(k); k += 1
+            }
+          case 9 => // right/side: left = right + side
+            var k = 0
+            while (k < blocksize) {
+              val r = chans(1)(k)
+              chans(0)(k) = r + chans(0)(k)
+              k += 1
+            }
+          case 10 => // mid/side
+            var k = 0
+            while (k < blocksize) {
+              val s = chans(1)(k)
+              val m = (chans(0)(k) << 1) | (s & 1)
+              chans(0)(k) = (m + s) >> 1
+              chans(1)(k) = (m - s) >> 1
+              k += 1
+            }
+          case _ => ()
+        }
+        br.alignByte()
+        val footerStart = br.bytePos
+        if (br.bits(16) != flacCrc16(bytes, frameStart, footerStart))
+          return None
+        val inter = new Array[Int](blocksize * nch)
+        var k = 0
+        while (k < blocksize) {
+          var cc = 0
+          while (cc < nch) { inter(k * nch + cc) = chans(cc)(k); cc += 1 }
+          k += 1
+        }
+        out.add(inter)
+        collected += blocksize
+      }
+      if (total != 0L && collected < total) return None // truncated stream
+      if (collected == 0L) return None
+      var sz = 0
+      val it = out.iterator()
+      while (it.hasNext) sz += it.next().length
+      val samples = new Array[Int](sz)
+      var off = 0
+      val it2 = out.iterator()
+      while (it2.hasNext) {
+        val a = it2.next()
+        System.arraycopy(a, 0, samples, off, a.length)
+        off += a.length
+      }
+      Some(PcmAudio(rate, channels, bps, samples, "flac"))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** One FLAC subframe → `blocksize` samples at `bps` effective bits. */
+  private def decodeFlacSubframe(br: BitReader, blocksize: Int,
+                                 bps: Int): Array[Int] = {
+    def fail() = throw new ArrayIndexOutOfBoundsException("subframe")
+    if (br.bits(1) != 0) fail() // pad bit
+    val typ = br.bits(6)
+    val wasted =
+      if (br.bits(1) == 1) br.unary() + 1 else 0
+    val ebps = bps - wasted
+    if (ebps <= 0 || ebps > 32) fail()
+    val out = new Array[Int](blocksize)
+    typ match {
+      case 0 => // CONSTANT
+        val v = br.sbits(ebps)
+        java.util.Arrays.fill(out, v)
+      case 1 => // VERBATIM
+        var k = 0
+        while (k < blocksize) { out(k) = br.sbits(ebps); k += 1 }
+      case t if t >= 8 && t <= 12 => // FIXED order 0-4
+        val order = t - 8
+        if (order > blocksize) fail()
+        var k = 0
+        while (k < order) { out(k) = br.sbits(ebps); k += 1 }
+        decodeFlacResiduals(br, blocksize, order, out)
+        var j = order
+        while (j < blocksize) {
+          out(j) += (order match {
+            case 0 => 0
+            case 1 => out(j - 1)
+            case 2 => 2 * out(j - 1) - out(j - 2)
+            case 3 => 3 * out(j - 1) - 3 * out(j - 2) + out(j - 3)
+            case _ => 4 * out(j - 1) - 6 * out(j - 2) + 4 * out(j - 3) -
+              out(j - 4)
+          })
+          j += 1
+        }
+      case t if t >= 32 => // LPC order 1-32
+        val order = (t & 31) + 1
+        if (order > blocksize) fail()
+        var k = 0
+        while (k < order) { out(k) = br.sbits(ebps); k += 1 }
+        val precM1 = br.bits(4)
+        if (precM1 == 15) fail()
+        val precision = precM1 + 1
+        val shift = br.sbits(5)
+        if (shift < 0) fail() // negative shift unused per spec
+        val coefs = new Array[Int](order)
+        var q = 0
+        while (q < order) { coefs(q) = br.sbits(precision); q += 1 }
+        decodeFlacResiduals(br, blocksize, order, out)
+        var j = order
+        while (j < blocksize) {
+          var acc = 0L
+          var p = 0
+          while (p < order) { acc += coefs(p).toLong * out(j - 1 - p); p += 1 }
+          out(j) += (acc >> shift).toInt
+          j += 1
+        }
+      case _ => fail() // reserved types
+    }
+    if (wasted > 0) {
+      var k = 0
+      while (k < blocksize) { out(k) = out(k) << wasted; k += 1 }
+    }
+    out
+  }
+
+  /** FLAC Rice-partitioned residuals into `out(order until blocksize)`. */
+  private def decodeFlacResiduals(br: BitReader, blocksize: Int, order: Int,
+                                  out: Array[Int]): Unit = {
+    def fail() = throw new ArrayIndexOutOfBoundsException("residual")
+    val method = br.bits(2)
+    if (method > 1) fail()
+    val pBits = if (method == 0) 4 else 5
+    val escape = (1 << pBits) - 1
+    val pOrder = br.bits(4)
+    val partitions = 1 << pOrder
+    if (blocksize % partitions != 0) fail()
+    val perPart = blocksize / partitions
+    if (perPart < order && partitions == 1) fail()
+    if (partitions > 1 && perPart <= 0) fail()
+    var idx = order
+    var part = 0
+    while (part < partitions) {
+      val count = if (part == 0) perPart - order else perPart
+      if (count < 0) fail()
+      val param = br.bits(pBits)
+      if (param == escape) {
+        val raw = br.bits(5)
+        var k = 0
+        while (k < count) {
+          out(idx) = if (raw == 0) 0 else br.sbits(raw)
+          idx += 1; k += 1
+        }
+      } else {
+        var k = 0
+        while (k < count) {
+          val q = br.unary()
+          val u = (q.toLong << param) | br.bits(param).toLong
+          out(idx) = ((u >>> 1) ^ -(u & 1L)).toInt
+          idx += 1; k += 1
+        }
+      }
+      part += 1
+    }
+  }
+
   /** Decode step: fill `meta` from the payload's real container header, per
     * partition (per-partition iteration is where a stateful codec would be
     * amortized, exactly like [[graft.sources.AvroCodec]]). */
@@ -1134,16 +1515,16 @@ object Media {
     *     path touched every byte of every row exactly once regardless of
     *     batch boundaries or partitioning;
     *   - `decoded` (string, nullable): which REAL decoder succeeded —
-    *     `pgm`/`ppm` ([[decodeGray]]) or `wav_pcm`/`wav_ulaw`/`wav_alaw`/
-    *     `wav_ima_adpcm` ([[decodePcm]]'s fmt-tag dispatch), NULL when
-    *     neither applies;
+    *     `pgm`/`ppm` ([[decodeGray]]), `wav_pcm`/`wav_ulaw`/`wav_alaw`/
+    *     `wav_ima_adpcm` ([[decodePcm]]'s fmt-tag dispatch), or `flac`
+    *     ([[decodeFlac]]'s full frame layer), NULL when none applies;
     *   - `n_samples`/`sample_sum` (long, nullable): genuine decoded
     *     statistics — pixel count + gray-value sum for images, sample
     *     count + Σ|amplitude| (a loudness proxy) for audio.
     *
-    * ⚠ STUB BOUNDARY: payloads that are neither decodable images nor WAV
-    * (i.e. entropy-coded formats needing a codec library — mp3/aac, video
-    * frames) get NULL decode columns — a real pipeline would route them to
+    * ⚠ STUB BOUNDARY: payloads that are neither decodable images nor
+    * WAV/FLAC (i.e. perceptual codecs needing a codec library — mp3/aac,
+    * inter-frame video) get NULL decode columns — a real pipeline would route them to
     * the vectorized codec in this same batch call. Narrow, no shuffle,
     * batches never buffered beyond `batchSize` rows. */
   def extractFeaturesBatched(df: DataFrame, batchSize: Int = 64,
@@ -1167,11 +1548,12 @@ object Media {
               var s = 0L; var i = 0
               while (i < img.pixels.length) { s += img.pixels(i) & 0xff; i += 1 }
               (byteSum, parseHeader(b).format, img.pixels.length.toLong, s)
-            case None => decodePcm(b) match {
-              case Some(a) =>
+            case None => decodePcm(b).map(a => ("wav_" + a.codec, a))
+                .orElse(decodeFlac(b).map(a => (a.codec, a))) match {
+              case Some((label, a)) =>
                 var s = 0L; var i = 0
                 while (i < a.samples.length) { s += math.abs(a.samples(i).toLong); i += 1 }
-                (byteSum, "wav_" + a.codec, a.samples.length.toLong, s)
+                (byteSum, label, a.samples.length.toLong, s)
               case None => (byteSum, null, -1L, -1L)
             }
           }

@@ -46,6 +46,27 @@ object MediaPack extends QueryPack {
     // G.711 expansion formulas — arithmetic pinned end to end.
     "q_media_decode_ulaw" -> g711Query(7),
     "q_media_decode_alaw" -> g711Query(6),
+    // REAL FLAC sample decode on the oracle gate (r10): each document's
+    // bytes become the verbatim-subframe samples of a genuine FLAC
+    // stream (STREAMINFO + one frame with real CRC-8/CRC-16), pushed
+    // through decodeFlac's full frame layer; ASCII bytes are positive
+    // 8-bit samples, so the decoded loudness sum must reproduce DuckDB's
+    // ascii() arithmetic. (Rice/fixed/LPC/stereo paths are conformance-
+    // pinned in MediaSpec from hand-packed RFC 9639 fixtures — entropy
+    // coding has no SQL replica.)
+    "q_media_decode_flac" -> { (s, dir) =>
+      import s.implicits._
+      val media = table(s, dir, "documents")
+        .filter(octet_length(col("text")) > 0)
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("bytes"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, data) => (id, flacContainer(data)) }
+        .toDF("media_id", "bytes")
+      Media.extractFeaturesBatched(media)
+        .select(col("media_id"), col("decoded"),
+          col("n_samples"), col("sample_sum"))
+    },
     // REAL BMP pixel decode on the oracle gate (r10): each document's
     // bytes become the gray (v,v,v) 24bpp pixel row of a genuine
     // height-1 BMP (BITMAPINFOHEADER built in-query, 4-byte row stride
@@ -167,6 +188,33 @@ object MediaPack extends QueryPack {
       .putInt(8000).putShort(1).putShort(8)
       .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
     buf.array()
+  }
+
+  /** Genuine FLAC stream whose samples are `data` as signed 8-bit values:
+    * "fLaC" + STREAMINFO (8 kHz mono, bps 8, total = n) + ONE frame — a
+    * verbatim subframe is byte-aligned throughout, so this needs no bit
+    * packer, only the real CRC-8 (header) and CRC-16 (frame). */
+  private def flacContainer(data: Array[Byte]): Array[Byte] = {
+    val n = data.length
+    val si = java.nio.ByteBuffer.allocate(4 + 4 + 34)
+    si.put("fLaC".getBytes("US-ASCII"))
+    si.put(0x80.toByte).put(0.toByte).put(0.toByte).put(34.toByte)
+    si.putShort(n.toShort).putShort(n.toShort) // min/max blocksize
+    si.put(Array[Byte](0, 0, 0, 0, 0, 0)) // min/max frame size unset
+    // rate 8000 (20 bits) | channels-1 (3) | bps-1 (5) | total (36)
+    si.put((8000 >> 12).toByte).put(((8000 >> 4) & 0xff).toByte)
+      .put((((8000 & 0xf) << 4) | (0 << 1) | (7 >> 4)).toByte)
+      .put((((7 & 0xf) << 4) | 0).toByte)
+    si.putInt(n) // total samples, low 32 of the 36
+    si.put(new Array[Byte](16)) // md5 unset
+    // frame: sync+codes (16-bit blocksize-1 form) | crc8 | verbatim
+    val hdr = Array[Byte](0xFF.toByte, 0xF8.toByte, 0x74.toByte, 0x02,
+      0x00, ((n - 1) >> 8).toByte, ((n - 1) & 0xff).toByte)
+    val crc8 = Media.flacCrc8(hdr, 0, hdr.length).toByte
+    val body = hdr ++ Array(crc8, 0x02.toByte) ++ data
+    val crc16 = Media.flacCrc16(body, 0, body.length)
+    si.array() ++ body ++
+      Array((crc16 >> 8).toByte, (crc16 & 0xff).toByte)
   }
 
   /** Genuine height-1 24bpp BMP whose pixel row is `data` as gray
@@ -311,6 +359,20 @@ object MediaPack extends QueryPack {
     // ASCII-fixture invariant as the other media oracles.
     "q_media_decode_ulaw" -> g711Oracle(ulaw = true),
     "q_media_decode_alaw" -> g711Oracle(ulaw = false),
+    // Verbatim FLAC samples ARE the text bytes (signed 8-bit; ASCII <
+    // 0x80 so all positive), so the decoded loudness stats are pure
+    // ascii() arithmetic — independent of the frame-layer decoder by
+    // construction.
+    "q_media_decode_flac" ->
+      """WITH b AS (SELECT doc_id, text FROM documents
+        |  WHERE octet_length(encode(text)) > 0),
+        |ts AS (SELECT doc_id, CAST(sum(ascii(c)) AS BIGINT) AS tsum
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c
+        |        FROM b) GROUP BY 1)
+        |SELECT b.doc_id AS media_id, 'flac' AS decoded,
+        |  CAST(octet_length(encode(b.text)) AS BIGINT) AS n_samples,
+        |  ts.tsum AS sample_sum
+        |FROM b JOIN ts USING (doc_id)""".stripMargin,
     // Decoded gray of a (v,v,v) 24bpp pixel is (v+v+v)/3 = v, so the
     // decoded stats are pure ascii() arithmetic (the ASCII-fixture
     // invariant of the other media oracles) — independent of the JDK

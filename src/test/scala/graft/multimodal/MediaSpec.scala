@@ -925,6 +925,129 @@ class MediaSpec extends SparkSpec {
     assert(sliced(3L)._1 === -1L)
   }
 
+  /** MSB-first bit packer — an INDEPENDENT transcription of the FLAC bit
+    * layout (RFC 9639) for building conformance fixtures; shares no code
+    * with the decoder under test. */
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer[Byte]()
+    private var cur = 0; private var nb = 0
+    def put(v: Long, n: Int): this.type = {
+      var k = n - 1
+      while (k >= 0) {
+        cur = (cur << 1) | ((v >> k) & 1L).toInt
+        nb += 1
+        if (nb == 8) { buf += cur.toByte; cur = 0; nb = 0 }
+        k -= 1
+      }
+      this
+    }
+    def putUnary(q: Int): this.type = { put(0, q); put(1, 1) }
+    def align(): this.type = { while (nb != 0) put(0, 1); this }
+    def bytes: Array[Byte] = { align(); buf.toArray }
+  }
+
+  /** STREAMINFO-bearing FLAC shell around pre-packed frame bytes. */
+  private def flacShell(rate: Int, channels: Int, bps: Int, total: Long,
+                        frames: Array[Byte]): Array[Byte] = {
+    val si = new BitWriter()
+    si.put(0x80L | 0, 8).put(34, 24) // last-block flag, type 0, length
+    si.put(16, 16).put(16, 16).put(0, 24).put(0, 24) // block/frame sizes
+    si.put(rate, 20).put(channels - 1, 3).put(bps - 1, 5).put(total, 36)
+    si.put(0, 128) // md5 unset
+    "fLaC".getBytes("US-ASCII") ++ si.bytes ++ frames
+  }
+
+  /** One frame: header (8-bit blocksize-1 form, rate code 4 = 8 kHz,
+    * 8-bit samples unless `ssCode` overrides) + caller-packed subframe
+    * payload bits + real CRC-8/CRC-16. */
+  private def flacFrame(blocksize: Int, chanAsn: Int, ssCode: Int,
+                        payload: BitWriter => Unit): Array[Byte] = {
+    val w = new BitWriter()
+    w.put(0x3ffe, 14).put(0, 1).put(0, 1)
+    w.put(6, 4).put(4, 4) // blocksize code 6 (8-bit), rate code 4
+    w.put(chanAsn, 4).put(ssCode, 3).put(0, 1)
+    w.put(0, 8) // coded frame number 0
+    w.put(blocksize - 1, 8)
+    val header = w.bytes // aligned: 14+1+1+4+4+4+3+1+8+8 = 48 bits
+    val crc8 = Media.flacCrc8(header, 0, header.length)
+    val body = new BitWriter()
+    payload(body)
+    val pre = header ++ Array(crc8.toByte) ++ body.bytes
+    val crc16 = Media.flacCrc16(pre, 0, pre.length)
+    pre ++ Array((crc16 >> 8).toByte, (crc16 & 0xff).toByte)
+  }
+
+  test("decodeFlac: constant/verbatim/fixed/LPC subframes, hand-computed samples") {
+    // CONSTANT: every sample is the one coded value.
+    val cst = flacShell(8000, 1, 8, 4,
+      flacFrame(4, 0, 1, w => w.put(0, 1).put(0, 6).put(0, 1).put(-7 & 0xff, 8)))
+    val c = Media.decodeFlac(cst).get
+    assert((c.sampleRate, c.channels, c.bitsPerSample) === ((8000, 1, 8)))
+    assert(c.samples.toSeq === Seq(-7, -7, -7, -7))
+    assert(c.codec === "flac")
+    // VERBATIM round-trip of raw signed samples.
+    val vb = flacShell(8000, 1, 8, 3,
+      flacFrame(3, 0, 1, w => {
+        w.put(0, 1).put(1, 6).put(0, 1)
+        Seq(5, -3, 127).foreach(v => w.put(v & 0xff, 8))
+      }))
+    assert(Media.decodeFlac(vb).get.samples.toSeq === Seq(5, -3, 127))
+    // FIXED order 1, Rice param 2 residuals r = [2, -1, 3] (zigzag
+    // 4, 1, 6) over warmup 10 → samples 10, 12, 11, 14 by the published
+    // s[i] = r[i] + s[i-1] predictor.
+    val fx = flacShell(8000, 1, 8, 4,
+      flacFrame(4, 0, 1, w => {
+        w.put(0, 1).put(9, 6).put(0, 1) // type 8+order
+        w.put(10 & 0xff, 8) // warmup
+        w.put(0, 2).put(0, 4) // rice method 0, partition order 0
+        w.put(2, 4) // rice parameter 2
+        w.putUnary(1).put(0, 2) // u=4 → q=1, rem=00
+        w.putUnary(0).put(1, 2) // u=1 → q=0, rem=01
+        w.putUnary(1).put(2, 2) // u=6 → q=1, rem=10
+      }))
+    assert(Media.decodeFlac(fx).get.samples.toSeq === Seq(10, 12, 11, 14))
+    // LPC order 1, precision 4, shift 1, coefficient 2: s[i] = r[i] +
+    // (2·s[i-1] >> 1) = r[i] + s[i-1]; warmup 5, residuals 1, 2 (raw-bits
+    // escape, 3 bits) → samples 5, 6, 8.
+    val lpc = flacShell(8000, 1, 8, 3,
+      flacFrame(3, 0, 1, w => {
+        w.put(0, 1).put(32, 6).put(0, 1) // LPC order (t&31)+1 = 1
+        w.put(5 & 0xff, 8) // warmup
+        w.put(3, 4) // precision-1
+        w.put(1, 5) // shift
+        w.put(2, 4) // coefficient (4-bit signed)
+        w.put(0, 2).put(0, 4) // rice method 0, porder 0
+        w.put(15, 4).put(3, 5) // ESCAPE, raw 3-bit residuals
+        w.put(1, 3).put(2, 3)
+      }))
+    assert(Media.decodeFlac(lpc).get.samples.toSeq === Seq(5, 6, 8))
+    // Left/side stereo: left constant 10 (8 bits), side constant 3
+    // (9 bits — side channels carry the extra bit) → right = 7,
+    // interleaved L R L R.
+    val ls = flacShell(8000, 2, 8, 2,
+      flacFrame(2, 8, 1, w => {
+        w.put(0, 1).put(0, 6).put(0, 1).put(10 & 0xff, 8)
+        w.put(0, 1).put(0, 6).put(0, 1).put(3 & 0x1ff, 9)
+      }))
+    val lsd = Media.decodeFlac(ls).get
+    assert(lsd.samples.toSeq === Seq(10, 7, 10, 7))
+    // A flipped sample byte must fail the frame CRC-16 → None, never
+    // silently-wrong samples (the untrusted-bytes contract).
+    val corrupt = vb.clone()
+    corrupt(corrupt.length - 4) = (corrupt(corrupt.length - 4) ^ 0x01).toByte
+    assert(Media.decodeFlac(corrupt).isEmpty)
+    // parseHeader probes the STREAMINFO rate/channels.
+    assert(Media.parseHeader(cst) === Media.MediaHeader("flac", 0, 0, 8000, 1))
+    // Batched extraction labels and sums the decoded samples:
+    // Σ|s| = 7·4 = 28 for the constant fixture.
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val got = Media.extractFeaturesBatched(Seq((1L, cst)).toDF("id", "bytes"))
+      .select("decoded", "n_samples", "sample_sum").collect().head
+    assert((got.getString(0), got.getLong(1), got.getLong(2)) ===
+      (("flac", 4L, 28L)))
+  }
+
   test("decodeFrames: REAL MJPEG pixel decode — frames located by stbl, decoded by the JDK readers") {
     val sparkSession = spark
     import sparkSession.implicits._
@@ -992,13 +1115,17 @@ class MediaSpec extends SparkSpec {
       "RIFF    WAVE".getBytes("US-ASCII"),
       "RIFF    WAVEfmt ".getBytes("US-ASCII"),
       Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes("US-ASCII"),
-      Array[Byte](0, 0, 0, 1) ++ "ftyp".getBytes("US-ASCII")) // 64-bit size escape
+      Array[Byte](0, 0, 0, 1) ++ "ftyp".getBytes("US-ASCII"), // 64-bit size
+      "fLaC".getBytes("US-ASCII"),
+      "GIF89a".getBytes("US-ASCII"), "BM".getBytes("US-ASCII"),
+      "II* ".getBytes("ISO-8859-1"), "MM *".getBytes("ISO-8859-1"))
     for (_ <- 1 to 500) {
       val tail = new Array[Byte](rnd.nextInt(200))
       rnd.nextBytes(tail)
       val b = prefixes(rnd.nextInt(prefixes.size)) ++ tail
       Media.decodeGray(b)   // must not throw
       Media.decodePcm(b)    // must not throw
+      Media.decodeFlac(b)   // must not throw
       Media.parseHeader(b)  // must not throw
     }
   }
