@@ -261,29 +261,17 @@ object Media {
     }
 
     // --- FLAC (r10): "fLaC" magic + the STREAMINFO metadata block's
-    // 20-bit rate / 3-bit channels. Sample decode is REAL too —
-    // [[decodeFlac]] implements the whole mandatory frame layer in pure
-    // integer arithmetic.
-    if (n >= 22 && bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' &&
+    // 20-bit rate / 3-bit channels ([[flacStreaminfo]] — the walk shared
+    // with the decoder). Sample decode is REAL too — [[decodeFlac]]
+    // implements the whole mandatory frame layer in pure integer
+    // arithmetic.
+    if (n >= 4 && bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' &&
       bytes(3) == 'C') {
-      var i = 4
-      var last = false
-      while (!last && i + 4 <= n) {
-        val hdr = u8(i)
-        last = (hdr & 0x80) != 0
-        val len = (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
-        val body = i + 4
-        if (body + len > n) return UnknownHeader
-        if ((hdr & 0x7f) == 0 && len >= 34) {
-          val rate = (u8(body + 10) << 12) | (u8(body + 11) << 4) |
-            (u8(body + 12) >> 4)
-          val channels = ((u8(body + 12) >> 1) & 0x7) + 1
-          if (rate > 0) return MediaHeader("flac", 0, 0, rate, channels)
-          return UnknownHeader
-        }
-        i = body + len
+      flacStreaminfo(bytes) match {
+        case Some((rate, channels, _, _, _)) if rate > 0 =>
+          return MediaHeader("flac", 0, 0, rate, channels)
+        case _ => return UnknownHeader
       }
-      return UnknownHeader
     }
 
     // --- MP3 (r10): ID3v2 skip + MPEG-1/2/2.5 Layer III frame-sync
@@ -1135,6 +1123,10 @@ object Media {
     }
     /** Two's-complement signed read. */
     def sbits(n: Int): Int = { val v = bits(n); (v << (32 - n)) >> (32 - n) }
+    /** Signed read past 32 bits (side subframes of a 32-bps stream are
+      * 33-bit). */
+    def sbitsLong(n: Int): Long =
+      { val v = bitsLong(n); (v << (64 - n)) >> (64 - n) }
     /** Zero run length before the terminating 1 bit. */
     def unary(): Int = {
       var c = 0
@@ -1181,6 +1173,44 @@ object Media {
     crc
   }
 
+  /** Shared STREAMINFO walk: (rate, channels, bps, totalSamples,
+    * firstFrameOffset) — the ONE transcription of the metadata-block bit
+    * layout, serving both [[parseHeader]]'s probe and [[decodeFlac]] (a
+    * second hand-maintained copy of the same arithmetic would drift).
+    * None when the magic, block chain, or STREAMINFO is absent/truncated;
+    * never throws. */
+  private def flacStreaminfo(bytes: Array[Byte])
+      : Option[(Int, Int, Int, Long, Int)] = {
+    if (bytes == null) return None
+    val n = bytes.length
+    if (n < 42 || !(bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' &&
+      bytes(3) == 'C')) return None
+    @inline def u8(i: Int): Int = bytes(i) & 0xff
+    var i = 4
+    var rate = 0; var channels = 0; var bps = 0; var total = 0L
+    var seen = false; var last = false
+    while (!last) {
+      if (i + 4 > n) return None
+      val hdr = u8(i)
+      last = (hdr & 0x80) != 0
+      val len = (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      val body = i + 4
+      if (body + len > n) return None
+      if ((hdr & 0x7f) == 0 && len >= 34) {
+        rate = (u8(body + 10) << 12) | (u8(body + 11) << 4) |
+          (u8(body + 12) >> 4)
+        channels = ((u8(body + 12) >> 1) & 0x7) + 1
+        bps = (((u8(body + 12) & 0x1) << 4) | (u8(body + 13) >> 4)) + 1
+        total = ((u8(body + 13) & 0xfL) << 32) | (u8(body + 14).toLong << 24) |
+          (u8(body + 15).toLong << 16) | (u8(body + 16).toLong << 8) |
+          u8(body + 17).toLong
+        seen = true
+      }
+      i = body + len
+    }
+    if (seen) Some((rate, channels, bps, total, i)) else None
+  }
+
   /** REAL FLAC sample decode — the lossless-audio analog of the image
     * work: pure integer arithmetic end to end (RFC 9639), no codec
     * library. Implements the full mandatory frame layer: metadata-block
@@ -1201,45 +1231,31 @@ object Media {
     * real deployment would vectorize the same arithmetic, not change
     * it. */
   def decodeFlac(bytes: Array[Byte]): Option[PcmAudio] = {
-    if (bytes == null || bytes.length < 42) return None
-    if (!(bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' &&
-      bytes(3) == 'C')) return None
     try {
-      val n = bytes.length
-      @inline def u8(i: Int): Int = bytes(i) & 0xff
-      // --- metadata blocks → STREAMINFO + first-frame offset.
-      var i = 4
-      var rate = 0; var channels = 0; var bps = 0; var total = 0L
-      var seen = false; var last = false
-      while (!last) {
-        if (i + 4 > n) return None
-        val hdr = u8(i)
-        last = (hdr & 0x80) != 0
-        val len = (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
-        val body = i + 4
-        if (body + len > n) return None
-        if ((hdr & 0x7f) == 0 && len >= 34) {
-          rate = (u8(body + 10) << 12) | (u8(body + 11) << 4) |
-            (u8(body + 12) >> 4)
-          channels = ((u8(body + 12) >> 1) & 0x7) + 1
-          bps = (((u8(body + 12) & 0x1) << 4) | (u8(body + 13) >> 4)) + 1
-          total = ((u8(body + 13) & 0xfL) << 32) | (u8(body + 14).toLong << 24) |
-            (u8(body + 15).toLong << 16) | (u8(body + 16).toLong << 8) |
-            u8(body + 17).toLong
-          seen = true
-        }
-        i = body + len
+      val n = if (bytes == null) 0 else bytes.length
+      val (rate, channels, bps, total, frameOff) = flacStreaminfo(bytes) match {
+        case Some(t) => t
+        case None => return None
       }
-      if (!seen || rate <= 0 || channels < 1 || channels > 8 ||
+      if (rate <= 0 || channels < 1 || channels > 8 ||
         bps < 4 || bps > 32) return None
       if (total * channels > 64L * 1024 * 1024) return None
       // --- frames until the declared total (or stream end when total=0).
       val out = new java.util.ArrayList[Array[Int]]() // per-frame interleaved
       var collected = 0L
-      val br = new BitReader(bytes, i, n)
-      while ((total == 0L || collected < total) && br.remaining >= 32) {
+      var done = false
+      val br = new BitReader(bytes, frameOff, n)
+      while (!done && (total == 0L || collected < total) &&
+        br.remaining >= 32) {
         val frameStart = br.bytePos
-        if (br.bits(14) != 0x3ffe) return None // lost sync
+        if (br.bits(14) != 0x3ffe) {
+          // Lost sync at a frame BOUNDARY: for an unknown-length stream
+          // (total = 0) with frames already banked this is the end of
+          // audio (trailing tag/padding is legal there — with a declared
+          // total the loop exits at `collected == total` instead, so the
+          // handling is symmetric); anywhere else it is malformation.
+          if (total == 0L && collected > 0L) done = true else return None
+        } else {
         if (br.bits(1) != 0) return None // reserved
         br.bits(1) // blocking strategy
         val bsCode = br.bits(4); val srCode = br.bits(4)
@@ -1287,8 +1303,11 @@ object Media {
         if (chanAsn > 10) return None
         if (nch != channels) return None
         if (collected + blocksize > 64L * 1024 * 1024 / channels) return None
-        // --- subframes (side channels carry one extra bit).
-        val chans = new Array[Array[Int]](nch)
+        // --- subframes, decoded in LONG: side channels carry one extra
+        // bit, so a 32-bps stream's side subframe is 33 bits wide —
+        // representable only past Int (review r10). Reconstructed
+        // left/right always fit the stream's bps ≤ 32.
+        val chans = new Array[Array[Long]](nch)
         var c = 0
         while (c < nch) {
           val extra = chanAsn match {
@@ -1318,7 +1337,7 @@ object Media {
             var k = 0
             while (k < blocksize) {
               val s = chans(1)(k)
-              val m = (chans(0)(k) << 1) | (s & 1)
+              val m = (chans(0)(k) << 1) | (s & 1L)
               chans(0)(k) = (m + s) >> 1
               chans(1)(k) = (m - s) >> 1
               k += 1
@@ -1333,11 +1352,14 @@ object Media {
         var k = 0
         while (k < blocksize) {
           var cc = 0
-          while (cc < nch) { inter(k * nch + cc) = chans(cc)(k); cc += 1 }
+          while (cc < nch) {
+            inter(k * nch + cc) = chans(cc)(k).toInt; cc += 1
+          }
           k += 1
         }
         out.add(inter)
         collected += blocksize
+        } // sync matched
       }
       if (total != 0L && collected < total) return None // truncated stream
       if (collected == 0L) return None
@@ -1358,32 +1380,32 @@ object Media {
 
   /** One FLAC subframe → `blocksize` samples at `bps` effective bits. */
   private def decodeFlacSubframe(br: BitReader, blocksize: Int,
-                                 bps: Int): Array[Int] = {
+                                 bps: Int): Array[Long] = {
     def fail() = throw new ArrayIndexOutOfBoundsException("subframe")
     if (br.bits(1) != 0) fail() // pad bit
     val typ = br.bits(6)
     val wasted =
       if (br.bits(1) == 1) br.unary() + 1 else 0
     val ebps = bps - wasted
-    if (ebps <= 0 || ebps > 32) fail()
-    val out = new Array[Int](blocksize)
+    if (ebps <= 0 || ebps > 33) fail() // 33 = 32-bps stream's side channel
+    val out = new Array[Long](blocksize)
     typ match {
       case 0 => // CONSTANT
-        val v = br.sbits(ebps)
+        val v = br.sbitsLong(ebps)
         java.util.Arrays.fill(out, v)
       case 1 => // VERBATIM
         var k = 0
-        while (k < blocksize) { out(k) = br.sbits(ebps); k += 1 }
+        while (k < blocksize) { out(k) = br.sbitsLong(ebps); k += 1 }
       case t if t >= 8 && t <= 12 => // FIXED order 0-4
         val order = t - 8
         if (order > blocksize) fail()
         var k = 0
-        while (k < order) { out(k) = br.sbits(ebps); k += 1 }
+        while (k < order) { out(k) = br.sbitsLong(ebps); k += 1 }
         decodeFlacResiduals(br, blocksize, order, out)
         var j = order
         while (j < blocksize) {
           out(j) += (order match {
-            case 0 => 0
+            case 0 => 0L
             case 1 => out(j - 1)
             case 2 => 2 * out(j - 1) - out(j - 2)
             case 3 => 3 * out(j - 1) - 3 * out(j - 2) + out(j - 3)
@@ -1396,7 +1418,7 @@ object Media {
         val order = (t & 31) + 1
         if (order > blocksize) fail()
         var k = 0
-        while (k < order) { out(k) = br.sbits(ebps); k += 1 }
+        while (k < order) { out(k) = br.sbitsLong(ebps); k += 1 }
         val precM1 = br.bits(4)
         if (precM1 == 15) fail()
         val precision = precM1 + 1
@@ -1410,8 +1432,8 @@ object Media {
         while (j < blocksize) {
           var acc = 0L
           var p = 0
-          while (p < order) { acc += coefs(p).toLong * out(j - 1 - p); p += 1 }
-          out(j) += (acc >> shift).toInt
+          while (p < order) { acc += coefs(p) * out(j - 1 - p); p += 1 }
+          out(j) += acc >> shift
           j += 1
         }
       case _ => fail() // reserved types
@@ -1425,7 +1447,7 @@ object Media {
 
   /** FLAC Rice-partitioned residuals into `out(order until blocksize)`. */
   private def decodeFlacResiduals(br: BitReader, blocksize: Int, order: Int,
-                                  out: Array[Int]): Unit = {
+                                  out: Array[Long]): Unit = {
     def fail() = throw new ArrayIndexOutOfBoundsException("residual")
     val method = br.bits(2)
     if (method > 1) fail()
@@ -1435,8 +1457,6 @@ object Media {
     val partitions = 1 << pOrder
     if (blocksize % partitions != 0) fail()
     val perPart = blocksize / partitions
-    if (perPart < order && partitions == 1) fail()
-    if (partitions > 1 && perPart <= 0) fail()
     var idx = order
     var part = 0
     while (part < partitions) {
@@ -1447,7 +1467,7 @@ object Media {
         val raw = br.bits(5)
         var k = 0
         while (k < count) {
-          out(idx) = if (raw == 0) 0 else br.sbits(raw)
+          out(idx) = if (raw == 0) 0L else br.sbitsLong(raw)
           idx += 1; k += 1
         }
       } else {
@@ -1455,7 +1475,7 @@ object Media {
         while (k < count) {
           val q = br.unary()
           val u = (q.toLong << param) | br.bits(param).toLong
-          out(idx) = ((u >>> 1) ^ -(u & 1L)).toInt
+          out(idx) = (u >>> 1) ^ -(u & 1L)
           idx += 1; k += 1
         }
       }

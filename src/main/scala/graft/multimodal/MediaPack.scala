@@ -196,6 +196,11 @@ object MediaPack extends QueryPack {
     * packer, only the real CRC-8 (header) and CRC-16 (frame). */
   private def flacContainer(data: Array[Byte]): Array[Byte] = {
     val n = data.length
+    // One frame caps blocksize at 2^16; a bigger payload needs a
+    // multi-frame split this fixture builder deliberately doesn't do —
+    // fail LOUD rather than emit a silently-truncated header whose CRC
+    // then mismatches downstream (review r10).
+    require(n >= 1 && n <= 65536, s"flacContainer: $n bytes > one frame")
     val si = java.nio.ByteBuffer.allocate(4 + 4 + 34)
     si.put("fLaC".getBytes("US-ASCII"))
     si.put(0x80.toByte).put(0.toByte).put(0.toByte).put(34.toByte)

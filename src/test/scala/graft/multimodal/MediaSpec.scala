@@ -1036,6 +1036,34 @@ class MediaSpec extends SparkSpec {
     val corrupt = vb.clone()
     corrupt(corrupt.length - 4) = (corrupt(corrupt.length - 4) ^ 0x01).toByte
     assert(Media.decodeFlac(corrupt).isEmpty)
+    // The CRC implementations pinned by the STANDARD check vectors
+    // (independent of the builder, which shares them with the decoder):
+    // CRC-8 poly 0x07 init 0 over "123456789" = 0xF4; CRC-16 poly 0x8005
+    // init 0 unreflected (CRC-16/UMTS) = 0xFEE8.
+    val check = "123456789".getBytes("US-ASCII")
+    assert(Media.flacCrc8(check, 0, check.length) === 0xF4)
+    assert(Media.flacCrc16(check, 0, check.length) === 0xFEE8)
+    // 32-bps left/side: the side subframe is 33 BITS wide (only
+    // representable past Int) — left constant Int.MaxValue, side
+    // constant 1 → right = Int.MaxValue − 1.
+    val wide = flacShell(8000, 2, 32, 2,
+      flacFrame(2, 8, 7, w => {
+        w.put(0, 1).put(0, 6).put(0, 1).put(Int.MaxValue.toLong, 32)
+        w.put(0, 1).put(0, 6).put(0, 1).put(1L, 33)
+      }))
+    val wd = Media.decodeFlac(wide).get
+    assert(wd.bitsPerSample === 32)
+    assert(wd.samples.toSeq ===
+      Seq(Int.MaxValue, Int.MaxValue - 1, Int.MaxValue, Int.MaxValue - 1))
+    // Unknown-length stream (STREAMINFO total = 0): trailing tag bytes
+    // after the last frame are tolerated — the CRC-verified samples are
+    // returned, not discarded.
+    val unknownLen = flacShell(8000, 1, 8, 0,
+      flacFrame(3, 0, 1, w => {
+        w.put(0, 1).put(1, 6).put(0, 1)
+        Seq(1, 2, 3).foreach(v => w.put(v & 0xff, 8))
+      })) ++ ("TAG" + "x" * 125).getBytes("US-ASCII")
+    assert(Media.decodeFlac(unknownLen).get.samples.toSeq === Seq(1, 2, 3))
     // parseHeader probes the STREAMINFO rate/channels.
     assert(Media.parseHeader(cst) === Media.MediaHeader("flac", 0, 0, 8000, 1))
     // Batched extraction labels and sums the decoded samples:
