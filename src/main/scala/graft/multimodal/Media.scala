@@ -46,7 +46,9 @@ import org.apache.spark.sql.types._
   * validation, pure integer arithmetic); MJPEG-family video frames
   * decode end to end; and mp3/ADTS-AAC get real header METADATA and
   * exact frame LOCATION from the published sync/length arithmetic —
-  * [[Media.mp3FrameRanges]]/[[Media.adtsFrameRanges]]): only
+  * [[Media.mp3FrameRanges]]/[[Media.adtsFrameRanges]] — as do Ogg
+  * streams: CRC-32-validated page walk to exact packet ranges and the
+  * Vorbis/Opus identification metadata, [[Media.oggPacketRanges]]): only
   * PERCEPTUAL-CODEC PAYLOAD DECODE — mp3/aac frame contents (MDCT +
   * Huffman, no JDK codec) and INTER-frame video codecs (h264/h265/vp9:
   * samples are not self-contained pictures; no JDK codec) — still needs
@@ -80,7 +82,8 @@ object Media {
   val UnknownHeader: MediaHeader = MediaHeader("unknown", 0, 0, 0, 0)
 
   /** Real header probe over raw file bytes: JPEG / PNG / WAV / GIF / BMP /
-    * TIFF / PNM / MP4 / FLAC / mp3 / ADTS-AAC, else unknown.
+    * TIFF / PNM / MP4 / FLAC / Ogg (Vorbis + Opus id headers) / mp3 /
+    * ADTS-AAC, else unknown.
     *
     * - JPEG: `FF D8` (SOI), then the marker walk every JPEG tool performs —
     *   skip fill bytes, step over variable-length segments (big-endian
@@ -258,6 +261,37 @@ object Media {
         }
       }
       return MediaHeader("mp4", 0, 0, 0, 0) // valid container, no video trak
+    }
+
+    // --- Ogg (r10): CRC-validated BOS page, then the codec
+    // identification header that MUST be its first packet — Vorbis
+    // (`\x01vorbis`: channels u8 at +11, rate LE32 at +12) or Opus
+    // (`OpusHead`: channels u8 at +9, input rate LE32 at +12); any other
+    // codec still classifies as a generic Ogg container.
+    if (n >= 27 && bytes(0) == 'O' && bytes(1) == 'g' && bytes(2) == 'g' &&
+      bytes(3) == 'S') {
+      oggPageAt(bytes, 0) match {
+        case Some((ht, p, lacing, _)) if (ht & 0x02) != 0 &&
+            lacing.nonEmpty =>
+          val first = lacing(0)
+          if (first >= 30 && p + 16 <= n && u8(p) == 1 &&
+            bytes(p + 1) == 'v' && bytes(p + 2) == 'o' &&
+            bytes(p + 3) == 'r' && bytes(p + 4) == 'b' &&
+            bytes(p + 5) == 'i' && bytes(p + 6) == 's') {
+            val ch = u8(p + 11); val rate = le32(p + 12)
+            if (ch > 0 && rate > 0 && rate <= Int.MaxValue)
+              return MediaHeader("ogg_vorbis", 0, 0, rate.toInt, ch)
+          } else if (first >= 19 && p + 16 <= n &&
+            bytes(p) == 'O' && bytes(p + 1) == 'p' && bytes(p + 2) == 'u' &&
+            bytes(p + 3) == 's' && bytes(p + 4) == 'H' && bytes(p + 5) == 'e' &&
+            bytes(p + 6) == 'a' && bytes(p + 7) == 'd') {
+            val ch = u8(p + 9); val rate = le32(p + 12)
+            if (ch > 0 && rate > 0 && rate <= Int.MaxValue)
+              return MediaHeader("ogg_opus", 0, 0, rate.toInt, ch)
+          }
+          return MediaHeader("ogg", 0, 0, 0, 0)
+        case _ => return UnknownHeader
+      }
     }
 
     // --- FLAC (r10): "fLaC" magic + the STREAMINFO metadata block's
@@ -445,6 +479,104 @@ object Media {
     if (count > 1000000) None else Some(out.result())
   }
 
+  /** Ogg CRC-32: polynomial 0x04C11DB7, init 0, unreflected, NO final
+    * xor — computed over the whole page with the 4 checksum bytes zeroed
+    * (the `zeroFrom until zeroUntil` range reads as 0). Pinned by the
+    * standard "123456789" vector: CRC-32/POSIX is this plus a final
+    * complement, so Ogg's value is ~0x765E7680 = 0x89A1897F. */
+  private[multimodal] def oggCrc(bytes: Array[Byte], from: Int, until: Int,
+                                 zeroFrom: Int = 0, zeroUntil: Int = 0): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      val b = if (i >= zeroFrom && i < zeroUntil) 0 else bytes(i) & 0xff
+      crc ^= b << 24
+      var k = 0
+      while (k < 8) {
+        crc =
+          if ((crc & 0x80000000) != 0) (crc << 1) ^ 0x04c11db7 else crc << 1
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** One Ogg page at `i`, CRC-VALIDATED: (headerType, payloadStart,
+    * lacing values, pageEnd). None on a bad capture pattern, version,
+    * truncation, or checksum mismatch — untrusted bytes never throw. */
+  private def oggPageAt(bytes: Array[Byte], i: Int)
+      : Option[(Int, Int, Array[Int], Int)] = {
+    val n = bytes.length
+    if (i + 27 > n) return None
+    if (!(bytes(i) == 'O' && bytes(i + 1) == 'g' && bytes(i + 2) == 'g' &&
+      bytes(i + 3) == 'S')) return None
+    if (bytes(i + 4) != 0) return None // stream structure version
+    val htype = bytes(i + 5) & 0xff
+    val nseg = bytes(i + 26) & 0xff
+    val segBase = i + 27
+    if (segBase + nseg > n) return None
+    val lacing = new Array[Int](nseg)
+    var body = 0
+    var k = 0
+    while (k < nseg) {
+      lacing(k) = bytes(segBase + k) & 0xff; body += lacing(k); k += 1
+    }
+    val payload = segBase + nseg
+    val end = payload + body
+    if (end > n) return None
+    val stored = (bytes(i + 22) & 0xff) | ((bytes(i + 23) & 0xff) << 8) |
+      ((bytes(i + 24) & 0xff) << 16) | ((bytes(i + 25) & 0xff) << 24)
+    if (oggCrc(bytes, i, end, i + 22, i + 26) != stored) return None
+    Some((htype, payload, lacing, end))
+  }
+
+  /** REAL packet-fragment byte ranges of an Ogg stream — the Ogg analog
+    * of [[mp3FrameRanges]]: pages walked by the published capture-pattern
+    * + lacing arithmetic, every page's CRC-32 validated before its bytes
+    * count. Each range is one packet's data within one page (a lacing
+    * run ending < 255); a packet CONTINUED across a page boundary
+    * contributes one range per page fragment — ranges into the original
+    * buffer cannot express the interleaved page headers, and sampling /
+    * splitting want real codec bytes either way. None unless the payload
+    * starts at a valid BOS page; capped at 1M ranges like the other
+    * walks. Untrusted bytes never throw. */
+  def oggPacketRanges(bytes: Array[Byte]): Option[Vector[(Long, Int)]] = {
+    if (bytes == null || bytes.length < 27) return None
+    oggPageAt(bytes, 0) match {
+      case Some((ht, _, _, _)) if (ht & 0x02) != 0 => ()
+      case _ => return None // must open with a CRC-valid BOS page
+    }
+    val out = Vector.newBuilder[(Long, Int)]
+    var i = 0
+    var count = 0
+    var ok = true
+    while (ok && count <= 1000000 && i < bytes.length) {
+      oggPageAt(bytes, i) match {
+        case Some((_, payload, lacing, end)) =>
+          var off = payload
+          var run = 0
+          var k = 0
+          while (k < lacing.length) {
+            run += lacing(k)
+            if (lacing(k) < 255) { // packet (or fragment) ends here
+              if (run > 0) { out += ((off.toLong, run)); count += 1 }
+              off += run; run = 0
+            }
+            k += 1
+          }
+          if (run > 0) { out += ((off.toLong, run)); count += 1 } // continued
+          i = end
+        case None =>
+          // Junk after the last whole page ends the walk cleanly — the
+          // [[mp3FrameRanges]] trailing-bytes rule; every page that DID
+          // count was CRC-validated.
+          ok = false
+      }
+    }
+    if (count > 1000000) None else Some(out.result())
+  }
+
   /** ISO-BMFF box scan over `bytes[lo, hi)`: yields (type, payloadStart,
     * payloadEnd) per box — size(4 BE) type(4), the 64-bit size escape
     * (size == 1), size == 0 meaning to-end. Malformed sizes terminate the
@@ -621,6 +753,7 @@ object Media {
     mp4SampleRanges(bytes)
       .orElse(mp3FrameRanges(bytes))
       .orElse(adtsFrameRanges(bytes))
+      .orElse(oggPacketRanges(bytes))
 
   /** REAL video-frame PIXEL decode for MJPEG-family MP4s (r10): every
     * `stride`-th frame is located by [[mp4SampleRanges]]' stbl byte

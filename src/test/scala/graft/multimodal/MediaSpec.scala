@@ -1076,6 +1076,86 @@ class MediaSpec extends SparkSpec {
       (("flac", 4L, 28L)))
   }
 
+  /** One Ogg page with a REAL checksum (via the vector-pinned
+    * [[Media.oggCrc]]); `htype` 0x02 = BOS, 0x01 = continued packet. */
+  private def oggPage(htype: Int, serial: Int, seq: Int,
+                      lacing: Seq[Int], payload: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer
+      .allocate(27 + lacing.size + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("OggS".getBytes("US-ASCII")).put(0.toByte).put(htype.toByte)
+    b.putLong(0L).putInt(serial).putInt(seq).putInt(0) // crc placeholder
+    b.put(lacing.size.toByte)
+    lacing.foreach(l => b.put(l.toByte))
+    b.put(payload)
+    val page = b.array()
+    val crc = Media.oggCrc(page, 0, page.length)
+    page(22) = (crc & 0xff).toByte; page(23) = ((crc >> 8) & 0xff).toByte
+    page(24) = ((crc >> 16) & 0xff).toByte; page(25) = ((crc >> 24) & 0xff).toByte
+    page
+  }
+
+  test("Ogg: CRC-validated page walk, Vorbis/Opus id headers, packet-fragment ranges") {
+    // The CRC implementation pinned by the standard vector: Ogg's CRC-32
+    // is CRC-32/CKSUM (0x765E7680 over "123456789") without the final
+    // complement → 0x89A1897F.
+    val check = "123456789".getBytes("US-ASCII")
+    assert(Media.oggCrc(check, 0, check.length) === 0x89A1897F)
+    // Vorbis identification header → rate/channels from the real fields.
+    val vorbisId = {
+      val b = java.nio.ByteBuffer.allocate(30)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte).put("vorbis".getBytes("US-ASCII"))
+      b.putInt(0).put(2.toByte).putInt(44100)
+      b.putInt(0).putInt(0).putInt(0).put(0xB8.toByte).put(1.toByte)
+      b.array()
+    }
+    val vOgg = oggPage(0x02, 7, 0, Seq(30), vorbisId)
+    assert(Media.parseHeader(vOgg) ===
+      Media.MediaHeader("ogg_vorbis", 0, 0, 44100, 2))
+    // Opus: "OpusHead", channels at +9, input rate at +12.
+    val opusId = {
+      val b = java.nio.ByteBuffer.allocate(19)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("OpusHead".getBytes("US-ASCII")).put(1.toByte).put(1.toByte)
+      b.putShort(312).putInt(48000).putShort(0).put(0.toByte)
+      b.array()
+    }
+    assert(Media.parseHeader(oggPage(0x02, 7, 0, Seq(19), opusId)) ===
+      Media.MediaHeader("ogg_opus", 0, 0, 48000, 1))
+    // Unknown codec id still classifies as a generic Ogg container.
+    assert(Media.parseHeader(oggPage(0x02, 7, 0, Seq(4),
+      "data".getBytes("US-ASCII"))).format === "ogg")
+    // A flipped payload byte breaks the page CRC → not an Ogg stream.
+    val bad = vOgg.clone(); bad(bad.length - 1) = 0x55
+    assert(Media.parseHeader(bad) === Media.UnknownHeader)
+    assert(Media.oggPacketRanges(bad).isEmpty)
+    // Packet ranges: a 265-byte packet laced [255, 10] inside ONE page is
+    // one contiguous range; a packet CONTINUED across pages yields one
+    // fragment per page; trailing junk ends the walk cleanly.
+    val big = Array.tabulate(265)(k => (k & 0x7f).toByte)
+    val p1 = oggPage(0x02, 9, 0, Seq(255, 10), big)
+    val frag1 = Array.fill(255)(3.toByte)
+    val frag2 = Array.fill(5)(4.toByte)
+    val spanning = oggPage(0x02, 9, 0, Seq(255), frag1) ++
+      oggPage(0x01, 9, 1, Seq(5), frag2)
+    val r1 = Media.oggPacketRanges(p1).get
+    assert(r1.length === 1)
+    assert(r1.head._2 === 265)
+    val off = r1.head._1.toInt
+    assert(p1.slice(off, off + 265).toSeq === big.toSeq)
+    val r2 = Media.oggPacketRanges(spanning ++ "junk".getBytes).get
+    assert(r2.map(_._2) === Vector(255, 5))
+    // extractFrameSamples rides the same walk via the frameRanges chain.
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val sliced = Media.extractFrameSamples(
+        Seq((1L, p1)).toDF("id", "bytes"))
+      .select("n_frames", "frame_samples").collect().head
+    assert(sliced.getLong(0) === 1L)
+    assert(sliced.getSeq[Array[Byte]](1).head.toSeq === big.toSeq)
+  }
+
   test("decodeFrames: REAL MJPEG pixel decode — frames located by stbl, decoded by the JDK readers") {
     val sparkSession = spark
     import sparkSession.implicits._
