@@ -543,17 +543,17 @@ object Media {
     * walks. Untrusted bytes never throw. */
   def oggPacketRanges(bytes: Array[Byte]): Option[Vector[(Long, Int)]] = {
     if (bytes == null || bytes.length < 27) return None
-    oggPageAt(bytes, 0) match {
-      case Some((ht, _, _, _)) if (ht & 0x02) != 0 => ()
-      case _ => return None // must open with a CRC-valid BOS page
-    }
     val out = Vector.newBuilder[(Long, Int)]
     var i = 0
     var count = 0
     var ok = true
+    var firstPage = true
     while (ok && count <= 1000000 && i < bytes.length) {
       oggPageAt(bytes, i) match {
+        case Some((ht, _, _, _)) if firstPage && (ht & 0x02) == 0 =>
+          return None // must open with a BOS page
         case Some((_, payload, lacing, end)) =>
+          firstPage = false
           var off = payload
           var run = 0
           var k = 0
@@ -570,7 +570,9 @@ object Media {
         case None =>
           // Junk after the last whole page ends the walk cleanly — the
           // [[mp3FrameRanges]] trailing-bytes rule; every page that DID
-          // count was CRC-validated.
+          // count was CRC-validated. No valid page AT ALL is not an Ogg
+          // stream.
+          if (firstPage) return None
           ok = false
       }
     }
@@ -1310,8 +1312,11 @@ object Media {
     * firstFrameOffset) — the ONE transcription of the metadata-block bit
     * layout, serving both [[parseHeader]]'s probe and [[decodeFlac]] (a
     * second hand-maintained copy of the same arithmetic would drift).
-    * None when the magic, block chain, or STREAMINFO is absent/truncated;
-    * never throws. */
+    * None when the magic or STREAMINFO is absent. A chain TRUNCATED
+    * after a parsed STREAMINFO (an interrupted download cut inside a
+    * PADDING/PICTURE block) still returns the stream parameters — the
+    * probe should classify such a file — with `firstFrameOffset = -1` so
+    * the decoder, which needs the frames, still refuses. Never throws. */
   private def flacStreaminfo(bytes: Array[Byte])
       : Option[(Int, Int, Int, Long, Int)] = {
     if (bytes == null) return None
@@ -1323,12 +1328,13 @@ object Media {
     var rate = 0; var channels = 0; var bps = 0; var total = 0L
     var seen = false; var last = false
     while (!last) {
-      if (i + 4 > n) return None
+      if (i + 4 > n || (i + 4 + ((u8(i + 1) << 16) | (u8(i + 2) << 8) |
+        u8(i + 3))) > n)
+        return if (seen) Some((rate, channels, bps, total, -1)) else None
       val hdr = u8(i)
       last = (hdr & 0x80) != 0
       val len = (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
       val body = i + 4
-      if (body + len > n) return None
       if ((hdr & 0x7f) == 0 && len >= 34) {
         rate = (u8(body + 10) << 12) | (u8(body + 11) << 4) |
           (u8(body + 12) >> 4)
@@ -1342,6 +1348,48 @@ object Media {
       i = body + len
     }
     if (seen) Some((rate, channels, bps, total, i)) else None
+  }
+
+  /** Any plausible FLAC frame header at a byte offset ≥ `from`? Sync
+    * pattern + a validating CRC-8 — the disambiguator between "trailing
+    * tag after the last frame" and "mid-stream corruption" for
+    * unknown-length streams (an accidental 0xFFF8 in tag bytes won't
+    * carry a matching header checksum). Failure-path only. */
+  private def hasLaterFlacSync(bytes: Array[Byte], from: Int): Boolean = {
+    var i = math.max(from, 0)
+    val n = bytes.length
+    while (i + 5 <= n) {
+      if ((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xfc) == 0xf8) {
+        // Re-parse just the fixed header + coded number + optional
+        // blocksize/rate bytes, then check CRC-8 — cheap and local.
+        try {
+          val br = new BitReader(bytes, i, n)
+          br.bits(16)
+          val bsCode = br.bits(4); val srCode = br.bits(4)
+          br.bits(8) // chan + sample-size + reserved
+          val b0 = br.bits(8)
+          var okHdr = true
+          if ((b0 & 0x80) != 0) {
+            var cont = 0; var mask = 0x40
+            while ((b0 & mask) != 0 && cont < 7) { cont += 1; mask >>= 1 }
+            if (cont == 0 || cont > 6) okHdr = false
+            var k = 0
+            while (okHdr && k < cont) {
+              if ((br.bits(8) & 0xc0) != 0x80) okHdr = false
+              k += 1
+            }
+          }
+          if (okHdr) {
+            if (bsCode == 6) br.bits(8) else if (bsCode == 7) br.bits(16)
+            if (srCode == 12) br.bits(8)
+            else if (srCode == 13 || srCode == 14) br.bits(16)
+            if (br.bits(8) == flacCrc8(bytes, i, br.bytePos - 1)) return true
+          }
+        } catch { case _: ArrayIndexOutOfBoundsException => () }
+      }
+      i += 1
+    }
+    false
   }
 
   /** REAL FLAC sample decode — the lossless-audio analog of the image
@@ -1365,11 +1413,12 @@ object Media {
     * it. */
   def decodeFlac(bytes: Array[Byte]): Option[PcmAudio] = {
     try {
-      val n = if (bytes == null) 0 else bytes.length
       val (rate, channels, bps, total, frameOff) = flacStreaminfo(bytes) match {
         case Some(t) => t
         case None => return None
       }
+      if (frameOff < 0) return None // STREAMINFO parsed, chain truncated
+      val n = bytes.length
       if (rate <= 0 || channels < 1 || channels > 8 ||
         bps < 4 || bps > 32) return None
       if (total * channels > 64L * 1024 * 1024) return None
@@ -1382,12 +1431,19 @@ object Media {
         br.remaining >= 32) {
         val frameStart = br.bytePos
         if (br.bits(14) != 0x3ffe) {
-          // Lost sync at a frame BOUNDARY: for an unknown-length stream
-          // (total = 0) with frames already banked this is the end of
-          // audio (trailing tag/padding is legal there — with a declared
-          // total the loop exits at `collected == total` instead, so the
-          // handling is symmetric); anywhere else it is malformation.
-          if (total == 0L && collected > 0L) done = true else return None
+          // Lost sync at a frame BOUNDARY. For an unknown-length stream
+          // (total = 0) a trailing tag/padding block is legal — but so
+          // is this exact state after MID-stream corruption of a later
+          // frame's sync bytes, and returning the banked frames there
+          // would silently truncate audio (review r10). Disambiguate by
+          // scanning the remainder for another plausible frame header:
+          // none → legitimate end of audio; one found → malformation,
+          // fail loud. (With a declared total the loop exits at
+          // `collected == total`, and a short stream fails the count
+          // check below.)
+          if (total == 0L && collected > 0L &&
+            !hasLaterFlacSync(bytes, frameStart)) done = true
+          else return None
         } else {
         if (br.bits(1) != 0) return None // reserved
         br.bits(1) // blocking strategy
@@ -1486,7 +1542,13 @@ object Media {
         while (k < blocksize) {
           var cc = 0
           while (cc < nch) {
-            inter(k * nch + cc) = chans(cc)(k).toInt; cc += 1
+            val v = chans(cc)(k)
+            // A crafted CRC-valid frame can reconstruct values past the
+            // stream's bps (e.g. 32-bps left minus a hostile 33-bit
+            // side) — failing loud here keeps the no-garbage-samples
+            // contract instead of wrapping at toInt (review r10).
+            if (v < Int.MinValue || v > Int.MaxValue) return None
+            inter(k * nch + cc) = v.toInt; cc += 1
           }
           k += 1
         }

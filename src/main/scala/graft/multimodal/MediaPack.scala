@@ -46,6 +46,27 @@ object MediaPack extends QueryPack {
     // G.711 expansion formulas — arithmetic pinned end to end.
     "q_media_decode_ulaw" -> g711Query(7),
     "q_media_decode_alaw" -> g711Query(6),
+    // REAL Ogg demux on the oracle gate (r10): each document's bytes
+    // become the single packet of a genuine one-page Ogg stream (real
+    // capture pattern, lacing, and CRC-32), located by the
+    // CRC-validating page walk behind extractFrameSamples — the first
+    // oracle coverage of the frame-LOCATION path (the mp3/ADTS/MP4
+    // walks share its dispatch); the recovered packet must hash back to
+    // the text. Packets over the one-page lacing budget (65024 bytes)
+    // are filtered on both sides.
+    "q_media_frames_ogg" -> { (s, dir) =>
+      import s.implicits._
+      val media = table(s, dir, "documents")
+        .filter(octet_length(col("text")).between(1, 65024))
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("bytes"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, data) => (id, oggContainer(data)) }
+        .toDF("media_id", "bytes")
+      Media.extractFrameSamples(media)
+        .select(col("media_id"), col("n_frames"),
+          md5(element_at(col("frame_samples"), 1)).as("frame_hash"))
+    },
     // REAL FLAC sample decode on the oracle gate (r10): each document's
     // bytes become the verbatim-subframe samples of a genuine FLAC
     // stream (STREAMINFO + one frame with real CRC-8/CRC-16), pushed
@@ -190,17 +211,43 @@ object MediaPack extends QueryPack {
     buf.array()
   }
 
+  /** Genuine one-page Ogg stream whose single packet is `data`: "OggS"
+    * BOS page with the real lacing encoding (⌊n/255⌋ 255-values + the
+    * remainder) and the real Ogg CRC-32 patched in — the byte layout
+    * every Ogg muxer emits. */
+  private def oggContainer(data: Array[Byte]): Array[Byte] = {
+    val n = data.length
+    // nseg is one byte: ⌊n/255⌋+1 lacing values ≤ 255 → n ≤ 65024.
+    require(n >= 1 && n <= 65024, s"oggContainer: need 1..65024, got $n")
+    // A final lacing value < 255 ends the packet; an exact multiple of
+    // 255 needs a trailing 0 lacing value.
+    val full = n / 255
+    val rem = n % 255
+    val lacing = Array.fill(full)(255.toByte) ++ Array(rem.toByte)
+    val b = java.nio.ByteBuffer.allocate(27 + lacing.length + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("OggS".getBytes("US-ASCII")).put(0.toByte).put(0x02.toByte)
+    b.putLong(0L).putInt(0).putInt(0).putInt(0) // granule, serial, seq, crc
+    b.put(lacing.length.toByte).put(lacing).put(data)
+    val page = b.array()
+    val crc = Media.oggCrc(page, 0, page.length)
+    page(22) = (crc & 0xff).toByte; page(23) = ((crc >> 8) & 0xff).toByte
+    page(24) = ((crc >> 16) & 0xff).toByte
+    page(25) = ((crc >> 24) & 0xff).toByte
+    page
+  }
+
   /** Genuine FLAC stream whose samples are `data` as signed 8-bit values:
     * "fLaC" + STREAMINFO (8 kHz mono, bps 8, total = n) + ONE frame — a
     * verbatim subframe is byte-aligned throughout, so this needs no bit
     * packer, only the real CRC-8 (header) and CRC-16 (frame). */
   private def flacContainer(data: Array[Byte]): Array[Byte] = {
     val n = data.length
-    // One frame caps blocksize at 2^16; a bigger payload needs a
-    // multi-frame split this fixture builder deliberately doesn't do —
-    // fail LOUD rather than emit a silently-truncated header whose CRC
-    // then mismatches downstream (review r10).
-    require(n >= 1 && n <= 65536, s"flacContainer: $n bytes > one frame")
+    // The STREAMINFO blocksize fields are 16-bit (so ≤ 65535, not the
+    // frame header's 65536); a bigger payload needs a multi-frame split
+    // this fixture builder deliberately doesn't do — fail LOUD rather
+    // than emit a silently-truncated header (review r10, twice).
+    require(n >= 1 && n <= 65535, s"flacContainer: need 1..65535 bytes, got $n")
     val si = java.nio.ByteBuffer.allocate(4 + 4 + 34)
     si.put("fLaC".getBytes("US-ASCII"))
     si.put(0x80.toByte).put(0.toByte).put(0.toByte).put(34.toByte)
@@ -364,6 +411,14 @@ object MediaPack extends QueryPack {
     // ASCII-fixture invariant as the other media oracles.
     "q_media_decode_ulaw" -> g711Oracle(ulaw = true),
     "q_media_decode_alaw" -> g711Oracle(ulaw = false),
+    // The one packet IS the text bytes, so the located frame must hash
+    // to md5(text) — DuckDB's md5 over the UTF-8 bytes, independent of
+    // the page walk by construction.
+    "q_media_frames_ogg" ->
+      """SELECT doc_id AS media_id, CAST(1 AS BIGINT) AS n_frames,
+        |  md5(text) AS frame_hash
+        |FROM documents
+        |WHERE octet_length(encode(text)) BETWEEN 1 AND 65024""".stripMargin,
     // Verbatim FLAC samples ARE the text bytes (signed 8-bit; ASCII <
     // 0x80 so all positive), so the decoded loudness stats are pure
     // ascii() arithmetic — independent of the frame-layer decoder by

@@ -1058,12 +1058,49 @@ class MediaSpec extends SparkSpec {
     // Unknown-length stream (STREAMINFO total = 0): trailing tag bytes
     // after the last frame are tolerated — the CRC-verified samples are
     // returned, not discarded.
-    val unknownLen = flacShell(8000, 1, 8, 0,
-      flacFrame(3, 0, 1, w => {
-        w.put(0, 1).put(1, 6).put(0, 1)
-        Seq(1, 2, 3).foreach(v => w.put(v & 0xff, 8))
-      })) ++ ("TAG" + "x" * 125).getBytes("US-ASCII")
+    val oneFrame = flacFrame(3, 0, 1, w => {
+      w.put(0, 1).put(1, 6).put(0, 1)
+      Seq(1, 2, 3).foreach(v => w.put(v & 0xff, 8))
+    })
+    val unknownLen = flacShell(8000, 1, 8, 0, oneFrame) ++
+      ("TAG" + "x" * 125).getBytes("US-ASCII")
     assert(Media.decodeFlac(unknownLen).get.samples.toSeq === Seq(1, 2, 3))
+    // ...but MID-stream corruption must NOT silently truncate: with an
+    // intact frame still ahead of the damage, the scan finds its valid
+    // header and fails loud instead of returning a third of the audio.
+    // (Corrupting the LAST frame's sync is genuinely indistinguishable
+    // from a trailing tag — any decoder returns the prefix there.)
+    val threeFrames = flacShell(8000, 1, 8, 0,
+      oneFrame ++ oneFrame ++ oneFrame)
+    assert(Media.decodeFlac(threeFrames).get.samples.toSeq ===
+      Seq(1, 2, 3, 1, 2, 3, 1, 2, 3))
+    val midCorrupt = threeFrames.clone()
+    midCorrupt(threeFrames.length - 2 * oneFrame.length) = 0x00 // frame 2 sync
+    assert(Media.decodeFlac(midCorrupt).isEmpty)
+    // A STREAMINFO-bearing file truncated inside a LATER metadata block
+    // (interrupted download) still PROBES as flac — classification keeps
+    // the stream parameters — while the decoder, which needs frames,
+    // refuses.
+    val truncated = {
+      val full = flacShell(8000, 1, 8, 3, Array.emptyByteArray)
+      // Rewrite STREAMINFO as NOT-last, append a padding block header
+      // claiming more bytes than remain.
+      full(4) = 0x00 // clear last-block flag on STREAMINFO
+      full ++ Array[Byte](0x81.toByte, 0x00, 0x10, 0x00) // padding, len 4096
+    }
+    assert(Media.parseHeader(truncated) ===
+      Media.MediaHeader("flac", 0, 0, 8000, 1))
+    assert(Media.decodeFlac(truncated).isEmpty)
+    // A hostile 33-bit side that reconstructs right past 32 bits fails
+    // loud (no toInt wrap): left = Int.MaxValue, side = −2³¹ → right =
+    // 2³²−1.
+    val hostileWide = flacShell(8000, 2, 32, 2,
+      flacFrame(2, 8, 7, w => {
+        w.put(0, 1).put(0, 6).put(0, 1).put(Int.MaxValue.toLong, 32)
+        w.put(0, 1).put(0, 6).put(0, 1)
+          .put((1L << 33) - (1L << 31), 33) // −2³¹ in 33-bit two's compl.
+      }))
+    assert(Media.decodeFlac(hostileWide).isEmpty)
     // parseHeader probes the STREAMINFO rate/channels.
     assert(Media.parseHeader(cst) === Media.MediaHeader("flac", 0, 0, 8000, 1))
     // Batched extraction labels and sums the decoded samples:
