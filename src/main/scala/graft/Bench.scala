@@ -148,7 +148,12 @@ object Bench {
     // CRC-validated bit-level decode) through the batch contract.
     // q_media_frames_ogg: the frame-LOCATION dispatch (Ogg page walk +
     // CRC-32) through extractFrameSamples.
-    "q_media_decode_flac", "q_media_frames_ogg"
+    "q_media_decode_flac", "q_media_frames_ogg",
+    // q_warc_gzip: the Common Crawl ingest shape — real gzip member
+    // decompression + WARC record framing, both oracle-gated (the
+    // uncompressed q_warc_records variant shares every code path past
+    // gunzip, so one bench line suffices).
+    "q_warc_gzip"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -197,7 +202,7 @@ object Bench {
     "q_dedup_clusters_exact", "q_weighted_hops", "q_dedup_prefix_indexed",
     "q_media_decode", "q_media_decode_ulaw", "q_media_video_frames",
     "q_media_decode_bmp", "q_gopher_lines", "q_gopher_topngram",
-    "q_media_decode_flac", "q_media_frames_ogg")
+    "q_media_decode_flac", "q_media_frames_ogg", "q_warc_gzip")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

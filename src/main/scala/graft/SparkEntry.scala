@@ -22,6 +22,7 @@ object SparkEntry {
     operators.SimilarityPack,
     operators.BpePack,
     sources.AvroPack,
+    sources.WarcPack,
     multimodal.MediaPack,
     serve.ServePack
   )

@@ -4,11 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryPack
 
-/** Multimodal plumbing coverage: opaque binary payloads (UTF-8 bytes of
-  * `documents.text` stand in for media blobs — no binary fixture ships) →
-  * size/hash features + chunk sampling, all narrow projections. The real
-  * codec boundary is stubbed (see [[Media]]); this query proves the
-  * binary-column schema, expressions, and counts against DuckDB. */
+/** Multimodal coverage: opaque binary payloads (no binary fixture ships,
+  * so genuine containers — PGM, WAV, BMP, FLAC, MP4, Ogg — are built
+  * IN-QUERY around `documents.text` bytes) pushed through the REAL
+  * decode/demux paths, with DuckDB oracles that re-derive the decoded
+  * statistics from independent byte arithmetic; plus the narrow
+  * feature/hash/sampling projections. Entropy-coded formats with no SQL
+  * replica (JPEG/PNG/GIF, Rice-coded FLAC subframe modes) are
+  * conformance-pinned in `MediaSpec` instead. */
 object MediaPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

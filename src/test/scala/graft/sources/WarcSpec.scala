@@ -1,0 +1,84 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** WARC framing + gzip semantics: hand-built records parse to exact
+  * field/payload values, the framing rules (Content-Length, double-CRLF
+  * terminator) are enforced, the zip-bomb cap fails as None before
+  * allocating, and hostile bytes never throw anywhere. */
+class WarcSpec extends SparkSpec {
+
+  private def rec(typ: String, payload: String,
+                  extra: String = ""): String =
+    s"WARC/1.0\r\nWARC-Type: $typ\r\n$extra" +
+      s"Content-Length: ${payload.length}\r\n\r\n$payload\r\n\r\n"
+
+  test("warcRecords: hand-built records parse to exact fields and payload ranges") {
+    val file = (rec("warcinfo", "software: x\r\n") +
+      rec("response", "hello body",
+        extra = "WARC-Target-URI: https://e.org/1\r\n")).getBytes("ISO-8859-1")
+    val rs = Warc.warcRecords(file).get
+    assert(rs.length === 2)
+    assert(rs(0).version === "WARC/1.0")
+    assert(rs(0).header("WARC-Type") === Some("warcinfo"))
+    assert(rs(0).header("warc-type") === Some("warcinfo")) // case-insensitive
+    assert(new String(file, rs(1).payloadOffset, rs(1).payloadLength,
+      "ISO-8859-1") === "hello body")
+    assert(rs(1).header("WARC-Target-URI") === Some("https://e.org/1"))
+    // Junk after the last whole record ends the walk cleanly.
+    assert(Warc.warcRecords(file ++ "junk".getBytes).get.length === 2)
+    // A record with NO Content-Length, a non-numeric length, or a missing
+    // double-CRLF terminator stops the walk at the damage.
+    val noLen = "WARC/1.0\r\nWARC-Type: x\r\n\r\npayload\r\n\r\n".getBytes
+    assert(Warc.warcRecords(noLen).isEmpty)
+    val badTerm = (rec("response", "abc").dropRight(2) + "xx").getBytes
+    assert(Warc.warcRecords(badTerm).isEmpty)
+    // Truncated payload (declared length past the buffer) fails.
+    assert(Warc.warcRecords(
+      "WARC/1.0\r\nContent-Length: 100\r\n\r\nshort".getBytes).isEmpty)
+    assert(Warc.warcRecords("not a warc".getBytes).isEmpty)
+  }
+
+  test("gunzip: round-trip, concatenated members, bomb cap, malformed") {
+    val data = Array.tabulate(10000)(i => (i % 251).toByte)
+    assert(Warc.gunzip(WarcPack.gzipBytes(data)).get.toSeq === data.toSeq)
+    // Per-record members concatenate into one stream (the .warc.gz rule).
+    val two = WarcPack.gzipBytes(data.take(100)) ++
+      WarcPack.gzipBytes(data.drop(100))
+    assert(Warc.gunzip(two).get.toSeq === data.toSeq)
+    // The output cap turns a decompression bomb into None, not an OOM:
+    // 10 MB of zeros compresses to ~10 KB; cap at 1 MB must refuse.
+    val bomb = WarcPack.gzipBytes(new Array[Byte](10 * 1024 * 1024))
+    assert(bomb.length < 64 * 1024)
+    assert(Warc.gunzip(bomb, maxOut = 1024 * 1024).isEmpty)
+    // Malformed/truncated streams are None, never a throw.
+    assert(Warc.gunzip("nope".getBytes).isEmpty)
+    val trunc = WarcPack.gzipBytes(data).take(50)
+    assert(Warc.gunzip(trunc).isEmpty)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val b = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(b)
+      if (b.length >= 2) { b(0) = 0x1f.toByte; b(1) = 0x8b.toByte }
+      Warc.gunzip(b) // must not throw
+      Warc.warcRecords(b) // must not throw
+    }
+  }
+
+  test("records: DataFrame explode, unparseable rows kept as -1, gzip path") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val good = WarcPack.warcFile(5L, "payload five".getBytes("US-ASCII"))
+    val df = Seq((1L, good), (2L, "garbage".getBytes)).toDF("id", "bytes")
+    val rows = Warc.records(df).select("id", "record_ix", "warc_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)).getOrElse("-"))).toSet
+    assert(rows === Set((1L, 0L, "warcinfo"), (1L, 1L, "response"),
+      (2L, -1L, "-"))) // unparseable row kept, never silently dropped
+    // The gzipped path recovers the identical records.
+    val gz = Seq((1L, WarcPack.gzipBytes(good))).toDF("id", "bytes")
+    val pay = Warc.records(gz, gzipped = true)
+      .filter($"record_ix" === 1L).select("payload").collect().head
+    assert(new String(pay.getAs[Array[Byte]](0), "US-ASCII") === "payload five")
+  }
+}
