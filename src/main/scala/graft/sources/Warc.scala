@@ -7,56 +7,119 @@ import org.apache.spark.sql.types._
   * layer a 100 TB web-text pipeline actually reads, as pure byte/text
   * arithmetic over opaque binary columns — no parser library.
   *
-  * [[Warc.gunzip]] is the real DEFLATE path via `java.util.zip` (Java SE,
-  * zero added dependencies), with a hard output cap so a crafted
-  * zip bomb fails as None before it can balloon executor memory —
-  * untrusted bytes never throw and never allocate past the cap.
-  * Concatenated gzip members decompress as one stream (the `.warc.gz`
-  * convention compresses each record as its own member precisely so
-  * readers can split work without decompressing the whole file).
+  * [[Warc.gunzip]] walks gzip MEMBERS itself (RFC 1952 header flags,
+  * raw-DEFLATE inflate via `java.util.zip.Inflater`, then the trailer's
+  * CRC-32 and ISIZE both VALIDATED) rather than delegating to
+  * `GZIPInputStream`, whose OpenJDK implementation masks a corrupt
+  * SECOND member as clean end-of-stream — exactly the failure a
+  * `.warc.gz` file (one member per record, so readers can split work
+  * without decompressing the whole file) must not hide. A hard output
+  * cap turns a crafted decompression bomb into None before it can
+  * balloon executor memory; untrusted bytes never throw, and the native
+  * `Inflater` is always `end()`ed (finally), never left to GC
+  * finalization.
   *
   * [[Warc.warcRecords]] parses the record framing: `WARC/1.x` version
-  * line, `Name: value` header lines to the blank line, `Content-Length`
-  * payload framing, and the mandatory double-CRLF record terminator.
+  * line, UTF-8 `Name: value` header lines (folded continuation lines
+  * unfolded, repeated names preserved in order) to the blank line,
+  * `Content-Length` payload framing, and the mandatory double-CRLF
+  * record terminator. Damage ANYWHERE fails the whole file as None —
+  * "the first k records parsed" is indistinguishable from silent
+  * truncation, and the count audit depends on the distinction; only
+  * trailing bytes that do not begin a record are tolerated.
   * [[Warc.records]] is the DataFrame form — one narrow per-partition
   * pass exploding each payload into its records with the
   * classification headers as typed columns; no shuffle, no driver
-  * collect. `gzipped = true` front-runs [[Warc.gunzip]] for `.warc.gz`
-  * payloads.
+  * collect. `gzipped = true` front-runs [[Warc.gunzip]].
   */
 object Warc {
 
-  /** Decompressed gzip stream, or None for anything malformed, truncated,
-    * or — the untrusted-bytes guard — larger than `maxOut` when inflated
-    * (a zip bomb announces itself by crossing the cap, not by OOMing the
-    * executor). Concatenated members read as one stream. */
+  /** Decompressed gzip stream — ALL members, each trailer-validated
+    * (CRC-32 + ISIZE) — or None for anything malformed, truncated,
+    * corrupt, or larger than `maxOut` when inflated (a zip bomb
+    * announces itself by crossing the cap, not by OOMing the
+    * executor). */
   def gunzip(bytes: Array[Byte],
              maxOut: Int = 64 * 1024 * 1024): Option[Array[Byte]] = {
     if (bytes == null || bytes.length < 18) return None
-    if ((bytes(0) & 0xff) != 0x1f || (bytes(1) & 0xff) != 0x8b) return None
+    @inline def u8(i: Int): Int = bytes(i) & 0xff
+    @inline def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
     try {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val n = bytes.length
       val out = new java.io.ByteArrayOutputStream(
-        math.min(bytes.length * 4, maxOut))
-      val buf = new Array[Byte](8192)
+        math.min(math.max(bytes.length.toLong * 2, 1024L),
+          maxOut.toLong).toInt)
       var total = 0L
-      var n = in.read(buf)
-      while (n > 0) {
-        total += n
-        if (total > maxOut) return None // bomb guard — fail before growing
-        out.write(buf, 0, n)
-        n = in.read(buf)
+      var pos = 0
+      while (pos < n) {
+        // --- member header (RFC 1952): magic, CM=8, flags, mtime(4),
+        // xfl, os, then the optional flagged fields.
+        if (n - pos < 18) return None
+        if (u8(pos) != 0x1f || u8(pos + 1) != 0x8b || u8(pos + 2) != 8)
+          return None
+        val flg = u8(pos + 3)
+        var p = pos + 10
+        if ((flg & 0x04) != 0) { // FEXTRA
+          if (p + 2 > n) return None
+          val xlen = u8(p) | (u8(p + 1) << 8)
+          p += 2 + xlen
+          if (p > n) return None
+        }
+        if ((flg & 0x08) != 0) { // FNAME, NUL-terminated
+          while (p < n && bytes(p) != 0) p += 1
+          if (p >= n) return None
+          p += 1
+        }
+        if ((flg & 0x10) != 0) { // FCOMMENT
+          while (p < n && bytes(p) != 0) p += 1
+          if (p >= n) return None
+          p += 1
+        }
+        if ((flg & 0x02) != 0) p += 2 // FHCRC
+        if (p >= n) return None
+        // --- raw DEFLATE body.
+        val inf = new java.util.zip.Inflater(true)
+        try {
+          inf.setInput(bytes, p, n - p)
+          val buf = new Array[Byte](8192)
+          val crc = new java.util.zip.CRC32
+          var memberOut = 0L
+          while (!inf.finished()) {
+            val got = inf.inflate(buf)
+            if (got == 0) {
+              if (inf.finished()) () // trailing, loop exits
+              else return None // truncated/needs-dictionary/stuck
+            } else {
+              total += got
+              memberOut += got
+              if (total > maxOut) return None // bomb guard
+              crc.update(buf, 0, got)
+              out.write(buf, 0, got)
+            }
+          }
+          val used = (n - p) - inf.getRemaining
+          val tp = p + used
+          // --- trailer: CRC-32 and ISIZE (mod 2³²), both validated.
+          if (tp + 8 > n) return None
+          if (le32(tp) != crc.getValue) return None
+          if (le32(tp + 4) != (memberOut & 0xffffffffL)) return None
+          pos = tp + 8
+        } finally inf.end()
       }
       Some(out.toByteArray)
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** One parsed WARC record: version, headers (original case preserved in
-    * values, names matched case-insensitively), and the payload's exact
-    * byte range in the input buffer. */
-  final case class WarcRecord(version: String, headers: Map[String, String],
+  /** One parsed WARC record: version, headers in FILE ORDER with
+    * repeated names preserved (ISO 28500 permits e.g. several
+    * `WARC-Concurrent-To`), and the payload's exact byte range in the
+    * input buffer. */
+  final case class WarcRecord(version: String,
+                              headers: Seq[(String, String)],
                               payloadOffset: Int, payloadLength: Int) {
+    /** First header with the given name, case-insensitively. */
     def header(name: String): Option[String] =
       headers.collectFirst {
         case (k, v) if k.equalsIgnoreCase(name) => v
@@ -64,16 +127,16 @@ object Warc {
   }
 
   /** All records of a WARC file — the framing walk every WARC reader
-    * performs: version line, header lines to the blank line,
-    * `Content-Length` bytes of payload, double-CRLF terminator, repeat.
-    * None unless at least ONE record parses; junk after the last whole
-    * record ends the walk cleanly (the trailing-bytes rule the other
-    * container walks use). Capped at 1M records; untrusted bytes never
-    * throw. */
+    * performs. Headers decode as UTF-8 (ISO 28500 — raw IRIs in
+    * `WARC-Target-URI` survive) and spec-legal folded continuation
+    * lines (SP/TAB lead) unfold onto the previous header. A MALFORMED
+    * record anywhere returns None for the whole file (never a silently
+    * truncated prefix); junk after the last whole record that does not
+    * begin `WARC/` ends the walk cleanly. Capped at 1M records;
+    * untrusted bytes never throw. */
   def warcRecords(bytes: Array[Byte]): Option[Vector[WarcRecord]] = {
     if (bytes == null || bytes.length < 12) return None
     val n = bytes.length
-    /** Next CRLF at/after `from`, or -1. */
     def eol(from: Int): Int = {
       var i = from
       while (i + 1 < n) {
@@ -82,59 +145,68 @@ object Warc {
       }
       -1
     }
-    def ascii(from: Int, until: Int): String =
-      new String(bytes, from, until - from, "ISO-8859-1")
+    def utf8(from: Int, until: Int): String =
+      new String(bytes, from, until - from,
+        java.nio.charset.StandardCharsets.UTF_8)
+    def startsRecord(i: Int): Boolean =
+      i + 5 <= n && bytes(i) == 'W' && bytes(i + 1) == 'A' &&
+        bytes(i + 2) == 'R' && bytes(i + 3) == 'C' && bytes(i + 4) == '/'
     val out = Vector.newBuilder[WarcRecord]
     var i = 0
     var count = 0
     var ok = true
     while (ok && count <= 1000000 && i < n) {
-      val ve = eol(i)
-      if (ve < 0 || !ascii(i, math.min(i + 5, n)).equals("WARC/")) {
-        ok = false // junk after the last record (or not WARC at all)
+      if (!startsRecord(i)) {
+        // Trailing non-record bytes end the walk cleanly — but only at
+        // the tail; a first byte that is not a record start is "not a
+        // WARC file" (count == 0 → None below).
+        ok = false
       } else {
-        val version = ascii(i, ve)
+        val ve = eol(i)
+        if (ve < 0) return None
+        val version = utf8(i, ve)
         var p = ve + 2
-        var headers = Map.newBuilder[String, String]
+        val headers = Vector.newBuilder[(String, String)]
+        var lastKey: String = null
+        var lastVal: String = null
         var contentLength = -1L
-        var bad = false
         var inHeaders = true
-        while (inHeaders && !bad) {
+        while (inHeaders) {
           val he = eol(p)
-          if (he < 0) bad = true
+          if (he < 0) return None
           else if (he == p) { inHeaders = false; p += 2 } // blank line
           else {
-            val line = ascii(p, he)
-            val colon = line.indexOf(':')
-            if (colon <= 0) bad = true
-            else {
-              val k = line.substring(0, colon).trim
-              val v = line.substring(colon + 1).trim
-              headers += (k -> v)
-              if (k.equalsIgnoreCase("Content-Length")) {
-                if (v.nonEmpty && v.forall(_.isDigit) && v.length <= 18)
-                  contentLength = v.toLong
-                else bad = true
-              }
-              p = he + 2
+            val line = utf8(p, he)
+            if ((line.head == ' ' || line.head == '\t') && lastKey != null) {
+              // Folded continuation (ISO 28500 / RFC 5322 folding):
+              // unfold onto the previous header with a single space.
+              lastVal = lastVal + " " + line.trim
+            } else {
+              val colon = line.indexOf(':')
+              if (colon <= 0) return None
+              if (lastKey != null) headers += (lastKey -> lastVal)
+              lastKey = line.substring(0, colon).trim
+              lastVal = line.substring(colon + 1).trim
             }
+            p = he + 2
           }
         }
-        if (bad || contentLength < 0 ||
-          p.toLong + contentLength + 4 > n) ok = false
-        else {
-          val payloadOff = p
-          val after = p + contentLength.toInt
-          // Mandatory record terminator: CRLF CRLF.
-          if (!(bytes(after) == '\r' && bytes(after + 1) == '\n' &&
-            bytes(after + 2) == '\r' && bytes(after + 3) == '\n')) ok = false
-          else {
-            out += WarcRecord(version, headers.result(), payloadOff,
-              contentLength.toInt)
-            count += 1
-            i = after + 4
-          }
+        if (lastKey != null) headers += (lastKey -> lastVal)
+        val hs = headers.result()
+        hs.collectFirst {
+          case (k, v) if k.equalsIgnoreCase("Content-Length") => v
+        } match {
+          case Some(v) if v.nonEmpty && v.forall(_.isDigit) &&
+            v.length <= 18 => contentLength = v.toLong
+          case _ => return None
         }
+        if (p.toLong + contentLength + 4 > n) return None
+        val after = p + contentLength.toInt
+        if (!(bytes(after) == '\r' && bytes(after + 1) == '\n' &&
+          bytes(after + 2) == '\r' && bytes(after + 3) == '\n')) return None
+        out += WarcRecord(version, hs, p, contentLength.toInt)
+        count += 1
+        i = after + 4
       }
     }
     val r = out.result()
@@ -143,12 +215,17 @@ object Warc {
 
   /** DataFrame record explode: each payload row yields one row per WARC
     * record with (record_ix, warc_version, warc_type, target_uri,
-    * content_length, payload); unparseable payloads yield ONE row with
-    * record_ix −1 and nulls (never dropped silently — the count audit
-    * stays possible). `gzipped = true` decompresses first (`.warc.gz`).
+    * content_length, payload). Failed payloads are KEPT, never silently
+    * dropped, with a coded `record_ix`: −1 = framing failure (which
+    * includes mid-file damage — [[warcRecords]] is all-or-nothing), −2
+    * = gzip failure or inflated size past `maxInflate` (the audit can
+    * tell "corrupt" from "cap exceeded" only as gzip-layer vs
+    * framing-layer; raise `maxInflate` for crawls with large response
+    * records). `gzipped = true` decompresses first (`.warc.gz`).
     * Narrow per-partition pass, no shuffle. */
   def records(df: DataFrame, bytesCol: String = "bytes",
-              gzipped: Boolean = false): DataFrame = {
+              gzipped: Boolean = false,
+              maxInflate: Int = 64 * 1024 * 1024): DataFrame = {
     val bi = df.schema.fieldIndex(bytesCol)
     val schema = df.schema
       .add("record_ix", LongType).add("warc_version", StringType)
@@ -156,10 +233,12 @@ object Warc {
       .add("content_length", LongType).add("payload", BinaryType)
     df.mapPartitions { it =>
       it.flatMap { row =>
+        def failed(code: Long) = Iterator.single(Row.fromSeq(
+          row.toSeq :+ code :+ null :+ null :+ null :+ null :+ null))
         val raw = row.getAs[Array[Byte]](bi)
-        val b = if (gzipped) gunzip(raw).orNull else raw
-        val parsed = if (b == null) None else warcRecords(b)
-        parsed match {
+        val b = if (gzipped) gunzip(raw, maxInflate).orNull else raw
+        if (gzipped && b == null) failed(-2L)
+        else warcRecords(b) match {
           case Some(recs) =>
             recs.iterator.zipWithIndex.map { case (r, ix) =>
               Row.fromSeq(row.toSeq :+ ix.toLong :+ r.version :+
@@ -169,9 +248,7 @@ object Warc {
                 java.util.Arrays.copyOfRange(b, r.payloadOffset,
                   r.payloadOffset + r.payloadLength))
             }
-          case None =>
-            Iterator.single(Row.fromSeq(row.toSeq :+ -1L :+ null :+ null :+
-              null :+ null :+ null))
+          case None => failed(-1L)
         }
       }
     }(Encoders.row(schema))

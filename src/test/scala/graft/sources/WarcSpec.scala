@@ -4,8 +4,9 @@ import graft.SparkSpec
 
 /** WARC framing + gzip semantics: hand-built records parse to exact
   * field/payload values, the framing rules (Content-Length, double-CRLF
-  * terminator) are enforced, the zip-bomb cap fails as None before
-  * allocating, and hostile bytes never throw anywhere. */
+  * terminator, all-or-nothing on damage) are enforced, the member-walk
+  * gzip validates trailers and fails bombs before allocating, and
+  * hostile bytes never throw anywhere. */
 class WarcSpec extends SparkSpec {
 
   private def rec(typ: String, payload: String,
@@ -25,10 +26,11 @@ class WarcSpec extends SparkSpec {
     assert(new String(file, rs(1).payloadOffset, rs(1).payloadLength,
       "ISO-8859-1") === "hello body")
     assert(rs(1).header("WARC-Target-URI") === Some("https://e.org/1"))
-    // Junk after the last whole record ends the walk cleanly.
+    // Junk after the last whole record ends the walk cleanly (it does
+    // not begin "WARC/").
     assert(Warc.warcRecords(file ++ "junk".getBytes).get.length === 2)
     // A record with NO Content-Length, a non-numeric length, or a missing
-    // double-CRLF terminator stops the walk at the damage.
+    // double-CRLF terminator fails the file.
     val noLen = "WARC/1.0\r\nWARC-Type: x\r\n\r\npayload\r\n\r\n".getBytes
     assert(Warc.warcRecords(noLen).isEmpty)
     val badTerm = (rec("response", "abc").dropRight(2) + "xx").getBytes
@@ -37,15 +39,56 @@ class WarcSpec extends SparkSpec {
     assert(Warc.warcRecords(
       "WARC/1.0\r\nContent-Length: 100\r\n\r\nshort".getBytes).isEmpty)
     assert(Warc.warcRecords("not a warc".getBytes).isEmpty)
+    // Damage in the MIDDLE of a multi-record file fails the WHOLE file
+    // (never a silently-truncated prefix — the count audit depends on
+    // it): valid record + damaged record + valid record → None.
+    val damagedMid = (rec("a", "one") +
+      "WARC/1.0\r\nContent-Length: NaN\r\n\r\n\r\n\r\n" +
+      rec("b", "three")).getBytes("ISO-8859-1")
+    assert(Warc.warcRecords(damagedMid).isEmpty)
   }
 
-  test("gunzip: round-trip, concatenated members, bomb cap, malformed") {
+  test("warcRecords: UTF-8 headers, folded lines, repeated names in order") {
+    // Raw IRI in UTF-8 (ISO 28500 headers are UTF-8, not Latin-1).
+    val iri = "https://e.org/café"
+    val f1 = rec("response", "x",
+      extra = s"WARC-Target-URI: $iri\r\n").getBytes("UTF-8")
+    assert(Warc.warcRecords(f1).get.head.header("WARC-Target-URI") ===
+      Some(iri))
+    // Folded continuation line (SP lead) unfolds onto the previous
+    // header with a single space.
+    val folded = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://e.org/very\r\n long/path\r\n" +
+      "Content-Length: 2\r\n\r\nhi\r\n\r\n").getBytes("ISO-8859-1")
+    assert(Warc.warcRecords(folded).get.head.header("WARC-Target-URI") ===
+      Some("https://e.org/very long/path"))
+    // Repeated names (legal, e.g. WARC-Concurrent-To) survive in order.
+    val repeated = rec("revisit", "y",
+      extra = "WARC-Concurrent-To: <urn:a>\r\nWARC-Concurrent-To: <urn:b>\r\n")
+      .getBytes("ISO-8859-1")
+    val hs = Warc.warcRecords(repeated).get.head.headers
+      .filter(_._1 == "WARC-Concurrent-To").map(_._2)
+    assert(hs === Seq("<urn:a>", "<urn:b>"))
+  }
+
+  test("gunzip: round-trip, member trailers validated, bomb cap, malformed") {
     val data = Array.tabulate(10000)(i => (i % 251).toByte)
     assert(Warc.gunzip(WarcPack.gzipBytes(data)).get.toSeq === data.toSeq)
     // Per-record members concatenate into one stream (the .warc.gz rule).
     val two = WarcPack.gzipBytes(data.take(100)) ++
       WarcPack.gzipBytes(data.drop(100))
     assert(Warc.gunzip(two).get.toSeq === data.toSeq)
+    // A corrupt SECOND member must fail the whole stream — the OpenJDK
+    // GZIPInputStream masks this as clean EOF, which is why the member
+    // walk is hand-rolled.
+    val corrupt2 = two.clone()
+    corrupt2(WarcPack.gzipBytes(data.take(100)).length) = 0x00 // magic byte
+    assert(Warc.gunzip(corrupt2).isEmpty)
+    // A flipped TRAILER CRC byte fails (the JDK path would also catch
+    // this one; the member walk validates ISIZE too).
+    val crcFlip = WarcPack.gzipBytes(data)
+    crcFlip(crcFlip.length - 5) = (crcFlip(crcFlip.length - 5) ^ 0x01).toByte
+    assert(Warc.gunzip(crcFlip).isEmpty)
     // The output cap turns a decompression bomb into None, not an OOM:
     // 10 MB of zeros compresses to ~10 KB; cap at 1 MB must refuse.
     val bomb = WarcPack.gzipBytes(new Array[Byte](10 * 1024 * 1024))
@@ -59,13 +102,15 @@ class WarcSpec extends SparkSpec {
     for (_ <- 1 to 200) {
       val b = new Array[Byte](rnd.nextInt(300))
       rnd.nextBytes(b)
-      if (b.length >= 2) { b(0) = 0x1f.toByte; b(1) = 0x8b.toByte }
+      if (b.length >= 3) {
+        b(0) = 0x1f.toByte; b(1) = 0x8b.toByte; b(2) = 8.toByte
+      }
       Warc.gunzip(b) // must not throw
       Warc.warcRecords(b) // must not throw
     }
   }
 
-  test("records: DataFrame explode, unparseable rows kept as -1, gzip path") {
+  test("records: DataFrame explode, coded failure rows, gzip path") {
     val sparkSession = spark
     import sparkSession.implicits._
     val good = WarcPack.warcFile(5L, "payload five".getBytes("US-ASCII"))
@@ -74,11 +119,16 @@ class WarcSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1),
         Option(r.getString(2)).getOrElse("-"))).toSet
     assert(rows === Set((1L, 0L, "warcinfo"), (1L, 1L, "response"),
-      (2L, -1L, "-"))) // unparseable row kept, never silently dropped
-    // The gzipped path recovers the identical records.
-    val gz = Seq((1L, WarcPack.gzipBytes(good))).toDF("id", "bytes")
-    val pay = Warc.records(gz, gzipped = true)
-      .filter($"record_ix" === 1L).select("payload").collect().head
+      (2L, -1L, "-"))) // framing failure kept, never silently dropped
+    // The gzipped path recovers the identical records; a corrupt gzip
+    // layer is the DISTINCT code −2 (audit can tell the layers apart).
+    val gz = Seq((1L, WarcPack.gzipBytes(good)),
+      (2L, "garbage".getBytes)).toDF("id", "bytes")
+    val gzRows = Warc.records(gz, gzipped = true)
+    val pay = gzRows.filter($"record_ix" === 1L).select("payload")
+      .collect().head
     assert(new String(pay.getAs[Array[Byte]](0), "US-ASCII") === "payload five")
+    assert(gzRows.filter($"id" === 2L).select("record_ix")
+      .collect().head.getLong(0) === -2L)
   }
 }
