@@ -17,7 +17,7 @@ object WarcPack extends QueryPack {
   private val InfoPayload = "software: graft\r\n"
 
   /** Genuine two-record WARC file around `data`. */
-  private[sources] def warcFile(id: Long, data: Array[Byte]): Array[Byte] = {
+  private[graft] def warcFile(id: Long, data: Array[Byte]): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("WARC/1.0\r\n")
       .append("WARC-Type: warcinfo\r\n")
@@ -35,7 +35,7 @@ object WarcPack extends QueryPack {
       "\r\n\r\n".getBytes("ISO-8859-1")
   }
 
-  private[sources] def gzipBytes(data: Array[Byte]): Array[Byte] = {
+  private[graft] def gzipBytes(data: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(bos)
     gz.write(data); gz.close()
