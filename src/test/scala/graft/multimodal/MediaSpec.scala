@@ -1263,15 +1263,17 @@ class MediaSpec extends SparkSpec {
       Array[Byte](0, 0, 0, 1) ++ "ftyp".getBytes("US-ASCII"), // 64-bit size
       "fLaC".getBytes("US-ASCII"),
       "GIF89a".getBytes("US-ASCII"), "BM".getBytes("US-ASCII"),
-      "II* ".getBytes("ISO-8859-1"), "MM *".getBytes("ISO-8859-1"))
+      Array[Byte]('I', 'I', 0x2a, 0), Array[Byte]('M', 'M', 0, 0x2a),
+      "OggS".getBytes("US-ASCII"))
     for (_ <- 1 to 500) {
       val tail = new Array[Byte](rnd.nextInt(200))
       rnd.nextBytes(tail)
       val b = prefixes(rnd.nextInt(prefixes.size)) ++ tail
-      Media.decodeGray(b)   // must not throw
-      Media.decodePcm(b)    // must not throw
-      Media.decodeFlac(b)   // must not throw
-      Media.parseHeader(b)  // must not throw
+      Media.decodeGray(b)      // must not throw
+      Media.decodePcm(b)       // must not throw
+      Media.decodeFlac(b)      // must not throw
+      Media.frameRanges(b)     // must not throw (all four range walks)
+      Media.parseHeader(b)     // must not throw
     }
   }
 
