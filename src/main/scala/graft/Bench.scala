@@ -153,7 +153,9 @@ object Bench {
     // decompression + WARC record framing, both oracle-gated (the
     // uncompressed q_warc_records variant shares every code path past
     // gunzip, so one bench line suffices).
-    "q_warc_gzip"
+    // q_html_extract: page construction + the HTML state machine
+    // (script/style/title drops, entity decode, whitespace collapse).
+    "q_warc_gzip", "q_html_extract"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -202,7 +204,8 @@ object Bench {
     "q_dedup_clusters_exact", "q_weighted_hops", "q_dedup_prefix_indexed",
     "q_media_decode", "q_media_decode_ulaw", "q_media_video_frames",
     "q_media_decode_bmp", "q_gopher_lines", "q_gopher_topngram",
-    "q_media_decode_flac", "q_media_frames_ogg", "q_warc_gzip")
+    "q_media_decode_flac", "q_media_frames_ogg", "q_warc_gzip",
+    "q_html_extract")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

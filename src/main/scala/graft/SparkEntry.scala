@@ -23,6 +23,7 @@ object SparkEntry {
     operators.BpePack,
     sources.AvroPack,
     sources.WarcPack,
+    operators.HtmlPack,
     multimodal.MediaPack,
     serve.ServePack
   )

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+
+/** HTML-extraction coverage: each document's text is entity-escaped and
+  * wrapped in genuinely hostile markup built in-query — a script whose
+  * CODE contains markup, a style rule containing `>`, a comment, a
+  * quoted attribute containing an entity — and [[Html.extract]] must
+  * recover exactly the whitespace-normalized original text plus the
+  * constructed title; DuckDB re-derives both independently of the state
+  * machine. (The tokenizer's edge cases — unterminated constructs,
+  * entity torture, no-double-decode — are spec-pinned in `HtmlSpec`.) */
+object HtmlPack extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "q_html_extract" -> { (s, dir) =>
+        import s.implicits._
+        val pages = table(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            val esc = text.replace("&", "&amp;").replace("<", "&lt;")
+              .replace(">", "&gt;")
+            (id, s"<html><head><title>t$id</title>" +
+              "<script type=\"text/javascript\">var x = '<p>not text</p>';" +
+              "</script><style>p > em { color: red; }</style></head>" +
+              "<body><!-- skipped --><p class=\"a&quot;b\">" + esc +
+              "</p></body></html>")
+          }.toDF("doc_id", "html")
+        Html.extract(pages)
+          .select(col("doc_id"), col("title"),
+            col("text").as("extracted"),
+            length(col("text")).cast("long").as("n_chars"))
+      }
+    )
+
+  /** The page construction round-trips by design: extraction must yield
+    * the whitespace-normalized text (the state machine collapses runs
+    * and trims) and the constructed title — both re-derived in SQL with
+    * no HTML anywhere. */
+  override def oracles: Map[String, String] = Map(
+    "q_html_extract" ->
+      """SELECT doc_id, 't' || CAST(doc_id AS VARCHAR) AS title,
+        |  regexp_replace(trim(text), '\s+', ' ', 'g') AS extracted,
+        |  CAST(length(regexp_replace(trim(text), '\s+', ' ', 'g')) AS BIGINT)
+        |    AS n_chars
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** The HTML state machine's contract: hand-built pages extract to exact
+  * text, the drop-whole elements (script/style/title) swallow embedded
+  * markup, quoted attributes hide '>', entities decode exactly once,
+  * malformed/hostile markup degrades cleanly, and nothing ever throws. */
+class HtmlSpec extends SparkSpec {
+
+  test("extractText: tags, drop-whole elements, comments, quoted attrs") {
+    assert(Html.extractText(
+      "<html><body><p>Hello <b>world</b></p></body></html>") ===
+      "Hello world")
+    // script/style content is CODE — dropped whole, embedded tags and
+    // all; title is head metadata.
+    assert(Html.extractText(
+      "<head><title>T</title><script>var a = '<p>no</p>';</script>" +
+        "<style>p > em { }</style></head><body>yes</body>") === "yes")
+    // Case-insensitive close tags; attributes on the close-scan target.
+    assert(Html.extractText(
+      "<SCRIPT type=\"x\">code</SCRIPT>after") === "after")
+    // A '>' inside a quoted attribute does not end the tag.
+    assert(Html.extractText("<a title=\"1 > 0\">link</a>") === "link")
+    assert(Html.extractText("<a title='1 > 0'>link</a>") === "link")
+    // Comments and CDATA drop; bare '<' not starting a tag is text.
+    assert(Html.extractText("a <!-- <b>x</b> --> b") === "a b")
+    assert(Html.extractText("a <![CDATA[ <raw> ]]> b") === "a b")
+    assert(Html.extractText("1 < 2 and 3 > 2") === "1 < 2 and 3 > 2")
+    // Tag boundaries separate words; whitespace collapses and trims.
+    assert(Html.extractText("  <p>a</p><p>b</p>\n\t ") === "a b")
+  }
+
+  test("extractText: entities decode exactly once; invalid forms stay literal") {
+    assert(Html.extractText("&lt;tag&gt; &amp; &quot;q&quot; &apos;a&apos;") ===
+      "<tag> & \"q\" 'a'")
+    assert(Html.extractText("&#65;&#x42;&#X43;") === "ABC")
+    assert(Html.extractText("x&nbsp;y") === "x y")
+    // Double-encoded: &amp;lt; decodes ONCE to the literal '&lt;'.
+    assert(Html.extractText("&amp;lt;") === "&lt;")
+    // Unknown, unterminated, out-of-range → literal ampersand, text kept.
+    assert(Html.extractText("&unknown; &#; &# &") === "&unknown; &#; &# &")
+    assert(Html.extractText("&#1;") === "&#1;") // control chars refused
+    // A decoded '<' is TEXT, not markup (no double-parse injection).
+    assert(Html.extractText("&lt;script&gt;alert(1)&lt;/script&gt;") ===
+      "<script>alert(1)</script>")
+  }
+
+  test("extractText/title: hostile + malformed inputs degrade cleanly, never throw") {
+    assert(Html.extractText(null) === "")
+    assert(Html.extractText("") === "")
+    // Unterminated constructs drop the malformed tail, keep the prefix.
+    assert(Html.extractText("keep <script>never closed") === "keep")
+    assert(Html.extractText("keep <!-- never closed") === "keep")
+    assert(Html.extractText("keep <a href=\"never closed") === "keep")
+    // O(n) on pathological inputs a regex stripper would backtrack on.
+    val hostile = "<a b=\"" + "x" * 100000 + "\">t</a>" + "<p>" * 10000
+    assert(Html.extractText(hostile) === "t")
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 300) {
+      val cs = Array.fill(rnd.nextInt(300))(
+        "<>&;\"' ab#x/!-".charAt(rnd.nextInt(14)))
+      Html.extractText(new String(cs)) // must not throw
+      Html.title(new String(cs)) // must not throw
+    }
+    // Title: extracted via the same machine, None when absent/empty.
+    assert(Html.title("<title>A &amp; B</title>") === Some("A & B"))
+    assert(Html.title("<TITLE lang=\"en\">t</TITLE>") === Some("t"))
+    assert(Html.title("<title></title>") === None)
+    assert(Html.title("no title") === None)
+  }
+
+  test("extract: DataFrame form appends title + text in one narrow pass") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val out = Html.extract(Seq(
+        (1L, "<html><head><title>T1</title></head><body>b1</body></html>"),
+        (2L, "plain, no markup")).toDF("id", "html"))
+      .select("id", "title", "text").collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getString(2))))
+      .toMap
+    assert(out(1L) === ((Some("T1"), "b1")))
+    assert(out(2L) === ((None, "plain, no markup")))
+  }
+}
