@@ -14,9 +14,12 @@ import org.apache.spark.sql.types._
   * quotes, megabyte comments) degrades to dropping the malformed tail,
   * never to quadratic time or a throw.
   *
-  * [[Html.extract]] is the DataFrame form: one narrow per-partition
-  * pass, no shuffle — at 100 TB this runs inside the same ingest scan
-  * as [[graft.sources.Warc.records]].
+  * [[Html.extract]] is the DataFrame form: ONE narrow per-partition
+  * pass, no shuffle — title and text come out of the same walk (r10
+  * review: the earlier separate `indexOf`-based title scan both
+  * triple-scanned the document and mis-indexed after length-changing
+  * `toLowerCase` characters like U+0130). At 100 TB this runs inside
+  * the same ingest scan as [[graft.sources.Warc.records]].
   */
 object Html {
 
@@ -24,9 +27,9 @@ object Html {
     "quot" -> '"', "apos" -> '\'', "nbsp" -> ' ')
 
   /** Decode one entity starting AT `&` (index `i`); returns (decoded
-    * char or null-for-literal, index after the entity). Unknown or
-    * unterminated entities stay literal — never dropped, never decoded
-    * twice. */
+    * char, index after). Unknown, unterminated, or non-WHATWG forms
+    * (non-ASCII digits, signs, control/astral code points) stay a
+    * literal `&` — never dropped, never decoded twice. */
   private def entity(s: String, i: Int): (Char, Int) = {
     val n = s.length
     val semi = {
@@ -37,14 +40,18 @@ object Html {
     }
     if (semi < 0) return ('&', i + 1)
     val body = s.substring(i + 1, semi)
+    @inline def dec(c: Char) = c >= '0' && c <= '9'
+    @inline def hex(c: Char) = dec(c) || (c >= 'a' && c <= 'f') ||
+      (c >= 'A' && c <= 'F')
     if (body.startsWith("#")) {
       val num = body.substring(1)
       val cp =
         try {
-          if (num.length > 1 && (num.charAt(0) == 'x' || num.charAt(0) == 'X'))
+          if (num.length > 1 && (num.charAt(0) == 'x' || num.charAt(0) == 'X')
+            && num.substring(1).forall(hex))
             Integer.parseInt(num.substring(1), 16)
-          else if (num.nonEmpty && num.forall(_.isDigit)) num.toInt
-          else -1
+          else if (num.nonEmpty && num.forall(dec)) num.toInt
+          else -1 // ASCII digits only — browsers leave '&#٦٥;' literal
         } catch { case _: NumberFormatException => -1 }
       if (cp >= 32 && cp <= 0xffff && !Character.isSurrogate(cp.toChar))
         (cp.toChar, semi + 1)
@@ -60,15 +67,51 @@ object Html {
     i + what.length <= s.length &&
       s.regionMatches(true, i, what, 0, what.length)
 
-  /** Visible text of an HTML document: `<script>`/`<style>`/`<title>`
-    * elements dropped whole (code and head metadata, not body text —
-    * the title is [[Html.title]]'s job), comments and CDATA dropped, every other tag replaced by a single separator,
-    * entities decoded once, whitespace collapsed to single spaces and
-    * trimmed. Null-safe; never throws on any input. */
-  def extractText(html: String): String = {
-    if (html == null) return ""
+  /** A TAG-NAME boundary at `j`: end of input, whitespace, `>`, or `/`
+    * — so `<title-bar>` is a custom element, not a `<title>` (r10
+    * review: bare prefix matching swallowed any tag whose name merely
+    * starts with script/style/title). */
+  private def boundary(s: String, j: Int): Boolean =
+    j >= s.length || {
+      val c = s.charAt(j)
+      c == '>' || c == '/' || c == ' ' || c == '\t' || c == '\n' ||
+        c == '\r' || c == '\f'
+    }
+
+  /** `<name` with a proper name boundary at `i`. */
+  private def openTagAt(s: String, i: Int, name: String): Boolean =
+    s.charAt(i) == '<' && matches(s, i + 1, name) &&
+      boundary(s, i + 1 + name.length)
+
+  /** Scan a tag from just after its `<` to the closing `>`, honoring
+    * quoted attribute values (a `>` or `</script>` INSIDE quotes is
+    * data). Returns (index after `>`, selfClosing); (n, false) when
+    * unterminated. */
+  private def tagEnd(s: String, from: Int): (Int, Boolean) = {
+    val n = s.length
+    var k = from
+    var quote: Char = 0
+    var lastMeaningful: Char = 0
+    while (k < n) {
+      val ch = s.charAt(k)
+      if (quote != 0) { if (ch == quote) quote = 0 }
+      else if (ch == '"' || ch == '\'') quote = ch
+      else if (ch == '>') return (k + 1, lastMeaningful == '/')
+      else if (!ch.isWhitespace) lastMeaningful = ch
+      k += 1
+    }
+    (n, false)
+  }
+
+  /** The single-pass walk: returns (visible text, first title). `title`
+    * capture recurses once into the title's content with capture OFF, so
+    * nested-title bombs cannot grow the stack. */
+  private def extractCore(html: String,
+                          captureTitle: Boolean): (String, Option[String]) = {
+    if (html == null) return ("", None)
     val n = html.length
     val out = new java.lang.StringBuilder(math.min(n, 1 << 16))
+    var firstTitle: String = null
     var pendingSpace = false
     @inline def emit(c: Char): Unit = {
       if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f')
@@ -83,6 +126,11 @@ object Html {
     while (i < n) {
       val c = html.charAt(i)
       if (c == '<') {
+        val dropName =
+          if (openTagAt(html, i, "script")) "script"
+          else if (openTagAt(html, i, "style")) "style"
+          else if (captureTitle && openTagAt(html, i, "title")) "title"
+          else null
         if (matches(html, i, "<!--")) {
           val e = html.indexOf("-->", i + 4)
           i = if (e < 0) n else e + 3
@@ -91,41 +139,38 @@ object Html {
           val e = html.indexOf("]]>", i + 9)
           i = if (e < 0) n else e + 3
           pendingSpace = true
-        } else if (matches(html, i, "<script") || matches(html, i, "<style") ||
-          matches(html, i, "<title")) {
-          val close =
-            if (matches(html, i, "<script")) "</script"
-            else if (matches(html, i, "<style")) "</style"
-            else "</title" // title is head METADATA, not visible text
-          // To the matching close tag's '>', case-insensitive; content
-          // (code) is dropped whole, '<'s inside it included.
-          var k = i + 1
-          var end = -1
-          while (end < 0 && k < n) {
-            if (html.charAt(k) == '<' && matches(html, k, close)) {
-              var g = k + close.length
-              while (g < n && html.charAt(g) != '>') g += 1
-              end = if (g < n) g + 1 else n
-            } else k += 1
+        } else if (dropName != null) {
+          // Parse the OPEN tag fully first (quote-aware — a '</script>'
+          // inside an attribute value is data, not the close; r10
+          // review), then scan for the boundary-checked close tag.
+          val (openEnd, selfClosing) = tagEnd(html, i + 1)
+          if (selfClosing || openEnd >= n) i = openEnd
+          else {
+            var k = openEnd
+            var contentEnd = -1
+            var end = -1
+            while (end < 0 && k < n) {
+              if (html.charAt(k) == '<' && k + 1 < n &&
+                html.charAt(k + 1) == '/' && matches(html, k + 2, dropName) &&
+                boundary(html, k + 2 + dropName.length)) {
+                contentEnd = k
+                var g = k + 2 + dropName.length
+                while (g < n && html.charAt(g) != '>') g += 1
+                end = if (g < n) g + 1 else n
+              } else k += 1
+            }
+            if (dropName == "title" && firstTitle == null) {
+              val ce = if (contentEnd < 0) n else contentEnd
+              val t = extractCore(html.substring(openEnd, ce), false)._1
+              if (t.nonEmpty) firstTitle = t
+            }
+            i = if (end < 0) n else end
           }
-          i = if (end < 0) n else end
           pendingSpace = true
         } else if (i + 1 < n && (html.charAt(i + 1).isLetter ||
           html.charAt(i + 1) == '/' || html.charAt(i + 1) == '!' ||
           html.charAt(i + 1) == '?')) {
-          // A tag: to the closing '>', honoring quoted attribute values
-          // (a '>' inside quotes does not end the tag).
-          var k = i + 1
-          var quote: Char = 0
-          var end = -1
-          while (end < 0 && k < n) {
-            val ch = html.charAt(k)
-            if (quote != 0) { if (ch == quote) quote = 0 }
-            else if (ch == '"' || ch == '\'') quote = ch
-            else if (ch == '>') end = k + 1
-            k += 1
-          }
-          i = if (end < 0) n else end
+          i = tagEnd(html, i + 1)._1
           pendingSpace = true // tag boundaries separate words
         } else { emit('<'); i += 1 } // bare '<' is text
       } else if (c == '&') {
@@ -134,34 +179,32 @@ object Html {
         i = next
       } else { emit(c); i += 1 }
     }
-    out.toString
+    (out.toString, Option(firstTitle))
   }
 
-  /** First `<title>` content (extracted with the same machine), None
-    * when absent/empty. */
-  def title(html: String): Option[String] = {
-    if (html == null) return None
-    val lower = html.toLowerCase(java.util.Locale.ROOT)
-    val s = lower.indexOf("<title")
-    if (s < 0) return None
-    val gt = html.indexOf('>', s)
-    if (gt < 0) return None
-    val e = lower.indexOf("</title", gt)
-    if (e < 0) return None
-    val t = extractText(html.substring(gt + 1, e))
-    if (t.isEmpty) None else Some(t)
-  }
+  /** Visible text of an HTML document: `<script>`/`<style>`/`<title>`
+    * elements dropped whole (code and head metadata, not body text —
+    * the title is [[Html.title]]'s output), comments and CDATA dropped,
+    * every other tag replaced by a single separator, entities decoded
+    * once, whitespace collapsed to single spaces and trimmed.
+    * Null-safe; never throws on any input. */
+  def extractText(html: String): String = extractCore(html, true)._1
+
+  /** First `<title>` element's content (same machine, same walk), None
+    * when absent/empty. A `<title>` mentioned inside script CODE or a
+    * comment is data, not the title. */
+  def title(html: String): Option[String] = extractCore(html, true)._2
 
   /** DataFrame form: appends `title` (nullable) and `text` (the visible
-    * text) extracted from an HTML string column — one narrow
+    * text), both from ONE extraction walk per document — one narrow
     * per-partition pass, no shuffle. */
   def extract(df: DataFrame, htmlCol: String = "html"): DataFrame = {
     val hi = df.schema.fieldIndex(htmlCol)
     val schema = df.schema.add("title", StringType).add("text", StringType)
     df.mapPartitions { it =>
       it.map { row =>
-        val h = row.getAs[String](hi)
-        Row.fromSeq(row.toSeq :+ title(h).orNull :+ extractText(h))
+        val (text, t) = extractCore(row.getAs[String](hi), true)
+        Row.fromSeq(row.toSeq :+ t.orNull :+ text)
       }
     }(Encoders.row(schema))
   }

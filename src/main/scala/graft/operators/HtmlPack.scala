@@ -19,6 +19,7 @@ object HtmlPack extends QueryPack {
       "q_html_extract" -> { (s, dir) =>
         import s.implicits._
         val pages = table(s, dir, "documents")
+          .filter(col("text").isNotNull) // builder dereferences text
           .select(col("doc_id"), col("text")).as[(Long, String)]
           .map { case (id, text) =>
             val esc = text.replace("&", "&amp;").replace("<", "&lt;")
@@ -41,11 +42,15 @@ object HtmlPack extends QueryPack {
     * and trims) and the constructed title — both re-derived in SQL with
     * no HTML anywhere. */
   override def oracles: Map[String, String] = Map(
+    // trim AFTER the collapse: DuckDB trim() strips spaces only, so a
+    // leading/trailing tab/newline would otherwise survive as a stray
+    // edge space the state machine correctly drops (review r10 — latent
+    // on the current all-space fixture, live on any realistic one).
     "q_html_extract" ->
       """SELECT doc_id, 't' || CAST(doc_id AS VARCHAR) AS title,
-        |  regexp_replace(trim(text), '\s+', ' ', 'g') AS extracted,
-        |  CAST(length(regexp_replace(trim(text), '\s+', ' ', 'g')) AS BIGINT)
+        |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS extracted,
+        |  CAST(length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS BIGINT)
         |    AS n_chars
-        |FROM documents""".stripMargin
+        |FROM documents WHERE text IS NOT NULL""".stripMargin
   )
 }

@@ -70,6 +70,42 @@ class HtmlSpec extends SparkSpec {
     assert(Html.title("no title") === None)
   }
 
+  test("review pins: name boundaries, quoted close tags, title via the same walk") {
+    // Custom elements whose names merely START with a drop-name are NOT
+    // swallowed (r10 review: <title-bar> content vanished).
+    assert(Html.extractText("<title-bar>Breaking</title-bar> body") ===
+      "Breaking body")
+    assert(Html.extractText("<styled-div>x</styled-div>") === "x")
+    // The close tag needs the same boundary: '</scripts>' is NOT the
+    // close of a <script> element.
+    assert(Html.extractText("<script>a</scripts>b</script>c") === "c")
+    // A close-tag string INSIDE the open tag's quoted attribute is data
+    // (r10 review: script code leaked into the text).
+    assert(Html.extractText(
+      "<script src=\"a</script>\">code</script>after") === "after")
+    // Self-closing drop-elements have no content to skip.
+    assert(Html.extractText("<script src=\"x\"/>after") === "after")
+    // The title comes from the same machine walk: '<title>' inside
+    // script CODE is data; attribute '>' inside quotes is honored; a
+    // length-changing lowercase char (U+0130) before the title cannot
+    // misalign anything (r10 review: all three produced wrong titles).
+    assert(Html.title("<script>document.title = \"<title>fake</title>\";" +
+      "</script><title>Real</title>") === Some("Real"))
+    assert(Html.title("<title data-x=\"a>b\">T</title>") === Some("T"))
+    assert(Html.title("<p>İstanbul</p><title>Real Title</title>") ===
+      Some("Real Title"))
+    assert(Html.extractText("<p>İstanbul</p><title>Real Title</title>") ===
+      "İstanbul")
+    // Non-WHATWG numeric forms stay literal: non-ASCII digits, signs.
+    assert(Html.extractText("&#٦٥;") === "&#٦٥;")
+    assert(Html.extractText("&#x+41;") === "&#x+41;")
+    // A nested-title bomb cannot grow the stack (capture recurses ONCE
+    // with capture off).
+    val bomb = "<title>" * 2000 + "x" + "</title>" * 2000
+    assert(Html.extractText(bomb) === "") // all inside the first title
+    assert(Html.title(bomb).nonEmpty)
+  }
+
   test("extract: DataFrame form appends title + text in one narrow pass") {
     val sparkSession = spark
     import sparkSession.implicits._
