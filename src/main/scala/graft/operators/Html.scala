@@ -23,22 +23,144 @@ import org.apache.spark.sql.types._
   */
 object Html {
 
-  private val Basic = Map("amp" -> '&', "lt" -> '<', "gt" -> '>',
-    "quot" -> '"', "apos" -> '\'', "nbsp" -> ' ')
+  /** WHATWG numeric-reference override: `&#128;`–`&#159;` decode as the
+    * windows-1252 characters every browser substitutes (the C1 controls
+    * they nominally name never appear intentionally on the web — `&#146;`
+    * is an apostrophe, `&#151;` an em-dash). The five holes (0x81, 0x8D,
+    * 0x8F, 0x90, 0x9D) have no cp1252 glyph and stay literal. */
+  private val Cp1252 = Map(
+    0x80 -> 0x20ac, 0x82 -> 0x201a, 0x83 -> 0x0192, 0x84 -> 0x201e,
+    0x85 -> 0x2026, 0x86 -> 0x2020, 0x87 -> 0x2021, 0x88 -> 0x02c6,
+    0x89 -> 0x2030, 0x8a -> 0x0160, 0x8b -> 0x2039, 0x8c -> 0x0152,
+    0x8e -> 0x017d, 0x91 -> 0x2018, 0x92 -> 0x2019, 0x93 -> 0x201c,
+    0x94 -> 0x201d, 0x95 -> 0x2022, 0x96 -> 0x2013, 0x97 -> 0x2014,
+    0x98 -> 0x02dc, 0x99 -> 0x2122, 0x9a -> 0x0161, 0x9b -> 0x203a,
+    0x9c -> 0x0153, 0x9e -> 0x017e, 0x9f -> 0x0178)
+
+  /** Named references: the full HTML4/Latin-1/Greek/symbol set (the
+    * entities that dominate real crawl text — the long tail of the
+    * WHATWG table is compound math forms that essentially never appear).
+    * Values are chosen for CORPUS text, not glyph fidelity: the
+    * `&nbsp;` family decodes to a plain space (it separates words; a
+    * literal U+00A0 would split tokens differently from visually
+    * identical pages) and `&shy;` (invisible soft hyphen) is removed —
+    * both documented normalizations, applied identically to the numeric
+    * forms. */
+  private[operators] val Named: Map[String, String] = {
+    val m = Map.newBuilder[String, String]
+    def e(pairs: (String, Int)*): Unit = pairs.foreach { case (k, cp) =>
+      m += k -> new String(Character.toChars(cp))
+    }
+    m ++= Seq("amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+      "apos" -> "'", "nbsp" -> " ", "ensp" -> " ", "emsp" -> " ",
+      "thinsp" -> " ", "shy" -> "")
+    // Latin-1 punctuation + signs.
+    e("iexcl" -> 0xa1, "cent" -> 0xa2, "pound" -> 0xa3, "curren" -> 0xa4,
+      "yen" -> 0xa5, "brvbar" -> 0xa6, "sect" -> 0xa7, "uml" -> 0xa8,
+      "copy" -> 0xa9, "ordf" -> 0xaa, "laquo" -> 0xab, "not" -> 0xac,
+      "reg" -> 0xae, "macr" -> 0xaf, "deg" -> 0xb0, "plusmn" -> 0xb1,
+      "sup2" -> 0xb2, "sup3" -> 0xb3, "acute" -> 0xb4, "micro" -> 0xb5,
+      "para" -> 0xb6, "middot" -> 0xb7, "cedil" -> 0xb8, "sup1" -> 0xb9,
+      "ordm" -> 0xba, "raquo" -> 0xbb, "frac14" -> 0xbc, "frac12" -> 0xbd,
+      "frac34" -> 0xbe, "iquest" -> 0xbf, "times" -> 0xd7,
+      "divide" -> 0xf7, "szlig" -> 0xdf)
+    // Latin-1 letters, lowercase + the uppercase partners at cp−0x20.
+    val l1 = Seq("agrave" -> 0xe0, "aacute" -> 0xe1, "acirc" -> 0xe2,
+      "atilde" -> 0xe3, "auml" -> 0xe4, "aring" -> 0xe5, "aelig" -> 0xe6,
+      "ccedil" -> 0xe7, "egrave" -> 0xe8, "eacute" -> 0xe9,
+      "ecirc" -> 0xea, "euml" -> 0xeb, "igrave" -> 0xec, "iacute" -> 0xed,
+      "icirc" -> 0xee, "iuml" -> 0xef, "eth" -> 0xf0, "ntilde" -> 0xf1,
+      "ograve" -> 0xf2, "oacute" -> 0xf3, "ocirc" -> 0xf4,
+      "otilde" -> 0xf5, "ouml" -> 0xf6, "oslash" -> 0xf8,
+      "ugrave" -> 0xf9, "uacute" -> 0xfa, "ucirc" -> 0xfb, "uuml" -> 0xfc,
+      "yacute" -> 0xfd, "thorn" -> 0xfe, "yuml" -> 0xff)
+    l1.foreach { case (nm, cp) =>
+      e(nm -> cp)
+      if (cp != 0xff) { // 0xDF is szlig, not an uppercase yuml
+        val up = nm match {
+          case "aelig" => "AElig"; case "eth" => "ETH"
+          case "thorn" => "THORN"; case x => x.capitalize
+        }
+        e(up -> (cp - 0x20))
+      }
+    }
+    // Greek, both cases (0x3C2/0x3A2 final-sigma slot skipped).
+    val greek = ("alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi " +
+      "psi omega").split(' ')
+    greek.zipWithIndex.foreach { case (nm, ix) =>
+      val off = if (ix >= 17) ix + 1 else ix
+      e(nm -> (0x3b1 + off), nm.capitalize -> (0x391 + off))
+    }
+    e("sigmaf" -> 0x3c2)
+    // General punctuation, currency, symbols.
+    e("ndash" -> 0x2013, "mdash" -> 0x2014, "lsquo" -> 0x2018,
+      "rsquo" -> 0x2019, "sbquo" -> 0x201a, "ldquo" -> 0x201c,
+      "rdquo" -> 0x201d, "bdquo" -> 0x201e, "dagger" -> 0x2020,
+      "Dagger" -> 0x2021, "bull" -> 0x2022, "hellip" -> 0x2026,
+      "permil" -> 0x2030, "prime" -> 0x2032, "Prime" -> 0x2033,
+      "lsaquo" -> 0x2039, "rsaquo" -> 0x203a, "oline" -> 0x203e,
+      "frasl" -> 0x2044, "euro" -> 0x20ac, "trade" -> 0x2122,
+      "alefsym" -> 0x2135, "fnof" -> 0x192, "circ" -> 0x2c6,
+      "tilde" -> 0x2dc, "OElig" -> 0x152, "oelig" -> 0x153,
+      "Scaron" -> 0x160, "scaron" -> 0x161, "Yuml" -> 0x178,
+      "loz" -> 0x25ca, "spades" -> 0x2660, "clubs" -> 0x2663,
+      "hearts" -> 0x2665, "diams" -> 0x2666)
+    // Arrows + math.
+    e("larr" -> 0x2190, "uarr" -> 0x2191, "rarr" -> 0x2192,
+      "darr" -> 0x2193, "harr" -> 0x2194, "crarr" -> 0x21b5,
+      "lArr" -> 0x21d0, "uArr" -> 0x21d1, "rArr" -> 0x21d2,
+      "dArr" -> 0x21d3, "hArr" -> 0x21d4, "forall" -> 0x2200,
+      "part" -> 0x2202, "exist" -> 0x2203, "empty" -> 0x2205,
+      "nabla" -> 0x2207, "isin" -> 0x2208, "notin" -> 0x2209,
+      "ni" -> 0x220b, "prod" -> 0x220f, "sum" -> 0x2211,
+      "minus" -> 0x2212, "lowast" -> 0x2217, "radic" -> 0x221a,
+      "prop" -> 0x221d, "infin" -> 0x221e, "ang" -> 0x2220,
+      "and" -> 0x2227, "or" -> 0x2228, "cap" -> 0x2229, "cup" -> 0x222a,
+      "int" -> 0x222b, "there4" -> 0x2234, "sim" -> 0x223c,
+      "cong" -> 0x2245, "asymp" -> 0x2248, "ne" -> 0x2260,
+      "equiv" -> 0x2261, "le" -> 0x2264, "ge" -> 0x2265, "sub" -> 0x2282,
+      "sup" -> 0x2283, "nsub" -> 0x2284, "sube" -> 0x2286,
+      "supe" -> 0x2287, "oplus" -> 0x2295, "otimes" -> 0x2297,
+      "perp" -> 0x22a5, "sdot" -> 0x22c5)
+    m.result()
+  }
+
+  /** The no-semicolon LEGACY names (WHATWG's historical set — in text
+    * content browsers decode `&amp` / `&copy` etc. even unterminated),
+    * longest-first so `&quot` wins over a hypothetical shorter prefix.
+    * Matched case-insensitively like the browser tables' dual entries. */
+  private val Legacy = Seq("quot", "apos", "nbsp", "copy", "amp", "reg",
+    "lt", "gt")
 
   /** Decode one entity starting AT `&` (index `i`); returns (decoded
-    * char, index after). Unknown, unterminated, or non-WHATWG forms
-    * (non-ASCII digits, signs, control/astral code points) stay a
-    * literal `&` — never dropped, never decoded twice. */
-  private def entity(s: String, i: Int): (Char, Int) = {
+    * string, index after). Follows the WHATWG character-reference rules
+    * that matter for corpus text: ASCII-digit numeric forms up to
+    * U+10FFFF (astral code points — every emoji — emit a surrogate
+    * pair), the C1 range remapped per windows-1252, TAB/LF/CR accepted
+    * as whitespace, the named table above, and the legacy no-semicolon
+    * forms. Everything else (unknown names, non-ASCII digits, signs,
+    * other controls, surrogates, out-of-range) stays a literal `&` —
+    * never dropped, never decoded twice. */
+  private def entity(s: String, i: Int): (String, Int) = {
     val n = s.length
+    // WHATWG: unterminated legacy forms decode in text content.
+    def legacyAt(): (String, Int) = {
+      var res: (String, Int) = null
+      val it = Legacy.iterator
+      while (res == null && it.hasNext) {
+        val nm = it.next()
+        if (matches(s, i + 1, nm)) res = (Named(nm), i + 1 + nm.length)
+      }
+      if (res == null) ("&", i + 1) else res
+    }
     val semi = {
       var k = i + 1
-      val limit = math.min(n, i + 12) // longest accepted form: &#x10FFFF;
+      val limit = math.min(n, i + 12) // longest form: &#x10FFFF; / 10-char name
       while (k < limit && s.charAt(k) != ';') k += 1
       if (k < limit && k > i + 1 && s.charAt(k) == ';') k else -1
     }
-    if (semi < 0) return ('&', i + 1)
+    if (semi < 0) return legacyAt()
     val body = s.substring(i + 1, semi)
     @inline def dec(c: Char) = c >= '0' && c <= '9'
     @inline def hex(c: Char) = dec(c) || (c >= 'a' && c <= 'f') ||
@@ -53,12 +175,19 @@ object Html {
           else if (num.nonEmpty && num.forall(dec)) num.toInt
           else -1 // ASCII digits only — browsers leave '&#٦٥;' literal
         } catch { case _: NumberFormatException => -1 }
-      if (cp >= 32 && cp <= 0xffff && !Character.isSurrogate(cp.toChar))
-        (cp.toChar, semi + 1)
-      else ('&', i + 1) // control/astral/invalid → literal ampersand
-    } else Basic.get(body) match {
-      case Some(c) => (c, semi + 1)
-      case None => ('&', i + 1)
+      val mapped =
+        if (cp >= 0x80 && cp <= 0x9f) Cp1252.getOrElse(cp, -1) else cp
+      if (mapped == 0xa0) (" ", semi + 1) // same normalization as &nbsp;
+      else if (mapped == 0xad) ("", semi + 1) // same removal as &shy;
+      else if (mapped == 9 || mapped == 10 || mapped == 13)
+        (" ", semi + 1) // legal whitespace controls
+      else if (mapped >= 32 && mapped != 127 && mapped <= 0x10ffff &&
+        !(mapped >= 0xd800 && mapped <= 0xdfff))
+        (new String(Character.toChars(mapped)), semi + 1)
+      else ("&", i + 1) // control/surrogate/invalid → literal ampersand
+    } else Named.get(body) match {
+      case Some(v) => (v, semi + 1)
+      case None => legacyAt() // '&ampx;' decodes the legacy prefix
     }
   }
 
@@ -175,7 +304,8 @@ object Html {
         } else { emit('<'); i += 1 } // bare '<' is text
       } else if (c == '&') {
         val (d, next) = entity(html, i)
-        emit(d)
+        var j = 0
+        while (j < d.length) { emit(d.charAt(j)); j += 1 }
         i = next
       } else { emit(c); i += 1 }
     }

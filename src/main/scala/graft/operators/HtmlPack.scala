@@ -34,6 +34,23 @@ object HtmlPack extends QueryPack {
           .select(col("doc_id"), col("title"),
             col("text").as("extracted"),
             length(col("text")).cast("long").as("n_chars"))
+      },
+      // WHATWG entity fidelity (r10 verdict #3): astral numerics (emoji
+      // surrogate pairs), the C1→cp1252 remap, extended named set, the
+      // nbsp/shy corpus normalizations, whitespace refs, and a legacy
+      // no-semicolon form — all in one constructed paragraph whose
+      // decode DuckDB re-derives from raw code points, no HTML anywhere.
+      "q_html_entities" -> { (s, dir) =>
+        import s.implicits._
+        val pages = table(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            (id, s"<p>d$id A&mdash;B &#x1F600; it&#146;s " +
+              "caf&eacute; &hellip; &Omega;&ne;&frac12; x&#10;y " +
+              "hy&shy;phen &amp z</p>")
+          }.toDF("doc_id", "html")
+        Html.extract(pages)
+          .select(col("doc_id"), col("text").as("extracted"))
       }
     )
 
@@ -51,6 +68,17 @@ object HtmlPack extends QueryPack {
         |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS extracted,
         |  CAST(length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS BIGINT)
         |    AS n_chars
-        |FROM documents WHERE text IS NOT NULL""".stripMargin
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    // Expected decode assembled from raw code points: — U+2014, 😀
+    // U+1F600, ’ U+2019 (the cp1252 remap of 146), é U+00E9, … U+2026,
+    // Ω U+03A9, ≠ U+2260, ½ U+00BD; &#10; collapses to a space, &shy;
+    // vanishes, legacy '&amp ' decodes unterminated.
+    "q_html_entities" ->
+      """SELECT doc_id,
+        |  'd' || CAST(doc_id AS VARCHAR) || ' A' || chr(8212) || 'B ' ||
+        |  chr(128512) || ' it' || chr(8217) || 's caf' || chr(233) ||
+        |  ' ' || chr(8230) || ' ' || chr(937) || chr(8800) || chr(189) ||
+        |  ' x y hyphen & z' AS extracted
+        |FROM documents""".stripMargin
   )
 }

@@ -46,6 +46,53 @@ class HtmlSpec extends SparkSpec {
       "<script>alert(1)</script>")
   }
 
+  test("entities: WHATWG astral/cp1252/named/legacy forms (r10 verdict #3)") {
+    // Astral numeric references — every emoji — emit the surrogate pair.
+    assert(Html.extractText("&#128512;") === "😀")
+    assert(Html.extractText("a&#x1F600;b") === "a😀b")
+    // The WHATWG C1→windows-1252 numeric remap: &#146; is an apostrophe,
+    // &#151; an em-dash, &#133; an ellipsis; the 5 cp1252 holes refuse.
+    assert(Html.extractText("it&#146;s") === "it’s")
+    assert(Html.extractText("a&#151;b &#133;") === "a—b …")
+    assert(Html.extractText("&#129;") === "&#129;")
+    // TAB/LF/CR numeric refs are legal whitespace, collapsed like any.
+    assert(Html.extractText("x&#10;y") === "x y")
+    assert(Html.extractText("x&#9;&#13;y") === "x y")
+    // Surrogate / past-Unicode / NUL / DEL refs stay literal.
+    assert(Html.extractText("&#xD800;") === "&#xD800;")
+    assert(Html.extractText("&#1114112;") === "&#1114112;") // 0x110000
+    assert(Html.extractText("&#0;") === "&#0;")
+    assert(Html.extractText("&#127;") === "&#127;")
+    // Extended named set: punctuation, Latin-1, Greek, math.
+    assert(Html.extractText("A&mdash;B&ndash;C") === "A—B–C")
+    assert(Html.extractText("&ldquo;q&rdquo;&hellip;") ===
+      "“q”…")
+    assert(Html.extractText("caf&eacute; &Eacute;") === "café É")
+    assert(Html.extractText("&alpha;&Omega;&sigma;&sigmaf;") ===
+      "αΩσς")
+    assert(Html.extractText("&le;&ne;&rarr;&euro;&frac12;") ===
+      "≤≠→€½")
+    assert(Html.extractText("&AElig;&szlig;&THORN;&yuml;&Yuml;") ===
+      "ÆßÞÿŸ")
+    // Corpus normalizations: nbsp-family → plain space, shy removed —
+    // numeric and named forms identically.
+    assert(Html.extractText("x&#160;y") === "x y")
+    assert(Html.extractText("x&ensp;y&thinsp;z") === "x y z")
+    assert(Html.extractText("hy&shy;phen&#173;ate") === "hyphenate")
+    // Legacy no-semicolon forms decode in text content (case-insensitive
+    // like the browser tables); unknown names that START with a legacy
+    // name decode the prefix, exactly as the longest-match tokenizer does.
+    assert(Html.extractText("a &amp b") === "a & b")
+    assert(Html.extractText("&copy 2024 &reg &AMP") === "© 2024 ® &")
+    assert(Html.extractText("1 &lt 2 &gt 0") === "1 < 2 > 0")
+    assert(Html.extractText("&ampx;") === "&x;")
+    // Decode-once still holds with the legacy forms in play.
+    assert(Html.extractText("&amp;amp;") === "&amp;")
+    assert(Html.extractText("&amp;mdash;") === "&mdash;")
+    // Named lookup is case-sensitive outside the legacy set.
+    assert(Html.extractText("&MDASH;") === "&MDASH;")
+  }
+
   test("extractText/title: hostile + malformed inputs degrade cleanly, never throw") {
     assert(Html.extractText(null) === "")
     assert(Html.extractText("") === "")
