@@ -23,6 +23,7 @@ object SparkEntry {
     operators.BpePack,
     sources.AvroPack,
     sources.WarcPack,
+    sources.HttpPack,
     operators.HtmlPack,
     multimodal.MediaPack,
     serve.ServePack
