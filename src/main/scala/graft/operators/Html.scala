@@ -320,6 +320,194 @@ object Html {
     * Null-safe; never throws on any input. */
   def extractText(html: String): String = extractCore(html, true)._1
 
+  // ---------------------------------------------------------------------
+  // Boilerplate / main-content extraction — the step AFTER tag stripping
+  // in every published web-corpus pipeline: nav bars, footers, cookie
+  // banners are the #1 contaminant plain tag-stripping leaves behind.
+
+  /** One structural block of a page: its whitespace-normalized visible
+    * text and how many of those characters sat inside `<a>` elements
+    * (anchor TEXT, not href). `linkChars` counts non-whitespace
+    * characters only — separator spaces belong to the block, not to
+    * the link. */
+  final case class HtmlBlock(text: String, linkChars: Int)
+
+  /** Block-level boundary tags: opening OR closing one flushes the
+    * current block. The HTML5 flow-content splitters plus the legacy
+    * table/form tags real pages still use. */
+  private val BlockTags: Set[String] = Set(
+    "p", "div", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "h6",
+    "table", "thead", "tbody", "tfoot", "tr", "td", "th", "caption",
+    "section", "article", "main", "blockquote", "pre", "br", "hr",
+    "form", "dl", "dt", "dd", "figure", "figcaption", "body", "html",
+    "head", "center", "fieldset", "legend", "address", "summary",
+    "details")
+
+  /** Semantic boilerplate scopes dropped WHOLE, nesting-aware: the
+    * HTML5 landmark tags whose content is site chrome by definition.
+    * An unclosed scope swallows the tail — the same degradation as an
+    * unclosed `<script>`, and the right trade on hostile markup. */
+  private val DropScopes: Set[String] = Set("nav", "footer", "header",
+    "aside")
+
+  /** ASCII-lowercased tag name starting at `from` (letters, digits,
+    * dashes). Manual A–Z fold — locale-dependent `toLowerCase` changes
+    * string length on e.g. U+0130 (the r10 title-misalignment bug
+    * class). */
+  private def tagNameAt(s: String, from: Int): String = {
+    var i = from
+    val sb = new java.lang.StringBuilder(8)
+    var ok = true
+    while (ok && i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '-')
+        { sb.append(c); i += 1 }
+      else if (c >= 'A' && c <= 'Z') { sb.append((c + 32).toChar); i += 1 }
+      else ok = false
+    }
+    sb.toString
+  }
+
+  /** Skip a drop-whole element (`script`/`style`/`title`) starting at
+    * its `<`: parse the open tag quote-aware, then scan for the
+    * boundary-checked close tag. Returns the index after the close (or
+    * n when unterminated — same tail-drop degradation as
+    * [[extractCore]]). */
+  private def skipDropWhole(s: String, i: Int, name: String): Int = {
+    val n = s.length
+    val (openEnd, selfClosing) = tagEnd(s, i + 1)
+    if (selfClosing || openEnd >= n) return openEnd
+    var k = openEnd
+    while (k < n) {
+      if (s.charAt(k) == '<' && k + 1 < n && s.charAt(k + 1) == '/' &&
+        matches(s, k + 2, name) && boundary(s, k + 2 + name.length)) {
+        var g = k + 2 + name.length
+        while (g < n && s.charAt(g) != '>') g += 1
+        return if (g < n) g + 1 else n
+      }
+      k += 1
+    }
+    n
+  }
+
+  /** Segment a page into structural blocks: the same single-pass O(n)
+    * machine as [[extractCore]], but flushing a block at every
+    * block-level tag boundary, dropping the [[DropScopes]] landmarks
+    * whole (nesting-aware with a floor — stray closes never underflow),
+    * and counting anchor-text characters per block for the link-density
+    * signal. Null-safe; never throws. */
+  def blocks(html: String): Vector[HtmlBlock] = {
+    if (html == null) return Vector.empty
+    val n = html.length
+    val out = Vector.newBuilder[HtmlBlock]
+    val cur = new java.lang.StringBuilder(256)
+    var linkChars = 0
+    var pendingSpace = false
+    var linkDepth = 0
+    var dropDepth = 0 // combined depth across all DropScopes tags
+    @inline def emit(c: Char): Unit = {
+      if (dropDepth > 0) return
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f')
+        pendingSpace = true
+      else {
+        if (pendingSpace && cur.length > 0) cur.append(' ')
+        pendingSpace = false
+        cur.append(c)
+        if (linkDepth > 0) linkChars += 1
+      }
+    }
+    def flush(): Unit = {
+      if (cur.length > 0) out += HtmlBlock(cur.toString, linkChars)
+      cur.setLength(0)
+      linkChars = 0
+      pendingSpace = false
+    }
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        val dropName =
+          if (openTagAt(html, i, "script")) "script"
+          else if (openTagAt(html, i, "style")) "style"
+          else if (openTagAt(html, i, "title")) "title"
+          else null
+        if (matches(html, i, "<!--")) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+          pendingSpace = true
+        } else if (matches(html, i, "<![CDATA[")) {
+          val e = html.indexOf("]]>", i + 9)
+          i = if (e < 0) n else e + 3
+          pendingSpace = true
+        } else if (dropName != null) {
+          i = skipDropWhole(html, i, dropName)
+          pendingSpace = true
+        } else if (i + 1 < n && (html.charAt(i + 1).isLetter ||
+          html.charAt(i + 1) == '/' || html.charAt(i + 1) == '!' ||
+          html.charAt(i + 1) == '?')) {
+          val closing = html.charAt(i + 1) == '/'
+          val name = tagNameAt(html, if (closing) i + 2 else i + 1)
+          val (after, selfClosing) = tagEnd(html, i + 1)
+          if (DropScopes(name)) {
+            if (closing) { if (dropDepth > 0) dropDepth -= 1 }
+            else if (!selfClosing) {
+              if (dropDepth == 0) flush()
+              dropDepth += 1
+            }
+          } else if (dropDepth == 0) {
+            if (name == "a") {
+              // Browsers forbid nested <a>: an open implicitly closes
+              // any open anchor (bounds sloppy unclosed-<a> damage),
+              // and link-ness deliberately persists across block
+              // boundaries — an <a> wrapping whole <div> cards is the
+              // densest chrome there is.
+              if (closing) linkDepth = 0
+              else if (!selfClosing) linkDepth = 1
+            } else if (BlockTags(name)) flush()
+          }
+          pendingSpace = true
+          i = after
+        } else { emit('<'); i += 1 }
+      } else if (c == '&') {
+        val (d, next) = entity(html, i)
+        var j = 0
+        while (j < d.length) { emit(d.charAt(j)); j += 1 }
+        i = next
+      } else { emit(c); i += 1 }
+    }
+    flush()
+    out.result()
+  }
+
+  /** Main-content text: the [[blocks]] that read as prose rather than
+    * chrome — at least `minChars` of visible text AND anchor-text
+    * density of at most one third (`linkChars * 3 <= chars`; a cookie
+    * banner or a "related links" box is mostly anchor text, a paragraph
+    * is not) — joined with newlines. The landmark scopes (`nav`,
+    * `footer`, `header`, `aside`) are already gone at this layer. The
+    * thresholds are the classic text-density heuristic (jusText /
+    * boilerpipe family) reduced to its deterministic core: local,
+    * reproducible, no trained model. */
+  def mainText(html: String, minChars: Int = 25): String = {
+    val kept = blocks(html).iterator.filter { b =>
+      b.text.length >= minChars && b.linkChars * 3 <= b.text.length
+    }
+    kept.map(_.text).mkString("\n")
+  }
+
+  /** DataFrame form of [[mainText]]: appends `main_text` — one narrow
+    * per-partition pass, no shuffle, same scan as the ingest chain. */
+  def extractMain(df: DataFrame, htmlCol: String = "html",
+                  minChars: Int = 25): DataFrame = {
+    val hi = df.schema.fieldIndex(htmlCol)
+    val schema = df.schema.add("main_text", StringType)
+    df.mapPartitions { it =>
+      it.map { row =>
+        Row.fromSeq(row.toSeq :+ mainText(row.getAs[String](hi), minChars))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** First `<title>` element's content (same machine, same walk), None
     * when absent/empty. A `<title>` mentioned inside script CODE or a
     * comment is data, not the title. */

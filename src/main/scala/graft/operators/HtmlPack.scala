@@ -51,6 +51,34 @@ object HtmlPack extends QueryPack {
           }.toDF("doc_id", "html")
         Html.extract(pages)
           .select(col("doc_id"), col("text").as("extracted"))
+      },
+      // Boilerplate extraction (r10 verdict #4): the document text is
+      // embedded as the article body of a page dressed in the real
+      // chrome a crawler meets — a nav bar of links, a header
+      // masthead, a link-dense cookie banner, a share button, a
+      // footer. mainText must strip ALL of it and return exactly the
+      // whitespace-normalized article (or '' below the prose
+      // threshold) — DuckDB re-derives that from the raw text alone.
+      "q_html_main" -> { (s, dir) =>
+        import s.implicits._
+        val pages = table(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            val esc = text.replace("&", "&amp;").replace("<", "&lt;")
+              .replace(">", "&gt;")
+            (id, s"<html><head><title>t$id</title></head><body>" +
+              "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+              "<a href=\"/c\">Contact</a></nav>" +
+              s"<header><h1>Site $id</h1></header>" +
+              "<div>We use cookies <a href=\"#\">Accept</a> " +
+              "<a href=\"#\">Decline</a></div>" +
+              "<article><p>" + esc + "</p></article>" +
+              "<div><a href=\"/s\">Share</a></div>" +
+              s"<footer>(c) 2024 Example $id</footer></body></html>")
+          }.toDF("doc_id", "html")
+        Html.extractMain(pages)
+          .select(col("doc_id"), col("main_text"))
       }
     )
 
@@ -79,6 +107,16 @@ object HtmlPack extends QueryPack {
         |  chr(128512) || ' it' || chr(8217) || 's caf' || chr(233) ||
         |  ' ' || chr(8230) || ' ' || chr(937) || chr(8800) || chr(189) ||
         |  ' x y hyphen & z' AS extracted
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // The chrome is dropped by construction (landmark scopes + the
+    // banner's 13 anchor chars against 29 total + the sub-threshold
+    // share block); what survives is the article paragraph iff it
+    // clears the 25-char prose floor.
+    "q_html_main" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) >= 25
+        |    THEN trim(regexp_replace(text, '\s+', ' ', 'g'))
+        |    ELSE '' END AS main_text
+        |FROM documents WHERE text IS NOT NULL""".stripMargin
   )
 }

@@ -153,6 +153,68 @@ class HtmlSpec extends SparkSpec {
     assert(Html.title(bomb).nonEmpty)
   }
 
+  test("blocks/mainText: landmark scopes dropped, link-density chrome filtered") {
+    val page = "<html><head><title>T</title><style>p{}</style></head><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+      "<header><h1>Site Name</h1></header>" +
+      "<div>We use cookies <a href=\"#\">Accept</a> " +
+      "<a href=\"#\">Decline</a></div>" +
+      "<p>This paragraph is the actual article body of the page.</p>" +
+      "<div>Share</div>" +
+      "<footer>© 2024 Example Corp</footer></body></html>"
+    val bs = Html.blocks(page)
+    // nav/header/footer content never reaches a block.
+    assert(!bs.exists(_.text.contains("Home")))
+    assert(!bs.exists(_.text.contains("Site Name")))
+    assert(!bs.exists(_.text.contains("Example Corp")))
+    // The cookie banner block counts its anchor text exactly.
+    val banner = bs.find(_.text.startsWith("We use cookies")).get
+    assert(banner.text === "We use cookies Accept Decline")
+    assert(banner.linkChars === 13) // "Accept" + "Decline"
+    // minChars drops "Share"; link density drops the banner; the
+    // article paragraph is the only survivor.
+    assert(Html.mainText(page) ===
+      "This paragraph is the actual article body of the page.")
+    // Nested landmark scopes are depth-counted; stray closes floor at 0.
+    assert(Html.mainText("<aside><nav><a>x</a></nav>junk</aside>" +
+      "<p>Real content paragraph here ok</p>") ===
+      "Real content paragraph here ok")
+    assert(Html.mainText("</nav></footer>" +
+      "<p>Real content paragraph here ok</p>") ===
+      "Real content paragraph here ok")
+    // Multiple kept blocks join with newlines, in document order.
+    assert(Html.mainText(
+      "<p>First real paragraph with enough characters.</p>" +
+        "<p>Second real paragraph with enough characters.</p>") ===
+      "First real paragraph with enough characters.\n" +
+        "Second real paragraph with enough characters.")
+    // Mostly-anchor blocks are dropped even when long.
+    assert(Html.mainText("<div><a>A long list of related article " +
+      "links goes here</a> x</div>") === "")
+    // An <a> wrapping whole blocks (click-anywhere card links) marks
+    // them ALL as anchor text; the next <a> open implicitly closes a
+    // sloppy unclosed one (browsers forbid nested anchors).
+    val card = Html.blocks("<a href=\"/x\"><div>Card title</div>" +
+      "<div>Card description text</div></a>")
+    assert(card.nonEmpty &&
+      card.forall(b => b.linkChars === b.text.count(_ != ' ')))
+    val sloppy = Html.blocks("<p><a href=\"#\">one</p>" +
+      "<p><a href=\"#\">two</a> free text</p>")
+    assert(sloppy.last.text === "two free text" &&
+      sloppy.last.linkChars === 3)
+    // Null / hostile safety; script/style/comment still dropped whole.
+    assert(Html.blocks(null).isEmpty && Html.mainText(null) === "")
+    assert(Html.mainText("<script>var x = '<p>no</p>';</script>" +
+      "<p>Real content paragraph here ok</p>") ===
+      "Real content paragraph here ok")
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 300) {
+      val cs = Array.fill(rnd.nextInt(300))(
+        "<>&;\"' abnav#x/!-".charAt(rnd.nextInt(17)))
+      Html.blocks(new String(cs)) // must not throw
+    }
+  }
+
   test("extract: DataFrame form appends title + text in one narrow pass") {
     val sparkSession = spark
     import sparkSession.implicits._
