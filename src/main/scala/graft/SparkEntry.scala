@@ -25,6 +25,7 @@ object SparkEntry {
     sources.WarcPack,
     sources.HttpPack,
     operators.HtmlPack,
+    operators.UrlPack,
     multimodal.MediaPack,
     serve.ServePack
   )

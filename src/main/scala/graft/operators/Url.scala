@@ -1,0 +1,332 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** URL operators for crawl curation — the keys a web-corpus pipeline
+  * dedups and caps on. No URL parsing existed in the repo, yet
+  * URL-exact dedup, per-domain caps, and domain-level quality priors
+  * all key on a CANONICAL form: `java.net.URI` throws on the unencoded
+  * characters real crawls are full of, so this is a lenient hand-rolled
+  * parser plus the RFC 3986 §6 normalizations browsers apply —
+  * lowercase scheme/host, default port dropped, dot-segments resolved,
+  * percent-encoding normalized (unreserved decoded, the rest uppercase,
+  * illegal raw characters encoded), fragment dropped.
+  *
+  * [[Url.registrableDomain]] approximates eTLD+1 with a compact
+  * built-in multi-label-suffix table (the full public-suffix list is a
+  * network resource; the table covers the high-traffic ccTLD second
+  * levels — co.uk, com.au, co.jp, … — and the default "last two
+  * labels" rule is exact for every gTLD). Documented approximation,
+  * swappable for a full PSL snapshot in deployment.
+  *
+  * Scale: [[Url.withUrlParts]] is a narrow per-partition string pass
+  * (the same justified boundary as the codec decoders — no UDF
+  * registry, no shuffle); [[Url.capPerDomain]] is ONE shuffle on the
+  * domain key via a ranking window — the standard per-host politeness/
+  * quota shape, with the skew caveat scaladoc'd on the method. */
+object Url {
+
+  /** Lenient split of a hierarchical URL. `port` is −1 when absent,
+    * `query`/`fragment` null when absent, `userinfo` null when absent.
+    * None only when there is no `scheme://host` shape at all. */
+  final case class UrlParts(scheme: String, userinfo: String,
+                            host: String, port: Int, path: String,
+                            query: String, fragment: String)
+
+  /** Parse `scheme://[userinfo@]host[:port][/path][?query][#fragment]`
+    * without throwing on anything. Non-hierarchical schemes (mailto:,
+    * data:) and garbage return None — they have no host to key on. */
+  def parse(url: String): Option[UrlParts] = {
+    if (url == null) return None
+    val s = url.trim
+    val ci = s.indexOf(':')
+    if (ci <= 0 || ci + 2 >= s.length) return None
+    val scheme = s.substring(0, ci)
+    if (!scheme.charAt(0).isLetter || !scheme.forall(c =>
+      c.isLetterOrDigit || c == '+' || c == '-' || c == '.')) return None
+    if (s.charAt(ci + 1) != '/' || s.charAt(ci + 2) != '/') return None
+    val i = ci + 3
+    var j = i
+    while (j < s.length && s.charAt(j) != '/' && s.charAt(j) != '?' &&
+      s.charAt(j) != '#') j += 1
+    val auth = s.substring(i, j)
+    val at = auth.lastIndexOf('@')
+    val userinfo = if (at >= 0) auth.substring(0, at) else null
+    val hostport = if (at >= 0) auth.substring(at + 1) else auth
+    val (host, port) =
+      if (hostport.startsWith("[")) { // IPv6 literal
+        val rb = hostport.indexOf(']')
+        if (rb < 0) (hostport, -1)
+        else {
+          val rest = hostport.substring(rb + 1)
+          if (rest.length > 1 && rest.charAt(0) == ':' &&
+            rest.substring(1).forall(_.isDigit) && rest.length <= 6)
+            (hostport.substring(0, rb + 1), rest.substring(1).toInt)
+          else (hostport.substring(0, rb + 1), -1)
+        }
+      } else {
+        val pc = hostport.lastIndexOf(':')
+        if (pc >= 0) {
+          val digits = hostport.substring(pc + 1)
+          if (digits.nonEmpty && digits.length <= 5 &&
+            digits.forall(_.isDigit))
+            (hostport.substring(0, pc), digits.toInt)
+          else (hostport.substring(0, pc), -1) // trailing/garbage port
+        } else (hostport, -1)
+      }
+    if (host.isEmpty) return None
+    var path = ""
+    var query: String = null
+    var fragment: String = null
+    if (j < s.length) {
+      val qi = s.indexOf('?', j)
+      val fi = s.indexOf('#', j)
+      val pathEnd =
+        if (qi >= 0 && (fi < 0 || qi < fi)) qi
+        else if (fi >= 0) fi
+        else s.length
+      path = s.substring(j, pathEnd)
+      if (qi >= 0 && (fi < 0 || qi < fi))
+        query = s.substring(qi + 1, if (fi >= 0) fi else s.length)
+      if (fi >= 0) fragment = s.substring(fi + 1)
+    }
+    Some(UrlParts(scheme, userinfo, host, port, path, query, fragment))
+  }
+
+  @inline private def asciiLower(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  @inline private def unreservedByte(b: Int): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+      (b >= '0' && b <= '9') || b == '-' || b == '.' || b == '_' ||
+      b == '~'
+
+  /** Characters legal RAW in a path/query per RFC 3986 (pchar plus the
+    * extra query chars) — everything else gets percent-encoded. */
+  @inline private def legalRaw(c: Char, inQuery: Boolean): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') ||
+      "-._~!$&'()*+,;=:@/".indexOf(c) >= 0 ||
+      (inQuery && (c == '?' || c == '='))
+
+  private val Hex = "0123456789ABCDEF"
+
+  /** Percent-normalization: decode unreserved escapes (%41→A, %7E→~),
+    * uppercase the hex of the escapes that stay, encode illegal raw
+    * characters (spaces, quotes, non-ASCII → UTF-8 bytes), and repair
+    * bare `%` to %25 — after this, byte-identical canonical forms
+    * compare equal as strings. */
+  private[operators] def pctNormalize(s: String,
+                                      inQuery: Boolean): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    @inline def hexVal(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+    @inline def encByte(b: Int): Unit = {
+      sb.append('%').append(Hex.charAt((b >> 4) & 0xf))
+        .append(Hex.charAt(b & 0xf))
+    }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%') {
+        val h1 = if (i + 1 < s.length) hexVal(s.charAt(i + 1)) else -1
+        val h2 = if (i + 2 < s.length) hexVal(s.charAt(i + 2)) else -1
+        if (h1 >= 0 && h2 >= 0) {
+          val b = (h1 << 4) | h2
+          if (unreservedByte(b)) sb.append(b.toChar)
+          else encByte(b)
+          i += 3
+        } else { encByte('%'); i += 1 } // bare % repaired to %25
+      } else if (legalRaw(c, inQuery)) { sb.append(c); i += 1 }
+      else {
+        // Illegal raw character: percent-encode its UTF-8 bytes
+        // (surrogate pairs consume both chars).
+        val cp =
+          if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+            Character.isLowSurrogate(s.charAt(i + 1))) {
+            val v = Character.toCodePoint(c, s.charAt(i + 1))
+            i += 2; v
+          } else { i += 1; c.toInt }
+        new String(Character.toChars(cp)).getBytes("UTF-8")
+          .foreach(b => encByte(b & 0xff))
+      }
+    }
+    sb.toString
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments, duplicate slashes preserved
+    * (they are semantic), trailing `/.` and `/..` keeping their
+    * directory meaning. Input must start with '/'. */
+  private[operators] def removeDotSegments(path: String): String = {
+    if (path.isEmpty) return path
+    val segs = path.split("/", -1)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[String]
+    var k = 1 // segs(0) is the empty lead before the first '/'
+    while (k < segs.length) {
+      val last = k == segs.length - 1
+      segs(k) match {
+        case "." => if (last) stack += ""
+        case ".." =>
+          if (stack.nonEmpty) stack.remove(stack.length - 1)
+          if (last) stack += ""
+        case seg => stack += seg
+      }
+      k += 1
+    }
+    "/" + stack.mkString("/")
+  }
+
+  private val DefaultPorts = Map("http" -> 80, "https" -> 443,
+    "ftp" -> 21, "ws" -> 80, "wss" -> 443)
+
+  /** Canonical form: lowercase scheme+host, default port dropped,
+    * dot-segments resolved, percent-encoding normalized, empty path →
+    * "/", fragment dropped, query preserved (order is semantic for
+    * many sites — parameter STRIPPING is [[stripTracking]]'s job).
+    * Unparseable input comes back trimmed but otherwise unchanged —
+    * a key that at least compares equal to itself. */
+  def normalize(url: String): String = parse(url) match {
+    case None => if (url == null) null else url.trim
+    case Some(p) =>
+      val scheme = asciiLower(p.scheme)
+      val host = asciiLower(p.host)
+      val port =
+        if (p.port >= 0 && DefaultPorts.get(scheme).contains(p.port)) -1
+        else p.port
+      val path0 = if (p.path.isEmpty) "/" else pctNormalize(p.path, false)
+      val path = removeDotSegments(path0)
+      val sb = new java.lang.StringBuilder(url.length)
+      sb.append(scheme).append("://")
+      if (p.userinfo != null) sb.append(p.userinfo).append('@')
+      sb.append(host)
+      if (port >= 0) sb.append(':').append(port)
+      sb.append(path)
+      if (p.query != null) sb.append('?').append(pctNormalize(p.query, true))
+      sb.toString
+  }
+
+  /** The tracking parameters that make two fetches of the same page
+    * distinct strings: the utm_ family plus the per-platform click
+    * ids. Lowercase-matched on the name before the first '='. */
+  private val TrackingParams = Set("gclid", "fbclid", "msclkid",
+    "mc_eid", "igshid", "yclid", "_ga", "ref_src", "ref_url", "spm",
+    "cmpid", "s_cid", "mkt_tok", "oly_anon_id", "oly_enc_id", "vero_id",
+    "wickedid", "twclid", "ttclid")
+
+  @inline private def isTracking(param: String): Boolean = {
+    val eq = param.indexOf('=')
+    val name = asciiLower(if (eq < 0) param else param.substring(0, eq))
+    name.startsWith("utm_") || TrackingParams(name)
+  }
+
+  /** Drop tracking parameters from a (normalized or raw) URL's query;
+    * the '?' itself goes when nothing survives. Non-query URLs pass
+    * through. */
+  def stripTracking(url: String): String = parse(url) match {
+    case Some(p) if p.query != null =>
+      val kept = p.query.split("&", -1).filterNot(isTracking)
+      val base = {
+        val qi = url.indexOf('?')
+        url.substring(0, qi)
+      }
+      val frag = if (p.fragment != null) "#" + p.fragment else ""
+      if (kept.isEmpty) base + frag
+      else base + "?" + kept.mkString("&") + frag
+    case _ => url
+  }
+
+  /** Multi-label public suffixes (second level) for the high-traffic
+    * ccTLDs — `registrableDomain("a.b.example.co.uk")` must be
+    * `example.co.uk`, not `co.uk`. Compact stand-in for the PSL. */
+  private val TwoLevelSuffixes: Set[String] = Set(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "ad.jp", "ed.jp", "lg.jp", "gr.jp", "com.au", "net.au", "org.au",
+    "edu.au", "gov.au", "asn.au", "id.au", "co.nz", "net.nz", "org.nz",
+    "govt.nz", "ac.nz", "co.in", "net.in", "org.in", "ac.in", "gov.in",
+    "firm.in", "gen.in", "ind.in", "com.br", "net.br", "org.br",
+    "gov.br", "edu.br", "com.cn", "net.cn", "org.cn", "gov.cn",
+    "edu.cn", "ac.cn", "com.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "com.tr", "org.tr", "gov.tr", "edu.tr", "com.sg",
+    "edu.sg", "gov.sg", "org.sg", "com.hk", "org.hk", "edu.hk",
+    "gov.hk", "com.tw", "org.tw", "edu.tw", "gov.tw", "co.kr", "or.kr",
+    "ac.kr", "go.kr", "ne.kr", "co.za", "org.za", "ac.za", "gov.za",
+    "web.za", "com.sa", "org.sa", "gov.sa", "edu.sa", "com.eg",
+    "com.my", "org.my", "gov.my", "edu.my", "com.ph", "org.ph",
+    "gov.ph", "com.vn", "org.vn", "edu.vn", "gov.vn", "com.co",
+    "com.pe", "com.ve", "com.ec", "com.uy", "com.py", "com.bo",
+    "co.th", "in.th", "ac.th", "go.th", "or.th", "com.pk", "org.pk",
+    "edu.pk", "gov.pk", "com.bd", "org.bd", "com.ng", "org.ng",
+    "gov.ng", "edu.ng", "co.ke", "or.ke", "go.ke", "ac.ke", "com.gh",
+    "com.ua", "org.ua", "gov.ua", "edu.ua", "co.il", "org.il",
+    "gov.il", "ac.il", "com.pl", "org.pl", "net.pl", "edu.pl",
+    "gov.pl", "com.ru", "org.ru", "com.gr", "com.pt", "com.es",
+    "nom.es", "org.es", "gob.es", "com.it", "co.id", "or.id", "ac.id",
+    "go.id", "web.id", "com.np", "org.np", "com.lk", "org.lk")
+
+  /** eTLD+1: the per-site key for domain caps and URL dedup. IPv4/IPv6
+    * literals and single-label hosts return unchanged; otherwise the
+    * last two labels, or three when the last two are a known
+    * second-level suffix. Case-folded. */
+  def registrableDomain(host: String): String = {
+    if (host == null) return null
+    val h = asciiLower(host.trim)
+    if (h.isEmpty || h.startsWith("[")) return h // IPv6 literal
+    val labels = h.split('.')
+    if (labels.length <= 1) return h
+    if (labels.forall(l => l.nonEmpty && l.forall(_.isDigit)))
+      return h // IPv4 literal
+    val lastTwo = labels(labels.length - 2) + "." + labels(labels.length - 1)
+    if (TwoLevelSuffixes(lastTwo) && labels.length >= 3)
+      labels(labels.length - 3) + "." + lastTwo
+    else lastTwo
+  }
+
+  /** DataFrame form: appends `url_norm` (canonical + tracking-stripped
+    * — THE dedup key), `url_host` (lowercased host) and `url_domain`
+    * (registrable domain) in one narrow per-partition pass. */
+  def withUrlParts(df: DataFrame, urlCol: String = "url"): DataFrame = {
+    val ui = df.schema.fieldIndex(urlCol)
+    val schema = df.schema
+      .add("url_norm", StringType).add("url_host", StringType)
+      .add("url_domain", StringType)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val raw = row.getAs[String](ui)
+        val norm = stripTracking(normalize(raw))
+        val host = parse(raw).map(p => asciiLower(p.host)).orNull
+        val domain = if (host == null) null else registrableDomain(host)
+        Row.fromSeq(row.toSeq :+ norm :+ host :+ domain)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Keep at most `n` rows per domain, ordered by `orderCol` — the
+    * per-site quota every corpus recipe applies so one mega-host
+    * cannot dominate the mix. ONE shuffle on the domain key (ranking
+    * window). Skew note: a window must see each domain on one
+    * partition, so a single pathological domain serializes there —
+    * for tiny `n` at extreme skew, pre-aggregate candidate row ids
+    * per domain first; for corpus-scale caps (n in the thousands)
+    * this shape is the right one. */
+  def capPerDomain(df: DataFrame, domainCol: String, n: Int,
+                   orderCol: Column): DataFrame =
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(col(domainCol))
+          .orderBy(orderCol)))
+      .filter(col("__rn") <= n).drop("__rn")
+}

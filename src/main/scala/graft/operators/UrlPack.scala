@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+
+/** URL-operator coverage: six deliberately messy raw-URL shapes per
+  * document (case soup, default ports, dot segments, percent forms,
+  * tracking params, raw spaces) whose canonical forms DuckDB re-derives
+  * as pure string construction; a URL-exact dedup where two different
+  * raw spellings collapse onto one canonical key; and the per-domain
+  * cap replicated by a window QUALIFY. */
+object UrlPack extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "q_url_normalize" -> { (s, dir) =>
+        import s.implicits._
+        val urls = table(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val u = (id % 6).toInt match {
+              case 0 => s"HTTP://WWW.Example$id.COM:80/a/b/../c/./d.html?x=1#frag"
+              case 1 => s"https://Example$id.com:443/%7euser/%41bc%2fd"
+              case 2 => s"http://example$id.co.uk"
+              case 3 => s"http://sub.blog.example$id.org/p?utm_source=x&id=5&utm_campaign=y"
+              case 4 => s"https://example$id.com/a/?gclid=123"
+              case _ => s"http://example$id.com/path with space#x"
+            }
+            (id, u)
+          }.toDF("doc_id", "url")
+        Url.withUrlParts(urls)
+          .select(col("doc_id"), col("url_norm"), col("url_host"),
+            col("url_domain"))
+      },
+      // Two raw spellings per page (dot segments + case/port soup)
+      // collapse onto ONE canonical key: the URL-exact dedup pass.
+      "q_url_dedup" -> { (s, dir) =>
+        import s.implicits._
+        val urls = table(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val u =
+              if (id % 2 == 0) s"http://Example${id / 2}.com/a/../b"
+              else s"HTTP://example${id / 2}.COM:80/b"
+            (id, u)
+          }.toDF("doc_id", "url")
+        Url.withUrlParts(urls)
+          .groupBy(col("url_norm"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            count(lit(1)).as("n_dups"))
+          .select(col("doc_id"), col("url_norm"), col("n_dups"))
+      },
+      // Per-domain quota: at most 3 pages per registrable domain,
+      // earliest doc_ids win — one shuffle on the domain key.
+      "q_url_domain_cap" -> { (s, dir) =>
+        import s.implicits._
+        val urls = table(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, s"https://site${id % 7}.com/page$id"))
+          .toDF("doc_id", "url")
+        Url.capPerDomain(Url.withUrlParts(urls), "url_domain", 3,
+            col("doc_id"))
+          .select(col("doc_id"), col("url_domain"))
+      }
+    )
+
+  override def oracles: Map[String, String] = Map(
+    "q_url_normalize" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 6 AS INTEGER)
+        |    WHEN 0 THEN 'http://www.example' || CAST(doc_id AS VARCHAR) ||
+        |      '.com/a/c/d.html?x=1'
+        |    WHEN 1 THEN 'https://example' || CAST(doc_id AS VARCHAR) ||
+        |      '.com/~user/Abc%2Fd'
+        |    WHEN 2 THEN 'http://example' || CAST(doc_id AS VARCHAR) ||
+        |      '.co.uk/'
+        |    WHEN 3 THEN 'http://sub.blog.example' || CAST(doc_id AS VARCHAR) ||
+        |      '.org/p?id=5'
+        |    WHEN 4 THEN 'https://example' || CAST(doc_id AS VARCHAR) ||
+        |      '.com/a/'
+        |    ELSE 'http://example' || CAST(doc_id AS VARCHAR) ||
+        |      '.com/path%20with%20space' END AS url_norm,
+        |  CASE CAST(doc_id % 6 AS INTEGER)
+        |    WHEN 0 THEN 'www.example' || CAST(doc_id AS VARCHAR) || '.com'
+        |    WHEN 2 THEN 'example' || CAST(doc_id AS VARCHAR) || '.co.uk'
+        |    WHEN 3 THEN 'sub.blog.example' || CAST(doc_id AS VARCHAR) || '.org'
+        |    ELSE 'example' || CAST(doc_id AS VARCHAR) || '.com' END
+        |    AS url_host,
+        |  CASE CAST(doc_id % 6 AS INTEGER)
+        |    WHEN 2 THEN 'example' || CAST(doc_id AS VARCHAR) || '.co.uk'
+        |    WHEN 3 THEN 'example' || CAST(doc_id AS VARCHAR) || '.org'
+        |    ELSE 'example' || CAST(doc_id AS VARCHAR) || '.com' END
+        |    AS url_domain
+        |FROM documents""".stripMargin,
+    "q_url_dedup" ->
+      """SELECT min(doc_id) AS doc_id,
+        |  'http://example' || CAST(doc_id // 2 AS VARCHAR) || '.com/b'
+        |    AS url_norm,
+        |  count(*) AS n_dups
+        |FROM documents GROUP BY doc_id // 2""".stripMargin,
+    "q_url_domain_cap" ->
+      """SELECT doc_id,
+        |  'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS url_domain
+        |FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY doc_id % 7
+        |  ORDER BY doc_id) <= 3""".stripMargin
+  )
+}
