@@ -58,4 +58,57 @@ class BenchSpec extends AnyFunSuite {
       s"worst-case results line is ${line.length} chars (> 1450 spec budget; " +
         "runtime hard gate is 1500) — rotate queries into Bench.secondary")
   }
+
+  test("outlier heal: a synthetic contention burst self-heals at the end of the sweep") {
+    // Reproduction of the r10 driver-line failure mode: a host burst
+    // that outlasts ALL of a query's back-to-back samples put 12.4 s /
+    // 10.1 s on two ADJACENT queries whose true costs were 1.9 s /
+    // 2.7 s — min-of-≥2-with-escalation cannot catch it because every
+    // sample it compares sits inside the burst. Here the burst is
+    // injected as a time dilation active while queries 4-5 run their
+    // phase-1 samples, and gone by the heal phase.
+    val trueCost = Map("q_a" -> 0.3, "q_b" -> 0.5, "q_c" -> 0.4,
+      "q_d" -> 1.9, "q_e" -> 2.7, "q_f" -> 0.6, "q_g" -> 0.2)
+    val order = Seq("q_a", "q_b", "q_c", "q_d", "q_e", "q_f", "q_g")
+    val burstQueries = Set("q_d", "q_e")
+    var inPhase1 = true
+    def run(name: String): (Double, Option[String]) = {
+      val dilation = if (inPhase1 && burstQueries(name)) 6.0 else 1.0
+      (trueCost(name) * dilation, None)
+    }
+    val phase1 = order.map { n =>
+      val (v, err) = Bench.timeQueryPhase(() => run(n))
+      (n, v, err)
+    }
+    // The burst survived phase 1: both phantom values are recorded.
+    assert(phase1.find(_._1 == "q_d").get._2 === 1.9 * 6.0)
+    assert(phase1.find(_._1 == "q_e").get._2 === 2.7 * 6.0)
+    // Only the phantoms are flagged (median of the sweep stays honest;
+    // the cheap queries and the sub-floor ones are untouched).
+    assert(Bench.outlierNames(phase1).toSet === burstQueries)
+    // The streaming benches run here in the real main — time passes,
+    // the burst ends.
+    inPhase1 = false
+    val healed = Bench.healOutliers(phase1, n => run(n))
+    assert(healed.find(_._1 == "q_d").get._2 === 1.9)
+    assert(healed.find(_._1 == "q_e").get._2 === 2.7)
+    // Non-flagged rows pass through untouched, order preserved.
+    assert(healed.map(_._1) === order)
+    assert(healed.find(_._1 == "q_b").get._2 === 0.5)
+    // A failing heal run keeps the phase-1 number (heal can only
+    // tighten, never degrade or error a passing query).
+    val failHeal = Bench.healOutliers(phase1,
+      _ => throw new RuntimeException("flaky"))
+    assert(failHeal.find(_._1 == "q_d").get._2 === 1.9 * 6.0)
+    assert(failHeal.find(_._1 == "q_d").get._3 === None)
+    // An errored query is never re-run by the heal phase.
+    val withErr = phase1.map { case (n, v, e) =>
+      if (n == "q_d") (n, v, Some("boom")) else (n, v, e) }
+    val healedErr = Bench.healOutliers(withErr,
+      n => { assert(n != "q_d"); run(n) })
+    assert(healedErr.find(_._1 == "q_d").get._3 === Some("boom"))
+    // No outliers → no re-runs at all.
+    Bench.healOutliers(phase1.map(r => (r._1, 0.2, r._3)),
+      _ => fail("must not re-run"))
+  }
 }
