@@ -34,6 +34,17 @@ import org.apache.spark.sql.types._
   * `keepSnapshots` as a ParquetStore cleanInterval expired a live base
   * out from under its append chain after ~cleanFreq appends (ADVICE r9).
   *
+  * CONCURRENCY CONTRACT: one WRITER instance per path — mutation is
+  * per-instance `synchronized` and there is no cross-process lock, so a
+  * second writing instance (another JVM, another SparkSession) corrupts
+  * the lockstep counters. Concurrent READERS (scoreBatch/pruningDecay
+  * from other sessions or processes) are supported: reads resolve
+  * against committed manifests only, and retention keeps ONE grace
+  * snapshot beyond [[keepSnapshots]] — a reader that resolved a
+  * generation inside the window survives at least one concurrent
+  * snapshot()+clean cycle, and a longer-pinned reader fails loud at
+  * validation (see [[cleanOldSnapshots]]).
+  *
   * The index is a pure function of (corpus, `threshold`, shingling): the
   * threshold fixes the prefix lengths baked into the stored postings, so
   * it is a CONSTRUCTOR property — scoring at a different threshold needs
@@ -234,14 +245,25 @@ final class PrefixIndexStore(
     * only (see [[baseFromManifest]]). */
   def fullSnapshots: Seq[Long] = committedIds().filter(g => baseFromManifest(g) == g)
 
-  /** Snapshot-keyed retention: keep the last [[keepSnapshots]] committed
-    * full snapshots WITH their whole append chains; everything below the
-    * oldest kept base — generations and manifests — is deleted. Runs
-    * after each successful [[snapshot]]. */
+  /** Snapshot-keyed retention WITH a one-snapshot grace window: keep
+    * the last [[keepSnapshots]] committed full snapshots PLUS the one
+    * that most recently fell out of the window (all with their whole
+    * append chains); only below THAT is deleted. The grace snapshot is
+    * the concurrent-reader guarantee (r10 verdict #8): this class is
+    * single-WRITER per path (per-instance `synchronized`, no
+    * cross-process lock — two writers corrupt the generation counters),
+    * but a READER in another SparkSession or process that resolved a
+    * generation while it was inside the window keeps its complete
+    * base..g chain on disk through at least one further
+    * [[snapshot]]+clean cycle, because deletion of a window-exiting
+    * snapshot is lagged to the NEXT cycle. A reader pinned longer than
+    * one full re-snapshot interval fails LOUD at [[scoreBatch]]'s
+    * validation, never silently against a partial corpus. Runs after
+    * each successful [[snapshot]]. */
   private def cleanOldSnapshots(): Unit = {
     val fulls = fullSnapshots
-    if (fulls.size > keepSnapshots) {
-      val keepFrom = fulls(fulls.size - keepSnapshots.toInt)
+    if (fulls.size > keepSnapshots + 1) {
+      val keepFrom = fulls(fulls.size - keepSnapshots.toInt - 1)
       Seq(hashedStore, dfsStore, prefixStore).foreach(_.cleanBelow(keepFrom))
       committedIds().filter(_ < keepFrom)
         .foreach(g => Files.deleteIfExists(commitsDir.resolve(s"$g")))

@@ -156,11 +156,15 @@ class PrefixIndexStoreSpec extends SparkSpec {
     val batch = docs.filter("doc_id >= 6")
     assert(pairs(store.scoreBatch(batch)) ===
       pairs(Dedup.prefixJaccardIncremental(docs.filter("doc_id <= 5"), batch, 0.3)))
-    // Re-snapshots still retire OLD snapshots with their whole chains:
-    // two more full snapshots push the first (and its 13 deltas) out.
+    // Re-snapshots still retire OLD snapshots with their whole chains —
+    // THREE more full snapshots push the first (and its 13 deltas) past
+    // the keepSnapshots=2 window AND the one-snapshot grace (r11): the
+    // first clean that would delete it is lagged one cycle for
+    // concurrent readers.
     val g1 = store.snapshot(docs.filter("doc_id <= 5"))
     val g2 = store.snapshot(docs.filter("doc_id <= 5"))
-    assert(store.fullSnapshots === Seq(g1, g2))
+    val g3 = store.snapshot(docs.filter("doc_id <= 5"))
+    assert(store.fullSnapshots === Seq(g1, g2, g3))
     val ex = intercept[IllegalStateException] {
       store.scoreBatch(batch, snapshotId = Some(1L))
     }
@@ -324,5 +328,35 @@ class PrefixIndexStoreSpec extends SparkSpec {
     assert(!store.shouldResnapshot(probe))
     // Still exact after the churn.
     assert(store.scoreBatch(probe).count() === 0L)
+  }
+test("grace retention: a pinned reader survives one concurrent snapshot+clean cycle (r11)") {
+    GraftExtensions.register(spark)
+    val dir = tmp()
+    val writer = new PrefixIndexStore(spark, dir, threshold = 0.3,
+      name = "pidx_gw", keepSnapshots = 1L)
+    val corpus = docs.filter("doc_id <= 5")
+    val batch = docs.filter("doc_id >= 6")
+    val g0 = writer.snapshot(corpus)
+    // A reader in "another process": a second, read-only instance on
+    // the same path (the contract is single-WRITER, readers free).
+    val reader = new PrefixIndexStore(spark, dir, threshold = 0.3,
+      name = "pidx_gr", keepSnapshots = 1L)
+    val expect = pairs(Dedup.prefixJaccardIncremental(corpus, batch, 0.3))
+    assert(pairs(reader.scoreBatch(batch, snapshotId = Some(g0))) === expect)
+    // One full snapshot+clean cycle on the writer: g0 exits the
+    // keepSnapshots=1 window but stays on disk as the grace snapshot —
+    // the pinned reader still scores against a complete chain.
+    writer.snapshot(corpus)
+    assert(pairs(reader.scoreBatch(batch, snapshotId = Some(g0))) === expect)
+    // A second cycle retires it: the longer-pinned reader fails LOUD,
+    // never against a partial corpus.
+    writer.snapshot(corpus)
+    val ex = intercept[IllegalStateException] {
+      reader.scoreBatch(batch, snapshotId = Some(g0))
+    }
+    assert(ex.getMessage.contains("expired") ||
+      ex.getMessage.contains("manifest"))
+    // Un-pinned, the reader follows the latest committed generation.
+    assert(pairs(reader.scoreBatch(batch)) === expect)
   }
 }
