@@ -27,6 +27,7 @@ object SparkEntry {
     operators.HtmlPack,
     operators.UrlPack,
     multimodal.MediaPack,
+    multimodal.AudioFpPack,
     serve.ServePack
   )
 

@@ -202,7 +202,7 @@ object MediaPack extends QueryPack {
   /** Minimal genuine WAV container around pre-coded sample data: RIFF/WAVE
     * + fmt(16) with the given format tag (mono, 8 kHz, 8-bit) + data — the
     * byte layout every WAV writer emits. */
-  private def wavContainer(tag: Int, data: Array[Byte]): Array[Byte] = {
+  private[multimodal] def wavContainer(tag: Int, data: Array[Byte]): Array[Byte] = {
     val buf = java.nio.ByteBuffer.allocate(44 + data.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
@@ -244,7 +244,7 @@ object MediaPack extends QueryPack {
     * "fLaC" + STREAMINFO (8 kHz mono, bps 8, total = n) + ONE frame — a
     * verbatim subframe is byte-aligned throughout, so this needs no bit
     * packer, only the real CRC-8 (header) and CRC-16 (frame). */
-  private def flacContainer(data: Array[Byte]): Array[Byte] = {
+  private[multimodal] def flacContainer(data: Array[Byte]): Array[Byte] = {
     val n = data.length
     // The STREAMINFO blocksize fields are 16-bit (so ≤ 65535, not the
     // frame header's 65536); a bigger payload needs a multi-frame split

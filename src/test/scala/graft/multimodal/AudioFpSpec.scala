@@ -1,0 +1,75 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** The audio fingerprint's contract: hand-checked Haar energies, the
+  * sign-bit derivation, exact invariance across the three real decode
+  * paths (PCM8 / µ-law / FLAC verbatim of the same samples), bounded
+  * damage from a local perturbation, and the hamming helper. */
+class AudioFpSpec extends SparkSpec {
+
+  test("haarEnergies: hand-computed on a 4-sample window") {
+    // win = [3, 1, 4, 1]: level 1 diffs (3-1, 4-1) → 4 + 9 = 13;
+    // sums [4, 5]; level 2 diff (4-5) → 1.
+    assert(AudioFp.haarEnergies(Array(3L, 1L, 4L, 1L)).toSeq === Seq(13L, 1L))
+    // Constant signal: zero detail energy at every level.
+    assert(AudioFp.haarEnergies(Array.fill(8)(7L)).toSeq ===
+      Seq(0L, 0L, 0L))
+  }
+
+  test("fingerprint: frame count, bit width, short-input empty, sign rule") {
+    val x = AudioFpPack.baseSamples(42L)
+    val fp = AudioFp.fingerprint(x)
+    assert(fp.length === 6) // 1024 samples → 7 frames → 6 codes
+    assert(fp.forall(v => v >= 0 && v < 128)) // 7 bits
+    assert(AudioFp.fingerprint(Array.fill(300)(5)).isEmpty) // < window+hop
+    assert(AudioFp.fingerprint(null).isEmpty)
+    // Deterministic: same input, same code.
+    assert(AudioFp.fingerprint(x).toSeq === fp.toSeq)
+    // Hand-check ONE bit: band pair k=1 of frame 1 against frame 0.
+    def energies(off: Int) = {
+      val w = new Array[Long](256)
+      var i = 0
+      while (i < 256) { w(i) = x(off + i); i += 1 }
+      AudioFp.haarEnergies(w)
+    }
+    val e0 = energies(0)
+    val e1 = energies(128)
+    val expectBit0 = ((e1(0) - e1(1)) - (e0(0) - e0(1))) > 0
+    assert(((fp(0) & 1) == 1) === expectBit0)
+  }
+
+  test("fingerprint is identical across PCM8 / ulaw / FLAC decodes of the same samples") {
+    for (id <- Seq(1L, 7L, 123L)) {
+      val fps = (0 to 2).map { k =>
+        val bytes = AudioFpPack.encodeKind(id, k)
+        val pcm = (if (k == 2) Media.decodeFlac(bytes)
+        else Media.decodePcm(bytes)).get
+        AudioFp.fingerprint(AudioFp.mono(pcm)).toSeq
+      }
+      assert(fps.distinct.size === 1,
+        s"id=$id: encodings disagree: $fps")
+      assert(fps.head.nonEmpty)
+    }
+  }
+
+  test("perturbation damage is local and bounded; hamming helper counts bits") {
+    val a = AudioFp.fingerprint(AudioFpPack.baseSamples(9L))
+    val b = AudioFp.fingerprint(AudioFpPack.pertSamples(9L))
+    // The first 64 samples touch only frame 0's window, so only
+    // fingerprint code 0 (frame 1 vs 0) can differ.
+    assert(a.drop(1).toSeq === b.drop(1).toSeq)
+    assert(AudioFp.hamming(a, b) <= 7)
+    assert(AudioFp.hamming(a, a) === 0)
+    intercept[IllegalArgumentException] {
+      AudioFp.hamming(a, a.drop(1))
+    }
+  }
+
+  test("mono: channel average, odd remainders truncate toward zero") {
+    val stereo = Media.PcmAudio(8000, 2, 16, Array(10, 20, -3, -4, 7, 8))
+    assert(AudioFp.mono(stereo).toSeq === Seq(15, -3, 7))
+    val monoIn = Media.PcmAudio(8000, 1, 16, Array(1, 2, 3))
+    assert(AudioFp.mono(monoIn).toSeq === Seq(1, 2, 3))
+  }
+}
