@@ -23,17 +23,31 @@ import graft.QueryPack
   * bands, ≤4 differing bands leaves ≥2 equal). */
 object AudioFpPack extends QueryPack {
 
-  private val N = 1024 // samples per fixture stream → 7 frames, 6 fp bytes
+  // Samples per fixture stream → 31 frames → 30 fp codes. Sized so the
+  // banded join has REAL keys: 6 bands of 5 packed frame codes (35-bit
+  // values) — single-frame 7-bit band keys have only 128 buckets, and
+  // candidate volume is quadratic in bucket size (the first cut of this
+  // fixture spent ~100 s at sf0.1 in exactly that blowup).
+  private val N = 4096
+  private val Frames = (N - 256) / 128 + 1 // 31 → fp codes 30
+  private val BandFrames = 5
+  private val Bands = (Frames - 1) / BandFrames // 6
 
-  /** x_i = 8·(((id·i + 13·i² + id) mod 31) − 15) — deterministic and
-    * SQL-replicable. Ids congruent mod 31 yield IDENTICAL waveforms by
-    * construction, so the pairs query finds cross-doc exact duplicates
-    * too (both sides derive the same classes — the oracle brute-forces
-    * every media pair, the Spark side must surface exactly those). */
-  private[multimodal] def baseSamples(id: Long): Array[Int] =
+  /** x_i = 8·(((id·i + b·i² + id) mod 31) − 15) with b = 1 + (⌊id/31⌋
+    * mod 29) — deterministic and SQL-replicable. The waveform class is
+    * keyed by (id mod 31, b): ids sharing BOTH yield identical
+    * waveforms, so the pairs query finds cross-doc exact duplicates too
+    * (both sides derive the same ~900 classes — the oracle brute-forces
+    * every media pair, the Spark side must surface exactly those).
+    * Two coefficients keep the duplicate classes SMALL at every SF —
+    * a single mod-31 key made classes of ~160 docs at sf0.1, and the
+    * banded join's candidate volume is quadratic in class size. */
+  private[multimodal] def baseSamples(id: Long): Array[Int] = {
+    val b = 1L + ((id / 31L) % 29L)
     Array.tabulate(N) { i =>
-      (8L * (((id * i + 13L * i * i + id) % 31L) - 15L)).toInt
+      (8L * (((id * i + b * i * i + id) % 31L) - 15L)).toInt
     }
+  }
 
   /** The perturbed copy: first 64 samples shifted by −8 (stays inside
     * the 8-bit and µ-law-exact range). */
@@ -89,19 +103,30 @@ object AudioFpPack extends QueryPack {
       },
       "q_audio_fp_pairs" -> { (s, dir) =>
         import s.implicits._
+        // localCheckpoint: the signature table feeds FOUR join branches
+        // (bands a/b, ham fa/fb) — without it each branch re-runs the
+        // encode+decode+fingerprint flatMap (same pattern as the LSH
+        // signature table in Dedup.clusters).
         val fps = table(s, dir, "documents").select(col("doc_id")).as[Long]
           .flatMap { id =>
             (0 to 3).map { k =>
               val pcm = decodeAuto(encodeKind(id, k)).get
               (id * 4 + k, AudioFp.fingerprint(AudioFp.mono(pcm)))
             }
-          }.toDF("media_id", "fp")
-        // Banded LSH candidates: one shuffle on (band_ix, fp_byte).
+          }.toDF("media_id", "fp").localCheckpoint(true)
+        // Banded LSH candidates: one shuffle on (band_ix, band_val),
+        // each band packing 5 frame codes into one 35-bit Long — a pair
+        // within 4 bits differs in ≤4 of the 6 bands, so ≥2 bands still
+        // collide (pigeonhole recall guarantee).
         val bands = fps.select(col("media_id"),
-          posexplode(col("fp")).as(Seq("band_ix", "fp_byte")))
+          posexplode(expr(
+            s"transform(sequence(0, ${Bands - 1}), " +
+              s"b -> aggregate(slice(fp, b * $BandFrames + 1, $BandFrames), " +
+              "0L, (acc, v) -> acc * 128 + v))"))
+            .as(Seq("band_ix", "band_val")))
         val cand = bands.as("a").join(bands.as("b"),
             col("a.band_ix") === col("b.band_ix") &&
-              col("a.fp_byte") === col("b.fp_byte") &&
+              col("a.band_val") === col("b.band_val") &&
               col("a.media_id") < col("b.media_id"))
           .select(col("a.media_id").as("media_a"),
             col("b.media_id").as("media_b"))
@@ -135,11 +160,12 @@ object AudioFpPack extends QueryPack {
     s"""WITH ii AS (SELECT i FROM generate_series(0, ${N - 1}) t(i)),
        |samples AS (
        |  SELECT d.doc_id$kindCols, ii.i,
-       |    CAST(8 * (((d.doc_id * ii.i + 13 * ii.i * ii.i + d.doc_id)
+       |    CAST(8 * (((d.doc_id * ii.i
+       |      + (1 + ((d.doc_id // 31) % 29)) * ii.i * ii.i + d.doc_id)
        |      % 31) - 15)$pert AS BIGINT) AS x
        |  FROM documents d, ii$kindSrc
        |),
-       |fr AS (SELECT f FROM generate_series(0, 6) t(f)),
+       |fr AS (SELECT f FROM generate_series(0, ${Frames - 1}) t(f)),
        |lv AS (SELECT l FROM generate_series(1, 8) t(l)),
        |blocks AS (
        |  SELECT s.doc_id$kindKey, fr.f, lv.l,

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.operators.Html
+import graft.sources.{Http, Warc}
+import graft.store.ParquetStore
+
+/** The crawl front door AS A STREAM (r10 verdict #6): a `.warc.gz`
+  * drop folder — the operational shape of a continuously-arriving crawl
+  * — ingested file-by-file through the complete batch chain
+  * ([[Warc.records]] → [[Http.responses]] → [[Html.extract]]) into a
+  * durable [[ParquetStore]] with the r10 auto-compaction, checkpointed
+  * for exactly-once file tracking.
+  *
+  * Everything between source and sink is ONE narrow per-partition byte
+  * pass (no shuffle anywhere in the chain — the plan is scan →
+  * mapPartitions → write), so per-trigger cost is proportional to the
+  * new files alone and the 1000-executor shape is "each executor
+  * ingests its own files". The store lands one generation per trigger;
+  * consumers read documents with the same partition-pruned generation
+  * surface as every other store.
+  *
+  * Records that fail WARC framing, gzip, or HTTP parsing are DROPPED
+  * from the documents store (a corpus table is not an audit table) —
+  * run the batch [[Warc.records]] surface over the same files for the
+  * coded −1/−2 failure audit; the batch and stream paths share the
+  * parsers, so their disagreement is impossible by construction. */
+object CrawlIngest {
+
+  /** The documents-store schema: where the doc came from (file path +
+    * record index + URI), what the server said (status), and the
+    * extracted title/text. */
+  val DocSchema: StructType = StructType(Seq(
+    StructField("path", StringType), StructField("record_ix", LongType),
+    StructField("url", StringType), StructField("http_status", LongType),
+    StructField("title", StringType), StructField("text", StringType)))
+
+  /** The batch transform: (path, content) file rows → extracted
+    * document rows. Exposed separately so the streaming path, tests,
+    * and the soak share one definition. */
+  def documentsFrom(files: DataFrame, bytesCol: String = "content",
+                    gzipped: Boolean = true): DataFrame = {
+    val recs = Warc.records(
+        files.select(col("path"), col(bytesCol).as("bytes")),
+        bytesCol = "bytes", gzipped = gzipped)
+      .filter(col("record_ix") >= 0 && col("warc_type") === "response")
+    val pages = Http.responses(recs)
+      .filter(col("http_status") >= 0 && col("text").isNotNull)
+      .select(col("path"), col("record_ix"),
+        col("target_uri").as("url"), col("http_status"),
+        col("text").as("html"))
+    Html.extract(pages, "html")
+      .select(col("path"), col("record_ix"), col("url"),
+        col("http_status"), col("title"), col("text"))
+  }
+
+  /** Open (or resume) the documents store at `storePath`. */
+  def docStore(spark: SparkSession, storePath: String,
+               tableName: String = "crawl_docs"): ParquetStore =
+    new ParquetStore(spark, DocSchema, storePath, tableName)
+
+  /** Attach the drop-folder stream: every trigger picks up newly
+    * arrived `.warc.gz` files (binaryFile source, checkpoint-tracked →
+    * a restart never re-ingests a file) and appends one compacted
+    * generation of extracted documents. */
+  def attach(spark: SparkSession, dropDir: String, store: ParquetStore,
+             checkpoint: String,
+             trigger: Trigger = Trigger.ProcessingTime(10000L),
+             maxFilesPerTrigger: Int = 64): StreamingQuery = {
+    // The binaryFile source's schema is FIXED by the format, but the
+    // streaming reader still demands it explicitly.
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val src = spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "*.warc.gz")
+      .load(dropDir)
+    src.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val docs = documentsFrom(batch)
+        // Empty triggers (no new files) must not burn a generation.
+        if (!docs.isEmpty) store.appendStreaming(docs)
+        ()
+      }
+      .start()
+  }
+}

@@ -20,7 +20,7 @@ class AudioFpSpec extends SparkSpec {
   test("fingerprint: frame count, bit width, short-input empty, sign rule") {
     val x = AudioFpPack.baseSamples(42L)
     val fp = AudioFp.fingerprint(x)
-    assert(fp.length === 6) // 1024 samples → 7 frames → 6 codes
+    assert(fp.length === 30) // 4096 samples → 31 frames → 30 codes
     assert(fp.forall(v => v >= 0 && v < 128)) // 7 bits
     assert(AudioFp.fingerprint(Array.fill(300)(5)).isEmpty) // < window+hop
     assert(AudioFp.fingerprint(null).isEmpty)

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import graft.SparkSpec
+import graft.sources.{HttpPack, WarcPack}
+import org.apache.spark.sql.streaming.Trigger
+
+/** The crawl drop-folder stream: files in → extracted documents in a
+  * durable store, exactly-once across restarts (checkpointed file
+  * tracking), corrupt files dropped without failing the trigger. */
+class CrawlIngestSpec extends SparkSpec {
+
+  /** One .warc.gz file whose response payload is a real HTTP message
+    * wrapping an HTML page around `body`. */
+  private def warcGz(id: Long, body: String): Array[Byte] = {
+    val page = s"<html><head><title>t$id</title></head><body><p>" +
+      body + "</p></body></html>"
+    val http = HttpPack.httpMessage(
+      Seq("Content-Type" -> "text/html; charset=utf-8"),
+      page.getBytes("UTF-8"))
+    WarcPack.gzipBytes(WarcPack.warcFile(id, http))
+  }
+
+  private def runAvailable(dropDir: String, store: graft.store.ParquetStore,
+                           checkpoint: String): Unit = {
+    val q = CrawlIngest.attach(spark, dropDir, store, checkpoint,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+  }
+
+  test("drop-folder ingest: WARC→HTTP→HTML chain lands documents; restarts are exactly-once") {
+    val dropDir = Files.createTempDirectory("graft_crawl_in").toString
+    val storeDir = Files.createTempDirectory("graft_crawl_store").toString
+    val ckpt = Files.createTempDirectory("graft_crawl_ckpt").toString
+    Files.write(Paths.get(dropDir, "a.warc.gz"), warcGz(1L, "alpha doc one"))
+    Files.write(Paths.get(dropDir, "b.warc.gz"), warcGz(2L, "beta doc two"))
+    // A corrupt file must not fail the trigger or land rows.
+    Files.write(Paths.get(dropDir, "junk.warc.gz"),
+      Array[Byte](1, 2, 3, 4, 5))
+    // A non-matching extension is not picked up at all.
+    Files.write(Paths.get(dropDir, "notes.txt"), "ignore".getBytes)
+
+    val store = CrawlIngest.docStore(spark, storeDir)
+    runAvailable(dropDir, store, ckpt)
+    val docs = store.selectAll
+      .selectExpr("url", "http_status", "title", "text").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+    assert(docs.size === 2)
+    assert(docs("https://example.org/doc/1") ===
+      ((200L, "t1", "alpha doc one")))
+    assert(docs("https://example.org/doc/2") ===
+      ((200L, "t2", "beta doc two")))
+
+    // "Restart": a new stream on the SAME checkpoint sees the old files
+    // as consumed — only the newly dropped file lands, no duplicates.
+    Files.write(Paths.get(dropDir, "c.warc.gz"), warcGz(3L, "gamma doc three"))
+    val store2 = CrawlIngest.docStore(spark, storeDir)
+    runAvailable(dropDir, store2, ckpt)
+    val after = store2.selectAll.selectExpr("url").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(after === Seq("https://example.org/doc/1",
+      "https://example.org/doc/2", "https://example.org/doc/3"))
+  }
+
+  test("documentsFrom: the shared batch transform extracts through the full chain") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val files = Seq(
+      ("f1", warcGz(7L, "doc seven text")),
+      ("f2", Array[Byte](9, 9, 9)) // corrupt → dropped, not thrown
+    ).toDF("path", "content")
+    val out = CrawlIngest.documentsFrom(files)
+      .selectExpr("path", "url", "title", "text").collect()
+    assert(out.length === 1)
+    assert(out(0).getString(1) === "https://example.org/doc/7")
+    assert(out(0).getString(2) === "t7")
+    assert(out(0).getString(3) === "doc seven text")
+  }
+}
