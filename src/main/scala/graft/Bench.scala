@@ -155,7 +155,20 @@ object Bench {
     // gunzip, so one bench line suffices).
     // q_html_extract: page construction + the HTML state machine
     // (script/style/title drops, entity decode, whitespace collapse).
-    "q_warc_gzip", "q_html_extract"
+    "q_warc_gzip", "q_html_extract",
+    // Round-11: the crawl front door end-to-end (WARC gzip → HTTP split
+    // + charset decode → HTML extract — the round's headline feature,
+    // reported on the driver line) and the audio-fingerprint banded
+    // pair search (decode ×4 encodings + Haar transform + banded join +
+    // hamming verify — the round's data-volume query, reported).
+    "q_crawl_text", "q_audio_fp_pairs",
+    // Round-11 secondary tier: HTTP response parse variants, the WHATWG
+    // entity torture page, main-content extraction, the URL family
+    // (normalize / exact-dedup key / domain cap), and the fingerprint
+    // transform alone (its pair search above is the reported sibling).
+    "q_http_response", "q_html_entities", "q_html_main",
+    "q_url_normalize", "q_url_dedup", "q_url_domain_cap",
+    "q_audio_fingerprint"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -205,7 +218,17 @@ object Bench {
     "q_media_decode", "q_media_decode_ulaw", "q_media_video_frames",
     "q_media_decode_bmp", "q_gopher_lines", "q_gopher_topngram",
     "q_media_decode_flac", "q_media_frames_ogg", "q_warc_gzip",
-    "q_html_extract")
+    "q_html_extract",
+    // Round-11 wave: all sub-0.6 s, each with a reported sibling
+    // (q_crawl_text covers the HTTP/HTML chain, q_audio_fp_pairs the
+    // fingerprint family; the URL trio is narrow string work).
+    "q_http_response", "q_html_entities", "q_html_main",
+    "q_url_normalize", "q_url_dedup", "q_url_domain_cap",
+    "q_audio_fingerprint",
+    // Rotated in r11 to keep the line inside budget: its reported
+    // sibling q_dedup_contamination covers the same gram-explosion +
+    // semi-join family.
+    "q_contamination_score")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
