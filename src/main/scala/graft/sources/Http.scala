@@ -293,8 +293,44 @@ object Http {
     catch { case _: Exception => None }
   }
 
+  /** Structural UTF-8 validation (lead-byte classes, continuation
+    * count, overlong/surrogate/range rejection) — the cheap one-pass
+    * test behind the unlabeled-page fallback below. */
+  private[sources] def isValidUtf8(b: Array[Byte], from: Int): Boolean = {
+    var i = from
+    val n = b.length
+    while (i < n) {
+      val c = b(i) & 0xff
+      if (c < 0x80) i += 1
+      else {
+        val (len, min) =
+          if (c >= 0xc2 && c <= 0xdf) (2, 0x80)
+          else if (c >= 0xe0 && c <= 0xef) (3, 0x800)
+          else if (c >= 0xf0 && c <= 0xf4) (4, 0x10000)
+          else return false // 0x80–0xC1 lead, 0xF5+: never valid
+        if (i + len > n) return false
+        var cp = c & (0x3f >> (len - 1))
+        var k = 1
+        while (k < len) {
+          val cont = b(i + k) & 0xff
+          if ((cont & 0xc0) != 0x80) return false
+          cp = (cp << 6) | (cont & 0x3f)
+          k += 1
+        }
+        if (cp < min || cp > 0x10ffff ||
+          (cp >= 0xd800 && cp <= 0xdfff)) return false
+        i += len
+      }
+    }
+    true
+  }
+
   /** Decode body bytes → text by the browser precedence: BOM beats the
-    * header charset beats the meta prescan beats UTF-8; ALWAYS with
+    * header charset beats the meta prescan; a page with NO label
+    * anywhere decodes UTF-8 when it validates as UTF-8 and
+    * windows-1252 otherwise (unlabeled legacy pages are cp1252 in
+    * practice — defaulting them to UTF-8-with-replacement would turn
+    * every accented character into U+FFFD); ALWAYS with
     * malformed/unmappable → U+FFFD (a lying charset garbles, it never
     * throws and never drops the record). Returns (text, resolved
     * charset name). */
@@ -315,7 +351,9 @@ object Http {
     val cs = bomCharset
       .orElse(contentType.flatMap(charsetParam).flatMap(resolveCharset))
       .orElse(sniffMetaCharset(body).flatMap(resolveCharset))
-      .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+      .getOrElse(
+        if (isValidUtf8(body, bomLen)) java.nio.charset.StandardCharsets.UTF_8
+        else Charset.forName("windows-1252"))
     val dec = cs.newDecoder()
       .onMalformedInput(CodingErrorAction.REPLACE)
       .onUnmappableCharacter(CodingErrorAction.REPLACE)

@@ -32,11 +32,14 @@ object CrawlIngest {
 
   /** The documents-store schema: where the doc came from (file path +
     * record index + URI), what the server said (status), and the
-    * extracted title/text. */
+    * extracted title/full-text/main-content (the boilerplate-filtered
+    * [[Html.mainText]] — the column a training corpus actually reads;
+    * `text` keeps the complete visible text for audits). */
   val DocSchema: StructType = StructType(Seq(
     StructField("path", StringType), StructField("record_ix", LongType),
     StructField("url", StringType), StructField("http_status", LongType),
-    StructField("title", StringType), StructField("text", StringType)))
+    StructField("title", StringType), StructField("text", StringType),
+    StructField("main_text", StringType)))
 
   /** The batch transform: (path, content) file rows → extracted
     * document rows. Exposed separately so the streaming path, tests,
@@ -52,9 +55,9 @@ object CrawlIngest {
       .select(col("path"), col("record_ix"),
         col("target_uri").as("url"), col("http_status"),
         col("text").as("html"))
-    Html.extract(pages, "html")
+    Html.extractMain(Html.extract(pages, "html"), "html")
       .select(col("path"), col("record_ix"), col("url"),
-        col("http_status"), col("title"), col("text"))
+        col("http_status"), col("title"), col("text"), col("main_text"))
   }
 
   /** Open (or resume) the documents store at `storePath`. */

@@ -128,9 +128,26 @@ class HttpSpec extends SparkSpec {
     val lying = Http.bodyText("café".getBytes(ISO_8859_1),
       Some("text/html; charset=utf-8"))._1
     assert(lying.startsWith("caf") && lying.contains('�'))
-    // Unknown label → meta-less body falls to UTF-8.
+    // Unknown label → meta-less ASCII/UTF-8 body falls to UTF-8.
     assert(Http.bodyText("plain".getBytes(UTF_8),
       Some("text/html; charset=klingon"))._1 === "plain")
+    // UNLABELED legacy page: not valid UTF-8 → decode as cp1252, the
+    // encoding unlabeled pages actually use (r11) — café stays café
+    // instead of caf�.
+    val legacy = Http.bodyText("café".getBytes(ISO_8859_1),
+      Some("text/html"))
+    assert(legacy._1 === "café" && legacy._2 === "windows-1252")
+    // Unlabeled VALID UTF-8 with multibyte chars stays UTF-8.
+    val utf = Http.bodyText("héllo €".getBytes(UTF_8), None)
+    assert(utf._1 === "héllo €" && utf._2 === "UTF-8")
+    // The validator itself: truncated sequences, bad leads, overlongs,
+    // surrogates all refuse; astral accepts.
+    assert(Http.isValidUtf8("😀".getBytes(UTF_8), 0))
+    assert(!Http.isValidUtf8(Array(0xc3.toByte), 0)) // truncated
+    assert(!Http.isValidUtf8(Array(0xc0.toByte, 0xaf.toByte), 0)) // overlong
+    assert(!Http.isValidUtf8(Array(0xed.toByte, 0xa0.toByte,
+      0x80.toByte), 0)) // surrogate
+    assert(!Http.isValidUtf8(Array(0xff.toByte), 0))
     // GBK pages decode through the JDK charset table.
     val gbk = Http.bodyText("中文".getBytes("GBK"),
       Some("text/html; charset=gbk"))

@@ -11,9 +11,11 @@ import org.apache.spark.sql.streaming.Trigger
 class CrawlIngestSpec extends SparkSpec {
 
   /** One .warc.gz file whose response payload is a real HTTP message
-    * wrapping an HTML page around `body`. */
+    * wrapping an HTML page around `body` — with a nav bar of links, so
+    * main_text (boilerplate-filtered) differs from text. */
   private def warcGz(id: Long, body: String): Array[Byte] = {
-    val page = s"<html><head><title>t$id</title></head><body><p>" +
+    val page = s"<html><head><title>t$id</title></head><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav><p>" +
       body + "</p></body></html>"
     val http = HttpPack.httpMessage(
       Seq("Content-Type" -> "text/html; charset=utf-8"),
@@ -32,8 +34,10 @@ class CrawlIngestSpec extends SparkSpec {
     val dropDir = Files.createTempDirectory("graft_crawl_in").toString
     val storeDir = Files.createTempDirectory("graft_crawl_store").toString
     val ckpt = Files.createTempDirectory("graft_crawl_ckpt").toString
-    Files.write(Paths.get(dropDir, "a.warc.gz"), warcGz(1L, "alpha doc one"))
-    Files.write(Paths.get(dropDir, "b.warc.gz"), warcGz(2L, "beta doc two"))
+    Files.write(Paths.get(dropDir, "a.warc.gz"),
+      warcGz(1L, "alpha document one with enough prose to keep"))
+    Files.write(Paths.get(dropDir, "b.warc.gz"),
+      warcGz(2L, "beta document two with enough prose to keep"))
     // A corrupt file must not fail the trigger or land rows.
     Files.write(Paths.get(dropDir, "junk.warc.gz"),
       Array[Byte](1, 2, 3, 4, 5))
@@ -43,14 +47,18 @@ class CrawlIngestSpec extends SparkSpec {
     val store = CrawlIngest.docStore(spark, storeDir)
     runAvailable(dropDir, store, ckpt)
     val docs = store.selectAll
-      .selectExpr("url", "http_status", "title", "text").collect()
-      .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+      .selectExpr("url", "http_status", "title", "text", "main_text")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4)))).toMap
     assert(docs.size === 2)
+    // text keeps everything visible; main_text drops the nav chrome.
     assert(docs("https://example.org/doc/1") ===
-      ((200L, "t1", "alpha doc one")))
+      ((200L, "t1", "Home About alpha document one with enough prose to keep",
+        "alpha document one with enough prose to keep")))
     assert(docs("https://example.org/doc/2") ===
-      ((200L, "t2", "beta doc two")))
+      ((200L, "t2", "Home About beta document two with enough prose to keep",
+        "beta document two with enough prose to keep")))
 
     // "Restart": a new stream on the SAME checkpoint sees the old files
     // as consumed — only the newly dropped file lands, no duplicates.
@@ -75,6 +83,6 @@ class CrawlIngestSpec extends SparkSpec {
     assert(out.length === 1)
     assert(out(0).getString(1) === "https://example.org/doc/7")
     assert(out(0).getString(2) === "t7")
-    assert(out(0).getString(3) === "doc seven text")
+    assert(out(0).getString(3) === "Home About doc seven text")
   }
 }
