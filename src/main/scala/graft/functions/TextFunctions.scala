@@ -70,6 +70,30 @@ object TextFunctions {
     cascade
   }
 
+  /** Unicode-script character histogram per document — the
+    * script-level complement of [[langPredict]]'s word-marker language
+    * ID: a multilingual corpus mix is audited (and mixed-script spam
+    * flagged) by per-script character counts, not word lists. Exact
+    * integer counts via codegen'd `regexp_count` over the Java script
+    * classes (RE2 carries the same script properties, so the oracle
+    * re-derives every column); `n_kana` folds Hiragana + Katakana.
+    * Entirely narrow — at 100 TB this is a per-row scan function. */
+  def scriptMix(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    def cnt(cls: String): Column =
+      expr(s"regexp_count($textCol, '\\\\p{Is$cls}')").cast("long")
+    docs.select(col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      cnt("Latin").as("n_latin"),
+      cnt("Cyrillic").as("n_cyrillic"),
+      cnt("Han").as("n_han"),
+      cnt("Arabic").as("n_arabic"),
+      cnt("Greek").as("n_greek"),
+      cnt("Hangul").as("n_hangul"),
+      (cnt("Hiragana") + cnt("Katakana")).as("n_kana"),
+      expr(s"regexp_count($textCol, '[0-9]')").cast("long").as("n_digit"))
+  }
+
   /** Word n-grams (n >= 2) as space-joined strings; documents shorter than n
     * yield an empty array. The token array is let-bound so the split runs
     * exactly once per row (see [[SqlLet]]) even though the sliding lookup

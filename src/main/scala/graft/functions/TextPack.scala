@@ -24,7 +24,25 @@ object TextPack extends QueryPack {
     langScore(col("text"), ms).as(s"score_$l")
   }
 
+  /** Multiscript tail appended to every document for q_script_mix —
+    * identical literal in the oracle SQL, counted there by RE2's script
+    * classes instead of Java's. */
+  private val ScriptTail =
+    " Привет мир 中文字 مرحبا γειά 한글 ひらがな カタカナ 42"
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Unicode-script histogram (r11): real document text plus a
+    // constructed multiscript tail, counted per script — Java
+    // \p{IsScript} classes on the Spark side, RE2 \p{Script} on the
+    // DuckDB side: two independent script-property tables must agree.
+    "q_script_mix" -> { (s, dir) =>
+      graft.functions.TextFunctions // package anchor
+      val docs = table(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(col("text"), lit(ScriptTail)).as("text"))
+      TextFunctions.scriptMix(docs)
+    },
     // Corpus stats by (lang, source): counts + char/token sums (ints) + one
     // derived mean (single division).
     "q_text_stats" -> { (s, dir) =>
@@ -160,6 +178,29 @@ object TextPack extends QueryPack {
     "SELECT *, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm FROM documents"
 
   override def oracles: Map[String, String] = Map(
+    "q_script_mix" ->
+      ("""WITH a AS (SELECT doc_id,
+         |    text || ' Привет мир 中文字 مرحبا γειά 한글 ひらがな カタカナ 42'
+         |      AS t
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id,
+         |  CAST(length(t) AS BIGINT) AS n_chars,
+         |  CAST(len(regexp_extract_all(t, '\p{Latin}')) AS BIGINT)
+         |    AS n_latin,
+         |  CAST(len(regexp_extract_all(t, '\p{Cyrillic}')) AS BIGINT)
+         |    AS n_cyrillic,
+         |  CAST(len(regexp_extract_all(t, '\p{Han}')) AS BIGINT) AS n_han,
+         |  CAST(len(regexp_extract_all(t, '\p{Arabic}')) AS BIGINT)
+         |    AS n_arabic,
+         |  CAST(len(regexp_extract_all(t, '\p{Greek}')) AS BIGINT)
+         |    AS n_greek,
+         |  CAST(len(regexp_extract_all(t, '\p{Hangul}')) AS BIGINT)
+         |    AS n_hangul,
+         |  CAST(len(regexp_extract_all(t, '\p{Hiragana}')) +
+         |    len(regexp_extract_all(t, '\p{Katakana}')) AS BIGINT)
+         |    AS n_kana,
+         |  CAST(len(regexp_extract_all(t, '[0-9]')) AS BIGINT) AS n_digit
+         |FROM a""".stripMargin),
     "q_text_stats" ->
       """WITH t AS (SELECT lang, source, n_chars,
         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents)

@@ -181,6 +181,45 @@ object Curation {
           .as("dup_char_frac"))
   }
 
+  /** Gopher line-morphology battery — the published rules the
+    * repetition stats above do not cover: bullet-start and
+    * ellipsis-end line fractions, the symbol-to-word signals (`#`
+    * characters, `…`/`...` occurrences), alphabetic-word count and
+    * total word characters (mean word length = word_chars / n_words).
+    * Everything is emitted as an EXACT integer COUNT — consumers
+    * derive the paper's fractions, and integer outputs hash-compare in
+    * the oracle with no float-accumulation hazard.
+    *
+    * Plan shape: entirely NARROW — per-document array splits and
+    * higher-order filters, no explode, no shuffle; at 100 TB this runs
+    * inside the ingest scan like the HTML extractor. */
+  def lineMorphology(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val t = textCol
+    docs.select(col(idCol),
+      expr(s"filter(transform(split($t, '\\n'), l -> trim(l)), " +
+        "l -> length(l) > 0)").as("_lines"),
+      expr(s"filter(split(trim($t), '\\\\s+'), w -> length(w) > 0)")
+        .as("_ws"),
+      col(t).as("_t"))
+      .select(col(idCol),
+        size(col("_lines")).cast("long").as("n_lines"),
+        expr("size(filter(_lines, l -> l rlike '^[•‣▪◦·*-]'))")
+          .cast("long").as("n_bullet_lines"),
+        expr("size(filter(_lines, l -> l rlike '(\\\\.\\\\.\\\\.|…)$'))")
+          .cast("long").as("n_ellipsis_lines"),
+        size(col("_ws")).cast("long").as("n_words"),
+        expr("size(filter(_ws, w -> w rlike '\\\\p{L}'))")
+          .cast("long").as("n_alpha_words"),
+        expr("aggregate(_ws, 0L, (acc, w) -> acc + length(w))")
+          .cast("long").as("word_chars"),
+        (length(col("_t")) - length(expr("replace(_t, '#', '')")))
+          .cast("long").as("n_hash"),
+        ((length(col("_t")) - length(expr("replace(_t, '…', '')"))) +
+          (length(col("_t")) - length(expr("replace(_t, '...', '')"))) / 3)
+          .cast("long").as("n_ellipsis_sym"))
+  }
+
   /** Top word-n-gram character fraction per document — the other half of
     * the Gopher repetition battery: for each n in `ns`, the single most
     * frequent word n-gram and the fraction of the document's normalized

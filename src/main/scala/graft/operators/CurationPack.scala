@@ -143,6 +143,30 @@ object CurationPack extends QueryPack {
           "\n").as("text"))
       Curation.duplicateUnitStats(lined)
     },
+    // Gopher line-morphology battery (r11): the documents' words are
+    // regrouped 3-per-line with bullets / trailing ellipses / #tags
+    // injected on deterministic line indices, then lineMorphology must
+    // produce the exact integer counts DuckDB re-derives from ITS OWN
+    // identical construction (independent list-comprehension pipeline,
+    // no shared code).
+    "q_gopher_morph" -> { (s, dir) =>
+      graft.plans.GraftExtensions.register(s)
+      val base = table(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.words(
+            graft.functions.TextFunctions.normalize(col("text"))).as("ws"))
+      val lined = base.select(col("doc_id"),
+        array_join(transform(
+            sequence(lit(0), expr("(size(ws) + 2) div 3 - 1")),
+            i => concat(
+              when(i % 3 === 0, lit("• ")).otherwise(lit("")),
+              array_join(slice(col("ws"), i * 3 + 1, lit(3)), " "),
+              when(i % 4 === 0, lit(" ...")).otherwise(lit("")),
+              when(i % 5 === 0, lit(" #tag")).otherwise(lit("")))),
+          "\n").as("text"))
+      Curation.lineMorphology(lined)
+    },
     // Gopher top word-n-gram character fraction for n = 2, 3, 4
     // (Curation.topNgramCharFrac) — deterministic argmax via max-struct,
     // oracle replicates with a window rank.
@@ -399,6 +423,44 @@ object CurationPack extends QueryPack {
     // The lined form replicated step for step: normalized words → 2-word
     // wrap → non-empty units → per-(doc, unit) counts → per-doc sums.
     // Fractions are single divisions of exact integers on both engines.
+    // Independent reconstruction + morphology: the same 3-word lines
+    // with CASE-injected bullets/ellipses/#tags, then every count from
+    // DuckDB's own list comprehensions and string arithmetic.
+    "q_gopher_morph" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |built AS (SELECT doc_id, array_to_string(
+        |  [(CASE WHEN i % 3 = 0 THEN chr(8226) || ' ' ELSE '' END) ||
+        |   array_to_string(ws[3*i+1:3*i+3], ' ') ||
+        |   (CASE WHEN i % 4 = 0 THEN ' ...' ELSE '' END) ||
+        |   (CASE WHEN i % 5 = 0 THEN ' #tag' ELSE '' END)
+        |   for i in range(0, (len(ws)+2)//3)], chr(10)) AS t
+        |  FROM w),
+        |p AS (SELECT doc_id, t,
+        |    [x for x in list_transform(string_split(t, chr(10)),
+        |       y -> trim(y)) if length(x) > 0] AS lines,
+        |    [x for x in string_split_regex(trim(t), '\s+')
+        |       if length(x) > 0] AS wds
+        |  FROM built)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len([x for x in lines
+        |    if regexp_matches(x, '^[•‣▪◦·*-]')]) AS BIGINT)
+        |    AS n_bullet_lines,
+        |  CAST(len([x for x in lines
+        |    if regexp_matches(x, '(\.\.\.|…)$')]) AS BIGINT)
+        |    AS n_ellipsis_lines,
+        |  CAST(len(wds) AS BIGINT) AS n_words,
+        |  CAST(len([x for x in wds
+        |    if regexp_matches(x, '\p{L}')]) AS BIGINT) AS n_alpha_words,
+        |  CAST(coalesce(list_sum(list_transform(wds, x -> length(x))), 0)
+        |    AS BIGINT) AS word_chars,
+        |  CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS n_hash,
+        |  CAST((length(t) - length(replace(t, chr(8230), ''))) +
+        |    (length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT)
+        |    AS n_ellipsis_sym
+        |FROM p""".stripMargin,
     "q_gopher_lines" ->
       """WITH w AS (SELECT doc_id, string_split_regex(
         |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS ws

@@ -93,4 +93,18 @@ class TextFunctionsSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(fps.size === 1)
   }
+test("scriptMix: per-script exact counts on a constructed multiscript doc") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val df = Seq(
+      (1L, "abc XYZ Привет 中文 مرحب γ 한 ひカ 42!"),
+      (2L, "") // empty → all zero
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.scriptMix(df).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1).map(_.asInstanceOf[Long]))
+      .toMap
+    // n_chars, latin, cyrillic, han, arabic, greek, hangul, kana, digit
+    assert(out(1L) === Seq(33L, 6L, 6L, 2L, 4L, 1L, 1L, 2L, 2L))
+    assert(out(2L) === Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+  }
 }

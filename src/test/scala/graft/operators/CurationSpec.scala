@@ -401,4 +401,19 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSet === out.toSet)
   }
+test("lineMorphology: exact counts on a hand-built lined document") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val doc = "\u2022 alpha beta ...\nplain line here\n" +
+      "ends with dots ...\n- dash bullet\n#tag one \u2026 two\n   \n"
+    val out = Curation.lineMorphology(
+        Seq((1L, doc)).toDF("doc_id", "text")).collect()(0)
+    assert(out.getLong(1) === 5L) // n_lines (blank line dropped)
+    assert(out.getLong(2) === 2L) // bullet: \u2022 and -
+    assert(out.getLong(3) === 2L) // ellipsis-end lines
+    assert(out.getLong(4) === 18L) // words
+    assert(out.getLong(5) === 13L) // alpha words (not \u2022 - ... \u2026)
+    assert(out.getLong(7) === 1L) // n_hash ('#' in #tag)
+    assert(out.getLong(8) === 3L) // n_ellipsis_sym: two '...' + one \u2026
+  }
 }
