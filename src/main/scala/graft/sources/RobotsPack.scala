@@ -40,6 +40,32 @@ object RobotsPack extends QueryPack {
           }.toDF("doc_id", "robots", "path")
         Robots.withAllowed(urls, "robots", "path", "graftbot")
           .select(col("doc_id"), col("allowed"), col("crawl_delay"))
+      },
+      // Sitemap explode (r11): a genuine urlset per document — three
+      // URLs, one entity-escaped query string, one lastmod, the whole
+      // file gzipped on even ids (the .xml.gz auto-detect path) — and
+      // the exploded entries re-derived closed-form in SQL.
+      "q_sitemap" -> { (s, dir) =>
+        import s.implicits._
+        val maps = table(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val xml = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+              "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+              (0 until 3).map { j =>
+                val loc = s"https://example.org/d/$id/p$j" +
+                  (if (j == 2) "?a=1&amp;b=2" else "")
+                "<url><loc>" + loc + "</loc>" +
+                  (if (j == 0)
+                    f"<lastmod>2024-01-${id % 28 + 1}%02d</lastmod>"
+                  else "") + "</url>"
+              }.mkString + "</urlset>"
+            val bytes = xml.getBytes("UTF-8")
+            (id, if (id % 2 == 0) WarcPack.gzipBytes(bytes) else bytes)
+          }.toDF("doc_id", "bytes")
+        Sitemaps.entries(maps)
+          .select(col("doc_id"), col("entry_ix"), col("loc"),
+            col("lastmod"), col("is_index"))
       }
     )
 
@@ -53,6 +79,16 @@ object RobotsPack extends QueryPack {
       """SELECT doc_id,
         |  CAST(doc_id % 5 IN (0, 2, 4) AS BOOLEAN) AS allowed,
         |  CAST(2.0 AS DOUBLE) AS crawl_delay
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q_sitemap" ->
+      """SELECT doc_id, CAST(j AS BIGINT) AS entry_ix,
+        |  'https://example.org/d/' || CAST(doc_id AS VARCHAR) || '/p' ||
+        |    CAST(j AS VARCHAR) ||
+        |    CASE WHEN j = 2 THEN '?a=1&b=2' ELSE '' END AS loc,
+        |  CASE WHEN j = 0 THEN '2024-01-' ||
+        |    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |    ELSE NULL END AS lastmod,
+        |  CAST(FALSE AS BOOLEAN) AS is_index
+        |FROM documents, generate_series(0, 2) t(j)""".stripMargin
   )
 }
