@@ -96,4 +96,46 @@ object CrawlIngest {
       }
       .start()
   }
+
+  /** [[attach]] with exactly-once-by-URL ingestion: a crawl delivers
+    * the same page many times (re-crawls, mirrors, duplicate WARC
+    * segments), and a documents store should hold each URL once. The
+    * extraction chain moves INTO the streaming plan so Spark's
+    * stateful `dropDuplicates` can key on the extracted URL — state is
+    * checkpointed, so a restart still refuses URLs ingested before the
+    * crash. State grows with distinct URLs (one small row each, no
+    * watermark to bound it — URLs never expire); at corpus scale point
+    * the checkpoint at a real state store backend (RocksDB) exactly as
+    * any unbounded-key streaming dedup, or re-snapshot via a batch
+    * URL-dedup pass. Null-URL records (rare records without a
+    * WARC-Target-URI) are kept un-deduped rather than collapsing onto
+    * one null key. */
+  def attachDeduped(spark: SparkSession, dropDir: String,
+                    store: ParquetStore, checkpoint: String,
+                    trigger: Trigger = Trigger.ProcessingTime(10000L),
+                    maxFilesPerTrigger: Int = 64): StreamingQuery = {
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val src = spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "*.warc.gz")
+      .load(dropDir)
+    val deduped = documentsFrom(src)
+      .withColumn("_k", coalesce(col("url"),
+        concat(col("path"), lit("#"), col("record_ix"))))
+      .dropDuplicates("_k")
+      .drop("_k")
+    deduped.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) store.appendStreaming(batch)
+        ()
+      }
+      .start()
+  }
 }

@@ -71,6 +71,41 @@ class CrawlIngestSpec extends SparkSpec {
       "https://example.org/doc/2", "https://example.org/doc/3"))
   }
 
+  test("attachDeduped: the same URL across files and restarts lands ONCE") {
+    val dropDir = Files.createTempDirectory("graft_crawl_dd_in").toString
+    val storeDir = Files.createTempDirectory("graft_crawl_dd_store").toString
+    val ckpt = Files.createTempDirectory("graft_crawl_dd_ckpt").toString
+    // Two files carrying the SAME doc id → same URL; one distinct.
+    Files.write(Paths.get(dropDir, "a.warc.gz"),
+      warcGz(1L, "first capture of the duplicated page body"))
+    Files.write(Paths.get(dropDir, "b.warc.gz"),
+      warcGz(1L, "second capture of the duplicated page body"))
+    Files.write(Paths.get(dropDir, "c.warc.gz"),
+      warcGz(2L, "a distinct page with its own url body"))
+    val store = CrawlIngest.docStore(spark, storeDir, "crawl_dd")
+    val q = CrawlIngest.attachDeduped(spark, dropDir, store, ckpt,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+    val urls = store.selectAll.selectExpr("url").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(urls === Seq("https://example.org/doc/1",
+      "https://example.org/doc/2"))
+    // Restart on the same checkpoint: the dedup STATE survives — a new
+    // file with an already-ingested URL is refused, a new URL lands.
+    Files.write(Paths.get(dropDir, "d.warc.gz"),
+      warcGz(1L, "third capture after restart must be refused"))
+    Files.write(Paths.get(dropDir, "e.warc.gz"),
+      warcGz(3L, "a brand new page arriving after restart"))
+    val store2 = CrawlIngest.docStore(spark, storeDir, "crawl_dd2")
+    val q2 = CrawlIngest.attachDeduped(spark, dropDir, store2, ckpt,
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination()
+    val after = store2.selectAll.selectExpr("url").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(after === Seq("https://example.org/doc/1",
+      "https://example.org/doc/2", "https://example.org/doc/3"))
+  }
+
   test("documentsFrom: the shared batch transform extracts through the full chain") {
     val sparkSession = spark
     import sparkSession.implicits._
