@@ -142,15 +142,26 @@ object Html {
     * forms. Everything else (unknown names, non-ASCII digits, signs,
     * other controls, surrogates, out-of-range) stays a literal `&` —
     * never dropped, never decoded twice. */
-  private def entity(s: String, i: Int): (String, Int) = {
+  private def entity(s: String, i: Int,
+                     attr: Boolean = false): (String, Int) = {
     val n = s.length
-    // WHATWG: unterminated legacy forms decode in text content.
+    // WHATWG: unterminated legacy forms decode in text content; in
+    // ATTRIBUTE values a legacy name followed by [a-zA-Z0-9=] stays
+    // literal ('?x=1&copy=2' in an href is a query parameter, not ©).
     def legacyAt(): (String, Int) = {
       var res: (String, Int) = null
       val it = Legacy.iterator
       while (res == null && it.hasNext) {
         val nm = it.next()
-        if (matches(s, i + 1, nm)) res = (Named(nm), i + 1 + nm.length)
+        if (matches(s, i + 1, nm)) {
+          val after = i + 1 + nm.length
+          val blocked = attr && after < n && {
+            val c = s.charAt(after)
+            (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+              (c >= '0' && c <= '9') || c == '='
+          }
+          if (!blocked) res = (Named(nm), after)
+        }
       }
       if (res == null) ("&", i + 1) else res
     }
@@ -477,6 +488,124 @@ object Html {
     }
     flush()
     out.result()
+  }
+
+  /** The value of attribute `name` inside the tag whose `<` is at
+    * `tagStart` — quote-aware (a `>` inside a quoted value is data),
+    * name matched case-insensitively at an attribute boundary (so
+    * `data-href` is not an `href`), quoted or bare values. Null when
+    * absent. */
+  private def attrValue(s: String, tagStart: Int, name: String): String = {
+    val limit = tagEnd(s, tagStart + 1)._1
+    var k = tagStart + 1
+    var quote: Char = 0
+    while (k < limit) {
+      val c = s.charAt(k)
+      if (quote != 0) { if (c == quote) quote = 0; k += 1 }
+      else if (c == '"' || c == '\'') { quote = c; k += 1 }
+      else if (c.isWhitespace && matches(s, k + 1, name) && {
+        val a = k + 1 + name.length
+        a >= limit || s.charAt(a) == '=' || s.charAt(a).isWhitespace ||
+          s.charAt(a) == '>' || s.charAt(a) == '/'
+      }) {
+        var j = k + 1 + name.length
+        while (j < limit && s.charAt(j).isWhitespace) j += 1
+        if (j < limit && s.charAt(j) == '=') {
+          j += 1
+          while (j < limit && s.charAt(j).isWhitespace) j += 1
+          if (j >= limit) return ""
+          val q = s.charAt(j)
+          if (q == '"' || q == '\'') {
+            val close = s.indexOf(q, j + 1)
+            // Unterminated quoted value: malformed tail, no attribute
+            // (same degradation as every other truncated construct).
+            if (close < 0 || close >= limit) return null
+            return s.substring(j + 1, close)
+          } else {
+            var e = j
+            while (e < limit && !s.charAt(e).isWhitespace &&
+              s.charAt(e) != '>') e += 1
+            return s.substring(j, e)
+          }
+        } else k = j // valueless attribute; keep scanning
+      } else k += 1
+    }
+    null
+  }
+
+  /** Entity-decode an attribute value (the `&amp;` every href query
+    * string carries) with the same decode-once entity machine. */
+  private def decodeEntities(v: String): String = {
+    if (v == null || v.indexOf('&') < 0) return v
+    val out = new java.lang.StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      if (v.charAt(i) == '&') {
+        val (d, next) = entity(v, i, attr = true)
+        out.append(d)
+        i = next
+      } else { out.append(v.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
+
+  /** All `<a href>` values of a page in document order, entity-decoded,
+    * raw (unresolved): the outlink source of the crawl graph. Links in
+    * script/style CODE and comments are data, not links. Null-safe,
+    * never throws. */
+  def links(html: String): Vector[String] = {
+    if (html == null) return Vector.empty
+    val n = html.length
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        if (matches(html, i, "<!--")) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (matches(html, i, "<![CDATA[")) {
+          val e = html.indexOf("]]>", i + 9)
+          i = if (e < 0) n else e + 3
+        } else if (openTagAt(html, i, "script"))
+          i = skipDropWhole(html, i, "script")
+        else if (openTagAt(html, i, "style"))
+          i = skipDropWhole(html, i, "style")
+        else if (openTagAt(html, i, "a")) {
+          val v = attrValue(html, i, "href")
+          if (v != null && v.trim.nonEmpty) out += decodeEntities(v.trim)
+          i = tagEnd(html, i + 1)._1
+        } else if (i + 1 < n && (html.charAt(i + 1).isLetter ||
+          html.charAt(i + 1) == '/' || html.charAt(i + 1) == '!' ||
+          html.charAt(i + 1) == '?'))
+          i = tagEnd(html, i + 1)._1
+        else i += 1
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** DataFrame outlink explode: one row per `<a href>` with
+    * (`link_ix`, `href` raw, `target_url` resolved against `baseCol`
+    * via RFC 3986 — the (source, target) edge of the crawl/link
+    * graph). Pages without links yield no rows. Narrow per-partition
+    * pass. */
+  def extractLinks(df: DataFrame, htmlCol: String = "html",
+                   baseCol: String = "url"): DataFrame = {
+    val hi = df.schema.fieldIndex(htmlCol)
+    val bi = df.schema.fieldIndex(baseCol)
+    val schema = df.schema
+      .add("link_ix", LongType).add("href", StringType)
+      .add("target_url", StringType)
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        val base = row.getAs[String](bi)
+        links(row.getAs[String](hi)).iterator.zipWithIndex.map {
+          case (href, ix) =>
+            Row.fromSeq(row.toSeq :+ ix.toLong :+ href :+
+              graft.operators.Url.resolve(base, href))
+        }
+      }
+    }(Encoders.row(schema))
   }
 
   /** Main-content text: the [[blocks]] that read as prose rather than

@@ -79,6 +79,29 @@ object HtmlPack extends QueryPack {
           }.toDF("doc_id", "html")
         Html.extractMain(pages)
           .select(col("doc_id"), col("main_text"))
+      },
+      // Outlink extraction + RFC 3986 resolution (r11): eight href
+      // shapes — absolute, relative, root-relative, ../ climb,
+      // query-only, fragment-only, entity-escaped query, and a mailto
+      // that must be filtered — resolved against the page URL; the
+      // kept seven re-derived closed-form in SQL.
+      "q_html_links" -> { (s, dir) =>
+        import s.implicits._
+        val pages = table(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val hrefs = Seq("https://other.org/abs", "rel/p.html",
+              "/root.html", "../up.html", "?page=2", "#frag",
+              "x.html?a=1&amp;b=2", "mailto:contact@example.org")
+            val html = "<html><body>" +
+              hrefs.map(h => s"""<a href="$h">l</a>""").mkString +
+              "<script>var a = '<a href=\"/code\">no</a>';</script>" +
+              "</body></html>"
+            (id, s"https://site$id.org/a/b/page.html", html)
+          }.toDF("doc_id", "base_url", "html")
+        Html.extractLinks(pages, "html", "base_url")
+          .filter(col("target_url").startsWith("http"))
+          .select(col("doc_id"), col("link_ix"), col("target_url"))
       }
     )
 
@@ -117,6 +140,23 @@ object HtmlPack extends QueryPack {
         |  CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) >= 25
         |    THEN trim(regexp_replace(text, '\s+', ' ', 'g'))
         |    ELSE '' END AS main_text
-        |FROM documents WHERE text IS NOT NULL""".stripMargin
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    "q_html_links" ->
+      """SELECT doc_id, CAST(j AS BIGINT) AS link_ix,
+        |  CASE j
+        |    WHEN 0 THEN 'https://other.org/abs'
+        |    WHEN 1 THEN 'https://site' || CAST(doc_id AS VARCHAR) ||
+        |      '.org/a/b/rel/p.html'
+        |    WHEN 2 THEN 'https://site' || CAST(doc_id AS VARCHAR) ||
+        |      '.org/root.html'
+        |    WHEN 3 THEN 'https://site' || CAST(doc_id AS VARCHAR) ||
+        |      '.org/a/up.html'
+        |    WHEN 4 THEN 'https://site' || CAST(doc_id AS VARCHAR) ||
+        |      '.org/a/b/page.html?page=2'
+        |    WHEN 5 THEN 'https://site' || CAST(doc_id AS VARCHAR) ||
+        |      '.org/a/b/page.html'
+        |    ELSE 'https://site' || CAST(doc_id AS VARCHAR) ||
+        |      '.org/a/b/x.html?a=1&b=2' END AS target_url
+        |FROM documents, generate_series(0, 6) t(j)""".stripMargin
   )
 }

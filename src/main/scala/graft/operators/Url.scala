@@ -219,6 +219,67 @@ object Url {
       sb.toString
   }
 
+  /** RFC 3986 §5 reference resolution — the step between "href on a
+    * page" and "URL in the crawl frontier". Handles the reference
+    * classes real pages ship: absolute URLs (returned as-is),
+    * network-path `//host/...` (base scheme adopted), root-relative
+    * `/path`, query-only `?q`, fragment-only `#f` (→ the base document
+    * itself), and relative paths merged against the base's directory
+    * with dot segments resolved. An unparseable base returns the
+    * reference unchanged (never throws). Fragments are dropped — the
+    * frontier fetches documents, not anchors. */
+  def resolve(base: String, ref0: String): String = {
+    if (ref0 == null) return null
+    val ref = ref0.trim
+    parse(base) match {
+      case None => ref
+      case Some(b) =>
+        def authority: String = {
+          val sb = new java.lang.StringBuilder
+          if (b.userinfo != null) sb.append(b.userinfo).append('@')
+          sb.append(b.host)
+          if (b.port >= 0) sb.append(':').append(b.port)
+          sb.toString
+        }
+        def noFrag(s: String): String = {
+          val h = s.indexOf('#')
+          if (h < 0) s else s.substring(0, h)
+        }
+        val colon = ref.indexOf(':')
+        val hasScheme = colon > 0 &&
+          ref.substring(0, colon).forall(c => c.isLetterOrDigit ||
+            c == '+' || c == '-' || c == '.') &&
+          ref.charAt(0).isLetter
+        if (hasScheme) noFrag(ref)
+        else if (ref.startsWith("//")) noFrag(b.scheme + ":" + ref)
+        else if (ref.isEmpty || ref.startsWith("#"))
+          b.scheme + "://" + authority +
+            (if (b.path.isEmpty) "/" else b.path) +
+            (if (b.query != null) "?" + b.query else "")
+        else if (ref.startsWith("?"))
+          b.scheme + "://" + authority +
+            (if (b.path.isEmpty) "/" else b.path) + noFrag(ref)
+        else {
+          // Dot-segment removal applies to the PATH only — split the
+          // reference's query off first.
+          val pq = noFrag(ref)
+          val qi = pq.indexOf('?')
+          val (rp, rq) = if (qi < 0) (pq, "") else
+            (pq.substring(0, qi), pq.substring(qi))
+          val merged =
+            if (rp.startsWith("/")) rp
+            else {
+              // Merge against the base DIRECTORY (path up to and
+              // including the last '/'; empty base path acts as "/").
+              val bp = if (b.path.isEmpty) "/" else b.path
+              val dir = bp.substring(0, bp.lastIndexOf('/') + 1)
+              dir + rp
+            }
+          b.scheme + "://" + authority + removeDotSegments(merged) + rq
+        }
+    }
+  }
+
   /** The tracking parameters that make two fetches of the same page
     * distinct strings: the utm_ family plus the per-platform click
     * ids. Lowercase-matched on the name before the first '='. */

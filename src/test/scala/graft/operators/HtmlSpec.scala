@@ -215,6 +215,46 @@ class HtmlSpec extends SparkSpec {
     }
   }
 
+  test("links: href extraction — quotes, entities, code exclusion, attr boundaries") {
+    val page = "<a href=\"/one\">1</a>" +
+      "<a class=\"x\" HREF='two.html'>2</a>" +
+      "<a href=three>3</a>" + // bare value
+      "<a href=\"?a=1&amp;b=2\">4</a>" + // entity in query
+      "<a href=\"?x=1&copy=2\">5</a>" + // attr context: NOT ©
+      "<script>var a = '<a href=\"/code\">no</a>';</script>" +
+      "<!-- <a href=\"/comment\">no</a> -->" +
+      "<a data-href=\"/not-href\">6</a>" + // boundary: not an href
+      "<a href=\"/q>r\">7</a>" + // '>' inside quotes is data
+      "<a name=\"anchor\">8</a>" // no href at all
+    assert(Html.links(page) === Vector("/one", "two.html", "three",
+      "?a=1&b=2", "?x=1&copy=2", "/q>r"))
+    assert(Html.links(null).isEmpty)
+    assert(Html.links("no links here").isEmpty)
+    assert(Html.links("<a href=\"unterminated") === Vector.empty)
+    val rnd = new scala.util.Random(19)
+    for (_ <- 1 to 300) {
+      val cs = Array.fill(rnd.nextInt(300))(
+        "<>&;\"'= ahref/!-".charAt(rnd.nextInt(16)))
+      Html.links(new String(cs)) // must not throw
+    }
+  }
+
+  test("extractLinks: DataFrame explode resolves against the page URL") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val out = Html.extractLinks(Seq(
+        (1L, "https://e.org/a/p.html",
+          "<a href=\"x.html\">x</a><a href=\"/y\">y</a>"),
+        (2L, "https://e.org/", "no links")
+      ).toDF("id", "url", "html"), "html", "url")
+      .selectExpr("id", "link_ix", "href", "target_url").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getString(3)))).toMap
+    assert(out((1L, 0L)) === (("x.html", "https://e.org/a/x.html")))
+    assert(out((1L, 1L)) === (("/y", "https://e.org/y")))
+    assert(out.size === 2) // linkless pages yield no rows
+  }
+
   test("extract: DataFrame form appends title + text in one narrow pass") {
     val sparkSession = spark
     import sparkSession.implicits._

@@ -64,6 +64,39 @@ class UrlSpec extends SparkSpec {
     assert(Url.normalize(null) === null)
   }
 
+  test("resolve: RFC 3986 reference classes against a base document") {
+    val base = "https://example.org/a/b/page.html?q=1"
+    assert(Url.resolve(base, "https://other.org/abs#x") ===
+      "https://other.org/abs")
+    assert(Url.resolve(base, "//cdn.org/lib.js") ===
+      "https://cdn.org/lib.js")
+    assert(Url.resolve(base, "/root.html") ===
+      "https://example.org/root.html")
+    assert(Url.resolve(base, "rel/p.html") ===
+      "https://example.org/a/b/rel/p.html")
+    assert(Url.resolve(base, "../up.html") ===
+      "https://example.org/a/up.html")
+    assert(Url.resolve(base, "../../../clamp.html") ===
+      "https://example.org/clamp.html")
+    assert(Url.resolve(base, "?page=2") ===
+      "https://example.org/a/b/page.html?page=2")
+    assert(Url.resolve(base, "#sec") ===
+      "https://example.org/a/b/page.html?q=1")
+    assert(Url.resolve(base, "") ===
+      "https://example.org/a/b/page.html?q=1")
+    assert(Url.resolve(base, "x.html?a=1&b=2#f") ===
+      "https://example.org/a/b/x.html?a=1&b=2")
+    // Bare-host base: empty path acts as "/".
+    assert(Url.resolve("https://example.org", "p.html") ===
+      "https://example.org/p.html")
+    // Non-hierarchical refs keep their scheme (filtered downstream).
+    assert(Url.resolve(base, "mailto:a@b.c") === "mailto:a@b.c")
+    assert(Url.resolve(base, "javascript:void(0)") === "javascript:void(0)")
+    // Unparseable base: the reference comes back unchanged.
+    assert(Url.resolve("not a url", "x.html") === "x.html")
+    assert(Url.resolve(base, null) === null)
+  }
+
   test("stripTracking: utm family + click ids out, real params kept") {
     assert(Url.stripTracking(
       "http://a.com/p?utm_source=x&id=5&UTM_Campaign=y") ===
