@@ -170,7 +170,7 @@ object Bench {
     "q_url_normalize", "q_url_dedup", "q_url_domain_cap",
     "q_audio_fingerprint", "q_robots",
     // r11 curation/profiling additions — secondary tier, narrow scans.
-    "q_gopher_morph", "q_script_mix", "q_sitemap", "q_html_links"
+    "q_gopher_morph", "q_script_mix", "q_sitemap", "q_html_links", "q_nfc"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -227,7 +227,7 @@ object Bench {
     "q_http_response", "q_html_entities", "q_html_main",
     "q_url_normalize", "q_url_dedup", "q_url_domain_cap",
     "q_audio_fingerprint", "q_robots", "q_gopher_morph", "q_script_mix", "q_sitemap",
-    "q_html_links",
+    "q_html_links", "q_nfc",
     // Rotated in r11 to keep the line inside budget: its reported
     // sibling q_dedup_contamination covers the same gram-explosion +
     // semi-join family.

@@ -94,6 +94,31 @@ object TextFunctions {
       expr(s"regexp_count($textCol, '[0-9]')").cast("long").as("n_digit"))
   }
 
+  /** Unicode NFC normalization (UAX #15) — the canonicalization every
+    * text dedup key needs: "café" typed as e + COMBINING ACUTE and
+    * "café" typed as the precomposed é are byte-different, visually
+    * identical, and must hash equal; compatibility singletons like the
+    * ANGSTROM SIGN fold to their canonical letter. Per-row JDK
+    * `java.text.Normalizer` in a narrow per-partition pass (the same
+    * justified string-decoder boundary as the URL/codec layers — no
+    * UDF registry, no shuffle); the oracle runs DuckDB's OWN
+    * `nfc_normalize`, so two independent implementations of the
+    * Unicode composition tables must agree byte-for-byte. */
+  def nfcNormalize(df: DataFrame, textCol: String = "text",
+                   outCol: String = "text_nfc"): DataFrame = {
+    val ti = df.schema.fieldIndex(textCol)
+    val schema = df.schema.add(outCol, org.apache.spark.sql.types.StringType)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val t = row.getAs[String](ti)
+        val n = if (t == null) null
+        else java.text.Normalizer.normalize(t,
+          java.text.Normalizer.Form.NFC)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ n)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Word n-grams (n >= 2) as space-joined strings; documents shorter than n
     * yield an empty array. The token array is let-bound so the split runs
     * exactly once per row (see [[SqlLet]]) even though the sliding lookup

@@ -43,6 +43,20 @@ object TextPack extends QueryPack {
           concat(col("text"), lit(ScriptTail)).as("text"))
       TextFunctions.scriptMix(docs)
     },
+    // Unicode NFC normalization (r11): document text plus a tail of
+    // combining sequences (e+́, A+̊) and the ANGSTROM SIGN singleton —
+    // the JDK's normalizer vs DuckDB's nfc_normalize, two independent
+    // Unicode composition tables that must agree byte-for-byte.
+    "q_nfc" -> { (s, dir) =>
+      val docs = table(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" café Ångström Å x")).as("text"))
+      TextFunctions.nfcNormalize(docs)
+        .select(col("doc_id"), col("text_nfc"),
+          length(col("text_nfc")).cast("long").as("n_chars"))
+    },
     // Corpus stats by (lang, source): counts + char/token sums (ints) + one
     // derived mean (single division).
     "q_text_stats" -> { (s, dir) =>
@@ -178,6 +192,18 @@ object TextPack extends QueryPack {
     "SELECT *, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm FROM documents"
 
   override def oracles: Map[String, String] = Map(
+    // Tail reassembled from raw code points: combining acute U+0301,
+    // combining ring U+030A, combining diaeresis U+0308, ANGSTROM SIGN
+    // U+212B — DuckDB's nfc_normalize composes them with ITS OWN
+    // Unicode tables, independent of the JDK normalizer.
+    "q_nfc" ->
+      ("""WITH a AS (SELECT doc_id,
+         |    text || ' cafe' || chr(769) || ' A' || chr(778) ||
+         |    'ngstro' || chr(776) || 'm ' || chr(8491) || ' x' AS t
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id, nfc_normalize(t) AS text_nfc,
+         |  CAST(length(nfc_normalize(t)) AS BIGINT) AS n_chars
+         |FROM a""".stripMargin),
     "q_script_mix" ->
       ("""WITH a AS (SELECT doc_id,
          |    text || ' Привет мир 中文字 مرحبا γειά 한글 ひらがな カタカナ 42'
