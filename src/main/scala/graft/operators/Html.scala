@@ -198,7 +198,13 @@ object Html {
       else ("&", i + 1) // control/surrogate/invalid → literal ampersand
     } else Named.get(body) match {
       case Some(v) => (v, semi + 1)
-      case None => legacyAt() // '&ampx;' decodes the legacy prefix
+      case None =>
+        // Uppercase semicolon forms of the legacy set (&LT; &AMP; …) are
+        // real WHATWG entities; falling through to legacyAt() here would
+        // decode the name but leave the ';' as stray text.
+        val lower = body.toLowerCase(java.util.Locale.ROOT)
+        if (Legacy.contains(lower)) (Named(lower), semi + 1)
+        else legacyAt() // '&ampx;' decodes the legacy prefix
     }
   }
 
@@ -499,16 +505,23 @@ object Html {
     val limit = tagEnd(s, tagStart + 1)._1
     var k = tagStart + 1
     var quote: Char = 0
+    // An attribute NAME may start after whitespace OR immediately after
+    // a closing quote (`class="x"href="y"` — missing-whitespace-between-
+    // attributes is a recoverable parse error browsers accept). `bnd`
+    // tracks whether position k is such a boundary; it starts false so
+    // the tag name itself is never matched as an attribute.
+    var bnd = false
     while (k < limit) {
       val c = s.charAt(k)
-      if (quote != 0) { if (c == quote) quote = 0; k += 1 }
-      else if (c == '"' || c == '\'') { quote = c; k += 1 }
-      else if (c.isWhitespace && matches(s, k + 1, name) && {
-        val a = k + 1 + name.length
+      if (quote != 0) {
+        if (c == quote) { quote = 0; bnd = true }
+        k += 1
+      } else if (bnd && matches(s, k, name) && {
+        val a = k + name.length
         a >= limit || s.charAt(a) == '=' || s.charAt(a).isWhitespace ||
           s.charAt(a) == '>' || s.charAt(a) == '/'
       }) {
-        var j = k + 1 + name.length
+        var j = k + name.length
         while (j < limit && s.charAt(j).isWhitespace) j += 1
         if (j < limit && s.charAt(j) == '=') {
           j += 1
@@ -527,8 +540,12 @@ object Html {
               s.charAt(e) != '>') e += 1
             return s.substring(j, e)
           }
-        } else k = j // valueless attribute; keep scanning
-      } else k += 1
+        } else { // valueless attribute; keep scanning
+          bnd = j > k + name.length
+          k = j
+        }
+      } else if (c == '"' || c == '\'') { quote = c; bnd = false; k += 1 }
+      else { bnd = c.isWhitespace; k += 1 }
     }
     null
   }
@@ -570,6 +587,11 @@ object Html {
           i = skipDropWhole(html, i, "script")
         else if (openTagAt(html, i, "style"))
           i = skipDropWhole(html, i, "style")
+        else if (openTagAt(html, i, "title"))
+          // RCDATA: no elements parse inside <title> — an '<a href'
+          // there is literal text to a browser, not an outlink (and
+          // extractCore/blocks already drop title whole).
+          i = skipDropWhole(html, i, "title")
         else if (openTagAt(html, i, "a")) {
           val v = attrValue(html, i, "href")
           if (v != null && v.trim.nonEmpty) out += decodeEntities(v.trim)

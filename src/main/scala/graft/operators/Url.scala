@@ -201,22 +201,34 @@ object Url {
     * a key that at least compares equal to itself. */
   def normalize(url: String): String = parse(url) match {
     case None => if (url == null) null else url.trim
-    case Some(p) =>
-      val scheme = asciiLower(p.scheme)
-      val host = asciiLower(p.host)
-      val port =
-        if (p.port >= 0 && DefaultPorts.get(scheme).contains(p.port)) -1
-        else p.port
-      val path0 = if (p.path.isEmpty) "/" else pctNormalize(p.path, false)
-      val path = removeDotSegments(path0)
-      val sb = new java.lang.StringBuilder(url.length)
-      sb.append(scheme).append("://")
-      if (p.userinfo != null) sb.append(p.userinfo).append('@')
-      sb.append(host)
-      if (port >= 0) sb.append(':').append(port)
-      sb.append(path)
-      if (p.query != null) sb.append('?').append(pctNormalize(p.query, true))
-      sb.toString
+    case Some(p) => render(normalizedParts(p))
+  }
+
+  /** The §6 normalizations applied to already-parsed parts (fragment
+    * dropped). Shared by [[normalize]] and the single-parse
+    * [[withUrlParts]] row path. */
+  private def normalizedParts(p: UrlParts): UrlParts = {
+    val scheme = asciiLower(p.scheme)
+    val port =
+      if (p.port >= 0 && DefaultPorts.get(scheme).contains(p.port)) -1
+      else p.port
+    val path = removeDotSegments(
+      if (p.path.isEmpty) "/" else pctNormalize(p.path, false))
+    val query = if (p.query == null) null else pctNormalize(p.query, true)
+    UrlParts(scheme, p.userinfo, asciiLower(p.host), port, path, query, null)
+  }
+
+  /** Render parts back to a URL string (fragment intentionally absent —
+    * both callers produce canonical, fragment-free keys). */
+  private def render(p: UrlParts): String = {
+    val sb = new java.lang.StringBuilder(64)
+    sb.append(p.scheme).append("://")
+    if (p.userinfo != null) sb.append(p.userinfo).append('@')
+    sb.append(p.host)
+    if (p.port >= 0) sb.append(':').append(p.port)
+    sb.append(p.path)
+    if (p.query != null) sb.append('?').append(p.query)
+    sb.toString
   }
 
   /** RFC 3986 §5 reference resolution — the step between "href on a
@@ -368,8 +380,21 @@ object Url {
     df.mapPartitions { it =>
       it.map { row =>
         val raw = row.getAs[String](ui)
-        val norm = stripTracking(normalize(raw))
-        val host = parse(raw).map(p => asciiLower(p.host)).orNull
+        // ONE parse per row: normalize + tracking-strip + host all
+        // derive from the same parsed parts (this is the corpus-scale
+        // hot path — the previous shape re-parsed three times).
+        val (norm, host) = parse(raw) match {
+          case None => (if (raw == null) null else raw.trim, null)
+          case Some(p0) =>
+            val p = normalizedParts(p0)
+            val q =
+              if (p.query == null) null
+              else {
+                val kept = p.query.split("&", -1).filterNot(isTracking)
+                if (kept.isEmpty) null else kept.mkString("&")
+              }
+            (render(p.copy(query = q)), p.host)
+        }
         val domain = if (host == null) null else registrableDomain(host)
         Row.fromSeq(row.toSeq :+ norm :+ host :+ domain)
       }

@@ -110,7 +110,17 @@ object Sitemaps {
         val open = xml.indexOf('>', i + 1)
         if (open < 0) return out.result()
         val close = {
-          val c = xml.indexOf(s"</$blockTag", open)
+          // Case-insensitive close-tag scan: the open tag matched via
+          // regionMatches(true, …), so an uppercase/mixed-case sitemap
+          // (<URL>…</URL>) must find its close the same way or the rest
+          // of the file collapses into one block.
+          var c = -1
+          var j = open + 1
+          while (c < 0 && j + 1 < n) {
+            if (xml.charAt(j) == '<' && xml.charAt(j + 1) == '/' &&
+              matchesAt(xml, j + 2, blockTag)) c = j
+            j += 1
+          }
           if (c < 0) n else c
         }
         val loc = childText(xml, open + 1, close, "loc")

@@ -65,6 +65,33 @@ object CrawlIngest {
                tableName: String = "crawl_docs"): ParquetStore =
     new ParquetStore(spark, DocSchema, storePath, tableName)
 
+  /** The shared drop-folder source: binaryFile over `*.warc.gz`. The
+    * binaryFile source's schema is FIXED by the format, but the
+    * streaming reader still demands it explicitly. */
+  private def fileSource(spark: SparkSession, dropDir: String,
+                         maxFilesPerTrigger: Int): DataFrame = {
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "*.warc.gz")
+      .load(dropDir)
+  }
+
+  /** Append `docs` unless empty (an empty trigger must not burn a store
+    * generation) — persisted first so the emptiness check and the write
+    * share ONE pass over the decode chain instead of running the whole
+    * gunzip→WARC→HTTP→HTML pipeline twice per trigger. */
+  private def appendNonEmpty(store: ParquetStore, docs: DataFrame): Unit = {
+    val p = docs.persist()
+    try { if (!p.isEmpty) store.appendStreaming(p) }
+    finally { p.unpersist(); () }
+  }
+
   /** Attach the drop-folder stream: every trigger picks up newly
     * arrived `.warc.gz` files (binaryFile source, checkpoint-tracked →
     * a restart never re-ingests a file) and appends one compacted
@@ -73,25 +100,13 @@ object CrawlIngest {
              checkpoint: String,
              trigger: Trigger = Trigger.ProcessingTime(10000L),
              maxFilesPerTrigger: Int = 64): StreamingQuery = {
-    // The binaryFile source's schema is FIXED by the format, but the
-    // streaming reader still demands it explicitly.
-    val binarySchema = StructType(Seq(
-      StructField("path", StringType),
-      StructField("modificationTime", TimestampType),
-      StructField("length", LongType),
-      StructField("content", BinaryType)))
-    val src = spark.readStream.format("binaryFile")
-      .schema(binarySchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .option("pathGlobFilter", "*.warc.gz")
-      .load(dropDir)
-    src.writeStream
+    fileSource(spark, dropDir, maxFilesPerTrigger).writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val docs = documentsFrom(batch)
-        // Empty triggers (no new files) must not burn a generation.
-        if (!docs.isEmpty) store.appendStreaming(docs)
+        // Cheap file-row check first: a no-new-files trigger skips the
+        // decode chain entirely.
+        if (!batch.isEmpty) appendNonEmpty(store, documentsFrom(batch))
         ()
       }
       .start()
@@ -114,17 +129,7 @@ object CrawlIngest {
                     store: ParquetStore, checkpoint: String,
                     trigger: Trigger = Trigger.ProcessingTime(10000L),
                     maxFilesPerTrigger: Int = 64): StreamingQuery = {
-    val binarySchema = StructType(Seq(
-      StructField("path", StringType),
-      StructField("modificationTime", TimestampType),
-      StructField("length", LongType),
-      StructField("content", BinaryType)))
-    val src = spark.readStream.format("binaryFile")
-      .schema(binarySchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .option("pathGlobFilter", "*.warc.gz")
-      .load(dropDir)
-    val deduped = documentsFrom(src)
+    val deduped = documentsFrom(fileSource(spark, dropDir, maxFilesPerTrigger))
       .withColumn("_k", coalesce(col("url"),
         concat(col("path"), lit("#"), col("record_ix"))))
       .dropDuplicates("_k")
@@ -133,7 +138,7 @@ object CrawlIngest {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) store.appendStreaming(batch)
+        appendNonEmpty(store, batch)
         ()
       }
       .start()

@@ -91,6 +91,11 @@ class HtmlSpec extends SparkSpec {
     assert(Html.extractText("&amp;mdash;") === "&mdash;")
     // Named lookup is case-sensitive outside the legacy set.
     assert(Html.extractText("&MDASH;") === "&MDASH;")
+    // Uppercase SEMICOLON forms of the legacy set are real WHATWG
+    // entities — the ';' must be consumed, not left as stray text.
+    assert(Html.extractText("1 &LT; 2 &GT; 0") === "1 < 2 > 0")
+    assert(Html.extractText("&COPY; &REG; &AMP; &QUOT;q&QUOT;") ===
+      "© ® & \"q\"")
   }
 
   test("extractText/title: hostile + malformed inputs degrade cleanly, never throw") {
@@ -231,6 +236,16 @@ class HtmlSpec extends SparkSpec {
     assert(Html.links(null).isEmpty)
     assert(Html.links("no links here").isEmpty)
     assert(Html.links("<a href=\"unterminated") === Vector.empty)
+    // Missing-whitespace-between-attributes (recoverable parse error —
+    // browsers read href="/target" here).
+    assert(Html.links("<a class=\"x\"href=\"/target\">t</a>") ===
+      Vector("/target"))
+    assert(Html.links("<a rel='nofollow'href='/n'>t</a>") === Vector("/n"))
+    // <title> is RCDATA: an '<a href' inside it is literal text, not a
+    // link, to every browser.
+    assert(Html.links(
+      "<title>Read <a href=\"/phantom\">this</a></title>" +
+        "<body><a href=\"/real\">r</a></body>") === Vector("/real"))
     val rnd = new scala.util.Random(19)
     for (_ <- 1 to 300) {
       val cs = Array.fill(rnd.nextInt(300))(

@@ -31,6 +31,12 @@ class SitemapsSpec extends SparkSpec {
     assert(Sitemaps.isIndex(idx))
     assert(Sitemaps.parse(idx).map(_.loc) ===
       Seq("https://a.org/s1.xml", "https://a.org/s2.xml"))
+    // Uppercase/mixed-case tags: open tags matched case-insensitively,
+    // so the CLOSE-tag scan must be too — else N entries collapse to 1.
+    assert(Sitemaps.parse(
+      "<URLSET><URL><LOC>https://a/1</LOC></URL>" +
+        "<Url><Loc>https://a/2</Loc></Url></URLSET>").map(_.loc) ===
+      Seq("https://a/1", "https://a/2"))
   }
 
   test("parse: truncated/hostile input degrades, never throws") {
