@@ -606,6 +606,104 @@ object Html {
     out.result()
   }
 
+  /** Space-separated token-list membership, case-insensitive — the
+    * `rel` attribute's grammar (`rel="alternate canonical"` contains
+    * the canonical token; `rel="canonicalish"` does not). */
+  private def hasToken(list: String, token: String): Boolean =
+    list.split(Array(' ', '\t', '\n', '\r', '\f'))
+      .exists(_.equalsIgnoreCase(token))
+
+  /** Robots-directive membership: `content="noindex, nofollow"` is a
+    * comma-separated directive list; `none` means noindex+nofollow. */
+  private[operators] def robotsNoindex(content: String): Boolean =
+    content.split(',').exists { d =>
+      val t = d.trim
+      t.equalsIgnoreCase("noindex") || t.equalsIgnoreCase("none")
+    }
+
+  /** Page-level crawl metadata in ONE walk: the canonical URL (first
+    * `<link rel=canonical href>`, falling back to the first
+    * `<meta property="og:url" content>` — the precedence every search
+    * pipeline applies; null when neither exists) and the noindex flag
+    * (`<meta name=robots>` whose content lists `noindex` or `none`).
+    * Same skip rules as [[links]]: markup inside comments, CDATA,
+    * script/style CODE, and RCDATA title is data, not tags. Null-safe,
+    * never throws. The HEADER side of noindex (`X-Robots-Tag`) lives on
+    * the HTTP layer — gate on BOTH (see `q_noindex_gate`). */
+  def pageMeta(html: String): (String, Boolean) = {
+    if (html == null) return (null, false)
+    val n = html.length
+    var canonical: String = null
+    var ogUrl: String = null
+    var noidx = false
+    var i = 0
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        if (matches(html, i, "<!--")) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (matches(html, i, "<![CDATA[")) {
+          val e = html.indexOf("]]>", i + 9)
+          i = if (e < 0) n else e + 3
+        } else if (openTagAt(html, i, "script"))
+          i = skipDropWhole(html, i, "script")
+        else if (openTagAt(html, i, "style"))
+          i = skipDropWhole(html, i, "style")
+        else if (openTagAt(html, i, "title"))
+          i = skipDropWhole(html, i, "title")
+        else if (openTagAt(html, i, "link")) {
+          val rel = attrValue(html, i, "rel")
+          if (canonical == null && rel != null &&
+            hasToken(rel, "canonical")) {
+            val href = attrValue(html, i, "href")
+            if (href != null && href.trim.nonEmpty)
+              canonical = decodeEntities(href.trim)
+          }
+          i = tagEnd(html, i + 1)._1
+        } else if (openTagAt(html, i, "meta")) {
+          val nm = attrValue(html, i, "name")
+          if (nm != null && nm.trim.equalsIgnoreCase("robots")) {
+            val content = attrValue(html, i, "content")
+            if (content != null && robotsNoindex(content)) noidx = true
+          } else if (ogUrl == null) {
+            val prop = attrValue(html, i, "property")
+            if (prop != null && prop.trim.equalsIgnoreCase("og:url")) {
+              val c = attrValue(html, i, "content")
+              if (c != null && c.trim.nonEmpty) ogUrl = decodeEntities(c.trim)
+            }
+          }
+          i = tagEnd(html, i + 1)._1
+        } else if (i + 1 < n && (html.charAt(i + 1).isLetter ||
+          html.charAt(i + 1) == '/' || html.charAt(i + 1) == '!' ||
+          html.charAt(i + 1) == '?'))
+          i = tagEnd(html, i + 1)._1
+        else i += 1
+      } else i += 1
+    }
+    (if (canonical != null) canonical else ogUrl, noidx)
+  }
+
+  /** DataFrame form of [[pageMeta]]: appends `canonical_url` (resolved
+    * against `baseCol` per RFC 3986 — canonical links are frequently
+    * relative; null when the page declares none) and `noindex`. One
+    * narrow per-partition pass. */
+  def withPageMeta(df: DataFrame, htmlCol: String = "html",
+                   baseCol: String = "url"): DataFrame = {
+    val hi = df.schema.fieldIndex(htmlCol)
+    val bi = df.schema.fieldIndex(baseCol)
+    val schema = df.schema
+      .add("canonical_url", StringType).add("noindex", BooleanType)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val (canon, noidx) = pageMeta(row.getAs[String](hi))
+        val resolved =
+          if (canon == null) null
+          else graft.operators.Url.resolve(row.getAs[String](bi), canon)
+        Row.fromSeq(row.toSeq :+ resolved :+ noidx)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** DataFrame outlink explode: one row per `<a href>` with
     * (`link_ix`, `href` raw, `target_url` resolved against `baseCol`
     * via RFC 3986 — the (source, target) edge of the crawl/link

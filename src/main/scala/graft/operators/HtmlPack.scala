@@ -102,6 +102,71 @@ object HtmlPack extends QueryPack {
         Html.extractLinks(pages, "html", "base_url")
           .filter(col("target_url").startsWith("http"))
           .select(col("doc_id"), col("link_ix"), col("target_url"))
+      },
+      // Canonical-URL dedup (r11): pages arrive in triples that all
+      // declare the same canonical — one bare (its URL IS the key), one
+      // via <link rel="alternate canonical"> with a RELATIVE href (and
+      // an og:url decoy that must LOSE the precedence), one via og:url
+      // alone — plus a canonical inside a comment that must be ignored.
+      // Dedup on coalesce(canonical, url) collapses each triple; DuckDB
+      // re-derives the key closed-form from the id arithmetic.
+      "q_canonical_dedup" -> { (s, dir) =>
+        import s.implicits._
+        val pages = table(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val key = s"https://s.org/p${id - id % 3}"
+            (id % 3).toInt match {
+              case 0 => (id, s"https://s.org/p$id",
+                "<html><head><!-- <link rel=\"canonical\" href=\"/evil\"> -->" +
+                  "</head><body>x</body></html>")
+              case 1 => (id, s"https://s.org/q$id",
+                "<html><head>" +
+                  s"""<link rel="alternate canonical" href="/p${id - 1}">""" +
+                  "<meta property=\"og:url\" content=\"https://decoy.org/x\">" +
+                  "</head><body>x</body></html>")
+              case _ => (id, s"https://s.org/r$id",
+                "<html><head>" +
+                  s"""<meta property="og:url" content="$key">""" +
+                  "</head><body>x</body></html>")
+            }
+          }.toDF("doc_id", "url", "html")
+        Html.withPageMeta(pages)
+          .groupBy(coalesce(col("canonical_url"), col("url")).as("canon_key"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+          .select(col("doc_id"), col("canon_key"), col("n_dups"))
+      },
+      // The noindex gate (r11): pages a corpus must NOT ingest declare
+      // it at the PAGE level (<meta name=robots> listing noindex/none)
+      // or the HEADER level (X-Robots-Tag) — real crawl payloads carry
+      // both, so the fixture wraps each page in a full HTTP response
+      // and the gate reads the META from the parsed html AND the header
+      // from the parsed header array. Kept ids are closed-form.
+      "q_noindex_gate" -> { (s, dir) =>
+        import s.implicits._
+        val responses = table(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val meta = (id % 4).toInt match {
+              case 0 => "<meta name=\"robots\" content=\"noindex, nofollow\">"
+              case 1 => "<meta name=\"ROBOTS\" content=\"index, follow\">"
+              case _ => ""
+            }
+            val xrobots =
+              if (id % 4 == 2) "X-Robots-Tag: noindex\r\n" else ""
+            val html = s"<html><head>$meta</head><body>d$id</body></html>"
+            val payload = ("HTTP/1.1 200 OK\r\n" +
+              "Content-Type: text/html; charset=utf-8\r\n" + xrobots +
+              "\r\n" + html).getBytes("UTF-8")
+            (id, s"https://n.org/p$id", payload)
+          }.toDF("doc_id", "url", "payload")
+        val parsed = graft.sources.Http.responses(responses)
+        val headerNoindex = exists(col("http_headers"),
+          h => lower(h.getField("name")) === "x-robots-tag" &&
+            lower(h.getField("value")).contains("noindex"))
+        Html.withPageMeta(parsed, "text", "url")
+          .filter(!col("noindex") && !coalesce(headerNoindex, lit(false)))
+          .select(col("doc_id"))
       }
     )
 
@@ -157,6 +222,16 @@ object HtmlPack extends QueryPack {
         |      '.org/a/b/page.html'
         |    ELSE 'https://site' || CAST(doc_id AS VARCHAR) ||
         |      '.org/a/b/x.html?a=1&b=2' END AS target_url
-        |FROM documents, generate_series(0, 6) t(j)""".stripMargin
+        |FROM documents, generate_series(0, 6) t(j)""".stripMargin,
+    // Every page in a triple keys to the triple head's URL; partial
+    // trailing triples fall out of the GROUP BY naturally.
+    "q_canonical_dedup" ->
+      """SELECT min(doc_id) AS doc_id,
+        |  'https://s.org/p' || CAST(doc_id - doc_id % 3 AS VARCHAR)
+        |    AS canon_key,
+        |  count(*) AS n_dups
+        |FROM documents GROUP BY doc_id - doc_id % 3""".stripMargin,
+    "q_noindex_gate" ->
+      "SELECT doc_id FROM documents WHERE doc_id % 4 IN (1, 3)"
   )
 }

@@ -62,6 +62,32 @@ object UrlPack extends QueryPack {
         Url.capPerDomain(Url.withUrlParts(urls), "url_domain", 3,
             col("doc_id"))
           .select(col("doc_id"), col("url_domain"))
+      },
+      // Redirect-chain resolution: each document contributes a chain of
+      // (doc_id % 4 + 1) 301 hops with RELATIVE Locations ending at a
+      // 200, every fifth also a 302 two-cycle that must hit the hop cap
+      // with resolved = false. DuckDB re-derives the walk closed-form:
+      // chain position k resolves to the chain end in L − k hops; a
+      // cycle of period 2 is back at its start after the (even) cap.
+      "q_redirect_chains" -> { (s, dir) =>
+        import s.implicits._
+        val fetches = table(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            val L = (id % 4).toInt + 1
+            val chain = (0 until L).map { k =>
+              (s"https://r$id.org/p$k", 301L, s"/p${k + 1}")
+            } :+ ((s"https://r$id.org/p$L", 200L, null: String))
+            val loop =
+              if (id % 5 == 0)
+                Seq((s"https://loop$id.org/a", 302L, "/b"),
+                  (s"https://loop$id.org/b", 302L, "/a"))
+              else Seq.empty
+            chain ++ loop
+          }.toDF("url", "status", "location")
+        Redirects.resolveFetches(fetches)
+          .select(col("start"), col("final_url"),
+            col("hops").cast("long").as("hops"), col("resolved"))
       }
     )
 
@@ -104,6 +130,24 @@ object UrlPack extends QueryPack {
         |  'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS url_domain
         |FROM documents
         |QUALIFY row_number() OVER (PARTITION BY doc_id % 7
-        |  ORDER BY doc_id) <= 3""".stripMargin
+        |  ORDER BY doc_id) <= 3""".stripMargin,
+    "q_redirect_chains" ->
+      """WITH chains AS (
+        |  SELECT doc_id, doc_id % 4 + 1 AS L FROM documents
+        |)
+        |SELECT 'https://r' || CAST(doc_id AS VARCHAR) || '.org/p' ||
+        |    CAST(k AS VARCHAR) AS start,
+        |  'https://r' || CAST(doc_id AS VARCHAR) || '.org/p' ||
+        |    CAST(L AS VARCHAR) AS final_url,
+        |  CAST(L - k AS BIGINT) AS hops, true AS resolved
+        |FROM chains, generate_series(0, 3) t(k) WHERE k < L
+        |UNION ALL
+        |SELECT 'https://loop' || CAST(doc_id AS VARCHAR) || '.org/' || s
+        |    AS start,
+        |  'https://loop' || CAST(doc_id AS VARCHAR) || '.org/' || s
+        |    AS final_url,
+        |  CAST(10 AS BIGINT) AS hops, false AS resolved
+        |FROM documents, (VALUES ('a'), ('b')) t(s)
+        |WHERE doc_id % 5 = 0""".stripMargin
   )
 }

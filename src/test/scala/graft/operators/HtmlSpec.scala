@@ -254,6 +254,41 @@ class HtmlSpec extends SparkSpec {
     }
   }
 
+  test("pageMeta: canonical precedence, rel token list, og:url fallback, noindex") {
+    // link rel=canonical wins over og:url; rel is a TOKEN LIST.
+    assert(Html.pageMeta(
+      "<link rel=\"alternate canonical\" href=\"/c\">" +
+        "<meta property=\"og:url\" content=\"https://decoy/x\">") ===
+      (("/c", false)))
+    // og:url is the fallback when no canonical link exists.
+    assert(Html.pageMeta(
+      "<meta property=\"OG:URL\" content=\"https://real/y\">") ===
+      (("https://real/y", false)))
+    // rel="canonicalish" is NOT the canonical token; first canonical wins.
+    assert(Html.pageMeta(
+      "<link rel=\"canonicalish\" href=\"/no\">" +
+        "<link rel=canonical href=\"/first\">" +
+        "<link rel=canonical href=\"/second\">") === (("/first", false)))
+    // Canonicals inside comments and script CODE are data, not tags.
+    assert(Html.pageMeta(
+      "<!-- <link rel=canonical href=\"/evil\"> -->" +
+        "<script>var s='<link rel=canonical href=\"/js\">';</script>") ===
+      ((null, false)))
+    // Robots directives: comma list, case-insensitive, 'none' implies
+    // noindex; plain index/follow does not.
+    assert(Html.pageMeta(
+      "<meta name=\"robots\" content=\"noindex, nofollow\">")._2 === true)
+    assert(Html.pageMeta(
+      "<meta name=\"ROBOTS\" content=\" NONE \">")._2 === true)
+    assert(Html.pageMeta(
+      "<meta name=\"robots\" content=\"index, follow\">")._2 === false)
+    // name=robots only — a description meta mentioning noindex is text.
+    assert(Html.pageMeta(
+      "<meta name=\"description\" content=\"noindex tips\">")._2 === false)
+    assert(Html.pageMeta(null) === ((null, false)))
+    assert(Html.pageMeta("") === ((null, false)))
+  }
+
   test("extractLinks: DataFrame explode resolves against the page URL") {
     val sparkSession = spark
     import sparkSession.implicits._
