@@ -176,6 +176,49 @@ object MediaPack extends QueryPack {
           size(col("chunks")).as("n_chunks"),
           md5(element_at(col("chunks"), 1)).as("first_chunk_hash"),
           md5(element_at(col("chunks"), size(col("chunks")))).as("last_chunk_hash"))
+    },
+    // Sniff-routed crawl media (r11): HTTP responses whose Content-Type
+    // headers LIE in both directions — BMP images claimed text/html,
+    // HTML pages claimed octet-stream — routed by [[Mime.sniff]] of the
+    // BODY bytes: image/* payloads land in the pixel decoder, text/html
+    // in the extractor. The oracle re-derives both routes' outputs
+    // (pixel sums / extracted-text lengths) from the raw text alone —
+    // trusting the header would send every row down the wrong pipe and
+    // fail both halves.
+    "q_crawl_media" -> { (s, dir) =>
+      import s.implicits._
+      import graft.sources.{Http, Mime}
+      import graft.operators.Html
+      val responses = table(s, dir, "documents")
+        .filter(octet_length(col("text")) > 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val (body, ct) =
+            if (id % 2 == 1)
+              (bmpContainer(text.getBytes("UTF-8")), "text/html")
+            else {
+              val esc = text.replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;")
+              (s"<html><body><p>$esc</p></body></html>".getBytes("UTF-8"),
+                "application/octet-stream")
+            }
+          (id, ("HTTP/1.1 200 OK\r\nContent-Type: " + ct +
+            "\r\n\r\n").getBytes("UTF-8") ++ body)
+        }.toDF("doc_id", "payload")
+      val sniffed = Mime.withSniffed(Http.responses(responses),
+        "body", "http_content_type")
+      val images = Media.extractFeaturesBatched(
+        sniffed.filter(col("mime_sniffed").startsWith("image/"))
+          .select(col("doc_id").as("media_id"), col("body").as("bytes")))
+        .select(col("media_id").as("doc_id"), lit("image").as("route"),
+          col("sample_sum").as("n"))
+      val htmls = Html.extract(
+        sniffed.filter(col("mime_sniffed") === "text/html")
+          .select(col("doc_id"), decode(col("body"), "UTF-8").as("html")),
+        "html")
+        .select(col("doc_id"), lit("html").as("route"),
+          length(col("text")).cast("long").as("n"))
+      images.union(htmls)
     }
   )
 
@@ -505,6 +548,24 @@ object MediaPack extends QueryPack {
         |  md5(substring(text,
         |    greatest((octet_length(encode(text)) - 1) // 64, 0) * 64 + 1, 16))
         |    AS last_chunk_hash
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // Odd ids are BMPs of the text bytes (pixel sum = ascii sum, the
+    // q_media_decode_bmp invariant); even ids are HTML wrapping the
+    // escaped text (extracted length = whitespace-normalized length,
+    // the q_html_extract invariant). Routing correctly is the only way
+    // both halves come out right.
+    "q_crawl_media" ->
+      """WITH b AS (SELECT doc_id, text FROM documents
+        |  WHERE octet_length(encode(text)) > 0),
+        |ts AS (SELECT doc_id, CAST(sum(ascii(c)) AS BIGINT) AS tsum
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c
+        |        FROM b) GROUP BY 1)
+        |SELECT b.doc_id, 'image' AS route, ts.tsum AS n
+        |FROM b JOIN ts USING (doc_id) WHERE b.doc_id % 2 = 1
+        |UNION ALL
+        |SELECT doc_id, 'html' AS route,
+        |  CAST(length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS BIGINT)
+        |    AS n
+        |FROM b WHERE doc_id % 2 = 0""".stripMargin
   )
 }

@@ -106,6 +106,41 @@ object HttpPack extends QueryPack {
         Html.extract(docs, "html")
           .select(col("doc_id"), col("title"), col("text").as("extracted"),
             length(col("text")).cast("long").as("n_chars"))
+      },
+      // Content sniffing (r11): eight payload shapes per documents
+      // table — HTML behind leading whitespace, PNG/BMP/WAV/TIFF
+      // magics, PDF, plain text, a control-byte binary, gzip — half of
+      // them behind LYING Content-Type headers (the reason routing
+      // sniffs at all). Sniffed and claimed-essence types are
+      // closed-form in the id arithmetic.
+      "q_mime_sniff" -> { (s, dir) =>
+        import s.implicits._
+        val payloads = table(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val (body, ct) = (id % 8).toInt match {
+              case 0 => (s"\n\t <!DOCTYPE html><html><body>d$id</body></html>"
+                .getBytes(UTF_8), "text/plain") // lying header
+              case 1 => (Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte,
+                'G'.toByte, 0x0d, 0x0a, 0x1a, 0x0a, 0, 0, 1),
+                "text/html") // lying header
+              case 2 => ("BM".getBytes(UTF_8) ++ new Array[Byte](12),
+                "image/bmp")
+              case 3 => ("RIFF1234WAVE".getBytes(UTF_8) ++
+                new Array[Byte](8), null: String) // header absent
+              case 4 => (s"%PDF-1.4\n$id obj".getBytes(UTF_8),
+                "Application/PDF; version=1.4") // essence normalizes
+              case 5 => (s"hello world $id".getBytes(UTF_8),
+                "text/plain; charset=utf-8")
+              case 6 => (Array[Byte](0x01, 0x02, 'a'.toByte, 'b'.toByte,
+                0x00), "text/plain") // lying header over binary bytes
+              case _ => (Array[Byte](0x1f, 0x8b.toByte, 0x08) ++
+                s"$id".getBytes(UTF_8), "application/octet-stream")
+            }
+            (id, body, ct)
+          }.toDF("doc_id", "body", "ct")
+        Mime.withSniffed(payloads, "body", "ct")
+          .select(col("doc_id"), col("mime_sniffed"), col("mime_claimed"))
       }
     )
 
@@ -135,6 +170,27 @@ object HttpPack extends QueryPack {
         |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS extracted,
         |  CAST(length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS BIGINT)
         |    AS n_chars
-        |FROM documents WHERE text IS NOT NULL""".stripMargin
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    "q_mime_sniff" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 8 AS INTEGER)
+        |    WHEN 0 THEN 'text/html'
+        |    WHEN 1 THEN 'image/png'
+        |    WHEN 2 THEN 'image/bmp'
+        |    WHEN 3 THEN 'audio/wav'
+        |    WHEN 4 THEN 'application/pdf'
+        |    WHEN 5 THEN 'text/plain'
+        |    WHEN 6 THEN 'application/octet-stream'
+        |    ELSE 'application/gzip' END AS mime_sniffed,
+        |  CASE CAST(doc_id % 8 AS INTEGER)
+        |    WHEN 0 THEN 'text/plain'
+        |    WHEN 1 THEN 'text/html'
+        |    WHEN 2 THEN 'image/bmp'
+        |    WHEN 3 THEN NULL
+        |    WHEN 4 THEN 'application/pdf'
+        |    WHEN 5 THEN 'text/plain'
+        |    WHEN 6 THEN 'text/plain'
+        |    ELSE 'application/octet-stream' END AS mime_claimed
+        |FROM documents""".stripMargin
   )
 }
