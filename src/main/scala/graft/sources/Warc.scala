@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** WARC (ISO 28500 — the Common Crawl wire format) ingestion: the record
@@ -231,10 +232,12 @@ object Warc {
       .add("record_ix", LongType).add("warc_version", StringType)
       .add("warc_type", StringType).add("target_uri", StringType)
       .add("content_length", LongType).add("payload", BinaryType)
+      .add("payload_digest", StringType).add("refers_to_uri", StringType)
     df.mapPartitions { it =>
       it.flatMap { row =>
         def failed(code: Long) = Iterator.single(Row.fromSeq(
-          row.toSeq :+ code :+ null :+ null :+ null :+ null :+ null))
+          row.toSeq :+ code :+ null :+ null :+ null :+ null :+ null :+
+            null :+ null))
         val raw = row.getAs[Array[Byte]](bi)
         val b = if (gzipped) gunzip(raw, maxInflate).orNull else raw
         if (gzipped && b == null) failed(-2L)
@@ -246,11 +249,94 @@ object Warc {
                 r.header("WARC-Target-URI").orNull :+
                 r.payloadLength.toLong :+
                 java.util.Arrays.copyOfRange(b, r.payloadOffset,
-                  r.payloadOffset + r.payloadLength))
+                  r.payloadOffset + r.payloadLength) :+
+                r.header("WARC-Payload-Digest").orNull :+
+                r.header("WARC-Refers-To-Target-URI").orNull)
             }
           case None => failed(-1L)
         }
       }
     }(Encoders.row(schema))
+  }
+
+  /** RFC 4648 base32 (no padding — WARC digests omit it), the encoding
+    * of `WARC-Payload-Digest: sha1:…` values. */
+  private[sources] def base32(bytes: Array[Byte]): String = {
+    val A = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val sb = new java.lang.StringBuilder((bytes.length * 8 + 4) / 5)
+    var acc = 0L
+    var bits = 0
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc << 8) | (bytes(i) & 0xff)
+      bits += 8
+      while (bits >= 5) {
+        bits -= 5
+        sb.append(A.charAt(((acc >> bits) & 0x1f).toInt))
+      }
+      i += 1
+    }
+    if (bits > 0) sb.append(A.charAt(((acc << (5 - bits)) & 0x1f).toInt))
+    sb.toString
+  }
+
+  /** The spec-form digest of a payload: `sha1:` + unpadded base32 of
+    * the SHA-1 — exactly what crawlers write into
+    * `WARC-Payload-Digest`. */
+  def sha1Digest(payload: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    "sha1:" + base32(md.digest(payload))
+  }
+
+  /** Append `digest_ok`: does the record's declared
+    * `WARC-Payload-Digest` match the payload bytes? Null when the
+    * record declares none (digests are optional) or the payload is a
+    * coded failure row — only a DECLARED-BUT-WRONG digest flags false,
+    * the archive-corruption signal a reader should quarantine on.
+    * Case-insensitive compare (RFC 4648 permits either case). Note:
+    * for `response` records crawlers digest the HTTP BODY, not the
+    * whole record block — pass the block for `resource`/`metadata`
+    * records, the parsed HTTP body for `response` records. */
+  def withDigestCheck(df: DataFrame, payloadCol: String = "payload",
+                      digestCol: String = "payload_digest"): DataFrame = {
+    val pi = df.schema.fieldIndex(payloadCol)
+    val di = df.schema.fieldIndex(digestCol)
+    val schema = df.schema.add("digest_ok", BooleanType)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val declared = row.getAs[String](di)
+        val payload = row.getAs[Array[Byte]](pi)
+        val ok: Any =
+          if (declared == null || payload == null) null
+          else java.lang.Boolean.valueOf(
+            sha1Digest(payload).equalsIgnoreCase(declared.trim))
+        Row.fromSeq(row.toSeq :+ ok)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Resolve `revisit` records to the response that holds their
+    * content: a crawler that meets an unchanged page writes a
+    * payload-free revisit record carrying the ORIGINAL's payload
+    * digest (the identical-payload-digest profile) — URL-level dedup
+    * at crawl time. One equi-join on the digest key: each revisit row
+    * gains the original's `(original_uri, original_ix)` so a documents
+    * pipeline can attribute the content without re-storing it.
+    * Revisits whose digest matches nothing in the batch keep null
+    * originals (kept, never dropped — the audit must see them). When
+    * several responses share a digest (true duplicates) the
+    * deterministic min-URI original wins. Scale: the join keys are
+    * digest strings over the REVISIT subset only — both sides are
+    * fractions of the crawl, shuffled once. */
+  def resolveRevisits(recs: DataFrame): DataFrame = {
+    val responses = recs
+      .filter(col("warc_type") === "response" &&
+        col("payload_digest").isNotNull)
+      .groupBy(col("payload_digest").as("o_digest"))
+      .agg(min(col("target_uri")).as("original_uri"),
+        min(col("record_ix")).as("original_ix"))
+    recs.filter(col("warc_type") === "revisit")
+      .join(responses, col("payload_digest") === col("o_digest"), "left")
+      .drop("o_digest")
   }
 }

@@ -61,10 +61,77 @@ object WarcPack extends QueryPack {
         md5(col("payload")).as("payload_hash"))
   }
 
+  /** A WARC file holding one `response` (payload = `data`, with its
+    * REAL spec-form payload digest — corrupted when `corrupt`) and one
+    * payload-free `revisit` of it (identical-payload-digest profile,
+    * same digest + a Refers-To-Target-URI) — the URL-level crawl-time
+    * dedup shape Common Crawl archives actually contain. */
+  private def warcRevisitFile(id: Long, data: Array[Byte],
+                              corrupt: Boolean): Array[Byte] = {
+    val digest0 = Warc.sha1Digest(data)
+    val digest =
+      if (!corrupt) digest0
+      else digest0.substring(0, digest0.length - 1) +
+        (if (digest0.last == 'A') 'B' else 'A')
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+      .append("WARC-Type: response\r\n")
+      .append(s"WARC-Target-URI: https://example.org/orig/$id\r\n")
+      .append(f"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0002-$id%012d>\r\n")
+      .append("WARC-Date: 2024-01-01T00:00:00Z\r\n")
+      .append(s"WARC-Payload-Digest: $digest\r\n")
+      .append(s"Content-Length: ${data.length}\r\n\r\n")
+    val head = sb.toString.getBytes("ISO-8859-1") ++ data ++
+      "\r\n\r\n".getBytes("ISO-8859-1")
+    val revisit = new StringBuilder
+    revisit.append("WARC/1.0\r\n")
+      .append("WARC-Type: revisit\r\n")
+      .append(s"WARC-Target-URI: https://example.org/re/$id\r\n")
+      .append(f"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0003-$id%012d>\r\n")
+      .append("WARC-Date: 2024-02-01T00:00:00Z\r\n")
+      .append("WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest\r\n")
+      .append(s"WARC-Refers-To-Target-URI: https://example.org/orig/$id\r\n")
+      .append(s"WARC-Payload-Digest: $digest\r\n")
+      .append("Content-Length: 0\r\n\r\n")
+      .append("\r\n\r\n")
+    head ++ revisit.toString.getBytes("ISO-8859-1")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q_warc_records" -> warcQuery(gzipped = false),
-      "q_warc_gzip" -> warcQuery(gzipped = true)
+      "q_warc_gzip" -> warcQuery(gzipped = true),
+      // Revisit resolution + digest verification (r11): each file holds
+      // a response and its payload-free revisit twin; the revisit must
+      // join back to the original by digest, and the response's
+      // DECLARED digest must verify against the payload bytes — except
+      // every seventh file, whose digest is corrupted one character and
+      // must flag false (sha1/base32 themselves are pinned to external
+      // test vectors in WarcSpec; the corruption keeps this check
+      // non-tautological).
+      "q_warc_revisit" -> { (s, dir) =>
+        import s.implicits._
+        val media = table(s, dir, "documents")
+          .filter(octet_length(col("text")) > 0)
+          .select(col("doc_id").as("media_id"),
+            encode(col("text"), "UTF-8").as("bytes"))
+          .as[(Long, Array[Byte])]
+          .map { case (id, data) =>
+            (id, warcRevisitFile(id, data, corrupt = id % 7 == 0))
+          }
+          .toDF("media_id", "bytes")
+        val recs = Warc.records(media)
+        val checked = Warc.withDigestCheck(recs)
+          .filter(col("warc_type") === "response")
+          .select(col("media_id").as("m2"), col("digest_ok"))
+        Warc.resolveRevisits(recs)
+          .join(checked, col("media_id") === col("m2"))
+          .select(col("media_id"), col("target_uri").as("revisit_uri"),
+            col("original_uri"), col("original_ix"),
+            (col("refers_to_uri") === col("original_uri"))
+              .as("refers_match"),
+            col("digest_ok").as("orig_digest_ok"))
+      }
     )
 
   /** Both records re-derived from the construction: the warcinfo row's
@@ -85,6 +152,16 @@ object WarcPack extends QueryPack {
 
   override def oracles: Map[String, String] = Map(
     "q_warc_records" -> OracleSql,
-    "q_warc_gzip" -> OracleSql
+    "q_warc_gzip" -> OracleSql,
+    "q_warc_revisit" ->
+      """SELECT doc_id AS media_id,
+        |  'https://example.org/re/' || CAST(doc_id AS VARCHAR)
+        |    AS revisit_uri,
+        |  'https://example.org/orig/' || CAST(doc_id AS VARCHAR)
+        |    AS original_uri,
+        |  CAST(0 AS BIGINT) AS original_ix,
+        |  true AS refers_match,
+        |  doc_id % 7 <> 0 AS orig_digest_ok
+        |FROM documents WHERE octet_length(encode(text)) > 0""".stripMargin
   )
 }

@@ -131,4 +131,54 @@ class WarcSpec extends SparkSpec {
     assert(gzRows.filter($"id" === 2L).select("record_ix")
       .collect().head.getLong(0) === -2L)
   }
+
+  test("sha1Digest/base32: external test vectors, no padding") {
+    // RFC 3174 SHA-1("abc") / SHA-1("") through RFC 4648 base32.
+    assert(Warc.sha1Digest("abc".getBytes("US-ASCII")) ===
+      "sha1:VGMT4NSHA2AWVOR6EVYXQUGCNSONBWE5")
+    assert(Warc.sha1Digest(Array.empty[Byte]) ===
+      "sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")
+    // RFC 4648 §10 vector (padding stripped — WARC digests omit it).
+    assert(Warc.base32("foobar".getBytes("US-ASCII")) === "MZXW6YTBOI")
+    assert(Warc.base32("fooba".getBytes("US-ASCII")) === "MZXW6YTB")
+  }
+
+  test("withDigestCheck + resolveRevisits: digest verify, digest join, unmatched kept") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val body = "the original payload".getBytes("US-ASCII")
+    val digest = Warc.sha1Digest(body)
+    def record(typ: String, uri: String, payload: Array[Byte],
+               dg: String, refers: String = null): String = {
+      val extra = s"WARC-Target-URI: $uri\r\nWARC-Payload-Digest: $dg\r\n" +
+        (if (refers != null) s"WARC-Refers-To-Target-URI: $refers\r\n" else "")
+      s"WARC/1.0\r\nWARC-Type: $typ\r\n$extra" +
+        s"Content-Length: ${payload.length}\r\n\r\n" +
+        new String(payload, "ISO-8859-1") + "\r\n\r\n"
+    }
+    val file = (record("response", "https://e.org/orig", body, digest) +
+      record("response", "https://e.org/bad", body, "sha1:WRONGDIGEST") +
+      record("revisit", "https://e.org/re", Array.empty[Byte], digest,
+        refers = "https://e.org/orig") +
+      record("revisit", "https://e.org/orphan", Array.empty[Byte],
+        "sha1:NOSUCHDIGEST")).getBytes("ISO-8859-1")
+    val recs = Warc.records(Seq((1L, file)).toDF("id", "bytes"))
+    // Declared-but-wrong digests flag false; correct ones true; the
+    // compare is case-insensitive per RFC 4648.
+    val checks = Warc.withDigestCheck(recs)
+      .filter($"warc_type" === "response")
+      .select("target_uri", "digest_ok").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSet
+    assert(checks === Set(("https://e.org/orig", true),
+      ("https://e.org/bad", false)))
+    val resolved = Warc.resolveRevisits(recs)
+      .select("target_uri", "original_uri", "original_ix").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)),
+        Option(r.get(2)))).toSet
+    // The matched revisit gains its original; the orphan is KEPT with
+    // null originals. /bad shares no digest so only /orig can match.
+    assert(resolved === Set(
+      ("https://e.org/re", Some("https://e.org/orig"), Some(0L)),
+      ("https://e.org/orphan", None, None)))
+  }
 }
