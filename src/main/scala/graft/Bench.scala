@@ -170,7 +170,15 @@ object Bench {
     "q_url_normalize", "q_url_dedup", "q_url_domain_cap",
     "q_audio_fingerprint", "q_robots",
     // r11 curation/profiling additions — secondary tier, narrow scans.
-    "q_gopher_morph", "q_script_mix", "q_sitemap", "q_html_links", "q_nfc"
+    "q_gopher_morph", "q_script_mix", "q_sitemap", "q_html_links", "q_nfc",
+    // r11 second wave. Reported: q_redirect_chains (a NEW execution
+    // family — the capped iterative equi-join walk with per-round
+    // early-exit) and q_crawl_media (sniff-routed HTTP→media/html
+    // fan-out, the integration showpiece). Secondary: the sniff scan,
+    // canonical/noindex page-meta walks, and revisit digest-join —
+    // each a narrow per-partition pass with a reported sibling.
+    "q_redirect_chains", "q_crawl_media",
+    "q_mime_sniff", "q_canonical_dedup", "q_noindex_gate", "q_warc_revisit"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -231,7 +239,15 @@ object Bench {
     // Rotated in r11 to keep the line inside budget: its reported
     // sibling q_dedup_contamination covers the same gram-explosion +
     // semi-join family.
-    "q_contamination_score")
+    "q_contamination_score",
+    // r11 second wave (reported siblings: q_crawl_media for the
+    // sniff/route/decode family, q_redirect_chains for the walk).
+    "q_mime_sniff", "q_canonical_dedup", "q_noindex_gate",
+    "q_warc_revisit",
+    // Rotated with the r11 second wave to keep the line inside budget:
+    // q_sliding_distinct's sketch family stays reported via q_cms_probe,
+    // q_star_join's join family via q_sql_join_agg + q_bucketed_join.
+    "q_sliding_distinct", "q_star_join")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
