@@ -178,7 +178,11 @@ object Bench {
     // canonical/noindex page-meta walks, and revisit digest-join —
     // each a narrow per-partition pass with a reported sibling.
     "q_redirect_chains", "q_crawl_media",
-    "q_mime_sniff", "q_canonical_dedup", "q_noindex_gate", "q_warc_revisit"
+    "q_mime_sniff", "q_canonical_dedup", "q_noindex_gate", "q_warc_revisit",
+    // Reported: the PDF extraction chain (object scan → FlateDecode →
+    // content-stream text operators) — a NEW format family, nothing
+    // else covers its execution shape.
+    "q_pdf_text"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and

@@ -24,6 +24,7 @@ object SparkEntry {
     sources.AvroPack,
     sources.WarcPack,
     sources.HttpPack,
+    sources.PdfPack,
     sources.RobotsPack,
     operators.HtmlPack,
     operators.UrlPack,

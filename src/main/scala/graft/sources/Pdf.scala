@@ -1,0 +1,526 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PDF text extraction — after HTML, the second-largest text source a
+  * web corpus ingests (every academic/government/report crawl is PDF-
+  * heavy), as pure byte arithmetic over opaque binary columns: no
+  * parser library exists in the sandbox and none is used.
+  *
+  * Scope is the honest, deterministic core of the format (ISO 32000):
+  *
+  *   - Objects are found by a LINEAR `N G obj … endobj` scan rather
+  *     than the xref table — deliberately: real-world crawled PDFs have
+  *     broken/linearized/incremental xrefs so often that every serious
+  *     reader ships exactly this scan as its repair path; running it
+  *     unconditionally gives one code path for intact and damaged
+  *     files, and never trusts declared offsets into untrusted bytes.
+  *   - COS syntax: dictionaries, arrays, names, numbers, booleans,
+  *     literal `(…)` strings (nesting + all §7.3.4.2 escapes + octal)
+  *     and hex `<…>` strings, indirect references, streams (length by
+  *     the `endstream` delimiter, not the /Length entry — /Length is
+  *     frequently an indirect ref or a lie in crawled files).
+  *   - /FlateDecode content streams inflate via `java.util.zip`
+  *     (zlib-wrapped or raw, auto-detected) under the same output cap
+  *     discipline as [[Warc.gunzip]]; other filters (DCT, LZW, …)
+  *     leave the stream undecodable and COUNTED, never a throw.
+  *   - Text comes from BT…ET blocks: `Tj`/`'`/`"` emit their string,
+  *     `TJ` emits its array's strings with the standard kern-to-space
+  *     rule (a negative adjustment ≤ −180 thousandths of an em is a
+  *     word gap), `Td`/`TD`/`T*`/`'`/`"` start a new line. Strings
+  *     decode as PDFDocEncoding/WinAnsi (≈ cp1252 for the printable
+  *     range) — the encoding of unembedded Latin text, which is the
+  *     overwhelming body of crawl PDFs. Embedded CID/Unicode-CMap
+  *     fonts are out of scope and show up as a LOW `text_coverage`,
+  *     never as silent mojibake.
+  *
+  * Scale: one narrow per-partition byte pass per document, no shuffle,
+  * same caps-and-coded-failure discipline as the WARC/HTML/media
+  * decoders. */
+object Pdf {
+
+  /** One extracted document: page count (objects with `/Type /Page`),
+    * object count, decoded-stream ratio, and the text of every content
+    * stream in object order. */
+  final case class PdfDoc(pages: Int, objects: Int,
+                          streams: Int, streamsDecoded: Int,
+                          text: String)
+
+  // ---------------------------------------------------------------
+  // COS object model (only what extraction needs).
+  private sealed trait Cos
+  private case class CNum(v: Double) extends Cos
+  private case class CName(v: String) extends Cos
+  private case class CStr(bytes: Array[Byte]) extends Cos
+  private case class CArr(items: Vector[Cos]) extends Cos
+  private case class CDict(m: Map[String, Cos]) extends Cos
+  private case class CRef(num: Int) extends Cos
+  private case object CNull extends Cos
+
+  private final class P(val b: Array[Byte]) {
+    var i = 0
+    def n: Int = b.length
+    @inline def peek: Int = if (i < n) b(i) & 0xff else -1
+    @inline def ws(c: Int): Boolean =
+      c == ' ' || c == '\r' || c == '\n' || c == '\t' || c == 0 || c == 0x0c
+    def skipWs(): Unit = {
+      var go = true
+      while (go) {
+        while (i < n && ws(peek)) i += 1
+        if (peek == '%') { // comment to EOL
+          while (i < n && peek != '\r' && peek != '\n') i += 1
+        } else go = false
+      }
+    }
+    def matches(s: String): Boolean =
+      i + s.length <= n && {
+        var k = 0
+        while (k < s.length && (b(i + k) & 0xff) == s.charAt(k)) k += 1
+        k == s.length
+      }
+  }
+
+  /** Parse one COS object at the cursor. Depth-capped; never throws on
+    * hostile bytes (returns CNull and advances at least one byte). */
+  private def parseObj(p: P, depth: Int): Cos = {
+    if (depth > 32) { p.i += 1; return CNull }
+    p.skipWs()
+    val c = p.peek
+    if (c < 0) CNull
+    else if (c == '<' && p.i + 1 < p.n && (p.b(p.i + 1) & 0xff) == '<') {
+      p.i += 2
+      var m = Map.empty[String, Cos]
+      var go = true
+      while (go) {
+        p.skipWs()
+        if (p.peek < 0) go = false
+        else if (p.matches(">>")) { p.i += 2; go = false }
+        else if (p.peek == '/') {
+          val k = parseName(p)
+          val v = parseObj(p, depth + 1)
+          m = m.updated(k, v)
+        } else { p.i += 1 } // junk key: skip a byte, stay lenient
+      }
+      CDict(m)
+    } else if (c == '<') { // hex string
+      p.i += 1
+      val out = new java.io.ByteArrayOutputStream()
+      var hi = -1
+      var go = true
+      while (go && p.i < p.n) {
+        val h = p.b(p.i) & 0xff
+        p.i += 1
+        if (h == '>') go = false
+        else {
+          val v = Character.digit(h, 16)
+          if (v >= 0) {
+            if (hi < 0) hi = v
+            else { out.write((hi << 4) | v); hi = -1 }
+          }
+        }
+      }
+      if (hi >= 0) out.write(hi << 4) // odd count: trailing zero nibble
+      CStr(out.toByteArray)
+    } else if (c == '(') { // literal string, nesting + escapes
+      p.i += 1
+      val out = new java.io.ByteArrayOutputStream()
+      var nest = 1
+      while (nest > 0 && p.i < p.n) {
+        val h = p.b(p.i) & 0xff
+        p.i += 1
+        if (h == '\\' && p.i < p.n) {
+          val e = p.b(p.i) & 0xff
+          p.i += 1
+          e match {
+            case 'n' => out.write('\n')
+            case 'r' => out.write('\r')
+            case 't' => out.write('\t')
+            case 'b' => out.write('\b')
+            case 'f' => out.write('\f')
+            case '(' => out.write('(')
+            case ')' => out.write(')')
+            case '\\' => out.write('\\')
+            case '\r' => // line continuation: \CRLF or \CR swallowed
+              if (p.peek == '\n') p.i += 1
+            case '\n' => // line continuation
+            case d if d >= '0' && d <= '7' => // 1-3 octal digits
+              var v = d - '0'
+              var k = 0
+              while (k < 2 && p.i < p.n && {
+                val o = p.b(p.i) & 0xff; o >= '0' && o <= '7'
+              }) { v = (v << 3) | ((p.b(p.i) & 0xff) - '0'); p.i += 1; k += 1 }
+              out.write(v & 0xff)
+            case other => out.write(other) // unknown escape: literal
+          }
+        } else if (h == '(') { nest += 1; out.write('(') }
+        else if (h == ')') { nest -= 1; if (nest > 0) out.write(')') }
+        else if (h == '\r') { // §7.3.4.2: unescaped EOL records as 0A
+          if (p.peek == '\n') p.i += 1
+          out.write('\n')
+        } else out.write(h)
+      }
+      CStr(out.toByteArray)
+    } else if (c == '/') CName(parseName(p))
+    else if (c == '[') {
+      p.i += 1
+      val items = Vector.newBuilder[Cos]
+      var go = true
+      while (go) {
+        p.skipWs()
+        if (p.peek < 0) go = false
+        else if (p.peek == ']') { p.i += 1; go = false }
+        else items += parseObj(p, depth + 1)
+      }
+      CArr(items.result())
+    } else if (c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+      val start = p.i
+      p.i += 1
+      while (p.i < p.n && {
+        val h = p.b(p.i) & 0xff
+        (h >= '0' && h <= '9') || h == '.' || h == '+' || h == '-'
+      }) p.i += 1
+      val numEnd = p.i
+      val s = new String(p.b, start, numEnd - start, "US-ASCII")
+      val v = try s.toDouble catch { case _: NumberFormatException => 0.0 }
+      // `N G R` indirect reference lookahead (both non-negative ints).
+      if (v >= 0 && v == math.floor(v)) {
+        val save = p.i
+        p.skipWs()
+        val gs = p.i
+        var gEnd = gs
+        while (gEnd < p.n && {
+          val h = p.b(gEnd) & 0xff; h >= '0' && h <= '9'
+        }) gEnd += 1
+        if (gEnd > gs) {
+          var j = gEnd
+          while (j < p.n && p.ws(p.b(j) & 0xff)) j += 1
+          if (j < p.n && (p.b(j) & 0xff) == 'R' &&
+            (j + 1 >= p.n || !isRegular(p.b(j + 1) & 0xff))) {
+            p.i = j + 1
+            return CRef(v.toInt)
+          }
+        }
+        p.i = save
+      }
+      CNum(v)
+    } else if (p.matches("true")) { p.i += 4; CNum(1) }
+    else if (p.matches("false")) { p.i += 5; CNum(0) }
+    else if (p.matches("null")) { p.i += 4; CNull }
+    else { p.i += 1; CNull }
+  }
+
+  @inline private def isRegular(c: Int): Boolean =
+    !(c == ' ' || c == '\r' || c == '\n' || c == '\t' || c == 0 ||
+      c == 0x0c || c == '/' || c == '(' || c == ')' || c == '<' ||
+      c == '>' || c == '[' || c == ']' || c == '{' || c == '}' || c == '%')
+
+  private def parseName(p: P): String = {
+    p.i += 1 // the '/'
+    val sb = new java.lang.StringBuilder
+    while (p.i < p.n && isRegular(p.b(p.i) & 0xff)) {
+      val c = p.b(p.i) & 0xff
+      p.i += 1
+      if (c == '#' && p.i + 1 < p.n) { // #hh escape in names
+        val h1 = Character.digit(p.b(p.i) & 0xff, 16)
+        val h2 = Character.digit(p.b(p.i + 1) & 0xff, 16)
+        if (h1 >= 0 && h2 >= 0) { sb.append(((h1 << 4) | h2).toChar); p.i += 2 }
+        else sb.append('#')
+      } else sb.append(c.toChar)
+    }
+    sb.toString
+  }
+
+  /** One indirect object: number, its parsed value, and — when a
+    * stream follows the dict — the stream's raw byte range. */
+  private final case class IndObj(num: Int, value: Cos,
+                                  streamFrom: Int, streamUntil: Int)
+
+  /** Linear `N G obj … endobj` scan (the universal repair path). */
+  private def scanObjects(b: Array[Byte]): Vector[IndObj] = {
+    val out = Vector.newBuilder[IndObj]
+    val n = b.length
+    var i = 0
+    var count = 0
+    while (i + 3 < n && count < 100000) {
+      // find "obj" preceded by `N G `
+      if ((b(i) & 0xff) == 'o' && (b(i + 1) & 0xff) == 'b' &&
+        (b(i + 2) & 0xff) == 'j' &&
+        (i + 3 >= n || !isRegular(b(i + 3) & 0xff)) &&
+        i > 0 && !isRegular(b(i - 1) & 0xff)) {
+        // walk back over `G` and `N`
+        var j = i - 1
+        while (j > 0 && ((b(j) & 0xff) == ' ' || (b(j) & 0xff) == '\r' ||
+          (b(j) & 0xff) == '\n')) j -= 1
+        val gEnd = j + 1
+        while (j >= 0 && (b(j) & 0xff) >= '0' && (b(j) & 0xff) <= '9') j -= 1
+        val gStart = j + 1
+        if (gEnd > gStart) {
+          while (j > 0 && ((b(j) & 0xff) == ' ' || (b(j) & 0xff) == '\r' ||
+            (b(j) & 0xff) == '\n')) j -= 1
+          val nEnd = j + 1
+          while (j >= 0 && (b(j) & 0xff) >= '0' && (b(j) & 0xff) <= '9') j -= 1
+          val nStart = j + 1
+          if (nEnd > nStart && nEnd - nStart <= 9) {
+            val num = new String(b, nStart, nEnd - nStart, "US-ASCII").toInt
+            val p = new P(b)
+            p.i = i + 3
+            val value = parseObj(p, 0)
+            p.skipWs()
+            var sFrom = -1
+            var sUntil = -1
+            if (p.matches("stream")) {
+              p.i += 6
+              if (p.peek == '\r') p.i += 1
+              if (p.peek == '\n') p.i += 1
+              sFrom = p.i
+              // delimiter-scan for `endstream` (never trust /Length)
+              var k = sFrom
+              var found = -1
+              while (found < 0 && k + 9 <= n) {
+                if ((b(k) & 0xff) == 'e' && (b(k + 1) & 0xff) == 'n' &&
+                  (b(k + 2) & 0xff) == 'd' && (b(k + 3) & 0xff) == 's' &&
+                  (b(k + 4) & 0xff) == 't' && (b(k + 5) & 0xff) == 'r' &&
+                  (b(k + 6) & 0xff) == 'e' && (b(k + 7) & 0xff) == 'a' &&
+                  (b(k + 8) & 0xff) == 'm') found = k
+                else k += 1
+              }
+              if (found >= 0) {
+                // A declared /Length CONSISTENT with the delimiter
+                // position wins (a compressed stream may genuinely end
+                // in an EOL byte the heuristic would strip); otherwise
+                // strip the EOL preceding endstream. Never trust a
+                // /Length that disagrees with the delimiter.
+                val hint = value match {
+                  case CDict(m) => m.get("Length") match {
+                    case Some(CNum(v))
+                      if v >= 0 && v == math.floor(v) &&
+                        sFrom + v.toLong <= found &&
+                        found - (sFrom + v.toLong) <= 2 => Some(v.toInt)
+                    case _ => None
+                  }
+                  case _ => None
+                }
+                sUntil = hint match {
+                  case Some(len) => sFrom + len
+                  case None =>
+                    var u = found
+                    if (u > sFrom && (b(u - 1) & 0xff) == '\n') u -= 1
+                    if (u > sFrom && (b(u - 1) & 0xff) == '\r') u -= 1
+                    u
+                }
+                p.i = found + 9
+              }
+            }
+            out += IndObj(num, value, sFrom, sUntil)
+            count += 1
+            i = p.i
+          } else i += 1
+        } else i += 1
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** Inflate a /FlateDecode stream body: zlib-wrapped or raw deflate,
+    * auto-detected, output-capped. */
+  private[sources] def flate(b: Array[Byte], from: Int, until: Int,
+                             maxOut: Int): Option[Array[Byte]] = {
+    if (until <= from) return Some(Array.empty)
+    def run(raw: Boolean): Option[Array[Byte]] = {
+      val inf = new java.util.zip.Inflater(raw)
+      try {
+        inf.setInput(b, from, until - from)
+        val out = new java.io.ByteArrayOutputStream(
+          math.min((until - from).toLong * 4 + 64, maxOut.toLong).toInt)
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!inf.finished()) {
+          val got = inf.inflate(buf)
+          if (got == 0) {
+            if (!inf.finished()) return None
+          } else {
+            total += got
+            if (total > maxOut) return None
+            out.write(buf, 0, got)
+          }
+        }
+        Some(out.toByteArray)
+      } catch {
+        case _: java.util.zip.DataFormatException => None
+        case scala.util.control.NonFatal(_) => None
+      } finally inf.end()
+    }
+    run(raw = false).orElse(run(raw = true))
+  }
+
+  /** PDFDocEncoding/WinAnsi byte → char: ASCII identity, the cp1252
+    * 0x80–0x9F printables, latin-1 above — the encoding of unembedded
+    * Latin-text PDFs. Control bytes map to space. */
+  private def decodeByte(c: Int): Char = c match {
+    case 0x80 => '€'; case 0x82 => '‚'; case 0x83 => 'ƒ'
+    case 0x84 => '„'; case 0x85 => '…'; case 0x86 => '†'
+    case 0x87 => '‡'; case 0x88 => 'ˆ'; case 0x89 => '‰'
+    case 0x8a => 'Š'; case 0x8b => '‹'; case 0x8c => 'Œ'
+    case 0x8e => 'Ž'; case 0x91 => '‘'; case 0x92 => '’'
+    case 0x93 => '“'; case 0x94 => '”'; case 0x95 => '•'
+    case 0x96 => '–'; case 0x97 => '—'; case 0x98 => '˜'
+    case 0x99 => '™'; case 0x9a => 'š'; case 0x9b => '›'
+    case 0x9c => 'œ'; case 0x9e => 'ž'; case 0x9f => 'Ÿ'
+    case c0 if c0 < 0x20 && c0 != '\n' && c0 != '\r' && c0 != '\t' => ' '
+    case other => other.toChar
+  }
+
+  private def decodeStr(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) { sb.append(decodeByte(bytes(i) & 0xff)); i += 1 }
+    sb.toString
+  }
+
+  /** Extract the text of one decoded content stream: BT…ET blocks,
+    * Tj/'/"/TJ emitters, Td/TD/T* line breaks, TJ kern ≤ −180 → space.
+    * Operand stack discipline: operands push, operators consume. */
+  private[sources] def contentText(content: Array[Byte],
+                                   out: java.lang.StringBuilder): Unit = {
+    val p = new P(content)
+    var inText = false
+    var pendingNl = false
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Cos]
+    def emit(s: String): Unit = {
+      if (pendingNl && out.length > 0) out.append('\n')
+      pendingNl = false
+      out.append(s)
+    }
+    while (p.i < p.n) {
+      p.skipWs()
+      if (p.i >= p.n) return
+      val c = p.peek
+      if (c == '(' || c == '<' || c == '[' || c == '/' ||
+        c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+        stack += parseObj(p, 0)
+      } else {
+        // operator token
+        val start = p.i
+        while (p.i < p.n && isRegular(p.b(p.i) & 0xff)) p.i += 1
+        if (p.i == start) p.i += 1
+        else {
+          val op = new String(p.b, start, p.i - start, "US-ASCII")
+          op match {
+            case "BT" => inText = true; pendingNl = out.length > 0
+            case "ET" => inText = false
+            case "Tj" if inText =>
+              stack.lastOption.collect { case CStr(s) => emit(decodeStr(s)) }
+            case "'" if inText =>
+              pendingNl = true
+              stack.lastOption.collect { case CStr(s) => emit(decodeStr(s)) }
+            case "\"" if inText =>
+              pendingNl = true
+              stack.lastOption.collect { case CStr(s) => emit(decodeStr(s)) }
+            case "TJ" if inText =>
+              stack.lastOption.collect { case CArr(items) =>
+                val sb = new java.lang.StringBuilder
+                items.foreach {
+                  case CStr(s) => sb.append(decodeStr(s))
+                  case CNum(v) if v <= -180 => sb.append(' ')
+                  case _ => ()
+                }
+                emit(sb.toString)
+              }
+            case "Td" | "TD" | "T*" if inText => pendingNl = true
+            case _ => ()
+          }
+          stack.clear()
+        }
+      }
+    }
+  }
+
+  /** Parse one PDF and extract its text. None only when the bytes have
+    * no PDF shape at all (no `%PDF` header AND no indirect objects). */
+  def extract(bytes: Array[Byte],
+              maxInflate: Int = 64 * 1024 * 1024): Option[PdfDoc] = {
+    if (bytes == null || bytes.length < 8) return None
+    try {
+      val objs = scanObjects(bytes)
+      val hasHeader = bytes.length >= 4 && bytes(0) == '%' &&
+        bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F'
+      if (objs.isEmpty && !hasHeader) return None
+      var pages = 0
+      var streams = 0
+      var decoded = 0
+      val text = new java.lang.StringBuilder
+      // Content streams are extracted for PAGE objects' /Contents refs,
+      // in page order; dangling refs are skipped (counted via coverage).
+      val byNum = objs.groupBy(_.num).map { case (k, v) => (k, v.last) }
+      def contentRefs(v: Cos): Seq[Int] = v match {
+        case CDict(m) => m.get("Contents").toSeq.flatMap {
+          case CRef(r) => Seq(r)
+          case CArr(items) => items.collect { case CRef(r) => r }
+          case _ => Seq.empty
+        }
+        case _ => Seq.empty
+      }
+      objs.foreach { o =>
+        o.value match {
+          case CDict(m) if m.get("Type").contains(CName("Page")) =>
+            pages += 1
+            contentRefs(o.value).foreach { r =>
+              byNum.get(r).foreach { co =>
+                // A stream with no endstream delimiter (truncated
+                // capture) has no recoverable body: not counted.
+                if (co.streamFrom >= 0 && co.streamUntil >= co.streamFrom) {
+                  streams += 1
+                  val filter = co.value match {
+                    case CDict(cm) => cm.get("Filter")
+                    case _ => None
+                  }
+                  val raw = filter match {
+                    case Some(CName("FlateDecode")) =>
+                      flate(bytes, co.streamFrom, co.streamUntil, maxInflate)
+                    case Some(CArr(Vector(CName("FlateDecode")))) =>
+                      flate(bytes, co.streamFrom, co.streamUntil, maxInflate)
+                    case None =>
+                      Some(java.util.Arrays.copyOfRange(bytes,
+                        co.streamFrom, co.streamUntil))
+                    case _ => None // unsupported filter: counted, honest
+                  }
+                  raw.foreach { r =>
+                    decoded += 1
+                    contentText(r, text)
+                  }
+                }
+              }
+            }
+          case _ => ()
+        }
+      }
+      Some(PdfDoc(pages, objs.size, streams, decoded, text.toString))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** DataFrame form: appends `pdf_pages`, `pdf_objects`, `pdf_streams`,
+    * `pdf_streams_decoded` and `pdf_text` per payload; non-PDF bytes
+    * yield a coded `pdf_pages = −1` row (kept, never dropped). One
+    * narrow per-partition pass. */
+  def extractText(df: DataFrame, bytesCol: String = "bytes",
+                  maxInflate: Int = 64 * 1024 * 1024): DataFrame = {
+    val bi = df.schema.fieldIndex(bytesCol)
+    val schema = df.schema
+      .add("pdf_pages", LongType).add("pdf_objects", LongType)
+      .add("pdf_streams", LongType).add("pdf_streams_decoded", LongType)
+      .add("pdf_text", StringType)
+    df.mapPartitions { it =>
+      it.map { row =>
+        extract(row.getAs[Array[Byte]](bi), maxInflate) match {
+          case Some(d) =>
+            Row.fromSeq(row.toSeq :+ d.pages.toLong :+ d.objects.toLong :+
+              d.streams.toLong :+ d.streamsDecoded.toLong :+ d.text)
+          case None =>
+            Row.fromSeq(row.toSeq :+ -1L :+ 0L :+ 0L :+ 0L :+ null)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+
+/** PDF extraction coverage: each document becomes a GENUINE small PDF
+  * (header, catalog/pages/page/font objects, a content stream carrying
+  * the text through Tj/TJ operators, xref + trailer) — half of them
+  * with the content stream genuinely FlateDecode-compressed, a third
+  * carrying the first line as a hex string — and [[Pdf.extractText]]
+  * must recover the exact text, page/object/stream counts included.
+  * DuckDB re-derives everything from the raw text with no PDF anywhere.
+  * The torture edges (escapes, octal, nesting, lying /Length, broken
+  * xref, unsupported filters, fuzz) are spec-pinned in `PdfSpec`. */
+object PdfPack extends QueryPack {
+
+  /** Escape a string for a PDF literal `(…)`: the three specials plus
+    * CR (an UNESCAPED EOL inside a literal records as LF per
+    * §7.3.4.2 — escaping preserves it exactly). */
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+      .replace("\r", "\\r")
+
+  private def hexStr(s: String): String =
+    "<" + s.map(c => f"${c.toInt}%02X").mkString + ">"
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** A complete, genuinely-structured one-page PDF around `text`. */
+  private[sources] def pdfFile(id: Long, text: String,
+                               compress: Boolean, hexFirst: Boolean): Array[Byte] = {
+    val half = text.length / 2
+    val l1 =
+      if (hexFirst) hexStr(s"d$id says:") else "(" + esc(s"d$id says:") + ")"
+    val content = ("BT /F1 12 Tf 72 720 Td " + l1 + " Tj " +
+      "0 -14 Td (" + esc(text.substring(0, half)) + ") Tj " +
+      "0 -14 Td (" + esc(text.substring(half)) + ") Tj ET\n" +
+      "BT [(kern) -200 (gap) -10 (x)] TJ " +
+      "0 -14 Td (esc \\(x\\) \\\\ done) Tj ET").getBytes("ISO-8859-1")
+    val stream = if (compress) deflate(content) else content
+    val filter = if (compress) " /Filter /FlateDecode" else ""
+    val sb = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = sb.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${stream.length}$filter >> stream\n")
+    sb.write(stream)
+    w("\nendstream endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding /WinAnsiEncoding >> endobj\n")
+    w("trailer << /Root 1 0 R /Size 6 >>\n%%EOF\n")
+    sb.toByteArray
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "q_pdf_text" -> { (s, dir) =>
+        import s.implicits._
+        val pdfs = table(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            (id, pdfFile(id, text, compress = id % 2 == 1,
+              hexFirst = id % 3 == 0))
+          }.toDF("doc_id", "bytes")
+        Pdf.extractText(pdfs)
+          .select(col("doc_id"), col("pdf_pages"), col("pdf_objects"),
+            col("pdf_streams"), col("pdf_streams_decoded"), col("pdf_text"))
+      }
+    )
+
+  /** The content construction round-trips by design: line 1 is the
+    * id-tagged header (hex or literal — same decoded text), lines 2-3
+    * split the document text at its midpoint, the second text block
+    * contributes the TJ kern sentence ('-200 thousandths' crosses the
+    * word-gap threshold, '-10' does not) and the escape line. */
+  override def oracles: Map[String, String] = Map(
+    "q_pdf_text" ->
+      """SELECT doc_id,
+        |  CAST(1 AS BIGINT) AS pdf_pages,
+        |  CAST(5 AS BIGINT) AS pdf_objects,
+        |  CAST(1 AS BIGINT) AS pdf_streams,
+        |  CAST(1 AS BIGINT) AS pdf_streams_decoded,
+        |  'd' || CAST(doc_id AS VARCHAR) || ' says:' || chr(10) ||
+        |  left(text, length(text) // 2) || chr(10) ||
+        |  substring(text, length(text) // 2 + 1) || chr(10) ||
+        |  'kern gapx' || chr(10) || 'esc (x) \ done' AS pdf_text
+        |FROM documents WHERE text IS NOT NULL""".stripMargin
+  )
+}

@@ -1,0 +1,114 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** PDF extraction contract: hand-built files parse to exact text
+  * (literal escapes, octal, nested parens, hex strings, TJ kerns,
+  * EOL-in-literal normalization), FlateDecode round-trips, the stream
+  * delimiter beats a lying /Length, unsupported filters are counted
+  * not thrown, multi-page order holds, and hostile bytes never throw. */
+class PdfSpec extends SparkSpec {
+
+  private def b(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+
+  private def onePage(content: String): Array[Byte] = b(
+    "%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n" +
+      "%%EOF\n")
+
+  test("literal escapes, octal, nesting, hex strings, kerns, EOLs") {
+    val d = Pdf.extract(onePage(
+      "BT (a \\(nested\\) \\\\ b) Tj ET")).get
+    assert(d.text === "a (nested) \\ b")
+    // Octal escapes (1-3 digits) and the unknown-escape pass-through.
+    assert(Pdf.extract(onePage("BT (\\101\\102\\61 \\q) Tj ET")).get.text ===
+      "AB1 q")
+    // Balanced UNESCAPED parens are legal inside literals.
+    assert(Pdf.extract(onePage("BT (a (inner) b) Tj ET")).get.text ===
+      "a (inner) b")
+    // Hex strings: case-insensitive, whitespace ignored, odd digit pads.
+    assert(Pdf.extract(onePage("BT <48 65 6c 6C 6f> Tj ET")).get.text ===
+      "Hello")
+    assert(Pdf.extract(onePage("BT <48 4> Tj ET")).get.text === "H@")
+    // TJ kern rule: <= -180 is a word gap, smaller is not.
+    assert(Pdf.extract(onePage("BT [(a) -200 (b) -179 (c) -181 (d)] TJ ET"))
+      .get.text === "a bc d")
+    // Unescaped CR / CRLF inside a literal records as LF (7.3.4.2);
+    // escaped \r survives as CR.
+    assert(Pdf.extract(onePage("BT (x\r\ny\rz\\rw) Tj ET")).get.text ===
+      "x\ny\nz\rw")
+    // Line continuation: backslash-EOL vanishes.
+    assert(Pdf.extract(onePage("BT (ab\\\r\ncd) Tj ET")).get.text === "abcd")
+  }
+
+  test("FlateDecode round-trip; delimiter beats lying /Length; bad filter counted") {
+    val content = "BT (compressed body) Tj ET"
+    val raw = content.getBytes("ISO-8859-1")
+    val defl = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val pdf = new java.io.ByteArrayOutputStream()
+    pdf.write(b("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${defl.length} /Filter /FlateDecode >> stream\n"))
+    pdf.write(defl)
+    pdf.write(b("\nendstream endobj\n%%EOF\n"))
+    val d1 = Pdf.extract(pdf.toByteArray).get
+    assert(d1.text === "compressed body")
+    assert((d1.streams, d1.streamsDecoded) === ((1, 1)))
+    // A /Length wildly disagreeing with the delimiter is ignored: the
+    // endstream scan still recovers the body.
+    val lying = onePage("BT (trust the delimiter) Tj ET")
+    val lied = new String(lying, "ISO-8859-1")
+      .replaceFirst("/Length \\d+", "/Length 999999")
+    assert(Pdf.extract(b(lied)).get.text === "trust the delimiter")
+    // Unsupported filter: stream counted, not decoded, no throw.
+    val dct = new String(onePage("raw jpeg bytes"), "ISO-8859-1")
+      .replaceFirst(">> stream", "/Filter /DCTDecode >> stream")
+    val d2 = Pdf.extract(b(dct)).get
+    assert((d2.streams, d2.streamsDecoded, d2.text) === ((1, 0, "")))
+  }
+
+  test("multi-page order, contents arrays, page/object counts") {
+    val pdf = b("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >> endobj\n" +
+      "3 0 obj << /Type /Page /Contents [4 0 R] >> endobj\n" +
+      "4 0 obj << /Length 19 >> stream\nBT (page one) Tj ET\nendstream endobj\n" +
+      "5 0 obj << /Type /Page /Contents 6 0 R >> endobj\n" +
+      "6 0 obj << /Length 19 >> stream\nBT (page two) Tj ET\nendstream endobj\n" +
+      "%%EOF\n")
+    val d = Pdf.extract(pdf).get
+    assert(d.pages === 2)
+    assert(d.objects === 6)
+    assert(d.text === "page one\npage two")
+  }
+
+  test("hostile bytes never throw; non-PDF returns None") {
+    assert(Pdf.extract(null).isEmpty)
+    assert(Pdf.extract("not a pdf at all, no objects".getBytes).isEmpty)
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 300) {
+      val cs = Array.fill(rnd.nextInt(400))(
+        "0123 objendstrm<>()[]/\\%BTjQq".charAt(rnd.nextInt(29)).toByte)
+      Pdf.extract(cs) // must not throw
+    }
+    // Truncated mid-stream: no endstream delimiter -> stream dropped,
+    // no throw, structure still reported.
+    val trunc = b("%PDF-1.4\n3 0 obj << /Type /Page /Contents 4 0 R >> " +
+      "endobj\n4 0 obj << /Length 99 >> stream\nBT (cut")
+    val d = Pdf.extract(trunc).get
+    assert(d.pages === 1)
+    assert(d.streams === 0)
+  }
+}
