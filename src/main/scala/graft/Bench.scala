@@ -181,8 +181,9 @@ object Bench {
     "q_mime_sniff", "q_canonical_dedup", "q_noindex_gate", "q_warc_revisit",
     // Reported: the PDF extraction chain (object scan → FlateDecode →
     // content-stream text operators) — a NEW format family, nothing
-    // else covers its execution shape.
-    "q_pdf_text"
+    // else covers its execution shape. Its /Info sibling rides the
+    // secondary tier.
+    "q_pdf_text", "q_pdf_meta"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -251,7 +252,9 @@ object Bench {
     // Rotated with the r11 second wave to keep the line inside budget:
     // q_sliding_distinct's sketch family stays reported via q_cms_probe,
     // q_star_join's join family via q_sql_join_agg + q_bucketed_join.
-    "q_sliding_distinct", "q_star_join")
+    "q_sliding_distinct", "q_star_join",
+    // PDF /Info extraction — reported sibling q_pdf_text.
+    "q_pdf_meta")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -500,6 +500,117 @@ object Pdf {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** PDF TEXT STRINGS (§7.9.2.2) carry an optional UTF-16BE BOM —
+    * /Info values (titles, authors) use it constantly; without it the
+    * bytes are PDFDocEncoding. */
+  private def decodeTextString(bytes: Array[Byte]): String =
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe &&
+      (bytes(1) & 0xff) == 0xff)
+      new String(bytes, 2, bytes.length - 2,
+        java.nio.charset.StandardCharsets.UTF_16BE)
+    else decodeStr(bytes)
+
+  /** Parse a PDF date string (§7.9.4, `D:YYYYMMDDHHmmSSOHH'mm'`) to
+    * ISO-8601; missing trailing fields default per spec (month/day 01,
+    * time 00, offset absent). Null when the shape is not a date. */
+  def pdfDate(s: String): String = {
+    if (s == null) return null
+    val t0 = s.trim
+    val t = if (t0.startsWith("D:")) t0.substring(2) else t0
+    if (t.length < 4 || !t.substring(0, 4).forall(_.isDigit)) return null
+    @inline def part(from: Int, len: Int, dflt: String): String =
+      if (t.length >= from + len && t.substring(from, from + len)
+        .forall(_.isDigit)) t.substring(from, from + len) else dflt
+    val y = t.substring(0, 4)
+    val mo = part(4, 2, "01")
+    val d = part(6, 2, "01")
+    val h = part(8, 2, "00")
+    val mi = part(10, 2, "00")
+    val se = part(12, 2, "00")
+    val tz =
+      if (t.length > 14) t.charAt(14) match {
+        case 'Z' => "Z"
+        case c @ ('+' | '-') if t.length >= 20 &&
+          t.substring(15, 17).forall(_.isDigit) &&
+          t.charAt(17) == '\'' &&
+          t.substring(18, 20).forall(_.isDigit) =>
+          s"$c${t.substring(15, 17)}:${t.substring(18, 20)}"
+        case _ => ""
+      } else ""
+    s"$y-$mo-${d}T$h:$mi:$se$tz"
+  }
+
+  /** The document-information dictionary (`trailer /Info N 0 R`):
+    * Title / Author / Subject / Producer / CreationDate / ModDate as
+    * decoded strings. Falls back, when no trailer resolves (linearized
+    * or damaged tail), to the first object carrying any of those keys
+    * and no /Type. None when nothing is found. */
+  def docInfo(bytes: Array[Byte]): Option[Map[String, String]] = {
+    if (bytes == null || bytes.length < 8) return None
+    try {
+      val objs = scanObjects(bytes)
+      val byNum = objs.groupBy(_.num).map { case (k, v) => (k, v.last) }
+      val InfoKeys = Seq("Title", "Author", "Subject", "Producer",
+        "CreationDate", "ModDate")
+      def strings(v: Cos): Map[String, String] = v match {
+        case CDict(m) =>
+          InfoKeys.flatMap(k => m.get(k).collect {
+            case CStr(b) => k -> decodeTextString(b)
+          }).toMap
+        case _ => Map.empty
+      }
+      // trailer dicts, last one wins (incremental updates append).
+      var infoRef = -1
+      var i = 0
+      val n = bytes.length
+      while (i + 7 <= n) {
+        if ((bytes(i) & 0xff) == 't' && {
+          var k = 0
+          val w = "trailer"
+          while (k < 7 && (bytes(i + k) & 0xff) == w.charAt(k)) k += 1
+          k == 7
+        }) {
+          val p = new P(bytes)
+          p.i = i + 7
+          parseObj(p, 0) match {
+            case CDict(m) => m.get("Info") match {
+              case Some(CRef(r)) => infoRef = r
+              case _ => ()
+            }
+            case _ => ()
+          }
+          i = p.i
+        } else i += 1
+      }
+      val fromTrailer = if (infoRef >= 0)
+        byNum.get(infoRef).map(o => strings(o.value)).filter(_.nonEmpty)
+      else None
+      fromTrailer.orElse {
+        objs.iterator.map(o => (o.value, strings(o.value))).collectFirst {
+          case (CDict(m), s) if s.nonEmpty && !m.contains("Type") => s
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** DataFrame form of [[docInfo]]: appends `pdf_title`, `pdf_author`,
+    * `pdf_created` (ISO-8601 via [[pdfDate]]); nulls when absent. One
+    * narrow per-partition pass. */
+  def withInfo(df: DataFrame, bytesCol: String = "bytes"): DataFrame = {
+    val bi = df.schema.fieldIndex(bytesCol)
+    val schema = df.schema
+      .add("pdf_title", StringType).add("pdf_author", StringType)
+      .add("pdf_created", StringType)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val info = docInfo(row.getAs[Array[Byte]](bi)).getOrElse(Map.empty)
+        Row.fromSeq(row.toSeq :+ info.get("Title").orNull :+
+          info.get("Author").orNull :+
+          info.get("CreationDate").map(pdfDate).orNull)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** DataFrame form: appends `pdf_pages`, `pdf_objects`, `pdf_streams`,
     * `pdf_streams_decoded` and `pdf_text` per payload; non-PDF bytes
     * yield a coded `pdf_pages = −1` row (kept, never dropped). One

@@ -35,9 +35,13 @@ object PdfPack extends QueryPack {
     out.toByteArray
   }
 
+  private def utf16Hex(s: String): String =
+    "<FEFF" + s.map(c => f"${c.toInt}%04X").mkString + ">"
+
   /** A complete, genuinely-structured one-page PDF around `text`. */
-  private[sources] def pdfFile(id: Long, text: String,
-                               compress: Boolean, hexFirst: Boolean): Array[Byte] = {
+  private[graft] def pdfFile(id: Long, text: String,
+                               compress: Boolean, hexFirst: Boolean,
+                               withInfo: Boolean = false): Array[Byte] = {
     val half = text.length / 2
     val l1 =
       if (hexFirst) hexStr(s"d$id says:") else "(" + esc(s"d$id says:") + ")"
@@ -60,7 +64,21 @@ object PdfPack extends QueryPack {
     w("\nendstream endobj\n")
     w("5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
       "/Encoding /WinAnsiEncoding >> endobj\n")
-    w("trailer << /Root 1 0 R /Size 6 >>\n%%EOF\n")
+    if (withInfo) {
+      // UTF-16BE-with-BOM title for every third doc (the common /Info
+      // encoding), PDFDoc literal otherwise; date in both offset forms.
+      val title =
+        if (id % 3 == 0) utf16Hex(s"Tïtle $id")
+        else "(" + esc(s"Title $id") + ")"
+      val day = f"${id % 28 + 1}%02d"
+      val date =
+        if (id % 2 == 0) s"D:202401${day}060708Z"
+        else s"D:202401${day}060708+05'30'"
+      w(s"6 0 obj << /Title $title /Author (Author $id) " +
+        s"/Producer (graft) /CreationDate ($date) >> endobj\n")
+      w("trailer << /Root 1 0 R /Info 6 0 R /Size 7 >>\n%%EOF\n")
+    } else
+      w("trailer << /Root 1 0 R /Size 6 >>\n%%EOF\n")
     sb.toByteArray
   }
 
@@ -78,6 +96,22 @@ object PdfPack extends QueryPack {
         Pdf.extractText(pdfs)
           .select(col("doc_id"), col("pdf_pages"), col("pdf_objects"),
             col("pdf_streams"), col("pdf_streams_decoded"), col("pdf_text"))
+      },
+      // Document-information dictionary via the trailer's /Info ref:
+      // UTF-16BE-BOM titles every third doc, PDF date strings in both
+      // the Z and +HH'mm' offset forms parsed to ISO-8601.
+      "q_pdf_meta" -> { (s, dir) =>
+        import s.implicits._
+        val pdfs = table(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            (id, pdfFile(id, text, compress = id % 2 == 1,
+              hexFirst = false, withInfo = true))
+          }.toDF("doc_id", "bytes")
+        Pdf.withInfo(pdfs)
+          .select(col("doc_id"), col("pdf_title"), col("pdf_author"),
+            col("pdf_created"))
       }
     )
 
@@ -97,6 +131,17 @@ object PdfPack extends QueryPack {
         |  left(text, length(text) // 2) || chr(10) ||
         |  substring(text, length(text) // 2 + 1) || chr(10) ||
         |  'kern gapx' || chr(10) || 'esc (x) \ done' AS pdf_text
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    "q_pdf_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN 'T' || chr(239) || 'tle ' || CAST(doc_id AS VARCHAR)
+        |    ELSE 'Title ' || CAST(doc_id AS VARCHAR) END AS pdf_title,
+        |  'Author ' || CAST(doc_id AS VARCHAR) AS pdf_author,
+        |  '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+        |  'T06:07:08' ||
+        |  CASE WHEN doc_id % 2 = 0 THEN 'Z' ELSE '+05:30' END
+        |    AS pdf_created
         |FROM documents WHERE text IS NOT NULL""".stripMargin
   )
 }

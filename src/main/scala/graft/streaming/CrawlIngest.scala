@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 import graft.operators.Html
-import graft.sources.{Http, Warc}
+import graft.sources.{Http, Mime, Pdf, Warc}
 import graft.store.ParquetStore
 
 /** The crawl front door AS A STREAM (r10 verdict #6): a `.warc.gz`
@@ -43,21 +43,54 @@ object CrawlIngest {
 
   /** The batch transform: (path, content) file rows → extracted
     * document rows. Exposed separately so the streaming path, tests,
-    * and the soak share one definition. */
+    * and the soak share one definition.
+    *
+    * FORMAT-AWARE (r11): records route on the SNIFFED type of the body
+    * bytes ([[graft.sources.Mime.sniff]] — crawl Content-Type headers
+    * lie), not the header: `text/html` through the extractor +
+    * boilerplate filter, `application/pdf` through the PDF text/info
+    * extractors (title from /Info), `text/plain` verbatim. Anything
+    * else (images, archives, binaries) is NOT a text document and is
+    * dropped here — the media pipeline reads the same records through
+    * its own surface. A body sniffing textual but served under a
+    * non-textual header decodes as UTF-8 (the header already proved
+    * untrustworthy). */
   def documentsFrom(files: DataFrame, bytesCol: String = "content",
                     gzipped: Boolean = true): DataFrame = {
     val recs = Warc.records(
         files.select(col("path"), col(bytesCol).as("bytes")),
         bytesCol = "bytes", gzipped = gzipped)
       .filter(col("record_ix") >= 0 && col("warc_type") === "response")
-    val pages = Http.responses(recs)
-      .filter(col("http_status") >= 0 && col("text").isNotNull)
+    val base = Mime.withSniffed(
+        Http.responses(recs).filter(col("http_status") >= 0),
+        "body", "http_content_type")
       .select(col("path"), col("record_ix"),
         col("target_uri").as("url"), col("http_status"),
-        col("text").as("html"))
-    Html.extractMain(Html.extract(pages, "html"), "html")
+        col("mime_sniffed"), col("body"),
+        coalesce(col("text"), decode(col("body"), "UTF-8")).as("decoded"))
+    val html = Html.extractMain(Html.extract(
+        base.filter(col("mime_sniffed") === "text/html" &&
+            col("decoded").isNotNull)
+          .select(col("path"), col("record_ix"), col("url"),
+            col("http_status"), col("decoded").as("html")),
+        "html"), "html")
       .select(col("path"), col("record_ix"), col("url"),
         col("http_status"), col("title"), col("text"), col("main_text"))
+    val plain = base
+      .filter(col("mime_sniffed") === "text/plain" &&
+        col("decoded").isNotNull)
+      .select(col("path"), col("record_ix"), col("url"),
+        col("http_status"), lit(null).cast("string").as("title"),
+        col("decoded").as("text"), col("decoded").as("main_text"))
+    val pdfs = Pdf.withInfo(Pdf.extractText(
+        base.filter(col("mime_sniffed") === "application/pdf")
+          .select(col("path"), col("record_ix"), col("url"),
+            col("http_status"), col("body").as("bytes"))))
+      .filter(col("pdf_pages") >= 0)
+      .select(col("path"), col("record_ix"), col("url"),
+        col("http_status"), col("pdf_title").as("title"),
+        col("pdf_text").as("text"), col("pdf_text").as("main_text"))
+    html.unionByName(plain).unionByName(pdfs)
   }
 
   /** Open (or resume) the documents store at `storePath`. */

@@ -94,6 +94,34 @@ class PdfSpec extends SparkSpec {
     assert(d.text === "page one\npage two")
   }
 
+  test("pdfDate: spec forms, defaults, offsets, garbage") {
+    assert(Pdf.pdfDate("D:20240102150405Z") === "2024-01-02T15:04:05Z")
+    assert(Pdf.pdfDate("D:20240102150405+05'30'") ===
+      "2024-01-02T15:04:05+05:30")
+    assert(Pdf.pdfDate("D:20240102150405-08'00'") ===
+      "2024-01-02T15:04:05-08:00")
+    // Missing trailing fields default per spec.
+    assert(Pdf.pdfDate("D:2024") === "2024-01-01T00:00:00")
+    assert(Pdf.pdfDate("D:202403") === "2024-03-01T00:00:00")
+    assert(Pdf.pdfDate("20240102") === "2024-01-02T00:00:00") // D: optional
+    assert(Pdf.pdfDate("not a date") === null)
+    assert(Pdf.pdfDate(null) === null)
+  }
+
+  test("docInfo: trailer /Info resolution, UTF-16BE titles, fallback") {
+    val pdf = PdfPack.pdfFile(6L, "body text", compress = false,
+      hexFirst = false, withInfo = true)
+    val info = Pdf.docInfo(pdf).get
+    assert(info("Title") === "Tïtle 6") // UTF-16BE-BOM hex string
+    assert(info("Author") === "Author 6")
+    assert(Pdf.pdfDate(info("CreationDate")) === "2024-01-07T06:07:08Z")
+    // No trailer: the keyed-object fallback still finds the dict.
+    val noTrailer = b("%PDF-1.4\n" +
+      "1 0 obj << /Title (Orphan) /CreationDate (D:2023) >> endobj\n")
+    assert(Pdf.docInfo(noTrailer).get("Title") === "Orphan")
+    assert(Pdf.docInfo(b("%PDF-1.4\nno info here")) === None)
+  }
+
   test("hostile bytes never throw; non-PDF returns None") {
     assert(Pdf.extract(null).isEmpty)
     assert(Pdf.extract("not a pdf at all, no objects".getBytes).isEmpty)

@@ -120,4 +120,35 @@ class CrawlIngestSpec extends SparkSpec {
     assert(out(0).getString(2) === "t7")
     assert(out(0).getString(3) === "Home About doc seven text")
   }
+
+  test("documentsFrom routes by SNIFFED type: html, pdf, plain text, binary dropped") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import graft.sources.PdfPack
+    def respGz(id: Long, ct: String, body: Array[Byte]): Array[Byte] =
+      WarcPack.gzipBytes(WarcPack.warcFile(id,
+        HttpPack.httpMessage(Seq("Content-Type" -> ct), body)))
+    val files = Seq(
+      ("html", respGz(1L, "text/html",
+        "<html><head><title>h</title></head><body><p>web page</p></body></html>"
+          .getBytes("UTF-8"))),
+      // A PDF served under a LYING text/html header still routes to
+      // the PDF extractor (the body sniffs %PDF).
+      ("pdf", respGz(2L, "text/html",
+        PdfPack.pdfFile(2L, "pdf body", compress = true, hexFirst = false,
+          withInfo = true))),
+      ("plain", respGz(3L, "application/octet-stream",
+        "just plain words".getBytes("UTF-8"))),
+      // A PNG is not a text document: dropped from the documents table.
+      ("png", respGz(4L, "text/plain",
+        Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, 1).map(_.toByte)))
+    ).toDF("path", "content")
+    val out = CrawlIngest.documentsFrom(files)
+      .selectExpr("path", "title", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(out === Set(
+      ("html", "h", "web page"),
+      ("pdf", "Title 2", "d2 says:\npdf \nbody\nkern gapx\nesc (x) \\ done"),
+      ("plain", null, "just plain words")))
+  }
 }
