@@ -183,7 +183,11 @@ object Bench {
     // content-stream text operators) — a NEW format family, nothing
     // else covers its execution shape. Its /Info sibling rides the
     // secondary tier.
-    "q_pdf_text", "q_pdf_meta"
+    "q_pdf_text", "q_pdf_meta",
+    // Secondary: the composed identity pipeline (redirects → canonical
+    // → normalize; its stages' reported siblings are q_redirect_chains
+    // and the URL family) and publish-date extraction (pageMeta walk).
+    "q_doc_identity", "q_page_dates"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -254,7 +258,9 @@ object Bench {
     // q_star_join's join family via q_sql_join_agg + q_bucketed_join.
     "q_sliding_distinct", "q_star_join",
     // PDF /Info extraction — reported sibling q_pdf_text.
-    "q_pdf_meta")
+    "q_pdf_meta",
+    // Identity composition + publish dates — stage siblings reported.
+    "q_doc_identity", "q_page_dates")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

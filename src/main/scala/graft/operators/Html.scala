@@ -621,20 +621,32 @@ object Html {
       t.equalsIgnoreCase("noindex") || t.equalsIgnoreCase("none")
     }
 
+  /** Page-level crawl metadata: canonical URL (with precedence),
+    * noindex flag, and declared publish time. */
+  final case class PageMeta(canonicalUrl: String, noindex: Boolean,
+                            publishedTime: String)
+
   /** Page-level crawl metadata in ONE walk: the canonical URL (first
     * `<link rel=canonical href>`, falling back to the first
     * `<meta property="og:url" content>` — the precedence every search
-    * pipeline applies; null when neither exists) and the noindex flag
-    * (`<meta name=robots>` whose content lists `noindex` or `none`).
-    * Same skip rules as [[links]]: markup inside comments, CDATA,
-    * script/style CODE, and RCDATA title is data, not tags. Null-safe,
-    * never throws. The HEADER side of noindex (`X-Robots-Tag`) lives on
-    * the HTTP layer — gate on BOTH (see `q_noindex_gate`). */
-  def pageMeta(html: String): (String, Boolean) = {
-    if (html == null) return (null, false)
+    * pipeline applies; null when neither exists), the noindex flag
+    * (`<meta name=robots>` whose content lists `noindex` or `none`),
+    * and the declared publish time (first
+    * `<meta property="article:published_time">`, falling back to the
+    * first `<time datetime>` — the temporal-filtering key of every
+    * news/blog corpus; raw string, normalization is the caller's
+    * bucketing layer). Same skip rules as [[links]]: markup inside
+    * comments, CDATA, script/style CODE, and RCDATA title is data, not
+    * tags. Null-safe, never throws. The HEADER side of noindex
+    * (`X-Robots-Tag`) lives on the HTTP layer — gate on BOTH (see
+    * `q_noindex_gate`). */
+  def pageMeta(html: String): PageMeta = {
+    if (html == null) return PageMeta(null, false, null)
     val n = html.length
     var canonical: String = null
     var ogUrl: String = null
+    var published: String = null
+    var timeTag: String = null
     var noidx = false
     var i = 0
     while (i < n) {
@@ -665,13 +677,23 @@ object Html {
           if (nm != null && nm.trim.equalsIgnoreCase("robots")) {
             val content = attrValue(html, i, "content")
             if (content != null && robotsNoindex(content)) noidx = true
-          } else if (ogUrl == null) {
+          } else {
             val prop = attrValue(html, i, "property")
-            if (prop != null && prop.trim.equalsIgnoreCase("og:url")) {
+            val p = if (prop == null) "" else prop.trim
+            if (ogUrl == null && p.equalsIgnoreCase("og:url")) {
               val c = attrValue(html, i, "content")
               if (c != null && c.trim.nonEmpty) ogUrl = decodeEntities(c.trim)
+            } else if (published == null &&
+              p.equalsIgnoreCase("article:published_time")) {
+              val c = attrValue(html, i, "content")
+              if (c != null && c.trim.nonEmpty)
+                published = decodeEntities(c.trim)
             }
           }
+          i = tagEnd(html, i + 1)._1
+        } else if (timeTag == null && openTagAt(html, i, "time")) {
+          val dt = attrValue(html, i, "datetime")
+          if (dt != null && dt.trim.nonEmpty) timeTag = decodeEntities(dt.trim)
           i = tagEnd(html, i + 1)._1
         } else if (i + 1 < n && (html.charAt(i + 1).isLetter ||
           html.charAt(i + 1) == '/' || html.charAt(i + 1) == '!' ||
@@ -680,26 +702,29 @@ object Html {
         else i += 1
       } else i += 1
     }
-    (if (canonical != null) canonical else ogUrl, noidx)
+    PageMeta(if (canonical != null) canonical else ogUrl, noidx,
+      if (published != null) published else timeTag)
   }
 
   /** DataFrame form of [[pageMeta]]: appends `canonical_url` (resolved
     * against `baseCol` per RFC 3986 — canonical links are frequently
-    * relative; null when the page declares none) and `noindex`. One
-    * narrow per-partition pass. */
+    * relative; null when the page declares none), `noindex`, and
+    * `published_time`. One narrow per-partition pass. */
   def withPageMeta(df: DataFrame, htmlCol: String = "html",
                    baseCol: String = "url"): DataFrame = {
     val hi = df.schema.fieldIndex(htmlCol)
     val bi = df.schema.fieldIndex(baseCol)
     val schema = df.schema
       .add("canonical_url", StringType).add("noindex", BooleanType)
+      .add("published_time", StringType)
     df.mapPartitions { it =>
       it.map { row =>
-        val (canon, noidx) = pageMeta(row.getAs[String](hi))
+        val m = pageMeta(row.getAs[String](hi))
         val resolved =
-          if (canon == null) null
-          else graft.operators.Url.resolve(row.getAs[String](bi), canon)
-        Row.fromSeq(row.toSeq :+ resolved :+ noidx)
+          if (m.canonicalUrl == null) null
+          else graft.operators.Url.resolve(row.getAs[String](bi),
+            m.canonicalUrl)
+        Row.fromSeq(row.toSeq :+ resolved :+ m.noindex :+ m.publishedTime)
       }
     }(Encoders.row(schema))
   }

@@ -167,6 +167,34 @@ object HtmlPack extends QueryPack {
         Html.withPageMeta(parsed, "text", "url")
           .filter(!col("noindex") && !coalesce(headerNoindex, lit(false)))
           .select(col("doc_id"))
+      },
+      // Publish-date extraction (r11): the temporal-filtering key of a
+      // news/blog corpus — article:published_time meta (wins, with a
+      // <time> decoy that must lose), <time datetime> fallback, and
+      // dateless pages staying null; all closed-form in the id.
+      "q_page_dates" -> { (s, dir) =>
+        import s.implicits._
+        val pages = table(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val mm = f"${id % 12 + 1}%02d"
+            val dd = f"${id % 28 + 1}%02d"
+            val html = (id % 3).toInt match {
+              case 0 =>
+                "<html><head><meta property=\"article:published_time\" " +
+                  s"""content="2024-$mm-${dd}T06:00:00Z">""" +
+                  "</head><body><time datetime=\"1999-01-01\">decoy" +
+                  "</time></body></html>"
+              case 1 =>
+                "<html><body><p>posted " +
+                  s"""<time datetime="2023-$mm-$dd">then</time>""" +
+                  "</p></body></html>"
+              case _ => s"<html><body><p>undated $id</p></body></html>"
+            }
+            (id, s"https://d.org/p$id", html)
+          }.toDF("doc_id", "url", "html")
+        Html.withPageMeta(pages)
+          .select(col("doc_id"), col("published_time"))
       }
     )
 
@@ -232,6 +260,17 @@ object HtmlPack extends QueryPack {
         |  count(*) AS n_dups
         |FROM documents GROUP BY doc_id - doc_id % 3""".stripMargin,
     "q_noindex_gate" ->
-      "SELECT doc_id FROM documents WHERE doc_id % 4 IN (1, 3)"
+      "SELECT doc_id FROM documents WHERE doc_id % 4 IN (1, 3)",
+    "q_page_dates" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER)
+        |    WHEN 0 THEN '2024-' ||
+        |      lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
+        |      lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T06:00:00Z'
+        |    WHEN 1 THEN '2023-' ||
+        |      lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
+        |      lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |    ELSE NULL END AS published_time
+        |FROM documents""".stripMargin
   )
 }

@@ -88,6 +88,56 @@ object UrlPack extends QueryPack {
         Redirects.resolveFetches(fetches)
           .select(col("start"), col("final_url"),
             col("hops").cast("long").as("hops"), col("resolved"))
+      },
+      // THE document-identity pipeline (r11): what a corpus actually
+      // dedups on — redirect-resolved URL → page-declared canonical →
+      // RFC 3986 normalization + tracking strip — composed end-to-end.
+      // Quads of pages converge on one identity by four different
+      // routes: the head directly, a case/port/dot-segment/utm mess
+      // that only NORMALIZATION collapses, a page whose CANONICAL link
+      // declares the head, and a URL whose fetch 301-REDIRECTS to the
+      // head. Dropping any stage leaves its quarter of the corpus
+      // duplicated; DuckDB re-derives the identity closed-form.
+      "q_doc_identity" -> { (s, dir) =>
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val g = id / 4
+            val (url, html) = (id % 4).toInt match {
+              case 0 => (s"https://site$g.com/a",
+                "<html><body>head</body></html>")
+              case 1 => (s"HTTPS://SITE$g.COM:443/b/../a?utm_source=z",
+                "<html><body>messy</body></html>")
+              case 2 => (s"https://site$g.com/c",
+                "<html><head><link rel=canonical href=\"/a\"></head>" +
+                  "<body>canonical</body></html>")
+              case _ => (s"https://site$g.com/d",
+                "<html><body>redirected</body></html>")
+            }
+            (id, url, html)
+          }.toDF("doc_id", "url", "html")
+        val log = table(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            val g = id / 4
+            if (id % 4 == 3)
+              Seq((s"https://site$g.com/d", 301L, "/a"),
+                (s"https://site$g.com/a", 200L, null: String))
+            else Seq.empty
+          }.toDF("url", "status", "location")
+        val rmap = Redirects.resolveFetches(log)
+          .select(col("start"), col("final_url"))
+        val followed = docs.join(rmap, docs("url") === rmap("start"), "left")
+          .select(col("doc_id"), col("html"),
+            coalesce(col("final_url"), col("url")).as("url"))
+        val keyed = Html.withPageMeta(followed)
+          .select(col("doc_id"),
+            coalesce(col("canonical_url"), col("url")).as("url"))
+        Url.withUrlParts(keyed)
+          .groupBy(col("url_norm").as("identity"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+          .select(col("doc_id"), col("identity"), col("n_dups"))
       }
     )
 
@@ -148,6 +198,14 @@ object UrlPack extends QueryPack {
         |    AS final_url,
         |  CAST(10 AS BIGINT) AS hops, false AS resolved
         |FROM documents, (VALUES ('a'), ('b')) t(s)
-        |WHERE doc_id % 5 = 0""".stripMargin
+        |WHERE doc_id % 5 = 0""".stripMargin,
+    // All four members of a quad (and whatever partial tail quad
+    // exists) key to the quad head's canonical URL.
+    "q_doc_identity" ->
+      """SELECT min(doc_id) AS doc_id,
+        |  'https://site' || CAST(doc_id // 4 AS VARCHAR) || '.com/a'
+        |    AS identity,
+        |  count(*) AS n_dups
+        |FROM documents GROUP BY doc_id // 4""".stripMargin
   )
 }

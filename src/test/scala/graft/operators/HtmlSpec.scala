@@ -254,39 +254,50 @@ class HtmlSpec extends SparkSpec {
     }
   }
 
-  test("pageMeta: canonical precedence, rel token list, og:url fallback, noindex") {
+  test("pageMeta: canonical precedence, rel token list, og:url fallback, noindex, dates") {
     // link rel=canonical wins over og:url; rel is a TOKEN LIST.
     assert(Html.pageMeta(
       "<link rel=\"alternate canonical\" href=\"/c\">" +
         "<meta property=\"og:url\" content=\"https://decoy/x\">") ===
-      (("/c", false)))
+      Html.PageMeta("/c", false, null))
     // og:url is the fallback when no canonical link exists.
     assert(Html.pageMeta(
       "<meta property=\"OG:URL\" content=\"https://real/y\">") ===
-      (("https://real/y", false)))
+      Html.PageMeta("https://real/y", false, null))
     // rel="canonicalish" is NOT the canonical token; first canonical wins.
     assert(Html.pageMeta(
       "<link rel=\"canonicalish\" href=\"/no\">" +
         "<link rel=canonical href=\"/first\">" +
-        "<link rel=canonical href=\"/second\">") === (("/first", false)))
+        "<link rel=canonical href=\"/second\">") ===
+      Html.PageMeta("/first", false, null))
     // Canonicals inside comments and script CODE are data, not tags.
     assert(Html.pageMeta(
       "<!-- <link rel=canonical href=\"/evil\"> -->" +
         "<script>var s='<link rel=canonical href=\"/js\">';</script>") ===
-      ((null, false)))
+      Html.PageMeta(null, false, null))
     // Robots directives: comma list, case-insensitive, 'none' implies
     // noindex; plain index/follow does not.
     assert(Html.pageMeta(
-      "<meta name=\"robots\" content=\"noindex, nofollow\">")._2 === true)
+      "<meta name=\"robots\" content=\"noindex, nofollow\">").noindex)
     assert(Html.pageMeta(
-      "<meta name=\"ROBOTS\" content=\" NONE \">")._2 === true)
-    assert(Html.pageMeta(
-      "<meta name=\"robots\" content=\"index, follow\">")._2 === false)
+      "<meta name=\"ROBOTS\" content=\" NONE \">").noindex)
+    assert(!Html.pageMeta(
+      "<meta name=\"robots\" content=\"index, follow\">").noindex)
     // name=robots only — a description meta mentioning noindex is text.
+    assert(!Html.pageMeta(
+      "<meta name=\"description\" content=\"noindex tips\">").noindex)
+    // Publish time: article:published_time wins over <time datetime>;
+    // the time tag is the fallback; timeless pages stay null.
     assert(Html.pageMeta(
-      "<meta name=\"description\" content=\"noindex tips\">")._2 === false)
-    assert(Html.pageMeta(null) === ((null, false)))
-    assert(Html.pageMeta("") === ((null, false)))
+      "<meta property=\"article:published_time\" content=\"2024-03-01T10:00:00Z\">" +
+        "<time datetime=\"1999-01-01\">old</time>").publishedTime ===
+      "2024-03-01T10:00:00Z")
+    assert(Html.pageMeta(
+      "<p>posted <time datetime=\"2023-07-04\">July 4</time></p>")
+      .publishedTime === "2023-07-04")
+    assert(Html.pageMeta("<p>undated</p>").publishedTime === null)
+    assert(Html.pageMeta(null) === Html.PageMeta(null, false, null))
+    assert(Html.pageMeta("") === Html.PageMeta(null, false, null))
   }
 
   test("extractLinks: DataFrame explode resolves against the page URL") {
