@@ -187,7 +187,7 @@ object Bench {
     // Secondary: the composed identity pipeline (redirects → canonical
     // → normalize; its stages' reported siblings are q_redirect_chains
     // and the URL family) and publish-date extraction (pageMeta walk).
-    "q_doc_identity", "q_page_dates"
+    "q_doc_identity", "q_page_dates", "q_feed_entries"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -260,7 +260,10 @@ object Bench {
     // PDF /Info extraction — reported sibling q_pdf_text.
     "q_pdf_meta",
     // Identity composition + publish dates — stage siblings reported.
-    "q_doc_identity", "q_page_dates")
+    "q_doc_identity", "q_page_dates",
+    // Feed explode — discovery-family sibling q_sitemap also secondary,
+    // the narrow-scan shape is covered by the reported ingest queries.
+    "q_feed_entries")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -66,6 +66,49 @@ object RobotsPack extends QueryPack {
         Sitemaps.entries(maps)
           .select(col("doc_id"), col("entry_ix"), col("loc"),
             col("lastmod"), col("is_index"))
+      },
+      // Feed explode (r11): the third discovery leg — even ids a
+      // genuine RSS 2.0 channel (link/pubDate as element TEXT), odd
+      // ids an Atom feed (link as the href ATTRIBUTE, with a
+      // rel="self" decoy that must lose to the alternate link,
+      // published falling back to updated on the second entry), one
+      // entity-escaped title each, gzipped every fourth id.
+      "q_feed_entries" -> { (s, dir) =>
+        import s.implicits._
+        val feeds = table(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val xml =
+              if (id % 2 == 0)
+                "<?xml version=\"1.0\"?><rss version=\"2.0\"><channel>" +
+                  s"<title>Feed $id</title>" +
+                  (0 until 2).map { j =>
+                    s"<item><title>T $id &amp; $j</title>" +
+                      s"<link>https://f.org/$id/r$j</link>" +
+                      (if (j == 0)
+                        s"<pubDate>Mon, 0$id Jan 2024 00:00:00 GMT</pubDate>"
+                      else "") + "</item>"
+                  }.mkString + "</channel></rss>"
+              else
+                "<?xml version=\"1.0\"?>" +
+                  "<feed xmlns=\"http://www.w3.org/2005/Atom\">" +
+                  s"<title>Feed $id</title>" +
+                  "<link rel=\"self\" href=\"https://f.org/feed.xml\"/>" +
+                  (0 until 2).map { j =>
+                    s"<entry><title>T $id &amp; $j</title>" +
+                      "<link rel=\"self\" href=\"https://f.org/decoy\"/>" +
+                      s"""<link href="https://f.org/$id/a$j"/>""" +
+                      (if (j == 0)
+                        s"<published>2024-01-02T00:00:0${id % 10}Z</published>"
+                      else s"<updated>2024-02-03T00:00:0${id % 10}Z</updated>") +
+                      "</entry>"
+                  }.mkString + "</feed>"
+            val bytes = xml.getBytes("UTF-8")
+            (id, if (id % 4 == 0) WarcPack.gzipBytes(bytes) else bytes)
+          }.toDF("doc_id", "bytes")
+        Feeds.entries(feeds)
+          .select(col("doc_id"), col("entry_ix"), col("title"),
+            col("link"), col("published"), col("is_atom"))
       }
     )
 
@@ -89,6 +132,25 @@ object RobotsPack extends QueryPack {
         |    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
         |    ELSE NULL END AS lastmod,
         |  CAST(FALSE AS BOOLEAN) AS is_index
-        |FROM documents, generate_series(0, 2) t(j)""".stripMargin
+        |FROM documents, generate_series(0, 2) t(j)""".stripMargin,
+    "q_feed_entries" ->
+      """SELECT doc_id, CAST(j AS BIGINT) AS entry_ix,
+        |  'T ' || CAST(doc_id AS VARCHAR) || ' & ' || CAST(j AS VARCHAR)
+        |    AS title,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN 'https://f.org/' || CAST(doc_id AS VARCHAR) || '/r' ||
+        |      CAST(j AS VARCHAR)
+        |    ELSE 'https://f.org/' || CAST(doc_id AS VARCHAR) || '/a' ||
+        |      CAST(j AS VARCHAR) END AS link,
+        |  CASE
+        |    WHEN doc_id % 2 = 0 AND j = 0 THEN 'Mon, 0' ||
+        |      CAST(doc_id AS VARCHAR) || ' Jan 2024 00:00:00 GMT'
+        |    WHEN doc_id % 2 = 0 THEN NULL
+        |    WHEN j = 0 THEN '2024-01-02T00:00:0' ||
+        |      CAST(doc_id % 10 AS VARCHAR) || 'Z'
+        |    ELSE '2024-02-03T00:00:0' ||
+        |      CAST(doc_id % 10 AS VARCHAR) || 'Z' END AS published,
+        |  doc_id % 2 = 1 AS is_atom
+        |FROM documents, generate_series(0, 1) t(j)""".stripMargin
   )
 }

@@ -21,14 +21,14 @@ object Sitemaps {
     * `<lastmod>` value when present. */
   final case class Entry(loc: String, lastmod: Option[String])
 
-  private def matchesAt(s: String, i: Int, what: String): Boolean =
+  private[sources] def matchesAt(s: String, i: Int, what: String): Boolean =
     i + what.length <= s.length &&
       s.regionMatches(true, i, what, 0, what.length)
 
   /** First `<tag>text</tag>` child inside [from, until); returns the
     * raw inner text or null. Tag-name boundary checked so `<locale>`
     * is not a `<loc>`. */
-  private def childText(s: String, from: Int, until: Int,
+  private[sources] def childText(s: String, from: Int, until: Int,
                         tag: String): String = {
     var i = from
     while (i < until) {
