@@ -187,7 +187,9 @@ object Bench {
     // Secondary: the composed identity pipeline (redirects → canonical
     // → normalize; its stages' reported siblings are q_redirect_chains
     // and the URL family) and publish-date extraction (pageMeta walk).
-    "q_doc_identity", "q_page_dates", "q_feed_entries"
+    "q_doc_identity", "q_page_dates", "q_feed_entries",
+    // JSON-LD locate+from_json and the robots-delay fetch schedule.
+    "q_jsonld", "q_fetch_schedule"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -263,7 +265,7 @@ object Bench {
     "q_doc_identity", "q_page_dates",
     // Feed explode — discovery-family sibling q_sitemap also secondary,
     // the narrow-scan shape is covered by the reported ingest queries.
-    "q_feed_entries")
+    "q_feed_entries", "q_jsonld", "q_fetch_schedule")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -407,6 +407,87 @@ object Html {
     n
   }
 
+  /** JSON-LD blocks — the machine-readable metadata channel
+    * (schema.org `@type`/`headline`/`datePublished`/`author`) news and
+    * product pages publish alongside the visible markup: the RAW
+    * contents of every `<script type="application/ld+json">` element,
+    * in document order. The type attribute matches its MIME essence
+    * (parameters ignored, case-insensitive); script content is CDATA
+    * to the parser so the capture runs to the real `</script`
+    * close-tag like [[skipDropWhole]]. Parsing the JSON itself belongs
+    * to Catalyst (`from_json` with the caller's schema) — this layer
+    * only locates the payloads. Null-safe, never throws. */
+  def jsonLd(html: String): Vector[String] = {
+    if (html == null) return Vector.empty
+    val n = html.length
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        if (matches(html, i, "<!--")) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (openTagAt(html, i, "script")) {
+          val typ = attrValue(html, i, "type")
+          val essence =
+            if (typ == null) null
+            else {
+              val semi = typ.indexOf(';')
+              (if (semi < 0) typ else typ.substring(0, semi)).trim
+                .toLowerCase(java.util.Locale.ROOT)
+            }
+          val (openEnd, selfClosing) = tagEnd(html, i + 1)
+          if (essence == "application/ld+json" && !selfClosing &&
+            openEnd < n) {
+            // Same close-tag walk as skipDropWhole, but keeping the
+            // content range. An unterminated block is a malformed tail:
+            // dropped, like every other truncated construct.
+            var k = openEnd
+            var contentEnd = -1
+            var resume = n
+            while (contentEnd < 0 && k < n) {
+              if (html.charAt(k) == '<' && k + 1 < n &&
+                html.charAt(k + 1) == '/' && matches(html, k + 2, "script") &&
+                boundary(html, k + 8)) {
+                contentEnd = k
+                var g = k + 8
+                while (g < n && html.charAt(g) != '>') g += 1
+                resume = if (g < n) g + 1 else n
+              }
+              k += 1
+            }
+            if (contentEnd >= 0) {
+              val body = html.substring(openEnd, contentEnd).trim
+              if (body.nonEmpty) out += body
+            }
+            i = resume
+          } else i = skipDropWhole(html, i, "script")
+        } else if (i + 1 < n && (html.charAt(i + 1).isLetter ||
+          html.charAt(i + 1) == '/' || html.charAt(i + 1) == '!' ||
+          html.charAt(i + 1) == '?'))
+          i = tagEnd(html, i + 1)._1
+        else i += 1
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** DataFrame explode of [[jsonLd]]: one row per JSON-LD block with
+    * (`ld_ix`, `ld_json` raw). Pages without blocks yield no rows. One
+    * narrow per-partition pass; parse downstream with `from_json`. */
+  def extractJsonLd(df: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val hi = df.schema.fieldIndex(htmlCol)
+    val schema = df.schema
+      .add("ld_ix", LongType).add("ld_json", StringType)
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        jsonLd(row.getAs[String](hi)).iterator.zipWithIndex.map {
+          case (j, ix) => Row.fromSeq(row.toSeq :+ ix.toLong :+ j)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Segment a page into structural blocks: the same single-pass O(n)
     * machine as [[extractCore]], but flushing a block at every
     * block-level tag boundary, dropping the [[DropScopes]] landmarks

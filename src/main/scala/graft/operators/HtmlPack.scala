@@ -195,6 +195,41 @@ object HtmlPack extends QueryPack {
           }.toDF("doc_id", "url", "html")
         Html.withPageMeta(pages)
           .select(col("doc_id"), col("published_time"))
+      },
+      // JSON-LD extraction (r11): the machine-readable metadata channel
+      // — a schema.org NewsArticle block located by the state machine
+      // (type-attribute essence match; the plain-JS script is NOT
+      // captured), then parsed by Catalyst's from_json. Everything
+      // closed-form in the id.
+      "q_jsonld" -> { (s, dir) =>
+        import s.implicits._
+        val pages = table(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val dd = f"${id % 28 + 1}%02d"
+            val ld = s"""{"@type":"NewsArticle","headline":"H $id",""" +
+              s""""datePublished":"2024-02-$dd"}"""
+            val html = "<html><head>" +
+              "<script type=\"application/ld+json; charset=utf-8\">" +
+              ld + "</script>" +
+              "<script type=\"text/javascript\">var x='<p>no</p>';</script>" +
+              "</head><body><p>b</p></body></html>"
+            (id, html)
+          }.toDF("doc_id", "html")
+        val ldSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("@type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("headline",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("datePublished",
+            org.apache.spark.sql.types.StringType)))
+        Html.extractJsonLd(pages)
+          .select(col("doc_id"), col("ld_ix"),
+            from_json(col("ld_json"), ldSchema).as("ld"))
+          .select(col("doc_id"), col("ld_ix"),
+            col("ld").getField("@type").as("ld_type"),
+            col("ld").getField("headline").as("headline"),
+            col("ld").getField("datePublished").as("date_published"))
       }
     )
 
@@ -271,6 +306,13 @@ object HtmlPack extends QueryPack {
         |      lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
         |      lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
         |    ELSE NULL END AS published_time
+        |FROM documents""".stripMargin,
+    "q_jsonld" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS ld_ix,
+        |  'NewsArticle' AS ld_type,
+        |  'H ' || CAST(doc_id AS VARCHAR) AS headline,
+        |  '2024-02-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |    AS date_published
         |FROM documents""".stripMargin
   )
 }

@@ -415,4 +415,21 @@ object Url {
         row_number().over(Window.partitionBy(col(domainCol))
           .orderBy(orderCol)))
       .filter(col("__rn") <= n).drop("__rn")
+
+  /** Per-host politeness schedule: the pacing every crawler owes the
+    * sites it fetches. Appends `fetch_seq` (this URL's 0-based position
+    * in its domain's fetch order) and `start_offset_s` (`fetch_seq ×`
+    * the domain's crawl delay — the earliest second this fetch may
+    * start relative to the domain's first). Feed `delayCol` from
+    * [[graft.sources.Robots]]' `crawl_delay` (coalesced to the
+    * crawler's default). ONE shuffle on the domain key — the same
+    * window shape (and skew caveat) as [[capPerDomain]]; the schedule
+    * is deterministic in `orderCol`, so re-runs produce identical
+    * plans. */
+  def politenessSchedule(df: DataFrame, domainCol: String,
+                         delayCol: String, orderCol: Column): DataFrame =
+    df.withColumn("fetch_seq",
+        (row_number().over(Window.partitionBy(col(domainCol))
+          .orderBy(orderCol)) - 1).cast("long"))
+      .withColumn("start_offset_s", col("fetch_seq") * col(delayCol))
 }

@@ -109,6 +109,27 @@ object RobotsPack extends QueryPack {
         Feeds.entries(feeds)
           .select(col("doc_id"), col("entry_ix"), col("title"),
             col("link"), col("published"), col("is_atom"))
+      },
+      // Politeness schedule (r11): robots-declared crawl delays turned
+      // into per-host fetch offsets — each of the five domains paces
+      // its fetches at its OWN delay, so fetch_seq and the offset are
+      // both closed-form in the id (contiguous ids round-robin the
+      // domains: the k-th fetch of domain g is id = 5k + g).
+      "q_fetch_schedule" -> { (s, dir) =>
+        import s.implicits._
+        val urls = table(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val g = id % 5
+            val robots = s"User-agent: *\nCrawl-delay: ${g + 1}\n"
+            (id, s"site$g.com", robots, s"/p$id")
+          }.toDF("doc_id", "url_domain", "robots", "path")
+        val gated = Robots.withAllowed(urls, "robots", "path", "graftbot")
+          .filter(col("allowed"))
+        graft.operators.Url.politenessSchedule(gated, "url_domain",
+            "crawl_delay", col("doc_id"))
+          .select(col("doc_id"), col("url_domain"), col("fetch_seq"),
+            col("start_offset_s"))
       }
     )
 
@@ -151,6 +172,13 @@ object RobotsPack extends QueryPack {
         |    ELSE '2024-02-03T00:00:0' ||
         |      CAST(doc_id % 10 AS VARCHAR) || 'Z' END AS published,
         |  doc_id % 2 = 1 AS is_atom
-        |FROM documents, generate_series(0, 1) t(j)""".stripMargin
+        |FROM documents, generate_series(0, 1) t(j)""".stripMargin,
+    "q_fetch_schedule" ->
+      """SELECT doc_id,
+        |  'site' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS url_domain,
+        |  CAST(doc_id // 5 AS BIGINT) AS fetch_seq,
+        |  CAST((doc_id // 5) * (doc_id % 5 + 1) AS DOUBLE)
+        |    AS start_offset_s
+        |FROM documents""".stripMargin
   )
 }

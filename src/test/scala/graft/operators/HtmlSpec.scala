@@ -300,6 +300,25 @@ class HtmlSpec extends SparkSpec {
     assert(Html.pageMeta("") === Html.PageMeta(null, false, null))
   }
 
+  test("jsonLd: type-essence match, plain scripts skipped, close-tag rules") {
+    val page = "<script type=\"application/ld+json\">{\"a\":1}</script>" +
+      "<script type=\"APPLICATION/LD+JSON; charset=utf-8\"> {\"b\":2} </script>" +
+      "<script type=\"text/javascript\">{\"no\":0}</script>" +
+      "<script>{\"untyped\":0}</script>"
+    assert(Html.jsonLd(page) === Vector("{\"a\":1}", "{\"b\":2}"))
+    // '</scriptx' is NOT a close tag (name boundary); a real '</script>'
+    // closes even inside a JSON string — the HTML parser's rule.
+    assert(Html.jsonLd(
+      "<script type=\"application/ld+json\">{\"s\":\"a</scriptx b\"}</script>") ===
+      Vector("{\"s\":\"a</scriptx b\"}"))
+    // Unterminated block: malformed tail, dropped — never captured to EOF.
+    assert(Html.jsonLd(
+      "<script type=\"application/ld+json\">{\"cut\":").isEmpty)
+    assert(Html.jsonLd(null).isEmpty)
+    assert(Html.jsonLd("<!-- <script type=\"application/ld+json\">x</script> -->")
+      .isEmpty)
+  }
+
   test("extractLinks: DataFrame explode resolves against the page URL") {
     val sparkSession = spark
     import sparkSession.implicits._

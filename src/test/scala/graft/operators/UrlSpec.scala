@@ -151,4 +151,19 @@ class UrlSpec extends SparkSpec {
       "url_domain", 2, col("id")).select("id").as[Long].collect().sorted
     assert(capped.toSeq === Seq(0L, 1L, 2L, 3L))
   }
+
+  test("politenessSchedule: per-domain pacing at each domain's own delay") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val fetches = Seq(
+      (0L, "a.com", 2.0), (1L, "b.com", 5.0), (2L, "a.com", 2.0),
+      (3L, "a.com", 2.0), (4L, "b.com", 5.0))
+      .toDF("id", "url_domain", "crawl_delay")
+    val out = Url.politenessSchedule(fetches, "url_domain",
+        "crawl_delay", col("id"))
+      .select("id", "fetch_seq", "start_offset_s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out === Set((0L, 0L, 0.0), (2L, 1L, 2.0), (3L, 2L, 4.0),
+      (1L, 0L, 0.0), (4L, 1L, 5.0)))
+  }
 }
