@@ -252,7 +252,7 @@ object Html {
   /** The single-pass walk: returns (visible text, first title). `title`
     * capture recurses once into the title's content with capture OFF, so
     * nested-title bombs cannot grow the stack. */
-  private def extractCore(html: String,
+  private[graft] def extractCore(html: String,
                           captureTitle: Boolean): (String, Option[String]) = {
     if (html == null) return ("", None)
     val n = html.length
