@@ -437,13 +437,77 @@ object Pdf {
     }
   }
 
+  /** Objects stored INSIDE object streams (`/Type /ObjStm`, §7.5.7):
+    * since PDF 1.5 most writers pack non-stream objects — page dicts
+    * included — into compressed object streams, so a reader with only
+    * the linear scan extracts zero pages from a modern PDF. Each
+    * ObjStm's body is `N` white-space-separated (objnum, offset) pairs
+    * followed, at `/First`, by the serialized objects; contained
+    * objects carry no stream of their own (streams cannot nest).
+    * Contained objects are appended AFTER the linear ones, so a
+    * same-numbered contained object wins the `.last` pick — the
+    * incremental-update convention. Malformed headers/offsets skip
+    * that stream, never throw. */
+  private def expandObjStms(bytes: Array[Byte], objs: Vector[IndObj],
+                            maxInflate: Int): Vector[IndObj] = {
+    val extra = Vector.newBuilder[IndObj]
+    objs.foreach { o =>
+      o.value match {
+        case CDict(m) if m.get("Type").contains(CName("ObjStm")) &&
+          o.streamFrom >= 0 && o.streamUntil >= o.streamFrom =>
+          val nOpt = m.get("N").collect {
+            case CNum(v) if v >= 0 && v <= 100000 => v.toInt
+          }
+          val firstOpt = m.get("First").collect {
+            case CNum(v) if v >= 0 => v.toInt
+          }
+          val body = m.get("Filter") match {
+            case Some(CName("FlateDecode")) |
+                 Some(CArr(Vector(CName("FlateDecode")))) =>
+              flate(bytes, o.streamFrom, o.streamUntil, maxInflate)
+            case None => Some(java.util.Arrays.copyOfRange(bytes,
+              o.streamFrom, o.streamUntil))
+            case _ => None
+          }
+          for (n <- nOpt; first <- firstOpt; b <- body
+               if first <= b.length) {
+            val hp = new P(b)
+            var k = 0
+            var ok = true
+            while (ok && k < n) {
+              val num = parseObj(hp, 0)
+              val off = parseObj(hp, 0)
+              (num, off) match {
+                case (CNum(nv), CNum(ov))
+                  if nv >= 0 && ov >= 0 && first + ov <= b.length &&
+                    nv == math.floor(nv) && ov == math.floor(ov) =>
+                  val op = new P(b)
+                  op.i = first + ov.toInt
+                  extra += IndObj(nv.toInt, parseObj(op, 0), -1, -1)
+                case _ => ok = false
+              }
+              k += 1
+            }
+          }
+        case _ => ()
+      }
+    }
+    objs ++ extra.result()
+  }
+
+  /** All indirect objects: the linear scan plus the contents of every
+    * object stream. */
+  private def allObjects(bytes: Array[Byte],
+                         maxInflate: Int): Vector[IndObj] =
+    expandObjStms(bytes, scanObjects(bytes), maxInflate)
+
   /** Parse one PDF and extract its text. None only when the bytes have
     * no PDF shape at all (no `%PDF` header AND no indirect objects). */
   def extract(bytes: Array[Byte],
               maxInflate: Int = 64 * 1024 * 1024): Option[PdfDoc] = {
     if (bytes == null || bytes.length < 8) return None
     try {
-      val objs = scanObjects(bytes)
+      val objs = allObjects(bytes, maxInflate)
       val hasHeader = bytes.length >= 4 && bytes(0) == '%' &&
         bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F'
       if (objs.isEmpty && !hasHeader) return None
@@ -548,7 +612,7 @@ object Pdf {
   def docInfo(bytes: Array[Byte]): Option[Map[String, String]] = {
     if (bytes == null || bytes.length < 8) return None
     try {
-      val objs = scanObjects(bytes)
+      val objs = allObjects(bytes, 64 * 1024 * 1024)
       val byNum = objs.groupBy(_.num).map { case (k, v) => (k, v.last) }
       val InfoKeys = Seq("Title", "Author", "Subject", "Producer",
         "CreationDate", "ModDate")

@@ -38,18 +38,24 @@ object PdfPack extends QueryPack {
   private def utf16Hex(s: String): String =
     "<FEFF" + s.map(c => f"${c.toInt}%04X").mkString + ">"
 
-  /** A complete, genuinely-structured one-page PDF around `text`. */
-  private[graft] def pdfFile(id: Long, text: String,
-                               compress: Boolean, hexFirst: Boolean,
-                               withInfo: Boolean = false): Array[Byte] = {
+  /** The shared content-stream construction (q_pdf_text's contract). */
+  private def contentFor(id: Long, text: String,
+                         hexFirst: Boolean): Array[Byte] = {
     val half = text.length / 2
     val l1 =
       if (hexFirst) hexStr(s"d$id says:") else "(" + esc(s"d$id says:") + ")"
-    val content = ("BT /F1 12 Tf 72 720 Td " + l1 + " Tj " +
+    ("BT /F1 12 Tf 72 720 Td " + l1 + " Tj " +
       "0 -14 Td (" + esc(text.substring(0, half)) + ") Tj " +
       "0 -14 Td (" + esc(text.substring(half)) + ") Tj ET\n" +
       "BT [(kern) -200 (gap) -10 (x)] TJ " +
       "0 -14 Td (esc \\(x\\) \\\\ done) Tj ET").getBytes("ISO-8859-1")
+  }
+
+  /** A complete, genuinely-structured one-page PDF around `text`. */
+  private[graft] def pdfFile(id: Long, text: String,
+                               compress: Boolean, hexFirst: Boolean,
+                               withInfo: Boolean = false): Array[Byte] = {
+    val content = contentFor(id, text, hexFirst)
     val stream = if (compress) deflate(content) else content
     val filter = if (compress) " /Filter /FlateDecode" else ""
     val sb = new java.io.ByteArrayOutputStream()
@@ -79,6 +85,33 @@ object PdfPack extends QueryPack {
       w("trailer << /Root 1 0 R /Info 6 0 R /Size 7 >>\n%%EOF\n")
     } else
       w("trailer << /Root 1 0 R /Size 6 >>\n%%EOF\n")
+    sb.toByteArray
+  }
+
+  /** A MODERN-layout PDF: the page dict lives inside a compressed
+    * object stream (`/Type /ObjStm` — the PDF 1.5+ shape most writers
+    * emit), only catalog/pages/ObjStm/content-stream objects are
+    * visible to the linear scan. A reader without ObjStm expansion
+    * extracts zero pages from this file. */
+  private[graft] def pdfObjStmFile(id: Long, text: String): Array[Byte] = {
+    val content = contentFor(id, text, hexFirst = false)
+    val pageDict = "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    val header = "3 0\n"
+    val stmBody = (header + pageDict).getBytes("ISO-8859-1")
+    val stm = deflate(stmBody)
+    val sb = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = sb.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w(s"6 0 obj << /Type /ObjStm /N 1 /First ${header.length} " +
+      s"/Length ${stm.length} /Filter /FlateDecode >> stream\n")
+    sb.write(stm)
+    w("\nendstream endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n")
+    sb.write(content)
+    w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R /Size 7 >>\n%%EOF\n")
     sb.toByteArray
   }
 
@@ -112,6 +145,21 @@ object PdfPack extends QueryPack {
         Pdf.withInfo(pdfs)
           .select(col("doc_id"), col("pdf_title"), col("pdf_author"),
             col("pdf_created"))
+      },
+      // Object-stream layout (r11): the page dict hidden inside a
+      // compressed /ObjStm — the modern-writer shape. Same text
+      // contract as q_pdf_text's literal variant; the page is only
+      // findable via ObjStm expansion (4 linear objects + 1 contained).
+      "q_pdf_objstm" -> { (s, dir) =>
+        import s.implicits._
+        val pdfs = table(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) => (id, pdfObjStmFile(id, text)) }
+          .toDF("doc_id", "bytes")
+        Pdf.extractText(pdfs)
+          .select(col("doc_id"), col("pdf_pages"), col("pdf_objects"),
+            col("pdf_streams"), col("pdf_streams_decoded"), col("pdf_text"))
       }
     )
 
@@ -122,6 +170,17 @@ object PdfPack extends QueryPack {
     * word-gap threshold, '-10' does not) and the escape line. */
   override def oracles: Map[String, String] = Map(
     "q_pdf_text" ->
+      """SELECT doc_id,
+        |  CAST(1 AS BIGINT) AS pdf_pages,
+        |  CAST(5 AS BIGINT) AS pdf_objects,
+        |  CAST(1 AS BIGINT) AS pdf_streams,
+        |  CAST(1 AS BIGINT) AS pdf_streams_decoded,
+        |  'd' || CAST(doc_id AS VARCHAR) || ' says:' || chr(10) ||
+        |  left(text, length(text) // 2) || chr(10) ||
+        |  substring(text, length(text) // 2 + 1) || chr(10) ||
+        |  'kern gapx' || chr(10) || 'esc (x) \ done' AS pdf_text
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    "q_pdf_objstm" ->
       """SELECT doc_id,
         |  CAST(1 AS BIGINT) AS pdf_pages,
         |  CAST(5 AS BIGINT) AS pdf_objects,

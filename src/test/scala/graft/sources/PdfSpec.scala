@@ -94,6 +94,28 @@ class PdfSpec extends SparkSpec {
     assert(d.text === "page one\npage two")
   }
 
+  test("object streams: page dicts inside compressed /ObjStm are found") {
+    val pdf = PdfPack.pdfObjStmFile(9L, "hidden page body")
+    val d = Pdf.extract(pdf).get
+    assert(d.pages === 1) // invisible to the linear scan alone
+    assert(d.objects === 5) // 4 linear + 1 contained
+    assert(d.text ===
+      "d9 says:\nhidden p\nage body\nkern gapx\nesc (x) \\ done")
+    // A multi-object stream, uncompressed, with a same-numbered update:
+    // contained objects win the .last pick (incremental convention).
+    val stmBody = "7 0 8 14\n<< /A (one) >><< /Type /Page >>"
+    val pdf2 = b("%PDF-1.5\n" +
+      s"6 0 obj << /Type /ObjStm /N 2 /First 9 >> stream\n$stmBody\nendstream endobj\n" +
+      "7 0 obj << /A (zero) >> endobj\n")
+    val info = Pdf.extract(pdf2).get
+    assert(info.objects === 4) // 2 linear + 2 contained
+    assert(info.pages === 1) // object 8's page dict counted
+    // Malformed header: stream skipped, no throw.
+    val bad = b("%PDF-1.5\n6 0 obj << /Type /ObjStm /N 2 /First 4 >> " +
+      "stream\nxx\nendstream endobj\n")
+    assert(Pdf.extract(bad).get.objects === 1)
+  }
+
   test("pdfDate: spec forms, defaults, offsets, garbage") {
     assert(Pdf.pdfDate("D:20240102150405Z") === "2024-01-02T15:04:05Z")
     assert(Pdf.pdfDate("D:20240102150405+05'30'") ===
