@@ -78,6 +78,61 @@ object Feeds {
     null
   }
 
+  private val Months = Map("jan" -> 1, "feb" -> 2, "mar" -> 3, "apr" -> 4,
+    "may" -> 5, "jun" -> 6, "jul" -> 7, "aug" -> 8, "sep" -> 9,
+    "oct" -> 10, "nov" -> 11, "dec" -> 12)
+
+  private val ZoneNames = Map("GMT" -> "Z", "UT" -> "Z", "UTC" -> "Z",
+    "Z" -> "Z", "EST" -> "-05:00", "EDT" -> "-04:00", "CST" -> "-06:00",
+    "CDT" -> "-05:00", "MST" -> "-07:00", "MDT" -> "-06:00",
+    "PST" -> "-08:00", "PDT" -> "-07:00")
+
+  /** RSS `pubDate` (RFC 822/1123, `[Dow, ]DD Mon YYYY HH:MM[:SS] ZONE`)
+    * → ISO-8601, the same normalization [[graft.sources.Pdf.pdfDate]]
+    * applies to PDF dates — so feed, page, and PDF timestamps all land
+    * in one comparable key space. Two-digit years pivot per RFC 2822
+    * (<50 → 2000s); named zones cover the RFC 822 set; numeric
+    * `±HHMM` offsets pass through as `±HH:MM`. Null when the shape is
+    * not a date. Atom timestamps are already ISO — pass them through
+    * the identity. */
+  def rfc822ToIso(s: String): String = {
+    if (s == null) return null
+    val t0 = s.trim
+    val comma = t0.indexOf(',')
+    val t = (if (comma >= 0) t0.substring(comma + 1) else t0).trim
+    val parts = t.split("\\s+")
+    if (parts.length < 4) return null
+    val dayOk = parts(0).nonEmpty && parts(0).length <= 2 &&
+      parts(0).forall(_.isDigit)
+    val mon = Months.get(parts(1).toLowerCase(java.util.Locale.ROOT)
+      .take(3))
+    val yearOk = parts(2).nonEmpty && parts(2).length <= 4 &&
+      parts(2).forall(_.isDigit)
+    val time = parts(3).split(':')
+    if (!dayOk || mon.isEmpty || !yearOk || time.length < 2 ||
+      !time.forall(p => p.nonEmpty && p.length <= 2 &&
+        p.forall(_.isDigit))) return null
+    val year = {
+      val y = parts(2).toInt
+      if (parts(2).length <= 2) { if (y < 50) 2000 + y else 1900 + y }
+      else y
+    }
+    val zone =
+      if (parts.length < 5) ""
+      else {
+        val z = parts(4)
+        ZoneNames.getOrElse(z.toUpperCase(java.util.Locale.ROOT), {
+          if (z.length == 5 && (z.charAt(0) == '+' || z.charAt(0) == '-')
+            && z.substring(1).forall(_.isDigit))
+            s"${z.substring(0, 3)}:${z.substring(3)}"
+          else ""
+        })
+      }
+    f"$year%04d-${mon.get}%02d-${parts(0).toInt}%02dT" +
+      f"${time(0).toInt}%02d:${time(1).toInt}%02d:" +
+      f"${if (time.length > 2) time(2).toInt else 0}%02d$zone"
+  }
+
   /** All entries of a feed document; never throws. */
   def parse(xml: String): Seq[Entry] = {
     if (xml == null) return Nil
@@ -128,16 +183,17 @@ object Feeds {
   }
 
   /** DataFrame explode: one row per feed entry with (entry_ix, title,
-    * link, published, is_atom); unparseable/empty feeds yield a coded
-    * `entry_ix = −1` row. Gzip auto-detected. One narrow per-partition
-    * pass. */
+    * link, published raw, published_iso — RSS pubDates through
+    * [[rfc822ToIso]], Atom timestamps already ISO pass through —
+    * is_atom); unparseable/empty feeds yield a coded `entry_ix = −1`
+    * row. Gzip auto-detected. One narrow per-partition pass. */
   def entries(df: DataFrame, bytesCol: String = "bytes",
               maxInflate: Int = 64 * 1024 * 1024): DataFrame = {
     val bi = df.schema.fieldIndex(bytesCol)
     val schema = df.schema
       .add("entry_ix", LongType).add("title", StringType)
       .add("link", StringType).add("published", StringType)
-      .add("is_atom", BooleanType)
+      .add("published_iso", StringType).add("is_atom", BooleanType)
     df.mapPartitions { it =>
       it.flatMap { row =>
         val raw = row.getAs[Array[Byte]](bi)
@@ -151,12 +207,15 @@ object Feeds {
         val parsed = parse(xml)
         if (parsed.isEmpty)
           Iterator.single(Row.fromSeq(
-            row.toSeq :+ -1L :+ null :+ null :+ null :+ null))
+            row.toSeq :+ -1L :+ null :+ null :+ null :+ null :+ null))
         else {
           val atom = isAtom(xml)
           parsed.iterator.zipWithIndex.map { case (e, ix) =>
+            val iso =
+              if (atom) e.published.orNull
+              else e.published.map(rfc822ToIso).orNull
             Row.fromSeq(row.toSeq :+ ix.toLong :+ e.title :+ e.link :+
-              e.published.orNull :+ atom)
+              e.published.orNull :+ iso :+ atom)
           }
         }
       }

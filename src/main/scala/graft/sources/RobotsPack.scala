@@ -86,7 +86,8 @@ object RobotsPack extends QueryPack {
                     s"<item><title>T $id &amp; $j</title>" +
                       s"<link>https://f.org/$id/r$j</link>" +
                       (if (j == 0)
-                        s"<pubDate>Mon, 0$id Jan 2024 00:00:00 GMT</pubDate>"
+                        f"<pubDate>Mon, ${id % 28 + 1}%02d Jan 2024 " +
+                          "13:05:07 GMT</pubDate>"
                       else "") + "</item>"
                   }.mkString + "</channel></rss>"
               else
@@ -108,7 +109,8 @@ object RobotsPack extends QueryPack {
           }.toDF("doc_id", "bytes")
         Feeds.entries(feeds)
           .select(col("doc_id"), col("entry_ix"), col("title"),
-            col("link"), col("published"), col("is_atom"))
+            col("link"), col("published"), col("published_iso"),
+            col("is_atom"))
       },
       // Politeness schedule (r11): robots-declared crawl delays turned
       // into per-host fetch offsets — each of the five domains paces
@@ -164,13 +166,23 @@ object RobotsPack extends QueryPack {
         |    ELSE 'https://f.org/' || CAST(doc_id AS VARCHAR) || '/a' ||
         |      CAST(j AS VARCHAR) END AS link,
         |  CASE
-        |    WHEN doc_id % 2 = 0 AND j = 0 THEN 'Mon, 0' ||
-        |      CAST(doc_id AS VARCHAR) || ' Jan 2024 00:00:00 GMT'
+        |    WHEN doc_id % 2 = 0 AND j = 0 THEN 'Mon, ' ||
+        |      lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+        |      ' Jan 2024 13:05:07 GMT'
         |    WHEN doc_id % 2 = 0 THEN NULL
         |    WHEN j = 0 THEN '2024-01-02T00:00:0' ||
         |      CAST(doc_id % 10 AS VARCHAR) || 'Z'
         |    ELSE '2024-02-03T00:00:0' ||
         |      CAST(doc_id % 10 AS VARCHAR) || 'Z' END AS published,
+        |  CASE
+        |    WHEN doc_id % 2 = 0 AND j = 0 THEN '2024-01-' ||
+        |      lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+        |      'T13:05:07Z'
+        |    WHEN doc_id % 2 = 0 THEN NULL
+        |    WHEN j = 0 THEN '2024-01-02T00:00:0' ||
+        |      CAST(doc_id % 10 AS VARCHAR) || 'Z'
+        |    ELSE '2024-02-03T00:00:0' ||
+        |      CAST(doc_id % 10 AS VARCHAR) || 'Z' END AS published_iso,
         |  doc_id % 2 = 1 AS is_atom
         |FROM documents, generate_series(0, 1) t(j)""".stripMargin,
     "q_fetch_schedule" ->

@@ -38,6 +38,24 @@ class FeedsSpec extends SparkSpec {
     assert(Feeds.isAtom(atom))
   }
 
+  test("rfc822ToIso: RFC 822/1123 forms, zones, two-digit years, garbage") {
+    assert(Feeds.rfc822ToIso("Mon, 01 Jan 2024 13:05:07 GMT") ===
+      "2024-01-01T13:05:07Z")
+    assert(Feeds.rfc822ToIso("1 Feb 2024 08:00 +0530") === // no DoW, no secs
+      "2024-02-01T08:00:00+05:30")
+    assert(Feeds.rfc822ToIso("Tue, 31 Dec 2024 23:59:59 EST") ===
+      "2024-12-31T23:59:59-05:00")
+    assert(Feeds.rfc822ToIso("Wed, 02 Oct 02 15:00:00 UT") === // 2-digit year
+      "2002-10-02T15:00:00Z")
+    assert(Feeds.rfc822ToIso("Thu, 05 Mar 98 10:00:00 GMT") ===
+      "1998-03-05T10:00:00Z")
+    assert(Feeds.rfc822ToIso("Sat, 07 Sep 2024 12:00:00") === // zone absent
+      "2024-09-07T12:00:00")
+    assert(Feeds.rfc822ToIso("not a date") === null)
+    assert(Feeds.rfc822ToIso("99 Xyz 2024 10:00:00 GMT") === null)
+    assert(Feeds.rfc822ToIso(null) === null)
+  }
+
   test("hostile/truncated input degrades, never throws") {
     assert(Feeds.parse(null) === Nil)
     assert(Feeds.parse("") === Nil)
