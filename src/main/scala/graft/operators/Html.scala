@@ -133,6 +133,10 @@ object Html {
   private val Legacy = Seq("quot", "apos", "nbsp", "copy", "amp", "reg",
     "lt", "gt")
 
+  /** The subset whose ALL-UPPERCASE semicolon forms (&AMP; &LT; …) the
+    * WHATWG table actually defines — &NBSP;/&APOS; do not exist. */
+  private val UpperLegacy = Set("quot", "copy", "amp", "reg", "lt", "gt")
+
   /** Decode one entity starting AT `&` (index `i`); returns (decoded
     * string, index after). Follows the WHATWG character-reference rules
     * that matter for corpus text: ASCII-digit numeric forms up to
@@ -199,12 +203,19 @@ object Html {
     } else Named.get(body) match {
       case Some(v) => (v, semi + 1)
       case None =>
-        // Uppercase semicolon forms of the legacy set (&LT; &AMP; …) are
-        // real WHATWG entities; falling through to legacyAt() here would
-        // decode the name but leave the ';' as stray text.
+        // ALL-UPPERCASE semicolon forms exist in the WHATWG table only
+        // for AMP/COPY/GT/LT/QUOT/REG — those decode (consuming the
+        // ';'). Other case variants of legacy names (&NBSP; &AmP;) are
+        // NOT entities: browsers render them literally, so falling
+        // through to legacyAt() (which would decode the name and leave
+        // a stray ';') must not happen either.
         val lower = body.toLowerCase(java.util.Locale.ROOT)
-        if (Legacy.contains(lower)) (Named(lower), semi + 1)
-        else legacyAt() // '&ampx;' decodes the legacy prefix
+        if (Legacy.contains(lower)) {
+          if (UpperLegacy.contains(lower) &&
+            body.forall(c => !(c >= 'a' && c <= 'z')))
+            (Named(lower), semi + 1)
+          else ("&", i + 1)
+        } else legacyAt() // '&ampx;' decodes the legacy prefix
     }
   }
 

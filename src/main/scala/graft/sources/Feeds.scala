@@ -24,9 +24,33 @@ object Feeds {
   final case class Entry(title: String, link: String,
                          published: Option[String])
 
-  /** Is this an Atom feed rather than RSS? */
-  def isAtom(xml: String): Boolean =
-    xml != null && xml.toLowerCase.contains("<feed")
+  /** Is this an Atom feed rather than RSS? Decided by the ROOT element
+    * (the first tag that is not a prolog/comment/doctype), not a
+    * whole-document substring — an RSS item whose content mentions
+    * "<feed" must not flip the whole file to Atom parsing. */
+  def isAtom(xml: String): Boolean = {
+    if (xml == null) return false
+    var i = 0
+    val n = xml.length
+    while (i < n) {
+      if (xml.charAt(i) == '<') {
+        if (i + 1 < n && (xml.charAt(i + 1) == '?' ||
+          xml.charAt(i + 1) == '!')) { // prolog/doctype/comment
+          val e = xml.indexOf('>', i + 1)
+          if (e < 0) return false
+          i = e + 1
+        } else {
+          return Sitemaps.matchesAt(xml, i + 1, "feed") && {
+            val a = i + 5
+            a >= n || xml.charAt(a) == '>' || xml.charAt(a) == ' ' ||
+              xml.charAt(a) == '\t' || xml.charAt(a) == '\n' ||
+              xml.charAt(a) == '\r' || xml.charAt(a) == '/'
+          }
+        }
+      } else i += 1
+    }
+    false
+  }
 
   /** The `href` attribute of the first `<link>` tag inside
     * [from, until) whose `rel` is absent or `alternate` — Atom's link
@@ -53,14 +77,21 @@ object Feeds {
     null
   }
 
-  /** `name="value"` / `name='value'` inside one tag's text, name at a
-    * word boundary, case-insensitive. */
+  /** `name="value"` / `name='value'` inside one tag's text — the name
+    * must be PRECEDED BY WHITESPACE (an attribute boundary: `data-rel`
+    * is not a `rel`, letter/digit rejection alone passes the '-'), and
+    * the scan is quote-aware (a name inside another attribute's VALUE
+    * is data). Case-insensitive. */
   private def attr(tag: String, name: String): String = {
-    var i = 0
+    var i = 1
     val n = tag.length
+    var quote: Char = 0
     while (i < n) {
-      if (Sitemaps.matchesAt(tag, i, name) &&
-        (i == 0 || !tag.charAt(i - 1).isLetterOrDigit)) {
+      val c = tag.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0; i += 1 }
+      else if (c == '"' || c == '\'') { quote = c; i += 1 }
+      else if (tag.charAt(i - 1).isWhitespace &&
+        Sitemaps.matchesAt(tag, i, name)) {
         var j = i + name.length
         while (j < n && tag.charAt(j).isWhitespace) j += 1
         if (j < n && tag.charAt(j) == '=') {
@@ -71,9 +102,9 @@ object Feeds {
             val close = tag.indexOf(q, j + 1)
             if (close > 0) return tag.substring(j + 1, close)
           }
-        }
-      }
-      i += 1
+          i = j
+        } else i = j
+      } else i += 1
     }
     null
   }

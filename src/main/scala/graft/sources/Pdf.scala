@@ -249,16 +249,20 @@ object Pdf {
         (b(i + 2) & 0xff) == 'j' &&
         (i + 3 >= n || !isRegular(b(i + 3) & 0xff)) &&
         i > 0 && !isRegular(b(i - 1) & 0xff)) {
-        // walk back over `G` and `N`
+        // walk back over `G` and `N`, across any PDF whitespace (the
+        // full §7.2.3 set — TAB/FF/NUL are legal token separators).
+        @inline def pws(j: Int): Boolean = {
+          val c = b(j) & 0xff
+          c == ' ' || c == '\r' || c == '\n' || c == '\t' || c == 0 ||
+            c == 0x0c
+        }
         var j = i - 1
-        while (j > 0 && ((b(j) & 0xff) == ' ' || (b(j) & 0xff) == '\r' ||
-          (b(j) & 0xff) == '\n')) j -= 1
+        while (j > 0 && pws(j)) j -= 1
         val gEnd = j + 1
         while (j >= 0 && (b(j) & 0xff) >= '0' && (b(j) & 0xff) <= '9') j -= 1
         val gStart = j + 1
         if (gEnd > gStart) {
-          while (j > 0 && ((b(j) & 0xff) == ' ' || (b(j) & 0xff) == '\r' ||
-            (b(j) & 0xff) == '\n')) j -= 1
+          while (j > 0 && pws(j)) j -= 1
           val nEnd = j + 1
           while (j >= 0 && (b(j) & 0xff) >= '0' && (b(j) & 0xff) <= '9') j -= 1
           val nStart = j + 1
@@ -504,7 +508,15 @@ object Pdf {
   /** Parse one PDF and extract its text. None only when the bytes have
     * no PDF shape at all (no `%PDF` header AND no indirect objects). */
   def extract(bytes: Array[Byte],
-              maxInflate: Int = 64 * 1024 * 1024): Option[PdfDoc] = {
+              maxInflate: Int = 64 * 1024 * 1024): Option[PdfDoc] =
+    extractWithTitle(bytes, maxInflate).map(_._1)
+
+  /** [[extract]] plus the /Info Title from the SAME parse — the crawl
+    * ingest path needs both, and [[docInfo]] would re-run the whole
+    * object scan + ObjStm inflation. */
+  def extractWithTitle(bytes: Array[Byte],
+                       maxInflate: Int = 64 * 1024 * 1024)
+      : Option[(PdfDoc, String)] = {
     if (bytes == null || bytes.length < 8) return None
     try {
       val objs = allObjects(bytes, maxInflate)
@@ -518,6 +530,10 @@ object Pdf {
       // Content streams are extracted for PAGE objects' /Contents refs,
       // in page order; dangling refs are skipped (counted via coverage).
       val byNum = objs.groupBy(_.num).map { case (k, v) => (k, v.last) }
+      // Duplicate same-numbered objects (incremental updates append a
+      // new version) must count and extract ONCE, last version winning
+      // — iterate in document order but skip superseded instances.
+      val live = objs.filter(o => byNum(o.num) eq o)
       def contentRefs(v: Cos): Seq[Int] = v match {
         case CDict(m) => m.get("Contents").toSeq.flatMap {
           case CRef(r) => Seq(r)
@@ -526,7 +542,7 @@ object Pdf {
         }
         case _ => Seq.empty
       }
-      objs.foreach { o =>
+      live.foreach { o =>
         o.value match {
           case CDict(m) if m.get("Type").contains(CName("Page")) =>
             pages += 1
@@ -560,7 +576,9 @@ object Pdf {
           case _ => ()
         }
       }
-      Some(PdfDoc(pages, objs.size, streams, decoded, text.toString))
+      val title = infoFrom(bytes, objs).flatMap(_.get("Title")).orNull
+      Some((PdfDoc(pages, objs.size, streams, decoded, text.toString),
+        title))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -612,7 +630,15 @@ object Pdf {
   def docInfo(bytes: Array[Byte]): Option[Map[String, String]] = {
     if (bytes == null || bytes.length < 8) return None
     try {
-      val objs = allObjects(bytes, 64 * 1024 * 1024)
+      infoFrom(bytes, allObjects(bytes, 64 * 1024 * 1024))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The /Info resolution given already-parsed objects (the trailer
+    * scan itself is cheap — no inflation). */
+  private def infoFrom(bytes: Array[Byte],
+                       objs: Vector[IndObj]): Option[Map[String, String]] = {
+    {
       val byNum = objs.groupBy(_.num).map { case (k, v) => (k, v.last) }
       val InfoKeys = Seq("Title", "Author", "Subject", "Producer",
         "CreationDate", "ModDate")
@@ -654,7 +680,7 @@ object Pdf {
           case (CDict(m), s) if s.nonEmpty && !m.contains("Type") => s
         }
       }
-    } catch { case scala.util.control.NonFatal(_) => None }
+    }
   }
 
   /** DataFrame form of [[docInfo]]: appends `pdf_title`, `pdf_author`,

@@ -333,8 +333,12 @@ object Warc {
       .filter(col("warc_type") === "response" &&
         col("payload_digest").isNotNull)
       .groupBy(col("payload_digest").as("o_digest"))
-      .agg(min(col("target_uri")).as("original_uri"),
-        min(col("record_ix")).as("original_ix"))
+      // ONE struct-min keeps (uri, ix) a CONSISTENT pair from a single
+      // record — independent min() per column could stitch the uri of
+      // one duplicate onto the record_ix of another.
+      .agg(min(struct(col("target_uri"), col("record_ix"))).as("o"))
+      .select(col("o_digest"), col("o.target_uri").as("original_uri"),
+        col("o.record_ix").as("original_ix"))
     recs.filter(col("warc_type") === "revisit")
       .join(responses, col("payload_digest") === col("o_digest"), "left")
       .drop("o_digest")

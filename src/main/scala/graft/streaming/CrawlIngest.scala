@@ -83,18 +83,19 @@ object CrawlIngest {
             row.getLong(3), title, text, main)
         val decoded = row.getString(6)
         row.getString(4) match {
-          case "text/html" if decoded != null =>
+          // text/xml covers XHTML and XML-prologue pages ('<?xml' wins
+          // the sniff even when <html> follows) — the extractor handles
+          // them; dropping them would silently lose a common page class.
+          case "text/html" | "text/xml" if decoded != null =>
             val (text, title) = Html.extractCore(decoded, true)
             Iterator.single(doc(title.orNull, text, Html.mainText(decoded)))
           case "text/plain" if decoded != null =>
             Iterator.single(doc(null, decoded, decoded))
           case "application/pdf" =>
-            val bytes = row.getAs[Array[Byte]](5)
-            Pdf.extract(bytes).iterator.map { d =>
-              val title = Pdf.docInfo(bytes)
-                .flatMap(_.get("Title")).orNull
-              doc(title, d.text, d.text)
-            }
+            // extractWithTitle: text AND /Info title from ONE parse
+            // (extract + docInfo would scan and inflate twice).
+            Pdf.extractWithTitle(row.getAs[Array[Byte]](5)).iterator
+              .map { case (d, title) => doc(title, d.text, d.text) }
           case _ => Iterator.empty // images/archives: the media pipeline's
         }
       }

@@ -96,6 +96,10 @@ class HtmlSpec extends SparkSpec {
     assert(Html.extractText("1 &LT; 2 &GT; 0") === "1 < 2 > 0")
     assert(Html.extractText("&COPY; &REG; &AMP; &QUOT;q&QUOT;") ===
       "© ® & \"q\"")
+    // …but ONLY all-uppercase and only for the six names the WHATWG
+    // table defines: &NBSP;/&APOS;/mixed case render literally in every
+    // browser (and must not half-decode leaving a stray ';').
+    assert(Html.extractText("&NBSP;x&APOS;y&AmP;z") === "&NBSP;x&APOS;y&AmP;z")
   }
 
   test("extractText/title: hostile + malformed inputs degrade cleanly, never throw") {

@@ -38,6 +38,27 @@ class FeedsSpec extends SparkSpec {
     assert(Feeds.isAtom(atom))
   }
 
+  test("isAtom is decided by the ROOT element; data-rel is not a rel") {
+    // An RSS feed MENTIONING '<feed' in content must stay RSS.
+    val rss = "<?xml version=\"1.0\"?><rss><channel>" +
+      "<item><title>about &lt;feed&gt; and <feed></title>" +
+      "<link>https://x/1</link></item></channel></rss>"
+    assert(!Feeds.isAtom(rss))
+    assert(Feeds.parse(rss).map(_.link) === Seq("https://x/1"))
+    // Root detection skips prolog/doctype/comments.
+    assert(Feeds.isAtom("<?xml version=\"1.0\"?><!-- c --><feed>"))
+    assert(!Feeds.isAtom("<feedlike>")) // name boundary
+    // 'data-rel' must not match 'rel': the unmarked link IS the
+    // alternate and must win despite the decoy attribute.
+    val atom = "<feed><entry><title>t</title>" +
+      "<link data-rel=\"self\" href=\"https://x/page\"/></entry></feed>"
+    assert(Feeds.parse(atom).map(_.link) === Seq("https://x/page"))
+    // A name inside another attribute's quoted VALUE is data.
+    val tricky = "<feed><entry><title>t</title>" +
+      "<link title=\"rel=self stuff\" href=\"https://x/k\"/></entry></feed>"
+    assert(Feeds.parse(tricky).map(_.link) === Seq("https://x/k"))
+  }
+
   test("rfc822ToIso: RFC 822/1123 forms, zones, two-digit years, garbage") {
     assert(Feeds.rfc822ToIso("Mon, 01 Jan 2024 13:05:07 GMT") ===
       "2024-01-01T13:05:07Z")

@@ -116,6 +116,23 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.extract(bad).get.objects === 1)
   }
 
+  test("incremental updates: same-numbered objects extract once, last wins") {
+    // The page appears twice (original + appended update pointing at a
+    // DIFFERENT content stream): one page, the UPDATED text only.
+    val pdf = b("%PDF-1.4\n" +
+      "3 0 obj << /Type /Page /Contents 4 0 R >> endobj\n" +
+      "4 0 obj << /Length 19 >> stream\nBT (stale text) Tj ET\nendstream endobj\n" +
+      "5 0 obj << /Length 21 >> stream\nBT (current text) Tj ET\nendstream endobj\n" +
+      "3 0 obj << /Type /Page /Contents 5 0 R >> endobj\n%%EOF\n")
+    val d = Pdf.extract(pdf).get
+    assert(d.pages === 1)
+    assert(d.text === "current text")
+    // TAB is legal PDF whitespace in the 'N G obj' header.
+    val tabbed = b("%PDF-1.4\n3 0\tobj << /Type /Page /Contents 4 0 R >> " +
+      "endobj\n4 0 obj << /Length 15 >> stream\nBT (tabbed) Tj ET\nendstream endobj\n")
+    assert(Pdf.extract(tabbed).get.text === "tabbed")
+  }
+
   test("pdfDate: spec forms, defaults, offsets, garbage") {
     assert(Pdf.pdfDate("D:20240102150405Z") === "2024-01-02T15:04:05Z")
     assert(Pdf.pdfDate("D:20240102150405+05'30'") ===

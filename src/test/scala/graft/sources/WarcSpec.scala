@@ -180,5 +180,18 @@ class WarcSpec extends SparkSpec {
     assert(resolved === Set(
       ("https://e.org/re", Some("https://e.org/orig"), Some(0L)),
       ("https://e.org/orphan", None, None)))
+    // Several responses sharing a digest: the chosen original is ONE
+    // CONSISTENT record — min-URI with ITS OWN record_ix, never the
+    // min uri stitched onto another record's min ix.
+    val dup = (record("response", "https://b.org/x", body, digest) +
+      record("response", "https://a.org/y", body, digest) +
+      record("revisit", "https://e.org/re2", Array.empty[Byte], digest))
+      .getBytes("ISO-8859-1")
+    val r2 = Warc.resolveRevisits(
+        Warc.records(Seq((1L, dup)).toDF("id", "bytes")))
+      .select("target_uri", "original_uri", "original_ix").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // min uri is a.org/y which is record 1 — NOT record 0's ix.
+    assert(r2 === Set(("https://e.org/re2", "https://a.org/y", 1L)))
   }
 }

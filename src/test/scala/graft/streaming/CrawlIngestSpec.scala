@@ -141,7 +141,14 @@ class CrawlIngestSpec extends SparkSpec {
         "just plain words".getBytes("UTF-8"))),
       // A PNG is not a text document: dropped from the documents table.
       ("png", respGz(4L, "text/plain",
-        Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, 1).map(_.toByte)))
+        Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, 1).map(_.toByte))),
+      // XHTML: the '<?xml' prolog wins the sniff (text/xml) but the
+      // page must still extract — dropping it would silently lose a
+      // common page class.
+      ("xhtml", respGz(5L, "application/xhtml+xml",
+        ("<?xml version=\"1.0\"?><!DOCTYPE html><html><head>" +
+          "<title>x5</title></head><body><p>xhtml body</p></body></html>")
+          .getBytes("UTF-8")))
     ).toDF("path", "content")
     val out = CrawlIngest.documentsFrom(files)
       .selectExpr("path", "title", "text").collect()
@@ -149,6 +156,7 @@ class CrawlIngestSpec extends SparkSpec {
     assert(out === Set(
       ("html", "h", "web page"),
       ("pdf", "Title 2", "d2 says:\npdf \nbody\nkern gapx\nesc (x) \\ done"),
-      ("plain", null, "just plain words")))
+      ("plain", null, "just plain words"),
+      ("xhtml", "x5", "xhtml body")))
   }
 }
