@@ -191,7 +191,10 @@ object Bench {
     // JSON-LD locate+from_json and the robots-delay fetch schedule.
     "q_jsonld", "q_fetch_schedule",
     // ObjStm-layout PDF extraction — reported sibling q_pdf_text.
-    "q_pdf_objstm"
+    "q_pdf_objstm",
+    // Per-domain crawl-health rollup (secondary; its stages' reported
+    // siblings cover the execution families).
+    "q_crawl_stats"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -267,7 +270,8 @@ object Bench {
     "q_doc_identity", "q_page_dates",
     // Feed explode — discovery-family sibling q_sitemap also secondary,
     // the narrow-scan shape is covered by the reported ingest queries.
-    "q_feed_entries", "q_jsonld", "q_fetch_schedule", "q_pdf_objstm")
+    "q_feed_entries", "q_jsonld", "q_fetch_schedule", "q_pdf_objstm",
+    "q_crawl_stats")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

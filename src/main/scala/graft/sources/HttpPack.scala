@@ -141,6 +141,44 @@ object HttpPack extends QueryPack {
           }.toDF("doc_id", "body", "ct")
         Mime.withSniffed(payloads, "body", "ct")
           .select(col("doc_id"), col("mime_sniffed"), col("mime_claimed"))
+      },
+      // Per-domain crawl health (r11): the rollup every crawl operation
+      // watches — fetch counts, 2xx rate, redirect rate, noindex rate
+      // per registrable domain — composed over the REAL parsers (HTTP
+      // status from the wire bytes, noindex from the page meta walk,
+      // domain from the URL ops), one groupBy shuffle. Closed-form in
+      // the id arithmetic.
+      "q_crawl_stats" -> { (s, dir) =>
+        import s.implicits._
+        val responses = table(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val g = id % 5
+            val payload = (id % 4).toInt match {
+              case 0 => "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+                s"<html><body><p>page $id</p></body></html>"
+              case 1 => "HTTP/1.1 301 Moved Permanently\r\n" +
+                "Location: /new\r\nContent-Type: text/html\r\n\r\n"
+              case 2 => "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+                "<html><head><meta name=\"robots\" content=\"noindex\">" +
+                s"</head><body><p>hidden $id</p></body></html>"
+              case _ => "HTTP/1.1 404 Not Found\r\n" +
+                "Content-Type: text/html\r\n\r\n<html><body>nope</body></html>"
+            }
+            (id, s"https://site$g.com/p$id", payload.getBytes(UTF_8))
+          }.toDF("doc_id", "url", "payload")
+        val parsed = Html.withPageMeta(Http.responses(responses),
+          "text", "url")
+        graft.operators.Url.withUrlParts(parsed)
+          .groupBy(col("url_domain"))
+          .agg(count(lit(1)).as("n_fetches"),
+            sum(when(col("http_status") === 200, 1).otherwise(0))
+              .as("n_ok"),
+            sum(when(col("http_status").between(300, 399), 1).otherwise(0))
+              .as("n_redirects"),
+            sum(when(col("noindex"), 1).otherwise(0)).as("n_noindex"))
+          .select(col("url_domain"), col("n_fetches"), col("n_ok"),
+            col("n_redirects"), col("n_noindex"))
       }
     )
 
@@ -191,6 +229,17 @@ object HttpPack extends QueryPack {
         |    WHEN 5 THEN 'text/plain'
         |    WHEN 6 THEN 'text/plain'
         |    ELSE 'application/octet-stream' END AS mime_claimed
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q_crawl_stats" ->
+      """SELECT 'site' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+        |    AS url_domain,
+        |  count(*) AS n_fetches,
+        |  CAST(sum(CASE WHEN doc_id % 4 IN (0, 2) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_ok,
+        |  CAST(sum(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_redirects,
+        |  CAST(sum(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_noindex
+        |FROM documents GROUP BY doc_id % 5""".stripMargin
   )
 }
