@@ -194,7 +194,10 @@ object Bench {
     "q_pdf_objstm",
     // Per-domain crawl-health rollup (secondary; its stages' reported
     // siblings cover the execution families).
-    "q_crawl_stats"
+    "q_crawl_stats",
+    // Sentence segmentation (secondary; narrow scan, q_doc_chunks is the
+    // reported packing-family sibling).
+    "q_sentences"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -271,7 +274,7 @@ object Bench {
     // Feed explode — discovery-family sibling q_sitemap also secondary,
     // the narrow-scan shape is covered by the reported ingest queries.
     "q_feed_entries", "q_jsonld", "q_fetch_schedule", "q_pdf_objstm",
-    "q_crawl_stats")
+    "q_crawl_stats", "q_sentences")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

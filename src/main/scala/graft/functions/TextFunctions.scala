@@ -119,6 +119,83 @@ object TextFunctions {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** The abbreviations whose trailing period does NOT end a sentence —
+    * the high-frequency set that dominates English prose (titles,
+    * Latin forms, business suffixes). Matched case-insensitively on
+    * the word before the period. */
+  private val Abbrev = Set("mr", "mrs", "ms", "dr", "prof", "sr", "jr",
+    "st", "vs", "etc", "eg", "e.g", "ie", "i.e", "fig", "no", "inc",
+    "ltd", "co", "corp", "dept", "est", "approx", "jan", "feb", "mar",
+    "apr", "jun", "jul", "aug", "sep", "sept", "oct", "nov", "dec")
+
+  /** Rule-based sentence segmentation — the unit step between document
+    * text and sequence packing/chunking (a packer that splits mid-
+    * sentence wastes context on fragments). Deterministic rules, no
+    * model: a boundary is a run of `.!?` followed by whitespace (or
+    * end of text), EXCEPT a '.' whose preceding word is a known
+    * abbreviation or a single LETTER (an initial — "J. Smith").
+    * Decimal points and ellipses inside tokens never split (no
+    * whitespace follows). Empty/whitespace-only segments are dropped;
+    * null yields Nil; never throws. */
+  def sentences(text: String): Seq[String] = {
+    if (text == null) return Nil
+    val out = Vector.newBuilder[String]
+    val n = text.length
+    var start = 0
+    var i = 0
+    @inline def precedingWord(j: Int): String = {
+      var e = j
+      var b = e
+      while (b > start && !text.charAt(b - 1).isWhitespace) b -= 1
+      text.substring(b, e)
+    }
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '.' || c == '!' || c == '?') {
+        var e = i
+        while (e + 1 < n && (text.charAt(e + 1) == '.' ||
+          text.charAt(e + 1) == '!' || text.charAt(e + 1) == '?')) e += 1
+        val atEnd = e + 1 >= n
+        val wsNext = !atEnd && text.charAt(e + 1).isWhitespace
+        val isBoundary = (atEnd || wsNext) && {
+          if (c != '.' || e > i) true // !, ?, or a ..!? run always ends
+          else {
+            val w = precedingWord(i).toLowerCase(java.util.Locale.ROOT)
+            !(Abbrev.contains(w) ||
+              (w.length == 1 && w.charAt(0).isLetter))
+          }
+        }
+        if (isBoundary) {
+          val s = text.substring(start, e + 1).trim
+          if (s.nonEmpty) out += s
+          start = e + 1
+        }
+        i = e + 1
+      } else i += 1
+    }
+    val tail = text.substring(start).trim
+    if (tail.nonEmpty) out += tail
+    out.result()
+  }
+
+  /** DataFrame explode of [[sentences]]: one row per sentence with
+    * (`sent_ix`, `sentence`). Documents yielding none produce no rows.
+    * One narrow per-partition pass. */
+  def explodeSentences(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val ti = df.schema.fieldIndex(textCol)
+    val schema = df.schema
+      .add("sent_ix", org.apache.spark.sql.types.LongType)
+      .add("sentence", org.apache.spark.sql.types.StringType)
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        sentences(row.getAs[String](ti)).iterator.zipWithIndex.map {
+          case (s, ix) =>
+            org.apache.spark.sql.Row.fromSeq(row.toSeq :+ ix.toLong :+ s)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Word n-grams (n >= 2) as space-joined strings; documents shorter than n
     * yield an empty array. The token array is let-bound so the split runs
     * exactly once per row (see [[SqlLet]]) even though the sliding lookup

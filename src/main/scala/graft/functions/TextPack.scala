@@ -57,6 +57,22 @@ object TextPack extends QueryPack {
         .select(col("doc_id"), col("text_nfc"),
           length(col("text_nfc")).cast("long").as("n_chars"))
     },
+    // Sentence segmentation (r11): the packing/chunking unit step — a
+    // constructed paragraph tortures every rule at once (title
+    // abbreviations, an initial, the 'No.' abbrev, a digit-word
+    // boundary, a decimal point, !/? enders, a trailing abbrev that
+    // must NOT split). Four exact sentences per document, closed-form.
+    "q_sentences" -> { (s, dir) =>
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, "Dr. Smith met J. Doe at No. 5. It cost 3.14 dollars! " +
+            s"Did d$id work? Yes, etc. followed.")
+        }.toDF("doc_id", "text")
+      TextFunctions.explodeSentences(docs)
+        .select(col("doc_id"), col("sent_ix"), col("sentence"))
+    },
     // Corpus stats by (lang, source): counts + char/token sums (ints) + one
     // derived mean (single division).
     "q_text_stats" -> { (s, dir) =>
@@ -192,6 +208,14 @@ object TextPack extends QueryPack {
     "SELECT *, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm FROM documents"
 
   override def oracles: Map[String, String] = Map(
+    "q_sentences" ->
+      """SELECT doc_id, CAST(j AS BIGINT) AS sent_ix,
+        |  CASE j
+        |    WHEN 0 THEN 'Dr. Smith met J. Doe at No. 5.'
+        |    WHEN 1 THEN 'It cost 3.14 dollars!'
+        |    WHEN 2 THEN 'Did d' || CAST(doc_id AS VARCHAR) || ' work?'
+        |    ELSE 'Yes, etc. followed.' END AS sentence
+        |FROM documents, generate_series(0, 3) t(j)""".stripMargin,
     // Tail reassembled from raw code points: combining acute U+0301,
     // combining ring U+030A, combining diaeresis U+0308, ANGSTROM SIGN
     // U+212B — DuckDB's nfc_normalize composes them with ITS OWN

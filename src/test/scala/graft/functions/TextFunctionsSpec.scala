@@ -107,4 +107,22 @@ test("scriptMix: per-script exact counts on a constructed multiscript doc") {
     assert(out(1L) === Seq(33L, 6L, 6L, 2L, 4L, 1L, 1L, 2L, 2L))
     assert(out(2L) === Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
   }
+
+  test("sentences: abbreviations, initials, decimals, enders, ellipses") {
+    assert(TextFunctions.sentences(
+      "Dr. Smith met J. Doe. It cost 3.14 dollars! OK? Yes, etc. done.") ===
+      Seq("Dr. Smith met J. Doe.", "It cost 3.14 dollars!", "OK?",
+        "Yes, etc. done."))
+    // Ellipsis followed by space ends; an !?-run collapses to one split.
+    assert(TextFunctions.sentences("Wait... What?! Really.") ===
+      Seq("Wait...", "What?!", "Really."))
+    // e.g./i.e. (dotted abbrevs) hold; a digit word splits ('5.' is not
+    // an initial).
+    assert(TextFunctions.sentences("Use tools, e.g. a saw. Cut at No. 5. Done.") ===
+      Seq("Use tools, e.g. a saw.", "Cut at No. 5.", "Done."))
+    // No trailing punctuation: the tail still emits; blanks drop.
+    assert(TextFunctions.sentences("One. And two") === Seq("One.", "And two"))
+    assert(TextFunctions.sentences("   ") === Nil)
+    assert(TextFunctions.sentences(null) === Nil)
+  }
 }
