@@ -64,7 +64,12 @@ object Redirects {
         Row(row.getString(0), Url.resolve(row.getString(0), row.getString(1)))
       }
     }(Encoders.row(schema))
-      .filter(col("tgt").isNotNull && col("tgt") =!= col("src"))
+      // Self-edges (Location resolving back to the fetch URL) are KEPT:
+      // dropping them would erase the walk from resolve() output
+      // entirely, so a self-redirect loop would read as a terminal 200
+      // downstream. Kept, the walk spins to maxHops and is reported
+      // with resolved = false — the honest answer for a loop.
+      .filter(col("tgt").isNotNull)
       .groupBy("src").agg(min("tgt").as("tgt"))
   }
 

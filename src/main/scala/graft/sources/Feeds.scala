@@ -28,29 +28,7 @@ object Feeds {
     * (the first tag that is not a prolog/comment/doctype), not a
     * whole-document substring — an RSS item whose content mentions
     * "<feed" must not flip the whole file to Atom parsing. */
-  def isAtom(xml: String): Boolean = {
-    if (xml == null) return false
-    var i = 0
-    val n = xml.length
-    while (i < n) {
-      if (xml.charAt(i) == '<') {
-        if (i + 1 < n && (xml.charAt(i + 1) == '?' ||
-          xml.charAt(i + 1) == '!')) { // prolog/doctype/comment
-          val e = xml.indexOf('>', i + 1)
-          if (e < 0) return false
-          i = e + 1
-        } else {
-          return Sitemaps.matchesAt(xml, i + 1, "feed") && {
-            val a = i + 5
-            a >= n || xml.charAt(a) == '>' || xml.charAt(a) == ' ' ||
-              xml.charAt(a) == '\t' || xml.charAt(a) == '\n' ||
-              xml.charAt(a) == '\r' || xml.charAt(a) == '/'
-          }
-        }
-      } else i += 1
-    }
-    false
-  }
+  def isAtom(xml: String): Boolean = Sitemaps.rootIs(xml, "feed")
 
   /** The `href` attribute of the first `<link>` tag inside
     * [from, until) whose `rel` is absent or `alternate` — Atom's link

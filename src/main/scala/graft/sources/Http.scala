@@ -217,7 +217,15 @@ object Http {
   private[sources] def charsetParam(contentType: String): Option[String] = {
     if (contentType == null) return None
     val lower = contentType.toLowerCase
-    val at = lower.indexOf("charset")
+    // The match must start at a parameter boundary (start of string,
+    // ';', whitespace, or a quote) — a longer name containing the
+    // token (data-charset=…, x-charset=…) is a different attribute and
+    // must not supply the body-decode label.
+    var at = lower.indexOf("charset")
+    while (at > 0 && {
+      val p = lower.charAt(at - 1)
+      !(p == ';' || p == ' ' || p == '\t' || p == '"' || p == '\'')
+    }) at = lower.indexOf("charset", at + 1)
     if (at < 0) return None
     var i = at + 7
     while (i < contentType.length && contentType.charAt(i) == ' ') i += 1

@@ -38,6 +38,17 @@ object Sitemaps {
           (s.charAt(after) == '>' || s.charAt(after) == ' ')) {
           val open = s.indexOf('>', after)
           if (open < 0 || open >= until) return null
+          // CDATA child (RSS commonly wraps <link>/<title> in
+          // <![CDATA[…]]>): take the literal section content — which
+          // may itself contain "</" — re-protecting '&' so the
+          // callers' entity unescape round-trips it unchanged.
+          var k = open + 1
+          while (k < until && Character.isWhitespace(s.charAt(k))) k += 1
+          if (k + 9 <= until && s.regionMatches(k, "<![CDATA[", 0, 9)) {
+            val cend = s.indexOf("]]>", k + 9)
+            if (cend >= 0 && cend <= until)
+              return s.substring(k + 9, cend).replace("&", "&amp;").trim
+          }
           val close = s.indexOf("</", open + 1)
           if (close < 0 || close > until) return null
           return s.substring(open + 1, close).trim
@@ -86,10 +97,39 @@ object Sitemaps {
     out.toString
   }
 
+  /** Does the document's ROOT element (first tag that is not a
+    * prolog/comment/doctype) match `name` as a whole tag name? The
+    * shared root-detection for [[isIndex]] and [[Feeds.isAtom]] — a
+    * document-wide substring scan would let body text that merely
+    * mentions the token flip the parse mode. */
+  private[sources] def rootIs(xml: String, name: String): Boolean = {
+    if (xml == null) return false
+    var i = 0
+    val n = xml.length
+    while (i < n) {
+      if (xml.charAt(i) == '<') {
+        if (i + 1 < n && (xml.charAt(i + 1) == '?' ||
+          xml.charAt(i + 1) == '!')) { // prolog/doctype/comment
+          val e = xml.indexOf('>', i + 1)
+          if (e < 0) return false
+          i = e + 1
+        } else {
+          return matchesAt(xml, i + 1, name) && {
+            val a = i + 1 + name.length
+            a >= n || xml.charAt(a) == '>' || xml.charAt(a) == ' ' ||
+              xml.charAt(a) == '\t' || xml.charAt(a) == '\n' ||
+              xml.charAt(a) == '\r' || xml.charAt(a) == '/'
+          }
+        }
+      } else i += 1
+    }
+    false
+  }
+
   /** Is this a `<sitemapindex>` (child-sitemap list) rather than a
-    * `<urlset>` (page list)? Lenient: looks for the root tag token. */
-  def isIndex(xml: String): Boolean =
-    xml != null && xml.toLowerCase.contains("<sitemapindex")
+    * `<urlset>` (page list)? Decided by the ROOT element — a urlset
+    * whose text mentions "<sitemapindex" must not switch block tags. */
+  def isIndex(xml: String): Boolean = rootIs(xml, "sitemapindex")
 
   /** All entries of a sitemap document: `<url>` blocks of a urlset or
     * `<sitemap>` blocks of an index, each yielding its `<loc>` (

@@ -69,11 +69,15 @@ class RedirectsSpec extends SparkSpec {
     assert(out.size === 12)
   }
 
-  test("self-redirects are dropped from the edge set") {
+  test("self-redirects surface as unresolved loops, not silent drops") {
     val sparkSession = spark
     import sparkSession.implicits._
     val fetches = Seq(("https://s.org/x", 301L, "https://s.org/x"))
       .toDF("url", "status", "location")
-    assert(Redirects.resolveFetches(fetches).isEmpty)
+    // A URL whose Location resolves to itself is a loop: it must appear
+    // in the output with resolved = false (capped), never vanish and
+    // read as a terminal 200 downstream.
+    assert(rows(Redirects.resolveFetches(fetches)) ===
+      Set(("https://s.org/x", "https://s.org/x", 10, false)))
   }
 }

@@ -59,6 +59,26 @@ class FeedsSpec extends SparkSpec {
     assert(Feeds.parse(tricky).map(_.link) === Seq("https://x/k"))
   }
 
+  test("CDATA-wrapped titles and links unwrap to literal content") {
+    // RSS very commonly wraps <link>/<title> in <![CDATA[...]]> — the
+    // section content is LITERAL: no entity decode inside, and a '</'
+    // inside the section must not truncate the child.
+    val rss = "<rss><channel>" +
+      "<item><title><![CDATA[Tom & Jerry </b> &amp; co]]></title>" +
+      "<link><![CDATA[https://x/1?a=1&b=2]]></link></item>" +
+      "<item><title> <![CDATA[ws before CDATA]]> </title>" +
+      "<link>https://x/2</link></item>" +
+      "<item><title>unterminated</title>" +
+      "<link><![CDATA[https://x/broken</link></item>" +
+      "</channel></rss>"
+    val out = Feeds.parse(rss)
+    assert(out.head === Feeds.Entry("Tom & Jerry </b> &amp; co",
+      "https://x/1?a=1&b=2", None))
+    assert(out(1).title === "ws before CDATA")
+    // Unterminated CDATA degrades to the plain scan (never throws).
+    assert(out.length >= 2)
+  }
+
   test("rfc822ToIso: RFC 822/1123 forms, zones, two-digit years, garbage") {
     assert(Feeds.rfc822ToIso("Mon, 01 Jan 2024 13:05:07 GMT") ===
       "2024-01-01T13:05:07Z")

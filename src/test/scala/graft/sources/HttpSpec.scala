@@ -104,6 +104,14 @@ class HttpSpec extends SparkSpec {
     assert(Http.charsetParam("text/html; charset=\"ISO-8859-1\"") ===
       Some("ISO-8859-1"))
     assert(Http.charsetParam("text/html") === None)
+    // 'charset' must start at a parameter boundary: a longer name
+    // containing the token is a DIFFERENT attribute and must not
+    // supply the decode label — but a real charset later still wins.
+    assert(Http.charsetParam("text/html; data-charset=koi8-r") === None)
+    assert(Http.charsetParam("text/html; x-charset=koi8-r") === None)
+    assert(Http.charsetParam(
+      "text/html; data-charset=koi8-r; charset=utf-8") === Some("utf-8"))
+    assert(Http.charsetParam("charset=utf-8") === Some("utf-8"))
     assert(Http.resolveCharset("iso-8859-1").get.name === "windows-1252")
     assert(Http.resolveCharset("ASCII").get.name === "windows-1252")
     assert(Http.resolveCharset("no-such-charset") === None)

@@ -31,6 +31,19 @@ class SitemapsSpec extends SparkSpec {
     assert(Sitemaps.isIndex(idx))
     assert(Sitemaps.parse(idx).map(_.loc) ===
       Seq("https://a.org/s1.xml", "https://a.org/s2.xml"))
+    // isIndex is decided by the ROOT element: a urlset whose page text
+    // merely mentions '<sitemapindex' must keep the <url> block tag.
+    val mentions = "<?xml version=\"1.0\"?><!-- <sitemapindex> --><urlset>" +
+      "<url><loc>https://a.org/docs-about-&lt;sitemapindex&gt;</loc></url>" +
+      "<url><loc>https://a.org/p&amp;q</loc><note><sitemapindex/></note>" +
+      "</url></urlset>"
+    assert(!Sitemaps.isIndex(mentions))
+    assert(Sitemaps.parse(mentions).map(_.loc) ===
+      Seq("https://a.org/docs-about-<sitemapindex>", "https://a.org/p&q"))
+    // CDATA-wrapped <loc>: literal content, no entity decode inside.
+    assert(Sitemaps.parse(
+      "<urlset><url><loc><![CDATA[https://a.org/x?a=1&b=2]]></loc></url>" +
+        "</urlset>").map(_.loc) === Seq("https://a.org/x?a=1&b=2"))
     // Uppercase/mixed-case tags: open tags matched case-insensitively,
     // so the CLOSE-tag scan must be too — else N entries collapse to 1.
     assert(Sitemaps.parse(
