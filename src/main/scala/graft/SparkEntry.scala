@@ -30,6 +30,7 @@ object SparkEntry {
     operators.UrlPack,
     multimodal.MediaPack,
     multimodal.AudioFpPack,
+    multimodal.CrawlMediaPack,
     serve.ServePack
   )
 

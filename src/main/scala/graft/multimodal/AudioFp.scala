@@ -1,5 +1,8 @@
 package graft.multimodal
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
 /** Audio fingerprinting over REAL decoded PCM — the dedup analog of the
   * image aHash for the audio modality (r10 verdict #7): r10 made
   * FLAC/PCM/G.711 decode real, this turns those samples into a compact,
@@ -125,4 +128,106 @@ object AudioFp {
     while (i < a.length) { s += java.lang.Integer.bitCount(a(i) ^ b(i)); i += 1 }
     s
   }
+
+  /** Decode an audio payload's container to PCM: FLAC by magic
+    * ([[Media.decodeFlac]]'s CRC-validated frame layer), anything else
+    * through [[Media.decodePcm]]'s RIFF/WAV family (8/16-bit PCM,
+    * G.711 µ/A-law, IMA ADPCM). None for undecodable bytes. */
+  def decodeBytes(bytes: Array[Byte]): Option[Media.PcmAudio] =
+    if (bytes != null && bytes.length >= 4 && bytes(0) == 'f' &&
+      bytes(1) == 'L' && bytes(2) == 'a' && bytes(3) == 'C')
+      Media.decodeFlac(bytes)
+    else Media.decodePcm(bytes)
+
+  /** Container bytes → fingerprint in one call (decode → mono →
+    * [[fingerprint]]), for single-pass dispatchers
+    * ([[graft.streaming.CrawlMedia.mediaFrom]]). None when the payload
+    * doesn't decode; Some(empty) for streams shorter than two frames. */
+  def fingerprintBytes(bytes: Array[Byte], window: Int = 256,
+                       hop: Int = 128): Option[Array[Int]] =
+    decodeBytes(bytes).map(p => fingerprint(mono(p), window, hop))
+
+  /** Banded LSH band codes of a fingerprint table `(idCol, fp)`:
+    * `(idCol, band_ix, band_val)` where each band packs `bandFrames`
+    * consecutive 7-bit frame codes into one ≤ 63-bit Long and the band
+    * count derives from the fingerprint length (leftover tail frames
+    * carry no band — harmless for recall: a pair differing ONLY in the
+    * tail still collides on every banded code). Narrow band keys are
+    * the measured quadratic trap (7-bit keys → 128 buckets → ~105 s at
+    * sf0.1; 35-bit keys → 5.4 s — SCALE.md r11), hence the packing. */
+  def bandCodes(fps: DataFrame, bandFrames: Int = 5,
+                idCol: String = "media_id"): DataFrame = {
+    require(bandFrames >= 1 && bandFrames <= 9,
+      "bandFrames must be in [1, 9] (7 bits per frame, one Long per band)")
+    // Streams too short for one whole band emit no codes (and so no
+    // candidates) — without the guard, sequence(0, -1) DESCENDS in
+    // Spark and empty fingerprints would join each other on junk keys.
+    fps.filter(size(col("fp")) >= bandFrames)
+      .select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(0, cast(size(fp) / $bandFrames as int) - 1), " +
+            s"b -> aggregate(slice(fp, b * $bandFrames + 1, $bandFrames), " +
+            "0L, (acc, v) -> acc * 128 + v))"))
+          .as(Seq("band_ix", "band_val")))
+  }
+
+  /** Every fingerprint pair within `maxHamming` bits: banded-LSH
+    * candidates (ONE shuffle on the packed band key) + full-signature
+    * hamming verify. Recall is exact by pigeonhole whenever the band
+    * count exceeds `maxHamming` (a ≤ T-bit pair differs in ≤ T bands).
+    * `fps` must be `(idCol, fp array<int>)` with equal-length
+    * fingerprints; localCheckpoint it when it is expensive to derive —
+    * this plan fans it into four join branches. Output:
+    * (media_a, media_b, ham) with media_a < media_b. */
+  def pairs(fps: DataFrame, maxHamming: Int = 4, bandFrames: Int = 5,
+            idCol: String = "media_id"): DataFrame = {
+    val bands = bandCodes(fps, bandFrames, idCol)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_ix") === col("b.band_ix") &&
+          col("a.band_val") === col("b.band_val") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("media_a"), col(s"b.$idCol").as("media_b"))
+      .distinct()
+    verifyPairs(cand, fps, maxHamming, idCol)
+  }
+
+  /** INCREMENTAL [[pairs]]: every ≤ `maxHamming` pair with at least one
+    * side in `batch` — the durable-media-store steady state. The base
+    * corpus is never self-joined: the left side of the candidate join
+    * is the batch's band codes only, so per-call cost is O(batch ×
+    * bucket) while the store side stays a partition-pruned scan. Ids
+    * must be unique across base ∪ batch. Output matches the full
+    * recompute's new rows (spec-pinned). */
+  def pairsIncremental(base: DataFrame, batch: DataFrame,
+                       maxHamming: Int = 4, bandFrames: Int = 5,
+                       idCol: String = "media_id"): DataFrame = {
+    val all = base.select(col(idCol), col("fp"))
+      .union(batch.select(col(idCol), col("fp")))
+    val bands = bandCodes(base, bandFrames, idCol)
+      .withColumn("is_new", lit(false))
+      .union(bandCodes(batch, bandFrames, idCol)
+        .withColumn("is_new", lit(true)))
+    val cand = bands.filter(col("is_new")).as("a")
+      .join(bands.as("b"),
+        col("a.band_ix") === col("b.band_ix") &&
+          col("a.band_val") === col("b.band_val") &&
+          (!col("b.is_new") || col(s"a.$idCol") < col(s"b.$idCol")) &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("media_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("media_b"))
+      .distinct()
+    verifyPairs(cand, all, maxHamming, idCol)
+  }
+
+  /** Shared hamming verify: join candidates back to both signatures,
+    * sum per-frame XOR bit counts, keep ≤ `maxHamming`. */
+  private def verifyPairs(cand: DataFrame, fps: DataFrame, maxHamming: Int,
+                          idCol: String): DataFrame =
+    cand.join(fps.as("fa"), col("media_a") === col(s"fa.$idCol"))
+      .join(fps.as("fb"), col("media_b") === col(s"fb.$idCol"))
+      .select(col("media_a"), col("media_b"),
+        expr("aggregate(zip_with(fa.fp, fb.fp, " +
+          "(x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
+          .cast("long").as("ham"))
+      .filter(col("ham") <= maxHamming)
 }

@@ -114,31 +114,11 @@ object AudioFpPack extends QueryPack {
               (id * 4 + k, AudioFp.fingerprint(AudioFp.mono(pcm)))
             }
           }.toDF("media_id", "fp").localCheckpoint(true)
-        // Banded LSH candidates: one shuffle on (band_ix, band_val),
-        // each band packing 5 frame codes into one 35-bit Long — a pair
-        // within 4 bits differs in ≤4 of the 6 bands, so ≥2 bands still
-        // collide (pigeonhole recall guarantee).
-        val bands = fps.select(col("media_id"),
-          posexplode(expr(
-            s"transform(sequence(0, ${Bands - 1}), " +
-              s"b -> aggregate(slice(fp, b * $BandFrames + 1, $BandFrames), " +
-              "0L, (acc, v) -> acc * 128 + v))"))
-            .as(Seq("band_ix", "band_val")))
-        val cand = bands.as("a").join(bands.as("b"),
-            col("a.band_ix") === col("b.band_ix") &&
-              col("a.band_val") === col("b.band_val") &&
-              col("a.media_id") < col("b.media_id"))
-          .select(col("a.media_id").as("media_a"),
-            col("b.media_id").as("media_b"))
-          .distinct()
-        // Hamming verify over the full signatures, threshold 4 bits.
-        cand.join(fps.as("fa"), col("media_a") === col("fa.media_id"))
-          .join(fps.as("fb"), col("media_b") === col("fb.media_id"))
-          .select(col("media_a"), col("media_b"),
-            expr("aggregate(zip_with(fa.fp, fb.fp, " +
-              "(x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
-              .cast("long").as("ham"))
-          .filter(col("ham") <= 4)
+        // Banded LSH candidates + hamming verify, threshold 4 bits —
+        // the r12-extracted [[AudioFp.pairs]] (one shuffle on the
+        // packed (band_ix, band_val); 30 codes / 5 per band = 6 bands,
+        // so a ≤4-bit pair still collides on ≥2 bands — pigeonhole).
+        AudioFp.pairs(fps, maxHamming = 4, bandFrames = BandFrames)
       }
     )
 

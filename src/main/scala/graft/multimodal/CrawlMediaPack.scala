@@ -1,0 +1,283 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+import graft.streaming.CrawlMedia
+
+/** Crawl→media-dedup coverage (r11 verdict #1): re-encoded duplicate
+  * images AND audio inside REAL WARC/HTTP framing, in one end-to-end
+  * pass — `.warc.gz` bytes → [[graft.sources.Warc]] member walk →
+  * [[graft.sources.Http]] response parse → [[graft.sources.Mime]]
+  * sniff (the image's Content-Type header LIES as `text/html`; routing
+  * must come from the body bytes) → real pixel/PCM decode →
+  * fingerprint → banded pair search.
+  *
+  * The fixture is built so BOTH fingerprints are SQL-re-derivable:
+  *
+  *  - Images: each doc-pair group `gid` renders a 16×16 gray picture
+  *    whose row r is solid 255 when bit r of `gid` is set — encoded as
+  *    a genuine bottom-up 24bpp BMP for even docs and a genuine
+  *    little-endian uncompressed TIFF for odd docs (two REAL formats,
+  *    two REAL decoders, same pixels). The oracle recomputes the aHash
+  *    from the pixel construction (cell-mean cross-multiply over the
+  *    16 rows), never trusting that it happens to equal `gid`.
+  *  - Audio: group `gid`'s waveform is [[AudioFpPack.baseSamples]] —
+  *    8-bit PCM WAV for even docs, FLAC verbatim for odd (both decode
+  *    losslessly to the same samples) — and the oracle re-derives the
+  *    Haar fingerprint with the same SQL the audio pack pins.
+  *
+  * `q_crawl_media_dedup` runs the batch pipe; `q_crawl_media_dedup_inc`
+  * appends batch 1 (even docs) to a DURABLE [[graft.store.ParquetStore]]
+  * media store and scores batch 2 (odd docs) incrementally against it —
+  * the output must be exactly the full recompute minus the base-only
+  * pairs, which the oracle states closed-form (≥ one odd doc per pair).
+  */
+object CrawlMediaPack extends QueryPack {
+
+  /** The group picture: row r (16 px) solid 255 iff bit r of gid set. */
+  private[graft] def pixels16(gid: Long): Array[Byte] =
+    Array.tabulate(256)(i =>
+      if (((gid >> (i / 16)) & 1L) == 1L) 255.toByte else 0.toByte)
+
+  /** Genuine 16×16 24bpp BMP of the pixels (bottom-up rows — the
+    * format's positive-height convention; stride 48 is 4-aligned). */
+  private[graft] def bmp16(pix: Array[Byte]): Array[Byte] = {
+    val size = 54 + 48 * 16
+    val buf = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    buf.putInt(40).putInt(16).putInt(16).putShort(1).putShort(24)
+      .putInt(0).putInt(48 * 16).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var y = 15
+    while (y >= 0) {
+      var x = 0
+      while (x < 16) {
+        val v = pix(y * 16 + x)
+        buf.put(v).put(v).put(v)
+        x += 1
+      }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Genuine little-endian uncompressed 8-bit grayscale TIFF (one
+    * strip, BlackIsZero) of the pixels — the baseline-TIFF byte layout,
+    * IFD entries in ascending tag order as the spec requires. */
+  private[graft] def tiff16(pix: Array[Byte]): Array[Byte] = {
+    val entries = 9
+    val dataOff = 8 + 2 + entries * 12 + 4
+    val buf = java.nio.ByteBuffer.allocate(dataOff + pix.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    buf.putShort(entries.toShort)
+    def short(tag: Int, v: Int): Unit = {
+      buf.putShort(tag.toShort).putShort(3).putInt(1)
+        .putShort(v.toShort).putShort(0)
+    }
+    def long(tag: Int, v: Int): Unit =
+      { buf.putShort(tag.toShort).putShort(4).putInt(1).putInt(v); () }
+    short(256, 16); short(257, 16); short(258, 8); short(259, 1)
+    short(262, 1); long(273, dataOff); short(277, 1); short(278, 16)
+    long(279, pix.length)
+    buf.putInt(0).put(pix)
+    buf.array()
+  }
+
+  /** An HTTP/1.1 200 wire response around `body`. */
+  private def http200(contentType: String, body: Array[Byte]): Array[Byte] =
+    (s"HTTP/1.1 200 OK\r\nContent-Type: $contentType\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++ body
+
+  /** One WARC response record (ISO 28500 framing). */
+  private def warcResponse(uri: String, id: Long, seq: Int,
+                           payload: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+      .append("WARC-Type: response\r\n")
+      .append(s"WARC-Target-URI: $uri\r\n")
+      .append(f"WARC-Record-ID: <urn:uuid:00000000-0000-0000-000$seq%d-$id%012d>\r\n")
+      .append("WARC-Date: 2024-01-01T00:00:00Z\r\n")
+      .append(s"Content-Length: ${payload.length}\r\n\r\n")
+    sb.toString.getBytes("ISO-8859-1") ++ payload ++
+      "\r\n\r\n".getBytes("ISO-8859-1")
+  }
+
+  /** Doc `id`'s WARC file: its group's picture (BMP for even ids, TIFF
+    * for odd — the image record's Content-Type header LIES as
+    * text/html) and its group's audio (8-bit PCM WAV for even, FLAC for
+    * odd). */
+  private[graft] def mediaWarc(id: Long): Array[Byte] = {
+    val gid = id / 2
+    val img =
+      if (id % 2 == 0) bmp16(pixels16(gid)) else tiff16(pixels16(gid))
+    val aud =
+      if (id % 2 == 0) AudioFpPack.encodeKind(gid, 0)
+      else AudioFpPack.encodeKind(gid, 2)
+    warcResponse(s"https://media.org/img/$id", id, 0,
+      http200("text/html", img)) ++
+      warcResponse(s"https://media.org/aud/$id", id, 1,
+        http200("application/octet-stream", aud))
+  }
+
+  /** (path, content) `.warc.gz` file rows for the given docs. */
+  private def warcFiles(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => (s"mem://crawl/$id.warc.gz",
+        graft.sources.WarcPack.gzipBytes(mediaWarc(id))))
+      .toDF("path", "content")
+  }
+
+  /** Numeric media identity for the oracle: the doc id parsed back from
+    * the record's target URI (kind disambiguates img/aud). */
+  private def withMediaId(media: DataFrame): DataFrame =
+    media.withColumn("media_id",
+      regexp_extract(col("url"), "(\\d+)$", 1).cast("long"))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "q_crawl_media_dedup" -> { (s, dir) =>
+        val media = withMediaId(
+          CrawlMedia.mediaFrom(warcFiles(s, table(s, dir, "documents"))))
+        CrawlMedia.pairsAll(media, idCol = "media_id")
+      },
+      // The DURABLE incremental pipe: batch 1 (even docs) ingested into
+      // a media store on disk, batch 2 (odd docs) scored against the
+      // STORED fingerprints — store side never self-joined. The result
+      // checkpoints eagerly so the temp store dir can be removed before
+      // the caller materializes (the q_dedup_prefix_indexed pattern).
+      "q_crawl_media_dedup_inc" -> { (s, dir) =>
+        val docs = table(s, dir, "documents")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_media_store")
+        try {
+          val store = CrawlMedia.mediaStore(s, tmp.toString,
+            s"crawl_media_${System.nanoTime()}")
+          store.append(CrawlMedia.mediaFrom(
+            warcFiles(s, docs.filter(col("doc_id") % 2 === 0))))
+          val batch = CrawlMedia.mediaFrom(
+            warcFiles(s, docs.filter(col("doc_id") % 2 === 1)))
+          CrawlMedia.pairsIncremental(withMediaId(store.selectAll),
+              withMediaId(batch), idCol = "media_id")
+            .localCheckpoint(eager = true)
+        } finally {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(tmp)
+          try walk.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+      }
+    )
+
+  /** aHash re-derivation from the pixel construction: cell c (= row c)
+    * has mean 255·bit_c(gid); bit c of the hash is set when the cell
+    * mean exceeds the overall mean, as the integer cross-multiply
+    * cellSum·len > totalSum·cellLen the engine computes. */
+  private val PhashCte =
+    """gids AS (SELECT DISTINCT doc_id // 2 AS gid FROM documents),
+      |cells AS (
+      |  SELECT g.gid, t.c, 255 * 16 * ((g.gid >> t.c) & 1) AS cellsum
+      |  FROM gids g, generate_series(0, 15) t(c)
+      |),
+      |celltot AS (
+      |  SELECT gid, c, cellsum,
+      |    sum(cellsum) OVER (PARTITION BY gid) AS total
+      |  FROM cells
+      |),
+      |ph AS (
+      |  SELECT gid,
+      |    CAST(sum(CASE WHEN cellsum * 256 > total * 16
+      |      THEN 1 << c ELSE 0 END) AS BIGINT) AS phash
+      |  FROM celltot GROUP BY gid
+      |)""".stripMargin
+
+  /** Haar-fingerprint re-derivation keyed by GROUP (the audio-pack SQL
+    * with gid = doc_id // 2 as the waveform key — both encodings are
+    * lossless, so fp is a pure function of the group). */
+  private val AudioFpCte = {
+    val n = 4096
+    val frames = (n - 256) / 128 + 1
+    s"""ii AS (SELECT i FROM generate_series(0, ${n - 1}) t(i)),
+       |samples AS (
+       |  SELECT g.gid, ii.i,
+       |    CAST(8 * (((g.gid * ii.i
+       |      + (1 + ((g.gid // 31) % 29)) * ii.i * ii.i + g.gid)
+       |      % 31) - 15) AS BIGINT) AS x
+       |  FROM gids g, ii
+       |),
+       |fr AS (SELECT f FROM generate_series(0, ${frames - 1}) t(f)),
+       |lv AS (SELECT l FROM generate_series(1, 8) t(l)),
+       |blocks AS (
+       |  SELECT s.gid, fr.f, lv.l,
+       |    (s.i - fr.f * 128) // (1 << (lv.l - 1)) AS b, sum(s.x) AS sb
+       |  FROM samples s, fr, lv
+       |  WHERE s.i >= fr.f * 128 AND s.i < fr.f * 128 + 256
+       |  GROUP BY ALL
+       |),
+       |pairsum AS (
+       |  SELECT gid, f, l, b // 2 AS p,
+       |    max(CASE WHEN b % 2 = 0 THEN sb END) AS se,
+       |    max(CASE WHEN b % 2 = 1 THEN sb END) AS so
+       |  FROM blocks GROUP BY ALL
+       |),
+       |energies AS (
+       |  SELECT gid, f, l, sum((se - so) * (se - so)) AS e
+       |  FROM pairsum GROUP BY ALL
+       |),
+       |bands AS (
+       |  SELECT a.gid, a.f, a.l AS kk, a.e - b.e AS d
+       |  FROM energies a JOIN energies b USING (gid, f)
+       |  WHERE b.l = a.l + 1 AND a.l <= 7
+       |),
+       |bits AS (
+       |  SELECT gid, f, kk,
+       |    CASE WHEN d - lag(d) OVER (PARTITION BY gid, kk
+       |      ORDER BY f) > 0 THEN 1 ELSE 0 END AS bit
+       |  FROM bands
+       |),
+       |afp AS (
+       |  SELECT gid, f,
+       |    CAST(sum(bit * (1 << (kk - 1))) AS BIGINT) AS fp
+       |  FROM bits WHERE f >= 1 GROUP BY ALL
+       |)""".stripMargin
+  }
+
+  /** Brute-force pair derivation over both modalities; `filter` narrows
+    * to the incremental variant's "≥ one new (odd) doc" pair set. */
+  private def pairsSql(filter: String): String =
+    s"""WITH $PhashCte,
+       |$AudioFpCte,
+       |img_pairs AS (
+       |  SELECT 'image' AS kind, a.doc_id AS media_a, b.doc_id AS media_b,
+       |    CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS ham
+       |  FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+       |  JOIN ph pa ON pa.gid = a.doc_id // 2
+       |  JOIN ph pb ON pb.gid = b.doc_id // 2
+       |  WHERE bit_count(xor(pa.phash, pb.phash)) <= 2 $filter
+       |),
+       |aud_ham AS (
+       |  SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+       |    sum(bit_count(xor(fa.fp, fb.fp))) AS h
+       |  FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+       |  JOIN afp fa ON fa.gid = a.doc_id // 2
+       |  JOIN afp fb ON fb.gid = b.doc_id // 2 AND fb.f = fa.f
+       |  WHERE true $filter
+       |  GROUP BY 1, 2
+       |),
+       |aud_pairs AS (
+       |  SELECT 'audio' AS kind, media_a, media_b, CAST(h AS BIGINT) AS ham
+       |  FROM aud_ham WHERE h <= 4
+       |)
+       |SELECT kind, media_a, media_b, ham FROM img_pairs
+       |UNION ALL
+       |SELECT kind, media_a, media_b, ham FROM aud_pairs""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "q_crawl_media_dedup" -> pairsSql(""),
+    "q_crawl_media_dedup_inc" ->
+      pairsSql("AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)")
+  )
+}

@@ -1836,14 +1836,24 @@ object Media {
     val bi = df.schema.fieldIndex(bytesCol)
     df.mapPartitions { it =>
       it.map { row =>
-        val raw = row.getAs[Array[Byte]](bi)
-        val b = decodeImage(raw)
-          .map(img => boxDownscale(img, 16, 16).pixels).getOrElse(raw)
-        val h = linearAhash(b, nCells)
-        Row.fromSeq(row.toSeq :+ h)
+        Row.fromSeq(row.toSeq :+ phashOf(row.getAs[Array[Byte]](bi), nCells))
       }
     }(Encoders.row(schema))
   }
+
+  /** The per-payload hash behind [[perceptualHash]], exposed so
+    * single-pass dispatchers (the crawl media route —
+    * [[graft.streaming.CrawlMedia.mediaFrom]]) can hash inside their own
+    * mapPartitions instead of forcing a second DataFrame pass. */
+  def phashOf(raw: Array[Byte], nCells: Int = 16): Long =
+    decodeImage(raw).map(phashOfImage(_, nCells))
+      .getOrElse(linearAhash(raw, nCells))
+
+  /** [[phashOf]] for an ALREADY-DECODED image — callers that needed the
+    * decode result for routing ([[graft.streaming.CrawlMedia]]) hash
+    * without paying the decode twice. */
+  def phashOfImage(img: GrayImage, nCells: Int = 16): Long =
+    linearAhash(boxDownscale(img, 16, 16).pixels, nCells)
 
   /** Near-duplicate media pairs by perceptual-hash hamming distance —
     * EXACT (every pair at distance ≤ `maxHamming`, no recall loss) via
@@ -1898,6 +1908,61 @@ object Media {
     val r = e.select(col(idCol).as("b"), col("phash").as("pb"), col("g"))
     l.join(r, l("g") === r("g") && col("a") < col("b"))
       .select(col("a"), col("b"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** INCREMENTAL [[phashPairs]]: every ≤ `maxHamming` pair with at
+    * least one side in `batch` — the steady-state shape of a durable
+    * media store ingesting a crawl (the [[graft.store.PrefixIndexStore]]
+    * discipline applied to perceptual hashes). The base corpus is NEVER
+    * self-joined: candidates come from batch segments equi-joined
+    * against (base ∪ batch) segments, so per-call cost is O(batch ×
+    * bucket), not O(corpus²) — at 100 TB the base side is the store's
+    * partition-pruned scan and the shuffle moves only the batch's band
+    * keys plus their matching store buckets. Ids must be unique across
+    * base ∪ batch (store identity — URL or digest — is the caller's
+    * key). Output: (a, b, hamming) with a < b, exactly the full
+    * recompute's new rows ([[phashPairs]] on base ∪ batch minus
+    * base-only pairs — spec-pinned). */
+  def phashPairsIncremental(base: DataFrame, batch: DataFrame, nBits: Int,
+                            maxHamming: Int = 2, idCol: String = "media_id",
+                            maxBucket: Long = graft.operators.Dedup.MaxBucket)
+      : DataFrame = {
+    val nSeg = maxHamming + 1
+    require(nBits >= nSeg, s"need at least $nSeg bits for $maxHamming-bit budget")
+    require(nBits <= 63, "nBits must be <= 63 (single-long hashes)")
+    require(maxBucket >= 2, "maxBucket below 2 would drop every pair")
+    val segW = (nBits + nSeg - 1) / nSeg
+    val segs = (0 until nSeg).map { s =>
+      val lo = s * segW
+      val w = math.min(segW, nBits - lo)
+      struct(lit(s).as("seg"),
+        expr(s"shiftright(phash, $lo) & ${(1L << w) - 1}").as("sv"))
+    }
+    val all = base.select(col(idCol), col("phash"), lit(false).as("is_new"))
+      .union(batch.select(col(idCol), col("phash"), lit(true).as("is_new")))
+    // The hot-bucket cap is computed over the UNION (same g the join
+    // shuffles on) so incremental and full runs degrade identically on
+    // oversized families.
+    val e = all
+      .select(col(idCol), col("phash"), col("is_new"),
+        explode(array(segs: _*)).as("g"))
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .filter(col("bn") <= maxBucket)
+      .drop("bn")
+    val l = e.filter(col("is_new"))
+      .select(col(idCol).as("la"), col("phash").as("pa"), col("g"))
+    val r = e.select(col(idCol).as("rb"), col("phash").as("pb"), col("g"),
+      col("is_new").as("r_new"))
+    // batch×batch pairs once via la < rb; batch×base once because the
+    // base side never appears on the left.
+    l.join(r, l("g") === r("g") &&
+        (!col("r_new") || col("la") < col("rb")) && col("la") =!= col("rb"))
+      .select(least(col("la"), col("rb")).as("a"),
+        greatest(col("la"), col("rb")).as("b"),
         bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
