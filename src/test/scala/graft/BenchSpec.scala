@@ -53,10 +53,62 @@ class BenchSpec extends AnyFunSuite {
       s""""stream_dedup_rows":9999999,"stream_dedup_sec":9999.9,""" +
       s""""stream_dedup_rows_per_s":9999999.9,""" +
       s""""stream_join_rows":9999999,"stream_join_sec":9999.9,""" +
-      s""""stream_join_rows_per_s":9999999.9,"sf":"/root/testdata/sf0.1"}"""
+      s""""stream_join_rows_per_s":9999999.9,""" +
+      s""""host_speed_factor":99.99,"sf":"/root/testdata/sf0.1"}"""
     assert(line.length <= 1450,
       s"worst-case results line is ${line.length} chars (> 1450 spec budget; " +
         "runtime hard gate is 1500) — rotate queries into Bench.secondary")
+  }
+
+  test("host-speed canary: synthetic load moves the factor while normalized times hold") {
+    // The r11 failure mode: the box runs uniformly ~15-40% slow, every
+    // query's wall time inflates, and nothing in the bench can prove it
+    // was the host. The canary is the proof: under load its factor must
+    // rise, and a CPU-bound "query" time DIVIDED by the factor must stay
+    // put even though the raw time moved.
+    def measure(): (Double, Double) = {
+      val cal = Bench.calibrationPhase(3)
+      // The stand-in query: the same deterministic work at 4× size —
+      // CPU-bound like the canary, so its true cost is host-invariant.
+      val q = (1 to 3).map(_ => Bench.calibrationRun(rounds = 384)).min
+      (cal, q)
+    }
+    // Untimed JIT warm-up: the first compilations of the loop must not
+    // land inside the idle baseline (they read as phantom load).
+    (1 to 3).foreach(_ => Bench.calibrationRun())
+    val (calIdle, qIdle) = measure()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val spinners = (1 to 2 * Runtime.getRuntime.availableProcessors()).map { _ =>
+      val t = new Thread(() => {
+        var h = 1L
+        while (!stop.get()) {
+          h = h * 6364136223846793005L + 1442695040888963407L
+          Bench.calSink = h
+        }
+      })
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    try {
+      val (calLoad, qLoad) = measure()
+      // 2× oversubscription roughly halves per-thread speed; 1.2× is the
+      // conservative detection bar.
+      assert(calLoad > 1.2 * calIdle,
+        f"factor blind to load: idle $calIdle%.3f vs loaded $calLoad%.3f")
+      assert(qLoad > 1.2 * qIdle, "load did not slow the stand-in query")
+      // Normalized time = raw / (cal / ref): the ref cancels in the
+      // ratio, so stability across host states is (qLoad/calLoad) vs
+      // (qIdle/calIdle). Generous band — scheduling noise is real — but
+      // far tighter than the raw movement just asserted.
+      val normRatio = (qLoad / calLoad) / (qIdle / calIdle)
+      assert(normRatio > 0.5 && normRatio < 2.0,
+        f"normalized time moved ${normRatio}%.2f× under load — canary " +
+          "does not track the query's slowdown")
+    } finally {
+      stop.set(true)
+      spinners.foreach(_.join(2000))
+    }
   }
 
   test("outlier heal: a synthetic contention burst self-heals at the end of the sweep") {
