@@ -205,7 +205,11 @@ object Bench {
     // family (nothing else decodes two modalities in one pass). The
     // durable-store incremental variant rides the secondary tier (same
     // decode+band family plus ParquetStore round-trip).
-    "q_crawl_media_dedup", "q_crawl_media_dedup_inc"
+    "q_crawl_media_dedup", "q_crawl_media_dedup_inc",
+    // Embedded-font /ToUnicode CMap decode (secondary; reported sibling
+    // q_pdf_text covers the object-scan/Flate/BT-ET machinery — this
+    // adds the per-show-string CMap lookup on top).
+    "q_pdf_cmap"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -291,7 +295,7 @@ object Bench {
     // window passes → q_session_window/q_scd2, q_table_checksum's
     // full-table hash agg → q_exact_quantiles' full-table sort.
     "q_crawl_media_dedup_inc", "q_skew_audit", "q_concurrency",
-    "q_table_checksum")
+    "q_table_checksum", "q_pdf_cmap")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

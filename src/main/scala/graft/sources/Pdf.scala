@@ -29,12 +29,16 @@ import org.apache.spark.sql.types._
   *   - Text comes from BT…ET blocks: `Tj`/`'`/`"` emit their string,
   *     `TJ` emits its array's strings with the standard kern-to-space
   *     rule (a negative adjustment ≤ −180 thousandths of an em is a
-  *     word gap), `Td`/`TD`/`T*`/`'`/`"` start a new line. Strings
-  *     decode as PDFDocEncoding/WinAnsi (≈ cp1252 for the printable
-  *     range) — the encoding of unembedded Latin text, which is the
-  *     overwhelming body of crawl PDFs. Embedded CID/Unicode-CMap
-  *     fonts are out of scope and show up as a LOW `text_coverage`,
-  *     never as silent mojibake.
+  *     word gap), `Td`/`TD`/`T*`/`'`/`"` start a new line. `Tf` tracks
+  *     the live font: strings of a font carrying a parseable
+  *     /ToUnicode CMap (r12 — bfchar + bfrange, 1–4-byte codes,
+  *     codespace ranges; the shape every subset-embedding writer
+  *     emits) decode through it — the non-Latin / embedded-font path;
+  *     all other strings decode as PDFDocEncoding/WinAnsi (≈ cp1252
+  *     for the printable range), the encoding of unembedded Latin
+  *     text. A font whose DECLARED /ToUnicode is missing/undecodable/
+  *     unparseable falls back to WinAnsi and is COUNTED
+  *     (`fontsCmapFailed`), never a throw and never silent mojibake.
   *
   * Scale: one narrow per-partition byte pass per document, no shuffle,
   * same caps-and-coded-failure discipline as the WARC/HTML/media
@@ -42,11 +46,17 @@ import org.apache.spark.sql.types._
 object Pdf {
 
   /** One extracted document: page count (objects with `/Type /Page`),
-    * object count, decoded-stream ratio, and the text of every content
-    * stream in object order. */
+    * object count, decoded-stream ratio, the text of every content
+    * stream in object order, and the font-CMap coverage counters —
+    * `fontsCmap` fonts decoded show strings through a parsed
+    * /ToUnicode CMap, `fontsCmapFailed` fonts DECLARED a /ToUnicode
+    * whose stream was missing/undecodable/unparseable (those fall back
+    * to WinAnsi and are counted, never thrown — the text_coverage
+    * honesty rule applied to fonts). */
   final case class PdfDoc(pages: Int, objects: Int,
                           streams: Int, streamsDecoded: Int,
-                          text: String)
+                          text: String,
+                          fontsCmap: Int = 0, fontsCmapFailed: Int = 0)
 
   // ---------------------------------------------------------------
   // COS object model (only what extraction needs).
@@ -383,19 +393,212 @@ object Pdf {
     sb.toString
   }
 
+  // ---------------------------------------------------------------
+  // /ToUnicode CMaps (§9.10.3): the map from a font's character CODES
+  // to Unicode that subset-embedded fonts carry — without it their
+  // show strings are private glyph indices, not text. Parsing is pure
+  // byte arithmetic over the CMap's PostScript-ish token stream,
+  // reusing the COS value parser (hex strings, numbers, arrays).
+
+  /** A parsed /ToUnicode CMap: codespace ranges (code byte-length, lo,
+    * hi) and the (byte-length, code) → Unicode-string mapping. */
+  private[sources] final case class CMapData(
+      spaces: Vector[(Int, Long, Long)], map: Map[(Int, Long), String]) {
+
+    private val lens: Vector[Int] =
+      (spaces.map(_._1) ++ map.keysIterator.map(_._1)).distinct.sorted.toVector
+
+    @inline private def codeAt(b: Array[Byte], i: Int, len: Int): Long = {
+      var v = 0L
+      var k = 0
+      while (k < len) { v = (v << 8) | (b(i + k) & 0xff); k += 1 }
+      v
+    }
+
+    /** Decode one show string: at each position the code length is the
+      * first declared codespace range (shortest first) containing the
+      * next bytes — the spec's prefix-match rule reduced to whole-code
+      * containment, which is exact for the byte-uniform ranges real
+      * /ToUnicode CMaps declare. Codes outside every range consume the
+      * shortest declared length; unmapped codes emit U+FFFD (visible-
+      * but-marked beats silently dropped — the REPLACE discipline). */
+    def decode(bytes: Array[Byte]): String = {
+      if (lens.isEmpty) return decodeStr(bytes)
+      val sb = new java.lang.StringBuilder(bytes.length)
+      var i = 0
+      while (i < bytes.length) {
+        var len = 0
+        var li = 0
+        while (len == 0 && li < lens.length) {
+          val l = lens(li)
+          if (i + l <= bytes.length) {
+            val c = codeAt(bytes, i, l)
+            if (spaces.exists(s => s._1 == l && c >= s._2 && c <= s._3) ||
+              (spaces.isEmpty && map.contains((l, c)))) len = l
+          }
+          li += 1
+        }
+        if (len == 0) len = math.min(lens.head, bytes.length - i)
+        if (len <= 0) return sb.toString
+        map.get((len, codeAt(bytes, i, len))) match {
+          case Some(s) => sb.append(s)
+          case None => sb.append('�')
+        }
+        i += len
+      }
+      sb.toString
+    }
+  }
+
+  /** A hex-string CMap destination as a Unicode string: even lengths
+    * are UTF-16BE code units (the §9.10.3 form), a single byte is its
+    * code point; empty/odd-tailed forms keep the whole-unit prefix. */
+  private def cmapDst(bytes: Array[Byte]): String =
+    if (bytes.length >= 2)
+      new String(bytes, 0, bytes.length & ~1,
+        java.nio.charset.StandardCharsets.UTF_16BE)
+    else if (bytes.length == 1) String.valueOf((bytes(0) & 0xff).toChar)
+    else ""
+
+  /** Parse a /ToUnicode CMap stream: `begincodespacerange`,
+    * `beginbfchar` (src → dst pairs) and `beginbfrange` (lo hi dst,
+    * dst a hex string whose LAST UTF-16 unit increments along the
+    * range, or the array form with one dst per code). Later entries
+    * OVERWRITE earlier ones (writers emit patch entries last). Bomb
+    * caps: codes ≤ 4 bytes, ranges ≤ 65 536 codes, ≤ 100 000 total
+    * mappings. None when the bytes yield no mapping at all — a
+    * declared-but-useless CMap, counted by the caller. Never throws. */
+  private[sources] def parseCMap(b: Array[Byte]): Option[CMapData] = {
+    if (b == null || b.isEmpty) return None
+    try {
+      val p = new P(b)
+      val spaces = Vector.newBuilder[(Int, Long, Long)]
+      val map = scala.collection.mutable.LinkedHashMap.empty[(Int, Long), String]
+      var entries = 0
+      val MaxEntries = 100000
+      val stack = scala.collection.mutable.ArrayBuffer.empty[Cos]
+      @inline def codeOf(s: Array[Byte]): Long = {
+        var v = 0L
+        var k = 0
+        while (k < s.length) { v = (v << 8) | (s(k) & 0xff); k += 1 }
+        v
+      }
+      while (p.i < p.n && entries < MaxEntries) {
+        p.skipWs()
+        if (p.i < p.n) {
+          val c = p.peek
+          if (c == '(' || c == '<' || c == '[' || c == '/' ||
+            c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+            stack += parseObj(p, 0)
+          } else {
+            val start = p.i
+            while (p.i < p.n && isRegular(p.b(p.i) & 0xff)) p.i += 1
+            if (p.i == start) p.i += 1
+            else new String(p.b, start, p.i - start, "US-ASCII") match {
+              case "endcodespacerange" =>
+                stack.grouped(2).foreach {
+                  case scala.collection.mutable.ArrayBuffer(
+                    CStr(lo), CStr(hi))
+                    if lo.length == hi.length &&
+                      lo.length >= 1 && lo.length <= 4 =>
+                    spaces += ((lo.length, codeOf(lo), codeOf(hi)))
+                  case _ => ()
+                }
+                stack.clear()
+              case "endbfchar" =>
+                stack.grouped(2).foreach {
+                  case scala.collection.mutable.ArrayBuffer(
+                    CStr(src), CStr(dst))
+                    if src.length >= 1 && src.length <= 4 =>
+                    map((src.length, codeOf(src))) = cmapDst(dst)
+                    entries += 1
+                  case _ => ()
+                }
+                stack.clear()
+              case "endbfrange" =>
+                stack.grouped(3).foreach {
+                  case scala.collection.mutable.ArrayBuffer(
+                    CStr(lo), CStr(hi), dst)
+                    if lo.length == hi.length &&
+                      lo.length >= 1 && lo.length <= 4 &&
+                      codeOf(hi) >= codeOf(lo) &&
+                      codeOf(hi) - codeOf(lo) <= 65535 =>
+                    val l0 = codeOf(lo)
+                    val span = (codeOf(hi) - l0).toInt
+                    dst match {
+                      case CStr(base) if base.nonEmpty =>
+                        val s0 = cmapDst(base)
+                        var k = 0
+                        while (k <= span && entries < MaxEntries) {
+                          val s =
+                            if (s0.isEmpty) ""
+                            else s0.substring(0, s0.length - 1) +
+                              (s0.charAt(s0.length - 1) + k).toChar
+                          map((lo.length, l0 + k)) = s
+                          entries += 1
+                          k += 1
+                        }
+                      case CArr(items) =>
+                        var k = 0
+                        while (k <= span && k < items.length &&
+                          entries < MaxEntries) {
+                          items(k) match {
+                            case CStr(d) =>
+                              map((lo.length, l0 + k)) = cmapDst(d)
+                              entries += 1
+                            case _ => ()
+                          }
+                          k += 1
+                        }
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+                stack.clear()
+              case _ =>
+                // Any other operator (begin…, def, findresource, CID
+                // ranges, usecmap, …) delimits: operands before it are
+                // not ours.
+                stack.clear()
+            }
+          }
+        }
+      }
+      val sp = spaces.result()
+      if (map.isEmpty) None else Some(CMapData(sp, map.toMap))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Per-page text state threaded through a page's (possibly many)
+    * content streams — PDF graphics state persists across the
+    * `/Contents` array boundary, so the font selected at the end of
+    * stream k is live at the start of stream k+1. */
+  private[sources] final class TextState {
+    var cmap: Option[CMapData] = None
+    var inText: Boolean = false
+    var pendingNl: Boolean = false
+  }
+
   /** Extract the text of one decoded content stream: BT…ET blocks,
     * Tj/'/"/TJ emitters, Td/TD/T* line breaks, TJ kern ≤ −180 → space.
+    * `Tf` switches the live font: show strings of a font with a parsed
+    * /ToUnicode CMap decode through it, all others through WinAnsi.
     * Operand stack discipline: operands push, operators consume. */
   private[sources] def contentText(content: Array[Byte],
-                                   out: java.lang.StringBuilder): Unit = {
+                                   out: java.lang.StringBuilder,
+                                   fonts: Map[String, CMapData] = Map.empty,
+                                   state: TextState = new TextState): Unit = {
     val p = new P(content)
-    var inText = false
-    var pendingNl = false
+    import state.{inText, pendingNl}
     val stack = scala.collection.mutable.ArrayBuffer.empty[Cos]
     def emit(s: String): Unit = {
       if (pendingNl && out.length > 0) out.append('\n')
       pendingNl = false
       out.append(s)
+    }
+    def dec(s: Array[Byte]): String = state.cmap match {
+      case Some(cm) => cm.decode(s)
+      case None => decodeStr(s)
     }
     while (p.i < p.n) {
       p.skipWs()
@@ -414,19 +617,27 @@ object Pdf {
           op match {
             case "BT" => inText = true; pendingNl = out.length > 0
             case "ET" => inText = false
+            case "Tf" =>
+              // /Name size Tf — the font name is the SECOND operand
+              // from the top. Fonts without a parsed CMap (no
+              // /ToUnicode, or a failed one) reset to WinAnsi.
+              if (stack.length >= 2) stack(stack.length - 2) match {
+                case CName(n) => state.cmap = fonts.get(n)
+                case _ => ()
+              }
             case "Tj" if inText =>
-              stack.lastOption.collect { case CStr(s) => emit(decodeStr(s)) }
+              stack.lastOption.collect { case CStr(s) => emit(dec(s)) }
             case "'" if inText =>
               pendingNl = true
-              stack.lastOption.collect { case CStr(s) => emit(decodeStr(s)) }
+              stack.lastOption.collect { case CStr(s) => emit(dec(s)) }
             case "\"" if inText =>
               pendingNl = true
-              stack.lastOption.collect { case CStr(s) => emit(decodeStr(s)) }
+              stack.lastOption.collect { case CStr(s) => emit(dec(s)) }
             case "TJ" if inText =>
               stack.lastOption.collect { case CArr(items) =>
                 val sb = new java.lang.StringBuilder
                 items.foreach {
-                  case CStr(s) => sb.append(decodeStr(s))
+                  case CStr(s) => sb.append(dec(s))
                   case CNum(v) if v <= -180 => sb.append(' ')
                   case _ => ()
                 }
@@ -542,33 +753,98 @@ object Pdf {
         }
         case _ => Seq.empty
       }
+      def resolve(v: Cos): Cos = v match {
+        case CRef(r) => byNum.get(r).map(_.value).getOrElse(CNull)
+        case x => x
+      }
+      // A stream's decoded body (FlateDecode or unfiltered); None for a
+      // missing endstream delimiter or an unsupported filter. Shared by
+      // content streams and /ToUnicode CMap streams.
+      def streamRaw(co: IndObj): Option[Array[Byte]] =
+        if (co.streamFrom < 0 || co.streamUntil < co.streamFrom) None
+        else (co.value match {
+          case CDict(cm) => cm.get("Filter")
+          case _ => None
+        }) match {
+          case Some(CName("FlateDecode")) |
+               Some(CArr(Vector(CName("FlateDecode")))) =>
+            flate(bytes, co.streamFrom, co.streamUntil, maxInflate)
+          case None => Some(java.util.Arrays.copyOfRange(bytes,
+            co.streamFrom, co.streamUntil))
+          case _ => None // unsupported filter: counted, honest
+        }
+      // Font-object → parsed /ToUnicode CMap, cached per font object so
+      // fonts shared across pages parse once. The Boolean records
+      // whether a /ToUnicode was DECLARED — declared-but-unusable is
+      // the fontsCmapFailed count.
+      val fontCache =
+        scala.collection.mutable.HashMap.empty[Int, (Boolean, Option[CMapData])]
+      def cmapOfDict(fm: Map[String, Cos]): (Boolean, Option[CMapData]) =
+        fm.get("ToUnicode") match {
+          case Some(CRef(t)) =>
+            (true, byNum.get(t).flatMap(streamRaw).flatMap(parseCMap))
+          case Some(_) => (true, None) // non-ref forms: unsupported
+          case None => (false, None)
+        }
+      def fontCMap(num: Int): (Boolean, Option[CMapData]) =
+        fontCache.getOrElseUpdate(num, resolve(CRef(num)) match {
+          case CDict(fm) => cmapOfDict(fm)
+          case _ => (false, None)
+        })
+      var fontsDirectOk = 0
+      var fontsDirectFailed = 0
+      // The page's /Font resources (walking the /Parent chain for
+      // inherited /Resources — the pages-tree convention) as a
+      // name → parsed-CMap map; fonts without one fall back to WinAnsi
+      // inside contentText.
+      def pageFonts(page: Cos): Map[String, CMapData] = {
+        var cur = page
+        var res: Option[Map[String, Cos]] = None
+        var hops = 0
+        while (res.isEmpty && hops < 8) {
+          cur match {
+            case CDict(m) =>
+              res = resolve(m.getOrElse("Resources", CNull)) match {
+                case CDict(r) => Some(r)
+                case _ => None
+              }
+              if (res.isEmpty) {
+                cur = m.get("Parent").map(resolve).getOrElse(CNull)
+                hops += 1
+              }
+            case _ => hops = 8
+          }
+        }
+        res.map(r => resolve(r.getOrElse("Font", CNull))).collect {
+          case CDict(fd) => fd.flatMap {
+            case (name, CRef(r)) => fontCMap(r)._2.map(name -> _)
+            case (name, CDict(fm)) => // inline font dict (rare)
+              val (declared, cm) = cmapOfDict(fm)
+              if (declared && cm.isEmpty) fontsDirectFailed += 1
+              if (cm.isDefined) fontsDirectOk += 1
+              cm.map(name -> _)
+            case _ => None
+          }
+        }.getOrElse(Map.empty)
+      }
       live.foreach { o =>
         o.value match {
           case CDict(m) if m.get("Type").contains(CName("Page")) =>
             pages += 1
+            val fonts = pageFonts(o.value)
+            // ONE text state across this page's content streams — the
+            // /Contents array concatenates into a single stream, so the
+            // font selected in stream k is live in stream k+1.
+            val st = new TextState
             contentRefs(o.value).foreach { r =>
               byNum.get(r).foreach { co =>
                 // A stream with no endstream delimiter (truncated
                 // capture) has no recoverable body: not counted.
                 if (co.streamFrom >= 0 && co.streamUntil >= co.streamFrom) {
                   streams += 1
-                  val filter = co.value match {
-                    case CDict(cm) => cm.get("Filter")
-                    case _ => None
-                  }
-                  val raw = filter match {
-                    case Some(CName("FlateDecode")) =>
-                      flate(bytes, co.streamFrom, co.streamUntil, maxInflate)
-                    case Some(CArr(Vector(CName("FlateDecode")))) =>
-                      flate(bytes, co.streamFrom, co.streamUntil, maxInflate)
-                    case None =>
-                      Some(java.util.Arrays.copyOfRange(bytes,
-                        co.streamFrom, co.streamUntil))
-                    case _ => None // unsupported filter: counted, honest
-                  }
-                  raw.foreach { r =>
+                  streamRaw(co).foreach { raw =>
                     decoded += 1
-                    contentText(r, text)
+                    contentText(raw, text, fonts, st)
                   }
                 }
               }
@@ -576,9 +852,13 @@ object Pdf {
           case _ => ()
         }
       }
+      val fontsCmap = fontCache.valuesIterator.count(_._2.isDefined) +
+        fontsDirectOk
+      val fontsCmapFailed = fontCache.valuesIterator
+        .count(v => v._1 && v._2.isEmpty) + fontsDirectFailed
       val title = infoFrom(bytes, objs).flatMap(_.get("Title")).orNull
-      Some((PdfDoc(pages, objs.size, streams, decoded, text.toString),
-        title))
+      Some((PdfDoc(pages, objs.size, streams, decoded, text.toString,
+        fontsCmap, fontsCmapFailed), title))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -712,14 +992,17 @@ object Pdf {
       .add("pdf_pages", LongType).add("pdf_objects", LongType)
       .add("pdf_streams", LongType).add("pdf_streams_decoded", LongType)
       .add("pdf_text", StringType)
+      .add("pdf_fonts_cmap", LongType).add("pdf_fonts_cmap_failed", LongType)
     df.mapPartitions { it =>
       it.map { row =>
         extract(row.getAs[Array[Byte]](bi), maxInflate) match {
           case Some(d) =>
             Row.fromSeq(row.toSeq :+ d.pages.toLong :+ d.objects.toLong :+
-              d.streams.toLong :+ d.streamsDecoded.toLong :+ d.text)
+              d.streams.toLong :+ d.streamsDecoded.toLong :+ d.text :+
+              d.fontsCmap.toLong :+ d.fontsCmapFailed.toLong)
           case None =>
-            Row.fromSeq(row.toSeq :+ -1L :+ 0L :+ 0L :+ 0L :+ null)
+            Row.fromSeq(row.toSeq :+ -1L :+ 0L :+ 0L :+ 0L :+ null :+
+              0L :+ 0L)
         }
       }
     }(Encoders.row(schema))

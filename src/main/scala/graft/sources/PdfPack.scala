@@ -115,8 +115,104 @@ object PdfPack extends QueryPack {
     sb.toByteArray
   }
 
+  /** A /ToUnicode CMap covering the §9.10.3 forms: a 2-byte codespace,
+    * bfchar entries (one with a MULTI-UNIT destination — the ligature
+    * shape), an incrementing bfrange into Greek, a second into
+    * Arabic-Indic digits, and the ARRAY-form bfrange. */
+  private def cmapSource: String =
+    """/CIDInit /ProcSet findresource begin
+      |12 dict begin
+      |begincmap
+      |/CMapName /graft-ToUnicode def
+      |1 begincodespacerange
+      |<0000> <FFFF>
+      |endcodespacerange
+      |2 beginbfchar
+      |<0020> <0020>
+      |<0077> <00660069>
+      |endbfchar
+      |3 beginbfrange
+      |<0041> <005A> <0391>
+      |<0030> <0039> <0660>
+      |<0061> <0063> [<03B1> <03B2> <03B3>]
+      |endbfrange
+      |endcmap
+      |CMapName currentdict /CMap defineresource pop
+      |end end""".stripMargin
+
+  /** A PDF whose page text flows through an EMBEDDED-font /ToUnicode
+    * CMap (2-byte codes — the subset-embedded shape modern writers
+    * emit): line 1 maps A/digits/Z through the Greek and Arabic-Indic
+    * bfranges, line 2 the array-form bfrange, line 3 a multi-unit
+    * ligature destination + an in-codespace-but-unmapped code (must
+    * surface as U+FFFD, never silently dropped), line 4 switches to a
+    * CMap-less font — WinAnsi fallback mid-page. Every fifth doc adds
+    * a font whose DECLARED /ToUnicode stream is garbage: its line must
+    * fall back to WinAnsi and count in `pdf_fonts_cmap_failed`. The
+    * CMap stream itself is Flate-compressed for odd ids. */
+  private[graft] def pdfCmapFile(id: Long, text: String): Array[Byte] = {
+    def hex2(s: String): String =
+      "<" + s.map(c => f"${c.toInt}%04X").mkString + ">"
+    val withBad = id % 5 == 0
+    val content =
+      ("BT /F1 12 Tf 72 720 Td " + hex2("A" + id.toString + "Z") + " Tj " +
+        "0 -14 Td " + hex2("abc") + " Tj " +
+        "0 -14 Td <00770020 1234> Tj ET\n" +
+        "BT /F2 12 Tf 0 -14 Td (w:" + esc(text) + ") Tj ET" +
+        (if (withBad) s"\nBT /F3 12 Tf 0 -14 Td (win $id) Tj ET" else ""))
+        .getBytes("ISO-8859-1")
+    val cmapRaw = cmapSource.getBytes("ISO-8859-1")
+    val cmap = if (id % 2 == 1) deflate(cmapRaw) else cmapRaw
+    val cmapFilter = if (id % 2 == 1) " /Filter /FlateDecode" else ""
+    val sb = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = sb.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 5 0 R /F2 7 0 R" +
+      (if (withBad) " /F3 8 0 R" else "") +
+      " >> >> /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n")
+    sb.write(content)
+    w("\nendstream endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Graft-Embedded " +
+      "/ToUnicode 6 0 R >> endobj\n")
+    w(s"6 0 obj << /Length ${cmap.length}$cmapFilter >> stream\n")
+    sb.write(cmap)
+    w("\nendstream endobj\n")
+    w("7 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding /WinAnsiEncoding >> endobj\n")
+    if (withBad) {
+      w("8 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Graft-Bad " +
+        "/ToUnicode 9 0 R >> endobj\n")
+      w("9 0 obj << /Length 4 >> stream\n")
+      sb.write(Array[Byte](0x00, 0x1f, 0x7f.toByte, 0x00))
+      w("\nendstream endobj\n")
+      w("trailer << /Root 1 0 R /Size 10 >>\n%%EOF\n")
+    } else
+      w("trailer << /Root 1 0 R /Size 8 >>\n%%EOF\n")
+    sb.toByteArray
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      // Embedded-font /ToUnicode text (r12): the CMap decode path end
+      // to end — Greek/Arabic-Indic bfranges, array form, multi-unit
+      // ligature, U+FFFD for unmapped, WinAnsi fallback on Tf switch,
+      // and the failed-CMap counter. DuckDB re-derives the non-Latin
+      // text from the construction with chr()/translate arithmetic.
+      "q_pdf_cmap" -> { (s, dir) =>
+        import s.implicits._
+        val pdfs = table(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) => (id, pdfCmapFile(id, text)) }
+          .toDF("doc_id", "bytes")
+        Pdf.extractText(pdfs)
+          .select(col("doc_id"), col("pdf_pages"), col("pdf_fonts_cmap"),
+            col("pdf_fonts_cmap_failed"), col("pdf_text"))
+      },
       "q_pdf_text" -> { (s, dir) =>
         import s.implicits._
         val pdfs = table(s, dir, "documents")
@@ -169,6 +265,29 @@ object PdfPack extends QueryPack {
     * contributes the TJ kern sentence ('-200 thousandths' crosses the
     * word-gap threshold, '-10' does not) and the escape line. */
   override def oracles: Map[String, String] = Map(
+    // The CMap construction round-trips closed-form: A→Α (913),
+    // digits→Arabic-Indic (1632+d), Z→913+25, abc→αβγ (945..947),
+    // <0077>→'fi', <0020>→' ', unmapped <1234>→U+FFFD (65533), then
+    // the WinAnsi font's literal, then every fifth doc's failed-CMap
+    // fallback line.
+    "q_pdf_cmap" ->
+      """SELECT doc_id,
+        |  CAST(1 AS BIGINT) AS pdf_pages,
+        |  CAST(1 AS BIGINT) AS pdf_fonts_cmap,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS pdf_fonts_cmap_failed,
+        |  chr(913) ||
+        |  translate(CAST(doc_id AS VARCHAR), '0123456789',
+        |    chr(1632)||chr(1633)||chr(1634)||chr(1635)||chr(1636)||
+        |    chr(1637)||chr(1638)||chr(1639)||chr(1640)||chr(1641)) ||
+        |  chr(938) || chr(10) ||
+        |  chr(945) || chr(946) || chr(947) || chr(10) ||
+        |  'fi ' || chr(65533) || chr(10) ||
+        |  'w:' || text ||
+        |  CASE WHEN doc_id % 5 = 0
+        |    THEN chr(10) || 'win ' || CAST(doc_id AS VARCHAR)
+        |    ELSE '' END AS pdf_text
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     "q_pdf_text" ->
       """SELECT doc_id,
         |  CAST(1 AS BIGINT) AS pdf_pages,

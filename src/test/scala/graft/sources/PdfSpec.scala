@@ -116,6 +116,77 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.extract(bad).get.objects === 1)
   }
 
+  test("/ToUnicode CMaps: bfchar/bfrange forms, code lengths, overlap, damage") {
+    // bfchar + incrementing bfrange + array bfrange + multi-unit dst.
+    val cm = Pdf.parseCMap(b(
+      """1 begincodespacerange <0000> <FFFF> endcodespacerange
+        |2 beginbfchar <0020> <0020> <0077> <00660069> endbfchar
+        |2 beginbfrange <0041> <005A> <0391>
+        |<0061> <0063> [<03B1> <03B2> <03B3>] endbfrange""".stripMargin)).get
+    def d2(codes: Int*): Array[Byte] =
+      codes.flatMap(c => Seq(((c >> 8) & 0xff).toByte, (c & 0xff).toByte)).toArray
+    assert(cm.decode(d2(0x41, 0x20, 0x5a)) === "Α Ϊ")
+    assert(cm.decode(d2(0x61, 0x62, 0x63)) === "αβγ")
+    assert(cm.decode(d2(0x77)) === "fi") // multi-unit destination
+    assert(cm.decode(d2(0x1234)) === "�") // in-space, unmapped
+    // Overlapping entries: the LATER mapping wins (writers patch last).
+    val over = Pdf.parseCMap(b(
+      """1 begincodespacerange <0000> <FFFF> endcodespacerange
+        |1 beginbfrange <0041> <005A> <0391> endbfrange
+        |1 beginbfchar <0041> <0058> endbfchar""".stripMargin)).get
+    assert(over.decode(d2(0x41)) === "X")
+    assert(over.decode(d2(0x42)) === "Β") // rest of the range holds
+    // Mixed code lengths: a 1-byte and a 2-byte codespace coexist; the
+    // byte stream segments by range containment.
+    val mixed = Pdf.parseCMap(b(
+      """2 begincodespacerange <00> <7F> <8000> <FFFF> endcodespacerange
+        |2 beginbfchar <41> <0058> <8001> <0059> endbfchar""".stripMargin)).get
+    assert(mixed.decode(Array[Byte](0x41, 0x80.toByte, 0x01, 0x41)) === "XYX")
+    // Malformed inputs: no mapping → None; truncation keeps the parsed
+    // prefix; garbage never throws.
+    assert(Pdf.parseCMap(Array[Byte](0, 31, 127, 0)) === None)
+    assert(Pdf.parseCMap(b("2 beginbfchar <0041>")) === None)
+    val trunc = Pdf.parseCMap(b(
+      "1 beginbfchar <0041> <0058> endbfchar 9 beginbfrange <00")).get
+    assert(trunc.decode(d2(0x41)) === "X")
+    // Range-span bomb cap: a 4-byte range wider than 65 536 is refused.
+    assert(Pdf.parseCMap(b(
+      "1 beginbfrange <00000000> <7FFFFFFF> <0041> endbfrange")) === None)
+  }
+
+  test("/ToUnicode end to end: Tf switching, stream-spanning state, failed CMaps counted") {
+    val d = Pdf.extract(PdfPack.pdfCmapFile(7L, "plain tail")).get
+    assert(d.text === "Α٧Ϊ\nαβγ\nfi �\nw:plain tail")
+    assert((d.fontsCmap, d.fontsCmapFailed) === ((1, 0)))
+    // Every fifth doc declares a /ToUnicode whose stream is garbage:
+    // its line falls back to WinAnsi and the failure is COUNTED.
+    val bad = Pdf.extract(PdfPack.pdfCmapFile(10L, "t")).get
+    assert(bad.text.endsWith("w:t\nwin 10"))
+    assert((bad.fontsCmap, bad.fontsCmapFailed) === ((1, 1)))
+    // Font state must span a /Contents ARRAY: Tf lands in stream one,
+    // the show string in stream two — one graphics state per page.
+    val cmapBody = "1 begincodespacerange <0000> <FFFF> endcodespacerange\n" +
+      "1 beginbfchar <0041> <0396> endbfchar"
+    val split = b("%PDF-1.4\n" +
+      "3 0 obj << /Type /Page /Resources << /Font << /G 5 0 R >> >> " +
+      "/Contents [4 0 R 6 0 R] >> endobj\n" +
+      "4 0 obj << /Length 12 >> stream\nBT /G 9 Tf \nendstream endobj\n" +
+      "6 0 obj << /Length 14 >> stream\n<0041> Tj ET\nendstream endobj\n" +
+      "5 0 obj << /Type /Font /ToUnicode 7 0 R >> endobj\n" +
+      s"7 0 obj << /Length ${cmapBody.length} >> stream\n$cmapBody\nendstream endobj\n")
+    assert(Pdf.extract(split).get.text === "Ζ")
+    // Inherited /Resources: the font dict lives on the PAGES node, the
+    // page inherits through /Parent.
+    val inherited = b("%PDF-1.4\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 " +
+      "/Resources << /Font << /G 5 0 R >> >> >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      "4 0 obj << /Length 24 >> stream\nBT /G 9 Tf <0041> Tj ET\nendstream endobj\n" +
+      "5 0 obj << /Type /Font /ToUnicode 7 0 R >> endobj\n" +
+      s"7 0 obj << /Length ${cmapBody.length} >> stream\n$cmapBody\nendstream endobj\n")
+    assert(Pdf.extract(inherited).get.text === "Ζ")
+  }
+
   test("incremental updates: same-numbered objects extract once, last wins") {
     // The page appears twice (original + appended update pointing at a
     // DIFFERENT content stream): one page, the UPDATED text only.
