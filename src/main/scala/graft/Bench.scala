@@ -206,6 +206,10 @@ object Bench {
     // durable-store incremental variant rides the secondary tier (same
     // decode+band family plus ParquetStore round-trip).
     "q_crawl_media_dedup", "q_crawl_media_dedup_inc",
+    // Segment-level language ID (secondary; the segmentation core is
+    // q_sentences' and the marker arithmetic q_lang_id's — this adds
+    // the per-segment fan-out + span/dominant rollup).
+    "q_lang_segments", "q_curated_multilang",
     // Embedded-font /ToUnicode CMap decode (secondary; reported sibling
     // q_pdf_text covers the object-scan/Flate/BT-ET machinery — this
     // adds the per-show-string CMap lookup on top).
@@ -295,7 +299,8 @@ object Bench {
     // window passes → q_session_window/q_scd2, q_table_checksum's
     // full-table hash agg → q_exact_quantiles' full-table sort.
     "q_crawl_media_dedup_inc", "q_skew_audit", "q_concurrency",
-    "q_table_checksum", "q_pdf_cmap")
+    "q_table_checksum", "q_pdf_cmap", "q_lang_segments",
+    "q_curated_multilang")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -196,6 +196,64 @@ object TextFunctions {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** SEGMENT-level language ID (r11 verdict #4): [[explodeSentences]] +
+    * [[langPredict]] per sentence, scores exposed — real crawl documents
+    * are mixed-language, and published pipelines (CCNet and kin) filter
+    * on per-segment language, not the document argmax a boilerplate
+    * banner can swing. Narrow per-partition segmentation plus codegen'd
+    * marker counts — at 100 TB this is a scan function, no shuffle. */
+  def langSegments(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val segs = explodeSentences(df, textCol)
+    segs.select(segs.columns.map(col).toSeq ++
+      (langPredict(col("sentence")).as("pred_lang") +:
+        LangMarkers.map { case (l, ms) =>
+          langScore(col("sentence"), ms).as(s"score_$l")
+        }): _*)
+  }
+
+  /** Contiguous same-language SPANS of a [[langSegments]] output:
+    * (doc_id, span_ix, span_lang, n_sents) — the unit a span-level
+    * extractor keeps or drops (a French quote inside an English page is
+    * one droppable span, not a reason to drop the page). One window
+    * pass per document + one grouped aggregate; shuffle keyed by
+    * doc_id, state bounded by a document's sentence count. */
+  def langSpans(segments: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("sent_ix")
+    segments
+      .withColumn("_chg", when(lag(col("pred_lang"), 1).over(w).isNull ||
+        lag(col("pred_lang"), 1).over(w) =!= col("pred_lang"), 1L)
+        .otherwise(0L))
+      .withColumn("span_ix", sum(col("_chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - 1L)
+      .groupBy(col("doc_id"), col("span_ix"))
+      .agg(min(col("pred_lang")).as("span_lang"),
+        count(lit(1)).as("n_sents"))
+  }
+
+  /** Per-document DOMINANT language of a [[langSegments]] output:
+    * (doc_id, dom_lang, n_segments, dom_segments, share_permille) —
+    * the mixed-language gate's inputs. Dominance by segment count,
+    * ties broken lexicographically (deterministic); the share is an
+    * integer permille so the gate threshold is engine-exact. */
+  def langDominant(segments: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = segments.groupBy(col("doc_id"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val rk = Window.partitionBy("doc_id")
+      .orderBy(col("n").desc, col("pred_lang").asc)
+    counts
+      .withColumn("rk", row_number().over(rk))
+      .withColumn("n_segments",
+        sum(col("n")).over(Window.partitionBy("doc_id")))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("pred_lang").as("dom_lang"),
+        col("n_segments"), col("n").as("dom_segments"),
+        (lit(1000L) * col("n") / col("n_segments")).cast("long")
+          .as("share_permille"))
+  }
+
   /** Word n-grams (n >= 2) as space-joined strings; documents shorter than n
     * yield an empty array. The token array is let-bound so the split runs
     * exactly once per row (see [[SqlLet]]) even though the sliding lookup

@@ -24,6 +24,29 @@ object TextPack extends QueryPack {
     langScore(col("text"), ms).as(s"score_$l")
   }
 
+  /** The mixed-language fixture sentences (marker-unambiguous: each
+    * carries only its own language's stopword markers). */
+  private[functions] val MixSentences: Map[String, String] = Map(
+    "en1" -> "The cat and the dog of the house sat.",
+    "en2" -> "The bird and the fish of the sea swam.",
+    "de1" -> "Der hund und die katze und der vogel.",
+    "en3" -> "The end and the rest of it all.",
+    "fr1" -> "Le chat et le chien et les amis.",
+    "de2" -> "Der mann und die frau der stadt.")
+
+  /** Constructed mixed-language documents: EN EN DE + (even ids: EN —
+    * 750‰ English; odd ids: FR DE — English ties German at 2/5). */
+  private def mixedDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val keys =
+          if (id % 2 == 0) Seq("en1", "en2", "de1", "en3")
+          else Seq("en1", "en2", "de1", "fr1", "de2")
+        (id, keys.map(MixSentences).mkString(" "))
+      }.toDF("doc_id", "text")
+  }
+
   /** Multiscript tail appended to every document for q_script_mix —
     * identical literal in the oracle SQL, counted there by RE2's script
     * classes instead of Java's. */
@@ -72,6 +95,39 @@ object TextPack extends QueryPack {
         }.toDF("doc_id", "text")
       TextFunctions.explodeSentences(docs)
         .select(col("doc_id"), col("sent_ix"), col("sentence"))
+    },
+    // Segment-level language ID (r12): a constructed mixed-language
+    // document — an English head, a German sentence, then an English
+    // tail (even docs) or a French+German tail (odd docs) — language-
+    // identified PER SENTENCE with scores exposed, so the oracle pins
+    // the per-segment heuristic itself, not just the argmax.
+    "q_lang_segments" -> { (s, dir) =>
+      TextFunctions.langSegments(mixedDocs(s, dir))
+        .select(Seq(col("doc_id"), col("sent_ix"), col("pred_lang")) ++
+          LangMarkers.map { case (l, _) => col(s"score_$l") }: _*)
+    },
+    // Contiguous language spans of the same fixture: the droppable unit
+    // of a span-level extractor (even docs: en×2, de, en; odd: en×2,
+    // de, fr, de). Closed-form oracle from the construction.
+    "q_lang_spans" -> { (s, dir) =>
+      TextFunctions.langSpans(TextFunctions.langSegments(mixedDocs(s, dir)))
+        .select(col("doc_id"), col("span_ix"), col("span_lang"),
+          col("n_sents"))
+    },
+    // The mixed-language GATE as a curation stage (r11 verdict #4
+    // "used as a filter stage"): keep documents whose dominant language
+    // is English with ≥ 700‰ of segments — even docs pass at 750‰,
+    // odd docs fail (en ties de at 2/5; the deterministic tie-break
+    // makes 'de' dominant at 400‰). The kept set joins back to the
+    // corpus the way the cascade's other gates do.
+    "q_curated_multilang" -> { (s, dir) =>
+      val dom = TextFunctions.langDominant(
+        TextFunctions.langSegments(mixedDocs(s, dir)))
+      table(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(dom.filter(col("dom_lang") === "en" &&
+          col("share_permille") >= 700), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("dom_lang"),
+          col("share_permille"))
     },
     // Corpus stats by (lang, source): counts + char/token sums (ints) + one
     // derived mean (single division).
@@ -204,6 +260,23 @@ object TextPack extends QueryPack {
   private def oracleScore(lang: String): String =
     LangMarkers.toMap.apply(lang).map(oracleMarkerHits).mkString("(", " + ", ")")
 
+  /** All per-language score columns over a `norm` alias. */
+  private def oracleScores: String = LangMarkers.map { case (l, _) =>
+    s"${oracleScore(l)} AS score_$l"
+  }.mkString(",\n  ")
+
+  /** The argmax CASE cascade over score_<lang> columns (first-listed
+    * tie-break, 'und' on all-zero) — shared by the document- and
+    * segment-level language-ID oracles. */
+  private def oracleCascade: String = {
+    val langs = LangMarkers.map(_._1)
+    langs.zipWithIndex.foldRight("'und'") { case ((l, i), els) =>
+      val later = langs.drop(i + 1).map(l2 => s"score_$l >= score_$l2")
+      val cond = (later :+ s"score_$l > 0").mkString(" AND ")
+      s"CASE WHEN $cond THEN '$l' ELSE $els END"
+    }
+  }
+
   private val NormCte =
     "SELECT *, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm FROM documents"
 
@@ -269,20 +342,52 @@ object TextPack extends QueryPack {
         |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
         |FROM documents""".stripMargin,
     "q_lang_id" -> {
-      val scores = LangMarkers.map { case (l, _) =>
-        s"${oracleScore(l)} AS score_$l"
-      }.mkString(",\n  ")
-      val langs = LangMarkers.map(_._1)
-      val cascade = langs.zipWithIndex.foldRight("'und'") { case ((l, i), els) =>
-        val later = langs.drop(i + 1).map(l2 => s"score_$l >= score_$l2")
-        val cond = (later :+ s"score_$l > 0").mkString(" AND ")
-        s"CASE WHEN $cond THEN '$l' ELSE $els END"
-      }
-      s"""WITH n AS ($NormCte), sc AS (SELECT doc_id, lang, $scores FROM n)
-         |SELECT doc_id, lang, $cascade AS pred_lang,
+      s"""WITH n AS ($NormCte), sc AS (SELECT doc_id, lang, $oracleScores FROM n)
+         |SELECT doc_id, lang, $oracleCascade AS pred_lang,
          |  score_en, score_de, score_es, score_fr
          |FROM sc""".stripMargin
     },
+    // Per-sentence scores + argmax re-derived from the constructed
+    // sentences (the same marker arithmetic as q_lang_id, applied to
+    // each segment).
+    "q_lang_segments" -> {
+      def lit(k: String): String = "'" + MixSentences(k) + "'"
+      s"""WITH s AS (
+         |  SELECT doc_id, CAST(j AS BIGINT) AS sent_ix,
+         |    CASE WHEN j = 0 THEN ${lit("en1")}
+         |         WHEN j = 1 THEN ${lit("en2")}
+         |         WHEN j = 2 THEN ${lit("de1")}
+         |         WHEN j = 3 AND doc_id % 2 = 0 THEN ${lit("en3")}
+         |         WHEN j = 3 THEN ${lit("fr1")}
+         |         ELSE ${lit("de2")} END AS sentence
+         |  FROM documents, generate_series(0, 4) t(j)
+         |  WHERE doc_id % 2 = 1 OR j < 4
+         |), n AS (SELECT doc_id, sent_ix,
+         |    lower(trim(regexp_replace(sentence, '\\s+', ' ', 'g'))) AS norm
+         |  FROM s),
+         |sc AS (SELECT doc_id, sent_ix, $oracleScores FROM n)
+         |SELECT doc_id, sent_ix, $oracleCascade AS pred_lang,
+         |  score_en, score_de, score_es, score_fr
+         |FROM sc""".stripMargin
+    },
+    // Spans and the gate are pure functions of the construction:
+    // even docs en(2) de(1) en(1) — dominant en at 750 permille; odd
+    // docs en(2) de(1) fr(1) de(1) — en ties de at 2/5, the
+    // lexicographic tie-break makes de dominant, the gate drops them.
+    "q_lang_spans" ->
+      """SELECT doc_id, CAST(j AS BIGINT) AS span_ix,
+        |  CASE WHEN j = 0 THEN 'en'
+        |       WHEN j = 1 THEN 'de'
+        |       WHEN j = 2 AND doc_id % 2 = 0 THEN 'en'
+        |       WHEN j = 2 THEN 'fr'
+        |       ELSE 'de' END AS span_lang,
+        |  CAST(CASE WHEN j = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_sents
+        |FROM documents, generate_series(0, 3) t(j)
+        |WHERE doc_id % 2 = 1 OR j < 3""".stripMargin,
+    "q_curated_multilang" ->
+      """SELECT doc_id, lang, 'en' AS dom_lang,
+        |  CAST(750 AS BIGINT) AS share_permille
+        |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
     "q_quality_score" ->
       s"""WITH n AS ($NormCte)
          |SELECT doc_id, length(text) AS len,

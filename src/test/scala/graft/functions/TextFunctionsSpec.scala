@@ -108,6 +108,47 @@ test("scriptMix: per-script exact counts on a constructed multiscript doc") {
     assert(out(2L) === Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
   }
 
+  test("langSegments/langSpans/langDominant: per-sentence ID, span merge, tie-break, gate math") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val docs = Seq(
+      // en, en, de, en → spans en(2) de(1) en(1); dominant en 750‰.
+      (1L, "The cat and the dog sat. The end of the day came. " +
+        "Der hund und die katze. The rest of it all."),
+      // Single language → one span, 1000‰.
+      (2L, "Le chat et le chien. Le bon et les amis."),
+      // No markers anywhere → every segment 'und', dominant 'und'.
+      (3L, "Nothing here matches. Zilch again truly.")
+    ).toDF("doc_id", "text")
+    val segs = TextFunctions.langSegments(docs).cache()
+    val preds = segs.select("doc_id", "sent_ix", "pred_lang").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(preds((1L, 0L)) === "en" && preds((1L, 2L)) === "de")
+    assert(preds((2L, 0L)) === "fr" && preds((2L, 1L)) === "fr")
+    assert(preds((3L, 0L)) === "und")
+    val spans = TextFunctions.langSpans(segs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    assert(spans((1L, 0L)) === (("en", 2L)))
+    assert(spans((1L, 1L)) === (("de", 1L)))
+    assert(spans((1L, 2L)) === (("en", 1L)))
+    assert(spans((2L, 0L)) === (("fr", 2L)))
+    val dom = TextFunctions.langDominant(segs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(dom(1L) === (("en", 4L, 3L, 750L)))
+    assert(dom(2L) === (("fr", 2L, 2L, 1000L)))
+    assert(dom(3L) === (("und", 2L, 2L, 1000L)))
+    // Tie-break is deterministic and lexicographic: en(1) + de(1).
+    val tie = TextFunctions.langDominant(TextFunctions.langSegments(
+      Seq((9L, "The cat and the dog sat. Der hund und die katze."))
+        .toDF("doc_id", "text")))
+      .collect().map(r => (r.getString(1), r.getLong(4))).head
+    assert(tie === (("de", 500L)))
+    segs.unpersist()
+    ()
+  }
+
   test("sentences: abbreviations, initials, decimals, enders, ellipses") {
     assert(TextFunctions.sentences(
       "Dr. Smith met J. Doe. It cost 3.14 dollars! OK? Yes, etc. done.") ===
