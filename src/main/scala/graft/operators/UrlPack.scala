@@ -126,18 +126,84 @@ object UrlPack extends QueryPack {
                 (s"https://site$g.com/a", 200L, null: String))
             else Seq.empty
           }.toDF("url", "status", "location")
-        val rmap = Redirects.resolveFetches(log)
-          .select(col("start"), col("final_url"))
-        val followed = docs.join(rmap, docs("url") === rmap("start"), "left")
-          .select(col("doc_id"), col("html"),
-            coalesce(col("final_url"), col("url")).as("url"))
-        val keyed = Html.withPageMeta(followed)
-          .select(col("doc_id"),
-            coalesce(col("canonical_url"), col("url")).as("url"))
-        Url.withUrlParts(keyed)
-          .groupBy(col("url_norm").as("identity"))
+        // The r12-extracted reusable stage: canonical from the page,
+        // then Url.withIdentity (redirect-follow → canonical override →
+        // normalize) — the same composition the streaming identity
+        // dedup keys on.
+        Url.withIdentity(Html.withPageMeta(docs), log)
+          .groupBy(col("identity"))
           .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
           .select(col("doc_id"), col("identity"), col("n_dups"))
+      },
+      // IDENTITY-KEYED incremental dedup against a DURABLE store (r12):
+      // batch 1 (the direct + messy quarters) lands each group's page
+      // once; batch 2 (the canonical + redirected quarters) dedups
+      // CROSS-BATCH against the stored identities — except every third
+      // group, whose canonical page points at a genuinely NEW identity
+      // and must land in the second generation. The store survives between the
+      // two calls (the streamed-crawl steady state); replays are
+      // idempotent by the same anti-join.
+      "q_doc_identity_inc" -> { (s, dir) =>
+        import s.implicits._
+        import org.apache.spark.sql.types._
+        val quot = "\""
+        def pages(batch2: Boolean) = table(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .filter((id: Long) => (id % 4 >= 2) == batch2)
+          .map { id =>
+            val g = id / 4
+            val (url, html) = (id % 4).toInt match {
+              case 0 => (s"https://site$g.com/a",
+                "<html><body>head</body></html>")
+              case 1 => (s"HTTPS://SITE$g.COM:443/b/../a?utm_source=z",
+                "<html><body>messy</body></html>")
+              case 2 =>
+                val target = if (g % 3 == 0) "/q" else "/a"
+                (s"https://site$g.com/c",
+                  s"<html><head><link rel=canonical href=$quot$target$quot>" +
+                    "</head><body>canonical</body></html>")
+              case _ => (s"https://site$g.com/d",
+                "<html><body>redirected</body></html>")
+            }
+            (id, url, html)
+          }.toDF("doc_id", "url", "html")
+        def log(batch2: Boolean) =
+          if (!batch2) Seq.empty[(String, Long, String)]
+            .toDF("url", "status", "location")
+          else table(s, dir, "documents")
+            .select(col("doc_id")).as[Long]
+            .flatMap { id =>
+              val g = id / 4
+              if (id % 4 == 3)
+                Seq((s"https://site$g.com/d", 301L, "/a"),
+                  (s"https://site$g.com/a", 200L, null: String))
+              else Seq.empty
+            }.toDF("url", "status", "location")
+        def keyed(batch2: Boolean) =
+          Url.withIdentity(Html.withPageMeta(pages(batch2)), log(batch2))
+            .select(col("doc_id"), col("url"), col("identity"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ident_store")
+        try {
+          val store = new graft.store.ParquetStore(s,
+            StructType(Seq(StructField("doc_id", LongType),
+              StructField("url", StringType),
+              StructField("identity", StringType))),
+            tmp.toString, s"doc_identity_${System.nanoTime()}")
+          graft.streaming.CrawlIngest.dedupAppendByKey(store,
+            keyed(batch2 = false), "identity", col("doc_id"))
+          graft.streaming.CrawlIngest.dedupAppendByKey(store,
+            keyed(batch2 = true), "identity", col("doc_id"))
+          store.selectAll
+            .select(col("doc_id"), col("identity"),
+              col("rst_id").cast("long").as("batch_gen"))
+            .localCheckpoint(eager = true)
+        } finally {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(tmp)
+          try walk.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
       }
     )
 
@@ -206,6 +272,22 @@ object UrlPack extends QueryPack {
         |  'https://site' || CAST(doc_id // 4 AS VARCHAR) || '.com/a'
         |    AS identity,
         |  count(*) AS n_dups
-        |FROM documents GROUP BY doc_id // 4""".stripMargin
+        |FROM documents GROUP BY doc_id // 4""".stripMargin,
+    // Batch 1 lands each quad's head (min id of the two batch-1
+    // members, identity /a) as the store's first generation (rst_id
+    // counts from 1); batch 2's canonical and redirected members dedup
+    // against the STORE — except every third quad's canonical page,
+    // which points at the new /q identity and lands as generation 2.
+    "q_doc_identity_inc" ->
+      """SELECT min(doc_id) AS doc_id,
+        |  'https://site' || CAST(doc_id // 4 AS VARCHAR) || '.com/a'
+        |    AS identity,
+        |  CAST(1 AS BIGINT) AS batch_gen
+        |FROM documents WHERE doc_id % 4 < 2 GROUP BY doc_id // 4
+        |UNION ALL
+        |SELECT doc_id,
+        |  'https://site' || CAST(doc_id // 4 AS VARCHAR) || '.com/q',
+        |  CAST(2 AS BIGINT)
+        |FROM documents WHERE doc_id % 4 = 2 AND (doc_id // 4) % 3 = 0""".stripMargin
   )
 }

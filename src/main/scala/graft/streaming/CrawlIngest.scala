@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -41,6 +41,14 @@ object CrawlIngest {
     StructField("title", StringType), StructField("text", StringType),
     StructField("main_text", StringType)))
 
+  /** [[DocSchema]] plus the redirect/canonical facts the IDENTITY
+    * composition needs: `location` (the 3xx Location header, resolved
+    * later), `canonical_url` (the page-declared canonical, RFC
+    * 3986-resolved against the fetch URL). */
+  val FetchSchema: StructType = StructType(DocSchema.fields ++ Seq(
+    StructField("location", StringType),
+    StructField("canonical_url", StringType)))
+
   /** The batch transform: (path, content) file rows → extracted
     * document rows. Exposed separately so the streaming path, tests,
     * and the soak share one definition.
@@ -56,7 +64,26 @@ object CrawlIngest {
     * non-textual header decodes as UTF-8 (the header already proved
     * untrustworthy). */
   def documentsFrom(files: DataFrame, bytesCol: String = "content",
-                    gzipped: Boolean = true): DataFrame = {
+                    gzipped: Boolean = true): DataFrame =
+    fetchCore(files, bytesCol, gzipped, withCanonical = false)
+      .filter(col("text").isNotNull)
+      .select(DocSchema.fieldNames.map(col).toIndexedSeq: _*)
+
+  /** The SUPERSET pass behind [[documentsFrom]] (r11 verdict #5): the
+    * same single-decode dispatch, additionally keeping 3xx redirect
+    * records (`location` set, `text` null — the edges the identity
+    * composition follows) and the html route's page-declared canonical
+    * (`canonical_url`, RFC 3986-resolved). Records that are neither
+    * textual nor redirects are still dropped here. */
+  def fetchesFrom(files: DataFrame, bytesCol: String = "content",
+                  gzipped: Boolean = true): DataFrame =
+    fetchCore(files, bytesCol, gzipped, withCanonical = true)
+
+  /** Shared dispatch; `withCanonical` gates the per-page pageMeta walk
+    * so the plain documents path pays nothing for the identity
+    * columns it immediately drops. */
+  private def fetchCore(files: DataFrame, bytesCol: String,
+                        gzipped: Boolean, withCanonical: Boolean): DataFrame = {
     val recs = Warc.records(
         files.select(col("path"), col(bytesCol).as("bytes")),
         bytesCol = "bytes", gzipped = gzipped)
@@ -67,7 +94,13 @@ object CrawlIngest {
       .select(col("path"), col("record_ix"),
         col("target_uri").as("url"), col("http_status"),
         col("mime_sniffed"), col("body"),
-        coalesce(col("text"), decode(col("body"), "UTF-8")).as("decoded"))
+        coalesce(col("text"), decode(col("body"), "UTF-8")).as("decoded"),
+        // try_element_at: most responses carry no Location header and
+        // the filtered array is empty — plain element_at throws under
+        // ANSI semantics.
+        try_element_at(filter(col("http_headers"),
+          h => lower(h.getField("name")) === "location"), lit(1))
+          .getField("value").as("location"))
     // ONE narrow pass dispatching per record. The obvious alternative —
     // a filtered union of three DataFrame branches — re-executes the
     // whole gunzip→WARC→HTTP→sniff chain once PER BRANCH (uncached
@@ -78,9 +111,16 @@ object CrawlIngest {
     base.mapPartitions { it =>
       it.flatMap { row =>
         val url = row.getString(2)
-        def doc(title: String, text: String, main: String) =
+        val status = row.getLong(3)
+        val location =
+          if (status >= 300 && status < 400 && !row.isNullAt(7)) {
+            val loc = row.getString(7)
+            if (url == null) loc else graft.operators.Url.resolve(url, loc)
+          } else null
+        def doc(title: String, text: String, main: String,
+                canonical: String) =
           org.apache.spark.sql.Row(row.getString(0), row.getLong(1), url,
-            row.getLong(3), title, text, main)
+            status, title, text, main, location, canonical)
         val decoded = row.getString(6)
         row.getString(4) match {
           // text/xml covers XHTML and XML-prologue pages ('<?xml' wins
@@ -88,18 +128,29 @@ object CrawlIngest {
           // them; dropping them would silently lose a common page class.
           case "text/html" | "text/xml" if decoded != null =>
             val (text, title) = Html.extractCore(decoded, true)
-            Iterator.single(doc(title.orNull, text, Html.mainText(decoded)))
+            val c = if (withCanonical) Html.pageMeta(decoded).canonicalUrl
+              else null
+            val canonical =
+              if (c == null) null
+              else if (url == null) c
+              else graft.operators.Url.resolve(url, c)
+            Iterator.single(doc(title.orNull, text, Html.mainText(decoded),
+              canonical))
           case "text/plain" if decoded != null =>
-            Iterator.single(doc(null, decoded, decoded))
+            Iterator.single(doc(null, decoded, decoded, null))
           case "application/pdf" =>
             // extractWithTitle: text AND /Info title from ONE parse
             // (extract + docInfo would scan and inflate twice).
             Pdf.extractWithTitle(row.getAs[Array[Byte]](5)).iterator
-              .map { case (d, title) => doc(title, d.text, d.text) }
+              .map { case (d, title) => doc(title, d.text, d.text, null) }
+          case _ if location != null =>
+            // Payload-less (or non-textual) 3xx: the redirect EDGE is
+            // the crawl fact the identity walk needs.
+            Iterator.single(doc(null, null, null, null))
           case _ => Iterator.empty // images/archives: the media pipeline's
         }
       }
-    }(org.apache.spark.sql.Encoders.row(DocSchema))
+    }(org.apache.spark.sql.Encoders.row(FetchSchema))
   }
 
   /** Open (or resume) the documents store at `storePath`. */
@@ -181,6 +232,93 @@ object CrawlIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         appendNonEmpty(store, batch)
+        ()
+      }
+      .start()
+  }
+
+  /** The identity-keyed documents store: [[DocSchema]] + the composed
+    * `identity` the dedup keys on. */
+  val IdentityDocSchema: StructType =
+    StructType(DocSchema.fields :+ StructField("identity", StringType))
+
+  /** Open (or resume) an identity-keyed documents store. */
+  def identityStore(spark: SparkSession, storePath: String,
+                    tableName: String = "crawl_docs_by_identity")
+      : ParquetStore =
+    new ParquetStore(spark, IdentityDocSchema, storePath, tableName)
+
+  /** Exact-dedup append against a DURABLE store: within-batch rows
+    * collapse per `keyCol` (first by `order` — deterministic), then the
+    * survivors anti-join the STORE's keys and only genuinely-new rows
+    * land as a generation. Returns the appended row count. Scale: one
+    * window shuffle on the key (batch-sized) + one anti-join whose
+    * store side prunes to the key column; the store is never
+    * self-joined. This also makes replay IDEMPOTENT: a crashed-and-
+    * replayed batch's rows are already in the store, so the anti-join
+    * drops them — exactly-once by key without streaming state. */
+  def dedupAppendByKey(store: ParquetStore, batch: DataFrame,
+                       keyCol: String, order: Column): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val inBatch = batch
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol)).orderBy(order)))
+      .filter(col("_rn") === 1).drop("_rn")
+    val fresh = inBatch.join(
+        store.selectAll.select(col(keyCol)).distinct(),
+        Seq(keyCol), "left_anti")
+      .persist()
+    try {
+      val n = fresh.count()
+      if (n > 0) store.appendStreaming(fresh)
+      n
+    } finally { fresh.unpersist(); () }
+  }
+
+  /** One IDENTITY-DEDUPED ingest step over extracted fetch rows: the
+    * batch's own 3xx records provide the redirect edges, the html
+    * route's canonical annotations the overrides, and
+    * [[graft.operators.Url.withIdentity]] composes the key — so a
+    * revisit (same page re-fetched later) and a redirect-moved page
+    * (old URL now 301s to a page already ingested) both dedup against
+    * the store even when the copies arrive in DIFFERENT batches. */
+  def ingestByIdentity(store: ParquetStore, fetches: DataFrame): Long = {
+    val docs = fetches.filter(col("text").isNotNull)
+    val log = fetches.select(col("url"),
+      col("http_status").as("status"), col("location"))
+    val keyed = graft.operators.Url.withIdentity(docs, log)
+      .withColumn("identity",
+        coalesce(col("identity"),
+          concat(col("path"), lit("#"), col("record_ix"))))
+      .select(IdentityDocSchema.fieldNames.map(col).toIndexedSeq: _*)
+    dedupAppendByKey(store, keyed, "identity",
+      struct(col("path"), col("record_ix")))
+  }
+
+  /** [[attachDeduped]] keyed by the composed DOCUMENT IDENTITY
+    * (r11 verdict #5): a streamed crawl dedups on
+    * redirect-resolved → canonical-overridden → normalized URL, not the
+    * raw fetch URL — the durable store IS the dedup state (no unbounded
+    * streaming state; restarts and replays are idempotent by
+    * construction, see [[dedupAppendByKey]]). The redirect edges used
+    * for a batch are the batch's OWN 3xx records — the same-capture
+    * convention (a crawler writes the hop chain next to its terminal
+    * fetch); cross-batch dedup needs no cross-batch edges because the
+    * MOVED copy's chain arrives with it. */
+  def attachByIdentity(spark: SparkSession, dropDir: String,
+                       store: ParquetStore, checkpoint: String,
+                       trigger: Trigger = Trigger.ProcessingTime(10000L),
+                       maxFilesPerTrigger: Int = 64): StreamingQuery = {
+    fileSource(spark, dropDir, maxFilesPerTrigger).writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val fetches = fetchesFrom(batch).persist()
+          try { ingestByIdentity(store, fetches); () }
+          finally { fetches.unpersist(); () }
+        }
         ()
       }
       .start()

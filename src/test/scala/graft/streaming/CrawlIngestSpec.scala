@@ -71,6 +71,71 @@ class CrawlIngestSpec extends SparkSpec {
       "https://example.org/doc/2", "https://example.org/doc/3"))
   }
 
+  test("attachByIdentity: revisits, redirect-moved and canonical copies dedup ACROSS batches") {
+    def record(uri: String, status: String,
+               headers: Seq[(String, String)], body: String): Array[Byte] = {
+      val http = (s"HTTP/1.1 $status\r\n" +
+        headers.map { case (k, v) => s"$k: $v\r\n" }.mkString +
+        "\r\n" + body).getBytes("ISO-8859-1")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    def page(body: String, canonical: String = null): String =
+      "<html><head>" +
+        (if (canonical == null) ""
+         else s"""<link rel=canonical href="$canonical">""") +
+        s"</head><body><p>$body enough prose to extract</p></body></html>"
+    val html = Seq("Content-Type" -> "text/html; charset=utf-8")
+    val dropDir = Files.createTempDirectory("graft_ident_in").toString
+    val storeDir = Files.createTempDirectory("graft_ident_st").toString
+    val ckpt = Files.createTempDirectory("graft_ident_ck").toString
+    def run(): Unit = {
+      val q = CrawlIngest.attachByIdentity(spark, dropDir,
+        CrawlIngest.identityStore(spark, storeDir), ckpt,
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    // Batch 1: one page, fetched with a tracking param the identity
+    // normalization strips.
+    Files.write(Paths.get(dropDir, "b1.warc.gz"), WarcPack.gzipBytes(
+      record("https://e.org/a?utm_source=x", "200 OK", html, page("alpha"))))
+    run()
+    val store = CrawlIngest.identityStore(spark, storeDir)
+    assert(store.selectAll.count() === 1)
+    assert(store.selectAll.select("identity").head().getString(0) ===
+      "https://e.org/a")
+    // Batch 2: a REVISIT of the same page (re-crawl, clean URL), a
+    // REDIRECT-MOVED copy (content recorded under the requested URL
+    // /moved whose 301 chain lands on /a — the batch's own 3xx record
+    // carries the edge), a CANONICAL copy (/alt declaring /a), and one
+    // genuinely new page. Only the new page may land.
+    Files.write(Paths.get(dropDir, "b2.warc.gz"), WarcPack.gzipBytes(
+      record("https://e.org/a", "200 OK", html, page("alpha revisited")) ++
+        record("https://e.org/moved", "301 Moved Permanently",
+          Seq("Location" -> "/a"), "") ++
+        record("https://e.org/moved", "200 OK", html, page("alpha moved")) ++
+        record("https://e.org/alt", "200 OK", html,
+          page("alpha alt", canonical = "/a")) ++
+        record("https://e.org/fresh", "200 OK", html, page("brand new"))))
+    run()
+    val rows = store.selectAll.select("url", "identity", "rst_id").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(rows.size === 2, s"expected 2 identities, got: $rows")
+    assert(rows("https://e.org/a?utm_source=x") === (("https://e.org/a", 1L)))
+    assert(rows("https://e.org/fresh") === (("https://e.org/fresh", 2L)))
+    // Replay idempotence: a re-attach on a FRESH checkpoint re-reads
+    // every file (simulating a replayed trigger after a crash) — the
+    // store-side anti-join must refuse all of it.
+    val ckpt2 = Files.createTempDirectory("graft_ident_ck2").toString
+    val q2 = CrawlIngest.attachByIdentity(spark, dropDir,
+      CrawlIngest.identityStore(spark, storeDir), ckpt2,
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(store.selectAll.count() === 2)
+  }
+
   test("attachDeduped: the same URL across files and restarts lands ONCE") {
     val dropDir = Files.createTempDirectory("graft_crawl_dd_in").toString
     val storeDir = Files.createTempDirectory("graft_crawl_dd_store").toString
