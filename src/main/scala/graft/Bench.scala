@@ -214,6 +214,10 @@ object Bench {
     // q_doc_identity for the composition, q_dedup_prefix_indexed for
     // the durable-store-anti-join shape).
     "q_doc_identity_inc",
+    // Incremental politeness scheduling (secondary; reported sibling
+    // q_fetch_schedule covers the window shape, the store round-trip
+    // rides q_doc_identity_inc's family).
+    "q_fetch_schedule_inc",
     // Embedded-font /ToUnicode CMap decode (secondary; reported sibling
     // q_pdf_text covers the object-scan/Flate/BT-ET machinery — this
     // adds the per-show-string CMap lookup on top).
@@ -304,7 +308,7 @@ object Bench {
     // full-table hash agg → q_exact_quantiles' full-table sort.
     "q_crawl_media_dedup_inc", "q_skew_audit", "q_concurrency",
     "q_table_checksum", "q_pdf_cmap", "q_lang_segments",
-    "q_curated_multilang", "q_doc_identity_inc")
+    "q_curated_multilang", "q_doc_identity_inc", "q_fetch_schedule_inc")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -132,6 +132,40 @@ object RobotsPack extends QueryPack {
             "crawl_delay", col("doc_id"))
           .select(col("doc_id"), col("url_domain"), col("fetch_seq"),
             col("start_offset_s"))
+      },
+      // INCREMENTAL politeness (r12): the frontier arrives as two
+      // batches (even ids, then odd) scheduled against a DURABLE
+      // host-state store — each host's batch-2 offsets must CONTINUE
+      // from its batch-1 state at its own delay, never restart at 0.
+      // The oracle re-derives the global sequence with one window over
+      // (batch, id) arrival order — incremental == one batch pass over
+      // the arrival-ordered union.
+      "q_fetch_schedule_inc" -> { (s, dir) =>
+        import s.implicits._
+        def urls(batch2: Boolean) = table(s, dir, "documents")
+          .select(col("doc_id")).as[Long]
+          .filter((id: Long) => (id % 2 == 1) == batch2)
+          .map { id =>
+            val g = id % 5
+            (id, s"site$g.com", (g + 1).toDouble)
+          }.toDF("doc_id", "url_domain", "crawl_delay")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sched")
+        try {
+          val store = graft.streaming.CrawlSchedule.stateStore(s,
+            tmp.toString, s"crawl_schedule_${System.nanoTime()}")
+          val s1 = graft.streaming.CrawlSchedule.scheduleBatch(store,
+            urls(batch2 = false), order = col("doc_id"))
+          val s2 = graft.streaming.CrawlSchedule.scheduleBatch(store,
+            urls(batch2 = true), order = col("doc_id"))
+          s1.union(s2).select(col("doc_id"), col("url_domain"),
+            col("fetch_seq"), col("start_offset_s"))
+        } finally {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(tmp)
+          try walk.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
       }
     )
 
@@ -191,6 +225,18 @@ object RobotsPack extends QueryPack {
         |  CAST(doc_id // 5 AS BIGINT) AS fetch_seq,
         |  CAST((doc_id // 5) * (doc_id % 5 + 1) AS DOUBLE)
         |    AS start_offset_s
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // One window over (batch, id) arrival order per host — the
+    // cross-batch continuation the durable state must reproduce.
+    "q_fetch_schedule_inc" ->
+      """WITH s AS (SELECT doc_id, doc_id % 5 AS g,
+        |    row_number() OVER (PARTITION BY doc_id % 5
+        |      ORDER BY doc_id % 2, doc_id) - 1 AS seq
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'site' || CAST(g AS VARCHAR) || '.com' AS url_domain,
+        |  CAST(seq AS BIGINT) AS fetch_seq,
+        |  CAST(seq * (g + 1) AS DOUBLE) AS start_offset_s
+        |FROM s""".stripMargin
   )
 }
