@@ -57,9 +57,13 @@ object CrawlMedia {
     * measured +47% for the text route, SCALE.md r11). Video payloads
     * are excluded: frame location is real but payload decode is the
     * documented codec boundary, so there is no honest fingerprint to
-    * index yet. */
+    * index yet. `nCells` sizes the perceptual hash (16 keeps the
+    * oracle-checked default; production corpora want 48+ — pigeonhole
+    * banding cuts the hash into maxHamming+1 segments, and 16-bit
+    * hashes leave ~6-bit band keys whose buckets grow with the corpus:
+    * the measured band-entropy trap, SCALE.md r11). */
   def mediaFrom(files: DataFrame, bytesCol: String = "content",
-                gzipped: Boolean = true): DataFrame = {
+                gzipped: Boolean = true, nCells: Int = 16): DataFrame = {
     val recs = Warc.records(
         files.select(col("path"), col(bytesCol).as("bytes")),
         bytesCol = "bytes", gzipped = gzipped)
@@ -88,7 +92,7 @@ object CrawlMedia {
               // bytes, pairing identical files but nothing re-encoded —
               // a dedup key that silently stops meaning "same picture".
               (Media.decodeImage(body)
-                .map(Media.phashOfImage(_)): Option[Long], None)
+                .map(Media.phashOfImage(_, nCells)): Option[Long], None)
             case _ =>
               (None, AudioFp.fingerprintBytes(body))
           }
