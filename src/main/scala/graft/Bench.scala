@@ -387,14 +387,7 @@ object Bench {
       val schema = spark.read.parquet(path).schema
       val rows = spark.read.parquet(path).count()
       f(path, schema, rows)
-    } finally {
-      // Close the NIO stream eagerly (it holds a directory fd until GC).
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(dir)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
+    } finally graft.Fs.deleteRecursively(dir)
   }
 
   /** Streaming-ingest throughput: the staged events replayed through the

@@ -36,17 +36,10 @@ object Verify {
           e.printStackTrace()
           failed += name
           val d = new java.io.File(s"$outDir/$name")
-          // Plain NIO walk-and-delete (same pattern as Bench.withStagedEvents):
-          // commons-io only reaches here via Spark's transitive classpath, and
-          // the marker writer is the one path that must never break.
-          if (d.exists()) {
-            val walk = Files.walk(d.toPath)
-            try {
-              import scala.jdk.CollectionConverters._
-              walk.iterator().asScala.toSeq.reverse
-                .foreach(p => Files.deleteIfExists(p))
-            } finally walk.close()
-          }
+          // Plain NIO walk-and-delete (graft.Fs): commons-io only reaches
+          // here via Spark's transitive classpath, and the marker writer is
+          // the one path that must never break.
+          Fs.deleteRecursively(d.toPath)
           d.mkdirs()
           Files.writeString(Paths.get(s"$outDir/$name/_FAILED"),
             s"$name: ${e.getClass.getName}: ${String.valueOf(e.getMessage)}\n")

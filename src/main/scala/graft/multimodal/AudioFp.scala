@@ -220,13 +220,22 @@ object AudioFp {
   }
 
   /** Shared hamming verify: join candidates back to both signatures,
-    * sum per-frame XOR bit counts, keep ≤ `maxHamming`. */
+    * sum per-frame XOR bit counts over the COMMON PREFIX, keep
+    * ≤ `maxHamming`. Crawl audio has duration-dependent fingerprint
+    * lengths — a truncated or padded re-encode is one frame longer,
+    * and zip_with over unequal arrays pads with null, null-poisoning
+    * the sum so the filter silently dropped the pair the banding just
+    * found. Prefix hamming is the same-recording-different-cut
+    * semantics; equal-length inputs (the oracle fixtures) are
+    * unaffected. */
   private def verifyPairs(cand: DataFrame, fps: DataFrame, maxHamming: Int,
                           idCol: String): DataFrame =
     cand.join(fps.as("fa"), col("media_a") === col(s"fa.$idCol"))
       .join(fps.as("fb"), col("media_b") === col(s"fb.$idCol"))
       .select(col("media_a"), col("media_b"),
-        expr("aggregate(zip_with(fa.fp, fb.fp, " +
+        expr("aggregate(zip_with(" +
+          "slice(fa.fp, 1, least(size(fa.fp), size(fb.fp))), " +
+          "slice(fb.fp, 1, least(size(fa.fp), size(fb.fp))), " +
           "(x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
           .cast("long").as("ham"))
       .filter(col("ham") <= maxHamming)

@@ -87,12 +87,12 @@ object CrawlMediaPack extends QueryPack {
   }
 
   /** An HTTP/1.1 200 wire response around `body`. */
-  private def http200(contentType: String, body: Array[Byte]): Array[Byte] =
+  private[graft] def http200(contentType: String, body: Array[Byte]): Array[Byte] =
     (s"HTTP/1.1 200 OK\r\nContent-Type: $contentType\r\n" +
       s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++ body
 
   /** One WARC response record (ISO 28500 framing). */
-  private def warcResponse(uri: String, id: Long, seq: Int,
+  private[graft] def warcResponse(uri: String, id: Long, seq: Int,
                            payload: Array[Byte]): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("WARC/1.0\r\n")
@@ -163,11 +163,7 @@ object CrawlMediaPack extends QueryPack {
               withMediaId(batch), idCol = "media_id")
             .localCheckpoint(eager = true)
         } finally {
-          import scala.jdk.CollectionConverters._
-          val walk = java.nio.file.Files.walk(tmp)
-          try walk.iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-          finally walk.close()
+          graft.Fs.deleteRecursively(tmp)
         }
       }
     )

@@ -245,7 +245,7 @@ object MediaPack extends QueryPack {
   /** Minimal genuine WAV container around pre-coded sample data: RIFF/WAVE
     * + fmt(16) with the given format tag (mono, 8 kHz, 8-bit) + data — the
     * byte layout every WAV writer emits. */
-  private[multimodal] def wavContainer(tag: Int, data: Array[Byte]): Array[Byte] = {
+  private[graft] def wavContainer(tag: Int, data: Array[Byte]): Array[Byte] = {
     val buf = java.nio.ByteBuffer.allocate(44 + data.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)

@@ -98,11 +98,7 @@ object DedupPack extends QueryPack {
         store.snapshot(docs.filter(!isBatch))
         store.scoreBatch(docs.filter(isBatch)).localCheckpoint(eager = true)
       } finally {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(tmp)
-        try walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
+        graft.Fs.deleteRecursively(tmp)
       }
     },
     // Sorted-neighborhood method: candidates from sort adjacency (window

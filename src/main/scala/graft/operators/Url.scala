@@ -431,15 +431,31 @@ object Url {
     val rmap = graft.operators.Redirects.resolveFetches(fetchLog)
       .select(col("start"), col("final_url"))
     val followed = pages.join(rmap, pages(urlCol) === rmap("start"), "left")
-      .withColumn("_ikey",
-        coalesce(col(canonicalCol), col("final_url"), col(urlCol)))
+      .withColumn("_followed", coalesce(col("final_url"), col(urlCol)))
       .drop("start", "final_url")
-    withUrlParts(followed
+    // The canonical resolves against the redirect-FINAL URL: a page
+    // recorded under a pre-redirect URL was actually served by the
+    // chain's end, so a RELATIVE canonical belongs to that host — not
+    // the fetch URL's. Absolute canonicals pass through resolve
+    // unchanged (RFC 3986: an absolute reference wins), so callers may
+    // hand either raw or pre-resolved values.
+    val fi = followed.schema.fieldIndex("_followed")
+    val ci = followed.schema.fieldIndex(canonicalCol)
+    val keyedSchema = followed.schema.add("_ikey", StringType)
+    val keyed = followed.mapPartitions { it =>
+      it.map { row =>
+        val f = row.getAs[String](fi)
+        val c = row.getAs[String](ci)
+        val k = if (c == null) f else if (f == null) c else resolve(f, c)
+        Row.fromSeq(row.toSeq :+ k)
+      }
+    }(Encoders.row(keyedSchema))
+    withUrlParts(keyed
         .withColumn("_orig", col(urlCol))
         .withColumn(urlCol, col("_ikey")))
       .withColumn(urlCol, col("_orig"))
       .withColumnRenamed("url_norm", "identity")
-      .drop("_orig", "_ikey", "url_host", "url_domain")
+      .drop("_orig", "_ikey", "_followed", "url_host", "url_domain")
   }
 
   /** Per-host politeness schedule: the pacing every crawler owes the

@@ -198,11 +198,7 @@ object UrlPack extends QueryPack {
               col("rst_id").cast("long").as("batch_gen"))
             .localCheckpoint(eager = true)
         } finally {
-          import scala.jdk.CollectionConverters._
-          val walk = java.nio.file.Files.walk(tmp)
-          try walk.iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-          finally walk.close()
+          graft.Fs.deleteRecursively(tmp)
         }
       }
     )

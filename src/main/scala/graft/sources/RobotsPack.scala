@@ -160,11 +160,7 @@ object RobotsPack extends QueryPack {
           s1.union(s2).select(col("doc_id"), col("url_domain"),
             col("fetch_seq"), col("start_offset_s"))
         } finally {
-          import scala.jdk.CollectionConverters._
-          val walk = java.nio.file.Files.walk(tmp)
-          try walk.iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-          finally walk.close()
+          graft.Fs.deleteRecursively(tmp)
         }
       }
     )

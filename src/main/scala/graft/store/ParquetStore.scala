@@ -66,12 +66,8 @@ final class ParquetStore(
     finally s.close()
   }
 
-  private def deleteRecursively(dir: Path): Unit = {
-    val s = Files.walk(dir)
-    try s.sorted(java.util.Comparator.reverseOrder[Path]())
-      .forEach(p => { Files.deleteIfExists(p); () })
-    finally s.close()
-  }
+  private def deleteRecursively(dir: Path): Unit =
+    graft.Fs.deleteRecursively(dir)
 
   /** A4 restore from DURABLE storage: the directory listing is the
     * MAX(RST_ID) query (no data read at all). */

@@ -43,11 +43,15 @@ object CrawlIngest {
 
   /** [[DocSchema]] plus the redirect/canonical facts the IDENTITY
     * composition needs: `location` (the 3xx Location header, resolved
-    * later), `canonical_url` (the page-declared canonical, RFC
-    * 3986-resolved against the fetch URL). */
+    * against the fetch URL) and `canonical_raw` (the page-declared
+    * canonical EXACTLY as written — possibly relative). The canonical
+    * is deliberately NOT resolved here: a relative canonical on a page
+    * recorded under a pre-redirect URL must resolve against the
+    * redirect-FINAL URL, which only [[graft.operators.Url.withIdentity]]
+    * knows after the chain walk. */
   val FetchSchema: StructType = StructType(DocSchema.fields ++ Seq(
     StructField("location", StringType),
-    StructField("canonical_url", StringType)))
+    StructField("canonical_raw", StringType)))
 
   /** The batch transform: (path, content) file rows → extracted
     * document rows. Exposed separately so the streaming path, tests,
@@ -128,12 +132,9 @@ object CrawlIngest {
           // them; dropping them would silently lose a common page class.
           case "text/html" | "text/xml" if decoded != null =>
             val (text, title) = Html.extractCore(decoded, true)
-            val c = if (withCanonical) Html.pageMeta(decoded).canonicalUrl
-              else null
             val canonical =
-              if (c == null) null
-              else if (url == null) c
-              else graft.operators.Url.resolve(url, c)
+              if (withCanonical) Html.pageMeta(decoded).canonicalUrl
+              else null
             Iterator.single(doc(title.orNull, text, Html.mainText(decoded),
               canonical))
           case "text/plain" if decoded != null =>
@@ -284,10 +285,17 @@ object CrawlIngest {
     * (old URL now 301s to a page already ingested) both dedup against
     * the store even when the copies arrive in DIFFERENT batches. */
   def ingestByIdentity(store: ParquetStore, fetches: DataFrame): Long = {
-    val docs = fetches.filter(col("text").isNotNull)
+    // 3xx records are EDGES, never documents — real crawls record 301s
+    // with small HTML stub bodies ("Moved…"), and a stub admitted as a
+    // document would resolve to the TARGET's identity and permanently
+    // shadow the real page (the store's anti-join refuses the genuine
+    // content forever after).
+    val docs = fetches.filter(col("text").isNotNull &&
+      (col("http_status") < 300 || col("http_status") >= 400))
     val log = fetches.select(col("url"),
       col("http_status").as("status"), col("location"))
-    val keyed = graft.operators.Url.withIdentity(docs, log)
+    val keyed = graft.operators.Url.withIdentity(docs, log,
+        canonicalCol = "canonical_raw")
       .withColumn("identity",
         coalesce(col("identity"),
           concat(col("path"), lit("#"), col("record_ix"))))

@@ -47,7 +47,8 @@ object CrawlMedia {
     StructField("url", StringType), StructField("http_status", LongType),
     StructField("mime", StringType), StructField("kind", StringType),
     StructField("byte_len", LongType), StructField("sha1_b32", StringType),
-    StructField("phash", LongType), StructField("fp", ArrayType(IntegerType))))
+    StructField("phash", LongType), StructField("fp", ArrayType(IntegerType)),
+    StructField("media_key", StringType)))
 
   /** The batch transform: (path, content) `.warc.gz` file rows → media
     * rows with fingerprints. Shares [[CrawlIngest.documentsFrom]]'s
@@ -96,12 +97,19 @@ object CrawlMedia {
             case _ =>
               (None, AudioFp.fingerprintBytes(body))
           }
+          val url = row.getString(2)
+          // The store's dedup identity: the URL when present, the
+          // provenance pair otherwise (rare URI-less records must not
+          // collapse onto one null key).
+          val mediaKey =
+            if (url != null) url
+            else row.getString(0) + "#" + row.getLong(1)
           Iterator.single(Row(row.getString(0), row.getLong(1),
-            row.getString(2), row.getLong(3), mime, kind,
+            url, row.getLong(3), mime, kind,
             if (body == null) 0L else body.length.toLong,
             if (body == null) null else Warc.sha1Digest(body),
             phash.map(java.lang.Long.valueOf).orNull,
-            fp.orNull))
+            fp.orNull, mediaKey))
         }
       }
     }(org.apache.spark.sql.Encoders.row(MediaSchema))
@@ -137,11 +145,15 @@ object CrawlMedia {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val media = mediaFrom(batch).persist()
-          try { if (!media.isEmpty) store.appendStreaming(media) }
-          finally { media.unpersist(); () }
-        }
+        // Exact-dedup append by media_key (URL): a re-fetched URL
+        // (revisit, mirror) or a crashed-and-replayed batch must not
+        // land a second row — duplicate ids would violate the pair
+        // searches' uniqueness precondition and fan out their verify
+        // joins. First capture per key wins; content-version tracking
+        // is the WARC revisit surface's job, not the dedup store's.
+        if (!batch.isEmpty)
+          CrawlIngest.dedupAppendByKey(store, mediaFrom(batch),
+            "media_key", struct(col("path"), col("record_ix")))
         ()
       }
       .start()
@@ -154,11 +166,12 @@ object CrawlMedia {
     * ([[AudioFp.pairsIncremental]] — packed-band LSH + verify). Both
     * sides keyed by `idCol` (default `url` — the crawl identity; pass a
     * digest- or identity-derived column to dedup across mirrors).
-    * Undecoded rows (null fingerprint) are skipped. Output:
+    * Undecoded rows (null fingerprint) are skipped; `media_key` (the
+    * store's dedup identity) is the default key. Output:
     * (kind, media_a, media_b, ham) with media_a < media_b — exactly the
     * pairs a full recompute over store ∪ batch would add. */
   def pairsIncremental(baseMedia: DataFrame, batchMedia: DataFrame,
-                       idCol: String = "url", nBits: Int = 16,
+                       idCol: String = "media_key", nBits: Int = 16,
                        imageMaxHamming: Int = 2,
                        audioMaxHamming: Int = 4): DataFrame = {
     def img(df: DataFrame) = df
@@ -180,7 +193,7 @@ object CrawlMedia {
 
   /** Full-corpus variant of [[pairsIncremental]] (first snapshot / the
     * batch-mode audit): all ≤-budget pairs within `media`. */
-  def pairsAll(media: DataFrame, idCol: String = "url", nBits: Int = 16,
+  def pairsAll(media: DataFrame, idCol: String = "media_key", nBits: Int = 16,
                imageMaxHamming: Int = 2, audioMaxHamming: Int = 4)
       : DataFrame = {
     val imgPairs = Media.phashPairs(

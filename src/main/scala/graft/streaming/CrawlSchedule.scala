@@ -25,24 +25,35 @@ import graft.store.ParquetStore
 object CrawlSchedule {
 
   /** One row per host: fetches scheduled so far and the earliest
-    * second the NEXT fetch may start (relative to the host's first). */
+    * second the NEXT fetch may start (relative to the host's first).
+    * `batch_id` stamps which streaming micro-batch advanced the host
+    * (−1 for ad-hoc batch calls) — the replay guard below. */
   val StateSchema: StructType = StructType(Seq(
     StructField("domain", StringType),
     StructField("n_scheduled", LongType),
-    StructField("next_offset_s", DoubleType)))
+    StructField("next_offset_s", DoubleType),
+    StructField("batch_id", LongType)))
 
   /** Open (or resume) the host-state store. */
   def stateStore(spark: SparkSession, storePath: String,
                  tableName: String = "crawl_schedule"): ParquetStore =
     new ParquetStore(spark, StateSchema, storePath, tableName)
 
-  /** Latest state per host across the store's delta generations. */
-  private def latestState(store: ParquetStore): DataFrame =
-    store.selectAll
+  /** Latest state per host across the store's delta generations —
+    * excluding deltas stamped with batch ids ≥ `beforeBatch` (a
+    * REPLAYED micro-batch must see exactly the pre-batch state, even
+    * when its own crashed attempt already advanced the store). */
+  private def latestState(store: ParquetStore,
+                          beforeBatch: Long = -1L): DataFrame = {
+    val base =
+      if (beforeBatch < 0) store.selectAll
+      else store.selectAll.filter(col("batch_id") < beforeBatch)
+    base
       .withColumn("_rk", row_number().over(
         Window.partitionBy(col("domain")).orderBy(col("rst_id").desc)))
       .filter(col("_rk") === 1)
       .select(col("domain"), col("n_scheduled"), col("next_offset_s"))
+  }
 
   /** Schedule one batch of frontier URLs against the accumulated host
     * state: appends `fetch_seq` (the host's GLOBAL fetch counter, not
@@ -57,11 +68,12 @@ object CrawlSchedule {
   def scheduleBatch(store: ParquetStore, urls: DataFrame,
                     domainCol: String = "url_domain",
                     delayCol: String = "crawl_delay",
-                    order: Column): DataFrame = {
+                    order: Column, batchId: Long = -1L): DataFrame = {
     val seqd = urls.withColumn("_seq",
       (row_number().over(Window.partitionBy(col(domainCol)).orderBy(order))
         - 1).cast("long"))
-    val prior = latestState(store).withColumnRenamed("domain", domainCol)
+    val prior = latestState(store, batchId)
+      .withColumnRenamed("domain", domainCol)
     val out = seqd.join(prior, Seq(domainCol), "left")
       .withColumn("fetch_seq",
         coalesce(col("n_scheduled"), lit(0L)) + col("_seq"))
@@ -70,10 +82,22 @@ object CrawlSchedule {
           col("_seq").cast("double") * col(delayCol))
       .drop("_seq", "n_scheduled", "next_offset_s")
       .localCheckpoint(true)
-    val delta = out.groupBy(col(domainCol).as("domain"))
-      .agg((max(col("fetch_seq")) + 1L).as("n_scheduled"),
-        max(col("start_offset_s") + col(delayCol)).as("next_offset_s"))
-    store.appendStreaming(delta)
+    // Replay guard (foreachBatch is at-least-once): a batch id already
+    // in the store advanced the hosts on a crashed attempt — recompute
+    // the SAME output from the pre-batch view above, but never
+    // double-advance. Batch ids are per-checkpoint, exactly the scope
+    // Structured Streaming replays within; ad-hoc calls (−1) always
+    // advance.
+    val applied = batchId >= 0 &&
+      !store.selectAll.filter(col("batch_id") === batchId).isEmpty
+    if (!applied) {
+      val delta = out.groupBy(col(domainCol).as("domain"))
+        .agg((max(col("fetch_seq")) + 1L).as("n_scheduled"),
+          max(col("start_offset_s") + col(delayCol)).as("next_offset_s"))
+        .withColumn("batch_id", lit(batchId))
+      store.appendStreaming(delta)
+      ()
+    }
     out
   }
 
@@ -98,7 +122,7 @@ object CrawlSchedule {
       .writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val urls = graft.operators.Url.withUrlParts(
               batch.select(trim(col("value")).as("url"))
@@ -107,10 +131,17 @@ object CrawlSchedule {
               Seq("url_domain"), "left")
             .withColumn("crawl_delay",
               coalesce(col("crawl_delay"), lit(defaultDelay)))
-          val sched = scheduleBatch(state, urls, order = col("url"))
+          val sched = scheduleBatch(state, urls, order = col("url"),
+              batchId = batchId)
             .select(col("url"), col("url_domain"), col("fetch_seq"),
               col("start_offset_s"))
-          outStore.appendStreaming(sched)
+            .withColumn("sched_key",
+              concat_ws("#", col("url"), col("fetch_seq")))
+          // Keyed append: a replayed batch recomputes the SAME rows
+          // (pre-batch state view), so (url, fetch_seq) dedups the
+          // crash window between the state advance and this write.
+          CrawlIngest.dedupAppendByKey(outStore, sched, "sched_key",
+            col("url"))
           ()
         }
         ()
@@ -122,5 +153,6 @@ object CrawlSchedule {
   val OutSchema: StructType = StructType(Seq(
     StructField("url", StringType), StructField("url_domain", StringType),
     StructField("fetch_seq", LongType),
-    StructField("start_offset_s", DoubleType)))
+    StructField("start_offset_s", DoubleType),
+    StructField("sched_key", StringType)))
 }

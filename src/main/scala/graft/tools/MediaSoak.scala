@@ -39,54 +39,21 @@ object MediaSoak {
   private def samplesOf(id: Long): Array[Int] =
     Array.tabulate(4096)(i => ((mix(id, 1000L + i) % 121L).toInt))
 
-  private def wav8(x: Array[Int]): Array[Byte] = {
-    val data = x.map(v => (v + 128).toByte)
-    val buf = java.nio.ByteBuffer.allocate(44 + data.length)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
-      .put("WAVE".getBytes("US-ASCII"))
-      .put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1).putShort(1).putInt(8000).putInt(8000)
-      .putShort(1).putShort(8)
-      .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
-    buf.array()
-  }
-
-  private def bmp16(pix: Array[Byte]): Array[Byte] = {
-    val size = 54 + 48 * 16
-    val buf = java.nio.ByteBuffer.allocate(size)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    buf.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
-    buf.putInt(40).putInt(16).putInt(16).putShort(1).putShort(24)
-      .putInt(0).putInt(48 * 16).putInt(2835).putInt(2835)
-      .putInt(0).putInt(0)
-    var y = 15
-    while (y >= 0) {
-      var x = 0
-      while (x < 16) { val v = pix(y * 16 + x); buf.put(v).put(v).put(v); x += 1 }
-      y -= 1
-    }
-    buf.array()
-  }
-
-  private def http200(ct: String, body: Array[Byte]): Array[Byte] =
-    (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
-      s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++ body
-
-  private def warcRec(uri: String, payload: Array[Byte]): Array[Byte] =
-    (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
-      "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
-      s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1") ++
-      payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
-
-  /** One media WARC for `id`: a picture + an audio clip; every 10th id
-    * reuses id−1's content (constant dup rate for the pair stages). */
+  /** One media WARC for `id`: a picture + an audio clip (the pack's
+    * shared BMP/WAV/HTTP/WARC encoders — review r12: the soak must
+    * frame bytes exactly as the oracle-checked fixtures do); every
+    * 10th id reuses id−1's content (constant dup rate for the pair
+    * stages). */
   private def mediaWarc(id: Long): Array[Byte] = {
+    import graft.multimodal.{CrawlMediaPack, MediaPack}
     val src = if (id % 10 == 9) id - 1 else id
-    warcRec(s"https://m.soak/img/$id",
-      http200("application/octet-stream", bmp16(pixelsOf(src)))) ++
-      warcRec(s"https://m.soak/aud/$id",
-        http200("application/octet-stream", wav8(samplesOf(src))))
+    val wav = MediaPack.wavContainer(1,
+      samplesOf(src).map(v => (v + 128).toByte))
+    CrawlMediaPack.warcResponse(s"https://m.soak/img/$id", id, 0,
+      CrawlMediaPack.http200("application/octet-stream",
+        CrawlMediaPack.bmp16(pixelsOf(src)))) ++
+      CrawlMediaPack.warcResponse(s"https://m.soak/aud/$id", id, 1,
+        CrawlMediaPack.http200("application/octet-stream", wav))
   }
 
   def main(args: Array[String]): Unit = {

@@ -101,11 +101,7 @@ object PrefixSoak {
       println(s"SOAK score_batch_vs_${reps}x pairs=$n")
       val n0 = timed(s"score_nomatch_vs_${reps}x") { store.scoreBatch(noMatch).count() }
       println(s"SOAK score_nomatch_vs_${reps}x pairs=$n0")
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(tmp)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
+      graft.Fs.deleteRecursively(tmp)
     }
 
     // --- 3. Append-log steady state (r9): between re-snapshots, corpus
@@ -124,11 +120,7 @@ object PrefixSoak {
     val nA = timed("append_score") { aStore.scoreBatch(batch).count() }
     println(s"SOAK append_score pairs=$nA")
     locally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(tmpA)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
+      graft.Fs.deleteRecursively(tmpA)
     }
 
     // --- 4. Pruning-decay curve (r10, VERDICT r9 #2): candidate volume
@@ -201,11 +193,7 @@ object PrefixSoak {
     timed("decay_append_fresh") { dStore.appendDocs(driftedDelta(2000, 600000000L)) }
     decayPoint("post_resnapshot_1x")
     locally {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(tmpD)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
+      graft.Fs.deleteRecursively(tmpD)
     }
     spark.stop()
   }

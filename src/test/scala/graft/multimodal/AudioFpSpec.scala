@@ -66,6 +66,21 @@ class AudioFpSpec extends SparkSpec {
     }
   }
 
+  test("pairs: unequal-length fingerprints verify over the common prefix, never null-drop") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // Same recording, one cut a frame longer (crawl audio is duration-
+    // dependent): the banding finds the candidate, and the verify must
+    // score the COMMON PREFIX instead of null-poisoning the hamming sum
+    // (zip_with pads unequal arrays with null — review r12).
+    val base = Array.tabulate(30)(i => (i * 7) % 128)
+    val longer = base :+ 99
+    val fps = Seq((1L, base), (2L, longer)).toDF("media_id", "fp")
+    val got = AudioFp.pairs(fps, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 2L, 0L)))
+  }
+
   test("mono: channel average, odd remainders truncate toward zero") {
     val stereo = Media.PcmAudio(8000, 2, 16, Array(10, 20, -3, -4, 7, 8))
     assert(AudioFp.mono(stereo).toSeq === Seq(15, -3, 7))

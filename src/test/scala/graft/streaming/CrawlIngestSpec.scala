@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.{Files, Paths}
 import graft.SparkSpec
 import graft.sources.{HttpPack, WarcPack}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 /** The crawl drop-folder stream: files in → extracted documents in a
@@ -134,6 +135,48 @@ class CrawlIngestSpec extends SparkSpec {
       trigger = Trigger.AvailableNow())
     q2.awaitTermination()
     assert(store.selectAll.count() === 2)
+
+    // A 301 with an HTML STUB body ("Moved…" pages — common in real
+    // crawls) is an EDGE, never a document: admitted, its stub would
+    // take the TARGET's identity and shadow the real page forever
+    // (review r12). The genuine page, arriving in the SAME batch with
+    // a later record_ix, must be the one stored.
+    Files.write(Paths.get(dropDir, "b3.warc.gz"), WarcPack.gzipBytes(
+      record("https://e.org/stub", "301 Moved Permanently",
+        html ++ Seq("Location" -> "/target"),
+        "<html><body>Moved to target enough prose here</body></html>") ++
+        record("https://e.org/target", "200 OK", html,
+          page("the real target page"))))
+    run()
+    val t = store.selectAll
+      .filter(col("identity") === "https://e.org/target")
+      .select("url", "text").collect()
+    assert(t.length === 1)
+    assert(t.head.getString(0) === "https://e.org/target")
+    assert(t.head.getString(1).contains("the real target page"))
+  }
+
+  test("withIdentity: a RELATIVE canonical on a redirect-recorded page resolves against the FINAL host") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // Content recorded under old.com/p, whose fetch 301s to new.com/p;
+    // the page declares <link rel=canonical href="/p"> — the canonical
+    // belongs to the SERVING host (new.com), not the fetch URL's.
+    val pages = Seq(("https://old.com/p", "/p"))
+      .toDF("url", "canonical_raw")
+    val log = Seq(("https://old.com/p", 301L, "https://new.com/p"))
+      .toDF("url", "status", "location")
+    val out = graft.operators.Url.withIdentity(pages, log,
+        canonicalCol = "canonical_raw")
+      .select("identity").head().getString(0)
+    assert(out === "https://new.com/p")
+    // An ABSOLUTE canonical passes through resolve unchanged, so
+    // pre-resolved callers (q_doc_identity's withPageMeta) are intact.
+    val abs = Seq(("https://old.com/p", "https://canon.org/x"))
+      .toDF("url", "canonical_raw")
+    assert(graft.operators.Url.withIdentity(abs, log,
+      canonicalCol = "canonical_raw")
+      .select("identity").head().getString(0) === "https://canon.org/x")
   }
 
   test("attachDeduped: the same URL across files and restarts lands ONCE") {

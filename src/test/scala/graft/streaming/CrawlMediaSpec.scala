@@ -83,6 +83,20 @@ class CrawlMediaSpec extends SparkSpec {
     CrawlMedia.attach(spark, dropDir, CrawlMedia.mediaStore(spark, storeDir),
       ckpt, trigger = Trigger.AvailableNow()).awaitTermination()
     assert(store.selectAll.count() === 6)
+
+    // A revisited URL (same media re-fetched in a later file) must NOT
+    // land a second row — duplicate keys would violate the pair
+    // searches' uniqueness precondition and fan out their verify joins
+    // (review r12). Same for a full replay on a fresh checkpoint.
+    dropFile(dropDir, "d.warc.gz", 8L) // exact same URLs as c.warc.gz
+    CrawlMedia.attach(spark, dropDir, CrawlMedia.mediaStore(spark, storeDir),
+      ckpt, trigger = Trigger.AvailableNow()).awaitTermination()
+    assert(store.selectAll.count() === 6)
+    val ckpt2 = Files.createTempDirectory("graft_media_ckpt2").toString
+    CrawlMedia.attach(spark, dropDir, CrawlMedia.mediaStore(spark, storeDir),
+      ckpt2, trigger = Trigger.AvailableNow()).awaitTermination()
+    assert(store.selectAll.count() === 6)
+    assert(store.selectAll.select("media_key").distinct().count() === 6)
   }
 
   test("incremental pairs == full recompute minus base-only pairs") {

@@ -59,6 +59,35 @@ class CrawlScheduleSpec extends SparkSpec {
     assert((after.getLong(0), after.getDouble(1)) === ((3L, 9.0)))
   }
 
+  test("a replayed batch id recomputes the SAME schedule and never double-advances") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val tmp = Files.createTempDirectory("graft_sched_rp").toString
+    val store = CrawlSchedule.stateStore(spark, tmp,
+      s"sched_rp_${System.nanoTime()}")
+    val b0 = Seq((0L, "h.org", 2.0d), (1L, "h.org", 2.0d))
+      .toDF("id", "url_domain", "crawl_delay")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "fetch_seq", "start_offset_s").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val first = rows(CrawlSchedule.scheduleBatch(store, b0,
+      order = col("id"), batchId = 0L))
+    // The crashed-attempt replay: the state store ALREADY holds batch
+    // 0's delta, yet the same batch id must see the pre-batch view —
+    // identical output, no second advance (review r12: foreachBatch is
+    // at-least-once; without the guard the replay scheduled at offsets
+    // continuing past its own phantom attempt).
+    val replay = rows(CrawlSchedule.scheduleBatch(store, b0,
+      order = col("id"), batchId = 0L))
+    assert(replay === first)
+    assert(first === Set((0L, 0L, 0.0), (1L, 1L, 2.0)))
+    // The NEXT batch continues from the single advance.
+    val next = rows(CrawlSchedule.scheduleBatch(store,
+      Seq((2L, "h.org", 2.0d)).toDF("id", "url_domain", "crawl_delay"),
+      order = col("id"), batchId = 1L))
+    assert(next === Set((2L, 2L, 4.0)))
+  }
+
   test("incremental scheduling == one batch politenessSchedule over the arrival-ordered union") {
     val sparkSession = spark
     import sparkSession.implicits._
