@@ -361,6 +361,44 @@ object Bench {
   private[graft] def calibrationPhase(n: Int = 3): Double =
     (1 to n).map(_ => calibrationRun()).min
 
+  /** The I/O twin of [[calibrationRun]] (r12 round-final finding: all
+    * three STATEFUL stream benches dropped 2–3× below their recordings
+    * while the CPU canary read 0.96 and stateless ingest held — HDFS-
+    * backed state stores fsync to /tmp every micro-batch, and a
+    * CPU-bound canary cannot see disk turbulence): 256 × 4 KiB dsync'd
+    * writes to a private temp file, the state-store commit's I/O shape.
+    * Wall time is a pure function of the volume's current sync-write
+    * latency. */
+  private[graft] def ioCalibrationRun(writes: Int = 256): Double = {
+    val f = java.nio.file.Files.createTempFile("graft_iocal", ".bin")
+    try {
+      val ch = java.nio.channels.FileChannel.open(f,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.DSYNC)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(4096)
+        (0 until 4096).foreach(i => buf.put(i, (i * 31).toByte))
+        val t0 = System.nanoTime()
+        var k = 0
+        while (k < writes) {
+          buf.rewind()
+          ch.write(buf, (k * 4096).toLong)
+          k += 1
+        }
+        (System.nanoTime() - t0) / 1e9
+      } finally ch.close()
+    } finally { java.nio.file.Files.deleteIfExists(f); () }
+  }
+
+  /** [[ioCalibrationRun]] reference seconds, recorded 2026-08-15 on the
+    * round-12 build box (min of 5 on a calm interval). The I/O factor
+    * rides the UNBUDGETED secondary line — it adjudicates the stateful
+    * stream benches, whose commit path is sync-write-bound. */
+  private[graft] val IoCalibrationRefSec: Double = 0.064
+
+  private[graft] def ioCalibrationPhase(n: Int = 3): Double =
+    (1 to n).map(_ => ioCalibrationRun()).min
+
   /** Stage the events fixture SPLIT into 8 parquet files in a temp dir
     * (the file source needs a DIRECTORY; 2 files/trigger ⇒ 4 real
     * micro-batches, so measured rates include per-batch planning/commit
@@ -606,6 +644,9 @@ object Bench {
     // drift — the judge has had to re-measure "regressions" on unchanged
     // code three rounds running.
     val calBefore = calibrationPhase()
+    // The I/O twin brackets the STATEFUL stream benches below (their
+    // commit path is sync-write-bound and invisible to a CPU canary).
+    val ioBefore = ioCalibrationPhase()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -701,6 +742,10 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] event staging failed: $e")
       ((0L, -1.0), (0L, -1.0), (0L, -1.0), (0L, -1.0)) }
+    // I/O canary phase 2: immediately after the state-store-bound
+    // stream benches, so the bracket covers exactly the window their
+    // rates were measured in.
+    val ioAfter = ioCalibrationPhase()
     // Heal phase: the streaming benches above took tens of seconds —
     // genuine temporal separation from phase 1 — so a burst that
     // straddled a query's own back-to-back samples has had time to
@@ -725,7 +770,10 @@ object Bench {
       s"\"" + k + "\":" + (if (err.isEmpty) f"$v%.3f" else "-1")
     }.mkString("{\"secondary\":{", ",", "}," +
       f""""calibration":{"before":$calBefore%.3f,"after":$calAfter%.3f,""" +
-      f""""ref":$CalibrationRefSec%.3f}}"""))
+      f""""ref":$CalibrationRefSec%.3f},""" +
+      f""""io_calibration":{"before":$ioBefore%.3f,"after":$ioAfter%.3f,""" +
+      f""""ref":$IoCalibrationRefSec%.3f,""" +
+      f""""io_factor":${math.min(ioBefore, ioAfter) / IoCalibrationRefSec}%.2f}}"""))
     // Tail-budget rounding: the driver keeps only a 2000-char TAIL of
     // combined stdout+stderr, so the results line must fit WITH slack for
     // sbt's trailing "[success]" line and any late log lines. 100 ms
