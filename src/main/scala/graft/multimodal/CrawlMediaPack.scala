@@ -140,8 +140,14 @@ object CrawlMediaPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q_crawl_media_dedup" -> { (s, dir) =>
+        // localCheckpoint: the media table feeds SIX join branches
+        // (phash l/r, audio bands a/b + verify fa/fb) — without it each
+        // branch re-runs the whole gunzip→WARC→HTTP→decode→fingerprint
+        // chain (the documentsFrom union trap; measured 6.5→4.5 s warm at
+        // sf0.1).
         val media = withMediaId(
           CrawlMedia.mediaFrom(warcFiles(s, table(s, dir, "documents"))))
+          .localCheckpoint(true)
         CrawlMedia.pairsAll(media, idCol = "media_id")
       },
       // The DURABLE incremental pipe: batch 1 (even docs) ingested into
@@ -157,8 +163,11 @@ object CrawlMediaPack extends QueryPack {
             s"crawl_media_${System.nanoTime()}")
           store.append(CrawlMedia.mediaFrom(
             warcFiles(s, docs.filter(col("doc_id") % 2 === 0))))
+          // Same localCheckpoint rationale as the full query: the
+          // batch side feeds the banded-join and verify branches.
           val batch = CrawlMedia.mediaFrom(
             warcFiles(s, docs.filter(col("doc_id") % 2 === 1)))
+            .localCheckpoint(true)
           CrawlMedia.pairsIncremental(withMediaId(store.selectAll),
               withMediaId(batch), idCol = "media_id")
             .localCheckpoint(eager = true)
