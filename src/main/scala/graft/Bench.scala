@@ -218,6 +218,9 @@ object Bench {
     // q_fetch_schedule covers the window shape, the store round-trip
     // rides q_doc_identity_inc's family).
     "q_fetch_schedule_inc",
+    // Span-level extraction (secondary; segmentation + dominant rollup
+    // siblings q_lang_segments/q_curated_multilang).
+    "q_span_extract",
     // Embedded-font /ToUnicode CMap decode (secondary; reported sibling
     // q_pdf_text covers the object-scan/Flate/BT-ET machinery — this
     // adds the per-show-string CMap lookup on top).
@@ -308,7 +311,8 @@ object Bench {
     // full-table hash agg → q_exact_quantiles' full-table sort.
     "q_crawl_media_dedup_inc", "q_skew_audit", "q_concurrency",
     "q_table_checksum", "q_pdf_cmap", "q_lang_segments",
-    "q_curated_multilang", "q_doc_identity_inc", "q_fetch_schedule_inc")
+    "q_curated_multilang", "q_doc_identity_inc", "q_fetch_schedule_inc",
+    "q_span_extract")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -254,6 +254,31 @@ object TextFunctions {
           .as("share_permille"))
   }
 
+  /** SPAN-LEVEL extraction (the step after [[langSpans]]): rebuild each
+    * document keeping only the segments of its DOMINANT language — the
+    * CCNet-style move that salvages a mixed-language page instead of
+    * dropping it (a French quote inside an English article costs the
+    * quote, not the article). Output: (doc_id, text_kept — segments
+    * rejoined in document order, n_kept, n_dropped). One grouped
+    * aggregate keyed by doc_id; segment order restored with an
+    * array_sort over (sent_ix, sentence) structs so the reassembly is
+    * partition-independent. */
+  def keepDominantSpans(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val segs = langSegments(df, textCol)
+      .select(col("doc_id"), col("sent_ix"), col("sentence"),
+        col("pred_lang"))
+    val dom = langDominant(segs).select(col("doc_id"), col("dom_lang"))
+    segs.join(dom, Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          when(col("pred_lang") === col("dom_lang"),
+            struct(col("sent_ix"), col("sentence"))))),
+          s => s.getField("sentence")), " ").as("text_kept"),
+        count(when(col("pred_lang") === col("dom_lang"), 1)).as("n_kept"),
+        count(when(col("pred_lang") =!= col("dom_lang"), 1)).as("n_dropped"))
+  }
+
   /** Word n-grams (n >= 2) as space-joined strings; documents shorter than n
     * yield an empty array. The token array is let-bound so the split runs
     * exactly once per row (see [[SqlLet]]) even though the sliding lookup

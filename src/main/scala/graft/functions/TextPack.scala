@@ -114,6 +114,16 @@ object TextPack extends QueryPack {
         .select(col("doc_id"), col("span_ix"), col("span_lang"),
           col("n_sents"))
     },
+    // SPAN-LEVEL extraction (r12): the salvage move — rebuild each
+    // mixed document keeping only its dominant language's segments in
+    // document order (even docs keep the three English sentences and
+    // drop the German one; odd docs keep the two German and drop
+    // three). Closed-form from the construction.
+    "q_span_extract" -> { (s, dir) =>
+      TextFunctions.keepDominantSpans(mixedDocs(s, dir))
+        .select(col("doc_id"), col("text_kept"), col("n_kept"),
+          col("n_dropped"))
+    },
     // The mixed-language GATE as a curation stage (r11 verdict #4
     // "used as a filter stage"): keep documents whose dominant language
     // is English with ≥ 700‰ of segments — even docs pass at 750‰,
@@ -388,6 +398,18 @@ object TextPack extends QueryPack {
       """SELECT doc_id, lang, 'en' AS dom_lang,
         |  CAST(750 AS BIGINT) AS share_permille
         |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
+    "q_span_extract" -> {
+      def lit(k: String): String = MixSentences(k)
+      s"""SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0
+         |    THEN '${lit("en1")} ${lit("en2")} ${lit("en3")}'
+         |    ELSE '${lit("de1")} ${lit("de2")}' END AS text_kept,
+         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS BIGINT)
+         |    AS n_kept,
+         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT)
+         |    AS n_dropped
+         |FROM documents""".stripMargin
+    },
     "q_quality_score" ->
       s"""WITH n AS ($NormCte)
          |SELECT doc_id, length(text) AS len,

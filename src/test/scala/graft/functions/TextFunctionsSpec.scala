@@ -139,6 +139,15 @@ test("scriptMix: per-script exact counts on a constructed multiscript doc") {
     assert(dom(1L) === (("en", 4L, 3L, 750L)))
     assert(dom(2L) === (("fr", 2L, 2L, 1000L)))
     assert(dom(3L) === (("und", 2L, 2L, 1000L)))
+    // Span extraction salvages the document: dominant-language
+    // segments rejoin in DOCUMENT order, the rest drop with counts.
+    val kept = TextFunctions.keepDominantSpans(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(kept(1L) === (("The cat and the dog sat. " +
+      "The end of the day came. The rest of it all.", 3L, 1L)))
+    assert(kept(2L) ===
+      (("Le chat et le chien. Le bon et les amis.", 2L, 0L)))
     // Tie-break is deterministic and lexicographic: en(1) + de(1).
     val tie = TextFunctions.langDominant(TextFunctions.langSegments(
       Seq((9L, "The cat and the dog sat. Der hund und die katze."))
