@@ -777,7 +777,10 @@ object Bench {
       f""""ref":$CalibrationRefSec%.3f},""" +
       f""""io_calibration":{"before":$ioBefore%.3f,"after":$ioAfter%.3f,""" +
       f""""ref":$IoCalibrationRefSec%.3f,""" +
-      f""""io_factor":${math.min(ioBefore, ioAfter) / IoCalibrationRefSec}%.2f}}"""))
+      // max, not min: the factor EXCUSES slow stateful benches, so it
+      // must report the worst bracket endpoint — turbulence at either
+      // probe is evidence the benches between them ran under it.
+      f""""io_factor":${math.max(ioBefore, ioAfter) / IoCalibrationRefSec}%.2f}}"""))
     // Tail-budget rounding: the driver keeps only a 2000-char TAIL of
     // combined stdout+stderr, so the results line must fit WITH slack for
     // sbt's trailing "[success]" line and any late log lines. 100 ms

@@ -264,11 +264,21 @@ object TextFunctions {
     * array_sort over (sent_ix, sentence) structs so the reassembly is
     * partition-independent. */
   def keepDominantSpans(df: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val segs = langSegments(df, textCol)
       .select(col("doc_id"), col("sent_ix"), col("sentence"),
         col("pred_lang"))
-    val dom = langDominant(segs).select(col("doc_id"), col("dom_lang"))
-    segs.join(dom, Seq("doc_id"))
+    // The dominant language derives from ONE pass via windows over the
+    // same doc_id key (a langDominant join would fork the plan and
+    // re-run segmentation + scoring per branch — the diverging-plans
+    // trap). Tie-break matches langDominant: count desc, lang asc.
+    val wCnt = Window.partitionBy(col("doc_id"), col("pred_lang"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("_nl").desc, col("pred_lang").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    segs
+      .withColumn("_nl", count(lit(1)).over(wCnt))
+      .withColumn("dom_lang", first(col("pred_lang")).over(wDoc))
       .groupBy(col("doc_id"))
       .agg(
         array_join(transform(array_sort(collect_list(

@@ -175,9 +175,10 @@ object AudioFp {
     * candidates (ONE shuffle on the packed band key) + full-signature
     * hamming verify. Recall is exact by pigeonhole whenever the band
     * count exceeds `maxHamming` (a ≤ T-bit pair differs in ≤ T bands).
-    * `fps` must be `(idCol, fp array<int>)` with equal-length
-    * fingerprints; localCheckpoint it when it is expensive to derive —
-    * this plan fans it into four join branches. Output:
+    * `fps` must be `(idCol, fp array<int>)`; unequal lengths verify
+    * over the common prefix subject to the minimum-overlap rule (see
+    * the verify below). localCheckpoint it when it is expensive to
+    * derive — this plan fans it into four join branches. Output:
     * (media_a, media_b, ham) with media_a < media_b. */
   def pairs(fps: DataFrame, maxHamming: Int = 4, bandFrames: Int = 5,
             idCol: String = "media_id"): DataFrame = {
@@ -188,7 +189,7 @@ object AudioFp {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("media_a"), col(s"b.$idCol").as("media_b"))
       .distinct()
-    verifyPairs(cand, fps, maxHamming, idCol)
+    verifyPairs(cand, fps, maxHamming, idCol, 2 * bandFrames)
   }
 
   /** INCREMENTAL [[pairs]]: every ≤ `maxHamming` pair with at least one
@@ -216,7 +217,7 @@ object AudioFp {
       .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("media_a"),
         greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("media_b"))
       .distinct()
-    verifyPairs(cand, all, maxHamming, idCol)
+    verifyPairs(cand, all, maxHamming, idCol, 2 * bandFrames)
   }
 
   /** Shared hamming verify: join candidates back to both signatures,
@@ -226,12 +227,16 @@ object AudioFp {
     * and zip_with over unequal arrays pads with null, null-poisoning
     * the sum so the filter silently dropped the pair the banding just
     * found. Prefix hamming is the same-recording-different-cut
-    * semantics; equal-length inputs (the oracle fixtures) are
-    * unaffected. */
+    * semantics — BUT only above a minimum overlap (two band widths):
+    * a ≤-one-band clip would otherwise verify as a "duplicate" of any
+    * track it shares its single band with, a trivially-passing
+    * threshold over a handful of frames (review r12, second pass).
+    * Equal-length inputs (the oracle fixtures) are unaffected. */
   private def verifyPairs(cand: DataFrame, fps: DataFrame, maxHamming: Int,
-                          idCol: String): DataFrame =
+                          idCol: String, minOverlap: Int): DataFrame =
     cand.join(fps.as("fa"), col("media_a") === col(s"fa.$idCol"))
       .join(fps.as("fb"), col("media_b") === col(s"fb.$idCol"))
+      .filter(least(size(col("fa.fp")), size(col("fb.fp"))) >= minOverlap)
       .select(col("media_a"), col("media_b"),
         expr("aggregate(zip_with(" +
           "slice(fa.fp, 1, least(size(fa.fp), size(fb.fp))), " +

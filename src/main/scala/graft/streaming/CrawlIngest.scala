@@ -77,8 +77,10 @@ object CrawlIngest {
     * same single-decode dispatch, additionally keeping 3xx redirect
     * records (`location` set, `text` null — the edges the identity
     * composition follows) and the html route's page-declared canonical
-    * (`canonical_url`, RFC 3986-resolved). Records that are neither
-    * textual nor redirects are still dropped here. */
+    * (`canonical_raw`, UNRESOLVED — see [[FetchSchema]]: the right
+    * base for a relative canonical is the redirect-final URL, known
+    * only after the chain walk). Records that are neither textual nor
+    * redirects are still dropped here. */
   def fetchesFrom(files: DataFrame, bytesCol: String = "content",
                   gzipped: Boolean = true): DataFrame =
     fetchCore(files, bytesCol, gzipped, withCanonical = true)
@@ -291,7 +293,8 @@ object CrawlIngest {
     // shadow the real page (the store's anti-join refuses the genuine
     // content forever after).
     val docs = fetches.filter(col("text").isNotNull &&
-      (col("http_status") < 300 || col("http_status") >= 400))
+      (col("http_status").isNull || col("http_status") < 300 ||
+        col("http_status") >= 400))
     val log = fetches.select(col("url"),
       col("http_status").as("status"), col("location"))
     val keyed = graft.operators.Url.withIdentity(docs, log,

@@ -26,13 +26,19 @@ object CrawlSchedule {
 
   /** One row per host: fetches scheduled so far and the earliest
     * second the NEXT fetch may start (relative to the host's first).
-    * `batch_id` stamps which streaming micro-batch advanced the host
-    * (−1 for ad-hoc batch calls) — the replay guard below. */
+    * `scope` + `batch_id` stamp which stream lineage and micro-batch
+    * advanced the host (empty scope / −1 for ad-hoc batch calls) — the
+    * replay guard below. Batch ids RESTART at 0 per checkpoint, so the
+    * guard must be scoped to the checkpoint lineage or a fresh-
+    * checkpoint run would alias a previous run's ids (freezing the
+    * store and reading the wrong pre-state — review r12, second
+    * pass). */
   val StateSchema: StructType = StructType(Seq(
     StructField("domain", StringType),
     StructField("n_scheduled", LongType),
     StructField("next_offset_s", DoubleType),
-    StructField("batch_id", LongType)))
+    StructField("batch_id", LongType),
+    StructField("scope", StringType)))
 
   /** Open (or resume) the host-state store. */
   def stateStore(spark: SparkSession, storePath: String,
@@ -40,14 +46,18 @@ object CrawlSchedule {
     new ParquetStore(spark, StateSchema, storePath, tableName)
 
   /** Latest state per host across the store's delta generations —
-    * excluding deltas stamped with batch ids ≥ `beforeBatch` (a
-    * REPLAYED micro-batch must see exactly the pre-batch state, even
-    * when its own crashed attempt already advanced the store). */
-  private def latestState(store: ParquetStore,
-                          beforeBatch: Long = -1L): DataFrame = {
+    * excluding deltas THIS lineage stamped with batch ids ≥
+    * `beforeBatch` (a REPLAYED micro-batch must see exactly the
+    * pre-batch state, even when its own crashed attempt already
+    * advanced the store). Null-safe: legacy rows without the
+    * scope/batch_id columns (pre-r12 stores read them as null) count
+    * as applied history, never vanish. */
+  private def latestState(store: ParquetStore, beforeBatch: Long = -1L,
+                          scope: String = ""): DataFrame = {
     val base =
       if (beforeBatch < 0) store.selectAll
-      else store.selectAll.filter(col("batch_id") < beforeBatch)
+      else store.selectAll.filter(!(col("scope") <=> lit(scope) &&
+        coalesce(col("batch_id"), lit(-1L)) >= lit(beforeBatch)))
     base
       .withColumn("_rk", row_number().over(
         Window.partitionBy(col("domain")).orderBy(col("rst_id").desc)))
@@ -68,11 +78,12 @@ object CrawlSchedule {
   def scheduleBatch(store: ParquetStore, urls: DataFrame,
                     domainCol: String = "url_domain",
                     delayCol: String = "crawl_delay",
-                    order: Column, batchId: Long = -1L): DataFrame = {
+                    order: Column, batchId: Long = -1L,
+                    scope: String = ""): DataFrame = {
     val seqd = urls.withColumn("_seq",
       (row_number().over(Window.partitionBy(col(domainCol)).orderBy(order))
         - 1).cast("long"))
-    val prior = latestState(store, batchId)
+    val prior = latestState(store, batchId, scope)
       .withColumnRenamed("domain", domainCol)
     val out = seqd.join(prior, Seq(domainCol), "left")
       .withColumn("fetch_seq",
@@ -82,19 +93,23 @@ object CrawlSchedule {
           col("_seq").cast("double") * col(delayCol))
       .drop("_seq", "n_scheduled", "next_offset_s")
       .localCheckpoint(true)
-    // Replay guard (foreachBatch is at-least-once): a batch id already
-    // in the store advanced the hosts on a crashed attempt — recompute
-    // the SAME output from the pre-batch view above, but never
-    // double-advance. Batch ids are per-checkpoint, exactly the scope
-    // Structured Streaming replays within; ad-hoc calls (−1) always
-    // advance.
+    // Replay guard (foreachBatch is at-least-once): a (scope, batch id)
+    // already in the store advanced the hosts on a crashed attempt —
+    // recompute the SAME output from the pre-batch view above, but
+    // never double-advance. The probe reads only the NEWEST generation
+    // (partition-pruned recent(1)): within one lineage the crashed
+    // delta is necessarily the last append, and a full-store scan per
+    // trigger would cost O(generations²) cumulatively. Ad-hoc calls
+    // (−1) always advance.
     val applied = batchId >= 0 &&
-      !store.selectAll.filter(col("batch_id") === batchId).isEmpty
+      !store.recent(1).filter(col("scope") <=> lit(scope) &&
+        col("batch_id") === batchId).isEmpty
     if (!applied) {
       val delta = out.groupBy(col(domainCol).as("domain"))
         .agg((max(col("fetch_seq")) + 1L).as("n_scheduled"),
           max(col("start_offset_s") + col(delayCol)).as("next_offset_s"))
         .withColumn("batch_id", lit(batchId))
+        .withColumn("scope", lit(scope))
       store.appendStreaming(delta)
       ()
     }
@@ -132,7 +147,7 @@ object CrawlSchedule {
             .withColumn("crawl_delay",
               coalesce(col("crawl_delay"), lit(defaultDelay)))
           val sched = scheduleBatch(state, urls, order = col("url"),
-              batchId = batchId)
+              batchId = batchId, scope = checkpoint)
             .select(col("url"), col("url_domain"), col("fetch_seq"),
               col("start_offset_s"))
             .withColumn("sched_key",

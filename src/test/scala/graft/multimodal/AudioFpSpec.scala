@@ -79,6 +79,13 @@ class AudioFpSpec extends SparkSpec {
     val got = AudioFp.pairs(fps, maxHamming = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === Seq((1L, 2L, 0L)))
+    // Minimum overlap: a clip of barely one band (5-9 frames) would
+    // verify trivially against ANY track sharing that single band — a
+    // handful of near-silent opening frames must not mark two different
+    // recordings as duplicates. Below two band widths: rejected.
+    val shortClip = base.take(6)
+    val fps2 = Seq((1L, base), (3L, shortClip)).toDF("media_id", "fp")
+    assert(AudioFp.pairs(fps2, maxHamming = 4).isEmpty)
   }
 
   test("mono: channel average, odd remainders truncate toward zero") {
