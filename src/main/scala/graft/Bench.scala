@@ -224,7 +224,17 @@ object Bench {
     // Embedded-font /ToUnicode CMap decode (secondary; reported sibling
     // q_pdf_text covers the object-scan/Flate/BT-ET machinery — this
     // adds the per-show-string CMap lookup on top).
-    "q_pdf_cmap"
+    "q_pdf_cmap",
+    // Round-13 wave — all secondary, each with a reported sibling
+    // covering its execution family: robots-store-driven politeness
+    // (q_fetch_schedule covers the window, q_fetch_schedule_inc the
+    // store round-trip), digest pre-cluster membership + rep-only
+    // pairs (q_crawl_media_dedup covers the decode+band family), the
+    // production 48-cell phash geometry (same family, wider bands),
+    // and xref-stream PDF liveness (q_pdf_text/q_pdf_cmap cover the
+    // object-scan machinery; this adds the xref chain + predictor).
+    "q_fetch_schedule_robots", "q_media_mirrors", "q_media_mirror_pairs",
+    "q_crawl_media_dedup48", "q_pdf_xref"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -312,7 +322,10 @@ object Bench {
     "q_crawl_media_dedup_inc", "q_skew_audit", "q_concurrency",
     "q_table_checksum", "q_pdf_cmap", "q_lang_segments",
     "q_curated_multilang", "q_doc_identity_inc", "q_fetch_schedule_inc",
-    "q_span_extract")
+    "q_span_extract",
+    // r13 wave (see the headline comment for the sibling mapping).
+    "q_fetch_schedule_robots", "q_media_mirrors", "q_media_mirror_pairs",
+    "q_crawl_media_dedup48", "q_pdf_xref")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

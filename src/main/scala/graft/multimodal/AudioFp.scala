@@ -189,7 +189,8 @@ object AudioFp {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("media_a"), col(s"b.$idCol").as("media_b"))
       .distinct()
-    verifyPairs(cand, fps, maxHamming, idCol, 2 * bandFrames)
+    verifyPairs(cand, fps, maxHamming, idCol,
+      (maxHamming + 1) * bandFrames)
   }
 
   /** INCREMENTAL [[pairs]]: every ≤ `maxHamming` pair with at least one
@@ -217,7 +218,8 @@ object AudioFp {
       .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("media_a"),
         greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("media_b"))
       .distinct()
-    verifyPairs(cand, all, maxHamming, idCol, 2 * bandFrames)
+    verifyPairs(cand, all, maxHamming, idCol,
+      (maxHamming + 1) * bandFrames)
   }
 
   /** Shared hamming verify: join candidates back to both signatures,
@@ -227,11 +229,20 @@ object AudioFp {
     * and zip_with over unequal arrays pads with null, null-poisoning
     * the sum so the filter silently dropped the pair the banding just
     * found. Prefix hamming is the same-recording-different-cut
-    * semantics — BUT only above a minimum overlap (two band widths):
-    * a ≤-one-band clip would otherwise verify as a "duplicate" of any
-    * track it shares its single band with, a trivially-passing
-    * threshold over a handful of frames (review r12, second pass).
-    * Equal-length inputs (the oracle fixtures) are unaffected. */
+    * semantics — BUT only above a minimum overlap of
+    * (maxHamming + 1) band widths, the PIGEONHOLE width: below it a
+    * ≤-budget pair can spread its differing bits across EVERY shared
+    * band and produce no collision, so the banding would find such
+    * pairs only by luck — the gate admits exactly the overlap range
+    * the banding guarantees to find, making exclusion deterministic
+    * instead of collision-dependent (advice r12: 10–24-frame pairs
+    * passed a 2-band gate but had ≤ 4 bands, silently dropping ≤ 4-bit
+    * pairs BEFORE verify). It also keeps the trivial-match guard: a
+    * barely-one-band clip never verifies as a "duplicate" of any track
+    * sharing that single band. Sub-pigeonhole clips (< ~0.4 s at
+    * defaults) are below the dedup's resolution by contract.
+    * Equal-length inputs (the oracle fixtures, 30 frames) are
+    * unaffected. */
   private def verifyPairs(cand: DataFrame, fps: DataFrame, maxHamming: Int,
                           idCol: String, minOverlap: Int): DataFrame =
     cand.join(fps.as("fa"), col("media_a") === col(s"fa.$idCol"))

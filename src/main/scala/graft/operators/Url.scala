@@ -369,6 +369,29 @@ object Url {
     else lastTwo
   }
 
+  /** The scalar behind [[withUrlParts]]: RFC 3986 normalization +
+    * tracking-param strip in ONE parse — (url_norm, url_host). Null-in
+    * maps to (null, null); unparseable strings trim and pass through
+    * with no host. */
+  private def normWithHost(raw: String): (String, String) =
+    parse(raw) match {
+      case None => (if (raw == null) null else raw.trim, null)
+      case Some(p0) =>
+        val p = normalizedParts(p0)
+        val q =
+          if (p.query == null) null
+          else {
+            val kept = p.query.split("&", -1).filterNot(isTracking)
+            if (kept.isEmpty) null else kept.mkString("&")
+          }
+        (render(p.copy(query = q)), p.host)
+    }
+
+  /** Scalar DEDUP-KEY normalization — [[withUrlParts]]' `url_norm`
+    * column as a plain function ([[normalize]] + tracking-param strip),
+    * for callers already inside their own per-partition pass. */
+  def normalizeKey(url: String): String = normWithHost(url)._1
+
   /** DataFrame form: appends `url_norm` (canonical + tracking-stripped
     * — THE dedup key), `url_host` (lowercased host) and `url_domain`
     * (registrable domain) in one narrow per-partition pass. */
@@ -379,22 +402,10 @@ object Url {
       .add("url_domain", StringType)
     df.mapPartitions { it =>
       it.map { row =>
-        val raw = row.getAs[String](ui)
         // ONE parse per row: normalize + tracking-strip + host all
         // derive from the same parsed parts (this is the corpus-scale
         // hot path — the previous shape re-parsed three times).
-        val (norm, host) = parse(raw) match {
-          case None => (if (raw == null) null else raw.trim, null)
-          case Some(p0) =>
-            val p = normalizedParts(p0)
-            val q =
-              if (p.query == null) null
-              else {
-                val kept = p.query.split("&", -1).filterNot(isTracking)
-                if (kept.isEmpty) null else kept.mkString("&")
-              }
-            (render(p.copy(query = q)), p.host)
-        }
+        val (norm, host) = normWithHost(row.getAs[String](ui))
         val domain = if (host == null) null else registrableDomain(host)
         Row.fromSeq(row.toSeq :+ norm :+ host :+ domain)
       }
@@ -428,34 +439,41 @@ object Url {
   def withIdentity(pages: DataFrame, fetchLog: DataFrame,
                    urlCol: String = "url",
                    canonicalCol: String = "canonical_url"): DataFrame = {
+    // The ONLY appended column is `identity`; internal names are
+    // collision-proofed and stripped, so pages pre-processed with
+    // [[withUrlParts]] (already carrying url_norm/url_host/url_domain)
+    // pass through untouched (advice r12: the previous shape routed
+    // through withUrlParts and clobbered those caller columns).
+    require(!pages.columns.contains("identity"),
+      "withIdentity appends 'identity'; the input already has one")
     val rmap = graft.operators.Redirects.resolveFetches(fetchLog)
-      .select(col("start"), col("final_url"))
-    val followed = pages.join(rmap, pages(urlCol) === rmap("start"), "left")
-      .withColumn("_followed", coalesce(col("final_url"), col(urlCol)))
-      .drop("start", "final_url")
+      .select(col("start").as("__graft_rstart"),
+        col("final_url").as("__graft_rfinal"))
+    val followed = pages
+      .join(rmap, pages(urlCol) === rmap("__graft_rstart"), "left")
+      .withColumn("__graft_followed",
+        coalesce(col("__graft_rfinal"), col(urlCol)))
+      .drop("__graft_rstart", "__graft_rfinal")
     // The canonical resolves against the redirect-FINAL URL: a page
     // recorded under a pre-redirect URL was actually served by the
     // chain's end, so a RELATIVE canonical belongs to that host — not
     // the fetch URL's. Absolute canonicals pass through resolve
     // unchanged (RFC 3986: an absolute reference wins), so callers may
-    // hand either raw or pre-resolved values.
-    val fi = followed.schema.fieldIndex("_followed")
+    // hand either raw or pre-resolved values. Key composition AND
+    // normalization happen in this one per-partition pass
+    // ([[normalize]] — the withUrlParts scalar).
+    val fi = followed.schema.fieldIndex("__graft_followed")
     val ci = followed.schema.fieldIndex(canonicalCol)
-    val keyedSchema = followed.schema.add("_ikey", StringType)
-    val keyed = followed.mapPartitions { it =>
+    val keyedSchema = followed.schema.add("identity", StringType)
+    followed.mapPartitions { it =>
       it.map { row =>
         val f = row.getAs[String](fi)
         val c = row.getAs[String](ci)
         val k = if (c == null) f else if (f == null) c else resolve(f, c)
-        Row.fromSeq(row.toSeq :+ k)
+        Row.fromSeq(row.toSeq :+ normalizeKey(k))
       }
     }(Encoders.row(keyedSchema))
-    withUrlParts(keyed
-        .withColumn("_orig", col(urlCol))
-        .withColumn(urlCol, col("_ikey")))
-      .withColumn(urlCol, col("_orig"))
-      .withColumnRenamed("url_norm", "identity")
-      .drop("_orig", "_ikey", "_followed", "url_host", "url_domain")
+      .drop("__graft_followed")
   }
 
   /** Per-host politeness schedule: the pacing every crawler owes the

@@ -195,6 +195,106 @@ object PdfPack extends QueryPack {
     sb.toByteArray
   }
 
+  /** A PDF whose CORRECT reading exists only through its cross-
+    * reference STREAM (r12 verdict #5). Document order lies three ways:
+    *
+    *  - the live page dict (obj 3) has TWO ObjStm-contained copies —
+    *    the real one (→ /Contents 4) in ObjStm 2, a decoy (→ /Contents
+    *    6, "wrong …") in the LATER ObjStm 7 that last-wins would pick;
+    *    the xref's TYPE-2 entry (stm 2, index 0) designates the real
+    *    copy;
+    *  - the live content (obj 4, "xref …") is SHADOWED by a later
+    *    direct revision ("shadow …"); the TYPE-1 entry's byte offset
+    *    designates the earlier real one;
+    *  - a second page dict (obj 5 → the wrong contents) sits in the
+    *    file but its number is marked FREE (type 0) — document order
+    *    would count a second page and extract the wrong text.
+    *
+    * The xref stream itself is FlateDecode + PNG Up predictor
+    * (/DecodeParms /Predictor 12 — what real writers emit), W [1 3 1].
+    * Every third doc builds WITHOUT the xref machinery or decoys (a
+    * clean pre-1.5 shape) pinning the fallback: same text, zero
+    * sections. */
+  private[graft] def pdfXrefFile(id: Long, text: String): Array[Byte] = {
+    val content = s"BT (xref ${esc(text)}) Tj ET".getBytes("ISO-8859-1")
+    val sb = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = sb.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    if (id % 3 == 0) {
+      // The no-xref variant: one ObjStm page + the content, nothing to
+      // disambiguate — document-order liveness must read it perfectly.
+      val hdr = "3 0\n"
+      val body = (hdr + "<< /Type /Page /Contents 4 0 R >>")
+        .getBytes("ISO-8859-1")
+      val stm = deflate(body)
+      w(s"4 0 obj << /Length ${content.length} >> stream\n")
+      sb.write(content)
+      w("\nendstream endobj\n")
+      w(s"2 0 obj << /Type /ObjStm /N 1 /First ${hdr.length} " +
+        s"/Length ${stm.length} /Filter /FlateDecode >> stream\n")
+      sb.write(stm)
+      w("\nendstream endobj\n")
+      w("trailer << /Root 1 0 R /Size 5 >>\n%%EOF\n")
+      return sb.toByteArray
+    }
+    val offReal4 = sb.size()
+    w(s"4 0 obj << /Length ${content.length} >> stream\n")
+    sb.write(content)
+    w("\nendstream endobj\n")
+    val hdr2 = "3 0\n"
+    val body2 = (hdr2 + "<< /Type /Page /Contents 4 0 R >>")
+      .getBytes("ISO-8859-1")
+    val stm2 = deflate(body2)
+    val offStm2 = sb.size()
+    w(s"2 0 obj << /Type /ObjStm /N 1 /First ${hdr2.length} " +
+      s"/Length ${stm2.length} /Filter /FlateDecode >> stream\n")
+    sb.write(stm2)
+    w("\nendstream endobj\n")
+    val body7 = (hdr2 + "<< /Type /Page /Contents 6 0 R >>")
+      .getBytes("ISO-8859-1")
+    val stm7 = deflate(body7)
+    val offStm7 = sb.size()
+    w(s"7 0 obj << /Type /ObjStm /N 1 /First ${hdr2.length} " +
+      s"/Length ${stm7.length} /Filter /FlateDecode >> stream\n")
+    sb.write(stm7)
+    w("\nendstream endobj\n")
+    val shadow = s"BT (shadow $id) Tj ET"
+    w(s"4 0 obj << /Length ${shadow.length} >> stream\n$shadow" +
+      "\nendstream endobj\n")
+    val wrong = s"BT (wrong $id) Tj ET"
+    val offObj6 = sb.size()
+    w(s"6 0 obj << /Length ${wrong.length} >> stream\n$wrong" +
+      "\nendstream endobj\n")
+    w("5 0 obj << /Type /Page /Contents 6 0 R >> endobj\n")
+    val offX1 = sb.size()
+    // W [1 3 1] → 5-byte rows; PNG Up predictor (filter byte 2), the
+    // shape real writers emit.
+    def row(t: Int, f2: Long, f3: Int): Array[Byte] = Array(
+      t.toByte, ((f2 >> 16) & 0xff).toByte, ((f2 >> 8) & 0xff).toByte,
+      (f2 & 0xff).toByte, f3.toByte)
+    val rows = Array(
+      row(0, 0L, 0), row(1, offX1.toLong, 0), row(1, offStm2.toLong, 0),
+      row(2, 2L, 0), row(1, offReal4.toLong, 0), row(0, 0L, 0),
+      row(1, offObj6.toLong, 0), row(1, offStm7.toLong, 0))
+    val filtered = new java.io.ByteArrayOutputStream()
+    var prev = new Array[Byte](5)
+    for (r <- rows) {
+      filtered.write(2) // PNG Up
+      for (c <- 0 until 5)
+        filtered.write((r(c) - prev(c)) & 0xff)
+      prev = r
+    }
+    val xstm = deflate(filtered.toByteArray)
+    w(s"1 0 obj << /Type /XRef /Size 8 /W [1 3 1] /Index [0 8] " +
+      s"/Root 9 0 R /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns 5 >> " +
+      s"/Length ${xstm.length} >> stream\n")
+    sb.write(xstm)
+    w("\nendstream endobj\n")
+    w(s"startxref\n$offX1\n%%EOF\n")
+    sb.toByteArray
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       // Embedded-font /ToUnicode text (r12): the CMap decode path end
@@ -212,6 +312,24 @@ object PdfPack extends QueryPack {
         Pdf.extractText(pdfs)
           .select(col("doc_id"), col("pdf_pages"), col("pdf_fonts_cmap"),
             col("pdf_fonts_cmap_failed"), col("pdf_text"))
+      },
+      // Cross-reference-STREAM liveness (r12 verdict #5): the fixture's
+      // correct reading exists only through the xref — a type-2 entry
+      // picks the real page among two ObjStm copies, a type-1 offset
+      // picks the unshadowed content revision, a type-0 free mark drops
+      // a decoy page — and document order gets every one of those
+      // wrong. The no-xref variant (every third doc) pins the fallback.
+      "q_pdf_xref" -> { (s, dir) =>
+        import s.implicits._
+        val pdfs = table(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) => (id, pdfXrefFile(id, text)) }
+          .toDF("doc_id", "bytes")
+        Pdf.extractText(pdfs)
+          .select(col("doc_id"), col("pdf_pages"), col("pdf_objects"),
+            col("pdf_text"), col("pdf_xref_sections"),
+            col("pdf_xref_failed"))
       },
       "q_pdf_text" -> { (s, dir) =>
         import s.implicits._
@@ -265,6 +383,21 @@ object PdfPack extends QueryPack {
     * contributes the TJ kern sentence ('-200 thousandths' crosses the
     * word-gap threshold, '-10' does not) and the escape line. */
   override def oracles: Map[String, String] = Map(
+    // Xref liveness closed-form: ONE page (the freed decoy never
+    // counts), the UNSHADOWED content revision's text, 9 discovered
+    // objects (7 direct + 2 ObjStm-contained copies of the page) on
+    // xref docs vs 3 on the no-xref variant, exactly one parsed
+    // section and zero failures.
+    "q_pdf_xref" ->
+      """SELECT doc_id,
+        |  CAST(1 AS BIGINT) AS pdf_pages,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 9 END AS BIGINT)
+        |    AS pdf_objects,
+        |  'xref ' || text AS pdf_text,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS BIGINT)
+        |    AS pdf_xref_sections,
+        |  CAST(0 AS BIGINT) AS pdf_xref_failed
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     // The CMap construction round-trips closed-form: A→Α (913),
     // digits→Arabic-Indic (1632+d), Z→913+25, abc→αβγ (945..947),
     // <0077>→'fi', <0020>→' ', unmapped <1234>→U+FFFD (65533), then

@@ -162,6 +162,61 @@ object RobotsPack extends QueryPack {
         } finally {
           graft.Fs.deleteRecursively(tmp)
         }
+      },
+      // ROBOTS-STORE-DRIVEN politeness (r12 verdict #3): pacing comes
+      // from what the crawler actually FETCHED — robots.txt bodies
+      // parse into a durable policy store (latest generation per
+      // domain wins: site0's re-fetch updates 1 s → 7 s), the
+      // scheduler reads the store's delay table, a host whose robots
+      // declares no Crawl-delay (site3) and a host never fetched
+      // (site4) both pace at the 1 s default. The oracle re-derives
+      // the whole composition closed-form.
+      "q_fetch_schedule_robots" -> { (s, dir) =>
+        import s.implicits._
+        import graft.streaming.CrawlSchedule
+        val tmpR = java.nio.file.Files.createTempDirectory("graft_robots")
+        val tmpS = java.nio.file.Files.createTempDirectory("graft_schedr")
+        try {
+          val rstore = CrawlSchedule.robotsStore(s, tmpR.toString,
+            s"crawl_robots_${System.nanoTime()}")
+          rstore.append(CrawlSchedule.robotsPolicies(Seq(
+            ("https://site0.com/robots.txt",
+              "User-agent: *\nCrawl-delay: 1\n"),
+            ("https://site1.com/robots.txt",
+              "User-agent: *\nCrawl-delay: 2\n"),
+            ("https://site2.com/robots.txt",
+              "User-agent: *\nCrawl-delay: 3\n"),
+            ("https://site3.com/robots.txt",
+              "User-agent: *\nDisallow: /private/\n"),
+            ("https://site2.com/page.html", "Crawl-delay: 99\n"))
+            .toDF("url", "text"), "graftbot"))
+          // Re-fetch lands a new generation: latest policy wins.
+          rstore.append(CrawlSchedule.robotsPolicies(Seq(
+            ("https://site0.com/robots.txt",
+              "User-agent: *\nCrawl-delay: 7\n")).toDF("url", "text"),
+            "graftbot"))
+          val delays = CrawlSchedule.delaysFrom(rstore)
+            .withColumnRenamed("domain", "url_domain")
+          val store = CrawlSchedule.stateStore(s, tmpS.toString,
+            s"crawl_schedule_r_${System.nanoTime()}")
+          def urls(batch2: Boolean) = table(s, dir, "documents")
+            .select(col("doc_id")).as[Long]
+            .filter((id: Long) => (id % 2 == 1) == batch2)
+            .map(id => (id, s"site${id % 5}.com"))
+            .toDF("doc_id", "url_domain")
+            .join(delays, Seq("url_domain"), "left")
+            .withColumn("crawl_delay",
+              coalesce(col("crawl_delay"), lit(1.0d)))
+          val s1 = CrawlSchedule.scheduleBatch(store,
+            urls(batch2 = false), order = col("doc_id"))
+          val s2 = CrawlSchedule.scheduleBatch(store,
+            urls(batch2 = true), order = col("doc_id"))
+          s1.union(s2).select(col("doc_id"), col("url_domain"),
+            col("fetch_seq"), col("start_offset_s"))
+        } finally {
+          graft.Fs.deleteRecursively(tmpR)
+          graft.Fs.deleteRecursively(tmpS)
+        }
       }
     )
 
@@ -233,6 +288,21 @@ object RobotsPack extends QueryPack {
         |  'site' || CAST(g AS VARCHAR) || '.com' AS url_domain,
         |  CAST(seq AS BIGINT) AS fetch_seq,
         |  CAST(seq * (g + 1) AS DOUBLE) AS start_offset_s
+        |FROM s""".stripMargin,
+    // Robots-driven pacing: site0 re-fetched 1→7 (latest generation
+    // wins), sites 1/2 declare 2/3, site3 fetched but declares no
+    // delay → default 1, site4 never fetched → default 1; the non-
+    // robots URL (site2/page.html) must contribute nothing.
+    "q_fetch_schedule_robots" ->
+      """WITH s AS (SELECT doc_id, doc_id % 5 AS g,
+        |    row_number() OVER (PARTITION BY doc_id % 5
+        |      ORDER BY doc_id % 2, doc_id) - 1 AS seq
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'site' || CAST(g AS VARCHAR) || '.com' AS url_domain,
+        |  CAST(seq AS BIGINT) AS fetch_seq,
+        |  CAST(seq * (CASE g WHEN 0 THEN 7 WHEN 1 THEN 2 WHEN 2 THEN 3
+        |    ELSE 1 END) AS DOUBLE) AS start_offset_s
         |FROM s""".stripMargin
   )
 }

@@ -40,7 +40,21 @@ final class ParquetStore(
       * per generation; with the guard, steady-state files ≈ generations.
       * 0 disables. Batch [[append]] is left alone — bulk loads size their
       * own files. */
-    val autoCompactFiles: Long = 8L
+    val autoCompactFiles: Long = 8L,
+    /** RE-SNAPSHOT policy for DELTA-KEYED stores (r12 verdict #1): when
+      * non-empty (with `collapseEvery` > 0), [[appendStreaming]] runs
+      * [[collapseToLatest]] on these key columns whenever the on-disk
+      * generation count exceeds `collapseEvery` — so long-running
+      * streamed consumers ([[graft.streaming.CrawlSchedule]]'s
+      * latest-per-host window, [[graft.streaming.CrawlIngest]]'s
+      * key anti-join) read ONE compacted base + at most
+      * `collapseEvery` deltas instead of an unboundedly growing
+      * delta history. Count-based auto-clean is DISABLED while a
+      * collapse policy is set: the collapse (not retention) re-bounds
+      * the store, and expiring old generations under a delta-keyed
+      * store silently loses the keys last touched there. */
+    val collapseKeys: Seq[String] = Nil,
+    val collapseEvery: Long = 0L
 ) extends GenerationStore {
 
   val fullSchema: StructType =
@@ -98,6 +112,11 @@ final class ParquetStore(
       val sealedGen = currentRstId - 1L
       if (generationFileCount(sealedGen) > autoCompactFiles) compact(sealedGen)
     }
+    // Re-snapshot AFTER the delta is sealed (keepRecent = 1 keeps the
+    // generation this call just wrote intact — see collapseToLatest).
+    if (collapseEvery > 0L && collapseKeys.nonEmpty &&
+      generationIds().length > collapseEvery)
+      collapseToLatest(collapseKeys)
     this
   }
 
@@ -119,7 +138,13 @@ final class ParquetStore(
       throw e
     }
     counter += 1
-    if (counter % cleanFreq == 0) cleanCore(-1L)
+    // Count-based retention and collapse are mutually exclusive: under
+    // a collapse policy the base generation sits at an OLD slot while
+    // the counter keeps rising, so counting-window retention would
+    // eventually expire the base — the whole accumulated state. (It
+    // was already wrong for delta-keyed stores WITHOUT collapse: any
+    // key untouched for cleanInterval appends lost its latest row.)
+    if (collapseEvery <= 0L && counter % cleanFreq == 0) cleanCore(-1L)
     registerView()
     this
   }
@@ -281,6 +306,90 @@ final class ParquetStore(
     }
     this
   }
+
+  /** RE-SNAPSHOT (r12 verdict #1 — `ParquetStore.scala:296`'s named
+    * upgrade): collapse every generation EXCEPT the newest `keepRecent`
+    * into ONE latest-per-key BASE occupying the highest collapsed
+    * generation's slot, then delete the older directories. Reads are
+    * EQUIVALENT before and after (spec-pinned): for every key, the row
+    * with the maximum rst_id survives with an rst_id no smaller than
+    * any collapsed rival's, so latest-per-key windows, key anti-joins
+    * and full scans of CURRENT state see the same answers — what
+    * changes is the asymptote: a long-running streamed consumer reads
+    * one base + a bounded delta tail instead of the full append
+    * history (O(keys), not O(age)).
+    *
+    * Placement matters: the base lands at the highest COLLAPSED slot —
+    * below every kept delta — so kept deltas still override it in
+    * latest-per-key reads; a base written at a NEW top slot would
+    * shadow them. Crash-safety is ordered like [[merge]]'s
+    * copy-on-write: stage → swap the target slot → only then delete
+    * the older directories. After the swap every older generation is
+    * fully SUBSUMED by the base (every key present there is in the
+    * base at a ≥ rst_id), so a crash mid-deletes leaves a correct,
+    * slightly-larger store and the next collapse finishes the job.
+    *
+    * `keepRecent ≥ 1` (default) preserves the newest delta
+    * un-collapsed, so readers tailing the most recent generation
+    * (`recent(1)` probes, lockstep coordinators) never race a rewrite
+    * of the directory they just observed; streamed-consumer REPLAY
+    * does not depend on it —
+    * [[graft.streaming.CrawlSchedule.scheduleBatch]] reconstructs its
+    * pre-batch view arithmetically, precisely so a re-snapshot may
+    * fold any delta at any time.
+    *
+    * Keys: rows within one generation must be unique per key (true for
+    * every delta writer in the repo — `scheduleBatch` aggregates per
+    * domain, `dedupAppendByKey` windows per key); ties within a
+    * generation would collapse to an arbitrary row. No-op below two
+    * collapsible generations. */
+  def collapseToLatest(keys: Seq[String], keepRecent: Int = 1): this.type =
+    this.synchronized {
+      require(keys.nonEmpty, "collapse needs at least one key column")
+      keys.foreach(k => require(schema.fieldNames.contains(k),
+        s"collapse key '$k' is not a store column (${schema.fieldNames.mkString(",")})"))
+      val gens = generationIds()
+      val toCollapse =
+        if (keepRecent <= 0) gens else gens.dropRight(keepRecent)
+      if (toCollapse.length >= 2) {
+        val target = toCollapse.last
+        import org.apache.spark.sql.expressions.Window
+        val base = raw(Some(col("rst_id") <= target))
+          .withColumn("_rk", row_number().over(
+            Window.partitionBy(keys.map(col): _*)
+              .orderBy(col("rst_id").desc)))
+          .filter(col("_rk") === 1)
+          .drop("_rk", "rst_id")
+        val staging = Paths.get(path, s".staging_cl_$target")
+        val original = Paths.get(path, s"rst_id=$target")
+        var originalDeleted = false
+        try {
+          base.write.mode("overwrite").parquet(staging.toString)
+          deleteRecursively(original)
+          originalDeleted = true
+          Files.move(staging, original,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } catch { case e: Throwable =>
+          if (!originalDeleted) {
+            if (Files.exists(staging)) deleteRecursively(staging)
+          } else if (Files.exists(staging)) {
+            // Same recovery contract as merge/compact: the staged copy
+            // is the only full copy now — plain-rename fallback, else
+            // leave it on disk for operators.
+            try Files.move(staging, original)
+            catch { case _: Throwable => () }
+          }
+          throw e
+        }
+        // Older generations are now subsumed — delete is pure cleanup
+        // and crash-resumable.
+        toCollapse.init.foreach { g =>
+          deleteRecursively(Paths.get(s"$path/rst_id=$g"))
+        }
+        registerView()
+      }
+      this
+    }
 
   /** Partition-discovered read: rst_id comes back as a column from the
     * directory names. Filters applied HERE hit the raw partition column, so

@@ -85,28 +85,94 @@ object CrawlIngest {
                   gzipped: Boolean = true): DataFrame =
     fetchCore(files, bytesCol, gzipped, withCanonical = true)
 
-  /** Shared dispatch; `withCanonical` gates the per-page pageMeta walk
-    * so the plain documents path pays nothing for the identity
-    * columns it immediately drops. */
-  private def fetchCore(files: DataFrame, bytesCol: String,
-                        gzipped: Boolean, withCanonical: Boolean): DataFrame = {
+  /** The shared decoded-response base every crawl consumer dispatches
+    * over: gunzip → WARC member walk → HTTP response parse → byte
+    * sniff, projected to (path, record_ix, url, http_status,
+    * mime_sniffed, body, decoded, location). ONE pass produces it; the
+    * text route, and the COMBINED text+media route
+    * ([[CrawlMedia.combinedFrom]]), fork per RECORD after it — never
+    * per branch (see [[fetchCore]]'s union-trap note). */
+  private[streaming] def responseBase(files: DataFrame, bytesCol: String,
+                                      gzipped: Boolean): DataFrame = {
     val recs = Warc.records(
         files.select(col("path"), col(bytesCol).as("bytes")),
         bytesCol = "bytes", gzipped = gzipped)
       .filter(col("record_ix") >= 0 && col("warc_type") === "response")
-    val base = Mime.withSniffed(
+    Mime.withSniffed(
         Http.responses(recs).filter(col("http_status") >= 0),
         "body", "http_content_type")
       .select(col("path"), col("record_ix"),
         col("target_uri").as("url"), col("http_status"),
         col("mime_sniffed"), col("body"),
-        coalesce(col("text"), decode(col("body"), "UTF-8")).as("decoded"),
+        // The UTF-8 fallback (body sniffing textual under a non-textual
+        // header) is VALIDITY-GUARDED: ANSI decode THROWS on malformed
+        // bytes, and a crawl is full of binary bodies with null `text`
+        // (a WAV under application/octet-stream killed the whole
+        // query before the guard — r13 shared-decode fixture). Invalid
+        // bytes yield null → the record is not a text document.
+        coalesce(col("text"), when(expr("is_valid_utf8(body)"),
+          decode(col("body"), "UTF-8"))).as("decoded"),
         // try_element_at: most responses carry no Location header and
         // the filtered array is empty — plain element_at throws under
         // ANSI semantics.
         try_element_at(filter(col("http_headers"),
           h => lower(h.getField("name")) === "location"), lit(1))
           .getField("value").as("location"))
+  }
+
+  /** Per-record TEXT-ROUTE dispatch over one [[responseBase]] record —
+    * [[FetchSchema]] rows (0 for non-textual non-redirects, up to 1
+    * otherwise). Extracted as a plain function so the independent pass
+    * here and the combined text+media pass
+    * ([[CrawlMedia.combinedFrom]]) share it VERBATIM — their parity is
+    * by construction, not by parallel maintenance (spec-pinned
+    * anyway). */
+  private[streaming] def docRowsOf(path: String, recordIx: Long,
+                                   url: String, status: Long, mime: String,
+                                   body: Array[Byte], decoded: String,
+                                   rawLocation: String,
+                                   withCanonical: Boolean)
+      : Iterator[org.apache.spark.sql.Row] = {
+    val location =
+      if (status >= 300 && status < 400 && rawLocation != null) {
+        if (url == null) rawLocation
+        else graft.operators.Url.resolve(url, rawLocation)
+      } else null
+    def doc(title: String, text: String, main: String,
+            canonical: String) =
+      org.apache.spark.sql.Row(path, recordIx, url,
+        status, title, text, main, location, canonical)
+    mime match {
+      // text/xml covers XHTML and XML-prologue pages ('<?xml' wins
+      // the sniff even when <html> follows) — the extractor handles
+      // them; dropping them would silently lose a common page class.
+      case "text/html" | "text/xml" if decoded != null =>
+        val (text, title) = Html.extractCore(decoded, true)
+        val canonical =
+          if (withCanonical) Html.pageMeta(decoded).canonicalUrl
+          else null
+        Iterator.single(doc(title.orNull, text, Html.mainText(decoded),
+          canonical))
+      case "text/plain" if decoded != null =>
+        Iterator.single(doc(null, decoded, decoded, null))
+      case "application/pdf" =>
+        // extractWithTitle: text AND /Info title from ONE parse
+        // (extract + docInfo would scan and inflate twice).
+        Pdf.extractWithTitle(body).iterator
+          .map { case (d, title) => doc(title, d.text, d.text, null) }
+      case _ if location != null =>
+        // Payload-less (or non-textual) 3xx: the redirect EDGE is
+        // the crawl fact the identity walk needs.
+        Iterator.single(doc(null, null, null, null))
+      case _ => Iterator.empty // images/archives: the media pipeline's
+    }
+  }
+
+  /** Shared dispatch; `withCanonical` gates the per-page pageMeta walk
+    * so the plain documents path pays nothing for the identity
+    * columns it immediately drops. */
+  private def fetchCore(files: DataFrame, bytesCol: String,
+                        gzipped: Boolean, withCanonical: Boolean): DataFrame = {
     // ONE narrow pass dispatching per record. The obvious alternative —
     // a filtered union of three DataFrame branches — re-executes the
     // whole gunzip→WARC→HTTP→sniff chain once PER BRANCH (uncached
@@ -114,44 +180,12 @@ object CrawlIngest {
     // corpus's dominant stage; measured +47% soak cost even with two
     // branches empty. Per-record dispatch keeps decode at exactly one
     // pass regardless of how many formats route.
-    base.mapPartitions { it =>
+    responseBase(files, bytesCol, gzipped).mapPartitions { it =>
       it.flatMap { row =>
-        val url = row.getString(2)
-        val status = row.getLong(3)
-        val location =
-          if (status >= 300 && status < 400 && !row.isNullAt(7)) {
-            val loc = row.getString(7)
-            if (url == null) loc else graft.operators.Url.resolve(url, loc)
-          } else null
-        def doc(title: String, text: String, main: String,
-                canonical: String) =
-          org.apache.spark.sql.Row(row.getString(0), row.getLong(1), url,
-            status, title, text, main, location, canonical)
-        val decoded = row.getString(6)
-        row.getString(4) match {
-          // text/xml covers XHTML and XML-prologue pages ('<?xml' wins
-          // the sniff even when <html> follows) — the extractor handles
-          // them; dropping them would silently lose a common page class.
-          case "text/html" | "text/xml" if decoded != null =>
-            val (text, title) = Html.extractCore(decoded, true)
-            val canonical =
-              if (withCanonical) Html.pageMeta(decoded).canonicalUrl
-              else null
-            Iterator.single(doc(title.orNull, text, Html.mainText(decoded),
-              canonical))
-          case "text/plain" if decoded != null =>
-            Iterator.single(doc(null, decoded, decoded, null))
-          case "application/pdf" =>
-            // extractWithTitle: text AND /Info title from ONE parse
-            // (extract + docInfo would scan and inflate twice).
-            Pdf.extractWithTitle(row.getAs[Array[Byte]](5)).iterator
-              .map { case (d, title) => doc(title, d.text, d.text, null) }
-          case _ if location != null =>
-            // Payload-less (or non-textual) 3xx: the redirect EDGE is
-            // the crawl fact the identity walk needs.
-            Iterator.single(doc(null, null, null, null))
-          case _ => Iterator.empty // images/archives: the media pipeline's
-        }
+        docRowsOf(row.getString(0), row.getLong(1), row.getString(2),
+          row.getLong(3), row.getString(4), row.getAs[Array[Byte]](5),
+          row.getString(6),
+          if (row.isNullAt(7)) null else row.getString(7), withCanonical)
       }
     }(org.apache.spark.sql.Encoders.row(FetchSchema))
   }
@@ -245,11 +279,20 @@ object CrawlIngest {
   val IdentityDocSchema: StructType =
     StructType(DocSchema.fields :+ StructField("identity", StringType))
 
-  /** Open (or resume) an identity-keyed documents store. */
+  /** Open (or resume) an identity-keyed documents store.
+    * Collapse-managed (r12 verdict #1): [[dedupAppendByKey]] keeps rows
+    * unique per identity, so the periodic latest-per-key re-snapshot is
+    * a pure compaction — same rows, ONE base + a bounded delta tail —
+    * and the per-trigger anti-join probes a store whose file/partition
+    * count is bounded instead of growing one generation per trigger
+    * for the crawl's lifetime. `collapseEvery = 0` restores full
+    * history. */
   def identityStore(spark: SparkSession, storePath: String,
-                    tableName: String = "crawl_docs_by_identity")
+                    tableName: String = "crawl_docs_by_identity",
+                    collapseEvery: Long = 16L)
       : ParquetStore =
-    new ParquetStore(spark, IdentityDocSchema, storePath, tableName)
+    new ParquetStore(spark, IdentityDocSchema, storePath, tableName,
+      collapseKeys = Seq("identity"), collapseEvery = collapseEvery)
 
   /** Exact-dedup append against a DURABLE store: within-batch rows
     * collapse per `keyCol` (first by `order` — deterministic), then the

@@ -63,6 +63,44 @@ object CrawlMedia {
     * banding cuts the hash into maxHamming+1 segments, and 16-bit
     * hashes leave ~6-bit band keys whose buckets grow with the corpus:
     * the measured band-entropy trap, SCALE.md r11). */
+  /** Per-record MEDIA-ROUTE dispatch — the [[MediaSchema]] row for one
+    * decoded response record, None for non-media. Extracted as a plain
+    * function so the independent pass and the combined text+media pass
+    * ([[combinedFrom]]) share it verbatim. */
+  private[streaming] def mediaRowOf(path: String, recordIx: Long,
+                                    url: String, status: Long, mime: String,
+                                    body: Array[Byte], nCells: Int)
+      : Option[Row] = {
+    val kind =
+      if (mime != null && mime.startsWith("image/")) "image"
+      else if (mime != null && (mime.startsWith("audio/") ||
+        mime == "application/ogg")) "audio"
+      else null
+    if (kind == null) None
+    else {
+      val (phash, fp) = kind match {
+        case "image" =>
+          // Index only REAL decodes: phashOf's raw-bytes fallback
+          // would "fingerprint" corrupt payloads by their encoded
+          // bytes, pairing identical files but nothing re-encoded —
+          // a dedup key that silently stops meaning "same picture".
+          (Media.decodeImage(body)
+            .map(Media.phashOfImage(_, nCells)): Option[Long], None)
+        case _ =>
+          (None, AudioFp.fingerprintBytes(body))
+      }
+      // The store's dedup identity: the URL when present, the
+      // provenance pair otherwise (rare URI-less records must not
+      // collapse onto one null key).
+      val mediaKey = if (url != null) url else path + "#" + recordIx
+      Some(Row(path, recordIx, url, status, mime, kind,
+        if (body == null) 0L else body.length.toLong,
+        if (body == null) null else Warc.sha1Digest(body),
+        phash.map(java.lang.Long.valueOf).orNull,
+        fp.orNull, mediaKey))
+    }
+  }
+
   def mediaFrom(files: DataFrame, bytesCol: String = "content",
                 gzipped: Boolean = true, nCells: Int = 16): DataFrame = {
     val recs = Warc.records(
@@ -77,56 +115,142 @@ object CrawlMedia {
         col("mime_sniffed"), col("body"))
     base.mapPartitions { it =>
       it.flatMap { row =>
-        val mime = row.getString(4)
-        val kind =
-          if (mime != null && mime.startsWith("image/")) "image"
-          else if (mime != null && (mime.startsWith("audio/") ||
-            mime == "application/ogg")) "audio"
-          else null
-        if (kind == null) Iterator.empty
-        else {
-          val body = row.getAs[Array[Byte]](5)
-          val (phash, fp) = kind match {
-            case "image" =>
-              // Index only REAL decodes: phashOf's raw-bytes fallback
-              // would "fingerprint" corrupt payloads by their encoded
-              // bytes, pairing identical files but nothing re-encoded —
-              // a dedup key that silently stops meaning "same picture".
-              (Media.decodeImage(body)
-                .map(Media.phashOfImage(_, nCells)): Option[Long], None)
-            case _ =>
-              (None, AudioFp.fingerprintBytes(body))
-          }
-          val url = row.getString(2)
-          // The store's dedup identity: the URL when present, the
-          // provenance pair otherwise (rare URI-less records must not
-          // collapse onto one null key).
-          val mediaKey =
-            if (url != null) url
-            else row.getString(0) + "#" + row.getLong(1)
-          Iterator.single(Row(row.getString(0), row.getLong(1),
-            url, row.getLong(3), mime, kind,
-            if (body == null) 0L else body.length.toLong,
-            if (body == null) null else Warc.sha1Digest(body),
-            phash.map(java.lang.Long.valueOf).orNull,
-            fp.orNull, mediaKey))
-        }
+        mediaRowOf(row.getString(0), row.getLong(1), row.getString(2),
+          row.getLong(3), row.getString(4), row.getAs[Array[Byte]](5),
+          nCells).iterator
       }
     }(org.apache.spark.sql.Encoders.row(MediaSchema))
   }
 
-  /** Open (or resume) the media store at `storePath`. */
+  /** Open (or resume) the media store at `storePath`. Collapse-managed
+    * (r12 verdict #1): the `media_key`-deduped appends keep rows unique
+    * per key, so the periodic re-snapshot is a pure compaction — the
+    * store side of [[pairsIncremental]] reads one base + a bounded
+    * delta tail however long the crawl has run. `collapseEvery = 0`
+    * restores full history. */
   def mediaStore(spark: SparkSession, storePath: String,
-                 tableName: String = "crawl_media"): ParquetStore =
-    new ParquetStore(spark, MediaSchema, storePath, tableName)
+                 tableName: String = "crawl_media",
+                 collapseEvery: Long = 16L): ParquetStore =
+    new ParquetStore(spark, MediaSchema, storePath, tableName,
+      collapseKeys = Seq("media_key"), collapseEvery = collapseEvery)
+
+  /** One row per ROUTED record of the SHARED-DECODE pass
+    * ([[combinedFrom]]): `rec_kind` discriminates (`doc` rows carry
+    * [[CrawlIngest.FetchSchema]]'s columns, media fields null; `media`
+    * rows the reverse). The four provenance columns are shared. A
+    * media-typed 3xx record yields BOTH rows — its fingerprint for the
+    * media store AND its redirect edge for the identity walk — exactly
+    * as the two independent passes would. */
+  val CombinedSchema: StructType = StructType(
+    StructField("rec_kind", StringType) +:
+      (CrawlIngest.FetchSchema.fields ++ MediaSchema.fields.drop(4)))
+
+  /** The SHARED-DECODE crawl pass (r12 verdict #2): ONE gunzip → WARC →
+    * HTTP → sniff chain ([[CrawlIngest.responseBase]]) dispatching each
+    * record through BOTH routes' per-record functions
+    * ([[CrawlIngest.docRowsOf]] / [[mediaRowOf]] — the same code the
+    * independent passes run, so parity is by construction and
+    * spec-pinned). [[CrawlIngest.fetchesFrom]] + [[mediaFrom]] on the
+    * same files decode every `.warc.gz` TWICE — the documented
+    * failure-domain tradeoff of running the attaches independently;
+    * this pass is the opt-in alternative when decode dominates (the
+    * corpus's dominant stage: soaked at 1×/2×/4×, SCALE.md r13).
+    * Split the result with [[docsView]]/[[mediaView]]. */
+  def combinedFrom(files: DataFrame, bytesCol: String = "content",
+                   gzipped: Boolean = true, nCells: Int = 16): DataFrame = {
+    val nMediaFields = MediaSchema.fields.length - 4
+    val nFetchExtra = CrawlIngest.FetchSchema.fields.length - 4
+    CrawlIngest.responseBase(files, bytesCol, gzipped).mapPartitions { it =>
+      it.flatMap { row =>
+        val path = row.getString(0)
+        val recordIx = row.getLong(1)
+        val url = row.getString(2)
+        val status = row.getLong(3)
+        val mime = row.getString(4)
+        val body = row.getAs[Array[Byte]](5)
+        val docs = CrawlIngest.docRowsOf(path, recordIx, url, status,
+          mime, body, row.getString(6),
+          if (row.isNullAt(7)) null else row.getString(7),
+          withCanonical = true)
+          .map(d => Row.fromSeq("doc" +: d.toSeq ++:
+            Seq.fill[Any](nMediaFields)(null)))
+        val media = mediaRowOf(path, recordIx, url, status, mime, body,
+          nCells).iterator
+          .map(m => Row.fromSeq("media" +: (m.toSeq.take(4) ++
+            Seq.fill[Any](nFetchExtra)(null) ++ m.toSeq.drop(4))))
+        docs ++ media
+      }
+    }(org.apache.spark.sql.Encoders.row(CombinedSchema))
+  }
+
+  /** The text route's view of a [[combinedFrom]] frame —
+    * [[CrawlIngest.FetchSchema]] rows, identical to
+    * [[CrawlIngest.fetchesFrom]] on the same files. */
+  def docsView(combined: DataFrame): DataFrame =
+    combined.filter(col("rec_kind") === "doc")
+      .select(CrawlIngest.FetchSchema.fieldNames.map(col).toIndexedSeq: _*)
+
+  /** The media route's view of a [[combinedFrom]] frame —
+    * [[MediaSchema]] rows, identical to [[mediaFrom]] on the same
+    * files. */
+  def mediaView(combined: DataFrame): DataFrame =
+    combined.filter(col("rec_kind") === "media")
+      .select(MediaSchema.fieldNames.map(col).toIndexedSeq: _*)
+
+  /** The SHARED-DECODE attach (r12 verdict #2): one drop-folder stream,
+    * one checkpoint, one decode pass per trigger — forked AFTER the
+    * response parse into the identity-deduped documents store
+    * ([[CrawlIngest.ingestByIdentity]]) and the `media_key`-deduped
+    * media store. The independent attaches ([[CrawlIngest.attach]] /
+    * [[attach]]) remain the default where isolated failure domains
+    * matter more than the decode saving; here one malformed batch
+    * stalls BOTH stores — the documented tradeoff, now a choice
+    * instead of a constraint. The combined frame persists across the
+    * two sinks so the decode chain runs once (both sinks' writes
+    * materialize inside the same foreachBatch invocation — the
+    * at-least-once replay is absorbed by each store's keyed dedup). */
+  def attachShared(spark: SparkSession, dropDir: String,
+                   docStore: ParquetStore, mediaStore: ParquetStore,
+                   checkpoint: String,
+                   trigger: Trigger = Trigger.ProcessingTime(10000L),
+                   maxFilesPerTrigger: Int = 64, nCells: Int = 16)
+      : StreamingQuery = {
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "*.warc.gz")
+      .load(dropDir)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val combined = combinedFrom(batch, nCells = nCells).persist()
+          try {
+            CrawlIngest.ingestByIdentity(docStore, docsView(combined))
+            CrawlIngest.dedupAppendByKey(mediaStore, mediaView(combined),
+              "media_key", struct(col("path"), col("record_ix")))
+            ()
+          } finally { combined.unpersist(); () }
+        }
+        ()
+      }
+      .start()
+  }
 
   /** Attach the drop-folder stream (the [[CrawlIngest.attach]] twin):
     * every trigger fingerprints newly arrived `.warc.gz` files' media
     * records and appends one compacted generation. Run it NEXT TO the
     * text attach on the same drop dir — each stream has its own
-    * checkpoint and reads the files independently (media is typically a
-    * small fraction of records; sharing one pass would weld the two
-    * pipelines' failure domains together for a minor decode saving). */
+    * checkpoint and reads the files independently, keeping the two
+    * pipelines' failure domains apart at the cost of decoding each
+    * file twice. When decode dominates, [[attachShared]] is the
+    * opt-in single-pass alternative (r12 verdict #2). */
   def attach(spark: SparkSession, dropDir: String, store: ParquetStore,
              checkpoint: String,
              trigger: Trigger = Trigger.ProcessingTime(10000L),
@@ -164,10 +288,11 @@ object CrawlMedia {
     * perceptual-hash hamming ([[Media.phashPairsIncremental]] — exact
     * pigeonhole banding), audio pairs by fingerprint hamming
     * ([[AudioFp.pairsIncremental]] — packed-band LSH + verify). Both
-    * sides keyed by `idCol` (default `url` — the crawl identity; pass a
-    * digest- or identity-derived column to dedup across mirrors).
-    * Undecoded rows (null fingerprint) are skipped; `media_key` (the
-    * store's dedup identity) is the default key. Output:
+    * sides keyed by `idCol`, defaulting to `media_key` — the store's
+    * dedup identity (the URL when the record has one, the
+    * `path#record_ix` provenance fallback otherwise; pass a digest- or
+    * identity-derived column to dedup across mirrors).
+    * Undecoded rows (null fingerprint) are skipped. Output:
     * (kind, media_a, media_b, ham) with media_a < media_b — exactly the
     * pairs a full recompute over store ∪ batch would add. */
   def pairsIncremental(baseMedia: DataFrame, batchMedia: DataFrame,
@@ -190,6 +315,54 @@ object CrawlMedia {
         col("ham"))
     imgPairs.union(audPairs)
   }
+
+  /** EXACT byte-duplicate clusters by content digest (r12 verdict #4):
+    * mirrored media — the same bytes served at many URLs — grouped on
+    * `(kind, sha1_b32)` with the minimum `idCol` as the cluster
+    * REPRESENTATIVE. ONE shuffle on the digest key. Undigested rows
+    * (null `sha1_b32` — payload-less records) self-represent. Output:
+    * (kind, sha1_b32, member, rep). */
+  def digestClusters(media: DataFrame, idCol: String = "media_key")
+      : DataFrame =
+    media.withColumn("rep",
+        when(col("sha1_b32").isNotNull,
+          min(col(idCol)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("kind"), col("sha1_b32"))))
+          .otherwise(col(idCol)))
+      .select(col("kind"), col("sha1_b32"), col(idCol).as("member"),
+        col("rep"))
+
+  /** One row per digest cluster — the cluster representatives' media
+    * rows, all columns intact. The pre-cluster step of
+    * [[pairsAllByDigest]], exposed so callers composing their own
+    * pair search (or an incremental one over a store whose reps are
+    * precomputed) reuse it. */
+  def representatives(media: DataFrame, idCol: String = "media_key")
+      : DataFrame =
+    media.withColumn("_rep",
+        when(col("sha1_b32").isNotNull,
+          min(col(idCol)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("kind"), col("sha1_b32"))))
+          .otherwise(col(idCol)))
+      .filter(col(idCol) === col("_rep")).drop("_rep")
+
+  /** [[pairsAll]] with DIGEST PRE-CLUSTERING (r12 verdict #4): exact
+    * byte-duplicates collapse to one representative BEFORE the banded
+    * searches, so a popular image mirrored at M hosts costs ONE
+    * fingerprint-pair membership instead of M rows fanning out every
+    * band bucket and verify join it touches (M mirrors of the same
+    * bytes share every band key by construction — the worst hot-bucket
+    * shape there is, and pure waste: their pairwise "near-dup" pairs
+    * carry no information an exact digest join doesn't). Near-dup
+    * pairs are reported BY REPRESENTATIVE; join [[digestClusters]] to
+    * fan a keep-decision back out to the mirror members. Pass an
+    * identity-derived `idCol` to make the representative the composed
+    * document identity where one exists. */
+  def pairsAllByDigest(media: DataFrame, idCol: String = "media_key",
+                       nBits: Int = 16, imageMaxHamming: Int = 2,
+                       audioMaxHamming: Int = 4): DataFrame =
+    pairsAll(representatives(media, idCol), idCol, nBits,
+      imageMaxHamming, audioMaxHamming)
 
   /** Full-corpus variant of [[pairsIncremental]] (first snapshot / the
     * batch-mode audit): all ≤-budget pairs within `media`. */

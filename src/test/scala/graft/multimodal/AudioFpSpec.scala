@@ -82,10 +82,29 @@ class AudioFpSpec extends SparkSpec {
     // Minimum overlap: a clip of barely one band (5-9 frames) would
     // verify trivially against ANY track sharing that single band — a
     // handful of near-silent opening frames must not mark two different
-    // recordings as duplicates. Below two band widths: rejected.
+    // recordings as duplicates. Below the pigeonhole width: rejected.
     val shortClip = base.take(6)
     val fps2 = Seq((1L, base), (3L, shortClip)).toDF("media_id", "fp")
     assert(AudioFp.pairs(fps2, maxHamming = 4).isEmpty)
+    // The gate sits exactly at the PIGEONHOLE width,
+    // (maxHamming + 1) × bandFrames = 25 frames at defaults (advice
+    // r12): a 10–24-frame overlap has ≤ 4 complete bands, so a ≤ 4-bit
+    // pair can differ in EVERY shared band and the banding only finds
+    // it by luck — such pairs must be excluded deterministically by the
+    // gate, not dropped silently by a missed collision. 24 frames of
+    // overlap (passes the old 2-band gate): rejected even though the
+    // clips are IDENTICAL over the prefix…
+    val fps3 = Seq((1L, base), (4L, base.take(24)))
+      .toDF("media_id", "fp")
+    assert(AudioFp.pairs(fps3, maxHamming = 4).isEmpty)
+    // …while at exactly 25 frames a ≤ 4-bit pair is in-contract and
+    // found (recall is pigeonhole-exact from here up).
+    val at25 = base.take(25)
+    val flipped = at25.clone(); flipped(24) = at25(24) ^ 3 // 2 bits
+    val fps4 = Seq((1L, at25), (5L, flipped)).toDF("media_id", "fp")
+    val got25 = AudioFp.pairs(fps4, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got25.toSeq === Seq((1L, 5L, 2L)))
   }
 
   test("mono: channel average, odd remainders truncate toward zero") {

@@ -185,6 +185,86 @@ class PdfSpec extends SparkSpec {
       "5 0 obj << /Type /Font /ToUnicode 7 0 R >> endobj\n" +
       s"7 0 obj << /Length ${cmapBody.length} >> stream\n$cmapBody\nendstream endobj\n")
     assert(Pdf.extract(inherited).get.text === "Ζ")
+    // INLINE font dicts count once per distinct dict, like CRef fonts:
+    // TWO pages inherit ONE pages-node /Resources whose font is an
+    // inline dict (no object number) declaring a /ToUnicode that
+    // resolves fine — pdf_fonts_cmap must be 1, not per-page-inflated
+    // (advice r12); same instance-dedup for the FAILED counter, pinned
+    // with a second doc whose inline /ToUnicode ref dangles.
+    def twoPageInline(toUni: String): Array[Byte] = b("%PDF-1.4\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R 8 0 R] /Count 2 " +
+      s"/Resources << /Font << /G << /Type /Font /ToUnicode $toUni >> >> >> >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      "8 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      "4 0 obj << /Length 24 >> stream\nBT /G 9 Tf <0041> Tj ET\nendstream endobj\n" +
+      s"7 0 obj << /Length ${cmapBody.length} >> stream\n$cmapBody\nendstream endobj\n")
+    val inlineOk = Pdf.extract(twoPageInline("7 0 R")).get
+    assert(inlineOk.text === "Ζ\nΖ")
+    assert((inlineOk.fontsCmap, inlineOk.fontsCmapFailed) === ((1, 0)))
+    val inlineBad = Pdf.extract(twoPageInline("9 0 R")).get // dangling ref
+    assert((inlineBad.fontsCmap, inlineBad.fontsCmapFailed) === ((0, 1)))
+  }
+
+  test("xref streams: type-1/type-2/free liveness beats document order; torture edges counted") {
+    // The fixture's correct reading exists ONLY via the xref stream: a
+    // type-2 entry picks the real page among two ObjStm copies, a
+    // type-1 offset the unshadowed content, a type-0 mark drops a
+    // freed decoy page. (Stream: FlateDecode + PNG Up predictor.)
+    val good = Pdf.extract(PdfPack.pdfXrefFile(1L, "alpha")).get
+    assert(good.text === "xref alpha")
+    assert(good.pages === 1)
+    assert((good.xrefSections, good.xrefFailed) === ((1, 0)))
+    // No-xref variant: document order reads it identically, no
+    // sections, no failures (and legacy ASCII `xref` tables never
+    // count as failed sections either).
+    val plain = Pdf.extract(PdfPack.pdfXrefFile(3L, "beta")).get
+    assert(plain.text === "xref beta")
+    assert((plain.xrefSections, plain.xrefFailed) === ((0, 0)))
+
+    val bytes = PdfPack.pdfXrefFile(1L, "alpha")
+    def mutated(find: String, repl: String): Array[Byte] = {
+      require(find.length == repl.length, "offset-preserving edits only")
+      new String(bytes, "ISO-8859-1").replace(find, repl)
+        .getBytes("ISO-8859-1")
+    }
+    // Truncated /W (two fields): the section is unusable — COUNTED,
+    // and liveness falls back to document order, which picks every
+    // decoy (2 pages incl. the freed one, the wrong text) — exactly
+    // the failure class the xref exists to prevent.
+    val truncW = Pdf.extract(mutated("/W [1 3 1]", "/W [1 3  ]")).get
+    assert((truncW.xrefSections, truncW.xrefFailed) === ((0, 1)))
+    assert(truncW.pages === 2)
+    assert(truncW.text === "wrong 1\nwrong 1")
+    // An out-of-range field width is equally unusable.
+    val wideW = Pdf.extract(mutated("/W [1 3 1]", "/W [1 3 9]")).get
+    assert((wideW.xrefSections, wideW.xrefFailed) === ((0, 1)))
+    // A LYING /Index declaring more rows than the stream holds clamps
+    // to the data present — the entries that exist still govern.
+    val lieIx = Pdf.extract(mutated("/Index [0 8]", "/Index [0 9]")).get
+    assert(lieIx.text === "xref alpha")
+    assert((lieIx.pages, lieIx.xrefSections, lieIx.xrefFailed) === ((1, 1, 0)))
+    // A lying startxref (no object header there): counted, fallback.
+    val off = new String(bytes, "ISO-8859-1")
+      .split("startxref\n")(1).split("\n")(0)
+    val lieSx = Pdf.extract(mutated(s"startxref\n$off",
+      s"startxref\n${"0" * off.length}")).get
+    assert((lieSx.xrefSections, lieSx.xrefFailed) === ((0, 1)))
+    assert(lieSx.text === "wrong 1\nwrong 1")
+
+    // The predictor family itself: identity, TIFF-2, PNG Sub/Up/Paeth.
+    assert(Pdf.unpredict(Array[Byte](1, 2, 3), 1, 2).toSeq === Seq(1, 2, 3))
+    assert(Pdf.unpredict(Array[Byte](10, 5, 3, 1), 2, 2).toSeq ===
+      Seq(10, 15, 3, 4))
+    assert(Pdf.unpredict(Array[Byte](1, 10, 5), 12, 2).toSeq ===
+      Seq(10, 15)) // Sub row
+    assert(Pdf.unpredict(
+      Array[Byte](0, 10, 20, 2, 5, 5), 12, 2).toSeq ===
+      Seq(10, 20, 15, 25)) // None then Up
+    assert(Pdf.unpredict(
+      Array[Byte](0, 10, 20, 4, 1, 2), 12, 2).toSeq ===
+      Seq(10, 20, 11, 22)) // Paeth row over (left, up, ul)
+    assert(Pdf.unpredict(Array[Byte](9, 1, 2), 12, 2) === null) // bad filter
+    assert(Pdf.unpredict(Array[Byte](0, 1), 12, 2) === null) // ragged rows
   }
 
   test("incremental updates: same-numbered objects extract once, last wins") {

@@ -168,4 +168,65 @@ class ParquetStoreSpec extends SparkSpec {
     s.compact(1L, numFiles = 2)
     assert(s.generationFileCount(1L) === 2L)
   }
+
+  test("collapseToLatest: latest-per-key base at the highest collapsed slot, reads equivalent") {
+    val s = new ParquetStore(spark, schema, tmp(), tableName = "collapse_dur")
+    s.append(batch("a" -> 1L, "b" -> 10L)) // gen 1
+    s.append(batch("a" -> 2L))             // gen 2
+    s.append(batch("c" -> 30L))            // gen 3
+    s.append(batch("b" -> 11L))            // gen 4 (kept delta)
+    def latest(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("_rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+          .orderBy(col("rst_id").desc)))
+      .filter(col("_rk") === 1).select("k", "n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val before = latest(s.selectAll)
+    val counterBefore = s.currentRstId
+    s.collapseToLatest(Seq("k"))
+    // Gens 1–3 folded into a base AT SLOT 3 (below the kept delta);
+    // latest-per-key reads are unchanged, the counter does not move.
+    assert(s.generations === Seq(3L, 4L))
+    assert(latest(s.selectAll) === before)
+    assert(before === Set("a" -> 2L, "b" -> 11L, "c" -> 30L))
+    // The base carries exactly the collapsed range's latest rows
+    // (b -> 10, NOT the kept delta's 11) — the kept delta still
+    // OVERRIDES it in latest-per-key reads above.
+    assert(s.directFetch(3L).select("k", "n").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set("a" -> 2L, "b" -> 10L, "c" -> 30L))
+    // Appends continue at the original counter; a second collapse folds
+    // the new history again. Below two collapsible generations: no-op.
+    s.collapseToLatest(Seq("k"))
+    assert(s.generations === Seq(3L, 4L))
+    s.append(batch("a" -> 3L))
+    assert(s.currentRstId === counterBefore + 1L)
+    s.collapseToLatest(Seq("k"))
+    assert(s.generations === Seq(4L, 5L))
+    assert(latest(s.selectAll) === Set("a" -> 3L, "b" -> 11L, "c" -> 30L))
+    // keepRecent = 0 folds EVERYTHING into one base.
+    s.collapseToLatest(Seq("k"), keepRecent = 0)
+    assert(s.generations === Seq(5L))
+    assert(latest(s.selectAll) === Set("a" -> 3L, "b" -> 11L, "c" -> 30L))
+    assert(s.selectAll.count() === 3L)
+  }
+
+  test("auto-collapse via appendStreaming bounds generations; count-based clean disabled") {
+    val s = new ParquetStore(spark, schema, tmp(),
+      tableName = "autocollapse_dur", cleanInterval = 3L, cleanFreq = 1L,
+      collapseKeys = Seq("k"), collapseEvery = 3L)
+    (1 to 10).foreach(i => s.appendStreaming(batch("a" -> i.toLong, s"k$i" -> 0L)))
+    // Bounded on-disk history …
+    assert(s.generations.length <= 4,
+      s"auto-collapse left ${s.generations.length} generations")
+    // … with NO state loss: count-based retention (cleanInterval = 3
+    // would have expired every early generation) is disabled under a
+    // collapse policy — all 10 distinct keys survive, 'a' at its
+    // latest value.
+    val rows = s.selectAll.select("k", "n").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows.size === 11)
+    assert(rows("a") === 10L)
+    assert((1 to 10).forall(i => rows.contains(s"k$i")))
+  }
 }

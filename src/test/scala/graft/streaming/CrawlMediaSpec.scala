@@ -99,6 +99,129 @@ class CrawlMediaSpec extends SparkSpec {
     assert(store.selectAll.select("media_key").distinct().count() === 6)
   }
 
+  /** A mixed crawl file: an HTML page (with a canonical), a plain-text
+    * doc, a payload-less 301 edge, a 302 WITH an image body (must reach
+    * BOTH pipelines: redirect edge + fingerprint), plus the media
+    * pack's BMP/TIFF + WAV/FLAC records. */
+  private def mixedWarc(id: Long): Array[Byte] = {
+    import CrawlMediaPack.{http200, warcResponse}
+    def http3xx(status: Int, location: String,
+                cType: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 $status Moved\r\nLocation: $location\r\n" +
+        s"Content-Type: $cType\r\nContent-Length: ${body.length}\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ body
+    val html = ("<html><head><title>T" + id + "</title>" +
+      "<link rel=\"canonical\" href=\"/canon" + id + "\"></head>" +
+      "<body><p>hello " + id + "</p></body></html>").getBytes("UTF-8")
+    warcResponse(s"https://mix.org/page/$id", id, 10,
+      http200("text/html", html)) ++
+      warcResponse(s"https://mix.org/plain/$id", id, 11,
+        http200("text/plain", s"plain $id".getBytes("UTF-8"))) ++
+      warcResponse(s"https://mix.org/old/$id", id, 12,
+        http3xx(301, s"https://mix.org/page/$id", "text/html",
+          Array.empty)) ++
+      warcResponse(s"https://mix.org/imgmoved/$id", id, 13,
+        http3xx(302, s"https://mix.org/img/$id", "image/bmp",
+          CrawlMediaPack.bmp16(CrawlMediaPack.pixels16(id)))) ++
+      CrawlMediaPack.mediaWarc(id)
+  }
+
+  test("shared decode: combined views == the independent passes, record for record") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val files = (0L until 4L).map(id =>
+      (s"mem://mix/$id.warc.gz", WarcPack.gzipBytes(mixedWarc(id))))
+      .toDF("path", "content")
+    val combined = CrawlMedia.combinedFrom(files).localCheckpoint(true)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    // Text route parity (fetch rows: html+canonical, plain, BOTH 3xx
+    // edges — including the image-bodied 302).
+    val fetches = asSet(CrawlIngest.fetchesFrom(files))
+    assert(asSet(CrawlMedia.docsView(combined)) === fetches)
+    assert(fetches.nonEmpty)
+    // Media route parity (image/audio fingerprints, incl. the 302's).
+    val media = asSet(CrawlMedia.mediaFrom(files))
+    assert(asSet(CrawlMedia.mediaView(combined)) === media)
+    assert(media.nonEmpty)
+    // The image-bodied 302 really is in BOTH views.
+    assert(CrawlMedia.docsView(combined)
+      .filter(col("url").contains("imgmoved")).count() === 4)
+    assert(CrawlMedia.mediaView(combined)
+      .filter(col("url").contains("imgmoved")).count() === 4)
+  }
+
+  test("attachShared: one decode pass feeds both stores; restart exactly-once") {
+    val dropDir = Files.createTempDirectory("graft_shared_in").toString
+    val docDir = Files.createTempDirectory("graft_shared_doc").toString
+    val mediaDir = Files.createTempDirectory("graft_shared_med").toString
+    val ckpt = Files.createTempDirectory("graft_shared_ck").toString
+    Files.write(Paths.get(dropDir, "a.warc.gz"),
+      WarcPack.gzipBytes(mixedWarc(6L)))
+    val docStore = CrawlIngest.identityStore(spark, docDir,
+      s"shared_docs_${System.nanoTime()}")
+    val mediaStore = CrawlMedia.mediaStore(spark, mediaDir,
+      s"shared_media_${System.nanoTime()}")
+    def run(): Unit =
+      CrawlMedia.attachShared(spark, dropDir, docStore, mediaStore, ckpt,
+        trigger = Trigger.AvailableNow()).awaitTermination()
+    run()
+    // Identity store: html (deduped under its canonical), plain text —
+    // 3xx records are edges, never documents.
+    val ids = docStore.selectAll.select("identity").collect()
+      .map(_.getString(0)).toSet
+    assert(ids === Set("https://mix.org/canon6", "https://mix.org/plain/6"))
+    // Media store: the mediaWarc pair + the 302's image fingerprint.
+    assert(mediaStore.selectAll.count() === 3)
+    val moved = mediaStore.selectAll
+      .filter(col("url") === "https://mix.org/imgmoved/6")
+      .select("kind", "phash").head()
+    assert(moved.getString(0) === "image")
+    assert(moved.getLong(1) === 6L) // pixels16(6) aHash = id
+    // Restart: the processed file is not re-ingested; a re-crawl of the
+    // same URLs dedups in both stores (identity / media_key).
+    Files.write(Paths.get(dropDir, "b.warc.gz"),
+      WarcPack.gzipBytes(mixedWarc(6L)))
+    run()
+    assert(docStore.selectAll.count() === 2)
+    assert(mediaStore.selectAll.count() === 3)
+    // New content still lands.
+    Files.write(Paths.get(dropDir, "c.warc.gz"),
+      WarcPack.gzipBytes(mixedWarc(7L)))
+    run()
+    assert(docStore.selectAll.count() === 4)
+    assert(mediaStore.selectAll.count() === 6)
+  }
+
+  test("digest pre-cluster: mirrors collapse to one representative before the banded search") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // Docs 2 and 3 share gid 1: the same BMP bytes at three hosts each
+    // (6 exact copies) + a TIFF re-encode each (2 exact copies).
+    val files = Seq(2L, 3L).map(id =>
+      (s"mem://mir/$id.warc.gz",
+        WarcPack.gzipBytes(CrawlMediaPack.mirrorWarc(id))))
+      .toDF("path", "content")
+    val media = CrawlMedia.mediaFrom(files).localCheckpoint(true)
+    // Membership: one 6-member bmp cluster, one 2-member tiff cluster.
+    val clusters = CrawlMedia.digestClusters(media)
+      .collect().map(r => r.getString(2) -> r.getString(3)).toMap
+    assert(clusters.size === 8)
+    for (m <- 0 until 3; id <- Seq(2L, 3L))
+      assert(clusters(s"https://m$m.org/img/$id") === "https://m0.org/img/2")
+    assert(clusters("https://t.org/img/2") === "https://t.org/img/2")
+    assert(clusters("https://t.org/img/3") === "https://t.org/img/2")
+    // Verify fan-in: all 8 records hash identically (same picture), so
+    // the un-clustered search scores every one of the 28 pairs; the
+    // pre-clustered search scores exactly ONE — rep vs rep.
+    assert(CrawlMedia.pairsAll(media).count() === 28L)
+    val pairs = CrawlMedia.pairsAllByDigest(media)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(pairs === Set(
+      ("image", "https://m0.org/img/2", "https://t.org/img/2", 0L)))
+  }
+
   test("incremental pairs == full recompute minus base-only pairs") {
     val sparkSession = spark
     import sparkSession.implicits._

@@ -88,6 +88,150 @@ class CrawlScheduleSpec extends SparkSpec {
     assert(next === Set((2L, 2L, 4.0)))
   }
 
+  test("collapse-managed state == full-history state across many batches; generations stay bounded") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    def batch(b: Long) = Seq(
+      (b * 10, "a.org", 2.0d), (b * 10 + 1, "b.org", 5.0d),
+      (b * 10 + 2, "a.org", 2.0d))
+      .toDF("id", "url_domain", "crawl_delay")
+    def runAll(collapseEvery: Long) = {
+      val tmp = Files.createTempDirectory("graft_sched_cl").toString
+      val store = CrawlSchedule.stateStore(spark, tmp,
+        s"sched_cl_${System.nanoTime()}", collapseEvery = collapseEvery)
+      val outs = (0L until 8L).map { b =>
+        // appendStreaming path (the collapse hook) is what attach uses;
+        // scheduleBatch itself calls it — batchId stamps each delta.
+        CrawlSchedule.scheduleBatch(store, batch(b), order = col("id"),
+          batchId = b).select("id", "fetch_seq", "start_offset_s")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+      (outs.flatten.toSet, store.generations.length)
+    }
+    val (collapsed, gensCollapsed) = runAll(collapseEvery = 2L)
+    val (full, gensFull) = runAll(collapseEvery = 0L)
+    // The re-snapshot is read-equivalent: every batch's schedule is
+    // identical to the full-history run's (r12 verdict #1 Done
+    // criterion) …
+    assert(collapsed === full)
+    // … and equal to ONE politenessSchedule pass over the union.
+    val union = (0L until 8L).map(batch).reduce(_ union _)
+    val oracle = graft.operators.Url.politenessSchedule(union,
+        "url_domain", "crawl_delay", col("id"))
+      .select("id", "fetch_seq", "start_offset_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(collapsed === oracle)
+    // Bounded vs unbounded on-disk history: the collapse-managed store
+    // holds base + ≤ collapseEvery deltas; the full-history one holds
+    // one generation per batch.
+    assert(gensCollapsed <= 3, s"collapse left $gensCollapsed generations")
+    assert(gensFull === 8)
+  }
+
+  test("replay guard survives a collapse AND a foreign append after the crashed delta") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val tmp = Files.createTempDirectory("graft_sched_rc").toString
+    val store = CrawlSchedule.stateStore(spark, tmp,
+      s"sched_rc_${System.nanoTime()}", collapseEvery = 0L)
+    def b(ids: Seq[Long]) =
+      ids.map(i => (i, "h.org", 2.0d)).toDF("id", "url_domain", "crawl_delay")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "fetch_seq", "start_offset_s").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val r0 = rows(CrawlSchedule.scheduleBatch(store, b(Seq(0L, 1L)),
+      order = col("id"), batchId = 0L))
+    val r1 = rows(CrawlSchedule.scheduleBatch(store, b(Seq(2L)),
+      order = col("id"), batchId = 1L))
+    // Batch 2 "crashes" after its state advance …
+    val r2 = rows(CrawlSchedule.scheduleBatch(store, b(Seq(3L)),
+      order = col("id"), batchId = 2L))
+    // … then a FOREIGN append lands after the crashed delta (an ad-hoc
+    // call touching another host — advice r12: a newest-generation-only
+    // probe misses the crashed delta from here on) …
+    CrawlSchedule.scheduleBatch(store,
+      Seq((9L, "other.org", 1.0d)).toDF("id", "url_domain", "crawl_delay"),
+      order = col("id"))
+    // … and a re-snapshot folds the older deltas (keepRecent keeps the
+    // newest; scope/batch_id survive on every collapsed row).
+    store.collapseToLatest(Seq("domain"))
+    // The replay of batch 2 must still (a) detect it was applied — no
+    // double-advance — and (b) reconstruct the PRE-batch-2 view.
+    val replay = rows(CrawlSchedule.scheduleBatch(store, b(Seq(3L)),
+      order = col("id"), batchId = 2L))
+    assert(replay === r2)
+    assert(r0 === Set((0L, 0L, 0.0), (1L, 1L, 2.0)))
+    assert(r1 === Set((2L, 2L, 4.0)))
+    assert(r2 === Set((3L, 3L, 6.0)))
+    // The NEXT batch continues from the single advance.
+    val next = rows(CrawlSchedule.scheduleBatch(store, b(Seq(4L)),
+      order = col("id"), batchId = 3L))
+    assert(next === Set((4L, 4L, 8.0)))
+  }
+
+  test("attachRobots: a robots re-fetch changes the host's pacing on the NEXT batch") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val dropDir = Files.createTempDirectory("graft_rb_in").toString
+    val stateDir = Files.createTempDirectory("graft_rb_st").toString
+    val robotsDir = Files.createTempDirectory("graft_rb_rb").toString
+    val outDir = Files.createTempDirectory("graft_rb_out").toString
+    val ckpt = Files.createTempDirectory("graft_rb_ck").toString
+    val robots = CrawlSchedule.robotsStore(spark, robotsDir,
+      s"rb_${System.nanoTime()}")
+    // The policy comes from a FETCHED robots.txt, parsed — not a
+    // caller table.
+    robots.append(CrawlSchedule.robotsPolicies(
+      Seq(("https://paced.org/robots.txt",
+        "User-agent: *\nCrawl-delay: 2\n")).toDF("url", "text"),
+      "graftbot"))
+    def run(): Unit =
+      CrawlSchedule.attachRobots(spark, dropDir,
+        CrawlSchedule.stateStore(spark, stateDir),
+        new graft.store.ParquetStore(spark, CrawlSchedule.OutSchema,
+          outDir, "rb_out"),
+        robots, ckpt, trigger = Trigger.AvailableNow())
+        .awaitTermination()
+    Files.write(Paths.get(dropDir, "f1.txt"),
+      "https://paced.org/a\nhttps://paced.org/b\n".getBytes("UTF-8"))
+    run()
+    // Mid-crawl policy update: a robots re-fetch lands a NEW
+    // generation (2 s → 10 s) …
+    robots.append(CrawlSchedule.robotsPolicies(
+      Seq(("https://paced.org/robots.txt",
+        "User-agent: *\nCrawl-delay: 10\n")).toDF("url", "text"),
+      "graftbot"))
+    Files.write(Paths.get(dropDir, "f2.txt"),
+      "https://paced.org/c\nhttps://paced.org/d\n".getBytes("UTF-8"))
+    run()
+    val rows = new graft.store.ParquetStore(spark, CrawlSchedule.OutSchema,
+      outDir, "rb_out_read").selectAll.collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // Batch 1 paced at 2 s; batch 2 CONTINUES from the stored offset
+    // (2 + 2 = 4) but spaces at the UPDATED 10 s.
+    assert(rows("https://paced.org/a") === ((0L, 0.0)))
+    assert(rows("https://paced.org/b") === ((1L, 2.0)))
+    assert(rows("https://paced.org/c") === ((2L, 4.0)))
+    assert(rows("https://paced.org/d") === ((3L, 14.0)))
+  }
+
+  test("lineageScope: checkpoint query id keys the lineage; recreation = new scope") {
+    val ck = Files.createTempDirectory("graft_sched_ls").toString
+    // No metadata yet (pre-start / ad-hoc): bare path.
+    assert(CrawlSchedule.lineageScope(spark, ck) === ck)
+    Files.write(Paths.get(ck, "metadata"),
+      """{"id":"11111111-2222-3333-4444-555555555555"}""".getBytes("UTF-8"))
+    val s1 = CrawlSchedule.lineageScope(spark, ck)
+    assert(s1 === s"$ck@11111111-2222-3333-4444-555555555555")
+    // Deleting and recreating the checkpoint mints a NEW query id →
+    // a NEW scope, so the fresh run's batch 0 never aliases the old
+    // run's batch ids (advice r12: the politeness-violation path).
+    Files.write(Paths.get(ck, "metadata"),
+      """{"id":"aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee"}""".getBytes("UTF-8"))
+    val s2 = CrawlSchedule.lineageScope(spark, ck)
+    assert(s2 !== s1)
+  }
+
   test("incremental scheduling == one batch politenessSchedule over the arrival-ordered union") {
     val sparkSession = spark
     import sparkSession.implicits._
