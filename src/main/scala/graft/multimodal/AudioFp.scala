@@ -190,7 +190,7 @@ object AudioFp {
       .select(col(s"a.$idCol").as("media_a"), col(s"b.$idCol").as("media_b"))
       .distinct()
     verifyPairs(cand, fps, maxHamming, idCol,
-      (maxHamming + 1) * bandFrames)
+      math.max(2, maxHamming + 1) * bandFrames)
   }
 
   /** INCREMENTAL [[pairs]]: every ≤ `maxHamming` pair with at least one
@@ -219,7 +219,7 @@ object AudioFp {
         greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("media_b"))
       .distinct()
     verifyPairs(cand, all, maxHamming, idCol,
-      (maxHamming + 1) * bandFrames)
+      math.max(2, maxHamming + 1) * bandFrames)
   }
 
   /** Shared hamming verify: join candidates back to both signatures,
@@ -230,7 +230,9 @@ object AudioFp {
     * the sum so the filter silently dropped the pair the banding just
     * found. Prefix hamming is the same-recording-different-cut
     * semantics — BUT only above a minimum overlap of
-    * (maxHamming + 1) band widths, the PIGEONHOLE width: below it a
+    * max(2, maxHamming + 1) band widths, the PIGEONHOLE width (floored
+    * at the r12 two-band trivial-match guard, which otherwise weakens
+    * at maxHamming = 0): below it a
     * ≤-budget pair can spread its differing bits across EVERY shared
     * band and produce no collision, so the banding would find such
     * pairs only by luck — the gate admits exactly the overlap range

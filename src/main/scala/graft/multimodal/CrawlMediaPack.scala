@@ -352,6 +352,38 @@ object CrawlMediaPack extends QueryPack {
     "q_crawl_media_dedup" -> pairsSql(""),
     "q_crawl_media_dedup_inc" ->
       pairsSql("AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)"),
+    // The 48-cell aHash re-derived PER PIXEL: pixel i of group gid is
+    // 255·bit_{i div 16}(gid); cells are 6 px wide (ceil(256/48), the
+    // ragged last data cell holds 4, cells 43–47 are EMPTY and their
+    // bits forced 0 — matched here by simply not generating them), bit
+    // c set by the integer cross-multiply cellSum·len > totalSum·cellLen.
+    "q_crawl_media_dedup48" ->
+      """WITH gids AS (SELECT DISTINCT doc_id // 2 AS gid FROM documents),
+        |px AS (
+        |  SELECT g.gid, t.i, 255 * ((g.gid >> (t.i // 16)) & 1) AS v
+        |  FROM gids g, generate_series(0, 255) t(i)
+        |),
+        |cells AS (
+        |  SELECT gid, i // 6 AS c, sum(v) AS cellsum, count(*) AS celllen
+        |  FROM px GROUP BY ALL
+        |),
+        |tot AS (
+        |  SELECT gid, c, cellsum, celllen,
+        |    sum(cellsum) OVER (PARTITION BY gid) AS total
+        |  FROM cells
+        |),
+        |ph48 AS (
+        |  SELECT gid,
+        |    CAST(sum(CASE WHEN cellsum * 256 > total * celllen
+        |      THEN CAST(1 AS BIGINT) << c ELSE 0 END) AS BIGINT) AS phash
+        |  FROM tot GROUP BY gid
+        |)
+        |SELECT 'image' AS kind, a.doc_id AS media_a, b.doc_id AS media_b,
+        |  CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS ham
+        |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        |JOIN ph48 pa ON pa.gid = a.doc_id // 2
+        |JOIN ph48 pb ON pb.gid = b.doc_id // 2
+        |WHERE bit_count(xor(pa.phash, pb.phash)) <= 2""".stripMargin,
     // Mirror membership: both docs of a gid serve IDENTICAL bmp bytes
     // at m0/m1/m2, so the 6-member cluster's representative is the
     // least m0 URL across the gid's two doc ids (string order — '10'

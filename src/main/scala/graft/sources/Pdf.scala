@@ -775,6 +775,10 @@ object Pdf {
       }
       return out
     }
+    // 3–9 are not legal /Predictor values (§7.4.4.4 allows 1, 2,
+    // 10–15): treating them as PNG would mis-decode yet COUNT the
+    // section as parsed — reject so the failure is honest.
+    if (predictor < 10) return null
     // PNG family: rows of (filterByte + rowLen data bytes).
     if (data.length % (rowLen + 1) != 0) return null
     val rows = data.length / (rowLen + 1)
@@ -874,27 +878,35 @@ object Pdf {
     if (index.exists(_._1 < 0)) return None
     val avail = data.length / rowLen
     val out = Vector.newBuilder[(Int, XrefEntry)]
+    // A lying /Index (or /Size) declaring more rows than the body holds
+    // CLAMPS to the data actually present — the loop is bounded by
+    // `avail`, never by the declared counts (a declared 9e12-row
+    // subsection must not spin the task for hours; nothing past the
+    // data can be emitted anyway). Counted rows only, never a read past
+    // the end, never a throw.
     var row = 0
-    for ((start, n) <- index; k <- 0L until n) {
-      // A lying /Index declaring more rows than the body holds clamps
-      // to the data actually present (counted rows only, never a read
-      // past the end, never a throw).
-      if (row < avail && start + k <= Int.MaxValue) {
-        val base = row * rowLen
-        var p = base
-        @inline def field(w: Int): Long = {
-          var v = 0L
-          var i = 0
-          while (i < w) { v = (v << 8) | (data(p) & 0xff); p += 1; i += 1 }
-          v
+    val subsections = index.iterator
+    while (row < avail && subsections.hasNext) {
+      val (start, n) = subsections.next()
+      var k = 0L
+      while (k < n && row < avail) {
+        if (start + k <= Int.MaxValue) {
+          var p = row * rowLen
+          @inline def field(w: Int): Long = {
+            var v = 0L
+            var i = 0
+            while (i < w) { v = (v << 8) | (data(p) & 0xff); p += 1; i += 1 }
+            v
+          }
+          val t = if (ws(0) == 0) 1L else field(ws(0))
+          val f2 = field(ws(1))
+          val f3 = field(ws(2))
+          if (t >= 0 && t <= 2)
+            out += ((start + k).toInt -> XrefEntry(t.toInt, f2, f3))
         }
-        val t = if (ws(0) == 0) 1L else field(ws(0))
-        val f2 = field(ws(1))
-        val f3 = field(ws(2))
-        if (t >= 0 && t <= 2)
-          out += ((start + k).toInt -> XrefEntry(t.toInt, f2, f3))
+        row += 1
+        k += 1
       }
-      row += 1
     }
     val prev = m.get("Prev") match {
       case Some(CNum(v)) if v >= 0 => Some(v.toLong)

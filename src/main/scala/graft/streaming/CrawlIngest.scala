@@ -197,9 +197,11 @@ object CrawlIngest {
 
   /** The shared drop-folder source: binaryFile over `*.warc.gz`. The
     * binaryFile source's schema is FIXED by the format, but the
-    * streaming reader still demands it explicitly. */
-  private def fileSource(spark: SparkSession, dropDir: String,
-                         maxFilesPerTrigger: Int): DataFrame = {
+    * streaming reader still demands it explicitly. Shared with the
+    * media and combined attaches ([[CrawlMedia]]) — one definition of
+    * the glob/schema, not three drifting copies (review r13). */
+  private[streaming] def fileSource(spark: SparkSession, dropDir: String,
+                                    maxFilesPerTrigger: Int): DataFrame = {
     val binarySchema = StructType(Seq(
       StructField("path", StringType),
       StructField("modificationTime", TimestampType),

@@ -215,16 +215,7 @@ object CrawlMedia {
                    trigger: Trigger = Trigger.ProcessingTime(10000L),
                    maxFilesPerTrigger: Int = 64, nCells: Int = 16)
       : StreamingQuery = {
-    val binarySchema = StructType(Seq(
-      StructField("path", StringType),
-      StructField("modificationTime", TimestampType),
-      StructField("length", LongType),
-      StructField("content", BinaryType)))
-    spark.readStream.format("binaryFile")
-      .schema(binarySchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .option("pathGlobFilter", "*.warc.gz")
-      .load(dropDir)
+    CrawlIngest.fileSource(spark, dropDir, maxFilesPerTrigger)
       .writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
@@ -255,16 +246,7 @@ object CrawlMedia {
              checkpoint: String,
              trigger: Trigger = Trigger.ProcessingTime(10000L),
              maxFilesPerTrigger: Int = 64): StreamingQuery = {
-    val binarySchema = StructType(Seq(
-      StructField("path", StringType),
-      StructField("modificationTime", TimestampType),
-      StructField("length", LongType),
-      StructField("content", BinaryType)))
-    spark.readStream.format("binaryFile")
-      .schema(binarySchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .option("pathGlobFilter", "*.warc.gz")
-      .load(dropDir)
+    CrawlIngest.fileSource(spark, dropDir, maxFilesPerTrigger)
       .writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
@@ -322,13 +304,19 @@ object CrawlMedia {
     * REPRESENTATIVE. ONE shuffle on the digest key. Undigested rows
     * (null `sha1_b32` — payload-less records) self-represent. Output:
     * (kind, sha1_b32, member, rep). */
+  /** The shared representative expression: min `idCol` over the
+    * (kind, digest) cluster, self for undigested rows — ONE definition
+    * so membership ([[digestClusters]]) and the pair search's rep set
+    * ([[representatives]]) can never diverge (review r13). */
+  private def repCol(idCol: String): org.apache.spark.sql.Column =
+    when(col("sha1_b32").isNotNull,
+      min(col(idCol)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("kind"), col("sha1_b32"))))
+      .otherwise(col(idCol))
+
   def digestClusters(media: DataFrame, idCol: String = "media_key")
       : DataFrame =
-    media.withColumn("rep",
-        when(col("sha1_b32").isNotNull,
-          min(col(idCol)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("kind"), col("sha1_b32"))))
-          .otherwise(col(idCol)))
+    media.withColumn("rep", repCol(idCol))
       .select(col("kind"), col("sha1_b32"), col(idCol).as("member"),
         col("rep"))
 
@@ -339,11 +327,7 @@ object CrawlMedia {
     * precomputed) reuse it. */
   def representatives(media: DataFrame, idCol: String = "media_key")
       : DataFrame =
-    media.withColumn("_rep",
-        when(col("sha1_b32").isNotNull,
-          min(col(idCol)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("kind"), col("sha1_b32"))))
-          .otherwise(col(idCol)))
+    media.withColumn("_rep", repCol(idCol))
       .filter(col(idCol) === col("_rep")).drop("_rep")
 
   /** [[pairsAll]] with DIGEST PRE-CLUSTERING (r12 verdict #4): exact

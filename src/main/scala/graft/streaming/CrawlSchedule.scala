@@ -43,15 +43,27 @@ object CrawlSchedule {
     StructField("n_scheduled", LongType),
     StructField("next_offset_s", DoubleType),
     StructField("batch_id", LongType),
-    StructField("scope", StringType)))
+    StructField("scope", StringType),
+    // The PRE-batch state this delta advanced FROM — what a replayed
+    // batch restores (review r13: reconstructing it arithmetically
+    // from the replayed input breaks under attachRobots, where the
+    // per-host delay is joined from a mutable robots store and may
+    // have CHANGED between the crashed attempt and the replay; the
+    // recorded numbers can't drift). Null on pre-r13 rows → the
+    // arithmetic reconstruction remains as the legacy fallback.
+    StructField("prev_n", LongType),
+    StructField("prev_next", DoubleType)))
 
   /** Open (or resume) the host-state store. Collapse-managed by
     * default (r12 verdict #1): every `collapseEvery` appends the delta
     * history re-snapshots to one latest-per-host base + a bounded delta
     * tail, so [[latestState]]'s window and the replay probe read
     * O(hosts), not O(crawl age), per trigger — soaked flat across 60
-    * triggers (SCALE.md r13). `collapseEvery = 0` keeps full history
-    * (the pre-r13 behavior). */
+    * triggers (SCALE.md r13). `collapseEvery = 0` keeps full history —
+    * and with it the pre-r13 cost shape: BOTH the latest-state window
+    * AND the replay-guard probe then scan one generation per past
+    * trigger, O(crawl age) per batch and O(age²) cumulatively. The
+    * opt-out exists for audit/debug runs, not production. */
   def stateStore(spark: SparkSession, storePath: String,
                  tableName: String = "crawl_schedule",
                  collapseEvery: Long = 16L): ParquetStore =
@@ -82,9 +94,19 @@ object CrawlSchedule {
         val in = fs.open(p)
         val txt =
           try {
+            // Read to EOF, not one read() call: Hadoop streams may
+            // legitimately return short reads, and a prefix that cuts
+            // the "id" field would silently degrade the scope to the
+            // bare path — re-enabling the recreated-checkpoint batch-id
+            // aliasing this nonce exists to prevent (review r13).
+            val out = new java.io.ByteArrayOutputStream(4096)
             val buf = new Array[Byte](4096)
-            val n = in.read(buf)
-            new String(buf, 0, math.max(n, 0), "UTF-8")
+            var n = in.read(buf)
+            while (n >= 0 && out.size() < (1 << 20)) {
+              out.write(buf, 0, n)
+              n = in.read(buf)
+            }
+            new String(out.toByteArray, "UTF-8")
           } finally in.close()
         val m = java.util.regex.Pattern
           .compile("\"id\"\\s*:\\s*\"([^\"]+)\"").matcher(txt)
@@ -105,7 +127,8 @@ object CrawlSchedule {
       .withColumn("_rk", row_number().over(
         Window.partitionBy(col("domain")).orderBy(col("rst_id").desc)))
       .filter(col("_rk") === 1)
-      .select(col("domain"), col("n_scheduled"), col("next_offset_s"))
+      .select(col("domain"), col("n_scheduled"), col("next_offset_s"),
+        col("batch_id"), col("scope"), col("prev_n"), col("prev_next"))
 
   /** One row per host's CRAWL POLICY as fetched from its robots.txt —
     * the durable sibling of the politeness state (r12 verdict #3): the
@@ -131,7 +154,14 @@ object CrawlSchedule {
     * effective Crawl-delay — hosts whose robots declares none emit
     * NULL (so [[delaysFrom]] can fall back to the crawler default
     * while still recording that robots WAS fetched). Non-robots URLs
-    * and unparseable bodies are skipped. One narrow pass. */
+    * and unparseable bodies are skipped. Output is DEDUPED per domain
+    * (one batch can carry several robots fetches that fold to one
+    * registrable domain — http/https twins, www subdomains; the
+    * MOST-CONSERVATIVE declared delay wins), which keeps the store's
+    * one-row-per-key-per-generation contract
+    * ([[graft.store.ParquetStore.collapseToLatest]]) and makes
+    * [[delaysFrom]] deterministic (review r13). One narrow pass + one
+    * domain-keyed aggregation (robots-fetch-sized). */
   def robotsPolicies(fetched: DataFrame, agent: String,
                      urlCol: String = "url",
                      textCol: String = "text"): DataFrame = {
@@ -156,6 +186,11 @@ object CrawlSchedule {
     }(org.apache.spark.sql.Encoders.row(StructType(Seq(
       StructField("domain", StringType),
       StructField("crawl_delay", DoubleType)))))
+      // max ignores nulls: a domain with one declared and one
+      // undeclared policy keeps the declared (slower) one; all-null
+      // stays null → delaysFrom's default.
+      .groupBy(col("domain"))
+      .agg(max(col("crawl_delay")).as("crawl_delay"))
   }
 
   /** The per-domain delay table a scheduler reads EVERY trigger: the
@@ -205,33 +240,37 @@ object CrawlSchedule {
       !store.selectAll.select(col("scope"), col("batch_id"))
         .filter(col("scope") <=> lit(scope) &&
           col("batch_id") === batchId).isEmpty
-    // The replayed attempt reconstructs its pre-batch view
-    // ARITHMETICALLY: current latest state minus THIS batch's own
-    // contribution (row count and constant per-host delay are
-    // re-derivable from the replayed input, which foreachBatch
-    // guarantees identical). Subtraction — unlike the previous
-    // exclude-my-batch-ids view — stays correct after a re-snapshot
-    // folds history into a latest-per-host base (the base keeps only
-    // the ADVANCED row; the pre-state is gone as a ROW but not as a
-    // NUMBER), and after unrelated appends land behind the crashed
-    // delta. The remaining contract: one scheduling lineage per host —
-    // if a SECOND lineage advanced the same host between crash and
-    // replay, the "pre-batch" state folds that advance in (which is
-    // the politeness-safe continuation anyway).
+    // A replayed attempt restores its pre-batch view from the crashed
+    // delta's own RECORDED pre-state (prev_n/prev_next — the latest
+    // row per batch host IS the crashed delta under the one-lineage
+    // contract). Recorded — not reconstructed from the replayed input
+    // — because under [[attachRobots]] the per-host delay joins from a
+    // MUTABLE robots store: a policy update landing between the crash
+    // and the replay would corrupt an arithmetic subtraction (review
+    // r13). Unlike the r12 exclude-my-batch-ids view, recorded
+    // pre-state also survives a re-snapshot folding history into a
+    // latest-per-host base. Legacy rows (pre-r13, null prev) fall back
+    // to the subtraction using the replayed input's row count × delay.
     val cur = latestState(store)
     val prior0 =
-      if (!applied) cur
+      if (!applied)
+        cur.select(col("domain"), col("n_scheduled"),
+          col("next_offset_s"))
       else {
         val contrib = seqd.groupBy(col(domainCol).as("domain"))
           .agg(count(lit(1)).cast("long").as("_bn"),
             max(col(delayCol)).cast("double").as("_bd"))
+        val mine = col("scope") <=> lit(scope) &&
+          col("batch_id") === batchId
         cur.join(contrib, Seq("domain"), "left")
           .select(col("domain"),
-            (col("n_scheduled") - coalesce(col("_bn"), lit(0L)))
-              .as("n_scheduled"),
-            (col("next_offset_s") - coalesce(col("_bn"), lit(0L))
-              .cast("double") * coalesce(col("_bd"), lit(0.0d)))
-              .as("next_offset_s"))
+            when(mine, coalesce(col("prev_n"),
+                col("n_scheduled") - coalesce(col("_bn"), lit(0L))))
+              .otherwise(col("n_scheduled")).as("n_scheduled"),
+            when(mine, coalesce(col("prev_next"),
+                col("next_offset_s") - coalesce(col("_bn"), lit(0L))
+                  .cast("double") * coalesce(col("_bd"), lit(0.0d))))
+              .otherwise(col("next_offset_s")).as("next_offset_s"))
       }
     val prior = prior0.withColumnRenamed("domain", domainCol)
     val out = seqd.join(prior, Seq(domainCol), "left")
@@ -243,11 +282,19 @@ object CrawlSchedule {
       .drop("_seq", "n_scheduled", "next_offset_s")
       .localCheckpoint(true)
     if (!applied) {
+      // The delta records BOTH the advanced state and the pre-state it
+      // advanced from (see StateSchema) — the replay's restore point.
       val delta = out.groupBy(col(domainCol).as("domain"))
         .agg((max(col("fetch_seq")) + 1L).as("n_scheduled"),
           max(col("start_offset_s") + col(delayCol)).as("next_offset_s"))
         .withColumn("batch_id", lit(batchId))
         .withColumn("scope", lit(scope))
+        .join(prior0.select(col("domain").as("_pd"),
+          col("n_scheduled").as("_pn"), col("next_offset_s").as("_px")),
+          col("domain") === col("_pd"), "left")
+        .withColumn("prev_n", coalesce(col("_pn"), lit(0L)))
+        .withColumn("prev_next", coalesce(col("_px"), lit(0.0d)))
+        .drop("_pd", "_pn", "_px")
       store.appendStreaming(delta)
       ()
     }

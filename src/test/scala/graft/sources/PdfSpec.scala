@@ -243,6 +243,24 @@ class PdfSpec extends SparkSpec {
     val lieIx = Pdf.extract(mutated("/Index [0 8]", "/Index [0 9]")).get
     assert(lieIx.text === "xref alpha")
     assert((lieIx.pages, lieIx.xrefSections, lieIx.xrefFailed) === ((1, 1, 0)))
+    // …including a BOMB /Index (~1e12 declared rows): the loop is
+    // bounded by the rows the body actually holds, so this returns
+    // promptly instead of spinning the task for hours (review r13).
+    // Edits INSIDE the xref dict may change length — object offsets
+    // and the startxref value all point before it.
+    def mutatedFree(find: String, repl: String): Array[Byte] =
+      new String(bytes, "ISO-8859-1").replace(find, repl)
+        .getBytes("ISO-8859-1")
+    val bomb = Pdf.extract(
+      mutatedFree("/Index [0 8]", "/Index [0 888888888888]")).get
+    assert(bomb.text === "xref alpha")
+    assert((bomb.pages, bomb.xrefSections, bomb.xrefFailed) === ((1, 1, 0)))
+    // An ILLEGAL /Predictor value (3–9 are not in §7.4.4.4) must fail
+    // the section honestly, never mis-decode-and-count-parsed.
+    val badPred = Pdf.extract(
+      mutatedFree("/Predictor 12", "/Predictor 5")).get
+    assert((badPred.xrefSections, badPred.xrefFailed) === ((0, 1)))
+    assert(badPred.text === "wrong 1\nwrong 1")
     // A lying startxref (no object header there): counted, fallback.
     val off = new String(bytes, "ISO-8859-1")
       .split("startxref\n")(1).split("\n")(0)

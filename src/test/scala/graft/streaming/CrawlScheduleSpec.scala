@@ -215,6 +215,38 @@ class CrawlScheduleSpec extends SparkSpec {
     assert(rows("https://paced.org/d") === ((3L, 14.0)))
   }
 
+  test("replay restores the RECORDED pre-state even when the robots delay changed in between") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val tmp = Files.createTempDirectory("graft_sched_rd").toString
+    val store = CrawlSchedule.stateStore(spark, tmp,
+      s"sched_rd_${System.nanoTime()}")
+    def b(delay: Double) = Seq((0L, "h.org", delay), (1L, "h.org", delay))
+      .toDF("id", "url_domain", "crawl_delay")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "fetch_seq", "start_offset_s").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val first = rows(CrawlSchedule.scheduleBatch(store, b(2.0d),
+      order = col("id"), batchId = 0L))
+    assert(first === Set((0L, 0L, 0.0), (1L, 1L, 2.0)))
+    // The crashed batch advanced the state (next_offset 4 at delay 2);
+    // before the replay, a robots re-fetch changes the host's delay to
+    // 10 — attachRobots re-joins the delay table every trigger, so the
+    // REPLAYED input carries the NEW delay. The pre-state must come
+    // from the delta's RECORDED prev columns (0, 0.0): an arithmetic
+    // subtraction using the replay-time delay would restore
+    // 4 − 2·10 = −16 and emit negative offsets (review r13).
+    val replay = rows(CrawlSchedule.scheduleBatch(store, b(10.0d),
+      order = col("id"), batchId = 0L))
+    assert(replay === Set((0L, 0L, 0.0), (1L, 1L, 10.0)))
+    // No double-advance; the next batch continues from the single
+    // recorded advance.
+    val next = rows(CrawlSchedule.scheduleBatch(store,
+      Seq((2L, "h.org", 10.0d)).toDF("id", "url_domain", "crawl_delay"),
+      order = col("id"), batchId = 1L))
+    assert(next === Set((2L, 2L, 4.0)))
+  }
+
   test("lineageScope: checkpoint query id keys the lineage; recreation = new scope") {
     val ck = Files.createTempDirectory("graft_sched_ls").toString
     // No metadata yet (pre-start / ad-hoc): bare path.
