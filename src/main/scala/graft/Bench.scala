@@ -234,7 +234,13 @@ object Bench {
     // and xref-stream PDF liveness (q_pdf_text/q_pdf_cmap cover the
     // object-scan machinery; this adds the xref chain + predictor).
     "q_fetch_schedule_robots", "q_media_mirrors", "q_media_mirror_pairs",
-    "q_crawl_media_dedup48", "q_pdf_xref"
+    "q_crawl_media_dedup48", "q_pdf_xref",
+    // Round-13 second wave: the incremental mirror dedup (sibling
+    // q_crawl_media_dedup_inc covers the store round-trip + banding;
+    // this adds the digest anti-join + sticky reps) and the robots
+    // allow gate (sibling q_robots covers the matcher; this adds the
+    // store join + path pass).
+    "q_media_mirror_pairs_inc", "q_frontier_gate"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -325,7 +331,8 @@ object Bench {
     "q_span_extract",
     // r13 wave (see the headline comment for the sibling mapping).
     "q_fetch_schedule_robots", "q_media_mirrors", "q_media_mirror_pairs",
-    "q_crawl_media_dedup48", "q_pdf_xref")
+    "q_crawl_media_dedup48", "q_pdf_xref",
+    "q_media_mirror_pairs_inc", "q_frontier_gate")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

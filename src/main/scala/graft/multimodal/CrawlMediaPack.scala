@@ -155,6 +155,31 @@ object CrawlMediaPack extends QueryPack {
       .toDF("path", "content")
   }
 
+  /** The mirror-INCREMENTAL fixture (gid = doc_id): the STORE holds
+    * each picture as a BMP at host m0; the BATCH re-delivers the same
+    * picture twice — as a TIFF at host t (NEW bytes → a new cluster
+    * whose rep enters the pair search) and as an exact BMP mirror at
+    * host m1 (EXISTING digest → a member of the store's cluster,
+    * contributing ZERO pair memberships). */
+  private def mirrorIncFiles(s: SparkSession, docs: DataFrame,
+                             batch: Boolean): DataFrame = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val bytes =
+          if (!batch)
+            warcResponse(s"https://m0.org/img/$id", id, 0,
+              http200("image/bmp", bmp16(pixels16(id))))
+          else
+            warcResponse(s"https://t.org/img/$id", id, 0,
+              http200("image/tiff", tiff16(pixels16(id)))) ++
+              warcResponse(s"https://m1.org/img/$id", id, 1,
+                http200("image/bmp", bmp16(pixels16(id))))
+        (s"mem://mirrorinc/${if (batch) "b" else "s"}/$id.warc.gz",
+          graft.sources.WarcPack.gzipBytes(bytes))
+      }.toDF("path", "content")
+  }
+
   /** Numeric media identity for the oracle: the doc id parsed back from
     * the record's target URI (kind disambiguates img/aud). */
   private def withMediaId(media: DataFrame): DataFrame =
@@ -242,30 +267,58 @@ object CrawlMediaPack extends QueryPack {
             mirrorFiles(s, table(s, dir, "documents")))
           .localCheckpoint(true)
         CrawlMedia.pairsAllByDigest(media)
+      },
+      // INCREMENTAL mirror dedup against a DURABLE store: exact
+      // re-deliveries (host m1, bytes already stored) join existing
+      // clusters and cost ZERO pair memberships; only the genuinely
+      // new TIFF re-encodes form clusters whose representatives enter
+      // the banded search. The oracle brute-forces pairs over the
+      // closed-form representative set with at least one new side.
+      "q_media_mirror_pairs_inc" -> { (s, dir) =>
+        val docs = table(s, dir, "documents")
+        val tmp =
+          java.nio.file.Files.createTempDirectory("graft_mirror_store")
+        try {
+          val store = CrawlMedia.mediaStore(s, tmp.toString,
+            s"mirror_inc_${System.nanoTime()}")
+          store.append(CrawlMedia.mediaFrom(
+            mirrorIncFiles(s, docs, batch = false)))
+          val batch = CrawlMedia.mediaFrom(
+              mirrorIncFiles(s, docs, batch = true))
+            .localCheckpoint(true)
+          CrawlMedia.pairsIncrementalByDigest(store.selectAll, batch)
+            .localCheckpoint(eager = true)
+        } finally {
+          graft.Fs.deleteRecursively(tmp)
+        }
       }
     )
 
   /** aHash re-derivation from the pixel construction: cell c (= row c)
     * has mean 255·bit_c(gid); bit c of the hash is set when the cell
     * mean exceeds the overall mean, as the integer cross-multiply
-    * cellSum·len > totalSum·cellLen the engine computes. */
-  private val PhashCte =
-    """gids AS (SELECT DISTINCT doc_id // 2 AS gid FROM documents),
-      |cells AS (
-      |  SELECT g.gid, t.c, 255 * 16 * ((g.gid >> t.c) & 1) AS cellsum
-      |  FROM gids g, generate_series(0, 15) t(c)
-      |),
-      |celltot AS (
-      |  SELECT gid, c, cellsum,
-      |    sum(cellsum) OVER (PARTITION BY gid) AS total
-      |  FROM cells
-      |),
-      |ph AS (
-      |  SELECT gid,
-      |    CAST(sum(CASE WHEN cellsum * 256 > total * 16
-      |      THEN 1 << c ELSE 0 END) AS BIGINT) AS phash
-      |  FROM celltot GROUP BY gid
-      |)""".stripMargin
+    * cellSum·len > totalSum·cellLen the engine computes. `gidExpr`
+    * maps a document to its picture group (the paired fixtures use
+    * `doc_id // 2`, the mirror-incremental one `doc_id`). */
+  private def phashCte(gidExpr: String): String =
+    s"""gids AS (SELECT DISTINCT $gidExpr AS gid FROM documents),
+       |cells AS (
+       |  SELECT g.gid, t.c, 255 * 16 * ((g.gid >> t.c) & 1) AS cellsum
+       |  FROM gids g, generate_series(0, 15) t(c)
+       |),
+       |celltot AS (
+       |  SELECT gid, c, cellsum,
+       |    sum(cellsum) OVER (PARTITION BY gid) AS total
+       |  FROM cells
+       |),
+       |ph AS (
+       |  SELECT gid,
+       |    CAST(sum(CASE WHEN cellsum * 256 > total * 16
+       |      THEN 1 << c ELSE 0 END) AS BIGINT) AS phash
+       |  FROM celltot GROUP BY gid
+       |)""".stripMargin
+
+  private val PhashCte = phashCte("doc_id // 2")
 
   /** Haar-fingerprint re-derivation keyed by GROUP (the audio-pack SQL
     * with gid = doc_id // 2 as the waveform key — both encodings are
@@ -409,6 +462,26 @@ object CrawlMediaPack extends QueryPack {
         |SELECT 'https://t.org/img/' || CAST(doc_id AS VARCHAR) AS member,
         |  r.tif_rep AS rep
         |FROM documents d JOIN reps r ON r.gid = d.doc_id // 2""".stripMargin,
+    // Incremental mirror pairs: reps are the store's m0 BMPs (old) and
+    // the batch's t TIFFs (new — the m1 exact mirrors join existing
+    // clusters and must contribute nothing); every surviving pair has
+    // ≥ 1 new side. gid = doc_id here (one picture per document).
+    "q_media_mirror_pairs_inc" ->
+      s"""WITH ${phashCte("doc_id")},
+         |reps AS (
+         |  SELECT gid, 'https://m0.org/img/' || CAST(gid AS VARCHAR)
+         |    AS id, FALSE AS is_new FROM gids
+         |  UNION ALL
+         |  SELECT gid, 'https://t.org/img/' || CAST(gid AS VARCHAR)
+         |    AS id, TRUE AS is_new FROM gids)
+         |SELECT 'image' AS kind, least(a.id, b.id) AS media_a,
+         |  greatest(a.id, b.id) AS media_b,
+         |  CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS ham
+         |FROM reps a JOIN reps b
+         |  ON a.id < b.id AND (a.is_new OR b.is_new)
+         |JOIN ph pa ON pa.gid = a.gid
+         |JOIN ph pb ON pb.gid = b.gid
+         |WHERE bit_count(xor(pa.phash, pb.phash)) <= 2""".stripMargin,
     // Mirror pairs: brute-force hamming over the representative set
     // (one bmp rep + one tiff rep per gid, both hashing to the gid's
     // re-derived aHash).

@@ -163,6 +163,41 @@ object RobotsPack extends QueryPack {
           graft.Fs.deleteRecursively(tmp)
         }
       },
+      // ROBOTS-GATED frontier (r13): URLs run through the REAL RFC
+      // 9309 matcher against their domain's STORED robots body —
+      // site0's policy (the q_robots fixture: Allow carve-out inside a
+      // Disallow subtree, pdf end-anchor wildcard) drops variants 1
+      // and 3; site1 has no robots row and is fully allowed. Closed
+      // form in doc_id.
+      "q_frontier_gate" -> { (s, dir) =>
+        import s.implicits._
+        import graft.streaming.CrawlSchedule
+        val tmp = java.nio.file.Files.createTempDirectory("graft_gate")
+        try {
+          val rstore = CrawlSchedule.robotsStore(s, tmp.toString,
+            s"crawl_gate_${System.nanoTime()}")
+          rstore.append(CrawlSchedule.robotsPolicies(
+            Seq(("https://site0.com/robots.txt", Fixture))
+              .toDF("url", "text"), "graftbot"))
+          val urls = table(s, dir, "documents")
+            .select(col("doc_id")).as[Long]
+            .map { id =>
+              val path = (id % 5).toInt match {
+                case 0 => s"/articles/$id.html"
+                case 1 => s"/private/$id.html"
+                case 2 => s"/private/public/$id.html"
+                case 3 => s"/docs/$id.pdf"
+                case _ => s"/private/public/$id.pdf"
+              }
+              (id, s"https://site${id % 2}.com$path", s"site${id % 2}.com")
+            }.toDF("doc_id", "url", "url_domain")
+          CrawlSchedule.gateFrontier(urls, rstore, "graftbot")
+            .select(col("doc_id"), col("url"))
+            .localCheckpoint(eager = true)
+        } finally {
+          graft.Fs.deleteRecursively(tmp)
+        }
+      },
       // ROBOTS-STORE-DRIVEN politeness (r12 verdict #3): pacing comes
       // from what the crawler actually FETCHED — robots.txt bodies
       // parse into a durable policy store (latest generation per
@@ -289,6 +324,23 @@ object RobotsPack extends QueryPack {
         |  CAST(seq AS BIGINT) AS fetch_seq,
         |  CAST(seq * (g + 1) AS DOUBLE) AS start_offset_s
         |FROM s""".stripMargin,
+    // Gate: site0 (even ids) keeps variants 0/2/4 (allowed by default,
+    // the 16-octet Allow carve-out, the carve-out again over the pdf
+    // wildcard) and drops 1/3; site1 (odd ids) has no stored robots —
+    // RFC 9309 allows everything.
+    "q_frontier_gate" ->
+      """SELECT doc_id,
+        |  'https://site' || CAST(doc_id % 2 AS VARCHAR) || '.com' ||
+        |  CASE CAST(doc_id % 5 AS INTEGER)
+        |    WHEN 0 THEN '/articles/' || CAST(doc_id AS VARCHAR) || '.html'
+        |    WHEN 1 THEN '/private/' || CAST(doc_id AS VARCHAR) || '.html'
+        |    WHEN 2 THEN '/private/public/' || CAST(doc_id AS VARCHAR)
+        |      || '.html'
+        |    WHEN 3 THEN '/docs/' || CAST(doc_id AS VARCHAR) || '.pdf'
+        |    ELSE '/private/public/' || CAST(doc_id AS VARCHAR) || '.pdf'
+        |  END AS url
+        |FROM documents
+        |WHERE doc_id % 2 = 1 OR doc_id % 5 IN (0, 2, 4)""".stripMargin,
     // Robots-driven pacing: site0 re-fetched 1→7 (latest generation
     // wins), sites 1/2 declare 2/3, site3 fetched but declares no
     // delay → default 1, site4 never fetched → default 1; the non-

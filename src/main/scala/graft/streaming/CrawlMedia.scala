@@ -348,6 +348,39 @@ object CrawlMedia {
     pairsAll(representatives(media, idCol), idCol, nBits,
       imageMaxHamming, audioMaxHamming)
 
+  /** INCREMENTAL [[pairsAllByDigest]] — the steady-state mirror story
+    * (r12 verdict #4 composed with the durable pipe): a batch row whose
+    * (kind, digest) already exists in the store joins an EXISTING
+    * cluster — a MEMBER, never a new representative — so re-crawled
+    * mirrors cost ZERO new pair memberships (spec-pinned); only
+    * new-digest batch rows form new clusters, and only their
+    * representatives enter the banded search against the store's
+    * representatives. Representatives are STICKY: the store's rep for
+    * a digest never changes when later members arrive (an un-sticky
+    * min-over-union rep would rename clusters retroactively and
+    * re-emit their pairs under new ids). Scale: one digest anti-join
+    * (store side pruned to two columns, bounded by the collapse
+    * policy) + [[pairsIncremental]]'s batch-proportional banding; the
+    * store is never self-joined. Output: pairs with ≥ 1 new-cluster
+    * side, exactly [[pairsAllByDigest]] over store ∪ batch minus
+    * store-only pairs (spec-pinned with ids arranged so union reps ==
+    * sticky reps). */
+  def pairsIncrementalByDigest(baseMedia: DataFrame, batchMedia: DataFrame,
+                               idCol: String = "media_key", nBits: Int = 16,
+                               imageMaxHamming: Int = 2,
+                               audioMaxHamming: Int = 4): DataFrame = {
+    val newDigests = batchMedia.filter(col("sha1_b32").isNotNull)
+      .join(baseMedia.select(col("kind"), col("sha1_b32")).distinct(),
+        Seq("kind", "sha1_b32"), "left_anti")
+    // Undigested rows (null sha1 — payload-less records) never cluster:
+    // they self-represent on both the full and incremental paths.
+    val batchReps = representatives(
+      newDigests.unionByName(batchMedia.filter(col("sha1_b32").isNull)),
+      idCol)
+    pairsIncremental(representatives(baseMedia, idCol), batchReps,
+      idCol, nBits, imageMaxHamming, audioMaxHamming)
+  }
+
   /** Full-corpus variant of [[pairsIncremental]] (first snapshot / the
     * batch-mode audit): all ≤-budget pairs within `media`. */
   def pairsAll(media: DataFrame, idCol: String = "media_key", nBits: Int = 16,

@@ -138,7 +138,11 @@ object CrawlSchedule {
     * pacing on the next scheduled batch. */
   val RobotsSchema: StructType = StructType(Seq(
     StructField("domain", StringType),
-    StructField("crawl_delay", DoubleType)))
+    StructField("crawl_delay", DoubleType),
+    // The robots.txt BODY itself (r13): the gate re-runs the real
+    // matcher per frontier URL, so the store carries the policy
+    // source, not a lossy projection of it. Null on pre-gate rows.
+    StructField("robots_txt", StringType)))
 
   /** Open (or resume) the robots-policy store (collapse-managed like
     * the host state — one latest-per-domain base + a bounded tail). */
@@ -180,17 +184,65 @@ object CrawlSchedule {
           val delay = graft.sources.Robots.crawlDelay(
             graft.sources.Robots.parse(txt), agent)
           Iterator.single(org.apache.spark.sql.Row(domain,
-            delay.map(java.lang.Double.valueOf).orNull))
+            delay.map(java.lang.Double.valueOf).orNull, txt))
         }
       }
     }(org.apache.spark.sql.Encoders.row(StructType(Seq(
       StructField("domain", StringType),
-      StructField("crawl_delay", DoubleType)))))
-      // max ignores nulls: a domain with one declared and one
-      // undeclared policy keeps the declared (slower) one; all-null
-      // stays null → delaysFrom's default.
-      .groupBy(col("domain"))
-      .agg(max(col("crawl_delay")).as("crawl_delay"))
+      StructField("crawl_delay", DoubleType),
+      StructField("robots_txt", StringType)))))
+      // One row per domain: the MOST-CONSERVATIVE declared delay wins
+      // (nulls last), its body travels with it — the gate's rules and
+      // the scheduler's pace come from the SAME fetched policy.
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("domain"))
+          .orderBy(col("crawl_delay").desc_nulls_last,
+            col("robots_txt").desc_nulls_last)))
+      .filter(col("_rk") === 1).drop("_rk")
+  }
+
+  /** The robots store's LATEST policy row per domain — shared by the
+    * delay table ([[delaysFrom]]) and the allow gate
+    * ([[gateFrontier]]). */
+  private def latestPolicy(store: ParquetStore): DataFrame =
+    store.selectAll
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("domain")).orderBy(col("rst_id").desc)))
+      .filter(col("_rk") === 1)
+      .select(col("domain"), col("crawl_delay"), col("robots_txt"))
+
+  /** ALLOW-gate a frontier against the robots store (r13 — the other
+    * half of politeness: pacing without permission is still trespass):
+    * each URL's path runs through the REAL RFC 9309 matcher
+    * ([[graft.sources.Robots.withAllowed]] — wildcards, end anchors,
+    * longest-match precedence, Allow carve-outs, per-agent groups)
+    * against its domain's LATEST stored robots body; disallowed rows
+    * are dropped. Hosts with no stored robots are allowed (RFC 9309:
+    * absent robots.txt restricts nothing). Input must not already
+    * carry `allowed`/`crawl_delay`/`robots_txt` columns (the matcher's
+    * work columns, appended and dropped here). Scale: one
+    * broadcast-friendly left join on the domain key (policy-store
+    * sized) + one narrow matcher pass with a per-partition parse
+    * cache. */
+  def gateFrontier(urls: DataFrame, robots: ParquetStore, agent: String,
+                   urlCol: String = "url",
+                   domainCol: String = "url_domain"): DataFrame = {
+    val ui = urls.schema.fieldIndex(urlCol)
+    val withPath = urls.mapPartitions { it =>
+      it.map { row =>
+        val p = graft.operators.Url.parse(row.getAs[String](ui))
+          .map(_.path).map(x => if (x.isEmpty) "/" else x).getOrElse("/")
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ p)
+      }
+    }(org.apache.spark.sql.Encoders.row(
+      urls.schema.add("_path", StringType)))
+    val pol = latestPolicy(robots)
+      .select(col("domain").as(domainCol), col("robots_txt"))
+    graft.sources.Robots.withAllowed(
+        withPath.join(pol, Seq(domainCol), "left"),
+        "robots_txt", "_path", agent)
+      .filter(col("allowed"))
+      .drop("_path", "robots_txt", "allowed", "crawl_delay")
   }
 
   /** The per-domain delay table a scheduler reads EVERY trigger: the
@@ -200,10 +252,7 @@ object CrawlSchedule {
     * domains that HAVE a policy). */
   def delaysFrom(store: ParquetStore, defaultDelay: Double = 1.0d)
       : DataFrame =
-    store.selectAll
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy(col("domain")).orderBy(col("rst_id").desc)))
-      .filter(col("_rk") === 1)
+    latestPolicy(store)
       .select(col("domain"),
         coalesce(col("crawl_delay"), lit(defaultDelay)).as("crawl_delay"))
 
@@ -320,28 +369,34 @@ object CrawlSchedule {
       defaultDelay, trigger, maxFilesPerTrigger)
   }
 
-  /** [[attach]] with ROBOTS-STORE-DRIVEN pacing (r12 verdict #3): the
-    * per-domain delay table is re-read from the durable robots store
+  /** [[attach]] with ROBOTS-STORE-DRIVEN politeness (r12 verdict #3):
+    * the per-domain policy is re-read from the durable robots store
     * EVERY trigger, so a robots.txt re-fetch that lands a new policy
-    * generation mid-crawl changes that host's pacing on the NEXT
-    * scheduled batch (spec-pinned) — fetch robots → store → pace the
-    * frontier, end to end. Hosts with no robots row (or no declared
-    * Crawl-delay) pace at `defaultDelay`. */
+    * generation mid-crawl changes that host's treatment on the NEXT
+    * scheduled batch (spec-pinned) — fetch robots → store → GATE and
+    * pace the frontier, end to end. Frontier URLs the stored policy
+    * DISALLOWS for `agent` are dropped before scheduling
+    * ([[gateFrontier]] — RFC 9309 matcher, not just delays); hosts
+    * with no robots row (or no declared Crawl-delay) are allowed and
+    * pace at `defaultDelay`. */
   def attachRobots(spark: SparkSession, dropDir: String,
                    state: ParquetStore, outStore: ParquetStore,
                    robots: ParquetStore, checkpoint: String,
-                   defaultDelay: Double = 1.0d,
+                   agent: String = "*", defaultDelay: Double = 1.0d,
                    trigger: Trigger = Trigger.ProcessingTime(10000L),
                    maxFilesPerTrigger: Int = 64): StreamingQuery =
     attachCore(spark, dropDir, state, outStore,
       () => delaysFrom(robots, defaultDelay), checkpoint, defaultDelay,
-      trigger, maxFilesPerTrigger)
+      trigger, maxFilesPerTrigger,
+      gate = urls => gateFrontier(urls, robots, agent))
 
   private def attachCore(spark: SparkSession, dropDir: String,
                          state: ParquetStore, outStore: ParquetStore,
                          delaysOf: () => DataFrame, checkpoint: String,
                          defaultDelay: Double, trigger: Trigger,
-                         maxFilesPerTrigger: Int): StreamingQuery = {
+                         maxFilesPerTrigger: Int,
+                         gate: DataFrame => DataFrame = identity)
+      : StreamingQuery = {
     // Lineage scope resolves LAZILY on the first batch: the checkpoint's
     // metadata file (whose query id is the scope's nonce) exists only
     // once the stream has started. Cached — one tiny read per attach,
@@ -356,9 +411,9 @@ object CrawlSchedule {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           if (scope == null) scope = lineageScope(spark, checkpoint)
-          val urls = graft.operators.Url.withUrlParts(
+          val urls = gate(graft.operators.Url.withUrlParts(
               batch.select(trim(col("value")).as("url"))
-                .filter(col("url") =!= ""))
+                .filter(col("url") =!= "")))
             .join(delaysOf().select(col("domain"), col("crawl_delay"))
               .withColumnRenamed("domain", "url_domain"),
               Seq("url_domain"), "left")

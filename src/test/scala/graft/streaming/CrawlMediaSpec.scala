@@ -222,6 +222,57 @@ class CrawlMediaSpec extends SparkSpec {
       ("image", "https://m0.org/img/2", "https://t.org/img/2", 0L)))
   }
 
+  test("incremental digest pre-cluster: pure mirror arrivals cost ZERO pairs; new clusters score") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import CrawlMediaPack.{bmp16, http200, pixels16, tiff16, warcResponse}
+    def file(name: String, bytes: Array[Byte]) =
+      (s"mem://minc/$name.warc.gz", WarcPack.gzipBytes(bytes))
+    // Store: gid-1 and gid-2 pictures as BMPs at m0.
+    val storeFiles = Seq(
+      file("s1", warcResponse("https://m0.org/img/1", 1L, 0,
+        http200("image/bmp", bmp16(pixels16(1L))))),
+      file("s2", warcResponse("https://m0.org/img/2", 2L, 0,
+        http200("image/bmp", bmp16(pixels16(2L))))))
+      .toDF("path", "content")
+    val store = CrawlMedia.mediaFrom(storeFiles).localCheckpoint(true)
+    // Batch A: EXACT mirrors of both stored pictures at other hosts —
+    // existing digests join existing clusters, zero pair memberships.
+    val mirrorBatch = CrawlMedia.mediaFrom(Seq(
+      file("a1", warcResponse("https://m7.org/img/1", 1L, 0,
+        http200("image/bmp", bmp16(pixels16(1L))))),
+      file("a2", warcResponse("https://m8.org/img/2", 2L, 0,
+        http200("image/bmp", bmp16(pixels16(2L))))))
+      .toDF("path", "content")).localCheckpoint(true)
+    assert(CrawlMedia.pairsIncrementalByDigest(store, mirrorBatch)
+      .isEmpty, "pure mirror arrivals must cost zero pair memberships")
+    // Batch B: a TIFF re-encode of gid 1 (new digest, near-dup of the
+    // stored BMP at ham 0, and of stored gid 2 at ham 2) + one more
+    // exact mirror that must still contribute nothing.
+    val newBatch = CrawlMedia.mediaFrom(Seq(
+      file("b1", warcResponse("https://t.org/img/1", 1L, 0,
+        http200("image/tiff", tiff16(pixels16(1L))))),
+      file("b2", warcResponse("https://m9.org/img/2", 2L, 0,
+        http200("image/bmp", bmp16(pixels16(2L))))))
+      .toDF("path", "content")).localCheckpoint(true)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSet
+    val inc = asSet(CrawlMedia.pairsIncrementalByDigest(store, newBatch))
+    // hash(gid 1) = 1, hash(gid 2) = 2 → ham(1,2) = 2 ≤ budget: the new
+    // TIFF rep pairs with BOTH store reps; the m9 mirror with neither.
+    assert(inc === Set(
+      ("image", "https://m0.org/img/1", "https://t.org/img/1", 0L),
+      ("image", "https://m0.org/img/2", "https://t.org/img/1", 2L)))
+    // Equivalence: the full digest-pre-clustered recompute over
+    // store ∪ batch, minus store-only pairs (ids arranged so the
+    // union's min-rep equals the sticky rep).
+    val full = asSet(
+      CrawlMedia.pairsAllByDigest(store.unionByName(newBatch)))
+    val storeOnly = asSet(CrawlMedia.pairsAllByDigest(store))
+    assert(inc === (full -- storeOnly))
+  }
+
   test("incremental pairs == full recompute minus base-only pairs") {
     val sparkSession = spark
     import sparkSession.implicits._

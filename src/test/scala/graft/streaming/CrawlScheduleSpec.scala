@@ -183,23 +183,30 @@ class CrawlScheduleSpec extends SparkSpec {
     // caller table.
     robots.append(CrawlSchedule.robotsPolicies(
       Seq(("https://paced.org/robots.txt",
-        "User-agent: *\nCrawl-delay: 2\n")).toDF("url", "text"),
+        "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n"))
+        .toDF("url", "text"),
       "graftbot"))
     def run(): Unit =
       CrawlSchedule.attachRobots(spark, dropDir,
         CrawlSchedule.stateStore(spark, stateDir),
         new graft.store.ParquetStore(spark, CrawlSchedule.OutSchema,
           outDir, "rb_out"),
-        robots, ckpt, trigger = Trigger.AvailableNow())
+        robots, ckpt, agent = "graftbot",
+        trigger = Trigger.AvailableNow())
         .awaitTermination()
+    // The /private/ URL is DISALLOWED by the stored policy: gated out
+    // before scheduling, it must neither land in the out store nor
+    // consume a politeness slot (b follows a at offset 2, not 4).
     Files.write(Paths.get(dropDir, "f1.txt"),
-      "https://paced.org/a\nhttps://paced.org/b\n".getBytes("UTF-8"))
+      ("https://paced.org/a\nhttps://paced.org/private/x\n" +
+        "https://paced.org/b\n").getBytes("UTF-8"))
     run()
     // Mid-crawl policy update: a robots re-fetch lands a NEW
     // generation (2 s → 10 s) …
     robots.append(CrawlSchedule.robotsPolicies(
       Seq(("https://paced.org/robots.txt",
-        "User-agent: *\nCrawl-delay: 10\n")).toDF("url", "text"),
+        "User-agent: *\nDisallow: /private/\nCrawl-delay: 10\n"))
+        .toDF("url", "text"),
       "graftbot"))
     Files.write(Paths.get(dropDir, "f2.txt"),
       "https://paced.org/c\nhttps://paced.org/d\n".getBytes("UTF-8"))
@@ -207,12 +214,15 @@ class CrawlScheduleSpec extends SparkSpec {
     val rows = new graft.store.ParquetStore(spark, CrawlSchedule.OutSchema,
       outDir, "rb_out_read").selectAll.collect()
       .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(!rows.contains("https://paced.org/private/x"),
+      "disallowed URL must be gated out of the schedule")
     // Batch 1 paced at 2 s; batch 2 CONTINUES from the stored offset
     // (2 + 2 = 4) but spaces at the UPDATED 10 s.
     assert(rows("https://paced.org/a") === ((0L, 0.0)))
     assert(rows("https://paced.org/b") === ((1L, 2.0)))
     assert(rows("https://paced.org/c") === ((2L, 4.0)))
     assert(rows("https://paced.org/d") === ((3L, 14.0)))
+    assert(rows.size === 4)
   }
 
   test("replay restores the RECORDED pre-state even when the robots delay changed in between") {
