@@ -190,7 +190,7 @@ object RobotsPack extends QueryPack {
                 case _ => s"/private/public/$id.pdf"
               }
               (id, s"https://site${id % 2}.com$path", s"site${id % 2}.com")
-            }.toDF("doc_id", "url", "url_domain")
+            }.toDF("doc_id", "url", "url_host")
           CrawlSchedule.gateFrontier(urls, rstore, "graftbot")
             .select(col("doc_id"), col("url"))
             .localCheckpoint(eager = true)

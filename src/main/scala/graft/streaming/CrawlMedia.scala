@@ -355,10 +355,21 @@ object CrawlMedia {
     * mirrors cost ZERO new pair memberships (spec-pinned); only
     * new-digest batch rows form new clusters, and only their
     * representatives enter the banded search against the store's
-    * representatives. Representatives are STICKY: the store's rep for
-    * a digest never changes when later members arrive (an un-sticky
-    * min-over-union rep would rename clusters retroactively and
-    * re-emit their pairs under new ids). Scale: one digest anti-join
+    * representatives. Representative STABILITY contract (review r13):
+    * the store side's rep is min(`idCol`) over the CURRENT store, so
+    * it is stable across batches only while later-arriving members
+    * never take a smaller key than the cluster's first member. With
+    * the default `media_key` (URLs) that is NOT guaranteed — a mirror
+    * at an alphabetically-earlier host appended between batches
+    * RENAMES the cluster's rep, and subsequent pairs reference the new
+    * name (cluster membership via [[digestClusters]] stays correct —
+    * it is digest-keyed — but accumulated pair output is no longer
+    * the exact full-recompute delta). Callers needing rename-free
+    * accumulation should key by a FIRST-SEEN-stable id (e.g. compose
+    * the store generation at ingest into the key, or maintain a
+    * digest→rep table via [[CrawlIngest.dedupAppendByKey]] keyed on
+    * `kind#sha1_b32` — first writer wins, replay-idempotent) and pass
+    * it as `idCol`. Scale: one digest anti-join
     * (store side pruned to two columns, bounded by the collapse
     * policy) + [[pairsIncremental]]'s batch-proportional banding; the
     * store is never self-joined. Output: pairs with ≥ 1 new-cluster

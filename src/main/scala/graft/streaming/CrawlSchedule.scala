@@ -130,12 +130,16 @@ object CrawlSchedule {
       .select(col("domain"), col("n_scheduled"), col("next_offset_s"),
         col("batch_id"), col("scope"), col("prev_n"), col("prev_next"))
 
-  /** One row per host's CRAWL POLICY as fetched from its robots.txt —
+  /** One row per HOST's crawl policy as fetched from its robots.txt —
     * the durable sibling of the politeness state (r12 verdict #3): the
-    * frontier's pacing should come from what the crawler actually
+    * frontier's treatment should come from what the crawler actually
     * fetched, not a caller-supplied constant table. Latest generation
-    * per domain wins, so a re-fetched robots.txt UPDATES the host's
-    * pacing on the next scheduled batch. */
+    * per host wins, so a re-fetched robots.txt UPDATES the host's
+    * treatment on the next scheduled batch. The key is the lowercased
+    * HOST, not the registrable domain (review r13): RFC 9309 scopes
+    * robots.txt per authority — blog.example.com's policy is NOT
+    * example.com's, and folding them would gate subdomain URLs by
+    * another host's rules. */
   val RobotsSchema: StructType = StructType(Seq(
     StructField("domain", StringType),
     StructField("crawl_delay", DoubleType),
@@ -152,20 +156,21 @@ object CrawlSchedule {
     new ParquetStore(spark, RobotsSchema, storePath, tableName,
       collapseKeys = Seq("domain"), collapseEvery = collapseEvery)
 
-  /** Extract (domain, crawl_delay) policy rows from fetched robots.txt
-    * documents: `(url, body)` rows whose URL path is `/robots.txt`
-    * parse through [[graft.sources.Robots]] and emit the agent's
-    * effective Crawl-delay — hosts whose robots declares none emit
-    * NULL (so [[delaysFrom]] can fall back to the crawler default
-    * while still recording that robots WAS fetched). Non-robots URLs
-    * and unparseable bodies are skipped. Output is DEDUPED per domain
-    * (one batch can carry several robots fetches that fold to one
-    * registrable domain — http/https twins, www subdomains; the
-    * MOST-CONSERVATIVE declared delay wins), which keeps the store's
+  /** Extract per-HOST policy rows from fetched robots.txt documents:
+    * `(url, body)` rows whose URL path is `/robots.txt` parse through
+    * [[graft.sources.Robots]] and emit the agent's effective
+    * Crawl-delay plus the body — hosts whose robots declares no delay
+    * emit NULL (so [[delaysFrom]] can fall back to the crawler default
+    * while still recording that robots WAS fetched, with rules the
+    * gate still enforces). Non-robots URLs and unparseable bodies are
+    * skipped. Output is DEDUPED per host (http/https twins of the SAME
+    * host can land in one batch; the MOST-CONSERVATIVE declared delay
+    * wins and its body travels with it — rules and pace from the same
+    * fetched policy), which keeps the store's
     * one-row-per-key-per-generation contract
     * ([[graft.store.ParquetStore.collapseToLatest]]) and makes
     * [[delaysFrom]] deterministic (review r13). One narrow pass + one
-    * domain-keyed aggregation (robots-fetch-sized). */
+    * host-keyed window (robots-fetch-sized). */
   def robotsPolicies(fetched: DataFrame, agent: String,
                      urlCol: String = "url",
                      textCol: String = "text"): DataFrame = {
@@ -179,11 +184,11 @@ object CrawlSchedule {
         if (txt == null || parts.isEmpty ||
           parts.get.path != "/robots.txt") Iterator.empty
         else {
-          val domain =
-            graft.operators.Url.registrableDomain(parts.get.host)
+          val host =
+            parts.get.host.toLowerCase(java.util.Locale.ROOT)
           val delay = graft.sources.Robots.crawlDelay(
             graft.sources.Robots.parse(txt), agent)
-          Iterator.single(org.apache.spark.sql.Row(domain,
+          Iterator.single(org.apache.spark.sql.Row(host,
             delay.map(java.lang.Double.valueOf).orNull, txt))
         }
       }
@@ -191,9 +196,6 @@ object CrawlSchedule {
       StructField("domain", StringType),
       StructField("crawl_delay", DoubleType),
       StructField("robots_txt", StringType)))))
-      // One row per domain: the MOST-CONSERVATIVE declared delay wins
-      // (nulls last), its body travels with it — the gate's rules and
-      // the scheduler's pace come from the SAME fetched policy.
       .withColumn("_rk", row_number().over(
         Window.partitionBy(col("domain"))
           .orderBy(col("crawl_delay").desc_nulls_last,
@@ -201,9 +203,12 @@ object CrawlSchedule {
       .filter(col("_rk") === 1).drop("_rk")
   }
 
-  /** The robots store's LATEST policy row per domain — shared by the
+  /** The robots store's LATEST policy row per host — shared by the
     * delay table ([[delaysFrom]]) and the allow gate
-    * ([[gateFrontier]]). */
+    * ([[gateFrontier]]); [[attachRobots]] snapshots it ONCE per trigger
+    * so the gate and the pace always read the SAME policy view (review
+    * r13: two independent scans could straddle a robots append and
+    * gate under one policy while pacing under another). */
   private def latestPolicy(store: ParquetStore): DataFrame =
     store.selectAll
       .withColumn("_rk", row_number().over(
@@ -211,45 +216,62 @@ object CrawlSchedule {
       .filter(col("_rk") === 1)
       .select(col("domain"), col("crawl_delay"), col("robots_txt"))
 
-  /** ALLOW-gate a frontier against the robots store (r13 — the other
-    * half of politeness: pacing without permission is still trespass):
-    * each URL's path runs through the REAL RFC 9309 matcher
-    * ([[graft.sources.Robots.withAllowed]] — wildcards, end anchors,
-    * longest-match precedence, Allow carve-outs, per-agent groups)
-    * against its domain's LATEST stored robots body; disallowed rows
-    * are dropped. Hosts with no stored robots are allowed (RFC 9309:
-    * absent robots.txt restricts nothing). Input must not already
-    * carry `allowed`/`crawl_delay`/`robots_txt` columns (the matcher's
-    * work columns, appended and dropped here). Scale: one
-    * broadcast-friendly left join on the domain key (policy-store
-    * sized) + one narrow matcher pass with a per-partition parse
-    * cache. */
-  def gateFrontier(urls: DataFrame, robots: ParquetStore, agent: String,
-                   urlCol: String = "url",
-                   domainCol: String = "url_domain"): DataFrame = {
+  /** [[gateFrontier]] against an ALREADY-SNAPSHOT policy frame
+    * (`(domain, robots_txt)` — host-keyed). The match target is
+    * RFC 9309's: path PLUS the query string (`/p?sessionid=1`, not
+    * `/p`) — robots patterns over query parameters are ubiquitous and
+    * a path-only target both under-blocks (a wildcarded
+    * `?sessionid=` rule never fires) and over-blocks (an end-anchored
+    * `.pdf` rule fires on `/a.pdf?x=1`) (review r13). Input must not
+    * already carry `allowed`/`crawl_delay`/`robots_txt`/`_path`
+    * columns (the matcher's work columns, appended and dropped
+    * here). */
+  def gateWithPolicies(urls: DataFrame, policies: DataFrame,
+                       agent: String, urlCol: String = "url",
+                       hostCol: String = "url_host"): DataFrame = {
     val ui = urls.schema.fieldIndex(urlCol)
     val withPath = urls.mapPartitions { it =>
       it.map { row =>
-        val p = graft.operators.Url.parse(row.getAs[String](ui))
-          .map(_.path).map(x => if (x.isEmpty) "/" else x).getOrElse("/")
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ p)
+        val target = graft.operators.Url.parse(row.getAs[String](ui))
+          .map { p =>
+            val path = if (p.path.isEmpty) "/" else p.path
+            if (p.query == null) path else path + "?" + p.query
+          }.getOrElse("/")
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ target)
       }
     }(org.apache.spark.sql.Encoders.row(
       urls.schema.add("_path", StringType)))
-    val pol = latestPolicy(robots)
-      .select(col("domain").as(domainCol), col("robots_txt"))
+    val pol = policies
+      .select(col("domain").as(hostCol), col("robots_txt"))
     graft.sources.Robots.withAllowed(
-        withPath.join(pol, Seq(domainCol), "left"),
+        withPath.join(pol, Seq(hostCol), "left"),
         "robots_txt", "_path", agent)
       .filter(col("allowed"))
       .drop("_path", "robots_txt", "allowed", "crawl_delay")
   }
 
-  /** The per-domain delay table a scheduler reads EVERY trigger: the
-    * robots store's latest policy per domain, declared-delay-less rows
+  /** ALLOW-gate a frontier against the robots store (r13 — the other
+    * half of politeness: pacing without permission is still trespass):
+    * each URL's path+query runs through the REAL RFC 9309 matcher
+    * ([[graft.sources.Robots.withAllowed]] — wildcards, end anchors,
+    * longest-match precedence, Allow carve-outs, per-agent groups)
+    * against ITS host's LATEST stored robots body (per-authority scope
+    * — a parent domain's rules never gate a subdomain's URLs);
+    * disallowed rows are dropped. Hosts with no stored robots are
+    * allowed (RFC 9309: absent robots.txt restricts nothing). Scale:
+    * one broadcast-friendly left join on the host key (policy-store
+    * sized) + one narrow matcher pass with a per-partition parse
+    * cache. */
+  def gateFrontier(urls: DataFrame, robots: ParquetStore, agent: String,
+                   urlCol: String = "url",
+                   hostCol: String = "url_host"): DataFrame =
+    gateWithPolicies(urls, latestPolicy(robots), agent, urlCol, hostCol)
+
+  /** The per-HOST delay table a scheduler reads EVERY trigger: the
+    * robots store's latest policy per host, declared-delay-less rows
     * and unknown hosts falling back to `defaultDelay` at join time
-    * (the [[attach]] join is a left join — this frame only needs the
-    * domains that HAVE a policy). */
+    * (the scheduling join is a left join — this frame only needs the
+    * hosts that HAVE a policy). */
   def delaysFrom(store: ParquetStore, defaultDelay: Double = 1.0d)
       : DataFrame =
     latestPolicy(store)
@@ -365,38 +387,68 @@ object CrawlSchedule {
              trigger: Trigger = Trigger.ProcessingTime(10000L),
              maxFilesPerTrigger: Int = 64): StreamingQuery = {
     val d = delays.select(col("domain"), col("crawl_delay"))
-    attachCore(spark, dropDir, state, outStore, () => d, checkpoint,
-      defaultDelay, trigger, maxFilesPerTrigger)
+    attachCore(spark, dropDir, state, outStore,
+      urls => urls
+        .join(d.withColumnRenamed("domain", "url_domain"),
+          Seq("url_domain"), "left")
+        .withColumn("crawl_delay",
+          coalesce(col("crawl_delay"), lit(defaultDelay))),
+      checkpoint, trigger, maxFilesPerTrigger)
   }
 
   /** [[attach]] with ROBOTS-STORE-DRIVEN politeness (r12 verdict #3):
-    * the per-domain policy is re-read from the durable robots store
-    * EVERY trigger, so a robots.txt re-fetch that lands a new policy
-    * generation mid-crawl changes that host's treatment on the NEXT
-    * scheduled batch (spec-pinned) — fetch robots → store → GATE and
-    * pace the frontier, end to end. Frontier URLs the stored policy
-    * DISALLOWS for `agent` are dropped before scheduling
-    * ([[gateFrontier]] — RFC 9309 matcher, not just delays); hosts
-    * with no robots row (or no declared Crawl-delay) are allowed and
-    * pace at `defaultDelay`. */
+    * ONE per-host policy snapshot is read from the durable robots
+    * store per trigger and feeds BOTH the allow gate and the pace
+    * (gate and delay can never disagree within a batch — review r13),
+    * so a robots.txt re-fetch that lands a new policy generation
+    * mid-crawl changes that host's treatment on the NEXT scheduled
+    * batch (spec-pinned) — fetch robots → store → GATE and pace the
+    * frontier, end to end. Frontier URLs the stored policy DISALLOWS
+    * for `agent` are dropped before scheduling ([[gateWithPolicies]] —
+    * RFC 9309 matcher over path+query, per-HOST scope); hosts with no
+    * robots row (or no declared Crawl-delay) are allowed and pace at
+    * `defaultDelay`. `agent` is REQUIRED and must be the agent the
+    * store was built with ([[robotsPolicies]]' argument): a mismatch
+    * would gate under one group while pacing under another — against
+    * the common "specific agent allowed, * denied" pattern, a wrong
+    * default silently drops the whole frontier (review r13).
+    *
+    * At-least-once boundary (documented, not closed): the gate reads
+    * MUTABLE policy state, so a policy change landing between a
+    * crashed attempt and its replay can change the replayed batch's
+    * URL membership — the replay then assigns fresh `fetch_seq`s to
+    * the shifted tail, and rows the crashed attempt already wrote
+    * under the old numbering survive beside them (same URL at two
+    * offsets). Offsets stay monotonic — politeness is never violated,
+    * the cost is a possible duplicate fetch request in the crash
+    * window. Closing it needs an as-of policy view pinned per batch
+    * id, which the collapse-managed store deliberately does not
+    * promise (a re-snapshot may fold any historical view). */
   def attachRobots(spark: SparkSession, dropDir: String,
                    state: ParquetStore, outStore: ParquetStore,
                    robots: ParquetStore, checkpoint: String,
-                   agent: String = "*", defaultDelay: Double = 1.0d,
+                   agent: String, defaultDelay: Double = 1.0d,
                    trigger: Trigger = Trigger.ProcessingTime(10000L),
                    maxFilesPerTrigger: Int = 64): StreamingQuery =
     attachCore(spark, dropDir, state, outStore,
-      () => delaysFrom(robots, defaultDelay), checkpoint, defaultDelay,
-      trigger, maxFilesPerTrigger,
-      gate = urls => gateFrontier(urls, robots, agent))
+      urls => {
+        // ONE snapshot per trigger, shared by gate and pace.
+        val pol = latestPolicy(robots).localCheckpoint(true)
+        gateWithPolicies(urls, pol, agent)
+          .join(pol.select(col("domain").as("url_host"),
+            col("crawl_delay")), Seq("url_host"), "left")
+          .withColumn("crawl_delay",
+            coalesce(col("crawl_delay"), lit(defaultDelay)))
+      },
+      checkpoint, trigger, maxFilesPerTrigger)
 
+  /** Shared attach shell: `prep` maps the trigger's parsed frontier
+    * (withUrlParts columns) to the gated frame carrying `crawl_delay`. */
   private def attachCore(spark: SparkSession, dropDir: String,
                          state: ParquetStore, outStore: ParquetStore,
-                         delaysOf: () => DataFrame, checkpoint: String,
-                         defaultDelay: Double, trigger: Trigger,
-                         maxFilesPerTrigger: Int,
-                         gate: DataFrame => DataFrame = identity)
-      : StreamingQuery = {
+                         prep: DataFrame => DataFrame, checkpoint: String,
+                         trigger: Trigger,
+                         maxFilesPerTrigger: Int): StreamingQuery = {
     // Lineage scope resolves LAZILY on the first batch: the checkpoint's
     // metadata file (whose query id is the scope's nonce) exists only
     // once the stream has started. Cached — one tiny read per attach,
@@ -411,14 +463,9 @@ object CrawlSchedule {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           if (scope == null) scope = lineageScope(spark, checkpoint)
-          val urls = gate(graft.operators.Url.withUrlParts(
-              batch.select(trim(col("value")).as("url"))
-                .filter(col("url") =!= "")))
-            .join(delaysOf().select(col("domain"), col("crawl_delay"))
-              .withColumnRenamed("domain", "url_domain"),
-              Seq("url_domain"), "left")
-            .withColumn("crawl_delay",
-              coalesce(col("crawl_delay"), lit(defaultDelay)))
+          val urls = prep(graft.operators.Url.withUrlParts(
+            batch.select(trim(col("value")).as("url"))
+              .filter(col("url") =!= "")))
           val sched = scheduleBatch(state, urls, order = col("url"),
               batchId = batchId, scope = scope)
             .select(col("url"), col("url_domain"), col("fetch_seq"),

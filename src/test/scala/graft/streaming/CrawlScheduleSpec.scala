@@ -257,6 +257,38 @@ class CrawlScheduleSpec extends SparkSpec {
     assert(next === Set((2L, 2L, 4.0)))
   }
 
+  test("gateFrontier: per-HOST robots scope; the match target carries the query string") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val tmp = Files.createTempDirectory("graft_gate_h").toString
+    val robots = CrawlSchedule.robotsStore(spark, tmp,
+      s"gate_h_${System.nanoTime()}")
+    robots.append(CrawlSchedule.robotsPolicies(Seq(
+      ("https://example.com/robots.txt", "User-agent: *\nDisallow: /\n"),
+      ("https://q.org/robots.txt",
+        "User-agent: *\nDisallow: /*?sessionid=\nDisallow: /*.pdf$\n"))
+      .toDF("url", "text"), "anybot"))
+    val urls = Seq(
+      // RFC 9309 scope is the AUTHORITY: example.com's deny-all must
+      // not gate blog.example.com (its own robots was never fetched →
+      // allowed) — review r13: a registrable-domain key folded them.
+      ("https://example.com/a", "example.com"),
+      ("https://blog.example.com/a", "blog.example.com"),
+      // Query strings are part of the match target: the sessionid
+      // pattern must FIRE on /p?sessionid=1 …
+      ("https://q.org/p?sessionid=1", "q.org"),
+      // … and the end-anchored pdf pattern must NOT fire when a query
+      // follows the extension (review r13: a path-only target both
+      // under- and over-blocked).
+      ("https://q.org/a.pdf?x=1", "q.org"),
+      ("https://q.org/b.pdf", "q.org"))
+      .toDF("url", "url_host")
+    val kept = CrawlSchedule.gateFrontier(urls, robots, "anybot")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(kept === Set("https://blog.example.com/a",
+      "https://q.org/a.pdf?x=1"))
+  }
+
   test("lineageScope: checkpoint query id keys the lineage; recreation = new scope") {
     val ck = Files.createTempDirectory("graft_sched_ls").toString
     // No metadata yet (pre-start / ad-hoc): bare path.
