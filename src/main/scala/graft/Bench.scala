@@ -240,7 +240,10 @@ object Bench {
     // this adds the digest anti-join + sticky reps) and the robots
     // allow gate (sibling q_robots covers the matcher; this adds the
     // store join + path pass).
-    "q_media_mirror_pairs_inc", "q_frontier_gate"
+    "q_media_mirror_pairs_inc", "q_frontier_gate",
+    // WARC export round trip (the write half; reported sibling
+    // q_crawl_text covers the read chain it round-trips through).
+    "q_warc_export"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -332,7 +335,7 @@ object Bench {
     // r13 wave (see the headline comment for the sibling mapping).
     "q_fetch_schedule_robots", "q_media_mirrors", "q_media_mirror_pairs",
     "q_crawl_media_dedup48", "q_pdf_xref",
-    "q_media_mirror_pairs_inc", "q_frontier_gate")
+    "q_media_mirror_pairs_inc", "q_frontier_gate", "q_warc_export")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

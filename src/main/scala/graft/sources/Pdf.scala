@@ -1173,7 +1173,7 @@ object Pdf {
         fontsDirectOk
       val fontsCmapFailed = fontCache.valuesIterator
         .count(v => v._1 && v._2.isEmpty) + fontsDirectFailed
-      val title = infoFrom(bytes, objs).flatMap(_.get("Title")).orNull
+      val title = infoFrom(bytes, objs, xinfo).flatMap(_.get("Title")).orNull
       Some((PdfDoc(pages, objs.size, streams, decoded, text.toString,
         fontsCmap, fontsCmapFailed,
         xinfo.map(_.sections).getOrElse(0),
@@ -1229,16 +1229,26 @@ object Pdf {
   def docInfo(bytes: Array[Byte]): Option[Map[String, String]] = {
     if (bytes == null || bytes.length < 8) return None
     try {
-      infoFrom(bytes, allObjects(bytes, 64 * 1024 * 1024))
+      val objs = allObjects(bytes, 64 * 1024 * 1024)
+      infoFrom(bytes, objs, xrefLiveness(bytes, objs, 64 * 1024 * 1024))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** The /Info resolution given already-parsed objects (the trailer
-    * scan itself is cheap — no inflation). */
+    * scan itself is cheap — no inflation). `xref` carries the
+    * cross-reference liveness when the caller already walked it
+    * ([[extractWithTitle]]); [[docInfo]] walks it itself — an
+    * incrementally-updated /Info object resolves to the revision the
+    * xref designates, not blindly to the last copy in the file (the
+    * same r13 liveness rule the text path follows). The trailer-dict
+    * /Info REFERENCE still takes the last trailer (incremental updates
+    * append trailers; that part of the format has no xref-stream
+    * equivalent to defer to). */
   private def infoFrom(bytes: Array[Byte],
-                       objs: Vector[IndObj]): Option[Map[String, String]] = {
+                       objs: Vector[IndObj],
+                       xref: Option[XrefInfo]): Option[Map[String, String]] = {
     {
-      val byNum = objs.groupBy(_.num).map { case (k, v) => (k, v.last) }
+      val byNum = chooseLive(objs, xref)
       val InfoKeys = Seq("Title", "Author", "Subject", "Producer",
         "CreationDate", "ModDate")
       def strings(v: Cos): Map[String, String] = v match {
@@ -1270,6 +1280,21 @@ object Pdf {
           }
           i = p.i
         } else i += 1
+      }
+      // Xref-stream PDFs (1.5+) have NO `trailer` keyword — the
+      // /Type /XRef stream's dict IS the trailer and carries /Info
+      // (r13). Keyword trailers keep precedence (legacy files; an
+      // appended classic trailer supersedes), else the last XRef
+      // dict's /Info in document order wins.
+      if (infoRef < 0) objs.foreach { o =>
+        o.value match {
+          case CDict(m) if m.get("Type").contains(CName("XRef")) =>
+            m.get("Info") match {
+              case Some(CRef(r)) => infoRef = r
+              case _ => ()
+            }
+          case _ => ()
+        }
       }
       val fromTrailer = if (infoRef >= 0)
         byNum.get(infoRef).map(o => strings(o.value)).filter(_.nonEmpty)

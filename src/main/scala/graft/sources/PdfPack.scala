@@ -266,6 +266,13 @@ object PdfPack extends QueryPack {
     w(s"6 0 obj << /Length ${wrong.length} >> stream\n$wrong" +
       "\nendstream endobj\n")
     w("5 0 obj << /Type /Page /Contents 6 0 R >> endobj\n")
+    // /Info: the REAL revision first, a later decoy shadowing it —
+    // metadata follows the same xref liveness as text (and the /Info
+    // REFERENCE itself lives in the XRef dict: 1.5+ files have no
+    // `trailer` keyword).
+    val offInfo = sb.size()
+    w(s"8 0 obj << /Title (real title $id) >> endobj\n")
+    w(s"8 0 obj << /Title (shadow title $id) >> endobj\n")
     val offX1 = sb.size()
     // W [1 3 1] → 5-byte rows; PNG Up predictor (filter byte 2), the
     // shape real writers emit.
@@ -275,7 +282,8 @@ object PdfPack extends QueryPack {
     val rows = Array(
       row(0, 0L, 0), row(1, offX1.toLong, 0), row(1, offStm2.toLong, 0),
       row(2, 2L, 0), row(1, offReal4.toLong, 0), row(0, 0L, 0),
-      row(1, offObj6.toLong, 0), row(1, offStm7.toLong, 0))
+      row(1, offObj6.toLong, 0), row(1, offStm7.toLong, 0),
+      row(1, offInfo.toLong, 0))
     val filtered = new java.io.ByteArrayOutputStream()
     var prev = new Array[Byte](5)
     for (r <- rows) {
@@ -285,8 +293,8 @@ object PdfPack extends QueryPack {
       prev = r
     }
     val xstm = deflate(filtered.toByteArray)
-    w(s"1 0 obj << /Type /XRef /Size 8 /W [1 3 1] /Index [0 8] " +
-      s"/Root 9 0 R /Filter /FlateDecode " +
+    w(s"1 0 obj << /Type /XRef /Size 9 /W [1 3 1] /Index [0 9] " +
+      s"/Root 9 0 R /Info 8 0 R /Filter /FlateDecode " +
       s"/DecodeParms << /Predictor 12 /Columns 5 >> " +
       s"/Length ${xstm.length} >> stream\n")
     sb.write(xstm)
@@ -384,14 +392,14 @@ object PdfPack extends QueryPack {
     * word-gap threshold, '-10' does not) and the escape line. */
   override def oracles: Map[String, String] = Map(
     // Xref liveness closed-form: ONE page (the freed decoy never
-    // counts), the UNSHADOWED content revision's text, 9 discovered
-    // objects (7 direct + 2 ObjStm-contained copies of the page) on
-    // xref docs vs 3 on the no-xref variant, exactly one parsed
-    // section and zero failures.
+    // counts), the UNSHADOWED content revision's text, 11 discovered
+    // objects (9 direct — incl. both /Info revisions — + 2
+    // ObjStm-contained copies of the page) on xref docs vs 3 on the
+    // no-xref variant, exactly one parsed section and zero failures.
     "q_pdf_xref" ->
       """SELECT doc_id,
         |  CAST(1 AS BIGINT) AS pdf_pages,
-        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 9 END AS BIGINT)
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 11 END AS BIGINT)
         |    AS pdf_objects,
         |  'xref ' || text AS pdf_text,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS BIGINT)

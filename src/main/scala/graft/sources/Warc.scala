@@ -343,4 +343,113 @@ object Warc {
       .join(responses, col("payload_digest") === col("o_digest"), "left")
       .drop("o_digest")
   }
+
+  // ---------------------------------------------------------------
+  // WARC WRITING (r13): the corpus EXPORT half. A training-data
+  // pipeline that can only READ archives is half a pipeline — curated
+  // corpora ship as WARC (the archival interchange format), and a
+  // writer whose output round-trips through this file's own reader
+  // chain byte-exactly is the strongest possible contract for one.
+
+  /** Serialize ONE WARC record with ISO 28500 framing: version line,
+    * headers (WARC-Type, WARC-Record-ID, WARC-Date, WARC-Target-URI,
+    * WARC-Payload-Digest, Content-Length), blank line, payload, and
+    * the record-terminating CRLF CRLF. DETERMINISTIC: the record id is
+    * a name-based UUID over (uri, date, payload digest), so re-exports
+    * of the same content are byte-stable (re-runs produce identical
+    * archives — the property that makes exports diffable and
+    * replay-idempotent). `payloadDigest` should be the digest of the
+    * semantic payload ([[sha1Digest]] of the HTTP body for `response`
+    * records — the crawler convention [[withDigestCheck]] verifies). */
+  def writeRecord(warcType: String, targetUri: String, date: String,
+                  payload: Array[Byte], payloadDigest: String = null,
+                  extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
+    val digest =
+      if (payloadDigest != null) payloadDigest else sha1Digest(payload)
+    val rid = java.util.UUID.nameUUIDFromBytes(
+      (targetUri + "\n" + date + "\n" + digest)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+      .append(s"WARC-Type: $warcType\r\n")
+      .append(s"WARC-Record-ID: <urn:uuid:$rid>\r\n")
+      .append(s"WARC-Date: $date\r\n")
+    if (targetUri != null)
+      sb.append(s"WARC-Target-URI: $targetUri\r\n")
+    sb.append(s"WARC-Payload-Digest: $digest\r\n")
+    extraHeaders.foreach { case (k, v) => sb.append(s"$k: $v\r\n") }
+    sb.append(s"Content-Length: ${payload.length}\r\n\r\n")
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8) ++
+      payload ++ Array[Byte]('\r', '\n', '\r', '\n')
+  }
+
+  /** One gzip MEMBER (the `.warc.gz` convention: each record its own
+    * member, so readers can skip without inflating the whole file —
+    * [[gunzip]] walks exactly this layout). Java's GZIPOutputStream
+    * writes a zero MTIME: members are deterministic. */
+  private def gzipMember(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(data); gz.close()
+    bos.toByteArray
+  }
+
+  /** DataFrame WARC EXPORT — `(group, url, date, content_type, body)`
+    * rows → one `.warc.gz` FILE per group value: `(path, content)`
+    * where `path` is `<group>.warc.gz` and `content` holds one
+    * `response` record per row (minimal HTTP/1.1 200 envelope around
+    * the body, the shape [[records]] → [[Http.responses]] →
+    * [[graft.streaming.CrawlIngest.documentsFrom]] read back —
+    * round-trip spec-pinned and oracle-gated). Rows within a file are
+    * ordered by `url` (deterministic archives); each record is its own
+    * gzip member. Scale: ONE shuffle on the group key, then a narrow
+    * per-partition encode — each executor writes its own files, the
+    * distributed-export shape; size groups to the 100 MB–1 GB archive
+    * convention. */
+  def encodeResponses(df: DataFrame, groupCol: String = "file_group",
+                      urlCol: String = "url", dateCol: String = "warc_date",
+                      typeCol: String = "content_type",
+                      bodyCol: String = "body",
+                      gzipped: Boolean = true): DataFrame = {
+    val cols = Seq(groupCol, urlCol, dateCol, typeCol, bodyCol)
+    val src = df.select(cols.map(col): _*)
+      .repartition(col(groupCol))
+      .sortWithinPartitions(col(groupCol), col(urlCol))
+    val outSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("content", BinaryType)))
+    src.mapPartitions { it =>
+      // Consecutive-key grouping over the sorted partition with ONE
+      // row of lookahead: memory is one FILE, never the partition.
+      // (Spark rows from mapPartitions iterators may be REUSED — copy
+      // the fields before advancing.)
+      new Iterator[Row] {
+        private var pending: Row =
+          if (it.hasNext) it.next().copy() else null
+        def hasNext: Boolean = pending != null
+        def next(): Row = {
+          val group = pending.getString(0)
+          val file = new java.io.ByteArrayOutputStream()
+          var done = false
+          while (!done) {
+            val r = pending
+            val body = r.getAs[Array[Byte]](4)
+            val b = if (body == null) Array.empty[Byte] else body
+            val http =
+              (s"HTTP/1.1 200 OK\r\nContent-Type: ${r.getString(3)}\r\n" +
+                s"Content-Length: ${b.length}\r\n\r\n")
+                .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ b
+            val rec = writeRecord("response", r.getString(1),
+              r.getString(2), http, payloadDigest = sha1Digest(b))
+            file.write(if (gzipped) gzipMember(rec) else rec)
+            if (it.hasNext) {
+              pending = it.next().copy()
+              if (pending.getString(0) != group) done = true
+            } else { pending = null; done = true }
+          }
+          Row(s"$group.warc.gz", file.toByteArray)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 }

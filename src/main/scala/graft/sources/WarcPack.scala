@@ -101,6 +101,32 @@ object WarcPack extends QueryPack {
     Map(
       "q_warc_records" -> warcQuery(gzipped = false),
       "q_warc_gzip" -> warcQuery(gzipped = true),
+      // WARC EXPORT round trip (r13): documents rendered as HTML pages,
+      // exported via Warc.encodeResponses (grouped .warc.gz files, one
+      // gzip member per response record, deterministic record ids),
+      // then read BACK through the repo's own full ingest chain
+      // (records → HTTP → sniff → extract). The oracle re-derives
+      // every field from the source table — the writer and the whole
+      // reader stack must be mutual inverses.
+      "q_warc_export" -> { (s, dir) =>
+        import s.implicits._
+        val rows = table(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            val esc = text.replace("&", "&amp;").replace("<", "&lt;")
+              .replace(">", "&gt;")
+            val page = s"<html><head><title>t$id</title></head>" +
+              "<body><p>" + esc + "</p></body></html>"
+            (s"exp${id % 7}", s"https://export.org/doc/$id",
+              "2024-01-01T00:00:00Z", "text/html; charset=utf-8",
+              page.getBytes("UTF-8"))
+          }.toDF("file_group", "url", "warc_date", "content_type", "body")
+        val files = Warc.encodeResponses(rows).localCheckpoint(true)
+        graft.streaming.CrawlIngest.documentsFrom(files)
+          .select(col("url"), col("http_status"), col("title"),
+            col("text"))
+      },
       // Revisit resolution + digest verification (r11): each file holds
       // a response and its payload-free revisit twin; the revisit must
       // join back to the original by digest, and the response's
@@ -151,6 +177,17 @@ object WarcPack extends QueryPack {
       |FROM documents WHERE octet_length(encode(text)) > 0""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // Write→read inverse: the exported archive must land back at the
+    // whitespace-normalized document text with the constructed title
+    // and the synthetic URL/status — same contract as q_crawl_text,
+    // but through OUR OWN writer's bytes.
+    "q_warc_export" ->
+      """SELECT 'https://export.org/doc/' || CAST(doc_id AS VARCHAR)
+        |    AS url,
+        |  CAST(200 AS BIGINT) AS http_status,
+        |  't' || CAST(doc_id AS VARCHAR) AS title,
+        |  trim(regexp_replace(text, '\s+', ' ', 'g')) AS text
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     "q_warc_records" -> OracleSql,
     "q_warc_gzip" -> OracleSql,
     "q_warc_revisit" ->

@@ -227,6 +227,11 @@ class PdfSpec extends SparkSpec {
       new String(bytes, "ISO-8859-1").replace(find, repl)
         .getBytes("ISO-8859-1")
     }
+    // Edits INSIDE the xref dict may change length — every recorded
+    // offset and the startxref VALUE point before it.
+    def mutatedFree(find: String, repl: String): Array[Byte] =
+      new String(bytes, "ISO-8859-1").replace(find, repl)
+        .getBytes("ISO-8859-1")
     // Truncated /W (two fields): the section is unusable — COUNTED,
     // and liveness falls back to document order, which picks every
     // decoy (2 pages incl. the freed one, the wrong text) — exactly
@@ -240,19 +245,14 @@ class PdfSpec extends SparkSpec {
     assert((wideW.xrefSections, wideW.xrefFailed) === ((0, 1)))
     // A LYING /Index declaring more rows than the stream holds clamps
     // to the data present — the entries that exist still govern.
-    val lieIx = Pdf.extract(mutated("/Index [0 8]", "/Index [0 9]")).get
+    val lieIx = Pdf.extract(mutatedFree("/Index [0 9]", "/Index [0 10]")).get
     assert(lieIx.text === "xref alpha")
     assert((lieIx.pages, lieIx.xrefSections, lieIx.xrefFailed) === ((1, 1, 0)))
     // …including a BOMB /Index (~1e12 declared rows): the loop is
     // bounded by the rows the body actually holds, so this returns
     // promptly instead of spinning the task for hours (review r13).
-    // Edits INSIDE the xref dict may change length — object offsets
-    // and the startxref value all point before it.
-    def mutatedFree(find: String, repl: String): Array[Byte] =
-      new String(bytes, "ISO-8859-1").replace(find, repl)
-        .getBytes("ISO-8859-1")
     val bomb = Pdf.extract(
-      mutatedFree("/Index [0 8]", "/Index [0 888888888888]")).get
+      mutatedFree("/Index [0 9]", "/Index [0 888888888888]")).get
     assert(bomb.text === "xref alpha")
     assert((bomb.pages, bomb.xrefSections, bomb.xrefFailed) === ((1, 1, 0)))
     // An ILLEGAL /Predictor value (3–9 are not in §7.4.4.4) must fail
@@ -268,6 +268,13 @@ class PdfSpec extends SparkSpec {
       s"startxref\n${"0" * off.length}")).get
     assert((lieSx.xrefSections, lieSx.xrefFailed) === ((0, 1)))
     assert(lieSx.text === "wrong 1\nwrong 1")
+    // /Info follows the SAME liveness: the xref's type-1 entry picks
+    // the real title revision (the /Info REFERENCE itself comes from
+    // the XRef dict — 1.5+ files have no `trailer` keyword), while the
+    // no-xref fallback honestly reads the last revision in the file.
+    assert(Pdf.docInfo(bytes).get("Title") === "real title 1")
+    assert(Pdf.docInfo(mutated("/W [1 3 1]", "/W [1 3  ]"))
+      .get("Title") === "shadow title 1")
 
     // The predictor family itself: identity, TIFF-2, PNG Sub/Up/Paeth.
     assert(Pdf.unpredict(Array[Byte](1, 2, 3), 1, 2).toSeq === Seq(1, 2, 3))
