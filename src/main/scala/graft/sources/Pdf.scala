@@ -754,7 +754,12 @@ object Pdf {
   private final case class XrefEntry(tpe: Int, f2: Long, f3: Long)
 
   private final case class XrefInfo(entries: Map[Int, XrefEntry],
-                                    sections: Int, failed: Int)
+                                    sections: Int, failed: Int,
+                                    /** /Info ref from the NEWEST parsed
+                                      * section's dict (−1 when none) —
+                                      * xref-stream files carry the
+                                      * trailer fields there. */
+                                    infoRef: Int = -1)
 
   /** Undo a PNG row predictor (/DecodeParms /Predictor ≥ 10): each row
     * is one filter-type byte + `rowLen` data bytes; bpp is 1 for xref
@@ -824,7 +829,7 @@ object Pdf {
     * offset. */
   private def parseXrefSection(bytes: Array[Byte], o: IndObj,
                                maxInflate: Int)
-      : Option[(Vector[(Int, XrefEntry)], Option[Long])] = {
+      : Option[(Vector[(Int, XrefEntry)], Option[Long], Int)] = {
     val m = o.value match {
       case CDict(d) if d.get("Type").contains(CName("XRef")) => d
       case _ => return None
@@ -912,7 +917,11 @@ object Pdf {
       case Some(CNum(v)) if v >= 0 => Some(v.toLong)
       case _ => None
     }
-    Some((out.result(), prev))
+    val infoRef = m.get("Info") match {
+      case Some(CRef(r)) => r
+      case _ => -1
+    }
+    Some((out.result(), prev, infoRef))
   }
 
   /** Walk the xref-stream chain from the trailing `startxref` pointer
@@ -951,6 +960,7 @@ object Pdf {
     val seen = scala.collection.mutable.HashSet.empty[Long]
     var sections = 0
     var failed = 0
+    var infoRef = -1
     var cur: Option[Long] = Some(firstOff)
     var hops = 0
     while (cur.isDefined && hops < 64) {
@@ -972,8 +982,12 @@ object Pdf {
         case None => failed += 1 // startxref/Prev lies: no header there
         case Some(o) => parseXrefSection(bytes, o, maxInflate) match {
           case None => failed += 1 // declared /Type /XRef, unusable
-          case Some((secEntries, prev)) =>
+          case Some((secEntries, prev, secInfo)) =>
             sections += 1
+            // Newest section wins — for /Info exactly as for entries
+            // (review r13: a decoy XRef dict appended late in the file,
+            // unreachable from the chain, must never supply /Info).
+            if (infoRef < 0 && secInfo >= 0) infoRef = secInfo
             secEntries.foreach { case (num, e) =>
               if (!entries.contains(num)) entries.update(num, e)
             }
@@ -983,7 +997,7 @@ object Pdf {
       hops += 1
     }
     if (sections == 0 && failed == 0) None
-    else Some(XrefInfo(entries.toMap, sections, failed))
+    else Some(XrefInfo(entries.toMap, sections, failed, infoRef))
   }
 
   /** The live revision per object number: the xref entry's designated
@@ -1284,18 +1298,20 @@ object Pdf {
       // Xref-stream PDFs (1.5+) have NO `trailer` keyword — the
       // /Type /XRef stream's dict IS the trailer and carries /Info
       // (r13). Keyword trailers keep precedence (legacy files; an
-      // appended classic trailer supersedes), else the last XRef
-      // dict's /Info in document order wins.
-      if (infoRef < 0) objs.foreach { o =>
-        o.value match {
-          case CDict(m) if m.get("Type").contains(CName("XRef")) =>
-            m.get("Info") match {
-              case Some(CRef(r)) => infoRef = r
-              case _ => ()
-            }
-          case _ => ()
-        }
-      }
+      // appended classic trailer supersedes); else the /Info comes
+      // from the NEWEST section of the PARSED xref chain — never from
+      // a document-order scan of XRef-shaped dicts, which a decoy
+      // appended late in the file (unreachable from startxref) would
+      // win (review r13). Files with no usable chain keep the
+      // heuristic fallback below.
+      if (infoRef < 0) infoRef = xref.map(_.infoRef).getOrElse(-1)
+      // A freed /Info number (type-0 in the live chain) means the
+      // metadata was DELETED by an incremental update: resurrecting
+      // the stale revision through the heuristic would read exactly
+      // the object the xref says is gone (review r13).
+      val infoFreed = infoRef >= 0 &&
+        xref.exists(_.entries.get(infoRef).exists(_.tpe == 0))
+      if (infoFreed) return None
       val fromTrailer = if (infoRef >= 0)
         byNum.get(infoRef).map(o => strings(o.value)).filter(_.nonEmpty)
       else None

@@ -363,11 +363,19 @@ object Warc {
     * records — the crawler convention [[withDigestCheck]] verifies). */
   def writeRecord(warcType: String, targetUri: String, date: String,
                   payload: Array[Byte], payloadDigest: String = null,
-                  extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
+                  extraHeaders: Seq[(String, String)] = Nil,
+                  idSeed: String = ""): Array[Byte] = {
     val digest =
       if (payloadDigest != null) payloadDigest else sha1Digest(payload)
+    // Record ids must be GLOBALLY UNIQUE (ISO 28500) yet deterministic:
+    // the name-UUID covers uri/date/digest plus the caller's idSeed
+    // (the export feeds content type + the record's in-file ordinal, so
+    // same-URL re-fetches and identical twin rows never collide —
+    // review r13). The NUL marker keeps an ABSENT uri distinct from a
+    // URI spelled "null".
     val rid = java.util.UUID.nameUUIDFromBytes(
-      (targetUri + "\n" + date + "\n" + digest)
+      ((if (targetUri == null) "\u0000" else targetUri) + "\n" + date +
+        "\n" + digest + "\n" + idSeed)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val sb = new StringBuilder
     sb.append("WARC/1.0\r\n")
@@ -387,7 +395,7 @@ object Warc {
     * member, so readers can skip without inflating the whole file —
     * [[gunzip]] walks exactly this layout). Java's GZIPOutputStream
     * writes a zero MTIME: members are deterministic. */
-  private def gzipMember(data: Array[Byte]): Array[Byte] = {
+  private[graft] def gzipMember(data: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
     val gz = new java.util.zip.GZIPOutputStream(bos)
     gz.write(data); gz.close()
@@ -412,9 +420,14 @@ object Warc {
                       bodyCol: String = "body",
                       gzipped: Boolean = true): DataFrame = {
     val cols = Seq(groupCol, urlCol, dateCol, typeCol, bodyCol)
+    // TOTAL-order sort (all columns, body included): rows sharing a URL
+    // within a group — same-URL re-fetches — would otherwise land in
+    // shuffle-arrival order and break the byte-stable re-export
+    // contract (review r13).
     val src = df.select(cols.map(col): _*)
       .repartition(col(groupCol))
-      .sortWithinPartitions(col(groupCol), col(urlCol))
+      .sortWithinPartitions(col(groupCol), col(urlCol), col(dateCol),
+        col(typeCol), col(bodyCol))
     val outSchema = StructType(Seq(
       StructField("path", StringType),
       StructField("content", BinaryType)))
@@ -431,8 +444,14 @@ object Warc {
           val group = pending.getString(0)
           val file = new java.io.ByteArrayOutputStream()
           var done = false
+          var ordinal = 0
           while (!done) {
             val r = pending
+            // Fail FAST on null date/type: "WARC-Date: null" baked into
+            // a published archive is permanent garbage (review r13).
+            require(r.getString(2) != null && r.getString(3) != null,
+              s"encodeResponses: null warc_date/content_type for " +
+                s"url=${r.getString(1)}")
             val body = r.getAs[Array[Byte]](4)
             val b = if (body == null) Array.empty[Byte] else body
             val http =
@@ -440,7 +459,15 @@ object Warc {
                 s"Content-Length: ${b.length}\r\n\r\n")
                 .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ b
             val rec = writeRecord("response", r.getString(1),
-              r.getString(2), http, payloadDigest = sha1Digest(b))
+              r.getString(2), http, payloadDigest = sha1Digest(b),
+              // The BLOCK Content-Type is what makes the archive
+              // interchange: without it standard WARC tooling treats
+              // the payload as an opaque blob, never an HTTP message
+              // (review r13).
+              extraHeaders = Seq(
+                "Content-Type" -> "application/http; msgtype=response"),
+              idSeed = s"${r.getString(3)}\n$ordinal")
+            ordinal += 1
             file.write(if (gzipped) gzipMember(rec) else rec)
             if (it.hasNext) {
               pending = it.next().copy()

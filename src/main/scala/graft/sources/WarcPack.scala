@@ -35,12 +35,9 @@ object WarcPack extends QueryPack {
       "\r\n\r\n".getBytes("ISO-8859-1")
   }
 
-  private[graft] def gzipBytes(data: Array[Byte]): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val gz = new java.util.zip.GZIPOutputStream(bos)
-    gz.write(data); gz.close()
-    bos.toByteArray
-  }
+  private[graft] def gzipBytes(data: Array[Byte]): Array[Byte] =
+    Warc.gzipMember(data) // one member-encoder: the fixtures exercise
+                          // the WRITER's real gzip shape (review r13)
 
   private def warcQuery(gzipped: Boolean)
       : (SparkSession, String) => DataFrame = { (s, dir) =>
@@ -122,7 +119,10 @@ object WarcPack extends QueryPack {
               "2024-01-01T00:00:00Z", "text/html; charset=utf-8",
               page.getBytes("UTF-8"))
           }.toDF("file_group", "url", "warc_date", "content_type", "body")
-        val files = Warc.encodeResponses(rows).localCheckpoint(true)
+        // No checkpoint: single downstream consumer — lineage streams
+        // the archives once instead of pinning every blob in executor
+        // storage (review r13).
+        val files = Warc.encodeResponses(rows)
         graft.streaming.CrawlIngest.documentsFrom(files)
           .select(col("url"), col("http_status"), col("title"),
             col("text"))

@@ -273,8 +273,18 @@ class PdfSpec extends SparkSpec {
     // the XRef dict — 1.5+ files have no `trailer` keyword), while the
     // no-xref fallback honestly reads the last revision in the file.
     assert(Pdf.docInfo(bytes).get("Title") === "real title 1")
+    // With the chain unusable there is NO /Info reference at all (no
+    // keyword trailer, and the XRef dict is only trusted when its
+    // section parses): resolution falls to the documented heuristic —
+    // the first Info-shaped object in document order.
     assert(Pdf.docInfo(mutated("/W [1 3 1]", "/W [1 3  ]"))
-      .get("Title") === "shadow title 1")
+      .get("Title") === "real title 1")
+    // A DECOY XRef-shaped dict appended late (unreachable from the
+    // startxref chain) must not supply /Info — only the parsed chain's
+    // newest section does (review r13).
+    val decoyed = bytes ++
+      b("99 0 obj << /Type /XRef /Info 6 0 R >> endobj\n")
+    assert(Pdf.docInfo(decoyed).get("Title") === "real title 1")
 
     // The predictor family itself: identity, TIFF-2, PNG Sub/Up/Paeth.
     assert(Pdf.unpredict(Array[Byte](1, 2, 3), 1, 2).toSeq === Seq(1, 2, 3))
