@@ -180,6 +180,31 @@ object CrawlMediaPack extends QueryPack {
       }.toDF("path", "content")
   }
 
+  /** The RENAME-HAZARD fixture (r13 verdict #1): the STORE's clusters
+    * were first seen at host m5; the BATCH re-delivers the same bytes
+    * at host a0 — an alphabetically-EARLIER key that a min()-over-
+    * current-store representative would rename the cluster to — plus a
+    * TIFF re-encode at host t (genuinely new bytes). The durable
+    * first-seen rep table must keep the m5 name. */
+  private def mirrorStableFiles(s: SparkSession, docs: DataFrame,
+                                batch: Boolean): DataFrame = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map { id =>
+        val bytes =
+          if (!batch)
+            warcResponse(s"https://m5.org/img/$id", id, 0,
+              http200("image/bmp", bmp16(pixels16(id))))
+          else
+            warcResponse(s"https://a0.org/img/$id", id, 0,
+              http200("image/bmp", bmp16(pixels16(id)))) ++
+              warcResponse(s"https://t.org/img/$id", id, 1,
+                http200("image/tiff", tiff16(pixels16(id))))
+        (s"mem://mirrorstable/${if (batch) "b" else "s"}/$id.warc.gz",
+          graft.sources.WarcPack.gzipBytes(bytes))
+      }.toDF("path", "content")
+  }
+
   /** Numeric media identity for the oracle: the doc id parsed back from
     * the record's target URI (kind disambiguates img/aud). */
   private def withMediaId(media: DataFrame): DataFrame =
@@ -287,6 +312,32 @@ object CrawlMediaPack extends QueryPack {
               mirrorIncFiles(s, docs, batch = true))
             .localCheckpoint(true)
           CrawlMedia.pairsIncrementalByDigest(store.selectAll, batch)
+            .localCheckpoint(eager = true)
+        } finally {
+          graft.Fs.deleteRecursively(tmp)
+        }
+      },
+      // RENAME-FREE incremental mirror pairs (r13 verdict #1): the
+      // batch lands an exact mirror at host a0 — ALPHABETICALLY BEFORE
+      // the stored cluster's first-seen rep at m5 — and the pairs must
+      // still name the cluster m5 (a min()-over-current-store rep
+      // would rename it to a0 and break the accumulated-pairs ≡
+      // full-recompute-delta contract). Only the TIFF re-encodes form
+      // new clusters; the a0 mirrors contribute zero memberships. The
+      // oracle states the first-seen reps closed-form.
+      "q_media_mirror_pairs_stable" -> { (s, dir) =>
+        val docs = table(s, dir, "documents")
+        val tmp =
+          java.nio.file.Files.createTempDirectory("graft_rep_store")
+        try {
+          val reps = CrawlMedia.repStore(s, tmp.toString,
+            s"media_reps_${System.nanoTime()}")
+          CrawlMedia.recordReps(reps, CrawlMedia.mediaFrom(
+            mirrorStableFiles(s, docs, batch = false)))
+          val batch = CrawlMedia.mediaFrom(
+              mirrorStableFiles(s, docs, batch = true))
+            .localCheckpoint(true)
+          CrawlMedia.pairsIncrementalStable(batch, reps)
             .localCheckpoint(eager = true)
         } finally {
           graft.Fs.deleteRecursively(tmp)
@@ -470,6 +521,27 @@ object CrawlMediaPack extends QueryPack {
       s"""WITH ${phashCte("doc_id")},
          |reps AS (
          |  SELECT gid, 'https://m0.org/img/' || CAST(gid AS VARCHAR)
+         |    AS id, FALSE AS is_new FROM gids
+         |  UNION ALL
+         |  SELECT gid, 'https://t.org/img/' || CAST(gid AS VARCHAR)
+         |    AS id, TRUE AS is_new FROM gids)
+         |SELECT 'image' AS kind, least(a.id, b.id) AS media_a,
+         |  greatest(a.id, b.id) AS media_b,
+         |  CAST(bit_count(xor(pa.phash, pb.phash)) AS BIGINT) AS ham
+         |FROM reps a JOIN reps b
+         |  ON a.id < b.id AND (a.is_new OR b.is_new)
+         |JOIN ph pa ON pa.gid = a.gid
+         |JOIN ph pb ON pb.gid = b.gid
+         |WHERE bit_count(xor(pa.phash, pb.phash)) <= 2""".stripMargin,
+    // Stable incremental mirror pairs: the store cluster keeps its
+    // FIRST-SEEN rep (m5 — the a0 re-delivery must neither rename it
+    // nor contribute memberships); the new TIFF clusters' reps are the
+    // batch's t URLs; every surviving pair has ≥ 1 new side. gid =
+    // doc_id (one picture per document).
+    "q_media_mirror_pairs_stable" ->
+      s"""WITH ${phashCte("doc_id")},
+         |reps AS (
+         |  SELECT gid, 'https://m5.org/img/' || CAST(gid AS VARCHAR)
          |    AS id, FALSE AS is_new FROM gids
          |  UNION ALL
          |  SELECT gid, 'https://t.org/img/' || CAST(gid AS VARCHAR)

@@ -361,10 +361,39 @@ object Warc {
     * replay-idempotent). `payloadDigest` should be the digest of the
     * semantic payload ([[sha1Digest]] of the HTTP body for `response`
     * records — the crawler convention [[withDigestCheck]] verifies). */
+  /** Reject CR/LF and control characters in a value destined for a
+    * WARC or HTTP header LINE: these values originate from untrusted
+    * crawled responses (URLs, content types), and a `\r\n` embedded in
+    * one would terminate the header early — letting a hostile server
+    * inject forged headers (a fake `WARC-Payload-Digest`) or split
+    * records in the exported archive (advice r13). Rejection, not
+    * stripping: silently altering a URL would break the deterministic
+    * record-id contract between exports. */
+  private def headerSafe(what: String, v: String): String = {
+    if (v != null) {
+      var i = 0
+      while (i < v.length) {
+        if (v.charAt(i) < 0x20)
+          throw new IllegalArgumentException(
+            s"writeRecord: $what contains a control character " +
+              s"(0x${v.charAt(i).toInt.toHexString}) — header injection")
+        i += 1
+      }
+    }
+    v
+  }
+
   def writeRecord(warcType: String, targetUri: String, date: String,
                   payload: Array[Byte], payloadDigest: String = null,
                   extraHeaders: Seq[(String, String)] = Nil,
                   idSeed: String = ""): Array[Byte] = {
+    headerSafe("warcType", warcType)
+    headerSafe("targetUri", targetUri)
+    headerSafe("date", date)
+    headerSafe("payloadDigest", payloadDigest)
+    extraHeaders.foreach { case (k, v) =>
+      headerSafe("extra header name", k); headerSafe(s"header '$k'", v)
+    }
     val digest =
       if (payloadDigest != null) payloadDigest else sha1Digest(payload)
     // Record ids must be GLOBALLY UNIQUE (ISO 28500) yet deterministic:
@@ -402,35 +431,124 @@ object Warc {
     bos.toByteArray
   }
 
+  /** The standard reason phrase for an exported status line — the
+    * fidelity half of the status story (r13 verdict #2: a hardcoded
+    * `200 OK` flattened every redirect chain and 404 on round-trip). */
+  private def reasonOf(status: Long): String = status match {
+    case 200 => "OK"
+    case 204 => "No Content"
+    case 301 => "Moved Permanently"
+    case 302 => "Found"
+    case 303 => "See Other"
+    case 304 => "Not Modified"
+    case 307 => "Temporary Redirect"
+    case 308 => "Permanent Redirect"
+    case 400 => "Bad Request"
+    case 403 => "Forbidden"
+    case 404 => "Not Found"
+    case 410 => "Gone"
+    case 429 => "Too Many Requests"
+    case 500 => "Internal Server Error"
+    case 503 => "Service Unavailable"
+    case _   => "Status"
+  }
+
+  /** Minimal JSON string escaping for CDXJ fields (values are already
+    * control-character-free — they passed [[writeRecord]]'s header
+    * check — so only the quote and backslash need escaping). */
+  private def jsonEsc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
   /** DataFrame WARC EXPORT — `(group, url, date, content_type, body)`
     * rows → one `.warc.gz` FILE per group value: `(path, content)`
     * where `path` is `<group>.warc.gz` and `content` holds one
-    * `response` record per row (minimal HTTP/1.1 200 envelope around
-    * the body, the shape [[records]] → [[Http.responses]] →
+    * `response` record per row, the shape [[records]] →
+    * [[Http.responses]] →
     * [[graft.streaming.CrawlIngest.documentsFrom]] read back —
-    * round-trip spec-pinned and oracle-gated). Rows within a file are
+    * round-trip spec-pinned and oracle-gated. Rows within a file are
     * ordered by `url` (deterministic archives); each record is its own
-    * gzip member. Scale: ONE shuffle on the group key, then a narrow
-    * per-partition encode — each executor writes its own files, the
-    * distributed-export shape; size groups to the 100 MB–1 GB archive
-    * convention. */
+    * gzip member.
+    *
+    * STATUS FIDELITY (r13 verdict #2): `statusCol`, when given, carries
+    * the original HTTP status into the envelope's status line (with
+    * the standard reason phrase) and `locationCol` the original
+    * `Location` header — so a re-imported export preserves redirect
+    * chains and error statuses instead of flattening everything to
+    * `200 OK` (the default when no status column exists).
+    *
+    * REVISIT RECORDS (`withRevisits`): rows whose body bytes duplicate
+    * an earlier row (by payload digest, across the WHOLE export — the
+    * write-side twin of [[resolveRevisits]]) are written as
+    * payload-free `revisit` records under the identical-payload-digest
+    * profile, carrying the original's digest and
+    * `WARC-Refers-To-Target-URI` — the crawl-time URL-dedup shape the
+    * reader resolves back. Costs one extra shuffle on the digest key.
+    *
+    * CDX INDEX (`withCdx`): each archive gains a sibling
+    * `<group>.cdx` row — one CDXJ line per record
+    * (`<urlkey> <timestamp> {json}` with the record's compressed
+    * OFFSET and LENGTH in the archive), so consumers seek straight to
+    * a record instead of scanning members (r13 verdict #2). The url
+    * key is the URL with spaces percent-encoded (no SURT massage —
+    * documented simplification); offsets are byte-exact against the
+    * emitted archive (oracle-gated by slicing the archive at the CDX
+    * offsets and re-parsing).
+    *
+    * Scale: ONE shuffle on the group key (plus the opt-in digest
+    * shuffle), then a narrow per-partition encode — each executor
+    * writes its own files, the distributed-export shape; size groups
+    * to the 100 MB–1 GB archive convention. */
   def encodeResponses(df: DataFrame, groupCol: String = "file_group",
                       urlCol: String = "url", dateCol: String = "warc_date",
                       typeCol: String = "content_type",
                       bodyCol: String = "body",
-                      gzipped: Boolean = true): DataFrame = {
-    val cols = Seq(groupCol, urlCol, dateCol, typeCol, bodyCol)
+                      gzipped: Boolean = true,
+                      statusCol: String = null,
+                      locationCol: String = null,
+                      withRevisits: Boolean = false,
+                      withCdx: Boolean = false): DataFrame = {
+    // Fixed positional layout for the encode loop: group, url, date,
+    // type, body, status, location, revisit-of. Absent columns become
+    // literals so the loop never branches on schema.
+    val statusExpr =
+      if (statusCol == null) lit(200L) else col(statusCol).cast("long")
+    val locExpr =
+      if (locationCol == null) lit(null).cast("string")
+      else col(locationCol).cast("string")
+    val base = df.select(col(groupCol), col(urlCol), col(dateCol),
+      col(typeCol), col(bodyCol), statusExpr.as("_status"),
+      locExpr.as("_loc"))
+    val withRev =
+      if (!withRevisits) base.withColumn("_revisit_of",
+        lit(null).cast("string"))
+      else {
+        // Write-side revisit detection: the FIRST row per payload
+        // digest (total order — deterministic across runs) is the
+        // response; every later duplicate becomes a revisit of it.
+        // Null bodies never cluster.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("_dig"))
+          .orderBy(col(urlCol), col(dateCol), col(groupCol), col(typeCol))
+        base.withColumn("_dig",
+            when(col(bodyCol).isNotNull, sha1(col(bodyCol))))
+          .withColumn("_rn", row_number().over(w))
+          .withColumn("_orig", first_value(col(urlCol)).over(w))
+          .withColumn("_revisit_of",
+            when(col("_dig").isNotNull && col("_rn") > 1, col("_orig")))
+          .drop("_dig", "_rn", "_orig")
+      }
     // TOTAL-order sort (all columns, body included): rows sharing a URL
     // within a group — same-URL re-fetches — would otherwise land in
     // shuffle-arrival order and break the byte-stable re-export
     // contract (review r13).
-    val src = df.select(cols.map(col): _*)
+    val src = withRev
       .repartition(col(groupCol))
       .sortWithinPartitions(col(groupCol), col(urlCol), col(dateCol),
         col(typeCol), col(bodyCol))
     val outSchema = StructType(Seq(
       StructField("path", StringType),
       StructField("content", BinaryType)))
+    val emitCdx = withCdx
     src.mapPartitions { it =>
       // Consecutive-key grouping over the sorted partition with ONE
       // row of lookahead: memory is one FILE, never the partition.
@@ -439,41 +557,104 @@ object Warc {
       new Iterator[Row] {
         private var pending: Row =
           if (it.hasNext) it.next().copy() else null
-        def hasNext: Boolean = pending != null
+        private var queuedCdx: Row = null
+        def hasNext: Boolean = pending != null || queuedCdx != null
         def next(): Row = {
+          if (queuedCdx != null) {
+            val r = queuedCdx; queuedCdx = null; return r
+          }
           val group = pending.getString(0)
           val file = new java.io.ByteArrayOutputStream()
+          val cdx = if (emitCdx) new StringBuilder else null
           var done = false
           var ordinal = 0
           while (!done) {
             val r = pending
-            // Fail FAST on null date/type: "WARC-Date: null" baked into
-            // a published archive is permanent garbage (review r13).
-            require(r.getString(2) != null && r.getString(3) != null,
-              s"encodeResponses: null warc_date/content_type for " +
-                s"url=${r.getString(1)}")
+            // Fail FAST on null date/type/status: "WARC-Date: null"
+            // baked into a published archive is permanent garbage
+            // (review r13); same for a null status under a status
+            // column — silence would re-introduce the 200 flattening.
+            require(r.getString(2) != null && r.getString(3) != null &&
+              !r.isNullAt(5),
+              s"encodeResponses: null warc_date/content_type/status " +
+                s"for url=${r.getString(1)}")
+            val contentType = headerSafe("content_type", r.getString(3))
+            val location =
+              if (r.isNullAt(6)) null
+              else headerSafe("location", r.getString(6))
+            val status = r.getLong(5)
+            val revisitOf = if (r.isNullAt(7)) null else r.getString(7)
             val body = r.getAs[Array[Byte]](4)
             val b = if (body == null) Array.empty[Byte] else body
-            val http =
-              (s"HTTP/1.1 200 OK\r\nContent-Type: ${r.getString(3)}\r\n" +
-                s"Content-Length: ${b.length}\r\n\r\n")
-                .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ b
-            val rec = writeRecord("response", r.getString(1),
-              r.getString(2), http, payloadDigest = sha1Digest(b),
-              // The BLOCK Content-Type is what makes the archive
-              // interchange: without it standard WARC tooling treats
-              // the payload as an opaque blob, never an HTTP message
-              // (review r13).
-              extraHeaders = Seq(
-                "Content-Type" -> "application/http; msgtype=response"),
-              idSeed = s"${r.getString(3)}\n$ordinal")
+            val digest = sha1Digest(b)
+            val offset = file.size()
+            val rec =
+              if (revisitOf != null) {
+                // Payload-free revisit under the identical-payload-
+                // digest profile — the write-side twin of
+                // [[resolveRevisits]], which joins it back to its
+                // original by this digest.
+                writeRecord("revisit", r.getString(1), r.getString(2),
+                  Array.empty[Byte], payloadDigest = digest,
+                  extraHeaders = Seq(
+                    "WARC-Profile" -> ("http://netpreserve.org/warc/1.0/" +
+                      "revisit/identical-payload-digest"),
+                    "WARC-Refers-To-Target-URI" -> revisitOf),
+                  idSeed = s"$group\n$contentType\n$ordinal")
+              } else {
+                val http =
+                  (s"HTTP/1.1 $status ${reasonOf(status)}\r\n" +
+                    s"Content-Type: $contentType\r\n" +
+                    (if (location != null) s"Location: $location\r\n"
+                     else "") +
+                    s"Content-Length: ${b.length}\r\n\r\n")
+                    .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ b
+                writeRecord("response", r.getString(1), r.getString(2),
+                  http, payloadDigest = digest,
+                  // The BLOCK Content-Type is what makes the archive
+                  // interchange: without it standard WARC tooling
+                  // treats the payload as an opaque blob, never an
+                  // HTTP message (review r13).
+                  extraHeaders = Seq(
+                    "Content-Type" -> "application/http; msgtype=response"),
+                  // The id seed folds the GROUP in (advice r13): the
+                  // same row exported into two different archives must
+                  // get two globally-unique ids (ISO 28500), while a
+                  // byte-identical re-export of the same archive stays
+                  // id-stable.
+                  idSeed = s"$group\n$contentType\n$ordinal")
+              }
+            val member = if (gzipped) gzipMember(rec) else rec
+            file.write(member)
+            if (emitCdx) {
+              val url = if (r.getString(1) == null) "-" else r.getString(1)
+              val ts = r.getString(2).filter(_.isDigit)
+              cdx.append(url.replace(" ", "%20")).append(' ')
+                .append(if (ts.isEmpty) "-" else ts).append(' ')
+                .append("{\"url\":\"").append(jsonEsc(url))
+                .append("\",\"mime\":\"").append(jsonEsc(contentType))
+                .append("\",\"status\":").append(status)
+                .append(",\"digest\":\"").append(jsonEsc(digest))
+                .append("\"")
+              if (location != null)
+                cdx.append(",\"redirect\":\"").append(jsonEsc(location))
+                  .append("\"")
+              if (revisitOf != null)
+                cdx.append(",\"mod\":\"revisit\"")
+              cdx.append(",\"length\":").append(member.length)
+                .append(",\"offset\":").append(offset)
+                .append(",\"filename\":\"").append(jsonEsc(group))
+                .append(".warc.gz\"}\n")
+            }
             ordinal += 1
-            file.write(if (gzipped) gzipMember(rec) else rec)
             if (it.hasNext) {
               pending = it.next().copy()
               if (pending.getString(0) != group) done = true
             } else { pending = null; done = true }
           }
+          if (emitCdx)
+            queuedCdx = Row(s"$group.cdx", cdx.toString.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
           Row(s"$group.warc.gz", file.toByteArray)
         }
       }

@@ -127,6 +127,141 @@ object WarcPack extends QueryPack {
           .select(col("url"), col("http_status"), col("title"),
             col("text"))
       },
+      // STATUS-FAITHFUL export round trip (r13 verdict #2): mixed
+      // 200/301(+Location)/404 rows plus digest-duplicate rows exported
+      // with withRevisits — the archive must carry the ORIGINAL status
+      // lines (not a flattened 200 envelope) and payload-free revisit
+      // records, and the repo's own readers (records → Http.responses
+      // → resolveRevisits) must recover status, Location, and the
+      // revisit's original, cross-archive.
+      "q_warc_export_status" -> { (s, dir) =>
+        import s.implicits._
+        val rows = table(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .flatMap { case (id, text) =>
+            val esc = text.replace("&", "&amp;").replace("<", "&lt;")
+              .replace(">", "&gt;")
+            val page = (s"<html><head><title>t$id</title></head>" +
+              "<body><p>" + esc + "</p></body></html>").getBytes("UTF-8")
+            val status =
+              if (id % 4 == 1) 301L else if (id % 4 == 2) 404L else 200L
+            val body =
+              if (id % 4 == 1) s"moved $id".getBytes("UTF-8") else page
+            val loc =
+              if (id % 4 == 1) s"https://export.org/moved/$id" else null
+            val main = (s"exp${id % 5}", s"https://export.org/doc/$id",
+              "2024-01-01T00:00:00Z", "text/html; charset=utf-8",
+              body, status, loc)
+            // Every fourth doc re-delivers its page bytes at a second
+            // URL in a DIFFERENT archive group — the cross-archive
+            // digest duplicate the writer must turn into a revisit.
+            if (id % 4 == 3)
+              Seq(main, (s"dup${id % 3}", s"https://export.org/dup/$id",
+                "2024-02-01T00:00:00Z", "text/html; charset=utf-8",
+                page, 200L, null))
+            else Seq(main)
+          }
+          .toDF("file_group", "url", "warc_date", "content_type",
+            "body", "http_status", "location")
+        val files = Warc.encodeResponses(rows,
+          statusCol = "http_status", locationCol = "location",
+          withRevisits = true)
+        val recs = Warc.records(
+          files.select(col("path"), col("content").as("bytes")),
+          gzipped = true).filter(col("record_ix") >= 0)
+        val resp = Http.responses(
+            recs.filter(col("warc_type") === "response"))
+          .select(col("target_uri").as("url"),
+            lit("response").as("rec"), col("http_status"),
+            try_element_at(filter(col("http_headers"),
+              h => lower(h.getField("name")) === "location"), lit(1))
+              .getField("value").as("location"),
+            lit(null).cast("string").as("original_uri"))
+        val rev = Warc.resolveRevisits(recs)
+          .select(col("target_uri").as("url"), lit("revisit").as("rec"),
+            lit(null).cast("long").as("http_status"),
+            lit(null).cast("string").as("location"), col("original_uri"))
+        resp.unionByName(rev)
+      },
+      // CDX INDEX fidelity (r13 verdict #2): every exported record gets
+      // a CDXJ line whose compressed OFFSET/LENGTH must be byte-exact —
+      // verified by slicing the archive at exactly [offset,
+      // offset+length), gunzipping THAT slice alone, and re-parsing it
+      // as a single WARC record whose URI and status-line must match
+      // the CDX entry's own fields.
+      "q_warc_cdx" -> { (s, dir) =>
+        import s.implicits._
+        val rows = table(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            val esc = text.replace("&", "&amp;").replace("<", "&lt;")
+              .replace(">", "&gt;")
+            val page = (s"<html><head><title>t$id</title></head>" +
+              "<body><p>" + esc + "</p></body></html>").getBytes("UTF-8")
+            val status =
+              if (id % 3 == 1) 301L else if (id % 3 == 2) 404L else 200L
+            (s"exp${id % 5}", s"https://export.org/doc/$id",
+              "2024-01-01T00:00:00Z", "text/html; charset=utf-8",
+              page, status)
+          }
+          .toDF("file_group", "url", "warc_date", "content_type",
+            "body", "http_status")
+        // localCheckpoint: the export feeds BOTH the archive branch and
+        // the index branch — one encode pass, not two.
+        val files = Warc.encodeResponses(rows,
+            statusCol = "http_status", withCdx = true)
+          .localCheckpoint(true)
+        val warcs = files.filter(col("path").endsWith(".warc.gz"))
+          .select(col("path").as("fn"), col("content"))
+        val entries = files.filter(col("path").endsWith(".cdx"))
+          .select(explode(split(decode(col("content"), "UTF-8"), "\n"))
+            .as("line"))
+          .filter(length(trim(col("line"))) > 0)
+          .select(regexp_extract(col("line"), "(\\{.*\\})", 1).as("j"))
+          .select(
+            get_json_object(col("j"), "$.url").as("url"),
+            get_json_object(col("j"), "$.status").cast("long")
+              .as("cdx_status"),
+            get_json_object(col("j"), "$.offset").cast("int").as("off"),
+            get_json_object(col("j"), "$.length").cast("int").as("len"),
+            get_json_object(col("j"), "$.filename").as("fn"))
+        val joined = entries.join(warcs, Seq("fn"))
+          .select(col("url"), col("cdx_status"), col("off"), col("len"),
+            col("content"))
+        val outSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("url",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("cdx_status",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rec_uri",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("rec_status",
+            org.apache.spark.sql.types.LongType)))
+        joined.mapPartitions { it =>
+          it.map { r =>
+            val content = r.getAs[Array[Byte]](4)
+            val member = java.util.Arrays.copyOfRange(content,
+              r.getInt(2), r.getInt(2) + r.getInt(3))
+            val inflated = Warc.gunzip(member)
+            val head = inflated.flatMap(Warc.warcRecords)
+              .flatMap(_.headOption)
+            val uri = head.flatMap(_.header("WARC-Target-URI")).orNull
+            val status: java.lang.Long = (inflated, head) match {
+              case (Some(b), Some(w)) =>
+                val prefix = new String(b, w.payloadOffset,
+                  math.min(w.payloadLength, 32), "ISO-8859-1")
+                "HTTP/1\\.[01] (\\d{3})".r.findFirstMatchIn(prefix)
+                  .map(m => java.lang.Long.valueOf(m.group(1).toLong))
+                  .orNull
+              case _ => null
+            }
+            org.apache.spark.sql.Row(
+              r.getString(0), r.getLong(1), uri, status)
+          }
+        }(org.apache.spark.sql.Encoders.row(outSchema))
+      },
       // Revisit resolution + digest verification (r11): each file holds
       // a response and its payload-free revisit twin; the revisit must
       // join back to the original by digest, and the response's
@@ -190,6 +325,39 @@ object WarcPack extends QueryPack {
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
     "q_warc_records" -> OracleSql,
     "q_warc_gzip" -> OracleSql,
+    // Status fidelity: every response row must come back with ITS
+    // status and Location; every fourth doc's duplicate re-delivery
+    // must come back as a revisit resolved to the /doc original.
+    "q_warc_export_status" ->
+      """SELECT 'https://export.org/doc/' || CAST(doc_id AS VARCHAR)
+        |    AS url,
+        |  'response' AS rec,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 301
+        |    WHEN doc_id % 4 = 2 THEN 404 ELSE 200 END AS BIGINT)
+        |    AS http_status,
+        |  CASE WHEN doc_id % 4 = 1
+        |    THEN 'https://export.org/moved/' || CAST(doc_id AS VARCHAR)
+        |    END AS location,
+        |  CAST(NULL AS VARCHAR) AS original_uri
+        |FROM documents WHERE text IS NOT NULL
+        |UNION ALL
+        |SELECT 'https://export.org/dup/' || CAST(doc_id AS VARCHAR),
+        |  'revisit', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |  'https://export.org/doc/' || CAST(doc_id AS VARCHAR)
+        |FROM documents WHERE text IS NOT NULL AND doc_id % 4 = 3"""
+        .stripMargin,
+    // CDX offsets: the slice parsed at [offset, offset+length) must be
+    // the entry's own record — URI and status both ways.
+    "q_warc_cdx" ->
+      """SELECT 'https://export.org/doc/' || CAST(doc_id AS VARCHAR)
+        |    AS url,
+        |  CAST(CASE doc_id % 3 WHEN 1 THEN 301 WHEN 2 THEN 404
+        |    ELSE 200 END AS BIGINT) AS cdx_status,
+        |  'https://export.org/doc/' || CAST(doc_id AS VARCHAR)
+        |    AS rec_uri,
+        |  CAST(CASE doc_id % 3 WHEN 1 THEN 301 WHEN 2 THEN 404
+        |    ELSE 200 END AS BIGINT) AS rec_status
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     "q_warc_revisit" ->
       """SELECT doc_id AS media_id,
         |  'https://example.org/re/' || CAST(doc_id AS VARCHAR)

@@ -54,7 +54,15 @@ final class ParquetStore(
       * the store, and expiring old generations under a delta-keyed
       * store silently loses the keys last touched there. */
     val collapseKeys: Seq[String] = Nil,
-    val collapseEvery: Long = 0L
+    val collapseEvery: Long = 0L,
+    /** How many newest deltas the auto-collapse leaves un-folded
+      * (passed through to [[collapseToLatest]]). The default 1 is the
+      * reader-race guard; stores that serve AS-OF views over recent
+      * generations (the robots policy store's crash-replay gate,
+      * [[graft.streaming.CrawlSchedule.policyAsOf]]) raise it so a
+      * collapse landing inside the replay window cannot fold the
+      * generation a crashed batch's stamp points at. */
+    val collapseKeepRecent: Int = 1
 ) extends GenerationStore {
 
   val fullSchema: StructType =
@@ -116,7 +124,7 @@ final class ParquetStore(
     // generation this call just wrote intact — see collapseToLatest).
     if (collapseEvery > 0L && collapseKeys.nonEmpty &&
       generationIds().length > collapseEvery)
-      collapseToLatest(collapseKeys)
+      collapseToLatest(collapseKeys, collapseKeepRecent)
     this
   }
 
@@ -334,9 +342,11 @@ final class ParquetStore(
     * (`recent(1)` probes, lockstep coordinators) never race a rewrite
     * of the directory they just observed; streamed-consumer REPLAY
     * does not depend on it —
-    * [[graft.streaming.CrawlSchedule.scheduleBatch]] reconstructs its
-    * pre-batch view arithmetically, precisely so a re-snapshot may
-    * fold any delta at any time.
+    * [[graft.streaming.CrawlSchedule.scheduleBatch]] restores a
+    * replayed batch's pre-state from the RECORDED `prev_n`/`prev_next`
+    * columns the crashed delta itself carries (arithmetic
+    * reconstruction is only the legacy-null fallback), precisely so a
+    * re-snapshot may fold any delta at any time.
     *
     * Keys: rows within one generation must be unique per key (true for
     * every delta writer in the repo — `scheduleBatch` aggregates per

@@ -213,8 +213,8 @@ object CrawlMedia {
                    docStore: ParquetStore, mediaStore: ParquetStore,
                    checkpoint: String,
                    trigger: Trigger = Trigger.ProcessingTime(10000L),
-                   maxFilesPerTrigger: Int = 64, nCells: Int = 16)
-      : StreamingQuery = {
+                   maxFilesPerTrigger: Int = 64, nCells: Int = 16,
+                   reps: ParquetStore = null): StreamingQuery = {
     CrawlIngest.fileSource(spark, dropDir, maxFilesPerTrigger)
       .writeStream
       .trigger(trigger)
@@ -224,7 +224,13 @@ object CrawlMedia {
           val combined = combinedFrom(batch, nCells = nCells).persist()
           try {
             CrawlIngest.ingestByIdentity(docStore, docsView(combined))
-            CrawlIngest.dedupAppendByKey(mediaStore, mediaView(combined),
+            val media = mediaView(combined)
+            // Naming authority first (r13 verdict #1): the durable
+            // first-seen rep table must cover every digest the member
+            // store holds, so the rename-free pair search can treat it
+            // as the complete cluster index.
+            if (reps != null) recordReps(reps, media)
+            CrawlIngest.dedupAppendByKey(mediaStore, media,
               "media_key", struct(col("path"), col("record_ix")))
             ()
           } finally { combined.unpersist(); () }
@@ -245,7 +251,8 @@ object CrawlMedia {
   def attach(spark: SparkSession, dropDir: String, store: ParquetStore,
              checkpoint: String,
              trigger: Trigger = Trigger.ProcessingTime(10000L),
-             maxFilesPerTrigger: Int = 64): StreamingQuery = {
+             maxFilesPerTrigger: Int = 64,
+             reps: ParquetStore = null): StreamingQuery = {
     CrawlIngest.fileSource(spark, dropDir, maxFilesPerTrigger)
       .writeStream
       .trigger(trigger)
@@ -257,9 +264,18 @@ object CrawlMedia {
         // searches' uniqueness precondition and fan out their verify
         // joins. First capture per key wins; content-version tracking
         // is the WARC revisit surface's job, not the dedup store's.
-        if (!batch.isEmpty)
-          CrawlIngest.dedupAppendByKey(store, mediaFrom(batch),
-            "media_key", struct(col("path"), col("record_ix")))
+        if (!batch.isEmpty) {
+          val media = mediaFrom(batch).persist()
+          try {
+            // Rename-free cluster naming (r13 verdict #1), recorded
+            // before membership so the rep table covers every stored
+            // digest from the first batch on.
+            if (reps != null) recordReps(reps, media)
+            CrawlIngest.dedupAppendByKey(store, media,
+              "media_key", struct(col("path"), col("record_ix")))
+            ()
+          } finally { media.unpersist(); () }
+        }
         ()
       }
       .start()
@@ -365,11 +381,10 @@ object CrawlMedia {
     * name (cluster membership via [[digestClusters]] stays correct —
     * it is digest-keyed — but accumulated pair output is no longer
     * the exact full-recompute delta). Callers needing rename-free
-    * accumulation should key by a FIRST-SEEN-stable id (e.g. compose
-    * the store generation at ingest into the key, or maintain a
-    * digest→rep table via [[CrawlIngest.dedupAppendByKey]] keyed on
-    * `kind#sha1_b32` — first writer wins, replay-idempotent) and pass
-    * it as `idCol`. Scale: one digest anti-join
+    * accumulation should use [[pairsIncrementalStable]] with a durable
+    * [[repStore]] (r13 verdict #1): first-seen naming survives
+    * smaller-key arrivals, batches, and collapses, spec-pinned.
+    * Scale: one digest anti-join
     * (store side pruned to two columns, bounded by the collapse
     * policy) + [[pairsIncremental]]'s batch-proportional banding; the
     * store is never self-joined. Output: pairs with ≥ 1 new-cluster
@@ -389,6 +404,112 @@ object CrawlMedia {
       newDigests.unionByName(batchMedia.filter(col("sha1_b32").isNull)),
       idCol)
     pairsIncremental(representatives(baseMedia, idCol), batchReps,
+      idCol, nBits, imageMaxHamming, audioMaxHamming)
+  }
+
+  // ---------------------------------------------------------------
+  // DURABLE FIRST-SEEN REPRESENTATIVES (r13 verdict #1 — clears the
+  // rename hazard documented on pairsIncrementalByDigest): the store
+  // side's min(idCol) rep is stable only while later arrivals never
+  // take a smaller key; a mirror at an alphabetically-earlier host
+  // landing between batches RENAMES its cluster. The fix is a naming
+  // AUTHORITY: a durable (digest → rep) table where the FIRST batch to
+  // introduce a digest names its cluster forever (first-writer-wins
+  // via the same keyed-dedup append the sibling stores use, so replay
+  // is idempotent). The table carries the cluster's fingerprints too —
+  // members of a digest cluster are byte-identical, so one row per
+  // cluster holds everything the banded pair search needs, and the
+  // search's store side becomes the REP STORE ITSELF: one row per
+  // cluster, already named — no corpus-wide min() window, no rename
+  // join against the member-level media store.
+
+  /** One row per (kind, content digest) cluster: the composed key, the
+    * first-seen representative id, and the cluster's fingerprints
+    * (byte-identical members share them by construction). */
+  val RepSchema: StructType = StructType(Seq(
+    StructField("digest_key", StringType),
+    StructField("kind", StringType), StructField("sha1_b32", StringType),
+    StructField("rep", StringType),
+    StructField("phash", LongType), StructField("fp", ArrayType(IntegerType))))
+
+  /** Open (or resume) the durable digest→representative store —
+    * collapse-managed like its siblings (keys are unique across
+    * generations by [[recordReps]]' anti-join, so the periodic
+    * re-snapshot is a pure compaction). */
+  def repStore(spark: SparkSession, storePath: String,
+               tableName: String = "crawl_media_reps",
+               collapseEvery: Long = 16L): ParquetStore =
+    new ParquetStore(spark, RepSchema, storePath, tableName,
+      collapseKeys = Seq("digest_key"), collapseEvery = collapseEvery)
+
+  /** Batch rows reduced to one REP CANDIDATE per digest: the minimum
+    * `idCol` member (deterministic within the batch), carrying the
+    * cluster fingerprints. */
+  private def repCandidates(batchMedia: DataFrame, idCol: String)
+      : DataFrame =
+    batchMedia.filter(col("sha1_b32").isNotNull)
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("kind"), col("sha1_b32"))
+          .orderBy(col(idCol))))
+      .filter(col("_rn") === 1)
+      .select(
+        concat_ws("#", col("kind"), col("sha1_b32")).as("digest_key"),
+        col("kind"), col("sha1_b32"), col(idCol).as("rep"),
+        col("phash"), col("fp"))
+
+  /** Record the batch's first-seen representatives into the durable
+    * rep store: one candidate per new digest (the batch's minimum
+    * `idCol` member), appended first-writer-wins — a digest already
+    * named keeps its name no matter how small the new arrival's key is,
+    * and a crashed-and-replayed batch re-records identically
+    * ([[CrawlIngest.dedupAppendByKey]]' anti-join). Returns the number
+    * of NEW clusters named. Run it from the media attach's first batch
+    * onward (or backfill once with `recordReps(reps,
+    * store.selectAll)`) so the table covers every stored digest. */
+  def recordReps(reps: ParquetStore, batchMedia: DataFrame,
+                 idCol: String = "media_key"): Long =
+    CrawlIngest.dedupAppendByKey(reps, repCandidates(batchMedia, idCol),
+      "digest_key", col("rep"))
+
+  /** RENAME-FREE incremental mirror pairs (r13 verdict #1): exactly
+    * [[pairsIncrementalByDigest]]'s contract — pairs with ≥ 1
+    * new-cluster side, re-deliveries of stored bytes costing zero —
+    * but cluster names come from the durable first-seen table, so the
+    * accumulated pair output across batches IS the full-recompute
+    * delta under first-seen naming even when a later mirror takes a
+    * smaller key (the default `media_key` hazard, spec-pinned across
+    * batches and collapses). The mechanics are also cheaper at scale:
+    * the search's store side is the rep store itself (one row per
+    * cluster, fingerprints included) instead of a corpus-wide min()
+    * window over the member-level media store; the batch side is the
+    * pre-append anti-join of the batch's candidates (batch-sized,
+    * eagerly pinned so the append below cannot race it). One
+    * batch-vs-store anti-join + [[pairsIncremental]]'s
+    * batch-proportional banding; neither store is self-joined.
+    * Undigested rows (null sha1 — payload-less records) carry no
+    * fingerprints, so unlike the window variant they need no
+    * self-representation path here: the banded searches skip null
+    * fingerprints either way. */
+  def pairsIncrementalStable(batchMedia: DataFrame, reps: ParquetStore,
+                             idCol: String = "media_key", nBits: Int = 16,
+                             imageMaxHamming: Int = 2,
+                             audioMaxHamming: Int = 4): DataFrame = {
+    val fresh = repCandidates(batchMedia, idCol)
+      .join(reps.selectAll.select(col("digest_key")), Seq("digest_key"),
+        "left_anti")
+      // Eager pin BEFORE the append: a lazy frame would re-list the
+      // store after the new generation (and a possible collapse)
+      // landed and see its own output as "already known".
+      .localCheckpoint(true)
+    if (!fresh.isEmpty) reps.appendStreaming(fresh)
+    val base = reps.selectAll
+      .join(fresh.select(col("digest_key")), Seq("digest_key"),
+        "left_anti")
+      .select(col("kind"), col("rep").as(idCol), col("phash"), col("fp"))
+    pairsIncremental(base,
+      fresh.select(col("kind"), col("rep").as(idCol), col("phash"),
+        col("fp")),
       idCol, nBits, imageMaxHamming, audioMaxHamming)
   }
 

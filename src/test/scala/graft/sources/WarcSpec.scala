@@ -238,4 +238,120 @@ class WarcSpec extends SparkSpec {
     // min uri is a.org/y which is record 1 — NOT record 0's ix.
     assert(r2 === Set(("https://e.org/re2", "https://a.org/y", 1L)))
   }
+
+  test("writeRecord: CR/LF and control chars in header values are REJECTED (injection)") {
+    val body = "x".getBytes
+    // A hostile URL embedding a forged digest header must throw, not
+    // split the record (advice r13).
+    val hostile = "https://e.org/a\r\nWARC-Payload-Digest: sha1:FORGED"
+    intercept[IllegalArgumentException] {
+      Warc.writeRecord("response", hostile, "2024-01-01T00:00:00Z", body)
+    }
+    intercept[IllegalArgumentException] { // date
+      Warc.writeRecord("response", "https://e.org/a", "2024\r\nX: y", body)
+    }
+    intercept[IllegalArgumentException] { // extra header value
+      Warc.writeRecord("response", "https://e.org/a",
+        "2024-01-01T00:00:00Z", body,
+        extraHeaders = Seq("Content-Type" -> "text/html\r\nX: y"))
+    }
+    intercept[IllegalArgumentException] { // bare control char too
+      Warc.writeRecord("response", "https://e.org/a\t",
+        "2024-01-01T00:00:00Z", body)
+    }
+    // Sanity: the same call without the injection succeeds.
+    assert(Warc.writeRecord("response", "https://e.org/a",
+      "2024-01-01T00:00:00Z", body).nonEmpty)
+  }
+
+  test("encodeResponses: status fidelity, revisit records, CDX offsets, cross-group id uniqueness") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val pageA = "alpha page".getBytes("UTF-8")
+    val pageB = "beta page".getBytes("UTF-8")
+    val rows = Seq(
+      // 301 with Location — the status line must survive round-trip.
+      ("g0", "https://w.org/moved", "2024-01-01T00:00:00Z", "text/html",
+        "stub".getBytes("UTF-8"), 301L, "https://w.org/new"),
+      ("g0", "https://w.org/a", "2024-01-01T00:00:00Z", "text/html",
+        pageA, 200L, null),
+      // Digest duplicate of /a in ANOTHER group → revisit record there.
+      ("g1", "https://w.org/a-copy", "2024-02-01T00:00:00Z", "text/html",
+        pageA, 200L, null),
+      ("g1", "https://w.org/gone", "2024-01-01T00:00:00Z", "text/html",
+        pageB, 404L, null))
+      .toDF("file_group", "url", "warc_date", "content_type", "body",
+        "http_status", "location")
+    def export() = Warc.encodeResponses(rows, statusCol = "http_status",
+        locationCol = "location", withRevisits = true, withCdx = true)
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+    val files = export().toMap
+    assert(files.keySet ===
+      Set("g0.warc.gz", "g0.cdx", "g1.warc.gz", "g1.cdx"))
+    // Byte-stable re-export holds with the new features on.
+    val again = export().toMap
+    assert(files.forall { case (k, v) => again(k).toSeq == v.toSeq })
+    val warcRows = files.toSeq.filter(_._1.endsWith(".warc.gz"))
+      .toDF("path", "bytes")
+    val recs = Warc.records(warcRows, gzipped = true)
+    // Status lines carried faithfully; Location intact on the 301.
+    val back = Http.responses(recs.filter($"warc_type" === "response"))
+      .select("target_uri", "http_status").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(back === Set(("https://w.org/moved", 301L),
+      ("https://w.org/a", 200L), ("https://w.org/gone", 404L)))
+    val moved = Http.responses(recs.filter($"warc_type" === "response"))
+      .filter($"http_status" === 301)
+      .select(org.apache.spark.sql.functions.try_element_at(
+        org.apache.spark.sql.functions.filter($"http_headers",
+          h => org.apache.spark.sql.functions.lower(h.getField("name"))
+            === "location"),
+        org.apache.spark.sql.functions.lit(1)).getField("value"))
+      .collect().map(_.getString(0)).toSet
+    assert(moved === Set("https://w.org/new"))
+    // The duplicate became a payload-free revisit the reader resolves.
+    val resolved = Warc.resolveRevisits(recs)
+      .select("target_uri", "original_uri").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(resolved === Set(("https://w.org/a-copy", "https://w.org/a")))
+    // CDX offsets are byte-exact: slicing [offset, offset+length) out
+    // of the archive yields a gunzip-able single record whose URI
+    // matches the entry.
+    val cdxLines = new String(files("g0.cdx"), "UTF-8").split("\n")
+      .filter(_.nonEmpty) ++
+      new String(files("g1.cdx"), "UTF-8").split("\n").filter(_.nonEmpty)
+    assert(cdxLines.length === 4)
+    for (line <- cdxLines) {
+      val j = line.substring(line.indexOf('{'))
+      def field(k: String): String =
+        s""""$k":"?([^",}]+)"?""".r.findFirstMatchIn(j).get.group(1)
+      val fn = field("filename")
+      val off = field("offset").toInt
+      val len = field("length").toInt
+      val member = java.util.Arrays.copyOfRange(files(fn), off, off + len)
+      val inflated = Warc.gunzip(member)
+      assert(inflated.isDefined, s"slice at $off+$len must gunzip alone")
+      val rec = Warc.warcRecords(inflated.get).get
+      assert(rec.length === 1)
+      assert(rec.head.header("WARC-Target-URI").contains(field("url")))
+    }
+    // The revisit's CDX entry is flagged.
+    assert(cdxLines.count(_.contains("\"mod\":\"revisit\"")) === 1)
+    // ISO 28500 global id uniqueness: the SAME row exported into TWO
+    // different groups must get two different record ids (advice r13 —
+    // the group is folded into the id seed).
+    val twin = Seq(
+      ("gA", "https://w.org/t", "2024-01-01T00:00:00Z", "text/html",
+        pageA, 200L, null),
+      ("gB", "https://w.org/t", "2024-01-01T00:00:00Z", "text/html",
+        pageA, 200L, null))
+      .toDF("file_group", "url", "warc_date", "content_type", "body",
+        "http_status", "location")
+    val idSet = Warc.encodeResponses(twin, statusCol = "http_status")
+      .collect()
+      .flatMap(r => Warc.gunzip(r.getAs[Array[Byte]](1))
+        .flatMap(Warc.warcRecords).get)
+      .flatMap(_.header("WARC-Record-ID")).toSet
+    assert(idSet.size === 2, "same row in two archives → two ids")
+  }
 }

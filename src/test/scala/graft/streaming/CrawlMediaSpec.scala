@@ -273,6 +273,73 @@ class CrawlMediaSpec extends SparkSpec {
     assert(inc === (full -- storeOnly))
   }
 
+  test("durable reps: first-seen names survive smaller keys, 4 batches, and a collapse") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import CrawlMediaPack.{bmp16, http200, pixels16, tiff16, warcResponse}
+    def media(rows: (String, Long, Array[Byte])*) =
+      CrawlMedia.mediaFrom(rows.zipWithIndex.map { case ((u, id, b), i) =>
+        (s"mem://rep/$u/$i.warc.gz",
+          WarcPack.gzipBytes(warcResponse(u, id, i, http200("image/bmp", b))))
+      }.toDF("path", "content")).localCheckpoint(true)
+    val repDir = Files.createTempDirectory("graft_reps").toString
+    // collapseEvery = 2: the third append re-snapshots — rep names must
+    // not care.
+    val reps = CrawlMedia.repStore(spark, repDir,
+      s"reps_${System.nanoTime()}", collapseEvery = 2L)
+    def pairs(batch: org.apache.spark.sql.DataFrame) =
+      CrawlMedia.pairsIncrementalStable(batch, reps)
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getString(2), r.getLong(3))).toSet
+    def repOf(bytes: Array[Byte]): String = reps.selectAll
+      .filter(col("digest_key") ===
+        "image#" + graft.sources.Warc.sha1Digest(bytes))
+      .select("rep").collect()
+      .map(_.getString(0)).toList match { case r :: Nil => r }
+    // Batch 1: gid-1 picture FIRST SEEN at m5 → the cluster's name,
+    // forever.
+    assert(pairs(media(("https://m5.org/img/1", 1L, bmp16(pixels16(1L)))))
+      === Set.empty)
+    assert(repOf(bmp16(pixels16(1L))) === "https://m5.org/img/1")
+    // Batch 2: an exact mirror at a0 — ALPHABETICALLY SMALLER, the key
+    // a min()-over-store rep would rename to — plus a new gid-2
+    // cluster. The mirror contributes nothing and renames nothing.
+    val p2 = pairs(media(
+      ("https://a0.org/img/1", 1L, bmp16(pixels16(1L))),
+      ("https://m5.org/img/2", 2L, bmp16(pixels16(2L)))))
+    assert(p2 === Set(("image", "https://m5.org/img/1",
+      "https://m5.org/img/2", 2L))) // ham(1,2) = 2
+    assert(repOf(bmp16(pixels16(1L))) === "https://m5.org/img/1")
+    // Batch 3 (this append trips the collapse): another smaller-key
+    // mirror (a1) + a TIFF re-encode of gid 1 (new digest). Pairs must
+    // reference the FIRST-SEEN m5 names, not a0/a1.
+    val b3 = CrawlMedia.mediaFrom(Seq(
+      ("mem://rep/a1.warc.gz", WarcPack.gzipBytes(
+        warcResponse("https://a1.org/img/1", 1L, 0,
+          http200("image/bmp", bmp16(pixels16(1L)))))),
+      ("mem://rep/t.warc.gz", WarcPack.gzipBytes(
+        warcResponse("https://t.org/img/1", 1L, 1,
+          http200("image/tiff", tiff16(pixels16(1L)))))))
+      .toDF("path", "content")).localCheckpoint(true)
+    assert(pairs(b3) === Set(
+      ("image", "https://m5.org/img/1", "https://t.org/img/1", 0L),
+      ("image", "https://m5.org/img/2", "https://t.org/img/1", 2L)))
+    // The collapse ran (generations folded to ≤ collapseEvery+1) and
+    // the table still holds exactly one FIRST-SEEN row per cluster.
+    assert(reps.generations.length <= 3)
+    assert(reps.selectAll.count() === 3)
+    assert(repOf(bmp16(pixels16(1L))) === "https://m5.org/img/1")
+    assert(repOf(bmp16(pixels16(2L))) === "https://m5.org/img/2")
+    // Batch 4, post-collapse: yet another smaller-key mirror — still
+    // zero pairs, still no rename (the r13 weak-mark scenario).
+    assert(pairs(media(("https://a2.org/img/1", 1L, bmp16(pixels16(1L)))))
+      === Set.empty)
+    assert(repOf(bmp16(pixels16(1L))) === "https://m5.org/img/1")
+    // TIFF cluster keeps ITS first-seen name too.
+    assert(reps.selectAll.filter(col("rep") === "https://t.org/img/1")
+      .count() === 1)
+  }
+
   test("incremental pairs == full recompute minus base-only pairs") {
     val sparkSession = spark
     import sparkSession.implicits._
