@@ -243,7 +243,17 @@ object Bench {
     "q_media_mirror_pairs_inc", "q_frontier_gate",
     // WARC export round trip (the write half; reported sibling
     // q_crawl_text covers the read chain it round-trips through).
-    "q_warc_export"
+    "q_warc_export",
+    // Round-14 wave — all secondary, each with a reported sibling
+    // covering its execution family: rename-free incremental mirror
+    // pairs against the durable first-seen rep store (sibling
+    // q_media_mirror_pairs_inc covers the anti-join + banding; this
+    // swaps the store side to the cluster-level rep table),
+    // status-faithful export with revisit records (sibling
+    // q_warc_export covers the encode + read-back chain; this adds the
+    // digest window + revisit resolution), and the CDX index (same
+    // encode chain + the offset-slice re-parse).
+    "q_media_mirror_pairs_stable", "q_warc_export_status", "q_warc_cdx"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -335,7 +345,9 @@ object Bench {
     // r13 wave (see the headline comment for the sibling mapping).
     "q_fetch_schedule_robots", "q_media_mirrors", "q_media_mirror_pairs",
     "q_crawl_media_dedup48", "q_pdf_xref",
-    "q_media_mirror_pairs_inc", "q_frontier_gate", "q_warc_export")
+    "q_media_mirror_pairs_inc", "q_frontier_gate", "q_warc_export",
+    // r14 wave (see the headline comment for the sibling mapping).
+    "q_media_mirror_pairs_stable", "q_warc_export_status", "q_warc_cdx")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

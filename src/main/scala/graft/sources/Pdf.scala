@@ -961,21 +961,61 @@ object Pdf {
     var sections = 0
     var failed = 0
     var infoRef = -1
-    var cur: Option[Long] = Some(firstOff)
+    // Worklist, newest-first: an xref-stream section pushes its /Prev;
+    // a classic table pushes its /XRefStm BEFORE its /Prev (the hybrid
+    // stream completes THIS section, so its entries must win over the
+    // older chain — first-wins map order is visit order).
+    var queue: List[Long] = List(firstOff)
     var hops = 0
-    while (cur.isDefined && hops < 64) {
-      val off = cur.get
-      cur = None
+    while (queue.nonEmpty && hops < 64) {
+      val off = queue.head
+      queue = queue.tail
       if (!seen.add(off)) () // /Prev loop: stop
       else if (off + 4 <= n && (bytes(off.toInt) & 0xff) == 'x' &&
         (bytes(off.toInt + 1) & 0xff) == 'r' &&
         (bytes(off.toInt + 2) & 0xff) == 'e' &&
         (bytes(off.toInt + 3) & 0xff) == 'f') {
-        // An OLD-STYLE ASCII `xref` table (pre-1.5): not an xref
-        // stream, not a failure — those files' liveness stays document
-        // order (their tables carry no type-2 entries and the linear
-        // scan already finds every revision they could name).
-        ()
+        // An OLD-STYLE ASCII `xref` table. Pre-1.5 files end here —
+        // their liveness stays document order (classic tables carry no
+        // type-2 entries and the linear scan already finds every
+        // revision they could name). But HYBRID-REFERENCE files
+        // (§7.5.8.4, the 1.5-era back-compat shape) put the
+        // authoritative /XRefStm pointer in this table's trailer dict
+        // — stopping here silently fell back to document order and
+        // could keep shadowed/freed revisions the stream corrects
+        // (advice r13). Scan the section for its `trailer` keyword and
+        // continue the walk at /XRefStm (then /Prev).
+        val limit = math.min(n.toLong, off + (1L << 20)).toInt
+        var t = off.toInt + 4
+        var found = -1
+        val kw = "trailer"
+        while (found < 0 && t + 7 <= limit) {
+          if ((bytes(t) & 0xff) == 't') {
+            var k = 1
+            while (k < 7 && (bytes(t + k) & 0xff) == kw.charAt(k)) k += 1
+            if (k == 7) found = t
+          }
+          if (found < 0) t += 1
+        }
+        if (found >= 0) {
+          val tp = new P(bytes)
+          tp.i = found + 7
+          parseObj(tp, 0) match {
+            case CDict(td) =>
+              val xs = td.get("XRefStm") match {
+                case Some(CNum(v)) if v >= 0 && v == math.floor(v) =>
+                  List(v.toLong)
+                case _ => Nil
+              }
+              val pv = td.get("Prev") match {
+                case Some(CNum(v)) if v >= 0 && v == math.floor(v) =>
+                  List(v.toLong)
+                case _ => Nil
+              }
+              queue = xs ::: pv ::: queue
+            case _ => () // damaged trailer: classic stop, not a failure
+          }
+        }
       } else if (off >= n) {
         failed += 1 // startxref/Prev points past the file: lies
       } else byOff.get(off) match {
@@ -991,7 +1031,7 @@ object Pdf {
             secEntries.foreach { case (num, e) =>
               if (!entries.contains(num)) entries.update(num, e)
             }
-            cur = prev
+            prev.foreach(pv => queue = pv :: queue)
         }
       }
       hops += 1

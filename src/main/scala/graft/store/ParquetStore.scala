@@ -352,7 +352,14 @@ final class ParquetStore(
     * every delta writer in the repo — `scheduleBatch` aggregates per
     * domain, `dedupAppendByKey` windows per key); ties within a
     * generation would collapse to an arbitrary row. No-op below two
-    * collapsible generations. */
+    * collapsible generations.
+    *
+    * Scope: this policy is for DELTA-KEYED stores only — stores whose
+    * current state is latest-row-per-key. Append-log stores whose
+    * rows are all simultaneously live, and multi-store lockstep
+    * indexes, must NOT use it; [[PrefixIndexStore]]'s class doc states
+    * the rule and why its snapshot-keyed retention is the correct twin
+    * idiom there (r13 verdict #4). */
   def collapseToLatest(keys: Seq[String], keepRecent: Int = 1): this.type =
     this.synchronized {
       require(keys.nonEmpty, "collapse needs at least one key column")

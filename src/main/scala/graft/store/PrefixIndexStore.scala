@@ -57,7 +57,33 @@ import org.apache.spark.sql.types._
   * under append-only growth is a MEASURED signal here, not a doc note:
   * [[pruningDecay]] counts the scorer's own candidate stage per corpus
   * doc, delta vs base, and [[shouldResnapshot]] recommends the rebuild
-  * once delta docs generate disproportionate candidate volume. */
+  * once delta docs generate disproportionate candidate volume.
+  *
+  * WHY THIS STORE DOES NOT USE [[ParquetStore.collapseToLatest]]
+  * (r13 verdict #4 — the two retention idioms in the store layer are
+  * intentional, split by SEMANTICS, and this paragraph is the rule for
+  * choosing): `collapseToLatest` is correct exactly when a store is
+  * DELTA-KEYED — each generation holds at most one row per key and the
+  * current state IS latest-row-per-key (schedule hosts, robots
+  * policies, identity docs, media fingerprints, digest reps). The
+  * prefix index has no such key: postings are an APPEND LOG whose rows
+  * are all simultaneously live (folding "latest per (id, h)" would
+  * silently delete postings), and a delta generation is only
+  * meaningful UNDER the frozen df-order base it was ranked against —
+  * rows from generations ranked under different bases must never fold
+  * into one surface. Moreover the auto-collapse hook fires inside ONE
+  * store's `appendStreaming`, while this index's unit of atomicity is
+  * a THREE-store lockstep generation gated by the commit manifest —
+  * a single store re-snapshotting on its own schedule would break the
+  * dense-id alignment `truncateAbove`'s crash-GC depends on. The
+  * collapse's JOB here is done by the machinery this class already
+  * has: [[snapshot]] IS the re-snapshot (base + deltas fold into a new
+  * full build, triggered by the measured [[shouldResnapshot]] signal
+  * rather than a generation count), and [[cleanOldSnapshots]] is the
+  * matching retention, keyed to committed snapshots. Rule of thumb: if
+  * the store's reads are latest-per-key windows or key anti-joins, use
+  * the collapse policy; if its reads span a snapshot plus its ranked
+  * append chain, use snapshot-keyed retention. */
 final class PrefixIndexStore(
     val spark: SparkSession,
     val path: String,

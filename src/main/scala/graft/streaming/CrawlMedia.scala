@@ -240,6 +240,54 @@ object CrawlMedia {
       .start()
   }
 
+  /** [[attachShared]] with the ROBOTS ROUTE forked in (r13 verdict
+    * #5): one crawl stream, one decode pass, THREE sinks — documents,
+    * media fingerprints, and the durable per-host robots policy store
+    * that drives [[CrawlSchedule.attachRobots]]' gate and pace. The
+    * robots rows need no third per-record dispatcher: a fetched
+    * `/robots.txt` is a `text/plain` response, so the text route
+    * already carries its body in the combined frame's `text` column —
+    * [[CrawlSchedule.robotsPolicies]] filters the doc view down to
+    * robots URLs and parses the agent's effective policy. A robots.txt
+    * arriving in batch N is in the policy store when batch N ends, so
+    * a frontier trigger after it gates and paces under the new policy
+    * (the q_fetch_schedule_robots semantics, end-to-end from crawl
+    * bytes — spec-pinned). A replayed batch re-appends identical
+    * policy rows; latest-per-host reads make that harmless (same
+    * treatment either way). */
+  def attachSharedRobots(spark: SparkSession, dropDir: String,
+                         docStore: ParquetStore, mediaStore: ParquetStore,
+                         robotsStore: ParquetStore, agent: String,
+                         checkpoint: String,
+                         trigger: Trigger = Trigger.ProcessingTime(10000L),
+                         maxFilesPerTrigger: Int = 64, nCells: Int = 16,
+                         reps: ParquetStore = null): StreamingQuery = {
+    CrawlIngest.fileSource(spark, dropDir, maxFilesPerTrigger)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val combined = combinedFrom(batch, nCells = nCells).persist()
+          try {
+            val docs = docsView(combined)
+            CrawlIngest.ingestByIdentity(docStore, docs)
+            val media = mediaView(combined)
+            if (reps != null) recordReps(reps, media)
+            CrawlIngest.dedupAppendByKey(mediaStore, media,
+              "media_key", struct(col("path"), col("record_ix")))
+            val pol = CrawlSchedule.robotsPolicies(docs, agent)
+            // Empty-guard: a robots-less trigger must not burn a
+            // policy-store generation.
+            if (!pol.isEmpty) robotsStore.appendStreaming(pol)
+            ()
+          } finally { combined.unpersist(); () }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Attach the drop-folder stream (the [[CrawlIngest.attach]] twin):
     * every trigger fingerprints newly arrived `.warc.gz` files' media
     * records and appends one compacted generation. Run it NEXT TO the

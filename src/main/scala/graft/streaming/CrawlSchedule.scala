@@ -52,7 +52,30 @@ object CrawlSchedule {
     // recorded numbers can't drift). Null on pre-r13 rows → the
     // arithmetic reconstruction remains as the legacy fallback.
     StructField("prev_n", LongType),
-    StructField("prev_next", DoubleType)))
+    StructField("prev_next", DoubleType),
+    // The robots-policy-store rst_id the batch's gate/pace snapshot saw
+    // (r13 verdict #3) — null for ad-hoc and non-robots batches. A
+    // replayed batch re-gates AS OF this stamp ([[policyAsOf]]), so a
+    // policy append landing between a crash and its replay cannot
+    // change the replayed frontier's membership.
+    StructField("policy_rst", LongType)))
+
+  /** The per-lineage APPLIED-BATCH SENTINEL key (advice r13): the
+    * replay guard used to probe host rows for (scope, batch_id), but a
+    * collapse keeps only the LATEST row per host — an ad-hoc append (or
+    * a foreign lineage) advancing a crashed batch's hosts before the
+    * replay, followed by a collapse, folded the probe's evidence away
+    * and the replay double-advanced. The sentinel is one row per
+    * lineage under a domain key no real host can take (`#` opens the
+    * fragment in any URL parse, so a parsed host can never contain
+    * it), carrying the
+    * lineage's newest applied batch id in `batch_id` and its policy
+    * stamp in `policy_rst` — and because collapse is latest-PER-KEY,
+    * the sentinel survives every re-snapshot and every foreign append
+    * by construction. Scheduling joins never see it: frontier
+    * `url_domain` values cannot equal it. */
+  private[streaming] def sentinelKey(scope: String): String =
+    "#applied:" + scope
 
   /** Open (or resume) the host-state store. Collapse-managed by
     * default (r12 verdict #1): every `collapseEvery` appends the delta
@@ -149,12 +172,18 @@ object CrawlSchedule {
     StructField("robots_txt", StringType)))
 
   /** Open (or resume) the robots-policy store (collapse-managed like
-    * the host state — one latest-per-domain base + a bounded tail). */
+    * the host state — one latest-per-domain base + a bounded tail).
+    * `collapseKeepRecent = 4`: the crash-replay gate re-reads policies
+    * AS OF a recent stamp ([[policyAsOf]]), and a collapse whose fold
+    * target passes the stamp destroys that view — keeping the 4 newest
+    * deltas un-folded means the exact-replay window survives any
+    * single collapse landing within 4 robots appends of the crash. */
   def robotsStore(spark: SparkSession, storePath: String,
                   tableName: String = "crawl_robots",
                   collapseEvery: Long = 16L): ParquetStore =
     new ParquetStore(spark, RobotsSchema, storePath, tableName,
-      collapseKeys = Seq("domain"), collapseEvery = collapseEvery)
+      collapseKeys = Seq("domain"), collapseEvery = collapseEvery,
+      collapseKeepRecent = 4)
 
   /** Extract per-HOST policy rows from fetched robots.txt documents:
     * `(url, body)` rows whose URL path is `/robots.txt` parse through
@@ -164,13 +193,19 @@ object CrawlSchedule {
     * while still recording that robots WAS fetched, with rules the
     * gate still enforces). Non-robots URLs and unparseable bodies are
     * skipped. Output is DEDUPED per host (http/https twins of the SAME
-    * host can land in one batch; the MOST-CONSERVATIVE declared delay
-    * wins and its body travels with it — rules and pace from the same
-    * fetched policy), which keeps the store's
+    * host can land in one batch), which keeps the store's
     * one-row-per-key-per-generation contract
     * ([[graft.store.ParquetStore.collapseToLatest]]) and makes
-    * [[delaysFrom]] deterministic (review r13). One narrow pass + one
-    * host-keyed window (robots-fetch-sized). */
+    * [[delaysFrom]] deterministic. The fold is SPLIT BY CONCERN
+    * (advice r13 — one row's delay+body used to travel together, so a
+    * permissive body declaring a LARGE delay beat a restrictive body
+    * declaring none): the PACE takes the most-conservative declared
+    * delay across the twins (max), while the GATING BODY comes from
+    * the https twin when both schemes answered (ties broken on the
+    * body for determinism) — https is the authority a crawler should
+    * believe when the two bodies genuinely differ, and permission
+    * never rides on which twin happened to declare the longer delay.
+    * One narrow pass + one host-keyed window (robots-fetch-sized). */
   def robotsPolicies(fetched: DataFrame, agent: String,
                      urlCol: String = "url",
                      textCol: String = "text"): DataFrame = {
@@ -189,18 +224,25 @@ object CrawlSchedule {
           val delay = graft.sources.Robots.crawlDelay(
             graft.sources.Robots.parse(txt), agent)
           Iterator.single(org.apache.spark.sql.Row(host,
-            delay.map(java.lang.Double.valueOf).orNull, txt))
+            delay.map(java.lang.Double.valueOf).orNull, txt,
+            parts.get.scheme.toLowerCase(java.util.Locale.ROOT)))
         }
       }
     }(org.apache.spark.sql.Encoders.row(StructType(Seq(
       StructField("domain", StringType),
       StructField("crawl_delay", DoubleType),
-      StructField("robots_txt", StringType)))))
+      StructField("robots_txt", StringType),
+      StructField("_scheme", StringType)))))
+      .withColumn("_maxd",
+        max(col("crawl_delay")).over(Window.partitionBy(col("domain"))))
       .withColumn("_rk", row_number().over(
         Window.partitionBy(col("domain"))
-          .orderBy(col("crawl_delay").desc_nulls_last,
+          // "https" > "http" in string order, so desc prefers it.
+          .orderBy(col("_scheme").desc,
             col("robots_txt").desc_nulls_last)))
-      .filter(col("_rk") === 1).drop("_rk")
+      .filter(col("_rk") === 1)
+      .select(col("domain"), col("_maxd").as("crawl_delay"),
+        col("robots_txt"))
   }
 
   /** The robots store's LATEST policy row per host — shared by the
@@ -292,7 +334,7 @@ object CrawlSchedule {
                     domainCol: String = "url_domain",
                     delayCol: String = "crawl_delay",
                     order: Column, batchId: Long = -1L,
-                    scope: String = ""): DataFrame = {
+                    scope: String = "", policyRst: Long = -1L): DataFrame = {
     val seqd = urls.withColumn("_seq",
       (row_number().over(Window.partitionBy(col(domainCol)).orderBy(order))
         - 1).cast("long"))
@@ -304,9 +346,15 @@ object CrawlSchedule {
     // other append — an ad-hoc call, a collapse — landed after it); the
     // scan is not a cumulative O(generations²) risk because the store
     // is collapse-managed (generations bounded by collapseEvery, rows
-    // by the host universe), and a re-snapshot preserves the guard
-    // columns on every latest-per-host row, so the probe survives
-    // collapses (spec-pinned). Ad-hoc calls (−1) always advance.
+    // by the host universe). COLLAPSE-PROOF (advice r13): the probe's
+    // evidence used to be the host rows themselves, which a collapse
+    // keeps only latest-per-host — a foreign append advancing a crashed
+    // batch's hosts, then a collapse, folded them away. Every applied
+    // batch now ALSO writes the per-lineage [[sentinelKey]] row
+    // (scope + batch_id on a domain no host can take), which
+    // latest-per-key collapse preserves unconditionally — the probe
+    // matches it through any append/collapse interleaving. Ad-hoc
+    // calls (−1) always advance.
     val applied = batchId >= 0 &&
       !store.selectAll.select(col("scope"), col("batch_id"))
         .filter(col("scope") <=> lit(scope) &&
@@ -355,6 +403,8 @@ object CrawlSchedule {
     if (!applied) {
       // The delta records BOTH the advanced state and the pre-state it
       // advanced from (see StateSchema) — the replay's restore point.
+      val rstCol =
+        if (policyRst >= 0L) lit(policyRst) else lit(null).cast("long")
       val delta = out.groupBy(col(domainCol).as("domain"))
         .agg((max(col("fetch_seq")) + 1L).as("n_scheduled"),
           max(col("start_offset_s") + col(delayCol)).as("next_offset_s"))
@@ -366,10 +416,93 @@ object CrawlSchedule {
         .withColumn("prev_n", coalesce(col("_pn"), lit(0L)))
         .withColumn("prev_next", coalesce(col("_px"), lit(0.0d)))
         .drop("_pd", "_pn", "_px")
-      store.appendStreaming(delta)
+        .withColumn("policy_rst", rstCol)
+      // Streamed batches add the collapse-proof applied sentinel (one
+      // row per lineage — latest batch wins) carrying the policy stamp
+      // the replay's as-of gate reads back.
+      val withSentinel =
+        if (batchId < 0) delta
+        else delta.unionByName(store.spark.range(1).select(
+          lit(sentinelKey(scope)).as("domain"),
+          lit(batchId).as("n_scheduled"),
+          lit(0.0d).as("next_offset_s"),
+          lit(batchId).as("batch_id"),
+          lit(scope).as("scope"),
+          lit(null).cast("long").as("prev_n"),
+          lit(null).cast("double").as("prev_next"),
+          rstCol.as("policy_rst")))
+      store.appendStreaming(withSentinel)
       ()
     }
     out
+  }
+
+  /** The policy stamp the lineage's batch `batchId` recorded when it
+    * was first applied (None when the batch never applied or predates
+    * the stamp) — read from the [[sentinelKey]] row, which survives
+    * collapses by construction. Only the newest applied batch can
+    * replay, so one sentinel per lineage suffices. */
+  private def appliedPolicyRst(state: ParquetStore, scope: String,
+                               batchId: Long): Option[Long] = {
+    val rows = state.selectAll
+      .filter(col("domain") === sentinelKey(scope) &&
+        col("batch_id") === batchId && col("policy_rst").isNotNull)
+      .select(max(col("policy_rst"))).collect()
+    if (rows.isEmpty || rows.head.isNullAt(0)) None
+    else Some(rows.head.getLong(0))
+  }
+
+  /** The robots store's policy view AS OF generation `rst` — what
+    * [[latestPolicy]] returned when the store's newest generation was
+    * `rst`. `rst ≤ 0` means "no policies existed" (an empty frame —
+    * RFC 9309's default-allow). EXACTNESS under collapse: a fold at
+    * target T ≤ rst preserves this view (the base at slot T is
+    * latest-per-key over generations ≤ T, and (T, rst] stay intact);
+    * only a fold whose target PASSED the stamp destroys it, detected
+    * by no surviving generation ≤ rst — the view then degrades to the
+    * CURRENT policies (the documented at-least-once fallback). The
+    * robots store opens with `collapseKeepRecent = 4`, so reaching
+    * that fallback takes ≥ 4 robots appends AND a collapse inside one
+    * crash-replay window. */
+  def policyAsOf(store: ParquetStore, rst: Long): DataFrame = {
+    if (rst <= 0L)
+      store.spark.createDataFrame(
+        store.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        RobotsSchema)
+    else if (!store.generations.exists(_ <= rst)) latestPolicy(store)
+    else store.selectAll.filter(col("rst_id") <= rst)
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("domain")).orderBy(col("rst_id").desc)))
+      .filter(col("_rk") === 1)
+      .select(col("domain"), col("crawl_delay"), col("robots_txt"))
+  }
+
+  /** One trigger's GATE + PACE against the robots store, replay-exact
+    * (r13 verdict #3): a fresh batch snapshots the policies as of the
+    * store's current newest generation and returns that stamp for
+    * [[scheduleBatch]] to record; a REPLAYED batch (its stamp already
+    * in the state store's sentinel) re-gates and re-paces AS OF the
+    * recorded stamp — so a robots append landing between the crash and
+    * the replay changes neither the frontier's membership nor its
+    * delays, and the replayed output rows are IDENTICAL (spec-pinned).
+    * Returns (gated frame carrying `crawl_delay`, the stamp). */
+  def gateAndPace(state: ParquetStore, robots: ParquetStore,
+                  urls: DataFrame, agent: String,
+                  defaultDelay: Double = 1.0d, batchId: Long = -1L,
+                  scope: String = ""): (DataFrame, Long) = {
+    val stamp = appliedPolicyRst(state, scope, batchId)
+      .getOrElse(robots.maxRstId.getOrElse(0L))
+    // The snapshot is ALWAYS the as-of view of the stamp — even on the
+    // fresh path — so what the stamp records is provably what the gate
+    // used (a latestPolicy read beside a separate maxRstId read could
+    // straddle a concurrent robots append).
+    val pol = policyAsOf(robots, stamp).localCheckpoint(true)
+    val gated = gateWithPolicies(urls, pol, agent)
+      .join(pol.select(col("domain").as("url_host"), col("crawl_delay")),
+        Seq("url_host"), "left")
+      .withColumn("crawl_delay",
+        coalesce(col("crawl_delay"), lit(defaultDelay)))
+    (gated, stamp)
   }
 
   /** Attach a frontier drop folder: text files of URLs (one per line —
@@ -388,11 +521,11 @@ object CrawlSchedule {
              maxFilesPerTrigger: Int = 64): StreamingQuery = {
     val d = delays.select(col("domain"), col("crawl_delay"))
     attachCore(spark, dropDir, state, outStore,
-      urls => urls
+      (urls, _, _) => (urls
         .join(d.withColumnRenamed("domain", "url_domain"),
           Seq("url_domain"), "left")
         .withColumn("crawl_delay",
-          coalesce(col("crawl_delay"), lit(defaultDelay))),
+          coalesce(col("crawl_delay"), lit(defaultDelay))), -1L),
       checkpoint, trigger, maxFilesPerTrigger)
   }
 
@@ -413,17 +546,20 @@ object CrawlSchedule {
     * the common "specific agent allowed, * denied" pattern, a wrong
     * default silently drops the whole frontier (review r13).
     *
-    * At-least-once boundary (documented, not closed): the gate reads
-    * MUTABLE policy state, so a policy change landing between a
-    * crashed attempt and its replay can change the replayed batch's
-    * URL membership — the replay then assigns fresh `fetch_seq`s to
-    * the shifted tail, and rows the crashed attempt already wrote
-    * under the old numbering survive beside them (same URL at two
-    * offsets). Offsets stay monotonic — politeness is never violated,
-    * the cost is a possible duplicate fetch request in the crash
-    * window. Closing it needs an as-of policy view pinned per batch
-    * id, which the collapse-managed store deliberately does not
-    * promise (a re-snapshot may fold any historical view). */
+    * REPLAY-EXACT (r13 verdict #3, closing the r13-documented
+    * membership-drift boundary): each applied batch records the
+    * policy-store generation its gate/pace snapshot saw (the
+    * `policy_rst` stamp on the lineage sentinel), and a replayed batch
+    * re-gates AS OF that stamp ([[gateAndPace]] → [[policyAsOf]]) — a
+    * robots append landing between the crash and the replay changes
+    * NEITHER the frontier's membership NOR its delays, so the replayed
+    * rows are identical and the output store's keyed dedup absorbs
+    * them completely (spec-pinned). Residual boundary: a collapse
+    * whose fold target passes the stamp (≥ `collapseKeepRecent` = 4
+    * robots appends AND a re-snapshot inside one crash window)
+    * degrades that batch's replay to the current-policy view —
+    * detected, never silent, and politeness is still never violated
+    * (offsets stay monotonic either way). */
   def attachRobots(spark: SparkSession, dropDir: String,
                    state: ParquetStore, outStore: ParquetStore,
                    robots: ParquetStore, checkpoint: String,
@@ -431,23 +567,18 @@ object CrawlSchedule {
                    trigger: Trigger = Trigger.ProcessingTime(10000L),
                    maxFilesPerTrigger: Int = 64): StreamingQuery =
     attachCore(spark, dropDir, state, outStore,
-      urls => {
-        // ONE snapshot per trigger, shared by gate and pace.
-        val pol = latestPolicy(robots).localCheckpoint(true)
-        gateWithPolicies(urls, pol, agent)
-          .join(pol.select(col("domain").as("url_host"),
-            col("crawl_delay")), Seq("url_host"), "left")
-          .withColumn("crawl_delay",
-            coalesce(col("crawl_delay"), lit(defaultDelay)))
-      },
+      (urls, batchId, scope) =>
+        gateAndPace(state, robots, urls, agent, defaultDelay, batchId,
+          scope),
       checkpoint, trigger, maxFilesPerTrigger)
 
-  /** Shared attach shell: `prep` maps the trigger's parsed frontier
-    * (withUrlParts columns) to the gated frame carrying `crawl_delay`. */
+  /** Shared attach shell: `prep` maps (trigger's parsed frontier,
+    * batch id, lineage scope) to the gated frame carrying
+    * `crawl_delay` plus the policy stamp to record (−1 = none). */
   private def attachCore(spark: SparkSession, dropDir: String,
                          state: ParquetStore, outStore: ParquetStore,
-                         prep: DataFrame => DataFrame, checkpoint: String,
-                         trigger: Trigger,
+                         prep: (DataFrame, Long, String) => (DataFrame, Long),
+                         checkpoint: String, trigger: Trigger,
                          maxFilesPerTrigger: Int): StreamingQuery = {
     // Lineage scope resolves LAZILY on the first batch: the checkpoint's
     // metadata file (whose query id is the scope's nonce) exists only
@@ -463,18 +594,19 @@ object CrawlSchedule {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           if (scope == null) scope = lineageScope(spark, checkpoint)
-          val urls = prep(graft.operators.Url.withUrlParts(
+          val (urls, policyRst) = prep(graft.operators.Url.withUrlParts(
             batch.select(trim(col("value")).as("url"))
-              .filter(col("url") =!= "")))
+              .filter(col("url") =!= "")), batchId, scope)
           val sched = scheduleBatch(state, urls, order = col("url"),
-              batchId = batchId, scope = scope)
+              batchId = batchId, scope = scope, policyRst = policyRst)
             .select(col("url"), col("url_domain"), col("fetch_seq"),
               col("start_offset_s"))
             .withColumn("sched_key",
               concat_ws("#", col("url"), col("fetch_seq")))
           // Keyed append: a replayed batch recomputes the SAME rows
-          // (pre-batch state view), so (url, fetch_seq) dedups the
-          // crash window between the state advance and this write.
+          // (pre-batch state view + as-of policy view), so
+          // (url, fetch_seq) dedups the crash window between the state
+          // advance and this write.
           CrawlIngest.dedupAppendByKey(outStore, sched, "sched_key",
             col("url"))
           ()

@@ -286,6 +286,33 @@ class PdfSpec extends SparkSpec {
       b("99 0 obj << /Type /XRef /Info 6 0 R >> endobj\n")
     assert(Pdf.docInfo(decoyed).get("Title") === "real title 1")
 
+    // HYBRID-REFERENCE (§7.5.8.4, advice r13): startxref lands on a
+    // CLASSIC ASCII table whose trailer carries the authoritative
+    // /XRefStm pointer — 1.5-era writers' back-compat shape. The walk
+    // must continue at the stream (liveness + /Info), not silently
+    // fall back to document order.
+    val full = new String(bytes, "ISO-8859-1")
+    val sxAt = full.lastIndexOf("startxref\n")
+    val streamOff = full.substring(sxAt + 10).trim.split("\n")(0)
+    val head = bytes.take(sxAt)
+    def tail(trailerDict: String): Array[Byte] = b(
+      s"xref\n0 1\n0000000000 65535 f \ntrailer\n$trailerDict\n" +
+        s"startxref\n${head.length}\n%%EOF\n")
+    val hybrid = head ++
+      tail(s"<< /Size 9 /Root 9 0 R /XRefStm $streamOff >>")
+    val hd = Pdf.extract(hybrid).get
+    assert(hd.text === "xref alpha")
+    assert(hd.pages === 1)
+    assert((hd.xrefSections, hd.xrefFailed) === ((1, 0)))
+    assert(Pdf.docInfo(hybrid).get("Title") === "real title 1")
+    // Control: the SAME classic tail WITHOUT /XRefStm is a legitimate
+    // pre-1.5 stop — document order, decoys and all — proving the
+    // /XRefStm hop above is what picked the correct revisions.
+    val classic = Pdf.extract(
+      head ++ tail("<< /Size 9 /Root 9 0 R >>")).get
+    assert(classic.text === "wrong 1\nwrong 1")
+    assert((classic.xrefSections, classic.xrefFailed) === ((0, 0)))
+
     // The predictor family itself: identity, TIFF-2, PNG Sub/Up/Paeth.
     assert(Pdf.unpredict(Array[Byte](1, 2, 3), 1, 2).toSeq === Seq(1, 2, 3))
     assert(Pdf.unpredict(Array[Byte](10, 5, 3, 1), 2, 2).toSeq ===

@@ -193,6 +193,65 @@ class CrawlMediaSpec extends SparkSpec {
     assert(mediaStore.selectAll.count() === 6)
   }
 
+  test("attachSharedRobots: robots.txt bytes in batch N gate and pace batch N+1 (three-way fork)") {
+    import CrawlMediaPack.{http200, warcResponse}
+    val dropDir = Files.createTempDirectory("graft_shrb_in").toString
+    val docDir = Files.createTempDirectory("graft_shrb_doc").toString
+    val mediaDir = Files.createTempDirectory("graft_shrb_med").toString
+    val robotsDir = Files.createTempDirectory("graft_shrb_rb").toString
+    val ckpt = Files.createTempDirectory("graft_shrb_ck").toString
+    val docStore = CrawlIngest.identityStore(spark, docDir,
+      s"shrb_docs_${System.nanoTime()}")
+    val mediaStore = CrawlMedia.mediaStore(spark, mediaDir,
+      s"shrb_media_${System.nanoTime()}")
+    val robotsStore = CrawlSchedule.robotsStore(spark, robotsDir,
+      s"shrb_rb_${System.nanoTime()}")
+    def run(): Unit =
+      CrawlMedia.attachSharedRobots(spark, dropDir, docStore, mediaStore,
+        robotsStore, agent = "graftbot", ckpt,
+        trigger = Trigger.AvailableNow()).awaitTermination()
+    // Batch 1: ONE crawl file carrying a robots.txt (text/plain), an
+    // HTML page, and an image — the three routes of one decode pass.
+    val robots1 = "User-agent: *\nDisallow: /private/\nCrawl-delay: 5\n"
+    Files.write(Paths.get(dropDir, "a.warc.gz"), WarcPack.gzipBytes(
+      warcResponse("https://h1.org/robots.txt", 1L, 0,
+        http200("text/plain", robots1.getBytes("UTF-8"))) ++
+        warcResponse("https://h1.org/page", 1L, 1,
+          http200("text/html",
+            "<html><body><p>hello</p></body></html>".getBytes("UTF-8"))) ++
+        warcResponse("https://h1.org/img", 1L, 2,
+          http200("image/bmp", CrawlMediaPack.bmp16(
+            CrawlMediaPack.pixels16(3L))))))
+    run()
+    // All three sinks fed from the one pass.
+    assert(docStore.selectAll.filter(col("url") === "https://h1.org/page")
+      .count() === 1)
+    assert(mediaStore.selectAll.filter(col("kind") === "image")
+      .count() === 1)
+    // The policy store now gates and paces — end to end from bytes.
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val frontier = Seq(
+      ("https://h1.org/ok", "h1.org"),
+      ("https://h1.org/private/x", "h1.org")).toDF("url", "url_host")
+    def kept() = CrawlSchedule.gateFrontier(frontier, robotsStore,
+      "graftbot").select("url").collect().map(_.getString(0)).toSet
+    def delay() = CrawlSchedule.delaysFrom(robotsStore)
+      .filter(col("domain") === "h1.org").select("crawl_delay")
+      .head().getDouble(0)
+    assert(kept() === Set("https://h1.org/ok"))
+    assert(delay() === 5.0)
+    // Batch 2: a robots RE-FETCH with a new policy — treatment changes
+    // for the batch after it (the q_fetch_schedule_robots semantics).
+    Files.write(Paths.get(dropDir, "b.warc.gz"), WarcPack.gzipBytes(
+      warcResponse("https://h1.org/robots.txt", 2L, 0,
+        http200("text/plain",
+          "User-agent: *\nCrawl-delay: 2\n".getBytes("UTF-8")))))
+    run()
+    assert(kept() === Set("https://h1.org/ok", "https://h1.org/private/x"))
+    assert(delay() === 2.0)
+  }
+
   test("digest pre-cluster: mirrors collapse to one representative before the banded search") {
     val sparkSession = spark
     import sparkSession.implicits._

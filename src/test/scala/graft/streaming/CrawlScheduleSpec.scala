@@ -306,6 +306,108 @@ class CrawlScheduleSpec extends SparkSpec {
     assert(s2 !== s1)
   }
 
+  test("applied sentinel: replay never double-advances even when an ad-hoc append to the SAME hosts is collapsed over it") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val tmp = Files.createTempDirectory("graft_sched_sn").toString
+    val store = CrawlSchedule.stateStore(spark, tmp,
+      s"sched_sn_${System.nanoTime()}", collapseEvery = 0L)
+    def b(ids: Seq[Long]) =
+      ids.map(i => (i, "h.org", 2.0d)).toDF("id", "url_domain", "crawl_delay")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "fetch_seq", "start_offset_s").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // Batch 0 applies (h.org → n=2, next=4) and "crashes" before its
+    // output write.
+    assert(rows(CrawlSchedule.scheduleBatch(store, b(Seq(0L, 1L)),
+      order = col("id"), batchId = 0L)) ===
+      Set((0L, 0L, 0.0), (1L, 1L, 2.0)))
+    // An AD-HOC append advances the SAME host (n=3, next=6) …
+    assert(rows(CrawlSchedule.scheduleBatch(store, b(Seq(9L)),
+      order = col("id"))) === Set((9L, 2L, 4.0)))
+    // … and a collapse folds: h.org's latest row now carries the
+    // ad-hoc (scope "", batch −1) stamps — the crashed delta's host-row
+    // evidence is GONE (advice r13's exact scenario).
+    store.collapseToLatest(Seq("domain"))
+    // The replay must still detect batch 0 as applied — the lineage
+    // sentinel is latest-per-ITS-OWN-key and survives any fold.
+    CrawlSchedule.scheduleBatch(store, b(Seq(0L, 1L)),
+      order = col("id"), batchId = 0L).collect()
+    // No double-advance: the next batch continues from the SINGLE
+    // ad-hoc-advanced state (seq 3 at offset 6), not from a phantom
+    // second application of batch 0.
+    assert(rows(CrawlSchedule.scheduleBatch(store, b(Seq(5L)),
+      order = col("id"), batchId = 1L))
+      === Set((5L, 3L, 6.0)))
+  }
+
+  test("as-of gate: a robots append between crash and replay leaves the replayed frontier IDENTICAL") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val stateDir = Files.createTempDirectory("graft_ao_st").toString
+    val robotsDir = Files.createTempDirectory("graft_ao_rb").toString
+    val state = CrawlSchedule.stateStore(spark, stateDir,
+      s"ao_st_${System.nanoTime()}")
+    val robots = CrawlSchedule.robotsStore(spark, robotsDir,
+      s"ao_rb_${System.nanoTime()}")
+    robots.append(CrawlSchedule.robotsPolicies(
+      Seq(("https://h.org/robots.txt",
+        "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n"))
+        .toDF("url", "text"), "bot"))
+    val urls = graft.operators.Url.withUrlParts(
+      Seq("https://h.org/a", "https://h.org/private/x", "https://h.org/b")
+        .toDF("url"))
+    def sched(batchId: Long): Set[(String, Long, Double)] = {
+      val (gated, rst) = CrawlSchedule.gateAndPace(state, robots, urls,
+        "bot", 1.0d, batchId = batchId, scope = "s")
+      CrawlSchedule.scheduleBatch(state, gated, order = col("url"),
+          batchId = batchId, scope = "s", policyRst = rst)
+        .select("url", "fetch_seq", "start_offset_s").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val first = sched(0L)
+    assert(first === Set(("https://h.org/a", 0L, 0.0),
+      ("https://h.org/b", 1L, 2.0)))
+    // Crash before the output write; a robots UPDATE lands in the
+    // window (disallow /b, delay 2 → 10) …
+    robots.append(CrawlSchedule.robotsPolicies(
+      Seq(("https://h.org/robots.txt",
+        "User-agent: *\nDisallow: /private/\nDisallow: /b\n" +
+          "Crawl-delay: 10\n"))
+        .toDF("url", "text"), "bot"))
+    // … and the REPLAY re-gates AS OF the recorded stamp: membership
+    // AND delays identical, so the out-store keyed dedup absorbs every
+    // row (r13 verdict #3 Done criterion).
+    assert(sched(0L) === first)
+    // A FRESH batch sees the new policy: /b gated out, 10 s pacing
+    // continuing from the single recorded advance (next free = 4).
+    val next = sched(1L)
+    assert(next === Set(("https://h.org/a", 2L, 4.0)))
+  }
+
+  test("robotsPolicies: pace takes the max twin delay; the GATING body prefers https (advice r13)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // http twin: permissive body (no rules) declaring a LARGE delay;
+    // https twin: deny-all body declaring NONE. The old single-row fold
+    // carried the permissive body because its delay won — permission
+    // must not ride on pacing.
+    val pol = CrawlSchedule.robotsPolicies(Seq(
+      ("http://h.org/robots.txt", "User-agent: *\nCrawl-delay: 9\n"),
+      ("https://h.org/robots.txt", "User-agent: *\nDisallow: /\n"))
+      .toDF("url", "text"), "bot")
+    val row = pol.collect() match { case Array(r) => r }
+    assert(row.getString(0) === "h.org")
+    assert(row.getDouble(1) === 9.0) // most-conservative pace
+    assert(row.getString(2).contains("Disallow: /")) // https authority
+    // End to end: the gate under this fold DENIES h.org URLs.
+    val kept = CrawlSchedule.gateWithPolicies(
+        Seq(("https://h.org/x", "h.org")).toDF("url", "url_host"),
+        pol, "bot")
+      .select("url").collect()
+    assert(kept.isEmpty)
+  }
+
   test("incremental scheduling == one batch politenessSchedule over the arrival-ordered union") {
     val sparkSession = spark
     import sparkSession.implicits._
