@@ -253,7 +253,19 @@ object Bench {
     // q_warc_export covers the encode + read-back chain; this adds the
     // digest window + revisit resolution), and the CDX index (same
     // encode chain + the offset-slice re-parse).
-    "q_media_mirror_pairs_stable", "q_warc_export_status", "q_warc_cdx"
+    "q_media_mirror_pairs_stable", "q_warc_export_status", "q_warc_cdx",
+    // Round-14 second wave — all secondary with reported siblings:
+    // compliance takedown (q_store_merge_durable's touched-generation
+    // copy-on-write family, plus the victim-store round-trip + ingest
+    // gate), change-rate recrawl + its due slice (one lag window +
+    // keyed agg — q_session_window's family), and error backoff
+    // composed onto politeness delays (q_fetch_schedule's join shape).
+    "q_takedown", "q_recrawl_rate", "q_recrawl_due", "q_backoff",
+    // The incremental stats fold (sibling q_recrawl_rate covers the
+    // window+agg; this adds the durable-store round-trip) and robots
+    // revocation (sibling q_frontier_gate covers the matcher; this
+    // adds the inverse gate + erase).
+    "q_recrawl_inc", "q_robots_revoke"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -347,7 +359,9 @@ object Bench {
     "q_crawl_media_dedup48", "q_pdf_xref",
     "q_media_mirror_pairs_inc", "q_frontier_gate", "q_warc_export",
     // r14 wave (see the headline comment for the sibling mapping).
-    "q_media_mirror_pairs_stable", "q_warc_export_status", "q_warc_cdx")
+    "q_media_mirror_pairs_stable", "q_warc_export_status", "q_warc_cdx",
+    "q_takedown", "q_recrawl_rate", "q_recrawl_due", "q_backoff",
+    "q_recrawl_inc", "q_robots_revoke")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

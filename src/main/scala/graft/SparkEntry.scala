@@ -21,6 +21,8 @@ object SparkEntry {
     operators.PipelinePack,
     operators.SimilarityPack,
     operators.BpePack,
+    operators.RecrawlPack,
+    store.TakedownPack,
     sources.AvroPack,
     sources.WarcPack,
     sources.HttpPack,

@@ -1,0 +1,312 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Adaptive RECRAWL scheduling — the freshness half of crawl planning,
+  * complementing [[graft.streaming.CrawlSchedule]]'s politeness half
+  * (WHEN a host may be hit again vs WHICH pages are worth re-fetching).
+  * The reference's bucket counter has no crawl loop at all; this is the
+  * operator a production crawl runs nightly over its fetch log.
+  *
+  * Estimators follow Cho & Garcia-Molina, "Estimating Frequency of
+  * Change" (ACM TOIT 3(3), 2003): a page's change process is modeled as
+  * Poisson; with `n` fetches observing `X` digest changes over a span,
+  * the naive rate is X/span and the bias-corrected MLE is
+  * `-ln((n - X + 0.5) / (n + 0.5)) / meanInterval`. The SCHEDULING
+  * columns (`next_interval_us`, `next_fetch_us`) use the naive
+  * estimator in EXACT integer arithmetic — span DIV changes — so the
+  * whole decision path is hash-comparable against a SQL oracle (the
+  * repo's numeric-determinism rule: no float transcendentals in
+  * oracle-gated output). The corrected MLE ships alongside as a double
+  * (`lambda_cd`, changes/day) for ranking consumers; it is an API
+  * column, never an oracle one.
+  *
+  * Scale: one window shuffle on the URL key (lag over the per-URL fetch
+  * sequence) + one hash aggregation on the same key — the second
+  * aggregation reuses the first's partitioning, so the whole estimate
+  * is a single exchange over the fetch log. No driver collects.
+  */
+object Recrawl {
+
+  /** Per-URL change-rate estimation over a fetch history
+    * `(urlCol, usCol: epoch micros LONG, digestCol)` — derive micros
+    * with `unix_micros(ts)`. One output row per URL:
+    *
+    *   - `n_fetches`, `n_changes` (digest differs from the previous
+    *     fetch's), `span_us` (first→last fetch), `last_us` — exact.
+    *   - `next_interval_us`: observed mean time between changes
+    *     (`span_us DIV n_changes`), clamped to
+    *     `[minIntervalUs, maxIntervalUs]`. Pages never seen to change
+    *     back off to `2 * span_us` (we only know the period exceeds
+    *     the span); single-fetch pages get `defaultIntervalUs` (no
+    *     information yet). All integer.
+    *   - `next_fetch_us = last_us + next_interval_us`.
+    *   - `lambda_cd`: the bias-corrected Poisson MLE in changes/day
+    *     (double; null below 2 fetches or zero span).
+    */
+  def changeRates(history: DataFrame, urlCol: String = "url",
+                  usCol: String = "fetch_us",
+                  digestCol: String = "digest",
+                  minIntervalUs: Long = 3600L * 1000000L,
+                  maxIntervalUs: Long = 30L * 86400L * 1000000L,
+                  defaultIntervalUs: Long = 86400L * 1000000L,
+                  /** Extra order columns breaking same-instant ties —
+                    * without a total order per URL, the lag() change
+                    * count is partition-arrival nondeterministic. */
+                  tieBreak: Seq[String] = Nil): DataFrame = {
+    require(minIntervalUs > 0 && maxIntervalUs >= minIntervalUs,
+      "recrawl clamp must satisfy 0 < min <= max")
+    val w = Window.partitionBy(col(urlCol))
+      .orderBy((usCol +: tieBreak).map(col): _*)
+    val perUrl = history
+      .withColumn("_prev", lag(col(digestCol), 1).over(w))
+      .groupBy(col(urlCol).as("url"))
+      .agg(
+        count(lit(1)).as("n_fetches"),
+        sum(when(col("_prev").isNotNull &&
+          col("_prev") =!= col(digestCol), 1L).otherwise(0L))
+          .as("n_changes"),
+        (max(col(usCol)) - min(col(usCol))).as("span_us"),
+        max(col(usCol)).as("last_us"))
+    withEstimates(perUrl, minIntervalUs, maxIntervalUs, defaultIntervalUs)
+  }
+
+  /** The estimator tail shared by [[changeRates]] and [[ratesFromStats]]
+    * — input is one row per URL with `(url, n_fetches, n_changes,
+    * span_us, last_us)`. */
+  private def withEstimates(perUrl: DataFrame, minIntervalUs: Long,
+                            maxIntervalUs: Long,
+                            defaultIntervalUs: Long): DataFrame = {
+    // `div`, not `/`: long / long is DOUBLE division in Spark SQL, and
+    // floor-of-double can land one off the exact quotient when the
+    // rational is within an ulp of an integer — `div` stays integral
+    // end to end, matching the oracle's `//`. Divisors are made
+    // structurally nonzero (greatest/nullif) rather than relying on
+    // CASE branch laziness: under ANSI mode, subexpression elimination
+    // may evaluate a guarded branch's division anyway.
+    val est = when(col("n_fetches") < 2, lit(defaultIntervalUs))
+      .when(col("n_changes") > 0,
+        expr("span_us div greatest(n_changes, 1L)"))
+      .otherwise(col("span_us") * 2L)
+    val clamped = least(greatest(est, lit(minIntervalUs)),
+      lit(maxIntervalUs))
+    // Null (not zero, not a throw) below 2 fetches or zero span: the
+    // double divisions see a null divisor there, never a zero one.
+    val meanIntervalDays = when(
+      col("n_fetches") >= 2 && col("span_us") > 0L,
+      (col("span_us").cast("double") /
+        greatest(col("n_fetches") - 1L, lit(1L)).cast("double"))
+        / lit(86400.0e6))
+    perUrl
+      .withColumn("next_interval_us", clamped)
+      .withColumn("next_fetch_us", col("last_us") + col("next_interval_us"))
+      .withColumn("lambda_cd",
+        (log(col("n_fetches").cast("double") + 0.5d)
+          - log((col("n_fetches") - col("n_changes")).cast("double")
+            + 0.5d))
+          / meanIntervalDays)
+  }
+
+  // ---------------------------------------------------------------------
+  // Incremental form — per-URL SUFFICIENT STATISTICS in a durable store.
+  //
+  // At 100 TB the fetch log is the largest table in the system and
+  // [[changeRates]]'s window over it re-reads the full history every
+  // planning run. The estimator only ever consumes five exactly-mergeable
+  // numbers per URL — (n, X, first_us, last_us) plus the boundary digests
+  // — so the scalable deployment keeps THOSE in a collapse-managed
+  // delta-keyed store (O(urls) state, the [[graft.streaming
+  // .CrawlSchedule]] pattern) and folds each batch in with one window +
+  // one join: rates come out IDENTICAL to a full-history recompute
+  // (oracle-gated, q_recrawl_inc) without a fetch log ever being kept.
+  // ---------------------------------------------------------------------
+
+  /** One row per URL: the mergeable estimator state. `batch_id`/`scope`
+    * stamp which micro-batch advanced the row (−1/"" ad-hoc) — the
+    * replay guard, [[graft.streaming.CrawlSchedule.StateSchema]]'s
+    * convention. The boundary DIGESTS make the change count exact
+    * across batches: a change falling exactly on a batch boundary is
+    * visible to neither batch's lag window, only to the merge. */
+  val StatsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_fetches",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_changes",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("first_us",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("last_us",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("first_digest",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("last_digest",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("batch_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("scope",
+        org.apache.spark.sql.types.StringType)))
+
+  /** The per-lineage applied-batch sentinel key — survives collapses
+    * unconditionally (latest-per-key keeps it; no URL can start with
+    * `#`, the fragment opener). */
+  private[operators] def sentinelKey(scope: String): String =
+    "#applied:" + scope
+
+  /** Open (or resume) the recrawl-stats store — collapse-managed like
+    * every delta-keyed store (one latest-per-URL base + bounded tail). */
+  def statsStore(spark: org.apache.spark.sql.SparkSession,
+                 storePath: String,
+                 tableName: String = "recrawl_stats",
+                 collapseEvery: Long = 16L)
+      : graft.store.ParquetStore =
+    new graft.store.ParquetStore(spark, StatsSchema, storePath, tableName,
+      collapseKeys = Seq("url"), collapseEvery = collapseEvery)
+
+  /** One batch of fetches reduced to its per-URL statistics: the same
+    * lag window as [[changeRates]], plus the batch's boundary digests
+    * (`min_by`/`max_by` on the same total order). */
+  def batchStats(batch: DataFrame, urlCol: String = "url",
+                 usCol: String = "fetch_us", digestCol: String = "digest",
+                 tieBreak: Seq[String] = Nil): DataFrame = {
+    val ord = struct((usCol +: tieBreak).map(col): _*)
+    val w = Window.partitionBy(col(urlCol))
+      .orderBy((usCol +: tieBreak).map(col): _*)
+    batch
+      .withColumn("_prev", lag(col(digestCol), 1).over(w))
+      .groupBy(col(urlCol).as("url"))
+      .agg(
+        count(lit(1)).as("n_fetches"),
+        sum(when(col("_prev").isNotNull &&
+          col("_prev") =!= col(digestCol), 1L).otherwise(0L))
+          .as("n_changes"),
+        min(col(usCol)).as("first_us"),
+        max(col(usCol)).as("last_us"),
+        min_by(col(digestCol), ord).as("first_digest"),
+        max_by(col(digestCol), ord).as("last_digest"))
+  }
+
+  /** Fold one batch's [[batchStats]] into the store. Batches must
+    * arrive in per-URL time order (a crawl log's natural order); the
+    * merge is then EXACT: counts and spans add, and a digest change
+    * landing on the batch boundary is caught by comparing the stored
+    * `last_digest` with the batch's `first_digest`. Replay-guarded the
+    * [[graft.streaming.CrawlSchedule.scheduleBatch]] way: an applied
+    * (scope, batch_id) appends nothing on its at-least-once re-run
+    * (the sentinel row survives any collapse). One window + one
+    * latest-per-URL join per trigger, both pruned by the collapse
+    * policy — never a full-history scan. */
+  def updateStats(store: graft.store.ParquetStore, stats: DataFrame,
+                  batchId: Long = -1L, scope: String = ""): Unit = {
+    val applied = batchId >= 0 &&
+      !store.selectAll.select(col("scope"), col("batch_id"))
+        .filter(col("scope") <=> lit(scope) &&
+          col("batch_id") === batchId).isEmpty
+    if (applied) return
+    val stored = latestStats(store).select(
+      col("url"), col("n_fetches").as("_sn"), col("n_changes").as("_sx"),
+      col("first_us").as("_sf"), col("last_us").as("_sl"),
+      col("first_digest").as("_sfd"), col("last_digest").as("_sld"))
+    val merged = stats.join(stored, Seq("url"), "left")
+      .select(
+        col("url"),
+        (col("n_fetches") + coalesce(col("_sn"), lit(0L))).as("n_fetches"),
+        (col("n_changes") + coalesce(col("_sx"), lit(0L)) +
+          when(col("_sld").isNotNull &&
+            col("_sld") =!= col("first_digest"), 1L).otherwise(0L))
+          .as("n_changes"),
+        least(col("first_us"), coalesce(col("_sf"), col("first_us")))
+          .as("first_us"),
+        greatest(col("last_us"), coalesce(col("_sl"), col("last_us")))
+          .as("last_us"),
+        coalesce(col("_sfd"), col("first_digest")).as("first_digest"),
+        col("last_digest"),
+        lit(batchId).as("batch_id"), lit(scope).as("scope"))
+    val withSentinel =
+      if (batchId < 0) merged
+      else merged.unionByName(store.spark.range(1).select(
+        lit(sentinelKey(scope)).as("url"),
+        lit(0L).as("n_fetches"), lit(0L).as("n_changes"),
+        lit(0L).as("first_us"), lit(0L).as("last_us"),
+        lit(null).cast("string").as("first_digest"),
+        lit(null).cast("string").as("last_digest"),
+        lit(batchId).as("batch_id"), lit(scope).as("scope")))
+    store.appendStreaming(withSentinel)
+    ()
+  }
+
+  /** Latest stats row per URL, sentinels excluded. */
+  private def latestStats(store: graft.store.ParquetStore): DataFrame =
+    store.selectAll
+      .filter(!col("url").startsWith("#applied:"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("url")).orderBy(col("rst_id").desc)))
+      .filter(col("_rk") === 1)
+      .drop("_rk", "rst_id", "batch_id", "scope")
+
+  /** [[changeRates]] read from the stats store instead of a fetch log —
+    * identical output columns, identical values (oracle-gated), O(urls)
+    * input. */
+  def ratesFromStats(store: graft.store.ParquetStore,
+                     minIntervalUs: Long = 3600L * 1000000L,
+                     maxIntervalUs: Long = 30L * 86400L * 1000000L,
+                     defaultIntervalUs: Long = 86400L * 1000000L)
+      : DataFrame = {
+    require(minIntervalUs > 0 && maxIntervalUs >= minIntervalUs,
+      "recrawl clamp must satisfy 0 < min <= max")
+    withEstimates(
+      latestStats(store)
+        .withColumn("span_us", col("last_us") - col("first_us"))
+        .select(col("url"), col("n_fetches"), col("n_changes"),
+          col("span_us"), col("last_us")),
+      minIntervalUs, maxIntervalUs, defaultIntervalUs)
+  }
+
+  /** The DUE slice of a change-rate table at `nowUs`: URLs whose
+    * `next_fetch_us` has passed, with `overdue_us` for ranking.
+    * Feed the result (gated by [[graft.streaming.CrawlSchedule
+    * .gateFrontier]] and paced by `scheduleBatch`) as the trigger's
+    * frontier — recrawl decides WHAT, politeness decides WHEN. */
+  def dueFrontier(rates: DataFrame, nowUs: Long): DataFrame =
+    rates.filter(col("next_fetch_us") <= nowUs)
+      .withColumn("overdue_us", lit(nowUs) - col("next_fetch_us"))
+
+  /** Per-HOST error backoff over a recent fetch log
+    * `(hostCol, statusCol)`: hosts answering 429 / 5xx get their crawl
+    * delay scaled by `2^min(n_errors, maxExp)` — AIMD-style pressure
+    * relief the next trigger applies via [[delaysWithBackoff]]. The
+    * multiplier is an exact power of two (`pow` on small ints is
+    * exactly representable), so scaled delays stay hash-comparable.
+    * Output: `(domain, n_errors, backoff_mult)`. */
+  def backoffMultipliers(fetchLog: DataFrame, hostCol: String = "url_host",
+                         statusCol: String = "http_status",
+                         maxExp: Int = 6): DataFrame =
+    fetchLog
+      .groupBy(col(hostCol).as("domain"))
+      .agg(sum(when(col(statusCol) === 429L ||
+          (col(statusCol) >= 500L && col(statusCol) <= 599L), 1L)
+        .otherwise(0L)).as("n_errors"))
+      .withColumn("backoff_mult",
+        pow(lit(2.0d), least(col("n_errors"), lit(maxExp.toLong))
+          .cast("double")).cast("long"))
+
+  /** Compose a per-host delay table (e.g. [[graft.streaming
+    * .CrawlSchedule.delaysFrom]]) with [[backoffMultipliers]]:
+    * `crawl_delay * backoff_mult`, hosts without recent errors
+    * unchanged. Power-of-two scaling of a double is exact — the
+    * schedule arithmetic downstream stays deterministic. One
+    * broadcast-sized left join. */
+  def delaysWithBackoff(delays: DataFrame, backoff: DataFrame,
+                        domainCol: String = "domain"): DataFrame =
+    delays.join(
+        broadcast(backoff.select(col("domain").as(domainCol),
+          col("backoff_mult"))),
+        Seq(domainCol), "left")
+      .select(col(domainCol),
+        (col("crawl_delay") *
+          coalesce(col("backoff_mult"), lit(1L)).cast("double"))
+          .as("crawl_delay"))
+}

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryPack
+
+/** Adaptive recrawl + error backoff as driver-checkable queries (r14).
+  * The fetch history is synthesized from the `events` fixture: each
+  * user is a URL, each event a fetch, and the content digest is a
+  * deterministic bucket of `value` — so the DuckDB oracle re-derives
+  * the identical history and walks the same lag window. Everything
+  * oracle-gated is exact integer arithmetic (the repo's numeric-
+  * determinism rule); the Cho–Garcia-Molina float MLE rides the API
+  * only ([[Recrawl.changeRates]] doc). */
+object RecrawlPack extends QueryPack {
+
+  private val DayUs = 86400000000L
+
+  private def history(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events").select(
+      concat(lit("https://h"), (col("user_id") % 17L).cast("string"),
+        lit(".example/p"), col("user_id").cast("string")).as("url"),
+      unix_micros(col("ts")).as("fetch_us"),
+      (abs(floor(col("value")).cast("long")) % 5L).cast("string")
+        .as("digest"),
+      col("event_id"))
+
+  /** The oracle's twin of [[history]]. */
+  private val HistorySql =
+    """SELECT 'https://h' || CAST(user_id % 17 AS VARCHAR) ||
+      |    '.example/p' || CAST(user_id AS VARCHAR) AS url,
+      |  epoch_us(ts) AS fetch_us,
+      |  CAST(abs(CAST(floor(value) AS BIGINT)) % 5 AS VARCHAR) AS digest,
+      |  event_id
+      |FROM events""".stripMargin
+
+  /** Per-URL estimate re-derived in SQL: lag window (same event_id
+    * tie-break), exact `//` interval, same clamp ladder. */
+  private val RatesSql =
+    s"""WITH hist AS ($HistorySql),
+       |lagged AS (
+       |  SELECT url, fetch_us, digest,
+       |    lag(digest) OVER (PARTITION BY url ORDER BY fetch_us, event_id)
+       |      AS prev
+       |  FROM hist),
+       |rates AS (
+       |  SELECT url, count(*) AS n_fetches,
+       |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> digest
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+       |    max(fetch_us) - min(fetch_us) AS span_us,
+       |    max(fetch_us) AS last_us
+       |  FROM lagged GROUP BY url),
+       |est AS (
+       |  SELECT url, n_fetches, n_changes, span_us, last_us,
+       |    least(greatest(
+       |      CASE WHEN n_fetches < 2 THEN $DayUs
+       |        WHEN n_changes > 0 THEN span_us // n_changes
+       |        ELSE span_us * 2 END,
+       |      3600000000), 2592000000000) AS next_interval_us
+       |  FROM rates)
+       |SELECT url, n_fetches, n_changes, span_us, next_interval_us,
+       |  last_us + next_interval_us AS next_fetch_us
+       |FROM est""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "q_recrawl_rate" -> { (s, dir) =>
+        Recrawl.changeRates(history(s, dir), tieBreak = Seq("event_id"))
+          .select(col("url"), col("n_fetches"), col("n_changes"),
+            col("span_us"), col("next_interval_us"), col("next_fetch_us"))
+      },
+      // The due slice at now = last fetch anywhere + 1 day: which URLs
+      // a nightly planner would put on tomorrow's frontier, ranked by
+      // how overdue they are. (The scalar now is one aggregate row —
+      // not a driver loop.)
+      "q_recrawl_due" -> { (s, dir) =>
+        val hist = history(s, dir)
+        val now = hist.agg(max(col("fetch_us"))).first().getLong(0) + DayUs
+        Recrawl.dueFrontier(
+            Recrawl.changeRates(hist, tieBreak = Seq("event_id")), now)
+          .select(col("url"), col("n_changes"), col("next_fetch_us"),
+            col("overdue_us"))
+      },
+      // The INCREMENTAL deployment, oracle-pinned to the full-history
+      // answer: the same history split into three 10-day batches, each
+      // reduced to per-URL sufficient statistics and folded into a
+      // collapse-managed durable store (collapseEvery = 2, so the
+      // re-snapshot actually trips mid-run) — [[Recrawl.updateStats]]'s
+      // boundary-digest merge must reproduce changeRates EXACTLY
+      // without the fetch log ever being kept. Same oracle SQL as
+      // q_recrawl_rate by construction.
+      "q_recrawl_inc" -> { (s, dir) =>
+        val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          f"graft_recrawl_${dir.hashCode}%08x").toString
+        val store = Recrawl.statsStore(s, base, "recrawl_stats_q",
+          collapseEvery = 2L)
+        store.reset()
+        val pinned = history(s, dir)
+          // Clamped to {0,1,2}: monotone in ts, so per-URL batch order
+          // stays time order even if a fixture regen widens the span.
+          .withColumn("_b", expr(
+            "least(greatest((fetch_us div 86400000000 - 19723) div 10, 0L), 2L)"))
+          .localCheckpoint(true)
+        (0L to 2L).foreach { b =>
+          Recrawl.updateStats(store,
+            Recrawl.batchStats(pinned.filter(col("_b") === b),
+              tieBreak = Seq("event_id")),
+            batchId = b, scope = "q_recrawl_inc")
+        }
+        Recrawl.ratesFromStats(store)
+          .select(col("url"), col("n_fetches"), col("n_changes"),
+            col("span_us"), col("next_interval_us"), col("next_fetch_us"))
+      },
+      // Per-host error backoff composed onto the politeness delays:
+      // hosts recently answering 429/5xx get their crawl delay scaled
+      // 2^min(errors, 6) — exact power-of-two scaling of exact-half
+      // base delays, so the composed delay hash-compares.
+      "q_backoff" -> { (s, dir) =>
+        val log = table(s, dir, "events").select(
+          concat(lit("h"), (col("user_id") % 37L).cast("string"))
+            .as("url_host"),
+          when(col("event_id") % 11L === 0L, 503L)
+            .when(col("event_id") % 13L === 0L, 429L)
+            .otherwise(200L).as("http_status"))
+        val base = log.select(col("url_host").as("domain")).distinct()
+          .withColumn("crawl_delay",
+            (substring(col("domain"), 2, 10).cast("long") % 4L)
+              .cast("double") * 0.5d + 0.5d)
+        val mult = Recrawl.backoffMultipliers(log)
+        Recrawl.delaysWithBackoff(base, mult)
+          .join(mult, Seq("domain"))
+          .select(col("domain"), col("n_errors"), col("backoff_mult"),
+            col("crawl_delay"))
+      }
+    )
+
+  override def oracles: Map[String, String] = Map(
+    "q_recrawl_rate" -> RatesSql,
+    // Incremental == full recompute, so the oracle IS q_recrawl_rate's.
+    "q_recrawl_inc" -> RatesSql,
+    "q_recrawl_due" ->
+      s"""WITH r AS ($RatesSql),
+         |n AS (SELECT max(epoch_us(ts)) + $DayUs AS now_us FROM events)
+         |SELECT url, n_changes, next_fetch_us,
+         |  now_us - next_fetch_us AS overdue_us
+         |FROM r, n WHERE next_fetch_us <= now_us""".stripMargin,
+    "q_backoff" ->
+      """WITH log AS (
+        |  SELECT 'h' || CAST(user_id % 37 AS VARCHAR) AS domain,
+        |    CASE WHEN event_id % 11 = 0 THEN 503
+        |      WHEN event_id % 13 = 0 THEN 429 ELSE 200 END AS status
+        |  FROM events),
+        |agg AS (
+        |  SELECT domain,
+        |    CAST(sum(CASE WHEN status = 429 OR status BETWEEN 500 AND 599
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+        |  FROM log GROUP BY domain)
+        |SELECT domain, n_errors,
+        |  CAST(power(2, least(n_errors, 6)) AS BIGINT) AS backoff_mult,
+        |  (CAST(CAST(substr(domain, 2, 10) AS BIGINT) % 4 AS DOUBLE)
+        |    * 0.5 + 0.5) * power(2, least(n_errors, 6)) AS crawl_delay
+        |FROM agg""".stripMargin
+  )
+}

@@ -178,11 +178,56 @@ final class ParquetStore(
     val pinned = batch.select(aligned.toIndexedSeq: _*).localCheckpoint(eager = true)
     val batchKeys = pinned.select(keys.map(col): _*).distinct()
       .localCheckpoint(eager = true)
+    rewriteWithoutKeys(batchKeys, keys)
+    append(pinned)
+  }
+
+  /** PHYSICAL key erasure — the compliance half of a takedown
+    * ([[Takedown]] holds the full story: the LOGICAL half is the
+    * read/ingest-side anti-join, applied immediately; this call makes
+    * the removal durable on disk). Every generation containing a
+    * victim key is rewritten without those rows, copy-on-write; after
+    * it returns, no parquet file under the store holds a victim row —
+    * the property a right-to-be-forgotten request actually demands,
+    * which retention (whole-directory expiry) and collapse (latest-
+    * per-key keeps the newest victim row) cannot provide.
+    *
+    * Scale: the probe is ONE semi-join of the store against the victim
+    * keys (victim lists are small — broadcast side), and only TOUCHED
+    * generations are rewritten — on a collapse-managed store that is
+    * the base + whichever deltas mention a victim, a bounded rewrite
+    * amortized exactly like the collapse itself. Returns the number of
+    * generations rewritten. Crash behavior is [[merge]]'s: each swap
+    * is stage → delete → atomic rename, and a crash mid-loop leaves
+    * already-rewritten generations erased and the rest intact — re-run
+    * to finish (idempotent: erased generations no longer probe as
+    * touched). */
+  def eraseKeys(victims: DataFrame, keys: Seq[String]): Long =
+    this.synchronized {
+      require(keys.nonEmpty, "erase needs at least one key column")
+      keys.foreach(k => require(schema.fieldNames.contains(k),
+        s"erase key '$k' is not a store column (${schema.fieldNames.mkString(",")})"))
+      val victimKeys = victims
+        .select(keys.map(k => col(k).cast(
+          schema(k).dataType).as(k)).toIndexedSeq: _*)
+        .distinct().localCheckpoint(eager = true)
+      val n = rewriteWithoutKeys(victimKeys, keys)
+      registerView()
+      n
+    }
+
+  /** The touched-generation copy-on-write delete shared by [[merge]]
+    * and [[eraseKeys]]: rewrite every generation holding a matched key
+    * without those rows. `matchKeys` must be pinned (localCheckpoint)
+    * by the caller — the rewrites replace the files a lazy plan would
+    * re-read. Returns how many generations were rewritten. */
+  private def rewriteWithoutKeys(matchKeys: DataFrame,
+                                 keys: Seq[String]): Long = {
     // ONE job finds the touched generations (the file-pruning step of a
     // table-format MERGE): a semi-join of the whole store against the
     // batch keys, projected to distinct rst_ids — not a probe job plus a
     // full directory listing per generation.
-    val touched = raw(None).join(batchKeys, keys, "left_semi")
+    val touched = raw(None).join(matchKeys, keys, "left_semi")
       .select("rst_id").distinct()
       .collect().map(_.getLong(0)).sorted
     for (g <- touched) {
@@ -194,7 +239,7 @@ final class ParquetStore(
         // Read-from-original, write-to-staging: the scan and the write
         // never touch the same files; the swap happens only after the
         // staged copy is complete.
-        gen.join(batchKeys, keys, "left_anti")
+        gen.join(matchKeys, keys, "left_anti")
           .write.mode("overwrite").parquet(staging.toString)
         deleteRecursively(original)
         originalDeleted = true
@@ -217,7 +262,7 @@ final class ParquetStore(
         throw e
       }
     }
-    append(pinned)
+    touched.length.toLong
   }
 
   /** K4 retention as partition-directory deletes — no row-level work. */

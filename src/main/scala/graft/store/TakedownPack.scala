@@ -1,0 +1,154 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.QueryPack
+
+/** Compliance takedown, end to end (r14): a 3-generation durable corpus
+  * store, a victim list recorded into a takedown store, PHYSICAL erasure
+  * of every victim row ([[ParquetStore.eraseKeys]] — copy-on-write,
+  * touched generations only, slots preserved), then a re-crawl batch
+  * containing the banned keys pushed through the ingest gate
+  * ([[Takedown.scrub]]) — which must admit nothing: the non-victims are
+  * already stored (keyed dedup) and the victims are banned. The final
+  * store state must equal "everything except the victims, at the
+  * original generations" — erasure may not disturb a surviving row's
+  * rst_id, and the gated re-crawl may not create a generation. */
+object TakedownPack extends QueryPack {
+
+  private val DocSchema = StructType(Seq(
+    StructField("doc_key", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private val RevokeDocSchema = StructType(Seq(
+    StructField("doc_key", StringType),
+    StructField("url_host", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "q_takedown" -> { (s, dir) =>
+        val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          f"graft_takedown_${dir.hashCode}%08x").toString
+        val docs = table(s, dir, "documents").select(
+          concat(lit("https://ex.org/d/"), col("doc_id")).as("doc_key"),
+          col("source"), col("n_chars"),
+          (col("doc_id") % 3L).as("_b")).localCheckpoint(true)
+        val store = new ParquetStore(s, DocSchema, s"$base/docs",
+          tableName = "takedown_docs", cleanFreq = 1000L)
+        store.reset()
+        (0L to 2L).foreach { b =>
+          store.append(docs.filter(col("_b") === b).drop("_b"))
+        }
+        val td = Takedown.takedownStore(s, s"$base/td",
+          tableName = "takedown_list")
+        td.reset()
+        // Every 13th document (offset 5) is taken down…
+        Takedown.request(td,
+          table(s, dir, "documents").filter(col("doc_id") % 13L === 5L)
+            .select(concat(lit("https://ex.org/d/"), col("doc_id"))
+              .as("key"), lit("dmca").as("reason")))
+        // …erased physically (only generations holding a victim are
+        // rewritten; surviving rows keep their slots)…
+        Takedown.erase(store, td, "doc_key")
+        // …and a re-crawl REDELIVERING batch-1 (victims included) hits
+        // the ingest gate + keyed dedup: zero admissions, zero new
+        // generations — the victim store, not the data store, is what
+        // remembers the ban after erasure.
+        val redelivered = docs.filter(col("_b") === 1L).drop("_b")
+        graft.streaming.CrawlIngest.dedupAppendByKey(store,
+          Takedown.scrub(redelivered, td, "doc_key"),
+          "doc_key", col("doc_key"))
+        store.selectAll
+      },
+      // ROBOTS REVOCATION (r14): the retroactive half of robots
+      // compliance. Pages already in the corpus were crawled under a
+      // permissive robots.txt; the publisher tightens it (Disallow
+      // /private with an Allow carve-out, plus a *.pdf$ end anchor —
+      // the q_frontier_gate rule set), and the inverse gate
+      // ([[graft.streaming.CrawlSchedule.revokedFrontier]] — the REAL
+      // RFC 9309 matcher, latest policy generation wins) turns the
+      // now-disallowed stored rows into takedown requests that are
+      // physically erased. Hosts without robots revoke nothing.
+      "q_robots_revoke" -> { (s, dir) =>
+        import s.implicits._
+        import graft.streaming.CrawlSchedule
+        val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          f"graft_revoke_${dir.hashCode}%08x").toString
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .as[(Long, String, Long)]
+          .map { case (id, src, n) =>
+            val path = (id % 5).toInt match {
+              case 0 => s"/articles/$id.html"
+              case 1 => s"/private/$id.html"
+              case 2 => s"/private/public/$id.html"
+              case 3 => s"/docs/$id.pdf"
+              case _ => s"/private/public/$id.pdf"
+            }
+            (s"https://site${id % 2}.com$path", s"site${id % 2}.com",
+              src, n)
+          }.toDF("doc_key", "url_host", "source", "n_chars")
+        val store = new ParquetStore(s, RevokeDocSchema, s"$base/docs",
+          tableName = "revoke_docs", cleanFreq = 1000L)
+        store.reset()
+        store.append(docs)
+        val rstore = CrawlSchedule.robotsStore(s, s"$base/robots",
+          tableName = "revoke_robots")
+        rstore.reset()
+        // The crawl-time policy allowed everything…
+        rstore.append(CrawlSchedule.robotsPolicies(
+          Seq(("https://site0.com/robots.txt",
+            "User-agent: *\nDisallow:\n")).toDF("url", "text"),
+          "graftbot"))
+        // …then the tightened re-fetch lands (latest generation wins).
+        rstore.append(CrawlSchedule.robotsPolicies(
+          Seq(("https://site0.com/robots.txt",
+            """User-agent: graftbot
+              |Disallow: /private/
+              |Allow: /private/public/
+              |Disallow: /*.pdf$
+              |""".stripMargin)).toDF("url", "text"),
+          "graftbot"))
+        val revoked = CrawlSchedule.revokedFrontier(store.selectAll,
+          rstore, "graftbot", urlCol = "doc_key", hostCol = "url_host")
+        val td = Takedown.takedownStore(s, s"$base/td",
+          tableName = "revoke_list")
+        td.reset()
+        Takedown.request(td, revoked.select(col("doc_key").as("key"),
+          lit("robots-revoked").as("reason")))
+        Takedown.erase(store, td, "doc_key")
+        store.selectAll
+      }
+    )
+
+  override def oracles: Map[String, String] = Map(
+    // Survivors only, at their ORIGINAL generation (doc_id mod 3 + 1):
+    // erase rewrites in place, and the gated redelivery appends nothing.
+    "q_takedown" ->
+      """SELECT 'https://ex.org/d/' || CAST(doc_id AS VARCHAR) AS doc_key,
+        |  source, n_chars, doc_id % 3 + 1 AS rst_id
+        |FROM documents WHERE doc_id % 13 <> 5""".stripMargin,
+    // site1 has no robots (revokes nothing); site0 keeps /articles
+    // (g=0), the /private/public Allow carve-outs (g=2,4 — longest
+    // match beats both Disallows) and loses /private html (g=1) and
+    // the *.pdf$ anchor (g=3).
+    "q_robots_revoke" ->
+      """SELECT 'https://site' || CAST(doc_id % 2 AS VARCHAR) || '.com' ||
+        |  CASE CAST(doc_id % 5 AS INTEGER)
+        |    WHEN 0 THEN '/articles/' || CAST(doc_id AS VARCHAR) || '.html'
+        |    WHEN 1 THEN '/private/' || CAST(doc_id AS VARCHAR) || '.html'
+        |    WHEN 2 THEN '/private/public/' || CAST(doc_id AS VARCHAR)
+        |      || '.html'
+        |    WHEN 3 THEN '/docs/' || CAST(doc_id AS VARCHAR) || '.pdf'
+        |    ELSE '/private/public/' || CAST(doc_id AS VARCHAR) || '.pdf'
+        |  END AS doc_key,
+        |  'site' || CAST(doc_id % 2 AS VARCHAR) || '.com' AS url_host,
+        |  source, n_chars, CAST(1 AS BIGINT) AS rst_id
+        |FROM documents
+        |WHERE doc_id % 2 = 1 OR doc_id % 5 IN (0, 2, 4)""".stripMargin
+  )
+}

@@ -270,7 +270,36 @@ object CrawlSchedule {
     * here). */
   def gateWithPolicies(urls: DataFrame, policies: DataFrame,
                        agent: String, urlCol: String = "url",
-                       hostCol: String = "url_host"): DataFrame = {
+                       hostCol: String = "url_host"): DataFrame =
+    matchPolicies(urls, policies, agent, urlCol, hostCol)
+      .filter(col("allowed")).drop("allowed")
+
+  /** The INVERSE gate — rows the policy view DISALLOWS. Run over the
+    * DOCUMENT STORE (not the frontier) this is retroactive robots
+    * compliance: a publisher tightening robots.txt revokes consent for
+    * pages already crawled, and the revoked rows become takedown
+    * requests ([[graft.store.Takedown.request]] → `erase` on the
+    * maintenance cadence — spec-pinned + oracle-gated, q_robots_revoke).
+    * Same matcher, same policy snapshot discipline as the gate; hosts
+    * with no stored robots revoke nothing (RFC 9309: absent robots.txt
+    * restricts nothing). */
+  def revokedWithPolicies(urls: DataFrame, policies: DataFrame,
+                          agent: String, urlCol: String = "url",
+                          hostCol: String = "url_host"): DataFrame =
+    matchPolicies(urls, policies, agent, urlCol, hostCol)
+      .filter(!col("allowed")).drop("allowed")
+
+  /** [[revokedWithPolicies]] against the robots store's latest view. */
+  def revokedFrontier(urls: DataFrame, robots: ParquetStore,
+                      agent: String, urlCol: String = "url",
+                      hostCol: String = "url_host"): DataFrame =
+    revokedWithPolicies(urls, latestPolicy(robots), agent, urlCol, hostCol)
+
+  /** The shared matcher pass: input rows + an `allowed` column, work
+    * columns dropped. */
+  private def matchPolicies(urls: DataFrame, policies: DataFrame,
+                            agent: String, urlCol: String,
+                            hostCol: String): DataFrame = {
     val ui = urls.schema.fieldIndex(urlCol)
     val withPath = urls.mapPartitions { it =>
       it.map { row =>
@@ -288,8 +317,7 @@ object CrawlSchedule {
     graft.sources.Robots.withAllowed(
         withPath.join(pol, Seq(hostCol), "left"),
         "robots_txt", "_path", agent)
-      .filter(col("allowed"))
-      .drop("_path", "robots_txt", "allowed", "crawl_delay")
+      .drop("_path", "robots_txt", "crawl_delay")
   }
 
   /** ALLOW-gate a frontier against the robots store (r13 — the other

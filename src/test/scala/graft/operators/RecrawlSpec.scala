@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Change-rate estimation and error backoff: the estimator columns are
+  * exact integer arithmetic pinned against hand-computed values; the
+  * Cho–Garcia-Molina MLE is checked against the closed form; backoff
+  * composes onto the politeness delay table the scheduler reads. */
+class RecrawlSpec extends SparkSpec {
+
+  private val DayUs = 86400000000L
+
+  private def hist(rows: (String, Long, String)*) = {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    rows.zipWithIndex
+      .map { case ((u, t, d), i) => (u, t, d, i.toLong) }
+      .toDF("url", "fetch_us", "digest", "event_id")
+  }
+
+  private def rates(df: org.apache.spark.sql.DataFrame) =
+    Recrawl.changeRates(df, tieBreak = Seq("event_id"))
+
+  private def one(df: org.apache.spark.sql.DataFrame, url: String) =
+    df.filter(col("url") === url).collect().head
+
+  test("estimator: changed pages get span/changes, never-changed back off, single fetches get the default") {
+    val df = rates(hist(
+      // a: 3 fetches over 20 days, 1 change → interval 20d
+      ("a", 0L, "x"), ("a", 10L * DayUs, "y"), ("a", 20L * DayUs, "y"),
+      // b: never changed over 10 days → 2*span = 20d
+      ("b", 0L, "x"), ("b", 10L * DayUs, "x"),
+      // c: single fetch → default 1d
+      ("c", 5L * DayUs, "x"),
+      // d: changes every day over 40 days → 40d/40 = 1d... use 4 fetches
+      ("d", 0L, "p"), ("d", 1L * DayUs, "q"), ("d", 2L * DayUs, "r"),
+      ("d", 3L * DayUs, "s")))
+    val a = one(df, "a")
+    assert(a.getAs[Long]("n_fetches") === 3L)
+    assert(a.getAs[Long]("n_changes") === 1L)
+    assert(a.getAs[Long]("span_us") === 20L * DayUs)
+    assert(a.getAs[Long]("next_interval_us") === 20L * DayUs)
+    assert(a.getAs[Long]("next_fetch_us") === 40L * DayUs)
+    assert(one(df, "b").getAs[Long]("next_interval_us") === 20L * DayUs)
+    assert(one(df, "c").getAs[Long]("next_interval_us") === DayUs)
+    // d: span 3d, 3 changes → 1d
+    assert(one(df, "d").getAs[Long]("next_interval_us") === DayUs)
+  }
+
+  test("clamp ladder: hyperactive pages floor at min, glacial pages cap at max") {
+    val df = rates(hist(
+      // changes every second → min clamp (1 h)
+      ("fast", 0L, "x"), ("fast", 1000000L, "y"), ("fast", 2000000L, "z"),
+      // never changed over 100 days → 2*span capped at 30 d
+      ("slow", 0L, "x"), ("slow", 100L * DayUs, "x")))
+    assert(one(df, "fast").getAs[Long]("next_interval_us")
+      === 3600L * 1000000L)
+    assert(one(df, "slow").getAs[Long]("next_interval_us")
+      === 30L * DayUs)
+  }
+
+  test("same-instant fetches are ordered by the tie-break, so the change count is deterministic") {
+    // Two fetches at the SAME microsecond with different digests: with
+    // the event_id tie-break the sequence is x(id0) → y(id1) → y(id2):
+    // exactly one change, every run.
+    val df = rates(hist(
+      ("t", 0L, "x"), ("t", 0L, "y"), ("t", 1L * DayUs, "y")))
+    assert(one(df, "t").getAs[Long]("n_changes") === 1L)
+  }
+
+  test("lambda_cd matches the closed-form Cho–Garcia-Molina MLE") {
+    val df = rates(hist(
+      ("a", 0L, "x"), ("a", 10L * DayUs, "y"), ("a", 20L * DayUs, "y")))
+    // n=3, X=1, meanInterval=10d: λ = -ln((3-1+0.5)/(3+0.5)) / 10
+    val expected = -math.log(2.5 / 3.5) / 10.0
+    assert(math.abs(one(df, "a").getAs[Double]("lambda_cd") - expected)
+      < 1e-12)
+    // below 2 fetches: no estimate
+    val single = rates(hist(("s", 0L, "x")))
+    assert(single.filter(col("lambda_cd").isNotNull).isEmpty)
+  }
+
+  test("dueFrontier slices by next_fetch_us and ranks by overdue") {
+    val df = rates(hist(
+      ("a", 0L, "x"), ("a", 10L * DayUs, "y"), ("a", 20L * DayUs, "y"),
+      ("b", 0L, "x"), ("b", 39L * DayUs, "x")))
+    // a due at 40d; b (never changed, 2*39d capped at 30d) due at 69d.
+    val due = Recrawl.dueFrontier(df, 50L * DayUs)
+    assert(due.select("url").collect().map(_.getString(0)).toSeq
+      === Seq("a"))
+    assert(due.collect().head.getAs[Long]("overdue_us") === 10L * DayUs)
+  }
+
+  test("backoff: exponential in the error count, capped, and composed onto the delay table") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val log = (Seq.fill(3)(("h1", 503L)) ++ Seq.fill(2)(("h1", 200L)) ++
+      Seq(("h2", 200L)) ++ Seq.fill(10)(("h3", 429L)))
+      .toDF("url_host", "http_status")
+    val mult = Recrawl.backoffMultipliers(log)
+    val m = mult.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m("h1") === ((3L, 8L)))
+    assert(m("h2") === ((0L, 1L)))
+    assert(m("h3") === ((10L, 64L))) // capped at 2^6
+    val delays = Seq(("h1", 0.5d), ("h2", 2.0d), ("h4", 1.0d))
+      .toDF("domain", "crawl_delay")
+    val composed = Recrawl.delaysWithBackoff(delays, mult)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(composed("h1") === 4.0d)   // 0.5 * 2^3
+    assert(composed("h2") === 2.0d)   // no errors
+    assert(composed("h4") === 1.0d)   // host without a log row: unchanged
+  }
+
+  private def rateRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("url", "n_fetches", "n_changes", "span_us",
+        "next_interval_us", "next_fetch_us")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+
+  test("incremental stats equal the full-history recompute — boundary changes, gap batches, collapse") {
+    val h = hist(
+      // a: change lands EXACTLY on the batch-1/2 boundary — invisible
+      // to both batches' lag windows, caught only by the digest merge.
+      ("a", 0L, "x"), ("a", 10L * DayUs, "x"),          // batch 0
+      ("a", 20L * DayUs, "y"), ("a", 25L * DayUs, "y"), // batch 1
+      // b: skips batch 1 entirely (gap), changes within batch 2.
+      ("b", 5L * DayUs, "p"),                            // batch 0
+      ("b", 40L * DayUs, "q"), ("b", 45L * DayUs, "q"), // batch 2
+      // c: appears only in the last batch.
+      ("c", 41L * DayUs, "z"))                           // batch 2
+    val byBatch = h.withColumn("_b",
+      expr("least(fetch_us div 1382400000000, 2L)")) // 16-day batches
+    val store = Recrawl.statsStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_rstats").toString,
+      "rstats_equiv", collapseEvery = 2L) // collapse trips mid-run
+    (0L to 2L).foreach { b =>
+      Recrawl.updateStats(store,
+        Recrawl.batchStats(byBatch.filter(col("_b") === b),
+          tieBreak = Seq("event_id")),
+        batchId = b, scope = "equiv")
+    }
+    assert(rateRows(Recrawl.ratesFromStats(store)) === rateRows(rates(h)))
+  }
+
+  test("a replayed stats batch appends nothing (at-least-once fold stays exact)") {
+    val h = hist(("a", 0L, "x"), ("a", 10L * DayUs, "y"))
+    val store = Recrawl.statsStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_rstats").toString,
+      "rstats_replay")
+    val stats = Recrawl.batchStats(h, tieBreak = Seq("event_id"))
+    Recrawl.updateStats(store, stats, batchId = 0L, scope = "re")
+    val once = rateRows(Recrawl.ratesFromStats(store))
+    // The crash-replay: same (scope, batch_id) delivered again — the
+    // sentinel probe must refuse the double-count.
+    Recrawl.updateStats(store, stats, batchId = 0L, scope = "re")
+    assert(rateRows(Recrawl.ratesFromStats(store)) === once)
+    assert(once.head._2 === 2L) // n_fetches stayed 2, not 4
+  }
+
+  test("backoff-scaled delays pace a scheduled batch exactly like a native delay table") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val log = Seq.fill(2)(("h1", 503L)).toDF("url_host", "http_status")
+    val delays = Seq(("h1", 1.0d)).toDF("domain", "crawl_delay")
+    val scaled = Recrawl.delaysWithBackoff(delays,
+      Recrawl.backoffMultipliers(log)) // h1 → 4.0 s
+    val frontier = Seq(("u1", "h1"), ("u2", "h1"), ("u3", "h1"))
+      .toDF("url", "url_domain")
+      .join(scaled.withColumnRenamed("domain", "url_domain"),
+        Seq("url_domain"))
+    val store = graft.streaming.CrawlSchedule.stateStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_backoff").toString,
+      "backoff_sched")
+    val out = graft.streaming.CrawlSchedule.scheduleBatch(store, frontier,
+        order = col("url"))
+      .select("url", "start_offset_s").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out === Map("u1" -> 0.0d, "u2" -> 4.0d, "u3" -> 8.0d))
+  }
+}

@@ -1,0 +1,130 @@
+package graft.store
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** Compliance takedown: logical scrub is immediate, physical erasure
+  * removes victim rows from every on-disk generation without disturbing
+  * survivors, and the takedown store — not the data store — is the
+  * durable memory that a key is banned (a re-crawl after erasure must
+  * not resurrect the row). */
+class TakedownSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("k", StringType), StructField("v", LongType)))
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_takedown").toString
+
+  private def batch(rows: (String, Long)*) = {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    rows.toDF("k", "v")
+  }
+
+  private def victims(keys: String*) = {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    keys.map(k => (k, "notice")).toDF("key", "reason")
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("k", "v", "rst_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("erase removes victims from EVERY generation, survivors keep slots, untouched generations are not rewritten") {
+    val store = new ParquetStore(spark, schema, tmp(), "td_erase",
+      cleanFreq = 1000L)
+    store.append(batch("a" -> 1L, "bad" -> 2L))  // gen 1: touched
+    store.append(batch("c" -> 3L, "d" -> 4L))    // gen 2: untouched
+    store.append(batch("bad" -> 5L, "e" -> 6L))  // gen 3: touched
+    val td = Takedown.takedownStore(spark, tmp(), "td_list_erase")
+    assert(Takedown.request(td, victims("bad")) === 1L)
+    // Untouched-generation proof: gen 2's files must be byte-identical
+    // after the erase (copy-on-write only rewrites touched slots).
+    val gen2 = Files.list(java.nio.file.Paths.get(store.path, "rst_id=2"))
+      .toArray.map(_.toString).sorted.mkString(",")
+    assert(Takedown.erase(store, td, "k") === 2L)
+    val gen2After = Files.list(java.nio.file.Paths.get(store.path, "rst_id=2"))
+      .toArray.map(_.toString).sorted.mkString(",")
+    assert(gen2After === gen2)
+    // No parquet file anywhere still holds a victim row — read each
+    // generation directly, not through any scrub.
+    assert(rows(store.selectAll) ===
+      Set(("a", 1L, 1L), ("c", 3L, 2L), ("d", 4L, 2L), ("e", 6L, 3L)))
+    store.generations.foreach { g =>
+      assert(store.directFetch(g).filter(col("k") === "bad").isEmpty,
+        s"victim row survived in generation $g")
+    }
+  }
+
+  test("a re-crawl after erasure resurrects the row UNGATED and stays out GATED") {
+    val td = Takedown.takedownStore(spark, tmp(), "td_list_regate")
+    Takedown.request(td, victims("bad"))
+    val recrawl = batch("bad" -> 9L, "new" -> 10L)
+    // Ungated: the keyed-dedup anti-join no longer sees the erased key,
+    // so the banned row comes straight back — the hazard the gate closes.
+    val ungated = new ParquetStore(spark, schema, tmp(), "td_ungated",
+      cleanFreq = 1000L)
+    ungated.append(batch("a" -> 1L, "bad" -> 2L))
+    Takedown.erase(ungated, td, "k")
+    graft.streaming.CrawlIngest.dedupAppendByKey(ungated, recrawl, "k",
+      col("k"))
+    assert(!ungated.selectAll.filter(col("k") === "bad").isEmpty)
+    // Gated: scrub before the keyed dedup — banned key never re-enters,
+    // the genuinely new key does.
+    val gated = new ParquetStore(spark, schema, tmp(), "td_gated",
+      cleanFreq = 1000L)
+    gated.append(batch("a" -> 1L, "bad" -> 2L))
+    Takedown.erase(gated, td, "k")
+    graft.streaming.CrawlIngest.dedupAppendByKey(gated,
+      Takedown.scrub(recrawl, td, "k"), "k", col("k"))
+    assert(gated.selectAll.filter(col("k") === "bad").isEmpty)
+    assert(!gated.selectAll.filter(col("k") === "new").isEmpty)
+  }
+
+  test("requests are idempotent per key (re-delivered notices append nothing)") {
+    val td = Takedown.takedownStore(spark, tmp(), "td_list_idem")
+    assert(Takedown.request(td, victims("x", "y")) === 2L)
+    assert(Takedown.request(td, victims("y", "z")) === 1L)
+    assert(Takedown.request(td, victims("x", "y", "z")) === 0L)
+    assert(Takedown.victimKeys(td).count() === 3L)
+  }
+
+  test("erase reaches rows already folded into a collapse base") {
+    val store = new ParquetStore(spark, schema, tmp(), "td_collapsed",
+      cleanFreq = 1000L, collapseKeys = Seq("k"), collapseEvery = 2L)
+    // Three streamed appends trip the collapse (keeps latest per key in
+    // a base + one kept delta); the victim's row lives in the BASE now.
+    store.appendStreaming(batch("bad" -> 1L, "a" -> 2L))
+    store.appendStreaming(batch("b" -> 3L))
+    store.appendStreaming(batch("c" -> 4L))
+    assert(store.generations.length <= 3)
+    val td = Takedown.takedownStore(spark, tmp(), "td_list_collapsed")
+    Takedown.request(td, victims("bad"))
+    Takedown.erase(store, td, "k")
+    assert(store.selectAll.filter(col("k") === "bad").isEmpty)
+    assert(store.selectAll.filter(col("k") =!= "bad").count() === 3L)
+  }
+
+  test("numeric-keyed stores erase through the string-keyed victim list") {
+    val numSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val store = new ParquetStore(spark, numSchema, tmp(), "td_numeric",
+      cleanFreq = 1000L)
+    val sparkSession = spark
+    import sparkSession.implicits._
+    store.append(Seq((5L, "keep"), (13L, "drop")).toDF("id", "v"))
+    val td = Takedown.takedownStore(spark, tmp(), "td_list_numeric")
+    Takedown.request(td, victims("13"))
+    assert(Takedown.erase(store, td, "id") === 1L)
+    assert(store.selectAll.select("id").collect().map(_.getLong(0)).toSeq
+      === Seq(5L))
+    // scrub casts the frame side too
+    val scrubbed = Takedown.scrub(
+      Seq((5L, "keep"), (13L, "drop")).toDF("id", "v"), td, "id")
+    assert(scrubbed.collect().map(_.getLong(0)).toSeq === Seq(5L))
+  }
+}

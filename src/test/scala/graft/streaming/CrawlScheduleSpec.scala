@@ -289,6 +289,37 @@ class CrawlScheduleSpec extends SparkSpec {
       "https://q.org/a.pdf?x=1"))
   }
 
+  test("revokedFrontier is the exact complement of gateFrontier under one policy view") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val tmp = Files.createTempDirectory("graft_revoke_c").toString
+    val robots = CrawlSchedule.robotsStore(spark, tmp,
+      s"revoke_c_${System.nanoTime()}")
+    robots.append(CrawlSchedule.robotsPolicies(Seq(
+      ("https://example.com/robots.txt", "User-agent: *\nDisallow: /\n"),
+      ("https://q.org/robots.txt",
+        "User-agent: *\nDisallow: /*?sessionid=\nDisallow: /*.pdf$\n"))
+      .toDF("url", "text"), "anybot"))
+    val urls = Seq(
+      ("https://example.com/a", "example.com"),
+      ("https://blog.example.com/a", "blog.example.com"), // no robots
+      ("https://q.org/p?sessionid=1", "q.org"),
+      ("https://q.org/a.pdf?x=1", "q.org"),
+      ("https://q.org/b.pdf", "q.org"))
+      .toDF("url", "url_host")
+    def urlsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("url").collect().map(_.getString(0)).toSet
+    val kept = urlsOf(CrawlSchedule.gateFrontier(urls, robots, "anybot"))
+    val revoked = urlsOf(CrawlSchedule.revokedFrontier(urls, robots,
+      "anybot"))
+    assert(kept.intersect(revoked).isEmpty)
+    assert(kept.union(revoked) === urlsOf(urls))
+    // The revocation set is exactly what the gate drops — including the
+    // no-robots host revoking nothing.
+    assert(revoked === Set("https://example.com/a",
+      "https://q.org/p?sessionid=1", "https://q.org/b.pdf"))
+  }
+
   test("lineageScope: checkpoint query id keys the lineage; recreation = new scope") {
     val ck = Files.createTempDirectory("graft_sched_ls").toString
     // No metadata yet (pre-start / ad-hoc): bare path.
