@@ -274,6 +274,20 @@ object Recrawl {
     rates.filter(col("next_fetch_us") <= nowUs)
       .withColumn("overdue_us", lit(nowUs) - col("next_fetch_us"))
 
+  /** PUBLISHER-HINT recrawl — the third freshness signal next to the
+    * change-rate estimate and the error backoff: sitemap `<lastmod>`
+    * declarations joined against the stored last-fetch instant; a URL
+    * is due when the publisher says it changed after we last saw it.
+    * `hints` is `(urlCol, lastmodUsCol)` — feed it from
+    * [[graft.sources.Sitemaps.entries]] with the lastmod parsed to
+    * epoch micros. One equi-join on the URL key; no broadcast hint —
+    * a full-web sitemap sweep is not small, AQE picks the strategy. */
+  def dueByLastmod(rates: DataFrame, hints: DataFrame,
+                   urlCol: String = "url",
+                   lastmodUsCol: String = "lastmod_us"): DataFrame =
+    rates.join(hints.select(col(urlCol), col(lastmodUsCol)), Seq(urlCol))
+      .filter(col(lastmodUsCol) > col("last_us"))
+
   /** Per-HOST error backoff over a recent fetch log
     * `(hostCol, statusCol)`: hosts answering 429 / 5xx get their crawl
     * delay scaled by `2^min(n_errors, maxExp)` — AIMD-style pressure

@@ -111,6 +111,79 @@ object RecrawlPack extends QueryPack {
           .select(col("url"), col("n_fetches"), col("n_changes"),
             col("span_us"), col("next_interval_us"), col("next_fetch_us"))
       },
+      // PUBLISHER-HINT recrawl (r14): one genuine sitemap per host —
+      // built as real urlset XML, exploded back through the repo's own
+      // Sitemaps.entries walker — declares a lastmod per page, and the
+      // due set is the URLs whose declared modification postdates the
+      // stored last fetch. The oracle re-derives loc/lastmod
+      // closed-form (the XML walk itself is q_sitemap's oracle).
+      "q_sitemap_recrawl" -> { (s, dir) =>
+        import s.implicits._
+        val xmlRows = table(s, dir, "events")
+          .select((col("user_id") % 17L).as("h"), col("user_id"))
+          .distinct()
+          .groupBy(col("h"))
+          .agg(sort_array(collect_list(col("user_id"))).as("us"))
+          .as[(Long, Seq[Long])]
+          .map { case (h, us) =>
+            val xml = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+              "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+              us.map { u =>
+                // A third of the pages claim a February edit — those
+                // postdate every January fetch and must come out due;
+                // the January claims mostly predate the last fetch and
+                // must not (the fixture exercises both branches).
+                val month = if (u % 3 == 0) "02" else "01"
+                f"<url><loc>https://h$h.example/p$u</loc>" +
+                  f"<lastmod>2024-$month-${u % 28 + 1}%02d</lastmod></url>"
+              }.mkString + "</urlset>"
+            (h, xml.getBytes("UTF-8"))
+          }.toDF("h", "bytes")
+        val hints = graft.sources.Sitemaps.entries(xmlRows)
+          .select(col("loc").as("url"),
+            unix_micros(to_timestamp(col("lastmod"))).as("lastmod_us"))
+        Recrawl.dueByLastmod(
+            Recrawl.changeRates(history(s, dir),
+              tieBreak = Seq("event_id")), hints)
+          .select(col("url"), col("last_us"), col("lastmod_us"))
+      },
+      // THE FULL CRAWL PLANNER, composed end to end (r14): change-rate
+      // estimation decides WHAT is due, the robots store decides WHAT
+      // IS ALLOWED (h3.example's deny-all drops its URLs before they
+      // consume a politeness slot) and HOW FAST (h5.example declares
+      // Crawl-delay 2), and the durable host state paces the batch —
+      // most-overdue URLs first within each host. One oracle re-derives
+      // the whole composition closed-form.
+      "q_crawl_plan" -> { (s, dir) =>
+        import s.implicits._
+        import graft.streaming.CrawlSchedule
+        val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          f"graft_plan_${dir.hashCode}%08x").toString
+        val hist = history(s, dir)
+        val now = hist.agg(max(col("fetch_us"))).first().getLong(0) + DayUs
+        val due = Recrawl.dueFrontier(
+            Recrawl.changeRates(hist, tieBreak = Seq("event_id")), now)
+          .withColumn("url_host",
+            regexp_extract(col("url"), "https://([^/]+)/", 1))
+        val rstore = CrawlSchedule.robotsStore(s, s"$base/robots",
+          tableName = "plan_robots")
+        rstore.reset()
+        rstore.append(CrawlSchedule.robotsPolicies(Seq(
+          ("https://h3.example/robots.txt", "User-agent: *\nDisallow: /\n"),
+          ("https://h5.example/robots.txt",
+            "User-agent: *\nCrawl-delay: 2\nDisallow:\n"))
+          .toDF("url", "text"), "graftbot"))
+        val state = CrawlSchedule.stateStore(s, s"$base/state",
+          tableName = "plan_state")
+        state.reset()
+        val (gated, _) = CrawlSchedule.gateAndPace(state, rstore, due,
+          "graftbot")
+        CrawlSchedule.scheduleBatch(state, gated,
+            domainCol = "url_host", delayCol = "crawl_delay",
+            order = struct(lit(0L) - col("overdue_us"), col("url")))
+          .select(col("url"), col("url_host"), col("fetch_seq"),
+            col("start_offset_s"))
+      },
       // Per-host error backoff composed onto the politeness delays:
       // hosts recently answering 429/5xx get their crawl delay scaled
       // 2^min(errors, 6) — exact power-of-two scaling of exact-half
@@ -138,6 +211,48 @@ object RecrawlPack extends QueryPack {
     "q_recrawl_rate" -> RatesSql,
     // Incremental == full recompute, so the oracle IS q_recrawl_rate's.
     "q_recrawl_inc" -> RatesSql,
+    // Hint join re-derived closed-form: per-URL lastmod (same date
+    // arithmetic as the XML construction) vs the lag-window last fetch.
+    "q_sitemap_recrawl" ->
+      s"""WITH hist AS ($HistorySql),
+         |r AS (SELECT url, max(fetch_us) AS last_us FROM hist
+         |  GROUP BY url),
+         |sm AS (
+         |  SELECT DISTINCT
+         |    'https://h' || CAST(user_id % 17 AS VARCHAR) ||
+         |      '.example/p' || CAST(user_id AS VARCHAR) AS url,
+         |    epoch_us(CAST('2024-' ||
+         |      CASE WHEN user_id % 3 = 0 THEN '02' ELSE '01' END ||
+         |      '-' || lpad(CAST(user_id % 28 + 1 AS VARCHAR), 2, '0')
+         |      AS TIMESTAMP)) AS lastmod_us
+         |  FROM events)
+         |SELECT r.url, r.last_us, sm.lastmod_us
+         |FROM r JOIN sm USING (url)
+         |WHERE sm.lastmod_us > r.last_us""".stripMargin,
+    // The planner composition re-derived closed-form: due slice → host
+    // extraction → h3 deny-all gate → per-host overdue-desc sequencing
+    // at each host's declared (h5: 2 s) or default (1 s) delay.
+    "q_crawl_plan" ->
+      s"""WITH r AS ($RatesSql),
+         |n AS (SELECT max(epoch_us(ts)) + $DayUs AS now_us FROM events),
+         |due AS (
+         |  SELECT url, now_us - next_fetch_us AS overdue_us
+         |  FROM r, n WHERE next_fetch_us <= now_us),
+         |hosted AS (
+         |  SELECT url, regexp_extract(url, 'https://([^/]+)/', 1)
+         |    AS url_host, overdue_us
+         |  FROM due),
+         |gated AS (SELECT * FROM hosted WHERE url_host <> 'h3.example'),
+         |seqd AS (
+         |  SELECT url, url_host,
+         |    row_number() OVER (PARTITION BY url_host
+         |      ORDER BY overdue_us DESC, url) - 1 AS seq
+         |  FROM gated)
+         |SELECT url, url_host, CAST(seq AS BIGINT) AS fetch_seq,
+         |  CAST(seq AS DOUBLE) *
+         |    (CASE url_host WHEN 'h5.example' THEN 2.0 ELSE 1.0 END)
+         |    AS start_offset_s
+         |FROM seqd""".stripMargin,
     "q_recrawl_due" ->
       s"""WITH r AS ($RatesSql),
          |n AS (SELECT max(epoch_us(ts)) + $DayUs AS now_us FROM events)

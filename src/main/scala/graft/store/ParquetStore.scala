@@ -453,6 +453,31 @@ final class ParquetStore(
       this
     }
 
+  /** TIME-TRAVEL read for delta-keyed stores: the latest row per `keys`
+    * among generations ≤ `rst` — exactly the state a consumer saw when
+    * `rst` was the newest generation (the generic form of the robots
+    * gate's crash-replay view, [[graft.streaming.CrawlSchedule
+    * .policyAsOf]], which adds its domain-specific fallbacks on top).
+    * Partition-prunes to the named generations before the window.
+    *
+    * Validity window: the view is exact only while those generations
+    * survive — a collapse folds history below its target slot (size
+    * the window with `collapseKeepRecent`, the robots store's
+    * `keepRecent = 4` pattern) and count-based retention deletes
+    * directories outright. Callers needing deep history keep full
+    * history (`collapseEvery = 0`) or snapshot externally; a table
+    * format's snapshot isolation is the documented upgrade. */
+  def asOfLatestPerKey(keys: Seq[String], rst: Long): DataFrame = {
+    require(keys.nonEmpty, "asOf needs at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    raw(Some(col("rst_id") <= rst))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("rst_id").desc)))
+      .filter(col("_rk") === 1)
+      .drop("_rk")
+  }
+
   /** Partition-discovered read: rst_id comes back as a column from the
     * directory names. Filters applied HERE hit the raw partition column, so
     * they prune whole generation directories at planning time. The schema

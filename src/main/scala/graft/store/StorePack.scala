@@ -139,6 +139,28 @@ object StorePack extends QueryPack {
       store.reset()
       buildInto(s, dir, store).selectAll
     },
+    // TIME TRAVEL (r14): latest-per-key AS OF a past generation.
+    // Generation 1 loads every document, 2 updates the even ids
+    // (+1000), 3 updates the multiples of five (+7); the as-of-2 view
+    // must show the even-id update, NOT the later one — each key's
+    // newest row among generations ≤ 2, with its true rst_id.
+    "q_store_asof" -> { (s, dir) =>
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        f"graft_asof_${dir.hashCode}%08x")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_chars", LongType)))
+      val store = new ParquetStore(s, schema, base.toString,
+        tableName = "asof_docs", cleanFreq = 1000)
+      store.reset()
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars")).localCheckpoint(true)
+      store.append(docs)
+      store.append(docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L))
+      store.append(docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("n_chars", col("n_chars") + 7L))
+      store.asOfLatestPerKey(Seq("doc_id"), 2L)
+    },
     // MERGE upsert: a corrected recount of every purchase bucket (counts
     // +1000) replaces the matched rows across ALL generations and stamps
     // them with the merge generation (7); other event types keep their
@@ -206,6 +228,16 @@ object StorePack extends QueryPack {
       s"$StoreCte SELECT * FROM store WHERE 5 >= count",
     "q_store_onwards" -> s"$StoreCte SELECT * FROM store WHERE rst_id >= 4",
     "q_store_durable" -> s"$StoreCte SELECT * FROM store",
+    // The as-of-2 view: even ids carry generation 2's +1000 update,
+    // everything else generation 1's original — generation 3 (the +7
+    // update) is after the stamp and must be invisible.
+    "q_store_asof" ->
+      """SELECT doc_id,
+        |  n_chars + CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 0 END
+        |    AS n_chars,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS rst_id
+        |FROM documents""".stripMargin,
     // Buckets never straddle generations (1 h buckets, 5-day batches), so
     // a purchase recount matches every original purchase row exactly:
     // merged = originals with +1000 counts at the merge generation.

@@ -33,6 +33,14 @@ import org.apache.spark.sql.types._
   * not the data store, is the durable memory that the key is banned.
   * Spec-pinned ([[TakedownSpec]]): erase → re-crawl → gate keeps the
   * store clean, where the ungated pipe resurrects the row.
+  *
+  * DERIVED data (the PPJoin postings of [[PrefixIndexStore]], IVF
+  * centroids, BM25 statistics, banded pair outputs) is a pure function
+  * of its source store: takedown ERASES SOURCES, derived stores purge
+  * naturally at their next snapshot/rebuild cadence, and in the interim
+  * any output that names documents is scrubbed at read —
+  * [[scrubPairs]] for two-endpoint frames. Erasing inside every index's
+  * internal layout would buy nothing the next snapshot doesn't.
   */
 object Takedown {
 
@@ -93,6 +101,13 @@ object Takedown {
     df.join(victims, df(keyCol).cast("string") === victims("_victim"),
       "left_anti")
   }
+
+  /** [[scrub]] for PAIR outputs (dedup candidates, mirror pairs,
+    * similarity matches): a row dies if EITHER endpoint is a victim —
+    * a banned document must neither appear nor be implicated. */
+  def scrubPairs(df: DataFrame, store: ParquetStore,
+                 aCol: String, bCol: String): DataFrame =
+    scrub(scrub(df, store, aCol), store, bCol)
 
   /** PHYSICAL erasure: remove every victim-keyed row from `target`'s
     * on-disk generations ([[ParquetStore.eraseKeys]] — copy-on-write,

@@ -498,10 +498,7 @@ object CrawlSchedule {
         store.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         RobotsSchema)
     else if (!store.generations.exists(_ <= rst)) latestPolicy(store)
-    else store.selectAll.filter(col("rst_id") <= rst)
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy(col("domain")).orderBy(col("rst_id").desc)))
-      .filter(col("_rk") === 1)
+    else store.asOfLatestPerKey(Seq("domain"), rst)
       .select(col("domain"), col("crawl_delay"), col("robots_txt"))
   }
 

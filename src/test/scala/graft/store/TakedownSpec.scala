@@ -109,6 +109,56 @@ class TakedownSpec extends SparkSpec {
     assert(store.selectAll.filter(col("k") =!= "bad").count() === 3L)
   }
 
+  test("digest-level media takedown: one notice erases every mirror and blocks re-crawled copies") {
+    import org.apache.spark.sql.Row
+    import graft.streaming.CrawlMedia
+    def mediaRow(url: String, sha1: String): Row =
+      Row("f.warc.gz", 0L, url, 200L, "image/gif", "image", 10L, sha1,
+        7L, null, url)
+    def frame(rows: Row*) = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), CrawlMedia.MediaSchema)
+    val media = CrawlMedia.mediaStore(spark, tmp(), "td_media")
+    val reps = CrawlMedia.repStore(spark, tmp(), "td_media_reps")
+    val batch = frame(
+      mediaRow("https://a.com/x", "D1"), mediaRow("https://b.com/x", "D1"),
+      mediaRow("https://c.com/x", "D1"), mediaRow("https://a.com/y", "D2"))
+    media.append(batch)
+    CrawlMedia.recordReps(reps, batch)
+    // A DMCA notice targets CONTENT, not a URL: the victim key is the
+    // payload digest, so one request covers every mirror.
+    val td = Takedown.takedownStore(spark, tmp(), "td_media_list")
+    Takedown.request(td, victims("D1"))
+    Takedown.erase(media, td, "sha1_b32")
+    Takedown.erase(reps, td, "sha1_b32")
+    assert(media.selectAll.select("url").collect().map(_.getString(0))
+      .toSet === Set("https://a.com/y"))
+    assert(reps.selectAll.select("sha1_b32").collect().map(_.getString(0))
+      .toSet === Set("D2"))
+    // A mirror of the banned bytes re-crawled at a NEW URL: the digest
+    // scrub blocks it before the keyed-dedup append (which, keyed on
+    // media_key, would otherwise admit the unseen URL).
+    val recrawl = frame(mediaRow("https://d.com/x", "D1"),
+      mediaRow("https://d.com/z", "D3"))
+    graft.streaming.CrawlIngest.dedupAppendByKey(media,
+      Takedown.scrub(recrawl, td, "sha1_b32"), "media_key", col("media_key"))
+    val urls = media.selectAll.select("url").collect()
+      .map(_.getString(0)).toSet
+    assert(!urls.contains("https://d.com/x"))
+    assert(urls.contains("https://d.com/z"))
+  }
+
+  test("scrubPairs kills a pair when EITHER endpoint is banned") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val td = Takedown.takedownStore(spark, tmp(), "td_list_pairs")
+    Takedown.request(td, victims("bad"))
+    val pairs = Seq(("bad", "x"), ("x", "bad"), ("x", "y"))
+      .toDF("a", "b")
+    assert(Takedown.scrubPairs(pairs, td, "a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+      === Seq(("x", "y")))
+  }
+
   test("numeric-keyed stores erase through the string-keyed victim list") {
     val numSchema = StructType(Seq(
       StructField("id", LongType), StructField("v", StringType)))
