@@ -268,9 +268,11 @@ object Bench {
     "q_recrawl_inc", "q_robots_revoke",
     // The composed crawl planner (siblings q_recrawl_due + q_frontier_
     // gate + q_fetch_schedule_robots cover each stage), store time
-    // travel (q_store_durable's family + one window), and the sitemap
-    // lastmod hint join (q_sitemap covers the XML walk).
-    "q_crawl_plan", "q_store_asof", "q_sitemap_recrawl"
+    // travel (q_store_durable's family + one window), the sitemap
+    // lastmod hint join (q_sitemap covers the XML walk), and the
+    // robots→sitemap discovery hop (q_robots covers the parse).
+    "q_crawl_plan", "q_store_asof", "q_sitemap_recrawl",
+    "q_robots_sitemaps"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -367,7 +369,7 @@ object Bench {
     "q_media_mirror_pairs_stable", "q_warc_export_status", "q_warc_cdx",
     "q_takedown", "q_recrawl_rate", "q_recrawl_due", "q_backoff",
     "q_recrawl_inc", "q_robots_revoke", "q_crawl_plan", "q_store_asof",
-    "q_sitemap_recrawl")
+    "q_sitemap_recrawl", "q_robots_sitemaps")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -240,12 +240,9 @@ object Recrawl {
 
   /** Latest stats row per URL, sentinels excluded. */
   private def latestStats(store: graft.store.ParquetStore): DataFrame =
-    store.selectAll
+    store.latestPerKey(Seq("url"))
       .filter(!col("url").startsWith("#applied:"))
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy(col("url")).orderBy(col("rst_id").desc)))
-      .filter(col("_rk") === 1)
-      .drop("_rk", "rst_id", "batch_id", "scope")
+      .drop("rst_id", "batch_id", "scope")
 
   /** [[changeRates]] read from the stats store instead of a fetch log —
     * identical output columns, identical values (oracle-gated), O(urls)
@@ -278,15 +275,21 @@ object Recrawl {
     * change-rate estimate and the error backoff: sitemap `<lastmod>`
     * declarations joined against the stored last-fetch instant; a URL
     * is due when the publisher says it changed after we last saw it.
-    * `hints` is `(urlCol, lastmodUsCol)` — feed it from
+    * `rates` is [[changeRates]]/[[ratesFromStats]] output (`url`,
+    * `last_us`); `hints` is `(url, lastmod_us)` — feed it from
     * [[graft.sources.Sitemaps.entries]] with the lastmod parsed to
-    * epoch micros. One equi-join on the URL key; no broadcast hint —
-    * a full-web sitemap sweep is not small, AQE picks the strategy. */
-  def dueByLastmod(rates: DataFrame, hints: DataFrame,
-                   urlCol: String = "url",
-                   lastmodUsCol: String = "lastmod_us"): DataFrame =
-    rates.join(hints.select(col(urlCol), col(lastmodUsCol)), Seq(urlCol))
-      .filter(col(lastmodUsCol) > col("last_us"))
+    * epoch micros. Hints reduce to the NEWEST declaration per URL
+    * first: a URL listed in several stored sitemaps (or an old and a
+    * re-fetched copy of one) must come out due once, not once per
+    * declaration. One aggregation + one equi-join on the URL key; no
+    * broadcast hint — a full-web sitemap sweep is not small, AQE picks
+    * the strategy. */
+  def dueByLastmod(rates: DataFrame, hints: DataFrame): DataFrame =
+    rates.join(
+        hints.groupBy(col("url"))
+          .agg(max(col("lastmod_us")).as("lastmod_us")),
+        Seq("url"))
+      .filter(col("lastmod_us") > col("last_us"))
 
   /** Per-HOST error backoff over a recent fetch log
     * `(hostCol, statusCol)`: hosts answering 429 / 5xx get their crawl

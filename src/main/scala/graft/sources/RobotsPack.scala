@@ -169,6 +169,34 @@ object RobotsPack extends QueryPack {
       // Disallow subtree, pdf end-anchor wildcard) drops variants 1
       // and 3; site1 has no robots row and is fully allowed. Closed
       // form in doc_id.
+      // The discovery hop robots feeds (r14): `Sitemap:` directives
+      // from each host's latest STORED policy, exploded to the fetch
+      // list a discovery loop enqueues — the previously-unwired link
+      // between the robots store and the urlset walker
+      // (q_sitemap → q_sitemap_recrawl downstream). Hosts declaring
+      // none contribute nothing.
+      "q_robots_sitemaps" -> { (s, dir) =>
+        import s.implicits._
+        import graft.streaming.CrawlSchedule
+        val tmp = java.nio.file.Files.createTempDirectory("graft_rsm")
+        try {
+          val rstore = CrawlSchedule.robotsStore(s, tmp.toString,
+            s"robots_sm_${System.nanoTime()}")
+          val fetches = table(s, dir, "documents")
+            .select((col("doc_id") % 9L).as("g")).distinct().as[Long]
+            .map { g =>
+              val body = "User-agent: *\nDisallow:\n" +
+                (0 until (g % 3).toInt).map(j =>
+                  s"Sitemap: https://s$g.com/maps/m$j.xml\n").mkString
+              (s"https://s$g.com/robots.txt", body)
+            }.toDF("url", "text")
+          rstore.append(CrawlSchedule.robotsPolicies(fetches, "graftbot"))
+          CrawlSchedule.sitemapTargets(rstore)
+            .localCheckpoint(eager = true)
+        } finally {
+          graft.Fs.deleteRecursively(tmp)
+        }
+      },
       "q_frontier_gate" -> { (s, dir) =>
         import s.implicits._
         import graft.streaming.CrawlSchedule
@@ -328,6 +356,14 @@ object RobotsPack extends QueryPack {
     // the 16-octet Allow carve-out, the carve-out again over the pdf
     // wildcard) and drops 1/3; site1 (odd ids) has no stored robots —
     // RFC 9309 allows everything.
+    // Hosts g%3=0 declare no sitemap (absent), g%3=1 one, g%3=2 two.
+    "q_robots_sitemaps" ->
+      """WITH g AS (SELECT DISTINCT doc_id % 9 AS g FROM documents),
+        |j AS (SELECT 0 AS j UNION ALL SELECT 1)
+        |SELECT 's' || CAST(g AS VARCHAR) || '.com' AS domain,
+        |  'https://s' || CAST(g AS VARCHAR) || '.com/maps/m' ||
+        |    CAST(j AS VARCHAR) || '.xml' AS sitemap_url
+        |FROM g JOIN j ON j < g % 3""".stripMargin,
     "q_frontier_gate" ->
       """SELECT doc_id,
         |  'https://site' || CAST(doc_id % 2 AS VARCHAR) || '.com' ||

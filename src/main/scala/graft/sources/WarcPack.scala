@@ -227,9 +227,17 @@ object WarcPack extends QueryPack {
             get_json_object(col("j"), "$.offset").cast("int").as("off"),
             get_json_object(col("j"), "$.length").cast("int").as("len"),
             get_json_object(col("j"), "$.filename").as("fn"))
-        val joined = entries.join(warcs, Seq("fn"))
-          .select(col("url"), col("cdx_status"), col("off"), col("len"),
-            col("content"))
+        // ONE content copy per ARCHIVE, not per entry: a per-entry join
+        // against the archive bytes materializes the whole blob once
+        // per CDX row (5000 × MB at sf0.1 — measured 11 s); the honest
+        // consumer shape reads the index beside its archive once and
+        // seeks from there, so the entries fold to a per-archive list
+        // first and the blob joins 1:1.
+        val entryList = entries.groupBy(col("fn"))
+          .agg(collect_list(struct(col("url"), col("cdx_status"),
+            col("off"), col("len"))).as("es"))
+        val joined = entryList.join(warcs, Seq("fn"))
+          .select(col("es"), col("content"))
         val outSchema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("url",
             org.apache.spark.sql.types.StringType),
@@ -240,25 +248,28 @@ object WarcPack extends QueryPack {
           org.apache.spark.sql.types.StructField("rec_status",
             org.apache.spark.sql.types.LongType)))
         joined.mapPartitions { it =>
-          it.map { r =>
-            val content = r.getAs[Array[Byte]](4)
-            val member = java.util.Arrays.copyOfRange(content,
-              r.getInt(2), r.getInt(2) + r.getInt(3))
-            val inflated = Warc.gunzip(member)
-            val head = inflated.flatMap(Warc.warcRecords)
-              .flatMap(_.headOption)
-            val uri = head.flatMap(_.header("WARC-Target-URI")).orNull
-            val status: java.lang.Long = (inflated, head) match {
-              case (Some(b), Some(w)) =>
-                val prefix = new String(b, w.payloadOffset,
-                  math.min(w.payloadLength, 32), "ISO-8859-1")
-                "HTTP/1\\.[01] (\\d{3})".r.findFirstMatchIn(prefix)
-                  .map(m => java.lang.Long.valueOf(m.group(1).toLong))
-                  .orNull
-              case _ => null
-            }
-            org.apache.spark.sql.Row(
-              r.getString(0), r.getLong(1), uri, status)
+          it.flatMap { r =>
+            val content = r.getAs[Array[Byte]](1)
+            r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](0)
+              .iterator.map { e =>
+                val member = java.util.Arrays.copyOfRange(content,
+                  e.getInt(2), e.getInt(2) + e.getInt(3))
+                val inflated = Warc.gunzip(member)
+                val head = inflated.flatMap(Warc.warcRecords)
+                  .flatMap(_.headOption)
+                val uri = head.flatMap(_.header("WARC-Target-URI")).orNull
+                val status: java.lang.Long = (inflated, head) match {
+                  case (Some(b), Some(w)) =>
+                    val prefix = new String(b, w.payloadOffset,
+                      math.min(w.payloadLength, 32), "ISO-8859-1")
+                    "HTTP/1\\.[01] (\\d{3})".r.findFirstMatchIn(prefix)
+                      .map(m => java.lang.Long.valueOf(m.group(1).toLong))
+                      .orNull
+                  case _ => null
+                }
+                org.apache.spark.sql.Row(
+                  e.getString(0), e.getLong(1), uri, status)
+              }
           }
         }(org.apache.spark.sql.Encoders.row(outSchema))
       },

@@ -478,6 +478,14 @@ final class ParquetStore(
       .drop("_rk")
   }
 
+  /** Latest row per key over the whole store — [[asOfLatestPerKey]] at
+    * the newest generation. The ONE latest-per-key window every
+    * delta-keyed consumer reads through (the crawl scheduler's host
+    * state, the robots policy table, the recrawl stats) — a tie-break
+    * or pruning fix lands here once, not per caller. */
+  def latestPerKey(keys: Seq[String]): DataFrame =
+    asOfLatestPerKey(keys, Long.MaxValue)
+
   /** Partition-discovered read: rst_id comes back as a column from the
     * directory names. Filters applied HERE hit the raw partition column, so
     * they prune whole generation directories at planning time. The schema

@@ -146,10 +146,7 @@ object CrawlSchedule {
     * crashed delta's pre-state away (the latest-per-key base keeps
     * only the ADVANCED row). */
   private def latestState(store: ParquetStore): DataFrame =
-    store.selectAll
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy(col("domain")).orderBy(col("rst_id").desc)))
-      .filter(col("_rk") === 1)
+    store.latestPerKey(Seq("domain"))
       .select(col("domain"), col("n_scheduled"), col("next_offset_s"),
         col("batch_id"), col("scope"), col("prev_n"), col("prev_next"))
 
@@ -252,10 +249,7 @@ object CrawlSchedule {
     * r13: two independent scans could straddle a robots append and
     * gate under one policy while pacing under another). */
   private def latestPolicy(store: ParquetStore): DataFrame =
-    store.selectAll
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy(col("domain")).orderBy(col("rst_id").desc)))
-      .filter(col("_rk") === 1)
+    store.latestPerKey(Seq("domain"))
       .select(col("domain"), col("crawl_delay"), col("robots_txt"))
 
   /** [[gateFrontier]] against an ALREADY-SNAPSHOT policy frame
@@ -336,6 +330,29 @@ object CrawlSchedule {
                    urlCol: String = "url",
                    hostCol: String = "url_host"): DataFrame =
     gateWithPolicies(urls, latestPolicy(robots), agent, urlCol, hostCol)
+
+  /** The DISCOVERY hop robots feeds (RFC 9309's de-facto `Sitemap:`
+    * extension, already parsed by [[graft.sources.Robots.parse]] but
+    * previously unwired): each host's latest stored policy exploded to
+    * its declared sitemap URLs — the fetch list a discovery loop
+    * enqueues, whose fetched bodies then walk [[graft.sources
+    * .Sitemaps.entries]] and feed [[graft.operators.Recrawl
+    * .dueByLastmod]]. Hosts without a policy or without declarations
+    * contribute nothing. One narrow per-partition parse over the
+    * policy-store-sized frame. */
+  def sitemapTargets(robots: ParquetStore): DataFrame = {
+    val pol = latestPolicy(robots)
+      .filter(col("robots_txt").isNotNull)
+      .select(col("domain"), col("robots_txt"))
+    pol.mapPartitions { it =>
+      it.flatMap { row =>
+        graft.sources.Robots.parse(row.getString(1)).sitemaps
+          .iterator.map(u => org.apache.spark.sql.Row(row.getString(0), u))
+      }
+    }(org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("domain", StringType),
+      StructField("sitemap_url", StringType)))))
+  }
 
   /** The per-HOST delay table a scheduler reads EVERY trigger: the
     * robots store's latest policy per host, declared-delay-less rows
