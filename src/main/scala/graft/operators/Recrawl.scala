@@ -150,11 +150,10 @@ object Recrawl {
       org.apache.spark.sql.types.StructField("scope",
         org.apache.spark.sql.types.StringType)))
 
-  /** The per-lineage applied-batch sentinel key — survives collapses
-    * unconditionally (latest-per-key keeps it; no URL can start with
-    * `#`, the fragment opener). */
+  /** The per-lineage applied-batch sentinel key — the shared protocol,
+    * [[graft.store.ParquetStore.sentinelKey]]. */
   private[operators] def sentinelKey(scope: String): String =
-    "#applied:" + scope
+    graft.store.ParquetStore.sentinelKey(scope)
 
   /** Open (or resume) the recrawl-stats store — collapse-managed like
     * every delta-keyed store (one latest-per-URL base + bounded tail). */
@@ -201,16 +200,27 @@ object Recrawl {
     * policy — never a full-history scan. */
   def updateStats(store: graft.store.ParquetStore, stats: DataFrame,
                   batchId: Long = -1L, scope: String = ""): Unit = {
-    val applied = batchId >= 0 &&
-      !store.selectAll.select(col("scope"), col("batch_id"))
-        .filter(col("scope") <=> lit(scope) &&
-          col("batch_id") === batchId).isEmpty
-    if (applied) return
+    if (store.batchApplied(scope, batchId)) return
     val stored = latestStats(store).select(
       col("url"), col("n_fetches").as("_sn"), col("n_changes").as("_sx"),
       col("first_us").as("_sf"), col("last_us").as("_sl"),
       col("first_digest").as("_sfd"), col("last_digest").as("_sld"))
-    val merged = stats.join(stored, Seq("url"), "left")
+    val joined = stats.join(stored, Seq("url"), "left").persist()
+    try {
+    // DETECTED, not silent (review r14): a batch starting BEFORE a
+    // URL's stored last fetch is a late backfill — merging it would
+    // count a phantom boundary change and leave last_digest naming a
+    // fetch older than last_us, silently corrupting every later
+    // estimate. The precondition (per-URL time order, a crawl log's
+    // natural order) is cheap to verify here: one batch-sized count.
+    val backfills = joined
+      .filter(col("_sl").isNotNull && col("first_us") < col("_sl"))
+      .count()
+    require(backfills == 0L,
+      s"updateStats: $backfills URL(s) in this batch start before " +
+        "their stored last fetch — late backfill batches must be " +
+        "merged into the fetch history upstream, not folded here")
+    val merged = joined
       .select(
         col("url"),
         (col("n_fetches") + coalesce(col("_sn"), lit(0L))).as("n_fetches"),
@@ -236,6 +246,7 @@ object Recrawl {
         lit(batchId).as("batch_id"), lit(scope).as("scope")))
     store.appendStreaming(withSentinel)
     ()
+    } finally { joined.unpersist(); () }
   }
 
   /** Latest stats row per URL, sentinels excluded. */
@@ -297,7 +308,11 @@ object Recrawl {
     * relief the next trigger applies via [[delaysWithBackoff]]. The
     * multiplier is an exact power of two (`pow` on small ints is
     * exactly representable), so scaled delays stay hash-comparable.
-    * Output: `(domain, n_errors, backoff_mult)`. */
+    * Output: `(domain, n_errors, backoff_mult)` for ERRORING hosts
+    * only (review r14): the healthy majority of a crawl-scale host
+    * universe would otherwise ride the compose join's broadcast side
+    * as millions of no-op (0, ×1) rows — [[delaysWithBackoff]]'s
+    * coalesce already treats an absent host as ×1. */
   def backoffMultipliers(fetchLog: DataFrame, hostCol: String = "url_host",
                          statusCol: String = "http_status",
                          maxExp: Int = 6): DataFrame =
@@ -306,6 +321,7 @@ object Recrawl {
       .agg(sum(when(col(statusCol) === 429L ||
           (col(statusCol) >= 500L && col(statusCol) <= 599L), 1L)
         .otherwise(0L)).as("n_errors"))
+      .filter(col("n_errors") > 0L)
       .withColumn("backoff_mult",
         pow(lit(2.0d), least(col("n_errors"), lit(maxExp.toLong))
           .cast("double")).cast("long"))

@@ -199,10 +199,16 @@ object RecrawlPack extends QueryPack {
           .withColumn("crawl_delay",
             (substring(col("domain"), 2, 10).cast("long") % 4L)
               .cast("double") * 0.5d + 0.5d)
+        // backoffMultipliers emits erroring hosts only (scale: the
+        // healthy majority never rides the compose join) — the query
+        // surfaces every host, absent ones at (0, ×1), matching the
+        // oracle's full table.
         val mult = Recrawl.backoffMultipliers(log)
         Recrawl.delaysWithBackoff(base, mult)
-          .join(mult, Seq("domain"))
-          .select(col("domain"), col("n_errors"), col("backoff_mult"),
+          .join(mult, Seq("domain"), "left")
+          .select(col("domain"),
+            coalesce(col("n_errors"), lit(0L)).as("n_errors"),
+            coalesce(col("backoff_mult"), lit(1L)).as("backoff_mult"),
             col("crawl_delay"))
       }
     )

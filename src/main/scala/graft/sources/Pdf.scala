@@ -983,19 +983,53 @@ object Pdf {
         // authoritative /XRefStm pointer in this table's trailer dict
         // — stopping here silently fell back to document order and
         // could keep shadowed/freed revisions the stream corrects
-        // (advice r13). Scan the section for its `trailer` keyword and
-        // continue the walk at /XRefStm (then /Prev).
-        val limit = math.min(n.toLong, off + (1L << 20)).toInt
+        // (advice r13). The walk is the EXACT section grammar, not a
+        // windowed text search (review r14: searching for the literal
+        // `trailer` up to 1 MiB ahead could latch onto an OLDER
+        // section's trailer — wrong /XRefStm chain, stale liveness —
+        // and silently dropped the hop for tables past the window):
+        // subsection headers are `start count` lines followed by
+        // exactly `count` 20-byte entries (§7.5.4), and `trailer` must
+        // follow THIS section. A table that breaks the grammar (the
+        // 19-byte single-EOL writers) degrades to the plain classic
+        // stop — document-order liveness, the pre-hybrid behavior —
+        // never to a mismatched chain.
         var t = off.toInt + 4
         var found = -1
-        val kw = "trailer"
-        while (found < 0 && t + 7 <= limit) {
-          if ((bytes(t) & 0xff) == 't') {
-            var k = 1
-            while (k < 7 && (bytes(t + k) & 0xff) == kw.charAt(k)) k += 1
-            if (k == 7) found = t
+        var damaged = false
+        @inline def isWs(b: Int): Boolean =
+          b == ' ' || b == '\r' || b == '\n' || b == '\t' || b == 0 ||
+            b == '\f'
+        @inline def uint(): Long = {
+          var v = -1L
+          while (t < n && (bytes(t) & 0xff) >= '0' &&
+            (bytes(t) & 0xff) <= '9' && v < (1L << 40)) {
+            v = (if (v < 0) 0L else v) * 10 + ((bytes(t) & 0xff) - '0')
+            t += 1
           }
-          if (found < 0) t += 1
+          v
+        }
+        while (found < 0 && !damaged) {
+          while (t < n && isWs(bytes(t) & 0xff)) t += 1
+          if (t + 7 <= n && (bytes(t) & 0xff) == 't' &&
+            (bytes(t + 1) & 0xff) == 'r' && (bytes(t + 2) & 0xff) == 'a' &&
+            (bytes(t + 3) & 0xff) == 'i' && (bytes(t + 4) & 0xff) == 'l' &&
+            (bytes(t + 5) & 0xff) == 'e' && (bytes(t + 6) & 0xff) == 'r')
+            found = t
+          else {
+            val start = uint()
+            while (t < n && (bytes(t) & 0xff) == ' ') t += 1
+            val count = uint()
+            if (start < 0 || count < 0 || count > (n - t) / 20L)
+              damaged = true
+            else {
+              // Whitespace after the header lands on the first entry's
+              // leading digit; entries are a fixed 20-byte stride.
+              while (t < n && isWs(bytes(t) & 0xff)) t += 1
+              t += (count * 20L).toInt
+              if (t > n) damaged = true
+            }
+          }
         }
         if (found >= 0) {
           val tp = new P(bytes)

@@ -537,14 +537,18 @@ object Warc {
             when(col("_dig").isNotNull && col("_rn") > 1, col("_orig")))
           .drop("_dig", "_rn", "_orig")
       }
-    // TOTAL-order sort (all columns, body included): rows sharing a URL
-    // within a group — same-URL re-fetches — would otherwise land in
-    // shuffle-arrival order and break the byte-stable re-export
-    // contract (review r13).
+    // TOTAL-order sort (ALL columns, body and the status/location/
+    // revisit work columns included): rows tying on any prefix — a
+    // same-URL re-fetch, or a response/revisit pair for an exact
+    // duplicate row — would otherwise land in shuffle-arrival order
+    // and break the byte-stable re-export contract (review r13; the
+    // work columns joined the frame later and review r14 caught the
+    // sort no longer being total).
     val src = withRev
       .repartition(col(groupCol))
       .sortWithinPartitions(col(groupCol), col(urlCol), col(dateCol),
-        col(typeCol), col(bodyCol))
+        col(typeCol), col(bodyCol), col("_status"), col("_loc"),
+        col("_revisit_of"))
     val outSchema = StructType(Seq(
       StructField("path", StringType),
       StructField("content", BinaryType)))
@@ -588,27 +592,38 @@ object Warc {
             val b = if (body == null) Array.empty[Byte] else body
             val digest = sha1Digest(b)
             val offset = file.size()
+            // The HTTP response-header envelope — shared by response
+            // records (headers + payload) and revisit records (headers
+            // ONLY, per ISO 28500 §6.7.2: the revisit block SHOULD
+            // carry the protocol headers so the duplicate's own status
+            // line and Location survive — a header-less revisit
+            // re-introduces exactly the status flattening r13 fixed
+            // for responses; review r14).
+            val httpHead =
+              (s"HTTP/1.1 $status ${reasonOf(status)}\r\n" +
+                s"Content-Type: $contentType\r\n" +
+                (if (location != null) s"Location: $location\r\n"
+                 else "") +
+                s"Content-Length: ${b.length}\r\n\r\n")
+                .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
             val rec =
               if (revisitOf != null) {
                 // Payload-free revisit under the identical-payload-
                 // digest profile — the write-side twin of
                 // [[resolveRevisits]], which joins it back to its
-                // original by this digest.
+                // original by this digest. The block holds the HTTP
+                // HEADERS (status fidelity); WARC-Payload-Digest names
+                // the absent payload.
                 writeRecord("revisit", r.getString(1), r.getString(2),
-                  Array.empty[Byte], payloadDigest = digest,
+                  httpHead, payloadDigest = digest,
                   extraHeaders = Seq(
                     "WARC-Profile" -> ("http://netpreserve.org/warc/1.0/" +
                       "revisit/identical-payload-digest"),
-                    "WARC-Refers-To-Target-URI" -> revisitOf),
+                    "WARC-Refers-To-Target-URI" -> revisitOf,
+                    "Content-Type" -> "application/http; msgtype=response"),
                   idSeed = s"$group\n$contentType\n$ordinal")
               } else {
-                val http =
-                  (s"HTTP/1.1 $status ${reasonOf(status)}\r\n" +
-                    s"Content-Type: $contentType\r\n" +
-                    (if (location != null) s"Location: $location\r\n"
-                     else "") +
-                    s"Content-Length: ${b.length}\r\n\r\n")
-                    .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++ b
+                val http = httpHead ++ b
                 writeRecord("response", r.getString(1), r.getString(2),
                   http, payloadDigest = digest,
                   // The BLOCK Content-Type is what makes the archive

@@ -23,6 +23,19 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * scenario against both. Local filesystem here; the layout is what any
   * object store / Delta table would carry.
   */
+object ParquetStore {
+  /** The per-lineage APPLIED-BATCH SENTINEL key shared by replay-
+    * guarded streamed consumers ([[graft.streaming.CrawlSchedule
+    * .scheduleBatch]], [[graft.operators.Recrawl.updateStats]]): one
+    * row per lineage under a key no real domain/URL can take (`#`
+    * opens the fragment in any URL parse, so a parsed host or URL can
+    * never contain it). Because collapse keeps the latest row PER
+    * KEY, the sentinel survives every re-snapshot and every foreign
+    * append by construction — the probe ([[ParquetStore
+    * .batchApplied]]) matches it through any interleaving. */
+  def sentinelKey(scope: String): String = "#applied:" + scope
+}
+
 final class ParquetStore(
     val spark: SparkSession,
     /** Store schema WITHOUT rst_id, like [[RecentStore]]. */
@@ -485,6 +498,19 @@ final class ParquetStore(
     * or pruning fix lands here once, not per caller. */
   def latestPerKey(keys: Seq[String]): DataFrame =
     asOfLatestPerKey(keys, Long.MaxValue)
+
+  /** Whether a replay-guarded consumer already applied
+    * `(scope, batchId)` — the collapse-proof at-least-once probe
+    * shared by every sentinel-stamping store (see [[ParquetStore
+    * .sentinelKey]]). Scans all generations pruned to the two guard
+    * columns (bounded: the store is collapse-managed); requires the
+    * store schema to carry `scope` and `batch_id`. Ad-hoc batches
+    * (id < 0) never count as applied. */
+  def batchApplied(scope: String, batchId: Long): Boolean =
+    batchId >= 0 &&
+      !selectAll.select(col("scope"), col("batch_id"))
+        .filter(col("scope") <=> lit(scope) &&
+          col("batch_id") === batchId).isEmpty
 
   /** Partition-discovered read: rst_id comes back as a column from the
     * directory names. Filters applied HERE hit the raw partition column, so

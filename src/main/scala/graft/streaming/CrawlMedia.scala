@@ -214,31 +214,10 @@ object CrawlMedia {
                    checkpoint: String,
                    trigger: Trigger = Trigger.ProcessingTime(10000L),
                    maxFilesPerTrigger: Int = 64, nCells: Int = 16,
-                   reps: ParquetStore = null): StreamingQuery = {
-    CrawlIngest.fileSource(spark, dropDir, maxFilesPerTrigger)
-      .writeStream
-      .trigger(trigger)
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val combined = combinedFrom(batch, nCells = nCells).persist()
-          try {
-            CrawlIngest.ingestByIdentity(docStore, docsView(combined))
-            val media = mediaView(combined)
-            // Naming authority first (r13 verdict #1): the durable
-            // first-seen rep table must cover every digest the member
-            // store holds, so the rename-free pair search can treat it
-            // as the complete cluster index.
-            if (reps != null) recordReps(reps, media)
-            CrawlIngest.dedupAppendByKey(mediaStore, media,
-              "media_key", struct(col("path"), col("record_ix")))
-            ()
-          } finally { combined.unpersist(); () }
-        }
-        ()
-      }
-      .start()
-  }
+                   reps: ParquetStore = null): StreamingQuery =
+    attachSharedCore(spark, dropDir, docStore, mediaStore, checkpoint,
+      trigger, maxFilesPerTrigger, nCells, reps,
+      robotsStore = null, agent = null)
 
   /** [[attachShared]] with the ROBOTS ROUTE forked in (r13 verdict
     * #5): one crawl stream, one decode pass, THREE sinks — documents,
@@ -262,6 +241,25 @@ object CrawlMedia {
                          trigger: Trigger = Trigger.ProcessingTime(10000L),
                          maxFilesPerTrigger: Int = 64, nCells: Int = 16,
                          reps: ParquetStore = null): StreamingQuery = {
+    require(robotsStore != null && agent != null,
+      "attachSharedRobots needs a robots store and an agent")
+    attachSharedCore(spark, dropDir, docStore, mediaStore, checkpoint,
+      trigger, maxFilesPerTrigger, nCells, reps, robotsStore, agent)
+  }
+
+  /** The ONE shared-decode foreachBatch body behind [[attachShared]]
+    * and [[attachSharedRobots]] (review r14: the two attaches had
+    * drifted into parallel copies of the same ingest sequence —
+    * persist discipline, reps-before-members ordering, keyed dedup —
+    * differing only in the optional robots sink). */
+  private def attachSharedCore(spark: SparkSession, dropDir: String,
+                               docStore: ParquetStore,
+                               mediaStore: ParquetStore,
+                               checkpoint: String, trigger: Trigger,
+                               maxFilesPerTrigger: Int, nCells: Int,
+                               reps: ParquetStore,
+                               robotsStore: ParquetStore,
+                               agent: String): StreamingQuery = {
     CrawlIngest.fileSource(spark, dropDir, maxFilesPerTrigger)
       .writeStream
       .trigger(trigger)
@@ -273,13 +271,20 @@ object CrawlMedia {
             val docs = docsView(combined)
             CrawlIngest.ingestByIdentity(docStore, docs)
             val media = mediaView(combined)
+            // Naming authority first (r13 verdict #1): the durable
+            // first-seen rep table must cover every digest the member
+            // store holds, so the rename-free pair search can treat it
+            // as the complete cluster index.
             if (reps != null) recordReps(reps, media)
             CrawlIngest.dedupAppendByKey(mediaStore, media,
               "media_key", struct(col("path"), col("record_ix")))
-            val pol = CrawlSchedule.robotsPolicies(docs, agent)
-            // Empty-guard: a robots-less trigger must not burn a
-            // policy-store generation.
-            if (!pol.isEmpty) robotsStore.appendStreaming(pol)
+            if (robotsStore != null) {
+              val pol = CrawlSchedule.robotsPolicies(docs, agent)
+              // Empty-guard: a robots-less trigger must not burn a
+              // policy-store generation.
+              if (!pol.isEmpty) robotsStore.appendStreaming(pol)
+              ()
+            }
             ()
           } finally { combined.unpersist(); () }
         }

@@ -75,7 +75,7 @@ object CrawlSchedule {
     * by construction. Scheduling joins never see it: frontier
     * `url_domain` values cannot equal it. */
   private[streaming] def sentinelKey(scope: String): String =
-    "#applied:" + scope
+    ParquetStore.sentinelKey(scope)
 
   /** Open (or resume) the host-state store. Collapse-managed by
     * default (r12 verdict #1): every `collapseEvery` appends the delta
@@ -400,10 +400,7 @@ object CrawlSchedule {
     // latest-per-key collapse preserves unconditionally — the probe
     // matches it through any append/collapse interleaving. Ad-hoc
     // calls (−1) always advance.
-    val applied = batchId >= 0 &&
-      !store.selectAll.select(col("scope"), col("batch_id"))
-        .filter(col("scope") <=> lit(scope) &&
-          col("batch_id") === batchId).isEmpty
+    val applied = store.batchApplied(scope, batchId)
     // A replayed attempt restores its pre-batch view from the crashed
     // delta's own RECORDED pre-state (prev_n/prev_next — the latest
     // row per batch host IS the crashed delta under the one-lineage

@@ -102,7 +102,7 @@ class RecrawlSpec extends SparkSpec {
     val m = mult.collect().map(r =>
       r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(m("h1") === ((3L, 8L)))
-    assert(m("h2") === ((0L, 1L)))
+    assert(!m.contains("h2")) // healthy host: no row (review r14)
     assert(m("h3") === ((10L, 64L))) // capped at 2^6
     val delays = Seq(("h1", 0.5d), ("h2", 2.0d), ("h4", 1.0d))
       .toDF("domain", "crawl_delay")

@@ -312,6 +312,18 @@ class PdfSpec extends SparkSpec {
       head ++ tail("<< /Size 9 /Root 9 0 R >>")).get
     assert(classic.text === "wrong 1\nwrong 1")
     assert((classic.xrefSections, classic.xrefFailed) === ((0, 0)))
+    // review r14: the trailer hop follows the section GRAMMAR, never a
+    // windowed text search — a table whose own trailer is absent
+    // (truncated write) must stop classic even when an OLDER revision's
+    // `trailer` carrying an /XRefStm sits within scan distance; a text
+    // search would latch onto it and follow the wrong chain.
+    val decoyTrailer = head ++ b(
+      "xref\n0 1\n0000000000 65535 f \n%%EOF\nleftover bytes\n" +
+        s"trailer\n<< /Size 9 /Root 9 0 R /XRefStm $streamOff >>\n" +
+        s"startxref\n${head.length}\n%%EOF\n")
+    val dt = Pdf.extract(decoyTrailer).get
+    assert(dt.text === "wrong 1\nwrong 1")
+    assert((dt.xrefSections, dt.xrefFailed) === ((0, 0)))
 
     // The predictor family itself: identity, TIFF-2, PNG Sub/Up/Paeth.
     assert(Pdf.unpredict(Array[Byte](1, 2, 3), 1, 2).toSeq === Seq(1, 2, 3))

@@ -278,6 +278,14 @@ class WarcSpec extends SparkSpec {
       // Digest duplicate of /a in ANOTHER group → revisit record there.
       ("g1", "https://w.org/a-copy", "2024-02-01T00:00:00Z", "text/html",
         pageA, 200L, null),
+      // Digest duplicate of /moved's stub body, itself a 301 to a
+      // DIFFERENT target (default redirect pages are byte-identical in
+      // the wild): the revisit record must keep ITS OWN status line
+      // and Location — a header-less revisit would flatten it
+      // (review r14).
+      ("g1", "https://w.org/moved-copy", "2024-02-01T00:00:00Z",
+        "text/html", "stub".getBytes("UTF-8"), 301L,
+        "https://w.org/new2"),
       ("g1", "https://w.org/gone", "2024-01-01T00:00:00Z", "text/html",
         pageB, 404L, null))
       .toDF("file_group", "url", "warc_date", "content_type", "body",
@@ -309,18 +317,35 @@ class WarcSpec extends SparkSpec {
         org.apache.spark.sql.functions.lit(1)).getField("value"))
       .collect().map(_.getString(0)).toSet
     assert(moved === Set("https://w.org/new"))
-    // The duplicate became a payload-free revisit the reader resolves.
+    // The duplicates became payload-free revisits the reader resolves.
     val resolved = Warc.resolveRevisits(recs)
       .select("target_uri", "original_uri").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
-    assert(resolved === Set(("https://w.org/a-copy", "https://w.org/a")))
+    assert(resolved === Set(("https://w.org/a-copy", "https://w.org/a"),
+      ("https://w.org/moved-copy", "https://w.org/moved")))
+    // The revisit BLOCK carries the duplicate's own protocol headers
+    // (ISO 28500 §6.7.2): moved-copy's 301 and its own Location
+    // survive even though the payload is elided (review r14 — a
+    // header-less revisit re-flattened what r13 fixed for responses).
+    val revBack = Http.responses(recs.filter($"warc_type" === "revisit"))
+      .select($"target_uri", $"http_status",
+        org.apache.spark.sql.functions.try_element_at(
+          org.apache.spark.sql.functions.filter($"http_headers",
+            h => org.apache.spark.sql.functions.lower(h.getField("name"))
+              === "location"),
+          org.apache.spark.sql.functions.lit(1)).getField("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)).orNull)).toSet
+    assert(revBack === Set(
+      ("https://w.org/a-copy", 200L, null),
+      ("https://w.org/moved-copy", 301L, "https://w.org/new2")))
     // CDX offsets are byte-exact: slicing [offset, offset+length) out
     // of the archive yields a gunzip-able single record whose URI
     // matches the entry.
     val cdxLines = new String(files("g0.cdx"), "UTF-8").split("\n")
       .filter(_.nonEmpty) ++
       new String(files("g1.cdx"), "UTF-8").split("\n").filter(_.nonEmpty)
-    assert(cdxLines.length === 4)
+    assert(cdxLines.length === 5)
     for (line <- cdxLines) {
       val j = line.substring(line.indexOf('{'))
       def field(k: String): String =
@@ -335,8 +360,8 @@ class WarcSpec extends SparkSpec {
       assert(rec.length === 1)
       assert(rec.head.header("WARC-Target-URI").contains(field("url")))
     }
-    // The revisit's CDX entry is flagged.
-    assert(cdxLines.count(_.contains("\"mod\":\"revisit\"")) === 1)
+    // The revisits' CDX entries are flagged.
+    assert(cdxLines.count(_.contains("\"mod\":\"revisit\"")) === 2)
     // ISO 28500 global id uniqueness: the SAME row exported into TWO
     // different groups must get two different record ids (advice r13 —
     // the group is folded into the id seed).
