@@ -147,6 +147,21 @@ class TakedownSpec extends SparkSpec {
     assert(urls.contains("https://d.com/z"))
   }
 
+  test("erase is idempotent: a crashed-and-rerun pass touches nothing the second time") {
+    val store = new ParquetStore(spark, schema, tmp(), "td_idem_erase",
+      cleanFreq = 1000L)
+    store.append(batch("a" -> 1L, "bad" -> 2L))
+    store.append(batch("bad" -> 3L, "b" -> 4L))
+    val td = Takedown.takedownStore(spark, tmp(), "td_list_idem_erase")
+    Takedown.request(td, victims("bad"))
+    assert(Takedown.erase(store, td, "k") === 2L)
+    val after = rows(store.selectAll)
+    // The re-run (a crash mid-delete leaves the pass resumable): erased
+    // generations no longer probe as touched — zero rewrites, same rows.
+    assert(Takedown.erase(store, td, "k") === 0L)
+    assert(rows(store.selectAll) === after)
+  }
+
   test("scrubPairs kills a pair when EITHER endpoint is banned") {
     val sparkSession = spark
     import sparkSession.implicits._
