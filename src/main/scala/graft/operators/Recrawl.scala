@@ -189,15 +189,29 @@ object Recrawl {
   }
 
   /** Fold one batch's [[batchStats]] into the store. Batches must
-    * arrive in per-URL time order (a crawl log's natural order); the
-    * merge is then EXACT: counts and spans add, and a digest change
+    * arrive in STRICT per-URL time order (a crawl log's natural order);
+    * the merge is then EXACT: counts and spans add, and a digest change
     * landing on the batch boundary is caught by comparing the stored
     * `last_digest` with the batch's `first_digest`. Replay-guarded the
     * [[graft.streaming.CrawlSchedule.scheduleBatch]] way: an applied
     * (scope, batch_id) appends nothing on its at-least-once re-run
     * (the sentinel row survives any collapse). One window + one
     * latest-per-URL join per trigger, both pruned by the collapse
-    * policy — never a full-history scan. */
+    * policy — never a full-history scan.
+    *
+    * LATE BACKFILLS are rejected, not merged (review r14): a batch
+    * starting at or before a URL's stored last fetch would count a
+    * phantom boundary change and leave `last_digest` naming a fetch
+    * older than `last_us`, silently corrupting every later estimate.
+    * Equality is rejected too (advice r14): the stored tail's
+    * tie-break columns are gone, so a batch tying the stored last
+    * fetch's instant cannot be ordered against it — same-instant
+    * fetches straddling a batch boundary could come out differently
+    * from the full-history lag window. Both route to [[backfillStats]],
+    * the out-of-order merge path. The guard rides the merge's own
+    * projection (`raise_error` on the violating row — no second
+    * batch-sized action per fold, r14 verdict #4): the fold fails
+    * before the append lands, and a failed fold appends nothing. */
   def updateStats(store: graft.store.ParquetStore, stats: DataFrame,
                   batchId: Long = -1L, scope: String = ""): Unit = {
     if (store.batchApplied(scope, batchId)) return
@@ -205,25 +219,20 @@ object Recrawl {
       col("url"), col("n_fetches").as("_sn"), col("n_changes").as("_sx"),
       col("first_us").as("_sf"), col("last_us").as("_sl"),
       col("first_digest").as("_sfd"), col("last_digest").as("_sld"))
-    val joined = stats.join(stored, Seq("url"), "left").persist()
-    try {
-    // DETECTED, not silent (review r14): a batch starting BEFORE a
-    // URL's stored last fetch is a late backfill — merging it would
-    // count a phantom boundary change and leave last_digest naming a
-    // fetch older than last_us, silently corrupting every later
-    // estimate. The precondition (per-URL time order, a crawl log's
-    // natural order) is cheap to verify here: one batch-sized count.
-    val backfills = joined
-      .filter(col("_sl").isNotNull && col("first_us") < col("_sl"))
-      .count()
-    require(backfills == 0L,
-      s"updateStats: $backfills URL(s) in this batch start before " +
-        "their stored last fetch — late backfill batches must be " +
-        "merged into the fetch history upstream, not folded here")
-    val merged = joined
+    val merged = stats.join(stored, Seq("url"), "left")
       .select(
         col("url"),
-        (col("n_fetches") + coalesce(col("_sn"), lit(0L))).as("n_fetches"),
+        // The backfill guard lives INSIDE the kept column (a CaseWhen
+        // branch evaluates lazily; a standalone guard column would be
+        // pruned away by the store's schema-align select and never
+        // evaluate): the first violating row aborts the append action
+        // itself, so a rejected fold leaves the store untouched.
+        when(col("_sl").isNotNull && col("first_us") <= col("_sl"),
+          raise_error(concat(lit("updateStats: URL '"), col("url"),
+            lit("' starts at or before its stored last fetch — late " +
+              "backfill; fold it via backfillStats instead"))).cast("long"))
+          .otherwise(col("n_fetches") + coalesce(col("_sn"), lit(0L)))
+          .as("n_fetches"),
         (col("n_changes") + coalesce(col("_sx"), lit(0L)) +
           when(col("_sld").isNotNull &&
             col("_sld") =!= col("first_digest"), 1L).otherwise(0L))
@@ -233,11 +242,110 @@ object Recrawl {
         greatest(col("last_us"), coalesce(col("_sl"), col("last_us")))
           .as("last_us"),
         coalesce(col("_sfd"), col("first_digest")).as("first_digest"),
-        col("last_digest"),
-        lit(batchId).as("batch_id"), lit(scope).as("scope"))
+        col("last_digest"))
+    appendWithSentinel(store, merged, batchId, scope)
+  }
+
+  /** The OUT-OF-ORDER fold [[updateStats]] rejects to — real crawl logs
+    * DO deliver late batches (retries, multi-DC merges), and before
+    * this path existed the only recourse was a full-history
+    * [[changeRates]] recompute. Takes the late batch's RAW fetch rows
+    * (not its [[batchStats]] — the interior case below needs them) and
+    * folds per URL by where the batch lands against the stored span:
+    *
+    *   - URL not in the store, or batch strictly AFTER the stored last
+    *     fetch: the [[updateStats]] merge (exact).
+    *   - Batch strictly BEFORE the stored first fetch: the mirror-image
+    *     PREPEND merge — counts add, the boundary change compares the
+    *     batch's `last_digest` with the stored `first_digest`, and the
+    *     stored row keeps its first/last identity on the other side
+    *     (exact: the sufficient statistics are order-independent under
+    *     disjoint spans, which is why the store keeps BOTH boundary
+    *     digests and timestamps).
+    *   - Batch INSIDE the stored span (any overlap, including a tie on
+    *     either boundary — ties are unorderable from statistics alone):
+    *     exactness needs the interleaving, so the touched URLs — and
+    *     ONLY those — are rebuilt from `history` (the complete
+    *     already-folded fetch history for them, WITHOUT this batch's
+    *     rows) unioned with the late batch. Callers without a retained
+    *     history get a fail-fast naming the URLs' count, never a
+    *     silent approximation.
+    *
+    * Scale: the exact classes are one join against the O(urls) store;
+    * the rebuild touches `history` once, semi-join-pruned to the
+    * overlap URLs — a late batch's overlap set is batch-sized, so the
+    * rebuild is bounded by the batch, not the log. Replay-guarded like
+    * [[updateStats]] (same sentinel protocol). */
+  def backfillStats(store: graft.store.ParquetStore, lateBatch: DataFrame,
+                    history: DataFrame = null,
+                    urlCol: String = "url", usCol: String = "fetch_us",
+                    digestCol: String = "digest",
+                    tieBreak: Seq[String] = Nil,
+                    batchId: Long = -1L, scope: String = ""): Unit = {
+    if (store.batchApplied(scope, batchId)) return
+    val lb = batchStats(lateBatch, urlCol, usCol, digestCol, tieBreak)
+    val stored = latestStats(store).select(
+      col("url"), col("n_fetches").as("_sn"), col("n_changes").as("_sx"),
+      col("first_us").as("_sf"), col("last_us").as("_sl"),
+      col("first_digest").as("_sfd"), col("last_digest").as("_sld"))
+    val joined = lb.join(stored, Seq("url"), "left").persist()
+    try {
+      val isAppend = col("_sl").isNotNull && col("first_us") > col("_sl")
+      val isPrepend = col("_sl").isNotNull && col("last_us") < col("_sf")
+      val isOverlap = col("_sl").isNotNull && !isAppend && !isPrepend
+      val exact = joined.filter(!isOverlap)
+        .select(
+          col("url"),
+          (col("n_fetches") + coalesce(col("_sn"), lit(0L)))
+            .as("n_fetches"),
+          (col("n_changes") + coalesce(col("_sx"), lit(0L)) +
+            when(isAppend && col("_sld") =!= col("first_digest"), 1L)
+              .when(isPrepend && col("last_digest") =!= col("_sfd"), 1L)
+              .otherwise(0L)).as("n_changes"),
+          least(col("first_us"), coalesce(col("_sf"), col("first_us")))
+            .as("first_us"),
+          greatest(col("last_us"), coalesce(col("_sl"), col("last_us")))
+            .as("last_us"),
+          when(isAppend, col("_sfd")).otherwise(col("first_digest"))
+            .as("first_digest"),
+          when(isPrepend, col("_sld")).otherwise(col("last_digest"))
+            .as("last_digest"))
+      val overlapUrls = joined.filter(isOverlap)
+        .select(col("url").as(urlCol))
+      val out =
+        if (history == null) {
+          // No retained history: fail fast IF any URL actually needs the
+          // rebuild (one pruned probe — the disjoint classes still fold
+          // exactly without a history).
+          require(overlapUrls.isEmpty,
+            "backfillStats: this batch lands inside (or ties) the " +
+              "stored span for some URL(s) — exact rebuild needs the " +
+              "`history` argument (their complete prior fetch history)")
+          exact
+        } else {
+          val sel = (Seq(urlCol, usCol, digestCol) ++ tieBreak).map(col)
+          val touched = history.select(sel: _*)
+            .unionByName(lateBatch.select(sel: _*))
+            .join(overlapUrls, Seq(urlCol), "left_semi")
+          exact.unionByName(
+            batchStats(touched, urlCol, usCol, digestCol, tieBreak))
+        }
+      appendWithSentinel(store, out, batchId, scope)
+    } finally { joined.unpersist(); () }
+  }
+
+  /** Stamp merged stats rows with the batch lineage and append them with
+    * the collapse-proof applied sentinel — the shared tail of
+    * [[updateStats]] and [[backfillStats]]. */
+  private def appendWithSentinel(store: graft.store.ParquetStore,
+                                 merged: DataFrame, batchId: Long,
+                                 scope: String): Unit = {
+    val stamped = merged
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("scope", lit(scope))
     val withSentinel =
-      if (batchId < 0) merged
-      else merged.unionByName(store.spark.range(1).select(
+      if (batchId < 0) stamped
+      else stamped.unionByName(store.spark.range(1).select(
         lit(sentinelKey(scope)).as("url"),
         lit(0L).as("n_fetches"), lit(0L).as("n_changes"),
         lit(0L).as("first_us"), lit(0L).as("last_us"),
@@ -246,7 +354,6 @@ object Recrawl {
         lit(batchId).as("batch_id"), lit(scope).as("scope")))
     store.appendStreaming(withSentinel)
     ()
-    } finally { joined.unpersist(); () }
   }
 
   /** Latest stats row per URL, sentinels excluded. */
@@ -315,7 +422,12 @@ object Recrawl {
     * coalesce already treats an absent host as ×1. */
   def backoffMultipliers(fetchLog: DataFrame, hostCol: String = "url_host",
                          statusCol: String = "http_status",
-                         maxExp: Int = 6): DataFrame =
+                         maxExp: Int = 6): DataFrame = {
+    // 2^63 overflows the long multiplier (advice r14): an unguarded
+    // maxExp would saturate/overflow pow(2, n).cast(long) into wrong —
+    // and non-oracle-comparable — backoff multipliers.
+    require(maxExp >= 0 && maxExp <= 62,
+      s"backoffMultipliers: maxExp must be in [0, 62], got $maxExp")
     fetchLog
       .groupBy(col(hostCol).as("domain"))
       .agg(sum(when(col(statusCol) === 429L ||
@@ -325,6 +437,7 @@ object Recrawl {
       .withColumn("backoff_mult",
         pow(lit(2.0d), least(col("n_errors"), lit(maxExp.toLong))
           .cast("double")).cast("long"))
+  }
 
   /** Compose a per-host delay table (e.g. [[graft.streaming
     * .CrawlSchedule.delaysFrom]]) with [[backoffMultipliers]]:

@@ -111,6 +111,39 @@ object RecrawlPack extends QueryPack {
           .select(col("url"), col("n_fetches"), col("n_changes"),
             col("span_us"), col("next_interval_us"), col("next_fetch_us"))
       },
+      // OUT-OF-ORDER fold (r15): the same three 10-day batches, but the
+      // MIDDLE one arrives last — the late-backfill shape a real crawl
+      // log delivers (retries, multi-DC merges) that updateStats
+      // rejects by design. backfillStats folds it: URLs whose late rows
+      // land strictly before/after their stored span merge exactly from
+      // the sufficient statistics; URLs whose late rows land INSIDE the
+      // span rebuild from the retained history, pruned to those URLs
+      // only. Same full-history oracle as q_recrawl_rate: out-of-order
+      // == in-order == full recompute.
+      "q_recrawl_backfill" -> { (s, dir) =>
+        val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          f"graft_rebf_${dir.hashCode}%08x").toString
+        val store = Recrawl.statsStore(s, base, "recrawl_stats_bf",
+          collapseEvery = 2L)
+        store.reset()
+        val pinned = history(s, dir)
+          .withColumn("_b", expr(
+            "least(greatest((fetch_us div 86400000000 - 19723) div 10, 0L), 2L)"))
+          .localCheckpoint(true)
+        Seq(0L, 2L).foreach { b =>
+          Recrawl.updateStats(store,
+            Recrawl.batchStats(pinned.filter(col("_b") === b),
+              tieBreak = Seq("event_id")),
+            batchId = b, scope = "q_recrawl_backfill")
+        }
+        Recrawl.backfillStats(store, pinned.filter(col("_b") === 1L),
+          history = pinned.filter(col("_b") =!= 1L),
+          tieBreak = Seq("event_id"),
+          batchId = 10L, scope = "q_recrawl_backfill")
+        Recrawl.ratesFromStats(store)
+          .select(col("url"), col("n_fetches"), col("n_changes"),
+            col("span_us"), col("next_interval_us"), col("next_fetch_us"))
+      },
       // PUBLISHER-HINT recrawl (r14): one genuine sitemap per host —
       // built as real urlset XML, exploded back through the repo's own
       // Sitemaps.entries walker — declares a lastmod per page, and the
@@ -217,6 +250,8 @@ object RecrawlPack extends QueryPack {
     "q_recrawl_rate" -> RatesSql,
     // Incremental == full recompute, so the oracle IS q_recrawl_rate's.
     "q_recrawl_inc" -> RatesSql,
+    // Out-of-order fold == full recompute too (r15).
+    "q_recrawl_backfill" -> RatesSql,
     // Hint join re-derived closed-form: per-URL lastmod (same date
     // arithmetic as the XML construction) vs the lag-window last fetch.
     "q_sitemap_recrawl" ->

@@ -1007,6 +1007,13 @@ object Pdf {
             v = (if (v < 0) 0L else v) * 10 + ((bytes(t) & 0xff) - '0')
             t += 1
           }
+          // Hitting the 2^40 cap IS damage (advice r14): returning the
+          // truncated value would leave the number's remaining digits in
+          // place for the NEXT parse to consume — a pathological header
+          // could then read as a small valid subsection and the walk
+          // would advance over arbitrary bytes instead of degrading to
+          // the classic stop. No real xref start/count approaches 2^40.
+          if (v >= (1L << 40)) damaged = true
           v
         }
         while (found < 0 && !damaged) {

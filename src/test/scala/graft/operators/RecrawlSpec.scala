@@ -159,6 +159,130 @@ class RecrawlSpec extends SparkSpec {
     assert(once.head._2 === 2L) // n_fetches stayed 2, not 4
   }
 
+  test("updateStats rejects a late backfill — and a same-instant tie — without touching the store") {
+    val store = Recrawl.statsStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_rstats").toString,
+      "rstats_reject")
+    Recrawl.updateStats(store,
+      Recrawl.batchStats(hist(("a", 10L * DayUs, "x"),
+        ("a", 20L * DayUs, "y")), tieBreak = Seq("event_id")),
+      batchId = 0L, scope = "rej")
+    val before = rateRows(Recrawl.ratesFromStats(store))
+    // Strictly earlier: rejected.
+    intercept[Exception] {
+      Recrawl.updateStats(store,
+        Recrawl.batchStats(hist(("a", 0L, "x")),
+          tieBreak = Seq("event_id")), batchId = 1L, scope = "rej")
+    }
+    // Same-instant tie (advice r14): the stored tail's tie-break is
+    // gone, so equality is unorderable — rejected too, not silently
+    // ordered store-then-batch.
+    intercept[Exception] {
+      Recrawl.updateStats(store,
+        Recrawl.batchStats(hist(("a", 20L * DayUs, "z")),
+          tieBreak = Seq("event_id")), batchId = 2L, scope = "rej")
+    }
+    // A failed fold appends nothing: the guard rides the append action.
+    assert(rateRows(Recrawl.ratesFromStats(store)) === before)
+  }
+
+  test("backfillStats: a batch strictly before the stored span merges exactly with no history") {
+    val full = hist(
+      ("a", 0L, "x"), ("a", 10L * DayUs, "y"), // the late batch
+      ("a", 20L * DayUs, "y"), ("a", 30L * DayUs, "z"), // folded first
+      ("b", 25L * DayUs, "p")) // untouched by the backfill
+    val store = Recrawl.statsStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_rstats").toString,
+      "rstats_prepend")
+    Recrawl.updateStats(store,
+      Recrawl.batchStats(full.filter(col("fetch_us") >= 20L * DayUs),
+        tieBreak = Seq("event_id")), batchId = 0L, scope = "pre")
+    // No history argument: the disjoint-before class folds exactly from
+    // the boundary digests alone (y→y boundary = no change for a; the
+    // a-internal x→y change is the batch's own).
+    Recrawl.backfillStats(store,
+      full.filter(col("fetch_us") < 20L * DayUs),
+      tieBreak = Seq("event_id"), batchId = 1L, scope = "pre")
+    assert(rateRows(Recrawl.ratesFromStats(store)) === rateRows(rates(full)))
+  }
+
+  test("backfillStats: an inside-span batch rebuilds touched URLs from history; without history it fails fast") {
+    val full = hist(
+      ("a", 0L, "x"), ("a", 30L * DayUs, "x"),  // folded first
+      ("a", 10L * DayUs, "y"), ("a", 20L * DayUs, "x"), // late interior
+      ("c", 5L * DayUs, "q")) // new URL riding the same late batch
+    val late = full.filter(col("fetch_us") === 10L * DayUs ||
+      col("fetch_us") === 20L * DayUs || col("url") === "c")
+    val prior = full.filter(col("url") === "a" &&
+      (col("fetch_us") === 0L || col("fetch_us") === 30L * DayUs))
+    def freshStore(name: String) = {
+      val s = Recrawl.statsStore(spark,
+        java.nio.file.Files.createTempDirectory("graft_rstats").toString,
+        name)
+      Recrawl.updateStats(s, Recrawl.batchStats(prior,
+        tieBreak = Seq("event_id")), batchId = 0L, scope = name)
+      s
+    }
+    // Without history: the interior rebuild is impossible from the
+    // sufficient statistics — fail fast, never approximate.
+    intercept[IllegalArgumentException] {
+      Recrawl.backfillStats(freshStore("bf_nohist"), late,
+        tieBreak = Seq("event_id"), batchId = 1L, scope = "bf_nohist")
+    }
+    // With history: the interleaving x→y→x→x (2 changes — the naive
+    // stats merge would have seen none) comes out exact, and the new
+    // URL c folds through the same call.
+    val store = freshStore("bf_hist")
+    Recrawl.backfillStats(store, late, history = prior,
+      tieBreak = Seq("event_id"), batchId = 1L, scope = "bf_hist")
+    assert(rateRows(Recrawl.ratesFromStats(store)) === rateRows(rates(full)))
+  }
+
+  test("backfillStats: a boundary tie classifies as interior (unorderable) and rebuilds exactly") {
+    // The late batch's first fetch shares the stored LAST fetch's
+    // instant; the full history orders them by event_id (stored id 1 <
+    // late id 2), so the exact answer needs the interleaving.
+    val full = hist(
+      ("a", 0L, "x"), ("a", 10L * DayUs, "y"),  // folded first (ids 0,1)
+      ("a", 10L * DayUs, "z"), ("a", 20L * DayUs, "z")) // late (ids 2,3)
+    val prior = full.filter(col("event_id") <= 1L)
+    val late = full.filter(col("event_id") >= 2L)
+    val store = Recrawl.statsStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_rstats").toString,
+      "rstats_tie")
+    Recrawl.updateStats(store, Recrawl.batchStats(prior,
+      tieBreak = Seq("event_id")), batchId = 0L, scope = "tie")
+    Recrawl.backfillStats(store, late, history = prior,
+      tieBreak = Seq("event_id"), batchId = 1L, scope = "tie")
+    assert(rateRows(Recrawl.ratesFromStats(store)) === rateRows(rates(full)))
+  }
+
+  test("a replayed backfill batch appends nothing") {
+    val store = Recrawl.statsStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_rstats").toString,
+      "rstats_bfreplay")
+    val late = hist(("a", 0L, "x"), ("a", 10L * DayUs, "y"))
+    Recrawl.backfillStats(store, late, tieBreak = Seq("event_id"),
+      batchId = 0L, scope = "bfr")
+    val once = rateRows(Recrawl.ratesFromStats(store))
+    Recrawl.backfillStats(store, late, tieBreak = Seq("event_id"),
+      batchId = 0L, scope = "bfr")
+    assert(rateRows(Recrawl.ratesFromStats(store)) === once)
+    assert(once.head._2 === 2L)
+  }
+
+  test("backoffMultipliers rejects an overflowing maxExp") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val log = Seq(("h1", 503L)).toDF("url_host", "http_status")
+    intercept[IllegalArgumentException] {
+      Recrawl.backoffMultipliers(log, maxExp = 63)
+    }
+    intercept[IllegalArgumentException] {
+      Recrawl.backoffMultipliers(log, maxExp = -1)
+    }
+  }
+
   test("backoff-scaled delays pace a scheduled batch exactly like a native delay table") {
     val sparkSession = spark
     import sparkSession.implicits._
