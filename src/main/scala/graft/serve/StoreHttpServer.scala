@@ -36,10 +36,30 @@ import graft.store.GenerationStore
   * design. It serves the same pre-aggregated bounded store the reference's
   * Flask process served (cardinality = keys × buckets × generations), never
   * raw data; big analytical output belongs on the Dataset API, not HTTP.
-  */
+  *
+  * TAKEDOWN SCRUB-AT-READ (r14 verdict #2): when a `takedown` pair
+  * (victim store, key column) is given, every served frame that CARRIES
+  * the key column is anti-joined against the victim list before it
+  * serializes ([[graft.store.Takedown.scrub]]'s read-path contract) — a
+  * logical takedown is effective at the HTTP boundary the moment its
+  * request lands, while physical erasure is still pending. Frames
+  * WITHOUT the key column (aggregates, projections that dropped it)
+  * pass through: the scrub guarantee is that a banned ROW never
+  * serializes; aggregate leakage ends at the next [[graft.store
+  * .Takedown.erase]] cadence, the documented division of labor. */
 final class StoreHttpServer(store: GenerationStore,
                             avroSchema: Option[String] = None,
-                            analytics: Map[String, () => DataFrame] = Map.empty) {
+                            analytics: Map[String, () => DataFrame] = Map.empty,
+                            takedown: Option[(graft.store.ParquetStore, String)] = None) {
+
+  /** The read-path takedown gate (see class doc): one broadcast
+    * anti-join, applied only when the frame names documents (carries
+    * the key column). */
+  private def scrubbed(df: DataFrame): DataFrame = takedown match {
+    case Some((td, key)) if df.columns.contains(key) =>
+      graft.store.Takedown.scrub(df, td, key)
+    case _ => df
+  }
 
   private val server = HttpServer.create(new InetSocketAddress(0), 0)
   server.createContext("/", handle _)
@@ -55,10 +75,12 @@ final class StoreHttpServer(store: GenerationStore,
   /** Rows as the reference's list-of-dicts JSON (`models.py:176-187`).
     * Nulls are KEPT (`ignoreNullFields=false`) — a dict row always carries
     * every described column, unlike Spark's default to_json. */
-  private def rowsJson(df: DataFrame): String =
+  private def rowsJson(df0: DataFrame): String = {
+    val df = scrubbed(df0) // every JSON row route gates here (class doc)
     df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*),
         Map("ignoreNullFields" -> "false")))
       .collect().map(_.getString(0)).mkString("[", ",", "]")
+  }
 
   /** Q3's avro flavor: one base64 string per encoded row datum. */
   private def avroJson(df: DataFrame): String =
@@ -125,8 +147,15 @@ final class StoreHttpServer(store: GenerationStore,
       case "c" :: sql :: Nil  => rowsJson(store.sql(dec(sql)))
       case "cs" :: sql :: Nil =>
         avroSchema match {
-          case Some(schema) => avroJson(store.sqlAvro(dec(sql), schema))
-          case None         => rowsJson(store.sql(dec(sql)))
+          case Some(schema) =>
+            // Scrub BEFORE the avro encode — the encoded binary rows
+            // can't be anti-joined after.
+            val result = scrubbed(store.sql(dec(sql)))
+            avroJson(graft.sources.AvroCodec.encodeColumns(
+                result, result.columns.toSeq, schema,
+                outCol = "avro_value")
+              .select(col("avro_value")))
+          case None => rowsJson(store.sql(dec(sql)))
         }
       case "r" :: Nil   => store.reset(); "null"
       case "rst" :: Nil => store.currentRstId.toString

@@ -93,9 +93,11 @@ object Takedown {
 
   /** LOGICAL takedown on any frame: drop rows whose `keyCol` matches a
     * recorded victim. Apply on the READ path (serving a scrubbed view
-    * while physical erasure is still pending) and on the INGEST path
-    * (a re-crawl of a banned key must never re-enter — see object
-    * doc). One broadcast anti-join; the victim side is list-sized. */
+    * while physical erasure is still pending — the HTTP veneer applies
+    * it automatically when constructed with a takedown pair,
+    * [[graft.serve.StoreHttpServer]]) and on the INGEST path (a
+    * re-crawl of a banned key must never re-enter — see object doc).
+    * One broadcast anti-join; the victim side is list-sized. */
   def scrub(df: DataFrame, store: ParquetStore, keyCol: String): DataFrame = {
     val victims = broadcast(victimKeys(store).withColumnRenamed("key", "_victim"))
     df.join(victims, df(keyCol).cast("string") === victims("_victim"),

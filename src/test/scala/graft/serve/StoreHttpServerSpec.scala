@@ -232,4 +232,53 @@ class StoreHttpServerSpec extends SparkSpec {
       assert(decoded === """{"k":"a","total":5}""")
     } finally srv.stop()
   }
+
+  test("takedown scrub-at-read: a logical takedown is effective at the HTTP boundary while the store still holds the row") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import org.apache.spark.sql.types._
+    import graft.store.{ParquetStore, Takedown}
+    val base = java.nio.file.Files.createTempDirectory("graft_http_td")
+    val store = new ParquetStore(spark, StructType(Seq(
+      StructField("doc_key", StringType), StructField("n", LongType))),
+      s"$base/docs", tableName = "http_td_docs")
+    store.append(Seq(("https://a.org/1", 10L), ("https://a.org/2", 20L))
+      .toDF("doc_key", "n"))
+    val td = Takedown.takedownStore(spark, s"$base/td",
+      tableName = "http_td_list")
+    val srv = new StoreHttpServer(store,
+      takedown = Some((td, "doc_key"))).start()
+    try {
+      // Before any request lands, both rows serve.
+      val (_, before) = get(srv.port, "/a/*")
+      assert(before.contains("https://a.org/1") &&
+        before.contains("https://a.org/2"))
+      Takedown.request(td,
+        Seq(("https://a.org/1", "dmca")).toDF("key", "reason"))
+      // No physical erase ran — the store's parquet still holds the row…
+      assert(store.selectAll.filter(
+        org.apache.spark.sql.functions.col("doc_key") === "https://a.org/1")
+        .count() === 1L)
+      // …but every key-carrying route stops serving it immediately.
+      val (_, a) = get(srv.port, "/a/*")
+      assert(!a.contains("https://a.org/1") && a.contains("https://a.org/2"))
+      // Reversed reference arg order: lte(0) ≡ 0 <= n — matches all rows.
+      val cjson = enc("""{"n": ["lte", 0]}""")
+      val (_, c) = get(srv.port, s"/c/$cjson/EOE")
+      assert(!c.contains("https://a.org/1") && c.contains("https://a.org/2"))
+      val (_, sr) = get(srv.port, "/sr/n/0:100")
+      assert(!sr.contains("https://a.org/1") && sr.contains("https://a.org/2"))
+      val (_, rv) = get(srv.port, "/rv/5")
+      assert(!rv.contains("https://a.org/1") && rv.contains("https://a.org/2"))
+      val (_, sql) = get(srv.port,
+        s"/c/${enc("SELECT doc_key, n FROM http_td_docs")}")
+      assert(!sql.contains("https://a.org/1") && sql.contains("https://a.org/2"))
+      // A projection that DROPPED the key column passes through (the
+      // scrub contract is row-level; aggregate residue ends at the next
+      // physical-erase cadence — class doc).
+      val (_, agg) = get(srv.port,
+        s"/c/${enc("SELECT sum(n) AS total FROM http_td_docs")}")
+      assert(agg === """[{"total":30}]""")
+    } finally srv.stop()
+  }
 }
