@@ -113,6 +113,78 @@ object Warc {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Byte spans `(offset, length)` of each gzip MEMBER in a
+    * multi-member stream — the seek index of a `.warc.gz` file (one
+    * record per member), recovered from the bytes alone. Gzip carries
+    * no member-length field, so each member is located by inflating it
+    * (output discarded; trailer CRC-32 and ISIZE validated like
+    * [[gunzip]]); None for anything malformed. This is what
+    * [[graft.store.Takedown.eraseExports]] walks to drop records from
+    * an archive without re-encoding the survivors — kept members are
+    * copied VERBATIM, so their bytes (and the records' ids and
+    * digests) are untouched. */
+  private[graft] def memberSpans(bytes: Array[Byte])
+      : Option[Vector[(Int, Int)]] = {
+    if (bytes == null || bytes.length < 18) return None
+    @inline def u8(i: Int): Int = bytes(i) & 0xff
+    @inline def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+    try {
+      val n = bytes.length
+      val out = Vector.newBuilder[(Int, Int)]
+      var pos = 0
+      while (pos < n) {
+        if (n - pos < 18) return None
+        if (u8(pos) != 0x1f || u8(pos + 1) != 0x8b || u8(pos + 2) != 8)
+          return None
+        val flg = u8(pos + 3)
+        var p = pos + 10
+        if ((flg & 0x04) != 0) {
+          if (p + 2 > n) return None
+          val xlen = u8(p) | (u8(p + 1) << 8)
+          p += 2 + xlen
+          if (p > n) return None
+        }
+        if ((flg & 0x08) != 0) {
+          while (p < n && bytes(p) != 0) p += 1
+          if (p >= n) return None
+          p += 1
+        }
+        if ((flg & 0x10) != 0) {
+          while (p < n && bytes(p) != 0) p += 1
+          if (p >= n) return None
+          p += 1
+        }
+        if ((flg & 0x02) != 0) p += 2
+        if (p >= n) return None
+        val inf = new java.util.zip.Inflater(true)
+        try {
+          inf.setInput(bytes, p, n - p)
+          val buf = new Array[Byte](8192)
+          val crc = new java.util.zip.CRC32
+          var memberOut = 0L
+          while (!inf.finished()) {
+            val got = inf.inflate(buf)
+            if (got == 0) {
+              if (!inf.finished()) return None
+            } else {
+              memberOut += got
+              crc.update(buf, 0, got)
+            }
+          }
+          val tp = p + ((n - p) - inf.getRemaining)
+          if (tp + 8 > n) return None
+          if (le32(tp) != crc.getValue) return None
+          if (le32(tp + 4) != (memberOut & 0xffffffffL)) return None
+          out += ((pos, tp + 8 - pos))
+          pos = tp + 8
+        } finally inf.end()
+      }
+      Some(out.result())
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** One parsed WARC record: version, headers in FILE ORDER with
     * repeated names preserved (ISO 28500 permits e.g. several
     * `WARC-Concurrent-To`), and the payload's exact byte range in the
@@ -459,6 +531,105 @@ object Warc {
   private def jsonEsc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
+  /** SURT (Sort-friendly URI Reordering Transform) url key — what
+    * standard CDX consumers (pywb, OpenWayback) sort and look up on
+    * (r14 verdict #7): scheme and userinfo dropped, host labels
+    * REVERSED and comma-joined, `)` then path+query, all lowercased,
+    * default ports (80/443) dropped, other ports kept after the host.
+    * `https://Example.ORG:443/A/b?q=1` → `org,example)/a/b?q=1`.
+    * URLs without a hierarchical `scheme://host` part fall back to the
+    * plain percent-encoded key (the pre-r15 behavior). Documented
+    * simplifications vs pywb's full canonicalizer: no www-stripping,
+    * no session-id scrubbing, IP hosts reversed like names. */
+  def surtKey(url: String): String = {
+    if (url == null) return "-"
+    val u = url.trim
+    val si = u.indexOf("://")
+    def fallback = u.replace(" ", "%20")
+    if (si <= 0) return fallback
+    var rest = u.substring(si + 3)
+    val fi = rest.indexOf('#')
+    if (fi >= 0) rest = rest.substring(0, fi) // fragment never keys
+    val pi = rest.indexWhere(c => c == '/' || c == '?')
+    var auth = if (pi < 0) rest else rest.substring(0, pi)
+    val path = if (pi < 0) "" else rest.substring(pi)
+    val at = auth.lastIndexOf('@')
+    if (at >= 0) auth = auth.substring(at + 1)
+    var host = auth.toLowerCase(java.util.Locale.ROOT)
+    var port = ""
+    val ci = host.lastIndexOf(':')
+    if (ci >= 0 && host.substring(ci + 1).forall(_.isDigit)) {
+      val p = host.substring(ci + 1)
+      host = host.substring(0, ci)
+      if (p.nonEmpty && p != "80" && p != "443") port = ":" + p
+    }
+    if (host.isEmpty) fallback
+    else (host.split('.').reverse.mkString(",") + port + ")" +
+      (if (path.isEmpty) "/" else path)
+        .toLowerCase(java.util.Locale.ROOT)).replace(" ", "%20")
+  }
+
+  /** ONE CDXJ line (`<urlkey> <timestamp> {json}\n`) — the single
+    * format authority shared by [[encodeResponses]]' index emission and
+    * [[graft.store.Takedown.eraseExports]]' regeneration: an erased
+    * archive's surviving lines must come out byte-identical to what the
+    * writer emitted (offset field aside), which only holds if both
+    * sides print through the same code. `refersTo` non-null marks a
+    * revisit line (`"mod":"revisit"` + the `refers` field the erasure
+    * probe needs to find revisits implicating a banned original). */
+  private[graft] def cdxLine(url: String, ts: String, mime: String,
+                             status: Long, digest: String,
+                             location: String, refersTo: String,
+                             length: Int, offset: Int, filename: String,
+                             surt: Boolean): String = {
+    val u = if (url == null) "-" else url
+    val sb = new StringBuilder
+    sb.append(if (surt) surtKey(u) else u.replace(" ", "%20")).append(' ')
+      .append(if (ts == null || ts.isEmpty) "-" else ts).append(' ')
+      .append("{\"url\":\"").append(jsonEsc(u))
+      .append("\",\"mime\":\"").append(jsonEsc(mime))
+      .append("\",\"status\":").append(status)
+      .append(",\"digest\":\"").append(jsonEsc(digest)).append("\"")
+    if (location != null)
+      sb.append(",\"redirect\":\"").append(jsonEsc(location)).append("\"")
+    if (refersTo != null)
+      sb.append(",\"mod\":\"revisit\",\"refers\":\"")
+        .append(jsonEsc(refersTo)).append("\"")
+    sb.append(",\"length\":").append(length)
+      .append(",\"offset\":").append(offset)
+      .append(",\"filename\":\"").append(jsonEsc(filename)).append("\"}\n")
+    sb.toString
+  }
+
+  /** Materialize an export frame (`path`, `content` — the
+    * [[encodeResponses]] output shape) into a directory: each executor
+    * writes its own files (stage → atomic rename per file, so readers
+    * and re-runs never see a torn file), the distributed-export shape —
+    * no driver collect, no shuffle. Returns the file count. */
+  def writeFiles(files: DataFrame, dir: String): Long = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val pi = files.schema.fieldIndex("path")
+    val ci = files.schema.fieldIndex("content")
+    files.mapPartitions { it =>
+      var n = 0L
+      it.foreach { row =>
+        val name = row.getString(pi)
+        require(!name.contains('/') && !name.contains('\\') &&
+          name != "." && name != "..",
+          s"writeFiles: path '$name' must be a bare file name")
+        val target = java.nio.file.Paths.get(dir, name)
+        val staging = java.nio.file.Paths.get(dir, s".staging_w_$name")
+        java.nio.file.Files.write(staging, row.getAs[Array[Byte]](ci))
+        java.nio.file.Files.move(staging, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        n += 1L
+      }
+      Iterator.single(n)
+    }(Encoders.scalaLong)
+      .agg(coalesce(sum(col("value")), lit(0L))).collect()(0).getLong(0)
+  }
+
   /** DataFrame WARC EXPORT — `(group, url, date, content_type, body)`
     * rows → one `.warc.gz` FILE per group value: `(path, content)`
     * where `path` is `<group>.warc.gz` and `content` holds one
@@ -489,10 +660,14 @@ object Warc {
     * (`<urlkey> <timestamp> {json}` with the record's compressed
     * OFFSET and LENGTH in the archive), so consumers seek straight to
     * a record instead of scanning members (r13 verdict #2). The url
-    * key is the URL with spaces percent-encoded (no SURT massage —
-    * documented simplification); offsets are byte-exact against the
-    * emitted archive (oracle-gated by slicing the archive at the CDX
-    * offsets and re-parsing).
+    * key is SURT ([[surtKey]] — the pywb/OpenWayback sort key) when
+    * `cdxSurt` is set, else the URL with spaces percent-encoded;
+    * offsets are byte-exact against the emitted archive (oracle-gated
+    * by slicing the archive at the CDX offsets and re-parsing).
+    * Revisit lines carry `"mod":"revisit"` plus the original's URI in
+    * `refers` — the manifest field [[graft.store.Takedown
+    * .eraseExports]] probes to find archives whose revisits implicate
+    * a banned original.
     *
     * Scale: ONE shuffle on the group key (plus the opt-in digest
     * shuffle), then a narrow per-partition encode — each executor
@@ -506,7 +681,11 @@ object Warc {
                       statusCol: String = null,
                       locationCol: String = null,
                       withRevisits: Boolean = false,
-                      withCdx: Boolean = false): DataFrame = {
+                      withCdx: Boolean = false,
+                      /** SURT url keys in the CDX index ([[surtKey]]) —
+                        * what pywb/OpenWayback consumers sort on; false
+                        * keeps the plain percent-encoded key. */
+                      cdxSurt: Boolean = false): DataFrame = {
     // Fixed positional layout for the encode loop: group, url, date,
     // type, body, status, location, revisit-of. Absent columns become
     // literals so the loop never branches on schema.
@@ -641,26 +820,11 @@ object Warc {
               }
             val member = if (gzipped) gzipMember(rec) else rec
             file.write(member)
-            if (emitCdx) {
-              val url = if (r.getString(1) == null) "-" else r.getString(1)
-              val ts = r.getString(2).filter(_.isDigit)
-              cdx.append(url.replace(" ", "%20")).append(' ')
-                .append(if (ts.isEmpty) "-" else ts).append(' ')
-                .append("{\"url\":\"").append(jsonEsc(url))
-                .append("\",\"mime\":\"").append(jsonEsc(contentType))
-                .append("\",\"status\":").append(status)
-                .append(",\"digest\":\"").append(jsonEsc(digest))
-                .append("\"")
-              if (location != null)
-                cdx.append(",\"redirect\":\"").append(jsonEsc(location))
-                  .append("\"")
-              if (revisitOf != null)
-                cdx.append(",\"mod\":\"revisit\"")
-              cdx.append(",\"length\":").append(member.length)
-                .append(",\"offset\":").append(offset)
-                .append(",\"filename\":\"").append(jsonEsc(group))
-                .append(".warc.gz\"}\n")
-            }
+            if (emitCdx)
+              cdx.append(cdxLine(r.getString(1),
+                r.getString(2).filter(_.isDigit), contentType, status,
+                digest, location, revisitOf, member.length, offset,
+                s"$group.warc.gz", cdxSurt))
             ordinal += 1
             if (it.hasNext) {
               pending = it.next().copy()

@@ -94,6 +94,102 @@ object WarcPack extends QueryPack {
     head ++ revisit.toString.getBytes("ISO-8859-1")
   }
 
+  /** The q_warc_cdx export fixture: documents as HTML pages with mixed
+    * 200/301/404 statuses — shared with [[graft.store.TakedownPack]]'s
+    * export-erasure query, whose oracle is this one minus the
+    * victims. */
+  private[graft] def cdxRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val esc = text.replace("&", "&amp;").replace("<", "&lt;")
+          .replace(">", "&gt;")
+        val page = (s"<html><head><title>t$id</title></head>" +
+          "<body><p>" + esc + "</p></body></html>").getBytes("UTF-8")
+        val status =
+          if (id % 3 == 1) 301L else if (id % 3 == 2) 404L else 200L
+        (s"exp${id % 5}", s"https://export.org/doc/$id",
+          "2024-01-01T00:00:00Z", "text/html; charset=utf-8",
+          page, status)
+      }
+      .toDF("file_group", "url", "warc_date", "content_type",
+        "body", "http_status")
+  }
+
+  /** The CDX byte-exactness check, shared by q_warc_cdx,
+    * q_warc_cdx_surt, and the takedown export-erasure query: parse
+    * every `.cdx` row in `files` (`path`, `content` pairs — archives
+    * and their sibling indexes), slice each archive at exactly
+    * [offset, offset+length), gunzip THAT slice alone, and re-parse it
+    * as one WARC record, emitting the entry's own fields beside the
+    * record's. `withKey = true` adds the line's urlkey token (the SURT
+    * check). ONE content copy per ARCHIVE, not per entry: a per-entry
+    * join against the archive bytes materializes the whole blob once
+    * per CDX row (5000 × MB at sf0.1 — measured 11 s); the honest
+    * consumer shape reads the index beside its archive once and seeks
+    * from there, so the entries fold to a per-archive list first and
+    * the blob joins 1:1. */
+  private[graft] def cdxSliceCheck(files: DataFrame,
+                                   withKey: Boolean = false): DataFrame = {
+    val warcs = files.filter(col("path").endsWith(".warc.gz"))
+      .select(col("path").as("fn"), col("content"))
+    val entries = files.filter(col("path").endsWith(".cdx"))
+      .select(explode(split(decode(col("content"), "UTF-8"), "\n"))
+        .as("line"))
+      .filter(length(trim(col("line"))) > 0)
+      .select(regexp_extract(col("line"), "^(\\S+) ", 1).as("urlkey"),
+        regexp_extract(col("line"), "(\\{.*\\})", 1).as("j"))
+      .select(
+        col("urlkey"),
+        get_json_object(col("j"), "$.url").as("url"),
+        get_json_object(col("j"), "$.status").cast("long")
+          .as("cdx_status"),
+        get_json_object(col("j"), "$.offset").cast("int").as("off"),
+        get_json_object(col("j"), "$.length").cast("int").as("len"),
+        get_json_object(col("j"), "$.filename").as("fn"))
+    val entryList = entries.groupBy(col("fn"))
+      .agg(collect_list(struct(col("urlkey"), col("url"),
+        col("cdx_status"), col("off"), col("len"))).as("es"))
+    val joined = entryList.join(warcs, Seq("fn"))
+      .select(col("es"), col("content"))
+    import org.apache.spark.sql.types._
+    val keyFields =
+      if (withKey) Seq(StructField("urlkey", StringType)) else Nil
+    val outSchema = StructType(keyFields ++ Seq(
+      StructField("url", StringType),
+      StructField("cdx_status", LongType),
+      StructField("rec_uri", StringType),
+      StructField("rec_status", LongType)))
+    joined.mapPartitions { it =>
+      it.flatMap { r =>
+        val content = r.getAs[Array[Byte]](1)
+        r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](0)
+          .iterator.map { e =>
+            val member = java.util.Arrays.copyOfRange(content,
+              e.getInt(3), e.getInt(3) + e.getInt(4))
+            val inflated = Warc.gunzip(member)
+            val head = inflated.flatMap(Warc.warcRecords)
+              .flatMap(_.headOption)
+            val uri = head.flatMap(_.header("WARC-Target-URI")).orNull
+            val status: java.lang.Long = (inflated, head) match {
+              case (Some(b), Some(w)) =>
+                val prefix = new String(b, w.payloadOffset,
+                  math.min(w.payloadLength, 32), "ISO-8859-1")
+                "HTTP/1\\.[01] (\\d{3})".r.findFirstMatchIn(prefix)
+                  .map(m => java.lang.Long.valueOf(m.group(1).toLong))
+                  .orNull
+              case _ => null
+            }
+            val base = Seq(e.getString(1), e.getLong(2), uri, status)
+            org.apache.spark.sql.Row.fromSeq(
+              if (withKey) e.getString(0) +: base else base)
+          }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q_warc_records" -> warcQuery(gzipped = false),
@@ -191,6 +287,18 @@ object WarcPack extends QueryPack {
       // as a single WARC record whose URI and status-line must match
       // the CDX entry's own fields.
       "q_warc_cdx" -> { (s, dir) =>
+        // localCheckpoint: the export feeds BOTH the archive branch and
+        // the index branch — one encode pass, not two.
+        cdxSliceCheck(Warc.encodeResponses(cdxRows(s, dir),
+            statusCol = "http_status", withCdx = true)
+          .localCheckpoint(true))
+      },
+      // SURT url keys (r14 verdict #7): the same slice check over an
+      // export whose CDX keys are SURT — scheme dropped, host labels
+      // reversed and comma-joined, lowercased, default port dropped,
+      // non-default port kept — derived independently by the DuckDB
+      // oracle from the constructed (mixed-case, mixed-port) URLs.
+      "q_warc_cdx_surt" -> { (s, dir) =>
         import s.implicits._
         val rows = table(s, dir, "documents")
           .filter(col("text").isNotNull)
@@ -200,78 +308,20 @@ object WarcPack extends QueryPack {
               .replace(">", "&gt;")
             val page = (s"<html><head><title>t$id</title></head>" +
               "<body><p>" + esc + "</p></body></html>").getBytes("UTF-8")
-            val status =
-              if (id % 3 == 1) 301L else if (id % 3 == 2) 404L else 200L
-            (s"exp${id % 5}", s"https://export.org/doc/$id",
-              "2024-01-01T00:00:00Z", "text/html; charset=utf-8",
-              page, status)
+            // Mixed case, userinfo-free, one host with an explicit
+            // default port (dropped) and one with 8080 (kept): the SURT
+            // corners the oracle can re-derive closed-form.
+            val url =
+              if (id % 2 == 0) s"https://Export.ORG:443/Doc/$id"
+              else s"http://h${id % 3}.Site.org:8080/p/$id"
+            (s"exp${id % 5}", url, "2024-01-01T00:00:00Z",
+              "text/html; charset=utf-8", page, 200L)
           }
           .toDF("file_group", "url", "warc_date", "content_type",
             "body", "http_status")
-        // localCheckpoint: the export feeds BOTH the archive branch and
-        // the index branch — one encode pass, not two.
-        val files = Warc.encodeResponses(rows,
-            statusCol = "http_status", withCdx = true)
-          .localCheckpoint(true)
-        val warcs = files.filter(col("path").endsWith(".warc.gz"))
-          .select(col("path").as("fn"), col("content"))
-        val entries = files.filter(col("path").endsWith(".cdx"))
-          .select(explode(split(decode(col("content"), "UTF-8"), "\n"))
-            .as("line"))
-          .filter(length(trim(col("line"))) > 0)
-          .select(regexp_extract(col("line"), "(\\{.*\\})", 1).as("j"))
-          .select(
-            get_json_object(col("j"), "$.url").as("url"),
-            get_json_object(col("j"), "$.status").cast("long")
-              .as("cdx_status"),
-            get_json_object(col("j"), "$.offset").cast("int").as("off"),
-            get_json_object(col("j"), "$.length").cast("int").as("len"),
-            get_json_object(col("j"), "$.filename").as("fn"))
-        // ONE content copy per ARCHIVE, not per entry: a per-entry join
-        // against the archive bytes materializes the whole blob once
-        // per CDX row (5000 × MB at sf0.1 — measured 11 s); the honest
-        // consumer shape reads the index beside its archive once and
-        // seeks from there, so the entries fold to a per-archive list
-        // first and the blob joins 1:1.
-        val entryList = entries.groupBy(col("fn"))
-          .agg(collect_list(struct(col("url"), col("cdx_status"),
-            col("off"), col("len"))).as("es"))
-        val joined = entryList.join(warcs, Seq("fn"))
-          .select(col("es"), col("content"))
-        val outSchema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("url",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("cdx_status",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("rec_uri",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("rec_status",
-            org.apache.spark.sql.types.LongType)))
-        joined.mapPartitions { it =>
-          it.flatMap { r =>
-            val content = r.getAs[Array[Byte]](1)
-            r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](0)
-              .iterator.map { e =>
-                val member = java.util.Arrays.copyOfRange(content,
-                  e.getInt(2), e.getInt(2) + e.getInt(3))
-                val inflated = Warc.gunzip(member)
-                val head = inflated.flatMap(Warc.warcRecords)
-                  .flatMap(_.headOption)
-                val uri = head.flatMap(_.header("WARC-Target-URI")).orNull
-                val status: java.lang.Long = (inflated, head) match {
-                  case (Some(b), Some(w)) =>
-                    val prefix = new String(b, w.payloadOffset,
-                      math.min(w.payloadLength, 32), "ISO-8859-1")
-                    "HTTP/1\\.[01] (\\d{3})".r.findFirstMatchIn(prefix)
-                      .map(m => java.lang.Long.valueOf(m.group(1).toLong))
-                      .orNull
-                  case _ => null
-                }
-                org.apache.spark.sql.Row(
-                  e.getString(0), e.getLong(1), uri, status)
-              }
-          }
-        }(org.apache.spark.sql.Encoders.row(outSchema))
+        cdxSliceCheck(Warc.encodeResponses(rows,
+            statusCol = "http_status", withCdx = true, cdxSurt = true)
+          .localCheckpoint(true), withKey = true)
       },
       // Revisit resolution + digest verification (r11): each file holds
       // a response and its payload-free revisit twin; the revisit must
@@ -368,6 +418,27 @@ object WarcPack extends QueryPack {
         |    AS rec_uri,
         |  CAST(CASE doc_id % 3 WHEN 1 THEN 301 WHEN 2 THEN 404
         |    ELSE 200 END AS BIGINT) AS rec_status
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    // SURT keys re-derived as pure string arithmetic: lowercase, drop
+    // the scheme and the default port, reverse host labels with commas,
+    // ')' then the lowercased path; the slice check rides along.
+    "q_warc_cdx_surt" ->
+      """SELECT CASE WHEN doc_id % 2 = 0
+        |    THEN 'org,export)/doc/' || CAST(doc_id AS VARCHAR)
+        |    ELSE 'org,site,h' || CAST(doc_id % 3 AS VARCHAR)
+        |      || ':8080)/p/' || CAST(doc_id AS VARCHAR) END AS urlkey,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN 'https://Export.ORG:443/Doc/' || CAST(doc_id AS VARCHAR)
+        |    ELSE 'http://h' || CAST(doc_id % 3 AS VARCHAR)
+        |      || '.Site.org:8080/p/' || CAST(doc_id AS VARCHAR) END
+        |    AS url,
+        |  CAST(200 AS BIGINT) AS cdx_status,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN 'https://Export.ORG:443/Doc/' || CAST(doc_id AS VARCHAR)
+        |    ELSE 'http://h' || CAST(doc_id % 3 AS VARCHAR)
+        |      || '.Site.org:8080/p/' || CAST(doc_id AS VARCHAR) END
+        |    AS rec_uri,
+        |  CAST(200 AS BIGINT) AS rec_status
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
     "q_warc_revisit" ->
       """SELECT doc_id AS media_id,

@@ -41,6 +41,17 @@ import org.apache.spark.sql.types._
   * any output that names documents is scrubbed at read —
   * [[scrubPairs]] for two-endpoint frames. Erasing inside every index's
   * internal layout would buy nothing the next snapshot doesn't.
+  *
+  * EXPORTED WARC ARCHIVES are the one output that persists full
+  * payloads OUTSIDE the store layer (they are bytes on disk, not a
+  * function of any store), so they get their own physical pass:
+  * [[eraseExports]] rewrites only victim-bearing archives — probed by
+  * their own CDX manifests, survivors byte-verbatim, indexes
+  * regenerated with corrected offsets, idempotent on rerun. With that,
+  * the removal story covers every place a banned payload can live:
+  * serving reads ([[scrub]], wired into [[graft.serve
+  * .StoreHttpServer]]), ingest re-admission, stores ([[erase]]),
+  * derived data (cadence above), and shipped archives.
   */
 object Takedown {
 
@@ -119,4 +130,189 @@ object Takedown {
             keyCol: String): Long =
     target.eraseKeys(victimKeys(store).withColumnRenamed("key", keyCol),
       Seq(keyCol))
+
+  /** PHYSICAL erasure for EXPORTED WARC ARCHIVES (r14 verdict #1 — the
+    * one output that persists full payloads OUTSIDE the store layer):
+    * remove from every `.warc.gz` under `exportDir` each record whose
+    * `WARC-Target-URI` is a victim key, or whose
+    * `WARC-Refers-To-Target-URI` names one (a revisit implicating a
+    * banned original must go too — its block still attributes the
+    * banned content by digest and URI). After it returns, no archive
+    * under the directory holds a victim record — the compliance answer
+    * to "is it gone from the copies we shipped?".
+    *
+    * Mechanics mirror [[ParquetStore.eraseKeys]]' amortization:
+    *
+    *   - PROBE by the manifest: each archive's sibling `.cdx` (the
+    *     export's own index — `url` and `refers` fields) decides
+    *     victim-bearing WITHOUT reading archive bytes; only touched
+    *     archives are rewritten. Archives lacking a sibling index (or
+    *     whose revisit lines predate the `refers` field) are scanned.
+    *   - REWRITE copy-on-write, survivors VERBATIM: each record is its
+    *     own gzip member ([[graft.sources.Warc.memberSpans]]), so kept
+    *     members are byte-copied — record ids, digests, and the
+    *     re-export byte-stability contract all survive — and the
+    *     sibling CDX is regenerated from the new archive with corrected
+    *     offsets through the writer's own line builder
+    *     ([[graft.sources.Warc.cdxLine]]), byte-identical modulo the
+    *     dropped lines and shifted offsets.
+    *   - IDEMPOTENT on rerun ([[ParquetStore.eraseKeys]]' contract): an
+    *     erased archive no longer probes as touched, so a re-run
+    *     touches nothing; a crash between the archive swap and the CDX
+    *     swap leaves a stale index that the next run detects (regen ≠
+    *     on-disk) and heals. Each swap is stage → atomic rename in the
+    *     same directory, so readers never see a torn file.
+    *
+    * A member that fails to parse ABORTS that archive's rewrite
+    * (erasure must be provable; an archive we cannot fully account for
+    * is never silently half-scrubbed). Distributed: one task per
+    * archive partition — the victim list rides the closure
+    * (list-sized by nature, the [[scrub]] assumption). Returns how
+    * many archives were rewritten. */
+  def eraseExports(spark: org.apache.spark.sql.SparkSession,
+                   exportDir: String, store: ParquetStore,
+                   cdxSurt: Boolean = false): Long = {
+    val victims = victimKeys(store).collect().map(_.getString(0)).toSet
+    if (victims.isEmpty) return 0L
+    val dir = java.nio.file.Paths.get(exportDir)
+    if (!java.nio.file.Files.isDirectory(dir)) return 0L
+    val s = java.nio.file.Files.list(dir)
+    val archives =
+      try s.toArray.toSeq.map(_.toString)
+        .filter(_.endsWith(".warc.gz")).sorted
+      finally s.close()
+    if (archives.isEmpty) return 0L
+    import spark.implicits._
+    spark.createDataset(archives)
+      .repartition(math.min(archives.size, 32))
+      .map(p => eraseOneArchive(p, victims, cdxSurt))
+      .agg(coalesce(sum(col("value")), lit(0L)))
+      .collect()(0).getLong(0)
+  }
+
+  /** One archive's probe + rewrite (executor-side). Returns 1 when the
+    * `.warc.gz` was rewritten, 0 otherwise (a CDX-only heal — stale
+    * from a crash window or predating the `refers` field — does not
+    * count as an archive rewrite). */
+  private def eraseOneArchive(archivePath: String, victims: Set[String],
+                              cdxSurt: Boolean): Long = {
+    import graft.sources.Warc
+    val archive = java.nio.file.Paths.get(archivePath)
+    val cdxPath = java.nio.file.Paths.get(
+      archivePath.stripSuffix(".warc.gz") + ".cdx")
+    val hasCdx = java.nio.file.Files.exists(cdxPath)
+    val cdxBytes = if (hasCdx) java.nio.file.Files.readAllBytes(cdxPath) else null
+    // --- PROBE: manifest-only when the index can answer.
+    if (hasCdx) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      var bearing = false
+      var undecided = false // revisit line predating the `refers` field
+      new String(cdxBytes, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").iterator.filter(_.nonEmpty).foreach { line =>
+          val js = line.indexOf('{')
+          if (js < 0) undecided = true
+          else {
+            val node = mapper.readTree(line.substring(js))
+            val url = Option(node.get("url")).map(_.asText()).orNull
+            if (url != null && victims.contains(url)) bearing = true
+            if (node.has("mod")) {
+              val refers =
+                Option(node.get("refers")).map(_.asText()).orNull
+              if (refers == null) undecided = true
+              else if (victims.contains(refers)) bearing = true
+            }
+          }
+        }
+      if (!bearing && !undecided) return 0L
+    }
+    // --- REWRITE (or full scan when the manifest could not decide):
+    // walk members, keep survivors verbatim, rebuild index from the
+    // kept records.
+    val bytes = java.nio.file.Files.readAllBytes(archive)
+    val spans = Warc.memberSpans(bytes).getOrElse(
+      throw new IllegalStateException(
+        s"eraseExports: $archivePath is not a clean multi-member " +
+          ".warc.gz — refusing to erase an archive that cannot be " +
+          "fully accounted for"))
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    val newCdx = if (hasCdx) new StringBuilder else null
+    var dropped = 0
+    val filename = archive.getFileName.toString
+    spans.foreach { case (off, len) =>
+      val member = java.util.Arrays.copyOfRange(bytes, off, off + len)
+      val inflated = Warc.gunzip(member)
+      val rec = inflated.flatMap(Warc.warcRecords) match {
+        case Some(rs) if rs.size == 1 => rs.head
+        case _ => throw new IllegalStateException(
+          s"eraseExports: $archivePath member at $off is not one WARC " +
+            "record — refusing to erase an archive that cannot be " +
+            "fully accounted for")
+      }
+      val uri = rec.header("WARC-Target-URI").orNull
+      val refers = rec.header("WARC-Refers-To-Target-URI").orNull
+      if ((uri != null && victims.contains(uri)) ||
+        (refers != null && victims.contains(refers))) dropped += 1
+      else {
+        val offset = out.size()
+        out.write(member)
+        if (hasCdx) {
+          val (status, mime, location) = httpHeadFields(inflated.get,
+            rec.payloadOffset, rec.payloadLength)
+          newCdx.append(Warc.cdxLine(uri,
+            rec.header("WARC-Date").getOrElse("").filter(_.isDigit),
+            mime, status,
+            rec.header("WARC-Payload-Digest").orNull, location,
+            if (rec.header("WARC-Type").contains("revisit")) refers
+            else null,
+            len, offset, filename, cdxSurt))
+        }
+      }
+    }
+    val cdxChanged = hasCdx &&
+      !java.util.Arrays.equals(cdxBytes, newCdx.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    if (dropped == 0 && !cdxChanged) return 0L
+    // Archive first, then its index: a crash between the two leaves a
+    // stale index the next run heals (regen ≠ on-disk ⇒ cdxChanged).
+    if (dropped > 0) {
+      val staging = java.nio.file.Paths.get(
+        archive.getParent.toString, s".staging_e_$filename")
+      java.nio.file.Files.write(staging, out.toByteArray)
+      java.nio.file.Files.move(staging, archive,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    if (cdxChanged) {
+      val staging = java.nio.file.Paths.get(
+        archive.getParent.toString,
+        s".staging_e_${cdxPath.getFileName.toString}")
+      java.nio.file.Files.write(staging, newCdx.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(staging, cdxPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    if (dropped > 0) 1L else 0L
+  }
+
+  /** The status line, Content-Type, and Location of the HTTP head at
+    * the start of a record's payload — the fields the writer baked into
+    * its CDX line, re-derived for regeneration. */
+  private def httpHeadFields(bytes: Array[Byte], off: Int,
+                             len: Int): (Long, String, String) = {
+    val head = new String(bytes, off, math.min(len, 8192),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val end = head.indexOf("\r\n\r\n")
+    val lines = (if (end >= 0) head.substring(0, end) else head)
+      .split("\r\n")
+    val status = lines.headOption
+      .flatMap(l => "^HTTP/1\\.[01] (\\d{3})".r.findFirstMatchIn(l))
+      .map(_.group(1).toLong).getOrElse(0L)
+    def hdr(name: String): String = lines.drop(1).collectFirst {
+      case l if l.length > name.length + 1 &&
+        l.substring(0, name.length).equalsIgnoreCase(name) &&
+        l.charAt(name.length) == ':' => l.substring(name.length + 1).trim
+    }.orNull
+    (status, hdr("Content-Type"), hdr("Location"))
+  }
 }

@@ -174,6 +174,112 @@ class TakedownSpec extends SparkSpec {
       === Seq(("x", "y")))
   }
 
+  // ---- eraseExports (r15): takedown reaches shipped archives ----
+
+  /** A small on-disk export: 3 groups, one a victim-free control; doc 4
+    * is a byte-duplicate of victim doc 1 at a second URL, exported with
+    * withRevisits so a revisit record IMPLICATES the banned original. */
+  private def exportFixture(): (String, ParquetStore) = {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val rows = Seq(
+      ("g0", "https://e.org/keep/0", "body zero"),
+      ("g0", "https://e.org/bad/1", "banned body"),
+      ("g1", "https://e.org/keep/2", "body two"),
+      ("g1", "https://e.org/keep/3", "body three"),
+      ("g2", "https://e.org/dup/4", "banned body"), // revisit of bad/1
+      ("g2", "https://e.org/keep/5", "body five"))
+      .map { case (g, u, b) =>
+        (g, u, "2024-01-01T00:00:00Z", "text/plain", b.getBytes("UTF-8"))
+      }.toDF("file_group", "url", "warc_date", "content_type", "body")
+    val dir = tmp()
+    graft.sources.Warc.writeFiles(graft.sources.Warc.encodeResponses(
+      rows, withCdx = true, withRevisits = true), dir)
+    val td = Takedown.takedownStore(spark, tmp(), "td_exp_list")
+    Takedown.request(td, victims("https://e.org/bad/1"))
+    (dir, td)
+  }
+
+  private def dirBytes(dir: String): Map[String, Seq[Byte]] = {
+    val s = Files.list(java.nio.file.Paths.get(dir))
+    try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+      .map(p => p.getFileName.toString ->
+        Files.readAllBytes(p).toSeq).toMap
+    finally s.close()
+  }
+
+  private def readUris(dir: String) = {
+    val back = spark.read.format("binaryFile").load(dir)
+      .filter(col("path").endsWith(".warc.gz"))
+      .select(col("path"), col("content").as("bytes"))
+    graft.sources.Warc.records(back, gzipped = true)
+      .select(col("warc_type"), col("target_uri"), col("refers_to_uri"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2))).toSet
+  }
+
+  test("eraseExports removes victim records AND implicating revisits; untouched archives keep their bytes") {
+    val (dir, td) = exportFixture()
+    val before = dirBytes(dir)
+    // The revisit in g2 names the banned original.
+    assert(readUris(dir).exists { case (t, _, ref) =>
+      t == "revisit" && ref == "https://e.org/bad/1" })
+    assert(Takedown.eraseExports(spark, dir, td) === 2L) // g0 + g2
+    val uris = readUris(dir)
+    assert(!uris.exists(_._2 == "https://e.org/bad/1"))
+    assert(!uris.exists(_._3 == "https://e.org/bad/1")) // revisit gone
+    assert(uris.map(_._2) === Set("https://e.org/keep/0",
+      "https://e.org/keep/2", "https://e.org/keep/3",
+      "https://e.org/keep/5"))
+    val after = dirBytes(dir)
+    // The victim-free archive and its index are byte-untouched.
+    assert(after("g1.warc.gz") === before("g1.warc.gz"))
+    assert(after("g1.cdx") === before("g1.cdx"))
+    // Survivor members are byte-verbatim: keep/0's member bytes appear
+    // in the rewritten g0 exactly as exported (offset shifted only).
+    val spans0 = graft.sources.Warc.memberSpans(
+      after("g0.warc.gz").toArray).get
+    assert(spans0.size === 1)
+    val oldSpans0 = graft.sources.Warc.memberSpans(
+      before("g0.warc.gz").toArray).get
+    val oldMembers = oldSpans0.map { case (o, l) =>
+      before("g0.warc.gz").slice(o, o + l) }
+    assert(oldMembers.exists(_ == after("g0.warc.gz")))
+  }
+
+  test("eraseExports is idempotent — a second pass (and a crashed-then-rerun pass) touches nothing") {
+    val (dir, td) = exportFixture()
+    assert(Takedown.eraseExports(spark, dir, td) === 2L)
+    val clean = dirBytes(dir)
+    // Re-run: the manifests no longer bear victims — zero rewrites,
+    // bytes identical.
+    assert(Takedown.eraseExports(spark, dir, td) === 0L)
+    assert(dirBytes(dir) === clean)
+    // Crash window: archive swapped but the OLD index restored (the
+    // stale-cdx state a crash between the two renames leaves). The
+    // rerun heals the index — regenerated from the clean archive —
+    // without rewriting the archive again.
+    val staleCdx = exportFixture()
+    Files.write(java.nio.file.Paths.get(dir, "g0.cdx"),
+      dirBytes(staleCdx._1)("g0.cdx").toArray)
+    assert(Takedown.eraseExports(spark, dir, td) === 0L)
+    assert(dirBytes(dir) === clean)
+  }
+
+  test("eraseExports slice-checks: regenerated CDX offsets are byte-exact against the rewritten archives") {
+    val (dir, td) = exportFixture()
+    Takedown.eraseExports(spark, dir, td)
+    val back = spark.read.format("binaryFile").load(dir)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("path"),
+        col("content"))
+    val checked = graft.sources.WarcPack.cdxSliceCheck(back)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    // Every surviving entry's slice re-parses to its own record.
+    assert(checked.forall { case (u, ru) => u == ru })
+    assert(checked.size === 4) // keep/0, keep/2, keep/3, keep/5 —
+                               // bad/1 and its dup/4 revisit are gone.
+  }
+
   test("numeric-keyed stores erase through the string-keyed victim list") {
     val numSchema = StructType(Seq(
       StructField("id", LongType), StructField("v", StringType)))
