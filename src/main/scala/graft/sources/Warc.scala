@@ -685,7 +685,21 @@ object Warc {
                       /** SURT url keys in the CDX index ([[surtKey]]) —
                         * what pywb/OpenWayback consumers sort on; false
                         * keeps the plain percent-encoded key. */
-                      cdxSurt: Boolean = false): DataFrame = {
+                      cdxSurt: Boolean = false,
+                      /** CROSS-EXPORT revisit memory (r14 verdict #6):
+                        * `(digest, url, warc_date)` rows naming the
+                        * original already shipped in a PRIOR export for
+                        * each hex-sha1 body digest. A row whose digest
+                        * matches becomes a payload-free revisit of that
+                        * original even as the FIRST occurrence in this
+                        * call — unless the row IS the stored original
+                        * itself (same url AND date: a crash-replayed or
+                        * re-run export must re-emit the original as a
+                        * response, byte-stably, not as a revisit of
+                        * itself). Feed from [[revisitStore]] via
+                        * [[exportIncremental]]. Implies nothing unless
+                        * `withRevisits` is set. */
+                      priorReps: DataFrame = null): DataFrame = {
     // Fixed positional layout for the encode loop: group, url, date,
     // type, body, status, location, revisit-of. Absent columns become
     // literals so the loop never branches on schema.
@@ -704,17 +718,34 @@ object Warc {
         // Write-side revisit detection: the FIRST row per payload
         // digest (total order — deterministic across runs) is the
         // response; every later duplicate becomes a revisit of it.
-        // Null bodies never cluster.
+        // Null bodies never cluster. A PRIOR-EXPORT rep (priorReps)
+        // preempts the in-call window: the original already shipped,
+        // so every occurrence here is a revisit of IT — except the
+        // stored original's own re-delivery (url+date match), which
+        // stays a response for replay byte-stability.
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("_dig"))
           .orderBy(col(urlCol), col(dateCol), col(groupCol), col(typeCol))
-        base.withColumn("_dig",
-            when(col(bodyCol).isNotNull, sha1(col(bodyCol))))
+        val dug = base.withColumn("_dig",
+          when(col(bodyCol).isNotNull, sha1(col(bodyCol))))
+        val withPrior =
+          if (priorReps == null)
+            dug.withColumn("_prior", lit(null).cast("string"))
+              .withColumn("_pdate", lit(null).cast("string"))
+          else dug.join(
+            priorReps.select(col("digest").as("_dig"),
+              col("url").as("_prior"), col("warc_date").as("_pdate")),
+            Seq("_dig"), "left")
+        withPrior
           .withColumn("_rn", row_number().over(w))
           .withColumn("_orig", first_value(col(urlCol)).over(w))
           .withColumn("_revisit_of",
-            when(col("_dig").isNotNull && col("_rn") > 1, col("_orig")))
-          .drop("_dig", "_rn", "_orig")
+            when(col("_dig").isNotNull && col("_prior").isNotNull &&
+              !(col(urlCol) === col("_prior") &&
+                col(dateCol) === col("_pdate")), col("_prior"))
+            .when(col("_dig").isNotNull && col("_prior").isNull &&
+              col("_rn") > 1, col("_orig")))
+          .drop("_dig", "_rn", "_orig", "_prior", "_pdate")
       }
     // TOTAL-order sort (ALL columns, body and the status/location/
     // revisit work columns included): rows tying on any prefix — a
@@ -838,5 +869,98 @@ object Warc {
         }
       }
     }(Encoders.row(outSchema))
+  }
+
+  // ---------------------------------------------------------------
+  // INCREMENTAL EXPORT (r15 — r14 verdict #6): cross-export revisit
+  // memory. `encodeResponses(withRevisits)` dedups payloads within ONE
+  // call; a corpus ships in MANY — batch N+1 re-shipping payloads that
+  // batch N's archives already hold as full response records defeats
+  // the revisit mechanism exactly where it matters. The durable
+  // digest→original table below (the [[graft.streaming.CrawlMedia]]
+  // rep-store pattern, write-side) carries the memory across calls.
+
+  /** One row per first-shipped payload digest: which (url, warc_date)
+    * owns the content and which archive holds it. First-writer-wins
+    * (later exports of the same digest never rename the original —
+    * the naming-authority rule the media rep store established). */
+  val RepSchema: StructType = StructType(Seq(
+    StructField("digest", StringType), StructField("url", StringType),
+    StructField("warc_date", StringType),
+    StructField("archive", StringType)))
+
+  /** Open (or resume) the durable cross-export rep store —
+    * collapse-managed like every delta-keyed store. */
+  def revisitStore(spark: org.apache.spark.sql.SparkSession,
+                   storePath: String,
+                   tableName: String = "warc_export_reps",
+                   collapseEvery: Long = 16L): graft.store.ParquetStore =
+    new graft.store.ParquetStore(spark, RepSchema, storePath, tableName,
+      collapseKeys = Seq("digest"), collapseEvery = collapseEvery)
+
+  /** One export CALL of an incremental corpus shipment: encode `rows`
+    * with revisit detection against BOTH this call (the in-call
+    * window) and every prior call (`repStore`), materialize the
+    * archives into `outDir` ([[writeFiles]] — atomic per-file renames,
+    * re-runs overwrite byte-identically), then record this call's NEW
+    * digests as reps (first row per digest under the same total order
+    * the window used; anti-joined so an existing digest is never
+    * renamed). Returns files written.
+    *
+    * Ordering is load-bearing: reps append AFTER the archives land, so
+    * a rep can never name a record that was never written. The crash
+    * window between the two is at-least-once, not corrupting: a crash
+    * before the rep append re-ships those payloads as full responses
+    * on the retry (duplicate bytes, correct records), and the retry's
+    * rep append converges. A crash-REPLAY of a completed call is
+    * byte-stable: the stored originals re-emit as responses (url+date
+    * match — [[encodeResponses]]' priorReps contract), in-call
+    * duplicates re-emit as the same revisits, and [[writeFiles]]
+    * replaces each file with identical bytes.
+    *
+    * Scale: adds ONE digest equi-join against the rep store (O(unique
+    * payloads) rows, AQE picks the strategy) and one batch-sized
+    * aggregation for the rep append, on top of the export's own
+    * shuffles. */
+  def exportIncremental(rows: DataFrame,
+                        repStore: graft.store.ParquetStore,
+                        outDir: String,
+                        groupCol: String = "file_group",
+                        urlCol: String = "url",
+                        dateCol: String = "warc_date",
+                        typeCol: String = "content_type",
+                        bodyCol: String = "body",
+                        gzipped: Boolean = true,
+                        statusCol: String = null,
+                        locationCol: String = null,
+                        withCdx: Boolean = false,
+                        cdxSurt: Boolean = false): Long = {
+    val prior = repStore.latestPerKey(Seq("digest"))
+      .select(col("digest"), col("url"), col("warc_date"))
+    val n = writeFiles(encodeResponses(rows, groupCol, urlCol, dateCol,
+      typeCol, bodyCol, gzipped, statusCol, locationCol,
+      withRevisits = true, withCdx = withCdx, cdxSurt = cdxSurt,
+      priorReps = prior), outDir)
+    // This call's rep per digest = the window's first row: min over the
+    // SAME (url, date, group, type) total order.
+    val ord = struct(col(urlCol), col(dateCol), col(groupCol),
+      col(typeCol))
+    val reps = rows
+      .withColumn("_dig", when(col(bodyCol).isNotNull, sha1(col(bodyCol))))
+      .filter(col("_dig").isNotNull)
+      .groupBy(col("_dig").as("digest"))
+      .agg(min(ord).as("o"))
+      .select(col("digest"), col("o").getField(urlCol).as("url"),
+        col("o").getField(dateCol).as("warc_date"),
+        concat(col("o").getField(groupCol), lit(".warc.gz"))
+          .as("archive"))
+    val fresh = reps.join(
+        repStore.selectAll.select(col("digest")).distinct(),
+        Seq("digest"), "left_anti")
+      .persist()
+    try {
+      if (!fresh.isEmpty) { repStore.appendStreaming(fresh); () }
+    } finally { fresh.unpersist(); () }
+    n
   }
 }

@@ -323,6 +323,67 @@ object WarcPack extends QueryPack {
             statusCol = "http_status", withCdx = true, cdxSurt = true)
           .localCheckpoint(true), withKey = true)
       },
+      // CROSS-EXPORT revisit memory (r15 — r14 verdict #6): the corpus
+      // ships in TWO exportIncremental calls against one durable rep
+      // store. Call 2 re-delivers call 1's page bytes at new /dup URLs
+      // — in a DIFFERENT call, where the in-call window cannot see the
+      // originals — and must write payload-free revisits whose
+      // WARC-Refers-To names call 1's records; reading BOTH calls'
+      // archives back through resolveRevisits reattaches every dup to
+      // its cross-archive original.
+      "q_warc_export_inc" -> { (s, dir) =>
+        import s.implicits._
+        val expDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          f"graft_warcinc_${dir.hashCode}%08x").toString
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(expDir))
+        val store = Warc.revisitStore(s, s"$expDir-reps",
+          tableName = "warc_inc_reps")
+        store.reset()
+        def page(id: Long, text: String) = {
+          val esc = text.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;")
+          (s"<html><head><title>t$id</title></head><body><p>" + esc +
+            "</p></body></html>").getBytes("UTF-8")
+        }
+        val docs = table(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .localCheckpoint(true)
+        val call1 = docs.filter(_._1 % 2 == 0).map { case (id, text) =>
+          (s"c1g${id % 3}", s"https://inc.org/doc/$id",
+            "2024-01-01T00:00:00Z", "text/html; charset=utf-8",
+            page(id, text))
+        }.toDF("file_group", "url", "warc_date", "content_type", "body")
+        val call2 = docs.filter(_._1 % 2 == 1).map { case (id, text) =>
+          (s"c2g${id % 3}", s"https://inc.org/doc/$id",
+            "2024-02-01T00:00:00Z", "text/html; charset=utf-8",
+            page(id, text))
+        }.toDF("file_group", "url", "warc_date", "content_type", "body")
+          .unionByName(docs.filter(_._1 % 2 == 0).map { case (id, text) =>
+            (s"c2g${id % 3}", s"https://inc.org/dup/$id",
+              "2024-02-01T00:00:00Z", "text/html; charset=utf-8",
+              page(id, text))
+          }.toDF("file_group", "url", "warc_date", "content_type",
+            "body"))
+        Warc.exportIncremental(call1, store, expDir)
+        Warc.exportIncremental(call2, store, expDir)
+        val recs = Warc.records(
+          s.read.format("binaryFile").load(expDir)
+            .filter(col("path").endsWith(".warc.gz"))
+            .select(col("path"), col("content").as("bytes")),
+          gzipped = true).filter(col("record_ix") >= 0)
+        val resp = recs.filter(col("warc_type") === "response")
+          .select(col("target_uri").as("url"),
+            lit("response").as("rec"),
+            lit(null).cast("string").as("original_uri"),
+            lit(null).cast("boolean").as("refers_match"))
+        val rev = Warc.resolveRevisits(recs)
+          .select(col("target_uri").as("url"), lit("revisit").as("rec"),
+            col("original_uri"),
+            (col("refers_to_uri") === col("original_uri"))
+              .as("refers_match"))
+        resp.unionByName(rev)
+      },
       // Revisit resolution + digest verification (r11): each file holds
       // a response and its payload-free revisit twin; the revisit must
       // join back to the original by digest, and the response's
@@ -440,6 +501,21 @@ object WarcPack extends QueryPack {
         |    AS rec_uri,
         |  CAST(200 AS BIGINT) AS rec_status
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    // Every doc is a response exactly once (call 1 evens, call 2 odds);
+    // every even doc's /dup re-delivery is a revisit resolved across
+    // calls to its /doc original, with the record's own Refers-To
+    // naming the same URI.
+    "q_warc_export_inc" ->
+      """SELECT 'https://inc.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        |  'response' AS rec, CAST(NULL AS VARCHAR) AS original_uri,
+        |  CAST(NULL AS BOOLEAN) AS refers_match
+        |FROM documents WHERE text IS NOT NULL
+        |UNION ALL
+        |SELECT 'https://inc.org/dup/' || CAST(doc_id AS VARCHAR),
+        |  'revisit', 'https://inc.org/doc/' || CAST(doc_id AS VARCHAR),
+        |  true
+        |FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0"""
+        .stripMargin,
     "q_warc_revisit" ->
       """SELECT doc_id AS media_id,
         |  'https://example.org/re/' || CAST(doc_id AS VARCHAR)

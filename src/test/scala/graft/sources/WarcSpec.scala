@@ -379,4 +379,64 @@ class WarcSpec extends SparkSpec {
       .flatMap(_.header("WARC-Record-ID")).toSet
     assert(idSet.size === 2, "same row in two archives → two ids")
   }
+
+  test("exportIncremental: cross-call revisits, replay byte-stability, crash-before-rep-append convergence") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import org.apache.spark.sql.functions.col
+    def rows(group: String, entries: (String, String)*) =
+      entries.map { case (u, b) =>
+        (group, u, "2024-01-01T00:00:00Z", "text/plain",
+          b.getBytes("UTF-8"))
+      }.toDF("file_group", "url", "warc_date", "content_type", "body")
+    def dirBytes(dir: String): Map[String, Seq[Byte]] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.readAllBytes(p).toSeq).toMap
+      finally s.close()
+    }
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_inc_$tag").toString
+    val rows1 = rows("a1", "https://e.org/u/1" -> "body X",
+      "https://e.org/u/2" -> "body Y")
+    val rows2 = rows("b1", "https://e.org/u/3" -> "body X", // dup of u/1
+      "https://e.org/u/4" -> "body Z")
+    val dir = tmp("main")
+    val store = Warc.revisitStore(spark, tmp("reps"), "inc_reps_spec")
+    Warc.exportIncremental(rows1, store, dir)
+    val afterCall1 = dirBytes(dir)
+    // REPLAY of a completed call: the stored originals re-emit as
+    // responses (url+date match), bytes identical — never a
+    // revisit-of-itself.
+    Warc.exportIncremental(rows1, store, dir)
+    assert(dirBytes(dir) === afterCall1)
+    // Call 2: u/3's bytes duplicate call 1's u/1 — in a different call,
+    // where the in-call window can't see it.
+    Warc.exportIncremental(rows2, store, dir)
+    val recs = Warc.records(
+      spark.read.format("binaryFile").load(dir)
+        .filter(col("path").endsWith(".warc.gz"))
+        .select(col("path"), col("content").as("bytes")),
+      gzipped = true)
+    val u3 = recs.filter(col("target_uri") === "https://e.org/u/3")
+      .collect().head
+    assert(u3.getAs[String]("warc_type") === "revisit")
+    assert(u3.getAs[String]("refers_to_uri") === "https://e.org/u/1")
+    val resolved = Warc.resolveRevisits(recs)
+      .select("target_uri", "original_uri").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(resolved("https://e.org/u/3") === "https://e.org/u/1")
+    // CRASH WINDOW: archives landed but the rep append didn't (store
+    // empty). The retry overwrites byte-identically, records the reps,
+    // and the next call converges to the exact same bytes as the
+    // clean run.
+    val dir3 = tmp("crash")
+    val store3 = Warc.revisitStore(spark, tmp("reps3"), "inc_reps_crash")
+    Warc.writeFiles(Warc.encodeResponses(rows1, withRevisits = true),
+      dir3) // the crashed first call: files on disk, no reps recorded
+    Warc.exportIncremental(rows1, store3, dir3) // retry
+    Warc.exportIncremental(rows2, store3, dir3)
+    assert(dirBytes(dir3) === dirBytes(dir))
+  }
 }
