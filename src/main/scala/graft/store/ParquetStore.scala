@@ -108,6 +108,69 @@ final class ParquetStore(
     * MAX(RST_ID) query (no data read at all). */
   def maxRstId: Option[Long] = generationIds().lastOption
 
+  // ---- APPLIED-FLOOR side channel (r14 verdict #5) ----------------
+  // Streamed consumers that replay AS OF a recorded generation stamp
+  // ([[graft.streaming.CrawlSchedule.gateAndPace]] → [[policyAsOf]])
+  // need that generation to SURVIVE until the batch can no longer
+  // replay. The floor lives OUTSIDE the data generations (a dot-dir
+  // Spark scans and [[generationIds]] both ignore), one tiny file per
+  // lineage holding the latest stamp in use; [[collapseToLatest]]
+  // bounds its fold target to the minimum live floor, so a collapse
+  // can never destroy a replay's as-of view. Each new batch of a
+  // lineage overwrites its file with the fresh stamp (the floor
+  // advances at trigger cadence); a lineage that stops permanently
+  // should [[releaseAppliedFloor]] — an abandoned floor pins the
+  // collapse target and lets deltas accumulate (bounded disk growth,
+  // never wrong answers), the documented operator cleanup.
+
+  private def floorsDir: Path = Paths.get(path, ".applied_floors")
+
+  private def floorFile(scope: String): Path = {
+    val hex = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(scope.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    floorsDir.resolve(s"$hex.floor")
+  }
+
+  /** Record (or advance) lineage `scope`'s live as-of stamp: collapse
+    * will not fold past the minimum recorded stamp. Write-tmp + atomic
+    * rename — a crash never leaves a torn floor. */
+  def recordAppliedFloor(scope: String, rst: Long): Unit =
+    this.synchronized {
+      Files.createDirectories(floorsDir)
+      val f = floorFile(scope)
+      val tmp = floorsDir.resolve(f.getFileName.toString + ".tmp")
+      Files.write(tmp,
+        rst.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  /** Drop lineage `scope`'s floor (a permanently-stopped consumer). */
+  def releaseAppliedFloor(scope: String): Unit = this.synchronized {
+    Files.deleteIfExists(floorFile(scope))
+    ()
+  }
+
+  /** The minimum live as-of stamp across lineages, None when no floor
+    * is recorded. Directory listing + tiny reads only. */
+  def appliedFloor: Option[Long] = {
+    if (!Files.isDirectory(floorsDir)) return None
+    val s = Files.list(floorsDir)
+    try {
+      val vals = s.toArray.toSeq.map(_.asInstanceOf[Path])
+        .filter(_.getFileName.toString.endsWith(".floor"))
+        .flatMap { p =>
+          val t = new String(Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          if (t.nonEmpty && t.forall(c => c.isDigit || c == '-'))
+            Some(t.toLong)
+          else None
+        }
+      if (vals.isEmpty) None else Some(vals.min)
+    } finally s.close()
+  }
+
   /** Whether generation `rstId` is currently on disk — readers that must
     * distinguish "expired by retention" from "legitimately empty" check
     * this before a [[directFetch]] (which returns zero rows for both). */
@@ -424,8 +487,15 @@ final class ParquetStore(
       keys.foreach(k => require(schema.fieldNames.contains(k),
         s"collapse key '$k' is not a store column (${schema.fieldNames.mkString(",")})"))
       val gens = generationIds()
+      // The fold target never passes a LIVE as-of stamp (r14 verdict
+      // #5): policyAsOf(rst) stays exact as long as some generation
+      // ≤ rst survives and the fold target T ≤ rst — bounding the
+      // collapsed set to generations ≤ min(live floors) guarantees
+      // both, closing the documented replay residual outright.
+      val floor = appliedFloor.getOrElse(Long.MaxValue)
       val toCollapse =
-        if (keepRecent <= 0) gens else gens.dropRight(keepRecent)
+        (if (keepRecent <= 0) gens else gens.dropRight(keepRecent))
+          .takeWhile(_ <= floor)
       if (toCollapse.length >= 2) {
         val target = toCollapse.last
         import org.apache.spark.sql.expressions.Window
@@ -555,6 +625,7 @@ final class ParquetStore(
     * durable analog of reconnect-on-:memory:. */
   def reset(): this.type = this.synchronized {
     generationIds().foreach(g => deleteRecursively(Paths.get(s"$path/rst_id=$g")))
+    if (Files.isDirectory(floorsDir)) deleteRecursively(floorsDir)
     counter = 1L
     registerView()
     this

@@ -170,11 +170,13 @@ object CrawlSchedule {
 
   /** Open (or resume) the robots-policy store (collapse-managed like
     * the host state — one latest-per-domain base + a bounded tail).
-    * `collapseKeepRecent = 4`: the crash-replay gate re-reads policies
-    * AS OF a recent stamp ([[policyAsOf]]), and a collapse whose fold
-    * target passes the stamp destroys that view — keeping the 4 newest
-    * deltas un-folded means the exact-replay window survives any
-    * single collapse landing within 4 robots appends of the crash. */
+    * The exact-replay guarantee rides the APPLIED FLOOR (r15):
+    * [[gateAndPace]] records each batch's policy stamp in the store's
+    * floor side channel ([[ParquetStore.recordAppliedFloor]]) and
+    * collapse never folds past it, so the [[policyAsOf]] view survives
+    * ANY append/collapse interleaving in the crash window.
+    * `collapseKeepRecent = 4` stays as defense in depth for stamps
+    * recorded before the floor existed (legacy stores). */
   def robotsStore(spark: SparkSession, storePath: String,
                   tableName: String = "crawl_robots",
                   collapseEvery: Long = 16L): ParquetStore =
@@ -499,13 +501,14 @@ object CrawlSchedule {
     * `rst`. `rst ≤ 0` means "no policies existed" (an empty frame —
     * RFC 9309's default-allow). EXACTNESS under collapse: a fold at
     * target T ≤ rst preserves this view (the base at slot T is
-    * latest-per-key over generations ≤ T, and (T, rst] stay intact);
-    * only a fold whose target PASSED the stamp destroys it, detected
-    * by no surviving generation ≤ rst — the view then degrades to the
-    * CURRENT policies (the documented at-least-once fallback). The
-    * robots store opens with `collapseKeepRecent = 4`, so reaching
-    * that fallback takes ≥ 4 robots appends AND a collapse inside one
-    * crash-replay window. */
+    * latest-per-key over generations ≤ T, and (T, rst] stay intact),
+    * and stamps recorded through [[gateAndPace]] are FLOOR-PROTECTED
+    * (r15 — [[ParquetStore.recordAppliedFloor]]): collapse bounds its
+    * fold target to the minimum live stamp, so a protected view can
+    * never be destroyed. The current-policy fallback below survives
+    * only for UNPROTECTED stamps (ad-hoc callers that never recorded a
+    * floor, or stores collapsed before r15), detected by no surviving
+    * generation ≤ rst — degraded-but-never-silent, as before. */
   def policyAsOf(store: ParquetStore, rst: Long): DataFrame = {
     if (rst <= 0L)
       store.spark.createDataFrame(
@@ -531,6 +534,19 @@ object CrawlSchedule {
                   scope: String = ""): (DataFrame, Long) = {
     val stamp = appliedPolicyRst(state, scope, batchId)
       .getOrElse(robots.maxRstId.getOrElse(0L))
+    // FLOOR before SNAPSHOT (r14 verdict #5): the stamp lands in the
+    // robots store's applied-floor side channel — which
+    // collapseToLatest never folds past — before the as-of view is
+    // read, so the generations the stamp names survive every collapse
+    // from this instant through the batch's whole crash-replay window
+    // (the next batch's floor write advances it). This CLOSES the old
+    // residual (a fold target passing the stamp degraded the replay to
+    // current policies): the spec forces ≥ keepRecent robots appends
+    // plus a collapse inside the crash window and the replay still
+    // comes out identical. A stamp of 0 records no floor — the as-of
+    // view of "no policies yet" is the empty frame regardless of what
+    // collapses later.
+    if (batchId >= 0 && stamp > 0L) robots.recordAppliedFloor(scope, stamp)
     // The snapshot is ALWAYS the as-of view of the stamp — even on the
     // fresh path — so what the stamp records is provably what the gate
     // used (a latestPolicy read beside a separate maxRstId read could
@@ -593,12 +609,14 @@ object CrawlSchedule {
     * robots append landing between the crash and the replay changes
     * NEITHER the frontier's membership NOR its delays, so the replayed
     * rows are identical and the output store's keyed dedup absorbs
-    * them completely (spec-pinned). Residual boundary: a collapse
-    * whose fold target passes the stamp (≥ `collapseKeepRecent` = 4
-    * robots appends AND a re-snapshot inside one crash window)
-    * degrades that batch's replay to the current-policy view —
-    * detected, never silent, and politeness is still never violated
-    * (offsets stay monotonic either way). */
+    * them completely (spec-pinned). The stamp is FLOOR-PROTECTED
+    * (r15): [[gateAndPace]] records it in the robots store's
+    * applied-floor side channel before reading the snapshot, and
+    * collapse never folds past a live floor — so the replay stays
+    * exact under ANY append/collapse interleaving in the crash window
+    * (spec-pinned with `collapseEvery = 1`, forcing a collapse per
+    * robots append). The r13/r14 residual (a fold target passing the
+    * stamp degrading the replay to current policies) is closed. */
   def attachRobots(spark: SparkSession, dropDir: String,
                    state: ParquetStore, outStore: ParquetStore,
                    robots: ParquetStore, checkpoint: String,

@@ -211,6 +211,34 @@ class ParquetStoreSpec extends SparkSpec {
     assert(s.selectAll.count() === 3L)
   }
 
+  test("applied floor: collapse never folds past a live stamp; release/advance frees the history") {
+    val s = new ParquetStore(spark, schema, tmp(), tableName = "floor_dur")
+    s.append(batch("a" -> 1L)) // gen 1
+    s.append(batch("a" -> 2L)) // gen 2
+    s.append(batch("a" -> 3L)) // gen 3
+    s.append(batch("a" -> 4L)) // gen 4 (kept delta)
+    s.recordAppliedFloor("lineage-x", 2L)
+    assert(s.appliedFloor === Some(2L))
+    s.collapseToLatest(Seq("k"))
+    // Only gens ≤ 2 fold; 2's as-of view survives (gen ≤ 2 present).
+    assert(s.generations === Seq(2L, 3L, 4L))
+    assert(s.asOfLatestPerKey(Seq("k"), 2L).select("n").head().getLong(0)
+      === 2L)
+    // Two lineages: the MINIMUM stamp bounds the fold.
+    s.recordAppliedFloor("lineage-y", 3L)
+    assert(s.appliedFloor === Some(2L))
+    // Advance x past y, then release y: the bound follows the min.
+    s.recordAppliedFloor("lineage-x", 4L)
+    assert(s.appliedFloor === Some(3L))
+    s.releaseAppliedFloor("lineage-y")
+    assert(s.appliedFloor === Some(4L))
+    s.collapseToLatest(Seq("k"))
+    assert(s.generations === Seq(3L, 4L))
+    // reset wipes floors with the data.
+    s.reset()
+    assert(s.appliedFloor === None)
+  }
+
   test("auto-collapse via appendStreaming bounds generations; count-based clean disabled") {
     val s = new ParquetStore(spark, schema, tmp(),
       tableName = "autocollapse_dur", cleanInterval = 3L, cleanFreq = 1L,

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths}
 import graft.SparkSpec
+import graft.store.ParquetStore
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -414,6 +415,60 @@ class CrawlScheduleSpec extends SparkSpec {
     // continuing from the single recorded advance (next free = 4).
     val next = sched(1L)
     assert(next === Set(("https://h.org/a", 2L, 4.0)))
+  }
+
+  test("applied floor: robots appends + collapses INSIDE the crash window leave the replayed frontier identical (r14 #5)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val state = CrawlSchedule.stateStore(spark,
+      Files.createTempDirectory("graft_fl_st").toString,
+      s"fl_st_${System.nanoTime()}")
+    // Adversarial store: collapseEvery = 1 / keepRecent = 1 — every
+    // append beyond one generation trips a fold, and WITHOUT the floor
+    // the fold target passes the stamp after two appends (the exact
+    // residual the r14 verdict documented).
+    val robots = new ParquetStore(spark, CrawlSchedule.RobotsSchema,
+      Files.createTempDirectory("graft_fl_rb").toString,
+      s"fl_rb_${System.nanoTime()}", collapseKeys = Seq("domain"),
+      collapseEvery = 1L, collapseKeepRecent = 1)
+    def policy(delay: Int, extra: String = "") =
+      CrawlSchedule.robotsPolicies(Seq(("https://h.org/robots.txt",
+        s"User-agent: *\nDisallow: /private/\nCrawl-delay: $delay\n" +
+          extra)).toDF("url", "text"), "bot")
+    robots.appendStreaming(policy(2))
+    val urls = graft.operators.Url.withUrlParts(
+      Seq("https://h.org/a", "https://h.org/private/x", "https://h.org/b")
+        .toDF("url"))
+    def sched(batchId: Long): Set[(String, Long, Double)] = {
+      val (gated, rst) = CrawlSchedule.gateAndPace(state, robots, urls,
+        "bot", 1.0d, batchId = batchId, scope = "fl")
+      CrawlSchedule.scheduleBatch(state, gated, order = col("url"),
+          batchId = batchId, scope = "fl", policyRst = rst)
+        .select("url", "fetch_seq", "start_offset_s").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val first = sched(0L)
+    assert(first === Set(("https://h.org/a", 0L, 0.0),
+      ("https://h.org/b", 1L, 2.0)))
+    assert(robots.appliedFloor === Some(1L))
+    // Crash window: FIVE policy updates land, each tripping a collapse
+    // — far past the old keepRecent=4 defense. The floor pins the
+    // stamped generation: it must survive every fold.
+    (3 to 7).foreach(d => robots.appendStreaming(
+      policy(d, "Disallow: /b\n")))
+    assert(robots.generations.contains(1L),
+      "the floored generation must survive every collapse")
+    // The replay re-gates as of the stamp: membership AND delays
+    // identical — the residual is closed, not just narrowed.
+    assert(sched(0L) === first)
+    // A FRESH batch advances the floor to the new stamp; the held-back
+    // history can then fold (release path: no live stamp below it).
+    val next = sched(1L)
+    assert(next === Set(("https://h.org/a", 2L, 4.0))) // /b now gated
+    assert(robots.appliedFloor === Some(robots.maxRstId.get))
+    robots.appendStreaming(policy(9, "Disallow: /b\n"))
+    assert(!robots.generations.contains(1L),
+      "an advanced floor releases the old generations to the collapse")
   }
 
   test("robotsPolicies: pace takes the max twin delay; the GATING body prefers https (advice r13)") {
