@@ -217,6 +217,89 @@ object RecrawlPack extends QueryPack {
           .select(col("url"), col("url_host"), col("fetch_seq"),
             col("start_offset_s"))
       },
+      // THE CRAWL LOOP ACROSS TIME (r15 — r14 verdict #8): q_crawl_plan
+      // proved due→gate→pace composes within ONE trigger; this runs the
+      // full feedback cycle for THREE — plan → deterministic fetch
+      // outcomes (every fetched page changes; some hosts answer 503) →
+      // stats fold (updateStats) → error backoff scaling the next
+      // trigger's delays → next plan against the ADVANCED host state.
+      // Output: every trigger's planned rows; the DuckDB oracle
+      // simulates all three cycles closed-form (estimator updates,
+      // due-set evolution, backoff-scaled pacing, cross-trigger offset
+      // accumulation).
+      "q_crawl_loop" -> { (s, dir) =>
+        import s.implicits._
+        import graft.streaming.CrawlSchedule
+        val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          f"graft_loop_${dir.hashCode}%08x").toString
+        val hist = history(s, dir)
+        val store = Recrawl.statsStore(s, s"$base/stats", "loop_stats",
+          collapseEvery = 4L)
+        store.reset()
+        Recrawl.updateStats(store,
+          Recrawl.batchStats(hist, tieBreak = Seq("event_id")),
+          batchId = 0L, scope = "q_crawl_loop")
+        val rstore = CrawlSchedule.robotsStore(s, s"$base/robots",
+          tableName = "loop_robots")
+        rstore.reset()
+        rstore.append(CrawlSchedule.robotsPolicies(Seq(
+          ("https://h3.example/robots.txt", "User-agent: *\nDisallow: /\n"),
+          ("https://h5.example/robots.txt",
+            "User-agent: *\nCrawl-delay: 2\nDisallow:\n"))
+          .toDF("url", "text"), "graftbot"))
+        val state = CrawlSchedule.stateStore(s, s"$base/state",
+          tableName = "loop_state")
+        state.reset()
+        val maxUs = hist.agg(max(col("fetch_us"))).first().getLong(0)
+        var prevOutcomes: org.apache.spark.sql.DataFrame = null
+        val plans = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.DataFrame]
+        for (t <- 1 to 3) {
+          val now = maxUs + t * DayUs
+          val due = Recrawl.dueFrontier(Recrawl.ratesFromStats(store), now)
+            .withColumn("url_host",
+              regexp_extract(col("url"), "https://([^/]+)/", 1))
+          val (gated0, _) = CrawlSchedule.gateAndPace(state, rstore, due,
+            "graftbot")
+          // The PREVIOUS trigger's erroring hosts pace slower now —
+          // backoff is a per-trigger pressure valve, not a cumulative
+          // penalty, so only the most recent outcome log feeds it.
+          val gated =
+            if (prevOutcomes == null) gated0
+            else gated0.join(
+                broadcast(Recrawl.backoffMultipliers(prevOutcomes)
+                  .select(col("domain").as("url_host"),
+                    col("backoff_mult"))),
+                Seq("url_host"), "left")
+              .withColumn("crawl_delay", col("crawl_delay") *
+                coalesce(col("backoff_mult"), lit(1L)).cast("double"))
+              .drop("backoff_mult")
+          val plan = CrawlSchedule.scheduleBatch(state, gated,
+              domainCol = "url_host", delayCol = "crawl_delay",
+              order = struct(lit(0L) - col("overdue_us"), col("url")),
+              batchId = t, scope = "q_crawl_loop_sched")
+            .select(col("url"), col("url_host"), col("fetch_seq"),
+              col("start_offset_s"))
+            .localCheckpoint(true)
+          plans += plan.withColumn("trig", lit(t.toLong))
+          // Deterministic outcomes: every fetched page changed (a fresh
+          // digest per trigger), and uid % 5 == t answers 503 — next
+          // trigger's backoff signal.
+          val outcomes = plan.select(col("url"), col("url_host"),
+              lit(now).as("fetch_us"),
+              concat(lit("chg"), lit(t)).as("digest"),
+              when(regexp_extract(col("url"), "/p(\\d+)$", 1)
+                .cast("long") % 5L === t.toLong, 503L)
+                .otherwise(200L).as("http_status"))
+            .localCheckpoint(true)
+          Recrawl.updateStats(store, Recrawl.batchStats(outcomes),
+            batchId = t, scope = "q_crawl_loop")
+          prevOutcomes = outcomes
+        }
+        plans.reduce(_ unionByName _)
+          .select(col("trig"), col("url"), col("url_host"),
+            col("fetch_seq"), col("start_offset_s"))
+      },
       // Per-host error backoff composed onto the politeness delays:
       // hosts recently answering 429/5xx get their crawl delay scaled
       // 2^min(errors, 6) — exact power-of-two scaling of exact-half
@@ -294,6 +377,148 @@ object RecrawlPack extends QueryPack {
          |    (CASE url_host WHEN 'h5.example' THEN 2.0 ELSE 1.0 END)
          |    AS start_offset_s
          |FROM seqd""".stripMargin,
+    // The 3-trigger loop simulated closed-form: per-URL sufficient
+    // stats (nf, nx, first, last) evolve only when a URL is planned
+    // (every fetch changes the digest → nx + 1; fetched at now_t →
+    // last = now_t), the estimator re-derives each trigger's due set,
+    // per-host offsets accumulate (next += n × delay), and trigger
+    // t+1's delays scale by 2^min(errors_t, 6) for hosts whose planned
+    // fetches answered 503 (uid % 5 = t).
+    "q_crawl_loop" ->
+      s"""WITH hist AS ($HistorySql),
+         |lagged AS (
+         |  SELECT url, fetch_us, digest,
+         |    lag(digest) OVER (PARTITION BY url ORDER BY fetch_us,
+         |      event_id) AS prev
+         |  FROM hist),
+         |s0 AS (
+         |  SELECT url, regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+         |    CAST(regexp_extract(url, '/p(\\d+)$$', 1) AS BIGINT) AS uid,
+         |    count(*) AS nf,
+         |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> digest
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS nx,
+         |    min(fetch_us) AS first_us, max(fetch_us) AS last_us
+         |  FROM lagged GROUP BY 1, 2, 3),
+         |nn AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+         |d1 AS (
+         |  SELECT url, host, uid, last_us + least(greatest(
+         |    CASE WHEN nf < 2 THEN $DayUs
+         |      WHEN nx > 0 THEN (last_us - first_us) // nx
+         |      ELSE (last_us - first_us) * 2 END,
+         |    3600000000), 2592000000000) AS nxt
+         |  FROM s0),
+         |p1 AS (
+         |  SELECT url, host, uid, CAST(row_number() OVER (
+         |    PARTITION BY host ORDER BY nxt ASC, url) - 1 AS BIGINT)
+         |    AS seq
+         |  FROM d1, nn
+         |  WHERE nxt <= mx + $DayUs AND host <> 'h3.example'),
+         |plan1 AS (
+         |  SELECT CAST(1 AS BIGINT) AS trig, url, host, seq AS fetch_seq,
+         |    CAST(seq AS DOUBLE) *
+         |      (CASE host WHEN 'h5.example' THEN 2.0 ELSE 1.0 END)
+         |      AS start_offset_s
+         |  FROM p1),
+         |h1 AS (
+         |  SELECT host, count(*) AS cnt,
+         |    count(*) * (CASE host WHEN 'h5.example' THEN 2.0 ELSE 1.0
+         |      END) AS nxt_off,
+         |    CAST(sum(CASE WHEN uid % 5 = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS ne
+         |  FROM p1 GROUP BY host),
+         |s1 AS (
+         |  SELECT s0.url, s0.host, s0.uid,
+         |    s0.nf + (CASE WHEN p1.url IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS nf,
+         |    s0.nx + (CASE WHEN p1.url IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS nx,
+         |    s0.first_us,
+         |    CASE WHEN p1.url IS NOT NULL THEN mx + $DayUs
+         |      ELSE s0.last_us END AS last_us
+         |  FROM s0 LEFT JOIN p1 ON s0.url = p1.url, nn),
+         |d2 AS (
+         |  SELECT url, host, uid, last_us + least(greatest(
+         |    CASE WHEN nf < 2 THEN $DayUs
+         |      WHEN nx > 0 THEN (last_us - first_us) // nx
+         |      ELSE (last_us - first_us) * 2 END,
+         |    3600000000), 2592000000000) AS nxt
+         |  FROM s1),
+         |p2 AS (
+         |  SELECT url, host, uid, CAST(row_number() OVER (
+         |    PARTITION BY host ORDER BY nxt ASC, url) - 1 AS BIGINT)
+         |    AS seq
+         |  FROM d2, nn
+         |  WHERE nxt <= mx + 2 * $DayUs AND host <> 'h3.example'),
+         |del2 AS (
+         |  SELECT p.host,
+         |    (CASE p.host WHEN 'h5.example' THEN 2.0 ELSE 1.0 END) *
+         |      power(2, least(COALESCE(h1.ne, 0), 6)) AS delay
+         |  FROM (SELECT DISTINCT host FROM p2) p
+         |  LEFT JOIN h1 ON p.host = h1.host),
+         |plan2 AS (
+         |  SELECT CAST(2 AS BIGINT) AS trig, p2.url, p2.host,
+         |    COALESCE(h1.cnt, 0) + p2.seq AS fetch_seq,
+         |    COALESCE(h1.nxt_off, 0.0) +
+         |      CAST(p2.seq AS DOUBLE) * del2.delay AS start_offset_s,
+         |    p2.uid, del2.delay
+         |  FROM p2
+         |  LEFT JOIN h1 ON p2.host = h1.host
+         |  JOIN del2 ON p2.host = del2.host),
+         |h2 AS (
+         |  SELECT COALESCE(a.host, b.host) AS host,
+         |    COALESCE(a.cnt, 0) + COALESCE(b.c2, 0) AS cnt,
+         |    COALESCE(a.nxt_off, 0.0) + COALESCE(b.o2, 0.0) AS nxt_off,
+         |    COALESCE(b.ne, 0) AS ne
+         |  FROM h1 a FULL OUTER JOIN (
+         |    SELECT host, count(*) AS c2,
+         |      count(*) * max(delay) AS o2,
+         |      CAST(sum(CASE WHEN uid % 5 = 2 THEN 1 ELSE 0 END)
+         |        AS BIGINT) AS ne
+         |    FROM plan2 GROUP BY host) b ON a.host = b.host),
+         |s2 AS (
+         |  SELECT s1.url, s1.host, s1.uid,
+         |    s1.nf + (CASE WHEN p2.url IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS nf,
+         |    s1.nx + (CASE WHEN p2.url IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS nx,
+         |    s1.first_us,
+         |    CASE WHEN p2.url IS NOT NULL THEN mx + 2 * $DayUs
+         |      ELSE s1.last_us END AS last_us
+         |  FROM s1 LEFT JOIN p2 ON s1.url = p2.url, nn),
+         |d3 AS (
+         |  SELECT url, host, uid, last_us + least(greatest(
+         |    CASE WHEN nf < 2 THEN $DayUs
+         |      WHEN nx > 0 THEN (last_us - first_us) // nx
+         |      ELSE (last_us - first_us) * 2 END,
+         |    3600000000), 2592000000000) AS nxt
+         |  FROM s2),
+         |p3 AS (
+         |  SELECT url, host, uid, CAST(row_number() OVER (
+         |    PARTITION BY host ORDER BY nxt ASC, url) - 1 AS BIGINT)
+         |    AS seq
+         |  FROM d3, nn
+         |  WHERE nxt <= mx + 3 * $DayUs AND host <> 'h3.example'),
+         |del3 AS (
+         |  SELECT p.host,
+         |    (CASE p.host WHEN 'h5.example' THEN 2.0 ELSE 1.0 END) *
+         |      power(2, least(COALESCE(h2.ne, 0), 6)) AS delay
+         |  FROM (SELECT DISTINCT host FROM p3) p
+         |  LEFT JOIN h2 ON p.host = h2.host),
+         |plan3 AS (
+         |  SELECT CAST(3 AS BIGINT) AS trig, p3.url, p3.host,
+         |    COALESCE(h2.cnt, 0) + p3.seq AS fetch_seq,
+         |    COALESCE(h2.nxt_off, 0.0) +
+         |      CAST(p3.seq AS DOUBLE) * del3.delay AS start_offset_s
+         |  FROM p3
+         |  LEFT JOIN h2 ON p3.host = h2.host
+         |  JOIN del3 ON p3.host = del3.host)
+         |SELECT trig, url, host AS url_host, fetch_seq, start_offset_s
+         |FROM plan1
+         |UNION ALL
+         |SELECT trig, url, host, fetch_seq, start_offset_s FROM plan2
+         |UNION ALL
+         |SELECT trig, url, host, fetch_seq, start_offset_s FROM plan3"""
+        .stripMargin,
     "q_recrawl_due" ->
       s"""WITH r AS ($RatesSql),
          |n AS (SELECT max(epoch_us(ts)) + $DayUs AS now_us FROM events)
