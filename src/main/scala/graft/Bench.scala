@@ -272,7 +272,20 @@ object Bench {
     // lastmod hint join (q_sitemap covers the XML walk), and the
     // robots→sitemap discovery hop (q_robots covers the parse).
     "q_crawl_plan", "q_store_asof", "q_sitemap_recrawl",
-    "q_robots_sitemaps"
+    "q_robots_sitemaps",
+    // Round-15 wave — all secondary with reported siblings: the
+    // out-of-order stats fold (q_recrawl_inc covers the store fold;
+    // this adds the span classification + history-pruned rebuild),
+    // export erasure (q_warc_cdx covers the encode + slice machinery,
+    // q_takedown the victim-store + copy-on-write family; this adds
+    // the member walk + on-disk rewrite), SURT keys (q_warc_cdx's
+    // chain + the key derivation), the incremental two-call export
+    // (q_warc_export_status covers export + revisit resolution; this
+    // adds the rep-store round-trip + the disk write), and the
+    // 3-trigger crawl loop (q_crawl_plan covers one trigger's
+    // composition; this runs three plus stats folds and backoff).
+    "q_recrawl_backfill", "q_takedown_export", "q_warc_cdx_surt",
+    "q_warc_export_inc", "q_crawl_loop"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -369,7 +382,10 @@ object Bench {
     "q_media_mirror_pairs_stable", "q_warc_export_status", "q_warc_cdx",
     "q_takedown", "q_recrawl_rate", "q_recrawl_due", "q_backoff",
     "q_recrawl_inc", "q_robots_revoke", "q_crawl_plan", "q_store_asof",
-    "q_sitemap_recrawl", "q_robots_sitemaps")
+    "q_sitemap_recrawl", "q_robots_sitemaps",
+    // r15 wave (see the headline comment for the sibling mapping).
+    "q_recrawl_backfill", "q_takedown_export", "q_warc_cdx_surt",
+    "q_warc_export_inc", "q_crawl_loop")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -47,11 +47,14 @@ import org.apache.spark.sql.types._
   * function of any store), so they get their own physical pass:
   * [[eraseExports]] rewrites only victim-bearing archives — probed by
   * their own CDX manifests, survivors byte-verbatim, indexes
-  * regenerated with corrected offsets, idempotent on rerun. With that,
-  * the removal story covers every place a banned payload can live:
-  * serving reads ([[scrub]], wired into [[graft.serve
-  * .StoreHttpServer]]), ingest re-admission, stores ([[erase]]),
-  * derived data (cadence above), and shipped archives.
+  * regenerated with corrected offsets, idempotent on rerun — and
+  * [[eraseReps]] purges the cross-export revisit memory so future
+  * shipments never emit a revisit naming a banned original. With
+  * that, the removal story covers every place a banned payload can
+  * live or be referenced: serving reads ([[scrub]], wired into
+  * [[graft.serve.StoreHttpServer]]), ingest re-admission, stores
+  * ([[erase]]), derived data (cadence above), shipped archives, and
+  * the export memory.
   */
 object Takedown {
 
@@ -165,10 +168,12 @@ object Takedown {
     *
     * A member that fails to parse ABORTS that archive's rewrite
     * (erasure must be provable; an archive we cannot fully account for
-    * is never silently half-scrubbed). Distributed: one task per
-    * archive partition — the victim list rides the closure
-    * (list-sized by nature, the [[scrub]] assumption). Returns how
-    * many archives were rewritten. */
+    * is never silently half-scrubbed). An archive whose EVERY record
+    * is a victim is deleted outright with its index (an empty file is
+    * not a WARC). Distributed: one task per archive partition — the
+    * victim list rides the closure (list-sized by nature, the
+    * [[scrub]] assumption). Returns how many archives were rewritten
+    * or deleted. */
   def eraseExports(spark: org.apache.spark.sql.SparkSession,
                    exportDir: String, store: ParquetStore,
                    cdxSurt: Boolean = false): Long = {
@@ -178,8 +183,12 @@ object Takedown {
     if (!java.nio.file.Files.isDirectory(dir)) return 0L
     val s = java.nio.file.Files.list(dir)
     val archives =
-      try s.toArray.toSeq.map(_.toString)
-        .filter(_.endsWith(".warc.gz")).sorted
+      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        // Dot-files are in-flight staging (writeFiles/our own swaps) —
+        // never archives; Spark readers skip them and so must we.
+        .filter(p => p.getFileName.toString.endsWith(".warc.gz") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(_.toString).sorted
       finally s.close()
     if (archives.isEmpty) return 0L
     import spark.implicits._
@@ -189,6 +198,20 @@ object Takedown {
       .agg(coalesce(sum(col("value")), lit(0L)))
       .collect()(0).getLong(0)
   }
+
+  /** Purge a cross-export revisit-memory store ([[graft.sources.Warc
+    * .revisitStore]]) of reps naming a victim URL — the takedown's
+    * third physical half beside [[erase]] and [[eraseExports]].
+    * Without it, a later [[graft.sources.Warc.exportIncremental]] call
+    * shipping the banned payload's bytes (a re-crawl at another URL)
+    * would emit a revisit REFERRING to the banned original — naming
+    * removed content and pointing at a record [[eraseExports]] already
+    * dropped. After the purge, those bytes re-export as a fresh
+    * response under a new owner. Same touched-generation copy-on-write
+    * as [[erase]]; returns generations rewritten. */
+  def eraseReps(repStore: ParquetStore, store: ParquetStore): Long =
+    repStore.eraseKeys(victimKeys(store).withColumnRenamed("key", "url"),
+      Seq("url"))
 
   /** One archive's probe + rewrite (executor-side). Returns 1 when the
     * `.warc.gz` was rewritten, 0 otherwise (a CDX-only heal — stale
@@ -267,6 +290,17 @@ object Takedown {
             len, offset, filename, cdxSurt))
         }
       }
+    }
+    // Every record was a victim: an empty archive is not a WARC file —
+    // delete it (and its index) outright rather than leaving a 0-byte
+    // husk that readers would report as corrupt.
+    if (dropped > 0 && out.size() == 0) {
+      // Index first: a crash between the two deletes then leaves an
+      // archive WITHOUT an index, which the rerun scans and finishes;
+      // the reverse order would orphan an index no probe ever visits.
+      if (hasCdx) java.nio.file.Files.deleteIfExists(cdxPath)
+      java.nio.file.Files.deleteIfExists(archive)
+      return 1L
     }
     val cdxChanged = hasCdx &&
       !java.util.Arrays.equals(cdxBytes, newCdx.toString.getBytes(

@@ -280,6 +280,38 @@ class TakedownSpec extends SparkSpec {
                                // bad/1 and its dup/4 revisit are gone.
   }
 
+  test("eraseReps: after a takedown, re-exported banned bytes become a fresh response, never a revisit of the banned original") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    def rows(group: String, entries: (String, String)*) =
+      entries.map { case (u, b) =>
+        (group, u, "2024-01-01T00:00:00Z", "text/plain",
+          b.getBytes("UTF-8"))
+      }.toDF("file_group", "url", "warc_date", "content_type", "body")
+    val dir = tmp()
+    val reps = graft.sources.Warc.revisitStore(spark, tmp(),
+      "td_reps_spec")
+    graft.sources.Warc.exportIncremental(
+      rows("g0", "https://e.org/bad/1" -> "banned body"), reps, dir)
+    val td = Takedown.takedownStore(spark, tmp(), "td_reps_list")
+    Takedown.request(td, victims("https://e.org/bad/1"))
+    assert(Takedown.eraseExports(spark, dir, td) === 1L)
+    assert(Takedown.eraseReps(reps, td) >= 1L)
+    // A re-crawl surfaces the same bytes at a NEW url: with the rep
+    // purged, it ships as a fresh response (new owner) — not a revisit
+    // naming removed content.
+    graft.sources.Warc.exportIncremental(
+      rows("g1", "https://e.org/elsewhere/2" -> "banned body"), reps, dir)
+    val recs = graft.sources.Warc.records(
+      spark.read.format("binaryFile").load(dir)
+        .filter(col("path").endsWith(".warc.gz"))
+        .select(col("path"), col("content").as("bytes")),
+      gzipped = true)
+    val types = recs.select("target_uri", "warc_type").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(types === Map("https://e.org/elsewhere/2" -> "response"))
+  }
+
   test("numeric-keyed stores erase through the string-keyed victim list") {
     val numSchema = StructType(Seq(
       StructField("id", LongType), StructField("v", StringType)))
