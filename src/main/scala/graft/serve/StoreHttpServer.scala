@@ -38,14 +38,16 @@ import graft.store.GenerationStore
   * raw data; big analytical output belongs on the Dataset API, not HTTP.
   *
   * TAKEDOWN SCRUB-AT-READ (r14 verdict #2): when a `takedown` pair
-  * (victim store, key column) is given, every served frame that CARRIES
-  * the key column is anti-joined against the victim list before it
-  * serializes ([[graft.store.Takedown.scrub]]'s read-path contract) — a
-  * logical takedown is effective at the HTTP boundary the moment its
-  * request lands, while physical erasure is still pending. Frames
-  * WITHOUT the key column (aggregates, projections that dropped it)
-  * pass through: the scrub guarantee is that a banned ROW never
-  * serializes; aggregate leakage ends at the next [[graft.store
+  * (victim store, key column) is given, a logical takedown is
+  * effective at the HTTP boundary the moment its request lands, while
+  * physical erasure is still pending. Two layers: SQL routes execute
+  * against a SCRUBBED registration of the store's own view
+  * ([[sqlView]] — so aliases and expressions over the key cannot
+  * smuggle a banned row out, review r15), and every served frame that
+  * still carries the key column is anti-joined again before it
+  * serializes ([[graft.store.Takedown.scrub]]'s read-path contract).
+  * Residue: SQL over OTHER attached tables (not this store's view)
+  * gets only the name-based net — it ends at the next [[graft.store
   * .Takedown.erase]] cadence, the documented division of labor. */
 final class StoreHttpServer(store: GenerationStore,
                             avroSchema: Option[String] = None,
@@ -59,6 +61,27 @@ final class StoreHttpServer(store: GenerationStore,
     case Some((td, key)) if df.columns.contains(key) =>
       graft.store.Takedown.scrub(df, td, key)
     case _ => df
+  }
+
+  /** Arbitrary SQL under takedown: re-register the store's own view as
+    * its SCRUBBED form before executing, so the query PLANS over the
+    * gated rows — a post-hoc result scrub would be name-based and an
+    * alias (`SELECT doc_key AS k …`) or an expression over the key
+    * would smuggle a banned row past it (review r15). Re-registered
+    * per request because the scrub plan freezes the victim store's
+    * generation listing at construction, and because the store's own
+    * appends re-register the raw view. Tables OTHER than this store's
+    * (attached catalogs) are not ours to scrub — results still pass
+    * through the name-based [[scrubbed]] net in [[rowsJson]]. */
+  private def sqlView(query: String): DataFrame = {
+    if (takedown.isDefined)
+      scrubbed(store.selectAll).createOrReplaceTempView(store.tableName)
+    try store.sql(query)
+    finally if (takedown.isDefined) {
+      // Restore the raw view: the server must not change what
+      // non-HTTP readers of the session see.
+      store.selectAll.createOrReplaceTempView(store.tableName)
+    }
   }
 
   private val server = HttpServer.create(new InetSocketAddress(0), 0)
@@ -137,25 +160,25 @@ final class StoreHttpServer(store: GenerationStore,
       case "a" :: table :: Nil =>
         val t = dec(table)
         if (t == "*") rowsJson(store.selectAll)
-        else rowsJson(store.sql(s"SELECT * FROM `$t`"))
+        else rowsJson(sqlView(s"SELECT * FROM `$t`"))
       case "c" :: json :: "EOE" :: Nil =>
         // The reference falls back to empty params (→ []) on unparsable
         // JSON (`http_endpoint.py:206-212`).
         val df = try Comparators.cGeneralSelectJson(store.selectAll, dec(json))
           catch { case _: Exception => store.selectAll.limit(0) }
         rowsJson(df)
-      case "c" :: sql :: Nil  => rowsJson(store.sql(dec(sql)))
+      case "c" :: sql :: Nil  => rowsJson(sqlView(dec(sql)))
       case "cs" :: sql :: Nil =>
         avroSchema match {
           case Some(schema) =>
             // Scrub BEFORE the avro encode — the encoded binary rows
             // can't be anti-joined after.
-            val result = scrubbed(store.sql(dec(sql)))
+            val result = scrubbed(sqlView(dec(sql)))
             avroJson(graft.sources.AvroCodec.encodeColumns(
                 result, result.columns.toSeq, schema,
                 outCol = "avro_value")
               .select(col("avro_value")))
-          case None => rowsJson(store.sql(dec(sql)))
+          case None => rowsJson(sqlView(dec(sql)))
         }
       case "r" :: Nil   => store.reset(); "null"
       case "rst" :: Nil => store.currentRstId.toString

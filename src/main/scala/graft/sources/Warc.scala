@@ -612,13 +612,22 @@ object Warc {
     val ci = files.schema.fieldIndex("content")
     files.mapPartitions { it =>
       var n = 0L
+      // Staging names carry the task ATTEMPT id: under speculation (or
+      // a zombie attempt), two attempts writing the same output file
+      // must never share a staging path — a half-written rival could
+      // otherwise be renamed into place (review r15). Dot-prefixed, so
+      // Spark readers and the erasure prober both ignore strays from
+      // killed attempts.
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
       it.foreach { row =>
         val name = row.getString(pi)
         require(!name.contains('/') && !name.contains('\\') &&
           name != "." && name != "..",
           s"writeFiles: path '$name' must be a bare file name")
         val target = java.nio.file.Paths.get(dir, name)
-        val staging = java.nio.file.Paths.get(dir, s".staging_w_$name")
+        val staging =
+          java.nio.file.Paths.get(dir, s".staging_w_${attempt}_$name")
         java.nio.file.Files.write(staging, row.getAs[Array[Byte]](ci))
         java.nio.file.Files.move(staging, target,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -919,9 +928,15 @@ object Warc {
     * replaces each file with identical bytes.
     *
     * Scale: adds ONE digest equi-join against the rep store (O(unique
-    * payloads) rows, AQE picks the strategy) and one batch-sized
-    * aggregation for the rep append, on top of the export's own
-    * shuffles. */
+    * payloads) rows, AQE picks the strategy) plus a SECOND digest pass
+    * over the batch for the rep aggregation — bodies are hashed twice,
+    * the price of not pinning payload bytes in executor memory between
+    * the two actions (a localCheckpoint of the batch would trade
+    * memory for the hash pass; at archive scale the hash is cheaper).
+    * `rows` must therefore be DETERMINISTIC across evaluations — both
+    * passes must see the same bodies (pin a non-deterministic source
+    * with localCheckpoint yourself); the repo's fixtures read parquet,
+    * which is. */
   def exportIncremental(rows: DataFrame,
                         repStore: graft.store.ParquetStore,
                         outDir: String,

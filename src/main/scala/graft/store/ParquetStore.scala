@@ -161,11 +161,12 @@ final class ParquetStore(
       val vals = s.toArray.toSeq.map(_.asInstanceOf[Path])
         .filter(_.getFileName.toString.endsWith(".floor"))
         .flatMap { p =>
+          // Strict shape, not a character-set filter: "1-2" would pass
+          // a digits-or-dash check and then throw from toLong, wedging
+          // every collapse behind one corrupt file (review r15).
           val t = new String(Files.readAllBytes(p),
             java.nio.charset.StandardCharsets.UTF_8).trim
-          if (t.nonEmpty && t.forall(c => c.isDigit || c == '-'))
-            Some(t.toLong)
-          else None
+          if (t.matches("-?\\d{1,18}")) Some(t.toLong) else None
         }
       if (vals.isEmpty) None else Some(vals.min)
     } finally s.close()

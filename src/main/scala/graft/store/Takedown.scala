@@ -175,8 +175,7 @@ object Takedown {
     * [[scrub]] assumption). Returns how many archives were rewritten
     * or deleted. */
   def eraseExports(spark: org.apache.spark.sql.SparkSession,
-                   exportDir: String, store: ParquetStore,
-                   cdxSurt: Boolean = false): Long = {
+                   exportDir: String, store: ParquetStore): Long = {
     val victims = victimKeys(store).collect().map(_.getString(0)).toSet
     if (victims.isEmpty) return 0L
     val dir = java.nio.file.Paths.get(exportDir)
@@ -194,7 +193,7 @@ object Takedown {
     import spark.implicits._
     spark.createDataset(archives)
       .repartition(math.min(archives.size, 32))
-      .map(p => eraseOneArchive(p, victims, cdxSurt))
+      .map(p => eraseOneArchive(p, victims))
       .agg(coalesce(sum(col("value")), lit(0L)))
       .collect()(0).getLong(0)
   }
@@ -217,19 +216,31 @@ object Takedown {
     * `.warc.gz` was rewritten, 0 otherwise (a CDX-only heal — stale
     * from a crash window or predating the `refers` field — does not
     * count as an archive rewrite). */
-  private def eraseOneArchive(archivePath: String, victims: Set[String],
-                              cdxSurt: Boolean): Long = {
+  private def eraseOneArchive(archivePath: String,
+                              victims: Set[String]): Long = {
     import graft.sources.Warc
+    // Attempt-unique staging: under speculation two attempts may race
+    // on one archive; they must never share a staging path (review
+    // r15 — the writeFiles fix's twin).
+    val attemptId = Option(org.apache.spark.TaskContext.get())
+      .map(_.taskAttemptId()).getOrElse(0L)
     val archive = java.nio.file.Paths.get(archivePath)
     val cdxPath = java.nio.file.Paths.get(
       archivePath.stripSuffix(".warc.gz") + ".cdx")
     val hasCdx = java.nio.file.Files.exists(cdxPath)
     val cdxBytes = if (hasCdx) java.nio.file.Files.readAllBytes(cdxPath) else null
-    // --- PROBE: manifest-only when the index can answer.
+    // --- PROBE: manifest-only when the index can answer. The same
+    // pass SNIFFS the index's url-key style (SURT vs percent-encoded)
+    // from the first line whose two candidate derivations differ, so
+    // the regeneration below reproduces whatever style the export
+    // chose — a caller-supplied flag would silently rewrite a SURT
+    // index with plain keys on a mismatch (review r15).
+    var cdxSurt = false
     if (hasCdx) {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       var bearing = false
       var undecided = false // revisit line predating the `refers` field
+      var sniffed = false
       new String(cdxBytes, java.nio.charset.StandardCharsets.UTF_8)
         .split("\n").iterator.filter(_.nonEmpty).foreach { line =>
           val js = line.indexOf('{')
@@ -238,6 +249,14 @@ object Takedown {
             val node = mapper.readTree(line.substring(js))
             val url = Option(node.get("url")).map(_.asText()).orNull
             if (url != null && victims.contains(url)) bearing = true
+            if (url != null && !sniffed && line.indexOf(' ') > 0) {
+              val key = line.substring(0, line.indexOf(' '))
+              val sk = Warc.surtKey(url)
+              if (sk != url.replace(" ", "%20")) {
+                cdxSurt = key == sk
+                sniffed = true
+              }
+            }
             if (node.has("mod")) {
               val refers =
                 Option(node.get("refers")).map(_.asText()).orNull
@@ -310,7 +329,7 @@ object Takedown {
     // stale index the next run heals (regen ≠ on-disk ⇒ cdxChanged).
     if (dropped > 0) {
       val staging = java.nio.file.Paths.get(
-        archive.getParent.toString, s".staging_e_$filename")
+        archive.getParent.toString, s".staging_e_${attemptId}_$filename")
       java.nio.file.Files.write(staging, out.toByteArray)
       java.nio.file.Files.move(staging, archive,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -319,7 +338,7 @@ object Takedown {
     if (cdxChanged) {
       val staging = java.nio.file.Paths.get(
         archive.getParent.toString,
-        s".staging_e_${cdxPath.getFileName.toString}")
+        s".staging_e_${attemptId}_${cdxPath.getFileName.toString}")
       java.nio.file.Files.write(staging, newCdx.toString.getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
       java.nio.file.Files.move(staging, cdxPath,

@@ -532,8 +532,8 @@ object CrawlSchedule {
                   urls: DataFrame, agent: String,
                   defaultDelay: Double = 1.0d, batchId: Long = -1L,
                   scope: String = ""): (DataFrame, Long) = {
-    val stamp = appliedPolicyRst(state, scope, batchId)
-      .getOrElse(robots.maxRstId.getOrElse(0L))
+    val recorded = appliedPolicyRst(state, scope, batchId)
+    var stamp = recorded.getOrElse(robots.maxRstId.getOrElse(0L))
     // FLOOR before SNAPSHOT (r14 verdict #5): the stamp lands in the
     // robots store's applied-floor side channel — which
     // collapseToLatest never folds past — before the as-of view is
@@ -546,7 +546,24 @@ object CrawlSchedule {
     // comes out identical. A stamp of 0 records no floor — the as-of
     // view of "no policies yet" is the empty frame regardless of what
     // collapses later.
-    if (batchId >= 0 && stamp > 0L) robots.recordAppliedFloor(scope, stamp)
+    //
+    // VERIFY-AND-RETRY (review r15): between the maxRstId read and the
+    // floor write, a concurrent robots append+collapse could still
+    // fold past the not-yet-protected stamp. A FRESH batch detects
+    // that (no surviving generation ≤ stamp — the same probe policyAsOf
+    // uses) and re-picks from the post-collapse maxRstId; once a floor
+    // write lands UNFOLDED, no later collapse can pass it, so the loop
+    // converges in one round per racing collapse. A REPLAYED batch
+    // keeps its recorded stamp unconditionally — its floor has been on
+    // disk since the fresh attempt.
+    if (batchId >= 0 && stamp > 0L) {
+      robots.recordAppliedFloor(scope, stamp)
+      while (recorded.isEmpty && stamp > 0L &&
+        !robots.generations.exists(_ <= stamp)) {
+        stamp = robots.maxRstId.getOrElse(0L)
+        if (stamp > 0L) robots.recordAppliedFloor(scope, stamp)
+      }
+    }
     // The snapshot is ALWAYS the as-of view of the stamp — even on the
     // fresh path — so what the stamp records is provably what the gate
     // used (a latestPolicy read beside a separate maxRstId read could
@@ -611,12 +628,15 @@ object CrawlSchedule {
     * rows are identical and the output store's keyed dedup absorbs
     * them completely (spec-pinned). The stamp is FLOOR-PROTECTED
     * (r15): [[gateAndPace]] records it in the robots store's
-    * applied-floor side channel before reading the snapshot, and
-    * collapse never folds past a live floor — so the replay stays
-    * exact under ANY append/collapse interleaving in the crash window
-    * (spec-pinned with `collapseEvery = 1`, forcing a collapse per
-    * robots append). The r13/r14 residual (a fold target passing the
-    * stamp degrading the replay to current policies) is closed. */
+    * applied-floor side channel before reading the snapshot, collapse
+    * never folds past a live floor, and the stamp-read→floor-write
+    * gap itself is covered by verify-and-retry (a fresh batch re-picks
+    * its stamp if a racing collapse folded past it before the floor
+    * landed) — so the replay stays exact under ANY append/collapse
+    * interleaving in the crash window (spec-pinned with
+    * `collapseEvery = 1`, forcing a collapse per robots append). The
+    * r13/r14 residual (a fold target passing the stamp degrading the
+    * replay to current policies) is closed. */
   def attachRobots(spark: SparkSession, dropDir: String,
                    state: ParquetStore, outStore: ParquetStore,
                    robots: ParquetStore, checkpoint: String,

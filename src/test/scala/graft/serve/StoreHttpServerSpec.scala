@@ -273,12 +273,23 @@ class StoreHttpServerSpec extends SparkSpec {
       val (_, sql) = get(srv.port,
         s"/c/${enc("SELECT doc_key, n FROM http_td_docs")}")
       assert(!sql.contains("https://a.org/1") && sql.contains("https://a.org/2"))
-      // A projection that DROPPED the key column passes through (the
-      // scrub contract is row-level; aggregate residue ends at the next
-      // physical-erase cadence — class doc).
+      // An ALIAS over the key (or an expression) cannot smuggle the row
+      // out: SQL plans over the scrubbed view, not a name-matched
+      // result (review r15).
+      val (_, aliased) = get(srv.port,
+        s"/c/${enc("SELECT doc_key AS k, n FROM http_td_docs")}")
+      assert(!aliased.contains("https://a.org/1") &&
+        aliased.contains("https://a.org/2"))
+      val (_, exprd) = get(srv.port,
+        s"/c/${enc("SELECT upper(doc_key) AS doc_key FROM http_td_docs")}")
+      assert(!exprd.toLowerCase.contains("https://a.org/1") &&
+        exprd.toLowerCase.contains("https://a.org/2"))
+      // Aggregates over the store's own view also compute over the
+      // scrubbed rows (the SQL plans against the gated registration) —
+      // the banned row's n=10 is excluded.
       val (_, agg) = get(srv.port,
         s"/c/${enc("SELECT sum(n) AS total FROM http_td_docs")}")
-      assert(agg === """[{"total":30}]""")
+      assert(agg === """[{"total":20}]""")
     } finally srv.stop()
   }
 }

@@ -280,6 +280,30 @@ class TakedownSpec extends SparkSpec {
                                // bad/1 and its dup/4 revisit are gone.
   }
 
+  test("eraseExports sniffs the index's key style: a SURT export keeps SURT keys after the rewrite") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val rows = Seq(
+      ("g0", "https://Keep.ORG/A/0", "body zero"),
+      ("g0", "https://e.org/bad/1", "banned body"))
+      .map { case (g, u, b) =>
+        (g, u, "2024-01-01T00:00:00Z", "text/plain", b.getBytes("UTF-8"))
+      }.toDF("file_group", "url", "warc_date", "content_type", "body")
+    val dir = tmp()
+    graft.sources.Warc.writeFiles(graft.sources.Warc.encodeResponses(
+      rows, withCdx = true, cdxSurt = true), dir)
+    val td = Takedown.takedownStore(spark, tmp(), "td_surt_list")
+    Takedown.request(td, victims("https://e.org/bad/1"))
+    assert(Takedown.eraseExports(spark, dir, td) === 1L)
+    val cdx = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "g0.cdx")), "UTF-8")
+    // The regenerated line carries the SURT key, not a percent-encoded
+    // regression (no flag to mismatch — the style is sniffed from the
+    // index itself, review r15).
+    assert(cdx.startsWith("org,keep)/a/0 "))
+    assert(!cdx.contains("bad/1"))
+  }
+
   test("eraseReps: after a takedown, re-exported banned bytes become a fresh response, never a revisit of the banned original") {
     val sparkSession = spark
     import sparkSession.implicits._
