@@ -772,6 +772,9 @@ object Warc {
       StructField("path", StringType),
       StructField("content", BinaryType)))
     val emitCdx = withCdx
+    // Honest extension: a raw (non-gzip) export must not wear the .gz
+    // suffix — readers and the erasure prober route on it.
+    val ext = if (gzipped) ".warc.gz" else ".warc"
     src.mapPartitions { it =>
       // Consecutive-key grouping over the sorted partition with ONE
       // row of lookahead: memory is one FILE, never the partition.
@@ -864,7 +867,7 @@ object Warc {
               cdx.append(cdxLine(r.getString(1),
                 r.getString(2).filter(_.isDigit), contentType, status,
                 digest, location, revisitOf, member.length, offset,
-                s"$group.warc.gz", cdxSurt))
+                s"$group$ext", cdxSurt))
             ordinal += 1
             if (it.hasNext) {
               pending = it.next().copy()
@@ -874,7 +877,7 @@ object Warc {
           if (emitCdx)
             queuedCdx = Row(s"$group.cdx", cdx.toString.getBytes(
               java.nio.charset.StandardCharsets.UTF_8))
-          Row(s"$group.warc.gz", file.toByteArray)
+          Row(s"$group$ext", file.toByteArray)
         }
       }
     }(Encoders.row(outSchema))

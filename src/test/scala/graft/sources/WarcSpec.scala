@@ -380,6 +380,25 @@ class WarcSpec extends SparkSpec {
     assert(idSet.size === 2, "same row in two archives → two ids")
   }
 
+  test("a raw (non-gzip) export is named .warc, not .warc.gz, and round-trips") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(("g0", "https://e.org/u/1", "2024-01-01T00:00:00Z",
+      "text/plain", "raw body".getBytes("UTF-8")))
+      .toDF("file_group", "url", "warc_date", "content_type", "body")
+    val files = Warc.encodeResponses(rows, gzipped = false,
+      withCdx = true).collect()
+    assert(files.map(_.getString(0)).toSet === Set("g0.warc", "g0.cdx"))
+    val cdx = new String(files.find(_.getString(0) == "g0.cdx").get
+      .getAs[Array[Byte]](1), "UTF-8")
+    assert(cdx.contains("\"filename\":\"g0.warc\""))
+    val recs = Warc.records(Seq(files.find(_.getString(0) == "g0.warc")
+        .get.getAs[Array[Byte]](1)).toDF("bytes"))
+      .select(col("target_uri")).collect()
+    assert(recs.map(_.getString(0)).toSeq === Seq("https://e.org/u/1"))
+  }
+
   test("exportIncremental: cross-call revisits, replay byte-stability, crash-before-rep-append convergence") {
     val sparkSession = spark
     import sparkSession.implicits._
