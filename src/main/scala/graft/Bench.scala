@@ -285,7 +285,11 @@ object Bench {
     // 3-trigger crawl loop (q_crawl_plan covers one trigger's
     // composition; this runs three plus stats folds and backoff).
     "q_recrawl_backfill", "q_takedown_export", "q_warc_cdx_surt",
-    "q_warc_export_inc", "q_crawl_loop"
+    "q_warc_export_inc", "q_crawl_loop",
+    // The zipnum cluster (q_warc_cdx covers the encode + slice family;
+    // this adds the range shuffle + block encode + summary-seek
+    // verification).
+    "q_warc_zipnum"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -385,7 +389,7 @@ object Bench {
     "q_sitemap_recrawl", "q_robots_sitemaps",
     // r15 wave (see the headline comment for the sibling mapping).
     "q_recrawl_backfill", "q_takedown_export", "q_warc_cdx_surt",
-    "q_warc_export_inc", "q_crawl_loop")
+    "q_warc_export_inc", "q_crawl_loop", "q_warc_zipnum")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

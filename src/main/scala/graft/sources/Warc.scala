@@ -884,6 +884,108 @@ object Warc {
   }
 
   // ---------------------------------------------------------------
+  // ZIPNUM CDX CLUSTER (r15): the COLLECTION-level index. Per-archive
+  // .cdx files answer "what is in THIS archive"; a lookup service
+  // (pywb's zipnum cluster, OpenWayback's sorted CDX collections)
+  // wants ONE sorted index over the whole collection it can
+  // binary-search without holding lines in memory: CDXJ lines sorted
+  // by (urlkey, timestamp), chunked into gzip blocks inside shard
+  // files, plus a tiny summary index naming each block's first key,
+  // shard, offset, and length — a reader seeks the summary (1/B of
+  // the lines), then inflates exactly one block.
+
+  /** Build a zipnum cluster from an export's `.cdx` rows (`path`,
+    * `content` — [[encodeResponses]]' output shape, archives ignored):
+    * returns `cdx-NNNNN.gz` shard rows (each a sequence of gzip
+    * members of ≤ `blockLines` sorted CDXJ lines) and
+    * `cluster.idx.partNNNNN` summary fragments — one line per block:
+    * `<first-line key>\t<shard>\t<offset>\t<length>`. Fragments
+    * concatenate in part order into the final `cluster.idx`
+    * ([[writeZipnum]] does both steps); they come out globally sorted
+    * because the shards are RANGE-partitioned on the line and sorted
+    * within.
+    *
+    * Scale: one range shuffle of the index lines (never the archive
+    * bytes), then a narrow per-partition encode; the summary is
+    * 1/blockLines of the index by construction, which is what makes
+    * collection-scale lookups memory-free. Shard boundaries come from
+    * range-partitioner sampling — re-runs over identical input produce
+    * identical shards, but the boundaries are not a cross-dataset
+    * contract (the summary index, not shard numbering, is the lookup
+    * surface). */
+  def zipnumCdx(files: DataFrame, shards: Int,
+                blockLines: Int = 3000): DataFrame = {
+    require(shards >= 1, "zipnumCdx needs at least one shard")
+    require(blockLines >= 1, "zipnumCdx needs at least one line per block")
+    val lines = files.filter(col("path").endsWith(".cdx"))
+      .select(explode(split(decode(col("content"), "UTF-8"), "\n"))
+        .as("line"))
+      .filter(length(col("line")) > 0)
+    val sorted = lines.repartitionByRange(shards, col("line"))
+      .sortWithinPartitions("line")
+    val outSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("content", BinaryType)))
+    sorted.mapPartitions { it =>
+      val part = org.apache.spark.TaskContext.getPartitionId()
+      val name = f"cdx-$part%05d.gz"
+      val bos = new java.io.ByteArrayOutputStream()
+      val idx = new StringBuilder
+      val block = scala.collection.mutable.ArrayBuffer.empty[String]
+      def flush(): Unit = if (block.nonEmpty) {
+        val member = gzipMember(block.mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // The block's lookup key: the first line's "<urlkey> <ts>".
+        val first = block.head
+        val sp1 = first.indexOf(' ')
+        val sp2 = if (sp1 < 0) -1 else first.indexOf(' ', sp1 + 1)
+        idx.append(if (sp2 < 0) first else first.substring(0, sp2))
+          .append('\t').append(name)
+          .append('\t').append(bos.size())
+          .append('\t').append(member.length).append('\n')
+        bos.write(member)
+        block.clear()
+      }
+      it.foreach { r =>
+        block += r.getString(0)
+        if (block.size >= blockLines) flush()
+      }
+      flush()
+      if (bos.size() == 0) Iterator.empty
+      else Iterator(
+        Row(name, bos.toByteArray),
+        Row(f"cluster.idx.part$part%05d", idx.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)))
+    }(Encoders.row(outSchema))
+  }
+
+  /** Materialize a zipnum cluster into `dir`: write the shard files and
+    * summary fragments ([[writeFiles]] — atomic per-file), then
+    * assemble the fragments into ONE `cluster.idx` in part order
+    * (driver-side: the summary is metadata-sized by construction) and
+    * drop them. Returns the shard count. */
+  def writeZipnum(files: DataFrame, dir: String, shards: Int,
+                  blockLines: Int = 3000): Long = {
+    writeFiles(zipnumCdx(files, shards, blockLines), dir)
+    val d = java.nio.file.Paths.get(dir)
+    val s = java.nio.file.Files.list(d)
+    val parts =
+      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.startsWith("cluster.idx.part"))
+        .sortBy(_.getFileName.toString)
+      finally s.close()
+    val out = new java.io.ByteArrayOutputStream()
+    parts.foreach(p => out.write(java.nio.file.Files.readAllBytes(p)))
+    val staging = d.resolve(".staging_z_cluster.idx")
+    java.nio.file.Files.write(staging, out.toByteArray)
+    java.nio.file.Files.move(staging, d.resolve("cluster.idx"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    parts.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    parts.size.toLong
+  }
+
+  // ---------------------------------------------------------------
   // INCREMENTAL EXPORT (r15 — r14 verdict #6): cross-export revisit
   // memory. `encodeResponses(withRevisits)` dedups payloads within ONE
   // call; a corpus ships in MANY — batch N+1 re-shipping payloads that

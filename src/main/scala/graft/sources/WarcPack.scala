@@ -323,6 +323,78 @@ object WarcPack extends QueryPack {
             statusCol = "http_status", withCdx = true, cdxSurt = true)
           .localCheckpoint(true), withKey = true)
       },
+      // ZIPNUM cluster (r15): the collection-level sorted index over
+      // every archive's CDX lines — block-gzipped shards + a summary
+      // naming each block's first key/offset/length. Verified the way
+      // a lookup service consumes it: every line is recovered by
+      // seeking THROUGH the summary (slice the shard at [offset,
+      // offset+length), gunzip that block alone), each block's lines
+      // are sorted and its first line matches the summary key — so the
+      // whole line universe (the oracle's doc set) is reachable via
+      // block seeks with byte-exact offsets.
+      "q_warc_zipnum" -> { (s, dir) =>
+        val files = Warc.encodeResponses(cdxRows(s, dir),
+            statusCol = "http_status", withCdx = true)
+          .localCheckpoint(true)
+        val cluster = Warc.zipnumCdx(files, shards = 4, blockLines = 8)
+          .localCheckpoint(true)
+        val entries = cluster
+          .filter(col("path").startsWith("cluster.idx.part"))
+          .select(explode(split(decode(col("content"), "UTF-8"), "\n"))
+            .as("line"))
+          .filter(length(col("line")) > 0)
+          .select(split(col("line"), "\t").as("f"))
+          .select(col("f").getItem(0).as("bkey"),
+            col("f").getItem(1).as("fn"),
+            col("f").getItem(2).cast("int").as("off"),
+            col("f").getItem(3).cast("int").as("len"))
+        // Blob-grain rule (q_warc_cdx's lesson): fold entries to one
+        // list per shard before touching shard bytes.
+        val entryList = entries.groupBy(col("fn"))
+          .agg(collect_list(struct(col("bkey"), col("off"), col("len")))
+            .as("es"))
+        val joined = entryList.join(
+          cluster.filter(col("path").endsWith(".gz"))
+            .select(col("path").as("fn"), col("content")), Seq("fn"))
+        import org.apache.spark.sql.types._
+        val outSchema = StructType(Seq(
+          StructField("url", StringType),
+          StructField("cdx_status", LongType),
+          StructField("key_match", BooleanType),
+          StructField("in_order", BooleanType)))
+        joined.mapPartitions { it =>
+          it.flatMap { r =>
+            val content = r.getAs[Array[Byte]](2)
+            r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](1)
+              .iterator.flatMap { e =>
+                val member = java.util.Arrays.copyOfRange(content,
+                  e.getInt(1), e.getInt(1) + e.getInt(2))
+                val lines = Warc.gunzip(member)
+                  .map(b => new String(b, "UTF-8").split("\n")
+                    .filter(_.nonEmpty).toSeq)
+                  .getOrElse(Seq.empty)
+                def keyOf(l: String): String = {
+                  val s1 = l.indexOf(' ')
+                  val s2 = if (s1 < 0) -1 else l.indexOf(' ', s1 + 1)
+                  if (s2 < 0) l else l.substring(0, s2)
+                }
+                val km = lines.headOption.exists(
+                  l => keyOf(l) == e.getString(0))
+                lines.iterator.zipWithIndex.map { case (l, i) =>
+                  val js = l.substring(l.indexOf('{'))
+                  val mapper =
+                    new com.fasterxml.jackson.databind.ObjectMapper()
+                  val node = mapper.readTree(js)
+                  org.apache.spark.sql.Row(
+                    node.get("url").asText(),
+                    node.get("status").asLong(),
+                    km,
+                    i == 0 || l >= lines(i - 1))
+                }
+              }
+          }
+        }(org.apache.spark.sql.Encoders.row(outSchema))
+      },
       // CROSS-EXPORT revisit memory (r15 — r14 verdict #6): the corpus
       // ships in TWO exportIncremental calls against one durable rep
       // store. Call 2 re-delivers call 1's page bytes at new /dup URLs
@@ -500,6 +572,15 @@ object WarcPack extends QueryPack {
         |      || '.Site.org:8080/p/' || CAST(doc_id AS VARCHAR) END
         |    AS rec_uri,
         |  CAST(200 AS BIGINT) AS rec_status
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    // Every CDX line reachable through the summary index with sorted
+    // blocks and matching block keys.
+    "q_warc_zipnum" ->
+      """SELECT 'https://export.org/doc/' || CAST(doc_id AS VARCHAR)
+        |    AS url,
+        |  CAST(CASE doc_id % 3 WHEN 1 THEN 301 WHEN 2 THEN 404
+        |    ELSE 200 END AS BIGINT) AS cdx_status,
+        |  true AS key_match, true AS in_order
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
     // Every doc is a response exactly once (call 1 evens, call 2 odds);
     // every even doc's /dup re-delivery is a revisit resolved across

@@ -399,6 +399,51 @@ class WarcSpec extends SparkSpec {
     assert(recs.map(_.getString(0)).toSeq === Seq("https://e.org/u/1"))
   }
 
+  test("writeZipnum: one globally-sorted cluster — summary keys ascend, fragments assembled, blocks recover every line") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = (0 until 40).map { i =>
+      (s"g${i % 5}", f"https://z.org/p/${(i * 7) % 40}%02d",
+        "2024-01-01T00:00:00Z", "text/plain", s"body $i".getBytes("UTF-8"))
+    }.toDF("file_group", "url", "warc_date", "content_type", "body")
+    val files = Warc.encodeResponses(rows, withCdx = true)
+      .localCheckpoint(true)
+    val allLines = files.filter(col("path").endsWith(".cdx"))
+      .collect().flatMap(r => new String(r.getAs[Array[Byte]](1), "UTF-8")
+        .split("\n").filter(_.nonEmpty)).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_zn").toString
+    Warc.writeZipnum(files, dir, shards = 3, blockLines = 4)
+    val names = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path]
+        .getFileName.toString).sorted
+      finally s.close()
+    }
+    // Fragments are assembled and dropped; shards + ONE cluster.idx.
+    assert(names.contains("cluster.idx"))
+    assert(!names.exists(_.startsWith("cluster.idx.part")))
+    val idx = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "cluster.idx")), "UTF-8")
+      .split("\n").filter(_.nonEmpty).toSeq
+    val keys = idx.map(_.split("\t")(0))
+    // GLOBAL order: summary keys ascend across shard boundaries (the
+    // range partition + within-sort composition).
+    assert(keys === keys.sorted)
+    // Every line recovers through the summary's byte-exact offsets,
+    // and the union is exactly the original line universe, sorted.
+    val recovered = idx.flatMap { e =>
+      val f = e.split("\t")
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, f(1)))
+      val member = java.util.Arrays.copyOfRange(bytes,
+        f(2).toInt, f(2).toInt + f(3).toInt)
+      new String(Warc.gunzip(member).get, "UTF-8").split("\n")
+        .filter(_.nonEmpty).toSeq
+    }
+    assert(recovered === allLines.sorted)
+  }
+
   test("exportIncremental: cross-call revisits, replay byte-stability, crash-before-rep-append convergence") {
     val sparkSession = spark
     import sparkSession.implicits._
