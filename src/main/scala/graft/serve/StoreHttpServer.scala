@@ -73,16 +73,28 @@ final class StoreHttpServer(store: GenerationStore,
     * appends re-register the raw view. Tables OTHER than this store's
     * (attached catalogs) are not ours to scrub — results still pass
     * through the name-based [[scrubbed]] net in [[rowsJson]]. */
-  private def sqlView(query: String): DataFrame = {
-    if (takedown.isDefined)
+  private def sqlView(query: String): DataFrame =
+    if (takedown.isEmpty) store.sql(query)
+    else store.synchronized {
+      // The swap window is serialized ON THE STORE'S OWN MONITOR
+      // (review r15 #2): both store deployments guard every mutator —
+      // including the registerView a concurrent append runs — with
+      // this.synchronized, and the server's 4-thread pool runs SQL
+      // routes concurrently; without the lock, request A's
+      // finally-restore could re-expose the raw view to request B
+      // between B's registration and its analysis, reopening the alias
+      // leak. spark.sql analyzes EAGERLY, so the plan is bound to the
+      // scrubbed relation before the lock releases; only execution
+      // (the collect) runs outside it.
       scrubbed(store.selectAll).createOrReplaceTempView(store.tableName)
-    try store.sql(query)
-    finally if (takedown.isDefined) {
-      // Restore the raw view: the server must not change what
-      // non-HTTP readers of the session see.
-      store.selectAll.createOrReplaceTempView(store.tableName)
+      try store.sql(query)
+      finally {
+        // Restore the raw view: the server must not change what
+        // non-HTTP readers of the session see.
+        store.selectAll.createOrReplaceTempView(store.tableName)
+        ()
+      }
     }
-  }
 
   private val server = HttpServer.create(new InetSocketAddress(0), 0)
   server.createContext("/", handle _)

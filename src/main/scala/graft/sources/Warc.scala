@@ -601,6 +601,18 @@ object Warc {
     sb.toString
   }
 
+  /** Delete dead staging strays (`prefix`-named dot-files) under
+    * `dir` — see [[writeFiles]]. */
+  private[graft] def sweepStaging(dir: String, prefix: String): Unit = {
+    val d = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(d)) return
+    val s = java.nio.file.Files.list(d)
+    try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.startsWith(prefix))
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    finally s.close()
+  }
+
   /** Materialize an export frame (`path`, `content` — the
     * [[encodeResponses]] output shape) into a directory: each executor
     * writes its own files (stage → atomic rename per file, so readers
@@ -608,6 +620,12 @@ object Warc {
     * no driver collect, no shuffle. Returns the file count. */
   def writeFiles(files: DataFrame, dir: String): Long = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // Sweep staging STRAYS from prior killed/speculated attempts
+    // (review r15 #5: attempt-unique names stop rename races but leak
+    // a dot-file per dead attempt). Driver-side, BEFORE the job: this
+    // run's own attempts haven't started, and prior runs' strays are
+    // dead by definition.
+    sweepStaging(dir, ".staging_w_")
     val pi = files.schema.fieldIndex("path")
     val ci = files.schema.fieldIndex("content")
     files.mapPartitions { it =>
@@ -966,6 +984,22 @@ object Warc {
     * drop them. Returns the shard count. */
   def writeZipnum(files: DataFrame, dir: String, shards: Int,
                   blockLines: Int = 3000): Long = {
+    // Clear STALE cluster artifacts first (review r15 #4): a re-run
+    // over shrunken input emits fewer shards/fragments, and a leftover
+    // part file from a larger prior run would otherwise be assembled
+    // into the new summary — pointing lookups at a stale shard.
+    val d0 = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.isDirectory(d0)) {
+      val s0 = java.nio.file.Files.list(d0)
+      try s0.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.matches("cdx-\\d{5}\\.gz") ||
+            n.matches("cluster\\.idx(\\.part\\d{5})?")
+        }
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s0.close()
+    }
     writeFiles(zipnumCdx(files, shards, blockLines), dir)
     val d = java.nio.file.Paths.get(dir)
     val s = java.nio.file.Files.list(d)
@@ -1072,8 +1106,8 @@ object Warc {
       .agg(min(ord).as("o"))
       .select(col("digest"), col("o").getField(urlCol).as("url"),
         col("o").getField(dateCol).as("warc_date"),
-        concat(col("o").getField(groupCol), lit(".warc.gz"))
-          .as("archive"))
+        concat(col("o").getField(groupCol),
+          lit(if (gzipped) ".warc.gz" else ".warc")).as("archive"))
     val fresh = reps.join(
         repStore.selectAll.select(col("digest")).distinct(),
         Seq("digest"), "left_anti")

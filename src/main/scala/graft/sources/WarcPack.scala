@@ -363,6 +363,9 @@ object WarcPack extends QueryPack {
           StructField("key_match", BooleanType),
           StructField("in_order", BooleanType)))
         joined.mapPartitions { it =>
+          // One mapper per PARTITION, not per line (review r15 #6 —
+          // Jackson mappers are expensive to construct and reusable).
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
           it.flatMap { r =>
             val content = r.getAs[Array[Byte]](2)
             r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](1)
@@ -381,10 +384,7 @@ object WarcPack extends QueryPack {
                 val km = lines.headOption.exists(
                   l => keyOf(l) == e.getString(0))
                 lines.iterator.zipWithIndex.map { case (l, i) =>
-                  val js = l.substring(l.indexOf('{'))
-                  val mapper =
-                    new com.fasterxml.jackson.databind.ObjectMapper()
-                  val node = mapper.readTree(js)
+                  val node = mapper.readTree(l.substring(l.indexOf('{')))
                   org.apache.spark.sql.Row(
                     node.get("url").asText(),
                     node.get("status").asLong(),

@@ -166,7 +166,13 @@ final class ParquetStore(
           // every collapse behind one corrupt file (review r15).
           val t = new String(Files.readAllBytes(p),
             java.nio.charset.StandardCharsets.UTF_8).trim
-          if (t.matches("-?\\d{1,18}")) Some(t.toLong) else None
+          // 19 digits covers Long.MaxValue; the Try guards the one
+          // 19-digit string that still overflows (review r15 #7 — an
+          // 18-digit cap would silently DROP a legitimate huge stamp,
+          // letting collapse fold past a live floor).
+          if (t.matches("-?\\d{1,19}"))
+            scala.util.Try(t.toLong).toOption
+          else None
         }
       if (vals.isEmpty) None else Some(vals.min)
     } finally s.close()

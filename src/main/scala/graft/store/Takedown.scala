@@ -136,7 +136,8 @@ object Takedown {
 
   /** PHYSICAL erasure for EXPORTED WARC ARCHIVES (r14 verdict #1 — the
     * one output that persists full payloads OUTSIDE the store layer):
-    * remove from every `.warc.gz` under `exportDir` each record whose
+    * remove from every `.warc.gz` — and raw `.warc` — under
+    * `exportDir` each record whose
     * `WARC-Target-URI` is a victim key, or whose
     * `WARC-Refers-To-Target-URI` names one (a revisit implicating a
     * banned original must go too — its block still attributes the
@@ -185,11 +186,17 @@ object Takedown {
       try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
         // Dot-files are in-flight staging (writeFiles/our own swaps) —
         // never archives; Spark readers skip them and so must we.
-        .filter(p => p.getFileName.toString.endsWith(".warc.gz") &&
-          !p.getFileName.toString.startsWith("."))
+        .filter { p =>
+          val n = p.getFileName.toString
+          (n.endsWith(".warc.gz") || n.endsWith(".warc")) &&
+            !n.startsWith(".")
+        }
         .map(_.toString).sorted
       finally s.close()
     if (archives.isEmpty) return 0L
+    // Dead-attempt staging strays from prior runs (see
+    // [[graft.sources.Warc.writeFiles]]'s sweep rationale).
+    graft.sources.Warc.sweepStaging(exportDir, ".staging_e_")
     import spark.implicits._
     spark.createDataset(archives)
       .repartition(math.min(archives.size, 32))
@@ -225,8 +232,14 @@ object Takedown {
     val attemptId = Option(org.apache.spark.TaskContext.get())
       .map(_.taskAttemptId()).getOrElse(0L)
     val archive = java.nio.file.Paths.get(archivePath)
+    // Raw .warc exports (gzipped = false) erase too (review r15 #3 —
+    // skipping them silently would report a clean takedown while the
+    // banned payload stays shipped): record spans come from the WARC
+    // framing itself instead of gzip member boundaries, and survivors
+    // are byte-verbatim slices either way.
+    val isGz = archivePath.endsWith(".warc.gz")
     val cdxPath = java.nio.file.Paths.get(
-      archivePath.stripSuffix(".warc.gz") + ".cdx")
+      archivePath.stripSuffix(if (isGz) ".warc.gz" else ".warc") + ".cdx")
     val hasCdx = java.nio.file.Files.exists(cdxPath)
     val cdxBytes = if (hasCdx) java.nio.file.Files.readAllBytes(cdxPath) else null
     // --- PROBE: manifest-only when the index can answer. The same
@@ -271,18 +284,19 @@ object Takedown {
     // walk members, keep survivors verbatim, rebuild index from the
     // kept records.
     val bytes = java.nio.file.Files.readAllBytes(archive)
-    val spans = Warc.memberSpans(bytes).getOrElse(
+    val spans = (if (isGz) Warc.memberSpans(bytes)
+      else rawRecordSpans(bytes)).getOrElse(
       throw new IllegalStateException(
-        s"eraseExports: $archivePath is not a clean multi-member " +
-          ".warc.gz — refusing to erase an archive that cannot be " +
-          "fully accounted for"))
+        s"eraseExports: $archivePath is not a cleanly-framed archive " +
+          "— refusing to erase an archive that cannot be fully " +
+          "accounted for"))
     val out = new java.io.ByteArrayOutputStream(bytes.length)
     val newCdx = if (hasCdx) new StringBuilder else null
     var dropped = 0
     val filename = archive.getFileName.toString
     spans.foreach { case (off, len) =>
       val member = java.util.Arrays.copyOfRange(bytes, off, off + len)
-      val inflated = Warc.gunzip(member)
+      val inflated = if (isGz) Warc.gunzip(member) else Some(member)
       val rec = inflated.flatMap(Warc.warcRecords) match {
         case Some(rs) if rs.size == 1 => rs.head
         case _ => throw new IllegalStateException(
@@ -347,6 +361,25 @@ object Takedown {
     }
     if (dropped > 0) 1L else 0L
   }
+
+  /** Byte spans of each record in a RAW (non-gzip) WARC file: records
+    * are contiguous from offset 0 and each ends 4 bytes (the CRLF CRLF
+    * terminator) past its payload, so the framing walk's offsets
+    * reconstruct every span. Trailing junk after the last record —
+    * which [[graft.sources.Warc.warcRecords]] tolerates on READ — is
+    * refused here: an erasure rewrite must account for every byte. */
+  private def rawRecordSpans(bytes: Array[Byte])
+      : Option[Vector[(Int, Int)]] =
+    graft.sources.Warc.warcRecords(bytes).flatMap { rs =>
+      var start = 0
+      val spans = rs.map { r =>
+        val end = r.payloadOffset + r.payloadLength + 4
+        val span = (start, end - start)
+        start = end
+        span
+      }
+      if (start == bytes.length) Some(spans) else None
+    }
 
   /** The status line, Content-Type, and Location of the HTTP head at
     * the start of a record's payload — the fields the writer baked into

@@ -304,6 +304,40 @@ class TakedownSpec extends SparkSpec {
     assert(!cdx.contains("bad/1"))
   }
 
+  test("eraseExports reaches raw .warc archives too — framing-derived spans, survivors verbatim") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val rows = Seq(
+      ("g0", "https://e.org/keep/0", "body zero"),
+      ("g0", "https://e.org/bad/1", "banned body"),
+      ("g1", "https://e.org/keep/2", "body two"))
+      .map { case (g, u, b) =>
+        (g, u, "2024-01-01T00:00:00Z", "text/plain", b.getBytes("UTF-8"))
+      }.toDF("file_group", "url", "warc_date", "content_type", "body")
+    val dir = tmp()
+    graft.sources.Warc.writeFiles(graft.sources.Warc.encodeResponses(
+      rows, gzipped = false, withCdx = true), dir)
+    val g1Before = Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "g1.warc")).toSeq
+    val td = Takedown.takedownStore(spark, tmp(), "td_raw_list")
+    Takedown.request(td, victims("https://e.org/bad/1"))
+    assert(Takedown.eraseExports(spark, dir, td) === 1L)
+    // Victim gone, survivor's archive byte-untouched, offsets exact.
+    val back = spark.read.format("binaryFile").load(dir)
+      .filter(col("path").endsWith(".warc"))
+      .select(col("path"), col("content").as("bytes"))
+    val uris = graft.sources.Warc.records(back)
+      .select("target_uri").collect().map(_.getString(0)).toSet
+    assert(uris === Set("https://e.org/keep/0", "https://e.org/keep/2"))
+    assert(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "g1.warc")).toSeq === g1Before)
+    val cdx = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "g0.cdx")), "UTF-8")
+    assert(!cdx.contains("bad/1") && cdx.contains("\"offset\":0"))
+    // Idempotent rerun: clean manifests, nothing touched.
+    assert(Takedown.eraseExports(spark, dir, td) === 0L)
+  }
+
   test("eraseReps: after a takedown, re-exported banned bytes become a fresh response, never a revisit of the banned original") {
     val sparkSession = spark
     import sparkSession.implicits._
