@@ -930,7 +930,17 @@ object Warc {
     * range-partitioner sampling — re-runs over identical input produce
     * identical shards, but the boundaries are not a cross-dataset
     * contract (the summary index, not shard numbering, is the lookup
-    * surface). */
+    * surface).
+    *
+    * TAKEDOWN CADENCE: the cluster is DERIVED data — a pure function
+    * of the archives' `.cdx` files — so per [[graft.store.Takedown]]'s
+    * derived-data rule it purges at its next rebuild, not in place:
+    * after [[graft.store.Takedown.eraseExports]] rewrites the
+    * per-archive indexes, rebuild from the DIRECTORY (read the `.cdx`
+    * files back with `spark.read.format("binaryFile")` — not the
+    * original export frame, which predates the erasure) and
+    * [[writeZipnum]]'s stale-artifact sweep guarantees no block or
+    * fragment from the pre-erasure cluster survives the rebuild. */
   def zipnumCdx(files: DataFrame, shards: Int,
                 blockLines: Int = 3000): DataFrame = {
     require(shards >= 1, "zipnumCdx needs at least one shard")
@@ -984,8 +994,16 @@ object Warc {
     * drop them. Returns the shard count. */
   def writeZipnum(files: DataFrame, dir: String, shards: Int,
                   blockLines: Int = 3000): Long = {
-    // Clear STALE cluster artifacts first (review r15 #4): a re-run
-    // over shrunken input emits fewer shards/fragments, and a leftover
+    // PIN the cluster rows BEFORE sweeping: the rebuild-after-erasure
+    // cadence reads `files` from this very directory (the
+    // [[zipnumCdx]] takedown note), so a lazy plan would race the
+    // stale-artifact deletes below and fail mid-scan. The pinned
+    // output is metadata-scale (gzipped index lines, 1/blockLines
+    // summary) — cheap to hold.
+    val pinned = zipnumCdx(files, shards, blockLines)
+      .localCheckpoint(eager = true)
+    // Clear STALE cluster artifacts (review r15 #4): a re-run over
+    // shrunken input emits fewer shards/fragments, and a leftover
     // part file from a larger prior run would otherwise be assembled
     // into the new summary — pointing lookups at a stale shard.
     val d0 = java.nio.file.Paths.get(dir)
@@ -1000,7 +1018,7 @@ object Warc {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
       finally s0.close()
     }
-    writeFiles(zipnumCdx(files, shards, blockLines), dir)
+    writeFiles(pinned, dir)
     val d = java.nio.file.Paths.get(dir)
     val s = java.nio.file.Files.list(d)
     val parts =

@@ -171,7 +171,10 @@ object Takedown {
     * (erasure must be provable; an archive we cannot fully account for
     * is never silently half-scrubbed). An archive whose EVERY record
     * is a victim is deleted outright with its index (an empty file is
-    * not a WARC). Distributed: one task per archive partition — the
+    * not a WARC). A collection-level zipnum cluster over these indexes
+    * is derived data — rebuild it from the rewritten `.cdx` files
+    * after this pass ([[graft.sources.Warc.zipnumCdx]]'s takedown-
+    * cadence note). Distributed: one task per archive partition — the
     * victim list rides the closure (list-sized by nature, the
     * [[scrub]] assumption). Returns how many archives were rewritten
     * or deleted. */

@@ -338,6 +338,54 @@ class TakedownSpec extends SparkSpec {
     assert(Takedown.eraseExports(spark, dir, td) === 0L)
   }
 
+  test("erase then cluster rebuild: the collection-level zipnum index purges victims and stays seek-exact") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val rows = Seq(
+      ("g0", "https://e.org/keep/0", "body zero"),
+      ("g0", "https://e.org/bad/1", "banned body"),
+      ("g1", "https://e.org/keep/2", "body two"),
+      ("g1", "https://e.org/keep/3", "body three"))
+      .map { case (g, u, b) =>
+        (g, u, "2024-01-01T00:00:00Z", "text/plain", b.getBytes("UTF-8"))
+      }.toDF("file_group", "url", "warc_date", "content_type", "body")
+    val dir = tmp()
+    val files = graft.sources.Warc.encodeResponses(rows, withCdx = true)
+      .localCheckpoint(true)
+    graft.sources.Warc.writeFiles(files, dir)
+    graft.sources.Warc.writeZipnum(files, dir, shards = 2, blockLines = 2)
+    // Pre-erasure cluster holds the victim line.
+    def clusterLines(): Seq[String] = {
+      val idx = new String(Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "cluster.idx")), "UTF-8")
+        .split("\n").filter(_.nonEmpty).toSeq
+      idx.flatMap { e =>
+        val f = e.split("\t")
+        val bytes = Files.readAllBytes(
+          java.nio.file.Paths.get(dir, f(1)))
+        new String(graft.sources.Warc.gunzip(java.util.Arrays
+          .copyOfRange(bytes, f(2).toInt, f(2).toInt + f(3).toInt)).get,
+          "UTF-8").split("\n").filter(_.nonEmpty).toSeq
+      }
+    }
+    assert(clusterLines().exists(_.contains("bad/1")))
+    val td = Takedown.takedownStore(spark, tmp(), "td_zn_list")
+    Takedown.request(td, victims("https://e.org/bad/1"))
+    assert(Takedown.eraseExports(spark, dir, td) === 1L)
+    // REBUILD from the directory (the rewritten indexes, not the stale
+    // export frame) — the derived-data cadence zipnumCdx documents.
+    val back = spark.read.format("binaryFile").load(dir)
+      .filter(col("path").endsWith(".cdx"))
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("path"),
+        col("content"))
+    graft.sources.Warc.writeZipnum(back, dir, shards = 2, blockLines = 2)
+    val after = clusterLines()
+    // Victims gone; every surviving line still recovers via the
+    // summary's byte-exact offsets, sorted.
+    assert(!after.exists(_.contains("bad/1")))
+    assert(after.size === 3 && after === after.sorted)
+  }
+
   test("eraseReps: after a takedown, re-exported banned bytes become a fresh response, never a revisit of the banned original") {
     val sparkSession = spark
     import sparkSession.implicits._
