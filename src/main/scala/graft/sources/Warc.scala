@@ -1037,6 +1037,56 @@ object Warc {
     parts.size.toLong
   }
 
+  /** Point lookup over a written zipnum cluster ([[writeZipnum]]'s
+    * output): binary-search `cluster.idx` for the blocks that can hold
+    * `urlkey`, inflate ONLY those, and return their matching CDXJ
+    * lines (every capture of the key, across block straddles — a key's
+    * captures can span a block boundary, in which case the next
+    * block's first-line key equals the probe). Driver-side by design:
+    * this is the SERVING-path primitive (one summary search + one or
+    * two block inflates), not an analytics operator — bulk joins
+    * belong on the Dataset API. The summary is held in memory; it is
+    * 1/blockLines of the collection by construction. */
+  def zipnumLookup(dir: String, urlkey: String): Seq[String] = {
+    val idxPath = java.nio.file.Paths.get(dir, "cluster.idx")
+    if (!java.nio.file.Files.exists(idxPath)) return Seq.empty
+    val entries = new String(java.nio.file.Files.readAllBytes(idxPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty)
+      .map { l =>
+        val f = l.split("\t")
+        // Block key is "<urlkey> <ts>" — match on the urlkey token.
+        (f(0).split(" ")(0), f(1), f(2).toInt, f(3).toInt)
+      }
+    if (entries.isEmpty) return Seq.empty
+    // The candidate run starts at the last block whose first key is
+    // STRICTLY below the probe (the probe's captures may begin mid-way
+    // through it) and continues through every block whose first key
+    // EQUALS the probe — several, when a key's captures span block
+    // boundaries. A ≤-search would land on the LAST equal-key block
+    // and skip its equal-key predecessors.
+    var lo = 0
+    var hi = entries.length - 1
+    while (lo < hi) { // greatest i with key_i < urlkey (or 0)
+      val mid = (lo + hi + 1) >>> 1
+      if (entries(mid)._1 < urlkey) lo = mid else hi = mid - 1
+    }
+    val run = entries.indices
+      .dropWhile(_ < lo)
+      .takeWhile(i => i == lo || entries(i)._1 == urlkey)
+    run.flatMap { i =>
+      val (_, shard, off, len) = entries(i)
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, shard))
+      gunzip(java.util.Arrays.copyOfRange(bytes, off, off + len))
+        .map(b => new String(b,
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+        .filter(l => l.startsWith(urlkey + " "))
+    }
+  }
+
   // ---------------------------------------------------------------
   // INCREMENTAL EXPORT (r15 — r14 verdict #6): cross-export revisit
   // memory. `encodeResponses(withRevisits)` dedups payloads within ONE

@@ -444,6 +444,44 @@ class WarcSpec extends SparkSpec {
     assert(recovered === allLines.sorted)
   }
 
+  test("zipnumLookup: summary-seek point lookup finds every capture, across block straddles") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // Three captures of the SAME url at different dates: with
+    // blockLines = 2 their sorted lines straddle a block boundary, so
+    // the lookup must continue into the next block whose first key
+    // equals the probe.
+    val rows = (Seq(
+      ("g0", "https://z.org/dup", "2024-01-01T00:00:00Z", "a"),
+      ("g1", "https://z.org/dup", "2024-02-01T00:00:00Z", "b"),
+      ("g2", "https://z.org/dup", "2024-03-01T00:00:00Z", "c")) ++
+      (0 until 9).map(i =>
+        (s"g${i % 3}", s"https://z.org/p/$i", "2024-01-01T00:00:00Z",
+          s"body $i")))
+      .map { case (g, u, d, b) =>
+        (g, u, d, "text/plain", b.getBytes("UTF-8"))
+      }.toDF("file_group", "url", "warc_date", "content_type", "body")
+    val files = Warc.encodeResponses(rows, withCdx = true)
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_znl").toString
+    Warc.writeZipnum(files, dir, shards = 2, blockLines = 2)
+    // Every capture of the straddling key comes back, nothing else.
+    val dup = Warc.zipnumLookup(dir, "https://z.org/dup")
+    assert(dup.size === 3)
+    assert(dup.forall(_.startsWith("https://z.org/dup ")))
+    assert(dup.map(_.split(" ")(1)).sorted ===
+      Seq("20240101000000", "20240201000000", "20240301000000"))
+    // Single-capture keys resolve to exactly their line; misses (below
+    // the first block key, between keys, above the last) are empty.
+    (0 until 9).foreach { i =>
+      val hit = Warc.zipnumLookup(dir, s"https://z.org/p/$i")
+      assert(hit.size === 1 && hit.head.contains(s"/p/$i "))
+    }
+    assert(Warc.zipnumLookup(dir, "https://a.org/before").isEmpty)
+    assert(Warc.zipnumLookup(dir, "https://z.org/nope").isEmpty)
+    assert(Warc.zipnumLookup(dir, "https://zz.org/after").isEmpty)
+  }
+
   test("exportIncremental: cross-call revisits, replay byte-stability, crash-before-rep-append convergence") {
     val sparkSession = spark
     import sparkSession.implicits._
