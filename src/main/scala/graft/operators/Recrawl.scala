@@ -165,6 +165,109 @@ object Recrawl {
     new graft.store.ParquetStore(spark, StatsSchema, storePath, tableName,
       collapseKeys = Seq("url"), collapseEvery = collapseEvery)
 
+  // ---------------------------------------------------------------------
+  // BOUNDED RETAINED HISTORY (r16 — r15 verdict #4): interior backfills
+  // used to require the caller to supply the touched URLs' COMPLETE
+  // fetch history, because the stats store keeps none (O(urls) by
+  // design). The ring below retains the last `keep` fetches per URL
+  // beside the statistics — same collapse discipline, O(urls · keep)
+  // state — and [[backfillStats]] rebuilds interior batches from it
+  // WITHOUT an external history: the unretained prefix's contribution
+  // is recovered exactly from the stored totals minus the retained
+  // window's own recount (the sufficient statistics are subtractable),
+  // so the fold stays exact as long as the late batch lands strictly
+  // inside the retained window. A batch predating the window fails
+  // fast, never approximates.
+  // ---------------------------------------------------------------------
+
+  /** Schema of the retained-history store: the fetch tuple plus the
+    * caller's tie-break columns (typed by the caller — they must order
+    * identically to the full-history window's) and the replay-guard
+    * lineage pair. */
+  def historySchema(tieBreak: Seq[org.apache.spark.sql.types.StructField]
+                      = Nil): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      Seq(
+        org.apache.spark.sql.types.StructField("url",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("fetch_us",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("digest",
+          org.apache.spark.sql.types.StringType)) ++ tieBreak ++ Seq(
+        org.apache.spark.sql.types.StructField("batch_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("scope",
+          org.apache.spark.sql.types.StringType)))
+
+  /** Open (or resume) a retained-history ring store. Keyed by the full
+    * fetch identity `(url, fetch_us, tieBreak…)` — a replayed batch's
+    * rows collapse onto themselves; the ring trim is
+    * [[recordHistory]]'s erase pass, not the collapse. */
+  def historyStore(spark: org.apache.spark.sql.SparkSession,
+                   storePath: String,
+                   tableName: String = "recrawl_history",
+                   tieBreak: Seq[org.apache.spark.sql.types.StructField]
+                     = Nil,
+                   collapseEvery: Long = 16L): graft.store.ParquetStore =
+    new graft.store.ParquetStore(spark, historySchema(tieBreak),
+      storePath, tableName,
+      collapseKeys = Seq("url", "fetch_us") ++ tieBreak.map(_.name),
+      collapseEvery = collapseEvery)
+
+  /** Tie-break column names a history store was built with (everything
+    * between the fixed fetch tuple and the lineage pair). */
+  private def historyTieNames(h: graft.store.ParquetStore): Seq[String] =
+    h.schema.fieldNames.toSeq
+      .filterNot(Set("url", "fetch_us", "digest", "batch_id", "scope"))
+
+  /** The live retained window: one row per recorded fetch, sentinels
+    * excluded, lineage dropped. */
+  def retainedHistory(h: graft.store.ParquetStore): DataFrame =
+    h.latestPerKey(Seq("url", "fetch_us") ++ historyTieNames(h))
+      .filter(!col("url").startsWith("#applied:"))
+      .drop("rst_id", "batch_id", "scope")
+
+  /** Record one batch's fetch rows into the ring and TRIM each URL to
+    * its newest `keep` fetches (victims erased copy-on-write — the
+    * [[graft.store.ParquetStore.eraseKeys]] discipline, touched
+    * generations only). Replay-guarded per (scope, batchId) like every
+    * fold. EVERY batch folded into the stats store must be recorded
+    * here too ([[updateStats]]/[[backfillStats]] do it when handed the
+    * store) — a window with silent gaps would make a later interior
+    * rebuild wrong, which is why [[backfillStats]] cross-checks the
+    * window tail against the stored statistics before trusting it. */
+  def recordHistory(h: graft.store.ParquetStore, batch: DataFrame,
+                    keep: Int, urlCol: String = "url",
+                    usCol: String = "fetch_us",
+                    digestCol: String = "digest",
+                    batchId: Long = -1L, scope: String = ""): Unit = {
+    require(keep >= 1, s"recordHistory: keep must be >= 1, got $keep")
+    if (h.batchApplied(scope, batchId)) return
+    val tieNames = historyTieNames(h)
+    val rows = batch.select((Seq(col(urlCol).as("url"),
+      col(usCol).as("fetch_us"), col(digestCol).as("digest")) ++
+      tieNames.map(col)): _*)
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("scope", lit(scope))
+    val withSentinel =
+      if (batchId < 0) rows
+      else rows.unionByName(h.spark.range(1).select((Seq(
+        lit(sentinelKey(scope)).as("url"), lit(0L).as("fetch_us"),
+        lit(null).cast("string").as("digest")) ++
+        tieNames.map(n => lit(null).cast(h.schema(n).dataType).as(n)) ++
+        Seq(lit(batchId).as("batch_id"), lit(scope).as("scope"))): _*))
+    h.appendStreaming(withSentinel)
+    val keys = Seq("url", "fetch_us") ++ tieNames
+    val w = Window.partitionBy(col("url"))
+      .orderBy((col("fetch_us").desc +: tieNames.map(col(_).desc)): _*)
+    val victims = retainedHistory(h)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") > keep)
+      .select(keys.map(col): _*)
+    h.eraseKeys(victims, keys)
+    ()
+  }
+
   /** One batch of fetches reduced to its per-URL statistics: the same
     * lag window as [[changeRates]], plus the batch's boundary digests
     * (`min_by`/`max_by` on the same total order). */
@@ -267,22 +370,52 @@ object Recrawl {
     *     exactness needs the interleaving, so the touched URLs — and
     *     ONLY those — are rebuilt from `history` (the complete
     *     already-folded fetch history for them, WITHOUT this batch's
-    *     rows) unioned with the late batch. Callers without a retained
-    *     history get a fail-fast naming the URLs' count, never a
+    *     rows) unioned with the late batch; or, when a RETAINED-HISTORY
+    *     ring is attached (`historyStore`, r15 verdict #4), rebuilt
+    *     self-containedly from the ring — see below. Callers with
+    *     neither get a fail-fast naming the URLs' count, never a
     *     silent approximation.
     *
+    * RETAINED-HISTORY REBUILD (`historyStore` — [[historyStore]] /
+    * [[recordHistory]]): the ring holds each URL's newest `keep`
+    * fetches. For an overlap URL, the stored totals minus the ring
+    * window's own recount give the unretained PREFIX's exact
+    * contribution (counts and the prefix→window boundary change fold
+    * into `n_changes_total − n_changes_window`); re-counting the
+    * window WITH the late rows interleaved then restores exactness —
+    * provided every late row lands STRICTLY after the window's first
+    * fetch (otherwise its order against the unretained prefix is
+    * unknowable → fail-fast says to pass `history` explicitly), unless
+    * the window IS the URL's complete history (≤ keep fetches), where
+    * any position folds. The window's tail is cross-checked against
+    * the stored statistics first — a ring the operator forgot to feed
+    * fails loudly, never silently corrupts. After the fold the late
+    * rows are recorded into the ring (own replay guard), so the window
+    * stays complete for the NEXT backfill.
+    *
     * Scale: the exact classes are one join against the O(urls) store;
-    * the rebuild touches `history` once, semi-join-pruned to the
-    * overlap URLs — a late batch's overlap set is batch-sized, so the
-    * rebuild is bounded by the batch, not the log. Replay-guarded like
-    * [[updateStats]] (same sentinel protocol). */
+    * the rebuild touches `history` (or the O(urls·keep) ring) once,
+    * semi-join-pruned to the overlap URLs — a late batch's overlap set
+    * is batch-sized, so the rebuild is bounded by the batch, not the
+    * log. Replay-guarded like [[updateStats]] (same sentinel
+    * protocol). */
   def backfillStats(store: graft.store.ParquetStore, lateBatch: DataFrame,
                     history: DataFrame = null,
                     urlCol: String = "url", usCol: String = "fetch_us",
                     digestCol: String = "digest",
                     tieBreak: Seq[String] = Nil,
-                    batchId: Long = -1L, scope: String = ""): Unit = {
-    if (store.batchApplied(scope, batchId)) return
+                    batchId: Long = -1L, scope: String = "",
+                    historyStore: graft.store.ParquetStore = null,
+                    keepHistory: Int = 0): Unit = {
+    if (store.batchApplied(scope, batchId)) {
+      // The stats fold landed but a crash may have preceded the ring
+      // append — converge it (recordHistory has its own guard).
+      if (historyStore != null)
+        recordHistory(historyStore, normalizedFetches(lateBatch, urlCol,
+          usCol, digestCol, tieBreak), keepHistory,
+          batchId = batchId, scope = scope)
+      return
+    }
     val lb = batchStats(lateBatch, urlCol, usCol, digestCol, tieBreak)
     val stored = latestStats(store).select(
       col("url"), col("n_fetches").as("_sn"), col("n_changes").as("_sx"),
@@ -313,25 +446,118 @@ object Recrawl {
       val overlapUrls = joined.filter(isOverlap)
         .select(col("url").as(urlCol))
       val out =
-        if (history == null) {
-          // No retained history: fail fast IF any URL actually needs the
-          // rebuild (one pruned probe — the disjoint classes still fold
-          // exactly without a history).
-          require(overlapUrls.isEmpty,
-            "backfillStats: this batch lands inside (or ties) the " +
-              "stored span for some URL(s) — exact rebuild needs the " +
-              "`history` argument (their complete prior fetch history)")
-          exact
-        } else {
+        if (history != null) {
           val sel = (Seq(urlCol, usCol, digestCol) ++ tieBreak).map(col)
           val touched = history.select(sel: _*)
             .unionByName(lateBatch.select(sel: _*))
             .join(overlapUrls, Seq(urlCol), "left_semi")
           exact.unionByName(
             batchStats(touched, urlCol, usCol, digestCol, tieBreak))
+        } else if (historyStore != null) {
+          exact.unionByName(rebuildFromRing(historyStore, joined,
+            isOverlap, lateBatch, urlCol, usCol, digestCol, tieBreak))
+        } else {
+          // No retained history: fail fast IF any URL actually needs the
+          // rebuild (one pruned probe — the disjoint classes still fold
+          // exactly without a history).
+          require(overlapUrls.isEmpty,
+            "backfillStats: this batch lands inside (or ties) the " +
+              "stored span for some URL(s) — exact rebuild needs the " +
+              "`history` argument (their complete prior fetch history) " +
+              "or an attached retained-history ring (`historyStore`)")
+          exact
         }
       appendWithSentinel(store, out, batchId, scope)
     } finally { joined.unpersist(); () }
+    // Ring append AFTER the stats fold (a crash in between converges on
+    // the re-run: stats skip by their sentinel, the ring records).
+    if (historyStore != null)
+      recordHistory(historyStore, normalizedFetches(lateBatch, urlCol,
+        usCol, digestCol, tieBreak), keepHistory,
+        batchId = batchId, scope = scope)
+  }
+
+  /** Fetch rows under the history-store column names. */
+  private def normalizedFetches(batch: DataFrame, urlCol: String,
+                                usCol: String, digestCol: String,
+                                tieBreak: Seq[String]): DataFrame =
+    batch.select((Seq(col(urlCol).as("url"), col(usCol).as("fetch_us"),
+      col(digestCol).as("digest")) ++ tieBreak.map(col)): _*)
+
+  /** The retained-ring interior rebuild (see [[backfillStats]]):
+    * overlap URLs' new stats from the ring window, the late rows, and
+    * the stored totals' prefix algebra. `joined` is the (late-batch
+    * stats ⟕ stored stats) frame. */
+  private def rebuildFromRing(ring: graft.store.ParquetStore,
+                              joined: DataFrame,
+                              isOverlap: Column, lateBatch: DataFrame,
+                              urlCol: String, usCol: String,
+                              digestCol: String,
+                              tieBreak: Seq[String]): DataFrame = {
+    val tieNames = historyTieNames(ring)
+    require(tieNames == tieBreak,
+      s"backfillStats: the history store was built with tie-break " +
+        s"columns [${tieNames.mkString(",")}] but the fold uses " +
+        s"[${tieBreak.mkString(",")}]")
+    val over = joined.filter(isOverlap).select(
+      col("url"), col("first_us").as("_lfu"),
+      col("_sn"), col("_sx"), col("_sf"), col("_sl"),
+      col("_sfd"), col("_sld"))
+    val overlapUrls = over.select(col("url"))
+    val window = retainedHistory(ring)
+      .join(overlapUrls, Seq("url"), "left_semi")
+      // Pinned: the ring recount feeds two aggregations below while
+      // recordHistory will soon rewrite the generations it reads.
+      .localCheckpoint(eager = true)
+    val late = normalizedFetches(lateBatch, urlCol, usCol, digestCol,
+      tieBreak).join(overlapUrls, Seq("url"), "left_semi")
+    def statsOf(rows: DataFrame, prefix: String): DataFrame =
+      batchStats(rows, "url", "fetch_us", "digest", tieBreak).select(
+        col("url"), col("n_fetches").as(s"_${prefix}n"),
+        col("n_changes").as(s"_${prefix}x"),
+        col("first_us").as(s"_${prefix}fu"),
+        col("last_us").as(s"_${prefix}lu"),
+        col("first_digest").as(s"_${prefix}fd"),
+        col("last_digest").as(s"_${prefix}ld"))
+    val wStats = statsOf(window, "w")
+    val cStats = statsOf(window.unionByName(late)
+      .dropDuplicates(Seq("url", "fetch_us") ++ tieBreak), "c")
+    val o = over.join(wStats, Seq("url"), "left")
+      .join(cStats, Seq("url"), "left")
+    // The ring's window must END where the statistics say the history
+    // ends — the cheap completeness cross-check (interior gaps from an
+    // unfed ring are undetectable; the tail almost never is).
+    val inSync = col("_wlu").isNotNull && col("_wlu") === col("_sl") &&
+      col("_wld") <=> col("_sld")
+    // Window == the URL's complete history → any late position folds;
+    // otherwise every late row must land strictly after the window's
+    // first fetch (its order against the unretained prefix is
+    // unknowable at or before it).
+    val complete = col("_wn") === col("_sn") && col("_wfu") === col("_sf")
+    val covered = complete || col("_lfu") > col("_wfu")
+    o.select(
+      col("url"),
+      // Guards ride the kept column (the updateStats raise_error
+      // pattern): the first violating row aborts the append action.
+      when(!inSync, raise_error(concat(
+          lit("backfillStats: retained history out of sync for URL '"),
+          col("url"),
+          lit("' — record every folded batch with recordHistory")))
+          .cast("long"))
+        .when(!covered, raise_error(concat(
+          lit("backfillStats: late batch for URL '"), col("url"),
+          lit("' predates the retained history window — pass the " +
+            "complete `history` explicitly"))).cast("long"))
+        .when(complete, col("_cn"))
+        .otherwise(col("_sn") - col("_wn") + col("_cn"))
+        .as("n_fetches"),
+      when(complete, col("_cx"))
+        .otherwise(col("_sx") - col("_wx") + col("_cx")).as("n_changes"),
+      when(complete, col("_cfu")).otherwise(col("_sf")).as("first_us"),
+      col("_clu").as("last_us"),
+      when(complete, col("_cfd")).otherwise(col("_sfd"))
+        .as("first_digest"),
+      col("_cld").as("last_digest"))
   }
 
   /** Stamp merged stats rows with the batch lineage and append them with

@@ -52,7 +52,16 @@ import graft.store.GenerationStore
 final class StoreHttpServer(store: GenerationStore,
                             avroSchema: Option[String] = None,
                             analytics: Map[String, () => DataFrame] = Map.empty,
-                            takedown: Option[(graft.store.ParquetStore, String)] = None) {
+                            takedown: Option[(graft.store.ParquetStore, String)] = None,
+                            /** Zipnum CDX cluster directory for the
+                              * `/cdx/<urlkey>` point-lookup route
+                              * ([[graft.sources.Warc.zipnumLookup]]);
+                              * served lines pass the takedown line
+                              * scrub — victim URLs return nothing even
+                              * from a stale (pre-rebuild) cluster,
+                              * defense in depth with the staleness
+                              * gate. */
+                            cdxCluster: Option[String] = None) {
 
   /** The read-path takedown gate (see class doc): one broadcast
     * anti-join, applied only when the frame names documents (carries
@@ -205,6 +214,37 @@ final class StoreHttpServer(store: GenerationStore,
       case "x" :: name :: Nil =>
         rowsJson(analytics.getOrElse(dec(name), throw new IllegalArgumentException(
           s"no analytic '${dec(name)}' (GET /x lists)")).apply())
+      // Zipnum point lookup: `/cdx/<urlkey>` — the wayback-style
+      // capture query over the collection index. SURT keys contain
+      // slashes; segments re-join so both encoded and literal `/`
+      // forms resolve. Lines are SCRUBBED against the victim store
+      // before serving (class doc): a banned URL's captures — and any
+      // revisit implicating one — return empty even while the cluster
+      // awaits its post-erasure rebuild.
+      case "cdx" :: rest if rest.nonEmpty =>
+        val dir = cdxCluster.getOrElse(throw new IllegalArgumentException(
+          "no zipnum cluster configured for /cdx"))
+        val lines = graft.sources.Warc.zipnumLookup(dir,
+          dec(rest.mkString("/")))
+        val safe = takedown match {
+          case Some((td, _)) =>
+            val victims = graft.store.Takedown.victimKeys(td)
+              .collect().map(_.getString(0)).toSet
+            val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+            lines.filter { l =>
+              val js = l.indexOf('{')
+              js >= 0 && {
+                val node = mapper.readTree(l.substring(js))
+                val url = Option(node.get("url")).map(_.asText()).orNull
+                val refers =
+                  Option(node.get("refers")).map(_.asText()).orNull
+                (url == null || !victims.contains(url)) &&
+                  (refers == null || !victims.contains(refers))
+              }
+            }
+          case None => lines
+        }
+        safe.map(jsonStr).mkString("[", ",", "]")
       case "sr" :: param :: range :: Nil =>
         val (lo, hi) = dec(range).split(":", 2) match {
           case Array(a, b) =>

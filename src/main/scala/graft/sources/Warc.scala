@@ -531,6 +531,13 @@ object Warc {
   private def jsonEsc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
+  /** Query/path parameter names pywb's default canonicalizer scrubs —
+    * per-client session tokens that fragment one logical URL into
+    * millions of keys (r15 verdict #5). */
+  private val SessionParams =
+    Set("jsessionid", "phpsessid", "sid", "aspsessionid", "cfid",
+      "cftoken")
+
   /** SURT (Sort-friendly URI Reordering Transform) url key — what
     * standard CDX consumers (pywb, OpenWayback) sort and look up on
     * (r14 verdict #7): scheme and userinfo dropped, host labels
@@ -538,10 +545,27 @@ object Warc {
     * default ports (80/443) dropped, other ports kept after the host.
     * `https://Example.ORG:443/A/b?q=1` → `org,example)/a/b?q=1`.
     * URLs without a hierarchical `scheme://host` part fall back to the
-    * plain percent-encoded key (the pre-r15 behavior). Documented
-    * simplifications vs pywb's full canonicalizer: no www-stripping,
-    * no session-id scrubbing, IP hosts reversed like names. */
-  def surtKey(url: String): String = {
+    * plain percent-encoded key (the pre-r15 behavior).
+    *
+    * CANONICALIZATION FLAGS (r15 verdict #5 — pywb's defaults, off by
+    * default here so existing indexes stay byte-stable):
+    *
+    *   - `stripWww`: drop a leading `www.` / `www<digits>.` host label
+    *     (`www2.Example.org` and `example.org` key identically).
+    *   - `scrubSession`: drop session-id query parameters
+    *     ([[SessionParams]], case-insensitive names) and the servlet
+    *     `;jsessionid=…` path-matrix suffix; an emptied query drops
+    *     its `?`.
+    *
+    * Host-literal handling (advice r15): a bracketed IPv6 authority
+    * (`[2001:db8::1]:8080`) keeps its literal UNREVERSED — reversing
+    * colon-free labels of an address is meaningless — with the port
+    * stripped after the closing bracket; a trailing-dot host
+    * (`example.org.`) keys like its undotted form (the DNS root dot is
+    * not a label). Remaining documented simplification vs pywb: IPv4
+    * hosts are reversed like names. */
+  def surtKey(url: String, stripWww: Boolean = false,
+              scrubSession: Boolean = false): String = {
     if (url == null) return "-"
     val u = url.trim
     val si = u.indexOf("://")
@@ -552,21 +576,59 @@ object Warc {
     if (fi >= 0) rest = rest.substring(0, fi) // fragment never keys
     val pi = rest.indexWhere(c => c == '/' || c == '?')
     var auth = if (pi < 0) rest else rest.substring(0, pi)
-    val path = if (pi < 0) "" else rest.substring(pi)
+    var path = if (pi < 0) "" else rest.substring(pi)
     val at = auth.lastIndexOf('@')
     if (at >= 0) auth = auth.substring(at + 1)
     var host = auth.toLowerCase(java.util.Locale.ROOT)
     var port = ""
-    val ci = host.lastIndexOf(':')
-    if (ci >= 0 && host.substring(ci + 1).forall(_.isDigit)) {
-      val p = host.substring(ci + 1)
-      host = host.substring(0, ci)
-      if (p.nonEmpty && p != "80" && p != "443") port = ":" + p
+    if (host.startsWith("[")) {
+      // Bracketed IP literal: the port separator is only AFTER the
+      // closing bracket — lastIndexOf(':') inside the address would
+      // mangle it (advice r15).
+      val cb = host.indexOf(']')
+      if (cb < 0) return fallback
+      val after = host.substring(cb + 1)
+      if (after.startsWith(":") && after.drop(1).forall(_.isDigit)) {
+        val p = after.drop(1)
+        if (p.nonEmpty && p != "80" && p != "443") port = ":" + p
+        host = host.substring(0, cb + 1)
+      } else if (after.nonEmpty) return fallback
+    } else {
+      val ci = host.lastIndexOf(':')
+      if (ci >= 0 && host.substring(ci + 1).forall(_.isDigit)) {
+        val p = host.substring(ci + 1)
+        host = host.substring(0, ci)
+        if (p.nonEmpty && p != "80" && p != "443") port = ":" + p
+      }
+      // DNS root dot: `example.org.` is the same name — an empty
+      // trailing label would otherwise emit a leading "," (advice r15).
+      host = host.stripSuffix(".")
+      if (stripWww && host.matches("www\\d*\\..+"))
+        host = host.substring(host.indexOf('.') + 1)
+    }
+    if (scrubSession && path.nonEmpty) {
+      // Servlet path-matrix form: /page;jsessionid=ABC?x=1
+      path = path.replaceAll("(?i);jsessionid=[^?/]*", "")
+      val qi = path.indexOf('?')
+      if (qi >= 0) {
+        val kept = path.substring(qi + 1).split("&", -1).filter { kv =>
+          val name = kv.takeWhile(_ != '=')
+            .toLowerCase(java.util.Locale.ROOT)
+          !SessionParams.contains(name)
+        }
+        path = path.substring(0, qi) +
+          (if (kept.forall(_.isEmpty)) "" else kept.mkString("?", "&", ""))
+      }
     }
     if (host.isEmpty) fallback
-    else (host.split('.').reverse.mkString(",") + port + ")" +
-      (if (path.isEmpty) "/" else path)
-        .toLowerCase(java.util.Locale.ROOT)).replace(" ", "%20")
+    else {
+      val key =
+        if (host.startsWith("[")) host // IP literal: never reversed
+        else host.split('.').reverse.mkString(",")
+      (key + port + ")" +
+        (if (path.isEmpty) "/" else path)
+          .toLowerCase(java.util.Locale.ROOT)).replace(" ", "%20")
+    }
   }
 
   /** ONE CDXJ line (`<urlkey> <timestamp> {json}\n`) — the single
@@ -581,10 +643,11 @@ object Warc {
                              status: Long, digest: String,
                              location: String, refersTo: String,
                              length: Int, offset: Int, filename: String,
-                             surt: Boolean): String = {
+                             surt: Boolean, canon: Boolean = false): String = {
     val u = if (url == null) "-" else url
     val sb = new StringBuilder
-    sb.append(if (surt) surtKey(u) else u.replace(" ", "%20")).append(' ')
+    sb.append(if (surt) surtKey(u, stripWww = canon, scrubSession = canon)
+      else u.replace(" ", "%20")).append(' ')
       .append(if (ts == null || ts.isEmpty) "-" else ts).append(' ')
       .append("{\"url\":\"").append(jsonEsc(u))
       .append("\",\"mime\":\"").append(jsonEsc(mime))
@@ -603,29 +666,38 @@ object Warc {
 
   /** Delete dead staging strays (`prefix`-named dot-files) under
     * `dir` — see [[writeFiles]]. */
-  private[graft] def sweepStaging(dir: String, prefix: String): Unit = {
-    val d = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.isDirectory(d)) return
-    val s = java.nio.file.Files.list(d)
-    try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
-      .filter(_.getFileName.toString.startsWith(prefix))
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    finally s.close()
-  }
+  private[graft] def sweepStaging(dir: String, prefix: String,
+                                  fs: graft.FsIO = graft.FsIO.local): Unit =
+    fs.list(dir).filter(_.startsWith(prefix))
+      .foreach(n => fs.delete(fs.resolve(dir, n)))
 
   /** Materialize an export frame (`path`, `content` — the
     * [[encodeResponses]] output shape) into a directory: each executor
     * writes its own files (stage → atomic rename per file, so readers
     * and re-runs never see a torn file), the distributed-export shape —
-    * no driver collect, no shuffle. Returns the file count. */
-  def writeFiles(files: DataFrame, dir: String): Long = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    * no driver collect, no shuffle. Returns the file count. `fs` picks
+    * the durability backend ([[graft.FsIO]] — local nio by default,
+    * [[graft.HadoopFs]] for HDFS-style deployments); it rides the task
+    * closure, so implementations are serializable by contract.
+    *
+    * ONE WRITER PER EXPORT DIRECTORY (advice r15): the pre-job sweep
+    * below deletes EVERY `.staging_w_*` stray, including a concurrent
+    * run's live staging files — two simultaneous writeFiles (or
+    * exportIncremental) calls into one directory are not supported and
+    * will fail each other's renames. That matches the export model
+    * (one shipment call owns its directory; re-runs are serial), and
+    * stating it beats a liveness heuristic that would leave true
+    * strays behind; coordinate above this call if concurrent shipments
+    * into one directory ever become real. */
+  def writeFiles(files: DataFrame, dir: String,
+                 fs: graft.FsIO = graft.FsIO.local): Long = {
+    fs.mkdirs(dir)
     // Sweep staging STRAYS from prior killed/speculated attempts
     // (review r15 #5: attempt-unique names stop rename races but leak
     // a dot-file per dead attempt). Driver-side, BEFORE the job: this
     // run's own attempts haven't started, and prior runs' strays are
-    // dead by definition.
-    sweepStaging(dir, ".staging_w_")
+    // dead by definition (single-writer contract above).
+    sweepStaging(dir, ".staging_w_", fs)
     val pi = files.schema.fieldIndex("path")
     val ci = files.schema.fieldIndex("content")
     files.mapPartitions { it =>
@@ -643,13 +715,9 @@ object Warc {
         require(!name.contains('/') && !name.contains('\\') &&
           name != "." && name != "..",
           s"writeFiles: path '$name' must be a bare file name")
-        val target = java.nio.file.Paths.get(dir, name)
-        val staging =
-          java.nio.file.Paths.get(dir, s".staging_w_${attempt}_$name")
-        java.nio.file.Files.write(staging, row.getAs[Array[Byte]](ci))
-        java.nio.file.Files.move(staging, target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val staging = fs.resolve(dir, s".staging_w_${attempt}_$name")
+        fs.write(staging, row.getAs[Array[Byte]](ci))
+        fs.atomicSwap(staging, fs.resolve(dir, name))
         n += 1L
       }
       Iterator.single(n)
@@ -714,19 +782,28 @@ object Warc {
                         * keeps the plain percent-encoded key. */
                       cdxSurt: Boolean = false,
                       /** CROSS-EXPORT revisit memory (r14 verdict #6):
-                        * `(digest, url, warc_date)` rows naming the
-                        * original already shipped in a PRIOR export for
-                        * each hex-sha1 body digest. A row whose digest
-                        * matches becomes a payload-free revisit of that
-                        * original even as the FIRST occurrence in this
-                        * call — unless the row IS the stored original
-                        * itself (same url AND date: a crash-replayed or
-                        * re-run export must re-emit the original as a
-                        * response, byte-stably, not as a revisit of
-                        * itself). Feed from [[revisitStore]] via
-                        * [[exportIncremental]]. Implies nothing unless
-                        * `withRevisits` is set. */
-                      priorReps: DataFrame = null): DataFrame = {
+                        * `(digest, url, warc_date, archive)` rows naming
+                        * the original already shipped in a PRIOR export
+                        * for each hex-sha1 body digest. A row whose
+                        * digest matches becomes a payload-free revisit
+                        * of that original even as the FIRST occurrence
+                        * in this call — unless the row IS the stored
+                        * original itself (same url, date AND archive —
+                        * the rep's FULL identity, advice r15: a
+                        * url+date-only exemption let a same-url-same-
+                        * date twin in another group replay as a second
+                        * full response, breaking byte-stability): a
+                        * crash-replayed or re-run export must re-emit
+                        * the original as a response, byte-stably, not
+                        * as a revisit of itself. Feed from
+                        * [[revisitStore]] via [[exportIncremental]].
+                        * Implies nothing unless `withRevisits` is
+                        * set. */
+                      priorReps: DataFrame = null,
+                      /** Canonicalized SURT keys ([[surtKey]]'s
+                        * `stripWww`/`scrubSession` — pywb's defaults);
+                        * only meaningful with `cdxSurt`. */
+                      cdxCanon: Boolean = false): DataFrame = {
     // Fixed positional layout for the encode loop: group, url, date,
     // type, body, status, location, revisit-of. Absent columns become
     // literals so the loop never branches on schema.
@@ -759,20 +836,33 @@ object Warc {
           if (priorReps == null)
             dug.withColumn("_prior", lit(null).cast("string"))
               .withColumn("_pdate", lit(null).cast("string"))
+              .withColumn("_parch", lit(null).cast("string"))
           else dug.join(
             priorReps.select(col("digest").as("_dig"),
-              col("url").as("_prior"), col("warc_date").as("_pdate")),
+              col("url").as("_prior"), col("warc_date").as("_pdate"),
+              col("archive").as("_parch")),
             Seq("_dig"), "left")
+        // The stored original's self-exemption matches its FULL
+        // identity — url, date, AND archive (advice r15): with url+date
+        // only, two same-digest rows sharing (url, date) but destined
+        // for different archives both matched the exemption on replay
+        // and shipped as two full responses where the first run shipped
+        // one response + one revisit. The second `when` no longer
+        // requires a null prior for the same reason: the EXEMPT row's
+        // in-call duplicates (rn > 1) must still become revisits of the
+        // window's first row, exactly as on the first run.
+        val archiveName = concat(col(groupCol),
+          lit(if (gzipped) ".warc.gz" else ".warc"))
         withPrior
           .withColumn("_rn", row_number().over(w))
           .withColumn("_orig", first_value(col(urlCol)).over(w))
           .withColumn("_revisit_of",
             when(col("_dig").isNotNull && col("_prior").isNotNull &&
               !(col(urlCol) === col("_prior") &&
-                col(dateCol) === col("_pdate")), col("_prior"))
-            .when(col("_dig").isNotNull && col("_prior").isNull &&
-              col("_rn") > 1, col("_orig")))
-          .drop("_dig", "_rn", "_orig", "_prior", "_pdate")
+                col(dateCol) === col("_pdate") &&
+                archiveName === col("_parch")), col("_prior"))
+            .when(col("_dig").isNotNull && col("_rn") > 1, col("_orig")))
+          .drop("_dig", "_rn", "_orig", "_prior", "_pdate", "_parch")
       }
     // TOTAL-order sort (ALL columns, body and the status/location/
     // revisit work columns included): rows tying on any prefix — a
@@ -885,7 +975,7 @@ object Warc {
               cdx.append(cdxLine(r.getString(1),
                 r.getString(2).filter(_.isDigit), contentType, status,
                 digest, location, revisitOf, member.length, offset,
-                s"$group$ext", cdxSurt))
+                s"$group$ext", cdxSurt, cdxCanon))
             ordinal += 1
             if (it.hasNext) {
               pending = it.next().copy()
@@ -987,76 +1077,203 @@ object Warc {
     }(Encoders.row(outSchema))
   }
 
-  /** Materialize a zipnum cluster into `dir`: write the shard files and
-    * summary fragments ([[writeFiles]] — atomic per-file), then
-    * assemble the fragments into ONE `cluster.idx` in part order
-    * (driver-side: the summary is metadata-sized by construction) and
-    * drop them. Returns the shard count. */
+  /** Materialize a zipnum cluster into `dir`: build the shard files and
+    * summary fragments under a STAGING subdirectory (advice r15 — the
+    * in-place rebuild deleted the live `cluster.idx` before the
+    * replacement landed, so a crash mid-rebuild left no cluster and a
+    * concurrent lookup could hit a deleted shard), assemble the
+    * fragments into ONE `cluster.idx` in part order (driver-side: the
+    * summary is metadata-sized by construction), then swap the new
+    * cluster in — shards first, summary next, manifest LAST — and
+    * sweep shards the new summary no longer names. A crash anywhere
+    * before the summary swap leaves the OLD cluster fully intact; a
+    * crash between the summary and manifest swaps leaves a SERVABLE
+    * new cluster that [[zipnumStale]] conservatively flags until the
+    * rerun re-stamps it.
+    *
+    * TAKEDOWN STAMP (r15 verdict #2): `cluster.manifest` records the
+    * build geometry plus the name, size, and sha1 of every source
+    * `.cdx` row — the cluster's input identity. [[zipnumStale]]
+    * compares it against an export directory's current indexes, so a
+    * cluster left behind by [[graft.store.Takedown.eraseExports]]
+    * (which rewrites `.cdx` files) is DETECTABLE, and
+    * [[zipnumLookup]]'s `verifyExports` mode refuses to serve from it
+    * instead of leaking erased URL+digest attribution lines. Returns
+    * the shard count. */
   def writeZipnum(files: DataFrame, dir: String, shards: Int,
-                  blockLines: Int = 3000): Long = {
-    // PIN the cluster rows BEFORE sweeping: the rebuild-after-erasure
-    // cadence reads `files` from this very directory (the
-    // [[zipnumCdx]] takedown note), so a lazy plan would race the
-    // stale-artifact deletes below and fail mid-scan. The pinned
-    // output is metadata-scale (gzipped index lines, 1/blockLines
-    // summary) — cheap to hold.
+                  blockLines: Int = 3000,
+                  fs: graft.FsIO = graft.FsIO.local): Long = {
+    // PIN the cluster rows BEFORE any file mutation: the
+    // rebuild-after-erasure cadence reads `files` from this very
+    // directory (the [[zipnumCdx]] takedown note), so a lazy plan
+    // would race the swaps below and fail mid-scan. The pinned output
+    // is metadata-scale (gzipped index lines, 1/blockLines summary) —
+    // cheap to hold. The manifest aggregate below also reads `files`,
+    // BEFORE any mutation, for the same reason.
     val pinned = zipnumCdx(files, shards, blockLines)
       .localCheckpoint(eager = true)
-    // Clear STALE cluster artifacts (review r15 #4): a re-run over
-    // shrunken input emits fewer shards/fragments, and a leftover
-    // part file from a larger prior run would otherwise be assembled
-    // into the new summary — pointing lookups at a stale shard.
-    val d0 = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.isDirectory(d0)) {
-      val s0 = java.nio.file.Files.list(d0)
-      try s0.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.matches("cdx-\\d{5}\\.gz") ||
-            n.matches("cluster\\.idx(\\.part\\d{5})?")
-        }
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally s0.close()
-    }
-    writeFiles(pinned, dir)
-    val d = java.nio.file.Paths.get(dir)
-    val s = java.nio.file.Files.list(d)
-    val parts =
-      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
-        .filter(_.getFileName.toString.startsWith("cluster.idx.part"))
-        .sortBy(_.getFileName.toString)
-      finally s.close()
+    val manifest = files.filter(col("path").endsWith(".cdx"))
+      .select(col("path"), octet_length(col("content")).cast("long")
+        .as("sz"), sha1(col("content")).as("dig"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    val manifestBytes = (
+      s"#zipnum\tshards=$shards\tblockLines=$blockLines\n" +
+        manifest.map { case (n, sz, dg) => s"$n\t$sz\t$dg\n" }.mkString)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // Build under staging; the live cluster stays untouched until the
+    // new one is complete.
+    val stage = fs.resolve(dir, ".zipnum_stage")
+    fs.deleteRecursively(stage)
+    fs.mkdirs(stage)
+    writeFiles(pinned, stage, fs)
+    val parts = fs.list(stage)
+      .filter(_.startsWith("cluster.idx.part")).sorted
     val out = new java.io.ByteArrayOutputStream()
-    parts.foreach(p => out.write(java.nio.file.Files.readAllBytes(p)))
-    val staging = d.resolve(".staging_z_cluster.idx")
-    java.nio.file.Files.write(staging, out.toByteArray)
-    java.nio.file.Files.move(staging, d.resolve("cluster.idx"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    parts.foreach(p => java.nio.file.Files.deleteIfExists(p))
-    parts.size.toLong
+    parts.foreach(p => out.write(fs.read(fs.resolve(stage, p))))
+    fs.write(fs.resolve(stage, "cluster.idx"), out.toByteArray)
+    // SWAP IN: shards → summary → manifest. Shard files replace their
+    // same-named predecessors atomically; the summary flips the whole
+    // cluster to the new blocks in one rename; the manifest stamps it
+    // fresh only after everything it attests to is in place.
+    val newShards = fs.list(stage).filter(_.matches("cdx-\\d{5}\\.gz"))
+    newShards.foreach { n =>
+      fs.atomicSwap(fs.resolve(stage, n), fs.resolve(dir, n))
+    }
+    fs.atomicSwap(fs.resolve(stage, "cluster.idx"),
+      fs.resolve(dir, "cluster.idx"))
+    fs.write(fs.resolve(dir, ".staging_z_cluster.manifest"), manifestBytes)
+    fs.atomicSwap(fs.resolve(dir, ".staging_z_cluster.manifest"),
+      fs.resolve(dir, "cluster.manifest"))
+    // Sweep artifacts the new cluster no longer names (review r15 #4:
+    // a shrunken re-run emits fewer shards; a stale extra shard or a
+    // legacy in-place fragment must not survive to be read).
+    val keep = newShards.toSet
+    fs.list(dir).filter { n =>
+      (n.matches("cdx-\\d{5}\\.gz") && !keep.contains(n)) ||
+        n.matches("cluster\\.idx\\.part\\d{5}")
+    }.foreach(n => fs.delete(fs.resolve(dir, n)))
+    fs.deleteRecursively(stage)
+    newShards.size.toLong
+  }
+
+  /** Is the zipnum cluster under `clusterDir` STALE against the
+    * per-archive `.cdx` indexes currently under `exportDir`? True when
+    * the manifest is missing (a pre-manifest cluster, or a crash
+    * between the summary and manifest swaps) or any source index was
+    * added, removed, resized, or rewritten since the build — exactly
+    * what [[graft.store.Takedown.eraseExports]] does, which is the
+    * point: between an erasure and the rebuild, the cluster still
+    * serves the victim's URL+digest attribution lines, and staleness
+    * is the signal that closes that window (r15 verdict #2). Cost:
+    * one directory listing + the index bytes (1/1000s of the archive
+    * bytes) — never an archive read. No cluster at all (no
+    * `cluster.idx`) is NOT stale: there is nothing to serve from. */
+  def zipnumStale(clusterDir: String, exportDir: String,
+                  fs: graft.FsIO = graft.FsIO.local): Boolean = {
+    if (!fs.exists(fs.resolve(clusterDir, "cluster.idx"))) return false
+    val mPath = fs.resolve(clusterDir, "cluster.manifest")
+    if (!fs.exists(mPath)) return true
+    val recorded = new String(fs.read(mPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l => val f = l.split("\t"); (f(0), f(1).toLong, f(2)) }
+      .toSet
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    val current = fs.list(exportDir)
+      .filter(n => n.endsWith(".cdx") && !n.startsWith("."))
+      .map { n =>
+        val bytes = fs.read(fs.resolve(exportDir, n))
+        (n, bytes.length.toLong,
+          md.digest(bytes).map("%02x".format(_)).mkString)
+      }.toSet
+    recorded != current
+  }
+
+  /** The `(shards, blockLines)` geometry a cluster was built with —
+    * from its manifest header; None for a pre-manifest cluster. The
+    * rebuild cadence ([[graft.store.Takedown.eraseExports]]) reuses it
+    * so an erasure-triggered rebuild preserves the operator's sizing. */
+  def zipnumGeometry(clusterDir: String,
+                     fs: graft.FsIO = graft.FsIO.local)
+      : Option[(Int, Int)] = {
+    val mPath = fs.resolve(clusterDir, "cluster.manifest")
+    if (!fs.exists(mPath)) return None
+    new String(fs.read(mPath), java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").headOption.filter(_.startsWith("#zipnum\t")).flatMap {
+        h =>
+          val kv = h.split("\t").drop(1).flatMap { f =>
+            f.split("=", 2) match {
+              case Array(k, v) if v.forall(_.isDigit) && v.nonEmpty =>
+                Some(k -> v.toInt)
+              case _ => None
+            }
+          }.toMap
+          for (s <- kv.get("shards"); b <- kv.get("blockLines"))
+            yield (s, b)
+      }
+  }
+
+  /** UTF-8 byte order (unsigned), the order [[zipnumCdx]]'s range
+    * shuffle sorted the cluster in (Spark compares strings as UTF8
+    * binary). Java String `<` is UTF-16 code-unit order, which
+    * DIVERGES for supplementary characters vs U+E000–U+FFFF (advice
+    * r15) — a summary search in the wrong order can land on the wrong
+    * block and silently miss a present key. */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
   }
 
   /** Point lookup over a written zipnum cluster ([[writeZipnum]]'s
     * output): binary-search `cluster.idx` for the blocks that can hold
-    * `urlkey`, inflate ONLY those, and return their matching CDXJ
-    * lines (every capture of the key, across block straddles — a key's
-    * captures can span a block boundary, in which case the next
-    * block's first-line key equals the probe). Driver-side by design:
-    * this is the SERVING-path primitive (one summary search + one or
-    * two block inflates), not an analytics operator — bulk joins
-    * belong on the Dataset API. The summary is held in memory; it is
-    * 1/blockLines of the collection by construction. */
-  def zipnumLookup(dir: String, urlkey: String): Seq[String] = {
-    val idxPath = java.nio.file.Paths.get(dir, "cluster.idx")
-    if (!java.nio.file.Files.exists(idxPath)) return Seq.empty
-    val entries = new String(java.nio.file.Files.readAllBytes(idxPath),
+    * `urlkey`, read ONLY those blocks' byte ranges (positioned reads —
+    * [[graft.FsIO.readRanges]], one open channel per shard even across
+    * a block straddle; never the rest of the shard, which at
+    * collection scale is GBs the summary exists to skip), inflate
+    * them, and return their matching CDXJ lines (every capture of the
+    * key, across block straddles — a key's captures can span a block
+    * boundary, in which case the next block's first-line key equals
+    * the probe). Driver-side by design: this is the SERVING-path
+    * primitive (one summary search + one or two block reads), not an
+    * analytics operator — bulk joins belong on the Dataset API. The
+    * summary is held in memory; it is 1/blockLines of the collection
+    * by construction. A shard deleted out from under a concurrent
+    * rebuild reads as Seq.empty for its blocks, never a throw (advice
+    * r15).
+    *
+    * `verifyExports` (takedown defense, r15 verdict #2): when set to
+    * the archive directory the cluster indexes, the lookup first
+    * checks [[zipnumStale]] and REFUSES (IllegalStateException) to
+    * serve from a cluster whose source indexes changed since the
+    * build — the erase-to-rebuild window in which stale blocks still
+    * attribute erased content. */
+  def zipnumLookup(dir: String, urlkey: String,
+                   fs: graft.FsIO = graft.FsIO.local,
+                   verifyExports: String = null): Seq[String] = {
+    if (verifyExports != null && zipnumStale(dir, verifyExports, fs))
+      throw new IllegalStateException(
+        s"zipnumLookup: cluster at $dir is STALE against $verifyExports " +
+          "(source .cdx indexes changed since the build — e.g. a " +
+          "takedown erasure); rebuild with writeZipnum before serving")
+    val idxPath = fs.resolve(dir, "cluster.idx")
+    if (!fs.exists(idxPath)) return Seq.empty
+    val entries = new String(fs.read(idxPath),
       java.nio.charset.StandardCharsets.UTF_8)
       .split("\n").filter(_.nonEmpty)
       .map { l =>
         val f = l.split("\t")
         // Block key is "<urlkey> <ts>" — match on the urlkey token.
-        (f(0).split(" ")(0), f(1), f(2).toInt, f(3).toInt)
+        (f(0).split(" ")(0), f(1), f(2).toLong, f(3).toInt)
       }
     if (entries.isEmpty) return Seq.empty
     // The candidate run starts at the last block whose first key is
@@ -1069,21 +1286,32 @@ object Warc {
     var hi = entries.length - 1
     while (lo < hi) { // greatest i with key_i < urlkey (or 0)
       val mid = (lo + hi + 1) >>> 1
-      if (entries(mid)._1 < urlkey) lo = mid else hi = mid - 1
+      if (utf8Less(entries(mid)._1, urlkey)) lo = mid else hi = mid - 1
     }
     val run = entries.indices
       .dropWhile(_ < lo)
       .takeWhile(i => i == lo || entries(i)._1 == urlkey)
-    run.flatMap { i =>
-      val (_, shard, off, len) = entries(i)
-      val bytes = java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(dir, shard))
-      gunzip(java.util.Arrays.copyOfRange(bytes, off, off + len))
-        .map(b => new String(b,
-          java.nio.charset.StandardCharsets.UTF_8)
-          .split("\n").filter(_.nonEmpty).toSeq)
-        .getOrElse(Seq.empty)
-        .filter(l => l.startsWith(urlkey + " "))
+    // One positioned-read batch per DISTINCT shard in the run (a
+    // straddle usually stays in one shard — one open, two seeks).
+    run.groupBy(i => entries(i)._2).toSeq.sortBy(_._2.head).flatMap {
+      case (shard, idxs) =>
+        val spans = idxs.map(i => (entries(i)._3, entries(i)._4))
+        val blocks =
+          try fs.readRanges(fs.resolve(dir, shard), spans)
+          catch {
+            // Mid-rebuild race or an operator delete: absent shard =
+            // no captures from it, not a failed lookup.
+            case _: java.nio.file.NoSuchFileException => Seq.empty
+            case _: java.io.FileNotFoundException => Seq.empty
+          }
+        blocks.flatMap { member =>
+          gunzip(member)
+            .map(b => new String(b,
+              java.nio.charset.StandardCharsets.UTF_8)
+              .split("\n").filter(_.nonEmpty).toSeq)
+            .getOrElse(Seq.empty)
+            .filter(l => l.startsWith(urlkey + " "))
+        }
     }
   }
 
@@ -1156,13 +1384,19 @@ object Warc {
                         statusCol: String = null,
                         locationCol: String = null,
                         withCdx: Boolean = false,
-                        cdxSurt: Boolean = false): Long = {
+                        cdxSurt: Boolean = false,
+                        cdxCanon: Boolean = false,
+                        fs: graft.FsIO = graft.FsIO.local): Long = {
+    // The rep's FULL identity rides the join (url, date, AND archive —
+    // advice r15): encodeResponses' self-exemption must match all
+    // three, or a same-url-same-date twin bound for another archive
+    // replays as a second full response.
     val prior = repStore.latestPerKey(Seq("digest"))
-      .select(col("digest"), col("url"), col("warc_date"))
+      .select(col("digest"), col("url"), col("warc_date"), col("archive"))
     val n = writeFiles(encodeResponses(rows, groupCol, urlCol, dateCol,
       typeCol, bodyCol, gzipped, statusCol, locationCol,
       withRevisits = true, withCdx = withCdx, cdxSurt = cdxSurt,
-      priorReps = prior), outDir)
+      priorReps = prior, cdxCanon = cdxCanon), outDir, fs)
     // This call's rep per digest = the window's first row: min over the
     // SAME (url, date, group, type) total order.
     val ord = struct(col(urlCol), col(dateCol), col(groupCol),

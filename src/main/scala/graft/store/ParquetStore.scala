@@ -1,6 +1,5 @@
 package graft.store
 
-import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -75,13 +74,20 @@ final class ParquetStore(
       * [[graft.streaming.CrawlSchedule.policyAsOf]]) raise it so a
       * collapse landing inside the replay window cannot fold the
       * generation a crashed batch's stamp points at. */
-    val collapseKeepRecent: Int = 1
+    val collapseKeepRecent: Int = 1,
+    /** Byte-level durability backend (r15 verdict #3): the generation
+      * swaps, floor files, and directory listings go through
+      * [[graft.FsIO]], so a store rooted at an `hdfs://` path works
+      * with `new HadoopFs()` — the parquet data itself already reads/
+      * writes through Spark's own Hadoop IO. Atomicity contract per
+      * backend: [[graft.FsIO]]'s class doc (S3 excluded). */
+    val fs: graft.FsIO = graft.FsIO.local
 ) extends GenerationStore {
 
   val fullSchema: StructType =
     StructType(schema.fields :+ StructField("rst_id", LongType, nullable = false))
 
-  Files.createDirectories(Paths.get(path))
+  fs.mkdirs(path)
   /** Volatile: HTTP pool threads read the counter while the streaming
     * thread appends. */
   @volatile private var counter: Long = maxRstId.map(_ + 1L).getOrElse(1L)
@@ -90,19 +96,11 @@ final class ParquetStore(
   /** Generation directories currently on disk, ascending. Staging dirs
     * (`.staging_*`, from in-flight or failed writes) never match, so a
     * crashed half-written generation is invisible to reads AND to counter
-    * restore. NIO streams are closed eagerly (they hold an fd until GC —
-    * a per-micro-batch leak otherwise). */
-  private def generationIds(): Seq[Long] = {
-    val s = Files.list(Paths.get(path))
-    try s.toArray.toSeq.map(_.asInstanceOf[Path])
-      .map(_.getFileName.toString)
+    * restore. */
+  private def generationIds(): Seq[Long] =
+    fs.list(path)
       .collect { case n if n.startsWith("rst_id=") => n.stripPrefix("rst_id=").toLong }
       .sorted
-    finally s.close()
-  }
-
-  private def deleteRecursively(dir: Path): Unit =
-    graft.Fs.deleteRecursively(dir)
 
   /** A4 restore from DURABLE storage: the directory listing is the
     * MAX(RST_ID) query (no data read at all). */
@@ -123,13 +121,13 @@ final class ParquetStore(
   // collapse target and lets deltas accumulate (bounded disk growth,
   // never wrong answers), the documented operator cleanup.
 
-  private def floorsDir: Path = Paths.get(path, ".applied_floors")
+  private def floorsDir: String = fs.resolve(path, ".applied_floors")
 
-  private def floorFile(scope: String): Path = {
+  private def floorFile(scope: String): String = {
     val hex = java.security.MessageDigest.getInstance("SHA-1")
       .digest(scope.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
-    floorsDir.resolve(s"$hex.floor")
+    fs.resolve(floorsDir, s"$hex.floor")
   }
 
   /** Record (or advance) lineage `scope`'s live as-of stamp: collapse
@@ -137,45 +135,41 @@ final class ParquetStore(
     * rename — a crash never leaves a torn floor. */
   def recordAppliedFloor(scope: String, rst: Long): Unit =
     this.synchronized {
-      Files.createDirectories(floorsDir)
+      fs.mkdirs(floorsDir)
       val f = floorFile(scope)
-      val tmp = floorsDir.resolve(f.getFileName.toString + ".tmp")
-      Files.write(tmp,
+      val tmp = f + ".tmp"
+      fs.write(tmp,
         rst.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      fs.atomicSwap(tmp, f)
     }
 
   /** Drop lineage `scope`'s floor (a permanently-stopped consumer). */
   def releaseAppliedFloor(scope: String): Unit = this.synchronized {
-    Files.deleteIfExists(floorFile(scope))
+    fs.delete(floorFile(scope))
     ()
   }
 
   /** The minimum live as-of stamp across lineages, None when no floor
     * is recorded. Directory listing + tiny reads only. */
   def appliedFloor: Option[Long] = {
-    if (!Files.isDirectory(floorsDir)) return None
-    val s = Files.list(floorsDir)
-    try {
-      val vals = s.toArray.toSeq.map(_.asInstanceOf[Path])
-        .filter(_.getFileName.toString.endsWith(".floor"))
-        .flatMap { p =>
-          // Strict shape, not a character-set filter: "1-2" would pass
-          // a digits-or-dash check and then throw from toLong, wedging
-          // every collapse behind one corrupt file (review r15).
-          val t = new String(Files.readAllBytes(p),
-            java.nio.charset.StandardCharsets.UTF_8).trim
-          // 19 digits covers Long.MaxValue; the Try guards the one
-          // 19-digit string that still overflows (review r15 #7 — an
-          // 18-digit cap would silently DROP a legitimate huge stamp,
-          // letting collapse fold past a live floor).
-          if (t.matches("-?\\d{1,19}"))
-            scala.util.Try(t.toLong).toOption
-          else None
-        }
-      if (vals.isEmpty) None else Some(vals.min)
-    } finally s.close()
+    if (!fs.isDirectory(floorsDir)) return None
+    val vals = fs.list(floorsDir)
+      .filter(_.endsWith(".floor"))
+      .flatMap { n =>
+        // Strict shape, not a character-set filter: "1-2" would pass
+        // a digits-or-dash check and then throw from toLong, wedging
+        // every collapse behind one corrupt file (review r15).
+        val t = new String(fs.read(fs.resolve(floorsDir, n)),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        // 19 digits covers Long.MaxValue; the Try guards the one
+        // 19-digit string that still overflows (review r15 #7 — an
+        // 18-digit cap would silently DROP a legitimate huge stamp,
+        // letting collapse fold past a live floor).
+        if (t.matches("-?\\d{1,19}"))
+          scala.util.Try(t.toLong).toOption
+        else None
+      }
+    if (vals.isEmpty) None else Some(vals.min)
   }
 
   /** Whether generation `rstId` is currently on disk — readers that must
@@ -218,14 +212,13 @@ final class ParquetStore(
     * [[generationIds]]. */
   def append(batch: DataFrame): this.type = this.synchronized {
     val aligned = schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
-    val staging = Paths.get(path, s".staging_$counter")
+    val staging = fs.resolve(path, s".staging_$counter")
     try {
       batch.select(aligned.toIndexedSeq: _*)
-        .write.mode("overwrite").parquet(staging.toString)
-      Files.move(staging, Paths.get(path, s"rst_id=$counter"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        .write.mode("overwrite").parquet(staging)
+      fs.rename(staging, fs.resolve(path, s"rst_id=$counter"))
     } catch { case e: Throwable =>
-      if (Files.exists(staging)) deleteRecursively(staging)
+      if (fs.exists(staging)) fs.deleteRecursively(staging)
       throw e
     }
     counter += 1
@@ -315,31 +308,30 @@ final class ParquetStore(
       .collect().map(_.getLong(0)).sorted
     for (g <- touched) {
       val gen = raw(Some(col("rst_id") === g)).drop("rst_id")
-      val staging = Paths.get(path, s".staging_rw_$g")
-      val original = Paths.get(path, s"rst_id=$g")
+      val staging = fs.resolve(path, s".staging_rw_$g")
+      val original = fs.resolve(path, s"rst_id=$g")
       var originalDeleted = false
       try {
         // Read-from-original, write-to-staging: the scan and the write
         // never touch the same files; the swap happens only after the
         // staged copy is complete.
         gen.join(matchKeys, keys, "left_anti")
-          .write.mode("overwrite").parquet(staging.toString)
-        deleteRecursively(original)
+          .write.mode("overwrite").parquet(staging)
+        fs.deleteRecursively(original)
         originalDeleted = true
-        Files.move(staging, original,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        fs.rename(staging, original)
       } catch { case e: Throwable =>
         if (!originalDeleted) {
           // Original intact — the staged copy is redundant, drop it.
-          if (Files.exists(staging)) deleteRecursively(staging)
-        } else if (Files.exists(staging)) {
+          if (fs.exists(staging)) fs.deleteRecursively(staging)
+        } else if (fs.exists(staging)) {
           // Original is GONE: the staged directory is the only surviving
           // copy of this generation's unmatched rows — deleting it here
           // would turn a failed rename into data loss. Try a plain rename
           // as recovery; if that too fails, leave .staging_rw_<g> on disk
           // for operator recovery (reads skip it, so the store stays
           // serving, minus this generation, instead of corrupting).
-          try Files.move(staging, original)
+          try fs.rename(staging, original)
           catch { case _: Throwable => () }
         }
         throw e
@@ -362,7 +354,7 @@ final class ParquetStore(
     * expire a live snapshot's base out from under its append chain. */
   def cleanBelow(keepFrom: Long): this.type = this.synchronized {
     generationIds().filter(_ < keepFrom).foreach { g =>
-      deleteRecursively(Paths.get(s"$path/rst_id=$g"))
+      fs.deleteRecursively(fs.resolve(path, s"rst_id=$g"))
     }
     registerView()
     this
@@ -375,7 +367,7 @@ final class ParquetStore(
     * id and lockstep ids stay dense. No-op when nothing is above. */
   def truncateAbove(committed: Long): this.type = this.synchronized {
     generationIds().filter(_ > committed).foreach { g =>
-      deleteRecursively(Paths.get(s"$path/rst_id=$g"))
+      fs.deleteRecursively(fs.resolve(path, s"rst_id=$g"))
     }
     counter = committed + 1L
     registerView()
@@ -385,21 +377,16 @@ final class ParquetStore(
   private def cleanCore(interval: Long): Unit = {
     val keepFrom = counter - (if (interval == -1L) cleanInterval else interval)
     generationIds().filter(_ < keepFrom).foreach { g =>
-      deleteRecursively(Paths.get(s"$path/rst_id=$g"))
+      fs.deleteRecursively(fs.resolve(path, s"rst_id=$g"))
     }
   }
 
   /** Parquet files currently making up generation `rstId` (0 when the
     * generation is absent) — the small-files health signal [[compact]]
     * acts on. */
-  def generationFileCount(rstId: Long): Long = {
-    val dir = Paths.get(path, s"rst_id=$rstId")
-    if (!Files.isDirectory(dir)) return 0L
-    val s = Files.list(dir)
-    try s.toArray.toSeq.map(_.asInstanceOf[Path])
-      .count(p => p.getFileName.toString.endsWith(".parquet")).toLong
-    finally s.close()
-  }
+  def generationFileCount(rstId: Long): Long =
+    fs.list(fs.resolve(path, s"rst_id=$rstId"))
+      .count(_.endsWith(".parquet")).toLong
 
   /** OPTIMIZE for one generation: rewrite its files into `numFiles`
     * (default 1) without changing a row or the generation's identity —
@@ -416,24 +403,23 @@ final class ParquetStore(
   def compact(rstId: Long, numFiles: Int = 1): this.type = this.synchronized {
     require(numFiles >= 1, "numFiles must be positive")
     if (generationIds().contains(rstId)) {
-      val staging = Paths.get(path, s".staging_cp_$rstId")
-      val original = Paths.get(path, s"rst_id=$rstId")
+      val staging = fs.resolve(path, s".staging_cp_$rstId")
+      val original = fs.resolve(path, s"rst_id=$rstId")
       var originalDeleted = false
       try {
         raw(Some(col("rst_id") === rstId)).drop("rst_id")
           .repartition(numFiles)
-          .write.mode("overwrite").parquet(staging.toString)
-        deleteRecursively(original)
+          .write.mode("overwrite").parquet(staging)
+        fs.deleteRecursively(original)
         originalDeleted = true
-        Files.move(staging, original,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        fs.rename(staging, original)
       } catch { case e: Throwable =>
         if (!originalDeleted) {
-          if (Files.exists(staging)) deleteRecursively(staging)
-        } else if (Files.exists(staging)) {
+          if (fs.exists(staging)) fs.deleteRecursively(staging)
+        } else if (fs.exists(staging)) {
           // The staged copy is now the only copy — same recovery contract
           // as merge: plain-rename fallback, else leave it for operators.
-          try Files.move(staging, original)
+          try fs.rename(staging, original)
           catch { case _: Throwable => () }
         }
         throw e
@@ -512,23 +498,22 @@ final class ParquetStore(
               .orderBy(col("rst_id").desc)))
           .filter(col("_rk") === 1)
           .drop("_rk", "rst_id")
-        val staging = Paths.get(path, s".staging_cl_$target")
-        val original = Paths.get(path, s"rst_id=$target")
+        val staging = fs.resolve(path, s".staging_cl_$target")
+        val original = fs.resolve(path, s"rst_id=$target")
         var originalDeleted = false
         try {
-          base.write.mode("overwrite").parquet(staging.toString)
-          deleteRecursively(original)
+          base.write.mode("overwrite").parquet(staging)
+          fs.deleteRecursively(original)
           originalDeleted = true
-          Files.move(staging, original,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          fs.rename(staging, original)
         } catch { case e: Throwable =>
           if (!originalDeleted) {
-            if (Files.exists(staging)) deleteRecursively(staging)
-          } else if (Files.exists(staging)) {
+            if (fs.exists(staging)) fs.deleteRecursively(staging)
+          } else if (fs.exists(staging)) {
             // Same recovery contract as merge/compact: the staged copy
             // is the only full copy now — plain-rename fallback, else
             // leave it on disk for operators.
-            try Files.move(staging, original)
+            try fs.rename(staging, original)
             catch { case _: Throwable => () }
           }
           throw e
@@ -536,7 +521,7 @@ final class ParquetStore(
         // Older generations are now subsumed — delete is pure cleanup
         // and crash-resumable.
         toCollapse.init.foreach { g =>
-          deleteRecursively(Paths.get(s"$path/rst_id=$g"))
+          fs.deleteRecursively(fs.resolve(path, s"rst_id=$g"))
         }
         registerView()
       }
@@ -631,8 +616,9 @@ final class ParquetStore(
   /** Q4 reset: delete every generation directory, rewind the counter — the
     * durable analog of reconnect-on-:memory:. */
   def reset(): this.type = this.synchronized {
-    generationIds().foreach(g => deleteRecursively(Paths.get(s"$path/rst_id=$g")))
-    if (Files.isDirectory(floorsDir)) deleteRecursively(floorsDir)
+    generationIds().foreach(g =>
+      fs.deleteRecursively(fs.resolve(path, s"rst_id=$g")))
+    if (fs.isDirectory(floorsDir)) fs.deleteRecursively(floorsDir)
     counter = 1L
     registerView()
     this

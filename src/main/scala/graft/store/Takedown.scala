@@ -171,41 +171,66 @@ object Takedown {
     * (erasure must be provable; an archive we cannot fully account for
     * is never silently half-scrubbed). An archive whose EVERY record
     * is a victim is deleted outright with its index (an empty file is
-    * not a WARC). A collection-level zipnum cluster over these indexes
-    * is derived data — rebuild it from the rewritten `.cdx` files
-    * after this pass ([[graft.sources.Warc.zipnumCdx]]'s takedown-
-    * cadence note). Distributed: one task per archive partition — the
-    * victim list rides the closure (list-sized by nature, the
-    * [[scrub]] assumption). Returns how many archives were rewritten
+    * not a WARC). Distributed: one task per archive partition, sized
+    * to the session's parallelism (r15 verdict #8 — a hardcoded 32
+    * would cap a real cluster's erasure pass) — the victim list rides
+    * the closure (list-sized by nature, the [[scrub]] assumption).
+    *
+    * ZIPNUM REBUILD (r15 verdict #2): a collection-level zipnum
+    * cluster over these indexes is derived data; pass its directory as
+    * `zipnumDir` and this call REBUILDS it from the rewritten `.cdx`
+    * files (same geometry, [[graft.sources.Warc.zipnumGeometry]])
+    * whenever anything was erased OR the cluster is already stale
+    * ([[graft.sources.Warc.zipnumStale]] — a crash between a prior
+    * erasure and its rebuild heals here). Without `zipnumDir` the
+    * stale cluster still cannot leak through [[graft.sources.Warc
+    * .zipnumLookup]]'s `verifyExports` gate — it refuses to serve
+    * until the rebuild runs. Returns how many archives were rewritten
     * or deleted. */
   def eraseExports(spark: org.apache.spark.sql.SparkSession,
-                   exportDir: String, store: ParquetStore): Long = {
+                   exportDir: String, store: ParquetStore,
+                   zipnumDir: String = null,
+                   fs: graft.FsIO = graft.FsIO.local): Long = {
+    import graft.sources.Warc
     val victims = victimKeys(store).collect().map(_.getString(0)).toSet
-    if (victims.isEmpty) return 0L
-    val dir = java.nio.file.Paths.get(exportDir)
-    if (!java.nio.file.Files.isDirectory(dir)) return 0L
-    val s = java.nio.file.Files.list(dir)
-    val archives =
-      try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+    val changed: Long =
+      if (victims.isEmpty || !fs.isDirectory(exportDir)) 0L
+      else {
         // Dot-files are in-flight staging (writeFiles/our own swaps) —
         // never archives; Spark readers skip them and so must we.
-        .filter { p =>
-          val n = p.getFileName.toString
-          (n.endsWith(".warc.gz") || n.endsWith(".warc")) &&
-            !n.startsWith(".")
+        val archives = fs.list(exportDir)
+          .filter(n => (n.endsWith(".warc.gz") || n.endsWith(".warc")) &&
+            !n.startsWith("."))
+          .sorted
+        if (archives.isEmpty) 0L
+        else {
+          // Dead-attempt staging strays from prior runs (see
+          // [[graft.sources.Warc.writeFiles]]'s sweep rationale).
+          Warc.sweepStaging(exportDir, ".staging_e_", fs)
+          import spark.implicits._
+          spark.createDataset(archives)
+            .repartition(math.min(archives.size,
+              math.max(spark.sparkContext.defaultParallelism, 1)))
+            .map(n => eraseOneArchive(exportDir, n, victims, fs))
+            .agg(coalesce(sum(col("value")), lit(0L)))
+            .collect()(0).getLong(0)
         }
-        .map(_.toString).sorted
-      finally s.close()
-    if (archives.isEmpty) return 0L
-    // Dead-attempt staging strays from prior runs (see
-    // [[graft.sources.Warc.writeFiles]]'s sweep rationale).
-    graft.sources.Warc.sweepStaging(exportDir, ".staging_e_")
-    import spark.implicits._
-    spark.createDataset(archives)
-      .repartition(math.min(archives.size, 32))
-      .map(p => eraseOneArchive(p, victims))
-      .agg(coalesce(sum(col("value")), lit(0L)))
-      .collect()(0).getLong(0)
+      }
+    if (zipnumDir != null &&
+      (changed > 0L || Warc.zipnumStale(zipnumDir, exportDir, fs))) {
+      // Geometry from the manifest; a pre-manifest cluster keeps its
+      // shard count and the default block size.
+      val (sh, bl) = Warc.zipnumGeometry(zipnumDir, fs).getOrElse((
+        math.max(fs.list(zipnumDir)
+          .count(_.matches("cdx-\\d{5}\\.gz")), 1), 3000))
+      val cdxFiles = spark.read.format("binaryFile").load(exportDir)
+        .filter(col("path").endsWith(".cdx"))
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("path"),
+          col("content"))
+      Warc.writeZipnum(cdxFiles, zipnumDir, sh, bl, fs)
+      ()
+    }
+    changed
   }
 
   /** Purge a cross-export revisit-memory store ([[graft.sources.Warc
@@ -222,41 +247,49 @@ object Takedown {
     repStore.eraseKeys(victimKeys(store).withColumnRenamed("key", "url"),
       Seq("url"))
 
-  /** One archive's probe + rewrite (executor-side). Returns 1 when the
-    * `.warc.gz` was rewritten, 0 otherwise (a CDX-only heal — stale
-    * from a crash window or predating the `refers` field — does not
-    * count as an archive rewrite). */
-  private def eraseOneArchive(archivePath: String,
-                              victims: Set[String]): Long = {
+  /** One archive's probe + rewrite (executor-side; `fs` rides the task
+    * closure). Returns 1 when the `.warc.gz` was rewritten, 0 otherwise
+    * (a CDX-only heal — stale from a crash window or predating the
+    * `refers` field — does not count as an archive rewrite). */
+  private def eraseOneArchive(exportDir: String, filename: String,
+                              victims: Set[String],
+                              fs: graft.FsIO): Long = {
     import graft.sources.Warc
     // Attempt-unique staging: under speculation two attempts may race
     // on one archive; they must never share a staging path (review
     // r15 — the writeFiles fix's twin).
     val attemptId = Option(org.apache.spark.TaskContext.get())
       .map(_.taskAttemptId()).getOrElse(0L)
-    val archive = java.nio.file.Paths.get(archivePath)
+    val archive = fs.resolve(exportDir, filename)
     // Raw .warc exports (gzipped = false) erase too (review r15 #3 —
     // skipping them silently would report a clean takedown while the
     // banned payload stays shipped): record spans come from the WARC
     // framing itself instead of gzip member boundaries, and survivors
     // are byte-verbatim slices either way.
-    val isGz = archivePath.endsWith(".warc.gz")
-    val cdxPath = java.nio.file.Paths.get(
-      archivePath.stripSuffix(if (isGz) ".warc.gz" else ".warc") + ".cdx")
-    val hasCdx = java.nio.file.Files.exists(cdxPath)
-    val cdxBytes = if (hasCdx) java.nio.file.Files.readAllBytes(cdxPath) else null
+    val isGz = filename.endsWith(".warc.gz")
+    val cdxName =
+      filename.stripSuffix(if (isGz) ".warc.gz" else ".warc") + ".cdx"
+    val cdxPath = fs.resolve(exportDir, cdxName)
+    val hasCdx = fs.exists(cdxPath)
+    val cdxBytes = if (hasCdx) fs.read(cdxPath) else null
     // --- PROBE: manifest-only when the index can answer. The same
-    // pass SNIFFS the index's url-key style (SURT vs percent-encoded)
-    // from the first line whose two candidate derivations differ, so
-    // the regeneration below reproduces whatever style the export
-    // chose — a caller-supplied flag would silently rewrite a SURT
-    // index with plain keys on a mismatch (review r15).
+    // pass SNIFFS the index's url-key style (percent-encoded vs SURT
+    // vs canonicalized SURT) from the first lines whose candidate
+    // derivations differ, so the regeneration below reproduces
+    // whatever style the export chose — a caller-supplied flag would
+    // silently rewrite a SURT index with plain keys on a mismatch
+    // (review r15). Canon stays undecided (false) when no scanned
+    // line distinguishes it — then the two derivations agree on every
+    // surviving line too (survivors ⊆ scanned), so the regeneration
+    // is exact either way.
     var cdxSurt = false
+    var cdxCanon = false
     if (hasCdx) {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       var bearing = false
       var undecided = false // revisit line predating the `refers` field
-      var sniffed = false
+      var surtSniffed = false
+      var canonSniffed = false
       new String(cdxBytes, java.nio.charset.StandardCharsets.UTF_8)
         .split("\n").iterator.filter(_.nonEmpty).foreach { line =>
           val js = line.indexOf('{')
@@ -265,12 +298,23 @@ object Takedown {
             val node = mapper.readTree(line.substring(js))
             val url = Option(node.get("url")).map(_.asText()).orNull
             if (url != null && victims.contains(url)) bearing = true
-            if (url != null && !sniffed && line.indexOf(' ') > 0) {
+            if (url != null && !(surtSniffed && canonSniffed) &&
+              line.indexOf(' ') > 0) {
               val key = line.substring(0, line.indexOf(' '))
+              val plain = url.replace(" ", "%20")
               val sk = Warc.surtKey(url)
-              if (sk != url.replace(" ", "%20")) {
-                cdxSurt = key == sk
-                sniffed = true
+              val skc = Warc.surtKey(url, stripWww = true,
+                scrubSession = true)
+              if (!surtSniffed && (sk != plain || skc != plain)) {
+                cdxSurt = key == sk || key == skc
+                surtSniffed = true
+                if (!cdxSurt) canonSniffed = true // plain keys: moot
+              }
+              if (!canonSniffed && sk != skc &&
+                (key == sk || key == skc)) {
+                cdxCanon = key == skc
+                canonSniffed = true
+                if (!surtSniffed) { cdxSurt = true; surtSniffed = true }
               }
             }
             if (node.has("mod")) {
@@ -286,24 +330,23 @@ object Takedown {
     // --- REWRITE (or full scan when the manifest could not decide):
     // walk members, keep survivors verbatim, rebuild index from the
     // kept records.
-    val bytes = java.nio.file.Files.readAllBytes(archive)
+    val bytes = fs.read(archive)
     val spans = (if (isGz) Warc.memberSpans(bytes)
       else rawRecordSpans(bytes)).getOrElse(
       throw new IllegalStateException(
-        s"eraseExports: $archivePath is not a cleanly-framed archive " +
+        s"eraseExports: $archive is not a cleanly-framed archive " +
           "— refusing to erase an archive that cannot be fully " +
           "accounted for"))
     val out = new java.io.ByteArrayOutputStream(bytes.length)
     val newCdx = if (hasCdx) new StringBuilder else null
     var dropped = 0
-    val filename = archive.getFileName.toString
     spans.foreach { case (off, len) =>
       val member = java.util.Arrays.copyOfRange(bytes, off, off + len)
       val inflated = if (isGz) Warc.gunzip(member) else Some(member)
       val rec = inflated.flatMap(Warc.warcRecords) match {
         case Some(rs) if rs.size == 1 => rs.head
         case _ => throw new IllegalStateException(
-          s"eraseExports: $archivePath member at $off is not one WARC " +
+          s"eraseExports: $archive member at $off is not one WARC " +
             "record — refusing to erase an archive that cannot be " +
             "fully accounted for")
       }
@@ -323,7 +366,7 @@ object Takedown {
             rec.header("WARC-Payload-Digest").orNull, location,
             if (rec.header("WARC-Type").contains("revisit")) refers
             else null,
-            len, offset, filename, cdxSurt))
+            len, offset, filename, cdxSurt, cdxCanon))
         }
       }
     }
@@ -334,8 +377,8 @@ object Takedown {
       // Index first: a crash between the two deletes then leaves an
       // archive WITHOUT an index, which the rerun scans and finishes;
       // the reverse order would orphan an index no probe ever visits.
-      if (hasCdx) java.nio.file.Files.deleteIfExists(cdxPath)
-      java.nio.file.Files.deleteIfExists(archive)
+      if (hasCdx) fs.delete(cdxPath)
+      fs.delete(archive)
       return 1L
     }
     val cdxChanged = hasCdx &&
@@ -345,22 +388,17 @@ object Takedown {
     // Archive first, then its index: a crash between the two leaves a
     // stale index the next run heals (regen ≠ on-disk ⇒ cdxChanged).
     if (dropped > 0) {
-      val staging = java.nio.file.Paths.get(
-        archive.getParent.toString, s".staging_e_${attemptId}_$filename")
-      java.nio.file.Files.write(staging, out.toByteArray)
-      java.nio.file.Files.move(staging, archive,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val staging =
+        fs.resolve(exportDir, s".staging_e_${attemptId}_$filename")
+      fs.write(staging, out.toByteArray)
+      fs.atomicSwap(staging, archive)
     }
     if (cdxChanged) {
-      val staging = java.nio.file.Paths.get(
-        archive.getParent.toString,
-        s".staging_e_${attemptId}_${cdxPath.getFileName.toString}")
-      java.nio.file.Files.write(staging, newCdx.toString.getBytes(
+      val staging =
+        fs.resolve(exportDir, s".staging_e_${attemptId}_$cdxName")
+      fs.write(staging, newCdx.toString.getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(staging, cdxPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      fs.atomicSwap(staging, cdxPath)
     }
     if (dropped > 0) 1L else 0L
   }

@@ -257,6 +257,110 @@ class RecrawlSpec extends SparkSpec {
     assert(rateRows(Recrawl.ratesFromStats(store)) === rateRows(rates(full)))
   }
 
+  private def ringStore(name: String) =
+    Recrawl.historyStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ring").toString,
+      name, tieBreak = Seq(org.apache.spark.sql.types.StructField(
+        "event_id", org.apache.spark.sql.types.LongType)))
+
+  test("recordHistory: the ring keeps exactly the newest K fetches per URL, replay-guarded") {
+    val ring = ringStore("ring_trim")
+    val b1 = hist(("a", 0L, "x"), ("a", 10L * DayUs, "y"),
+      ("b", 5L * DayUs, "p"))
+    val b2 = hist(("a", 20L * DayUs, "y"), ("a", 30L * DayUs, "z"),
+      ("a", 40L * DayUs, "z"))
+    Recrawl.recordHistory(ring, b1, keep = 3, batchId = 0L, scope = "rt")
+    Recrawl.recordHistory(ring, b2, keep = 3, batchId = 1L, scope = "rt")
+    val a = Recrawl.retainedHistory(ring).filter(col("url") === "a")
+      .select("fetch_us").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === Seq(20L * DayUs, 30L * DayUs, 40L * DayUs),
+      "oldest fetches trimmed, newest 3 kept")
+    assert(Recrawl.retainedHistory(ring).filter(col("url") === "b")
+      .count() === 1L)
+    // Replay appends nothing (own sentinel).
+    Recrawl.recordHistory(ring, b2, keep = 3, batchId = 1L, scope = "rt")
+    assert(Recrawl.retainedHistory(ring).count() === 4L)
+  }
+
+  test("backfillStats with a retained ring: interior batches rebuild self-containedly, exactly") {
+    // a: 5 folded fetches, ring keeps 3 — the late interior row (day
+    // 25, inside the retained window) folds via the prefix algebra.
+    // b: 2 folded fetches (≤ K: the window IS the complete history) —
+    // its interior late row rebuilds by plain recount.
+    val full = hist(
+      ("a", 0L, "x"), ("a", 10L * DayUs, "y"),           // batch 0
+      ("a", 20L * DayUs, "y"), ("a", 30L * DayUs, "z"),  // batch 1
+      ("a", 40L * DayUs, "z"),                           // batch 1
+      ("b", 20L * DayUs, "p"), ("b", 30L * DayUs, "p"),  // batch 1
+      ("a", 25L * DayUs, "w"), ("b", 25L * DayUs, "q"))  // late interior
+    val late = full.filter(col("fetch_us") === 25L * DayUs)
+    val store = Recrawl.statsStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_rstats").toString,
+      "rstats_ring")
+    val ring = ringStore("ring_bf")
+    Seq(0L, 1L).foreach { b =>
+      val batch = full.filter(col("fetch_us") =!= 25L * DayUs)
+        .filter(if (b == 0L) col("fetch_us") < 20L * DayUs
+          else col("fetch_us") >= 20L * DayUs)
+      Recrawl.updateStats(store, Recrawl.batchStats(batch,
+        tieBreak = Seq("event_id")), batchId = b, scope = "ringbf")
+      Recrawl.recordHistory(ring, batch, keep = 3, batchId = b,
+        scope = "ringbf")
+    }
+    // No `history` argument: the ring carries the rebuild.
+    Recrawl.backfillStats(store, late, tieBreak = Seq("event_id"),
+      batchId = 2L, scope = "ringbf", historyStore = ring,
+      keepHistory = 3)
+    assert(rateRows(Recrawl.ratesFromStats(store)) === rateRows(rates(full)))
+    // The late rows entered the ring too (the window stays complete
+    // for the NEXT backfill): a's newest 3 = {30, 40} ∪ {25}? No —
+    // 25 < 30 < 40, so the ring holds {25 is trimmed? 25,30,40 vs
+    // 20,25,30,40 → newest 3 = 25,30,40}.
+    assert(Recrawl.retainedHistory(ring).filter(col("url") === "a")
+      .select("fetch_us").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(25L * DayUs, 30L * DayUs, 40L * DayUs))
+    // Replay of the backfill: nothing double-folds, ring unchanged.
+    val once = rateRows(Recrawl.ratesFromStats(store))
+    Recrawl.backfillStats(store, late, tieBreak = Seq("event_id"),
+      batchId = 2L, scope = "ringbf", historyStore = ring,
+      keepHistory = 3)
+    assert(rateRows(Recrawl.ratesFromStats(store)) === once)
+  }
+
+  test("backfillStats with a ring: a batch predating the retained window fails fast; an unfed ring fails fast") {
+    val folded = hist(
+      ("a", 0L, "x"), ("a", 10L * DayUs, "y"), ("a", 20L * DayUs, "y"),
+      ("a", 30L * DayUs, "z"), ("a", 40L * DayUs, "z"))
+    val store = Recrawl.statsStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_rstats").toString,
+      "rstats_ring_pre")
+    val ring = ringStore("ring_pre")
+    Recrawl.updateStats(store, Recrawl.batchStats(folded,
+      tieBreak = Seq("event_id")), batchId = 0L, scope = "rpre")
+    Recrawl.recordHistory(ring, folded, keep = 3, batchId = 0L,
+      scope = "rpre")
+    val before = rateRows(Recrawl.ratesFromStats(store))
+    // Day 15 is interior to the stored span but BEFORE the retained
+    // window's first fetch (day 20): its order against the unretained
+    // prefix is unknowable — fail fast, never approximate.
+    intercept[Exception] {
+      Recrawl.backfillStats(store, hist(("a", 15L * DayUs, "w")),
+        tieBreak = Seq("event_id"), batchId = 1L, scope = "rpre",
+        historyStore = ring, keepHistory = 3)
+    }
+    assert(rateRows(Recrawl.ratesFromStats(store)) === before,
+      "a failed fold appends nothing")
+    // A ring that never saw the folds (out of sync with the stats
+    // tail) is detected, not trusted.
+    val emptyRing = ringStore("ring_unfed")
+    intercept[Exception] {
+      Recrawl.backfillStats(store, hist(("a", 25L * DayUs, "w")),
+        tieBreak = Seq("event_id"), batchId = 2L, scope = "rpre",
+        historyStore = emptyRing, keepHistory = 3)
+    }
+    assert(rateRows(Recrawl.ratesFromStats(store)) === before)
+  }
+
   test("a replayed backfill batch appends nothing") {
     val store = Recrawl.statsStore(spark,
       java.nio.file.Files.createTempDirectory("graft_rstats").toString,

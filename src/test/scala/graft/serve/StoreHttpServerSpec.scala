@@ -292,4 +292,64 @@ class StoreHttpServerSpec extends SparkSpec {
       assert(agg === """[{"total":20}]""")
     } finally srv.stop()
   }
+
+  test("/cdx point lookup: hit, straddle, miss, and takedown-masked lines over a written zipnum cluster") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import org.apache.spark.sql.types._
+    import graft.store.{ParquetStore, Takedown}
+    import graft.sources.Warc
+    val base = java.nio.file.Files.createTempDirectory("graft_http_cdx")
+    // Three same-key captures straddle blocks at blockLines = 2.
+    val rows = (Seq(
+      ("g0", "https://c.org/dup", "2024-01-01T00:00:00Z", "a"),
+      ("g1", "https://c.org/dup", "2024-02-01T00:00:00Z", "b"),
+      ("g2", "https://c.org/dup", "2024-03-01T00:00:00Z", "c"),
+      ("g0", "https://c.org/bad", "2024-01-01T00:00:00Z", "banned")) ++
+      (0 until 6).map(i => (s"g${i % 3}", s"https://c.org/p/$i",
+        "2024-01-01T00:00:00Z", s"body $i")))
+      .map { case (g, u, d, b) =>
+        (g, u, d, "text/plain", b.getBytes("UTF-8"))
+      }.toDF("file_group", "url", "warc_date", "content_type", "body")
+    val files = Warc.encodeResponses(rows, withCdx = true)
+      .localCheckpoint(true)
+    val znDir = s"$base/zn"
+    Warc.writeZipnum(files, znDir, shards = 2, blockLines = 2)
+    val store = new ParquetStore(spark, StructType(Seq(
+      StructField("doc_key", StringType))), s"$base/docs",
+      tableName = "http_cdx_docs")
+    val td = Takedown.takedownStore(spark, s"$base/td",
+      tableName = "http_cdx_list")
+    val srv = new StoreHttpServer(store,
+      takedown = Some((td, "doc_key")),
+      cdxCluster = Some(znDir)).start()
+    try {
+      // Straddling key: all three captures, across blocks.
+      val (s1, dup) = get(srv.port, s"/cdx/${enc("https://c.org/dup")}")
+      assert(s1 === 200)
+      assert(Seq("20240101000000", "20240201000000", "20240301000000")
+        .forall(dup.contains))
+      // Single hit; SURT-free keys carry literal slashes — both the
+      // encoded and raw-segment forms must resolve.
+      val (_, one) = get(srv.port, s"/cdx/${enc("https://c.org/p/3")}")
+      assert(one.contains("/p/3 ") && !one.contains("/p/4"))
+      val (_, raw) = get(srv.port, "/cdx/https:%2F%2Fc.org%2Fp%2F3")
+      assert(raw === one)
+      // Miss: empty list, 200.
+      val (s2, miss) = get(srv.port, s"/cdx/${enc("https://zz.org/x")}")
+      assert(s2 === 200 && miss === "[]")
+      // Takedown mask: the banned URL's line vanishes from the served
+      // list even though the CLUSTER still holds it (no rebuild ran) —
+      // defense in depth with the staleness gate.
+      val (_, preBan) = get(srv.port, s"/cdx/${enc("https://c.org/bad")}")
+      assert(preBan.contains("https://c.org/bad"))
+      Takedown.request(td,
+        Seq(("https://c.org/bad", "dmca")).toDF("key", "reason"))
+      val (_, postBan) = get(srv.port, s"/cdx/${enc("https://c.org/bad")}")
+      assert(postBan === "[]")
+      // Unbanned keys still serve.
+      val (_, still) = get(srv.port, s"/cdx/${enc("https://c.org/p/3")}")
+      assert(still.contains("/p/3 "))
+    } finally srv.stop()
+  }
 }

@@ -386,6 +386,66 @@ class TakedownSpec extends SparkSpec {
     assert(after.size === 3 && after === after.sorted)
   }
 
+  test("zipnum takedown-awareness: a stale cluster refuses, eraseExports(zipnumDir) rebuilds, erase-then-crash converges on rerun") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import graft.sources.Warc
+    val rows = Seq(
+      ("g0", "https://e.org/keep/0", "body zero"),
+      ("g0", "https://e.org/bad/1", "banned body"),
+      ("g1", "https://e.org/keep/2", "body two"),
+      ("g1", "https://e.org/keep/3", "body three"))
+      .map { case (g, u, b) =>
+        (g, u, "2024-01-01T00:00:00Z", "text/plain", b.getBytes("UTF-8"))
+      }.toDF("file_group", "url", "warc_date", "content_type", "body")
+    val expDir = tmp()
+    val znDir = tmp()
+    val files = graft.sources.Warc.encodeResponses(rows, withCdx = true)
+      .localCheckpoint(true)
+    Warc.writeFiles(files, expDir)
+    Warc.writeZipnum(files, znDir, shards = 2, blockLines = 2)
+    // Fresh cluster: manifest matches, verified lookups serve.
+    assert(!Warc.zipnumStale(znDir, expDir))
+    assert(Warc.zipnumLookup(znDir, "https://e.org/bad/1",
+      verifyExports = expDir).size === 1)
+    val td = Takedown.takedownStore(spark, tmp(), "td_znstale_list")
+    Takedown.request(td, victims("https://e.org/bad/1"))
+    // CRASH WINDOW: the erase ran but the rebuild never did (no
+    // zipnumDir — the r15 shape). The cluster is now STALE and the
+    // verified lookup REFUSES to serve the banned attribution line the
+    // unverified read would still leak (r15 verdict #2).
+    assert(Takedown.eraseExports(spark, expDir, td) === 1L)
+    assert(Warc.zipnumStale(znDir, expDir))
+    assert(Warc.zipnumLookup(znDir, "https://e.org/bad/1").nonEmpty,
+      "the unverified read serves the stale line — that's the hole")
+    intercept[IllegalStateException] {
+      Warc.zipnumLookup(znDir, "https://e.org/bad/1",
+        verifyExports = expDir)
+    }
+    // RERUN with the cluster attached: the erase pass is idempotent
+    // (touches nothing) but detects the staleness and heals — the
+    // crash-between-erase-and-rebuild convergence.
+    assert(Takedown.eraseExports(spark, expDir, td,
+      zipnumDir = znDir) === 0L)
+    assert(!Warc.zipnumStale(znDir, expDir))
+    assert(Warc.zipnumGeometry(znDir) === Some((2, 2)),
+      "the rebuild keeps the operator's geometry")
+    assert(Warc.zipnumLookup(znDir, "https://e.org/bad/1",
+      verifyExports = expDir).isEmpty)
+    assert(Warc.zipnumLookup(znDir, "https://e.org/keep/2",
+      verifyExports = expDir).size === 1)
+    // ONE-SHOT path: a second victim erased WITH the cluster attached
+    // rebuilds in the same call.
+    Takedown.request(td, victims("https://e.org/keep/3"))
+    assert(Takedown.eraseExports(spark, expDir, td,
+      zipnumDir = znDir) === 1L)
+    assert(!Warc.zipnumStale(znDir, expDir))
+    assert(Warc.zipnumLookup(znDir, "https://e.org/keep/3",
+      verifyExports = expDir).isEmpty)
+    assert(Warc.zipnumLookup(znDir, "https://e.org/keep/0",
+      verifyExports = expDir).size === 1)
+  }
+
   test("eraseReps: after a takedown, re-exported banned bytes become a fresh response, never a revisit of the banned original") {
     val sparkSession = spark
     import sparkSession.implicits._
