@@ -289,7 +289,16 @@ object Bench {
     // The zipnum cluster (q_warc_cdx covers the encode + slice family;
     // this adds the range shuffle + block encode + summary-seek
     // verification).
-    "q_warc_zipnum"
+    "q_warc_zipnum",
+    // Round-16 wave — all secondary with reported siblings:
+    // canonicalized SURT keys (q_warc_cdx_surt covers the key chain;
+    // this adds the www/session canonicalization), the takedown-driven
+    // zipnum rebuild (q_takedown_export covers the erase, q_warc_zipnum
+    // the cluster verify; this composes erase → rebuild → disk
+    // read-back), and the self-contained ring backfill
+    // (q_recrawl_backfill covers the fold classes; this swaps the
+    // external history for the retained ring + prefix algebra).
+    "q_warc_cdx_canon", "q_takedown_zipnum", "q_recrawl_backfill_ring"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -389,7 +398,9 @@ object Bench {
     "q_sitemap_recrawl", "q_robots_sitemaps",
     // r15 wave (see the headline comment for the sibling mapping).
     "q_recrawl_backfill", "q_takedown_export", "q_warc_cdx_surt",
-    "q_warc_export_inc", "q_crawl_loop", "q_warc_zipnum")
+    "q_warc_export_inc", "q_crawl_loop", "q_warc_zipnum",
+    // r16 wave (see the headline comment for the sibling mapping).
+    "q_warc_cdx_canon", "q_takedown_zipnum", "q_recrawl_backfill_ring")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -144,6 +144,47 @@ object RecrawlPack extends QueryPack {
           .select(col("url"), col("n_fetches"), col("n_changes"),
             col("span_us"), col("next_interval_us"), col("next_fetch_us"))
       },
+      // SELF-CONTAINED backfill (r16 — r15 verdict #4): the same
+      // out-of-order fold, but with NO external history argument — the
+      // retained-history ring (recordHistory beside every in-order
+      // fold) carries the interior rebuild: backfillStats cross-checks
+      // the ring tail against the stored statistics, recounts the
+      // touched URLs' windows with the late rows interleaved, and
+      // recovers the unretained prefix exactly from the subtractable
+      // totals. Same full-history oracle: ring-rebuilt == in-order ==
+      // full recompute.
+      "q_recrawl_backfill_ring" -> { (s, dir) =>
+        val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          f"graft_rebfr_${dir.hashCode}%08x").toString
+        val store = Recrawl.statsStore(s, base, "recrawl_stats_bfr",
+          collapseEvery = 2L)
+        store.reset()
+        val ring = Recrawl.historyStore(s, s"$base-ring",
+          "recrawl_hist_bfr",
+          tieBreak = Seq(org.apache.spark.sql.types.StructField(
+            "event_id", org.apache.spark.sql.types.LongType)),
+          collapseEvery = 4L)
+        ring.reset()
+        val pinned = history(s, dir)
+          .withColumn("_b", expr(
+            "least(greatest((fetch_us div 86400000000 - 19723) div 10, 0L), 2L)"))
+          .localCheckpoint(true)
+        Seq(0L, 2L).foreach { b =>
+          Recrawl.updateStats(store,
+            Recrawl.batchStats(pinned.filter(col("_b") === b),
+              tieBreak = Seq("event_id")),
+            batchId = b, scope = "q_recrawl_bfr")
+          Recrawl.recordHistory(ring, pinned.filter(col("_b") === b),
+            keep = 100000, batchId = b, scope = "q_recrawl_bfr")
+        }
+        Recrawl.backfillStats(store, pinned.filter(col("_b") === 1L),
+          tieBreak = Seq("event_id"),
+          batchId = 10L, scope = "q_recrawl_bfr",
+          historyStore = ring, keepHistory = 100000)
+        Recrawl.ratesFromStats(store)
+          .select(col("url"), col("n_fetches"), col("n_changes"),
+            col("span_us"), col("next_interval_us"), col("next_fetch_us"))
+      },
       // PUBLISHER-HINT recrawl (r14): one genuine sitemap per host —
       // built as real urlset XML, exploded back through the repo's own
       // Sitemaps.entries walker — declares a lastmod per page, and the
@@ -335,6 +376,7 @@ object RecrawlPack extends QueryPack {
     "q_recrawl_inc" -> RatesSql,
     // Out-of-order fold == full recompute too (r15).
     "q_recrawl_backfill" -> RatesSql,
+    "q_recrawl_backfill_ring" -> RatesSql,
     // Hint join re-derived closed-form: per-URL lastmod (same date
     // arithmetic as the XML construction) vs the lag-window last fetch.
     "q_sitemap_recrawl" ->

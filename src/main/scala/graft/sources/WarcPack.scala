@@ -190,6 +190,75 @@ object WarcPack extends QueryPack {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** The zipnum block verifier shared by q_warc_zipnum (in-memory
+    * cluster rows) and [[graft.store.TakedownPack]]'s post-erasure
+    * rebuild query (cluster read back from disk): every summary entry's
+    * block is sliced at its byte-exact [offset, offset+length), gunzipped
+    * alone, and each line re-emitted with whether the block's first line
+    * matches the summary key and whether the block is internally sorted.
+    * `entries` is (bkey, fn, off, len); `shards` is (fn, content). */
+  private[graft] def zipnumSliceCheck(entries: DataFrame,
+                                      shards: DataFrame): DataFrame = {
+    // Blob-grain rule (q_warc_cdx's lesson): fold entries to one list
+    // per shard before touching shard bytes.
+    val entryList = entries.groupBy(col("fn"))
+      .agg(collect_list(struct(col("bkey"), col("off"), col("len")))
+        .as("es"))
+    val joined = entryList.join(shards, Seq("fn"))
+      .select(col("es"), col("content"))
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("url", StringType),
+      StructField("cdx_status", LongType),
+      StructField("key_match", BooleanType),
+      StructField("in_order", BooleanType)))
+    joined.mapPartitions { it =>
+      // One mapper per PARTITION, not per line (review r15 #6 —
+      // Jackson mappers are expensive to construct and reusable).
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      it.flatMap { r =>
+        val content = r.getAs[Array[Byte]](1)
+        r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](0)
+          .iterator.flatMap { e =>
+            val member = java.util.Arrays.copyOfRange(content,
+              e.getInt(1), e.getInt(1) + e.getInt(2))
+            val lines = Warc.gunzip(member)
+              .map(b => new String(b, "UTF-8").split("\n")
+                .filter(_.nonEmpty).toSeq)
+              .getOrElse(Seq.empty)
+            def keyOf(l: String): String = {
+              val s1 = l.indexOf(' ')
+              val s2 = if (s1 < 0) -1 else l.indexOf(' ', s1 + 1)
+              if (s2 < 0) l else l.substring(0, s2)
+            }
+            val km = lines.headOption.exists(
+              l => keyOf(l) == e.getString(0))
+            lines.iterator.zipWithIndex.map { case (l, i) =>
+              val node = mapper.readTree(l.substring(l.indexOf('{')))
+              org.apache.spark.sql.Row(
+                node.get("url").asText(),
+                node.get("status").asLong(),
+                km,
+                i == 0 || l >= lines(i - 1))
+            }
+          }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Summary entries (bkey, fn, off, len) from raw summary text rows —
+    * `lineSrc` is a one-column frame of summary file contents. */
+  private[graft] def zipnumEntries(lineSrc: DataFrame): DataFrame =
+    lineSrc
+      .select(explode(split(decode(col("content"), "UTF-8"), "\n"))
+        .as("line"))
+      .filter(length(col("line")) > 0)
+      .select(split(col("line"), "\t").as("f"))
+      .select(col("f").getItem(0).as("bkey"),
+        col("f").getItem(1).as("fn"),
+        col("f").getItem(2).cast("int").as("off"),
+        col("f").getItem(3).cast("int").as("len"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q_warc_records" -> warcQuery(gzipped = false),
@@ -338,62 +407,46 @@ object WarcPack extends QueryPack {
           .localCheckpoint(true)
         val cluster = Warc.zipnumCdx(files, shards = 4, blockLines = 8)
           .localCheckpoint(true)
-        val entries = cluster
-          .filter(col("path").startsWith("cluster.idx.part"))
-          .select(explode(split(decode(col("content"), "UTF-8"), "\n"))
-            .as("line"))
-          .filter(length(col("line")) > 0)
-          .select(split(col("line"), "\t").as("f"))
-          .select(col("f").getItem(0).as("bkey"),
-            col("f").getItem(1).as("fn"),
-            col("f").getItem(2).cast("int").as("off"),
-            col("f").getItem(3).cast("int").as("len"))
-        // Blob-grain rule (q_warc_cdx's lesson): fold entries to one
-        // list per shard before touching shard bytes.
-        val entryList = entries.groupBy(col("fn"))
-          .agg(collect_list(struct(col("bkey"), col("off"), col("len")))
-            .as("es"))
-        val joined = entryList.join(
+        zipnumSliceCheck(
+          zipnumEntries(cluster
+            .filter(col("path").startsWith("cluster.idx.part"))),
           cluster.filter(col("path").endsWith(".gz"))
-            .select(col("path").as("fn"), col("content")), Seq("fn"))
-        import org.apache.spark.sql.types._
-        val outSchema = StructType(Seq(
-          StructField("url", StringType),
-          StructField("cdx_status", LongType),
-          StructField("key_match", BooleanType),
-          StructField("in_order", BooleanType)))
-        joined.mapPartitions { it =>
-          // One mapper per PARTITION, not per line (review r15 #6 —
-          // Jackson mappers are expensive to construct and reusable).
-          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-          it.flatMap { r =>
-            val content = r.getAs[Array[Byte]](2)
-            r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](1)
-              .iterator.flatMap { e =>
-                val member = java.util.Arrays.copyOfRange(content,
-                  e.getInt(1), e.getInt(1) + e.getInt(2))
-                val lines = Warc.gunzip(member)
-                  .map(b => new String(b, "UTF-8").split("\n")
-                    .filter(_.nonEmpty).toSeq)
-                  .getOrElse(Seq.empty)
-                def keyOf(l: String): String = {
-                  val s1 = l.indexOf(' ')
-                  val s2 = if (s1 < 0) -1 else l.indexOf(' ', s1 + 1)
-                  if (s2 < 0) l else l.substring(0, s2)
-                }
-                val km = lines.headOption.exists(
-                  l => keyOf(l) == e.getString(0))
-                lines.iterator.zipWithIndex.map { case (l, i) =>
-                  val node = mapper.readTree(l.substring(l.indexOf('{')))
-                  org.apache.spark.sql.Row(
-                    node.get("url").asText(),
-                    node.get("status").asLong(),
-                    km,
-                    i == 0 || l >= lines(i - 1))
-                }
-              }
+            .select(col("path").as("fn"), col("content")))
+      },
+      // CANONICALIZED SURT keys (r16 — r15 verdict #5): pywb's default
+      // canonicalization — www/www<digits> label stripping and
+      // session-parameter scrubbing (query params + the servlet
+      // `;jsessionid` matrix form) — behind the cdxCanon flag, with the
+      // key re-derived closed-form by the DuckDB oracle from the
+      // constructed URLs; the byte-exact slice check rides along.
+      "q_warc_cdx_canon" -> { (s, dir) =>
+        import s.implicits._
+        val rows = table(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            val esc = text.replace("&", "&amp;").replace("<", "&lt;")
+              .replace(">", "&gt;")
+            val page = (s"<html><head><title>t$id</title></head>" +
+              "<body><p>" + esc + "</p></body></html>").getBytes("UTF-8")
+            // Three canonicalization corners: a www host with a session
+            // query param buried mid-query, a www2 host with the
+            // servlet matrix form plus a scrubbed sid, and a non-www
+            // host with a kept port and a kept query.
+            val url = (id % 3) match {
+              case 0 => s"https://WWW.Canon.ORG/Page/$id?a=$id&JSESSIONID=T$id&z=9"
+              case 1 => s"https://www2.Shop.org/p/$id;jsessionid=X$id?sid=1&b=$id"
+              case _ => s"https://Plain.org:8080/x/$id?q=$id"
+            }
+            (s"exp${id % 5}", url, "2024-01-01T00:00:00Z",
+              "text/html; charset=utf-8", page, 200L)
           }
-        }(org.apache.spark.sql.Encoders.row(outSchema))
+          .toDF("file_group", "url", "warc_date", "content_type",
+            "body", "http_status")
+        cdxSliceCheck(Warc.encodeResponses(rows,
+            statusCol = "http_status", withCdx = true, cdxSurt = true,
+            cdxCanon = true)
+          .localCheckpoint(true), withKey = true)
       },
       // CROSS-EXPORT revisit memory (r15 — r14 verdict #6): the corpus
       // ships in TWO exportIncremental calls against one durable rep
@@ -571,6 +624,42 @@ object WarcPack extends QueryPack {
         |    ELSE 'http://h' || CAST(doc_id % 3 AS VARCHAR)
         |      || '.Site.org:8080/p/' || CAST(doc_id AS VARCHAR) END
         |    AS rec_uri,
+        |  CAST(200 AS BIGINT) AS rec_status
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    // Canonicalized SURT keys re-derived as pure string arithmetic:
+    // www label dropped, session params (mid-query and the servlet
+    // matrix form) scrubbed, surviving params in order, lowercased —
+    // while the record URI stays the original mixed-case URL and the
+    // slice check stays byte-exact.
+    "q_warc_cdx_canon" ->
+      """SELECT CASE CAST(doc_id % 3 AS INTEGER)
+        |    WHEN 0 THEN 'org,canon)/page/' || CAST(doc_id AS VARCHAR)
+        |      || '?a=' || CAST(doc_id AS VARCHAR) || '&z=9'
+        |    WHEN 1 THEN 'org,shop)/p/' || CAST(doc_id AS VARCHAR)
+        |      || '?b=' || CAST(doc_id AS VARCHAR)
+        |    ELSE 'org,plain:8080)/x/' || CAST(doc_id AS VARCHAR)
+        |      || '?q=' || CAST(doc_id AS VARCHAR) END AS urlkey,
+        |  CASE CAST(doc_id % 3 AS INTEGER)
+        |    WHEN 0 THEN 'https://WWW.Canon.ORG/Page/'
+        |      || CAST(doc_id AS VARCHAR) || '?a=' || CAST(doc_id AS VARCHAR)
+        |      || '&JSESSIONID=T' || CAST(doc_id AS VARCHAR) || '&z=9'
+        |    WHEN 1 THEN 'https://www2.Shop.org/p/'
+        |      || CAST(doc_id AS VARCHAR) || ';jsessionid=X'
+        |      || CAST(doc_id AS VARCHAR) || '?sid=1&b='
+        |      || CAST(doc_id AS VARCHAR)
+        |    ELSE 'https://Plain.org:8080/x/' || CAST(doc_id AS VARCHAR)
+        |      || '?q=' || CAST(doc_id AS VARCHAR) END AS url,
+        |  CAST(200 AS BIGINT) AS cdx_status,
+        |  CASE CAST(doc_id % 3 AS INTEGER)
+        |    WHEN 0 THEN 'https://WWW.Canon.ORG/Page/'
+        |      || CAST(doc_id AS VARCHAR) || '?a=' || CAST(doc_id AS VARCHAR)
+        |      || '&JSESSIONID=T' || CAST(doc_id AS VARCHAR) || '&z=9'
+        |    WHEN 1 THEN 'https://www2.Shop.org/p/'
+        |      || CAST(doc_id AS VARCHAR) || ';jsessionid=X'
+        |      || CAST(doc_id AS VARCHAR) || '?sid=1&b='
+        |      || CAST(doc_id AS VARCHAR)
+        |    ELSE 'https://Plain.org:8080/x/' || CAST(doc_id AS VARCHAR)
+        |      || '?q=' || CAST(doc_id AS VARCHAR) END AS rec_uri,
         |  CAST(200 AS BIGINT) AS rec_status
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
     // Every CDX line reachable through the summary index with sorted

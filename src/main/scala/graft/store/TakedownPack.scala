@@ -96,6 +96,48 @@ object TakedownPack extends QueryPack {
             col("content"))
         graft.sources.WarcPack.cdxSliceCheck(back)
       },
+      // TAKEDOWN REACHES THE COLLECTION INDEX (r16 — r15 verdict #2):
+      // the export ships with its per-archive CDX manifests AND a
+      // zipnum cluster built over them; a takedown then erases every
+      // 13th document and — in the SAME eraseExports call — rebuilds
+      // the cluster from the rewritten indexes (geometry from the
+      // cluster's own manifest). The rebuilt cluster, read back from
+      // DISK, must hold exactly the survivors, every line reachable by
+      // byte-exact block seeks, blocks sorted, block keys matching the
+      // summary — the q_warc_zipnum contract minus the victims. The
+      // erase-to-rebuild staleness gate itself is spec-pinned
+      // (TakedownSpec: a stale cluster REFUSES verified lookups).
+      "q_takedown_zipnum" -> { (s, dir) =>
+        val expDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          f"graft_tdzn_${dir.hashCode}%08x").toString
+        val znDir = s"$expDir-zn"
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(expDir))
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(znDir))
+        val files = graft.sources.Warc.encodeResponses(
+            graft.sources.WarcPack.cdxRows(s, dir),
+            statusCol = "http_status", withCdx = true)
+          .localCheckpoint(true)
+        graft.sources.Warc.writeFiles(files, expDir)
+        graft.sources.Warc.writeZipnum(files, znDir, shards = 4,
+          blockLines = 8)
+        val td = Takedown.takedownStore(s, s"$expDir-td",
+          tableName = "takedown_zipnum_list")
+        td.reset()
+        Takedown.request(td,
+          table(s, dir, "documents").filter(col("doc_id") % 13L === 5L)
+            .select(concat(lit("https://export.org/doc/"), col("doc_id"))
+              .as("key"), lit("dmca").as("reason")))
+        Takedown.eraseExports(s, expDir, td, zipnumDir = znDir)
+        val disk = s.read.format("binaryFile").load(znDir)
+          .select(regexp_extract(col("path"), "([^/]+)$", 1).as("path"),
+            col("content"))
+          .localCheckpoint(true)
+        graft.sources.WarcPack.zipnumSliceCheck(
+          graft.sources.WarcPack.zipnumEntries(
+            disk.filter(col("path") === "cluster.idx")),
+          disk.filter(col("path").endsWith(".gz"))
+            .select(col("path").as("fn"), col("content")))
+      },
       // ROBOTS REVOCATION (r14): the retroactive half of robots
       // compliance. Pages already in the corpus were crawled under a
       // permissive robots.txt; the publisher tightens it (Disallow
@@ -176,6 +218,16 @@ object TakedownPack extends QueryPack {
         |    AS rec_uri,
         |  CAST(CASE doc_id % 3 WHEN 1 THEN 301 WHEN 2 THEN 404
         |    ELSE 200 END AS BIGINT) AS rec_status
+        |FROM documents
+        |WHERE text IS NOT NULL AND doc_id % 13 <> 5""".stripMargin,
+    // The q_warc_zipnum oracle minus the victims: the rebuilt cluster
+    // holds exactly the surviving lines, block-seekable and sorted.
+    "q_takedown_zipnum" ->
+      """SELECT 'https://export.org/doc/' || CAST(doc_id AS VARCHAR)
+        |    AS url,
+        |  CAST(CASE doc_id % 3 WHEN 1 THEN 301 WHEN 2 THEN 404
+        |    ELSE 200 END AS BIGINT) AS cdx_status,
+        |  true AS key_match, true AS in_order
         |FROM documents
         |WHERE text IS NOT NULL AND doc_id % 13 <> 5""".stripMargin,
     // site1 has no robots (revokes nothing); site0 keeps /articles

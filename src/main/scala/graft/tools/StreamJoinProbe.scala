@@ -93,6 +93,18 @@ object StreamJoinProbe {
       statePartitions = 8)
     run("p8rocks", rr, rrSchema, rrRows, "40 days", 2, rocksdb = true,
       statePartitions = 8)
+    // r16 grid extension (r15 verdict #7 — the metric sat ~24k for three
+    // rounds): the r12 grid never crossed trigger granularity WITH the
+    // 8-partition win, nor probed below 8 — the missing cells that tell
+    // "per-batch commit overhead" apart from "state-store write path".
+    run("onebatch8", rr, rrSchema, rrRows, "40 days", 8, rocksdb = false,
+      statePartitions = 8)
+    run("fpt4p8", rr, rrSchema, rrRows, "40 days", 4, rocksdb = false,
+      statePartitions = 8)
+    run("p4", rr, rrSchema, rrRows, "40 days", 2, rocksdb = false,
+      statePartitions = 4)
+    run("onebatch4", rr, rrSchema, rrRows, "40 days", 8, rocksdb = false,
+      statePartitions = 4)
     val (to, toSchema, toRows) = stage(timeOrdered = true)
     run("timeorder", to, toSchema, toRows, "2 hours", 2, rocksdb = false)
     spark.stop()
