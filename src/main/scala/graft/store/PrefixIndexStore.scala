@@ -1,6 +1,5 @@
 package graft.store
 
-import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -97,7 +96,12 @@ final class PrefixIndexStore(
     /** Completed FULL snapshots kept (each with its whole append chain);
       * older snapshots and their deltas are deleted after the next
       * successful [[snapshot]]. */
-    val keepSnapshots: Long = 2L
+    val keepSnapshots: Long = 2L,
+    /** Byte-level durability backend ([[graft.FsIO]] — r15 verdict #3):
+      * the commit manifests and the three sub-stores' generation swaps
+      * all ride it, so the lockstep index works on HDFS-style stores
+      * too. */
+    val fs: graft.FsIO = graft.FsIO.local
 ) {
   require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
   require(keepSnapshots >= 1L, "keepSnapshots must keep at least the latest")
@@ -110,14 +114,16 @@ final class PrefixIndexStore(
   private val hashedStore = new ParquetStore(spark,
     StructType(Seq(StructField("cid", idType),
       StructField("hs", ArrayType(LongType)))),
-    s"$path/hashed", s"${name}_hashed", cleanFreq = NoAutoClean)
+    s"$path/hashed", s"${name}_hashed", cleanFreq = NoAutoClean,
+    fs = fs)
   private val dfsStore = new ParquetStore(spark,
     StructType(Seq(StructField("h", LongType), StructField("df", LongType))),
-    s"$path/dfs", s"${name}_dfs", cleanFreq = NoAutoClean)
+    s"$path/dfs", s"${name}_dfs", cleanFreq = NoAutoClean, fs = fs)
   private val prefixStore = new ParquetStore(spark,
     StructType(Seq(StructField("id", idType), StructField("h", LongType),
       StructField("s", LongType), StructField("rn", LongType))),
-    s"$path/prefix", s"${name}_prefix", cleanFreq = NoAutoClean)
+    s"$path/prefix", s"${name}_prefix", cleanFreq = NoAutoClean,
+    fs = fs)
 
   /** Every dfs generation carries ONE sentinel row (h = [[SentinelHash]],
     * df = the generation's BASE snapshot id): shingle hashes are 32-bit
@@ -130,26 +136,23 @@ final class PrefixIndexStore(
 
   // ---- Commit manifest: the atomic multi-store commit point -------------
 
-  private val commitsDir = Paths.get(path, "_commits")
-  Files.createDirectories(commitsDir)
+  private val commitsDir = fs.resolve(path, "_commits")
+  fs.mkdirs(commitsDir)
   migrateLegacy()
 
   /** Generation ids with a commit manifest, ascending. */
-  private def committedIds(): Seq[Long] = {
-    val s = Files.list(commitsDir)
-    try s.toArray.toSeq.map(_.asInstanceOf[Path].getFileName.toString)
+  private def committedIds(): Seq[Long] =
+    fs.list(commitsDir)
       .collect { case n if n.forall(_.isDigit) => n.toLong }.sorted
-    finally s.close()
-  }
 
   /** Write `<path>/_commits/<g>` (content: the generation's base id, for
     * operators) via temp + atomic rename — the LAST step of a snapshot or
     * delta append; its existence IS the commit. */
   private def commit(g: Long, base: Long): Unit = {
-    val tmp = commitsDir.resolve(s".tmp_$g")
-    Files.writeString(tmp, s"$base\n")
-    Files.move(tmp, commitsDir.resolve(s"$g"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val tmp = fs.resolve(commitsDir, s".tmp_$g")
+    fs.write(tmp, s"$base\n".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    fs.rename(tmp, fs.resolve(commitsDir, s"$g"))
   }
 
   /** Pre-manifest directories (r9 layout) carry committed generations with
@@ -178,11 +181,8 @@ final class PrefixIndexStore(
       if (s.maxRstId.exists(_ > committed) || s.currentRstId != committed + 1L)
         s.truncateAbove(committed)
     }
-    val l = Files.list(commitsDir)
-    try l.toArray.foreach { p0 =>
-      val p = p0.asInstanceOf[Path]
-      if (p.getFileName.toString.startsWith(".tmp_")) Files.deleteIfExists(p)
-    } finally l.close()
+    fs.list(commitsDir).filter(_.startsWith(".tmp_"))
+      .foreach(n => fs.delete(fs.resolve(commitsDir, n)))
   }
 
   /** Build the index from `corpus` and persist it as the next generation
@@ -259,9 +259,9 @@ final class PrefixIndexStore(
     * sentinel ([[baseOf]]) for a manifest whose content predates the
     * base field or was hand-edited. */
   private def baseFromManifest(g: Long): Long = {
-    val f = commitsDir.resolve(s"$g")
     try {
-      val t = Files.readString(f).trim
+      val t = new String(fs.read(fs.resolve(commitsDir, s"$g")),
+        java.nio.charset.StandardCharsets.UTF_8).trim
       if (t.nonEmpty && t.forall(_.isDigit)) t.toLong else baseOf(g)
     } catch { case scala.util.control.NonFatal(_) => baseOf(g) }
   }
@@ -292,7 +292,7 @@ final class PrefixIndexStore(
       val keepFrom = fulls(fulls.size - keepSnapshots.toInt - 1)
       Seq(hashedStore, dfsStore, prefixStore).foreach(_.cleanBelow(keepFrom))
       committedIds().filter(_ < keepFrom)
-        .foreach(g => Files.deleteIfExists(commitsDir.resolve(s"$g")))
+        .foreach(g => fs.delete(fs.resolve(commitsDir, s"$g")))
     }
   }
 
