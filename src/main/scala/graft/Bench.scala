@@ -298,7 +298,13 @@ object Bench {
     // read-back), and the self-contained ring backfill
     // (q_recrawl_backfill covers the fold classes; this swaps the
     // external history for the retained ring + prefix algebra).
-    "q_warc_cdx_canon", "q_takedown_zipnum", "q_recrawl_backfill_ring"
+    "q_warc_cdx_canon", "q_takedown_zipnum", "q_recrawl_backfill_ring",
+    // Bulk zipnum join (q_warc_zipnum covers the cluster build +
+    // block machinery; this adds the broadcast-summary search + the
+    // keys→blocks shuffle + positioned block reads) and the
+    // attestation loop (q_takedown_export covers the erase; this adds
+    // the index-only victim count before/after).
+    "q_warc_zipnum_join", "q_takedown_attest"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -400,7 +406,8 @@ object Bench {
     "q_recrawl_backfill", "q_takedown_export", "q_warc_cdx_surt",
     "q_warc_export_inc", "q_crawl_loop", "q_warc_zipnum",
     // r16 wave (see the headline comment for the sibling mapping).
-    "q_warc_cdx_canon", "q_takedown_zipnum", "q_recrawl_backfill_ring")
+    "q_warc_cdx_canon", "q_takedown_zipnum", "q_recrawl_backfill_ring",
+    "q_warc_zipnum_join", "q_takedown_attest")
 
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -1315,6 +1315,92 @@ object Warc {
     }
   }
 
+  /** BULK lookup — the Dataset-API counterpart of [[zipnumLookup]]
+    * (whose doc sends bulk joins here): join a DataFrame of url keys
+    * against a written cluster, returning every matching CDXJ line as
+    * `(urlkey, line)`. Shape: the SUMMARY (metadata-sized by
+    * construction — 1/blockLines of the collection) is read once on
+    * the driver and broadcast; each key binary-searches it
+    * executor-side (same strictly-below + equal-run rule as the point
+    * lookup, UTF-8 byte order); keys then group by BLOCK so every
+    * touched block is read and inflated EXACTLY ONCE (positioned read
+    * through `fs`), no matter how many keys probe it — the whole join
+    * reads summary + touched blocks, never untouched shards. One
+    * shuffle (keys → blocks); misses vanish (inner-join semantics).
+    * Scale: cost is O(keys · log blocks) search + O(touched blocks)
+    * IO — a billion-key probe against a 100 TB collection touches at
+    * most min(keys, blocks) blocks. */
+  def zipnumJoin(keys: DataFrame, dir: String, keyCol: String = "urlkey",
+                 fs: graft.FsIO = graft.FsIO.local): DataFrame = {
+    val spark = keys.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("urlkey", StringType), StructField("line", StringType)))
+    val idxPath = fs.resolve(dir, "cluster.idx")
+    if (!fs.exists(idxPath))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], outSchema)
+    val entries = new String(fs.read(idxPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty)
+      .map { l =>
+        val f = l.split("\t")
+        (f(0).split(" ")(0), f(1), f(2).toLong, f(3).toInt)
+      }
+    if (entries.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], outSchema)
+    val bEntries = spark.sparkContext.broadcast(entries)
+    val ki = keys.schema.fieldIndex(keyCol)
+    // Phase 1: key → candidate block indices (executor-side summary
+    // search — the broadcast is the summary, not the data).
+    val pairSchema = StructType(Seq(
+      StructField("block", org.apache.spark.sql.types.IntegerType),
+      StructField("urlkey", StringType)))
+    val keyBlocks = keys.mapPartitions { it =>
+      val es = bEntries.value
+      it.flatMap { row =>
+        val k = row.getString(ki)
+        if (k == null) Iterator.empty
+        else {
+          var lo = 0
+          var hi = es.length - 1
+          while (lo < hi) {
+            val mid = (lo + hi + 1) >>> 1
+            if (utf8Less(es(mid)._1, k)) lo = mid else hi = mid - 1
+          }
+          Iterator.range(lo, es.length)
+            .takeWhile(i => i == lo || es(i)._1 == k)
+            .map(i => Row(i, k))
+        }
+      }
+    }(Encoders.row(pairSchema))
+    // Phase 2: group keys per block, read + inflate each block ONCE,
+    // emit its matching lines.
+    keyBlocks.groupBy(col("block"))
+      .agg(collect_set(col("urlkey")).as("ks"))
+      .mapPartitions { it =>
+        val es = bEntries.value
+        it.flatMap { row =>
+          val (_, shard, off, len) = es(row.getInt(0))
+          val probes = row.getAs[scala.collection.Seq[String]](1)
+          val block =
+            try Some(fs.readRange(fs.resolve(dir, shard), off, len))
+            catch {
+              case _: java.nio.file.NoSuchFileException => None
+              case _: java.io.FileNotFoundException => None
+            }
+          block.flatMap(gunzip(_)).toSeq.flatMap { b =>
+            val lines = new String(b,
+              java.nio.charset.StandardCharsets.UTF_8)
+              .split("\n").filter(_.nonEmpty)
+            probes.flatMap { k =>
+              lines.filter(_.startsWith(k + " ")).map(l => Row(k, l))
+            }
+          }.iterator
+        }
+      }(Encoders.row(outSchema))
+  }
+
   // ---------------------------------------------------------------
   // INCREMENTAL EXPORT (r15 — r14 verdict #6): cross-export revisit
   // memory. `encodeResponses(withRevisits)` dedups payloads within ONE

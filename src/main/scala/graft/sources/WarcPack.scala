@@ -448,6 +448,34 @@ object WarcPack extends QueryPack {
             cdxCanon = true)
           .localCheckpoint(true), withKey = true)
       },
+      // BULK zipnum join (r16): a DataFrame of url keys — half real,
+      // half guaranteed misses — joined distributively against a
+      // cluster WRITTEN TO DISK: summary broadcast, per-key binary
+      // search executor-side, each touched block read and inflated
+      // once via positioned reads. The oracle knows exactly which keys
+      // hit and what their lines carry; misses must vanish.
+      "q_warc_zipnum_join" -> { (s, dir) =>
+        val znDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          f"graft_znjoin_${dir.hashCode}%08x").toString
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(znDir))
+        val files = Warc.encodeResponses(cdxRows(s, dir),
+            statusCol = "http_status", withCdx = true)
+          .localCheckpoint(true)
+        Warc.writeZipnum(files, znDir, shards = 4, blockLines = 8)
+        val keys = table(s, dir, "documents")
+          .filter(col("text").isNotNull)
+          .select(when(col("doc_id") % 2L === 0L,
+            concat(lit("https://export.org/doc/"), col("doc_id")))
+            .otherwise(concat(lit("https://miss.example/"),
+              col("doc_id"))).as("urlkey"))
+        Warc.zipnumJoin(keys, znDir)
+          .select(col("urlkey"),
+            regexp_extract(col("line"), "(\\{.*\\})", 1).as("j"))
+          .select(col("urlkey"),
+            get_json_object(col("j"), "$.url").as("url"),
+            get_json_object(col("j"), "$.status").cast("long")
+              .as("cdx_status"))
+      },
       // CROSS-EXPORT revisit memory (r15 — r14 verdict #6): the corpus
       // ships in TWO exportIncremental calls against one durable rep
       // store. Call 2 re-delivers call 1's page bytes at new /dup URLs
@@ -671,6 +699,16 @@ object WarcPack extends QueryPack {
         |    ELSE 200 END AS BIGINT) AS cdx_status,
         |  true AS key_match, true AS in_order
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    // Only the even-id keys hit (odd ids probed a miss host); each hit
+    // returns its own line with the constructed status.
+    "q_warc_zipnum_join" ->
+      """SELECT 'https://export.org/doc/' || CAST(doc_id AS VARCHAR)
+        |    AS urlkey,
+        |  'https://export.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(CASE doc_id % 3 WHEN 1 THEN 301 WHEN 2 THEN 404
+        |    ELSE 200 END AS BIGINT) AS cdx_status
+        |FROM documents
+        |WHERE text IS NOT NULL AND doc_id % 2 = 0""".stripMargin,
     // Every doc is a response exactly once (call 1 evens, call 2 odds);
     // every even doc's /dup re-delivery is a revisit resolved across
     // calls to its /doc original, with the record's own Refers-To

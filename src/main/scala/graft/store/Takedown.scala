@@ -247,6 +247,66 @@ object Takedown {
     repStore.eraseKeys(victimKeys(store).withColumnRenamed("key", "url"),
       Seq("url"))
 
+  /** COMPLIANCE ATTESTATION (r16): how many exported records still name
+    * each victim — directly (`url`) or by revisit implication
+    * (`refers`) — per the archives' own CDX manifests. The evidence
+    * a takedown notice's closure actually needs: run BEFORE
+    * [[eraseExports]] to scope the notice, AFTER to prove the
+    * directory clean (every victim at 0). Index-only: reads the `.cdx`
+    * files (1/1000s of the archive bytes), never an archive — the same
+    * budget as the erasure probe itself; archives WITHOUT a sibling
+    * index are not attestable this way and fail loudly rather than
+    * silently attesting a partial directory (run [[eraseExports]]
+    * first — it scans and indexes nothing, but it only leaves
+    * index-less archives when the export was written without
+    * `withCdx`). Output: one row per victim key, `(key, hits)`.
+    * Distributed: one task per index partition, victim set broadcast
+    * by closure (list-sized, the [[scrub]] assumption). */
+  def exportVictimHits(spark: org.apache.spark.sql.SparkSession,
+                       exportDir: String, store: ParquetStore,
+                       fs: graft.FsIO = graft.FsIO.local): DataFrame = {
+    import spark.implicits._
+    val victims = victimKeys(store).collect().map(_.getString(0)).toSet
+    val names = fs.list(exportDir).filter(n =>
+      (n.endsWith(".warc.gz") || n.endsWith(".warc")) && !n.startsWith("."))
+    val missing = names.filterNot { n =>
+      fs.exists(fs.resolve(exportDir,
+        n.stripSuffix(".warc.gz").stripSuffix(".warc") + ".cdx"))
+    }
+    require(missing.isEmpty,
+      s"exportVictimHits: archives without a CDX manifest are not " +
+        s"index-attestable: ${missing.take(5).mkString(", ")}")
+    val cdxNames = fs.list(exportDir)
+      .filter(n => n.endsWith(".cdx") && !n.startsWith("."))
+    val perIndex =
+      if (cdxNames.isEmpty)
+        spark.emptyDataset[(String, Long)].toDF("key", "hits")
+      else spark.createDataset(cdxNames)
+        .repartition(math.min(cdxNames.size,
+          math.max(spark.sparkContext.defaultParallelism, 1)))
+        .flatMap { n =>
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          new String(fs.read(fs.resolve(exportDir, n)),
+            java.nio.charset.StandardCharsets.UTF_8)
+            .split("\n").iterator.filter(_.nonEmpty).flatMap { line =>
+              val js = line.indexOf('{')
+              if (js < 0) Iterator.empty
+              else {
+                val node = mapper.readTree(line.substring(js))
+                val url = Option(node.get("url")).map(_.asText())
+                val refers = Option(node.get("refers")).map(_.asText())
+                (url.filter(victims.contains) ++
+                  refers.filter(victims.contains)).iterator
+              }
+            }.toSeq
+        }.toDF("key")
+        .groupBy(col("key")).agg(count(lit(1)).as("hits"))
+    // Every victim appears, zero-hit ones included — "no row" must
+    // never be mistakable for "not checked".
+    victimKeys(store).join(perIndex, Seq("key"), "left")
+      .select(col("key"), coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
   /** One archive's probe + rewrite (executor-side; `fs` rides the task
     * closure). Returns 1 when the `.warc.gz` was rewritten, 0 otherwise
     * (a CDX-only heal — stale from a crash window or predating the

@@ -96,6 +96,39 @@ object TakedownPack extends QueryPack {
             col("content"))
         graft.sources.WarcPack.cdxSliceCheck(back)
       },
+      // COMPLIANCE ATTESTATION (r16): the evidence loop a real notice
+      // closes with — export with manifests, attest BEFORE the erase
+      // (every victim names exactly its one shipped record), erase,
+      // attest AFTER (every victim at zero, present in the output as
+      // an explicit 0 — "no row" is never mistakable for "not
+      // checked"). Index-only both times.
+      "q_takedown_attest" -> { (s, dir) =>
+        val expDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          f"graft_tdatt_${dir.hashCode}%08x").toString
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(expDir))
+        graft.sources.Warc.writeFiles(
+          graft.sources.Warc.encodeResponses(
+            graft.sources.WarcPack.cdxRows(s, dir),
+            statusCol = "http_status", withCdx = true),
+          expDir)
+        val td = Takedown.takedownStore(s, s"$expDir-td",
+          tableName = "takedown_attest_list")
+        td.reset()
+        Takedown.request(td,
+          table(s, dir, "documents")
+            .filter(col("doc_id") % 13L === 5L && col("text").isNotNull)
+            .select(concat(lit("https://export.org/doc/"), col("doc_id"))
+              .as("key"), lit("dmca").as("reason")))
+        // Pin the PRE attestation — the frame is lazy and the files it
+        // reads are about to be rewritten.
+        val pre = Takedown.exportVictimHits(s, expDir, td)
+          .withColumnRenamed("hits", "pre_hits")
+          .localCheckpoint(true)
+        Takedown.eraseExports(s, expDir, td)
+        val post = Takedown.exportVictimHits(s, expDir, td)
+          .withColumnRenamed("hits", "post_hits")
+        pre.join(post, Seq("key"))
+      },
       // TAKEDOWN REACHES THE COLLECTION INDEX (r16 — r15 verdict #2):
       // the export ships with its per-archive CDX manifests AND a
       // zipnum cluster built over them; a takedown then erases every
@@ -220,6 +253,14 @@ object TakedownPack extends QueryPack {
         |    ELSE 200 END AS BIGINT) AS rec_status
         |FROM documents
         |WHERE text IS NOT NULL AND doc_id % 13 <> 5""".stripMargin,
+    // Each victim named exactly its one shipped record before the
+    // erase, and zero after.
+    "q_takedown_attest" ->
+      """SELECT 'https://export.org/doc/' || CAST(doc_id AS VARCHAR)
+        |    AS key,
+        |  CAST(1 AS BIGINT) AS pre_hits, CAST(0 AS BIGINT) AS post_hits
+        |FROM documents
+        |WHERE text IS NOT NULL AND doc_id % 13 = 5""".stripMargin,
     // The q_warc_zipnum oracle minus the victims: the rebuilt cluster
     // holds exactly the surviving lines, block-seekable and sorted.
     "q_takedown_zipnum" ->

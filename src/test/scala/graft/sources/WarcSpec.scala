@@ -515,6 +515,18 @@ class WarcSpec extends SparkSpec {
     assert(Warc.zipnumLookup(dir, "https://a.org/before").isEmpty)
     assert(Warc.zipnumLookup(dir, "https://z.org/nope").isEmpty)
     assert(Warc.zipnumLookup(dir, "https://zz.org/after").isEmpty)
+    // BULK form over the same cluster: the straddling key yields all
+    // three captures, a single-capture key its one line, misses (below/
+    // between/above) vanish — one DataFrame, inner-join semantics.
+    val keys = Seq("https://z.org/dup", "https://z.org/p/3",
+      "https://a.org/before", "https://z.org/nope",
+      "https://zz.org/after").toDF("urlkey")
+    val joined = Warc.zipnumJoin(keys, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(joined.count(_._1 == "https://z.org/dup") === 3)
+    assert(joined.count(_._1 == "https://z.org/p/3") === 1)
+    assert(joined.forall { case (k, l) => l.startsWith(k + " ") })
+    assert(joined.length === 4)
   }
 
   test("surtKey: canonicalization flags, IPv6 literals, trailing-dot hosts") {

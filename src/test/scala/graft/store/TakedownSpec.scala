@@ -386,6 +386,24 @@ class TakedownSpec extends SparkSpec {
     assert(after.size === 3 && after === after.sorted)
   }
 
+  test("exportVictimHits: counts direct AND revisit-implicated records, zero after erase, fails fast on an index-less archive") {
+    val (dir, td) = exportFixture()
+    def hits() = Takedown.exportVictimHits(spark, dir, td).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // bad/1's own record plus the g2 revisit that names it by refers.
+    assert(hits() === Map("https://e.org/bad/1" -> 2L))
+    Takedown.eraseExports(spark, dir, td)
+    // After the erase: the victim still appears in the output, at an
+    // EXPLICIT zero — absence must never read as "not checked".
+    assert(hits() === Map("https://e.org/bad/1" -> 0L))
+    // An archive without a manifest cannot be index-attested — loud
+    // failure, never a silent partial attestation.
+    graft.FsIO.local.delete(graft.FsIO.local.resolve(dir, "g1.cdx"))
+    intercept[IllegalArgumentException] {
+      Takedown.exportVictimHits(spark, dir, td)
+    }
+  }
+
   test("zipnum takedown-awareness: a stale cluster refuses, eraseExports(zipnumDir) rebuilds, erase-then-crash converges on rerun") {
     val sparkSession = spark
     import sparkSession.implicits._
