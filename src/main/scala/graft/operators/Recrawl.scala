@@ -260,7 +260,13 @@ object Recrawl {
     val keys = Seq("url", "fetch_us") ++ tieNames
     val w = Window.partitionBy(col("url"))
       .orderBy((col("fetch_us").desc +: tieNames.map(col(_).desc)): _*)
+    // Trim ONLY the URLs this batch touched: every other URL was at
+    // ≤ keep after its own last record call (inductive invariant), so
+    // the rank window runs over O(batch · keep) rows, not O(urls ·
+    // keep) — at crawl scale the difference between a batch-bounded
+    // and a corpus-bounded pass per trigger.
     val victims = retainedHistory(h)
+      .join(rows.select(col("url")).distinct(), Seq("url"), "left_semi")
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") > keep)
       .select(keys.map(col): _*)

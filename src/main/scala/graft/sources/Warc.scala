@@ -1175,10 +1175,18 @@ object Warc {
     if (!fs.exists(fs.resolve(clusterDir, "cluster.idx"))) return false
     val mPath = fs.resolve(clusterDir, "cluster.manifest")
     if (!fs.exists(mPath)) return true
+    // Drop the ONE geometry header, not every '#'-leading line — a
+    // group named '#…' is a legal (if odd) archive name and its entry
+    // must still compare.
     val recorded = new String(fs.read(mPath),
       java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map { l => val f = l.split("\t"); (f(0), f(1).toLong, f(2)) }
+      .split("\n").zipWithIndex
+      .filter { case (l, i) =>
+        l.nonEmpty && !(i == 0 && l.startsWith("#zipnum\t"))
+      }
+      .map { case (l, _) =>
+        val f = l.split("\t"); (f(0), f(1).toLong, f(2))
+      }
       .toSet
     val md = java.security.MessageDigest.getInstance("SHA-1")
     val current = fs.list(exportDir)
