@@ -1264,10 +1264,20 @@ object Warc {
     * checks [[zipnumStale]] and REFUSES (IllegalStateException) to
     * serve from a cluster whose source indexes changed since the
     * build — the erase-to-rebuild window in which stale blocks still
-    * attribute erased content. */
+    * attribute erased content.
+    *
+    * `tsFrom`/`tsTo` (the wayback CDX API's `from`/`to`): keep only
+    * captures whose 14-digit timestamp is ≥/≤ the given bound —
+    * PREFIX bounds work the way the API's do (`tsFrom = "2024"` means
+    * everything from 2024-01-01, `tsTo = "2024"` everything through
+    * 2024-12-31: the upper bound right-pads with '9'). Filtering is
+    * applied to the probed blocks' lines; the block reads themselves
+    * are already key-bounded. */
   def zipnumLookup(dir: String, urlkey: String,
                    fs: graft.FsIO = graft.FsIO.local,
-                   verifyExports: String = null): Seq[String] = {
+                   verifyExports: String = null,
+                   tsFrom: String = null, tsTo: String = null)
+      : Seq[String] = {
     if (verifyExports != null && zipnumStale(dir, verifyExports, fs))
       throw new IllegalStateException(
         s"zipnumLookup: cluster at $dir is STALE against $verifyExports " +
@@ -1319,6 +1329,21 @@ object Warc {
               .split("\n").filter(_.nonEmpty).toSeq)
             .getOrElse(Seq.empty)
             .filter(l => l.startsWith(urlkey + " "))
+            .filter { l =>
+              if (tsFrom == null && tsTo == null) true
+              else {
+                val rest = l.substring(urlkey.length + 1)
+                val sp = rest.indexOf(' ')
+                val ts = if (sp < 0) rest else rest.substring(0, sp)
+                // Prefix bounds: lower pads with '0' implicitly
+                // (string compare), upper right-pads with '9' so
+                // tsTo = "2024" admits all of 2024.
+                (tsFrom == null || ts >= tsFrom) &&
+                  (tsTo == null ||
+                    ts <= tsTo.padTo(math.max(ts.length, tsTo.length),
+                      '9'))
+              }
+            }
         }
     }
   }

@@ -515,6 +515,17 @@ class WarcSpec extends SparkSpec {
     assert(Warc.zipnumLookup(dir, "https://a.org/before").isEmpty)
     assert(Warc.zipnumLookup(dir, "https://z.org/nope").isEmpty)
     assert(Warc.zipnumLookup(dir, "https://zz.org/after").isEmpty)
+    // Timestamp range bounds (the wayback from/to semantics): prefix
+    // upper bounds admit the whole prefix period.
+    assert(Warc.zipnumLookup(dir, "https://z.org/dup",
+      tsFrom = "20240201000000").size === 2)
+    assert(Warc.zipnumLookup(dir, "https://z.org/dup", tsTo = "202402")
+      .map(_.split(" ")(1)).sorted ===
+      Seq("20240101000000", "20240201000000"))
+    assert(Warc.zipnumLookup(dir, "https://z.org/dup",
+      tsFrom = "202402", tsTo = "202402").size === 1)
+    assert(Warc.zipnumLookup(dir, "https://z.org/dup",
+      tsFrom = "2025").isEmpty)
     // BULK form over the same cluster: the straddling key yields all
     // three captures, a single-capture key its one line, misses (below/
     // between/above) vanish — one DataFrame, inner-join semantics.
