@@ -180,9 +180,12 @@ object Recrawl {
   // fast, never approximates.
   // ---------------------------------------------------------------------
 
-  /** Schema of the retained-history store: the fetch tuple plus the
-    * caller's tie-break columns (typed by the caller — they must order
-    * identically to the full-history window's) and the replay-guard
+  /** Schema of the retained-history store: the fetch tuple, the url's
+    * cumulative fetch ORDINAL (1-based position in the folded history —
+    * nullable: rows recorded without a stats-store handle carry null
+    * and downgrade the gap check, see [[recordHistory]]), the caller's
+    * tie-break columns (typed by the caller — they must order
+    * identically to the full-history window's), and the replay-guard
     * lineage pair. */
   def historySchema(tieBreak: Seq[org.apache.spark.sql.types.StructField]
                       = Nil): org.apache.spark.sql.types.StructType =
@@ -193,7 +196,9 @@ object Recrawl {
         org.apache.spark.sql.types.StructField("fetch_us",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("digest",
-          org.apache.spark.sql.types.StringType)) ++ tieBreak ++ Seq(
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ord",
+          org.apache.spark.sql.types.LongType)) ++ tieBreak ++ Seq(
         org.apache.spark.sql.types.StructField("batch_id",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("scope",
@@ -218,7 +223,8 @@ object Recrawl {
     * between the fixed fetch tuple and the lineage pair). */
   private def historyTieNames(h: graft.store.ParquetStore): Seq[String] =
     h.schema.fieldNames.toSeq
-      .filterNot(Set("url", "fetch_us", "digest", "batch_id", "scope"))
+      .filterNot(Set("url", "fetch_us", "digest", "ord", "batch_id",
+        "scope"))
 
   /** The live retained window: one row per recorded fetch, sentinels
     * excluded, lineage dropped. */
@@ -232,28 +238,63 @@ object Recrawl {
     * [[graft.store.ParquetStore.eraseKeys]] discipline, touched
     * generations only). Replay-guarded per (scope, batchId) like every
     * fold. EVERY batch folded into the stats store must be recorded
-    * here too ([[updateStats]]/[[backfillStats]] do it when handed the
-    * store) — a window with silent gaps would make a later interior
-    * rebuild wrong, which is why [[backfillStats]] cross-checks the
-    * window tail against the stored statistics before trusting it. */
+    * here too ([[foldBatch]] does both in order; [[backfillStats]]
+    * re-records its late rows when handed the store) — and the ring is
+    * CHECKABLE against that discipline: when `priorCounts` carries
+    * each url's pre-fold `n_fetches` (what [[foldBatch]] passes), rows
+    * are stamped with their 1-based fetch ORDINAL, and
+    * [[backfillStats]]'s gap check can prove the retained window is
+    * the exact contiguous suffix of the folded history — a fold whose
+    * record call was skipped BETWEEN two recorded ones (tail intact,
+    * interior gap) fails loud instead of silently mis-rebuilding.
+    * Without `priorCounts`, ords are null and the check downgrades to
+    * the tail comparison. */
   def recordHistory(h: graft.store.ParquetStore, batch: DataFrame,
                     keep: Int, urlCol: String = "url",
                     usCol: String = "fetch_us",
                     digestCol: String = "digest",
-                    batchId: Long = -1L, scope: String = ""): Unit = {
-    require(keep >= 1, s"recordHistory: keep must be >= 1, got $keep")
+                    batchId: Long = -1L, scope: String = "",
+                    /** `(url, _prior_n)` — each url's folded fetch
+                      * count BEFORE this batch; absent urls count 0. */
+                    priorCounts: DataFrame = null): Unit = {
     if (h.batchApplied(scope, batchId)) return
     val tieNames = historyTieNames(h)
-    val rows = batch.select((Seq(col(urlCol).as("url"),
-      col(usCol).as("fetch_us"), col(digestCol).as("digest")) ++
-      tieNames.map(col)): _*)
+    val base = normalizedFetches(batch, urlCol, usCol, digestCol,
+      tieNames)
+    val rows =
+      if (priorCounts == null)
+        base.withColumn("ord", lit(null).cast("long"))
+      else {
+        val w = Window.partitionBy(col("url"))
+          .orderBy((col("fetch_us") +: tieNames.map(col)): _*)
+        base.join(priorCounts.select(col("url"),
+            col("_prior_n")), Seq("url"), "left")
+          .withColumn("ord",
+            coalesce(col("_prior_n"), lit(0L)) + row_number().over(w))
+          .drop("_prior_n")
+      }
+    appendRingRows(h, rows, keep, batchId, scope)
+  }
+
+  /** Shared ring append + trim tail ([[recordHistory]] and the
+    * backfill's ordinal-corrected rewrite): `rows` already in history
+    * shape (url, fetch_us, digest, ord, ties). Latest-per-fetch-key
+    * collapse means a re-append of an existing fetch SUPERSEDES its
+    * old row — the ordinal-rewrite primitive. */
+  private def appendRingRows(h: graft.store.ParquetStore,
+                             rows: DataFrame, keep: Int, batchId: Long,
+                             scope: String): Unit = {
+    require(keep >= 1, s"recordHistory: keep must be >= 1, got $keep")
+    val tieNames = historyTieNames(h)
+    val stamped = rows
       .withColumn("batch_id", lit(batchId))
       .withColumn("scope", lit(scope))
     val withSentinel =
-      if (batchId < 0) rows
-      else rows.unionByName(h.spark.range(1).select((Seq(
+      if (batchId < 0) stamped
+      else stamped.unionByName(h.spark.range(1).select((Seq(
         lit(sentinelKey(scope)).as("url"), lit(0L).as("fetch_us"),
-        lit(null).cast("string").as("digest")) ++
+        lit(null).cast("string").as("digest"),
+        lit(null).cast("long").as("ord")) ++
         tieNames.map(n => lit(null).cast(h.schema(n).dataType).as(n)) ++
         Seq(lit(batchId).as("batch_id"), lit(scope).as("scope"))): _*))
     h.appendStreaming(withSentinel)
@@ -272,6 +313,39 @@ object Recrawl {
       .select(keys.map(col): _*)
     h.eraseKeys(victims, keys)
     ()
+  }
+
+  /** One IN-ORDER fold with the ring attached: [[batchStats]] →
+    * [[updateStats]] → [[recordHistory]] with ordinal stamps, in the
+    * crash-convergent order (stats first; a crash before the record
+    * re-runs into a skip-stats + record-ring pass; ordinals are
+    * replay-exact because the pre-fold count is re-derived as
+    * `current − batch` once the fold is applied). The recommended fold
+    * call for ring-attached deployments — calling [[updateStats]] and
+    * [[recordHistory]] by hand works but leaves ords null. */
+  def foldBatch(store: graft.store.ParquetStore, batch: DataFrame,
+                urlCol: String = "url", usCol: String = "fetch_us",
+                digestCol: String = "digest",
+                tieBreak: Seq[String] = Nil,
+                batchId: Long = -1L, scope: String = "",
+                historyStore: graft.store.ParquetStore = null,
+                keepHistory: Int = 0): Unit = {
+    val stats = batchStats(batch, urlCol, usCol, digestCol, tieBreak)
+      .localCheckpoint(eager = true)
+    val applied = store.batchApplied(scope, batchId)
+    if (!applied) updateStats(store, stats, batchId, scope)
+    if (historyStore != null) {
+      // Pre-fold count per url: the fold has landed by now (either in
+      // this call or before a crash-replay), so prior = current −
+      // batch, deterministically on first run and replay alike.
+      val prior = latestStats(store)
+        .select(col("url"), col("n_fetches").as("_cur"))
+        .join(stats.select(col("url"), col("n_fetches").as("_bn")),
+          Seq("url"))
+        .select(col("url"), (col("_cur") - col("_bn")).as("_prior_n"))
+      recordHistory(historyStore, batch, keepHistory, urlCol, usCol,
+        digestCol, batchId, scope, priorCounts = prior)
+    }
   }
 
   /** One batch of fetches reduced to its per-URL statistics: the same
@@ -413,13 +487,24 @@ object Recrawl {
                     batchId: Long = -1L, scope: String = "",
                     historyStore: graft.store.ParquetStore = null,
                     keepHistory: Int = 0): Unit = {
+    // ONE pinned read of the ring's rows for the late batch's URLs,
+    // shared by the rebuild's window and the ordinal rewrite (both
+    // consume it, and the rewrite supersedes the rows it was built
+    // from — read-before-modify). Taken BEFORE the fold so the replay
+    // branch sees the same shape.
+    val ringRetained =
+      if (historyStore == null) null
+      else retainedHistory(historyStore)
+        .join(lateBatch.select(col(urlCol).as("url")).distinct(),
+          Seq("url"), "left_semi")
+        .localCheckpoint(eager = true)
     if (store.batchApplied(scope, batchId)) {
       // The stats fold landed but a crash may have preceded the ring
-      // append — converge it (recordHistory has its own guard).
+      // append — converge it (the record has its own guard).
       if (historyStore != null)
-        recordHistory(historyStore, normalizedFetches(lateBatch, urlCol,
-          usCol, digestCol, tieBreak), keepHistory,
-          batchId = batchId, scope = scope)
+        recordBackfillHistory(store, historyStore, ringRetained,
+          lateBatch, urlCol, usCol, digestCol, keepHistory, batchId,
+          scope)
       return
     }
     val lb = batchStats(lateBatch, urlCol, usCol, digestCol, tieBreak)
@@ -460,8 +545,9 @@ object Recrawl {
           exact.unionByName(
             batchStats(touched, urlCol, usCol, digestCol, tieBreak))
         } else if (historyStore != null) {
-          exact.unionByName(rebuildFromRing(historyStore, joined,
-            isOverlap, lateBatch, urlCol, usCol, digestCol, tieBreak))
+          exact.unionByName(rebuildFromRing(historyStore, ringRetained,
+            joined, isOverlap, lateBatch, urlCol, usCol, digestCol,
+            tieBreak))
         } else {
           // No retained history: fail fast IF any URL actually needs the
           // rebuild (one pruned probe — the disjoint classes still fold
@@ -476,11 +562,91 @@ object Recrawl {
       appendWithSentinel(store, out, batchId, scope)
     } finally { joined.unpersist(); () }
     // Ring append AFTER the stats fold (a crash in between converges on
-    // the re-run: stats skip by their sentinel, the ring records).
+    // the re-run: stats skip by their sentinel, the ring records). An
+    // out-of-order batch re-stamps the touched URLs' ORDINALS wholesale
+    // — see [[recordBackfillHistory]].
     if (historyStore != null)
-      recordHistory(historyStore, normalizedFetches(lateBatch, urlCol,
-        usCol, digestCol, tieBreak), keepHistory,
-        batchId = batchId, scope = scope)
+      recordBackfillHistory(store, historyStore, ringRetained, lateBatch,
+        urlCol, usCol, digestCol, keepHistory, batchId, scope)
+  }
+
+  /** The backfill's ring record: an out-of-order batch shifts the
+    * touched URLs' fetch ORDINALS (an interior insert renumbers every
+    * later fetch; a prepend renumbers all of them), so instead of
+    * appending the late rows with fresh stamps, the ENTIRE retained
+    * window of each touched URL is re-appended with corrected ordinals
+    * (`n_after − count + rank` — latest-per-fetch-key collapse makes a
+    * re-append an in-place restamp). Corrected ords are written only
+    * when the PRE-fold window was provably sound (non-null contiguous
+    * ords ending at the pre-fold count); an unsound or legacy-null
+    * window is stamped null — downgraded, never lied about. Own replay
+    * guard; convergent with the stats fold across any crash point. */
+  private def recordBackfillHistory(store: graft.store.ParquetStore,
+                                    ring: graft.store.ParquetStore,
+                                    /** Pinned ring rows for the late
+                                      * batch's URLs (the caller's
+                                      * read-before-modify snapshot). */
+                                    retained: DataFrame,
+                                    lateBatch: DataFrame, urlCol: String,
+                                    usCol: String, digestCol: String,
+                                    keep: Int, batchId: Long,
+                                    scope: String): Unit = {
+    if (ring.batchApplied(scope, batchId)) return
+    val tieNames = historyTieNames(ring)
+    val keysCols = Seq("url", "fetch_us") ++ tieNames
+    val late = normalizedFetches(lateBatch, urlCol, usCol, digestCol,
+      tieNames)
+    val urls = late.select(col("url")).distinct()
+    val lateNew = late.join(retained.select(keysCols.map(col): _*),
+      keysCols, "left_anti")
+    val nAfter = latestStats(store)
+      .select(col("url"), col("n_fetches").as("_na"))
+    // Pre-fold soundness: retained ords all present, contiguous, and
+    // ending exactly at the pre-fold count (n_after minus the rows
+    // this batch adds). An empty window is sound only for a url whose
+    // WHOLE history is this batch.
+    val rAgg = retained.groupBy(col("url")).agg(
+      count(lit(1)).as("_rc"), count(col("ord")).as("_ro"),
+      min(col("ord")).as("_rmin"), max(col("ord")).as("_rmax"))
+    val lAgg = lateNew.groupBy(col("url")).agg(count(lit(1)).as("_ln"))
+    val sound = urls.join(rAgg, Seq("url"), "left")
+      .join(lAgg, Seq("url"), "left").join(nAfter, Seq("url"))
+      .select(col("url"), (
+        coalesce(col("_ro"), lit(0L)) === coalesce(col("_rc"), lit(0L)) &&
+          coalesce(col("_rmax"), lit(0L)) ===
+            col("_na") - coalesce(col("_ln"), lit(0L)) &&
+          (coalesce(col("_rmax"), lit(0L)) -
+            coalesce(col("_rmin"), lit(1L)) + 1L) ===
+            coalesce(col("_rc"), lit(0L))).as("_sound"))
+    val sel = (Seq("url", "fetch_us", "digest") ++ tieNames).map(col)
+    val combined = retained.select(sel: _*)
+      .unionByName(late.select(sel: _*))
+      .dropDuplicates(keysCols)
+    val w = Window.partitionBy(col("url"))
+      .orderBy((col("fetch_us") +: tieNames.map(col)): _*)
+    val cw = Window.partitionBy(col("url"))
+    // Append only rows whose ordinal CHANGED — the late rows plus the
+    // shifted suffix after each insertion point; rows before it keep
+    // their stored stamps, so the write volume is bounded by the
+    // displacement, not the window (with a tail-adjacent backfill
+    // that's ~the batch itself).
+    val oldOrd = retained.select((keysCols.map(col) :+
+      col("ord").as("_old_ord")): _*)
+    val rows = combined
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_cnt", count(lit(1)).over(cw))
+      .join(nAfter, Seq("url"))
+      .join(sound, Seq("url"), "left")
+      .withColumn("ord", when(coalesce(col("_sound"), lit(false)),
+        col("_na") - col("_cnt") + col("_rn")).cast("long"))
+      .drop("_rn", "_cnt", "_na", "_sound")
+      .join(oldOrd, keysCols, "left")
+      // Keep late rows (no stored stamp — `_old_ord` null also covers
+      // the retained-with-null-legacy-stamp rows, whose re-append is
+      // harmless under latest-per-key) and any row whose stamp moved.
+      .filter(col("_old_ord").isNull || !(col("ord") <=> col("_old_ord")))
+      .drop("_old_ord")
+    appendRingRows(ring, rows, keep, batchId, scope)
   }
 
   /** Fetch rows under the history-store column names. */
@@ -495,6 +661,11 @@ object Recrawl {
     * the stored totals' prefix algebra. `joined` is the (late-batch
     * stats ⟕ stored stats) frame. */
   private def rebuildFromRing(ring: graft.store.ParquetStore,
+                              /** Pinned ring rows for the late batch's
+                                * URLs — the window semi-joins its
+                                * overlap subset from here instead of
+                                * re-reading the store. */
+                              ringRetained: DataFrame,
                               joined: DataFrame,
                               isOverlap: Column, lateBatch: DataFrame,
                               urlCol: String, usCol: String,
@@ -510,11 +681,10 @@ object Recrawl {
       col("_sn"), col("_sx"), col("_sf"), col("_sl"),
       col("_sfd"), col("_sld"))
     val overlapUrls = over.select(col("url"))
-    val window = retainedHistory(ring)
-      .join(overlapUrls, Seq("url"), "left_semi")
-      // Pinned: the ring recount feeds two aggregations below while
-      // recordHistory will soon rewrite the generations it reads.
-      .localCheckpoint(eager = true)
+    // Already pinned by the caller (read-before-modify); the recount
+    // feeds several aggregations below while the ordinal rewrite will
+    // soon supersede the generations it came from.
+    val window = ringRetained.join(overlapUrls, Seq("url"), "left_semi")
     val late = normalizedFetches(lateBatch, urlCol, usCol, digestCol,
       tieBreak).join(overlapUrls, Seq("url"), "left_semi")
     def statsOf(rows: DataFrame, prefix: String): DataFrame =
@@ -525,16 +695,32 @@ object Recrawl {
         col("last_us").as(s"_${prefix}lu"),
         col("first_digest").as(s"_${prefix}fd"),
         col("last_digest").as(s"_${prefix}ld"))
+    val sel = (Seq("url", "fetch_us", "digest") ++ tieBreak).map(col)
     val wStats = statsOf(window, "w")
-    val cStats = statsOf(window.unionByName(late)
+    val cStats = statsOf(window.select(sel: _*).unionByName(late)
       .dropDuplicates(Seq("url", "fetch_us") ++ tieBreak), "c")
+    // Ordinal aggregates — the GAP detector's raw material (r16): when
+    // every window row carries its fetch ordinal ([[foldBatch]]'s
+    // stamps), the window can be PROVEN to be the exact contiguous
+    // suffix of the folded history, catching the one corruption the
+    // tail check cannot — a fold whose record call was skipped BETWEEN
+    // two recorded ones.
+    val wOrd = window.groupBy(col("url")).agg(
+      count(col("ord")).as("_woc"), min(col("ord")).as("_wmo"),
+      max(col("ord")).as("_wxo"))
     val o = over.join(wStats, Seq("url"), "left")
       .join(cStats, Seq("url"), "left")
+      .join(wOrd, Seq("url"), "left")
     // The ring's window must END where the statistics say the history
-    // ends — the cheap completeness cross-check (interior gaps from an
-    // unfed ring are undetectable; the tail almost never is).
+    // ends — the tail cross-check every window passes…
     val inSync = col("_wlu").isNotNull && col("_wlu") === col("_sl") &&
       col("_wld") <=> col("_sld")
+    // …and, when ordinals are present on every row, the window must be
+    // CONTIGUOUS and end at the stored count — the exact-suffix proof.
+    // Legacy/null-ord windows skip this (downgraded, documented).
+    val ordsOk = col("_woc") === col("_wn")
+    val contiguous = col("_wxo") === col("_sn") &&
+      (col("_wxo") - col("_wmo") + 1L) === col("_wn")
     // Window == the URL's complete history → any late position folds;
     // otherwise every late row must land strictly after the window's
     // first fetch (its order against the unretained prefix is
@@ -549,6 +735,12 @@ object Recrawl {
           lit("backfillStats: retained history out of sync for URL '"),
           col("url"),
           lit("' — record every folded batch with recordHistory")))
+          .cast("long"))
+        .when(ordsOk && !contiguous, raise_error(concat(
+          lit("backfillStats: retained history has an INTERIOR GAP " +
+            "for URL '"), col("url"),
+          lit("' (a folded batch was never recorded) — rebuild the " +
+            "ring or pass the complete `history` explicitly")))
           .cast("long"))
         .when(!covered, raise_error(concat(
           lit("backfillStats: late batch for URL '"), col("url"),

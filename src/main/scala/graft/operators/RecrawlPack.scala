@@ -169,13 +169,14 @@ object RecrawlPack extends QueryPack {
           .withColumn("_b", expr(
             "least(greatest((fetch_us div 86400000000 - 19723) div 10, 0L), 2L)"))
           .localCheckpoint(true)
+        // foldBatch = stats fold + ordinal-stamped ring record in one
+        // crash-convergent call — the ords make the backfill's
+        // exact-suffix gap check bite (r16).
         Seq(0L, 2L).foreach { b =>
-          Recrawl.updateStats(store,
-            Recrawl.batchStats(pinned.filter(col("_b") === b),
-              tieBreak = Seq("event_id")),
-            batchId = b, scope = "q_recrawl_bfr")
-          Recrawl.recordHistory(ring, pinned.filter(col("_b") === b),
-            keep = 100000, batchId = b, scope = "q_recrawl_bfr")
+          Recrawl.foldBatch(store, pinned.filter(col("_b") === b),
+            tieBreak = Seq("event_id"),
+            batchId = b, scope = "q_recrawl_bfr",
+            historyStore = ring, keepHistory = 100000)
         }
         Recrawl.backfillStats(store, pinned.filter(col("_b") === 1L),
           tieBreak = Seq("event_id"),

@@ -63,11 +63,9 @@ object RingProbe {
       "ringprobe_ring", tieBreak = tieF, collapseEvery = 4L)
     val (_, tB) = timed {
       Seq(0L, 2L).foreach { b =>
-        Recrawl.updateStats(sB, Recrawl.batchStats(
-          hist.filter(col("_b") === b), tieBreak = tie),
-          batchId = b, scope = "rpB")
-        Recrawl.recordHistory(ring, hist.filter(col("_b") === b),
-          keep = 8, batchId = b, scope = "rpB")
+        Recrawl.foldBatch(sB, hist.filter(col("_b") === b),
+          tieBreak = tie, batchId = b, scope = "rpB",
+          historyStore = ring, keepHistory = 8)
       }
     }
     val ringRows = Recrawl.retainedHistory(ring).count()
@@ -88,11 +86,9 @@ object RingProbe {
     val ringD = Recrawl.historyStore(spark, tmp("dring"),
       "ringprobe_ringd", tieBreak = tieF, collapseEvery = 4L)
     Seq(0L, 2L).foreach { b =>
-      Recrawl.updateStats(sD, Recrawl.batchStats(
-        hist.filter(col("_b") === b), tieBreak = tie),
-        batchId = b, scope = "rpD")
-      Recrawl.recordHistory(ringD, hist.filter(col("_b") === b),
-        keep = 64, batchId = b, scope = "rpD")
+      Recrawl.foldBatch(sD, hist.filter(col("_b") === b),
+        tieBreak = tie, batchId = b, scope = "rpD",
+        historyStore = ringD, keepHistory = 64)
     }
     val (_, tD) = timed {
       Recrawl.backfillStats(sD, hist.filter(col("_b") === 1L),

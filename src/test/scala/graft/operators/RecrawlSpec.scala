@@ -327,6 +327,59 @@ class RecrawlSpec extends SparkSpec {
     assert(rateRows(Recrawl.ratesFromStats(store)) === once)
   }
 
+  test("foldBatch ordinals: an unrecorded MIDDLE fold is detected as an interior gap; a fully-recorded ring rebuilds and restamps") {
+    val a = hist(("a", 0L, "x"), ("a", 10L * DayUs, "y"))
+    val bMid = hist(("a", 20L * DayUs, "y"))
+    val c = hist(("a", 30L * DayUs, "z"), ("a", 40L * DayUs, "z"))
+    val late = hist(("a", 35L * DayUs, "w"))
+    val full = a.unionByName(bMid).unionByName(c).unionByName(late)
+    def build(recordMid: Boolean, tag: String) = {
+      val store = Recrawl.statsStore(spark,
+        java.nio.file.Files.createTempDirectory("graft_rstats").toString,
+        s"rstats_$tag")
+      val ring = ringStore(s"ring_$tag")
+      Recrawl.foldBatch(store, a, tieBreak = Seq("event_id"),
+        batchId = 0L, scope = tag, historyStore = ring, keepHistory = 10)
+      if (recordMid)
+        Recrawl.foldBatch(store, bMid, tieBreak = Seq("event_id"),
+          batchId = 1L, scope = tag, historyStore = ring,
+          keepHistory = 10)
+      else // the forgotten record: stats folded, ring never told
+        Recrawl.updateStats(store, Recrawl.batchStats(bMid,
+          tieBreak = Seq("event_id")), batchId = 1L, scope = tag)
+      Recrawl.foldBatch(store, c, tieBreak = Seq("event_id"),
+        batchId = 2L, scope = tag, historyStore = ring, keepHistory = 10)
+      (store, ring)
+    }
+    // GAP case: the window's TAIL matches the stats (the pre-r16 check
+    // passes) and the late row lands after the window's first fetch
+    // (the coverage check passes) — only the ordinal contiguity proof
+    // catches that batch 1's rows are missing from the window, which
+    // would otherwise recount to a silently wrong change total.
+    val (s1, r1) = build(recordMid = false, "gap16")
+    val before = rateRows(Recrawl.ratesFromStats(s1))
+    val ex = intercept[Exception] {
+      Recrawl.backfillStats(s1, late, tieBreak = Seq("event_id"),
+        batchId = 3L, scope = "gap16", historyStore = r1,
+        keepHistory = 10)
+    }
+    assert(ex.getMessage.contains("INTERIOR GAP") ||
+      Option(ex.getCause).exists(_.getMessage.contains("INTERIOR GAP")))
+    assert(rateRows(Recrawl.ratesFromStats(s1)) === before,
+      "the detected gap aborts before anything lands")
+    // Fully-recorded ring: the same backfill folds exactly and the
+    // touched URL's ring rows come back with CONTIGUOUS re-stamped
+    // ordinals 1..n (the interior insert renumbered its successors).
+    val (s2, r2) = build(recordMid = true, "nogap16")
+    Recrawl.backfillStats(s2, late, tieBreak = Seq("event_id"),
+      batchId = 3L, scope = "nogap16", historyStore = r2,
+      keepHistory = 10)
+    assert(rateRows(Recrawl.ratesFromStats(s2)) === rateRows(rates(full)))
+    val ords = Recrawl.retainedHistory(r2).filter(col("url") === "a")
+      .select("ord").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ords === (1L to 6L))
+  }
+
   test("backfillStats with a ring: a batch predating the retained window fails fast; an unfed ring fails fast") {
     val folded = hist(
       ("a", 0L, "x"), ("a", 10L * DayUs, "y"), ("a", 20L * DayUs, "y"),
