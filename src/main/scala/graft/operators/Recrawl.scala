@@ -257,7 +257,16 @@ object Recrawl {
                     /** `(url, _prior_n)` — each url's folded fetch
                       * count BEFORE this batch; absent urls count 0. */
                     priorCounts: DataFrame = null): Unit = {
-    if (h.batchApplied(scope, batchId)) return
+    if (h.batchApplied(scope, batchId)) {
+      // The append landed but a crash may have preceded the TRIM
+      // (advice r16: append and sentinel ride one appendStreaming, the
+      // erase follows — a crash between them would otherwise leave the
+      // touched URLs above `keep` forever, silently eroding the
+      // O(urls·keep) state bound). The trim is idempotent and bounded
+      // by this batch's URLs, so the replay re-runs it and converges.
+      trimRing(h, batch.select(col(urlCol).as("url")), keep)
+      return
+    }
     val tieNames = historyTieNames(h)
     val base = normalizedFetches(batch, urlCol, usCol, digestCol,
       tieNames)
@@ -298,16 +307,26 @@ object Recrawl {
         tieNames.map(n => lit(null).cast(h.schema(n).dataType).as(n)) ++
         Seq(lit(batchId).as("batch_id"), lit(scope).as("scope"))): _*))
     h.appendStreaming(withSentinel)
+    trimRing(h, rows.select(col("url")), keep)
+  }
+
+  /** Trim each of `urls` to its newest `keep` retained fetches (victims
+    * erased copy-on-write — the [[graft.store.ParquetStore.eraseKeys]]
+    * discipline, touched generations only). Trims ONLY the URLs given:
+    * every other URL was at ≤ keep after its own last record call
+    * (inductive invariant), so the rank window runs over O(batch·keep)
+    * rows, not O(urls·keep) — at crawl scale the difference between a
+    * batch-bounded and a corpus-bounded pass per trigger. Idempotent —
+    * also the replay-path convergence step (advice r16). */
+  private def trimRing(h: graft.store.ParquetStore, urls: DataFrame,
+                       keep: Int): Unit = {
+    require(keep >= 1, s"recordHistory: keep must be >= 1, got $keep")
+    val tieNames = historyTieNames(h)
     val keys = Seq("url", "fetch_us") ++ tieNames
     val w = Window.partitionBy(col("url"))
       .orderBy((col("fetch_us").desc +: tieNames.map(col(_).desc)): _*)
-    // Trim ONLY the URLs this batch touched: every other URL was at
-    // ≤ keep after its own last record call (inductive invariant), so
-    // the rank window runs over O(batch · keep) rows, not O(urls ·
-    // keep) — at crawl scale the difference between a batch-bounded
-    // and a corpus-bounded pass per trigger.
     val victims = retainedHistory(h)
-      .join(rows.select(col("url")).distinct(), Seq("url"), "left_semi")
+      .join(urls.distinct(), Seq("url"), "left_semi")
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") > keep)
       .select(keys.map(col): _*)
@@ -591,7 +610,12 @@ object Recrawl {
                                     usCol: String, digestCol: String,
                                     keep: Int, batchId: Long,
                                     scope: String): Unit = {
-    if (ring.batchApplied(scope, batchId)) return
+    if (ring.batchApplied(scope, batchId)) {
+      // Same replay-path trim convergence as [[recordHistory]] (advice
+      // r16): the restamp landed, the trim may not have.
+      trimRing(ring, lateBatch.select(col(urlCol).as("url")), keep)
+      return
+    }
     val tieNames = historyTieNames(ring)
     val keysCols = Seq("url", "fetch_us") ++ tieNames
     val late = normalizedFetches(lateBatch, urlCol, usCol, digestCol,

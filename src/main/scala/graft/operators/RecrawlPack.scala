@@ -186,6 +186,53 @@ object RecrawlPack extends QueryPack {
           .select(col("url"), col("n_fetches"), col("n_changes"),
             col("span_us"), col("next_interval_us"), col("next_fetch_us"))
       },
+      // PRODUCTION-SHAPED ring backfill (r17 — r16 verdict #2 + #8):
+      // q_recrawl_backfill_ring above keeps the WHOLE history
+      // (keep=100000 — the adversarial integrity fixture, every ring
+      // row re-ranked by the restamp); this runs the branch production
+      // actually exercises — keep=64 ≪ history, so the interior
+      // rebuild recovers the unretained PREFIX's contribution from the
+      // subtractable stored totals (the prefix-algebra branch,
+      // spec-only until now). The fixture is safe by measured
+      // construction: the max per-URL batch-2 fetch count is 38 < 64
+      // at sf0.001/0.01/0.1, so after the two in-order folds every
+      // URL's retained window either IS its complete history or
+      // reaches back into batch 0 — strictly before the late batch's
+      // first fetch — and the predates-window fail-fast stays a
+      // negative-spec concern (RecrawlSpec pins it); meanwhile
+      // 10/85/876 URLs per SF exceed 64 total fetches, so the
+      // partial-keep fold genuinely executes, not vacuously. Same
+      // full-history oracle: prefix algebra == in-order == recompute.
+      "q_recrawl_backfill_ring_k64" -> { (s, dir) =>
+        val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          f"graft_rebfk_${dir.hashCode}%08x").toString
+        val store = Recrawl.statsStore(s, base, "recrawl_stats_bfk",
+          collapseEvery = 2L)
+        store.reset()
+        val ring = Recrawl.historyStore(s, s"$base-ring",
+          "recrawl_hist_bfk",
+          tieBreak = Seq(org.apache.spark.sql.types.StructField(
+            "event_id", org.apache.spark.sql.types.LongType)),
+          collapseEvery = 4L)
+        ring.reset()
+        val pinned = history(s, dir)
+          .withColumn("_b", expr(
+            "least(greatest((fetch_us div 86400000000 - 19723) div 10, 0L), 2L)"))
+          .localCheckpoint(true)
+        Seq(0L, 2L).foreach { b =>
+          Recrawl.foldBatch(store, pinned.filter(col("_b") === b),
+            tieBreak = Seq("event_id"),
+            batchId = b, scope = "q_recrawl_bfk",
+            historyStore = ring, keepHistory = 64)
+        }
+        Recrawl.backfillStats(store, pinned.filter(col("_b") === 1L),
+          tieBreak = Seq("event_id"),
+          batchId = 10L, scope = "q_recrawl_bfk",
+          historyStore = ring, keepHistory = 64)
+        Recrawl.ratesFromStats(store)
+          .select(col("url"), col("n_fetches"), col("n_changes"),
+            col("span_us"), col("next_interval_us"), col("next_fetch_us"))
+      },
       // PUBLISHER-HINT recrawl (r14): one genuine sitemap per host —
       // built as real urlset XML, exploded back through the repo's own
       // Sitemaps.entries walker — declares a lastmod per page, and the
@@ -378,6 +425,8 @@ object RecrawlPack extends QueryPack {
     // Out-of-order fold == full recompute too (r15).
     "q_recrawl_backfill" -> RatesSql,
     "q_recrawl_backfill_ring" -> RatesSql,
+    // The partial-keep (keep=64) branch folds to the identical answer.
+    "q_recrawl_backfill_ring_k64" -> RatesSql,
     // Hint join re-derived closed-form: per-URL lastmod (same date
     // arithmetic as the XML construction) vs the lag-window last fetch.
     "q_sitemap_recrawl" ->

@@ -58,6 +58,30 @@ class BenchSpec extends AnyFunSuite {
     assert(line.length <= 1450,
       s"worst-case results line is ${line.length} chars (> 1450 spec budget; " +
         "runtime hard gate is 1500) — rotate queries into Bench.secondary")
+
+    // r17 (r16 verdict #7): BOTH final lines must arrive complete in the
+    // driver's 2000-char tail — the non-archived secondary line rides it
+    // too. Pessimistic widths: every displayed secondary entry at
+    // 999.999 (wider than -1 and any recorded timing), every calibration
+    // sample at 99.999.
+    val displayed = Bench.secondary.filterNot(Bench.archived.contains)
+    val secondaryLine = displayed.map(n => s""""$n":999.999""")
+      .mkString("{\"secondary\":{", ",", "},") +
+      """"calibration":{"before":99.999,"mid":99.999,"after":99.999,""" +
+      """"ref":99.999},"io_calibration":{"before":99.999,"after":99.999,""" +
+      """"ref":99.999,"io_factor":99.99}}"""
+    assert(secondaryLine.length + line.length <= 1750,
+      s"worst-case final two lines are ${secondaryLine.length + line.length} " +
+        "chars combined (> 1750 spec budget; runtime hard gate is 1800) — " +
+        "rotate stable secondary entries into Bench.archived")
+  }
+
+  test("archived is a secondary subset and the recent waves stay displayed") {
+    val strayArch = Bench.archived.filterNot(Bench.secondary.contains)
+    assert(strayArch.isEmpty, s"archived names not in secondary: $strayArch")
+    val strayRecent = Bench.recentSecondary.filterNot(Bench.secondary.contains)
+    assert(strayRecent.isEmpty,
+      s"recentSecondary names not in secondary: $strayRecent")
   }
 
   test("host-speed canary: synthetic load moves the factor while normalized times hold") {
