@@ -17,8 +17,11 @@ package graft
   *     (the jars Spark itself ships), resolving each path's scheme to
   *     its filesystem: `hdfs://…`, `file:…`, bare local paths, or any
   *     mounted Hadoop-compatible store. [[HadoopFs.atomicSwap]] uses
-  *     `FileContext.rename(OVERWRITE)` — ATOMIC on HDFS and on POSIX
-  *     local mounts. **S3 is documented honestly, not papered over**:
+  *     `FileContext.rename(OVERWRITE)` on `hdfs://` (one NameNode op —
+  *     atomic) and delegates `file:`/bare paths to nio `ATOMIC_MOVE`
+  *     (advice r16: Hadoop's local connector implements overwrite-
+  *     rename as delete-then-rename — two ops, a crash between them
+  *     loses the target). **S3 is documented honestly, not papered over**:
   *     S3A `rename` is copy-then-delete (neither atomic nor cheap), so
   *     the stage→swap idioms here are correct only on
   *     rename-consistent stores (HDFS, POSIX, most HCFS). An S3
@@ -136,7 +139,15 @@ final class HadoopFs extends FsIO {
 
   @transient private lazy val conf =
     new org.apache.hadoop.conf.Configuration()
-  private def fs(p: HPath): FileSystem = p.getFileSystem(conf)
+  private def fs(p: HPath): FileSystem = p.getFileSystem(conf) match {
+    // RAW local filesystem, not the checksummed wrapper: production
+    // local mounts don't want `.crc` sidecars beside every export
+    // file — and the nio-delegated [[atomicSwap]] below moves the data
+    // file without Hadoop in the loop, so a stale sidecar would turn
+    // every later read into a ChecksumException.
+    case l: org.apache.hadoop.fs.LocalFileSystem => l.getRawFileSystem
+    case other => other
+  }
 
   override def resolve(dir: String, name: String): String =
     new HPath(dir, name).toString
@@ -190,16 +201,47 @@ final class HadoopFs extends FsIO {
     try out.write(bytes) finally out.close()
   }
   override def atomicSwap(staging: String, target: String): Unit = {
-    // FileContext.rename(OVERWRITE) is the Hadoop API's atomic
-    // replace: one NameNode op on HDFS, one rename(2) on local.
     val src = new HPath(staging)
-    FileContext.getFileContext(src.toUri, conf)
-      .rename(src, new HPath(target), Options.Rename.OVERWRITE)
+    val scheme = Option(src.toUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      // ADVICE r16: for file:-scheme, FileContext.rename(OVERWRITE)
+      // reaches DelegateToFileSystem → AbstractFileSystem
+      // .renameInternal(overwrite), which is delete(dst) THEN
+      // rename(src, dst) — two operations, NOT atomic. A crash between
+      // them deletes the target while the staging file holds the only
+      // copy. The local filesystem HAS a real atomic replace — rename(2)
+      // via nio ATOMIC_MOVE — so delegate to it instead of claiming
+      // atomicity the Hadoop local connector does not provide.
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(src.toUri.getPath),
+        java.nio.file.Paths.get(new HPath(target).toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } else
+      // HDFS: FileContext.rename(OVERWRITE) is one NameNode op —
+      // genuinely atomic. Other schemes inherit whatever their
+      // connector provides (see the class doc: S3 is out of scope for
+      // swap idioms; the manifest-commit protocol above this seam is
+      // the convergence story there).
+      FileContext.getFileContext(src.toUri, conf)
+        .rename(src, new HPath(target), Options.Rename.OVERWRITE)
   }
   override def rename(src: String, target: String): Unit = {
     val s = new HPath(src)
-    FileContext.getFileContext(s.toUri, conf)
-      .rename(s, new HPath(target), Options.Rename.NONE)
+    val scheme = Option(s.toUri.getScheme).getOrElse("file")
+    if (scheme == "file")
+      // Same nio delegation as [[atomicSwap]] (and the same reason):
+      // the local AbstractFileSystem routes through the checksummed
+      // wrapper, whose sidecar bookkeeping the raw writes skip.
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s.toUri.getPath),
+        java.nio.file.Paths.get(new HPath(target).toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    else
+      FileContext.getFileContext(s.toUri, conf)
+        .rename(s, new HPath(target), Options.Rename.NONE)
+    ()
   }
   override def delete(path: String): Boolean = {
     val p = new HPath(path)

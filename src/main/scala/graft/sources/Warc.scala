@@ -538,6 +538,37 @@ object Warc {
     Set("jsessionid", "phpsessid", "sid", "aspsessionid", "cfid",
       "cftoken")
 
+  /** Percent-encoding normalization for [[surtKey]] (r16 verdict #5):
+    * decode escapes of UNRESERVED bytes (RFC 3986 §2.3 — ALPHA / DIGIT
+    * / `-._~`), which never needed encoding, so `/%41b` and `/Ab` key
+    * identically; every other escape (reserved or non-ASCII bytes)
+    * keeps its `%XX` form — hex-digit CASE then normalizes via the
+    * key's final lowercase, so `%C3%BC` and `%c3%bc` collapse too.
+    * Malformed sequences (`%zz`, a trailing `%4`) pass through
+    * untouched: a key function must never throw on a crawled URL. */
+  private def normalizePercent(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    // java.lang.StringBuilder, deliberately: the Scala one resolves
+    // append(s, i, j) to append(Any) and prints a TUPLE.
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        val b = (Character.digit(s.charAt(i + 1), 16) << 4) |
+          Character.digit(s.charAt(i + 2), 16)
+        val ch = b.toChar
+        if (ch.isLetterOrDigit && b < 128 || ch == '-' || ch == '.' ||
+            ch == '_' || ch == '~') sb.append(ch)
+        else sb.append(s, i, i + 3)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** SURT (Sort-friendly URI Reordering Transform) url key — what
     * standard CDX consumers (pywb, OpenWayback) sort and look up on
     * (r14 verdict #7): scheme and userinfo dropped, host labels
@@ -555,7 +586,16 @@ object Warc {
     *   - `scrubSession`: drop session-id query parameters
     *     ([[SessionParams]], case-insensitive names) and the servlet
     *     `;jsessionid=…` path-matrix suffix; an emptied query drops
-    *     its `?`.
+    *     its `?`. The matrix strip applies to the PATH part only
+    *     (advice r16): `?x=1;jsessionid=abc` is a query VALUE, not a
+    *     servlet matrix parameter, and keeps its bytes.
+    *   - `normalizeEncoding` (r16 verdict #5): IDN hosts fold to their
+    *     punycode ASCII form (`bücher.example` ≡ `xn--bcher-kva
+    *     .example` — `java.net.IDN.toASCII`, RFC 3490; a host the
+    *     codec rejects keeps its raw bytes), and percent-escapes of
+    *     unreserved bytes decode ([[normalizePercent]]) so `/%41b`,
+    *     `/Ab`, and `/ab` key identically; mixed-case hex collapses
+    *     via the key's final lowercase.
     *
     * Host-literal handling (advice r15): a bracketed IPv6 authority
     * (`[2001:db8::1]:8080`) keeps its literal UNREVERSED — reversing
@@ -565,7 +605,8 @@ object Warc {
     * not a label). Remaining documented simplification vs pywb: IPv4
     * hosts are reversed like names. */
   def surtKey(url: String, stripWww: Boolean = false,
-              scrubSession: Boolean = false): String = {
+              scrubSession: Boolean = false,
+              normalizeEncoding: Boolean = false): String = {
     if (url == null) return "-"
     val u = url.trim
     val si = u.indexOf("://")
@@ -603,12 +644,29 @@ object Warc {
       // DNS root dot: `example.org.` is the same name — an empty
       // trailing label would otherwise emit a leading "," (advice r15).
       host = host.stripSuffix(".")
+      if (normalizeEncoding && host.exists(_ > 127))
+        // Punycode fold — only attempted when a non-ASCII label is
+        // present (ASCII hosts are already their own ACE form, and the
+        // codec's length checks must not reject a long-but-valid
+        // ASCII host the legacy path accepted).
+        host = try java.net.IDN.toASCII(host)
+          .toLowerCase(java.util.Locale.ROOT)
+        catch { case _: IllegalArgumentException => host }
       if (stripWww && host.matches("www\\d*\\..+"))
         host = host.substring(host.indexOf('.') + 1)
     }
+    if (normalizeEncoding && path.nonEmpty)
+      path = normalizePercent(path)
     if (scrubSession && path.nonEmpty) {
-      // Servlet path-matrix form: /page;jsessionid=ABC?x=1
-      path = path.replaceAll("(?i);jsessionid=[^?/]*", "")
+      // Servlet path-matrix form: /page;jsessionid=ABC?x=1. The strip
+      // applies to the path part ONLY (advice r16): the same bytes
+      // inside the query string are a parameter VALUE
+      // (`/p?x=1;jsessionid=abc`), and stripping them would collapse
+      // distinct URLs onto one key.
+      val qi0 = path.indexOf('?')
+      val pathPart = (if (qi0 < 0) path else path.substring(0, qi0))
+        .replaceAll("(?i);jsessionid=[^/]*", "")
+      path = if (qi0 < 0) pathPart else pathPart + path.substring(qi0)
       val qi = path.indexOf('?')
       if (qi >= 0) {
         val kept = path.substring(qi + 1).split("&", -1).filter { kv =>
@@ -646,7 +704,8 @@ object Warc {
                              surt: Boolean, canon: Boolean = false): String = {
     val u = if (url == null) "-" else url
     val sb = new StringBuilder
-    sb.append(if (surt) surtKey(u, stripWww = canon, scrubSession = canon)
+    sb.append(if (surt) surtKey(u, stripWww = canon, scrubSession = canon,
+        normalizeEncoding = canon)
       else u.replace(" ", "%20")).append(' ')
       .append(if (ts == null || ts.isEmpty) "-" else ts).append(' ')
       .append("{\"url\":\"").append(jsonEsc(u))
@@ -664,12 +723,54 @@ object Warc {
     sb.toString
   }
 
-  /** Delete dead staging strays (`prefix`-named dot-files) under
-    * `dir` — see [[writeFiles]]. */
+  /** The target file name a staging stray was headed for: strays are
+    * `<prefix><attemptId>_<name>` ([[writeFiles]] / [[graft.store
+    * .Takedown]]'s erase), so strip the prefix and the attempt token. */
+  private[graft] def stagingTarget(stray: String, prefix: String): String = {
+    val rest = stray.stripPrefix(prefix)
+    val u = rest.indexOf('_')
+    if (u < 0) rest else rest.substring(u + 1)
+  }
+
+  /** Delete dead staging strays (`prefix`-named dot-files) under `dir`
+    * — see [[writeFiles]]. A stray whose TARGET file is missing is NOT
+    * deleted (advice r16): on a store whose overwrite-rename is
+    * delete-then-rename, a crash between the two leaves the staging
+    * file as the only surviving copy of the target — sweeping it would
+    * turn a crashed swap into permanent loss. Such strays are left for
+    * [[recoverStaging]] (the erase path runs it first) or the
+    * operator; the cost of keeping a genuinely dead one is a stray
+    * dot-file, the cost of deleting a load-bearing one is data. */
   private[graft] def sweepStaging(dir: String, prefix: String,
                                   fs: graft.FsIO = graft.FsIO.local): Unit =
     fs.list(dir).filter(_.startsWith(prefix))
+      .filter(n => fs.exists(fs.resolve(dir, stagingTarget(n, prefix))))
       .foreach(n => fs.delete(fs.resolve(dir, n)))
+
+  /** Complete crashed swaps (advice r16): for each `prefix` stray whose
+    * target is MISSING, the stray is the only surviving copy — a
+    * non-atomic overwrite-rename died between deleting the target and
+    * renaming the staging in. Promote it (the staging file was fully
+    * written before the swap began — `validate` is belt-and-braces
+    * against bytes that are torn anyway; a failing candidate is left
+    * on disk and reported, never silently dropped). Strays whose
+    * target exists are untouched here — [[sweepStaging]] handles them.
+    * Idempotent; run before any sweep on the same prefix. */
+  private[graft] def recoverStaging(dir: String, prefix: String,
+                                    fs: graft.FsIO = graft.FsIO.local,
+                                    validate: (String, Array[Byte]) => Boolean
+                                      = (_, _) => true): Unit =
+    fs.list(dir).filter(_.startsWith(prefix)).foreach { n =>
+      val target = stagingTarget(n, prefix)
+      if (target.nonEmpty && !fs.exists(fs.resolve(dir, target))) {
+        val strayPath = fs.resolve(dir, n)
+        if (validate(target, fs.read(strayPath)))
+          fs.atomicSwap(strayPath, fs.resolve(dir, target))
+        else
+          System.err.println(s"[graft] recoverStaging: stray $n does " +
+            s"not validate as $target — left on disk for the operator")
+      }
+    }
 
   /** Materialize an export frame (`path`, `content` — the
     * [[encodeResponses]] output shape) into a directory: each executor
@@ -1032,7 +1133,12 @@ object Warc {
     * [[writeZipnum]]'s stale-artifact sweep guarantees no block or
     * fragment from the pre-erasure cluster survives the rebuild. */
   def zipnumCdx(files: DataFrame, shards: Int,
-                blockLines: Int = 3000): DataFrame = {
+                blockLines: Int = 3000,
+                /** Shard file-name prefix. [[writeZipnum]] passes a
+                  * GENERATION-unique one (`cdx-g<N>-`, advice r16) so
+                  * a rebuild's shards never overwrite the live
+                  * cluster's blocks in place. */
+                shardPrefix: String = "cdx-"): DataFrame = {
     require(shards >= 1, "zipnumCdx needs at least one shard")
     require(blockLines >= 1, "zipnumCdx needs at least one line per block")
     val lines = files.filter(col("path").endsWith(".cdx"))
@@ -1046,7 +1152,7 @@ object Warc {
       StructField("content", BinaryType)))
     sorted.mapPartitions { it =>
       val part = org.apache.spark.TaskContext.getPartitionId()
-      val name = f"cdx-$part%05d.gz"
+      val name = f"$shardPrefix$part%05d.gz"
       val bos = new java.io.ByteArrayOutputStream()
       val idx = new StringBuilder
       val block = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -1077,19 +1183,26 @@ object Warc {
     }(Encoders.row(outSchema))
   }
 
-  /** Materialize a zipnum cluster into `dir`: build the shard files and
-    * summary fragments under a STAGING subdirectory (advice r15 — the
-    * in-place rebuild deleted the live `cluster.idx` before the
-    * replacement landed, so a crash mid-rebuild left no cluster and a
-    * concurrent lookup could hit a deleted shard), assemble the
-    * fragments into ONE `cluster.idx` in part order (driver-side: the
-    * summary is metadata-sized by construction), then swap the new
-    * cluster in — shards first, summary next, manifest LAST — and
-    * sweep shards the new summary no longer names. A crash anywhere
-    * before the summary swap leaves the OLD cluster fully intact; a
-    * crash between the summary and manifest swaps leaves a SERVABLE
-    * new cluster that [[zipnumStale]] conservatively flags until the
-    * rerun re-stamps it.
+  /** Materialize a zipnum cluster into `dir` — the SINGLE-COMMIT-POINT
+    * protocol (advice r16; staging itself is advice r15): shards are
+    * written under GENERATION-unique names (`cdx-g<N>-<part>.gz`, N
+    * strictly above every shard generation on disk, crashed orphans
+    * included), so a rebuild never overwrites the live cluster's
+    * blocks in place — the r16 design swapped shards under stable
+    * names BEFORE the summary, leaving a window where old summary
+    * offsets pointed into new shard bytes (gunzip fails, lookups
+    * silently empty, and an unchanged-source rebuild never even
+    * flagged stale). Now the `cluster.idx` swap is the ONE commit
+    * point: old summary → old shards, new summary → new shards, both
+    * generations fully on disk when it flips; the manifest stamps the
+    * new cluster's identity LAST (source indexes + the summary's own
+    * size/sha1, so a summary torn by a non-atomic overwrite-rename is
+    * DETECTED by [[zipnumStale]], not served); old-generation shards
+    * are swept only after the flip. Crash before the summary swap:
+    * the old cluster serves untouched, the orphaned new-generation
+    * shards are swept by the next successful rebuild. Crash between
+    * the summary and manifest swaps: the new cluster is servable but
+    * conservatively flags stale until the rerun re-stamps it.
     *
     * TAKEDOWN STAMP (r15 verdict #2): `cluster.manifest` records the
     * build geometry plus the name, size, and sha1 of every source
@@ -1110,7 +1223,14 @@ object Warc {
     // is metadata-scale (gzipped index lines, 1/blockLines summary) —
     // cheap to hold. The manifest aggregate below also reads `files`,
     // BEFORE any mutation, for the same reason.
-    val pinned = zipnumCdx(files, shards, blockLines)
+    fs.mkdirs(dir)
+    // Generation: strictly above every shard generation on disk —
+    // including a crashed rebuild's orphans, so names never collide.
+    val genRe = "^cdx-g(\\d+)-\\d{5}\\.gz$".r
+    val gen = (fs.list(dir).flatMap(n =>
+      genRe.findFirstMatchIn(n).map(_.group(1).toLong)) :+ 0L).max + 1L
+    val pinned = zipnumCdx(files, shards, blockLines,
+        shardPrefix = s"cdx-g$gen-")
       .localCheckpoint(eager = true)
     val manifest = files.filter(col("path").endsWith(".cdx"))
       .select(col("path"), octet_length(col("content")).cast("long")
@@ -1118,10 +1238,6 @@ object Warc {
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
       .sortBy(_._1)
-    val manifestBytes = (
-      s"#zipnum\tshards=$shards\tblockLines=$blockLines\n" +
-        manifest.map { case (n, sz, dg) => s"$n\t$sz\t$dg\n" }.mkString)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     // Build under staging; the live cluster stays untouched until the
     // new one is complete.
     val stage = fs.resolve(dir, ".zipnum_stage")
@@ -1132,26 +1248,36 @@ object Warc {
       .filter(_.startsWith("cluster.idx.part")).sorted
     val out = new java.io.ByteArrayOutputStream()
     parts.foreach(p => out.write(fs.read(fs.resolve(stage, p))))
-    fs.write(fs.resolve(stage, "cluster.idx"), out.toByteArray)
-    // SWAP IN: shards → summary → manifest. Shard files replace their
-    // same-named predecessors atomically; the summary flips the whole
-    // cluster to the new blocks in one rename; the manifest stamps it
-    // fresh only after everything it attests to is in place.
-    val newShards = fs.list(stage).filter(_.matches("cdx-\\d{5}\\.gz"))
+    val summaryBytes = out.toByteArray
+    fs.write(fs.resolve(stage, "cluster.idx"), summaryBytes)
+    val summarySha = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(summaryBytes).map("%02x".format(_)).mkString
+    val manifestBytes = (
+      s"#zipnum\tshards=$shards\tblockLines=$blockLines\n" +
+        s"#summary\t${summaryBytes.length}\t$summarySha\n" +
+        manifest.map { case (n, sz, dg) => s"$n\t$sz\t$dg\n" }.mkString)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // LAND the new generation's shards: names no live summary
+    // references — plain no-replace renames, on disk but unreachable
+    // until the pointer flips.
+    val newShards = fs.list(stage).filter(_.matches("cdx-g\\d+-\\d{5}\\.gz"))
     newShards.foreach { n =>
-      fs.atomicSwap(fs.resolve(stage, n), fs.resolve(dir, n))
+      fs.rename(fs.resolve(stage, n), fs.resolve(dir, n))
     }
+    // THE commit point: one summary swap flips the whole cluster.
     fs.atomicSwap(fs.resolve(stage, "cluster.idx"),
       fs.resolve(dir, "cluster.idx"))
+    // Manifest stamps the committed cluster (summary attestation
+    // included) — only after everything it attests to is in place.
     fs.write(fs.resolve(dir, ".staging_z_cluster.manifest"), manifestBytes)
     fs.atomicSwap(fs.resolve(dir, ".staging_z_cluster.manifest"),
       fs.resolve(dir, "cluster.manifest"))
-    // Sweep artifacts the new cluster no longer names (review r15 #4:
-    // a shrunken re-run emits fewer shards; a stale extra shard or a
-    // legacy in-place fragment must not survive to be read).
+    // Sweep artifacts the new summary no longer names (review r15 #4):
+    // older generations, pre-generation legacy shards, crashed-run
+    // orphans, and legacy in-place fragments.
     val keep = newShards.toSet
     fs.list(dir).filter { n =>
-      (n.matches("cdx-\\d{5}\\.gz") && !keep.contains(n)) ||
+      (n.matches("cdx-(?:g\\d+-)?\\d{5}\\.gz") && !keep.contains(n)) ||
         n.matches("cluster\\.idx\\.part\\d{5}")
     }.foreach(n => fs.delete(fs.resolve(dir, n)))
     fs.deleteRecursively(stage)
@@ -1172,31 +1298,63 @@ object Warc {
     * `cluster.idx`) is NOT stale: there is nothing to serve from. */
   def zipnumStale(clusterDir: String, exportDir: String,
                   fs: graft.FsIO = graft.FsIO.local): Boolean = {
-    if (!fs.exists(fs.resolve(clusterDir, "cluster.idx"))) return false
+    val idxPath = fs.resolve(clusterDir, "cluster.idx")
     val mPath = fs.resolve(clusterDir, "cluster.manifest")
+    // No summary AND no manifest: genuinely no cluster — nothing to
+    // serve from, nothing stale. A summary missing UNDER a manifest is
+    // different (advice r16): a delete-then-rename store's crash
+    // between the pointer delete and the rename — a committed cluster
+    // lost its summary, and "empty cluster" would be a silent miss.
+    if (!fs.exists(idxPath)) return fs.exists(mPath)
     if (!fs.exists(mPath)) return true
-    // Drop the ONE geometry header, not every '#'-leading line — a
-    // group named '#…' is a legal (if odd) archive name and its entry
-    // must still compare.
-    val recorded = new String(fs.read(mPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").zipWithIndex
-      .filter { case (l, i) =>
-        l.nonEmpty && !(i == 0 && l.startsWith("#zipnum\t"))
+    // ROBUST parse (advice r16): on a store whose rename is
+    // copy-then-delete, a crash can leave the manifest (or the
+    // summary) TORN — truncated mid-line. A torn manifest must read
+    // as STALE, never throw and never silently pass.
+    try {
+      val lines = new String(fs.read(mPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n")
+      // Summary attestation (r17 manifests): the on-disk cluster.idx
+      // must match the recorded size+sha1 byte-identically — the
+      // single-commit-point protocol's read-side validation; a torn
+      // summary swap otherwise serves silent misses. Pre-r17
+      // manifests lack the line and skip the check (documented
+      // downgrade, not a failure).
+      lines.find(_.startsWith("#summary\t")).foreach { l =>
+        val f = l.split("\t")
+        val idxBytes = fs.read(idxPath)
+        val dig = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(idxBytes).map("%02x".format(_)).mkString
+        if (idxBytes.length.toLong != f(1).toLong || dig != f(2))
+          return true
       }
-      .map { case (l, _) =>
-        val f = l.split("\t"); (f(0), f(1).toLong, f(2))
-      }
-      .toSet
-    val md = java.security.MessageDigest.getInstance("SHA-1")
-    val current = fs.list(exportDir)
-      .filter(n => n.endsWith(".cdx") && !n.startsWith("."))
-      .map { n =>
-        val bytes = fs.read(fs.resolve(exportDir, n))
-        (n, bytes.length.toLong,
-          md.digest(bytes).map("%02x".format(_)).mkString)
-      }.toSet
-    recorded != current
+      // Drop the geometry + attestation headers, not every '#'-leading
+      // line — a group named '#…' is a legal (if odd) archive name and
+      // its entry must still compare.
+      val recorded = lines.zipWithIndex
+        .filter { case (l, i) =>
+          l.nonEmpty && !(i == 0 && l.startsWith("#zipnum\t")) &&
+            !l.startsWith("#summary\t")
+        }
+        .map { case (l, _) =>
+          val f = l.split("\t"); (f(0), f(1).toLong, f(2))
+        }
+        .toSet
+      val md = java.security.MessageDigest.getInstance("SHA-1")
+      val current = fs.list(exportDir)
+        .filter(n => n.endsWith(".cdx") && !n.startsWith("."))
+        .map { n =>
+          val bytes = fs.read(fs.resolve(exportDir, n))
+          (n, bytes.length.toLong,
+            md.digest(bytes).map("%02x".format(_)).mkString)
+        }.toSet
+      recorded != current
+    } catch {
+      // Truncated line → missing field / non-numeric size: torn
+      // manifest, conservatively stale.
+      case _: ArrayIndexOutOfBoundsException => true
+      case _: NumberFormatException => true
+    }
   }
 
   /** The `(shards, blockLines)` geometry a cluster was built with —

@@ -429,14 +429,21 @@ object WarcPack extends QueryPack {
               .replace(">", "&gt;")
             val page = (s"<html><head><title>t$id</title></head>" +
               "<body><p>" + esc + "</p></body></html>").getBytes("UTF-8")
-            // Three canonicalization corners: a www host with a session
+            // Four canonicalization corners: a www host with a session
             // query param buried mid-query, a www2 host with the
-            // servlet matrix form plus a scrubbed sid, and a non-www
-            // host with a kept port and a kept query.
-            val url = (id % 3) match {
+            // servlet matrix form plus a scrubbed sid, a non-www host
+            // with a kept port and a kept query, and (r17 — r16
+            // verdict #5 + advice #4) an IDN host with mixed
+            // percent-escapes — unreserved `%41`/`%7E` must DECODE,
+            // reserved `%2F` and non-ASCII `%C3%BC` must stay — plus a
+            // `;jsessionid=` inside a query VALUE, which the scrub
+            // must now LEAVE ALONE (it is not a servlet matrix param).
+            val url = (id % 4) match {
               case 0 => s"https://WWW.Canon.ORG/Page/$id?a=$id&JSESSIONID=T$id&z=9"
               case 1 => s"https://www2.Shop.org/p/$id;jsessionid=X$id?sid=1&b=$id"
-              case _ => s"https://Plain.org:8080/x/$id?q=$id"
+              case 2 => s"https://Plain.org:8080/x/$id?q=$id"
+              case _ => s"https://BÜcher.example/M%C3%BCnchen/%41b%2Fc/$id" +
+                s"?q=%7E$id&u=1;jsessionid=keep$id"
             }
             (s"exp${id % 5}", url, "2024-01-01T00:00:00Z",
               "text/html; charset=utf-8", page, 200L)
@@ -660,36 +667,36 @@ object WarcPack extends QueryPack {
     // while the record URI stays the original mixed-case URL and the
     // slice check stays byte-exact.
     "q_warc_cdx_canon" ->
-      """SELECT CASE CAST(doc_id % 3 AS INTEGER)
+      """WITH u AS (
+        |  SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 'https://WWW.Canon.ORG/Page/'
+        |      || CAST(doc_id AS VARCHAR) || '?a=' || CAST(doc_id AS VARCHAR)
+        |      || '&JSESSIONID=T' || CAST(doc_id AS VARCHAR) || '&z=9'
+        |    WHEN 1 THEN 'https://www2.Shop.org/p/'
+        |      || CAST(doc_id AS VARCHAR) || ';jsessionid=X'
+        |      || CAST(doc_id AS VARCHAR) || '?sid=1&b='
+        |      || CAST(doc_id AS VARCHAR)
+        |    WHEN 2 THEN 'https://Plain.org:8080/x/' || CAST(doc_id AS VARCHAR)
+        |      || '?q=' || CAST(doc_id AS VARCHAR)
+        |    ELSE 'https://BÜcher.example/M%C3%BCnchen/%41b%2Fc/'
+        |      || CAST(doc_id AS VARCHAR) || '?q=%7E' || CAST(doc_id AS VARCHAR)
+        |      || '&u=1;jsessionid=keep' || CAST(doc_id AS VARCHAR)
+        |    END AS url
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT CASE CAST(doc_id % 4 AS INTEGER)
         |    WHEN 0 THEN 'org,canon)/page/' || CAST(doc_id AS VARCHAR)
         |      || '?a=' || CAST(doc_id AS VARCHAR) || '&z=9'
         |    WHEN 1 THEN 'org,shop)/p/' || CAST(doc_id AS VARCHAR)
         |      || '?b=' || CAST(doc_id AS VARCHAR)
-        |    ELSE 'org,plain:8080)/x/' || CAST(doc_id AS VARCHAR)
-        |      || '?q=' || CAST(doc_id AS VARCHAR) END AS urlkey,
-        |  CASE CAST(doc_id % 3 AS INTEGER)
-        |    WHEN 0 THEN 'https://WWW.Canon.ORG/Page/'
-        |      || CAST(doc_id AS VARCHAR) || '?a=' || CAST(doc_id AS VARCHAR)
-        |      || '&JSESSIONID=T' || CAST(doc_id AS VARCHAR) || '&z=9'
-        |    WHEN 1 THEN 'https://www2.Shop.org/p/'
-        |      || CAST(doc_id AS VARCHAR) || ';jsessionid=X'
-        |      || CAST(doc_id AS VARCHAR) || '?sid=1&b='
-        |      || CAST(doc_id AS VARCHAR)
-        |    ELSE 'https://Plain.org:8080/x/' || CAST(doc_id AS VARCHAR)
-        |      || '?q=' || CAST(doc_id AS VARCHAR) END AS url,
-        |  CAST(200 AS BIGINT) AS cdx_status,
-        |  CASE CAST(doc_id % 3 AS INTEGER)
-        |    WHEN 0 THEN 'https://WWW.Canon.ORG/Page/'
-        |      || CAST(doc_id AS VARCHAR) || '?a=' || CAST(doc_id AS VARCHAR)
-        |      || '&JSESSIONID=T' || CAST(doc_id AS VARCHAR) || '&z=9'
-        |    WHEN 1 THEN 'https://www2.Shop.org/p/'
-        |      || CAST(doc_id AS VARCHAR) || ';jsessionid=X'
-        |      || CAST(doc_id AS VARCHAR) || '?sid=1&b='
-        |      || CAST(doc_id AS VARCHAR)
-        |    ELSE 'https://Plain.org:8080/x/' || CAST(doc_id AS VARCHAR)
-        |      || '?q=' || CAST(doc_id AS VARCHAR) END AS rec_uri,
-        |  CAST(200 AS BIGINT) AS rec_status
-        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+        |    WHEN 2 THEN 'org,plain:8080)/x/' || CAST(doc_id AS VARCHAR)
+        |      || '?q=' || CAST(doc_id AS VARCHAR)
+        |    ELSE 'example,xn--bcher-kva)/m%c3%bcnchen/ab%2fc/'
+        |      || CAST(doc_id AS VARCHAR) || '?q=~' || CAST(doc_id AS VARCHAR)
+        |      || '&u=1;jsessionid=keep' || CAST(doc_id AS VARCHAR)
+        |    END AS urlkey,
+        |  url, CAST(200 AS BIGINT) AS cdx_status,
+        |  url AS rec_uri, CAST(200 AS BIGINT) AS rec_status
+        |FROM u""".stripMargin,
     // Every CDX line reachable through the summary index with sorted
     // blocks and matching block keys.
     "q_warc_zipnum" ->

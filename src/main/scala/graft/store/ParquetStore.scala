@@ -88,10 +88,57 @@ final class ParquetStore(
     StructType(schema.fields :+ StructField("rst_id", LongType, nullable = false))
 
   fs.mkdirs(path)
+  recoverCrashedSwaps()
   /** Volatile: HTTP pool threads read the counter while the streaming
     * thread appends. */
   @volatile private var counter: Long = maxRstId.map(_ + 1L).getOrElse(1L)
   registerView()
+
+  /** Crash recovery for the generation swaps (r16 verdict #3). The
+    * copy-on-write paths — [[merge]]/[[eraseKeys]]'s rewrites,
+    * [[compact]], [[collapseToLatest]] — stage a complete replacement,
+    * DELETE the original `rst_id=<g>` directory, then rename the
+    * staging in. In-process failures are handled at each site; a
+    * PROCESS death between the delete and the rename leaves
+    * `.staging_{rw,cp,cl}_<g>` holding the only copy of generation g,
+    * and without this sweep a reopened store would silently serve
+    * without it. Run once at open (the store is single-writer by
+    * contract):
+    *
+    *   - stray + target missing + `_SUCCESS` marker → PROMOTE (the
+    *     delete only ever runs after the staged job completed, so this
+    *     is exactly the crashed-swap state);
+    *   - stray + target present → delete the stray (the swap either
+    *     completed or never started; the caller-level operation —
+    *     erase, compact, collapse — replays idempotently);
+    *   - stray + target missing + no marker → left on disk, loudly
+    *     (not a state any crash point of the swap protocol produces).
+    *
+    * Append staging (`.staging_<n>`) is always swept: an uncommitted
+    * append is the at-least-once replay case — its batch re-runs
+    * behind the sentinel guard — and promoting one would commit a
+    * batch its caller saw fail. */
+  private def recoverCrashedSwaps(): Unit = {
+    val swapRe = "^\\.staging_(?:rw|cp|cl)_(\\d+)$".r
+    fs.list(path).foreach { n =>
+      swapRe.findFirstMatchIn(n) match {
+        case Some(m) =>
+          val stray = fs.resolve(path, n)
+          val target = fs.resolve(path, s"rst_id=${m.group(1)}")
+          if (fs.exists(target)) fs.deleteRecursively(stray)
+          else if (fs.exists(fs.resolve(stray, "_SUCCESS"))) {
+            fs.rename(stray, target)
+            System.err.println(s"[graft] $tableName: promoted crashed " +
+              s"swap $n -> rst_id=${m.group(1)}")
+          } else
+            System.err.println(s"[graft] $tableName: stray $n has no " +
+              "_SUCCESS marker and no live target — left for the operator")
+        case None =>
+          if (n.matches("^\\.staging_\\d+$"))
+            fs.deleteRecursively(fs.resolve(path, n))
+      }
+    }
+  }
 
   /** Generation directories currently on disk, ascending. Staging dirs
     * (`.staging_*`, from in-flight or failed writes) never match, so a

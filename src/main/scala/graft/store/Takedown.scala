@@ -193,6 +193,23 @@ object Takedown {
                    fs: graft.FsIO = graft.FsIO.local): Long = {
     import graft.sources.Warc
     val victims = victimKeys(store).collect().map(_.getString(0)).toSet
+    // RECOVER crashed swaps FIRST, before anything lists or sweeps
+    // (advice r16): a non-atomic overwrite-rename that died between
+    // deleting an archive and renaming its staged rewrite in leaves
+    // the staging file as the ONLY copy of every surviving record —
+    // and the archive itself absent from any listing, so recovery
+    // cannot live behind the victims/archives guards. Promote such
+    // strays (validated: an archive must still frame-walk; a .cdx
+    // regenerates deterministically, so even a suspect one heals on
+    // this very run via the cdxChanged compare).
+    if (fs.isDirectory(exportDir))
+      Warc.recoverStaging(exportDir, ".staging_e_", fs,
+        validate = (target, bytes) =>
+          if (target.endsWith(".warc.gz"))
+            Warc.gunzip(bytes).flatMap(Warc.warcRecords).isDefined
+          else if (target.endsWith(".warc"))
+            Warc.warcRecords(bytes).isDefined
+          else true)
     val changed: Long =
       if (victims.isEmpty || !fs.isDirectory(exportDir)) 0L
       else {
@@ -205,7 +222,9 @@ object Takedown {
         if (archives.isEmpty) 0L
         else {
           // Dead-attempt staging strays from prior runs (see
-          // [[graft.sources.Warc.writeFiles]]'s sweep rationale).
+          // [[graft.sources.Warc.writeFiles]]'s sweep rationale); the
+          // sweep refuses strays whose target is missing — those are
+          // recovery candidates, handled above.
           Warc.sweepStaging(exportDir, ".staging_e_", fs)
           import spark.implicits._
           spark.createDataset(archives)
@@ -222,7 +241,7 @@ object Takedown {
       // shard count and the default block size.
       val (sh, bl) = Warc.zipnumGeometry(zipnumDir, fs).getOrElse((
         math.max(fs.list(zipnumDir)
-          .count(_.matches("cdx-\\d{5}\\.gz")), 1), 3000))
+          .count(_.matches("cdx-(?:g\\d+-)?\\d{5}\\.gz")), 1), 3000))
       val cdxFiles = spark.read.format("binaryFile").load(exportDir)
         .filter(col("path").endsWith(".cdx"))
         .select(regexp_extract(col("path"), "([^/]+)$", 1).as("path"),
@@ -311,7 +330,7 @@ object Takedown {
     * closure). Returns 1 when the `.warc.gz` was rewritten, 0 otherwise
     * (a CDX-only heal — stale from a crash window or predating the
     * `refers` field — does not count as an archive rewrite). */
-  private def eraseOneArchive(exportDir: String, filename: String,
+  private[store] def eraseOneArchive(exportDir: String, filename: String,
                               victims: Set[String],
                               fs: graft.FsIO): Long = {
     import graft.sources.Warc

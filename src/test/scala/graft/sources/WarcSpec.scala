@@ -576,6 +576,32 @@ class WarcSpec extends SparkSpec {
     // Trailing-dot host keys like the undotted form (the DNS root dot
     // is not a label — no empty leading label).
     assert(Warc.surtKey("https://example.org./x") === "org,example)/x")
+    // Matrix strip is PATH-ONLY (advice r16): the same bytes in a
+    // query VALUE are part of the parameter and must survive.
+    assert(Warc.surtKey(
+      "https://e.org/p?x=1;jsessionid=abc", scrubSession = true) ===
+      "org,e)/p?x=1;jsessionid=abc")
+    assert(Warc.surtKey(
+      "https://e.org/p;jsessionid=A/q;jsessionid=B?x=1",
+      scrubSession = true) === "org,e)/p/q?x=1")
+    // normalizeEncoding (r16 verdict #5): IDN hosts fold to punycode;
+    // unreserved escapes decode; reserved / non-ASCII escapes keep
+    // their %XX form, hex case collapsing via the final lowercase;
+    // malformed sequences pass through untouched.
+    assert(Warc.surtKey("https://BÜcher.example/x",
+      normalizeEncoding = true) === "example,xn--bcher-kva)/x")
+    assert(Warc.surtKey("https://bücher.example/x") ===
+      "example,bücher)/x") // flag off → raw label keeps its bytes
+    assert(Warc.surtKey("https://e.org/%41b%2Fc?q=%7E1",
+      normalizeEncoding = true) === "org,e)/ab%2fc?q=~1")
+    assert(Warc.surtKey("https://e.org/M%C3%BCnchen",
+      normalizeEncoding = true) === "org,e)/m%c3%bcnchen")
+    assert(Warc.surtKey("https://e.org/a%zz%4",
+      normalizeEncoding = true) === "org,e)/a%zz%4")
+    // www-strip composes after the punycode fold.
+    assert(Warc.surtKey("https://www.BÜcher.example/x",
+      stripWww = true, normalizeEncoding = true) ===
+      "example,xn--bcher-kva)/x")
   }
 
   test("zipnumLookup: positioned reads only — never the rest of the shard; missing shard is empty; stale cluster refuses") {
@@ -601,8 +627,10 @@ class WarcSpec extends SparkSpec {
     assert(hit.size === 1 && hit.head.contains("/p/17 "))
     val idxSize = graft.FsIO.local.size(
       graft.FsIO.local.resolve(dir, "cluster.idx"))
+    val shardName = graft.FsIO.local.list(dir)
+      .find(_.matches("cdx-(?:g\\d+-)?\\d{5}\\.gz")).get
     val shardSize = graft.FsIO.local.size(
-      graft.FsIO.local.resolve(dir, "cdx-00000.gz"))
+      graft.FsIO.local.resolve(dir, shardName))
     // Summary entries name the block lengths; the probed run is ≤ 2
     // blocks (strictly-below start + equal-key continuation).
     val maxBlock = new String(graft.FsIO.local.read(
@@ -630,7 +658,7 @@ class WarcSpec extends SparkSpec {
     assert(Warc.zipnumGeometry(dir) === Some((1, 2)))
     // A shard deleted out from under the cluster (mid-rebuild race) is
     // an empty answer, never a throw.
-    graft.FsIO.local.delete(graft.FsIO.local.resolve(dir, "cdx-00000.gz"))
+    graft.FsIO.local.delete(graft.FsIO.local.resolve(dir, shardName))
     assert(Warc.zipnumLookup(dir, "https://s.org/p/17").isEmpty)
   }
 
