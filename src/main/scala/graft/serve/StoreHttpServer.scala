@@ -141,7 +141,8 @@ final class StoreHttpServer(store: GenerationStore,
     val l = if (isWrite) lock.writeLock() else lock.readLock()
     l.lock()
     val (status, body) =
-      try (200, route(ex.getRequestURI.getRawPath))
+      try (200, route(ex.getRequestURI.getRawPath,
+        ex.getRequestURI.getRawQuery))
       catch {
         case e: Exception =>
           (400, s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}""")
@@ -173,9 +174,48 @@ final class StoreHttpServer(store: GenerationStore,
   private def dec(seg: String): String =
     URLDecoder.decode(seg.replace("+", "%2B"), UTF_8)
 
+  /** Decoded query parameters (`?from=…&to=…`); empty for no query. */
+  private def queryParams(rawQuery: String): Map[String, String] =
+    if (rawQuery == null || rawQuery.isEmpty) Map.empty
+    else rawQuery.split("&", -1).toSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => Some(dec(k) -> dec(v))
+        case Array(k) if k.nonEmpty => Some(dec(k) -> "")
+        case _ => None
+      }
+    }.toMap
+
+  /** The `/cdx` victim-set cache (r16 verdict #6 / advice #3):
+    * [[graft.store.Takedown.victimKeys]]`.collect()` is a full Spark
+    * job, and running it per HTTP request made lookup latency on the
+    * serving-path primitive driver-job-bound. Keyed on the victim
+    * store's `(counter, generation listing)`: a new takedown request
+    * advances the counter, an erase/collapse/reset changes the
+    * listing — either invalidates. The listing is one directory scan
+    * per request instead of a Spark job. (A reset followed by
+    * re-population that reproduces BOTH the exact counter and the
+    * exact generation ids within one server lifetime would collide —
+    * rebuild the server, or touch the store once, after such
+    * surgery.) */
+  @volatile private var victimCache: ((Long, Seq[Long]), Set[String]) = null
+  /** Recompute count — observable cache behavior for the spec. */
+  @volatile private[serve] var victimRecomputes: Long = 0L
+  private def victimSet(td: graft.store.ParquetStore): Set[String] = {
+    val key = (td.currentRstId, td.generations)
+    val cached = victimCache
+    if (cached != null && cached._1 == key) cached._2
+    else {
+      val v = graft.store.Takedown.victimKeys(td)
+        .collect().map(_.getString(0)).toSet
+      victimRecomputes += 1L
+      victimCache = (key, v)
+      v
+    }
+  }
+
   /** Flask's `<string:…>` converters never match `/`, so one decoded
     * segment per parameter is the reference contract too. */
-  private def route(rawPath: String): String = {
+  private def route(rawPath: String, rawQuery: String = null): String = {
     val segs = rawPath.stripPrefix("/").split("/", -1).toList
     segs match {
       case "a" :: table :: Nil =>
@@ -221,15 +261,21 @@ final class StoreHttpServer(store: GenerationStore,
       // before serving (class doc): a banned URL's captures — and any
       // revisit implicating one — return empty even while the cluster
       // awaits its post-erasure rebuild.
+      // `?from=<ts>&to=<ts>` (r16 verdict #4): wayback CDX API
+      // timestamp bounds, mapped to zipnumLookup's tsFrom/tsTo —
+      // prefix semantics (`to=2024` admits all of 2024: the upper
+      // bound right-pads with '9'); the scrub composes unchanged.
       case "cdx" :: rest if rest.nonEmpty =>
         val dir = cdxCluster.getOrElse(throw new IllegalArgumentException(
           "no zipnum cluster configured for /cdx"))
+        val qp = queryParams(rawQuery)
         val lines = graft.sources.Warc.zipnumLookup(dir,
-          dec(rest.mkString("/")))
+          dec(rest.mkString("/")),
+          tsFrom = qp.get("from").filter(_.nonEmpty).orNull,
+          tsTo = qp.get("to").filter(_.nonEmpty).orNull)
         val safe = takedown match {
           case Some((td, _)) =>
-            val victims = graft.store.Takedown.victimKeys(td)
-              .collect().map(_.getString(0)).toSet
+            val victims = victimSet(td)
             val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
             lines.filter { l =>
               val js = l.indexOf('{')

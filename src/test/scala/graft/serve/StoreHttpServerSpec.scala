@@ -352,4 +352,68 @@ class StoreHttpServerSpec extends SparkSpec {
       assert(still.contains("/p/3 "))
     } finally srv.stop()
   }
+
+  test("/cdx: from/to timestamp bounds (prefix semantics) compose with the takedown scrub and the victim cache") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import org.apache.spark.sql.types._
+    import graft.store.{ParquetStore, Takedown}
+    import graft.sources.Warc
+    val base = java.nio.file.Files.createTempDirectory("graft_http_cdxts")
+    val rows = Seq(
+      ("g0", "https://t.org/a", "2023-06-01T00:00:00Z", "y23"),
+      ("g1", "https://t.org/a", "2024-03-05T12:00:00Z", "y24a"),
+      ("g2", "https://t.org/a", "2024-12-31T23:59:59Z", "y24b"),
+      ("g0", "https://t.org/a", "2025-01-01T00:00:00Z", "y25"),
+      ("g1", "https://t.org/b", "2024-06-01T00:00:00Z", "other"))
+      .map { case (g, u, d, b) =>
+        (g, u, d, "text/plain", b.getBytes("UTF-8"))
+      }.toDF("file_group", "url", "warc_date", "content_type", "body")
+    val znDir = s"$base/zn"
+    Warc.writeZipnum(
+      Warc.encodeResponses(rows, withCdx = true).localCheckpoint(true),
+      znDir, shards = 1, blockLines = 2)
+    val store = new ParquetStore(spark, StructType(Seq(
+      StructField("doc_key", StringType))), s"$base/docs",
+      tableName = "http_cdxts_docs")
+    val td = Takedown.takedownStore(spark, s"$base/td",
+      tableName = "http_cdxts_list")
+    val srv = new StoreHttpServer(store,
+      takedown = Some((td, "doc_key")),
+      cdxCluster = Some(znDir)).start()
+    try {
+      val key = enc("https://t.org/a")
+      def times(body: String): Seq[String] =
+        "\\b(20\\d{12})\\b".r.findAllMatchIn(body).map(_.group(1)).toSeq
+      // Unbounded: all four captures.
+      assert(times(get(srv.port, s"/cdx/$key")._2).size === 4)
+      // Bounded hit: a full 14-digit window.
+      val (_, mid) = get(srv.port,
+        s"/cdx/$key?from=20240101000000&to=20240401000000")
+      assert(times(mid) === Seq("20240305120000"))
+      // PREFIX upper bound inclusivity: to=2024 admits 20241231235959
+      // (right-pads with '9'), from=2024 drops 2023.
+      val (_, y24) = get(srv.port, s"/cdx/$key?from=2024&to=2024")
+      assert(times(y24) === Seq("20240305120000", "20241231235959"))
+      // Open lower bound: to=2024 alone keeps 2023.
+      assert(times(get(srv.port, s"/cdx/$key?to=2024")._2).size === 3)
+      // Victim cache (r16 verdict #6): the first scrubbed lookups
+      // compute the set ONCE; a new takedown request invalidates it —
+      // and the bound + scrub compose.
+      val before = srv.victimRecomputes
+      assert(before >= 1L, "the lookups above must have computed the set")
+      get(srv.port, s"/cdx/$key?from=2024")
+      get(srv.port, s"/cdx/$key?to=2025")
+      assert(srv.victimRecomputes === before,
+        "repeated lookups must hit the cached victim set")
+      Takedown.request(td,
+        Seq(("https://t.org/a", "dmca")).toDF("key", "reason"))
+      val (_, banned) = get(srv.port, s"/cdx/$key?from=2024&to=2024")
+      assert(banned === "[]",
+        "a fresh takedown must invalidate the cache and mask the key")
+      assert(srv.victimRecomputes === before + 1L)
+      val (_, other) = get(srv.port, s"/cdx/${enc("https://t.org/b")}?from=2024")
+      assert(other.contains("https://t.org/b"))
+    } finally srv.stop()
+  }
 }
