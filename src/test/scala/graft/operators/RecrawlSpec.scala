@@ -282,6 +282,27 @@ class RecrawlSpec extends SparkSpec {
     assert(Recrawl.retainedHistory(ring).count() === 4L)
   }
 
+  test("recordHistory replay RE-RUNS the trim: a crash between append and trim converges (advice r16)") {
+    // The crash state — batch rows + sentinel landed, trim never ran —
+    // is built by recording with an effectively-unbounded keep (the
+    // append half executes, the trim is a no-op), then replaying the
+    // SAME (scope, batchId) with the real keep: the sentinel makes the
+    // append skip, and the fix re-runs the idempotent batch-bounded
+    // trim instead of returning early and leaving the URL above keep
+    // forever.
+    val ring = ringStore("ring_trim_replay")
+    val b = hist(("a", 0L, "x"), ("a", 10L * DayUs, "y"),
+      ("a", 20L * DayUs, "y"), ("a", 30L * DayUs, "z"),
+      ("a", 40L * DayUs, "z"))
+    Recrawl.recordHistory(ring, b, keep = 100, batchId = 7L, scope = "tr")
+    assert(Recrawl.retainedHistory(ring).count() === 5L)
+    Recrawl.recordHistory(ring, b, keep = 2, batchId = 7L, scope = "tr")
+    val a = Recrawl.retainedHistory(ring)
+      .select("fetch_us").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === Seq(30L * DayUs, 40L * DayUs),
+      "the replay must converge the ring to the newest `keep` fetches")
+  }
+
   test("backfillStats with a retained ring: interior batches rebuild self-containedly, exactly") {
     // a: 5 folded fetches, ring keeps 3 — the late interior row (day
     // 25, inside the retained window) folds via the prefix algebra.
