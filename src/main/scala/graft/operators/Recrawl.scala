@@ -325,12 +325,21 @@ object Recrawl {
     val keys = Seq("url", "fetch_us") ++ tieNames
     val w = Window.partitionBy(col("url"))
       .orderBy((col("fetch_us").desc +: tieNames.map(col(_).desc)): _*)
+    // PINNED (r17): eraseKeys' contract requires it — the victims
+    // derive from the very store the rewrite mutates — and it turns
+    // the O(touched-generations) anti-joins into re-reads of one
+    // materialized batch-bounded set instead of re-running the
+    // latest-per-key + rank window per generation. The pin also makes
+    // the no-victim probe (every URL still within `keep` — the warm
+    // common case for in-bound URLs) a metadata check that SKIPS the
+    // erase's full-store touched-generation job entirely.
     val victims = retainedHistory(h)
       .join(urls.distinct(), Seq("url"), "left_semi")
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") > keep)
       .select(keys.map(col): _*)
-    h.eraseKeys(victims, keys)
+      .localCheckpoint(eager = true)
+    if (!victims.isEmpty) h.eraseKeys(victims, keys)
     ()
   }
 
