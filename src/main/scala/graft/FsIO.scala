@@ -116,8 +116,12 @@ object NioFs extends FsIO {
     ()
   }
   override def rename(src: String, target: String): Unit = {
-    Files.move(Paths.get(src), Paths.get(target),
-      StandardCopyOption.ATOMIC_MOVE)
+    // No ATOMIC_MOVE (review r17): the contract is NO-REPLACE, and on
+    // POSIX ATOMIC_MOVE maps straight to rename(2), which silently
+    // clobbers an existing target; optionless Files.move throws
+    // FileAlreadyExistsException instead — a collision (a generation-
+    // numbering bug, a concurrent writer) fails loudly.
+    Files.move(Paths.get(src), Paths.get(target))
     ()
   }
   override def delete(path: String): Boolean =
@@ -195,10 +199,27 @@ final class HadoopFs extends FsIO {
       buf
     } finally in.close()
   }
+  /** Drop a legacy checksum sidecar beside a local file this backend
+    * just rewrote raw (review r17): deployments that wrote through the
+    * pre-r17 CHECKSUMMED local connector left `.name.crc` files, and a
+    * raw rewrite would strand them stale — every later read through a
+    * checksummed reader (Spark's own LocalFileSystem included) then
+    * throws ChecksumException on a perfectly good file. */
+  private def dropLocalCrc(p: java.nio.file.Path): Unit = {
+    val parent = p.getParent
+    if (parent != null) {
+      java.nio.file.Files.deleteIfExists(
+        parent.resolve("." + p.getFileName.toString + ".crc"))
+      ()
+    }
+  }
+
   override def write(path: String, bytes: Array[Byte]): Unit = {
     val p = new HPath(path)
     val out = fs(p).create(p, true)
     try out.write(bytes) finally out.close()
+    if (Option(p.toUri.getScheme).forall(_ == "file"))
+      dropLocalCrc(java.nio.file.Paths.get(p.toUri.getPath))
   }
   override def atomicSwap(staging: String, target: String): Unit = {
     val src = new HPath(staging)
@@ -212,12 +233,12 @@ final class HadoopFs extends FsIO {
       // copy. The local filesystem HAS a real atomic replace — rename(2)
       // via nio ATOMIC_MOVE — so delegate to it instead of claiming
       // atomicity the Hadoop local connector does not provide.
+      val dst = java.nio.file.Paths.get(new HPath(target).toUri.getPath)
       java.nio.file.Files.move(
-        java.nio.file.Paths.get(src.toUri.getPath),
-        java.nio.file.Paths.get(new HPath(target).toUri.getPath),
+        java.nio.file.Paths.get(src.toUri.getPath), dst,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      ()
+      dropLocalCrc(dst)
     } else
       // HDFS: FileContext.rename(OVERWRITE) is one NameNode op —
       // genuinely atomic. Other schemes inherit whatever their
@@ -230,15 +251,18 @@ final class HadoopFs extends FsIO {
   override def rename(src: String, target: String): Unit = {
     val s = new HPath(src)
     val scheme = Option(s.toUri.getScheme).getOrElse("file")
-    if (scheme == "file")
-      // Same nio delegation as [[atomicSwap]] (and the same reason):
-      // the local AbstractFileSystem routes through the checksummed
-      // wrapper, whose sidecar bookkeeping the raw writes skip.
+    if (scheme == "file") {
+      // Same nio delegation as [[atomicSwap]] (and the same reason).
+      // NO copy options (review r17): the FsIO contract for `rename`
+      // is no-replace — Files.move without REPLACE_EXISTING throws
+      // FileAlreadyExistsException on a collision, matching the old
+      // Options.Rename.NONE guard, where ATOMIC_MOVE alone maps to
+      // rename(2) and would silently clobber a live target.
+      val dst = java.nio.file.Paths.get(new HPath(target).toUri.getPath)
       java.nio.file.Files.move(
-        java.nio.file.Paths.get(s.toUri.getPath),
-        java.nio.file.Paths.get(new HPath(target).toUri.getPath),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    else
+        java.nio.file.Paths.get(s.toUri.getPath), dst)
+      dropLocalCrc(dst)
+    } else
       FileContext.getFileContext(s.toUri, conf)
         .rename(s, new HPath(target), Options.Rename.NONE)
     ()

@@ -191,17 +191,18 @@ final class StoreHttpServer(store: GenerationStore,
     * serving-path primitive driver-job-bound. Keyed on the victim
     * store's `(counter, generation listing)`: a new takedown request
     * advances the counter, an erase/collapse/reset changes the
-    * listing — either invalidates. The listing is one directory scan
-    * per request instead of a Spark job. (A reset followed by
-    * re-population that reproduces BOTH the exact counter and the
-    * exact generation ids within one server lifetime would collide —
-    * rebuild the server, or touch the store once, after such
-    * surgery.) */
-  @volatile private var victimCache: ((Long, Seq[Long]), Set[String]) = null
+    * listing — either invalidates — plus the store's same-JVM
+    * mutation stamp (review r17), which catches IN-PLACE rewrites
+    * (an eraseKeys/compact/collapse on the victim store keeps both
+    * the counter and the generation ids). The listing is one
+    * directory scan per request instead of a Spark job; cross-process
+    * writers are outside the stamp's scope (single-writer store
+    * contract). */
+  @volatile private var victimCache: ((Long, Seq[Long], Long), Set[String]) = null
   /** Recompute count — observable cache behavior for the spec. */
   @volatile private[serve] var victimRecomputes: Long = 0L
   private def victimSet(td: graft.store.ParquetStore): Set[String] = {
-    val key = (td.currentRstId, td.generations)
+    val key = (td.currentRstId, td.generations, td.mutationStamp)
     val cached = victimCache
     if (cached != null && cached._1 == key) cached._2
     else {

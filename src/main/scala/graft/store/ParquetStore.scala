@@ -105,14 +105,22 @@ final class ParquetStore(
     * without it. Run once at open (the store is single-writer by
     * contract):
     *
-    *   - stray + target missing + `_SUCCESS` marker → PROMOTE (the
-    *     delete only ever runs after the staged job completed, so this
-    *     is exactly the crashed-swap state);
-    *   - stray + target present → delete the stray (the swap either
-    *     completed or never started; the caller-level operation —
-    *     erase, compact, collapse — replays idempotently);
-    *   - stray + target missing + no marker → left on disk, loudly
-    *     (not a state any crash point of the swap protocol produces).
+    *   - stray with a `_SUCCESS` marker → PROMOTE, whether or not the
+    *     target directory still exists: the delete only ever starts
+    *     after the staged job completed, and `deleteRecursively` is
+    *     NOT atomic — a death mid-delete leaves a PARTIAL target
+    *     (review r17: treating "target present" as "swap completed or
+    *     never started" would delete the only complete copy and serve
+    *     a half-unlinked generation). Promoting re-runs the swap —
+    *     correct in every crash state: before the delete it completes
+    *     the staged operation (idempotent at the caller), mid-delete
+    *     it replaces the torn directory, after it it is the crashed
+    *     rename itself;
+    *   - stray without the marker + target present → delete the stray
+    *     (a torn staged write; the original was never touched);
+    *   - stray without the marker + target missing → left on disk,
+    *     loudly (not a state any crash point of the protocol
+    *     produces).
     *
     * Append staging (`.staging_<n>`) is always swept: an uncommitted
     * append is the at-least-once replay case — its batch re-runs
@@ -125,12 +133,13 @@ final class ParquetStore(
         case Some(m) =>
           val stray = fs.resolve(path, n)
           val target = fs.resolve(path, s"rst_id=${m.group(1)}")
-          if (fs.exists(target)) fs.deleteRecursively(stray)
-          else if (fs.exists(fs.resolve(stray, "_SUCCESS"))) {
+          if (fs.exists(fs.resolve(stray, "_SUCCESS"))) {
+            fs.deleteRecursively(target)
             fs.rename(stray, target)
             System.err.println(s"[graft] $tableName: promoted crashed " +
               s"swap $n -> rst_id=${m.group(1)}")
-          } else
+          } else if (fs.exists(target)) fs.deleteRecursively(stray)
+          else
             System.err.println(s"[graft] $tableName: stray $n has no " +
               "_SUCCESS marker and no live target — left for the operator")
         case None =>
@@ -671,6 +680,18 @@ final class ParquetStore(
     this
   }
 
-  private def registerView(): Unit =
+  private def registerView(): Unit = {
+    _mutationStamp += 1L
     selectAll.createOrReplaceTempView(tableName)
+  }
+
+  @volatile private var _mutationStamp: Long = 0L
+  /** Monotone same-JVM mutation stamp (review r17): bumped by every
+    * mutator that re-registers the view — INCLUDING in-place rewrites
+    * (eraseKeys / compact / collapse) that change neither the counter
+    * nor the generation listing, which a listing-keyed cache would
+    * miss. Caches in this JVM (the HTTP victim-set cache) key on it;
+    * cross-process writers are outside its scope — the store is
+    * single-writer by contract. */
+  def mutationStamp: Long = _mutationStamp
 }

@@ -205,8 +205,15 @@ object Takedown {
     if (fs.isDirectory(exportDir))
       Warc.recoverStaging(exportDir, ".staging_e_", fs,
         validate = (target, bytes) =>
+          // Per-MEMBER walk, the same accounting the erase itself
+          // performs — not a whole-archive gunzip, whose default
+          // 64 MB bomb cap would refuse to recover any archive sized
+          // to the 100 MB–1 GB export convention (review r17).
           if (target.endsWith(".warc.gz"))
-            Warc.gunzip(bytes).flatMap(Warc.warcRecords).isDefined
+            Warc.memberSpans(bytes).exists(_.forall { case (off, len) =>
+              Warc.gunzip(java.util.Arrays.copyOfRange(bytes, off,
+                off + len)).flatMap(Warc.warcRecords).isDefined
+            })
           else if (target.endsWith(".warc"))
             Warc.warcRecords(bytes).isDefined
           else true)
@@ -382,8 +389,14 @@ object Takedown {
               val key = line.substring(0, line.indexOf(' '))
               val plain = url.replace(" ", "%20")
               val sk = Warc.surtKey(url)
+              // The canon candidate mirrors cdxLine's canon derivation
+              // EXACTLY — all three flags, normalizeEncoding included
+              // (review r17: without it, a canon index whose first
+              // distinguishing line had an IDN host or a normalized
+              // escape mis-sniffed as plain, and the erase regenerated
+              // every key in the wrong style).
               val skc = Warc.surtKey(url, stripWww = true,
-                scrubSession = true)
+                scrubSession = true, normalizeEncoding = true)
               if (!surtSniffed && (sk != plain || skc != plain)) {
                 cdxSurt = key == sk || key == skc
                 surtSniffed = true

@@ -37,6 +37,14 @@ class FsIOSpec extends SparkSpec {
     assert(!fs.exists(stage) && fs.read(f).toSeq === Seq[Byte](9, 9, 9))
     fs.rename(f, fs.resolve(dir, "b.bin"))
     assert(!fs.exists(f) && fs.exists(fs.resolve(dir, "b.bin")))
+    // rename is NO-REPLACE by contract (review r17): a collision must
+    // fail loudly, never clobber a live target — both backends.
+    fs.write(fs.resolve(dir, "c.bin"), Array[Byte](7))
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      fs.rename(fs.resolve(dir, "c.bin"), fs.resolve(dir, "b.bin"))
+    }
+    assert(fs.read(fs.resolve(dir, "b.bin")).toSeq === Seq[Byte](9, 9, 9))
+    assert(fs.delete(fs.resolve(dir, "c.bin")))
     assert(fs.list(dir).toSet === Set("sub", "b.bin"))
     assert(fs.delete(fs.resolve(dir, "b.bin")))
     assert(!fs.delete(fs.resolve(dir, "b.bin"))) // absent → false

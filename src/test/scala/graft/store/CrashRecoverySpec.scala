@@ -312,6 +312,14 @@ class CrashRecoverySpec extends SparkSpec {
     assert(!NioFs.exists(NioFs.resolve(path, "rst_id=2")))
     assert(NioFs.exists(NioFs.resolve(
       NioFs.resolve(path, ".staging_rw_2"), "_SUCCESS")))
+    // Worse still (review r17): deleteRecursively is not atomic — a
+    // death MID-delete leaves a PARTIAL target directory. Recovery
+    // must still prefer the _SUCCESS-marked staging (re-running the
+    // swap), never keep the half-unlinked target and drop the only
+    // complete copy.
+    NioFs.mkdirs(NioFs.resolve(path, "rst_id=2"))
+    NioFs.write(NioFs.resolve(NioFs.resolve(path, "rst_id=2"),
+      "part-00000-torn.parquet"), Array[Byte](1, 2, 3))
     // Reopen = the rerun: construction promotes the staged copy — the
     // ERASED rewrite of generation 2, so the erase is effectively
     // committed — and, the loss-prevention point, generation 2's

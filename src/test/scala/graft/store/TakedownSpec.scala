@@ -304,6 +304,37 @@ class TakedownSpec extends SparkSpec {
     assert(!cdx.contains("bad/1"))
   }
 
+  test("eraseExports sniffs CANON keys whose first distinguishing line needs normalizeEncoding (review r17)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // The only non-victim URL distinguishes canon from plain SOLELY
+    // via encoding normalization (IDN host + unreserved escape): the
+    // pre-fix sniff candidates (plain / surt / surt+www+session)
+    // all mismatched the on-disk key, the index mis-sniffed as
+    // plain-keyed, and the rewrite regenerated raw-URL keys — every
+    // post-erase lookup by canonical key then missed.
+    val rows = Seq(
+      ("g0", "https://BÜcher.example/%41rchiv/0", "keep me"),
+      ("g0", "https://plain.org/bad/1", "banned body"))
+      .map { case (g, u, b) =>
+        (g, u, "2024-01-01T00:00:00Z", "text/plain", b.getBytes("UTF-8"))
+      }.toDF("file_group", "url", "warc_date", "content_type", "body")
+    val dir = tmp()
+    graft.sources.Warc.writeFiles(graft.sources.Warc.encodeResponses(
+      rows, withCdx = true, cdxSurt = true, cdxCanon = true), dir)
+    val cdxBefore = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "g0.cdx")), "UTF-8")
+    assert(cdxBefore.contains("example,xn--bcher-kva)/archiv/0 "))
+    val td = Takedown.takedownStore(spark, tmp(), "td_canon_list")
+    Takedown.request(td, victims("https://plain.org/bad/1"))
+    assert(Takedown.eraseExports(spark, dir, td) === 1L)
+    val cdx = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "g0.cdx")), "UTF-8")
+    assert(cdx.startsWith("example,xn--bcher-kva)/archiv/0 "),
+      s"canon key style must survive the rewrite, got: $cdx")
+    assert(!cdx.contains("bad/1"))
+  }
+
   test("eraseExports reaches raw .warc archives too — framing-derived spans, survivors verbatim") {
     val sparkSession = spark
     import sparkSession.implicits._
