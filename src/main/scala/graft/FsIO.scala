@@ -218,13 +218,23 @@ final class HadoopFs extends FsIO {
     val p = new HPath(path)
     val out = fs(p).create(p, true)
     try out.write(bytes) finally out.close()
-    if (Option(p.toUri.getScheme).forall(_ == "file"))
-      dropLocalCrc(java.nio.file.Paths.get(p.toUri.getPath))
+    if (resolvesLocal(p))
+      dropLocalCrc(java.nio.file.Paths.get(
+        fs(p).makeQualified(p).toUri.getPath))
   }
+  /** Does this path RESOLVE to the local filesystem? Keyed on the
+    * resolved fs, not on a missing scheme (review r17 #2): a bare path
+    * under `fs.defaultFS=hdfs://…` resolves to HDFS for every other
+    * primitive here, and treating it as local in the swap would split
+    * one logical path across two filesystems. */
+  private def resolvesLocal(p: HPath): Boolean =
+    // getUri, not getScheme — RawLocalFileSystem never overrode the
+    // latter and inherits FileSystem's UnsupportedOperationException.
+    fs(p).getUri.getScheme == "file"
+
   override def atomicSwap(staging: String, target: String): Unit = {
     val src = new HPath(staging)
-    val scheme = Option(src.toUri.getScheme).getOrElse("file")
-    if (scheme == "file") {
+    if (resolvesLocal(src)) {
       // ADVICE r16: for file:-scheme, FileContext.rename(OVERWRITE)
       // reaches DelegateToFileSystem → AbstractFileSystem
       // .renameInternal(overwrite), which is delete(dst) THEN
@@ -250,8 +260,7 @@ final class HadoopFs extends FsIO {
   }
   override def rename(src: String, target: String): Unit = {
     val s = new HPath(src)
-    val scheme = Option(s.toUri.getScheme).getOrElse("file")
-    if (scheme == "file") {
+    if (resolvesLocal(s)) {
       // Same nio delegation as [[atomicSwap]] (and the same reason).
       // NO copy options (review r17): the FsIO contract for `rename`
       // is no-replace — Files.move without REPLACE_EXISTING throws

@@ -546,6 +546,18 @@ object Warc {
     * key's final lowercase, so `%C3%BC` and `%c3%bc` collapse too.
     * Malformed sequences (`%zz`, a trailing `%4`) pass through
     * untouched: a key function must never throw on a crawled URL. */
+  /** ASCII hex digit value, or −1 — NOT `Character.digit(c, 16)`,
+    * which also accepts fullwidth/Arabic-Indic Unicode digits (review
+    * r17 #2): RFC 3986 pct-encoding is ASCII HEXDIG only, and pywb
+    * keys `%［fullwidth 41］` as literal bytes, so decoding it would
+    * diverge from the consumers surtKey exists to match AND collapse
+    * distinct URLs onto one key. */
+  private def asciiHex(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
   private def normalizePercent(s: String): String = {
     if (s.indexOf('%') < 0) return s
     // java.lang.StringBuilder, deliberately: the Scala one resolves
@@ -555,10 +567,10 @@ object Warc {
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '%' && i + 2 < s.length &&
-          Character.digit(s.charAt(i + 1), 16) >= 0 &&
-          Character.digit(s.charAt(i + 2), 16) >= 0) {
-        val b = (Character.digit(s.charAt(i + 1), 16) << 4) |
-          Character.digit(s.charAt(i + 2), 16)
+          asciiHex(s.charAt(i + 1)) >= 0 &&
+          asciiHex(s.charAt(i + 2)) >= 0) {
+        val b = (asciiHex(s.charAt(i + 1)) << 4) |
+          asciiHex(s.charAt(i + 2))
         val ch = b.toChar
         if (ch.isLetterOrDigit && b < 128 || ch == '-' || ch == '.' ||
             ch == '_' || ch == '~') sb.append(ch)
@@ -701,11 +713,16 @@ object Warc {
                              status: Long, digest: String,
                              location: String, refersTo: String,
                              length: Int, offset: Int, filename: String,
-                             surt: Boolean, canon: Boolean = false): String = {
+                             surt: Boolean, canon: Boolean = false,
+                             /** `false` reproduces a LEGACY (pre-r17)
+                               * canon index — www/session canon without
+                               * encoding normalization; only the erase
+                               * regeneration's style sniff sets it. */
+                             canonEncoding: Boolean = true): String = {
     val u = if (url == null) "-" else url
     val sb = new StringBuilder
     sb.append(if (surt) surtKey(u, stripWww = canon, scrubSession = canon,
-        normalizeEncoding = canon)
+        normalizeEncoding = canon && canonEncoding)
       else u.replace(" ", "%20")).append(' ')
       .append(if (ts == null || ts.isEmpty) "-" else ts).append(' ')
       .append("{\"url\":\"").append(jsonEsc(u))
@@ -1381,6 +1398,21 @@ object Warc {
       }
   }
 
+  /** A manifest WITHOUT a summary is a crashed pointer swap on a
+    * delete-then-rename store (review r17 #2) — the committed cluster
+    * lost its pointer, and answering "no captures" for every key
+    * would be exactly the silent-miss failure mode the attestation
+    * work closes. Both serving entry points refuse it even WITHOUT
+    * the verifyExports gate (the /cdx route never sets one); a rerun
+    * rebuild converges. */
+  private def requireNoOrphanManifest(dir: String, fs: graft.FsIO,
+                                      who: String): Unit =
+    if (fs.exists(fs.resolve(dir, "cluster.manifest")))
+      throw new IllegalStateException(
+        s"$who: cluster at $dir has a manifest but NO cluster.idx — " +
+          "a crashed pointer swap; rebuild with writeZipnum before " +
+          "serving")
+
   /** UTF-8 byte order (unsigned), the order [[zipnumCdx]]'s range
     * shuffle sorted the cluster in (Spark compares strings as UTF8
     * binary). Java String `<` is UTF-16 code-unit order, which
@@ -1442,7 +1474,10 @@ object Warc {
           "(source .cdx indexes changed since the build — e.g. a " +
           "takedown erasure); rebuild with writeZipnum before serving")
     val idxPath = fs.resolve(dir, "cluster.idx")
-    if (!fs.exists(idxPath)) return Seq.empty
+    if (!fs.exists(idxPath)) {
+      requireNoOrphanManifest(dir, fs, "zipnumLookup")
+      return Seq.empty
+    }
     val entries = new String(fs.read(idxPath),
       java.nio.charset.StandardCharsets.UTF_8)
       .split("\n").filter(_.nonEmpty)
@@ -1527,9 +1562,11 @@ object Warc {
     val outSchema = StructType(Seq(
       StructField("urlkey", StringType), StructField("line", StringType)))
     val idxPath = fs.resolve(dir, "cluster.idx")
-    if (!fs.exists(idxPath))
+    if (!fs.exists(idxPath)) {
+      requireNoOrphanManifest(dir, fs, "zipnumJoin")
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], outSchema)
+    }
     val entries = new String(fs.read(idxPath),
       java.nio.charset.StandardCharsets.UTF_8)
       .split("\n").filter(_.nonEmpty)

@@ -87,6 +87,11 @@ final class ParquetStore(
   val fullSchema: StructType =
     StructType(schema.fields :+ StructField("rst_id", LongType, nullable = false))
 
+  // Declared BEFORE the constructor statements below: registerView()
+  // bumps it during construction, and a later-declared var would be
+  // re-zeroed when its own initializer finally runs.
+  @volatile private var _mutationStamp: Long = 0L
+
   fs.mkdirs(path)
   recoverCrashedSwaps()
   /** Volatile: HTTP pool threads read the counter while the streaming
@@ -685,7 +690,6 @@ final class ParquetStore(
     selectAll.createOrReplaceTempView(tableName)
   }
 
-  @volatile private var _mutationStamp: Long = 0L
   /** Monotone same-JVM mutation stamp (review r17): bumped by every
     * mutator that re-registers the view — INCLUDING in-place rewrites
     * (eraseKeys / compact / collapse) that change neither the counter

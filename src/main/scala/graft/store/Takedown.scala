@@ -245,10 +245,22 @@ object Takedown {
     if (zipnumDir != null &&
       (changed > 0L || Warc.zipnumStale(zipnumDir, exportDir, fs))) {
       // Geometry from the manifest; a pre-manifest cluster keeps its
-      // shard count and the default block size.
-      val (sh, bl) = Warc.zipnumGeometry(zipnumDir, fs).getOrElse((
-        math.max(fs.list(zipnumDir)
-          .count(_.matches("cdx-(?:g\\d+-)?\\d{5}\\.gz")), 1), 3000))
+      // shard count (the DISTINCT shards the live summary names —
+      // review r17: a raw file count would add a crashed rebuild's
+      // orphaned generation and inflate the operator's sizing) and
+      // the default block size.
+      val (sh, bl) = Warc.zipnumGeometry(zipnumDir, fs).getOrElse {
+        val idxP = fs.resolve(zipnumDir, "cluster.idx")
+        val live =
+          if (fs.exists(idxP))
+            new String(fs.read(idxP),
+              java.nio.charset.StandardCharsets.UTF_8)
+              .split("\n").filter(_.nonEmpty)
+              .flatMap(_.split("\t").lift(1)).distinct.length
+          else fs.list(zipnumDir)
+            .count(_.matches("cdx-(?:g\\d+-)?\\d{5}\\.gz"))
+        (math.max(live, 1), 3000)
+      }
       val cdxFiles = spark.read.format("binaryFile").load(exportDir)
         .filter(col("path").endsWith(".cdx"))
         .select(regexp_extract(col("path"), "([^/]+)$", 1).as("path"),
@@ -359,23 +371,29 @@ object Takedown {
     val hasCdx = fs.exists(cdxPath)
     val cdxBytes = if (hasCdx) fs.read(cdxPath) else null
     // --- PROBE: manifest-only when the index can answer. The same
-    // pass SNIFFS the index's url-key style (percent-encoded vs SURT
-    // vs canonicalized SURT) from the first lines whose candidate
-    // derivations differ, so the regeneration below reproduces
-    // whatever style the export chose — a caller-supplied flag would
-    // silently rewrite a SURT index with plain keys on a mismatch
-    // (review r15). Canon stays undecided (false) when no scanned
-    // line distinguishes it — then the two derivations agree on every
-    // surviving line too (survivors ⊆ scanned), so the regeneration
-    // is exact either way.
+    // pass SNIFFS the index's url-key style so the regeneration below
+    // reproduces whatever style the export chose — a caller-supplied
+    // flag would silently rewrite a SURT index with plain keys on a
+    // mismatch (review r15). The sniff is a running INTERSECTION over
+    // the FOUR derivations a writer could have used (review r17):
+    // plain percent-encoded, SURT, legacy canon (www+session — what
+    // pre-r17 canon exports wrote), and full canon (+ encoding
+    // normalization). A line votes for every style whose derivation
+    // equals its stored key; a style that survives EVERY line is
+    // indistinguishable on this index — and since survivors ⊆ scanned
+    // lines, any surviving style regenerates the surviving lines
+    // byte-identically, so the least-assuming priority pick below is
+    // stable, never wrong. (The previous first-distinguishing-line
+    // latch mis-keyed a legacy-canon index whose first distinguishing
+    // line differed only via encoding.)
     var cdxSurt = false
     var cdxCanon = false
+    var cdxCanonEnc = false
     if (hasCdx) {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       var bearing = false
       var undecided = false // revisit line predating the `refers` field
-      var surtSniffed = false
-      var canonSniffed = false
+      var styles = Set("plain", "surt", "canonLegacy", "canonEnc")
       new String(cdxBytes, java.nio.charset.StandardCharsets.UTF_8)
         .split("\n").iterator.filter(_.nonEmpty).foreach { line =>
           val js = line.indexOf('{')
@@ -384,30 +402,20 @@ object Takedown {
             val node = mapper.readTree(line.substring(js))
             val url = Option(node.get("url")).map(_.asText()).orNull
             if (url != null && victims.contains(url)) bearing = true
-            if (url != null && !(surtSniffed && canonSniffed) &&
-              line.indexOf(' ') > 0) {
+            if (url != null && styles.size > 1 && line.indexOf(' ') > 0) {
               val key = line.substring(0, line.indexOf(' '))
-              val plain = url.replace(" ", "%20")
-              val sk = Warc.surtKey(url)
-              // The canon candidate mirrors cdxLine's canon derivation
-              // EXACTLY — all three flags, normalizeEncoding included
-              // (review r17: without it, a canon index whose first
-              // distinguishing line had an IDN host or a normalized
-              // escape mis-sniffed as plain, and the erase regenerated
-              // every key in the wrong style).
-              val skc = Warc.surtKey(url, stripWww = true,
-                scrubSession = true, normalizeEncoding = true)
-              if (!surtSniffed && (sk != plain || skc != plain)) {
-                cdxSurt = key == sk || key == skc
-                surtSniffed = true
-                if (!cdxSurt) canonSniffed = true // plain keys: moot
-              }
-              if (!canonSniffed && sk != skc &&
-                (key == sk || key == skc)) {
-                cdxCanon = key == skc
-                canonSniffed = true
-                if (!surtSniffed) { cdxSurt = true; surtSniffed = true }
-              }
+              val cands = Map(
+                "plain" -> url.replace(" ", "%20"),
+                "surt" -> Warc.surtKey(url),
+                "canonLegacy" -> Warc.surtKey(url, stripWww = true,
+                  scrubSession = true),
+                "canonEnc" -> Warc.surtKey(url, stripWww = true,
+                  scrubSession = true, normalizeEncoding = true))
+              val matching = styles.filter(s => cands(s) == key)
+              // A key matching NO candidate carries no style
+              // information (a hand-edited index) — skip it, as the
+              // latch logic before effectively did.
+              if (matching.nonEmpty) styles = matching
             }
             if (node.has("mod")) {
               val refers =
@@ -418,6 +426,13 @@ object Takedown {
           }
         }
       if (!bearing && !undecided) return 0L
+      // Least-assuming surviving style (outputs identical among
+      // survivors — see the intersection argument above).
+      val style = Seq("plain", "surt", "canonLegacy", "canonEnc")
+        .find(styles.contains).get
+      cdxSurt = style != "plain"
+      cdxCanon = style == "canonLegacy" || style == "canonEnc"
+      cdxCanonEnc = style == "canonEnc"
     }
     // --- REWRITE (or full scan when the manifest could not decide):
     // walk members, keep survivors verbatim, rebuild index from the
@@ -458,7 +473,7 @@ object Takedown {
             rec.header("WARC-Payload-Digest").orNull, location,
             if (rec.header("WARC-Type").contains("revisit")) refers
             else null,
-            len, offset, filename, cdxSurt, cdxCanon))
+            len, offset, filename, cdxSurt, cdxCanon, cdxCanonEnc))
         }
       }
     }

@@ -180,6 +180,8 @@ class CrashRecoverySpec extends SparkSpec {
   }
 
   test("zipnum: torn or deleted summary/manifest is refused, rerun converges") {
+    val sparkSession = spark
+    import sparkSession.implicits._
     val dir = tmp("texp")
     val zn = tmp("tcluster")
     exportFixture(dir)
@@ -219,6 +221,15 @@ class CrashRecoverySpec extends SparkSpec {
     assert(Warc.zipnumStale(zn, dir))
     intercept[IllegalStateException] {
       Warc.zipnumLookup(zn, "https://c.org/p/03", verifyExports = dir)
+    }
+    // Even WITHOUT the verify gate (the /cdx route never sets one),
+    // a manifest with no summary must refuse — not answer "[]" for
+    // every key (review r17 #2).
+    intercept[IllegalStateException] {
+      Warc.zipnumLookup(zn, "https://c.org/p/03")
+    }
+    intercept[IllegalStateException] {
+      Warc.zipnumJoin(Seq("https://c.org/p/03").toDF("urlkey"), zn)
     }
     Warc.writeZipnum(cdxFiles(dir), zn, shards = 2, blockLines = 3)
     assert(!Warc.zipnumStale(zn, dir))

@@ -335,6 +335,44 @@ class TakedownSpec extends SparkSpec {
     assert(!cdx.contains("bad/1"))
   }
 
+  test("eraseExports keeps a LEGACY (pre-encoding) canon index in its own style (review r17 #2)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // A pre-r17 canon export: www/session canonicalization WITHOUT
+    // encoding normalization. Built by writing a current canon export
+    // and rewriting the IDN/escape line's key to its legacy form —
+    // the index a pre-upgrade deployment actually has on disk. The
+    // intersection sniff must settle on canonLegacy (the www/session
+    // line rules out plain SURT, the legacy IDN key rules out full
+    // canon) and regenerate byte-stable legacy keys — the first-
+    // distinguishing-line latch flipped such an index to un-stripped
+    // SURT keys.
+    val rows = Seq(
+      ("g0", "https://BÜcher.example/%41rchiv/0", "keep idn"),
+      ("g0", "https://WWW.Shop.org/p?sid=1&x=2", "keep www"),
+      ("g0", "https://plain.org/bad/1", "banned body"))
+      .map { case (g, u, b) =>
+        (g, u, "2024-01-01T00:00:00Z", "text/plain", b.getBytes("UTF-8"))
+      }.toDF("file_group", "url", "warc_date", "content_type", "body")
+    val dir = tmp()
+    graft.sources.Warc.writeFiles(graft.sources.Warc.encodeResponses(
+      rows, withCdx = true, cdxSurt = true, cdxCanon = true), dir)
+    val cdxP = java.nio.file.Paths.get(dir, "g0.cdx")
+    val legacy = new String(Files.readAllBytes(cdxP), "UTF-8")
+      .replace("example,xn--bcher-kva)/archiv/0 ",
+        "example,bücher)/%41rchiv/0 ")
+    Files.write(cdxP, legacy.getBytes("UTF-8"))
+    val td = Takedown.takedownStore(spark, tmp(), "td_legacy_list")
+    Takedown.request(td, victims("https://plain.org/bad/1"))
+    assert(Takedown.eraseExports(spark, dir, td) === 1L)
+    val cdx = new String(Files.readAllBytes(cdxP), "UTF-8")
+    assert(cdx.contains("example,bücher)/%41rchiv/0 "),
+      s"legacy canon keys must survive byte-stable, got: $cdx")
+    assert(cdx.contains("org,shop)/p?x=2 "),
+      s"www/session canonicalization must survive, got: $cdx")
+    assert(!cdx.contains("bad/1"))
+  }
+
   test("eraseExports reaches raw .warc archives too — framing-derived spans, survivors verbatim") {
     val sparkSession = spark
     import sparkSession.implicits._
