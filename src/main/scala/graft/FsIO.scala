@@ -59,6 +59,25 @@ trait FsIO extends Serializable {
     * atomicity the durability contracts lean on — see class doc for
     * the per-store guarantees. */
   def atomicSwap(staging: String, target: String): Unit
+  /** PUBLISH small metadata bytes at `path` with atomic VISIBILITY:
+    * readers see the old content or the new content, never a torn
+    * file. This is the POINTER primitive of the manifest-commit
+    * protocol (r16 verdict #3) — zipnum's `cluster.idx`/
+    * `cluster.manifest` and the ParquetStore applied floors commit
+    * through it. Default: dot-prefixed staging sibling + [[atomicSwap]]
+    * (correct wherever the swap is atomic — nio, HDFS); object-store
+    * backends override with a direct overwrite-create, which IS a
+    * single atomic-visibility PUT there (the one place "just write it"
+    * beats "stage and rename"). */
+  def publish(path: String, bytes: Array[Byte]): Unit = {
+    val slash = path.lastIndexOf('/')
+    val tmp =
+      if (slash < 0) "." + path + ".publish_tmp"
+      else path.substring(0, slash + 1) + "." +
+        path.substring(slash + 1) + ".publish_tmp"
+    write(tmp, bytes)
+    atomicSwap(tmp, path)
+  }
   /** Rename without replace — `target` must not exist (generation
     * directory seals). */
   def rename(src: String, target: String): Unit
@@ -276,6 +295,24 @@ final class HadoopFs extends FsIO {
         .rename(s, new HPath(target), Options.Rename.NONE)
     ()
   }
+  override def publish(path: String, bytes: Array[Byte]): Unit = {
+    val p = new HPath(path)
+    val scheme = Option(p.toUri.getScheme)
+      .getOrElse(fs(p).getUri.getScheme)
+    scheme match {
+      // Rename-atomic stores: the staged-swap default is the atomic
+      // path (a direct create on HDFS exposes partial bytes to a
+      // concurrent reader mid-write).
+      case "file" | "hdfs" => super.publish(path, bytes)
+      // Object stores (s3a, gs, abfs, …): rename is copy-then-delete
+      // — NOT atomic — but an overwrite-create is ONE PUT with atomic
+      // visibility (readers see the old object or the new object,
+      // never a torn one). This branch is what upgrades the pointer
+      // swaps from detected-and-refused to genuinely atomic on S3.
+      case _ => write(path, bytes)
+    }
+  }
+
   override def delete(path: String): Boolean = {
     val p = new HPath(path)
     val f = fs(p)

@@ -1266,7 +1266,6 @@ object Warc {
     val out = new java.io.ByteArrayOutputStream()
     parts.foreach(p => out.write(fs.read(fs.resolve(stage, p))))
     val summaryBytes = out.toByteArray
-    fs.write(fs.resolve(stage, "cluster.idx"), summaryBytes)
     val summarySha = java.security.MessageDigest.getInstance("SHA-1")
       .digest(summaryBytes).map("%02x".format(_)).mkString
     val manifestBytes = (
@@ -1281,21 +1280,25 @@ object Warc {
     newShards.foreach { n =>
       fs.rename(fs.resolve(stage, n), fs.resolve(dir, n))
     }
-    // THE commit point: one summary swap flips the whole cluster.
-    fs.atomicSwap(fs.resolve(stage, "cluster.idx"),
-      fs.resolve(dir, "cluster.idx"))
+    // THE commit point: one POINTER publish flips the whole cluster —
+    // [[graft.FsIO.publish]] is atomic-visibility on every backend
+    // (staged swap on nio/HDFS, single PUT on object stores), so on a
+    // rename-atomic store readers never see a torn summary and on an
+    // object store the pointer upgrade from detected-and-refused to
+    // genuinely atomic lives in the facade, not here.
+    fs.publish(fs.resolve(dir, "cluster.idx"), summaryBytes)
     // Manifest stamps the committed cluster (summary attestation
     // included) — only after everything it attests to is in place.
-    fs.write(fs.resolve(dir, ".staging_z_cluster.manifest"), manifestBytes)
-    fs.atomicSwap(fs.resolve(dir, ".staging_z_cluster.manifest"),
-      fs.resolve(dir, "cluster.manifest"))
+    fs.publish(fs.resolve(dir, "cluster.manifest"), manifestBytes)
     // Sweep artifacts the new summary no longer names (review r15 #4):
     // older generations, pre-generation legacy shards, crashed-run
-    // orphans, and legacy in-place fragments.
+    // orphans, legacy in-place fragments, and dead publish staging.
     val keep = newShards.toSet
     fs.list(dir).filter { n =>
       (n.matches("cdx-(?:g\\d+-)?\\d{5}\\.gz") && !keep.contains(n)) ||
-        n.matches("cluster\\.idx\\.part\\d{5}")
+        n.matches("cluster\\.idx\\.part\\d{5}") ||
+        n.matches("\\..*\\.publish_tmp") ||
+        n == ".staging_z_cluster.manifest" // pre-r17 staging name
     }.foreach(n => fs.delete(fs.resolve(dir, n)))
     fs.deleteRecursively(stage)
     newShards.size.toLong

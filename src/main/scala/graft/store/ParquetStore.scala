@@ -192,16 +192,15 @@ final class ParquetStore(
   }
 
   /** Record (or advance) lineage `scope`'s live as-of stamp: collapse
-    * will not fold past the minimum recorded stamp. Write-tmp + atomic
-    * rename — a crash never leaves a torn floor. */
+    * will not fold past the minimum recorded stamp. Committed through
+    * [[graft.FsIO.publish]] (r17) — atomic visibility on every
+    * backend, object stores included: a crash never leaves a torn
+    * floor anywhere. */
   def recordAppliedFloor(scope: String, rst: Long): Unit =
     this.synchronized {
       fs.mkdirs(floorsDir)
-      val f = floorFile(scope)
-      val tmp = f + ".tmp"
-      fs.write(tmp,
+      fs.publish(floorFile(scope),
         rst.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      fs.atomicSwap(tmp, f)
     }
 
   /** Drop lineage `scope`'s floor (a permanently-stopped consumer). */

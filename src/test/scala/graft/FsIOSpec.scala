@@ -45,6 +45,14 @@ class FsIOSpec extends SparkSpec {
     }
     assert(fs.read(fs.resolve(dir, "b.bin")).toSeq === Seq[Byte](9, 9, 9))
     assert(fs.delete(fs.resolve(dir, "c.bin")))
+    // publish: the pointer primitive — fresh create, overwrite, no
+    // staging residue (r17 manifest-commit protocol).
+    val ptr = fs.resolve(dir, "pointer.idx")
+    fs.publish(ptr, Array[Byte](1, 2))
+    fs.publish(ptr, Array[Byte](3, 4, 5))
+    assert(fs.read(ptr).toSeq === Seq[Byte](3, 4, 5))
+    assert(!fs.list(dir).exists(_.endsWith(".publish_tmp")))
+    assert(fs.delete(ptr))
     assert(fs.list(dir).toSet === Set("sub", "b.bin"))
     assert(fs.delete(fs.resolve(dir, "b.bin")))
     assert(!fs.delete(fs.resolve(dir, "b.bin"))) // absent → false
