@@ -1312,10 +1312,15 @@ object Warc {
     * what [[graft.store.Takedown.eraseExports]] does, which is the
     * point: between an erasure and the rebuild, the cluster still
     * serves the victim's URL+digest attribution lines, and staleness
-    * is the signal that closes that window (r15 verdict #2). Cost:
-    * one directory listing + the index bytes (1/1000s of the archive
-    * bytes) — never an archive read. No cluster at all (no
-    * `cluster.idx`) is NOT stale: there is nothing to serve from. */
+    * is the signal that closes that window (r15 verdict #2). Also
+    * true when the on-disk summary fails the manifest's size+sha1
+    * attestation (a torn pointer — review r17), when the manifest
+    * itself is torn (robust parse, never a throw), and when a
+    * manifest stands with NO summary at all (a crashed pointer swap).
+    * Cost: one directory listing + the index bytes (1/1000s of the
+    * archive bytes) — never an archive read. No summary AND no
+    * manifest is NOT stale: there is genuinely nothing to serve
+    * from. */
   def zipnumStale(clusterDir: String, exportDir: String,
                   fs: graft.FsIO = graft.FsIO.local): Boolean = {
     val idxPath = fs.resolve(clusterDir, "cluster.idx")
