@@ -354,4 +354,51 @@ class CrashRecoverySpec extends SparkSpec {
       .map(_.getString(0)).toSet
     assert(after === Set("k1", "k3", "shared"))
   }
+
+  test("ParquetStore: crashed COMPACT and COLLAPSE swaps are promoted at reopen too") {
+    import org.apache.spark.sql.types._
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("v", LongType)))
+
+    // Compact: .staging_cp_<g> holds the repartitioned generation.
+    val cpPath = tmp("pcompact")
+    def openCp(fs: FsIO) = new ParquetStore(spark, schema, cpPath,
+      tableName = "crash_compact", fs = fs)
+    val cp = openCp(NioFs)
+    cp.reset()
+    cp.append((1L to 6L).map(i => (s"k$i", i)).toDF("k", "v")
+      .repartition(4))
+    val cfs = new CrashFs
+    cfs.crashRenameTarget = "rst_id=1"
+    intercept[CrashFs.CrashPoint] { openCp(cfs).compact(1L) }
+    assert(!NioFs.exists(NioFs.resolve(cpPath, "rst_id=1")))
+    val cpBack = openCp(NioFs)
+    assert(cpBack.selectAll.count() === 6L,
+      "the compacted generation must be back after recovery")
+    assert(!NioFs.exists(NioFs.resolve(cpPath, ".staging_cp_1")))
+
+    // Collapse: .staging_cl_<target> holds the folded base.
+    val clPath = tmp("pcollapse")
+    def openCl(fs: FsIO) = new ParquetStore(spark, schema, clPath,
+      tableName = "crash_collapse", collapseKeys = Seq("k"), fs = fs)
+    val cl = openCl(NioFs)
+    cl.reset()
+    (1L to 4L).foreach(g =>
+      cl.append(Seq(("shared", g), (s"k$g", g)).toDF("k", "v")))
+    val cfs2 = new CrashFs
+    cfs2.crashRenameTarget = "rst_id=3"
+    intercept[CrashFs.CrashPoint] {
+      openCl(cfs2).collapseToLatest(Seq("k"), keepRecent = 1)
+    }
+    assert(!NioFs.exists(NioFs.resolve(clPath, "rst_id=3")))
+    val clBack = openCl(NioFs)
+    val latest = clBack.latestPerKey(Seq("k")).select("k", "v").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(latest === Map("shared" -> 4L, "k1" -> 1L, "k2" -> 2L,
+      "k3" -> 3L, "k4" -> 4L),
+      s"latest-per-key must survive the crashed collapse: $latest")
+    assert(!NioFs.exists(NioFs.resolve(clPath, ".staging_cl_3")))
+  }
 }
