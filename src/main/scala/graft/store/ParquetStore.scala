@@ -35,6 +35,19 @@ object ParquetStore {
   def sentinelKey(scope: String): String = "#applied:" + scope
 }
 
+/** A fenced writer lost its store: a NEWER writer epoch exists under
+  * the store directory, so this process's mutations must not land —
+  * see [[ParquetStore]]'s `fenced` parameter. The failed call changed
+  * nothing; the holder should stop writing through this handle (the
+  * successor owns the store now). */
+final class FencedWriterException(tableName: String, path: String,
+                                  val heldEpoch: Long, val liveEpoch: Long)
+  extends IllegalStateException(
+    s"$tableName@$path: writer fenced — this handle holds epoch " +
+      s"$heldEpoch but epoch $liveEpoch has been claimed by a newer " +
+      "writer; refusing to mutate (the single-writer contract is now " +
+      "ENFORCED, not just documented)")
+
 final class ParquetStore(
     val spark: SparkSession,
     /** Store schema WITHOUT rst_id, like [[RecentStore]]. */
@@ -81,7 +94,27 @@ final class ParquetStore(
       * with `new HadoopFs()` — the parquet data itself already reads/
       * writes through Spark's own Hadoop IO. Atomicity contract per
       * backend: [[graft.FsIO]]'s class doc (S3 excluded). */
-    val fs: graft.FsIO = graft.FsIO.local
+    val fs: graft.FsIO = graft.FsIO.local,
+    /** WRITER FENCING (r17): enforce the single-writer contract the
+      * class doc has so far only documented. When true, construction
+      * CLAIMS a fresh writer epoch — an immutable, uniquely-named
+      * `epoch.<N>` file landed via [[graft.FsIO.rename]]'s no-replace
+      * contract (atomic create on nio and HDFS) — and every mutator
+      * first checks that no NEWER epoch exists, throwing
+      * [[FencedWriterException]] instead of interleaving swaps with a
+      * successor writer (the classic fencing-token pattern: a stale
+      * writer is fenced OUT at its next commit; a crashed writer needs
+      * no release step — takeover is just a higher claim, there is no
+      * lock to leak). Object-store scoping, honestly: the claim rides
+      * the connector's rename, which on s3a/gs is copy-then-delete —
+      * two simultaneous first claims can race there — but the
+      * steady-state guarantee (a fenced-out writer FAILS its next
+      * mutation instead of corrupting) holds on every backend, because
+      * the fence check is a listing, not a lock. Default off: the
+      * check costs one directory listing per mutation, and
+      * single-process deployments (every test fixture, the benches)
+      * don't need it. */
+    val fenced: Boolean = false
 ) extends GenerationStore {
 
   val fullSchema: StructType =
@@ -93,6 +126,11 @@ final class ParquetStore(
   @volatile private var _mutationStamp: Long = 0L
 
   fs.mkdirs(path)
+  /** This handle's fencing token — claimed BEFORE crash recovery runs
+    * (recovery itself mutates, and a reopen-over-a-live-writer must
+    * fence the old handle out before either touches a swap). 0 when
+    * fencing is off. */
+  private val writerEpoch: Long = if (fenced) claimWriterEpoch() else 0L
   recoverCrashedSwaps()
   /** Volatile: HTTP pool threads read the counter while the streaming
     * thread appends. */
@@ -154,6 +192,72 @@ final class ParquetStore(
     }
   }
 
+  // ---- WRITER FENCING (r17) ---------------------------------------
+  // Epoch files are immutable and uniquely named; the "current epoch"
+  // is DERIVED (max over the listing), never a mutable pointer — so
+  // there is no torn-pointer state on any backend, and the claim's
+  // only primitive is create-no-replace (atomic on nio/HDFS, the
+  // FsIO.rename contract both backends pin in FsIOSpec).
+
+  private def epochsDir: String = fs.resolve(path, ".writer_epochs")
+
+  /** Highest claimed epoch on disk (0 when none). A listing + name
+    * parse — no file reads, no data generations touched. */
+  private def liveEpoch(): Long =
+    (if (fs.isDirectory(epochsDir)) fs.list(epochsDir) else Seq.empty)
+      .collect { case n if n.matches("epoch\\.\\d{1,18}") =>
+        n.stripPrefix("epoch.").toLong }
+      .foldLeft(0L)(math.max)
+
+  /** Claim the next epoch: land `epoch.<max+1>` via no-replace rename.
+    * A lost race (concurrent claimant won the same number) retries at
+    * the new max; the bound only trips on a pathological claim storm.
+    * The winner sweeps epochs more than 4 behind itself (a short
+    * audit trail of takeovers) and any stale `.claim_*` staging left
+    * by a claimant that died mid-claim (harmless — dot-prefixed,
+    * never parsed as an epoch). */
+  private def claimWriterEpoch(): Long = {
+    fs.mkdirs(epochsDir)
+    var attempt = 0
+    while (attempt < 64) {
+      val next = liveEpoch() + 1L
+      val tmp = fs.resolve(epochsDir,
+        s".claim_${java.util.UUID.randomUUID().toString.take(13)}")
+      fs.write(tmp, s"$tableName pid=${ProcessHandle.current().pid()}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        fs.rename(tmp, fs.resolve(epochsDir, s"epoch.$next"))
+        fs.list(epochsDir).foreach { n =>
+          if (n.startsWith(".claim_") ||
+            (n.matches("epoch\\.\\d{1,18}") &&
+              n.stripPrefix("epoch.").toLong <= next - 4L))
+            fs.delete(fs.resolve(epochsDir, n))
+        }
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          fs.delete(tmp)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"$tableName@$path: could not claim a writer epoch after 64 " +
+        "attempts — a claim storm this sustained means something is " +
+        "opening fenced writers in a loop")
+  }
+
+  /** The per-mutation fence check: a NEWER epoch on disk means a
+    * successor writer owns the store — fail the mutation BEFORE it
+    * touches anything. One directory listing; called inside each
+    * mutator's lock. */
+  private def checkFence(): Unit =
+    if (fenced) {
+      val live = liveEpoch()
+      if (live > writerEpoch)
+        throw new FencedWriterException(tableName, path, writerEpoch, live)
+    }
+
   /** Generation directories currently on disk, ascending. Staging dirs
     * (`.staging_*`, from in-flight or failed writes) never match, so a
     * crashed half-written generation is invisible to reads AND to counter
@@ -198,6 +302,7 @@ final class ParquetStore(
     * floor anywhere. */
   def recordAppliedFloor(scope: String, rst: Long): Unit =
     this.synchronized {
+      checkFence()
       fs.mkdirs(floorsDir)
       fs.publish(floorFile(scope),
         rst.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -205,6 +310,7 @@ final class ParquetStore(
 
   /** Drop lineage `scope`'s floor (a permanently-stopped consumer). */
   def releaseAppliedFloor(scope: String): Unit = this.synchronized {
+    checkFence()
     fs.delete(floorFile(scope))
     ()
   }
@@ -271,6 +377,7 @@ final class ParquetStore(
     * the staged directory is deleted on failure and never matches
     * [[generationIds]]. */
   def append(batch: DataFrame): this.type = this.synchronized {
+    checkFence()
     val aligned = schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
     val staging = fs.resolve(path, s".staging_$counter")
     try {
@@ -305,6 +412,7 @@ final class ParquetStore(
     * with an atomic commit — the documented upgrade path, not something a
     * bare filesystem can express. */
   def merge(batch: DataFrame, keys: Seq[String]): this.type = this.synchronized {
+    checkFence()
     require(keys.nonEmpty, "merge needs at least one key column")
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"merge key '$k' is not a store column (${schema.fieldNames.mkString(",")})"))
@@ -340,6 +448,7 @@ final class ParquetStore(
     * touched). */
   def eraseKeys(victims: DataFrame, keys: Seq[String]): Long =
     this.synchronized {
+      checkFence()
       require(keys.nonEmpty, "erase needs at least one key column")
       keys.foreach(k => require(schema.fieldNames.contains(k),
         s"erase key '$k' is not a store column (${schema.fieldNames.mkString(",")})"))
@@ -402,6 +511,7 @@ final class ParquetStore(
 
   /** K4 retention as partition-directory deletes — no row-level work. */
   def clean(interval: Long = -1L): this.type = this.synchronized {
+    checkFence()
     cleanCore(interval)
     registerView()
     this
@@ -413,6 +523,7 @@ final class ParquetStore(
     * span several appends, so counting generations (cleanInterval) would
     * expire a live snapshot's base out from under its append chain. */
   def cleanBelow(keepFrom: Long): this.type = this.synchronized {
+    checkFence()
     generationIds().filter(_ < keepFrom).foreach { g =>
       fs.deleteRecursively(fs.resolve(path, s"rst_id=$g"))
     }
@@ -426,6 +537,7 @@ final class ParquetStore(
     * counter to `committed + 1`, so the next append reuses the orphaned
     * id and lockstep ids stay dense. No-op when nothing is above. */
   def truncateAbove(committed: Long): this.type = this.synchronized {
+    checkFence()
     generationIds().filter(_ > committed).foreach { g =>
       fs.deleteRecursively(fs.resolve(path, s"rst_id=$g"))
     }
@@ -461,6 +573,7 @@ final class ParquetStore(
     * store, and a table format's atomic commit is — as with merge — the
     * documented upgrade for closing that window entirely. */
   def compact(rstId: Long, numFiles: Int = 1): this.type = this.synchronized {
+    checkFence()
     require(numFiles >= 1, "numFiles must be positive")
     if (generationIds().contains(rstId)) {
       val staging = fs.resolve(path, s".staging_cp_$rstId")
@@ -536,6 +649,7 @@ final class ParquetStore(
     * idiom there (r13 verdict #4). */
   def collapseToLatest(keys: Seq[String], keepRecent: Int = 1): this.type =
     this.synchronized {
+      checkFence()
       require(keys.nonEmpty, "collapse needs at least one key column")
       keys.foreach(k => require(schema.fieldNames.contains(k),
         s"collapse key '$k' is not a store column (${schema.fieldNames.mkString(",")})"))
@@ -676,6 +790,7 @@ final class ParquetStore(
   /** Q4 reset: delete every generation directory, rewind the counter — the
     * durable analog of reconnect-on-:memory:. */
   def reset(): this.type = this.synchronized {
+    checkFence()
     generationIds().foreach(g =>
       fs.deleteRecursively(fs.resolve(path, s"rst_id=$g")))
     if (fs.isDirectory(floorsDir)) fs.deleteRecursively(floorsDir)

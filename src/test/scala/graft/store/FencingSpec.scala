@@ -1,0 +1,114 @@
+package graft.store
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** WRITER FENCING (r17): the single-writer contract, enforced. A
+  * successor opening the store fenced claims a strictly higher epoch;
+  * the stale handle's next mutation — ANY mutator — throws
+  * [[FencedWriterException]] and changes nothing, instead of
+  * interleaving generation swaps with the successor's. A crashed
+  * writer needs no release step (fencing, not locking: takeover is
+  * just a higher claim), and the fencing state is invisible unless
+  * opted into. */
+class FencingSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("k", StringType), StructField("n", LongType)))
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_fence").toString
+
+  private def batch(rows: (String, Long)*) = {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    rows.toDF("k", "n")
+  }
+
+  private def openFenced(path: String, name: String) =
+    new ParquetStore(spark, schema, path, tableName = name,
+      cleanFreq = 1000L, fenced = true)
+
+  test("takeover fences the stale writer out of every mutator, mutating nothing") {
+    val path = tmp()
+    val a = openFenced(path, "fence_a")
+    a.append(batch("a" -> 1L, "b" -> 2L))
+    a.recordAppliedFloor("lineage", 1L)
+
+    // Successor: sees the predecessor's data (counter restored from the
+    // listing) and takes over without any release step from `a`.
+    val b = openFenced(path, "fence_b")
+    assert(b.currentRstId === 2L)
+    b.append(batch("c" -> 3L))
+
+    val before = b.selectAll.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(before === Set(("a", 1L, 1L), ("b", 2L, 1L), ("c", 3L, 2L)))
+
+    // Every stale-handle mutator must refuse — commit-side fencing, so
+    // the check runs before anything is staged, deleted, or renamed.
+    val muts: Seq[(String, () => Any)] = Seq(
+      "append" -> (() => a.append(batch("x" -> 9L))),
+      "merge" -> (() => a.merge(batch("a" -> 9L), Seq("k"))),
+      "eraseKeys" -> (() => a.eraseKeys(batch("a" -> 1L), Seq("k"))),
+      "clean" -> (() => a.clean(1L)),
+      "cleanBelow" -> (() => a.cleanBelow(100L)),
+      "truncateAbove" -> (() => a.truncateAbove(0L)),
+      "compact" -> (() => a.compact(1L)),
+      "collapseToLatest" -> (() => a.collapseToLatest(Seq("k"), 0)),
+      "reset" -> (() => a.reset()),
+      "recordAppliedFloor" -> (() => a.recordAppliedFloor("lineage", 2L)),
+      "releaseAppliedFloor" -> (() => a.releaseAppliedFloor("lineage")))
+    muts.foreach { case (name, m) =>
+      val e = intercept[FencedWriterException](m())
+      assert(e.heldEpoch === 1L && e.liveEpoch === 2L, name)
+    }
+    // Nothing moved: the successor's view is byte-stable through all
+    // eleven refusals, and the floor file survived the refused release.
+    val after = b.selectAll.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after === before)
+    assert(b.appliedFloor === Some(1L))
+    // A fenced-OUT handle can still READ (fencing gates commits only).
+    assert(a.selectAll.count() === 3L)
+  }
+
+  test("default (unfenced) stores write no fencing state at all") {
+    val path = tmp()
+    val s = new ParquetStore(spark, schema, path, tableName = "fence_off",
+      cleanFreq = 1000L)
+    s.append(batch("a" -> 1L))
+    assert(!Files.exists(Paths.get(path, ".writer_epochs")))
+  }
+
+  test("claim resumes above a foreign epoch and sweeps crashed claim staging") {
+    val path = tmp()
+    val epochs = Paths.get(path, ".writer_epochs")
+    Files.createDirectories(epochs)
+    // A predecessor's claim, plus the torn staging of a claimant that
+    // died mid-claim (dot-prefixed — never parsed as an epoch, so it
+    // can only waste bytes, and the next winner sweeps it).
+    Files.write(epochs.resolve("epoch.41"), "old writer".getBytes)
+    Files.write(epochs.resolve(".claim_deadbeef"), "torn".getBytes)
+    val s = openFenced(path, "fence_resume")
+    s.append(batch("a" -> 1L))
+    val names = Files.list(epochs).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString).sorted
+    assert(names === Seq("epoch.41", "epoch.42"))
+  }
+
+  test("epoch audit trail stays bounded across takeover chains") {
+    val path = tmp()
+    (1 to 7).foreach { i => openFenced(path, s"fence_chain$i") }
+    val epochs = Paths.get(path, ".writer_epochs")
+    val live = Files.list(epochs).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .filter(_.startsWith("epoch."))
+      .map(_.stripPrefix("epoch.").toLong).sorted
+    // Claim N sweeps epochs ≤ N−4: the newest claim plus a short
+    // takeover audit trail survive, never the whole chain.
+    assert(live.max === 7L)
+    assert(live === Seq(4L, 5L, 6L, 7L))
+  }
+}
