@@ -266,14 +266,29 @@ final class StoreHttpServer(store: GenerationStore,
       // timestamp bounds, mapped to zipnumLookup's tsFrom/tsTo —
       // prefix semantics (`to=2024` admits all of 2024: the upper
       // bound right-pads with '9'); the scrub composes unchanged.
+      // `?matchType=prefix` (r17): the CDX API's prefix scan —
+      // zipnumPrefix, bounded by `?limit=` (default 1000, capped at
+      // 10000 so one request can't inflate a whole collection's
+      // blocks); results stay in cluster key order, and
+      // `?resume=<url-encoded last line>` pages strictly after it
+      // (the summary search restarts at the resume key, so page N+1
+      // re-reads one or two blocks, not the whole range).
       case "cdx" :: rest if rest.nonEmpty =>
         val dir = cdxCluster.getOrElse(throw new IllegalArgumentException(
           "no zipnum cluster configured for /cdx"))
         val qp = queryParams(rawQuery)
-        val lines = graft.sources.Warc.zipnumLookup(dir,
-          dec(rest.mkString("/")),
-          tsFrom = qp.get("from").filter(_.nonEmpty).orNull,
-          tsTo = qp.get("to").filter(_.nonEmpty).orNull)
+        val tsF = qp.get("from").filter(_.nonEmpty).orNull
+        val tsT = qp.get("to").filter(_.nonEmpty).orNull
+        val lines =
+          if (qp.get("matchType").contains("prefix"))
+            graft.sources.Warc.zipnumPrefix(dir, dec(rest.mkString("/")),
+              tsFrom = tsF, tsTo = tsT,
+              limit = qp.get("limit").filter(_.matches("\\d{1,5}"))
+                .map(_.toInt).filter(_ >= 1).getOrElse(1000)
+                .min(10000),
+              afterLine = qp.get("resume").filter(_.nonEmpty).orNull)
+          else graft.sources.Warc.zipnumLookup(dir,
+            dec(rest.mkString("/")), tsFrom = tsF, tsTo = tsT)
         val safe = takedown match {
           case Some((td, _)) =>
             val victims = victimSet(td)

@@ -429,19 +429,24 @@ object WarcPack extends QueryPack {
               .replace(">", "&gt;")
             val page = (s"<html><head><title>t$id</title></head>" +
               "<body><p>" + esc + "</p></body></html>").getBytes("UTF-8")
-            // Four canonicalization corners: a www host with a session
+            // Five canonicalization corners: a www host with a session
             // query param buried mid-query, a www2 host with the
             // servlet matrix form plus a scrubbed sid, a non-www host
-            // with a kept port and a kept query, and (r17 — r16
+            // with a kept port and a kept query, (r17 — r16
             // verdict #5 + advice #4) an IDN host with mixed
             // percent-escapes — unreserved `%41`/`%7E` must DECODE,
             // reserved `%2F` and non-ASCII `%C3%BC` must stay — plus a
             // `;jsessionid=` inside a query VALUE, which the scrub
-            // must now LEAVE ALONE (it is not a servlet matrix param).
-            val url = (id % 4) match {
+            // must LEAVE ALONE (it is not a servlet matrix param),
+            // and (r17, the verdict's last §missing-5 residual) a
+            // dotted-quad IPv4 host — key keeps the address
+            // UNREVERSED, non-default port kept, session param still
+            // scrubbed.
+            val url = (id % 5) match {
               case 0 => s"https://WWW.Canon.ORG/Page/$id?a=$id&JSESSIONID=T$id&z=9"
               case 1 => s"https://www2.Shop.org/p/$id;jsessionid=X$id?sid=1&b=$id"
               case 2 => s"https://Plain.org:8080/x/$id?q=$id"
+              case 3 => s"http://203.0.113.7:8080/ip/$id?x=$id&PHPSESSID=S$id"
               case _ => s"https://BÜcher.example/M%C3%BCnchen/%41b%2Fc/$id" +
                 s"?q=%7E$id&u=1;jsessionid=keep$id"
             }
@@ -482,6 +487,35 @@ object WarcPack extends QueryPack {
             get_json_object(col("j"), "$.url").as("url"),
             get_json_object(col("j"), "$.status").cast("long")
               .as("cdx_status"))
+      },
+      // PREFIX scan (r17): the wayback CDX API's matchType=prefix over
+      // a cluster on disk — every capture whose key starts with
+      // `…/doc/1` (ids 1, 1x, 1xx, …), via the summary-bounded block
+      // run with early-stop paging. The oracle re-derives the match
+      // set closed-form (decimal ids with leading digit 1); the
+      // in_order column pins the API's key-order contract, which the
+      // hash compare's row sort would otherwise let drift.
+      "q_warc_zipnum_prefix" -> { (s, dir) =>
+        val znDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          f"graft_znpfx_${dir.hashCode}%08x").toString
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(znDir))
+        val files = Warc.encodeResponses(cdxRows(s, dir),
+            statusCol = "http_status", withCdx = true)
+          .localCheckpoint(true)
+        Warc.writeZipnum(files, znDir, shards = 4, blockLines = 8)
+        val lines = Warc.zipnumPrefix(znDir,
+          "https://export.org/doc/1", limit = 1000000)
+        val keys = lines.map(l => l.substring(0, l.indexOf(' ')))
+        val inOrder = keys == keys.sorted // ASCII keys: UTF-16 == UTF-8 order
+        import s.implicits._
+        s.createDataset(lines).toDF("line")
+          .select(substring_index(col("line"), " ", 1).as("urlkey"),
+            regexp_extract(col("line"), "(\\{.*\\})", 1).as("j"))
+          .select(col("urlkey"),
+            get_json_object(col("j"), "$.url").as("url"),
+            get_json_object(col("j"), "$.status").cast("long")
+              .as("cdx_status"),
+            lit(inOrder).as("in_order"))
       },
       // CROSS-EXPORT revisit memory (r15 — r14 verdict #6): the corpus
       // ships in TWO exportIncremental calls against one durable rep
@@ -668,7 +702,7 @@ object WarcPack extends QueryPack {
     // slice check stays byte-exact.
     "q_warc_cdx_canon" ->
       """WITH u AS (
-        |  SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+        |  SELECT doc_id, CASE CAST(doc_id % 5 AS INTEGER)
         |    WHEN 0 THEN 'https://WWW.Canon.ORG/Page/'
         |      || CAST(doc_id AS VARCHAR) || '?a=' || CAST(doc_id AS VARCHAR)
         |      || '&JSESSIONID=T' || CAST(doc_id AS VARCHAR) || '&z=9'
@@ -678,18 +712,23 @@ object WarcPack extends QueryPack {
         |      || CAST(doc_id AS VARCHAR)
         |    WHEN 2 THEN 'https://Plain.org:8080/x/' || CAST(doc_id AS VARCHAR)
         |      || '?q=' || CAST(doc_id AS VARCHAR)
+        |    WHEN 3 THEN 'http://203.0.113.7:8080/ip/'
+        |      || CAST(doc_id AS VARCHAR) || '?x=' || CAST(doc_id AS VARCHAR)
+        |      || '&PHPSESSID=S' || CAST(doc_id AS VARCHAR)
         |    ELSE 'https://BÜcher.example/M%C3%BCnchen/%41b%2Fc/'
         |      || CAST(doc_id AS VARCHAR) || '?q=%7E' || CAST(doc_id AS VARCHAR)
         |      || '&u=1;jsessionid=keep' || CAST(doc_id AS VARCHAR)
         |    END AS url
         |  FROM documents WHERE text IS NOT NULL)
-        |SELECT CASE CAST(doc_id % 4 AS INTEGER)
+        |SELECT CASE CAST(doc_id % 5 AS INTEGER)
         |    WHEN 0 THEN 'org,canon)/page/' || CAST(doc_id AS VARCHAR)
         |      || '?a=' || CAST(doc_id AS VARCHAR) || '&z=9'
         |    WHEN 1 THEN 'org,shop)/p/' || CAST(doc_id AS VARCHAR)
         |      || '?b=' || CAST(doc_id AS VARCHAR)
         |    WHEN 2 THEN 'org,plain:8080)/x/' || CAST(doc_id AS VARCHAR)
         |      || '?q=' || CAST(doc_id AS VARCHAR)
+        |    WHEN 3 THEN '203.0.113.7:8080)/ip/' || CAST(doc_id AS VARCHAR)
+        |      || '?x=' || CAST(doc_id AS VARCHAR)
         |    ELSE 'example,xn--bcher-kva)/m%c3%bcnchen/ab%2fc/'
         |      || CAST(doc_id AS VARCHAR) || '?q=~' || CAST(doc_id AS VARCHAR)
         |      || '&u=1;jsessionid=keep' || CAST(doc_id AS VARCHAR)
@@ -716,6 +755,18 @@ object WarcPack extends QueryPack {
         |    ELSE 200 END AS BIGINT) AS cdx_status
         |FROM documents
         |WHERE text IS NOT NULL AND doc_id % 2 = 0""".stripMargin,
+    // matchType=prefix: exactly the keys whose decimal id opens with
+    // '1', each carrying its own line, served in cluster key order.
+    "q_warc_zipnum_prefix" ->
+      """SELECT 'https://export.org/doc/' || CAST(doc_id AS VARCHAR)
+        |    AS urlkey,
+        |  'https://export.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(CASE doc_id % 3 WHEN 1 THEN 301 WHEN 2 THEN 404
+        |    ELSE 200 END AS BIGINT) AS cdx_status,
+        |  true AS in_order
+        |FROM documents
+        |WHERE text IS NOT NULL
+        |  AND CAST(doc_id AS VARCHAR) LIKE '1%'""".stripMargin,
     // Every doc is a response exactly once (call 1 evens, call 2 odds);
     // every even doc's /dup re-delivery is a revisit resolved across
     // calls to its /doc original, with the record's own Refers-To

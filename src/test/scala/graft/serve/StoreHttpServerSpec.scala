@@ -416,4 +416,68 @@ class StoreHttpServerSpec extends SparkSpec {
       assert(other.contains("https://t.org/b"))
     } finally srv.stop()
   }
+
+  test("/cdx matchType=prefix: key-ordered bounded pages with resume; scrub composes") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import org.apache.spark.sql.types._
+    import graft.store.{ParquetStore, Takedown}
+    import graft.sources.Warc
+    val base = java.nio.file.Files.createTempDirectory("graft_http_cdxpf")
+    val rows = (0 until 8).map { i =>
+      (s"g${i % 2}", f"https://pf.org/d/$i%02d", "2024-01-01T00:00:00Z",
+        "text/plain", s"b$i".getBytes("UTF-8"))
+    }.toDF("file_group", "url", "warc_date", "content_type", "body")
+    val files = Warc.encodeResponses(rows, withCdx = true)
+      .localCheckpoint(true)
+    val znDir = s"$base/zn"
+    Warc.writeZipnum(files, znDir, shards = 2, blockLines = 2)
+    val store = new ParquetStore(spark, StructType(Seq(
+      StructField("doc_key", StringType))), s"$base/docs",
+      tableName = "http_cdxpf_docs")
+    val td = Takedown.takedownStore(spark, s"$base/td",
+      tableName = "http_cdxpf_list")
+    val srv = new StoreHttpServer(store,
+      takedown = Some((td, "doc_key")),
+      cdxCluster = Some(znDir)).start()
+    def lines(body: String): Seq[String] = {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(body)
+      (0 until node.size()).map(node.get(_).asText())
+    }
+    def keys(body: String): Seq[String] =
+      lines(body).map(_.split(" ")(0))
+    try {
+      val pfx = enc("https://pf.org/d/")
+      // Full prefix scan: every capture under the prefix, key order.
+      val (s1, all) = get(srv.port, s"/cdx/$pfx?matchType=prefix")
+      assert(s1 === 200)
+      assert(keys(all) ===
+        (0 until 8).map(i => f"https://pf.org/d/$i%02d"))
+      // Bounded page + resume: page 2 starts strictly after page 1's
+      // last line; chaining pages walks the range with no dup/gap.
+      val (_, p1) = get(srv.port, s"/cdx/$pfx?matchType=prefix&limit=3")
+      assert(keys(p1) ===
+        Seq("https://pf.org/d/00", "https://pf.org/d/01",
+          "https://pf.org/d/02"))
+      val (_, p2) = get(srv.port, s"/cdx/$pfx?matchType=prefix&limit=3" +
+        s"&resume=${enc(lines(p1).last)}")
+      assert(keys(p2) ===
+        Seq("https://pf.org/d/03", "https://pf.org/d/04",
+          "https://pf.org/d/05"))
+      // Takedown scrub composes: the banned key's line vanishes from
+      // the served page while the cluster still holds it (the page may
+      // come back SHORT — scrub runs after the limit, privacy-safe
+      // direction).
+      Takedown.request(td,
+        Seq(("https://pf.org/d/04", "dmca")).toDF("key", "reason"))
+      val (_, p2b) = get(srv.port, s"/cdx/$pfx?matchType=prefix&limit=3" +
+        s"&resume=${enc(lines(p1).last)}")
+      assert(keys(p2b) ===
+        Seq("https://pf.org/d/03", "https://pf.org/d/05"))
+      // Exact-match route unchanged by the new params.
+      val (_, one) = get(srv.port, s"/cdx/${enc("https://pf.org/d/06")}")
+      assert(one.contains("/d/06 ") && !one.contains("/d/07"))
+    } finally srv.stop()
+  }
 }

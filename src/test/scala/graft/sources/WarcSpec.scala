@@ -602,6 +602,76 @@ class WarcSpec extends SparkSpec {
     assert(Warc.surtKey("https://www.BÜcher.example/x",
       stripWww = true, normalizeEncoding = true) ===
       "example,xn--bcher-kva)/x")
+    // IPv4 dotted quad: NEVER reversed (r17 — the surt library's
+    // hostToSURT; reversing octets is as meaningless as reversing an
+    // IPv6 literal's groups). Port and default-port rules unchanged;
+    // the surt-library match is \d+ per label WITHOUT a 0–255 range
+    // check, so 999.1.2.3 counts too; 3 or 5 labels, or any alpha
+    // byte, fall back to name-style reversal.
+    assert(Warc.surtKey("http://203.0.113.7/x") === "203.0.113.7)/x")
+    assert(Warc.surtKey("http://203.0.113.7:8080/x?q=1") ===
+      "203.0.113.7:8080)/x?q=1")
+    assert(Warc.surtKey("http://203.0.113.7:80/x") === "203.0.113.7)/x")
+    assert(Warc.surtKey("http://203.0.113.7./x") === "203.0.113.7)/x")
+    assert(Warc.surtKey("http://999.1.2.3/x") === "999.1.2.3)/x")
+    assert(Warc.surtKey("http://1.2.3/x") === "3,2,1)/x")
+    assert(Warc.surtKey("http://1.2.3.4.5/x") === "5,4,3,2,1)/x")
+    assert(Warc.surtKey("http://1.2.3.4a/x") === "4a,3,2,1)/x")
+    // Session scrub composes on an IP host like any other.
+    assert(Warc.surtKey("http://203.0.113.7/p?x=1&phpsessid=q",
+      scrubSession = true) === "203.0.113.7)/p?x=1")
+  }
+
+  test("zipnumPrefix: bounded prefix scan in key order, paging, ts-swallowed blocks") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // 30 captures, zero-padded keys (lexicographic == numeric), dates
+    // split 2024/2025 at i=14 so a tsFrom filter can swallow WHOLE
+    // blocks inside the prefix run.
+    val rows = (0 until 30).map { i =>
+      val date =
+        if (i < 14) "2024-01-01T00:00:00Z" else "2025-01-01T00:00:00Z"
+      (s"g${i % 3}", f"https://s.org/p/$i%02d", date, "text/plain",
+        s"body $i".getBytes("UTF-8"))
+    }.toDF("file_group", "url", "warc_date", "content_type", "body")
+    val files = Warc.encodeResponses(rows, withCdx = true)
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_znpfx")
+      .toString
+    Warc.writeZipnum(files, dir, shards = 1, blockLines = 2)
+    // The full prefix range, in cluster key order.
+    val all = Warc.zipnumPrefix(dir, "https://s.org/p/1")
+    assert(all.map(_.split(" ")(0)) ===
+      (10 to 19).map(i => s"https://s.org/p/$i"))
+    // Paging: chained limit-4 pages reconstruct the full scan with no
+    // duplicates and no gaps (afterLine = strictly-after resume).
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    var page = Warc.zipnumPrefix(dir, "https://s.org/p/1", limit = 4)
+    assert(page.size === 4)
+    while (page.nonEmpty) {
+      got ++= page
+      page = Warc.zipnumPrefix(dir, "https://s.org/p/1", limit = 4,
+        afterLine = page.last)
+    }
+    assert(got.toSeq === all)
+    // A ts filter that swallows whole blocks must EXHAUST the shard
+    // run, not skip its untaken spans (the chunk loop's reason to
+    // exist): the first limit-sized chunk holds only 2024 lines.
+    val ts = Warc.zipnumPrefix(dir, "https://s.org/p/1",
+      tsFrom = "2025", limit = 2)
+    assert(ts.map(_.split(" ")(0)) ===
+      Seq("https://s.org/p/14", "https://s.org/p/15"))
+    // ts bounds compose with paging.
+    val ts2 = Warc.zipnumPrefix(dir, "https://s.org/p/1",
+      tsFrom = "2025", limit = 2, afterLine = ts.last)
+    assert(ts2.map(_.split(" ")(0)) ===
+      Seq("https://s.org/p/16", "https://s.org/p/17"))
+    // Misses below, between, and above the collection; a broader
+    // prefix sees everything.
+    assert(Warc.zipnumPrefix(dir, "https://a.org/").isEmpty)
+    assert(Warc.zipnumPrefix(dir, "https://s.org/p/1x").isEmpty)
+    assert(Warc.zipnumPrefix(dir, "https://t.org/").isEmpty)
+    assert(Warc.zipnumPrefix(dir, "https://s.org/").size === 30)
   }
 
   test("zipnumLookup: positioned reads only — never the rest of the shard; missing shard is empty; stale cluster refuses") {
@@ -654,12 +724,17 @@ class WarcSpec extends SparkSpec {
     intercept[IllegalStateException] {
       Warc.zipnumLookup(dir, "https://s.org/p/17", verifyExports = expDir)
     }
+    // The prefix scan refuses a stale cluster through the same gate.
+    intercept[IllegalStateException] {
+      Warc.zipnumPrefix(dir, "https://s.org/p/1", verifyExports = expDir)
+    }
     // Geometry survives in the manifest for the rebuild cadence.
     assert(Warc.zipnumGeometry(dir) === Some((1, 2)))
     // A shard deleted out from under the cluster (mid-rebuild race) is
     // an empty answer, never a throw.
     graft.FsIO.local.delete(graft.FsIO.local.resolve(dir, shardName))
     assert(Warc.zipnumLookup(dir, "https://s.org/p/17").isEmpty)
+    assert(Warc.zipnumPrefix(dir, "https://s.org/p/1").isEmpty)
   }
 
   test("exportIncremental: same (url, date) twins in different groups — and exact duplicate rows — replay byte-stably") {
