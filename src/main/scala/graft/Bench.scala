@@ -311,7 +311,13 @@ object Bench {
     // keep=100000 interior-gap fixture stays on the secondary tier as
     // the integrity-tier proof (a correctness trap, not a throughput
     // scenario).
-    "q_recrawl_backfill_ring_k64"
+    "q_recrawl_backfill_ring_k64",
+    // Round-17 second wave: the CDX prefix scan (q_warc_zipnum_join
+    // covers the cluster build + exact-match block machinery; this
+    // adds the prefix run walk with early-stop paging — mostly
+    // driver-side by design, so its time tracks the build plus a
+    // bounded number of positioned block reads).
+    "q_warc_zipnum_prefix"
     // NOT in the headline: q_store_merge_durable (its time is dominated by
     // rebuilding the 6-generation fixture store from scratch, drowning the
     // merge delta the in-memory q_store_merge already tracks) and
@@ -420,7 +426,10 @@ object Bench {
     // (which includes the phash + banding machinery end to end);
     // q_media_phash_pairs has been flat since r6. q_pack_sequences'
     // packing family stays reported via q_doc_chunks (flat since r5).
-    "q_media_phash_pairs", "q_pack_sequences")
+    "q_media_phash_pairs", "q_pack_sequences",
+    // r17 second wave (see the headline comment for the sibling
+    // mapping).
+    "q_warc_zipnum_prefix")
 
   /** The secondary entries that STAY on the tail-visible stdout line:
     * the newest wave(s), whose round-over-round movement the judge
@@ -435,8 +444,11 @@ object Bench {
     * been flat for two rounds; SCALE.md's per-round TimeQuery table
     * keeps the rotated histories. */
   private[graft] val recentSecondary = Seq(
+    // q_takedown_attest rotated to archived in r17 (funding the new
+    // prefix-scan entry): flat at 1.44 s across the r16 and r17
+    // round-final runs — the two-round policy bar.
     "q_warc_cdx_canon", "q_takedown_zipnum", "q_recrawl_backfill_ring",
-    "q_warc_zipnum_join", "q_takedown_attest")
+    "q_warc_zipnum_join", "q_warc_zipnum_prefix")
 
   private[graft] val archived: Seq[String] =
     secondary.filterNot(recentSecondary.toSet)

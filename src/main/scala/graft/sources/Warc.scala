@@ -831,7 +831,11 @@ object Warc {
     * (one shipment call owns its directory; re-runs are serial), and
     * stating it beats a liveness heuristic that would leave true
     * strays behind; coordinate above this call if concurrent shipments
-    * into one directory ever become real. */
+    * into one directory ever become real — the enforcement primitive
+    * is [[graft.store.WriterFence]] (r17): claim a fence on the
+    * directory at coordinator start and `check()` before each
+    * writeFiles/eraseExports/writeZipnum call, and a duplicated
+    * coordinator fails fast instead of corrupting. */
   def writeFiles(files: DataFrame, dir: String,
                  fs: graft.FsIO = graft.FsIO.local): Long = {
     fs.mkdirs(dir)
@@ -1629,14 +1633,21 @@ object Warc {
       }
     if (entries.isEmpty) return Seq.empty
     // Resume key: a page restart binary-searches at the LAST line's
-    // key (≥ the prefix by construction — it came out of this scan),
-    // so earlier already-served blocks are never re-read.
-    val searchKey =
-      if (afterLine == null) keyPrefix
-      else {
-        val sp = afterLine.indexOf(' ')
-        if (sp < 0) afterLine else afterLine.substring(0, sp)
-      }
+    // key (≥ the prefix when it came out of this scan), so earlier
+    // already-served blocks are never re-read. Clamped to the prefix:
+    // a caller-corrupted resume line sorting BELOW the prefix must
+    // degrade to a fresh scan (its strictly-after filter is then a
+    // no-op), not mis-position the run start and silently drop the
+    // whole range.
+    val searchKey = {
+      val k =
+        if (afterLine == null) keyPrefix
+        else {
+          val sp = afterLine.indexOf(' ')
+          if (sp < 0) afterLine else afterLine.substring(0, sp)
+        }
+      if (utf8Less(k, keyPrefix)) keyPrefix else k
+    }
     var lo = 0
     var hi = entries.length - 1
     while (lo < hi) { // greatest i with key_i < searchKey (or 0)

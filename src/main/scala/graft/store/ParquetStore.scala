@@ -126,11 +126,12 @@ final class ParquetStore(
   @volatile private var _mutationStamp: Long = 0L
 
   fs.mkdirs(path)
-  /** This handle's fencing token — claimed BEFORE crash recovery runs
-    * (recovery itself mutates, and a reopen-over-a-live-writer must
-    * fence the old handle out before either touches a swap). 0 when
-    * fencing is off. */
-  private val writerEpoch: Long = if (fenced) claimWriterEpoch() else 0L
+  /** This handle's fencing token ([[WriterFence]]) — claimed BEFORE
+    * crash recovery runs (recovery itself mutates, and a
+    * reopen-over-a-live-writer must fence the old handle out before
+    * either touches a swap). Null when fencing is off. */
+  private val fence: WriterFence =
+    if (fenced) new WriterFence(path, tableName, fs) else null
   recoverCrashedSwaps()
   /** Volatile: HTTP pool threads read the counter while the streaming
     * thread appends. */
@@ -193,70 +194,16 @@ final class ParquetStore(
   }
 
   // ---- WRITER FENCING (r17) ---------------------------------------
-  // Epoch files are immutable and uniquely named; the "current epoch"
-  // is DERIVED (max over the listing), never a mutable pointer — so
-  // there is no torn-pointer state on any backend, and the claim's
-  // only primitive is create-no-replace (atomic on nio/HDFS, the
-  // FsIO.rename contract both backends pin in FsIOSpec).
-
-  private def epochsDir: String = fs.resolve(path, ".writer_epochs")
-
-  /** Highest claimed epoch on disk (0 when none). A listing + name
-    * parse — no file reads, no data generations touched. */
-  private def liveEpoch(): Long =
-    (if (fs.isDirectory(epochsDir)) fs.list(epochsDir) else Seq.empty)
-      .collect { case n if n.matches("epoch\\.\\d{1,18}") =>
-        n.stripPrefix("epoch.").toLong }
-      .foldLeft(0L)(math.max)
-
-  /** Claim the next epoch: land `epoch.<max+1>` via no-replace rename.
-    * A lost race (concurrent claimant won the same number) retries at
-    * the new max; the bound only trips on a pathological claim storm.
-    * The winner sweeps epochs more than 4 behind itself (a short
-    * audit trail of takeovers) and any stale `.claim_*` staging left
-    * by a claimant that died mid-claim (harmless — dot-prefixed,
-    * never parsed as an epoch). */
-  private def claimWriterEpoch(): Long = {
-    fs.mkdirs(epochsDir)
-    var attempt = 0
-    while (attempt < 64) {
-      val next = liveEpoch() + 1L
-      val tmp = fs.resolve(epochsDir,
-        s".claim_${java.util.UUID.randomUUID().toString.take(13)}")
-      fs.write(tmp, s"$tableName pid=${ProcessHandle.current().pid()}"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      try {
-        fs.rename(tmp, fs.resolve(epochsDir, s"epoch.$next"))
-        fs.list(epochsDir).foreach { n =>
-          if (n.startsWith(".claim_") ||
-            (n.matches("epoch\\.\\d{1,18}") &&
-              n.stripPrefix("epoch.").toLong <= next - 4L))
-            fs.delete(fs.resolve(epochsDir, n))
-        }
-        return next
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          fs.delete(tmp)
-          attempt += 1
-      }
-    }
-    throw new IllegalStateException(
-      s"$tableName@$path: could not claim a writer epoch after 64 " +
-        "attempts — a claim storm this sustained means something is " +
-        "opening fenced writers in a loop")
-  }
+  // The claim/check protocol lives in [[WriterFence]] (it also serves
+  // the repo's OTHER one-writer-per-directory contracts — zipnum
+  // cluster and WARC export dirs); this store just claims one at open
+  // and checks it at the top of every mutator.
 
   /** The per-mutation fence check: a NEWER epoch on disk means a
     * successor writer owns the store — fail the mutation BEFORE it
     * touches anything. One directory listing; called inside each
     * mutator's lock. */
-  private def checkFence(): Unit =
-    if (fenced) {
-      val live = liveEpoch()
-      if (live > writerEpoch)
-        throw new FencedWriterException(tableName, path, writerEpoch, live)
-    }
+  private def checkFence(): Unit = if (fence != null) fence.check()
 
   /** Generation directories currently on disk, ascending. Staging dirs
     * (`.staging_*`, from in-flight or failed writes) never match, so a

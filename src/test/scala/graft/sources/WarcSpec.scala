@@ -666,6 +666,11 @@ class WarcSpec extends SparkSpec {
       tsFrom = "2025", limit = 2, afterLine = ts.last)
     assert(ts2.map(_.split(" ")(0)) ===
       Seq("https://s.org/p/16", "https://s.org/p/17"))
+    // A corrupted resume line sorting BELOW the prefix degrades to a
+    // fresh scan (clamped search key; strictly-after filter no-ops),
+    // never a silently-empty range.
+    assert(Warc.zipnumPrefix(dir, "https://s.org/p/1",
+      afterLine = "aaaa 0") === all)
     // Misses below, between, and above the collection; a broader
     // prefix sees everything.
     assert(Warc.zipnumPrefix(dir, "https://a.org/").isEmpty)

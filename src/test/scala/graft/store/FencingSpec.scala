@@ -98,6 +98,25 @@ class FencingSpec extends SparkSpec {
     assert(names === Seq("epoch.41", "epoch.42"))
   }
 
+  test("WriterFence coordinates non-store directories (the zipnum rebuild pattern)") {
+    // The cluster/export dirs carry the same one-writer contract as
+    // the stores; a rebuild coordinator claims a fence on the dir and
+    // check()s before each commit-side step.
+    val dir = tmp()
+    val a = new WriterFence(dir, "rebuild-a")
+    assert(a.epoch === 1L)
+    a.check() // sole claimant: serves
+    val b = new WriterFence(dir, "rebuild-b")
+    assert(b.epoch === 2L)
+    b.check()
+    val e = intercept[FencedWriterException](a.check())
+    assert(e.heldEpoch === 1L && e.liveEpoch === 2L)
+    // The fencing state never collides with payload names (dot-dir).
+    assert(Files.list(Paths.get(dir)).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString) ===
+      Seq(".writer_epochs"))
+  }
+
   test("epoch audit trail stays bounded across takeover chains") {
     val path = tmp()
     (1 to 7).foreach { i => openFenced(path, s"fence_chain$i") }
