@@ -279,16 +279,24 @@ final class StoreHttpServer(store: GenerationStore,
         val qp = queryParams(rawQuery)
         val tsF = qp.get("from").filter(_.nonEmpty).orNull
         val tsT = qp.get("to").filter(_.nonEmpty).orNull
-        val lines =
-          if (qp.get("matchType").contains("prefix"))
+        val boundedLimit = qp.get("limit").filter(_.matches("\\d{1,5}"))
+          .map(_.toInt).filter(_ >= 1).getOrElse(1000).min(10000)
+        val resume = qp.get("resume").filter(_.nonEmpty).orNull
+        val lines = qp.get("matchType") match {
+          case Some("prefix") =>
             graft.sources.Warc.zipnumPrefix(dir, dec(rest.mkString("/")),
-              tsFrom = tsF, tsTo = tsT,
-              limit = qp.get("limit").filter(_.matches("\\d{1,5}"))
-                .map(_.toInt).filter(_ >= 1).getOrElse(1000)
-                .min(10000),
-              afterLine = qp.get("resume").filter(_.nonEmpty).orNull)
-          else graft.sources.Warc.zipnumLookup(dir,
+              tsFrom = tsF, tsTo = tsT, limit = boundedLimit,
+              afterLine = resume)
+          // `matchType=domain`: host + all subdomains over a
+          // SURT-keyed cluster — the segment is the bare comma-
+          // reversed host (`org,example`).
+          case Some("domain") =>
+            graft.sources.Warc.zipnumDomain(dir, dec(rest.mkString("/")),
+              tsFrom = tsF, tsTo = tsT, limit = boundedLimit,
+              afterLine = resume)
+          case _ => graft.sources.Warc.zipnumLookup(dir,
             dec(rest.mkString("/")), tsFrom = tsF, tsTo = tsT)
+        }
         val safe = takedown match {
           case Some((td, _)) =>
             val victims = victimSet(td)

@@ -1727,6 +1727,46 @@ object Warc {
     out.toSeq
   }
 
+  /** DOMAIN scan — the wayback CDX API's `matchType=domain` (a host
+    * and ALL its subdomains), meaningful only over a SURT-keyed
+    * cluster, where it is exactly two [[zipnumPrefix]] scans:
+    * `org,example)` (the host's own captures — any path) and
+    * `org,example,` (every subdomain — deeper host labels append
+    * after a comma). `)` (0x29) sorts below `,` (0x2c) in UTF-8, so
+    * concatenating the two scans preserves global cluster key order
+    * and the `limit`/`afterLine` paging contract carries over: the
+    * second scan only runs with whatever limit the first left, and a
+    * resume line re-enters whichever scan it belongs to (its key
+    * tells — subdomain keys carry the comma). `surtHost` is the
+    * comma-reversed host WITHOUT the closing paren
+    * (`org,example`). */
+  def zipnumDomain(dir: String, surtHost: String,
+                   fs: graft.FsIO = graft.FsIO.local,
+                   verifyExports: String = null,
+                   tsFrom: String = null, tsTo: String = null,
+                   limit: Int = 1000,
+                   afterLine: String = null): Seq[String] = {
+    require(!surtHost.endsWith(")") && !surtHost.endsWith(","),
+      s"zipnumDomain: pass the bare SURT host (got '$surtHost')")
+    // A resume line from the subdomain range must not re-walk the
+    // host range (its keys all sort below the resume anyway, but the
+    // host scan would re-READ its blocks to discover that).
+    val resumeInSubdomains = afterLine != null && {
+      val sp = afterLine.indexOf(' ')
+      val k = if (sp < 0) afterLine else afterLine.substring(0, sp)
+      k.startsWith(surtHost + ",")
+    }
+    val own =
+      if (resumeInSubdomains) Seq.empty
+      else zipnumPrefix(dir, surtHost + ")", fs, verifyExports,
+        tsFrom, tsTo, limit, afterLine)
+    val remaining = limit - own.length
+    if (remaining <= 0) own
+    else own ++ zipnumPrefix(dir, surtHost + ",", fs, verifyExports,
+      tsFrom, tsTo, remaining,
+      afterLine = if (resumeInSubdomains) afterLine else null)
+  }
+
   /** BULK lookup — the Dataset-API counterpart of [[zipnumLookup]]
     * (whose doc sends bulk joins here): join a DataFrame of url keys
     * against a written cluster, returning every matching CDXJ line as

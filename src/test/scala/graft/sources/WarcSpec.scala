@@ -679,6 +679,53 @@ class WarcSpec extends SparkSpec {
     assert(Warc.zipnumPrefix(dir, "https://s.org/").size === 30)
   }
 
+  test("zipnumDomain: host + subdomains in one key-ordered page stream over SURT keys") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // SURT keys: org,d)/… sorts BELOW org,d,a)/… (')' 0x29 < ',' 0x2c),
+    // so host-own captures precede every subdomain's. e.org and
+    // dz.org bracket the domain range (dz > d in the reversed form
+    // org,dz).
+    val rows = (Seq(
+      ("g0", "https://d.org/a", "x"), ("g1", "https://d.org/b", "y"),
+      ("g0", "https://a.d.org/p", "z"), ("g1", "https://b.d.org/q", "w"),
+      ("g0", "https://c.b.d.org/r", "v"),
+      ("g1", "https://dz.org/x", "u"), ("g0", "https://e.org/x", "t")))
+      .map { case (g, u, b) =>
+        (g, u, "2024-01-01T00:00:00Z", "text/plain", b.getBytes("UTF-8"))
+      }.toDF("file_group", "url", "warc_date", "content_type", "body")
+    val files = Warc.encodeResponses(rows, withCdx = true,
+      cdxSurt = true).localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_zndom")
+      .toString
+    Warc.writeZipnum(files, dir, shards = 2, blockLines = 2)
+    def keys(ls: Seq[String]) = ls.map(_.split(" ")(0))
+    // Host + all subdomains, host-own first, then subdomains in key
+    // order; the sibling dz.org and unrelated e.org stay out.
+    val all = Warc.zipnumDomain(dir, "org,d")
+    assert(keys(all) === Seq("org,d)/a", "org,d)/b", "org,d,a)/p",
+      "org,d,b)/q", "org,d,b,c)/r"))
+    // Paging WALKS the two ranges as one stream: limit=2 pages chain
+    // across the host/subdomain boundary with no dup/gap.
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    var page = Warc.zipnumDomain(dir, "org,d", limit = 2)
+    while (page.nonEmpty) {
+      got ++= page
+      page = Warc.zipnumDomain(dir, "org,d", limit = 2,
+        afterLine = page.last)
+    }
+    assert(got.toSeq === all)
+    // A subdomain-range resume never re-reads the host range.
+    assert(keys(Warc.zipnumDomain(dir, "org,d", limit = 2,
+      afterLine = all(2))) === Seq("org,d,b)/q", "org,d,b,c)/r"))
+    // Bare-host contract is enforced.
+    intercept[IllegalArgumentException] {
+      Warc.zipnumDomain(dir, "org,d)")
+    }
+    // Misses: a domain with no captures at all.
+    assert(Warc.zipnumDomain(dir, "org,nothere").isEmpty)
+  }
+
   test("zipnumLookup: positioned reads only — never the rest of the shard; missing shard is empty; stale cluster refuses") {
     val sparkSession = spark
     import sparkSession.implicits._
