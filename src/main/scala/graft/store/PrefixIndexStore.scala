@@ -101,10 +101,24 @@ final class PrefixIndexStore(
       * the commit manifests and the three sub-stores' generation swaps
       * all ride it, so the lockstep index works on HDFS-style stores
       * too. */
-    val fs: graft.FsIO = graft.FsIO.local
+    val fs: graft.FsIO = graft.FsIO.local,
+    /** WRITER FENCING (r17 — [[WriterFence]]): ONE fence on the index
+      * ROOT, not three per-sub-store fences — the unit of atomicity
+      * here is the three-store lockstep generation, and per-store
+      * fencing would let a takeover land between two sub-appends of
+      * one logical commit. Claimed before the sub-stores even run
+      * their reopen crash recovery; checked at the top of both public
+      * mutators ([[snapshot]], [[appendDocs]]) — a duplicated indexer
+      * fails fast with [[FencedWriterException]] instead of
+      * interleaving manifests. Default off, like [[ParquetStore]]'s. */
+    val fenced: Boolean = false
 ) {
   require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
   require(keepSnapshots >= 1L, "keepSnapshots must keep at least the latest")
+
+  private val fence: WriterFence =
+    if (fenced) new WriterFence(path, name, fs) else null
+  private def checkFence(): Unit = if (fence != null) fence.check()
 
   // Auto-clean disabled (cleanFreq that counter % freq never hits):
   // generation-count retention is wrong for a store whose unit of
@@ -192,6 +206,7 @@ final class PrefixIndexStore(
     * lands last, then retention drops snapshots past [[keepSnapshots]].
     * Returns the snapshot's rst_id. */
   def snapshot(corpus: DataFrame): Long = this.synchronized {
+    checkFence()
     recover()
     val (hashed, dfs, prefix) = graft.operators.Dedup.prefixIndexTables(
       corpus, threshold, textCol, idCol)
@@ -217,6 +232,7 @@ final class PrefixIndexStore(
     * [[shouldResnapshot]], never a correctness event. Returns the delta's
     * generation id. */
   def appendDocs(docs: DataFrame): Long = this.synchronized {
+    checkFence()
     recover()
     val g = latestSnapshot.getOrElse(throw new IllegalStateException(
       s"appendDocs needs a base snapshot at $path — call snapshot() first"))

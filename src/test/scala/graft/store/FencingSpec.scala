@@ -117,6 +117,38 @@ class FencingSpec extends SparkSpec {
       Seq(".writer_epochs"))
   }
 
+  test("PrefixIndexStore: the three-store lockstep group is fenced as ONE unit") {
+    graft.plans.GraftExtensions.register(spark)
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy cat tonight"),
+      (3L, "completely unrelated text about parquet generations here"))
+      .toDF("doc_id", "text")
+    val path = tmp()
+    val a = new PrefixIndexStore(spark, path, threshold = 0.3,
+      name = "pidx_fence_a", fenced = true)
+    a.snapshot(corpus)
+    val b = new PrefixIndexStore(spark, path, threshold = 0.3,
+      name = "pidx_fence_b", fenced = true)
+    // The stale coordinator fails BEFORE recover() touches anything —
+    // a per-sub-store fence would instead let it interleave between
+    // two sub-appends of one lockstep commit.
+    intercept[FencedWriterException] {
+      a.appendDocs(corpus.filter("doc_id = 3"))
+    }
+    intercept[FencedWriterException] { a.snapshot(corpus) }
+    // The successor owns the group: full snapshot + delta both land.
+    b.snapshot(corpus)
+    b.appendDocs(corpus.filter("doc_id = 3"))
+    // One fence at the ROOT — the sub-store dirs carry no epochs.
+    assert(Files.exists(Paths.get(path, ".writer_epochs")))
+    Seq("hashed", "dfs", "prefix").foreach { sub =>
+      assert(!Files.exists(Paths.get(path, sub, ".writer_epochs")), sub)
+    }
+  }
+
   test("epoch audit trail stays bounded across takeover chains") {
     val path = tmp()
     (1 to 7).foreach { i => openFenced(path, s"fence_chain$i") }
