@@ -297,11 +297,27 @@ final class StoreHttpServer(store: GenerationStore,
           case _ => graft.sources.Warc.zipnumLookup(dir,
             dec(rest.mkString("/")), tsFrom = tsF, tsTo = tsT)
         }
+        // Line-level CDX API options (r17): `filter=[!]field:regex`
+        // (repeatable — specs AND together; whole-field regex match,
+        // wayback-cdx-server semantics) then `collapse=field[:N]`
+        // (first line of each adjacent run; timestamp:8 = calendar
+        // view). Both apply AFTER the scan's limit — a filtered page
+        // may come back short; `resume` still walks everything — and
+        // BEFORE the takedown scrub below, which always runs last.
+        val filterSpecs =
+          if (rawQuery == null || rawQuery.isEmpty) Seq.empty[String]
+          else rawQuery.split("&", -1).toSeq
+            .filter(_.startsWith("filter="))
+            .map(kv => dec(kv.substring("filter=".length)))
+            .filter(_.nonEmpty)
+        val shaped = graft.sources.Warc.cdxCollapseLines(
+          graft.sources.Warc.cdxFilterLines(lines, filterSpecs),
+          qp.get("collapse").filter(_.nonEmpty).orNull)
         val safe = takedown match {
           case Some((td, _)) =>
             val victims = victimSet(td)
             val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-            lines.filter { l =>
+            shaped.filter { l =>
               val js = l.indexOf('{')
               js >= 0 && {
                 val node = mapper.readTree(l.substring(js))
@@ -312,7 +328,7 @@ final class StoreHttpServer(store: GenerationStore,
                   (refers == null || !victims.contains(refers))
               }
             }
-          case None => lines
+          case None => shaped
         }
         safe.map(jsonStr).mkString("[", ",", "]")
       case "sr" :: param :: range :: Nil =>

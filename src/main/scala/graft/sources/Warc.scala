@@ -1727,6 +1727,95 @@ object Warc {
     out.toSeq
   }
 
+  /** CDXJ line field accessor shared by [[cdxFilterLines]] and
+    * [[cdxCollapseLines]]: `urlkey`/`timestamp` come from the line's
+    * two lead tokens, everything else (`url`, `mime`, `status`,
+    * `digest`, `length`, `offset`, `filename`, …) from its JSON
+    * payload; an absent field reads as "" (filters then match against
+    * the empty string — never a throw on a hand-edited line). */
+  private def cdxField(line: String, field: String): String = {
+    val sp = line.indexOf(' ')
+    field match {
+      case "urlkey" => if (sp < 0) line else line.substring(0, sp)
+      case "timestamp" =>
+        if (sp < 0) return ""
+        val rest = line.substring(sp + 1)
+        val sp2 = rest.indexOf(' ')
+        if (sp2 < 0) rest else rest.substring(0, sp2)
+      case f =>
+        val js = line.indexOf('{')
+        if (js < 0) return ""
+        try {
+          val node = cdxFieldMapper.readTree(line.substring(js)).get(f)
+          if (node == null) "" else node.asText()
+        } catch { case _: Exception => "" }
+    }
+  }
+
+  /** Shared parser for [[cdxField]] — ObjectMapper is thread-safe for
+    * reads, and per-line construction would dominate a filtered serve. */
+  private lazy val cdxFieldMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** The wayback-cdx-server `filter=` semantics over CDXJ lines:
+    * each spec is `[!]field:regex` — the regex must match the WHOLE
+    * field value (`status:200`, `mime:text/.*`), `!` inverts, specs
+    * AND together. A malformed spec (no colon, bad regex) throws
+    * IllegalArgumentException — a filter the caller wrote wrong must
+    * fail loudly, not silently match everything. */
+  def cdxFilterLines(lines: Seq[String],
+                     filters: Seq[String]): Seq[String] = {
+    if (filters.isEmpty) return lines
+    val compiled = filters.map { spec =>
+      val neg = spec.startsWith("!")
+      val body = if (neg) spec.substring(1) else spec
+      val ci = body.indexOf(':')
+      require(ci > 0, s"cdx filter '$spec' is not [!]field:regex")
+      val p =
+        try java.util.regex.Pattern.compile(body.substring(ci + 1))
+        catch {
+          case e: java.util.regex.PatternSyntaxException =>
+            throw new IllegalArgumentException(
+              s"cdx filter '$spec': bad regex — ${e.getMessage}")
+        }
+      (neg, body.substring(0, ci), p)
+    }
+    lines.filter { l =>
+      compiled.forall { case (neg, field, p) =>
+        p.matcher(cdxField(l, field)).matches() != neg
+      }
+    }
+  }
+
+  /** The wayback-cdx-server `collapse=` semantics over CDXJ lines:
+    * `field` or `field:N` keeps the FIRST line of each ADJACENT run
+    * whose field value (or its first N chars) repeats —
+    * `timestamp:8` is the classic one-capture-per-day calendar
+    * collapse. Adjacency is the contract (lines arrive in cluster key
+    * order), which is what makes it a streaming fold rather than a
+    * global group-by. */
+  def cdxCollapseLines(lines: Seq[String], spec: String): Seq[String] = {
+    if (spec == null || spec.isEmpty) return lines
+    val ci = spec.indexOf(':')
+    val field = if (ci < 0) spec else spec.substring(0, ci)
+    val n =
+      if (ci < 0) Int.MaxValue
+      else {
+        val raw = spec.substring(ci + 1)
+        require(raw.matches("\\d{1,9}") && raw.toInt >= 1,
+          s"cdx collapse '$spec' is not field[:N] with N >= 1")
+        raw.toInt
+      }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var prev: String = null
+    lines.foreach { l =>
+      val v = cdxField(l, field)
+      val key = if (v.length > n) v.substring(0, n) else v
+      if (prev == null || key != prev) { out += l; prev = key }
+    }
+    out.toSeq
+  }
+
   /** DOMAIN scan — the wayback CDX API's `matchType=domain` (a host
     * and ALL its subdomains), meaningful only over a SURT-keyed
     * cluster, where it is exactly two [[zipnumPrefix]] scans:

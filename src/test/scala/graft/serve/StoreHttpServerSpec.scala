@@ -478,6 +478,16 @@ class StoreHttpServerSpec extends SparkSpec {
       // Exact-match route unchanged by the new params.
       val (_, one) = get(srv.port, s"/cdx/${enc("https://pf.org/d/06")}")
       assert(one.contains("/d/06 ") && !one.contains("/d/07"))
+      // Line options compose on the route: filter narrows the page
+      // (whole-field regex), collapse keeps the first of adjacent
+      // runs (urlkey:18 groups every d/0N under one 18-char prefix).
+      val (_, filt) = get(srv.port, s"/cdx/$pfx?matchType=prefix" +
+        s"&filter=${enc("urlkey:.*d/0[0-3]")}")
+      assert(keys(filt) ===
+        (0 to 3).map(i => f"https://pf.org/d/$i%02d"))
+      val (_, coll) = get(srv.port, s"/cdx/$pfx?matchType=prefix" +
+        s"&collapse=${enc("urlkey:18")}")
+      assert(keys(coll) === Seq("https://pf.org/d/00"))
     } finally srv.stop()
   }
 }

@@ -679,6 +679,46 @@ class WarcSpec extends SparkSpec {
     assert(Warc.zipnumPrefix(dir, "https://s.org/").size === 30)
   }
 
+  test("cdxFilterLines / cdxCollapseLines: wayback-cdx-server line options") {
+    val lines = Seq(
+      "org,a)/x 20240101120000 {\"url\":\"https://a.org/x\",\"mime\":\"text/html\",\"status\":200,\"digest\":\"d1\"}",
+      "org,a)/x 20240101130000 {\"url\":\"https://a.org/x\",\"mime\":\"text/html\",\"status\":200,\"digest\":\"d1\"}",
+      "org,a)/x 20240102120000 {\"url\":\"https://a.org/x\",\"mime\":\"text/html\",\"status\":404,\"digest\":\"d2\"}",
+      "org,a)/y 20240101120000 {\"url\":\"https://a.org/y\",\"mime\":\"image/png\",\"status\":200,\"digest\":\"d3\"}")
+    // Whole-field regex; multiple specs AND; `!` inverts.
+    assert(Warc.cdxFilterLines(lines, Seq("status:200")).size === 3)
+    assert(Warc.cdxFilterLines(lines,
+      Seq("mime:text/.*", "status:200")).size === 2)
+    assert(Warc.cdxFilterLines(lines, Seq("!status:200")).size === 1)
+    // WHOLE-field match: a prefix regex does not partial-match.
+    assert(Warc.cdxFilterLines(lines, Seq("status:2")).isEmpty)
+    // The two lead tokens address as urlkey/timestamp; JSON fields by
+    // name; an absent field matches only the empty string.
+    assert(Warc.cdxFilterLines(lines,
+      Seq("urlkey:org,a\\)/y")).size === 1)
+    assert(Warc.cdxFilterLines(lines,
+      Seq("timestamp:202401011.*")).size === 3)
+    assert(Warc.cdxFilterLines(lines, Seq("nosuch:.+")).isEmpty)
+    assert(Warc.cdxFilterLines(lines, Seq("nosuch:")).size === 4)
+    // Malformed specs fail loudly, never match-everything.
+    intercept[IllegalArgumentException] {
+      Warc.cdxFilterLines(lines, Seq("nocolon"))
+    }
+    intercept[IllegalArgumentException] {
+      Warc.cdxFilterLines(lines, Seq("f:["))
+    }
+    // Collapse: first of each ADJACENT run — timestamp:8 is the
+    // per-day calendar view; a later day reopens the run.
+    assert(Warc.cdxCollapseLines(lines, "timestamp:8")
+      .map(_.split(" ")(1)) ===
+      Seq("20240101120000", "20240102120000", "20240101120000"))
+    assert(Warc.cdxCollapseLines(lines, "digest").size === 3)
+    assert(Warc.cdxCollapseLines(lines, "urlkey").size === 2)
+    intercept[IllegalArgumentException] {
+      Warc.cdxCollapseLines(lines, "timestamp:0")
+    }
+  }
+
   test("zipnumDomain: host + subdomains in one key-ordered page stream over SURT keys") {
     val sparkSession = spark
     import sparkSession.implicits._
