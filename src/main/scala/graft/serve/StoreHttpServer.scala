@@ -131,6 +131,15 @@ final class StoreHttpServer(store: GenerationStore,
     df.collect().map(r => "\"" + java.util.Base64.getEncoder
       .encodeToString(r.getAs[Array[Byte]](0)) + "\"").mkString("[", ",", "]")
 
+  /** Per-request time budget for the `/cdx` continue-scan loop AND the
+    * client-regex filter matching inside it (both can otherwise run
+    * unbounded on caller-shaped input: a filter matching nothing over
+    * a huge range, or a catastrophically-backtracking pattern). On
+    * exhaustion the request fails LOUDLY (400) — a handler thread
+    * holds the read lock while it serves, so bounding it protects
+    * every other request behind the lock. */
+  private val CdxRequestBudgetNanos = 2_000_000_000L
+
   /** Reads share; the one MUTATING route (`/r` reset) takes the write lock —
     * a reset racing an in-flight scan would otherwise delete partition
     * directories (durable store) or swap `data` (in-memory) mid-collect. */
@@ -282,18 +291,21 @@ final class StoreHttpServer(store: GenerationStore,
         val boundedLimit = qp.get("limit").filter(_.matches("\\d{1,5}"))
           .map(_.toInt).filter(_ >= 1).getOrElse(1000).min(10000)
         val resume = qp.get("resume").filter(_.nonEmpty).orNull
-        val lines = qp.get("matchType") match {
+        val matchType = qp.get("matchType")
+        val pageable = matchType.contains("prefix") ||
+          matchType.contains("domain")
+        def scan(after: String): Seq[String] = matchType match {
           case Some("prefix") =>
             graft.sources.Warc.zipnumPrefix(dir, dec(rest.mkString("/")),
               tsFrom = tsF, tsTo = tsT, limit = boundedLimit,
-              afterLine = resume)
+              afterLine = after)
           // `matchType=domain`: host + all subdomains over a
           // SURT-keyed cluster — the segment is the bare comma-
           // reversed host (`org,example`).
           case Some("domain") =>
             graft.sources.Warc.zipnumDomain(dir, dec(rest.mkString("/")),
               tsFrom = tsF, tsTo = tsT, limit = boundedLimit,
-              afterLine = resume)
+              afterLine = after)
           case _ => graft.sources.Warc.zipnumLookup(dir,
             dec(rest.mkString("/")), tsFrom = tsF, tsTo = tsT)
         }
@@ -301,23 +313,25 @@ final class StoreHttpServer(store: GenerationStore,
         // (repeatable — specs AND together; whole-field regex match,
         // wayback-cdx-server semantics) then `collapse=field[:N]`
         // (first line of each adjacent run; timestamp:8 = calendar
-        // view). Both apply AFTER the scan's limit — a filtered page
-        // may come back short; `resume` still walks everything — and
-        // BEFORE the takedown scrub below, which always runs last.
+        // view, seeded with the resume line so runs straddling a page
+        // boundary keep one representative across pages).
         val filterSpecs =
           if (rawQuery == null || rawQuery.isEmpty) Seq.empty[String]
           else rawQuery.split("&", -1).toSeq
             .filter(_.startsWith("filter="))
             .map(kv => dec(kv.substring("filter=".length)))
             .filter(_.nonEmpty)
-        val shaped = graft.sources.Warc.cdxCollapseLines(
-          graft.sources.Warc.cdxFilterLines(lines, filterSpecs),
-          qp.get("collapse").filter(_.nonEmpty).orNull)
-        val safe = takedown match {
+        val collapseSpec = qp.get("collapse").filter(_.nonEmpty).orNull
+        // The SCRUB runs FIRST (review r17 session pass): a victim
+        // line heading an adjacent collapse run must not become the
+        // run's representative and then vanish, suppressing the run's
+        // surviving non-victim captures; scrub-then-collapse serves
+        // the correct surviving representative instead.
+        val scrub: Seq[String] => Seq[String] = takedown match {
           case Some((td, _)) =>
             val victims = victimSet(td)
             val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-            shaped.filter { l =>
+            (ls: Seq[String]) => ls.filter { l =>
               val js = l.indexOf('{')
               js >= 0 && {
                 val node = mapper.readTree(l.substring(js))
@@ -328,9 +342,40 @@ final class StoreHttpServer(store: GenerationStore,
                   (refers == null || !victims.contains(refers))
               }
             }
-          case None => shaped
+          case None => identity
         }
-        safe.map(jsonStr).mkString("[", ",", "]")
+        // CONTINUE-SCAN loop (review r17 session pass): a page whose
+        // raw scan filled its limit but whose shaped result is EMPTY
+        // would strand the client — empty is its termination signal
+        // and there is no served line to resume from — silently losing
+        // every later match. Keep scanning from the raw page's last
+        // line until something survives, the range is exhausted, or
+        // the request budget runs out (then fail LOUDLY — a 400 beats
+        // silent loss; deep filter sweeps belong on the Dataset API,
+        // not the serving endpoint). The collapse seed stays the
+        // client's resume line throughout: nothing is served from
+        // dropped pages, so the fold state cannot have advanced.
+        val budgetEnd = System.nanoTime() + CdxRequestBudgetNanos
+        var after = resume
+        var out: Seq[String] = null
+        while (out == null) {
+          val raw = scan(after)
+          val shaped = graft.sources.Warc.cdxCollapseLines(
+            graft.sources.Warc.cdxFilterLines(scrub(raw), filterSpecs,
+              budgetNanos =
+                math.max(1L, budgetEnd - System.nanoTime())),
+            collapseSpec, seedLine = resume)
+          if (shaped.nonEmpty || !pageable || raw.length < boundedLimit)
+            out = shaped
+          else if (System.nanoTime() > budgetEnd)
+            throw new IllegalArgumentException(
+              "cdx: filter/scrub matched nothing in this range within " +
+                "the request budget — narrow the filter or the " +
+                "from/to bounds (bulk sweeps belong on the Dataset " +
+                "API, e.g. zipnumJoin)")
+          else after = raw.last
+        }
+        out.map(jsonStr).mkString("[", ",", "]")
       case "sr" :: param :: range :: Nil =>
         val (lo, hi) = dec(range).split(":", 2) match {
           case Array(a, b) =>

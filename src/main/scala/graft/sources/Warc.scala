@@ -642,7 +642,16 @@ object Warc {
     * IPv6 literal's groups, and pywb lookups key IPs verbatim). */
   def surtKey(url: String, stripWww: Boolean = false,
               scrubSession: Boolean = false,
-              normalizeEncoding: Boolean = false): String = {
+              normalizeEncoding: Boolean = false,
+              /** LEGACY reproduction only (review r17 session pass):
+                * true reverses dotted-quad hosts like names — the
+                * pre-r17 behavior — so [[graft.store.Takedown
+                * .eraseExports]]' style sniff can regenerate an index
+                * written before the IPv4 fix byte-identically instead
+                * of silently rewriting its keys in the new style
+                * (the encoding fix got `canonEncoding` for the same
+                * reason). Never set on new writes. */
+              ipv4Reversed: Boolean = false): String = {
     if (url == null) return "-"
     val u = url.trim
     val si = u.indexOf("://")
@@ -718,7 +727,7 @@ object Warc {
     else {
       val key =
         if (host.startsWith("[")) host // IP literal: never reversed
-        else if (isIpv4(host)) host // dotted quad: ditto (r17)
+        else if (!ipv4Reversed && isIpv4(host)) host // dotted quad: ditto (r17)
         else host.split('.').reverse.mkString(",")
       (key + port + ")" +
         (if (path.isEmpty) "/" else path)
@@ -743,11 +752,17 @@ object Warc {
                                * canon index — www/session canon without
                                * encoding normalization; only the erase
                                * regeneration's style sniff sets it. */
-                             canonEncoding: Boolean = true): String = {
+                             canonEncoding: Boolean = true,
+                             /** `true` reproduces a LEGACY (pre-r17)
+                               * index with dotted-quad hosts reversed
+                               * like names; only the erase
+                               * regeneration's style sniff sets it. */
+                             ipv4Reversed: Boolean = false): String = {
     val u = if (url == null) "-" else url
     val sb = new StringBuilder
     sb.append(if (surt) surtKey(u, stripWww = canon, scrubSession = canon,
-        normalizeEncoding = canon && canonEncoding)
+        normalizeEncoding = canon && canonEncoding,
+        ipv4Reversed = ipv4Reversed)
       else u.replace(" ", "%20")).append(' ')
       .append(if (ts == null || ts.isEmpty) "-" else ts).append(' ')
       .append("{\"url\":\"").append(jsonEsc(u))
@@ -1590,9 +1605,11 @@ object Warc {
     * run is exact, never a shard scan. Blocks are read IN SUMMARY
     * ORDER (consecutive same-shard blocks batch into one open
     * channel) and the scan STOPS as soon as `limit` lines are
-    * collected — the worst case reads ceil(limit/blockLines)+1
-    * blocks, so a `limit=100` probe against a billion-capture
-    * collection still costs two or three positioned reads. Results
+    * collected — chunks are sized ADAPTIVELY from the observed
+    * lines-per-block (seeded at 2 blocks), so an unfiltered scan
+    * reads ~ceil(limit/blockLines)+1 blocks and a `limit=100` probe
+    * against a billion-capture collection still costs two or three
+    * positioned reads. Results
     * are in cluster key order (UTF-8), the API's contract; a
     * `limit+1`-th line existing means the result was truncated —
     * callers page by re-probing with the last returned key. Timestamp
@@ -1673,18 +1690,34 @@ object Warc {
         scala.collection.mutable.ArrayBuffer((off, len))))
     }
     val runs = shardRuns.iterator
+    // ADAPTIVE chunk sizing (review r17 session pass): blocks hold
+    // ~blockLines lines each, so sizing a chunk in BLOCKS equal to
+    // the remaining LINE count over-reads by a factor of blockLines
+    // (up to `limit` positioned reads for lines living in one block —
+    // the first cut did exactly that, contradicting the cost-model
+    // doc above). Estimate lines/block from what this scan has
+    // already inflated; the 2-block seed IS the documented
+    // ceil(limit/blockLines)+1 for the common limit ≤ blockLines
+    // case, and a ts filter swallowing blocks only adds later,
+    // correctly-sized chunks.
+    var blocksRead = 0L
+    var rawLines = 0L
     while (out.length < limit && runs.hasNext) {
       val (shard, spans) = runs.next()
-      // Read the run in limit-sized CHUNKS: each block holds ≥ 1 line,
-      // so the first chunk of `remaining` blocks usually finishes the
-      // scan in one positioned-read batch — but a ts filter can
-      // swallow whole blocks, so the loop EXHAUSTS this run's spans
-      // before moving to the next shard (skipping ahead mid-run would
-      // silently drop the untaken blocks' lines from the page).
+      // The chunk loop EXHAUSTS this run's spans before moving to the
+      // next shard (skipping ahead mid-run would silently drop the
+      // untaken blocks' lines from the page).
       var taken = 0
       while (out.length < limit && taken < spans.length) {
-        val want = spans.slice(taken,
-          taken + math.max(1, limit - out.length)).toSeq
+        val chunk =
+          if (blocksRead == 0L) 2
+          else {
+            val avg = math.max(1L, rawLines / blocksRead)
+            val remaining = (limit - out.length).toLong
+            math.min(Int.MaxValue.toLong,
+              (remaining + avg - 1L) / avg + 1L).toInt
+          }
+        val want = spans.slice(taken, taken + math.max(1, chunk)).toSeq
         taken += want.length
         val blocks =
           try fs.readRanges(fs.resolve(dir, shard), want)
@@ -1695,11 +1728,14 @@ object Warc {
         val bit = blocks.iterator
         while (out.length < limit && bit.hasNext) {
           val member = bit.next()
-        gunzip(member)
+        val memberLines = gunzip(member)
           .map(b => new String(b,
             java.nio.charset.StandardCharsets.UTF_8)
             .split("\n").filter(_.nonEmpty).toSeq)
           .getOrElse(Seq.empty)
+        blocksRead += 1L
+        rawLines += memberLines.length.toLong
+        memberLines
           .iterator
           .filter { l =>
             val sp = l.indexOf(' ')
@@ -1757,22 +1793,56 @@ object Warc {
   private lazy val cdxFieldMapper =
     new com.fasterxml.jackson.databind.ObjectMapper()
 
+  /** Deadline-carrying view of a string for regex matching: `charAt`
+    * re-checks the clock every 256 reads, so a catastrophic-
+    * backtracking pattern (a serving endpoint matches CLIENT-supplied
+    * regexes — `(a+)+$` pinning a handler thread for minutes is the
+    * classic shape) aborts within its budget instead of DoSing the
+    * server. The abort rides an unchecked exception out of
+    * `Matcher.matches()`; [[cdxFilterLines]] converts it to the
+    * loud-400 IllegalArgumentException. */
+  private final class DeadlineCharSeq(s: String, deadlineNanos: Long)
+      extends CharSequence {
+    private var ticks = 0
+    override def length(): Int = s.length
+    override def charAt(i: Int): Char = {
+      ticks += 1
+      if ((ticks & 0xff) == 0 && System.nanoTime() > deadlineNanos)
+        throw new FilterBudgetExceeded
+      s.charAt(i)
+    }
+    override def subSequence(a: Int, b: Int): CharSequence =
+      new DeadlineCharSeq(s.substring(a, b), deadlineNanos)
+    override def toString: String = s
+  }
+  private final class FilterBudgetExceeded extends RuntimeException
+
   /** The wayback-cdx-server `filter=` semantics over CDXJ lines:
     * each spec is `[!]field:regex` — the regex must match the WHOLE
     * field value (`status:200`, `mime:text/.*`), `!` inverts, specs
-    * AND together. A malformed spec (no colon, bad regex) throws
+    * AND together. A malformed spec (no colon, bad regex, more than
+    * 16 specs, a regex over 512 chars) throws
     * IllegalArgumentException — a filter the caller wrote wrong must
-    * fail loudly, not silently match everything. */
+    * fail loudly, not silently match everything. `budgetNanos` bounds
+    * TOTAL matching time (client-supplied regexes can backtrack
+    * catastrophically — [[DeadlineCharSeq]]); exceeding it throws the
+    * same loud IllegalArgumentException. */
   def cdxFilterLines(lines: Seq[String],
-                     filters: Seq[String]): Seq[String] = {
+                     filters: Seq[String],
+                     budgetNanos: Long = Long.MaxValue): Seq[String] = {
     if (filters.isEmpty) return lines
+    require(filters.length <= 16,
+      s"cdx filter: ${filters.length} specs (max 16)")
     val compiled = filters.map { spec =>
       val neg = spec.startsWith("!")
       val body = if (neg) spec.substring(1) else spec
       val ci = body.indexOf(':')
       require(ci > 0, s"cdx filter '$spec' is not [!]field:regex")
+      val rx = body.substring(ci + 1)
+      require(rx.length <= 512,
+        s"cdx filter regex too long (${rx.length} chars, max 512)")
       val p =
-        try java.util.regex.Pattern.compile(body.substring(ci + 1))
+        try java.util.regex.Pattern.compile(rx)
         catch {
           case e: java.util.regex.PatternSyntaxException =>
             throw new IllegalArgumentException(
@@ -1780,10 +1850,19 @@ object Warc {
         }
       (neg, body.substring(0, ci), p)
     }
-    lines.filter { l =>
+    val deadline =
+      if (budgetNanos == Long.MaxValue) Long.MaxValue
+      else System.nanoTime() + budgetNanos
+    try lines.filter { l =>
       compiled.forall { case (neg, field, p) =>
-        p.matcher(cdxField(l, field)).matches() != neg
+        p.matcher(new DeadlineCharSeq(cdxField(l, field), deadline))
+          .matches() != neg
       }
+    } catch {
+      case _: FilterBudgetExceeded =>
+        throw new IllegalArgumentException(
+          "cdx filter: regex matching exceeded its time budget — " +
+            "simplify the pattern (catastrophic backtracking?)")
     }
   }
 
@@ -1793,8 +1872,15 @@ object Warc {
     * `timestamp:8` is the classic one-capture-per-day calendar
     * collapse. Adjacency is the contract (lines arrive in cluster key
     * order), which is what makes it a streaming fold rather than a
-    * global group-by. */
-  def cdxCollapseLines(lines: Seq[String], spec: String): Seq[String] = {
+    * global group-by.
+    *
+    * `seedLine` carries the fold across PAGES (review r17 session
+    * pass): a collapse run that straddles a page boundary would
+    * otherwise emit one representative per page — seeding `prev` with
+    * the previous page's last SERVED line (the client's resume line)
+    * keeps first-of-run semantics over the whole paged stream. */
+  def cdxCollapseLines(lines: Seq[String], spec: String,
+                       seedLine: String = null): Seq[String] = {
     if (spec == null || spec.isEmpty) return lines
     val ci = spec.indexOf(':')
     val field = if (ci < 0) spec else spec.substring(0, ci)
@@ -1807,7 +1893,12 @@ object Warc {
         raw.toInt
       }
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var prev: String = null
+    var prev: String =
+      if (seedLine == null) null
+      else {
+        val v = cdxField(seedLine, field)
+        if (v.length > n) v.substring(0, n) else v
+      }
     lines.foreach { l =>
       val v = cdxField(l, field)
       val key = if (v.length > n) v.substring(0, n) else v
@@ -1851,9 +1942,15 @@ object Warc {
         tsFrom, tsTo, limit, afterLine)
     val remaining = limit - own.length
     if (remaining <= 0) own
+    // afterLine flows to the subdomain scan UNCONDITIONALLY (review
+    // r17 session pass): a host-range resume clamps to a fresh
+    // subdomain scan (host keys sort below `host,`) and its
+    // strictly-after filter no-ops, while a corrupted resume sorting
+    // ABOVE both ranges (e.g. a sibling host's line) kills everything
+    // via the same filter — without it, that corrupt shape re-served
+    // the whole subdomain range with duplicates.
     else own ++ zipnumPrefix(dir, surtHost + ",", fs, verifyExports,
-      tsFrom, tsTo, remaining,
-      afterLine = if (resumeInSubdomains) afterLine else null)
+      tsFrom, tsTo, remaining, afterLine = afterLine)
   }
 
   /** BULK lookup — the Dataset-API counterpart of [[zipnumLookup]]

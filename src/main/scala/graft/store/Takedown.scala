@@ -389,11 +389,19 @@ object Takedown {
     var cdxSurt = false
     var cdxCanon = false
     var cdxCanonEnc = false
+    var cdxIpv4Rev = false
     if (hasCdx) {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       var bearing = false
       var undecided = false // revisit line predating the `refers` field
-      var styles = Set("plain", "surt", "canonLegacy", "canonEnc")
+      // The *Ip4 variants (review r17 session pass) reproduce
+      // pre-IPv4-fix indexes whose dotted-quad hosts were reversed
+      // like names — same legacy-knob treatment the encoding fix got:
+      // without them, a legacy index's IPv4 lines match NO candidate
+      // and the regeneration would silently rewrite their keys in the
+      // new unreversed style, breaking the byte-identical contract.
+      var styles = Set("plain", "surt", "surtIp4",
+        "canonLegacy", "canonLegacyIp4", "canonEnc", "canonEncIp4")
       new String(cdxBytes, java.nio.charset.StandardCharsets.UTF_8)
         .split("\n").iterator.filter(_.nonEmpty).foreach { line =>
           val js = line.indexOf('{')
@@ -407,10 +415,16 @@ object Takedown {
               val cands = Map(
                 "plain" -> url.replace(" ", "%20"),
                 "surt" -> Warc.surtKey(url),
+                "surtIp4" -> Warc.surtKey(url, ipv4Reversed = true),
                 "canonLegacy" -> Warc.surtKey(url, stripWww = true,
                   scrubSession = true),
+                "canonLegacyIp4" -> Warc.surtKey(url, stripWww = true,
+                  scrubSession = true, ipv4Reversed = true),
                 "canonEnc" -> Warc.surtKey(url, stripWww = true,
-                  scrubSession = true, normalizeEncoding = true))
+                  scrubSession = true, normalizeEncoding = true),
+                "canonEncIp4" -> Warc.surtKey(url, stripWww = true,
+                  scrubSession = true, normalizeEncoding = true,
+                  ipv4Reversed = true))
               val matching = styles.filter(s => cands(s) == key)
               // A key matching NO candidate carries no style
               // information (a hand-edited index) — skip it, as the
@@ -428,11 +442,17 @@ object Takedown {
       if (!bearing && !undecided) return 0L
       // Least-assuming surviving style (outputs identical among
       // survivors — see the intersection argument above).
-      val style = Seq("plain", "surt", "canonLegacy", "canonEnc")
+      // Modern variants rank before their Ip4 twins: on an index
+      // with no IPv4 URLs both survive with identical outputs, and on
+      // one WITH them only the true writer style survives the
+      // intersection.
+      val style = Seq("plain", "surt", "surtIp4", "canonLegacy",
+        "canonLegacyIp4", "canonEnc", "canonEncIp4")
         .find(styles.contains).get
       cdxSurt = style != "plain"
-      cdxCanon = style == "canonLegacy" || style == "canonEnc"
-      cdxCanonEnc = style == "canonEnc"
+      cdxCanon = style.startsWith("canon")
+      cdxCanonEnc = style.startsWith("canonEnc")
+      cdxIpv4Rev = style.endsWith("Ip4")
     }
     // --- REWRITE (or full scan when the manifest could not decide):
     // walk members, keep survivors verbatim, rebuild index from the
@@ -473,7 +493,8 @@ object Takedown {
             rec.header("WARC-Payload-Digest").orNull, location,
             if (rec.header("WARC-Type").contains("revisit")) refers
             else null,
-            len, offset, filename, cdxSurt, cdxCanon, cdxCanonEnc))
+            len, offset, filename, cdxSurt, cdxCanon, cdxCanonEnc,
+            cdxIpv4Rev))
         }
       }
     }

@@ -67,8 +67,19 @@ final class WriterFence(val dir: String, val owner: String,
         }
         claimed = next
       } catch {
+        // Lost the race. Two shapes (review r17 session pass): the
+        // target epoch.<N> already exists (our rename collides), OR
+        // our .claim_* STAGING vanished — the winner's post-claim
+        // sweep deletes every .claim_* stray, including a concurrent
+        // loser's still-pending temp, so the loser's rename throws
+        // missing-SOURCE, not existing-target. Both mean exactly
+        // "someone else claimed N" and must retry above the winner;
+        // letting the second shape escape crashed the constructor on
+        // the primary concurrent-open path the fence exists for.
         case _: java.nio.file.FileAlreadyExistsException |
-             _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+             _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.NoSuchFileException |
+             _: java.io.FileNotFoundException =>
           fs.delete(tmp)
           attempt += 1
       }

@@ -488,6 +488,28 @@ class StoreHttpServerSpec extends SparkSpec {
       val (_, coll) = get(srv.port, s"/cdx/$pfx?matchType=prefix" +
         s"&collapse=${enc("urlkey:18")}")
       assert(keys(coll) === Seq("https://pf.org/d/00"))
+      // CONTINUE-SCAN (review r17 session pass): limit=2 pages whose
+      // raw lines all fail the filter must keep scanning server-side
+      // — the old behavior returned the first empty page, which is
+      // the client's termination signal, silently losing d/07.
+      val (_, deep) = get(srv.port, s"/cdx/$pfx?matchType=prefix" +
+        s"&limit=2&filter=${enc("urlkey:.*d/07")}")
+      assert(keys(deep) === Seq("https://pf.org/d/07"))
+      // A filter matching nothing terminates by range exhaustion with
+      // a correct empty answer (not an error).
+      val (sNone, none) = get(srv.port, s"/cdx/$pfx?matchType=prefix" +
+        s"&limit=2&filter=${enc("urlkey:.*d/99")}")
+      assert(sNone === 200 && none === "[]")
+      // SCRUB BEFORE COLLAPSE (review r17 session pass): ban the
+      // collapse run's HEAD — the served representative must be the
+      // first SURVIVING line, not nothing (the old collapse-then-
+      // scrub order elected the victim as representative and then
+      // removed it, hiding the run's live captures).
+      Takedown.request(td,
+        Seq(("https://pf.org/d/00", "dmca")).toDF("key", "reason"))
+      val (_, coll2) = get(srv.port, s"/cdx/$pfx?matchType=prefix" +
+        s"&collapse=${enc("urlkey:18")}")
+      assert(keys(coll2) === Seq("https://pf.org/d/01"))
     } finally srv.stop()
   }
 }

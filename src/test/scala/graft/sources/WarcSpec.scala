@@ -26,9 +26,11 @@ final class CountingFs(inner: graft.FsIO) extends graft.FsIO {
   override def readRange(path: String, off: Long, len: Int): Array[Byte] = {
     bytesRead.addAndGet(len.toLong); inner.readRange(path, off, len)
   }
+  val spansRequested = new java.util.concurrent.atomic.AtomicLong(0L)
   override def readRanges(path: String,
                           spans: Seq[(Long, Int)]): Seq[Array[Byte]] = {
     bytesRead.addAndGet(spans.map(_._2.toLong).sum)
+    spansRequested.addAndGet(spans.length.toLong)
     inner.readRanges(path, spans)
   }
   override def write(path: String, bytes: Array[Byte]): Unit =
@@ -717,6 +719,69 @@ class WarcSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Warc.cdxCollapseLines(lines, "timestamp:0")
     }
+    // seedLine carries the fold across pages: page 2 of a day run
+    // whose representative was served on page 1 emits nothing for
+    // that day (without the seed it re-emitted a duplicate
+    // representative per page).
+    assert(Warc.cdxCollapseLines(lines.slice(1, 3), "timestamp:8",
+      seedLine = lines.head).map(_.split(" ")(1)) ===
+      Seq("20240102120000"))
+    // Guards: spec count and regex length are capped; a
+    // catastrophically-backtracking CLIENT regex aborts within its
+    // budget instead of pinning the serving thread (the classic
+    // (a+)+$ against a long run of a's).
+    intercept[IllegalArgumentException] {
+      Warc.cdxFilterLines(lines, Seq.fill(17)("status:200"))
+    }
+    intercept[IllegalArgumentException] {
+      Warc.cdxFilterLines(lines, Seq("url:" + "a" * 513))
+    }
+    // (a{1,10}){1,10} against a 40-a run that can't match measures
+    // 13 s of backtracking on this JDK unbudgeted (the (a+)+ classics
+    // are optimized away by modern java.util.regex — measured, not
+    // assumed); the budget must abort it in milliseconds.
+    val evil = Seq("org,evil)/x 20240101120000 {\"digest\":\"" +
+      "a" * 40 + "!\",\"status\":200}")
+    val t0 = System.nanoTime()
+    intercept[IllegalArgumentException] {
+      Warc.cdxFilterLines(evil, Seq("digest:(a{1,10}){1,10}$"),
+        budgetNanos = 50_000_000L)
+    }
+    assert(System.nanoTime() - t0 < 5_000_000_000L,
+      "budget must abort the backtracking well under the test bound")
+  }
+
+  test("zipnumPrefix: adaptive chunking reads ~limit/blockLines blocks, not limit blocks") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val rows = (0 until 500).map { i =>
+      (s"g${i % 3}", f"https://s.org/p/$i%03d", "2024-01-01T00:00:00Z",
+        "text/plain", s"b$i".getBytes("UTF-8"))
+    }.toDF("file_group", "url", "warc_date", "content_type", "body")
+    val files = Warc.encodeResponses(rows, withCdx = true)
+      .localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_znadp")
+      .toString
+    Warc.writeZipnum(files, dir, shards = 1, blockLines = 50)
+    // limit=4 over 10 blocks of 50 lines: the 2-block seed chunk
+    // already holds 100 lines — exactly 2 positioned reads. The
+    // pre-fix sizing requested `limit` BLOCKS (4 here; `limit` at
+    // serving defaults — 1000 — against blockLines=3000 defaults).
+    val counting = new CountingFs(graft.FsIO.local)
+    val page = Warc.zipnumPrefix(dir, "https://s.org/p/", counting,
+      limit = 4)
+    assert(page.size === 4)
+    assert(counting.spansRequested.get === 2L,
+      s"expected the 2-block seed chunk, read ${counting.spansRequested}")
+    // limit spanning several blocks: the estimate converges on
+    // ~ceil(remaining/linesPerBlock)+1 — well under one-span-per-line.
+    val counting2 = new CountingFs(graft.FsIO.local)
+    val page2 = Warc.zipnumPrefix(dir, "https://s.org/p/", counting2,
+      limit = 120)
+    assert(page2.size === 120)
+    assert(counting2.spansRequested.get <= 5L,
+      s"expected <= 5 blocks for 120 lines at 50/block, " +
+        s"read ${counting2.spansRequested}")
   }
 
   test("zipnumDomain: host + subdomains in one key-ordered page stream over SURT keys") {
@@ -758,6 +823,16 @@ class WarcSpec extends SparkSpec {
     // A subdomain-range resume never re-reads the host range.
     assert(keys(Warc.zipnumDomain(dir, "org,d", limit = 2,
       afterLine = all(2))) === Seq("org,d,b)/q", "org,d,b,c)/r"))
+    // A corrupted resume sorting ABOVE both ranges (a sibling host's
+    // line) yields empty — NOT a duplicate replay of the subdomain
+    // range (review r17 session pass: afterLine now reaches the
+    // subdomain scan unconditionally, whose strictly-after filter
+    // kills everything below the corrupt resume).
+    assert(Warc.zipnumDomain(dir, "org,d",
+      afterLine = "org,dz)/x 20240101000000 {}").isEmpty)
+    // And one sorting BELOW both degrades to the full fresh scan.
+    assert(keys(Warc.zipnumDomain(dir, "org,d",
+      afterLine = "org,a)/x 20240101000000 {}")) === keys(all))
     // Bare-host contract is enforced.
     intercept[IllegalArgumentException] {
       Warc.zipnumDomain(dir, "org,d)")

@@ -82,6 +82,49 @@ class FencingSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(path, ".writer_epochs")))
   }
 
+  test("claim race: a swept staging (missing-source rename) retries above the winner") {
+    // The winner's post-claim sweep deletes every .claim_* stray —
+    // including a concurrent loser's still-pending temp — so the
+    // loser's rename fails with a MISSING SOURCE, not an existing
+    // target. The retry loop must treat both as "lost the race"
+    // (review r17 session pass: only the target-exists shape was
+    // caught, so the primary concurrent-open path crashed).
+    val dir = tmp()
+    val inner = graft.FsIO.local
+    val fs = new graft.FsIO {
+      var first = true
+      def resolve(d: String, n: String) = inner.resolve(d, n)
+      def exists(p: String) = inner.exists(p)
+      def isDirectory(p: String) = inner.isDirectory(p)
+      def mkdirs(d: String) = inner.mkdirs(d)
+      def list(d: String) = inner.list(d)
+      def size(p: String) = inner.size(p)
+      def read(p: String) = inner.read(p)
+      def readRange(p: String, o: Long, l: Int) = inner.readRange(p, o, l)
+      def readRanges(p: String, s: Seq[(Long, Int)]) = inner.readRanges(p, s)
+      def write(p: String, b: Array[Byte]) = inner.write(p, b)
+      def atomicSwap(s: String, t: String) = inner.atomicSwap(s, t)
+      def delete(p: String) = inner.delete(p)
+      def deleteRecursively(p: String) = inner.deleteRecursively(p)
+      def rename(src: String, target: String): Unit =
+        if (first) {
+          first = false
+          // Concurrent winner: lands epoch.1 and sweeps our staging
+          // between our write and our rename.
+          inner.write(inner.resolve(
+            inner.resolve(dir, ".writer_epochs"), "epoch.1"),
+            "winner".getBytes)
+          inner.delete(src)
+          throw new java.nio.file.NoSuchFileException(src)
+        } else inner.rename(src, target)
+    }
+    val fence = new WriterFence(dir, "race-loser", fs)
+    assert(fence.epoch === 2L) // retried above the winner, not crashed
+    intercept[FencedWriterException] {
+      new WriterFence(dir, "late", fs); fence.check()
+    }
+  }
+
   test("claim resumes above a foreign epoch and sweeps crashed claim staging") {
     val path = tmp()
     val epochs = Paths.get(path, ".writer_epochs")

@@ -335,6 +335,43 @@ class TakedownSpec extends SparkSpec {
     assert(!cdx.contains("bad/1"))
   }
 
+  test("eraseExports keeps a LEGACY (reversed-IPv4) SURT index in its own style") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    // A pre-r17 SURT export whose dotted-quad host was reversed like
+    // a name ('7,113,0,203)/…') — built by writing a current export
+    // and rewriting the IPv4 line's key to its legacy form, the index
+    // a pre-upgrade deployment actually has on disk. The sniff must
+    // settle on surtIp4 (the name-host line rules out plain; the
+    // reversed quad rules out modern surt) and regenerate the
+    // surviving IPv4 line byte-stable — without the Ip4 style twins
+    // the line matched NO candidate and the rewrite re-keyed it in
+    // the new unreversed style, breaking the byte-identical contract.
+    val rows = Seq(
+      ("g0", "http://203.0.113.7:8080/ip/0?x=1", "keep ip"),
+      ("g0", "https://Keep.org/a/0", "keep name"),
+      ("g0", "https://plain.org/bad/1", "banned body"))
+      .map { case (g, u, b) =>
+        (g, u, "2024-01-01T00:00:00Z", "text/plain", b.getBytes("UTF-8"))
+      }.toDF("file_group", "url", "warc_date", "content_type", "body")
+    val dir = tmp()
+    graft.sources.Warc.writeFiles(graft.sources.Warc.encodeResponses(
+      rows, withCdx = true, cdxSurt = true), dir)
+    val cdxP = java.nio.file.Paths.get(dir, "g0.cdx")
+    val modern = new String(Files.readAllBytes(cdxP), "UTF-8")
+    assert(modern.contains("203.0.113.7:8080)/ip/0?x=1 "))
+    Files.write(cdxP, modern.replace("203.0.113.7:8080)/ip/0?x=1 ",
+      "7,113,0,203:8080)/ip/0?x=1 ").getBytes("UTF-8"))
+    val td = Takedown.takedownStore(spark, tmp(), "td_ip4_list")
+    Takedown.request(td, victims("https://plain.org/bad/1"))
+    assert(Takedown.eraseExports(spark, dir, td) === 1L)
+    val cdx = new String(Files.readAllBytes(cdxP), "UTF-8")
+    assert(cdx.contains("7,113,0,203:8080)/ip/0?x=1 "),
+      s"legacy reversed-IPv4 key must survive byte-stable, got: $cdx")
+    assert(cdx.contains("org,keep)/a/0 "))
+    assert(!cdx.contains("bad/1"))
+  }
+
   test("eraseExports keeps a LEGACY (pre-encoding) canon index in its own style (review r17 #2)") {
     val sparkSession = spark
     import sparkSession.implicits._
