@@ -61,7 +61,16 @@ final class StoreHttpServer(store: GenerationStore,
                               * from a stale (pre-rebuild) cluster,
                               * defense in depth with the staleness
                               * gate. */
-                            cdxCluster: Option[String] = None) {
+                            cdxCluster: Option[String] = None,
+                            /** Archive directory (the [[graft.sources
+                              * .Warc.writeFiles]] output the cluster
+                              * indexes) for the `/replay/<ts>/<urlkey>`
+                              * route — the serving half the index
+                              * exists for: the closest capture's
+                              * archived BODY bytes, read as one
+                              * positioned range. Requires
+                              * `cdxCluster`. */
+                            cdxArchives: Option[String] = None) {
 
   /** The read-path takedown gate (see class doc): one broadcast
     * anti-join, applied only when the frame names documents (carries
@@ -146,25 +155,78 @@ final class StoreHttpServer(store: GenerationStore,
   private val lock = new java.util.concurrent.locks.ReentrantReadWriteLock()
 
   private def handle(ex: HttpExchange): Unit = {
-    val isWrite = ex.getRequestURI.getRawPath.stripPrefix("/") == "r"
+    val rawPath = ex.getRequestURI.getRawPath
+    val isWrite = rawPath.stripPrefix("/") == "r"
     val l = if (isWrite) lock.writeLock() else lock.readLock()
     l.lock()
-    val (status, body) =
-      try (200, route(ex.getRequestURI.getRawPath,
-        ex.getRequestURI.getRawQuery))
-      catch {
+    // status, content-type, body bytes, extra headers. Every JSON
+    // route flows through the second branch unchanged; `/replay`
+    // serves the archived body RAW with its recorded mime.
+    val (status, ctype, bytes, extra) =
+      try {
+        if (rawPath.stripPrefix("/").startsWith("replay/"))
+          replayRoute(rawPath)
+        else
+          (200, "application/json",
+            route(rawPath, ex.getRequestURI.getRawQuery).getBytes(UTF_8),
+            Seq.empty[(String, String)])
+      } catch {
         case e: Exception =>
-          (400, s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}""")
+          (400, "application/json",
+            s"""{"error": ${jsonStr(String.valueOf(e.getMessage))}}"""
+              .getBytes(UTF_8),
+            Seq.empty[(String, String)])
       } finally l.unlock()
     // Clients can disconnect mid-response: the write may throw, but the
     // exchange (and its socket fd) must close either way.
     try {
-      val bytes = body.getBytes(UTF_8)
-      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.getResponseHeaders.set("Content-Type", ctype)
+      extra.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
       ex.sendResponseHeaders(status, bytes.length.toLong)
       ex.getResponseBody.write(bytes)
     } catch { case _: java.io.IOException => () }
     finally ex.close()
+  }
+
+  /** `/replay/<ts>/<urlkey…>` — wayback's `/web/<ts>/<url>`: the
+    * closest capture's archived BODY, served raw with its recorded
+    * mime; the archived HTTP status and exact capture timestamp ride
+    * `X-Archive-Status`/`X-Archive-Timestamp` (the transport status
+    * stays 200 — identity replay of a 404 capture is still a
+    * successful replay). `ts = "*"` means latest. Takedown composes:
+    * a victim URL — or a capture whose revisit refers to one — 404s
+    * even while the cluster awaits its rebuild. */
+  private def replayRoute(rawPath: String)
+      : (Int, String, Array[Byte], Seq[(String, String)]) = {
+    val segs = rawPath.stripPrefix("/").split("/", -1).toList
+    segs match {
+      case "replay" :: ts :: rest if rest.nonEmpty =>
+        val cluster = cdxCluster.getOrElse(
+          throw new IllegalArgumentException(
+            "no zipnum cluster configured for /replay"))
+        val archives = cdxArchives.getOrElse(
+          throw new IllegalArgumentException(
+            "no archive directory configured for /replay"))
+        val key = dec(rest.mkString("/"))
+        val notFound = (404, "application/json",
+          "{\"error\": \"no capture\"}".getBytes(UTF_8),
+          Seq.empty[(String, String)])
+        val victims = takedown match {
+          case Some((td, _)) => victimSet(td)
+          case None => Set.empty[String]
+        }
+        graft.sources.Warc.replayCapture(cluster, archives, key,
+          ts = if (ts == "*") null else dec(ts),
+          victims = victims) match {
+          case Some(c) =>
+            (200, c.mime, c.body, Seq(
+              "X-Archive-Status" -> c.status.toString,
+              "X-Archive-Timestamp" -> c.timestamp))
+          case None => notFound
+        }
+      case other => throw new IllegalArgumentException(
+        s"no route for /${other.mkString("/")}")
+    }
   }
 
   private def jsonStr(s: String): String =

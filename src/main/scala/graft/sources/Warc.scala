@@ -1763,6 +1763,165 @@ object Warc {
     out.toSeq
   }
 
+  /** One replayed capture — [[replayCapture]]'s result: the archived
+    * HTTP status/mime from the record's own head, and the response
+    * BODY bytes (after the head's CRLFCRLF), which is what a wayback
+    * `/web/<ts>/<url>` replay serves. */
+  final case class Capture(url: String, timestamp: String, status: Long,
+                           mime: String, body: Array[Byte])
+
+  /** REPLAY — the serving half the CDX index exists FOR: resolve
+    * `urlkey` (+ optional 14-digit-prefix `ts`) to its closest
+    * capture through the zipnum cluster, read EXACTLY that record's
+    * member span from its archive ([[graft.FsIO.readRange]] — never
+    * the rest of the file), and return the archived HTTP body with
+    * its recorded status/mime. Wayback closest-match semantics: the
+    * requested prefix zero-pads to an instant and the capture with
+    * the minimum absolute distance wins; no `ts` = latest.
+    *
+    * REVISITS resolve to their original (depth 1): a revisit line
+    * carries `refers`; the original's key is derived in whatever
+    * style this cluster uses — tried from the line's own key shape is
+    * not possible (keys don't name their style), so the four writer
+    * derivations are probed in least-assuming order and the first
+    * that HITS serves; among the original's captures, same-digest
+    * wins (that is what the revisit attests), falling back to
+    * closest-in-time to the revisit. A dangling `refers` (original
+    * erased or never shipped) returns None rather than the revisit's
+    * empty payload.
+    *
+    * Returns None for: no capture, unreadable/missing archive bytes
+    * (a mid-sweep race reads as absent, matching [[zipnumLookup]]),
+    * or a malformed record — the HTTP layer turns None into 404. */
+  def replayCapture(clusterDir: String, archiveDir: String,
+                    urlkey: String, ts: String = null,
+                    fs: graft.FsIO = graft.FsIO.local,
+                    verifyExports: String = null,
+                    /** Takedown scrub at LINE level (the /cdx route's
+                      * rule): a line whose url — or whose revisit
+                      * `refers` — names a victim never serves, and a
+                      * revisit RESOLUTION never lands on a victim
+                      * original, even while the cluster awaits its
+                      * post-erasure rebuild. */
+                    victims: Set[String] = Set.empty)
+      : Option[Capture] = {
+    val lines = scrubVictims(
+      zipnumLookup(clusterDir, urlkey, fs, verifyExports), victims)
+    if (lines.isEmpty) return None
+    chooseLine(lines, ts, preferDigest = null).flatMap(
+      lineToCapture(clusterDir, archiveDir, _, fs, depth = 0, victims))
+  }
+
+  private def scrubVictims(lines: Seq[String],
+                           victims: Set[String]): Seq[String] =
+    if (victims.isEmpty) lines
+    else lines.filter { l =>
+      val u = cdxField(l, "url")
+      val r = cdxField(l, "refers")
+      !victims.contains(u) && (r.isEmpty || !victims.contains(r))
+    }
+
+  /** Wayback closest-capture selection among one key's lines. */
+  private def chooseLine(lines: Seq[String], ts: String,
+                         preferDigest: String): Option[String] = {
+    if (lines.isEmpty) return None
+    val pool =
+      if (preferDigest == null) lines
+      else {
+        val same = lines.filter(cdxField(_, "digest") == preferDigest)
+        if (same.nonEmpty) same else lines
+      }
+    def inst(t: String): Long = {
+      val p = t.filter(_.isDigit).padTo(14, '0').take(14)
+      if (p.isEmpty) 0L else p.toLong
+    }
+    if (ts == null || ts.isEmpty)
+      Some(pool.maxBy(l => inst(cdxField(l, "timestamp"))))
+    else {
+      val want = inst(ts)
+      Some(pool.minBy(l =>
+        math.abs(inst(cdxField(l, "timestamp")) - want)))
+    }
+  }
+
+  private def lineToCapture(clusterDir: String, archiveDir: String,
+                            line: String, fs: graft.FsIO,
+                            depth: Int,
+                            victims: Set[String] = Set.empty)
+      : Option[Capture] = {
+    val js = line.indexOf('{')
+    if (js < 0) return None
+    val node =
+      try cdxFieldMapper.readTree(line.substring(js))
+      catch { case _: Exception => return None }
+    def str(f: String): String =
+      Option(node.get(f)).map(_.asText()).orNull
+    val filename = str("filename")
+    val url = str("url")
+    if (filename == null || url == null) return None
+    val refers = str("refers")
+    if (refers != null) {
+      // Revisit: serve the ORIGINAL's bytes (depth-1 — a revisit of a
+      // revisit is not a state the writer produces).
+      if (depth >= 1) return None
+      val digest = str("digest")
+      val tsHere = cdxField(line, "timestamp")
+      // The cluster's key style is not recoverable from one key, so
+      // probe the four writer derivations, least-assuming first.
+      val candidates = Seq(
+        refers.replace(" ", "%20"),
+        surtKey(refers),
+        surtKey(refers, stripWww = true, scrubSession = true),
+        surtKey(refers, stripWww = true, scrubSession = true,
+          normalizeEncoding = true)).distinct
+      return candidates.iterator
+        .map(k => scrubVictims(zipnumLookup(clusterDir, k, fs), victims))
+        .find(_.nonEmpty)
+        .flatMap { ls =>
+          chooseLine(ls.filter(cdxField(_, "refers").isEmpty),
+            tsHere, preferDigest = digest)
+            .flatMap(lineToCapture(clusterDir, archiveDir, _, fs,
+              depth + 1, victims))
+        }
+    }
+    val offset = Option(node.get("offset")).map(_.asLong(-1L))
+      .getOrElse(-1L)
+    val length = Option(node.get("length")).map(_.asInt(-1))
+      .getOrElse(-1)
+    if (offset < 0L || length <= 0) return None
+    val member =
+      try fs.readRange(fs.resolve(archiveDir, filename), offset, length)
+      catch {
+        case _: java.nio.file.NoSuchFileException => return None
+        case _: java.io.FileNotFoundException => return None
+        case _: java.io.EOFException => return None
+      }
+    val bytes =
+      if (member.length >= 2 && (member(0) & 0xff) == 0x1f &&
+        (member(1) & 0xff) == 0x8b)
+        gunzip(member).getOrElse(return None)
+      else member
+    warcRecords(bytes).flatMap(_.headOption).flatMap { rec =>
+      // Payload = the archived HTTP message; the body starts after
+      // its head's CRLFCRLF (a head-less payload serves whole — some
+      // writers store raw bodies for non-HTTP schemes).
+      val end = rec.payloadOffset + rec.payloadLength
+      var i = rec.payloadOffset
+      var bodyAt = -1
+      while (bodyAt < 0 && i + 3 < end) {
+        if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
+          bytes(i + 2) == '\r' && bytes(i + 3) == '\n') bodyAt = i + 4
+        i += 1
+      }
+      val from = if (bodyAt < 0) rec.payloadOffset else bodyAt
+      val status = Option(node.get("status")).map(_.asLong(0L))
+        .getOrElse(0L)
+      Some(Capture(url, cdxField(line, "timestamp"), status,
+        Option(str("mime")).getOrElse("application/octet-stream"),
+        java.util.Arrays.copyOfRange(bytes, from, end)))
+    }
+  }
+
   /** CDXJ line field accessor shared by [[cdxFilterLines]] and
     * [[cdxCollapseLines]]: `urlkey`/`timestamp` come from the line's
     * two lead tokens, everything else (`url`, `mime`, `status`,

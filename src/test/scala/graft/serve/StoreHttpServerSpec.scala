@@ -512,4 +512,66 @@ class StoreHttpServerSpec extends SparkSpec {
       assert(keys(coll2) === Seq("https://pf.org/d/01"))
     } finally srv.stop()
   }
+
+  test("/replay serves the closest capture's archived body; takedown 404s") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import org.apache.spark.sql.types._
+    import graft.store.{ParquetStore, Takedown}
+    import graft.sources.Warc
+    val base = java.nio.file.Files.createTempDirectory("graft_http_rp")
+    val rows = (Seq(
+      ("g0", "https://w.org/page", "2024-01-01T00:00:00Z", "OLD BODY"),
+      ("g1", "https://w.org/page", "2024-06-01T00:00:00Z", "NEW BODY"),
+      ("g0", "https://w.org/bad", "2024-01-01T00:00:00Z", "banned")))
+      .map { case (g, u, d, b) =>
+        (g, u, d, "text/html", b.getBytes("UTF-8"))
+      }.toDF("file_group", "url", "warc_date", "content_type", "body")
+    val files = Warc.encodeResponses(rows, withCdx = true)
+      .localCheckpoint(true)
+    val arch = s"$base/arch"
+    Warc.writeFiles(files, arch)
+    val znDir = s"$base/zn"
+    Warc.writeZipnum(files, znDir, shards = 1, blockLines = 2)
+    val store = new ParquetStore(spark, StructType(Seq(
+      StructField("doc_key", StringType))), s"$base/docs",
+      tableName = "http_rp_docs")
+    val td = Takedown.takedownStore(spark, s"$base/td",
+      tableName = "http_rp_list")
+    val srv = new StoreHttpServer(store,
+      takedown = Some((td, "doc_key")),
+      cdxCluster = Some(znDir), cdxArchives = Some(arch)).start()
+    try {
+      // `*` = latest capture; the raw body serves with the recorded
+      // mime and the archive metadata on X- headers.
+      val conn = new java.net.URL(
+        s"http://localhost:${srv.port}/replay/*/" +
+          enc("https://w.org/page"))
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode === 200)
+      val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      assert(body === "NEW BODY")
+      assert(conn.getContentType === "text/html")
+      assert(conn.getHeaderField("X-Archive-Status") === "200")
+      assert(conn.getHeaderField("X-Archive-Timestamp") ===
+        "20240601000000")
+      // Closest-match timestamp picks the January capture.
+      val (s2, old) = get(srv.port,
+        s"/replay/20240105000000/${enc("https://w.org/page")}")
+      assert(s2 === 200 && old === "OLD BODY")
+      // Miss → 404.
+      val (s3, _) = get(srv.port, s"/replay/*/${enc("https://zz.org/")}")
+      assert(s3 === 404)
+      // Takedown composes: the banned URL 404s while the cluster and
+      // archive still hold it.
+      val (sPre, pre) = get(srv.port,
+        s"/replay/*/${enc("https://w.org/bad")}")
+      assert(sPre === 200 && pre === "banned")
+      Takedown.request(td,
+        Seq(("https://w.org/bad", "dmca")).toDF("key", "reason"))
+      val (sPost, _) = get(srv.port,
+        s"/replay/*/${enc("https://w.org/bad")}")
+      assert(sPost === 404)
+    } finally srv.stop()
+  }
 }

@@ -841,6 +841,81 @@ class WarcSpec extends SparkSpec {
     assert(Warc.zipnumDomain(dir, "org,nothere").isEmpty)
   }
 
+  test("replayCapture: closest-ts body replay, revisit resolution, victim scrub") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val rows = (Seq(
+      ("g0", "https://r.org/dup", "2024-01-01T00:00:00Z", "AAAA"),
+      ("g1", "https://r.org/dup", "2024-02-01T00:00:00Z", "BBBB"),
+      ("g2", "https://r.org/dup", "2024-03-01T00:00:00Z", "CCCC")) ++
+      (0 until 5).map(i => (s"g${i % 3}", s"https://r.org/p/$i",
+        "2024-01-01T00:00:00Z", s"body $i")))
+      .map { case (g, u, d, b) =>
+        (g, u, d, "text/plain", b.getBytes("UTF-8"))
+      }.toDF("file_group", "url", "warc_date", "content_type", "body")
+    val files = Warc.encodeResponses(rows, withCdx = true)
+      .localCheckpoint(true)
+    val arch = java.nio.file.Files.createTempDirectory("graft_rp_arch")
+      .toString
+    Warc.writeFiles(files, arch)
+    val zn = java.nio.file.Files.createTempDirectory("graft_rp_zn")
+      .toString
+    Warc.writeZipnum(files, zn, shards = 2, blockLines = 2)
+    // Basic replay: the archived BODY bytes come back exactly, with
+    // the recorded status/mime and the capture's own timestamp.
+    val c0 = Warc.replayCapture(zn, arch, "https://r.org/p/0").get
+    assert(new String(c0.body, "UTF-8") === "body 0")
+    assert(c0.status === 200L && c0.mime === "text/plain")
+    assert(c0.timestamp === "20240101000000")
+    // Closest-match ts semantics: a mid-February probe lands on the
+    // February capture; no ts = latest.
+    assert(new String(Warc.replayCapture(zn, arch, "https://r.org/dup",
+      ts = "20240215").get.body, "UTF-8") === "BBBB")
+    assert(new String(Warc.replayCapture(zn, arch, "https://r.org/dup")
+      .get.body, "UTF-8") === "CCCC")
+    assert(new String(Warc.replayCapture(zn, arch, "https://r.org/dup",
+      ts = "2024").get.body, "UTF-8") === "AAAA") // prefix pads to Jan 1
+    // Misses and scrubs return None, never a throw.
+    assert(Warc.replayCapture(zn, arch, "https://zz.org/x").isEmpty)
+    assert(Warc.replayCapture(zn, arch, "https://r.org/p/0",
+      victims = Set("https://r.org/p/0")).isEmpty)
+
+    // REVISIT resolution: call 2 re-delivers call 1's bytes at a /dup
+    // URL — the export writes a payload-free revisit whose `refers`
+    // names call 1's record; replaying the /dup key must serve the
+    // ORIGINAL's body, and a takedown on the original kills the
+    // revisit replay too (it points at removed content).
+    val expDir = java.nio.file.Files.createTempDirectory("graft_rp_inc")
+      .toString
+    val store = Warc.revisitStore(spark, s"$expDir-reps",
+      tableName = "rp_inc_reps")
+    store.reset()
+    def call(n: Int, urls: Seq[(String, String)]) = urls.map {
+      case (u, b) => (s"c${n}g0", u, s"2024-0$n-01T00:00:00Z",
+        "text/plain", b.getBytes("UTF-8"))
+    }.toDF("file_group", "url", "warc_date", "content_type", "body")
+    Warc.exportIncremental(call(1,
+      Seq(("https://inc.org/doc/0", "PAYLOAD-0"))), store, expDir,
+      withCdx = true)
+    Warc.exportIncremental(call(2,
+      Seq(("https://inc.org/dup/0", "PAYLOAD-0"))), store, expDir,
+      withCdx = true)
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    val cdxFiles = spark.read.format("binaryFile").load(expDir)
+      .filter(col("path").endsWith(".cdx"))
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("path"),
+        col("content"))
+    val zn2 = java.nio.file.Files.createTempDirectory("graft_rp_zn2")
+      .toString
+    Warc.writeZipnum(cdxFiles, zn2, shards = 1, blockLines = 2)
+    val dup = Warc.replayCapture(zn2, expDir, "https://inc.org/dup/0")
+      .get
+    assert(new String(dup.body, "UTF-8") === "PAYLOAD-0")
+    assert(dup.url === "https://inc.org/doc/0") // the original served
+    assert(Warc.replayCapture(zn2, expDir, "https://inc.org/dup/0",
+      victims = Set("https://inc.org/doc/0")).isEmpty)
+  }
+
   test("zipnumLookup: positioned reads only — never the rest of the shard; missing shard is empty; stale cluster refuses") {
     val sparkSession = spark
     import sparkSession.implicits._
