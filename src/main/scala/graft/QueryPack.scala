@@ -15,4 +15,9 @@ trait QueryPack {
   /** Read one of the driver fixture tables from an sf dir. */
   protected def table(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
+
+  /** [[Tables.spread]]: spread a narrow row set across the cluster
+    * before a per-row-heavy encode/decode stage (single-row-group
+    * fixture files otherwise pin the whole stage to one task). */
+  protected def spread(df: DataFrame): DataFrame = Tables.spread(df)
 }

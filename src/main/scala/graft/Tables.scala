@@ -25,6 +25,22 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   */
 object Tables {
 
+  /** Restore SCAN parallelism for a per-row-HEAVY stage (guide §1.2/§8:
+    * fix the distributed algorithm before the per-task work). The driver
+    * fixtures are single-row-group parquet files, and a parquet row
+    * group is indivisible — no `maxPartitionBytes` setting can split it,
+    * so a decode/encode flatMap chained straight onto the scan runs as
+    * ONE task regardless of core count (measured: q_audio_fp_pairs'
+    * fingerprint job = 3.9 s single-task at sf0.1/local[32]). This
+    * round-robins the NARROW pre-decode rows (ids — never payloads)
+    * across `defaultParallelism` so the heavy stage uses every core.
+    * At production scale tables are many row-groups/files and scans
+    * parallelize on their own; the repartition then still costs only a
+    * shuffle of key-width rows — noise next to the decode it feeds —
+    * and `defaultParallelism` tracks the cluster, not a local constant. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Columns that arrive as nanosecond longs under the legacy flag, per
     * table (only `events.ts` in the driver fixtures — TESTDATA.md; callers
     * with other nanos tables pass their own map to [[load]]). */

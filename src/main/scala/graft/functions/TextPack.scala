@@ -38,7 +38,7 @@ object TextPack extends QueryPack {
     * 750‰ English; odd ids: FR DE — English ties German at 2/5). */
   private def mixedDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    table(s, dir, "documents").select(col("doc_id")).as[Long]
+    table(s, dir, "documents").select(col("doc_id")).transform(graft.Tables.spread).as[Long]
       .map { id =>
         val keys =
           if (id % 2 == 0) Seq("en1", "en2", "de1", "en3")
@@ -88,7 +88,7 @@ object TextPack extends QueryPack {
     "q_sentences" -> { (s, dir) =>
       import s.implicits._
       val docs = table(s, dir, "documents")
-        .select(col("doc_id")).as[Long]
+        .select(col("doc_id")).transform(graft.Tables.spread).as[Long]
         .map { id =>
           (id, "Dr. Smith met J. Doe at No. 5. It cost 3.14 dollars! " +
             s"Did d$id work? Yes, etc. followed.")

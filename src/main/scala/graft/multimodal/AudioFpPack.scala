@@ -93,7 +93,7 @@ object AudioFpPack extends QueryPack {
     Map(
       "q_audio_fingerprint" -> { (s, dir) =>
         import s.implicits._
-        table(s, dir, "documents").select(col("doc_id")).as[Long]
+        spread(table(s, dir, "documents").select(col("doc_id"))).as[Long]
           .flatMap { id =>
             val pcm = Media.decodePcm(pcm8Wav(baseSamples(id))).get
             AudioFp.fingerprint(AudioFp.mono(pcm)).zipWithIndex.map {
@@ -107,7 +107,11 @@ object AudioFpPack extends QueryPack {
         // (bands a/b, ham fa/fb) — without it each branch re-runs the
         // encode+decode+fingerprint flatMap (same pattern as the LSH
         // signature table in Dedup.clusters).
-        val fps = table(s, dir, "documents").select(col("doc_id")).as[Long]
+        // spread: the encode×4 → decode → fingerprint flatMap below is
+        // the query's dominant cost (3.9 s of its ~7 s at sf0.1) and ran
+        // as ONE task — the fixture file is a single parquet row group,
+        // which no split size can divide (r17, guide §1.2/§2).
+        val fps = spread(table(s, dir, "documents").select(col("doc_id"))).as[Long]
           .flatMap { id =>
             (0 to 3).map { k =>
               val pcm = decodeAuto(encodeKind(id, k)).get

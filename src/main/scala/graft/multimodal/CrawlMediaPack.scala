@@ -125,7 +125,7 @@ object CrawlMediaPack extends QueryPack {
   /** (path, content) `.warc.gz` file rows for the given docs. */
   private def warcFiles(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
+    graft.Tables.spread(docs.select(col("doc_id"))).as[Long]
       .map(id => (s"mem://crawl/$id.warc.gz",
         graft.sources.WarcPack.gzipBytes(mediaWarc(id))))
       .toDF("path", "content")
@@ -149,7 +149,7 @@ object CrawlMediaPack extends QueryPack {
 
   private def mirrorFiles(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
+    graft.Tables.spread(docs.select(col("doc_id"))).as[Long]
       .map(id => (s"mem://mirror/$id.warc.gz",
         graft.sources.WarcPack.gzipBytes(mirrorWarc(id))))
       .toDF("path", "content")
@@ -164,7 +164,7 @@ object CrawlMediaPack extends QueryPack {
   private def mirrorIncFiles(s: SparkSession, docs: DataFrame,
                              batch: Boolean): DataFrame = {
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
+    graft.Tables.spread(docs.select(col("doc_id"))).as[Long]
       .map { id =>
         val bytes =
           if (!batch)
@@ -189,7 +189,7 @@ object CrawlMediaPack extends QueryPack {
   private def mirrorStableFiles(s: SparkSession, docs: DataFrame,
                                 batch: Boolean): DataFrame = {
     import s.implicits._
-    docs.select(col("doc_id")).as[Long]
+    graft.Tables.spread(docs.select(col("doc_id"))).as[Long]
       .map { id =>
         val bytes =
           if (!batch)

@@ -63,7 +63,7 @@ object MediaPack extends QueryPack {
         .filter(octet_length(col("text")).between(1, 65024))
         .select(col("doc_id").as("media_id"),
           encode(col("text"), "UTF-8").as("bytes"))
-        .as[(Long, Array[Byte])]
+        .transform(graft.Tables.spread).as[(Long, Array[Byte])]
         .map { case (id, data) => (id, oggContainer(data)) }
         .toDF("media_id", "bytes")
       Media.extractFrameSamples(media)
@@ -84,7 +84,7 @@ object MediaPack extends QueryPack {
         .filter(octet_length(col("text")) > 0)
         .select(col("doc_id").as("media_id"),
           encode(col("text"), "UTF-8").as("bytes"))
-        .as[(Long, Array[Byte])]
+        .transform(graft.Tables.spread).as[(Long, Array[Byte])]
         .map { case (id, data) => (id, flacContainer(data)) }
         .toDF("media_id", "bytes")
       Media.extractFeaturesBatched(media)
@@ -105,7 +105,7 @@ object MediaPack extends QueryPack {
         .filter(octet_length(col("text")) > 0)
         .select(col("doc_id").as("media_id"),
           encode(col("text"), "UTF-8").as("bytes"))
-        .as[(Long, Array[Byte])]
+        .transform(graft.Tables.spread).as[(Long, Array[Byte])]
         .map { case (id, data) => (id, bmpContainer(data)) }
         .toDF("media_id", "bytes")
       Media.extractFeaturesBatched(media)
@@ -125,7 +125,7 @@ object MediaPack extends QueryPack {
         .filter(octet_length(col("text")) > 0)
         .select(col("doc_id").as("media_id"),
           encode(col("text"), "UTF-8").as("bytes"))
-        .as[(Long, Array[Byte])]
+        .transform(graft.Tables.spread).as[(Long, Array[Byte])]
         .map { case (id, data) =>
           (id, mp4Video(Seq(pgmFrame(data), pgmFrame(data.reverse))))
         }
@@ -191,7 +191,7 @@ object MediaPack extends QueryPack {
       import graft.operators.Html
       val responses = table(s, dir, "documents")
         .filter(octet_length(col("text")) > 0)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .select(col("doc_id"), col("text")).transform(graft.Tables.spread).as[(Long, String)]
         .map { case (id, text) =>
           val (body, ct) =
             if (id % 2 == 1)
@@ -234,7 +234,7 @@ object MediaPack extends QueryPack {
         .filter(octet_length(col("text")) > 0)
         .select(col("doc_id").as("media_id"),
           encode(col("text"), "UTF-8").as("bytes"))
-        .as[(Long, Array[Byte])]
+        .transform(graft.Tables.spread).as[(Long, Array[Byte])]
         .map { case (id, data) => (id, wavContainer(tag, data)) }
         .toDF("media_id", "bytes")
       Media.extractFeaturesBatched(media)

@@ -20,7 +20,7 @@ object HtmlPack extends QueryPack {
         import s.implicits._
         val pages = table(s, dir, "documents")
           .filter(col("text").isNotNull) // builder dereferences text
-          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .select(col("doc_id"), col("text")).transform(graft.Tables.spread).as[(Long, String)]
           .map { case (id, text) =>
             val esc = text.replace("&", "&amp;").replace("<", "&lt;")
               .replace(">", "&gt;")
@@ -43,7 +43,7 @@ object HtmlPack extends QueryPack {
       "q_html_entities" -> { (s, dir) =>
         import s.implicits._
         val pages = table(s, dir, "documents")
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).transform(graft.Tables.spread).as[Long]
           .map { id =>
             (id, s"<p>d$id A&mdash;B &#x1F600; it&#146;s " +
               "caf&eacute; &hellip; &Omega;&ne;&frac12; x&#10;y " +
@@ -63,7 +63,7 @@ object HtmlPack extends QueryPack {
         import s.implicits._
         val pages = table(s, dir, "documents")
           .filter(col("text").isNotNull)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .select(col("doc_id"), col("text")).transform(graft.Tables.spread).as[(Long, String)]
           .map { case (id, text) =>
             val esc = text.replace("&", "&amp;").replace("<", "&lt;")
               .replace(">", "&gt;")
@@ -88,7 +88,7 @@ object HtmlPack extends QueryPack {
       "q_html_links" -> { (s, dir) =>
         import s.implicits._
         val pages = table(s, dir, "documents")
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).transform(graft.Tables.spread).as[Long]
           .map { id =>
             val hrefs = Seq("https://other.org/abs", "rel/p.html",
               "/root.html", "../up.html", "?page=2", "#frag",
@@ -113,7 +113,7 @@ object HtmlPack extends QueryPack {
       "q_canonical_dedup" -> { (s, dir) =>
         import s.implicits._
         val pages = table(s, dir, "documents")
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).transform(graft.Tables.spread).as[Long]
           .map { id =>
             val key = s"https://s.org/p${id - id % 3}"
             (id % 3).toInt match {
@@ -145,7 +145,7 @@ object HtmlPack extends QueryPack {
       "q_noindex_gate" -> { (s, dir) =>
         import s.implicits._
         val responses = table(s, dir, "documents")
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).transform(graft.Tables.spread).as[Long]
           .map { id =>
             val meta = (id % 4).toInt match {
               case 0 => "<meta name=\"robots\" content=\"noindex, nofollow\">"
@@ -175,7 +175,7 @@ object HtmlPack extends QueryPack {
       "q_page_dates" -> { (s, dir) =>
         import s.implicits._
         val pages = table(s, dir, "documents")
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).transform(graft.Tables.spread).as[Long]
           .map { id =>
             val mm = f"${id % 12 + 1}%02d"
             val dd = f"${id % 28 + 1}%02d"
@@ -204,7 +204,7 @@ object HtmlPack extends QueryPack {
       "q_jsonld" -> { (s, dir) =>
         import s.implicits._
         val pages = table(s, dir, "documents")
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).transform(graft.Tables.spread).as[Long]
           .map { id =>
             val dd = f"${id % 28 + 1}%02d"
             val ld = s"""{"@type":"NewsArticle","headline":"H $id",""" +

@@ -256,7 +256,18 @@ object Recrawl {
                     batchId: Long = -1L, scope: String = "",
                     /** `(url, _prior_n)` — each url's folded fetch
                       * count BEFORE this batch; absent urls count 0. */
-                    priorCounts: DataFrame = null): Unit = {
+                    priorCounts: DataFrame = null,
+                    /** Optional TRIM-CANDIDATE narrowing (r17): a
+                      * single-column `url` frame provably containing
+                      * every url of this batch that can exceed `keep`
+                      * retained rows (callers with a stats store pass
+                      * the urls whose folded count exceeds keep — ring
+                      * rows never exceed the folded count). Null = trim
+                      * all batch urls, the exact legacy behavior. */
+                    trimUrls: DataFrame = null): Unit = {
+    val toTrim =
+      if (trimUrls != null) trimUrls
+      else batch.select(col(urlCol).as("url"))
     if (h.batchApplied(scope, batchId)) {
       // The append landed but a crash may have preceded the TRIM
       // (advice r16: append and sentinel ride one appendStreaming, the
@@ -264,7 +275,7 @@ object Recrawl {
       // touched URLs above `keep` forever, silently eroding the
       // O(urls·keep) state bound). The trim is idempotent and bounded
       // by this batch's URLs, so the replay re-runs it and converges.
-      trimRing(h, batch.select(col(urlCol).as("url")), keep)
+      trimRing(h, toTrim, keep, probeFirst = trimUrls != null)
       return
     }
     val tieNames = historyTieNames(h)
@@ -282,7 +293,7 @@ object Recrawl {
             coalesce(col("_prior_n"), lit(0L)) + row_number().over(w))
           .drop("_prior_n")
       }
-    appendRingRows(h, rows, keep, batchId, scope)
+    appendRingRows(h, rows, keep, batchId, scope, trimUrls = trimUrls)
   }
 
   /** Shared ring append + trim tail ([[recordHistory]] and the
@@ -292,7 +303,10 @@ object Recrawl {
     * old row — the ordinal-rewrite primitive. */
   private def appendRingRows(h: graft.store.ParquetStore,
                              rows: DataFrame, keep: Int, batchId: Long,
-                             scope: String): Unit = {
+                             scope: String,
+                             /** r17 trim-candidate narrowing — see
+                               * [[recordHistory]]. */
+                             trimUrls: DataFrame = null): Unit = {
     require(keep >= 1, s"recordHistory: keep must be >= 1, got $keep")
     val tieNames = historyTieNames(h)
     val stamped = rows
@@ -307,7 +321,8 @@ object Recrawl {
         tieNames.map(n => lit(null).cast(h.schema(n).dataType).as(n)) ++
         Seq(lit(batchId).as("batch_id"), lit(scope).as("scope"))): _*))
     h.appendStreaming(withSentinel)
-    trimRing(h, rows.select(col("url")), keep)
+    trimRing(h, if (trimUrls != null) trimUrls else rows.select(col("url")),
+      keep, probeFirst = trimUrls != null)
   }
 
   /** Trim each of `urls` to its newest `keep` retained fetches (victims
@@ -319,8 +334,17 @@ object Recrawl {
     * batch-bounded and a corpus-bounded pass per trigger. Idempotent —
     * also the replay-path convergence step (advice r16). */
   private def trimRing(h: graft.store.ParquetStore, urls: DataFrame,
-                       keep: Int): Unit = {
+                       keep: Int,
+                       /** When the caller's `urls` is a computed
+                         * CANDIDATE set (often empty — the warm
+                         * in-bound case), probe its emptiness first:
+                         * one column-pruned job over the O(urls) stats
+                         * store replaces the ring-store window scan
+                         * below. Off for raw batch urls, which are
+                         * rarely empty (the probe would be waste). */
+                       probeFirst: Boolean = false): Unit = {
     require(keep >= 1, s"recordHistory: keep must be >= 1, got $keep")
+    if (probeFirst && urls.isEmpty) return
     val tieNames = historyTieNames(h)
     val keys = Seq("url", "fetch_us") ++ tieNames
     val w = Window.partitionBy(col("url"))
@@ -360,19 +384,32 @@ object Recrawl {
                 keepHistory: Int = 0): Unit = {
     val stats = batchStats(batch, urlCol, usCol, digestCol, tieBreak)
       .localCheckpoint(eager = true)
-    val applied = store.batchApplied(scope, batchId)
-    if (!applied) updateStats(store, stats, batchId, scope)
+    // No pre-probe here: updateStats runs its own batchApplied guard —
+    // a second identical full-store probe per fold was one redundant
+    // Spark job per trigger (r17, guide §1.2: the store-fold queries
+    // are job-count-bound — 117 jobs, none above 0.6 s).
+    updateStats(store, stats, batchId, scope)
     if (historyStore != null) {
       // Pre-fold count per url: the fold has landed by now (either in
       // this call or before a crash-replay), so prior = current −
       // batch, deterministically on first run and replay alike.
-      val prior = latestStats(store)
+      val current = latestStats(store)
         .select(col("url"), col("n_fetches").as("_cur"))
         .join(stats.select(col("url"), col("n_fetches").as("_bn")),
           Seq("url"))
+      val prior = current
         .select(col("url"), (col("_cur") - col("_bn")).as("_prior_n"))
+      // Trim candidates (r17): a url can exceed `keep` retained rows
+      // only if its FOLDED fetch count exceeds keep (ring rows ≤
+      // n_fetches) — the stats row the fold just advanced knows that
+      // without touching the ring store. Urls under the bound skip the
+      // trim's ring-window scan entirely; the common in-bound case
+      // becomes one column-pruned probe of the O(urls) stats store.
+      val trimCand = current.filter(col("_cur") > keepHistory)
+        .select(col("url"))
       recordHistory(historyStore, batch, keepHistory, urlCol, usCol,
-        digestCol, batchId, scope, priorCounts = prior)
+        digestCol, batchId, scope, priorCounts = prior,
+        trimUrls = trimCand)
     }
   }
 
@@ -619,10 +656,19 @@ object Recrawl {
                                     usCol: String, digestCol: String,
                                     keep: Int, batchId: Long,
                                     scope: String): Unit = {
+    // Trim candidates (r17, the [[foldBatch]] narrowing): only a url
+    // whose post-fold count exceeds `keep` can hold trim victims — the
+    // stats store knows that without a ring scan, and the backfill's
+    // stats fold has landed by the time any trim below runs.
+    def trimCand: DataFrame = latestStats(store)
+      .filter(col("n_fetches") > keep)
+      .join(lateBatch.select(col(urlCol).as("url")).distinct(),
+        Seq("url"), "left_semi")
+      .select(col("url"))
     if (ring.batchApplied(scope, batchId)) {
       // Same replay-path trim convergence as [[recordHistory]] (advice
       // r16): the restamp landed, the trim may not have.
-      trimRing(ring, lateBatch.select(col(urlCol).as("url")), keep)
+      trimRing(ring, trimCand, keep, probeFirst = true)
       return
     }
     val tieNames = historyTieNames(ring)
@@ -679,7 +725,7 @@ object Recrawl {
       // harmless under latest-per-key) and any row whose stamp moved.
       .filter(col("_old_ord").isNull || !(col("ord") <=> col("_old_ord")))
       .drop("_old_ord")
-    appendRingRows(ring, rows, keep, batchId, scope)
+    appendRingRows(ring, rows, keep, batchId, scope, trimUrls = trimCand)
   }
 
   /** Fetch rows under the history-store column names. */

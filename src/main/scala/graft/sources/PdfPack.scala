@@ -314,7 +314,7 @@ object PdfPack extends QueryPack {
         import s.implicits._
         val pdfs = table(s, dir, "documents")
           .filter(col("text").isNotNull)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .select(col("doc_id"), col("text")).transform(graft.Tables.spread).as[(Long, String)]
           .map { case (id, text) => (id, pdfCmapFile(id, text)) }
           .toDF("doc_id", "bytes")
         Pdf.extractText(pdfs)
@@ -331,7 +331,7 @@ object PdfPack extends QueryPack {
         import s.implicits._
         val pdfs = table(s, dir, "documents")
           .filter(col("text").isNotNull)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .select(col("doc_id"), col("text")).transform(graft.Tables.spread).as[(Long, String)]
           .map { case (id, text) => (id, pdfXrefFile(id, text)) }
           .toDF("doc_id", "bytes")
         Pdf.extractText(pdfs)
@@ -343,7 +343,7 @@ object PdfPack extends QueryPack {
         import s.implicits._
         val pdfs = table(s, dir, "documents")
           .filter(col("text").isNotNull)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .select(col("doc_id"), col("text")).transform(graft.Tables.spread).as[(Long, String)]
           .map { case (id, text) =>
             (id, pdfFile(id, text, compress = id % 2 == 1,
               hexFirst = id % 3 == 0))
@@ -359,7 +359,7 @@ object PdfPack extends QueryPack {
         import s.implicits._
         val pdfs = table(s, dir, "documents")
           .filter(col("text").isNotNull)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .select(col("doc_id"), col("text")).transform(graft.Tables.spread).as[(Long, String)]
           .map { case (id, text) =>
             (id, pdfFile(id, text, compress = id % 2 == 1,
               hexFirst = false, withInfo = true))
@@ -376,7 +376,7 @@ object PdfPack extends QueryPack {
         import s.implicits._
         val pdfs = table(s, dir, "documents")
           .filter(col("text").isNotNull)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .select(col("doc_id"), col("text")).transform(graft.Tables.spread).as[(Long, String)]
           .map { case (id, text) => (id, pdfObjStmFile(id, text)) }
           .toDF("doc_id", "bytes")
         Pdf.extractText(pdfs)

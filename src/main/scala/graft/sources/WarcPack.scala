@@ -46,7 +46,7 @@ object WarcPack extends QueryPack {
       .filter(octet_length(col("text")) > 0)
       .select(col("doc_id").as("media_id"),
         encode(col("text"), "UTF-8").as("bytes"))
-      .as[(Long, Array[Byte])]
+      .transform(graft.Tables.spread).as[(Long, Array[Byte])]
       .map { case (id, data) =>
         val w = warcFile(id, data)
         (id, if (gzipped) gzipBytes(w) else w)
@@ -102,7 +102,7 @@ object WarcPack extends QueryPack {
     import s.implicits._
     table(s, dir, "documents")
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .select(col("doc_id"), col("text")).transform(graft.Tables.spread).as[(Long, String)]
       .map { case (id, text) =>
         val esc = text.replace("&", "&amp;").replace("<", "&lt;")
           .replace(">", "&gt;")
@@ -274,7 +274,7 @@ object WarcPack extends QueryPack {
         import s.implicits._
         val rows = table(s, dir, "documents")
           .filter(col("text").isNotNull)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .select(col("doc_id"), col("text")).transform(graft.Tables.spread).as[(Long, String)]
           .map { case (id, text) =>
             val esc = text.replace("&", "&amp;").replace("<", "&lt;")
               .replace(">", "&gt;")
@@ -303,7 +303,7 @@ object WarcPack extends QueryPack {
         import s.implicits._
         val rows = table(s, dir, "documents")
           .filter(col("text").isNotNull)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .select(col("doc_id"), col("text")).transform(graft.Tables.spread).as[(Long, String)]
           .flatMap { case (id, text) =>
             val esc = text.replace("&", "&amp;").replace("<", "&lt;")
               .replace(">", "&gt;")
@@ -371,7 +371,7 @@ object WarcPack extends QueryPack {
         import s.implicits._
         val rows = table(s, dir, "documents")
           .filter(col("text").isNotNull)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .select(col("doc_id"), col("text")).transform(graft.Tables.spread).as[(Long, String)]
           .map { case (id, text) =>
             val esc = text.replace("&", "&amp;").replace("<", "&lt;")
               .replace(">", "&gt;")
@@ -423,7 +423,7 @@ object WarcPack extends QueryPack {
         import s.implicits._
         val rows = table(s, dir, "documents")
           .filter(col("text").isNotNull)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .select(col("doc_id"), col("text")).transform(graft.Tables.spread).as[(Long, String)]
           .map { case (id, text) =>
             val esc = text.replace("&", "&amp;").replace("<", "&lt;")
               .replace(">", "&gt;")
@@ -541,7 +541,7 @@ object WarcPack extends QueryPack {
         }
         val docs = table(s, dir, "documents")
           .filter(col("text").isNotNull)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .select(col("doc_id"), col("text")).transform(graft.Tables.spread).as[(Long, String)]
           .localCheckpoint(true)
         val call1 = docs.filter(_._1 % 2 == 0).map { case (id, text) =>
           (s"c1g${id % 3}", s"https://inc.org/doc/$id",
@@ -592,7 +592,7 @@ object WarcPack extends QueryPack {
           .filter(octet_length(col("text")) > 0)
           .select(col("doc_id").as("media_id"),
             encode(col("text"), "UTF-8").as("bytes"))
-          .as[(Long, Array[Byte])]
+          .transform(graft.Tables.spread).as[(Long, Array[Byte])]
           .map { case (id, data) =>
             (id, warcRevisitFile(id, data, corrupt = id % 7 == 0))
           }

@@ -171,6 +171,29 @@ final class ParquetStore(
     * behind the sentinel guard — and promoting one would commit a
     * batch its caller saw fail. */
   private def recoverCrashedSwaps(): Unit = {
+    // The multi-generation rewrite staging ([[rewriteWithoutKeys]],
+    // r17): one root, one top-level `_SUCCESS`, `rst_id=<g>` subdirs.
+    // With the marker, every remaining subdir is the committed rewrite
+    // of a generation whose swap may have died anywhere — promote it
+    // (already-swapped generations moved their subdir OUT, so nothing
+    // double-applies; a torn half-deleted target is replaced). Without
+    // the marker the swap loop never started — originals are intact
+    // and the partial staging is redundant.
+    locally {
+      val multi = fs.resolve(path, ".staging_rw_multi")
+      if (fs.exists(multi)) {
+        if (fs.exists(fs.resolve(multi, "_SUCCESS"))) {
+          fs.list(multi).filter(_.startsWith("rst_id=")).foreach { n =>
+            val target = fs.resolve(path, n)
+            fs.deleteRecursively(target)
+            fs.rename(fs.resolve(multi, n), target)
+            System.err.println(s"[graft] $tableName: promoted crashed " +
+              s"multi-rewrite $n")
+          }
+        }
+        fs.deleteRecursively(multi)
+      }
+    }
     val swapRe = "^\\.staging_(?:rw|cp|cl)_(\\d+)$".r
     fs.list(path).foreach { n =>
       swapRe.findFirstMatchIn(n) match {
@@ -204,6 +227,16 @@ final class ParquetStore(
     * touches anything. One directory listing; called inside each
     * mutator's lock. */
   private def checkFence(): Unit = if (fence != null) fence.check()
+
+  /** Label the Spark jobs `body` submits (guide §1.5): the store paths
+    * run MANY small jobs per fold, and an unlabeled profile/UI cannot
+    * attribute them. Thread-local, restored after. */
+  private def described[T](desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"$tableName:$desc")
+    try body finally sc.setJobDescription(prev)
+  }
 
   /** Generation directories currently on disk, ascending. Staging dirs
     * (`.staging_*`, from in-flight or failed writes) never match, so a
@@ -328,8 +361,8 @@ final class ParquetStore(
     val aligned = schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
     val staging = fs.resolve(path, s".staging_$counter")
     try {
-      batch.select(aligned.toIndexedSeq: _*)
-        .write.mode("overwrite").parquet(staging)
+      described("append")(batch.select(aligned.toIndexedSeq: _*)
+        .write.mode("overwrite").parquet(staging))
       fs.rename(staging, fs.resolve(path, s"rst_id=$counter"))
     } catch { case e: Throwable =>
       if (fs.exists(staging)) fs.deleteRecursively(staging)
@@ -419,39 +452,66 @@ final class ParquetStore(
     // table-format MERGE): a semi-join of the whole store against the
     // batch keys, projected to distinct rst_ids — not a probe job plus a
     // full directory listing per generation.
-    val touched = raw(None).join(matchKeys, keys, "left_semi")
-      .select("rst_id").distinct()
-      .collect().map(_.getLong(0)).sorted
-    for (g <- touched) {
-      val gen = raw(Some(col("rst_id") === g)).drop("rst_id")
-      val staging = fs.resolve(path, s".staging_rw_$g")
-      val original = fs.resolve(path, s"rst_id=$g")
-      var originalDeleted = false
-      try {
-        // Read-from-original, write-to-staging: the scan and the write
-        // never touch the same files; the swap happens only after the
-        // staged copy is complete.
-        gen.join(matchKeys, keys, "left_anti")
-          .write.mode("overwrite").parquet(staging)
-        fs.deleteRecursively(original)
-        originalDeleted = true
-        fs.rename(staging, original)
-      } catch { case e: Throwable =>
-        if (!originalDeleted) {
-          // Original intact — the staged copy is redundant, drop it.
-          if (fs.exists(staging)) fs.deleteRecursively(staging)
-        } else if (fs.exists(staging)) {
-          // Original is GONE: the staged directory is the only surviving
-          // copy of this generation's unmatched rows — deleting it here
-          // would turn a failed rename into data loss. Try a plain rename
-          // as recovery; if that too fails, leave .staging_rw_<g> on disk
-          // for operator recovery (reads skip it, so the store stays
-          // serving, minus this generation, instead of corrupting).
-          try fs.rename(staging, original)
-          catch { case _: Throwable => () }
-        }
-        throw e
+    val touched = described("erase-probe")(
+      raw(None).join(matchKeys, keys, "left_semi")
+        .select("rst_id").distinct()
+        .collect().map(_.getLong(0))).sorted
+    if (touched.isEmpty) return 0L
+    // ONE staged job rewrites EVERY touched generation (r17, guide
+    // §1.2: the old per-generation loop paid one full Spark job of
+    // fixed overhead per generation — the store-fold bench queries ran
+    // visible trains of ~240 ms erase jobs): the anti-join over the
+    // touched generations writes `rst_id=<g>` subdirs under one
+    // staging root via partitionBy, so the row volume of all
+    // generations rides one job. The swaps start only after the WHOLE
+    // staged copy is committed (`_SUCCESS`) — strictly tighter than
+    // the old loop, which swapped generation k before staging k+1.
+    val staging = fs.resolve(path, ".staging_rw_multi")
+    if (fs.exists(staging)) fs.deleteRecursively(staging)
+    var staged = false
+    try {
+      described("erase-rewrite")(
+        raw(Some(col("rst_id").isin(touched.map(Long.box): _*)))
+          .join(matchKeys, keys, "left_anti")
+          .write.partitionBy("rst_id").mode("overwrite").parquet(staging))
+      staged = true
+      // A generation whose every row matched writes no subdir: stage an
+      // EMPTY directory for it, so the uniform swap below leaves the
+      // generation present-but-empty exactly like the old per-
+      // generation rewrite did (generation ids must survive — counter
+      // restore and lockstep-contiguity guards read the listing).
+      touched.foreach { g =>
+        val sub = fs.resolve(staging, s"rst_id=$g")
+        if (!fs.exists(sub)) fs.mkdirs(sub)
       }
+      for (g <- touched) {
+        val original = fs.resolve(path, s"rst_id=$g")
+        fs.deleteRecursively(original)
+        fs.rename(fs.resolve(staging, s"rst_id=$g"), original)
+      }
+      fs.deleteRecursively(staging)
+    } catch { case e: Throwable =>
+      if (!staged) {
+        // The staged write itself failed — originals are untouched, the
+        // partial staging is redundant.
+        if (fs.exists(staging)) fs.deleteRecursively(staging)
+      } else {
+        // A swap failed mid-loop: every remaining staged subdir may be
+        // the ONLY copy of its generation's unmatched rows (its
+        // original may already be deleted). In-process recovery: finish
+        // the swaps whose original is gone; anything that still fails
+        // (a dead-process model where every fs call throws) is left
+        // staged for reopen recovery ([[recoverCrashedSwaps]] promotes
+        // `.staging_rw_multi` subdirs under the top-level `_SUCCESS`).
+        try touched.foreach { g =>
+          val sub = fs.resolve(staging, s"rst_id=$g")
+          val original = fs.resolve(path, s"rst_id=$g")
+          if (fs.exists(sub) && !fs.exists(original)) {
+            fs.rename(sub, original)
+          }
+        } catch { case _: Throwable => () }
+      }
+      throw e
     }
     touched.length.toLong
   }
@@ -527,9 +587,10 @@ final class ParquetStore(
       val original = fs.resolve(path, s"rst_id=$rstId")
       var originalDeleted = false
       try {
-        raw(Some(col("rst_id") === rstId)).drop("rst_id")
-          .repartition(numFiles)
-          .write.mode("overwrite").parquet(staging)
+        described("compact")(
+          raw(Some(col("rst_id") === rstId)).drop("rst_id")
+            .repartition(numFiles)
+            .write.mode("overwrite").parquet(staging))
         fs.deleteRecursively(original)
         originalDeleted = true
         fs.rename(staging, original)
@@ -623,7 +684,7 @@ final class ParquetStore(
         val original = fs.resolve(path, s"rst_id=$target")
         var originalDeleted = false
         try {
-          base.write.mode("overwrite").parquet(staging)
+          described("collapse")(base.write.mode("overwrite").parquet(staging))
           fs.deleteRecursively(original)
           originalDeleted = true
           fs.rename(staging, original)
@@ -690,10 +751,10 @@ final class ParquetStore(
     * store schema to carry `scope` and `batch_id`. Ad-hoc batches
     * (id < 0) never count as applied. */
   def batchApplied(scope: String, batchId: Long): Boolean =
-    batchId >= 0 &&
+    batchId >= 0 && described("applied-probe")(
       !selectAll.select(col("scope"), col("batch_id"))
         .filter(col("scope") <=> lit(scope) &&
-          col("batch_id") === batchId).isEmpty
+          col("batch_id") === batchId).isEmpty)
 
   /** Partition-discovered read: rst_id comes back as a column from the
     * directory names. Filters applied HERE hit the raw partition column, so

@@ -310,9 +310,11 @@ class CrashRecoverySpec extends SparkSpec {
       store.append(Seq((s"k$g", g), ("shared", g)).toDF("k", "v"))
     }
     // eraseKeys dies between deleteRecursively(rst_id=2) and the
-    // staged rename: generation 2's surviving rows exist only in
-    // .staging_rw_2 (and the in-process plain-rename fallback finds a
-    // dead process too).
+    // staged rename: generation 2's surviving rows exist only in the
+    // multi-rewrite staging's rst_id=2 subdir (r17 layout — all
+    // touched generations staged under one root with one top-level
+    // _SUCCESS; the in-process rename fallback finds a dead process
+    // too).
     val cfs = new CrashFs
     cfs.crashRenameTarget = "rst_id=2"
     val crashed = open(cfs)
@@ -321,8 +323,9 @@ class CrashRecoverySpec extends SparkSpec {
         Seq("k"))
     }
     assert(!NioFs.exists(NioFs.resolve(path, "rst_id=2")))
-    assert(NioFs.exists(NioFs.resolve(
-      NioFs.resolve(path, ".staging_rw_2"), "_SUCCESS")))
+    val multi = NioFs.resolve(path, ".staging_rw_multi")
+    assert(NioFs.exists(NioFs.resolve(multi, "_SUCCESS")))
+    assert(NioFs.exists(NioFs.resolve(multi, "rst_id=2")))
     // Worse still (review r17): deleteRecursively is not atomic — a
     // death MID-delete leaves a PARTIAL target directory. Recovery
     // must still prefer the _SUCCESS-marked staging (re-running the
@@ -338,7 +341,7 @@ class CrashRecoverySpec extends SparkSpec {
     // deleted directory.
     val reopened = open(NioFs)
     assert(NioFs.exists(NioFs.resolve(path, "rst_id=2")))
-    assert(!NioFs.exists(NioFs.resolve(path, ".staging_rw_2")))
+    assert(!NioFs.exists(NioFs.resolve(path, ".staging_rw_multi")))
     val ks = reopened.latestPerKey(Seq("k")).select("k").collect()
       .map(_.getString(0)).toSet
     assert(ks === Set("k1", "k3", "shared"))
