@@ -38,7 +38,7 @@ object TextPack extends QueryPack {
     * 750‰ English; odd ids: FR DE — English ties German at 2/5). */
   private def mixedDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    table(s, dir, "documents").select(col("doc_id")).transform(graft.Tables.spread).as[Long]
+    graft.Tables.spread(table(s, dir, "documents").select(col("doc_id"))).as[Long]
       .map { id =>
         val keys =
           if (id % 2 == 0) Seq("en1", "en2", "de1", "en3")
@@ -60,7 +60,7 @@ object TextPack extends QueryPack {
     // DuckDB side: two independent script-property tables must agree.
     "q_script_mix" -> { (s, dir) =>
       graft.functions.TextFunctions // package anchor
-      val docs = table(s, dir, "documents")
+      val docs = graft.Tables.spread(table(s, dir, "documents"))
         .filter(col("text").isNotNull)
         .select(col("doc_id"),
           concat(col("text"), lit(ScriptTail)).as("text"))
@@ -71,7 +71,7 @@ object TextPack extends QueryPack {
     // the JDK's normalizer vs DuckDB's nfc_normalize, two independent
     // Unicode composition tables that must agree byte-for-byte.
     "q_nfc" -> { (s, dir) =>
-      val docs = table(s, dir, "documents")
+      val docs = graft.Tables.spread(table(s, dir, "documents"))
         .filter(col("text").isNotNull)
         .select(col("doc_id"),
           concat(col("text"),
@@ -87,8 +87,8 @@ object TextPack extends QueryPack {
     // must NOT split). Four exact sentences per document, closed-form.
     "q_sentences" -> { (s, dir) =>
       import s.implicits._
-      val docs = table(s, dir, "documents")
-        .select(col("doc_id")).transform(graft.Tables.spread).as[Long]
+      val docs = graft.Tables.spread(table(s, dir, "documents")
+        .select(col("doc_id"))).as[Long]
         .map { id =>
           (id, "Dr. Smith met J. Doe at No. 5. It cost 3.14 dollars! " +
             s"Did d$id work? Yes, etc. followed.")
@@ -133,7 +133,7 @@ object TextPack extends QueryPack {
     "q_curated_multilang" -> { (s, dir) =>
       val dom = TextFunctions.langDominant(
         TextFunctions.langSegments(mixedDocs(s, dir)))
-      table(s, dir, "documents").select(col("doc_id"), col("lang"))
+      graft.Tables.spread(table(s, dir, "documents")).select(col("doc_id"), col("lang"))
         .join(dom.filter(col("dom_lang") === "en" &&
           col("share_permille") >= 700), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("dom_lang"),
@@ -156,7 +156,7 @@ object TextPack extends QueryPack {
     },
     // Per-document lexer-class token counts (regexp_count, ASCII classes).
     "q_token_counts" -> { (s, dir) =>
-      table(s, dir, "documents").select(
+      graft.Tables.spread(table(s, dir, "documents")).select(
         col("doc_id"),
         tokenCount(col("text")).as("n_ws_tokens"),
         regexTokenCount(col("text"), AnyToken).as("n_rx_tokens"),
@@ -167,13 +167,13 @@ object TextPack extends QueryPack {
     // Marker-based language ID; scores exposed so the heuristic itself is
     // oracle-checked, not just the argmax.
     "q_lang_id" -> { (s, dir) =>
-      table(s, dir, "documents").select(
+      graft.Tables.spread(table(s, dir, "documents")).select(
         Seq(col("doc_id"), col("lang"),
           langPredict(col("text")).as("pred_lang")) ++ scoreCols: _*)
     },
     // Quality components: exact ints + two single-division ratios.
     "q_quality_score" -> { (s, dir) =>
-      table(s, dir, "documents")
+      graft.Tables.spread(table(s, dir, "documents"))
         .select(
           col("doc_id"),
           length(col("text")).as("len"),
@@ -188,7 +188,7 @@ object TextPack extends QueryPack {
     },
     // Corpus-wide word-bigram counts above a support threshold.
     "q_ngram_counts" -> { (s, dir) =>
-      table(s, dir, "documents")
+      graft.Tables.spread(table(s, dir, "documents"))
         .select(explode(wordNgrams(col("text"), 2)).as("ngram"))
         .groupBy("ngram").agg(count(lit(1)).as("count"))
         .filter(col("count") >= 20)
@@ -197,20 +197,20 @@ object TextPack extends QueryPack {
     // counts of corpus bigram frequencies (integer-exact familiarity; see
     // TextFunctions.bigramFamiliarity for why there's no log in it).
     "q_bigram_familiarity" -> { (s, dir) =>
-      TextFunctions.bigramFamiliarity(table(s, dir, "documents"))
+      TextFunctions.bigramFamiliarity(graft.Tables.spread(table(s, dir, "documents")))
     },
     // Held-out variant: the count model comes from the TRAIN split only
     // and scores val/test docs — the leakage-free quality filter, with
     // the OOV tally as the junk signal.
     "q_heldout_familiarity" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s) // md5_hash32 (the split draw)
-      TextFunctions.bigramFamiliarityHeldOut(table(s, dir, "documents"),
+      TextFunctions.bigramFamiliarityHeldOut(graft.Tables.spread(table(s, dir, "documents")),
         graft.operators.Curation.splitOf(col("doc_id"),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)) === "train")
     },
     // Document fingerprint (md5 of normalized text) — the dedup identity.
     "q_fingerprint" -> { (s, dir) =>
-      table(s, dir, "documents").select(
+      graft.Tables.spread(table(s, dir, "documents")).select(
         col("doc_id"), fingerprint(col("text")).as("fp"))
     },
     // Rabin–Karp rolling-hash fingerprint of the normalized text (codegen'd
@@ -218,20 +218,20 @@ object TextPack extends QueryPack {
     // sibling).
     "q_rolling_fp" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      table(s, dir, "documents").select(col("doc_id"),
+      graft.Tables.spread(table(s, dir, "documents")).select(col("doc_id"),
         call_function("rolling_hash", normalize(col("text"))).as("rfp"))
     },
     // Per-document top-3 terms by tf·idf (rational idf — see
     // TextFunctions.tfIdfTopK for why there's no log in it).
     "q_tfidf_topk" -> { (s, dir) =>
-      val docs = table(s, dir, "documents")
+      val docs = graft.Tables.spread(table(s, dir, "documents"))
       TextFunctions.tfIdfTopK(docs, docs.count(), k = 3)
     },
     // Top-5 words per language — windowed analytics over the corpus
     // (explode → one grouped agg → rank; WindowGroupLimit prunes pre-shuffle).
     "q_top_words_per_lang" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val counts = table(s, dir, "documents")
+      val counts = graft.Tables.spread(table(s, dir, "documents"))
         .select(col("lang"), explode(words(col("text"))).as("word"))
         .groupBy("lang", "word").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("lang").orderBy(col("n").desc, col("word").asc)
@@ -249,10 +249,10 @@ object TextPack extends QueryPack {
     // vocabulary (bit-length logs; ranks via the distributed two-pass
     // numbering, never a single-partition window).
     "q_zipf_slope" -> { (s, dir) =>
-      TextFunctions.zipfSlope(table(s, dir, "documents"))
+      TextFunctions.zipfSlope(graft.Tables.spread(table(s, dir, "documents")))
     },
     "q_token_quantiles" -> { (s, dir) =>
-      table(s, dir, "documents").groupBy("lang").agg(
+      graft.Tables.spread(table(s, dir, "documents")).groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
         expr("percentile(n_chars, 0.1)").as("p10"),
         expr("percentile(n_chars, 0.25)").as("p25"),

@@ -31,13 +31,13 @@ object BpePack extends QueryPack {
     String, (Seq[Bpe.Merge], DataFrame)]()
   private def train(s: SparkSession, dir: String): (Seq[Bpe.Merge], DataFrame) =
     trained.computeIfAbsent(s.hashCode() + "|" + dir,
-      _ => Bpe.train(table(s, dir, "documents"), K))
+      _ => Bpe.train(graft.Tables.spread(table(s, dir, "documents")), K))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The learned merge table — the tokenizer-training artifact itself.
     // Unmemoized: this is the bench's training-cost query (see `trained`).
     "q_bpe_merges" -> { (s, dir) =>
-      val (merges, _) = Bpe.train(table(s, dir, "documents"), K)
+      val (merges, _) = Bpe.train(graft.Tables.spread(table(s, dir, "documents")), K)
       s.createDataFrame(merges)
     },
     // Weighted token vocabulary after the k merges.
@@ -47,13 +47,13 @@ object BpePack extends QueryPack {
     // Encode the corpus with the trained tokenizer: per-doc BPE token
     // counts via a broadcast word → token-count join.
     "q_bpe_encode" -> { (s, dir) =>
-      Bpe.encode(table(s, dir, "documents"), train(s, dir)._2)
+      Bpe.encode(graft.Tables.spread(table(s, dir, "documents")), train(s, dir)._2)
     },
     // Vocabulary drift: tokenizer word table built from the EVEN doc_ids,
     // odd documents scored for out-of-vocabulary words — the train/serve
     // drift monitor (same-corpus OOV is vacuously zero).
     "q_bpe_oov" -> { (s, dir) =>
-      val docs = table(s, dir, "documents")
+      val docs = graft.Tables.spread(table(s, dir, "documents"))
       Bpe.oovStats(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
         Bpe.wordTable(docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text"))
     },
@@ -61,7 +61,7 @@ object BpePack extends QueryPack {
     // for the gate (tokens never contain whitespace, so it's lossless —
     // and the driver's value hashing is only proven on scalars).
     "q_bpe_tokens" -> { (s, dir) =>
-      Bpe.encodeTokens(table(s, dir, "documents"), train(s, dir)._2)
+      Bpe.encodeTokens(graft.Tables.spread(table(s, dir, "documents")), train(s, dir)._2)
         .select(col("doc_id"), array_join(col("tokens"), " ").as("tokens"))
     }
   )

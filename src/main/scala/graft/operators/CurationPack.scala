@@ -25,14 +25,14 @@ object CurationPack extends QueryPack {
     // remainder spread deterministically — the cap-aware mixing allocation
     // every multi-source training run starts from.
     "q_budget_waterfill" -> { (s, dir) =>
-      Curation.budgetWaterfill(table(s, dir, "documents"), "source", "n_chars")
+      Curation.budgetWaterfill(graft.Tables.spread(table(s, dir, "documents")), "source", "n_chars")
     },
     // The allocation APPLIED: per source the hash-ordered document prefix
     // that fits its waterfilled budget — the deterministic corpus cut a
     // mixing run actually trains on.
     "q_budget_cut" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      Curation.budgetCut(table(s, dir, "documents"), "source", "n_chars")
+      Curation.budgetCut(graft.Tables.spread(table(s, dir, "documents")), "source", "n_chars")
     },
     // Leakage-safe split: the hash gate keyed on the GROUP (source domain)
     // instead of the document id, so every doc of a domain — including all
@@ -46,7 +46,7 @@ object CurationPack extends QueryPack {
     // textbook single-window cumulative sum.
     "q_compaction_plan" -> { (s, dir) =>
       Curation.compactionPlan(
-        table(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        graft.Tables.spread(table(s, dir, "documents")).select(col("doc_id"), col("n_chars")),
         Seq(col("doc_id")), col("n_chars"), targetBytes = 4096L)
     },
     // Per-stage attrition accounting of the standard curation cascade —
@@ -55,7 +55,7 @@ object CurationPack extends QueryPack {
     // production: cheap length gates first, the tokenizing word-count
     // gate only on survivors, language routing last.
     "q_filter_cascade" -> { (s, dir) =>
-      Integrity.filterCascade(table(s, dir, "documents"), Seq(
+      Integrity.filterCascade(graft.Tables.spread(table(s, dir, "documents")), Seq(
         "min_chars_100" -> (col("n_chars") >= 100L),
         "max_chars_450" -> (col("n_chars") <= 450L),
         "min_words_40" ->
@@ -63,7 +63,7 @@ object CurationPack extends QueryPack {
         "latin_lang" -> col("lang").isin("en", "es", "de", "fr")))
     },
     "q_split_by_group" -> { (s, dir) =>
-      table(s, dir, "documents").select(col("doc_id"), col("source"),
+      graft.Tables.spread(table(s, dir, "documents")).select(col("doc_id"), col("source"),
         Curation.splitOf(col("source"),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
     },
@@ -71,7 +71,7 @@ object CurationPack extends QueryPack {
     // exact order-statistic bounds, so the clamp is engine-exact.
     "q_winsorize" -> { (s, dir) =>
       Curation.winsorize(
-        table(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        graft.Tables.spread(table(s, dir, "documents")).select(col("doc_id"), col("lang"), col("n_chars")),
         Seq("lang"), "n_chars", lo = (1L, 20L), hi = (19L, 20L))
         .select("doc_id", "lang", "n_chars", "clamped")
     },
@@ -80,14 +80,14 @@ object CurationPack extends QueryPack {
     // float mean anywhere — the oracle replicates the comparison exactly).
     "q_length_outliers" -> { (s, dir) =>
       Curation.lengthOutliers(
-          table(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          graft.Tables.spread(table(s, dir, "documents")).select(col("doc_id"), col("lang"), col("n_chars")),
           "n_chars", "lang", hiNum = 3L, hiDen = 2L, loNum = 1L, loDen = 2L)
         .select("doc_id", "lang", "n_chars", "outlier")
     },
     // Curriculum deciles by length within each language — total-order
     // ntile, so bucket edges are engine-stable through score ties.
     "q_curriculum" -> { (s, dir) =>
-      Curation.curriculumBuckets(table(s, dir, "documents"), n = 10,
+      Curation.curriculumBuckets(graft.Tables.spread(table(s, dir, "documents")), n = 10,
         strataCol = "lang", score = length(col("text")).cast("long"))
     },
     // Exactly 20 docs per language by salted-md5 draw — quota sampling
@@ -95,13 +95,13 @@ object CurationPack extends QueryPack {
     "q_sample_exact_k" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s) // md5_hash32 (the draw)
       Curation.sampleExactK(
-          table(s, dir, "documents").select("doc_id", "lang"),
+          graft.Tables.spread(table(s, dir, "documents")).select("doc_id", "lang"),
           k = 20, strataCol = "lang")
         .select("doc_id", "lang", "draw_rank")
     },
     "q_sample_stratified" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      Curation.sampleStratified(table(s, dir, "documents"), Rates)
+      Curation.sampleStratified(graft.Tables.spread(table(s, dir, "documents")), Rates)
         .select("doc_id", "lang", "weight")
     },
     // α=1/2 temperature sampling toward 200 docs: keep rates ∝ √n_l/n_l,
@@ -110,7 +110,7 @@ object CurationPack extends QueryPack {
     // Curation.sampleTemperature).
     "q_sample_temperature" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      Curation.sampleTemperature(table(s, dir, "documents"), targetDocs = 200L)
+      Curation.sampleTemperature(graft.Tables.spread(table(s, dir, "documents")), targetDocs = 200L)
         .select("doc_id", "lang", "n_strat", "gate_num")
     },
     // Poisson PPS sampling toward 150 expected docs, weighted by length —
@@ -119,12 +119,12 @@ object CurationPack extends QueryPack {
     "q_sample_pps" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       Curation.samplePps(
-        table(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        graft.Tables.spread(table(s, dir, "documents")).select("doc_id", "lang", "n_chars"),
         weightCol = "n_chars", k = 150L)
     },
     "q_repetition" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      Curation.repetition(table(s, dir, "documents"))
+      Curation.repetition(graft.Tables.spread(table(s, dir, "documents")))
     },
     // Gopher duplicate-line signals (Curation.duplicateUnitStats). The
     // fixture text carries no newlines, so the lined form is constructed
@@ -133,7 +133,7 @@ object CurationPack extends QueryPack {
     // genuine intra-document phrase repetition (181/500 docs at sf0.01).
     "q_gopher_lines" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      val base = table(s, dir, "documents").select(col("doc_id"),
+      val base = graft.Tables.spread(table(s, dir, "documents")).select(col("doc_id"),
         graft.functions.TextFunctions.words(
           graft.functions.TextFunctions.normalize(col("text"))).as("ws"))
       val lined = base.select(col("doc_id"),
@@ -151,7 +151,7 @@ object CurationPack extends QueryPack {
     // no shared code).
     "q_gopher_morph" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      val base = table(s, dir, "documents")
+      val base = graft.Tables.spread(table(s, dir, "documents"))
         .filter(col("text").isNotNull)
         .select(col("doc_id"),
           graft.functions.TextFunctions.words(
@@ -172,17 +172,17 @@ object CurationPack extends QueryPack {
     // oracle replicates with a window rank.
     "q_gopher_topngram" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      Curation.topNgramCharFrac(table(s, dir, "documents"))
+      Curation.topNgramCharFrac(graft.Tables.spread(table(s, dir, "documents")))
     },
     "q_curated_corpus" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      Curation.curate(table(s, dir, "documents"), RulesV)
+      Curation.curate(graft.Tables.spread(table(s, dir, "documents")), RulesV)
     },
     // Deterministic 80/10/10 train/val/test assignment — one hash draw on
     // contiguous ranges, disjoint and exhaustive by construction.
     "q_split_assign" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      table(s, dir, "documents")
+      graft.Tables.spread(table(s, dir, "documents"))
         .groupBy(Curation.splitOf(col("doc_id"),
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"),
           col("lang"))
@@ -191,14 +191,14 @@ object CurationPack extends QueryPack {
     // Sliding-window chunking into 32-token chunks with 8-token overlap —
     // context-window preparation, fully narrow (no shuffle).
     "q_doc_chunks" -> { (s, dir) =>
-      Chunking.chunk(table(s, dir, "documents"), chunkTokens = 32,
+      Chunking.chunk(graft.Tables.spread(table(s, dir, "documents")), chunkTokens = 32,
         overlapTokens = 8)
     },
     // Greedy sequence packing into 512-token bins across 8 shards, ordered
     // by the salted-md5 global shuffle; one shuffle + one window pass.
     "q_pack_sequences" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      Chunking.packSequences(table(s, dir, "documents"), ctxTokens = 512,
+      Chunking.packSequences(graft.Tables.spread(table(s, dir, "documents")), ctxTokens = 512,
           numShards = 8)
         .groupBy("shard", "bin")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
@@ -207,12 +207,12 @@ object CurationPack extends QueryPack {
     // permutations, positions via the distributed two-pass numbering.
     "q_epoch_order" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      Curation.epochOrder(table(s, dir, "documents"), epochs = 2)
+      Curation.epochOrder(graft.Tables.spread(table(s, dir, "documents")), epochs = 2)
     },
     // Deterministic 16-way output sharding + per-shard balance stats.
     "q_shard_assign" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      table(s, dir, "documents")
+      graft.Tables.spread(table(s, dir, "documents"))
         .groupBy(Curation.shardOf(col("doc_id"), 16).as("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chars").cast("long").as("total_chars"))

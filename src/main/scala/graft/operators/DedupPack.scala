@@ -34,15 +34,15 @@ object DedupPack extends QueryPack {
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(table(s, dir, "documents"))),
     "q_dedup_near" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      Dedup.nearDuplicates(table(s, dir, "documents"), Threshold)
+      Dedup.nearDuplicates(graft.Tables.spread(table(s, dir, "documents")), Threshold)
     },
     "q_simhash" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      Dedup.simhash(table(s, dir, "documents"))
+      Dedup.simhash(graft.Tables.spread(table(s, dir, "documents")))
     },
     "q_simhash_pairs" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      Dedup.simhashPairs(table(s, dir, "documents"), maxHamming = 8)
+      Dedup.simhashPairs(graft.Tables.spread(table(s, dir, "documents")), maxHamming = 8)
     },
     "q_dedup_jaccard" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
@@ -107,12 +107,12 @@ object DedupPack extends QueryPack {
     // paths.
     "q_dedup_snm" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      Dedup.sortedNeighborhood(table(s, dir, "documents"), window = 6,
+      Dedup.sortedNeighborhood(graft.Tables.spread(table(s, dir, "documents")), window = 6,
         threshold = 0.5)
     },
     "q_dedup_clusters" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      Dedup.clusters(table(s, dir, "documents"), Threshold)
+      Dedup.clusters(graft.Tables.spread(table(s, dir, "documents")), Threshold)
     },
     // EXACT clusters: CC over the COMPLETE PPJoin pair graph — a pure
     // function of (corpus, threshold); oracle closes over brute-force
@@ -126,7 +126,7 @@ object DedupPack extends QueryPack {
     // error, next to q_knn_recall's ANN recall ladder.
     "q_minhash_accuracy" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      Dedup.minhashAccuracy(table(s, dir, "documents"), Threshold)
+      Dedup.minhashAccuracy(graft.Tables.spread(table(s, dir, "documents")), Threshold)
     },
     // Eval-decontamination audit: near-dup clusters straddling the
     // per-document hash split — each row is a cluster whose members sit
@@ -136,7 +136,7 @@ object DedupPack extends QueryPack {
     "q_split_leakage" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       Integrity.splitLeakage(
-        Dedup.clusters(table(s, dir, "documents"), Threshold),
+        Dedup.clusters(graft.Tables.spread(table(s, dir, "documents")), Threshold),
         Curation.splitOf(col("doc_id"),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
     },
@@ -145,14 +145,14 @@ object DedupPack extends QueryPack {
     // PAIRS deserve a document-level dedup pass.
     "q_source_overlap" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      Dedup.sourceOverlap(table(s, dir, "documents"))
+      Dedup.sourceOverlap(graft.Tables.spread(table(s, dir, "documents")))
     },
     // Quality-aware keep decision: per near-dup cluster, the LONGEST
     // member (ties → smaller id) — "which copy do we train on", vs
     // q_dedup_keep's min-id pure-dedup answer.
     "q_cluster_representatives" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      val docs = table(s, dir, "documents")
+      val docs = graft.Tables.spread(table(s, dir, "documents"))
       Dedup.clusterRepresentatives(Dedup.clusters(docs, Threshold),
         docs.select("doc_id", "n_chars"), "n_chars")
     },
@@ -160,11 +160,11 @@ object DedupPack extends QueryPack {
     // cluster) and the complementary DROP list.
     "q_dedup_keep" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      Dedup.keepList(Dedup.clusters(table(s, dir, "documents"), Threshold))
+      Dedup.keepList(Dedup.clusters(graft.Tables.spread(table(s, dir, "documents")), Threshold))
     },
     "q_dedup_drop" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      Dedup.dropList(Dedup.clusters(table(s, dir, "documents"), Threshold))
+      Dedup.dropList(Dedup.clusters(graft.Tables.spread(table(s, dir, "documents")), Threshold))
     },
     // Dedup-aware sampling weights: weight each document by the inverse of
     // its near-dup cluster size (ppm, integer), so a cluster contributes
@@ -173,7 +173,7 @@ object DedupPack extends QueryPack {
     "q_cluster_weights" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
-      Dedup.clusters(table(s, dir, "documents"), Threshold)
+      Dedup.clusters(graft.Tables.spread(table(s, dir, "documents")), Threshold)
         .withColumn("cluster_size", count(lit(1)).over(w))
         .withColumn("weight_ppm", expr("1000000 div cluster_size"))
     },
@@ -181,7 +181,7 @@ object DedupPack extends QueryPack {
     // batch", everything before it the already-ingested corpus whose
     // fingerprint index the batch anti-joins.
     "q_dedup_incremental" -> { (s, dir) =>
-      val docs = table(s, dir, "documents")
+      val docs = graft.Tables.spread(table(s, dir, "documents"))
       val isBatch = col("doc_id") % 10 >= 8
       Dedup.incremental(
         docs.filter(isBatch),
@@ -194,7 +194,7 @@ object DedupPack extends QueryPack {
     // the pairwise q_dedup_contamination below.
     "q_contamination_score" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      val docs = table(s, dir, "documents")
+      val docs = graft.Tables.spread(table(s, dir, "documents"))
       val isEval = col("source").isin("src18", "src19")
       Dedup.ngramContamination(docs.filter(!isEval), docs.filter(isEval))
     },
@@ -205,7 +205,7 @@ object DedupPack extends QueryPack {
       graft.plans.GraftExtensions.register(s)
       // Same derived geometry as the nearDuplicates default at this
       // threshold, so the shared PairCtes oracle replicates both.
-      val bands = Dedup.lshBands(table(s, dir, "documents"),
+      val bands = Dedup.lshBands(graft.Tables.spread(table(s, dir, "documents")),
         carryCols = Seq("source"),
         bands = Geo.bands, rowsPerBand = Geo.rowsPerBand)
         .localCheckpoint(eager = true)

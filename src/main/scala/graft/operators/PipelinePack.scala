@@ -73,12 +73,12 @@ object PipelinePack extends QueryPack {
     // Per-column profile of the documents table — one scan, one aggregate
     // (exact distincts via a single Expand), reshaped long on the driver.
     "q_profile_docs" -> { (s, dir) =>
-      Profiling.profile(table(s, dir, "documents"), ProfileCols)
+      Profiling.profile(graft.Tables.spread(table(s, dir, "documents")), ProfileCols)
     },
     // The data-card mode field: each profiled column's most frequent
     // value via the max-join argmax (never a per-column window).
     "q_profile_modes" -> { (s, dir) =>
-      Profiling.modes(table(s, dir, "documents"), ProfileCols)
+      Profiling.modes(graft.Tables.spread(table(s, dir, "documents")), ProfileCols)
     },
     // Fixed-width value histogram per event type: mergeable bins, one
     // map-side-combined aggregate.
@@ -91,7 +91,7 @@ object PipelinePack extends QueryPack {
     // frequency table (see Profiling.equiDepthHistogram for the scale
     // contract).
     "q_histogram_equidepth" -> { (s, dir) =>
-      Profiling.equiDepthHistogram(table(s, dir, "documents"), "n_chars", 8)
+      Profiling.equiDepthHistogram(graft.Tables.spread(table(s, dir, "documents")), "n_chars", 8)
     },
     // Distribution drift: event-type mix of the month's first half vs
     // second half, as per-category chi-square contributions (the ingest
@@ -104,7 +104,7 @@ object PipelinePack extends QueryPack {
     // integer ranks, no sketch and no interpolation, so the values
     // hash-match any engine that sorts the same longs.
     "q_exact_quantiles" -> { (s, dir) =>
-      Profiling.exactQuantiles(table(s, dir, "documents"), Seq("lang"),
+      Profiling.exactQuantiles(graft.Tables.spread(table(s, dir, "documents")), Seq("lang"),
         "n_chars", Seq(("p25", 1L, 4L), ("p50", 1L, 2L),
           ("p75", 3L, 4L), ("p95", 19L, 20L)))
     },
@@ -114,7 +114,7 @@ object PipelinePack extends QueryPack {
     // barrier so the concat runs once, not once per regex.
     "q_pii_redact" -> { (s, dir) =>
       SqlLet.explodeOnce(
-          table(s, dir, "documents").select(col("doc_id"), col("text")),
+          graft.Tables.spread(table(s, dir, "documents")).select(col("doc_id"), col("text")),
           array(injected), "t")
         .select(col("doc_id"),
           Pii.countMatches(col("t"), Pii.EmailRe).cast("long").as("n_emails"),
@@ -124,13 +124,13 @@ object PipelinePack extends QueryPack {
     },
     // Boilerplate passages: every 5-word window shared by >= 2 documents.
     "q_dup_passages" -> { (s, dir) =>
-      Dedup.duplicatePassages(table(s, dir, "documents"), w = 5, minDocs = 2L)
+      Dedup.duplicatePassages(graft.Tables.spread(table(s, dir, "documents")), w = 5, minDocs = 2L)
     },
     // Passage SCRUBBING — the rewrite companion: duplicated 5-word windows
     // removed everywhere but their canonical first occurrence, documents
     // reassembled; md5 pins the exact surviving word sequence.
     "q_passage_scrub" -> { (s, dir) =>
-      Dedup.scrubPassages(table(s, dir, "documents"), w = 5, minDocs = 2L)
+      Dedup.scrubPassages(graft.Tables.spread(table(s, dir, "documents")), w = 5, minDocs = 2L)
         .select(col("doc_id"), md5(col("scrubbed")).as("scrubbed_md5"),
           col("n_kept"), col("n_removed"))
     },
@@ -138,7 +138,7 @@ object PipelinePack extends QueryPack {
     // incremental-family split) lose every window the corpus index already
     // holds — no canonical survivor, the corpus has the text.
     "q_passage_scrub_incremental" -> { (s, dir) =>
-      val docs = table(s, dir, "documents")
+      val docs = graft.Tables.spread(table(s, dir, "documents"))
       val isBatch = col("doc_id") % 10 >= 8
       Dedup.scrubPassagesIncremental(
         docs.filter(isBatch),
@@ -228,7 +228,7 @@ object PipelinePack extends QueryPack {
     "q_kcore" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       Graphs.kCore(
-        Dedup.simhashPairs(table(s, dir, "documents"), maxHamming = 8)
+        Dedup.simhashPairs(graft.Tables.spread(table(s, dir, "documents")), maxHamming = 8)
           .select(col("doc_a").as("u"), col("doc_b").as("v")),
         k = 4)
     },
@@ -240,7 +240,7 @@ object PipelinePack extends QueryPack {
     "q_coreness" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       Graphs.corenessHIndex(
-        Dedup.simhashPairs(table(s, dir, "documents"), maxHamming = 8)
+        Dedup.simhashPairs(graft.Tables.spread(table(s, dir, "documents")), maxHamming = 8)
           .select(col("doc_a").as("u"), col("doc_b").as("v")),
         rounds = 4)
     },
@@ -257,12 +257,12 @@ object PipelinePack extends QueryPack {
     // row_number() the oracle writes.
     "q_global_ids" -> { (s, dir) =>
       Numbering.assignGlobalIds(
-        table(s, dir, "documents").select(col("doc_id"), col("lang")),
+        graft.Tables.spread(table(s, dir, "documents")).select(col("doc_id"), col("lang")),
         order = Seq(col("lang"), col("doc_id")))
     },
     // Inverted index: term -> document frequency + sorted posting list.
     "q_inverted_index" -> { (s, dir) =>
-      table(s, dir, "documents")
+      graft.Tables.spread(table(s, dir, "documents"))
         .select(col("doc_id"),
           explode(TextFunctions.words(col("text"))).as("term"))
         .distinct()

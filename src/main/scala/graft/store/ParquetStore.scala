@@ -768,17 +768,56 @@ final class ParquetStore(
     * the session) makes that a graceful skip of already-expired data
     * instead of a failed query — the natural read semantics for a rolling
     * retention window (a snapshot-isolated table format is the upgrade). */
-  private def raw(filter: Option[org.apache.spark.sql.Column]): DataFrame =
-    if (generationIds().isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fullSchema)
-    else {
-      val base = spark.read.schema(fullSchema)
-        .option("basePath", path)
-        .option("ignoreMissingFiles", "true")
-        .parquet(path)
-      val filtered = filter.map(base.filter).getOrElse(base)
-      filtered.select(fullSchema.fields.map(f => col(f.name)).toIndexedSeq: _*)
+  private def raw(filter: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val base = rawBase()
+    val filtered = filter.map(base.filter).getOrElse(base)
+    filtered.select(fullSchema.fields.map(f => col(f.name)).toIndexedSeq: _*)
+  }
+
+  /** The relation cache behind [[raw]] (r17, guide §7.3 driver-side
+    * costs): building a parquet DataFrame constructs a file index and
+    * relation on the DRIVER (milliseconds each) — the store-fold bench
+    * queries spent ~45% of their wall in gaps BETWEEN jobs, a large
+    * part of it re-deriving an unchanged relation for every probe/read
+    * of every fold. The cache key is a FINGERPRINT of the actual file
+    * listing (directory names + file names — parquet part names carry
+    * the writing job's UUID, so every append, clean, collapse, compact
+    * and in-place rewrite changes it, INCLUDING ones made by another
+    * handle on the same path: reopen handles, fencing successors, and
+    * lockstep coordinators all stay read-fresh, which a
+    * mutation-counter key could not guarantee). The fingerprint costs
+    * a handful of directory syscalls — noise next to the relation
+    * construction it avoids. Thread-safe via volatile publish. */
+  @volatile private var cachedRaw: (Long, DataFrame) = null
+  private def listingFingerprint(): Long = {
+    var h = 1125899906842597L
+    def mix(s: String): Unit = {
+      var i = 0
+      while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+      h = 31 * h + '\n'
     }
+    fs.list(path).filter(_.startsWith("rst_id=")).sorted.foreach { d =>
+      mix(d)
+      fs.list(fs.resolve(path, d)).sorted.foreach(mix)
+    }
+    h
+  }
+  private def rawBase(): DataFrame = {
+    val fp = listingFingerprint()
+    val c = cachedRaw
+    if (c != null && c._1 == fp) return c._2
+    val df =
+      if (generationIds().isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fullSchema)
+      else
+        spark.read.schema(fullSchema)
+          .option("basePath", path)
+          .option("ignoreMissingFiles", "true")
+          .parquet(path)
+    cachedRaw = (fp, df)
+    df
+  }
 
   /** Q1 select-all. */
   def selectAll: DataFrame = raw(None)
