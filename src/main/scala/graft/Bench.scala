@@ -801,6 +801,12 @@ object Bench {
       // 1 MB splits ≈ row-group granularity for these fixtures.
       .config("spark.sql.files.maxPartitionBytes", "1m")
       .config("spark.sql.files.openCostInBytes", "64k")
+      // Shuffled-hash join allowed where its size conditions hold (r17,
+      // guide §3.1/§9): the planner's guards still apply — this only
+      // stops Spark PREFERRING the sort in sort-merge when a hash build
+      // fits; measured −20..−35% on the join-heavy bench families with
+      // no regressions (OPTIMIZATION_r17.md).
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -40,13 +40,13 @@ object LmPack extends QueryPack {
     // model: score = Σ (bitlen c(w1w2) − bitlen c(w1·)) ≤ 0, OOV tallied.
     "q_lm_crossent" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s) // md5_hash32 (the split draw)
-      conditionalCrossent(graft.Tables.spread(table(s, dir, "documents")), isTrain)
+      conditionalCrossent(table(s, dir, "documents"), isTrain)
     },
     // Top-20 collocations with support ≥ 5 by rational PMI
     // (c12·N)/(c1·c2). TakeOrderedAndProject does the global top-k
     // distributed; the row_number window then runs on 20 rows only.
     "q_pmi_topk" -> { (s, dir) =>
-      val g = graft.Tables.spread(table(s, dir, "documents"))
+      val g = table(s, dir, "documents")
         .select(explode(wordNgrams(col("text"), 2)).as("ngram"))
         .groupBy("ngram").agg(count(lit(1)).as("c12"))
         .localCheckpoint(eager = true) // feeds total + both margins + score
@@ -73,14 +73,14 @@ object LmPack extends QueryPack {
     },
     // DSIR weights of every non-target doc vs the src0 "curated" target.
     "q_importance_weights" -> { (s, dir) =>
-      importanceWeights(graft.Tables.spread(table(s, dir, "documents")), col("source") === "src0")
+      importanceWeights(table(s, dir, "documents"), col("source") === "src0")
     },
     // The selection those weights induce: top-50 per language by
     // (weight desc, doc_id asc) — WindowGroupLimit prunes pre-shuffle.
     "q_importance_sample" -> { (s, dir) =>
       val w = Window.partitionBy("lang")
         .orderBy(col("weight").desc, col("doc_id").asc)
-      importanceWeights(graft.Tables.spread(table(s, dir, "documents")), col("source") === "src0")
+      importanceWeights(table(s, dir, "documents"), col("source") === "src0")
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 50)
     }

@@ -27,11 +27,11 @@ object RetrievalPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25_topk" -> { (s, dir) =>
-      Retrieval.bm25TopK(graft.Tables.spread(table(s, dir, "documents")), Bm25Terms, TopN)
+      Retrieval.bm25TopK(table(s, dir, "documents"), Bm25Terms, TopN)
     },
     "q_quality_classifier" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s) // md5_hash32 (the feature hash)
-      Retrieval.hashedLinearMargin(graft.Tables.spread(table(s, dir, "documents")), ClassifierDim)
+      Retrieval.hashedLinearMargin(table(s, dir, "documents"), ClassifierDim)
     },
     // Exact ROC-AUC of the classifier margin against the length label —
     // the filter-quality audit: margin + label in ONE scan (no re-join),
@@ -50,7 +50,7 @@ object RetrievalPack extends QueryPack {
     "q_classifier_auc_by_lang" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       Retrieval.classifierAucBy(
-        graft.Tables.spread(table(s, dir, "documents")).select(col("lang"),
+        table(s, dir, "documents").select(col("lang"),
           (col("n_chars") >= LabelChars).as("label"),
           Retrieval.marginOf(col("text"), ClassifierDim).as("margin")),
         groupCol = "lang")
@@ -58,7 +58,7 @@ object RetrievalPack extends QueryPack {
     // Incremental BM25: every 10th doc scored as a NEW batch against the
     // frozen full-corpus index (N, S, df) — cost scales with the batch.
     "q_bm25_incremental" -> { (s, dir) =>
-      val docs = graft.Tables.spread(table(s, dir, "documents"))
+      val docs = table(s, dir, "documents")
       val idx = Retrieval.bm25Index(docs, Bm25Terms)
       Retrieval.bm25Score(docs.filter(col("doc_id") % 10 === 0), idx, Bm25Terms)
     },
@@ -67,7 +67,7 @@ object RetrievalPack extends QueryPack {
     "q_score_percentiles" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
       Retrieval.scorePercentiles(
-        graft.Tables.spread(table(s, dir, "documents")).select(col("doc_id"),
+        table(s, dir, "documents").select(col("doc_id"),
           Retrieval.marginOf(col("text"), ClassifierDim).as("margin")))
         .select("doc_id", "margin", "pct")
     },
@@ -76,7 +76,7 @@ object RetrievalPack extends QueryPack {
     // their standalone queries produce.
     "q_rank_fusion" -> { (s, dir) =>
       graft.plans.GraftExtensions.register(s)
-      val docs = graft.Tables.spread(table(s, dir, "documents"))
+      val docs = table(s, dir, "documents")
       val bm = Retrieval.bm25TopK(docs, Bm25Terms, TopN)
         .select(col("doc_id"), col("rank"))
       val ord = Seq(col("margin").desc, col("doc_id").asc)
@@ -94,7 +94,7 @@ object RetrievalPack extends QueryPack {
     * (n_chars ≥ 180) — the deterministic stand-in target the audit queries
     * grade the hashed-linear score against. */
   private def labeled(s: SparkSession, dir: String): DataFrame =
-    graft.Tables.spread(table(s, dir, "documents")).select(
+    table(s, dir, "documents").select(
       (col("n_chars") >= LabelChars).as("label"),
       Retrieval.marginOf(col("text"), ClassifierDim).as("margin"))
 

@@ -17,7 +17,7 @@ object UrlPack extends QueryPack {
       "q_url_normalize" -> { (s, dir) =>
         import s.implicits._
         val urls = table(s, dir, "documents")
-          .select(col("doc_id")).transform(graft.Tables.spread).as[Long]
+          .select(col("doc_id")).as[Long]
           .map { id =>
             val u = (id % 6).toInt match {
               case 0 => s"HTTP://WWW.Example$id.COM:80/a/b/../c/./d.html?x=1#frag"
@@ -38,7 +38,7 @@ object UrlPack extends QueryPack {
       "q_url_dedup" -> { (s, dir) =>
         import s.implicits._
         val urls = table(s, dir, "documents")
-          .select(col("doc_id")).transform(graft.Tables.spread).as[Long]
+          .select(col("doc_id")).as[Long]
           .map { id =>
             val u =
               if (id % 2 == 0) s"http://Example${id / 2}.com/a/../b"
@@ -56,7 +56,7 @@ object UrlPack extends QueryPack {
       "q_url_domain_cap" -> { (s, dir) =>
         import s.implicits._
         val urls = table(s, dir, "documents")
-          .select(col("doc_id")).transform(graft.Tables.spread).as[Long]
+          .select(col("doc_id")).as[Long]
           .map(id => (id, s"https://site${id % 7}.com/page$id"))
           .toDF("doc_id", "url")
         Url.capPerDomain(Url.withUrlParts(urls), "url_domain", 3,
@@ -72,7 +72,7 @@ object UrlPack extends QueryPack {
       "q_redirect_chains" -> { (s, dir) =>
         import s.implicits._
         val fetches = table(s, dir, "documents")
-          .select(col("doc_id")).transform(graft.Tables.spread).as[Long]
+          .select(col("doc_id")).as[Long]
           .flatMap { id =>
             val L = (id % 4).toInt + 1
             val chain = (0 until L).map { k =>
@@ -101,7 +101,7 @@ object UrlPack extends QueryPack {
       "q_doc_identity" -> { (s, dir) =>
         import s.implicits._
         val docs = table(s, dir, "documents")
-          .select(col("doc_id")).transform(graft.Tables.spread).as[Long]
+          .select(col("doc_id")).as[Long]
           .map { id =>
             val g = id / 4
             val (url, html) = (id % 4).toInt match {
@@ -118,7 +118,7 @@ object UrlPack extends QueryPack {
             (id, url, html)
           }.toDF("doc_id", "url", "html")
         val log = table(s, dir, "documents")
-          .select(col("doc_id")).transform(graft.Tables.spread).as[Long]
+          .select(col("doc_id")).as[Long]
           .flatMap { id =>
             val g = id / 4
             if (id % 4 == 3)
@@ -148,7 +148,7 @@ object UrlPack extends QueryPack {
         import org.apache.spark.sql.types._
         val quot = "\""
         def pages(batch2: Boolean) = table(s, dir, "documents")
-          .select(col("doc_id")).transform(graft.Tables.spread).as[Long]
+          .select(col("doc_id")).as[Long]
           .filter((id: Long) => (id % 4 >= 2) == batch2)
           .map { id =>
             val g = id / 4
@@ -171,7 +171,7 @@ object UrlPack extends QueryPack {
           if (!batch2) Seq.empty[(String, Long, String)]
             .toDF("url", "status", "location")
           else table(s, dir, "documents")
-            .select(col("doc_id")).transform(graft.Tables.spread).as[Long]
+            .select(col("doc_id")).as[Long]
             .flatMap { id =>
               val g = id / 4
               if (id % 4 == 3)

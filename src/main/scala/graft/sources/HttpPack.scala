@@ -70,7 +70,7 @@ object HttpPack extends QueryPack {
         import s.implicits._
         val wire = table(s, dir, "documents")
           .filter(col("text").isNotNull)
-          .select(col("doc_id"), col("text")).transform(graft.Tables.spread).as[(Long, String)]
+          .select(col("doc_id"), col("text")).as[(Long, String)]
           .map { case (id, text) => (id, httpFor(id, text)) }
           .toDF("doc_id", "payload")
         Http.responses(wire)
@@ -86,7 +86,7 @@ object HttpPack extends QueryPack {
         import s.implicits._
         val files = table(s, dir, "documents")
           .filter(col("text").isNotNull)
-          .select(col("doc_id"), col("text")).transform(graft.Tables.spread).as[(Long, String)]
+          .select(col("doc_id"), col("text")).as[(Long, String)]
           .map { case (id, text) =>
             val esc = text.replace("&", "&amp;").replace("<", "&lt;")
               .replace(">", "&gt;")
@@ -116,7 +116,7 @@ object HttpPack extends QueryPack {
       "q_mime_sniff" -> { (s, dir) =>
         import s.implicits._
         val payloads = table(s, dir, "documents")
-          .select(col("doc_id")).transform(graft.Tables.spread).as[Long]
+          .select(col("doc_id")).as[Long]
           .map { id =>
             val (body, ct) = (id % 8).toInt match {
               case 0 => (s"\n\t <!DOCTYPE html><html><body>d$id</body></html>"
@@ -151,7 +151,7 @@ object HttpPack extends QueryPack {
       "q_crawl_stats" -> { (s, dir) =>
         import s.implicits._
         val responses = table(s, dir, "documents")
-          .select(col("doc_id")).transform(graft.Tables.spread).as[Long]
+          .select(col("doc_id")).as[Long]
           .map { id =>
             val g = id % 5
             val payload = (id % 4).toInt match {

@@ -27,7 +27,7 @@ object RobotsPack extends QueryPack {
       "q_robots" -> { (s, dir) =>
         import s.implicits._
         val urls = table(s, dir, "documents")
-          .select(col("doc_id")).transform(graft.Tables.spread).as[Long]
+          .select(col("doc_id")).as[Long]
           .map { id =>
             val path = (id % 5).toInt match {
               case 0 => s"/articles/$id.html"
@@ -48,7 +48,7 @@ object RobotsPack extends QueryPack {
       "q_sitemap" -> { (s, dir) =>
         import s.implicits._
         val maps = table(s, dir, "documents")
-          .select(col("doc_id")).transform(graft.Tables.spread).as[Long]
+          .select(col("doc_id")).as[Long]
           .map { id =>
             val xml = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
               "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
@@ -76,7 +76,7 @@ object RobotsPack extends QueryPack {
       "q_feed_entries" -> { (s, dir) =>
         import s.implicits._
         val feeds = table(s, dir, "documents")
-          .select(col("doc_id")).transform(graft.Tables.spread).as[Long]
+          .select(col("doc_id")).as[Long]
           .map { id =>
             val xml =
               if (id % 2 == 0)
@@ -120,7 +120,7 @@ object RobotsPack extends QueryPack {
       "q_fetch_schedule" -> { (s, dir) =>
         import s.implicits._
         val urls = table(s, dir, "documents")
-          .select(col("doc_id")).transform(graft.Tables.spread).as[Long]
+          .select(col("doc_id")).as[Long]
           .map { id =>
             val g = id % 5
             val robots = s"User-agent: *\nCrawl-delay: ${g + 1}\n"
@@ -143,7 +143,7 @@ object RobotsPack extends QueryPack {
       "q_fetch_schedule_inc" -> { (s, dir) =>
         import s.implicits._
         def urls(batch2: Boolean) = table(s, dir, "documents")
-          .select(col("doc_id")).transform(graft.Tables.spread).as[Long]
+          .select(col("doc_id")).as[Long]
           .filter((id: Long) => (id % 2 == 1) == batch2)
           .map { id =>
             val g = id % 5
@@ -183,7 +183,7 @@ object RobotsPack extends QueryPack {
           val rstore = CrawlSchedule.robotsStore(s, tmp.toString,
             s"robots_sm_${System.nanoTime()}")
           val fetches = table(s, dir, "documents")
-            .select((col("doc_id") % 9L).as("g")).distinct().transform(graft.Tables.spread).as[Long]
+            .select((col("doc_id") % 9L).as("g")).distinct().as[Long]
             .map { g =>
               val body = "User-agent: *\nDisallow:\n" +
                 (0 until (g % 3).toInt).map(j =>
@@ -208,7 +208,7 @@ object RobotsPack extends QueryPack {
             Seq(("https://site0.com/robots.txt", Fixture))
               .toDF("url", "text"), "graftbot"))
           val urls = table(s, dir, "documents")
-            .select(col("doc_id")).transform(graft.Tables.spread).as[Long]
+            .select(col("doc_id")).as[Long]
             .map { id =>
               val path = (id % 5).toInt match {
                 case 0 => s"/articles/$id.html"
@@ -263,7 +263,7 @@ object RobotsPack extends QueryPack {
           val store = CrawlSchedule.stateStore(s, tmpS.toString,
             s"crawl_schedule_r_${System.nanoTime()}")
           def urls(batch2: Boolean) = table(s, dir, "documents")
-            .select(col("doc_id")).transform(graft.Tables.spread).as[Long]
+            .select(col("doc_id")).as[Long]
             .filter((id: Long) => (id % 2 == 1) == batch2)
             .map(id => (id, s"site${id % 5}.com"))
             .toDF("doc_id", "url_domain")

@@ -541,7 +541,7 @@ object WarcPack extends QueryPack {
         }
         val docs = table(s, dir, "documents")
           .filter(col("text").isNotNull)
-          .select(col("doc_id"), col("text")).transform(graft.Tables.spread).as[(Long, String)]
+          .select(col("doc_id"), col("text")).as[(Long, String)]
           .localCheckpoint(true)
         val call1 = docs.filter(_._1 % 2 == 0).map { case (id, text) =>
           (s"c1g${id % 3}", s"https://inc.org/doc/$id",
