@@ -37,9 +37,21 @@ object Tables {
     * At production scale tables are many row-groups/files and scans
     * parallelize on their own; the repartition then still costs only a
     * shuffle of key-width rows — noise next to the decode it feeds —
-    * and `defaultParallelism` tracks the cluster, not a local constant. */
-  def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * and `defaultParallelism` tracks the cluster, not a local constant.
+    *
+    * NO-OP when the scan already parallelizes (advice r17): at
+    * production scale tables are many row-groups/files, the scan
+    * arrives with >= defaultParallelism partitions, and the
+    * repartition — which at several call sites carries the text/bytes
+    * column the heavy stage decodes — would be a full-corpus shuffle
+    * of pure overhead. The partition count comes from the physical
+    * scan, so apply spread to SCAN-STAGE frames only (all current call
+    * sites): a frame already containing an exchange would pay AQE
+    * stage materialization just to answer `getNumPartitions`. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
 
   /** Columns that arrive as nanosecond longs under the legacy flag, per
     * table (only `events.ts` in the driver fixtures — TESTDATA.md; callers

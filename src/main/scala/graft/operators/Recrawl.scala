@@ -388,12 +388,16 @@ object Recrawl {
     // a second identical full-store probe per fold was one redundant
     // Spark job per trigger (r17, guide §1.2: the store-fold queries
     // are job-count-bound — 117 jobs, none above 0.6 s).
-    updateStats(store, stats, batchId, scope)
+    val post = updateStatsReturning(store, stats, batchId, scope,
+      pin = historyStore != null)
     if (historyStore != null) {
       // Pre-fold count per url: the fold has landed by now (either in
       // this call or before a crash-replay), so prior = current −
       // batch, deterministically on first run and replay alike.
-      val current = latestStats(store)
+      // `current` comes from the fold's OWN post-fold rows when this
+      // call performed it (r18 — identical values, zero store re-read);
+      // the replay path re-derives it from the store as before.
+      val current = post.getOrElse(latestStats(store))
         .select(col("url"), col("n_fetches").as("_cur"))
         .join(stats.select(col("url"), col("n_fetches").as("_bn")),
           Seq("url"))
@@ -462,7 +466,33 @@ object Recrawl {
     * before the append lands, and a failed fold appends nothing. */
   def updateStats(store: graft.store.ParquetStore, stats: DataFrame,
                   batchId: Long = -1L, scope: String = ""): Unit = {
-    if (store.batchApplied(scope, batchId)) return
+    updateStatsReturning(store, stats, batchId, scope); ()
+  }
+
+  /** [[updateStats]] handing back the POST-fold stats rows for the
+    * batch's urls (pinned), or None when the batch was replay-skipped.
+    * The fold computes these rows anyway; returning them spares the
+    * caller ([[foldBatch]]) a full latest-per-key re-read of the store
+    * it just wrote — one window-over-the-store job plus a join, per
+    * trigger (r18, guide §1.2: the store-fold family is
+    * job-count-bound, 111 jobs / 4 s of inter-job gaps at sf0.1).
+    * Values are identical by construction: the appended rows ARE the
+    * newest generation for exactly the batch's urls. */
+  private[graft] def updateStatsReturning(store: graft.store.ParquetStore,
+                                          stats: DataFrame,
+                                          batchId: Long = -1L,
+                                          scope: String = "",
+                                          /** Pin (localCheckpoint) the
+                                            * merged rows and hand them
+                                            * back. Off for callers that
+                                            * will not reuse them — the
+                                            * pin is then pure overhead
+                                            * (measured +4 jobs on
+                                            * q_crawl_loop's 4 ring-less
+                                            * folds). */
+                                          pin: Boolean = false)
+      : Option[DataFrame] = {
+    if (store.batchApplied(scope, batchId)) return None
     val stored = latestStats(store).select(
       col("url"), col("n_fetches").as("_sn"), col("n_changes").as("_sx"),
       col("first_us").as("_sf"), col("last_us").as("_sl"),
@@ -491,7 +521,16 @@ object Recrawl {
           .as("last_us"),
         coalesce(col("_sfd"), col("first_digest")).as("first_digest"),
         col("last_digest"))
-    appendWithSentinel(store, merged, batchId, scope)
+    if (!pin) { appendWithSentinel(store, merged, batchId, scope); None }
+    else {
+      // Pinned BEFORE the append: the raise_error guard fires here
+      // (same fails-before-the-append-lands contract — earlier, even),
+      // the append then writes a trivial scan of the checkpoint, and
+      // the caller reuses the rows instead of re-reading the store.
+      val pinned = merged.localCheckpoint(eager = true)
+      appendWithSentinel(store, pinned, batchId, scope)
+      Some(pinned)
+    }
   }
 
   /** The OUT-OF-ORDER fold [[updateStats]] rejects to — real crawl logs
@@ -624,15 +663,22 @@ object Recrawl {
               "or an attached retained-history ring (`historyStore`)")
           exact
         }
-      appendWithSentinel(store, out, batchId, scope)
+      // Pinned before the append (r18): the guards fire here, the
+      // append writes a trivial scan, and the ring record below reuses
+      // the post-fold rows instead of re-reading the store twice
+      // (nAfter + trim candidates were each a full latest-per-key
+      // window over the store it just wrote).
+      val outPinned = out.localCheckpoint(eager = true)
+      appendWithSentinel(store, outPinned, batchId, scope)
+      // Ring append AFTER the stats fold (a crash in between converges
+      // on the re-run: stats skip by their sentinel, the ring records).
+      // An out-of-order batch re-stamps the touched URLs' ORDINALS
+      // wholesale — see [[recordBackfillHistory]].
+      if (historyStore != null)
+        recordBackfillHistory(store, historyStore, ringRetained,
+          lateBatch, urlCol, usCol, digestCol, keepHistory, batchId,
+          scope, postStats = outPinned)
     } finally { joined.unpersist(); () }
-    // Ring append AFTER the stats fold (a crash in between converges on
-    // the re-run: stats skip by their sentinel, the ring records). An
-    // out-of-order batch re-stamps the touched URLs' ORDINALS wholesale
-    // — see [[recordBackfillHistory]].
-    if (historyStore != null)
-      recordBackfillHistory(store, historyStore, ringRetained, lateBatch,
-        urlCol, usCol, digestCol, keepHistory, batchId, scope)
   }
 
   /** The backfill's ring record: an out-of-order batch shifts the
@@ -655,15 +701,28 @@ object Recrawl {
                                     lateBatch: DataFrame, urlCol: String,
                                     usCol: String, digestCol: String,
                                     keep: Int, batchId: Long,
-                                    scope: String): Unit = {
+                                    scope: String,
+                                    /** The backfill's pinned post-fold
+                                      * stats rows (exactly the late
+                                      * batch's urls) when this call
+                                      * runs in the same fold; null on
+                                      * the replay path, which re-reads
+                                      * the store. */
+                                    postStats: DataFrame = null): Unit = {
+    // Post-fold stats for the late batch's urls: the fold's own pinned
+    // output when available (r18 — it IS the newest generation for
+    // those urls), else a latest-per-key read of the store.
+    def postForBatch: DataFrame =
+      if (postStats != null) postStats
+      else latestStats(store)
+        .join(lateBatch.select(col(urlCol).as("url")).distinct(),
+          Seq("url"), "left_semi")
     // Trim candidates (r17, the [[foldBatch]] narrowing): only a url
     // whose post-fold count exceeds `keep` can hold trim victims — the
     // stats store knows that without a ring scan, and the backfill's
     // stats fold has landed by the time any trim below runs.
-    def trimCand: DataFrame = latestStats(store)
+    def trimCand: DataFrame = postForBatch
       .filter(col("n_fetches") > keep)
-      .join(lateBatch.select(col(urlCol).as("url")).distinct(),
-        Seq("url"), "left_semi")
       .select(col("url"))
     if (ring.batchApplied(scope, batchId)) {
       // Same replay-path trim convergence as [[recordHistory]] (advice
@@ -678,7 +737,10 @@ object Recrawl {
     val urls = late.select(col("url")).distinct()
     val lateNew = late.join(retained.select(keysCols.map(col): _*),
       keysCols, "left_anti")
-    val nAfter = latestStats(store)
+    // Every join against nAfter below is keyed on this batch's urls,
+    // so the batch-scoped post-fold rows are equivalent to the full
+    // store read (r18).
+    val nAfter = postForBatch
       .select(col("url"), col("n_fetches").as("_na"))
     // Pre-fold soundness: retained ords all present, contiguous, and
     // ending exactly at the pre-fold count (n_after minus the rows
@@ -775,21 +837,36 @@ object Recrawl {
         col("first_digest").as(s"_${prefix}fd"),
         col("last_digest").as(s"_${prefix}ld"))
     val sel = (Seq("url", "fetch_us", "digest") ++ tieBreak).map(col)
-    val wStats = statsOf(window, "w")
+    // Window stats AND the ordinal aggregates — the GAP detector's raw
+    // material (r16): when every window row carries its fetch ordinal
+    // ([[foldBatch]]'s stamps), the window can be PROVEN to be the
+    // exact contiguous suffix of the folded history, catching the one
+    // corruption the tail check cannot — a fold whose record call was
+    // skipped BETWEEN two recorded ones. Both ride ONE aggregation over
+    // the window (r18, guide §2.4: two aggregations keyed the same way
+    // share one exchange — fused outright here, one groupBy and one
+    // join instead of two of each).
+    val wStats = {
+      val ordS = struct((Seq("fetch_us") ++ tieBreak).map(col): _*)
+      val w = Window.partitionBy(col("url"))
+        .orderBy((Seq("fetch_us") ++ tieBreak).map(col): _*)
+      window
+        .withColumn("_prev", lag(col("digest"), 1).over(w))
+        .groupBy(col("url")).agg(
+          count(lit(1)).as("_wn"),
+          sum(when(col("_prev").isNotNull &&
+            col("_prev") =!= col("digest"), 1L).otherwise(0L)).as("_wx"),
+          min(col("fetch_us")).as("_wfu"),
+          max(col("fetch_us")).as("_wlu"),
+          min_by(col("digest"), ordS).as("_wfd"),
+          max_by(col("digest"), ordS).as("_wld"),
+          count(col("ord")).as("_woc"), min(col("ord")).as("_wmo"),
+          max(col("ord")).as("_wxo"))
+    }
     val cStats = statsOf(window.select(sel: _*).unionByName(late)
       .dropDuplicates(Seq("url", "fetch_us") ++ tieBreak), "c")
-    // Ordinal aggregates — the GAP detector's raw material (r16): when
-    // every window row carries its fetch ordinal ([[foldBatch]]'s
-    // stamps), the window can be PROVEN to be the exact contiguous
-    // suffix of the folded history, catching the one corruption the
-    // tail check cannot — a fold whose record call was skipped BETWEEN
-    // two recorded ones.
-    val wOrd = window.groupBy(col("url")).agg(
-      count(col("ord")).as("_woc"), min(col("ord")).as("_wmo"),
-      max(col("ord")).as("_wxo"))
     val o = over.join(wStats, Seq("url"), "left")
       .join(cStats, Seq("url"), "left")
-      .join(wOrd, Seq("url"), "left")
     // The ring's window must END where the statistics say the history
     // ends — the tail cross-check every window passes…
     val inSync = col("_wlu").isNotNull && col("_wlu") === col("_sl") &&

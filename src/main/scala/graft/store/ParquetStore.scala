@@ -171,29 +171,52 @@ final class ParquetStore(
     * behind the sentinel guard — and promoting one would commit a
     * batch its caller saw fail. */
   private def recoverCrashedSwaps(): Unit = {
-    // The multi-generation rewrite staging ([[rewriteWithoutKeys]],
-    // r17): one root, one top-level `_SUCCESS`, `rst_id=<g>` subdirs.
-    // With the marker, every remaining subdir is the committed rewrite
-    // of a generation whose swap may have died anywhere — promote it
-    // (already-swapped generations moved their subdir OUT, so nothing
-    // double-applies; a torn half-deleted target is replaced). Without
-    // the marker the swap loop never started — originals are intact
-    // and the partial staging is redundant.
-    locally {
-      val multi = fs.resolve(path, ".staging_rw_multi")
-      if (fs.exists(multi)) {
-        if (fs.exists(fs.resolve(multi, "_SUCCESS"))) {
-          fs.list(multi).filter(_.startsWith("rst_id=")).foreach { n =>
-            val target = fs.resolve(path, n)
-            fs.deleteRecursively(target)
-            fs.rename(fs.resolve(multi, n), target)
-            System.err.println(s"[graft] $tableName: promoted crashed " +
-              s"multi-rewrite $n")
-          }
-        }
-        fs.deleteRecursively(multi)
+    promoteOrClearMultiStaging()
+    sweepSingleGenStaging()
+  }
+
+  /** Promote-or-clear a leftover multi-generation rewrite staging
+    * ([[rewriteWithoutKeys]]: one root, `rst_id=<g>` subdirs). Shared
+    * by [[recoverCrashedSwaps]] at open AND by [[rewriteWithoutKeys]]
+    * before it stages anew — advice r17 (high): clearing a leftover
+    * staging blind from the next in-process mutation destroyed the
+    * ONLY copy of a generation whose swap had died after
+    * `deleteRecursively(original)`.
+    *
+    * The commit point is OUR marker `_GRAFT_COMMIT`, written only
+    * after the fully-matched-generation compensation (every touched
+    * generation has a staged subdir by then) — advice r17: Spark's
+    * `_SUCCESS` lands BEFORE that compensation, so gating on it could
+    * promote the other generations while leaving a fully-matched one
+    * unerased, a silently partial erase reported as recovered.
+    *
+    *   - marker present → every remaining subdir is the committed
+    *     rewrite of a generation whose swap may have died anywhere:
+    *     promote it (already-swapped generations moved their subdir
+    *     OUT, so nothing double-applies; a torn half-deleted target is
+    *     replaced);
+    *   - marker absent → the swap loop never started, originals are
+    *     intact, the staging is redundant — EXCEPT a pre-marker
+    *     (`_SUCCESS`-only, older binary) staging, where a subdir whose
+    *     target is MISSING is still the sole copy and is promoted. */
+  private def promoteOrClearMultiStaging(): Unit = {
+    val multi = fs.resolve(path, ".staging_rw_multi")
+    if (!fs.exists(multi)) return
+    val committed = fs.exists(fs.resolve(multi, "_GRAFT_COMMIT"))
+    val legacy = !committed && fs.exists(fs.resolve(multi, "_SUCCESS"))
+    fs.list(multi).filter(_.startsWith("rst_id=")).foreach { n =>
+      val target = fs.resolve(path, n)
+      if (committed || (legacy && !fs.exists(target))) {
+        fs.deleteRecursively(target)
+        fs.rename(fs.resolve(multi, n), target)
+        System.err.println(s"[graft] $tableName: promoted crashed " +
+          s"multi-rewrite $n")
       }
     }
+    fs.deleteRecursively(multi)
+  }
+
+  private def sweepSingleGenStaging(): Unit = {
     val swapRe = "^\\.staging_(?:rw|cp|cl)_(\\d+)$".r
     fs.list(path).foreach { n =>
       swapRe.findFirstMatchIn(n) match {
@@ -338,6 +361,13 @@ final class ParquetStore(
     * payoff is a scan that opens one footer per generation instead of
     * one per shuffle partition per generation. */
   override def appendStreaming(batch: DataFrame): this.type = {
+    // Measured and rejected (r18): a REBALANCE hint at write time
+    // (guide §6 "coalesce on write") to pre-empt the autoCompact
+    // rewrite — the extra shuffle stage per append cost MORE across
+    // the store-fold family (k64 ring +3 s) than the occasional
+    // compact it saved; appends whose plans end in a shuffle already
+    // land few files via AQE coalescing, so compact fires mostly on
+    // mapPartitions-shaped batches where it is the cheaper backstop.
     append(batch)
     if (autoCompactFiles > 0L) {
       val sealedGen = currentRstId - 1L
@@ -466,8 +496,12 @@ final class ParquetStore(
     // generations rides one job. The swaps start only after the WHOLE
     // staged copy is committed (`_SUCCESS`) — strictly tighter than
     // the old loop, which swapped generation k before staging k+1.
+    // A leftover staging from a PRIOR failed swap (process still alive,
+    // so reopen recovery never ran) may hold the only copy of a
+    // generation — promote it exactly like reopen recovery would before
+    // clearing (advice r17, high).
+    promoteOrClearMultiStaging()
     val staging = fs.resolve(path, ".staging_rw_multi")
-    if (fs.exists(staging)) fs.deleteRecursively(staging)
     var staged = false
     try {
       described("erase-rewrite")(
@@ -484,6 +518,13 @@ final class ParquetStore(
         val sub = fs.resolve(staging, s"rst_id=$g")
         if (!fs.exists(sub)) fs.mkdirs(sub)
       }
+      // OUR commit point (advice r17): only now does every touched
+      // generation have a staged subdir, so recovery gated on this
+      // marker always covers every touched generation — including the
+      // fully-matched ones Spark's `_SUCCESS` predates. The marker
+      // lists the touched ids for the operator.
+      fs.publish(fs.resolve(staging, "_GRAFT_COMMIT"),
+        touched.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       for (g <- touched) {
         val original = fs.resolve(path, s"rst_id=$g")
         fs.deleteRecursively(original)
@@ -501,8 +542,9 @@ final class ParquetStore(
         // original may already be deleted). In-process recovery: finish
         // the swaps whose original is gone; anything that still fails
         // (a dead-process model where every fs call throws) is left
-        // staged for reopen recovery ([[recoverCrashedSwaps]] promotes
-        // `.staging_rw_multi` subdirs under the top-level `_SUCCESS`).
+        // staged for recovery ([[promoteOrClearMultiStaging]] promotes
+        // `.staging_rw_multi` subdirs under `_GRAFT_COMMIT` — at
+        // reopen, or before the next in-process rewrite).
         try touched.foreach { g =>
           val sub = fs.resolve(staging, s"rst_id=$g")
           val original = fs.resolve(path, s"rst_id=$g")

@@ -26,8 +26,14 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
     // A/B experiment hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" — lets the
     // optimization loop test a conf without recompiling.
+    // Entries without '=' (or a trailing ';') fail with a clear message
+    // naming the malformed entry instead of a bare MatchError (advice r17).
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      if (kv.trim.nonEmpty) kv.split("=", 2) match {
+        case Array(k, v) => builder.config(k, v)
+        case _ => sys.error(
+          s"SPARK_GRAFT_EXTRA_CONF entry '$kv' is not of the form k=v")
+      }
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -358,6 +358,48 @@ class CrashRecoverySpec extends SparkSpec {
     assert(after === Set("k1", "k3", "shared"))
   }
 
+  test("ParquetStore: a crashed generation swap is promoted by the NEXT " +
+       "in-process rewrite, not destroyed (advice r17, high)") {
+    import org.apache.spark.sql.types._
+    val sparkSession = spark
+    import sparkSession.implicits._
+    val path = tmp("pstore_inproc")
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("v", LongType)))
+    val cfs = new CrashFs
+    val store = new ParquetStore(spark, schema, path,
+      tableName = "crash_store_inproc", collapseKeys = Seq("k"), fs = cfs)
+    store.reset()
+    (1L to 3L).foreach { g =>
+      store.append(Seq((s"k$g", g), ("shared", g)).toDF("k", "v"))
+    }
+    // First erase dies between deleteRecursively(rst_id=2) and the
+    // staged rename; the in-process fallback dies too (dead-process
+    // model). Generation 2's surviving rows now exist ONLY in the
+    // multi-rewrite staging.
+    cfs.crashRenameTarget = "rst_id=2"
+    intercept[CrashFs.CrashPoint] {
+      store.eraseKeys(Seq("k2").toDF("k").localCheckpoint(true), Seq("k"))
+    }
+    assert(!NioFs.exists(NioFs.resolve(path, "rst_id=2")))
+    assert(NioFs.exists(NioFs.resolve(path, ".staging_rw_multi")))
+    // The process stays ALIVE (no reopen, so open-time recovery never
+    // runs) and issues another mutation on the SAME handle — the next
+    // trigger's ring trim in the advice scenario. Before the fix this
+    // deleted the staging outright: generation 2's non-victim rows
+    // ("shared", 2) were gone permanently.
+    cfs.revive()
+    store.eraseKeys(Seq("k3").toDF("k").localCheckpoint(true), Seq("k"))
+    val ks = store.latestPerKey(Seq("k")).select("k").collect()
+      .map(_.getString(0)).toSet
+    assert(ks === Set("k1", "shared"), s"both erases applied: $ks")
+    val gen2 = store.selectAll.filter(col("v") === 2L)
+      .select("k").collect().map(_.getString(0)).toSet
+    assert(gen2 === Set("shared"),
+      s"generation 2's surviving rows must be recovered, not destroyed: $gen2")
+    assert(!NioFs.exists(NioFs.resolve(path, ".staging_rw_multi")))
+  }
+
   test("ParquetStore: crashed COMPACT and COLLAPSE swaps are promoted at reopen too") {
     import org.apache.spark.sql.types._
     val sparkSession = spark
