@@ -233,6 +233,19 @@ object Recrawl {
       .filter(!col("url").startsWith("#applied:"))
       .drop("rst_id", "batch_id", "scope")
 
+  /** [[retainedHistory]] pruned to `urls` (a `url`-column frame) BELOW
+    * the latest-per-key window (r18, guide §2.3: filter before the
+    * shuffle): url is a prefix of the window's partition key, so
+    * dropping whole url-partitions first yields identical rows while
+    * the window runs over O(batch·keep) rows instead of the whole ring
+    * — batch-bounded, not corpus-bounded, per trigger. */
+  private def retainedHistoryFor(h: graft.store.ParquetStore,
+                                 urls: DataFrame): DataFrame =
+    h.latestPerKeySemi(Seq("url", "fetch_us") ++ historyTieNames(h),
+        urls, Seq("url"))
+      .filter(!col("url").startsWith("#applied:"))
+      .drop("rst_id", "batch_id", "scope")
+
   /** Record one batch's fetch rows into the ring and TRIM each URL to
     * its newest `keep` fetches (victims erased copy-on-write — the
     * [[graft.store.ParquetStore.eraseKeys]] discipline, touched
@@ -357,8 +370,7 @@ object Recrawl {
     // the no-victim probe (every URL still within `keep` — the warm
     // common case for in-bound URLs) a metadata check that SKIPS the
     // erase's full-store touched-generation job entirely.
-    val victims = retainedHistory(h)
-      .join(urls.distinct(), Seq("url"), "left_semi")
+    val victims = retainedHistoryFor(h, urls)
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") > keep)
       .select(keys.map(col): _*)
@@ -598,9 +610,8 @@ object Recrawl {
     // branch sees the same shape.
     val ringRetained =
       if (historyStore == null) null
-      else retainedHistory(historyStore)
-        .join(lateBatch.select(col(urlCol).as("url")).distinct(),
-          Seq("url"), "left_semi")
+      else retainedHistoryFor(historyStore,
+          lateBatch.select(col(urlCol).as("url")))
         .localCheckpoint(eager = true)
     if (store.batchApplied(scope, batchId)) {
       // The stats fold landed but a crash may have preceded the ring

@@ -785,6 +785,33 @@ final class ParquetStore(
   def latestPerKey(keys: Seq[String]): DataFrame =
     asOfLatestPerKey(keys, Long.MaxValue)
 
+  /** [[latestPerKey]] restricted to the rows matching `probe` on `on`
+    * — a PREFIX of `keys`, so the semi-join drops whole window
+    * partitions and lands BELOW the dedup window (r18, guide §2.3:
+    * filter before the shuffle). Identical rows for the probed keys;
+    * the window then runs over O(matching rows) instead of the whole
+    * store — for a batch-keyed consumer (ring trim, host-state
+    * schedule) the difference between a batch-bounded and a
+    * corpus-bounded pass per trigger. Catalyst does not push a
+    * semi-join through a window on its own, hence the explicit
+    * placement. */
+  def latestPerKeySemi(keys: Seq[String], probe: DataFrame,
+                       on: Seq[String],
+                       /** As-of bound, [[asOfLatestPerKey]]'s `rst` —
+                         * default = the newest generation. */
+                       rst: Long = Long.MaxValue): DataFrame = {
+    require(on.nonEmpty && keys.startsWith(on),
+      s"latestPerKeySemi: [$on] must be a prefix of the window keys [$keys]")
+    import org.apache.spark.sql.expressions.Window
+    raw(if (rst == Long.MaxValue) None else Some(col("rst_id") <= rst))
+      .join(probe.select(on.map(col): _*).distinct(), on, "left_semi")
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("rst_id").desc)))
+      .filter(col("_rk") === 1)
+      .drop("_rk")
+  }
+
   /** Whether a replay-guarded consumer already applied
     * `(scope, batchId)` — the collapse-proof at-least-once probe
     * shared by every sentinel-stamping store (see [[ParquetStore
