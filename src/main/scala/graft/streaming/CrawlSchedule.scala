@@ -145,14 +145,8 @@ object CrawlSchedule {
     * an exclusion view breaks the moment a re-snapshot folds the
     * crashed delta's pre-state away (the latest-per-key base keeps
     * only the ADVANCED row). */
-  private def latestState(store: ParquetStore,
-                          /** When non-null, a `domain`-column frame the
-                            * window is pruned TO (semi-join below it —
-                            * identical rows for those hosts, O(batch)
-                            * window input; r18, guide §2.3). */
-                          domains: DataFrame = null): DataFrame =
-    (if (domains == null) store.latestPerKey(Seq("domain"))
-     else store.latestPerKeySemi(Seq("domain"), domains, Seq("domain")))
+  private def latestState(store: ParquetStore): DataFrame =
+    store.latestPerKey(Seq("domain"))
       .select(col("domain"), col("n_scheduled"), col("next_offset_s"),
         col("batch_id"), col("scope"), col("prev_n"), col("prev_next"))
 
@@ -388,16 +382,9 @@ object CrawlSchedule {
                     delayCol: String = "crawl_delay",
                     order: Column, batchId: Long = -1L,
                     scope: String = "", policyRst: Long = -1L): DataFrame = {
-    // PINNED (r18): `seqd` feeds the output join, the replay
-    // correction's contrib, AND the state-pruning probe below — without
-    // the pin each consumer would re-evaluate the caller's whole
-    // gated/paced input plan (measured: q_crawl_loop 9 s → 65 s when
-    // the probe embedded the un-pinned plan). One materialization,
-    // batch-sized.
     val seqd = urls.withColumn("_seq",
       (row_number().over(Window.partitionBy(col(domainCol)).orderBy(order))
         - 1).cast("long"))
-      .localCheckpoint(true)
     // Replay guard (foreachBatch is at-least-once): a (scope, batch id)
     // already in the store advanced the hosts on a crashed attempt —
     // recompute the SAME output, but never double-advance. The probe
@@ -416,13 +403,6 @@ object CrawlSchedule {
     // matches it through any append/collapse interleaving. Ad-hoc
     // calls (−1) always advance.
     val applied = store.batchApplied(scope, batchId)
-    // Every read of `cur` below is keyed on THIS batch's domains (the
-    // seqd left-join, the replay correction, the delta's pre-state
-    // attach), so prune the host-state window to them BEFORE it runs
-    // (r18, guide §2.3 via [[ParquetStore.latestPerKeySemi]]): the
-    // schedule fold reads O(batch) state rows per trigger instead of
-    // the whole host universe. The probe reads the PINNED seqd.
-    val batchDomains = seqd.select(col(domainCol).as("domain"))
     // A replayed attempt restores its pre-batch view from the crashed
     // delta's own RECORDED pre-state (prev_n/prev_next — the latest
     // row per batch host IS the crashed delta under the one-lineage
@@ -434,7 +414,7 @@ object CrawlSchedule {
     // pre-state also survives a re-snapshot folding history into a
     // latest-per-host base. Legacy rows (pre-r13, null prev) fall back
     // to the subtraction using the replayed input's row count × delay.
-    val cur = latestState(store, domains = batchDomains)
+    val cur = latestState(store)
     val prior0 =
       if (!applied)
         cur.select(col("domain"), col("n_scheduled"),
@@ -529,28 +509,13 @@ object CrawlSchedule {
     * only for UNPROTECTED stamps (ad-hoc callers that never recorded a
     * floor, or stores collapsed before r15), detected by no surviving
     * generation ≤ rst — degraded-but-never-silent, as before. */
-  def policyAsOf(store: ParquetStore, rst: Long): DataFrame =
-    policyAsOf(store, rst, null)
-
-  /** [[policyAsOf]] pruned to `hosts` (a `domain`-column frame) BELOW
-    * the as-of window when non-null (r18, guide §2.3): a trigger's gate
-    * and pace only read the policies of the hosts in that trigger, so
-    * the window runs over O(batch hosts) policy rows instead of the
-    * whole host universe. Identical rows for those hosts. */
-  def policyAsOf(store: ParquetStore, rst: Long,
-                 hosts: DataFrame): DataFrame = {
-    def semi(df: DataFrame) =
-      if (hosts == null) df
-      else df.join(hosts.select(col("domain")).distinct(),
-        Seq("domain"), "left_semi")
+  def policyAsOf(store: ParquetStore, rst: Long): DataFrame = {
     if (rst <= 0L)
       store.spark.createDataFrame(
         store.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         RobotsSchema)
-    else if (!store.generations.exists(_ <= rst)) semi(latestPolicy(store))
-    else (if (hosts == null) store.asOfLatestPerKey(Seq("domain"), rst)
-          else store.latestPerKeySemi(Seq("domain"),
-            hosts.select(col("domain")), Seq("domain"), rst))
+    else if (!store.generations.exists(_ <= rst)) latestPolicy(store)
+    else store.asOfLatestPerKey(Seq("domain"), rst)
       .select(col("domain"), col("crawl_delay"), col("robots_txt"))
   }
 
@@ -567,11 +532,6 @@ object CrawlSchedule {
                   urls: DataFrame, agent: String,
                   defaultDelay: Double = 1.0d, batchId: Long = -1L,
                   scope: String = ""): (DataFrame, Long) = {
-    // PINNED (r18): the frontier frame feeds the policy-pruning probe,
-    // the gate matcher, and the pace join — un-pinned, each would
-    // re-evaluate the caller's whole due-frontier plan (see
-    // scheduleBatch's seqd pin). One materialization, batch-sized.
-    val frontier = urls.localCheckpoint(true)
     val recorded = appliedPolicyRst(state, scope, batchId)
     var stamp = recorded.getOrElse(robots.maxRstId.getOrElse(0L))
     // FLOOR before SNAPSHOT (r14 verdict #5): the stamp lands in the
@@ -608,10 +568,8 @@ object CrawlSchedule {
     // fresh path — so what the stamp records is provably what the gate
     // used (a latestPolicy read beside a separate maxRstId read could
     // straddle a concurrent robots append).
-    val pol = policyAsOf(robots, stamp,
-      hosts = frontier.select(col("url_host").as("domain")))
-      .localCheckpoint(true)
-    val gated = gateWithPolicies(frontier, pol, agent)
+    val pol = policyAsOf(robots, stamp).localCheckpoint(true)
+    val gated = gateWithPolicies(urls, pol, agent)
       .join(pol.select(col("domain").as("url_host"), col("crawl_delay")),
         Seq("url_host"), "left")
       .withColumn("crawl_delay",
