@@ -375,7 +375,11 @@ object Recrawl {
       .filter(col("_rk") > keep)
       .select(keys.map(col): _*)
       .localCheckpoint(eager = true)
-    if (!victims.isEmpty) h.eraseKeys(victims, keys)
+    // Pinned-victims erase (r18): the frame above is already pinned,
+    // unique per key (latest-per-key window rows), and projected in
+    // store types — eraseKeys' re-normalization would be one redundant
+    // distinct shuffle + checkpoint job per trim.
+    if (!victims.isEmpty) h.eraseKeysPinned(victims, keys)
     ()
   }
 

@@ -355,10 +355,28 @@ object Warc {
   /** The spec-form digest of a payload: `sha1:` + unpadded base32 of
     * the SHA-1 — exactly what crawlers write into
     * `WARC-Payload-Digest`. */
-  def sha1Digest(payload: Array[Byte]): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-1")
-    "sha1:" + base32(md.digest(payload))
+  def sha1Digest(payload: Array[Byte]): String =
+    "sha1:" + base32(sha1Bytes(payload))
+
+  /** Raw SHA-1 bytes — the one digest computation [[sha1Digest]] (WARC
+    * header form) and the rep side channel's hex form (matching
+    * Catalyst `sha1()`, the [[RepSchema]] key) both derive from. */
+  private def sha1Bytes(payload: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance("SHA-1").digest(payload)
+
+  private def hexOf(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    bytes.foreach(b => sb.append("%02x".format(b & 0xff)))
+    sb.toString
   }
+
+  /** Struct carried per archive row by [[encodeResponses]]' `emitReps`
+    * side channel — field-compatible with [[RepSchema]] (`archive`
+    * already carries the extension). */
+  val RepStructType: StructType = StructType(Seq(
+    StructField("digest", StringType), StructField("url", StringType),
+    StructField("warc_date", StringType),
+    StructField("archive", StringType)))
 
   /** Append `digest_ok`: does the record's declared
     * `WARC-Payload-Digest` match the payload bytes? Null when the
@@ -873,18 +891,52 @@ object Warc {
       val attempt = Option(org.apache.spark.TaskContext.get())
         .map(_.taskAttemptId()).getOrElse(0L)
       it.foreach { row =>
-        val name = row.getString(pi)
-        require(!name.contains('/') && !name.contains('\\') &&
-          name != "." && name != "..",
-          s"writeFiles: path '$name' must be a bare file name")
-        val staging = fs.resolve(dir, s".staging_w_${attempt}_$name")
-        fs.write(staging, row.getAs[Array[Byte]](ci))
-        fs.atomicSwap(staging, fs.resolve(dir, name))
+        writeOneStaged(fs, dir, attempt, row.getString(pi),
+          row.getAs[Array[Byte]](ci))
         n += 1L
       }
       Iterator.single(n)
     }(Encoders.scalaLong)
       .agg(coalesce(sum(col("value")), lit(0L))).collect()(0).getLong(0)
+  }
+
+  /** One staged atomic file write — the shared body of [[writeFiles]]
+    * and [[writeFilesWithReps]]. */
+  private def writeOneStaged(fs: graft.FsIO, dir: String, attempt: Long,
+                             name: String, bytes: Array[Byte]): Unit = {
+    require(!name.contains('/') && !name.contains('\\') &&
+      name != "." && name != "..",
+      s"writeFiles: path '$name' must be a bare file name")
+    val staging = fs.resolve(dir, s".staging_w_${attempt}_$name")
+    fs.write(staging, bytes)
+    fs.atomicSwap(staging, fs.resolve(dir, name))
+  }
+
+  /** [[writeFiles]] over an `emitReps` frame (`path`, `content`,
+    * `reps`), LAZY: returns one `(path, reps)` row per file instead of
+    * the count — the caller materializes it (localCheckpoint) to run
+    * the write exactly once and keep the narrow rep rows without a
+    * second pass over the bodies (r18, guide §8). Same staging/swap
+    * discipline and single-writer contract as [[writeFiles]]. */
+  private[graft] def writeFilesWithReps(files: DataFrame, dir: String,
+                                        fs: graft.FsIO = graft.FsIO.local)
+      : DataFrame = {
+    fs.mkdirs(dir)
+    sweepStaging(dir, ".staging_w_", fs)
+    val pi = files.schema.fieldIndex("path")
+    val ci = files.schema.fieldIndex("content")
+    val ri = files.schema.fieldIndex("reps")
+    val outSchema = StructType(Seq(
+      StructField("path", StringType), files.schema("reps")))
+    files.mapPartitions { it =>
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      it.map { row =>
+        writeOneStaged(fs, dir, attempt, row.getString(pi),
+          row.getAs[Array[Byte]](ci))
+        Row(row.getString(pi), row.get(ri))
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** DataFrame WARC EXPORT — `(group, url, date, content_type, body)`
@@ -965,7 +1017,21 @@ object Warc {
                       /** Canonicalized SURT keys ([[surtKey]]'s
                         * `stripWww`/`scrubSession` — pywb's defaults);
                         * only meaningful with `cdxSurt`. */
-                      cdxCanon: Boolean = false): DataFrame = {
+                      cdxCanon: Boolean = false,
+                      /** REP SIDE-CHANNEL (r18, guide §8 — decide with
+                        * small rows): each archive row additionally
+                        * carries `reps`, the `(digest, url, warc_date,
+                        * archive)` of every RESPONSE record it wrote
+                        * (hex sha-1; null-body rows excluded) — exactly
+                        * the first-occurrence-per-digest rows
+                        * [[exportIncremental]] used to re-derive with a
+                        * SECOND full body scan + hash. The digest bytes
+                        * are already computed per record for
+                        * `WARC-Payload-Digest`, so the channel is free;
+                        * `.cdx` sibling rows carry an empty array. Off
+                        * by default — the extra column would widen every
+                        * other consumer's plan for nothing. */
+                      emitReps: Boolean = false): DataFrame = {
     // Fixed positional layout for the encode loop: group, url, date,
     // type, body, status, location, revisit-of. Absent columns become
     // literals so the loop never branches on schema.
@@ -1038,10 +1104,13 @@ object Warc {
       .sortWithinPartitions(col(groupCol), col(urlCol), col(dateCol),
         col(typeCol), col(bodyCol), col("_status"), col("_loc"),
         col("_revisit_of"))
-    val outSchema = StructType(Seq(
-      StructField("path", StringType),
-      StructField("content", BinaryType)))
+    val outSchema = StructType(
+      Seq(StructField("path", StringType),
+        StructField("content", BinaryType)) ++
+      (if (emitReps) Seq(StructField("reps", ArrayType(RepStructType)))
+       else Nil))
     val emitCdx = withCdx
+    val withReps = emitReps
     // Honest extension: a raw (non-gzip) export must not wear the .gz
     // suffix — readers and the erasure prober route on it.
     val ext = if (gzipped) ".warc.gz" else ".warc"
@@ -1062,6 +1131,9 @@ object Warc {
           val group = pending.getString(0)
           val file = new java.io.ByteArrayOutputStream()
           val cdx = if (emitCdx) new StringBuilder else null
+          val reps =
+            if (withReps) scala.collection.mutable.ArrayBuffer.empty[Row]
+            else null
           var done = false
           var ordinal = 0
           while (!done) {
@@ -1082,7 +1154,8 @@ object Warc {
             val revisitOf = if (r.isNullAt(7)) null else r.getString(7)
             val body = r.getAs[Array[Byte]](4)
             val b = if (body == null) Array.empty[Byte] else body
-            val digest = sha1Digest(b)
+            val digestBytes = sha1Bytes(b)
+            val digest = "sha1:" + base32(digestBytes)
             val offset = file.size()
             // The HTTP response-header envelope — shared by response
             // records (headers + payload) and revisit records (headers
@@ -1131,6 +1204,16 @@ object Warc {
                   // id-stable.
                   idSeed = s"$group\n$contentType\n$ordinal")
               }
+            // Rep side channel: RESPONSE records with a real (non-null)
+            // body are exactly the first-occurrence-per-digest rows of
+            // this call whose digest [[exportIncremental]] may need to
+            // record (the anti-join against the store drops the
+            // already-known ones) — the window admits one response per
+            // digest, and prior-rep re-deliveries carry digests the
+            // store already holds.
+            if (withReps && revisitOf == null && body != null)
+              reps += Row(hexOf(digestBytes), r.getString(1),
+                r.getString(2), s"$group$ext")
             val member = if (gzipped) gzipMember(rec) else rec
             file.write(member)
             if (emitCdx)
@@ -1144,10 +1227,15 @@ object Warc {
               if (pending.getString(0) != group) done = true
             } else { pending = null; done = true }
           }
-          if (emitCdx)
-            queuedCdx = Row(s"$group.cdx", cdx.toString.getBytes(
-              java.nio.charset.StandardCharsets.UTF_8))
-          Row(s"$group$ext", file.toByteArray)
+          if (emitCdx) {
+            val cdxBytes = cdx.toString.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)
+            queuedCdx =
+              if (withReps) Row(s"$group.cdx", cdxBytes, Seq.empty[Row])
+              else Row(s"$group.cdx", cdxBytes)
+          }
+          if (withReps) Row(s"$group$ext", file.toByteArray, reps.toSeq)
+          else Row(s"$group$ext", file.toByteArray)
         }
       }
     }(Encoders.row(outSchema))
@@ -2248,15 +2336,14 @@ object Warc {
     * replaces each file with identical bytes.
     *
     * Scale: adds ONE digest equi-join against the rep store (O(unique
-    * payloads) rows, AQE picks the strategy) plus a SECOND digest pass
-    * over the batch for the rep aggregation — bodies are hashed twice,
-    * the price of not pinning payload bytes in executor memory between
-    * the two actions (a localCheckpoint of the batch would trade
-    * memory for the hash pass; at archive scale the hash is cheaper).
-    * `rows` must therefore be DETERMINISTIC across evaluations — both
-    * passes must see the same bodies (pin a non-deterministic source
-    * with localCheckpoint yourself); the repo's fixtures read parquet,
-    * which is. */
+    * payloads) rows, AQE picks the strategy); this call's rep rows ride
+    * the encode pass itself as a narrow side channel
+    * ([[encodeResponses]]' `emitReps` — the digest bytes are already
+    * computed per record for `WARC-Payload-Digest`), so bodies are
+    * read and hashed ONCE per call (r18, guide §8 — before this the
+    * rep aggregation was a second full body scan + hash). `rows` must
+    * still be DETERMINISTIC across evaluations for cross-call replay
+    * byte-stability; the repo's fixtures read parquet, which is. */
   def exportIncremental(rows: DataFrame,
                         repStore: graft.store.ParquetStore,
                         outDir: String,
@@ -2278,25 +2365,29 @@ object Warc {
     // replays as a second full response.
     val prior = repStore.latestPerKey(Seq("digest"))
       .select(col("digest"), col("url"), col("warc_date"), col("archive"))
-    val n = writeFiles(encodeResponses(rows, groupCol, urlCol, dateCol,
-      typeCol, bodyCol, gzipped, statusCol, locationCol,
-      withRevisits = true, withCdx = withCdx, cdxSurt = cdxSurt,
-      priorReps = prior, cdxCanon = cdxCanon), outDir, fs)
-    // This call's rep per digest = the window's first row: min over the
-    // SAME (url, date, group, type) total order.
-    val ord = struct(col(urlCol), col(dateCol), col(groupCol),
-      col(typeCol))
-    val reps = rows
-      .withColumn("_dig", when(col(bodyCol).isNotNull, sha1(col(bodyCol))))
-      .filter(col("_dig").isNotNull)
-      .groupBy(col("_dig").as("digest"))
-      .agg(min(ord).as("o"))
-      .select(col("digest"), col("o").getField(urlCol).as("url"),
-        col("o").getField(dateCol).as("warc_date"),
-        concat(col("o").getField(groupCol),
-          lit(if (gzipped) ".warc.gz" else ".warc")).as("archive"))
-    val fresh = reps.join(
-        repStore.selectAll.select(col("digest")).distinct(),
+    // ONE pass over the bodies (r18, guide §8): the checkpoint below IS
+    // the write action — every archive lands here — and it pins the
+    // narrow per-file rep rows the encode loop emitted alongside
+    // (`emitReps`), so the rep derivation never re-reads or re-hashes a
+    // body. The emitted rows are exactly the old min-over-total-order
+    // aggregation's output for digests the store doesn't hold: the
+    // revisit window admits ONE response per digest (its first row in
+    // the same total order), and the response rows a prior rep exempts
+    // carry digests the anti-join below drops (spec-pinned: twins,
+    // exact-duplicate rows, crash replay — WarcSpec).
+    val written = writeFilesWithReps(
+      encodeResponses(rows, groupCol, urlCol, dateCol,
+        typeCol, bodyCol, gzipped, statusCol, locationCol,
+        withRevisits = true, withCdx = withCdx, cdxSurt = cdxSurt,
+        priorReps = prior, cdxCanon = cdxCanon, emitReps = true),
+      outDir, fs).localCheckpoint(eager = true)
+    val n = written.count()
+    val fresh = written
+      .select(explode(col("reps")).as("_r"))
+      .select(col("_r.digest").as("digest"), col("_r.url").as("url"),
+        col("_r.warc_date").as("warc_date"),
+        col("_r.archive").as("archive"))
+      .join(repStore.selectAll.select(col("digest")).distinct(),
         Seq("digest"), "left_anti")
       .persist()
     try {

@@ -471,6 +471,26 @@ final class ParquetStore(
       n
     }
 
+  /** [[eraseKeys]] for a victim frame the caller has ALREADY pinned
+    * (localCheckpoint), deduplicated, and projected to exactly `keys`
+    * in the store's column types — the ring-trim shape, where the
+    * victims come out of a latest-per-key window (unique per key by
+    * construction) and are pinned for the no-victim probe anyway
+    * (r18, guide §1.2): re-normalizing here was one redundant
+    * distinct shuffle + checkpoint job per trim. Callers that cannot
+    * prove all three properties use [[eraseKeys]]. */
+  private[graft] def eraseKeysPinned(victimKeys: DataFrame,
+                                     keys: Seq[String]): Long =
+    this.synchronized {
+      checkFence()
+      require(keys.nonEmpty, "erase needs at least one key column")
+      keys.foreach(k => require(schema.fieldNames.contains(k),
+        s"erase key '$k' is not a store column (${schema.fieldNames.mkString(",")})"))
+      val n = rewriteWithoutKeys(victimKeys, keys)
+      registerView()
+      n
+    }
+
   /** The touched-generation copy-on-write delete shared by [[merge]]
     * and [[eraseKeys]]: rewrite every generation holding a matched key
     * without those rows. `matchKeys` must be pinned (localCheckpoint)

@@ -1027,6 +1027,65 @@ class WarcSpec extends SparkSpec {
     assert(dirBytes(dir) === first)
   }
 
+  test("exportIncremental: encode-pass rep side channel equals the legacy min-over-total-order aggregation (r18 single-body-scan)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    // Every rep-derivation class at once: a digest duplicated across
+    // groups (rep = the total order's FIRST row, group a1), exact
+    // duplicate rows, a null body (never a rep), a digest the store
+    // already holds from call 1 (never re-recorded, even though call 2
+    // re-delivers it at a new URL), and a plain fresh digest.
+    def df(rows: Seq[(String, String, String, Array[Byte])]) =
+      rows.map { case (g, u, d, b) => (g, u, d, "text/plain", b) }
+        .toDF("file_group", "url", "warc_date", "content_type", "body")
+    val call1 = df(Seq(
+      ("b1", "https://sc.org/z", "2024-01-01T00:00:00Z",
+        "shared".getBytes("UTF-8")),
+      ("a1", "https://sc.org/a", "2024-01-01T00:00:00Z",
+        "shared".getBytes("UTF-8")),
+      ("a1", "https://sc.org/dup", "2024-01-01T00:00:00Z",
+        "twin".getBytes("UTF-8")),
+      ("a1", "https://sc.org/dup", "2024-01-01T00:00:00Z",
+        "twin".getBytes("UTF-8")),
+      ("a1", "https://sc.org/null", "2024-01-01T00:00:00Z", null)))
+    val call2 = df(Seq(
+      ("c1", "https://sc.org/re", "2024-02-01T00:00:00Z",
+        "shared".getBytes("UTF-8")), // digest already in the store
+      ("c1", "https://sc.org/new", "2024-02-01T00:00:00Z",
+        "fresh".getBytes("UTF-8"))))
+    val dir = java.nio.file.Files.createTempDirectory("graft_repsc")
+      .toString
+    val store = Warc.revisitStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_repsc_s").toString,
+      "repsc_spec")
+    // The legacy derivation the side channel must reproduce: first row
+    // per digest under the (url, date, group, type) total order, null
+    // bodies excluded, digests hex like Catalyst sha1().
+    def legacy(rows: org.apache.spark.sql.DataFrame) = rows
+      .withColumn("_dig", when(col("body").isNotNull, sha1(col("body"))))
+      .filter(col("_dig").isNotNull)
+      .groupBy(col("_dig").as("digest"))
+      .agg(min(struct(col("url"), col("warc_date"), col("file_group"),
+        col("content_type"))).as("o"))
+      .select(col("digest"), col("o.url").as("url"),
+        col("o.warc_date").as("warc_date"),
+        concat(col("o.file_group"), lit(".warc.gz")).as("archive"))
+    val expected1 = legacy(call1).collect().map(_.toSeq).toSet
+    Warc.exportIncremental(call1, store, dir)
+    def stored() = store.selectAll
+      .select("digest", "url", "warc_date", "archive")
+      .collect().map(_.toSeq).toSet
+    assert(stored() === expected1)
+    // Call 2 records ONLY the fresh digest — the re-delivered shared
+    // digest stays attributed to call 1's original.
+    val expected2 = expected1 ++
+      legacy(call2).filter(col("url") === "https://sc.org/new")
+        .collect().map(_.toSeq).toSet
+    Warc.exportIncremental(call2, store, dir)
+    assert(stored() === expected2)
+  }
+
   test("exportIncremental: cross-call revisits, replay byte-stability, crash-before-rep-append convergence") {
     val sparkSession = spark
     import sparkSession.implicits._
