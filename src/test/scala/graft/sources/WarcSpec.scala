@@ -1086,6 +1086,49 @@ class WarcSpec extends SparkSpec {
     assert(stored() === expected2)
   }
 
+  test("encodeResponses: stored-original re-delivery that is NOT the digest's in-call winner — all rows revisit, none respond (the pre-r18 window's exact corner)") {
+    val sparkSession = spark
+    import sparkSession.implicits._
+    import org.apache.spark.sql.functions.col
+    // The store says digest d's original is u1@arch g1; this call
+    // delivers BOTH u1 (the exempt re-delivery) and u0 < u1 (sorts
+    // first). The old per-digest window made u0 a revisit of the prior
+    // (u1) and the exempt u1 — at rn 2 — a revisit of the window's
+    // first row (u0): no response at all. The r18 narrow-proxy
+    // decision table must reproduce that corner exactly, not
+    // "improve" it.
+    val shared = "corner body".getBytes("UTF-8")
+    val prior = Seq(
+      (graft.sources.Warc.sha1Digest(shared), "", "", ""))
+      .toDF("digest", "url", "warc_date", "archive")
+      .select(
+        // hex digest, like Catalyst sha1() — recompute from bytes.
+        org.apache.spark.sql.functions.sha1(
+          org.apache.spark.sql.functions.lit(shared)).as("digest"),
+        org.apache.spark.sql.functions.lit("https://x.org/u1").as("url"),
+        org.apache.spark.sql.functions.lit("2024-01-01T00:00:00Z")
+          .as("warc_date"),
+        org.apache.spark.sql.functions.lit("g1.warc.gz").as("archive"))
+    val rows = Seq(
+      ("g1", "https://x.org/u0", "2024-01-01T00:00:00Z", "text/plain",
+        shared),
+      ("g1", "https://x.org/u1", "2024-01-01T00:00:00Z", "text/plain",
+        shared))
+      .toDF("file_group", "url", "warc_date", "content_type", "body")
+    val files = Warc.encodeResponses(rows, withRevisits = true,
+      priorReps = prior)
+    val recs = Warc.records(
+      files.select(col("path"), col("content").as("bytes")),
+      gzipped = true)
+      .select("target_uri", "warc_type", "refers_to_uri").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(recs("https://x.org/u0") ===
+      ("revisit", "https://x.org/u1")) // prior preempts the window
+    assert(recs("https://x.org/u1") ===
+      ("revisit", "https://x.org/u0")) // exempt but not winner: rn > 1
+  }
+
   test("exportIncremental: cross-call revisits, replay byte-stability, crash-before-rep-append convergence") {
     val sparkSession = spark
     import sparkSession.implicits._
