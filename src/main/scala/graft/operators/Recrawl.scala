@@ -398,34 +398,37 @@ object Recrawl {
                 batchId: Long = -1L, scope: String = "",
                 historyStore: graft.store.ParquetStore = null,
                 keepHistory: Int = 0): Unit = {
-    val stats = batchStats(batch, urlCol, usCol, digestCol, tieBreak)
-      .localCheckpoint(eager = true)
-    // No pre-probe here: updateStats runs its own batchApplied guard —
+    // No checkpoint of the batch stats (r18): each code path below
+    // consumes the frame exactly once (inside the pinned merge, or
+    // once in the replay path's re-derivation), so the eager
+    // materialization was one redundant Spark job per trigger. No
+    // pre-probe either: updateStats runs its own batchApplied guard —
     // a second identical full-store probe per fold was one redundant
-    // Spark job per trigger (r17, guide §1.2: the store-fold queries
-    // are job-count-bound — 117 jobs, none above 0.6 s).
+    // job per trigger (r17, guide §1.2: the store-fold queries are
+    // job-count-bound).
+    val stats = batchStats(batch, urlCol, usCol, digestCol, tieBreak)
     val post = updateStatsReturning(store, stats, batchId, scope,
       pin = historyStore != null)
     if (historyStore != null) {
       // Pre-fold count per url: the fold has landed by now (either in
-      // this call or before a crash-replay), so prior = current −
-      // batch, deterministically on first run and replay alike.
-      // `current` comes from the fold's OWN post-fold rows when this
-      // call performed it (r18 — identical values, zero store re-read);
-      // the replay path re-derives it from the store as before.
-      val current = post.getOrElse(latestStats(store))
-        .select(col("url"), col("n_fetches").as("_cur"))
-        .join(stats.select(col("url"), col("n_fetches").as("_bn")),
-          Seq("url"))
-      val prior = current
-        .select(col("url"), (col("_cur") - col("_bn")).as("_prior_n"))
+      // this call or before a crash-replay). The fold's OWN pinned
+      // rows carry it outright (`_prior_n` — the stored count its
+      // merge join already read, r18: the old post ⋈ stats join
+      // re-derived a number the merge had in hand); the replay path
+      // re-derives it from the store as before.
+      val p = post.getOrElse(
+        latestStats(store)
+          .join(stats.select(col("url"), col("n_fetches").as("_bn")),
+            Seq("url"))
+          .withColumn("_prior_n", col("n_fetches") - col("_bn")))
+      val prior = p.select(col("url"), col("_prior_n"))
       // Trim candidates (r17): a url can exceed `keep` retained rows
       // only if its FOLDED fetch count exceeds keep (ring rows ≤
       // n_fetches) — the stats row the fold just advanced knows that
       // without touching the ring store. Urls under the bound skip the
       // trim's ring-window scan entirely; the common in-bound case
       // becomes one column-pruned probe of the O(urls) stats store.
-      val trimCand = current.filter(col("_cur") > keepHistory)
+      val trimCand = p.filter(col("n_fetches") > keepHistory)
         .select(col("url"))
       recordHistory(historyStore, batch, keepHistory, urlCol, usCol,
         digestCol, batchId, scope, priorCounts = prior,
@@ -536,15 +539,23 @@ object Recrawl {
         greatest(col("last_us"), coalesce(col("_sl"), col("last_us")))
           .as("last_us"),
         coalesce(col("_sfd"), col("first_digest")).as("first_digest"),
-        col("last_digest"))
-    if (!pin) { appendWithSentinel(store, merged, batchId, scope); None }
-    else {
+        col("last_digest"),
+        // The url's PRE-fold count, carried for [[foldBatch]]'s ring
+        // bookkeeping (r18): the merge join read it anyway, and
+        // handing it back spares the caller a post ⋈ batch-stats join
+        // per trigger. Dropped before the append (the sentinel union
+        // and the store schema know nothing of it).
+        coalesce(col("_sn"), lit(0L)).as("_prior_n"))
+    if (!pin) {
+      appendWithSentinel(store, merged.drop("_prior_n"), batchId, scope)
+      None
+    } else {
       // Pinned BEFORE the append: the raise_error guard fires here
       // (same fails-before-the-append-lands contract — earlier, even),
       // the append then writes a trivial scan of the checkpoint, and
       // the caller reuses the rows instead of re-reading the store.
       val pinned = merged.localCheckpoint(eager = true)
-      appendWithSentinel(store, pinned, batchId, scope)
+      appendWithSentinel(store, pinned.drop("_prior_n"), batchId, scope)
       Some(pinned)
     }
   }
